@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst gets a real
+  * FileSourceScanExec: filters and column pruning push into the scan, and
+  * at cluster scale the same code paths handle splittable multi-file
+  * datasets without change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events.ts` is parquet timestamp[ns]. Spark's native timestamp is
+    * microseconds, so depending on reader config the column arrives as
+    * TIMESTAMP(_NTZ) or (with `legacy.parquet.nanosAsLong`) as raw Long
+    * nanos. Normalize to a session-TZ (UTC) TimestampType column named
+    * `ts` truncated to microseconds — the same truncation DuckDB applies,
+    * keeping oracle parity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case _: Throwable =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(spark, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // nanos since epoch
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampNTZType =>
+        // NTZ with a UTC session TZ denotes the same instant.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** A literal comparable against `c`'s actual type — parquet timestamp
+    * columns may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * `isAdjustedToUTC`, so literals are cast to whatever the column is.
+    */
+  def tsLit(df: DataFrame, colName: String, value: String) =
+    lit(value).cast(df.schema(colName).dataType)
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers for DuckDB-oracle parity (SURVEY.md §5.2, §7.4).
+  *
+  * Floating-point aggregation is order-sensitive, and both Spark and
+  * DuckDB aggregate in nondeterministic (partitioned) order. Every summed
+  * double in a compared column therefore routes through exact decimal
+  * arithmetic and is only converted back to double at the very end —
+  * decimal→double conversion is correctly rounded in both engines, so
+  * results are bit-identical regardless of execution order. The same
+  * pattern appears verbatim in the oracle SQL.
+  */
+object Parity {
+
+  /** Order-insensitive exact sum of a double column, surfaced as double.
+    * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Exact sum of a product of two doubles (e.g. price * (1-discount)).
+    * Oracle twin:
+    * `CAST(sum(CAST(a AS DECIMAL(18,4)) * CAST(b AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum divided by count, in double.
+    * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(*)`.
+    */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}
