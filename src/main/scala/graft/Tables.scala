@@ -40,13 +40,16 @@ object Tables {
     val raw =
       try load(spark, dir, "events")
       catch {
-        case _: Throwable =>
+        // Only the nanos-unsupported analysis/reader failure is retried;
+        // fatal errors (OOM etc.) must propagate.
+        case _: org.apache.spark.sql.AnalysisException | _: org.apache.spark.SparkException =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           load(spark, dir, "events")
       }
     raw.schema("ts").dataType match {
-      case LongType => // nanos since epoch
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case LongType => // nanos since epoch: exact integer division (doubles
+        // lose integer precision above 2^53, so `/ 1000L` would be off ±1µs)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // NTZ with a UTC session TZ denotes the same instant.
         raw.withColumn("ts", col("ts").cast(TimestampType))

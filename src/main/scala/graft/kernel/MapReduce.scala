@@ -22,8 +22,11 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * Contracts inherited from the reference (SURVEY.md §4.3):
   *  - K2 grouping equality must be consistent with its ordering
   *    (the reference derives equality from `operator<`,
-  *    MapReduceFramework.cpp:33-38; Spark groups by equals/hashCode).
-  *    True for primitives, Strings and case classes of them.
+  *    MapReduceFramework.cpp:33-38; Spark's groupByKey groups on the
+  *    encoder's serialized binary form of the key, so two keys are one
+  *    group iff they encode identically — overriding `equals` does not
+  *    affect grouping). True for primitives, Strings and case classes
+  *    of them.
   *  - `reduce` must be order-insensitive in its values (the reference's
   *    within-group order is thread-nondeterministic,
   *    MapReduceFramework.cpp:413-431).

@@ -18,6 +18,13 @@ object Parity {
 
   /** Order-insensitive exact sum of a double column, surfaced as double.
     * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    *
+    * Input-domain contract: |x| < 1e14 (prices/quantities/metric values).
+    * DECIMAL(18,4) is kept (not widened) so that the dsumProd product stays
+    * at DECIMAL(37,8) — within both Spark's and DuckDB's 38-digit cap, which
+    * keeps the two engines' decimal arithmetic bit-identical. Out-of-range
+    * values would become null and silently drop from the sum; callers on
+    * wider domains must pre-scale.
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
