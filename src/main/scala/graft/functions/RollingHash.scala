@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,8 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the per-byte loop compiles straight into the whole-stage-codegen'd stage
   * (no boxing, no serialization of a closure per row), which is the shape
   * that survives a 100 TB scan. Used by the `text_fingerprint` query; the
-  * interpreted path (`nullSafeEval`) and generated code are asserted
-  * identical in RollingHashSpec.
+  * interpreted path (`nullSafeEval`) and generated code share
+  * [[RollingHash.hashBytes]] and are asserted identical in RollingHashSpec.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -51,5 +51,5 @@ object RollingHash {
   }
 
   /** Column wrapper: `rollingHash(col("text"))`. */
-  def apply(c: Column): Column = ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+  def apply(c: Column): Column = GraftBridge.column(RollingHash(GraftBridge.expression(c)))
 }
