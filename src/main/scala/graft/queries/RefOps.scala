@@ -23,6 +23,21 @@ object RefOps {
     */
   val Word = "merge"
 
+  /** The §2.2 Search semantics over any `(dir, name)` relation — the
+    * exact observable behavior of `./Search <word> <dirs...>`
+    * (Search.cpp:271-307): dot-entry exclusion, case-sensitive literal
+    * substring on NAME, merge of equal names across dirs, count,
+    * ascending name sort. Unit-tested against the §2.2 edge semantics
+    * (empty input, duplicate dirs, case sensitivity, metacharacters).
+    */
+  def searchFiles(files: DataFrame, word: String): DataFrame =
+    files
+      .filter(!col("name").isin(".", ".."))
+      .filter(col("name").contains(word))
+      .groupBy("name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("name")
+
   /** Flagship §2.2 pipeline re-hosted on the `documents` table:
     * substring filter (O4) + dot-exclusion (O3) → group-count (O7-O9) →
     * ascending sort (O10). Reference: Search.cpp:203-241,271-307.
