@@ -21,6 +21,9 @@ object SparkEntry {
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RefOps.queries, RefOps.oracle),
+      (StarOps.queries, StarOps.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (DedupOps.queries, DedupOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

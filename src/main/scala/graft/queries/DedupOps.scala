@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for an LLM-data pipeline (SURVEY.md §2.4):
+  * exact (dropDuplicates / content-hash), n-gram Jaccard near-dup, and
+  * the two sketch families that make near-dup tractable at 100 TB —
+  * MinHash+LSH banding and SimHash.
+  *
+  * Scale posture: nothing here is all-pairs over the corpus. The Jaccard
+  * query joins on shared shingles (pairs only materialize for documents
+  * that overlap at all), and the MinHash/SimHash paths reduce each
+  * document to a constant-size signature first, so candidate generation
+  * is a hash-bucket group-by — the standard shape that survives a
+  * 1000-executor corpus where brute force cannot.
+  */
+object DedupOps {
+
+  /** Word trigram shingles of a text column (empty array below 3 tokens —
+    * guarded because Spark's `sequence(0, n)` counts DOWN for negative n).
+    */
+  def shingles(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup via dropDuplicates on a column subset. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .dropDuplicates("lang", "source")
+      .select("lang", "source")
+      .orderBy("lang", "source")
+
+  /** Exact content dedup at scale: count distinct SHA-256 of the text
+    * (the content-addressed form used when the corpus is too wide to
+    * compare raw payloads).
+    */
+  def hashCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup: top-20 most similar document pairs.
+    * |A∩B| comes from a join on shared shingles (no all-pairs), |A∪B| =
+    * |A|+|B|-|A∩B|; similarity surfaces as floor-scaled ppm so the
+    * compare is integer-exact.
+    */
+  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("a", "sh")
+      .join(sh.toDF("b", "sh2"), col("sh") === col("sh2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a2", "na"), col("a") === col("a2"))
+      .join(sizes.toDF("b2", "nb"), col("b") === col("b2"))
+      .select(col("a"), col("b"), col("inter"),
+        floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("j_ppm"))
+      .orderBy(desc("j_ppm"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
+  /** MinHash signature: `nHashes` per-document minima of seeded xxhash64
+    * over the shingle set.
+    */
+  def minhashSignatures(docs: DataFrame, nHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+    val mins = (0 until nHashes).map(j => min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: `nBands` bands of `rowsPerBand`
+    * signature rows, each band hashed to one bucket value. Documents
+    * sharing any (band, bucket) are near-dup candidates.
+    */
+  def minhashBands(docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(docs, nBands * rowsPerBand)
+    val bandCols = (0 until nBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH banding (used by tests and by a
+    * downstream verify-with-exact-Jaccard stage at scale).
+    */
+  def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bands = minhashBands(docs, nBands, rowsPerBand)
+    bands.toDF("a", "band", "bucket")
+      .join(bands.toDF("b", "band2", "bucket2"),
+        col("band") === col("band2") && col("bucket") === col("bucket2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Registered MinHash query: the LSH bucket structure itself (bucket
+    * occupancy per band). Custom 64-bit hashing has no DuckDB twin →
+    * rows-only check; the pair-finding path is unit-tested with planted
+    * near-duplicates.
+    */
+  def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(Tables.documents(spark, dir), nBands = 4, rowsPerBand = 4)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_size"))
+      .orderBy("band", "bucket")
+
+  /** SimHash: 64-bit signature from per-bit majority votes of token
+    * hashes. Near-dups differ in few bits (Hamming distance ≤ k).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val sig = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Registered SimHash query (rows-only: custom hash). */
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_hash_count" -> (hashCount _),
+    "neardup_jaccard" -> (jaccard _),
+    "neardup_minhash" -> (minhashBuckets _),
+    "neardup_simhash" -> (simhashQuery _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
+    "dedup_hash_count" ->
+      """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
+        |FROM documents""".stripMargin,
+    "neardup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, inter,
+        |  CAST(floor(inter * 1000000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS j_ppm
+        |FROM inter
+        |JOIN sizes sa ON a = sa.doc_id
+        |JOIN sizes sb ON b = sb.doc_id
+        |ORDER BY j_ppm DESC, a, b LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash
+
+/** Text-analysis operators for an LLM-data pipeline (SURVEY.md §2.4):
+  * tokenization + word counting, per-document quality scoring,
+  * language-marker statistics, and rolling-hash fingerprinting.
+  *
+  * All token math uses whitespace splitting written identically in the
+  * Spark and DuckDB twins (`split`/`string_split` both keep empty tokens
+  * on runs of spaces, so both sides filter them). Ratios surface as
+  * floor-scaled BIGINTs (parts-per-million) rather than rounded doubles:
+  * floor of a bit-identical double quotient is engine-independent,
+  * whereas round()'s half-way tie-breaking is not.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word frequency over the whole corpus (lower-cased): the direct
+    * generalization of the reference's search-count pipeline.
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Quality scoring per document: token count, chars-per-token and
+    * stopword ratio as floor-scaled ppm integers.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).cast("long").as("tok_cnt"),
+        size(stop).cast("long").as("stop_cnt"))
+      .withColumn("chars_per_tok_ppm",
+        floor(col("n_chars") * lit(1000000.0) / col("tok_cnt")).cast("long"))
+      .withColumn("stop_ppm",
+        floor(col("stop_cnt") * lit(1000000.0) / col("tok_cnt")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic scaffolding: per tagged language, how many
+    * documents carry the English stopword marker (the real n-gram model
+    * would replace the marker CASE; the aggregation shape is the same).
+    */
+  def langMarkers(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("text").contains(" the "), 1L).otherwise(0L)).as("en_marker"))
+      .orderBy("lang")
+
+  /** Document fingerprint via the native rolling-hash expression — no
+    * DuckDB twin (custom 64-bit wraparound hash), so this entry gets the
+    * driver's rows-only check.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), RollingHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount" -> (wordCount _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langMarkers _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS tok_cnt,
+        |  CAST(len(stop) AS BIGINT) AS stop_cnt,
+        |  CAST(floor(n_chars * 1000000.0 / len(toks)) AS BIGINT) AS chars_per_tok_ppm,
+        |  CAST(floor(len(stop) * 1000000.0 / len(toks)) AS BIGINT) AS stop_ppm
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        |    list_filter(string_split(text, ' '),
+        |                t -> t IN ('the', 'a', 'of', 'and')) AS stop
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS en_marker
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
