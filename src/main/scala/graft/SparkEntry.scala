@@ -24,6 +24,8 @@ object SparkEntry {
       (StarOps.queries, StarOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
+      (VectorQueries.queries, VectorQueries.oracle),
+      (EventOps.queries, EventOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

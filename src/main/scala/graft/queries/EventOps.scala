@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Parity
+
+/** Event/time analytics over the `events` table (SURVEY.md §2.4):
+  * tumbling-window aggregation, latest-record-per-key (CDC-style dedup),
+  * gap-based sessionization, an as-of join, and JSON property
+  * extraction.
+  *
+  * Timestamp parity: `events.ts` is parquet timestamp[ns]; both engines
+  * truncate to microseconds (`Tables.events` on the Spark side, a cast
+  * to plain TIMESTAMP in the oracle SQL), and every compared time value
+  * surfaces as an epoch-second/µs BIGINT rather than a raw timestamp so
+  * the comparison never depends on either engine's timestamp rendering.
+  */
+object EventOps {
+
+  /** Hourly tumbling window per event type via Spark's native
+    * `window()` — the streaming-compatible declaration; the window start
+    * surfaces as epoch seconds.
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Parity.dsum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"), col("value_sum"))
+      .orderBy("hour_start", "event_type")
+
+  /** Latest event per user (CDC latest-record-wins dedup): one
+    * range-partition-free window pass, deterministic via the
+    * (ts, event_id) tie-break.
+    */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** Gap sessionization: a new session starts after >10 min of user
+    * inactivity; sessions counted per user. Gap math in epoch µs.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_new",
+        when(col("us") - lag("us", 1).over(w) > 600000000L || lag("us", 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("gap_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: for every purchase, the user's most recent view at or
+    * before the purchase time. Spark lacks a native as-of join; rather
+    * than a range join (which explodes into a per-pair filter), this
+    * uses the union + running-last trick: one sort per user over the
+    * merged stream, views carried forward by `last(ignoreNulls)` —
+    * a single shuffle on user_id, no pair blowup, works at any scale.
+    * Views are pre-deduped to one per (user, ts) (max event_id) so tie
+    * resolution matches DuckDB's native ASOF JOIN oracle.
+    */
+  def asofViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .select(col("user_id"), col("ts"), col("view_id"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("view_id"),
+        lit(1).as("kind"), col("event_id"))
+    // kind=0 (view) sorts before kind=1 (purchase) at equal ts, so an
+    // exactly-simultaneous view is visible to the purchase (ASOF >=).
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view", last("view_id", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("last_view"))
+      .orderBy("event_id")
+  }
+
+  /** JSON property extraction + aggregate: sum of props.k per type. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("k_sum"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> (hourly _),
+    "events_latest" -> (latestPerUser _),
+    "events_sessions" -> (sessions _),
+    "events_asof" -> (asofViewBeforePurchase _),
+    "events_json" -> (jsonProps _),
+  )
+
+  private val TsCast = "CAST(ts AS TIMESTAMP)"
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      s"""SELECT CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
+         |  event_type, count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_sessions" ->
+      s"""SELECT user_id,
+         |  CAST(sum(gap_new) AS BIGINT) AS n_sessions,
+         |  count(*) AS n_events
+         |FROM (
+         |  SELECT user_id,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+         |         THEN 1 ELSE 0 END AS gap_new
+         |  FROM (SELECT user_id, event_id, epoch_us($TsCast) AS us FROM events) t
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) s
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_asof" ->
+      s"""WITH v AS (
+         |  SELECT user_id, $TsCast AS ts, max(event_id) AS view_id
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, $TsCast),
+         |p AS (
+         |  SELECT event_id, user_id, $TsCast AS ts
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, v.view_id AS last_view
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
