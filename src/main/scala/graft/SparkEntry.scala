@@ -26,6 +26,7 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (EventOps.queries, EventOps.oracle),
+      (MultimodalOps.queries, MultimodalOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

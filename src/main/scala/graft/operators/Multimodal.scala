@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal-column plumbing (SURVEY.md §2.4): image/audio/video travel
+  * as opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs per partition over batches of payloads — the Scala/Dataset analog
+  * of Python's `mapInPandas` (per-partition iterator in, iterator out; no
+  * per-row UDF dispatch, decoder state amortized across the partition).
+  *
+  * The decoder itself is a STUB: this container has no image/audio
+  * libraries, so [[FakeDecoder]] produces a deterministic feature vector
+  * from the raw bytes. Everything around it — the schema, the frame
+  * sampling, the partition-batched execution shape, the encoders — is
+  * real and is what a production decoder would plug into via
+  * [[MediaDecoder]].
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
+
+  /** Extracted features: one row per sampled frame. */
+  case class FrameFeatures(
+      media_id: Long,
+      byte_len: Long,
+      frame_idx: Int,
+      frame_off: Long,
+      features: Array[Double])
+
+  /** Decoder contract — a real implementation would wrap an image/audio
+    * codec; it sees one frame's byte slice and returns a fixed-width
+    * feature vector.
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decodeFrame(payload: Array[Byte], offset: Int, length: Int): Array[Double]
+  }
+
+  /** STUB decoder — deterministic fake standing in for the absent media
+    * libraries: features are byte-histogram moments of the frame slice.
+    * Do NOT interpret the values; only the plumbing around them is real.
+    */
+  object FakeDecoder extends MediaDecoder {
+    val featureDim = 4
+    def decodeFrame(payload: Array[Byte], offset: Int, length: Int): Array[Double] = {
+      var sum = 0L; var sumSq = 0L; var mn = 255; var mx = 0
+      var i = offset
+      val end = math.min(offset + length, payload.length)
+      while (i < end) {
+        val b = payload(i) & 0xff
+        sum += b; sumSq += b.toLong * b; mn = math.min(mn, b); mx = math.max(mx, b)
+        i += 1
+      }
+      val n = math.max(end - offset, 1)
+      Array(sum.toDouble / n, sumSq.toDouble / n, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  /** Frame-sample each payload every `frameBytes` bytes and decode each
+    * frame. Runs as one `mapPartitions` pass: the iterator-in /
+    * iterator-out shape never materializes a partition in memory, and at
+    * cluster scale each task decodes its partition's payloads with zero
+    * shuffle.
+    */
+  def extractFrames(in: Dataset[MediaRow], decoder: MediaDecoder, frameBytes: Int)(
+      implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(frameBytes > 0, "frameBytes must be positive")
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.payload.length
+        val nFrames = math.max(1, (len + frameBytes - 1) / frameBytes)
+        (0 until nFrames).iterator.map { f =>
+          FrameFeatures(
+            media_id = r.media_id,
+            byte_len = len.toLong,
+            frame_idx = f,
+            frame_off = f.toLong * frameBytes,
+            features = decoder.decodeFrame(r.payload, f * frameBytes, frameBytes))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = base.replace("today", "tonight") // 1-token edit
+  private val unrelated =
+    "completely different words about spark shuffles and parquet columnar scans"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: word trigrams, empty below 3 tokens") {
+    val out = docs((1L, "a b c d"), (2L, "a b"), (3L, ""))
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L) === Seq.empty)
+  }
+
+  test("minhash LSH candidates find planted near-dups, not unrelated docs") {
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    val pairs = DedupOps.minhashCandidates(d)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup should collide in at least one band")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not be a candidate")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val sig = DedupOps.simhash(d).as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) <= 12,
+      s"near-dup hamming was ${hamming(sig(1L), sig(2L))}")
+    assert(hamming(sig(1L), sig(3L)) > 12,
+      s"unrelated hamming was ${hamming(sig(1L), sig(3L))}")
+  }
+
+  test("jaccard on the real corpus surfaces its planted near-dup pairs") {
+    val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
+      .select("j_ppm").as[Long].collect()
+    assert(top.nonEmpty && top.head > 900000L,
+      s"expected a >0.9 Jaccard pair in the corpus, top was ${top.headOption}")
+  }
+}
