@@ -77,12 +77,17 @@ object VectorQueries {
     * (label = the blocking key; no corpus-wide all-pairs).
     */
   def nearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("a"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b"), col("label").as("label_b"), col("v").as("vb"))
+    // Norms are per-vector: compute them once BEFORE the pair join
+    // instead of letting cosine() re-derive both inside every pair
+    // (3 dot products per pair -> 1). Same doubles, same oracle.
+    val e = emb(spark, dir).withColumn("n", VectorOps.norm(col("v")))
+    val a = e.select(col("vec_id").as("a"), col("label"), col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label").as("label_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("label") === col("label_b") && col("a") < col("b"))
       .select(col("a"), col("b"), col("label"),
-        VectorOps.cosine(col("va"), col("vb")).as("sim"))
+        when(col("na") > 0 && col("nb") > 0,
+          VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("sim"))
       .orderBy(desc("sim"), asc("a"), asc("b"))
       .limit(20)
   }
