@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main: times every registered query at
   * SPARK_GRAFT_SF_DIR and prints one JSON line (driver contract).
   *
-  * Queries are timed with `.count()` — every registered query ends in an
-  * aggregate, sort or limit, so the expensive work survives count's
-  * column pruning. A warmup pass (untimed) absorbs JVM/codegen/session
-  * startup so the first measured query isn't charged for it.
+  * Queries execute through the noop data-source writer, which runs the
+  * registered plan EXACTLY as written — a `count()` on top would let
+  * Catalyst prune columns and eliminate sorts, silently skipping the
+  * work global-sort/projection queries exist to measure. A warmup pass
+  * (untimed) absorbs JVM/codegen/session startup so the first measured
+  * query isn't charged for it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,14 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     // Warmup (untimed): exercise codegen, shuffle and the parquet reader.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try SparkEntry.queries("group_count")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    try exec("group_count") catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

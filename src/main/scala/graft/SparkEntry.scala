@@ -22,6 +22,7 @@ object SparkEntry {
     Seq(
       (RefOps.queries, RefOps.oracle),
       (StarOps.queries, StarOps.oracle),
+      (ScalarOps.queries, ScalarOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (VectorQueries.queries, VectorQueries.oracle),

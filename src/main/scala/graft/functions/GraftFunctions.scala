@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL-surface registration of graft's native expressions, so
+  * `spark.sql("SELECT rolling_hash(text) ...")` works like a built-in.
+  *
+  * Two registration paths:
+  *  - [[register]]: imperative, on an existing session (tests, REPL).
+  *  - [[GraftExtensions]]: declarative, via
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` on
+  *    spark-submit — the standard plugin point for cluster deployments.
+  */
+object GraftFunctions {
+
+  /** Arity-checked builder shared by both registration paths (a bare
+    * `exprs.head` would silently drop extra arguments).
+    */
+  private[functions] def buildRollingHash(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"rolling_hash expects exactly 1 argument, got ${exprs.length}")
+    RollingHash(exprs.head)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", buildRollingHash, "built-in")
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(
+        classOf[RollingHash].getName, null, "rolling_hash",
+        "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes.",
+        ""),
+      GraftFunctions.buildRollingHash))
+}

@@ -30,6 +30,12 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The per-document distinct shingle SET, deduped inside the array
+    * (`array_distinct` is per-row — no shuffle), so downstream consumers
+    * never pay a global distinct exchange.
+    */
+  def shingleSetCol(text: Column): Column = array_distinct(shingles(text))
+
   /** Exact dedup via dropDuplicates on a column subset. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -45,11 +51,10 @@ object DedupOps {
     Tables.documents(spark, dir)
       .agg(countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs — deduped per row, no exchange. */
   private def shingleSet(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(shingleSetCol(col("text"))).as("sh"))
 
   /** n-gram Jaccard near-dup: top-20 most similar document pairs.
     * |A∩B| comes from grouping the shingle table by shingle and expanding
@@ -65,7 +70,10 @@ object DedupOps {
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Set sizes straight off the scan (size of the per-row distinct
+    // array) — no aggregation exchange; joins below broadcast it.
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(shingleSetCol(col("text"))).cast("long").as("n_sh"))
     val inter = sh.groupBy("sh").agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(

@@ -33,6 +33,14 @@ class RollingHashSpec extends AnyFunSuite {
     assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
   }
 
+  test("registered SQL function: spark.sql('rolling_hash(...)') works") {
+    GraftFunctions.register(spark)
+    samples.toDF("s").createOrReplaceTempView("rh_samples")
+    val viaSql = spark.sql("SELECT rolling_hash(s) FROM rh_samples")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === samples.map(s => RollingHash.hashBytes(s.getBytes("UTF-8"))))
+  }
+
   test("non-string input is rejected at analysis time") {
     val e = intercept[Exception] {
       Seq(1L).toDF("n").select(RollingHash(col("n"))).collect()
