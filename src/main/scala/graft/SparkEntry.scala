@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries._
+import graft.sources.SourceOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +29,7 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracle),
       (EventOps.queries, EventOps.oracle),
       (MultimodalOps.queries, MultimodalOps.oracle),
+      (SourceOps.queries, SourceOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
