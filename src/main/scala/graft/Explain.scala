@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of registered
+  * queries (`runMain graft.Explain [query ...]`; default = the heaviest
+  * bench queries). Used to keep the scale audit honest: pushed filters,
+  * pruned read schemas, broadcast choices and exchange counts are read
+  * off the real plans, not assumed.
+  */
+object Explain {
+  val Headline = Seq(
+    "neardup_jaccard", "neardup_minhash", "neardup_embedding",
+    "join_revenue", "q1_pricing", "events_asof", "search_count")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Headline
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n===================== $name =====================")
+          fn(spark, sfDir).explain("formatted")
+        case None =>
+          println(s"unknown query: $name (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -64,6 +64,22 @@ object TextOps {
         sum(when(col("text").contains(" the "), 1L).otherwise(0L)).as("en_marker"))
       .orderBy("lang")
 
+  /** Token counting two ways per document: whitespace tokens and a
+    * BPE-ish regex segmentation (letter runs / digit runs / single
+    * punctuation — the shape a byte-pair pre-tokenizer produces). The
+    * pattern sticks to ASCII classes, where Java and RE2 regex agree.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint via the native rolling-hash expression — no
     * DuckDB twin (custom 64-bit wraparound hash), so this entry gets the
     * driver's rows-only check.
@@ -77,6 +93,7 @@ object TextOps {
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langMarkers _),
+    "text_tokens" -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
   )
 
@@ -98,6 +115,11 @@ object TextOps {
         |                t -> t IN ('the', 'a', 'of', 'and')) AS stop
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS en_marker
