@@ -37,12 +37,20 @@ object Tables {
     * keeping oracle parity.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    def isNanosUnsupported(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5).exists { c =>
+        val m = Option(c.getMessage).getOrElse("")
+        m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("TIMESTAMP(NANOS")
+      }
     val raw =
       try load(spark, dir, "events")
       catch {
-        // Only the nanos-unsupported analysis/reader failure is retried;
-        // fatal errors (OOM etc.) must propagate.
-        case _: org.apache.spark.sql.AnalysisException | _: org.apache.spark.SparkException =>
+        // Retry ONLY the nanos-unsupported reader failure (checked down
+        // the cause chain — it surfaces wrapped in SparkException from
+        // executor tasks); anything else propagates rather than silently
+        // flipping the session-wide legacy conf.
+        case e @ (_: org.apache.spark.sql.AnalysisException | _: org.apache.spark.SparkException)
+            if isNanosUnsupported(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           load(spark, dir, "events")
       }
