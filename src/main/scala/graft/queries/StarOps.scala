@@ -122,7 +122,25 @@ object StarOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** The typed `Aggregator[IN,BUF,OUT]` surface (SURVEY §7.3) inside a
+    * relational `agg()`: quantity-weighted average discount per flag via
+    * [[graft.functions.WeightedAvg]], next to a built-in count.
+    */
+  def typedWavg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val wavg = udaf(graft.functions.WeightedAvg,
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("v", DoubleType), StructField("w", DoubleType)))))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        wavg(col("l_discount"), col("l_quantity")).as("wavg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_wavg" -> (typedWavg _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
     "join_semi" -> (joinSemi _),
@@ -135,6 +153,12 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "typed_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wavg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
