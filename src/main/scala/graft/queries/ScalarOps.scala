@@ -82,7 +82,53 @@ object ScalarOps {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Pivot: one column per line status, counts as cells (explicit value
+    * list — dynamic pivots need a values scan first; at scale you always
+    * declare the columns).
+    */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
+  /** Unpivot (melt): wide numeric columns to (metric, value) rows. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 100)
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey").cast("double")),
+        "metric", "value")
+      .orderBy("o_orderkey", "metric")
+
+  /** posexplode: fan-out with the element index kept (the LATERAL VIEW
+    * shape; 0-based on both engines).
+    */
+  def posExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "word")
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("doc_id", "pos")
+
+  /** Approximate percentiles (rows-only: interpolation/sketch details
+    * are engine-specific).
+    */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000))
+        .as("price_p50_p90"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_counts" -> (pivotCounts _),
+    "unpivot_metrics" -> (unpivotMetrics _),
+    "flatmap_posexplode" -> (posExplode _),
+    "approx_percentile" -> (approxPercentile _),
     "scalar_funcs" -> (scalarFuncs _),
     "range_join" -> (rangeJoin _),
     "cube_agg" -> (cubeAgg _),
@@ -92,6 +138,26 @@ object ScalarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pivot_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+        |FROM orders WHERE o_orderkey < 100
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "flatmap_posexplode" ->
+      """SELECT doc_id,
+        |  unnest(range(0, len(toks))) AS pos,
+        |  unnest(toks) AS word
+        |FROM (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id, pos""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
