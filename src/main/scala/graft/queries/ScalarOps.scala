@@ -124,7 +124,20 @@ object ScalarOps {
         .as("price_p50_p90"))
       .orderBy("l_returnflag")
 
+  /** Exact percentiles (linear interpolation) — empirically bit-exact
+    * against DuckDB's quantile_cont, so fully oracle-checked, unlike the
+    * sketch-based approx_percentile.
+    */
+  def exactPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("price_p90"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile" -> (exactPercentile _),
     "pivot_counts" -> (pivotCounts _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "flatmap_posexplode" -> (posExplode _),
@@ -138,6 +151,11 @@ object ScalarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "pivot_counts" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
