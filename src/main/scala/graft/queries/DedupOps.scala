@@ -174,7 +174,45 @@ object DedupOps {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** The production two-phase near-dup pipeline composed end-to-end:
+    * (1) LSH banding proposes candidate pairs (constant-size signatures,
+    * hash-bucket join — the only phase that touches the whole corpus);
+    * (2) exact Jaccard over the candidates' real shingle sets confirms
+    * or rejects each pair (array_intersect on a few thousand pairs, not
+    * the corpus); (3) each confirmed near-dup group elects min(doc_id)
+    * as its representative (one-hop min — the cheap stand-in for full
+    * connected components, which a production run would iterate).
+    * Rows-only check (xxhash64 candidates have no DuckDB twin); the
+    * exact-verify math is the oracle-checked neardup_jaccard path.
+    */
+  def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashCandidates(docs, nBands = 4, rowsPerBand = 4)
+    val sets = docShingleSetsFor(docs)
+    val verified = candidates
+      .join(sets.toDF("a2", "sha"), col("a") === col("a2"))
+      .join(sets.toDF("b2", "shb"), col("b") === col("b2"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .withColumn("j_ppm",
+        floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .filter(col("j_ppm") >= 800000L)
+    verified
+      .select(col("b").as("doc_id"), col("a").as("rep"))
+      .groupBy("doc_id").agg(min("rep").as("keep_as"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, shset) for the verify phase — only joined against the
+    * (small) candidate set, never self-joined.
+    */
+  private def docShingleSetsFor(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleSetCol(col("text")).as("shset"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "neardup_pipeline" -> (neardupPipeline _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
     "neardup_jaccard" -> (jaccard _),

@@ -89,7 +89,27 @@ object TextOps {
       .select(col("doc_id"), RollingHash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Training-corpus quality filter: the composed keep/drop decision a
+    * data pipeline runs before tokenization — length bounds, token
+    * minimum, stopword-ratio band — reported as survivors per language.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    Tables.documents(spark, dir)
+      .withColumn("tok_cnt", size(toks).cast("long"))
+      .withColumn("stop_cnt", size(stop).cast("long"))
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 2000)
+      .filter(col("tok_cnt") >= 20)
+      .filter(col("stop_cnt") * 1000000L >= col("tok_cnt") * 10000L) // ≥1% stopwords
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept"),
+        sum(col("tok_cnt")).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter" -> (corpusFilter _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langMarkers _),
@@ -98,6 +118,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "corpus_filter" ->
+      """SELECT lang, count(*) AS kept,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS kept_tokens
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok_cnt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop_cnt
+        |  FROM documents) t
+        |WHERE n_chars BETWEEN 100 AND 2000
+        |  AND tok_cnt >= 20
+        |  AND stop_cnt * 1000000 >= tok_cnt * 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
