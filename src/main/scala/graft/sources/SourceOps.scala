@@ -70,10 +70,42 @@ object SourceOps {
       .orderBy("o_orderstatus")
   }
 
+  /** ORC sink → ORC source → aggregate (columnar twin of the parquet
+    * path; DuckDB cannot read ORC, so fidelity is proven by matching
+    * the aggregate against the parquet original).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("part_orc")
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Line-text sink → source: one value per line through the `text`
+    * format, counted back per value.
+    */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("priority_text")
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_dirscan" -> (dirScanSearch _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
+    "src_orc_roundtrip" -> (orcRoundtrip _),
+    "src_text_roundtrip" -> (textRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +121,13 @@ object SourceOps {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "src_text_roundtrip" ->
+      """SELECT o_orderpriority AS value, count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
