@@ -84,6 +84,26 @@ object StarOps {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** Pure theta join (no equi key): BroadcastNestedLoopJoin with the
+    * small side broadcast. NLJ cost is |A|×|B| by construction — only
+    * ever sane when one side is broadcast-small, which is why every
+    * other join here carries an equi key.
+    */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("c_acctbal") > col("s_acctbal") && col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("c_mktsegment")
+
+  /** Set union (distinct): all nation keys appearing on either side. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
   /** Top-k: orderBy + limit, planned as TakeOrderedAndProject — no full
     * global sort materializes at any scale.
     */
@@ -147,6 +167,8 @@ object StarOps {
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
     "topk_orders" -> (topkOrders _),
+    "join_theta" -> (joinTheta _),
+    "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "rollup_agg" -> (rollupAgg _),
     "agg_stats" -> (aggStats _),
@@ -199,6 +221,17 @@ object StarOps {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_theta" ->
+      """SELECT c_mktsegment, count(*) AS pairs
+        |FROM customer JOIN supplier
+        |  ON c_acctbal > s_acctbal AND c_nationkey <> s_nationkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "set_union" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
     "set_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT
