@@ -1,0 +1,73 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge semantics of the as-of join construction (union + running
+  * last(ignoreNulls)) that the sf-level oracle data may not cover:
+  * exact-timestamp ties, purchases before any view, and equal-ts view
+  * dedup. Exercised through the same windowing shape as
+  * [[EventOps.asofViewBeforePurchase]] over planted rows.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+
+  /** The same construction as EventOps.asofViewBeforePurchase, over an
+    * explicit events relation (event_id, ts, user_id, event_type).
+    */
+  private def asof(events: DataFrame): Map[Long, Option[Long]] = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .select(col("user_id"), col("ts"), col("view_id"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("view_id"),
+        lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view", last("view_id", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("last_view"))
+      .as[(Long, Option[Long])].collect().toMap
+  }
+
+  test("purchase at the exact view timestamp sees that view (ASOF >=)") {
+    val out = asof(Seq(
+      (1L, ts("10:00:00"), 7L, "view"),
+      (2L, ts("10:00:00"), 7L, "purchase")).toDF("event_id", "ts", "user_id", "event_type"))
+    assert(out === Map(2L -> Some(1L)))
+  }
+
+  test("purchase before any view matches nothing") {
+    val out = asof(Seq(
+      (1L, ts("09:00:00"), 7L, "purchase"),
+      (2L, ts("10:00:00"), 7L, "view"),
+      (3L, ts("11:00:00"), 7L, "purchase")).toDF("event_id", "ts", "user_id", "event_type"))
+    assert(out === Map(1L -> None, 3L -> Some(2L)))
+  }
+
+  test("multiple views at one timestamp resolve to max event_id") {
+    val out = asof(Seq(
+      (5L, ts("10:00:00"), 7L, "view"),
+      (9L, ts("10:00:00"), 7L, "view"),
+      (6L, ts("10:30:00"), 7L, "purchase")).toDF("event_id", "ts", "user_id", "event_type"))
+    assert(out === Map(6L -> Some(9L)))
+  }
+
+  test("views never leak across users") {
+    val out = asof(Seq(
+      (1L, ts("10:00:00"), 7L, "view"),
+      (2L, ts("11:00:00"), 8L, "purchase")).toDF("event_id", "ts", "user_id", "event_type"))
+    assert(out === Map(2L -> None))
+  }
+}
