@@ -29,7 +29,12 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
 
   /** The full decode path through [[Multimodal.extractFrames]] with the
-    * stub decoder (rows-only: the fake features have no SQL twin).
+    * stub decoder. The fake features (byte-histogram moments of each
+    * frame slice) are unpacked to scalar columns — and because they are
+    * pure byte arithmetic, DuckDB can recompute them exactly from the
+    * blob via `get_bit`, so this takes a full value oracle despite the
+    * "stub" decoder. All four moments divide exact integer sums by exact
+    * counts, so the doubles are bit-identical across engines.
     */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -40,6 +45,12 @@ object MultimodalOps {
       .as[Multimodal.MediaRow]
     Multimodal.extractFrames(media, Multimodal.FakeDecoder, FrameBytes)(spark)
       .toDF()
+      .select(col("media_id"), col("byte_len"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_off"),
+        element_at(col("features"), 1).as("f_mean"),
+        element_at(col("features"), 2).as("f_meansq"),
+        element_at(col("features"), 3).as("f_min"),
+        element_at(col("features"), 4).as("f_max"))
       .orderBy("media_id", "frame_idx")
   }
 
@@ -59,5 +70,37 @@ object MultimodalOps {
          |    greatest(1, CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT)) AS n_frames
          |  FROM documents) t
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Byte-exact twin of the stub decoder: reconstruct each payload byte
+    // from the blob's bits (DuckDB has get_bit but no get_byte), bucket
+    // bytes into 256-byte frames, and aggregate the same four moments.
+    "multimodal_features" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, encode(text)::BIT bb,
+         |         octet_length(encode(text)) n
+         |  FROM documents),
+         |frames AS (
+         |  SELECT media_id, CAST(n AS BIGINT) AS byte_len,
+         |         unnest(range(greatest(1, CAST(ceil(n / $FrameBytes.0) AS BIGINT)))) AS f
+         |  FROM d),
+         |bytes AS (
+         |  SELECT media_id, i // $FrameBytes AS f,
+         |         get_bit(bb, CAST(8*i   AS INT))*128 + get_bit(bb, CAST(8*i+1 AS INT))*64 +
+         |         get_bit(bb, CAST(8*i+2 AS INT))*32  + get_bit(bb, CAST(8*i+3 AS INT))*16 +
+         |         get_bit(bb, CAST(8*i+4 AS INT))*8   + get_bit(bb, CAST(8*i+5 AS INT))*4 +
+         |         get_bit(bb, CAST(8*i+6 AS INT))*2   + get_bit(bb, CAST(8*i+7 AS INT)) AS v
+         |  FROM d, LATERAL unnest(range(n)) t(i)),
+         |agg AS (
+         |  SELECT media_id, f,
+         |         CAST(sum(v) AS DOUBLE) / count(*) AS f_mean,
+         |         CAST(sum(v*v) AS DOUBLE) / count(*) AS f_meansq,
+         |         CAST(min(v) AS DOUBLE) AS f_min,
+         |         CAST(max(v) AS DOUBLE) AS f_max
+         |  FROM bytes GROUP BY media_id, f)
+         |SELECT frames.media_id, byte_len, CAST(f AS BIGINT) AS frame_idx,
+         |       CAST(f * $FrameBytes AS BIGINT) AS frame_off,
+         |       coalesce(f_mean, 0.0) AS f_mean, coalesce(f_meansq, 0.0) AS f_meansq,
+         |       coalesce(f_min, 255.0) AS f_min, coalesce(f_max, 0.0) AS f_max
+         |FROM frames LEFT JOIN agg USING (media_id, f)
+         |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -115,13 +115,18 @@ object ScalarOps {
       .orderBy("doc_id", "pos")
 
   /** Approximate percentiles (rows-only: interpolation/sketch details
-    * are engine-specific).
+    * are engine-specific). Surfaced as scalar columns — the driver's
+    * row-sort cannot hash array cells, so the multi-quantile array is
+    * unpacked before leaving the query.
     */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000))
-        .as("price_p50_p90"))
+        .as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("pp"), 1).as("price_p50a"),
+        element_at(col("pp"), 2).as("price_p90a"))
       .orderBy("l_returnflag")
 
   /** Exact percentiles (linear interpolation) — empirically bit-exact
