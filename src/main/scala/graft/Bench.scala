@@ -28,9 +28,17 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup (untimed): exercise codegen, shuffle and the parquet reader.
+    // Warmup (untimed): exercise codegen, shuffle, and touch every big
+    // table once so the first measured query isn't charged for cold
+    // parquet footers / page-cache misses — alphabetical order used to
+    // tax agg_* with lineitem's first scan.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try exec("group_count") catch { case _: Throwable => () }
+    Seq(Tables.lineitem _, Tables.orders _, Tables.customer _,
+      Tables.events _, Tables.documents _, Tables.embeddings _).foreach { t =>
+      try t(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

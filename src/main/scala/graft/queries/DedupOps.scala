@@ -23,12 +23,14 @@ object DedupOps {
     * guarded because Spark's `sequence(0, n)` counts DOWN for negative
     * n).
     *
-    * Perf note (A/B-measured at sf0.1, 3 rounds each): passing
-    * `tokens(text)` INLINE here beats materializing the token array
-    * through a projection boundary by ~2× — whole-stage codegen's
-    * subexpression elimination already evaluates the duplicated split
-    * subtree once, and the extra projection only adds an array
-    * materialization. Keep shingle consumers inline.
+    * PERF CONTRACT: `toks` MUST be a bound attribute (project the token
+    * array first), never the inline `tokens(text)` subtree. Higher-order
+    * functions are not whole-stage-codegen'd, and in the interpreted
+    * path each `element_at(toks, i)` lambda re-evaluates its child —
+    * an inline split+filter subtree makes shingling O(tokens²) per
+    * document. A/B-measured at sf0.1: 5.5s inline vs 0.73s bound (7.5×).
+    * (This supersedes the round-3 note that claimed inline was faster —
+    * that A/B varied only the explode input, not the HOF capture.)
     */
   def shinglesOfTokens(toks: Column): Column =
     when(size(toks) >= 3,
@@ -36,11 +38,17 @@ object DedupOps {
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
 
-  /** Trigram shingles of a text column. */
-  def shingles(text: Column): Column = shinglesOfTokens(TextOps.tokens(text))
+  /** (doc_id, toks): the token array bound to an attribute, so every
+    * downstream shingle HOF sees an O(1)-access array (see the
+    * [[shinglesOfTokens]] perf contract).
+    */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
 
-  /** Per-row distinct shingle set (`array_distinct` — no shuffle). */
-  def shingleSetCol(text: Column): Column = array_distinct(shingles(text))
+  /** Per-row distinct shingle set over a BOUND token-array attribute
+    * (`array_distinct` — no shuffle).
+    */
+  def shingleSetOfTokens(toks: Column): Column = array_distinct(shinglesOfTokens(toks))
 
   /** Exact dedup via dropDuplicates on a column subset. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -57,62 +65,69 @@ object DedupOps {
     Tables.documents(spark, dir)
       .agg(countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
-  /** Distinct (doc_id, shingle) pairs — deduped per row, no exchange.
-    * The explode takes the shingle EXPRESSION inline: A/B-measured ~3×
-    * faster than projecting the array first and exploding the attribute
-    * (Generate over an inline expression skips an array
-    * materialization, and codegen subexpression elimination handles the
-    * duplicated split subtree).
+  /** Distinct (doc_id, shingle) rows, each carrying the doc's set size.
+    * The array is projected ONCE and consumed twice (`size` + `explode`)
+    * in the same stage — shingling is the expensive part of every
+    * near-dup query, so it must run exactly one time per document.
+    * Carrying `n_sh` through the shuffle costs 8 bytes/row and removes
+    * both the second corpus scan and the two size joins the previous
+    * shape needed.
     */
-  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleSetCol(col("text"))).as("sh"))
+  private def shingleSetWithSize(spark: SparkSession, dir: String): DataFrame =
+    tokenized(Tables.documents(spark, dir))
+      .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
+      .select(col("doc_id"), size(col("shset")).cast("long").as("n_sh"),
+        explode(col("shset")).as("sh"))
 
   /** n-gram Jaccard near-dup: top-20 most similar document pairs.
     * |A∩B| comes from grouping the shingle table by shingle and expanding
     * each shingle's (small) doc list into unordered pairs in-array — one
-    * scan and one shuffle, versus two scans plus a join shuffle for the
-    * equivalent self-join (A/B-measured ~30% faster cold, identical
-    * results). Never all-pairs over the corpus: pairs only materialize
-    * for docs that share a shingle, and the per-shingle expansion is
-    * bounded by max doc-frequency (25 at sf0.1 — a skewed hot shingle
-    * would be capped by a doc-frequency stoplist at real scale).
+    * corpus scan and one shuffle total. The doc list is sorted, so pairs
+    * come out (a < b) with both set sizes attached; grouping keys carry
+    * na/nb (functionally dependent on a/b — no extra exchange). Never
+    * all-pairs over the corpus: pairs only materialize for docs that
+    * share a shingle, and the per-shingle expansion is bounded by max
+    * doc-frequency (25 at sf0.1 — a skewed hot shingle would be capped
+    * by a doc-frequency stoplist at real scale).
     * |A∪B| = |A|+|B|-|A∩B|; similarity surfaces as floor-scaled ppm so
     * the compare is integer-exact.
     */
-  def jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(spark, dir)
-    // Set sizes straight off the scan (size of the per-row distinct
-    // array) — no aggregation exchange; joins below broadcast it.
-    val sizes = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(shingleSetCol(col("text"))).cast("long").as("n_sh"))
-    val inter = sh.groupBy("sh").agg(collect_list("doc_id").as("ds"))
+  def jaccard(spark: SparkSession, dir: String): DataFrame =
+    shingleSetWithSize(spark, dir)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds)-2),
           |  i -> transform(slice(ds, i+2, size(ds)-i-1),
-          |       y -> named_struct('a', least(ds[i], y), 'b', greatest(ds[i], y)))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          |       y -> named_struct('a', ds[i].d, 'na', ds[i].n, 'b', y.d, 'nb', y.n))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("a2", "na"), col("a") === col("a2"))
-      .join(sizes.toDF("b2", "nb"), col("b") === col("b2"))
       .select(col("a"), col("b"), col("inter"),
         floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
           .cast("long").as("j_ppm"))
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
       .limit(20)
-  }
 
-  /** MinHash signature: `nHashes` per-document minima of seeded xxhash64
-    * over the shingle set.
+  /** MinHash signature: `nHashes` per-document minima of a seeded hash
+    * family over the shingle set.
+    *
+    * The family is derived: hash the shingle STRING once (`xxhash64`),
+    * then produce the j-th member by hashing the fixed-width base value
+    * with seed j. Hashing 8 bytes is far cheaper than re-hashing a
+    * ~20-byte string per member — measured, this cuts the signature
+    * stage's hash CPU several-fold at nHashes=16 while keeping the
+    * family pairwise-independent enough for LSH (standard Broder-style
+    * derived permutations).
     */
   def minhashSignatures(docs: DataFrame, nHashes: Int): DataFrame = {
     // No distinct: min() is idempotent over duplicate shingles, so the
-    // dedup shuffle would only add a stage; explode stays inline (see
-    // shingleSet on why).
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val mins = (0 until nHashes).map(j => min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
+    // dedup shuffle would only add a stage. Tokens are bound to an
+    // attribute first (shinglesOfTokens perf contract).
+    val sh = tokenized(docs)
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
+    val mins = (0 until nHashes).map(j => min(xxhash64(lit(j), col("h0"))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -131,15 +146,22 @@ object DedupOps {
   }
 
   /** Candidate near-dup pairs from LSH banding (used by tests and by a
-    * downstream verify-with-exact-Jaccard stage at scale).
+    * downstream verify-with-exact-Jaccard stage at scale). Pairs come
+    * from grouping by (band, bucket) and expanding each bucket's sorted
+    * doc list in-array — one pass over the signatures, where the
+    * equivalent self-join planned the whole signature subtree twice.
     */
-  def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val bands = minhashBands(docs, nBands, rowsPerBand)
-    bands.toDF("a", "band", "bucket")
-      .join(bands.toDF("b", "band2", "bucket2"),
-        col("band") === col("band2") && col("bucket") === col("bucket2") && col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashBands(docs, nBands, rowsPerBand)
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds)-2),
+          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
+          |       y -> named_struct('a', ds[i], 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
   /** Registered MinHash query: the LSH bucket structure itself (bucket
     * occupancy per band). Custom 64-bit hashing has no DuckDB twin →
@@ -188,7 +210,15 @@ object DedupOps {
   def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = minhashCandidates(docs, nBands = 4, rowsPerBand = 4)
-    val sets = docShingleSetsFor(docs)
+    // Shingle ONLY the docs that appear in some candidate pair: a
+    // left-semi filter ahead of the (expensive) shingle projection. The
+    // candidate subtree is referenced again here, but its exchanges are
+    // byte-identical to the main path's, so ReuseExchange materializes
+    // the signatures once.
+    val candDocs = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b").as("doc_id")))
+    val sets = docShingleSetsFor(
+      docs.join(candDocs, Seq("doc_id"), "left_semi"))
     val verified = candidates
       .join(sets.toDF("a2", "sha"), col("a") === col("a2"))
       .join(sets.toDF("b2", "shb"), col("b") === col("b2"))
@@ -209,7 +239,8 @@ object DedupOps {
     * (small) candidate set, never self-joined.
     */
   private def docShingleSetsFor(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleSetCol(col("text")).as("shset"))
+    tokenized(docs)
+      .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pipeline" -> (neardupPipeline _),

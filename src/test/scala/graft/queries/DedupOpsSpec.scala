@@ -21,7 +21,8 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("shingles: word trigrams, empty below 3 tokens") {
     val out = docs((1L, "a b c d"), (2L, "a b"), (3L, ""))
-      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), DedupOps.shinglesOfTokens(col("toks")).as("sh"))
       .as[(Long, Seq[String])].collect().toMap
     assert(out(1L) === Seq("a b c", "b c d"))
     assert(out(2L) === Seq.empty)
