@@ -110,25 +110,57 @@ object DedupOps {
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
       .limit(20)
 
+  /** 60-bit engine-portable hash: the first 15 hex chars of md5, read as
+    * an integer. DuckDB computes the identical value
+    * (`CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), so every sketch
+    * built on it gets an exact value oracle instead of a rows-only
+    * check. 60 bits (not 64) keeps the value positive in a signed long
+    * on both engines with no byte-order or overflow questions.
+    */
+  def portable64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** A seeded min-hash family: `base` collapses a shingle string to a
+    * fixed-width base value, `member(j, base)` derives the j-th family
+    * member from it (Broder-style derived permutations — re-hashing the
+    * short base is much cheaper than re-hashing the shingle per member),
+    * and `bucket` hashes one band's signature slice to its LSH bucket.
+    */
+  final case class HashFamily(
+      base: Column => Column,
+      member: (Int, Column) => Column,
+      bucket: Seq[Column] => Column)
+
+  /** md5-derived family — bit-reproducible in DuckDB SQL, so the
+    * registered sketch queries carry exact value oracles.
+    */
+  val PortableFamily: HashFamily = HashFamily(
+    base = md5,
+    member = (j, b) => portable64(concat_ws(":", lit(j.toString), b)),
+    bucket = cols => portable64(concat_ws(":", cols: _*)))
+
+  /** xxhash64-derived family — the production scale path (~an order of
+    * magnitude cheaper per byte than md5, same plan shape, no DuckDB
+    * twin). Swapping families is this one argument; LSH recall of both
+    * is pinned by DedupOpsSpec.
+    */
+  val FastFamily: HashFamily = HashFamily(
+    base = xxhash64(_),
+    member = (j, b) => xxhash64(lit(j), b),
+    bucket = cols => xxhash64(cols: _*))
+
   /** MinHash signature: `nHashes` per-document minima of a seeded hash
     * family over the shingle set.
-    *
-    * The family is derived: hash the shingle STRING once (`xxhash64`),
-    * then produce the j-th member by hashing the fixed-width base value
-    * with seed j. Hashing 8 bytes is far cheaper than re-hashing a
-    * ~20-byte string per member — measured, this cuts the signature
-    * stage's hash CPU several-fold at nHashes=16 while keeping the
-    * family pairwise-independent enough for LSH (standard Broder-style
-    * derived permutations).
     */
-  def minhashSignatures(docs: DataFrame, nHashes: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, nHashes: Int,
+      fam: HashFamily = PortableFamily): DataFrame = {
     // No distinct: min() is idempotent over duplicate shingles, so the
     // dedup shuffle would only add a stage. Tokens are bound to an
     // attribute first (shinglesOfTokens perf contract).
     val sh = tokenized(docs)
       .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
-    val mins = (0 until nHashes).map(j => min(xxhash64(lit(j), col("h0"))).as(s"h$j"))
+      .select(col("doc_id"), fam.base(col("sh")).as("h0"))
+    val mins = (0 until nHashes).map(j => min(fam.member(j, col("h0"))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -136,11 +168,12 @@ object DedupOps {
     * signature rows, each band hashed to one bucket value. Documents
     * sharing any (band, bucket) are near-dup candidates.
     */
-  def minhashBands(docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(docs, nBands * rowsPerBand)
+  def minhashBands(docs: DataFrame, nBands: Int, rowsPerBand: Int,
+      fam: HashFamily = PortableFamily): DataFrame = {
+    val sig = minhashSignatures(docs, nBands * rowsPerBand, fam)
     val bandCols = (0 until nBands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+      struct(lit(b.toLong).as("band"), fam.bucket(rows).as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -152,8 +185,9 @@ object DedupOps {
     * doc list in-array — one pass over the signatures, where the
     * equivalent self-join planned the whole signature subtree twice.
     */
-  def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    minhashBands(docs, nBands, rowsPerBand)
+  def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4,
+      fam: HashFamily = PortableFamily): DataFrame =
+    minhashBands(docs, nBands, rowsPerBand, fam)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -165,9 +199,9 @@ object DedupOps {
       .distinct()
 
   /** Registered MinHash query: the LSH bucket structure itself (bucket
-    * occupancy per band). Custom 64-bit hashing has no DuckDB twin →
-    * rows-only check; the pair-finding path is unit-tested with planted
-    * near-duplicates.
+    * occupancy per band), on the portable family → exact value oracle;
+    * the pair-finding path is additionally unit-tested with planted
+    * near-duplicates in both families.
     */
   def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
     minhashBands(Tables.documents(spark, dir), nBands = 4, rowsPerBand = 4)
@@ -175,17 +209,21 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
 
-  /** SimHash: 64-bit signature from per-bit majority votes of token
-    * hashes. Near-dups differ in few bits (Hamming distance ≤ k).
+  /** SimHash: 60-bit signature from per-bit majority votes of token
+    * hashes (portable family → exact value oracle; production swaps in
+    * xxhash64/64-bit, same shape). Near-dups differ in few bits
+    * (Hamming distance ≤ k).
     */
+  val SimhashBits = 60
+
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { bit =>
+      .select(col("doc_id"), portable64(col("t")).as("h"))
+    val votes = (0 until SimhashBits).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
     }
-    val sig = (0 until 64).map { bit =>
+    val sig = (0 until SimhashBits).map { bit =>
       when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     tok.groupBy("doc_id")
@@ -193,7 +231,7 @@ object DedupOps {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Registered SimHash query (rows-only: custom hash). */
+  /** Registered SimHash query (exact oracle: portable hash family). */
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -205,8 +243,9 @@ object DedupOps {
     * the corpus); (3) each confirmed near-dup group elects min(doc_id)
     * as its representative (one-hop min — the cheap stand-in for full
     * connected components, which a production run would iterate).
-    * Rows-only check (xxhash64 candidates have no DuckDB twin); the
-    * exact-verify math is the oracle-checked neardup_jaccard path.
+    * Exact value oracle: the portable hash family makes the whole
+    * chain — signatures, banding, candidates, verify, election —
+    * reproducible in DuckDB SQL.
     */
   def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -252,7 +291,92 @@ object DedupOps {
     "neardup_simhash" -> (simhashQuery _),
   )
 
+  // ---- DuckDB twins of the portable hash family ------------------------
+  // portable64(x)  ==  CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+  // member(j, b)   ==  portable64(j || ':' || b)
+  // bucket(cols)   ==  portable64(concat_ws(':', cols...))
+
+  private def duckPortable64(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared CTEs: distinct (doc_id, shingle) pairs and the 16-member
+    * MinHash signature per document, exactly mirroring
+    * [[minhashSignatures]] on [[PortableFamily]].
+    */
+  private val duckSignatureCtes: String = {
+    val mins = (0 until 16)
+      .map(j => s"  min(${duckPortable64(s"concat_ws(':', '$j', h0)")}) AS h$j")
+      .mkString(",\n")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, greatest(len(tk) - 2, 0)),
+       |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, md5(sh) AS h0 FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |${(0 until 4).map { b =>
+           val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+           s"  SELECT doc_id, CAST($b AS BIGINT) AS band, ${duckPortable64(s"concat_ws(':', $cols)")} AS bucket FROM sig"
+         }.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** DuckDB twin of [[simhash]]: 60 per-bit vote sums assembled back
+    * into the signature (generated, not hand-written — one term per
+    * bit).
+    */
+  private val duckSimhashSql: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"  sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n")
+    val assemble = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${duckPortable64("t")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "neardup_minhash" ->
+      s"""WITH $duckSignatureCtes
+         |SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
+         |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin,
+    "neardup_simhash" -> duckSimhashSql,
+    "neardup_pipeline" ->
+      s"""WITH $duckSignatureCtes,
+         |sh_d AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh_d sa ON sa.doc_id = c.a
+         |  JOIN sh_d sb ON sb.doc_id = c.b AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b),
+         |ver AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes s1 ON a = s1.doc_id
+         |  JOIN sizes s2 ON b = s2.doc_id
+         |  WHERE floor(inter * 1000000.0 / (s1.n_sh + s2.n_sh - inter)) >= 800000)
+         |SELECT b AS doc_id, min(a) AS keep_as
+         |FROM ver GROUP BY b ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
     "dedup_hash_count" ->

@@ -80,9 +80,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprint via the native rolling-hash expression — no
-    * DuckDB twin (custom 64-bit wraparound hash), so this entry gets the
-    * driver's rows-only check.
+  /** Document fingerprint via the native rolling-hash expression. Exact
+    * value oracle: DuckDB replays the polynomial as a HUGEINT
+    * `list_reduce` with an explicit mod-2^64 per step (the corpus is
+    * ASCII, so `ord(substr(...))` equals the UTF-8 byte the expression
+    * hashes).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -118,6 +120,22 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // h = h*31 + byte with 64-bit wraparound, replayed as a HUGEINT fold
+    // with mod 2^64 per step, then mapped back to the signed long Spark
+    // emits. Valid because the corpus is ASCII (ord == UTF-8 byte).
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+        |       ELSE m END AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(text) = 0 THEN CAST(0 AS HUGEINT)
+        |    ELSE list_reduce(
+        |      list_transform(range(1, strlen(text) + 1),
+        |                     i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) END AS m
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_filter" ->
       """SELECT lang, count(*) AS kept,
         |  CAST(sum(tok_cnt) AS BIGINT) AS kept_tokens

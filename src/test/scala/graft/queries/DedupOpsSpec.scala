@@ -31,13 +31,24 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("minhash LSH candidates find planted near-dups, not unrelated docs") {
     val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
-    val pairs = DedupOps.minhashCandidates(d)
-      .as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
-    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
-      "near-dup should collide in at least one band")
-    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
-      "unrelated doc must not be a candidate")
+    for (fam <- Seq(DedupOps.PortableFamily, DedupOps.FastFamily)) {
+      val pairs = DedupOps.minhashCandidates(d, fam = fam)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+      assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+        "near-dup should collide in at least one band")
+      assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+        "unrelated doc must not be a candidate")
+    }
+  }
+
+  test("portable64 is the first 15 hex chars of md5 as an integer") {
+    // md5('abc') = 900150983cd24fb0d6963f7d28e17f72 (RFC 1321 test
+    // vector), so portable64 must equal 0x900150983cd24fb — the same
+    // value DuckDB's CAST('0x'||substr(md5(x),1,15) AS BIGINT) yields.
+    val got = Seq("abc").toDF("s")
+      .select(DedupOps.portable64(col("s"))).as[Long].head()
+    assert(got === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
   test("simhash: near-dups within small hamming distance, unrelated far") {
