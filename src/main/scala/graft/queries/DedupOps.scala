@@ -39,12 +39,25 @@ object DedupOps {
       (x, yz) => concat_ws(" ", x, yz))
   }
 
+  /** Spread CPU-bound per-row work across the cluster: parquet split
+    * counts track BYTES, so a small-but-text-heavy table can arrive in
+    * one split and serialize the (md5-per-shingle) hash work on one
+    * core. Repartitions only when the scan has fewer partitions than
+    * the cluster's parallelism — at production scale the scan already
+    * has thousands of splits and this is a no-op with no shuffle.
+    */
+  private def cpuSpread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** (doc_id, toks): the token array bound to an attribute, so every
     * downstream shingle HOF sees an O(1)-access array (see the
-    * [[shinglesOfTokens]] perf contract).
+    * [[shinglesOfTokens]] perf contract); CPU-spread first (the shingle
+    * hashing downstream dominates the cost of every sketch query).
     */
   def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    cpuSpread(docs).select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
 
   /** Per-row distinct shingle set over a BOUND token-array attribute
     * (`array_distinct` — no shuffle).
@@ -217,7 +230,7 @@ object DedupOps {
   val SimhashBits = 60
 
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = cpuSpread(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), portable64(col("t")).as("h"))
     val votes = (0 until SimhashBits).map { bit =>
