@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming rendition of the event analytics (SURVEY.md §2.3
   * streaming row — demonstrative; the reference is batch-only). The
@@ -56,6 +56,56 @@ object EventStream {
           val total = state.getOption.getOrElse(0L) + evs.size
           state.update(total)
           UserCount(uid, total)
+      }
+  }
+
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the streaming
+    * twin of `EventOps.sessions` (0..N emissions per group per batch,
+    * which mapGroupsWithState cannot express). A session closes either
+    * inline, when a later event of the same user arrives past the gap,
+    * or by event-time timeout, when the watermark passes the last event
+    * plus the gap — so idle users' sessions still flush without ever
+    * scanning state exhaustively.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            // Within one batch the iterator is unordered; fold in event
+            // time so gap decisions match the batch semantics.
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (t <- evs.map(_.ts.getTime).toSeq.sorted) {
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
       }
   }
 }

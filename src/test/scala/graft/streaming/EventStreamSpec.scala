@@ -47,6 +47,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions inline and by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionize(in.toDS(), gapMinutes = 30, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    try {
+      in.addData(Ev(1, ts("10:00"), 7, "click"), Ev(2, ts("10:10"), 7, "view"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "open session must not emit")
+
+      // An event past the gap closes the first session inline.
+      in.addData(Ev(3, ts("12:00"), 7, "click"))
+      q.processAllAvailable()
+
+      // Advance the watermark past 12:00 + gap via another user, then
+      // one more batch so the event-time timeout fires for user 7.
+      in.addData(Ev(4, ts("13:30"), 8, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("13:40"), 8, "view"))
+      q.processAllAvailable()
+
+      val u7 = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 == 7L)
+        .map { case (_, s, e, n) => (s.toString, e.toString, n) }.toSet
+      assert(u7 === Set(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
+        ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
