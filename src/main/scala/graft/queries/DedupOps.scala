@@ -262,14 +262,19 @@ object DedupOps {
     */
   def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // The candidate pairs are referenced three times below (verify join
+    // + both sides of the semi-join filter). Without materialization the
+    // planner would inline the md5-heavy signature subtree once per
+    // reference (3x the sketch work; exchange reuse under AQE is
+    // timing-dependent, not guaranteed). Candidates are the SMALL
+    // output of phase 1 — a pair list, not corpus data — so persisting
+    // them is the standard two-phase-pipeline shape at any scale (a
+    // 100 TB run would checkpoint them to storage between phases).
     val candidates = minhashCandidates(docs, nBands = 4, rowsPerBand = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shingle ONLY the docs that appear in some candidate pair: a
-    // left-semi filter ahead of the (expensive) shingle projection. The
-    // candidate subtree is referenced again here, but its exchanges are
-    // byte-identical to the main path's, so ReuseExchange materializes
-    // the signatures once.
-    val candDocs = candidates.select(col("a").as("doc_id"))
-      .union(candidates.select(col("b").as("doc_id")))
+    // left-semi filter ahead of the (expensive) shingle projection.
+    val candDocs = candidates.select(explode(array(col("a"), col("b"))).as("doc_id"))
     val sets = docShingleSetsFor(
       docs.join(candDocs, Seq("doc_id"), "left_semi"))
     val verified = candidates
