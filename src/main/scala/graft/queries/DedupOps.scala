@@ -144,13 +144,28 @@ object DedupOps {
       member: (Int, Column) => Column,
       bucket: Seq[Column] => Column)
 
-  /** md5-derived family — bit-reproducible in DuckDB SQL, so the
-    * registered sketch queries carry exact value oracles.
+  /** Mersenne prime 2^31 - 1: the modulus of the portable family's
+    * Carter-Wegman members. Every intermediate product stays under
+    * 2^62, so Spark longs and DuckDB BIGINTs compute it identically
+    * with no overflow on either engine.
+    */
+  val P31 = 2147483647L
+
+  private[queries] def memberA(j: Int): Long = ((2L * j + 1) * 2654435761L) % P31
+  private[queries] def memberB(j: Int): Long = (j * 40503L * 65537L) % P31
+  private val BucketMix = 1000003L
+
+  /** Portable family — bit-reproducible in DuckDB SQL, so the
+    * registered sketch queries carry exact value oracles. One md5 per
+    * shingle collapses it to a base value in [0, 2^31); the seeded
+    * members are then pure integer arithmetic (`(a_j*x + b_j) mod p`,
+    * the textbook universal family), NOT one md5 per member — 17x
+    * fewer digest calls and a far smaller generated stage.
     */
   val PortableFamily: HashFamily = HashFamily(
-    base = md5,
-    member = (j, b) => portable64(concat_ws(":", lit(j.toString), b)),
-    bucket = cols => portable64(concat_ws(":", cols: _*)))
+    base = c => portable64(c) % lit(P31),
+    member = (j, b) => (b * lit(memberA(j)) + lit(memberB(j))) % lit(P31),
+    bucket = cols => cols.reduce((acc, c) => (acc * lit(BucketMix) + c) % lit(P31)))
 
   /** xxhash64-derived family — the production scale path (~an order of
     * magnitude cheaper per byte than md5, same plan shape, no DuckDB
@@ -311,11 +326,17 @@ object DedupOps {
 
   // ---- DuckDB twins of the portable hash family ------------------------
   // portable64(x)  ==  CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
-  // member(j, b)   ==  portable64(j || ':' || b)
-  // bucket(cols)   ==  portable64(concat_ws(':', cols...))
+  // base(x)        ==  portable64(x) % P31
+  // member(j, b)   ==  (b * memberA(j) + memberB(j)) % P31
+  // bucket(cols)   ==  fold(cols, (acc, c) -> (acc * BucketMix + c) % P31)
+  // The SQL below is GENERATED from the same Scala constants the Spark
+  // expressions use, so the two sides cannot drift.
 
   private def duckPortable64(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  private def duckBucket(cols: Seq[String]): String =
+    cols.reduce((acc, c) => s"(($acc) * $BucketMix + $c) % $P31")
 
   /** Shared CTEs: distinct (doc_id, shingle) pairs and the 16-member
     * MinHash signature per document, exactly mirroring
@@ -323,7 +344,7 @@ object DedupOps {
     */
   private val duckSignatureCtes: String = {
     val mins = (0 until 16)
-      .map(j => s"  min(${duckPortable64(s"concat_ws(':', '$j', h0)")}) AS h$j")
+      .map(j => s"  min((h0 * ${memberA(j)} + ${memberB(j)}) % $P31) AS h$j")
       .mkString(",\n")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -333,15 +354,15 @@ object DedupOps {
        |    range(0, greatest(len(tk) - 2, 0)),
        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
        |  FROM toks),
-       |hs AS (SELECT doc_id, md5(sh) AS h0 FROM sh),
+       |hs AS (SELECT doc_id, ${duckPortable64("sh")} % $P31 AS h0 FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |$mins
        |  FROM hs GROUP BY doc_id),
        |bands AS (
        |${(0 until 4).map { b =>
-           val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
-           s"  SELECT doc_id, CAST($b AS BIGINT) AS band, ${duckPortable64(s"concat_ws(':', $cols)")} AS bucket FROM sig"
+           val cols = (0 until 4).map(r => s"h${b * 4 + r}")
+           s"  SELECT doc_id, CAST($b AS BIGINT) AS band, ${duckBucket(cols)} AS bucket FROM sig"
          }.mkString("\n  UNION ALL\n")})""".stripMargin
   }
 
