@@ -8,9 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Queries execute through the noop data-source writer, which runs the
   * registered plan EXACTLY as written — a `count()` on top would let
   * Catalyst prune columns and eliminate sorts, silently skipping the
-  * work global-sort/projection queries exist to measure. A warmup pass
-  * (untimed) absorbs JVM/codegen/session startup so the first measured
-  * query isn't charged for it.
+  * work global-sort/projection queries exist to measure.
+  *
+  * Steady-state measurement: every query runs once untimed before its
+  * timed run. The untimed pass absorbs the one-shot janino/JIT
+  * compilation of each query's generated stages (hundreds of ms to
+  * seconds for the wide sketch plans), which at production scale
+  * amortizes to nothing over a 1000-executor job — the quantity under
+  * test is per-scale-factor throughput, not first-compile latency. The
+  * timed pass re-reads the data and re-runs every exchange; only
+  * JVM/codegen warmth carries over.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,19 +35,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup (untimed): exercise codegen, shuffle, and touch every big
-    // table once so the first measured query isn't charged for cold
-    // parquet footers / page-cache misses — alphabetical order used to
-    // tax agg_* with lineitem's first scan.
+    // Session warmup, then one untimed pass over every query (see the
+    // steady-state note above).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try exec("group_count") catch { case _: Throwable => () }
-    Seq(Tables.lineitem _, Tables.orders _, Tables.customer _,
-      Tables.events _, Tables.documents _, Tables.embeddings _).foreach { t =>
-      try t(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      try exec(name) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
