@@ -275,7 +275,12 @@ object DedupOps {
     * chain — signatures, banding, candidates, verify, election —
     * reproducible in DuckDB SQL.
     */
-  def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** Phases 1+2 of the near-dup pipeline: LSH candidates, exact-Jaccard
+    * verified pairs `(a, b)` with a < b. Shared by the one-hop election
+    * ([[neardupPipeline]]) and the connected-components grouping
+    * ([[neardupGroups]]).
+    */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // The candidate pairs are referenced three times below (verify join
     // + both sides of the semi-join filter). Without materialization the
@@ -292,7 +297,7 @@ object DedupOps {
     val candDocs = candidates.select(explode(array(col("a"), col("b"))).as("doc_id"))
     val sets = docShingleSetsFor(
       docs.join(candDocs, Seq("doc_id"), "left_semi"))
-    val verified = candidates
+    candidates
       .join(sets.toDF("a2", "sha"), col("a") === col("a2"))
       .join(sets.toDF("b2", "shb"), col("b") === col("b2"))
       .select(col("a"), col("b"),
@@ -302,11 +307,58 @@ object DedupOps {
       .withColumn("j_ppm",
         floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter"))).cast("long"))
       .filter(col("j_ppm") >= 800000L)
-    verified
+      .select(col("a"), col("b"))
+  }
+
+  def neardupPipeline(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir)
       .select(col("b").as("doc_id"), col("a").as("rep"))
       .groupBy("doc_id").agg(min("rep").as("keep_as"))
       .orderBy("doc_id")
+
+  /** Connected components over the verified near-dup graph by iterative
+    * min-label propagation: every document in a component maps to the
+    * component's minimum doc_id, including across transitive chains the
+    * one-hop election misses (a~b, b~c but not a~c). The driver-side
+    * loop iterates O(component diameter) times — each step is one
+    * distributed join+agg over the (small) edge set; only a scalar
+    * convergence count ever reaches the driver. The fixpoint (min
+    * reachable label per vertex) is unique, so the result is
+    * deterministic regardless of iteration schedule — which is what
+    * lets it carry an exact recursive-CTE oracle.
+    */
+  def connectedGroups(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = sym.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min("rep").as("nmin"))
+      val next = labels.toDF("v", "old")
+        .join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"), least(col("old"), coalesce(col("nmin"), col("old"))).as("rep"),
+          col("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("rep") < col("old")).count()
+      labels.unpersist()
+      labels = next.select("v", "rep")
+      iter += 1
+    }
+    labels
   }
+
+  /** Registered connected-components query: every doc in a verified
+    * near-dup component → the component's min doc_id.
+    */
+  def neardupGroups(spark: SparkSession, dir: String): DataFrame =
+    connectedGroups(verifiedPairs(spark, dir))
+      .toDF("doc_id", "rep")
+      .orderBy("doc_id")
 
   /** (doc_id, shset) for the verify phase — only joined against the
     * (small) candidate set, never self-joined.
@@ -317,6 +369,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pipeline" -> (neardupPipeline _),
+    "neardup_groups" -> (neardupGroups _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
     "neardup_jaccard" -> (jaccard _),
@@ -389,6 +442,29 @@ object DedupOps {
        |FROM votes ORDER BY doc_id""".stripMargin
   }
 
+  /** CTE chain ending in `ver` = the verified near-dup pairs, exactly
+    * mirroring [[verifiedPairs]].
+    */
+  private val duckVerifiedCtes: String =
+    s"""$duckSignatureCtes,
+       |sh_d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh_d sa ON sa.doc_id = c.a
+       |  JOIN sh_d sb ON sb.doc_id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |ver AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes s1 ON a = s1.doc_id
+       |  JOIN sizes s2 ON b = s2.doc_id
+       |  WHERE floor(inter * 1000000.0 / (s1.n_sh + s2.n_sh - inter)) >= 800000)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "neardup_minhash" ->
       s"""WITH $duckSignatureCtes
@@ -396,26 +472,21 @@ object DedupOps {
          |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin,
     "neardup_simhash" -> duckSimhashSql,
     "neardup_pipeline" ->
-      s"""WITH $duckSignatureCtes,
-         |sh_d AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY doc_id),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh_d sa ON sa.doc_id = c.a
-         |  JOIN sh_d sb ON sb.doc_id = c.b AND sa.sh = sb.sh
-         |  GROUP BY c.a, c.b),
-         |ver AS (
-         |  SELECT a, b FROM inter
-         |  JOIN sizes s1 ON a = s1.doc_id
-         |  JOIN sizes s2 ON b = s2.doc_id
-         |  WHERE floor(inter * 1000000.0 / (s1.n_sh + s2.n_sh - inter)) >= 800000)
+      s"""WITH $duckVerifiedCtes
          |SELECT b AS doc_id, min(a) AS keep_as
          |FROM ver GROUP BY b ORDER BY doc_id""".stripMargin,
+    // Min reachable label per vertex: the recursive twin of the Spark
+    // side's iterative min-label propagation (same unique fixpoint).
+    "neardup_groups" ->
+      s"""WITH RECURSIVE $duckVerifiedCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM ver
+         |        UNION ALL SELECT b, a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
     "dedup_hash_count" ->

@@ -61,6 +61,14 @@ class DedupOpsSpec extends AnyFunSuite {
       s"unrelated hamming was ${hamming(sig(1L), sig(3L))}")
   }
 
+  test("connectedGroups propagates min labels across transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = DedupOps.connectedGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    // one-hop election would leave 4 -> 3; the fixpoint is 4 -> 1
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()
