@@ -84,6 +84,22 @@ object StarOps {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** The skew-salted equi-join exercised as a registered query:
+    * [[graft.operators.Salt.saltedJoin]] spreads each supplier key's
+    * lineitem rows over 8 shuffle partitions, and because any salt
+    * assignment joins every probe row to exactly one replicated build
+    * row, the result is identical to the plain join — which is exactly
+    * what the oracle checks (its SQL is the UNSALTED join).
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salt.saltedJoin(
+        Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity"),
+        Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        key = "l_suppkey", smallKey = "s_suppkey", factor = 8)
+      .groupBy("s_nationkey")
+      .agg(Parity.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("s_nationkey")
+
   /** Pure theta join (no equi key): BroadcastNestedLoopJoin with the
     * small side broadcast. NLJ cost is |A|×|B| by construction — only
     * ever sane when one side is broadcast-small, which is why every
@@ -168,6 +184,7 @@ object StarOps {
     "window_rank" -> (windowRank _),
     "topk_orders" -> (topkOrders _),
     "join_theta" -> (joinTheta _),
+    "join_salted" -> (joinSalted _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "rollup_agg" -> (rollupAgg _),
@@ -221,6 +238,12 @@ object StarOps {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_salted" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_theta" ->
       """SELECT c_mktsegment, count(*) AS pairs
         |FROM customer JOIN supplier
