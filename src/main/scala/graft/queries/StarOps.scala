@@ -158,6 +158,39 @@ object StarOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Exact second-moment statistics in ONE distributed pass: sample
+    * stddev and Pearson correlation derived from decimal power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy). Built-in float stddev/corr aggregates
+    * are order-sensitive (result depends on partitioning, and engines
+    * disagree); the power sums are exact decimals — map-side combinable
+    * like any sum — and the closed-form double arithmetic at the end is
+    * the same IEEE expression tree on both engines, so the result is
+    * bit-exact and partitioning-independent. This is the shape that
+    * survives a 1000-executor aggregation without a second pass.
+    */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Parity.dsum(col("l_quantity")).as("sx"),
+        Parity.dsum(col("l_extendedprice")).as("sy"),
+        Parity.dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+        Parity.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+        Parity.dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        // Surfaced as floor-scaled ppm longs: the power sums exceed
+        // 2^53, so their decimal->double casts can differ by 1 ulp
+        // between engines (DuckDB double-rounds via int128); flooring
+        // at 1e6 absorbs that, in the same style as every ratio column.
+        floor(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          * 1000000.0).cast("long").as("std_qty_ppm"),
+        floor(((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))))
+          * 1000000.0).cast("long").as("corr_ppm"))
+      .orderBy("l_returnflag")
+
   /** The typed `Aggregator[IN,BUF,OUT]` surface (SURVEY §7.3) inside a
     * relational `agg()`: quantity-weighted average discount per flag via
     * [[graft.functions.WeightedAvg]], next to a built-in count.
@@ -185,6 +218,7 @@ object StarOps {
     "topk_orders" -> (topkOrders _),
     "join_theta" -> (joinTheta _),
     "join_salted" -> (joinSalted _),
+    "agg_corr" -> (aggCorr _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "rollup_agg" -> (rollupAgg _),
@@ -238,6 +272,23 @@ object StarOps {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_corr" ->
+      """SELECT l_returnflag, n,
+        |  CAST(floor(sqrt((sxx - sx*sx/n) / (n - 1)) * 1000000.0) AS BIGINT) AS std_qty_ppm,
+        |  CAST(floor((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1000000.0) AS BIGINT) AS corr_ppm
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    -- one side widened to DECIMAL(28,4): DuckDB multiplies the
+        |    -- stored integers BEFORE widening, so (18,4)x(18,4) overflows
+        |    -- int64 for price*price; the wide form is still exact at
+        |    -- scale 8, matching Spark's DECIMAL(37,8) product bit-for-bit
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
