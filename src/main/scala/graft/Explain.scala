@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   val Headline = Seq(
-    "neardup_jaccard", "neardup_minhash", "neardup_embedding",
-    "join_revenue", "q1_pricing", "events_asof", "search_count")
+    "neardup_jaccard", "neardup_minhash", "neardup_pipeline",
+    "neardup_embedding", "join_revenue", "join_salted", "agg_corr",
+    "q1_pricing", "events_asof", "search_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
