@@ -31,6 +31,22 @@ object ScalarOps {
         greatest(col("o_custkey"), col("o_orderkey")).as("max_key"))
       .orderBy("o_orderkey")
 
+  /** Map-typed columns end-to-end: per-user event-type counts packed
+    * into a `map<string,long>` (`map_from_entries` over an aggregated
+    * struct list) and exploded back to rows. The map round-trip is the
+    * Spark-side capability under test; the oracle verifies its
+    * semantics relationally (pack ∘ explode ≡ identity on unique keys).
+    */
+  def scalarMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
+      .orderBy("user_id", "event_type")
+
   /** Range join: lineitems shipped within 30 days of their order's date —
     * equi key plus a range predicate, the planner keeps the equi join and
     * applies the band as a post-filter (no pair blowup; at scale the equi
@@ -151,6 +167,7 @@ object ScalarOps {
     "flatmap_posexplode" -> (posExplode _),
     "approx_percentile" -> (approxPercentile _),
     "scalar_funcs" -> (scalarFuncs _),
+    "scalar_map" -> (scalarMap _),
     "range_join" -> (rangeJoin _),
     "cube_agg" -> (cubeAgg _),
     "set_except" -> (setExcept _),
@@ -159,6 +176,10 @@ object ScalarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_map" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
