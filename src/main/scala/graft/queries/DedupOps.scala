@@ -317,35 +317,43 @@ object DedupOps {
       .orderBy("doc_id")
 
   /** Connected components over the verified near-dup graph by iterative
-    * min-label propagation: every document in a component maps to the
-    * component's minimum doc_id, including across transitive chains the
-    * one-hop election misses (a~b, b~c but not a~c). The driver-side
-    * loop iterates O(component diameter) times — each step is one
-    * distributed join+agg over the (small) edge set; only a scalar
+    * min-label propagation with pointer doubling: each round a vertex
+    * takes the least of its own label, its neighbors' labels, and its
+    * label's label (`rep(rep(v))` — path halving), so a chain of length
+    * n converges in O(log n) distributed rounds rather than O(n). Every
+    * round is one join+agg over the (small) edge set; only a scalar
     * convergence count ever reaches the driver. The fixpoint (min
     * reachable label per vertex) is unique, so the result is
     * deterministic regardless of iteration schedule — which is what
-    * lets it carry an exact recursive-CTE oracle.
+    * lets it carry an exact recursive-CTE oracle; DedupProps pins it
+    * against a sequential union-find on random graphs.
     */
   def connectedGroups(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every round references the previous labels THREE times, so the
+    // logical plan would grow 3^k deep across iterations — analysis and
+    // plan rendering blow up long before the data does. localCheckpoint
+    // materializes each round's labels and TRUNCATES the lineage, the
+    // canonical iterative-algorithm shape on Spark.
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 60) {
       val nbrMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min("rep").as("nmin"))
       val next = labels.toDF("v", "old")
         .join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"), least(col("old"), coalesce(col("nmin"), col("old"))).as("rep"),
+        .join(labels.toDF("r", "rr"), col("old") === col("r"), "left")
+        .select(col("v"),
+          least(col("old"), coalesce(col("nmin"), col("old")),
+            coalesce(col("rr"), col("old"))).as("rep"),
           col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.filter(col("rep") < col("old")).count()
-      labels.unpersist()
       labels = next.select("v", "rep")
       iter += 1
     }

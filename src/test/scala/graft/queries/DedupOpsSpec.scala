@@ -69,6 +69,14 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedGroups converges on a long chain (pointer doubling)") {
+    // A 40-vertex path needs ~40 rounds under plain neighbor
+    // propagation; pointer doubling must finish well inside the cap.
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupOps.connectedGroups(chain).as[(Long, Long)].collect()
+    assert(got.length === 40 && got.forall(_._2 === 0L))
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()
