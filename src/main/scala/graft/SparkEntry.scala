@@ -41,4 +41,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.iterator.map(_._2).reduce(_ ++ _)
+
+  /** [[oracleSql]] with the dir-dependent twins (src_dirscan's real
+    * directory glob) generated for the sf dir Verify actually runs at.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql ++ SourceOps.oracleFor(sfDir)
 }

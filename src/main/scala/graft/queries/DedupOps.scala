@@ -47,8 +47,23 @@ object DedupOps {
     * has thousands of splits and this is a no-op with no shuffle.
     */
   private def cpuSpread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    // Decide from input file BYTES, not `df.rdd.getNumPartitions` — the
+    // latter plans the whole query eagerly (a second full planning pass
+    // plus a visible RoundRobin exchange in explain) just to read one
+    // number. Spark's scan splitter never cuts below the 4 MB open-cost
+    // floor, so an input under target*4 MB cannot reach `target` scan
+    // partitions and gets the explicit spread; production-scale inputs
+    // blow past the threshold and this is a no-op with no shuffle.
+    // `inputFiles` reads the already-built FileIndex — no job, no plan.
+    val conf = sc.hadoopConfiguration
+    val openCostBytes = 4L << 20
+    val bytes = df.inputFiles.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    if (bytes < target * openCostBytes) df.repartition(target) else df
   }
 
   /** (doc_id, toks): the token array bound to an attribute, so every
@@ -87,11 +102,25 @@ object DedupOps {
     * both the second corpus scan and the two size joins the previous
     * shape needed.
     */
-  private def shingleSetWithSize(spark: SparkSession, dir: String): DataFrame =
-    tokenized(Tables.documents(spark, dir))
+  private def shingleSetWithSize(docs: DataFrame): DataFrame =
+    tokenized(docs)
       .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
       .select(col("doc_id"), size(col("shset")).cast("long").as("n_sh"),
         explode(col("shset")).as("sh"))
+
+  /** Doc-frequency stoplist threshold: a shingle appearing in more than
+    * this many documents is dropped before pair expansion. Real corpora
+    * have stop-shingles ("of the and", boilerplate headers) in millions
+    * of documents; expanding one into pairs is quadratic in its doc
+    * frequency and would dominate the whole job at 100 TB. Near-dup
+    * pairs share MANY shingles, so losing the ubiquitous ones barely
+    * moves their intersection count, while the expansion bound drops
+    * from max-doc-frequency² to K² per shingle. The cap makes `inter`
+    * (and hence `j_ppm`) a lower bound when it bites; the oracle SQL
+    * applies the identical cap (generated from this constant), so both
+    * engines agree exactly.
+    */
+  val JaccardMaxDf = 50
 
   /** n-gram Jaccard near-dup: top-20 most similar document pairs.
     * |A∩B| comes from grouping the shingle table by shingle and expanding
@@ -100,17 +129,26 @@ object DedupOps {
     * come out (a < b) with both set sizes attached; grouping keys carry
     * na/nb (functionally dependent on a/b — no extra exchange). Never
     * all-pairs over the corpus: pairs only materialize for docs that
-    * share a shingle, and the per-shingle expansion is bounded by max
-    * doc-frequency (25 at sf0.1 — a skewed hot shingle would be capped
-    * by a doc-frequency stoplist at real scale).
+    * share a shingle, and the per-shingle expansion is hard-bounded by
+    * the [[JaccardMaxDf]] doc-frequency stoplist (a hot shingle emits
+    * zero pairs instead of df² of them).
     * |A∪B| = |A|+|B|-|A∩B|; similarity surfaces as floor-scaled ppm so
     * the compare is integer-exact.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame =
-    shingleSetWithSize(spark, dir)
+    jaccardPairs(Tables.documents(spark, dir))
+      .orderBy(desc("j_ppm"), asc("a"), asc("b"))
+      .limit(20)
+
+  /** All scored pairs for a documents frame (the [[jaccard]] body minus
+    * the top-k), exposed so tests can assert the stoplist's pair-count
+    * bound directly.
+    */
+  def jaccardPairs(docs: DataFrame): DataFrame =
+    shingleSetWithSize(docs)
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= JaccardMaxDf)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds)-2),
           |  i -> transform(slice(ds, i+2, size(ds)-i-1),
@@ -120,8 +158,6 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"),
         floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
           .cast("long").as("j_ppm"))
-      .orderBy(desc("j_ppm"), asc("a"), asc("b"))
-      .limit(20)
 
   /** 60-bit engine-portable hash: the first 15 hex chars of md5, read as
     * an integer. DuckDB computes the identical value
@@ -237,6 +273,19 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
 
+  /** [[minhashBuckets]] on [[FastFamily]] — the production (xxhash64)
+    * hash path, registered rows-only since xxhash64 has no DuckDB twin.
+    * It exists so the bench reports the scale path's throughput next to
+    * the oracle-checked portable path; LSH recall of both families is
+    * pinned by DedupOpsSpec's planted near-dups.
+    */
+  def minhashBucketsFast(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(Tables.documents(spark, dir), nBands = 4, rowsPerBand = 4,
+        fam = FastFamily)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_size"))
+      .orderBy("band", "bucket")
+
   /** SimHash: 60-bit signature from per-bit majority votes of token
     * hashes (portable family → exact value oracle; production swaps in
     * xxhash64/64-bit, same shape). Near-dups differ in few bits
@@ -245,11 +294,19 @@ object DedupOps {
   val SimhashBits = 60
 
   def simhash(docs: DataFrame): DataFrame = {
+    // Hash each DISTINCT (doc, token) once and weight the bit votes by
+    // the token's occurrence count — numerically identical to hashing
+    // every occurrence, but real text repeats tokens heavily, so the
+    // digest count drops by the repeat factor. The extra groupBy is a
+    // map-side-combinable shuffle of (doc_id, token) pairs, and the md5
+    // work moves AFTER the combine — it runs once per distinct pair, on
+    // whichever executor owns the group.
     val tok = cpuSpread(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), portable64(col("t")).as("h"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), portable64(col("t")).as("h"), col("c"))
     val votes = (0 until SimhashBits).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, col("c")).otherwise(-col("c"))).as(s"b$bit")
     }
     val sig = (0 until SimhashBits).map { bit =>
       when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
@@ -280,7 +337,17 @@ object DedupOps {
     * ([[neardupPipeline]]) and the connected-components grouping
     * ([[neardupGroups]]).
     */
-  def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairsWithHandle(spark, dir)._1
+
+  /** [[verifiedPairs]] plus the persisted candidate frame, so an eager
+    * caller ([[neardupGroups]]) can unpersist it once its own output no
+    * longer depends on it. Lazy callers ([[neardupPipeline]]) must keep
+    * the persist alive until the query executes; the bench/verify
+    * harness releases it between queries.
+    */
+  private[queries] def verifiedPairsWithHandle(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     // The candidate pairs are referenced three times below (verify join
     // + both sides of the semi-join filter). Without materialization the
@@ -297,7 +364,7 @@ object DedupOps {
     val candDocs = candidates.select(explode(array(col("a"), col("b"))).as("doc_id"))
     val sets = docShingleSetsFor(
       docs.join(candDocs, Seq("doc_id"), "left_semi"))
-    candidates
+    val pairs = candidates
       .join(sets.toDF("a2", "sha"), col("a") === col("a2"))
       .join(sets.toDF("b2", "shb"), col("b") === col("b2"))
       .select(col("a"), col("b"),
@@ -308,6 +375,7 @@ object DedupOps {
         floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter"))).cast("long"))
       .filter(col("j_ppm") >= 800000L)
       .select(col("a"), col("b"))
+    (pairs, candidates)
   }
 
   def neardupPipeline(spark: SparkSession, dir: String): DataFrame =
@@ -357,16 +425,25 @@ object DedupOps {
       labels = next.select("v", "rep")
       iter += 1
     }
+    // The loop is eager (one count() job per round) and the final labels
+    // are localCheckpoint'd — nothing downstream re-reads the edge set,
+    // so its cached blocks are released here rather than leaking across
+    // the session's later queries.
+    sym.unpersist(blocking = false)
     labels
   }
 
   /** Registered connected-components query: every doc in a verified
     * near-dup component → the component's min doc_id.
     */
-  def neardupGroups(spark: SparkSession, dir: String): DataFrame =
-    connectedGroups(verifiedPairs(spark, dir))
-      .toDF("doc_id", "rep")
-      .orderBy("doc_id")
+  def neardupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, candidates) = verifiedPairsWithHandle(spark, dir)
+    // connectedGroups materializes eagerly (localCheckpoint per round),
+    // so by the time it returns nothing depends on the candidate cache.
+    val labels = connectedGroups(pairs)
+    candidates.unpersist(blocking = false)
+    labels.toDF("doc_id", "rep").orderBy("doc_id")
+  }
 
   /** (doc_id, shset) for the verify phase — only joined against the
     * (small) candidate set, never self-joined.
@@ -382,6 +459,7 @@ object DedupOps {
     "dedup_hash_count" -> (hashCount _),
     "neardup_jaccard" -> (jaccard _),
     "neardup_minhash" -> (minhashBuckets _),
+    "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_simhash" -> (simhashQuery _),
   )
 
@@ -433,15 +511,16 @@ object DedupOps {
     */
   private val duckSimhashSql: String = {
     val votes = (0 until SimhashBits)
-      .map(b => s"  sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .map(b => s"  sum(CASE WHEN (h >> $b) & 1 = 1 THEN c ELSE -c END) AS b$b")
       .mkString(",\n")
     val assemble = (0 until SimhashBits)
       .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
-       |  FROM documents),
-       |h AS (SELECT doc_id, ${duckPortable64("t")} AS h FROM tok),
+       |  SELECT doc_id, t, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |    FROM documents) GROUP BY doc_id, t),
+       |h AS (SELECT doc_id, ${duckPortable64("t")} AS h, c FROM tok),
        |votes AS (
        |  SELECT doc_id,
        |$votes
@@ -500,8 +579,11 @@ object DedupOps {
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,
+    // `keep` mirrors the Spark side's JaccardMaxDf stoplist (generated
+    // from the same constant): hot shingles contribute to n_sh but never
+    // to the pair expansion, on both engines identically.
     "neardup_jaccard" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
         |  FROM documents),
         |sh AS (
@@ -510,9 +592,12 @@ object DedupOps {
         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
         |  FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh
+        |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  FROM sh x JOIN keep k ON x.sh = k.sh
+        |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT a, b, inter,
         |  CAST(floor(inter * 1000000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS j_ppm

@@ -15,8 +15,9 @@ import graft.functions.VectorOps
   * relation (never a driver-side collect of the corpus); the bucketed
   * variant prunes the scan to one bucket — the 1/2^bits fraction that
   * can contain sign-compatible neighbors — before scoring; near-dup
-  * scoring is blocked by the label column (at 100 TB the block key would
-  * be a coarse quantizer), never all-pairs across the corpus.
+  * scoring is blocked by (sign-bucket quantizer, label), never
+  * all-pairs across the corpus, and the cell size is tunable via
+  * SignBits independent of corpus growth.
   *
   * Parity: embeddings are float32 in parquet; both engines cast to
   * DOUBLE before any arithmetic, and [[VectorOps]] folds in index order,
@@ -73,17 +74,29 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup: top-20 most similar same-label pairs
-    * (label = the blocking key; no corpus-wide all-pairs).
+  /** Embedding-cosine near-dup: top-20 most similar pairs within each
+    * (sign-bucket, label) block. The coarse quantizer ([[signBucket]],
+    * the same expression the bucketed ANN uses) is the primary blocking
+    * key: label-only blocks grow linearly with the corpus, so pairs
+    * within them grow quadratically — the quantizer splits each label
+    * into 2^SignBits cells, and raising SignBits keeps cells (hence
+    * pair counts) bounded as the corpus scales. True near-dups are
+    * sign-compatible on the leading dimensions by construction, so the
+    * block boundary loses only non-candidates.
     */
   def nearDup(spark: SparkSession, dir: String): DataFrame = {
     // Norms are per-vector: compute them once BEFORE the pair join
     // instead of letting cosine() re-derive both inside every pair
     // (3 dot products per pair -> 1). Same doubles, same oracle.
-    val e = emb(spark, dir).withColumn("n", VectorOps.norm(col("v")))
-    val a = e.select(col("vec_id").as("a"), col("label"), col("v").as("va"), col("n").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("label").as("label_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, col("label") === col("label_b") && col("a") < col("b"))
+    val e = emb(spark, dir)
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("bucket", signBucket(col("v"), SignBits))
+    val a = e.select(col("vec_id").as("a"), col("label"), col("bucket"),
+      col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label").as("label_b"),
+      col("bucket").as("bucket_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("label") === col("label_b")
+        && col("a") < col("b"))
       .select(col("a"), col("b"), col("label"),
         when(col("na") > 0 && col("nb") > 0,
           VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -100,6 +113,12 @@ object VectorQueries {
 
   private val CastEmb = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  /** DuckDB twin of [[signBucket]] (generated from the same SignBits). */
+  private def bucketSql(v: String): String =
+    (0 until SignBits)
+      .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "simsearch_topk" ->
       s"""WITH e AS ($CastEmb),
@@ -109,7 +128,7 @@ object VectorQueries {
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "simsearch_bucketed" ->
       s"""WITH e AS (
-         |  SELECT vec_id, v, ${(0 until SignBits).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bucket
+         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
          |  FROM ($CastEmb) t),
          |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = $QueryVecId)
          |SELECT vec_id, bucket, ${VectorOps.cosineSql("v", "qv")} AS sim
@@ -117,10 +136,13 @@ object VectorQueries {
          |WHERE vec_id <> $QueryVecId
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "neardup_embedding" ->
-      s"""WITH e AS ($CastEmb)
+      s"""WITH e AS (
+         |  SELECT vec_id, label, v, ${bucketSql("v")} AS bucket
+         |  FROM ($CastEmb) t)
          |SELECT x.vec_id AS a, y.vec_id AS b, x.label AS label,
          |  ${VectorOps.cosineSql("x.v", "y.v")} AS sim
-         |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |FROM e x JOIN e y
+         |  ON x.bucket = y.bucket AND x.label = y.label AND x.vec_id < y.vec_id
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
   )
 }

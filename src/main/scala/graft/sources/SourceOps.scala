@@ -108,15 +108,26 @@ object SourceOps {
     "src_text_roundtrip" -> (textRoundtrip _),
   )
 
+  /** src_dirscan's oracle globs the same REAL directory the Spark query
+    * scans, so the SQL is a function of the sf dir Verify actually
+    * receives (a hardcoded path would pass at exactly one scale factor).
+    */
+  private def dirScanOracle(dir: String): String =
+    s"""SELECT name, count(*) AS cnt FROM (
+       |  SELECT regexp_extract(file, '[^/]+$$', 0) AS name
+       |  FROM glob('$dir/*'))
+       |WHERE name NOT IN ('.', '..') AND name LIKE '%item%'
+       |GROUP BY name ORDER BY name""".stripMargin
+
+  /** Oracle twins with the dir-dependent SQL generated for `dir` (used
+    * by Verify at runtime; the parameterless [[oracle]] keeps the
+    * contract default of the driver's sf0.01 gate).
+    */
+  def oracleFor(dir: String): Map[String, String] =
+    oracle + ("src_dirscan" -> dirScanOracle(dir))
+
   val oracle: Map[String, String] = Map(
-    // The driver's correctness gate runs at sf0.01; glob() lists the same
-    // real directory the Spark query scans.
-    "src_dirscan" ->
-      """SELECT name, count(*) AS cnt FROM (
-        |  SELECT regexp_extract(file, '[^/]+$', 0) AS name
-        |  FROM glob('/root/testdata/sf0.01/*'))
-        |WHERE name NOT IN ('.', '..') AND name LIKE '%item%'
-        |GROUP BY name ORDER BY name""".stripMargin,
+    "src_dirscan" -> dirScanOracle("/root/testdata/sf0.01"),
     "src_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -19,4 +19,10 @@ object GraftBridge {
 
   /** Recover the Catalyst expression backing a (classic) Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Whether the session's relation cache holds any entries — lets tests
+    * assert that persist-using pipelines released their frames.
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -77,6 +77,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.length === 40 && got.forall(_._2 === 0L))
   }
 
+  test("jaccard stoplist: a hot shingle emits no pairs, near-dups survive") {
+    // 60 docs (> JaccardMaxDf) all carrying the same two shingles would
+    // expand into 60*59/2 = 1770 pairs per shingle without the cap; the
+    // stoplist must drop them entirely while the low-frequency near-dup
+    // pair still scores high.
+    val hot = (1L to 60L).map(i => (i, "aa bb cc dd"))
+    val planted = Seq((100L, base), (101L, nearDup))
+    val pairs = DedupOps.jaccardPairs((hot ++ planted).toDF("doc_id", "text"))
+      .select("a", "b", "j_ppm").as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((100L, 101L)),
+      s"expected only the planted pair, got ${pairs.length} pairs")
+    assert(pairs.head._3 > 800000L)
+  }
+
+  test("neardupGroups releases its persisted frames after the eager loop") {
+    spark.catalog.clearCache()
+    DedupOps.neardupGroups(spark, "/root/testdata/sf0.001").collect()
+    assert(org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark),
+      "candidates/sym must be unpersisted once the labels are checkpointed")
+    // Bench-style cleanup then releases the localCheckpoint blocks too.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()

@@ -80,6 +80,68 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("golden: fixed event log yields exactly the expected closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.hourlyCounts(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("golden_hourly").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        Ev(1, ts("10:05"), 1, "click"),
+        Ev(2, ts("10:15"), 1, "view"),
+        Ev(3, ts("10:45"), 2, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("12:00"), 3, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("13:30"), 3, "view"))
+      q.processAllAvailable()
+      def h(hh: Int): Long = Timestamp.valueOf(f"2024-01-01 $hh%02d:00:00").getTime / 1000
+      // The complete output across the run — closed hour-10 windows after
+      // the 12:00 event (watermark 11:30), closed hour-12 after 13:30
+      // (watermark 13:00); hour-13 stays open and must NOT appear.
+      assert(spark.table("golden_hourly").as[(Long, String, Long)].collect().toSet ===
+        Set((h(10), "click", 2L), (h(10), "view", 1L), (h(12), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("golden: fixed event log yields exactly the expected sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionize(in.toDS(), gapMinutes = 30, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("golden_sessions").outputMode("append")
+      .start()
+    try {
+      // Two users session in parallel; later events close both inline.
+      in.addData(
+        Ev(1, ts("10:00"), 1, "click"),
+        Ev(2, ts("10:10"), 1, "view"),
+        Ev(3, ts("10:20"), 1, "click"),
+        Ev(4, ts("10:05"), 2, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("11:30"), 1, "click"), Ev(6, ts("11:00"), 2, "view"))
+      q.processAllAvailable()
+      // A third user advances the watermark to 13:30, then one more
+      // batch fires the event-time timeouts for users 1 and 2.
+      in.addData(Ev(7, ts("14:00"), 3, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(8, ts("14:05"), 3, "view"))
+      q.processAllAvailable()
+      val got = spark.table("golden_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.toString, e.toString, n) }.toSet
+      // The complete session set: user 3's 14:00 session is still open
+      // and must NOT appear.
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 3L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L),
+        (1L, "2024-01-01 11:30:00.0", "2024-01-01 11:30:00.0", 1L),
+        (2L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
