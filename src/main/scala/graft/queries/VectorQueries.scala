@@ -74,6 +74,62 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** IVF cell count / probed cells per query. 8 cells at harness scale;
+    * production sizes this so each cell holds O(corpus / centroids)
+    * vectors and raises probe count for recall.
+    */
+  val IvfCentroids = 8
+  val IvfProbe = 2
+
+  /** IVF-style ANN: assign every vector to its nearest centroid cell
+    * (the inverted-file index build), then score ONLY the cells nearest
+    * the query — the classic two-level ANN shape where scanned volume is
+    * probe/centroids of the corpus, independent of top-k.
+    *
+    * The centroid set here is deterministic (vectors 1..IvfCentroids
+    * standing in for an offline k-means artifact) so the whole pipeline
+    * — assignment, probe selection, scoring — carries an exact DuckDB
+    * oracle; production would broadcast trained centroids the same way.
+    * Assignment ties break to the lowest centroid id on both engines
+    * (`max_by` over (sim, -cid) ≡ ORDER BY sim DESC, cid), and null
+    * cosines (zero-norm vectors) rank as -2 so even degenerate vectors
+    * land in a deterministic cell. At scale the assignment is the stored
+    * index (built once, reused per query), not recomputed per query.
+    */
+  /** Per-vector centroid similarities (the -2 sentinel keeps null
+    * cosines orderable so every vector is assignable).
+    */
+  private def ivfSims(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        coalesce(VectorOps.cosine(col("v"), col("cv")), lit(-2.0)).as("sim"),
+        col("cid"))
+  }
+
+  /** The inverted-file index: every vector → its nearest centroid cell. */
+  private[queries] def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
+    ivfSims(emb(spark, dir)).groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+
+  def topKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val sims = ivfSims(e)
+    val cells = ivfAssignment(spark, dir)
+    val probe = sims.filter(col("vec_id") === QueryVecId)
+      .orderBy(desc("sim"), asc("cid")).limit(IvfProbe)
+      .select(col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    e.join(cells, "vec_id")
+      .join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding-cosine near-dup: top-20 most similar pairs within each
     * (sign-bucket, label) block. The coarse quantizer ([[signBucket]],
     * the same expression the bucketed ANN uses) is the primary blocking
@@ -108,6 +164,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
+    "simsearch_ivf" -> (topKIvf _),
     "neardup_embedding" -> (nearDup _),
   )
 
@@ -135,6 +192,32 @@ object VectorQueries {
          |FROM e JOIN q ON bucket = qbucket
          |WHERE vec_id <> $QueryVecId
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // Mirrors topKIvf exactly: same deterministic centroids, the
+    // row_number twin of max_by's (sim, -cid) tie-break, same -2
+    // null-cosine sentinel.
+    "simsearch_ivf" ->
+      s"""WITH e AS ($CastEmb),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid,
+         |    coalesce(${VectorOps.cosineSql("e.v", "c.cv")}, -2.0) AS sim
+         |  FROM e CROSS JOIN cents c),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) t WHERE rn = 1),
+         |probe AS (SELECT cid AS cell FROM sims WHERE vec_id = $QueryVecId
+         |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT x.vec_id, cells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim
+         |FROM e x
+         |JOIN cells ON x.vec_id = cells.vec_id
+         |JOIN probe ON cells.cell = probe.cell
+         |CROSS JOIN q
+         |WHERE x.vec_id <> $QueryVecId
+         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
     "neardup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, v, ${bucketSql("v")} AS bucket

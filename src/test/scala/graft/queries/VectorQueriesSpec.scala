@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.functions.VectorOps
+
+class VectorQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ivf: probes at most IvfProbe cells and scores are true cosines") {
+    val got = VectorQueries.topKIvf(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "results must be sorted by similarity descending")
+    assert(got.map(_._2).distinct.length <= VectorQueries.IvfProbe,
+      "results may only come from the probed cells")
+
+    // IVF trades recall for scan volume but never falsifies a score:
+    // every returned sim must equal the directly-computed cosine.
+    val direct = {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(q)
+        .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+        .as[(Long, Double)].collect().toMap
+    }
+    got.foreach { case (id, _, sim) =>
+      assert(sim === direct(id), s"vec $id: ivf sim must be the true cosine")
+    }
+  }
+
+  test("ivf assignment is exhaustive: every vector lands in exactly one cell") {
+    // The -2 null-cosine sentinel guarantees even degenerate vectors get
+    // a deterministic cell, so the index covers the whole corpus.
+    val n = Tables.embeddings(spark, dir).count()
+    val cells = VectorQueries.ivfAssignment(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(cells.length.toLong === n, "one assignment row per corpus vector")
+    assert(cells.map(_._1).distinct.length.toLong === n, "no vector assigned twice")
+    assert(cells.forall(c => c._2 >= 1 && c._2 <= VectorQueries.IvfCentroids))
+  }
+}
