@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val Headline = Seq(
     "neardup_jaccard", "neardup_minhash", "neardup_pipeline",
-    "neardup_embedding", "join_revenue", "join_salted", "agg_corr",
+    "neardup_embedding", "neardup_simhash", "simsearch_ivf",
+    "join_revenue", "join_salted", "agg_corr",
     "q1_pricing", "events_asof", "search_count")
 
   def main(args: Array[String]): Unit = {
