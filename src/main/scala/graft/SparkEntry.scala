@@ -26,6 +26,7 @@ object SparkEntry {
       (ScalarOps.queries, ScalarOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
+      (SampleOps.queries, SampleOps.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (EventOps.queries, EventOps.oracle),
       (MultimodalOps.queries, MultimodalOps.oracle),

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling and split assignment for a training-data
+  * pipeline (SURVEY.md §2.4 adjunct). Everything keys off a CONTENT-
+  * DERIVED hash bucket, never `rand()`: reruns, retries, and
+  * late-arriving data land in the same split/sample on any cluster
+  * topology, which is the property that matters when the corpus is
+  * 100 TB and the job restarts — and it is what makes these queries
+  * oracle-checkable at all. Each operator is a narrow map-side
+  * predicate/projection (no shuffle beyond the final count), so it
+  * composes for free in front of any downstream pipeline stage.
+  */
+object SampleOps {
+
+  /** Stable per-document bucket in [0, 100): the portable 60-bit md5
+    * hash of the decimal doc_id, mod 100 (positive on both engines).
+    * Production would hash a content fingerprint instead of the id;
+    * the shape is identical.
+    */
+  def bucketOf(id: Column): Column =
+    DedupOps.portable64(id.cast("string")) % 100
+
+  val TrainPct = 80
+  val ValidPct = 10 // test gets the remaining 10
+
+  /** Deterministic train/valid/test assignment from the hash bucket. */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket", bucketOf(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, lit("train"))
+          .when(col("bucket") < TrainPct + ValidPct, lit("valid"))
+          .otherwise(lit("test")))
+
+  /** Registered query: per-(lang, split) document and token volumes —
+    * the summary a pipeline owner checks before training (split sizes
+    * drift-free across reruns because the assignment is content-keyed).
+    */
+  def splitCounts(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.documents(spark, dir))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(TextOps.tokens(col("text")))).cast("long").as("tokens"))
+      .orderBy("lang", "split")
+
+  /** Per-language keep-rate (percent) for corpus rebalancing: the
+    * dominant language is downsampled hard, the rest lightly — the
+    * standard mixture-shaping move before training. Literal rates here;
+    * production would read them from a small broadcast config dim.
+    */
+  val RebalanceRates: Seq[(String, Int)] =
+    Seq("en" -> 25, "de" -> 75, "es" -> 75, "fr" -> 75, "zh" -> 75)
+  val DefaultRate = 100
+
+  private def rateOf(lang: Column): Column =
+    RebalanceRates.foldRight(lit(DefaultRate): Column) { case ((l, r), acc) =>
+      when(lang === l, lit(r)).otherwise(acc)
+    }
+
+  /** Registered query: language-rebalanced corpus — keep a document iff
+    * its bucket clears the language's rate, then count the surviving
+    * mixture. One scan, one predicate, one count shuffle; the sample
+    * itself (the filtered frame) is what a real pipeline would feed
+    * downstream.
+    */
+  def rebalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(bucketOf(col("doc_id")) < rateOf(col("lang")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept"))
+      .orderBy("lang")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_splits" -> (splitCounts _),
+    "sample_rebalance" -> (rebalance _),
+  )
+
+  // DuckDB twins, generated from the same constants (portable64 is the
+  // shared md5 bridge — see DedupOps).
+  private def duckBucket(id: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  private val duckRate: String =
+    RebalanceRates.foldRight(DefaultRate.toString) { case ((l, r), acc) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+
+  val oracle: Map[String, String] = Map(
+    "sample_splits" ->
+      s"""WITH b AS (
+         |  SELECT lang, text, ${duckBucket("doc_id")} AS bucket FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bucket < $TrainPct THEN 'train'
+         |       WHEN bucket < ${TrainPct + ValidPct} THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS docs,
+         |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS tokens
+         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "sample_rebalance" ->
+      s"""SELECT lang, count(*) AS kept FROM documents
+         |WHERE ${duckBucket("doc_id")} < ($duckRate)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

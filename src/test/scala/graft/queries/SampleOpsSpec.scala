@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class SampleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split assignment is deterministic, exhaustive, and ~80/10/10") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val splits = SampleOps.withSplit(docs)
+      .groupBy("split").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(splits.values.sum === n, "every document gets exactly one split")
+    assert(splits.keySet.subsetOf(Set("train", "valid", "test")))
+    // Hash buckets are uniform enough that train lands near 80% even on
+    // the small fixture.
+    val trainFrac = splits.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction was $trainFrac")
+
+    // Rerun yields the identical assignment (the whole point).
+    val again = SampleOps.withSplit(docs)
+      .groupBy("split").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(again === splits)
+  }
+
+  test("rebalance downsamples the dominant language and keeps strata") {
+    val kept = SampleOps.rebalance(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val totals = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet === totals.keySet, "no language is wiped out")
+    val enFrac = kept("en").toDouble / totals("en")
+    val deFrac = kept("de").toDouble / totals("de")
+    assert(enFrac < deFrac, "dominant language must be sampled harder")
+    kept.foreach { case (l, k) => assert(k <= totals(l)) }
+  }
+}
