@@ -74,9 +74,40 @@ object SampleOps {
       .agg(count(lit(1)).as("kept"))
       .orderBy("lang")
 
+  /** Benchmark-decontamination audit: which train-split documents share
+    * any word trigram with the test split. The shape is the scale-safe
+    * one — explode both sides to (doc, shingle), semi-join on the
+    * shingle key, never document-pairs — so the cost is one shuffle on
+    * shingles regardless of corpus size (the same key distribution the
+    * Jaccard near-dup query handles; a production run would apply the
+    * same doc-frequency stoplist before the join). Catalyst prunes the
+    * shingle computation out of the counting branch, so shingles are
+    * computed exactly once per document across the three uses of `base`.
+    */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val base = withSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("split"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+    val testSh = base.filter(col("split") === "test")
+      .select(explode(col("shset")).as("sh")).distinct()
+    val train = base.filter(col("split") === "train")
+    val contaminated = train
+      .select(col("doc_id"), explode(col("shset")).as("sh"))
+      .join(testSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("train_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
+    "sample_decontam" -> (decontam _),
   )
 
   // DuckDB twins, generated from the same constants (portable64 is the
@@ -104,5 +135,36 @@ object SampleOps {
       s"""SELECT lang, count(*) AS kept FROM documents
          |WHERE ${duckBucket("doc_id")} < ($duckRate)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same trigram CTEs as the Jaccard oracle, same split CASE as
+    // sample_splits — both generated from the shared constants.
+    "sample_decontam" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN bucket < $TrainPct THEN 'train'
+         |         WHEN bucket < ${TrainPct + ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, lang, text, ${duckBucket("doc_id")} AS bucket
+         |        FROM documents) t),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM b),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(0, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |  FROM toks),
+         |test_sh AS (
+         |  SELECT DISTINCT sh FROM sh JOIN b USING (doc_id) WHERE b.split = 'test'),
+         |cont AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s
+         |  JOIN b USING (doc_id)
+         |  JOIN test_sh t ON s.sh = t.sh
+         |  WHERE b.split = 'train')
+         |SELECT b.lang, count(*) AS train_docs,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS contaminated
+         |FROM b LEFT JOIN cont c USING (doc_id)
+         |WHERE b.split = 'train'
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
   )
 }

@@ -31,6 +31,18 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(again === splits)
   }
 
+  test("decontam flags planted train/test duplicates, bounded by train size") {
+    val rows = SampleOps.decontam(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, train, cont) =>
+      assert(cont >= 0 && cont <= train, "contaminated is a subset of train")
+    }
+    // The corpus plants exact duplicates, so SOME train/test shingle
+    // overlap must exist across the whole corpus.
+    assert(rows.map(_._3).sum > 0, "expected at least one contaminated doc")
+  }
+
   test("rebalance downsamples the dominant language and keeps strata") {
     val kept = SampleOps.rebalance(spark, dir)
       .as[(String, Long)].collect().toMap
