@@ -320,6 +320,52 @@ object DedupOps {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** SimHash banding: 4 chunks of 15 bits. By pigeonhole, any pair
+    * within Hamming distance 3 of the 60-bit signature shares at least
+    * one exact chunk — the banded-LSH recall guarantee; the Hamming cut
+    * below then filters candidates exactly.
+    */
+  val SimhashBands = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashBands
+  val SimhashMaxHamming = 8
+
+  /** Candidate near-dup pairs from SimHash banding, verified by exact
+    * Hamming distance — the operator that makes the signature usable,
+    * mirroring the MinHash path's band→bucket→pair shape: group by
+    * (band, chunk), expand each bucket's sorted doc list in-array, then
+    * one codegen'd `bit_count(xor)` per candidate. Never all-pairs: the
+    * only pairs that materialize share a 15-bit chunk, a corpus-size-
+    * independent collision bound for non-near documents.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir))
+
+  /** [[simhashPairs]] over an arbitrary documents frame (tests plant
+    * exact/near/unrelated docs and assert the recall guarantee).
+    */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val sig = simhash(docs)
+    val mask = (1L << SimhashChunkBits) - 1
+    val bands = (0 until SimhashBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("simhash"), b * SimhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    sig.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      .groupBy("band", "chunk")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("simhash").as("s")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds)-2),
+          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
+          |       y -> named_struct('a', ds[i].d, 'sa', ds[i].s, 'b', y.d, 'sb', y.s))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        expr("bit_count(p.sa ^ p.sb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy(asc("hamming"), asc("a"), asc("b"))
+  }
+
   /** The production two-phase near-dup pipeline composed end-to-end:
     * (1) LSH banding proposes candidate pairs (constant-size signatures,
     * hash-bucket join — the only phase that touches the whole corpus);
@@ -461,6 +507,7 @@ object DedupOps {
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_simhash" -> (simhashQuery _),
+    "neardup_simhash_pairs" -> (simhashPairs _),
   )
 
   // ---- DuckDB twins of the portable hash family ------------------------
@@ -505,18 +552,19 @@ object DedupOps {
          }.mkString("\n  UNION ALL\n")})""".stripMargin
   }
 
-  /** DuckDB twin of [[simhash]]: 60 per-bit vote sums assembled back
-    * into the signature (generated, not hand-written — one term per
-    * bit).
+  /** DuckDB twin of [[simhash]] as a CTE chain ending in
+    * `sig(doc_id, simhash)`: 60 per-bit vote sums assembled back into
+    * the signature (generated, not hand-written — one term per bit).
+    * Shared by the signature query and the banded-pairs query.
     */
-  private val duckSimhashSql: String = {
+  private val duckSimhashCtes: String = {
     val votes = (0 until SimhashBits)
       .map(b => s"  sum(CASE WHEN (h >> $b) & 1 = 1 THEN c ELSE -c END) AS b$b")
       .mkString(",\n")
     val assemble = (0 until SimhashBits)
       .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, t, count(*) AS c FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
        |    FROM documents) GROUP BY doc_id, t),
@@ -524,9 +572,32 @@ object DedupOps {
        |votes AS (
        |  SELECT doc_id,
        |$votes
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-       |FROM votes ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  private val duckSimhashSql: String =
+    s"""WITH $duckSimhashCtes
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[simhashPairs]] (bands generated from the same
+    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`).
+    */
+  private val duckSimhashPairsSql: String = {
+    val mask = (1L << SimhashChunkBits) - 1
+    val bandSelects = (0 until SimhashBands).map { b =>
+      s"  SELECT doc_id, simhash, CAST($b AS BIGINT) AS band, " +
+        s"(simhash >> ${b * SimhashChunkBits}) & $mask AS chunk FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $duckSimhashCtes,
+       |bands AS (
+       |$bandSelects)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming
+       |ORDER BY hamming, a, b""".stripMargin
   }
 
   /** CTE chain ending in `ver` = the verified near-dup pairs, exactly
@@ -558,6 +629,7 @@ object DedupOps {
          |SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
          |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin,
     "neardup_simhash" -> duckSimhashSql,
+    "neardup_simhash_pairs" -> duckSimhashPairsSql,
     "neardup_pipeline" ->
       s"""WITH $duckVerifiedCtes
          |SELECT b AS doc_id, min(a) AS keep_as

@@ -61,6 +61,19 @@ class DedupOpsSpec extends AnyFunSuite {
       s"unrelated hamming was ${hamming(sig(1L), sig(3L))}")
   }
 
+  test("simhash banding finds exact dups at hamming 0, skips unrelated docs") {
+    val pairs = DedupOps.simhashPairsOf(
+        docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base)))
+      .as[(Long, Long, Long)].collect()
+    // Exact dups share every chunk — pigeonhole makes missing them
+    // impossible — and their Hamming distance is exactly 0.
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L),
+      s"exact dup pair must surface at hamming 0, got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= DedupOps.SimhashMaxHamming))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not survive the hamming cut")
+  }
+
   test("connectedGroups propagates min labels across transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val got = DedupOps.connectedGroups(pairs)
