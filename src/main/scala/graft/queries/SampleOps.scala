@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -104,10 +105,42 @@ object SampleOps {
       .orderBy("lang")
   }
 
+  /** Tokens per training shard (tiny for the harness corpus; production
+    * would use ~2^20+ and the identical plan).
+    */
+  val ShardTokenBudget = 4000L
+
+  /** Training-shard packing: assign train-split documents to fixed
+    * token-budget shards by cumulative token count, then report each
+    * shard's document and token load. The running sum is a window over
+    * (lang, bucket) ordered by doc_id — partitioned that way because a
+    * window partition materializes on one executor, so the partition
+    * key must bound its size: (lang, hash-bucket) caps every window at
+    * ~1% of a language regardless of corpus scale, where a lang-only
+    * window would concentrate the dominant language on one task. A doc
+    * straddling a boundary belongs to the shard its first token falls
+    * in (floor((cum - toks) / budget)) — exactly how sequence packing
+    * places documents into fixed-length training rows.
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSplit(Tables.documents(spark, dir))
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("shard", floor((col("cum") - col("toks")) / ShardTokenBudget).cast("long"))
+      .groupBy("lang", "bucket", "shard")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"))
+      .orderBy("lang", "bucket", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
     "sample_decontam" -> (decontam _),
+    "sample_shards" -> (packShards _),
   )
 
   // DuckDB twins, generated from the same constants (portable64 is the
@@ -166,5 +199,20 @@ object SampleOps {
          |FROM b LEFT JOIN cont c USING (doc_id)
          |WHERE b.split = 'train'
          |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    "sample_shards" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, ${duckBucket("doc_id")} AS bucket,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS toks
+         |  FROM documents
+         |  WHERE ${duckBucket("doc_id")} < $TrainPct),
+         |c AS (
+         |  SELECT lang, bucket, toks,
+         |    sum(toks) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+         |                    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b)
+         |SELECT lang, bucket,
+         |  CAST(floor((cum - toks) / $ShardTokenBudget.0) AS BIGINT) AS shard,
+         |  count(*) AS docs, CAST(sum(toks) AS BIGINT) AS tokens
+         |FROM c GROUP BY lang, bucket, shard ORDER BY lang, bucket, shard""".stripMargin,
   )
 }

@@ -43,6 +43,22 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "expected at least one contaminated doc")
   }
 
+  test("shard packing is exhaustive with contiguous shard ids") {
+    val rows = SampleOps.packShards(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, shards) =>
+      val ids = shards.map(_._3).sorted.toSeq
+      assert(ids === (0L until ids.length.toLong), s"non-contiguous shards: $ids")
+    }
+    // No tokens lost: shard totals must equal the train split's total.
+    val trainTokens = SampleOps.withSplit(Tables.documents(spark, dir))
+      .filter(col("split") === "train")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("t"))
+      .as[Long].collect().sum
+    assert(rows.map(_._5).sum === trainTokens)
+  }
+
   test("rebalance downsamples the dominant language and keeps strata") {
     val kept = SampleOps.rebalance(spark, dir)
       .as[(String, Long)].collect().toMap
