@@ -89,6 +89,53 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Funnel analysis (view → click → purchase, strictly increasing
+    * timestamps): how many users reached each stage. This is sequential
+    * pattern matching (MATCH_RECOGNIZE-lite) expressed Spark-first as
+    * ONE shuffle: per user, collect the (ts, event_id, type) stream,
+    * sort in-array, and run the stage state machine as an `aggregate`
+    * HOF fold — no per-stage self-joins (the 3-join formulation
+    * shuffles the event table once per funnel step; this shuffles it
+    * once total). The per-user array is bounded by per-user activity,
+    * like any sessionization; a production run bounds it further by
+    * time-windowing the scan. The fold's (stage, last-transition-ts)
+    * state advances only on strictly-later events, which is exactly the
+    * chained `min(ts) > previous` semantics the 3-level oracle SQL
+    * computes — the same fixpoint, reached in one pass.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** [[funnel]] over an arbitrary events frame (tests plant ordered,
+    * out-of-order, and partial journeys).
+    */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val sorted = events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type").as("t")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    def step(acc: org.apache.spark.sql.Column, stage: Int, evType: String,
+        e: org.apache.spark.sql.Column) = {
+      val cond = acc.getField("stage") === stage && e.getField("t") === evType &&
+        (if (stage == 0) lit(true) else e.getField("ts") > acc.getField("last"))
+      when(cond, struct(lit(stage + 1).as("stage"), e.getField("ts").as("last")))
+    }
+    val stage = aggregate(
+      col("evs"),
+      struct(lit(0).as("stage"), timestamp_micros(lit(0L)).as("last")),
+      (acc, e) =>
+        step(acc, 0, "view", e)
+          .otherwise(step(acc, 1, "click", e)
+            .otherwise(step(acc, 2, "purchase", e)
+              .otherwise(acc))),
+      acc => acc.getField("stage").cast("long"))
+    sorted.select(stage.as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -103,6 +150,7 @@ object EventOps {
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
     "events_asof" -> (asofViewBeforePurchase _),
+    "events_funnel" -> (funnel _),
     "events_json" -> (jsonProps _),
   )
 
@@ -143,6 +191,37 @@ object EventOps {
          |FROM p ASOF LEFT JOIN v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,
+    // The chained-min formulation of the funnel state machine: each
+    // stage's entry time is the min event time strictly after the
+    // previous stage's — the same fixpoint the Spark-side fold reaches
+    // in one pass.
+    "events_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min($TsCast) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min($TsCast) AS t2 FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND $TsCast > s1.t1
+         |  GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min($TsCast) AS t3 FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND $TsCast > s2.t2
+         |  GROUP BY e.user_id),
+         |u AS (SELECT DISTINCT user_id FROM events),
+         |st AS (
+         |  SELECT u.user_id,
+         |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+         |         WHEN s2.user_id IS NOT NULL THEN 2
+         |         WHEN s1.user_id IS NOT NULL THEN 1
+         |         ELSE 0 END AS stage
+         |  FROM u
+         |  LEFT JOIN s1 ON u.user_id = s1.user_id
+         |  LEFT JOIN s2 ON u.user_id = s2.user_id
+         |  LEFT JOIN s3 ON u.user_id = s3.user_id)
+         |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS users
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

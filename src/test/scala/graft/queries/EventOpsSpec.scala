@@ -70,4 +70,27 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, ts("11:00:00"), 8L, "purchase")).toDF("event_id", "ts", "user_id", "event_type"))
     assert(out === Map(2L -> None))
   }
+
+  test("funnel stages: ordered journey counts, out-of-order does not") {
+    val events = Seq(
+      // user 1: full ordered funnel → stage 3
+      (1L, ts("10:00:00"), 1L, "view"),
+      (2L, ts("10:05:00"), 1L, "click"),
+      (3L, ts("10:10:00"), 1L, "purchase"),
+      // user 2: purchase BEFORE click → stops at stage 2
+      (4L, ts("10:00:00"), 2L, "view"),
+      (5L, ts("10:02:00"), 2L, "purchase"),
+      (6L, ts("10:05:00"), 2L, "click"),
+      // user 3: view only → stage 1
+      (7L, ts("10:00:00"), 3L, "view"),
+      // user 4: click with no view → stage 0
+      (8L, ts("10:00:00"), 4L, "click"),
+      // user 5: click at the SAME ts as view — not strictly later → stage 1
+      (9L, ts("10:00:00"), 5L, "view"),
+      (10L, ts("10:00:00"), 5L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.funnelOf(events)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }
