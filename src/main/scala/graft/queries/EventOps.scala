@@ -136,6 +136,28 @@ object EventOps {
       .orderBy("stage")
   }
 
+  /** Cohort retention: users grouped by their first-activity week
+    * (epoch-week arithmetic, not calendar weeks — `floor(epoch/604800)`
+    * is engine-independent where week-start conventions are not), then
+    * for each (cohort, week offset) how many of that cohort were
+    * active. Two shuffles total: distinct (user, week) activity and the
+    * per-user first week are both keyed on user_id (co-partitioned
+    * join), then one aggregation on (cohort, offset). Rows are unique
+    * per (user, week) by construction, so the retention count is a
+    * plain count — no count-distinct state.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val wks = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("wk"))
+      .distinct()
+    val first = wks.groupBy("user_id").agg(min("wk").as("cohort"))
+    wks.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "wk_offset")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -151,6 +173,7 @@ object EventOps {
     "events_sessions" -> (sessions _),
     "events_asof" -> (asofViewBeforePurchase _),
     "events_funnel" -> (funnel _),
+    "events_retention" -> (retention _),
     "events_json" -> (jsonProps _),
   )
 
@@ -222,6 +245,15 @@ object EventOps {
          |  LEFT JOIN s3 ON u.user_id = s3.user_id)
          |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS users
          |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      s"""WITH wks AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(floor(epoch($TsCast) / 604800) AS BIGINT) AS wk
+         |  FROM events),
+         |first AS (SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id)
+         |SELECT cohort, wk - cohort AS wk_offset, count(*) AS users
+         |FROM wks JOIN first USING (user_id)
+         |GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
