@@ -53,6 +53,11 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Collect garbage OUTSIDE the timed window: without this, heap
+      // debt from a memory-heavy predecessor (e.g. the exact-percentile
+      // state) is billed to whichever query happens to run next
+      // (observed as a recurring 3-4x outlier on the query after it).
+      System.gc()
     }
 
     // Session warmup, then one untimed pass over every query (see the
