@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val Headline = Seq(
     "neardup_jaccard", "neardup_minhash", "neardup_pipeline",
-    "neardup_embedding", "neardup_simhash", "simsearch_ivf",
+    "neardup_embedding", "neardup_simhash", "neardup_simhash_pairs",
+    "simsearch_ivf", "sample_decontam", "events_funnel",
     "join_revenue", "join_salted", "agg_corr",
     "q1_pricing", "events_asof", "search_count")
 

@@ -142,6 +142,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.dedupEvents(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("deduped").outputMode("append")
+      .start()
+    try {
+      in.addData(Ev(1, ts("10:00"), 7, "click"), Ev(2, ts("10:05"), 7, "view"))
+      q.processAllAvailable()
+      // The source replays event 1 (at-least-once delivery) and adds a
+      // fresh event in the same batch.
+      in.addData(Ev(1, ts("10:00"), 7, "click"), Ev(3, ts("10:10"), 8, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "replayed id 1 must appear exactly once")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
