@@ -26,14 +26,25 @@ object GraftFunctions {
     RollingHash(exprs.head)
   }
 
-  def register(spark: SparkSession): Unit =
+  private[functions] def buildDigestPrefix64(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"digest_prefix64 expects exactly 1 argument, got ${exprs.length}")
+    DigestPrefix64(exprs.head)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", buildRollingHash, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "digest_prefix64", buildDigestPrefix64, "built-in")
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(extensions: SparkSessionExtensions): Unit =
+  def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(
@@ -41,4 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes.",
         ""),
       GraftFunctions.buildRollingHash))
+    extensions.injectFunction((
+      FunctionIdentifier("digest_prefix64"),
+      new ExpressionInfo(
+        classOf[DigestPrefix64].getName, null, "digest_prefix64",
+        "digest_prefix64(str) - first 15 hex chars of md5(str) as a 60-bit integer.",
+        ""),
+      GraftFunctions.buildDigestPrefix64))
+  }
 }

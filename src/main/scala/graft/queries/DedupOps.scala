@@ -165,9 +165,15 @@ object DedupOps {
     * built on it gets an exact value oracle instead of a rows-only
     * check. 60 bits (not 64) keeps the value positive in a signed long
     * on both engines with no byte-order or overflow questions.
+    *
+    * Computed by the native [[graft.functions.DigestPrefix64]]
+    * expression — bit-identical to the composed built-ins
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (property-pinned in
+    * DigestPrefix64Spec) but without the three per-call UTF8String
+    * allocations (hex render, substring, base-16 parse) the composition
+    * pays on every shingle.
     */
-  def portable64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def portable64(c: Column): Column = graft.functions.DigestPrefix64(c)
 
   /** A seeded min-hash family: `base` collapses a shingle string to a
     * fixed-width base value, `member(j, base)` derives the j-th family
