@@ -191,6 +191,24 @@ object StarOps {
           * 1000000.0).cast("long").as("corr_ppm"))
       .orderBy("l_returnflag")
 
+  /** Exact mode (most frequent value) per group, deterministic: counts
+    * per (group, value) then `min_by` over (-count, value) — highest
+    * count wins, ties break to the lexicographically smallest value,
+    * identically to the oracle's `row_number OVER (ORDER BY cnt DESC,
+    * value)`. Two map-side-combinable aggregations; the built-in `mode`
+    * aggregate is tie-nondeterministic and would not oracle-check.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(
+        min_by(col("o_orderpriority"),
+          struct((-col("cnt")).as("nc"), col("o_orderpriority"))).as("mode_priority"),
+        max(col("cnt")).as("mode_cnt"))
+      .orderBy("o_orderstatus")
+
   /** The typed `Aggregator[IN,BUF,OUT]` surface (SURVEY §7.3) inside a
     * relational `agg()`: quantity-weighted average discount per flag via
     * [[graft.functions.WeightedAvg]], next to a built-in count.
@@ -223,6 +241,7 @@ object StarOps {
     "set_intersect" -> (setIntersect _),
     "rollup_agg" -> (rollupAgg _),
     "agg_stats" -> (aggStats _),
+    "agg_mode" -> (aggMode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +336,14 @@ object StarOps {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
