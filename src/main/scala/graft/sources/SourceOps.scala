@@ -86,6 +86,32 @@ object SourceOps {
       .orderBy("p_brand")
   }
 
+  /** Hive-style partitioned parquet sink → source with PARTITION
+    * PRUNING: write partitioned by status, read back with a partition
+    * filter. At 100 TB the partition column is the first line of
+    * defense — a pruned scan never even LISTS the other partitions'
+    * files, which no row-level pushdown can match. The pruning is
+    * asserted on the real plan in SourceOpsSpec (the predicate arrives
+    * in FileSourceScanExec.partitionFilters and the filtered listing
+    * touches only the selected partition directory); the oracle proves
+    * the surviving values are exactly the original table's.
+    */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("orders_part")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    partitionedRead(spark, out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The pruned read shared by the query and the plan-level spec. */
+  def partitionedRead(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+
   /** Line-text sink → source: one value per line through the `text`
     * format, counted back per value.
     */
@@ -106,6 +132,7 @@ object SourceOps {
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_text_roundtrip" -> (textRoundtrip _),
+    "src_partitioned" -> (partitionedRoundtrip _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -139,6 +166,11 @@ object SourceOps {
     "src_text_roundtrip" ->
       """SELECT o_orderpriority AS value, count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

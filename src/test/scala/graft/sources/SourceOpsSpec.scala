@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class SourceOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partitioned read prunes to the selected partition's files only") {
+    val dir = "/root/testdata/sf0.001"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/orders_part_spec"
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    // The pruning decision lives in the scan node: the partition filter
+    // must reach FileSourceScanExec, and the file listing under that
+    // filter must touch only the selected partition directory.
+    val df = SourceOps.partitionedRead(spark, out)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the o_orderstatus predicate must arrive as a partition filter, not a data filter")
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("o_orderstatus=F")),
+      s"pruned listing must only contain the F partition, got:\n${files.mkString("\n")}")
+
+    // And the table really has more partitions to prune.
+    val all = spark.read.parquet(out).inputFiles
+    assert(all.exists(!_.contains("o_orderstatus=F")),
+      "fixture must contain other partitions for the pruning to be meaningful")
+  }
+}
