@@ -94,6 +94,26 @@ object DedupOps {
     Tables.documents(spark, dir)
       .agg(countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
+  /** Incremental ingest dedup: which documents of an incoming batch are
+    * NOT already in the historical corpus, by exact content hash — the
+    * op a daily crawl runs before appending. The split buckets stand in
+    * for the two corpora (train = history, valid+test = today's batch);
+    * production would read the historical hashes from the stored
+    * content-addressed index instead of recomputing them. Shape: one
+    * anti-join on the 32-byte hash — history ships as hashes only
+    * (never text), and the join is the standard shuffle-on-key that
+    * scales with corpus size; no all-pairs, no driver state.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"), sha2(col("text"), 256).as("h"))
+    val history = d.filter(col("split") === "train").select("h").distinct()
+    d.filter(col("split") =!= "train")
+      .join(history, Seq("h"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Distinct (doc_id, shingle) rows, each carrying the doc's set size.
     * The array is projected ONCE and consumed twice (`size` + `explode`)
     * in the same stage — shingling is the expensive part of every
@@ -509,6 +529,7 @@ object DedupOps {
     "neardup_groups" -> (neardupGroups _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
+    "dedup_incremental" -> (incremental _),
     "neardup_jaccard" -> (jaccard _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
@@ -657,6 +678,22 @@ object DedupOps {
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,
+    // Split CASE generated from SampleOps' constants; hashes are only
+    // ever compared engine-internally (anti-join within one engine), so
+    // the check is representation-independent by construction.
+    "dedup_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, sha256(text) AS h,
+         |    CASE WHEN bucket < ${SampleOps.TrainPct} THEN 'train'
+         |         WHEN bucket < ${SampleOps.TrainPct + SampleOps.ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         |        FROM documents) t)
+         |SELECT doc_id FROM d
+         |WHERE split <> 'train'
+         |  AND h NOT IN (SELECT h FROM d WHERE split = 'train')
+         |ORDER BY doc_id""".stripMargin,
     // `keep` mirrors the Spark side's JaccardMaxDf stoplist (generated
     // from the same constant): hot shingles contribute to n_sh but never
     // to the pair expansion, on both engines identically.
