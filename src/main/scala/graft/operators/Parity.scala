@@ -39,4 +39,28 @@ object Parity {
     * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(*)`.
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Exact sum surfaced as a floor-scaled BIGINT of hundredths
+    * ("cents"): decimal in, integer out, no double anywhere. The double
+    * route above is bit-exact only while the sum's scaled value stays
+    * within double's 2^53 integer range — beyond it the two engines'
+    * decimal→double casts can differ by 1 ulp (DuckDB double-rounds via
+    * int128; observed on q1's sf0.1 money sums). Integer surfacing has
+    * no such cliff at any corpus size. Oracle twin:
+    * `CAST(floor(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT)`
+    * — the (30,s) re-cast keeps the *100 inside both engines' 38-digit
+    * decimal cap (DuckDB would otherwise spill the product to DOUBLE,
+    * reintroducing the problem).
+    */
+  def dsumCents(c: Column): Column =
+    floor(sum(c.cast(DecimalType(18, 4))).cast(DecimalType(30, 4)) * lit(100))
+      .cast(org.apache.spark.sql.types.LongType)
+
+  /** Cents twin of [[dsumProd]] (product sums carry scale 8). Oracle:
+    * `CAST(floor(CAST(sum(CAST(a AS DECIMAL(18,4)) * CAST(b AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT)`.
+    */
+  def dsumProdCents(a: Column, b: Column): Column =
+    floor(sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4)))
+        .cast(DecimalType(30, 8)) * lit(100))
+      .cast(org.apache.spark.sql.types.LongType)
 }

@@ -30,7 +30,10 @@ object StarOps {
       .agg(
         Parity.dsum(col("l_quantity")).as("sum_qty"),
         Parity.dsum(col("l_extendedprice")).as("sum_base"),
-        Parity.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        // Scale-8 product sum exceeds 2^53 unscaled at sf0.1 — double
+        // surfacing hits the decimal→double double-rounding cliff, so
+        // this one column is surfaced as exact cents (see dsumProdCents).
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price_cents"),
         Parity.davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -49,7 +52,7 @@ object StarOps {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        Parity.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue_cents"),
         count(lit(1)).as("cnt"))
       .orderBy("n_name")
   }
@@ -255,7 +258,7 @@ object StarOps {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS sum_disc_price_cents,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem
@@ -264,7 +267,7 @@ object StarOps {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "join_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,
         |  count(*) AS cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
