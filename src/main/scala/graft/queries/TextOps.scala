@@ -91,6 +91,82 @@ object TextOps {
       .select(col("doc_id"), RollingHash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Email-shaped spans. ASCII classes only, where Java regex (Spark)
+    * and RE2 (DuckDB) agree; both sides replace globally.
+    */
+  private val EmailPat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+
+  /** International-ish phone spans: `+C[C]-NNN-NNNN`. */
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Masks email and phone spans in a text column. The building block a
+    * training pipeline runs before anything leaves the ingest boundary.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPat, "<EMAIL>"),
+      PhonePat, "<PHONE>")
+
+  /** PII redaction audit per document. The synthetic corpus carries no
+    * PII, so the query first PLANTS a deterministic email + phone per
+    * document (derived from `doc_id`, identically in the oracle SQL) and
+    * then redacts — exercising match counting and masking with an exact
+    * value oracle. `red_len < raw_len` for every row because `<EMAIL>` /
+    * `<PHONE>` are shorter than any planted span.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .withColumn("planted", planted)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("planted"), lit(EmailPat), lit(0)))
+          .cast("long").as("email_cnt"),
+        size(regexp_extract_all(col("planted"), lit(PhonePat), lit(0)))
+          .cast("long").as("phone_cnt"),
+        length(col("planted")).cast("long").as("raw_len"),
+        length(redactPii(col("planted"))).cast("long").as("red_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition quality signals per document (the Gopher-style filters a
+    * corpus pipeline keys on): duplicate-token fraction and the share of
+    * the document consumed by its single most frequent bigram, both as
+    * floor-scaled ppm. The bigram mode needs per-(doc, bigram) counts, so
+    * it runs as explode → two-level aggregate — one shuffle on
+    * (doc_id, bigram), partial-combined map-side; the distinct-token side
+    * stays entirely inside expressions.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+    val stats = docs.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("tok_cnt"),
+      size(array_distinct(col("toks"))).cast("long").as("uniq_cnt"))
+    val topBigram = docs
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+    stats.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("tok_cnt"), col("uniq_cnt"),
+        floor((col("tok_cnt") - col("uniq_cnt")) * lit(1000000.0)
+          / greatest(col("tok_cnt"), lit(1L))).cast("long").as("dup_tok_ppm"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_bigram_cnt"),
+        floor(coalesce(col("top_cnt"), lit(0L)) * lit(1000000.0)
+          / greatest(col("tok_cnt") - 1, lit(1L))).cast("long").as("top_bigram_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
@@ -117,6 +193,8 @@ object TextOps {
     "text_langid" -> (langMarkers _),
     "text_tokens" -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
+    "text_redact" -> (redact _),
+    "text_repetition" -> (repetition _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +249,45 @@ object TextOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same planted PII, same ASCII-only patterns; DuckDB needs the 'g'
+    // flag to match Spark's replace-all regexp_replace.
+    "text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS email_cnt,
+        |  CAST(len(regexp_extract_all(planted, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phone_cnt,
+        |  CAST(strlen(planted) AS BIGINT) AS raw_len,
+        |  CAST(strlen(regexp_replace(
+        |         regexp_replace(planted, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS red_len
+        |FROM (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_cnt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_cnt
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, tok_cnt, uniq_cnt,
+        |  CAST(floor((tok_cnt - uniq_cnt) * 1000000.0 / greatest(tok_cnt, 1)) AS BIGINT) AS dup_tok_ppm,
+        |  CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
+        |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "text_langid" ->
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS en_marker
