@@ -97,38 +97,82 @@ object VectorQueries {
     * index (built once, reused per query), not recomputed per query.
     */
   /** Per-vector centroid similarities (the -2 sentinel keeps null
-    * cosines orderable so every vector is assignable).
+    * cosines orderable so every vector is assignable). `cents` is any
+    * (cid, cv) frame — deterministic picks or trained centers; it is
+    * broadcast either way, exactly how production ships an offline
+    * k-means artifact to the scorer tasks.
     */
-  private def ivfSims(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+  private def ivfSims(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         coalesce(VectorOps.cosine(col("v"), col("cv")), lit(-2.0)).as("sim"),
         col("cid"))
-  }
+
+  /** The fixed centroid set: vectors 1..IvfCentroids standing in for an
+    * offline k-means artifact, which keeps the whole pipeline exactly
+    * reproducible in the DuckDB oracle.
+    */
+  private def fixedCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** The inverted-file index: every vector → its nearest centroid cell. */
-  private[queries] def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
-    ivfSims(emb(spark, dir)).groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
-
-  def topKIvf(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val sims = ivfSims(e)
-    val cells = ivfAssignment(spark, dir)
-    val probe = sims.filter(col("vec_id") === QueryVecId)
-      .orderBy(desc("sim"), asc("cid")).limit(IvfProbe)
+    ivfSims(e, fixedCents(e)).groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+  }
+
+  /** Two-level ANN over an arbitrary centroid frame: build the inverted
+    * file, pick the `probe` cells nearest the query, score only those.
+    */
+  private[queries] def topKIvfWith(e: DataFrame, cents: DataFrame, probe: Int): DataFrame = {
+    val sims = ivfSims(e, cents)
+    val cells = sims.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    val probed = sims.filter(col("vec_id") === QueryVecId)
+      .orderBy(desc("sim"), asc("cid")).limit(probe)
       .select(col("cid").as("cell"))
     val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
     e.join(cells, "vec_id")
-      .join(broadcast(probe), "cell")
+      .join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
+
+  def topKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    topKIvfWith(e, fixedCents(e), IvfProbe)
+  }
+
+  /** K-means-trained centroids (the real IVF index build): MLlib KMeans
+    * over the corpus with a pinned seed, centers shipped back as a
+    * small broadcastable frame. At scale this runs offline — the model
+    * artifact is tiny (k × dim doubles) regardless of corpus size, and
+    * the per-query path is identical to the fixed-centroid variant.
+    */
+  private[queries] def trainedCents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = emb(spark, dir)
+      .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(IvfCentroids).setSeed(7L).setMaxIter(5)
+      .fit(feats)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1, c.toArray.toSeq) }
+      .toDF("cid", "cv")
+  }
+
+  /** Trained-IVF ANN. Registered rows-only (k-means centers are float
+    * artifacts with no closed-form SQL twin); exactness is pinned by the
+    * spec's probe-all-cells ≡ brute-force property, which holds for ANY
+    * centroid set because cells partition the corpus.
+    */
+  def topKIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    topKIvfWith(emb(spark, dir), trainedCents(spark, dir), IvfProbe)
 
   /** Embedding-cosine near-dup: top-20 most similar pairs within each
     * (sign-bucket, label) block. The coarse quantizer ([[signBucket]],
@@ -165,6 +209,7 @@ object VectorQueries {
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
+    "simsearch_ivf_trained" -> (topKIvfTrained _),
     "neardup_embedding" -> (nearDup _),
   )
 

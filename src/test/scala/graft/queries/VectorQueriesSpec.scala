@@ -36,6 +36,33 @@ class VectorQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("trained ivf: probing every cell recovers the exact brute-force top-10") {
+    // Cells partition the corpus, so with probe = k the two-level scan
+    // degenerates to a full scan and must agree with brute force exactly
+    // — for ANY centroid set, trained or not. This pins the trained
+    // variant's correctness without needing reproducible centers.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = VectorQueries.trainedCents(spark, dir)
+    assert(cents.count() === VectorQueries.IvfCentroids.toLong)
+    val full = VectorQueries
+      .topKIvfWith(e, cents, VectorQueries.IvfCentroids)
+      .select(col("vec_id"), col("sim"))
+      .as[(Long, Double)].collect().toSeq
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(full === brute)
+  }
+
+  test("trained ivf with partial probe returns true cosines from probed cells") {
+    val got = VectorQueries.topKIvfTrained(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(got.map(_._2).distinct.length <= VectorQueries.IvfProbe)
+  }
+
   test("ivf assignment is exhaustive: every vector lands in exactly one cell") {
     // The -2 null-cosine sentinel guarantees even degenerate vectors get
     // a deterministic cell, so the index covers the whole corpus.
