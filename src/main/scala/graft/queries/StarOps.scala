@@ -229,8 +229,34 @@ object StarOps {
       .orderBy("l_returnflag")
   }
 
+  /** Top-3 orders per priority through the bounded
+    * [[graft.functions.TopKAgg]] aggregator — the partial-combine
+    * alternative to `window_rank`'s full per-group sort: each partition
+    * reduces to ≤ k rows per group BEFORE the exchange, so the shuffle
+    * volume is O(groups × k × partitions) at any corpus size. Scores are
+    * compared, never combined, so the window-function oracle matches
+    * bit-for-bit.
+    */
+  def topkGroups(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val top3 = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("score", DoubleType), StructField("key", LongType)))))
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.keys").as("o_orderkey"),
+        col("col.scores").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "typed_wavg" -> (typedWavg _),
+    "topk_groups" -> (topkGroups _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
     "join_semi" -> (joinSemi _),
@@ -248,6 +274,16 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "topk_groups" ->
+      """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
     "typed_wavg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
