@@ -62,6 +62,43 @@ object ScalarOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("o_orderpriority")
 
+  /** Band half-width (days) and covering-bucket width for [[bandJoin]].
+    * BucketDays = 2 × BandDays, so a probe's band [d-1, d+1] spans at
+    * most two buckets — the expansion factor is ≤ 2 regardless of data.
+    */
+  private val BandDays = 1
+  private val BucketDays = 2
+
+  /** PURE band join (no equi key): orders sampled for audit, matched to
+    * every lineitem shipped within ±1 day of the order date. Without an
+    * equi key Spark can only plan theta predicates as a nested loop —
+    * |A|×|B| comparisons, a scale-killer. Bucketization restores an equi
+    * key: the probe side explodes into the ≤ 2 day-buckets covering its
+    * band, the build side hashes into its single bucket, the join runs
+    * as a plain shuffle join on `bucket`, and the exact band predicate
+    * filters inside the join. Pair expansion is bounded by rows-per-day
+    * (data density), never by corpus × corpus; the spec asserts the plan
+    * contains no nested loop.
+    */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0) // the audited sample
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), epoch).as("od"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("od") - BandDays) / BucketDays).cast("long"),
+        floor((col("od") + BandDays) / BucketDays).cast("long"))))
+    val l = Tables.lineitem(spark, dir)
+      .select(datediff(to_date(col("l_shipdate")), epoch).as("ld"))
+      .withColumn("bucket", floor(col("ld") / BucketDays).cast("long"))
+    o.join(l, "bucket")
+      .filter(abs(col("ld") - col("od")) <= BandDays)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Cube: all four grouping sets over (flag, status). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -169,6 +206,7 @@ object ScalarOps {
     "scalar_funcs" -> (scalarFuncs _),
     "scalar_map" -> (scalarMap _),
     "range_join" -> (rangeJoin _),
+    "band_join" -> (bandJoin _),
     "cube_agg" -> (cubeAgg _),
     "set_except" -> (setExcept _),
     "approx_distinct" -> (approxDistinct _),
@@ -223,6 +261,15 @@ object ScalarOps {
         |  ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The oracle states the band predicate directly (DuckDB's IEJoin
+    // handles it natively); the Spark side must produce the identical
+    // relation through the bucketized equi path.
+    "band_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders JOIN lineitem
+        |  ON abs(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) <= 1
+        |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
