@@ -59,5 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "digest_prefix64(str) - first 15 hex chars of md5(str) as a 60-bit integer.",
         ""),
       GraftFunctions.buildDigestPrefix64))
+    extensions.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -99,6 +99,28 @@ object ScalarOps {
       .orderBy("o_orderpriority")
   }
 
+  /** The same band join written NAIVELY — a bare `abs(a-b) <= 1` theta
+    * predicate — with [[graft.plans.BandJoinRewrite]] installed in the
+    * session. The optimizer rule performs the covering-bucket rewrite
+    * [[bandJoin]] hand-writes, so the query author keeps the declarative
+    * form and still never pays for a nested loop. Same oracle as
+    * `band_join`; the spec additionally asserts the rewritten plan shape.
+    */
+  def bandJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.BandJoinRewrite.install(spark)
+    val epoch = to_date(lit("1970-01-01"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), epoch).as("od"))
+      .join(Tables.lineitem(spark, dir)
+          .select(datediff(to_date(col("l_shipdate")), epoch).as("ld")),
+        abs(col("ld") - col("od")) <= lit(BandDays))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Cube: all four grouping sets over (flag, status). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -207,6 +229,7 @@ object ScalarOps {
     "scalar_map" -> (scalarMap _),
     "range_join" -> (rangeJoin _),
     "band_join" -> (bandJoin _),
+    "band_join_auto" -> (bandJoinAuto _),
     "cube_agg" -> (cubeAgg _),
     "set_except" -> (setExcept _),
     "approx_distinct" -> (approxDistinct _),
@@ -266,6 +289,12 @@ object ScalarOps {
     // handles it natively); the Spark side must produce the identical
     // relation through the bucketized equi path.
     "band_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders JOIN lineitem
+        |  ON abs(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) <= 1
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "band_join_auto" ->
       """SELECT o_orderpriority, count(*) AS cnt
         |FROM orders JOIN lineitem
         |  ON abs(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) <= 1
