@@ -14,7 +14,8 @@ object Explain {
     "neardup_embedding", "neardup_simhash", "neardup_simhash_pairs",
     "simsearch_ivf", "sample_decontam", "events_funnel",
     "join_revenue", "join_salted", "agg_corr",
-    "q1_pricing", "events_asof", "search_count")
+    "q1_pricing", "events_asof", "search_count",
+    "band_join", "band_join_auto", "topk_groups", "text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
