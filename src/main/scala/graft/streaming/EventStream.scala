@@ -121,4 +121,31 @@ object EventStream {
           }
       }
   }
+
+  /** Stream-stream interval join: attribute each click to the same
+    * user's views from the preceding `horizonMinutes` — the two-stream
+    * stateful join Structured Streaming is built for. Both inputs carry
+    * watermarks and the join condition bounds click time against view
+    * time from BOTH sides, which is what lets the engine expire buffered
+    * state: a view older than watermark + horizon can never match again
+    * and is dropped from the state store. The `user_id` equi key keeps
+    * the join a co-partitioned hash join over the shuffle — interval
+    * bounds are evaluated within matching key groups, never as a
+    * cross-stream scan.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

@@ -181,4 +181,31 @@ class EventStreamSpec extends AnyFunSuite {
       assert(latest === Map(7L -> 3L, 8L -> 1L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = EventStream
+      .attributeClicks(views.toDF(), clicks.toDF(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("attributed").outputMode("append")
+      .start()
+    try {
+      views.addData(Ev(100, ts("10:00"), 1, "view"), Ev(101, ts("10:00"), 2, "view"))
+      clicks.addData(
+        Ev(200, ts("10:05"), 1, "click"), // same user, inside horizon → match
+        Ev(201, ts("10:20"), 1, "click"), // same user, past horizon → no match
+        Ev(202, ts("10:05"), 3, "click")) // different user → no match
+      q.processAllAvailable()
+      // advance both watermarks so buffered state flushes deterministically
+      views.addData(Ev(102, ts("12:00"), 9, "view"))
+      clicks.addData(Ev(203, ts("12:00"), 9, "click"))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L, 200L), (9L, 102L, 203L)))
+    } finally q.stop()
+  }
 }
