@@ -67,17 +67,69 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _                            => None
   }
 
+  /** A detected band `a - b ∈ [-down, up]` (i.e. b - up <= a <= b + down
+    * read from b's viewpoint; the interval the PROBE side must cover is
+    * [a - up, a + down] around a). Symmetric `abs` bands have
+    * down == up == k.
+    */
+  private case class Band(a: Expression, b: Expression, down: Long, up: Long)
+
   /** `abs(a - b) <= k`, k >= 1, integral on both sides. */
-  private def matchBand(p: Expression): Option[(Expression, Expression, Long)] =
+  private def matchAbsBand(p: Expression): Option[Band] =
     p match {
       case LessThanOrEqual(Abs(Subtract(a, b, _), _), kLit)
           if integral(a) && integral(b) && p.deterministic =>
-        litLong(kLit).filter(_ >= 1).map((a, b, _))
+        litLong(kLit).filter(_ >= 1).map(k => Band(a, b, k, k))
       case GreaterThanOrEqual(kLit, Abs(Subtract(a, b, _), _))
           if integral(a) && integral(b) && p.deterministic =>
-        litLong(kLit).filter(_ >= 1).map((a, b, _))
+        litLong(kLit).filter(_ >= 1).map(k => Band(a, b, k, k))
       case _ => None
     }
+
+  /** One half of a conjunct band: `a >= b - k` / `a <= b + k` and the
+    * flipped spellings, normalized to bounds on (a - b). Returns
+    * (a, b, lowerBound?, upperBound?) with exactly one bound set.
+    */
+  private def halfBand(p: Expression): Option[(Expression, Expression, Option[Long], Option[Long])] = {
+    if (!p.deterministic) return None
+    p match {
+      // a >= b - k  ⇔  a - b >= -k
+      case GreaterThanOrEqual(a, Subtract(b, kLit, _)) if integral(a) && integral(b) =>
+        litLong(kLit).map(k => (a, b, Some(-k), None))
+      // a <= b + k  ⇔  a - b <= k
+      case LessThanOrEqual(a, Add(b, kLit, _)) if integral(a) && integral(b) =>
+        litLong(kLit).map(k => (a, b, None, Some(k)))
+      // b - k <= a (flipped spelling of the lower bound)
+      case LessThanOrEqual(Subtract(b, kLit, _), a) if integral(a) && integral(b) =>
+        litLong(kLit).map(k => (a, b, Some(-k), None))
+      // b + k >= a (flipped spelling of the upper bound)
+      case GreaterThanOrEqual(Add(b, kLit, _), a) if integral(a) && integral(b) =>
+        litLong(kLit).map(k => (a, b, None, Some(k)))
+      // a <= b - k / a >= b + k: a band shifted past b — still bounds,
+      // but rare; skip rather than reason about negative widths.
+      case _ => None
+    }
+  }
+
+  /** Pair up two half-bands over the same (a, b) into a full band with
+    * positive width. `BETWEEN`-style authoring `a >= b - k1 && a <= b +
+    * k2` arrives as two conjuncts; match them semantically so column
+    * order and canonicalization don't matter.
+    */
+  private def matchConjunctBand(preds: Seq[Expression]): Option[(Band, Seq[Expression])] = {
+    val halves = preds.flatMap(p => halfBand(p).map(p -> _))
+    val pairs = for {
+      (p1, (a1, b1, Some(lo), None)) <- halves
+      (p2, (a2, b2, None, Some(hi))) <- halves
+      if a1.semanticEquals(a2) && b1.semanticEquals(b2)
+      if hi - lo >= 1 // width >= 1 ⇒ a genuine band, not an equality
+    } yield (Band(a1, b1, -lo, hi), Seq(p1, p2))
+    pairs.headOption
+  }
+
+  private def matchBand(preds: Seq[Expression]): Option[Band] =
+    preds.flatMap(matchAbsBand).headOption.orElse(
+      matchConjunctBand(preds).map(_._1))
 
   /** Exact floor(x / w) for longs: pmod is non-negative, so the
     * subtraction is an exact multiple of w and integral division cannot
@@ -97,19 +149,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (canEvaluate(l, right) && canEvaluate(r, left))
         case _ => false
       }
-      val bandOpt = if (hasEqui) None else preds.flatMap(matchBand).headOption
-      // Orient the band so `probe` evaluates against the left child.
-      val oriented = bandOpt.flatMap { case (a, b, k) =>
-        if (canEvaluate(a, left) && canEvaluate(b, right)) Some((a, b, k))
-        else if (canEvaluate(b, left) && canEvaluate(a, right)) Some((b, a, k))
+      val bandOpt = if (hasEqui) None else matchBand(preds)
+      // Orient the band so `a` (the probe) evaluates against the left
+      // child; flipping roles mirrors the interval, so down/up swap.
+      val oriented = bandOpt.flatMap { bd =>
+        if (canEvaluate(bd.a, left) && canEvaluate(bd.b, right)) Some(bd)
+        else if (canEvaluate(bd.b, left) && canEvaluate(bd.a, right))
+          Some(Band(bd.b, bd.a, bd.up, bd.down))
         else None
       }
       oriented match {
         case None => j
-        case Some((probe, build, k)) =>
-          val w = 2 * k
-          val lo = bucketOf(Subtract(Cast(probe, LongType), Literal(k)), w)
-          val hi = bucketOf(Add(Cast(probe, LongType), Literal(k)), w)
+        case Some(Band(probe, build, down, up)) =>
+          // A true pair has build ∈ [probe - up, probe + down]; with
+          // bucket width = the interval width, that spans ≤ 2 buckets.
+          val w = down + up
+          val lo = bucketOf(Subtract(Cast(probe, LongType), Literal(up)), w)
+          val hi = bucketOf(Add(Cast(probe, LongType), Literal(down)), w)
           // Sequence is TimeZoneAwareExpression: it only resolves with a
           // timezone bound, even for purely integral sequences.
           val gen = Explode(

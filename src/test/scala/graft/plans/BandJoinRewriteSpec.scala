@@ -48,6 +48,23 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     assert(withEqui.count() === 1L)
   }
 
+  test("BETWEEN-style conjunct bands rewrite too, including asymmetric ones") {
+    BandJoinRewrite.install(spark)
+    val xs = Seq(-6L, -2L, 0L, 1L, 4L, 7L, 12L)
+    val ys = Seq(-7L, -3L, 0L, 2L, 5L, 11L)
+    // y - 1 <= x <= y + 4: asymmetric band, width 5
+    val df = xs.map(x => (x, x)).toDF("xid", "x")
+      .join(ys.map(y => (y, y)).toDF("yid", "y"),
+        col("x") >= col("y") - 1 && col("x") <= col("y") + 4)
+    val plan = planOf(df)
+    assert(plan.contains("__graft_bucket"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val got = df.select("x", "y").as[(Long, Long)].collect().toSet
+    val expected =
+      (for { x <- xs; y <- ys if x >= y - 1 && x <= y + 4 } yield (x, y)).toSet
+    assert(got === expected)
+  }
+
   test("rewrite is exhaustive and exact on adversarial values") {
     BandJoinRewrite.install(spark)
     // Negatives, zero, and values straddling bucket boundaries: the
