@@ -167,6 +167,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Support threshold (per-mille) and summary size for
+    * [[heavyHitters]]. The Misra-Gries guarantee needs
+    * k >= 1/φ - 1 = 999 for the candidate set to provably contain every
+    * φ-heavy hitter; 1024 gives slack.
+    */
+  private val HeavyPerMille = 1L
+  private val MgSummarySize = 1024
+
+  /** Corpus-wide frequent tokens (≥ 0.1% of all tokens), computed the
+    * 100 TB way: a bounded Misra-Gries summary (O(k) state per
+    * partition, mergeable map-side) produces a provably-superset
+    * candidate list, and a second pass counts ONLY the candidates
+    * (semi-join pruned) exactly. The result is therefore exact — the
+    * sketch bounds memory, not accuracy — and oracle-checks against a
+    * plain GROUP BY ... HAVING in DuckDB. Compare `text_wordcount`,
+    * which shuffles the full vocabulary; this shape shuffles ≤ k
+    * candidate groups no matter how large the vocabulary grows.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val mg = udaf(new graft.functions.MisraGries(MgSummarySize),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("w", StringType)))))
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+    val cand = words.agg(mg(col("w")).as("mg"))
+      .select(explode(col("mg.words")).as("w"))
+    val totals = words.agg(count(lit(1)).as("total"))
+    words.join(broadcast(cand), Seq("w"), "leftsemi")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(1000L) >= col("total") * lit(HeavyPerMille))
+      .select(col("w"), col("cnt"))
+      .orderBy("w")
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
@@ -195,6 +231,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _),
     "text_redact" -> (redact _),
     "text_repetition" -> (repetition _),
+    "text_heavyhitters" -> (heavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,6 +286,18 @@ object TextOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The MG summary only bounds memory; the reported counts come from
+    // the exact verify pass, so a plain GROUP BY/HAVING is the twin.
+    "text_heavyhitters" ->
+      """WITH wf AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS cnt FROM wf GROUP BY w),
+        |t AS (SELECT count(*) AS total FROM wf)
+        |SELECT w, cnt FROM c, t
+        |WHERE cnt * 1000 >= total * 1
+        |ORDER BY w""".stripMargin,
     // Same planted PII, same ASCII-only patterns; DuckDB needs the 'g'
     // flag to match Spark's replace-all regexp_replace.
     "text_redact" ->
