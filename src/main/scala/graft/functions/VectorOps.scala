@@ -27,9 +27,18 @@ object VectorOps {
     size(a) === size(b) && size(a) > 0
 
   /** Σ a(i)*b(i), left-fold in index order; null unless the arrays are
-    * equal-length and non-empty.
+    * equal-length and non-empty. Backed by the native [[ArrayDot]]
+    * expression (one fused codegen loop); [[dotHof]] is the built-in
+    * higher-order-function formulation it is property-tested
+    * bit-identical to.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
+
+  /** The HOF reference formulation of [[dot]] (ZipWith/ArrayAggregate are
+    * CodegenFallback — correct but per-element interpreted; kept as the
+    * spec baseline the native expression must match bit-for-bit).
+    */
+  def dotHof(a: Column, b: Column): Column =
     when(sameShape(a, b),
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
       .otherwise(lit(null).cast("double"))
