@@ -34,8 +34,15 @@ object SourceOps {
     RefOps.searchFiles(listing, "item")
   }
 
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$name"
+  /** Per-JVM scratch root: concurrent graft JVMs (a bench next to a test
+    * run, parallel CI workers) must not race each other's
+    * write→read round-trip directories — on a shared tmpdir the loser
+    * sees its files chmod'd/deleted mid-read.
+    */
+  private val scratchRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}"
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
 
   /** CSV sink → CSV source → aggregate; doubles survive via the writer's
     * full-precision default and an explicit read schema.
