@@ -22,6 +22,7 @@ object SparkEntry {
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RefOps.queries, RefOps.oracle),
+      (RelOps.queries, RelOps.oracle),
       (StarOps.queries, StarOps.oracle),
       (ScalarOps.queries, ScalarOps.oracle),
       (TextOps.queries, TextOps.oracle),

@@ -222,8 +222,35 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Lexical diversity per document as Simpson concentration — the
+    * probability two sampled tokens differ, 1 − Σc(c−1)/(N(N−1)) — in
+    * exact integer arithmetic surfaced as ppm. Shannon entropy needs
+    * logs whose last-ulp behavior differs across engines; Simpson is a
+    * pure rational of token counts, so the oracle compare stays exact
+    * while ranking degenerate ("aaa aaa aaa") documents the same way.
+    * One shuffle on (doc_id, token), map-side combined; per-group state
+    * is two longs.
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (col("c") - 1)).as("coll"))
+      .filter(col("n") >= 2)
+      .select(
+        col("doc_id"),
+        col("n").as("tok_cnt"),
+        // div (integer division) — exact on this all-positive domain,
+        // so no float rounding can disagree with DuckDB's `//`.
+        expr("(1000000 * ((n * (n - 1)) - coll)) div (n * (n - 1))")
+          .as("diversity_ppm"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_filter" -> (corpusFilter _),
+    "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langMarkers _),
@@ -264,6 +291,22 @@ object TextOps {
         |  AND tok_cnt >= 20
         |  AND stop_cnt * 1000000 >= tok_cnt * 10000
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // sum() in DuckDB widens to HUGEINT; cast back to the BIGINTs Spark
+    // emits. `//` (floor) == Spark's `div` (truncate) on this
+    // all-positive domain.
+    "text_diversity" ->
+      """SELECT doc_id, n AS tok_cnt,
+        |  CAST((1000000 * ((n * (n - 1)) - coll)) // (n * (n - 1)) AS BIGINT) AS diversity_ppm
+        |FROM (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM (
+        |    SELECT doc_id, t, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |      FROM documents)
+        |    WHERE t <> '' GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |WHERE n >= 2 ORDER BY doc_id""".stripMargin,
     "text_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)

@@ -205,7 +205,31 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Per-label centroid accumulation — the offline index-build /
+    * class-prototype shape: posexplode to (label, dimension, component),
+    * then one shuffle keyed by (label, pos). Shuffle volume is
+    * rows × dims regardless of vector count per label, and the per-group
+    * state is two longs — the layout a 100 TB corpus needs (a
+    * collect_list-of-vectors formulation would hold whole labels in one
+    * task's memory).
+    *
+    * Components are surfaced as exact micro-unit sums (floor(x·1e6) per
+    * element, summed as BIGINT): double summation is order-sensitive and
+    * partitioned execution has no order, while the quantize-then-integer
+    * route is deterministic on any engine — same trick as the text ppm
+    * metrics. The mean is sum_micro/cnt on the consumer side.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("x") * lit(1000000.0)).as("micro"))
+      .groupBy("label", "pos")
+      .agg(sum(col("micro")).as("sum_micro"), count(lit(1)).as("cnt"))
+      .orderBy("label", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_centroids" -> (centroids _),
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
@@ -222,6 +246,17 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
+    // and BIGINT sums are integer-exact — no engine can disagree. sum()
+    // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT.
+    "embed_centroids" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT label, unnest(v) AS xv,
+         |        unnest(range(1, len(v) + 1)) AS i FROM e)
+         |SELECT label, i - 1 AS pos,
+         |  CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+         |  count(*) AS cnt
+         |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "simsearch_topk" ->
       s"""WITH e AS ($CastEmb),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

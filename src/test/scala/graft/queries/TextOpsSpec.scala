@@ -25,6 +25,25 @@ class TextOpsSpec extends AnyFunSuite {
       "no pii here at all"))
   }
 
+  test("diversity ppm on planted degenerate and all-distinct docs") {
+    val df = Seq((1L, "aa aa aa"), (2L, "a b c d"), (3L, "x y y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // same pipeline as the registered query, against the planted frame
+    val rows = df
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * (col("c") - 1)).as("coll"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        expr("(1000000 * ((n * (n - 1)) - coll)) div (n * (n - 1))").as("ppm"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(1L) === 0L)        // "aa aa aa": every pair collides
+    assert(rows(2L) === 1000000L)  // all distinct: no pair collides
+    assert(rows(3L) === 666666L)   // 3 tokens, one dup pair of 6 ordered... 1 - 2/6
+    assert(!rows.contains(4L))     // single-token docs have no pairs
+  }
+
   test("redact plants exactly one email and one phone per document") {
     val rows = TextOps.redact(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()
