@@ -469,9 +469,13 @@ object DedupOps {
     * against a sequential union-find on random graphs.
     */
   def connectedGroups(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist the DIRECTED pair list, not the symmetrized view: sym is a
+    // union of two projections of it, so a persist on sym would run the
+    // (expensive) verify join once per union branch before caching.
+    // Everything after this line touches edges only through the cache.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     // Every round references the previous labels THREE times, so the
     // logical plan would grow 3^k deep across iterations — analysis and
     // plan rendering blow up long before the data does. localCheckpoint
@@ -485,6 +489,10 @@ object DedupOps {
     while (changed > 0 && iter < 60) {
       val nbrMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min("rep").as("nmin"))
+      // LAZY checkpoint: the convergence count is the round's single
+      // action — it materializes the checkpoint cache as it runs, so
+      // each round costs one Spark job, not two (eager checkpoint +
+      // count would scan the round twice).
       val next = labels.toDF("v", "old")
         .join(nbrMin, col("v") === col("src"), "left")
         .join(labels.toDF("r", "rr"), col("old") === col("r"), "left")
@@ -492,7 +500,7 @@ object DedupOps {
           least(col("old"), coalesce(col("nmin"), col("old")),
             coalesce(col("rr"), col("old"))).as("rep"),
           col("old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("rep") < col("old")).count()
       labels = next.select("v", "rep")
       iter += 1
@@ -501,7 +509,7 @@ object DedupOps {
     // are localCheckpoint'd — nothing downstream re-reads the edge set,
     // so its cached blocks are released here rather than leaking across
     // the session's later queries.
-    sym.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     labels
   }
 
