@@ -123,6 +123,89 @@ object RelOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** Days covered by the [[windowRange]] trailing frame. */
+  private val RangeFrameDays = 30
+
+  /** RANGE window frame (value-based, vs [[windowFrames]]' row-based):
+    * each order's trailing-30-day spend for its customer. The order-by
+    * key is an integer day number — Spark range frames need a numeric
+    * sort key, and integer day arithmetic is engine-exact where interval
+    * frames over raw dates invite boundary drift. Frame width is bounded
+    * by data density per 30 days, not corpus size.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-RangeFrameDays, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .withColumn("day", datediff(to_date(col("o_orderdate")), epoch).cast("long"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("trailing_spend"),
+        count(lit(1)).over(w).as("trailing_orders"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** Typed COGROUP — the two-sided generalization of the reference's
+    * per-group reduce (/root/reference/MapReduceFramework.cpp:358): both
+    * inputs shuffle once on the key and a user function sees the two
+    * iterators together, without materializing either side as an array.
+    * Here: per-order lineitem count and quantity sum folded streamingly
+    * next to the order's price — the relational twin is a join+group-by,
+    * which is exactly what the oracle runs.
+    */
+  def cogroupOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    orders.cogroup(items) { (key, os, ls) =>
+      // Iterator fold, never a materialized Seq: per-key state is three
+      // scalars no matter how many lineitems an order has.
+      var price = Option.empty[Double]
+      os.foreach(o => price = Some(o._2))
+      var cnt = 0L
+      var qty = 0L
+      ls.foreach { l => cnt += 1; qty += l._2.toLong }
+      price.iterator.map(p => (key, p, cnt, qty))
+    }.toDF("o_orderkey", "o_totalprice", "item_cnt", "qty_sum")
+      .orderBy("o_orderkey")
+  }
+
+  /** Bloom-pruned join — the runtime-filter pattern for joins whose
+    * probe side dwarfs the build side: sketch the (filtered, small)
+    * build keys into a constant-size bloom filter, drop probe rows that
+    * cannot match BEFORE the shuffle, then run the exact join. False
+    * positives only let a few extra rows into the exact join, so the
+    * result is identical to the plain join — which is what the oracle
+    * executes. At 100 TB the bloom (1.2M bits here) replaces shuffling
+    * the ~97% of lineitem that can never match; Spark's own
+    * InjectRuntimeFilter does the same rewrite when statistics let it
+    * (RelOpsSpec pins that path too).
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = urgent.stat.bloomFilter(col("o_orderkey"), 200000L, 0.03)
+    val mightMatch = udf((k: Long) => bloom.mightContainLong(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightMatch(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("cnt"), Parity.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "grouping_sets" -> (groupingSets _),
     "window_frames" -> (windowFrames _),
@@ -130,6 +213,9 @@ object RelOps {
     "agg_conditional" -> (conditionalAgg _),
     "subquery_mix" -> (subqueries _),
     "agg_stringagg" -> (stringAgg _),
+    "window_range" -> (windowRange _),
+    "cogroup_orders" -> (cogroupOrders _),
+    "join_bloom" -> (bloomJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,5 +263,36 @@ object RelOps {
         |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // RANGE frames include all peer rows of the current day value, so
+    // the result is deterministic even where intra-day order is not.
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey, day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_spend,
+        |  count(*) OVER w AS trailing_orders
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    // The cogroup fold is relationally a left join + group-by; quantities
+    // are integral doubles, so the per-item BIGINT cast is exact.
+    "cogroup_orders" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  count(l.l_orderkey) AS item_cnt,
+        |  coalesce(CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT), 0) AS qty_sum
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 50 = 0
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // The bloom prefilter is result-transparent (false positives are
+    // removed by the exact join), so the twin is the plain join.
+    "join_bloom" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
   )
 }

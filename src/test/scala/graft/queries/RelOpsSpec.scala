@@ -18,6 +18,44 @@ class RelOpsSpec extends AnyFunSuite {
       s"subquery fell back to a nested loop:\n$plan")
   }
 
+  test("Spark's own runtime bloom filter injects on the same join shape") {
+    // The thresholds guarding InjectRuntimeFilter are sized for clusters
+    // (10 GB application-side scans); drop them so the optimizer treats
+    // the fixture like big data, and force the shuffle join the rule
+    // targets. This pins that join_bloom's hand-built prefilter is the
+    // same rewrite Catalyst itself applies at scale.
+    TestSpark.withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions._
+      val urgent = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = graft.Tables.lineitem(spark, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom runtime filter in:\n$optimized")
+    }
+  }
+
+  test("bloom prefilter is result-transparent vs the plain join") {
+    import org.apache.spark.sql.functions._
+    val withBloom = RelOps.bloomJoin(spark, dir).collect().toSeq
+    val urgent = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = graft.Tables.lineitem(spark, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_year").collect().toSeq
+    assert(withBloom === plain)
+  }
+
   test("grouping sets emit exactly the requested sets") {
     val rows = RelOps.groupingSets(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
