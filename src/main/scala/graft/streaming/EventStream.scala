@@ -122,6 +122,34 @@ object EventStream {
       }
   }
 
+  /** The foreachBatch body for [[idempotentHourlySink]], factored out so
+    * retries are testable without a streaming runtime: every micro-batch
+    * lands in its own `batch_id=` partition, written with DYNAMIC
+    * partition overwrite — a replay of the same batch (the failure mode
+    * foreachBatch contracts for: it is at-least-once) overwrites exactly
+    * its own partition and leaves every other batch's output intact.
+    * Idempotent effects + at-least-once delivery = exactly-once results,
+    * the standard Structured Streaming sink recipe for stores without
+    * transactions.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Hourly counts streamed into a parquet directory through
+    * [[writeBatch]]'s idempotent per-batch overwrite.
+    */
+  def idempotentHourlySink(events: DataFrame, outDir: String,
+      checkpointDir: String, watermark: String = "2 hours") =
+    hourlyCounts(events, watermark).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch.toDF(), id, outDir))
+
   /** Stream-stream interval join: attribute each click to the same
     * user's views from the preceding `horizonMinutes` — the two-stream
     * stateful join Structured Streaming is built for. Both inputs carry
