@@ -158,6 +158,81 @@ object EventOps {
       .orderBy("cohort", "wk_offset")
   }
 
+  /** z-score multiple for the outlier cut ([[zscoreOutliers]]). */
+  val ZScoreK = 3
+
+  /** Anomaly detection with NO floating point in the decision: an event
+    * is an outlier iff (x − μ)² > k²σ², cross-multiplied to the
+    * integer-exact form (n·x − S1)² > k²·(n·S2 − S1²) over per-type
+    * power sums of the value in exact hundredths — so the flag is a pure
+    * function of the data on any engine and any partitioning, where a
+    * float z-score threshold would flip on rows near the boundary.
+    * Two-pass standardization shape: the per-type stats (a handful of
+    * rows) aggregate map-side-combinably, broadcast back onto the
+    * stream, and the flag is a scan-local predicate — the plan a
+    * 1000-executor anomaly sweep wants. Decimal headroom: |value| < 1e14
+    * hundredths and n ≤ 1e18 stay inside the (19,0)×(18,0)→(38,0)
+    * products.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame =
+    zscoreOf(Tables.events(spark, dir))
+
+  /** [[zscoreOutliers]] over an arbitrary events frame (tests plant a
+    * known outlier among uniform values).
+    */
+  def zscoreOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Hundredths via an exact decimal cast: values are 2-decimal doubles,
+    // and double→DECIMAL(18,2) is correctly rounded on both engines
+    // (a double *100 then truncate would lose 6.55 → 654).
+    val ev = events
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("xi"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("xi")).as("s1"),
+      sum(col("xi") * col("xi")).as("s2"))
+    val nxs = (col("n") * col("xi") - col("s1")).cast(DecimalType(19, 0))
+    val lhs = nxs * nxs
+    val rhs = (col("n").cast(DecimalType(19, 0)) * col("s2").cast(DecimalType(18, 0))
+      - col("s1").cast(DecimalType(19, 0)) * col("s1").cast(DecimalType(18, 0))) * lit(ZScoreK * ZScoreK)
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        count_if(lhs > rhs).as("outliers"),
+        max(expr("s1 div n")).as("mean_centi"))
+      .orderBy("event_type")
+  }
+
+  /** Hourly gap-fill (time-series densification): each sampled user's
+    * per-hour event count over their full [first, last] hour range, with
+    * silent hours surfacing as explicit zero rows — the densification a
+    * downstream time-series model needs. The dense hour axis comes from
+    * `sequence()` + `explode` on the per-user span, so generated rows are
+    * bounded by users × hours-in-range — a function of calendar time, not
+    * corpus size — and the count join is co-partitioned on (user, hour).
+    */
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame =
+    gapfillOf(Tables.events(spark, dir))
+
+  /** [[gapfillHourly]] over an arbitrary events frame (tests plant a
+    * multi-hour silence and assert the zero rows appear).
+    */
+  def gapfillOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id") % 15 === 0)
+      .select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("hr"))
+    val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+    val spans = ev.groupBy("user_id").agg(min("hr").as("lo"), max("hr").as("hi"))
+    spans.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      .join(counts, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("user_id", "hr")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -175,6 +250,8 @@ object EventOps {
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_json" -> (jsonProps _),
+    "events_zscore" -> (zscoreOutliers _),
+    "events_gapfill" -> (gapfillHourly _),
   )
 
   private val TsCast = "CAST(ts AS TIMESTAMP)"
@@ -254,6 +331,38 @@ object EventOps {
          |SELECT cohort, wk - cohort AS wk_offset, count(*) AS users
          |FROM wks JOIN first USING (user_id)
          |GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin,
+    // HUGEINT (int128) carries DuckDB's side of the cross-multiplied
+    // inequality; Spark's side rides DECIMAL(38,0) — both exact, so the
+    // outlier booleans agree bit-for-bit.
+    "events_zscore" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(xi) AS BIGINT) AS s1,
+         |    CAST(sum(xi * xi) AS BIGINT) AS s2
+         |  FROM e GROUP BY event_type)
+         |SELECT e.event_type, max(s.n) AS n,
+         |  count(*) FILTER (WHERE
+         |    (CAST(s.n AS HUGEINT) * e.xi - s.s1) * (CAST(s.n AS HUGEINT) * e.xi - s.s1)
+         |    > ${ZScoreK * ZScoreK} * (CAST(s.n AS HUGEINT) * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1))
+         |    AS outliers,
+         |  CAST(max(s.s1 // s.n) AS BIGINT) AS mean_centi
+         |FROM e JOIN s USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "events_gapfill" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hr
+         |  FROM events WHERE user_id % 15 = 0),
+         |c AS (SELECT user_id, hr, count(*) AS cnt FROM e GROUP BY user_id, hr),
+         |s AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS hr FROM s)
+         |SELECT g.user_id, g.hr, coalesce(c.cnt, 0) AS cnt
+         |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+         |ORDER BY g.user_id, g.hr""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -206,7 +206,33 @@ object RelOps {
       .orderBy("o_year")
   }
 
+  /** Quantile bucketing via ntile: per-priority spend deciles with each
+    * decile's count and exact-cents spend — the balance audit behind
+    * equal-frequency binning. The tie-break (price desc, orderkey asc)
+    * totally orders every partition, so decile membership is
+    * deterministic and both engines' identical ntile definitions agree
+    * exactly. Scale note: a window partition sorts on one task, so this
+    * shape holds while a single priority's orders fit an executor
+    * (~millions of rows); past that, production swaps ntile for
+    * range-assignment against sampled decile boundaries — the same
+    * sample-then-assign move Spark's own RangePartitioner makes for
+    * global sorts — and `agg_percentile` already computes such exact
+    * boundaries.
+    */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsumCents(col("o_totalprice")).as("spend_cents"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ntile" -> (ntileDeciles _),
     "grouping_sets" -> (groupingSets _),
     "window_frames" -> (windowFrames _),
     "agg_multidistinct" -> (multiDistinct _),
@@ -219,6 +245,17 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_ntile" ->
+      """SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+        |  count(*) AS cnt,
+        |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS spend_cents
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS decile
+        |  FROM orders) t
+        |GROUP BY o_orderpriority, decile
+        |ORDER BY o_orderpriority, decile""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -254,8 +254,39 @@ object StarOps {
       .orderBy("o_orderpriority", "rank")
   }
 
+  /** TPC-H Q3-shaped shipping-priority query: the canonical three-way
+    * fact ⋈ fact ⋈ dim shape with selective filters on all three inputs
+    * and a top-k head. The segment-filtered customer keys are broadcast
+    * (dimension-sized after the filter); lineitem and orders shuffle
+    * once each on the order key; both date predicates push into the
+    * parquet scans; and the top-10 head plans as TakeOrderedAndProject,
+    * so no global sort materializes at any corpus size. The order date
+    * rides through the aggregate as max() (it is functionally dependent
+    * on the order key) and surfaces as epoch seconds for engine-neutral
+    * comparison.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    l.filter(col("l_shipdate") > Tables.tsLit(l, "l_shipdate", "1997-06-30"))
+      .join(o.filter(col("o_orderdate") < Tables.tsLit(o, "o_orderdate", "1997-06-30")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue_cents"),
+        max(unix_timestamp(col("o_orderdate").cast("timestamp"))).as("odate_s"))
+      .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "typed_wavg" -> (typedWavg _),
+    "q3_shipping" -> (q3Shipping _),
     "topk_groups" -> (topkGroups _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
@@ -274,6 +305,18 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,
+        |  CAST(max(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS odate_s
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
     "topk_groups" ->
       """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
         |  o_orderkey, o_totalprice

@@ -133,7 +133,42 @@ object SourceOps {
       .orderBy("value")
   }
 
+  /** Bucket count shared by the write and the plan spec. */
+  val BucketCount = 8
+
+  /** Bucketed tables + co-located join: both sides land pre-hashed into
+    * [[BucketCount]] buckets on the join key, so the join plans WITHOUT
+    * a shuffle exchange on either side (asserted on the real physical
+    * plan in SourceOpsSpec). This is the 100 TB pattern for a fact table
+    * that many downstream jobs join on the same key: pay the shuffle
+    * once at write time, never again at read time. The bucket spec lives
+    * in the session catalog (in-memory here; a metastore in production)
+    * and the data is plain parquet at an external per-JVM path.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    def save(df: DataFrame, table: String, key: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(BucketCount, key).sortBy(key)
+        .option("path", scratch(s"bucketed_$table"))
+        .saveAsTable(table)
+    save(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      "orders_bkt", "o_orderkey")
+    save(Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "lineitem_bkt", "l_orderkey")
+    bucketedRead(spark)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The exchange-free join shared by the query and the plan spec. */
+  def bucketedRead(spark: SparkSession): DataFrame =
+    spark.table("lineitem_bkt")
+      .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_bucketed" -> (bucketedJoin _),
     "src_dirscan" -> (dirScanSearch _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
@@ -162,6 +197,13 @@ object SourceOps {
 
   val oracle: Map[String, String] = Map(
     "src_dirscan" -> dirScanOracle("/root/testdata/sf0.01"),
+    // The bucketed layout is result-transparent — the twin is the plain
+    // join over the original parquet.
+    "src_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

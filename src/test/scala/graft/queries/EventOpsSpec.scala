@@ -93,4 +93,46 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("zscore flags exactly the planted outlier, none among uniform values") {
+    // 20 values at 10.00 and one at 1000.00: the spike is far beyond
+    // 3σ; the uniform rows sit well inside. A float-threshold
+    // formulation could flip rows near the boundary — the integer
+    // cross-multiplied form cannot.
+    val events = ((1 to 20).map(i => (i.toLong, "click", 10.00)) :+
+        (21L, "click", 1000.00))
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.zscoreOf(events)
+      .select("event_type", "n", "outliers")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("click", 21L, 1L)))
+  }
+
+  test("zscore of a constant series has zero outliers (zero variance)") {
+    val events = (1 to 5).map(i => (i.toLong, "view", 7.25))
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.zscoreOf(events)
+      .select("outliers").as[Long].collect().toSeq
+    assert(got === Seq(0L))
+  }
+
+  test("gapfill densifies a planted multi-hour silence with zero rows") {
+    // user 15 (passes the %15 sample): events at hours 0, 1, and 4 —
+    // hours 2 and 3 must appear as explicit zeros; hour 5+ must not
+    // (the span ends at the last observed hour).
+    val events = Seq(
+      (1L, ts("00:10:00"), 15L),
+      (2L, ts("01:20:00"), 15L),
+      (3L, ts("01:40:00"), 15L),
+      (4L, ts("04:59:00"), 15L),
+      // user 7 fails the sample predicate and must not appear at all.
+      (5L, ts("00:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val base = ts("00:00:00").getTime / 1000L
+    val got = EventOps.gapfillOf(events)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (15L, base, 1L), (15L, base + 3600, 2L), (15L, base + 7200, 0L),
+      (15L, base + 10800, 0L), (15L, base + 14400, 1L)))
+  }
 }

@@ -36,4 +36,29 @@ class SourceOpsSpec extends AnyFunSuite {
     assert(all.exists(!_.contains("o_orderstatus=F")),
       "fixture must contain other partitions for the pruning to be meaningful")
   }
+
+  test("bucketed join plans with no shuffle exchange on either side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = "/root/testdata/sf0.001"
+    // Run the registered query once so both bucketed tables exist.
+    SourceOps.bucketedJoin(spark, dir).collect()
+
+    val joined = SourceOps.bucketedRead(spark)
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed co-located join must not shuffle, found:\n${exchanges.mkString("\n")}")
+    val scans = joined.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.forall(_.bucketedScan), "both sides must use the bucketed scan path")
+
+    // The layout is result-transparent: same rows as the plain join.
+    val plain = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    assert(joined.count() === plain.count())
+  }
 }
