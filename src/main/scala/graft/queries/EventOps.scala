@@ -233,6 +233,54 @@ object EventOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes via
+    * Spark's native `window(ts, width, slide)` — each event lands in
+    * width/slide = 2 windows, declared once and planned as a single
+    * generate + aggregate (no self-union per hop). The same declaration
+    * runs unchanged under Structured Streaming; the oracle expands the
+    * two memberships explicitly.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Parity.dsum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("value_sum"))
+      .orderBy("win_start", "event_type")
+
+  /** Epoch day splitting history from the incoming delta batch
+    * ([[rollupMerge]]): 2024-01-20 UTC.
+    */
+  val MergeSplitDay = 19742L
+
+  /** Incremental aggregate maintenance (materialized-view merge): the
+    * historical partial aggregate is persisted once as a compact
+    * parquet artifact (groups, not raw events), and each new delta
+    * batch re-aggregates ONLY its own rows and merges by re-summing —
+    * counts and exact-cents sums are associative, so merged state is
+    * bit-equal to a full recompute, which is exactly what the oracle
+    * recomputes. At 100 TB this is the difference between rescanning a
+    * month of history per batch and touching just the delta plus a
+    * groups-sized table.
+    */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), day, col("value"))
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"), Parity.dsumCents(col("value")).as("value_cents"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_${ProcessHandle.current().pid()}"
+    agg(ev.filter(col("day") < MergeSplitDay))
+      .write.mode("overwrite").parquet(out)
+    val history = spark.read.parquet(out)
+    val delta = agg(ev.filter(col("day") >= MergeSplitDay))
+    history.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum("cnt").as("cnt"), sum("value_cents").as("value_cents"))
+      .orderBy("event_type", "day")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -252,6 +300,8 @@ object EventOps {
     "events_json" -> (jsonProps _),
     "events_zscore" -> (zscoreOutliers _),
     "events_gapfill" -> (gapfillHourly _),
+    "events_sliding" -> (slidingCounts _),
+    "events_rollup_merge" -> (rollupMerge _),
   )
 
   private val TsCast = "CAST(ts AS TIMESTAMP)"
@@ -363,6 +413,28 @@ object EventOps {
          |SELECT g.user_id, g.hr, coalesce(c.cnt, 0) AS cnt
          |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
          |ORDER BY g.user_id, g.hr""".stripMargin,
+    // Width 3600 / slide 1800 ⇒ each event is in exactly the two
+    // windows starting at floor(sec/1800)*1800 and 1800 earlier.
+    "events_sliding" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value, epoch($TsCast) AS sec FROM events),
+         |w AS (
+         |  SELECT event_type, value,
+         |    CAST(floor(sec / 1800) * 1800 - off AS BIGINT) AS win_start
+         |  FROM e CROSS JOIN (SELECT unnest([0, 1800]) AS off) o)
+         |SELECT win_start, event_type, count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+         |FROM w GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin,
+    // The merge is result-transparent (count/cents sums are
+    // associative), so the twin is the full recompute.
+    "events_rollup_merge" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch($TsCast) / 86400) AS BIGINT) AS day,
+         |  count(*) AS cnt,
+         |  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS value_cents
+         |FROM events GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -284,9 +284,45 @@ object StarOps {
       .limit(10)
   }
 
+  /** Spearman rank correlation per group, exactly: Pearson over DOUBLED
+    * average ranks. A tie group occupying ranks [r, r+c-1] has average
+    * rank r + (c-1)/2 — doubling (2r + c − 1) keeps every rank an
+    * integer, so the power sums are exact (integers < 2^53 ride
+    * [[Parity]]'s decimal route) and the closed-form double arithmetic
+    * at the end is the same IEEE tree on both engines — bit-exact like
+    * [[aggCorr]]. Two rank windows (one per variable) shuffle on the
+    * same group key; ppm flooring absorbs the final cast.
+    */
+  def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
+    def dubRank(value: String): org.apache.spark.sql.Column = {
+      val r = Window.partitionBy("l_returnflag").orderBy(value)
+      val ties = Window.partitionBy("l_returnflag", value)
+      (rank().over(r) * 2 + count(lit(1)).over(ties) - 1).cast("double")
+    }
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("dx", dubRank("l_quantity"))
+      .withColumn("dy", dubRank("l_extendedprice"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Parity.dsum(col("dx")).as("sx"),
+        Parity.dsum(col("dy")).as("sy"),
+        Parity.dsumProd(col("dx"), col("dx")).as("sxx"),
+        Parity.dsumProd(col("dy"), col("dy")).as("syy"),
+        Parity.dsumProd(col("dx"), col("dy")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        floor(((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))))
+          * 1000000.0).cast("long").as("spearman_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "typed_wavg" -> (typedWavg _),
     "q3_shipping" -> (q3Shipping _),
+    "agg_spearman" -> (aggSpearman _),
     "topk_groups" -> (topkGroups _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
@@ -305,6 +341,25 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS DOUBLE) AS dx,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) * 2
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS DOUBLE) AS dy
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(dy AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1000000.0) AS BIGINT) AS spearman_ppm
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,

@@ -174,6 +174,76 @@ object VectorQueries {
   def topKIvfTrained(spark: SparkSession, dir: String): DataFrame =
     topKIvfWith(emb(spark, dir), trainedCents(spark, dir), IvfProbe)
 
+  /** Candidates the SQ8 path rescores exactly ([[topKSq8]]). */
+  val Sq8Rescore = 30
+
+  /** Per-dimension [min,max] codebook as one broadcastable row of two
+    * dims-length arrays — the entire SQ8 "model" artifact, independent
+    * of corpus size (like the IVF centroid set).
+    */
+  private def sq8Codebook(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+
+  /** 8-bit codes for a vector column under the broadcast codebook
+    * (`mns`/`mxs` in scope): code_d = floor((x−mn)·255/(mx−mn)), 0 for
+    * degenerate dimensions. Shared with the spec's range assertion.
+    */
+  private[queries] def sq8Encode(v: Column): Column =
+    transform(v, (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      when(mx > mn, floor((x - mn) * lit(255.0) / (mx - mn))).otherwise(lit(0L))
+    })
+
+  /** Midpoint decode of [[sq8Encode]] codes: mn + (c+0.5)·(mx−mn)/255. */
+  private[queries] def sq8Decode(codes: Column): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      mn + (c + lit(0.5)) * (mx - mn) / lit(255.0)
+    })
+
+  /** Scalar-quantized (SQ8) ANN with exact rescoring — the embedding
+    * COMPRESSION path: each component stores as an 8-bit code (4× less
+    * than float32; at 100 TB the candidate scan reads the codes table,
+    * and only survivors fetch their raw floats), candidates rank by
+    * cosine against the query over midpoint-decoded codes (asymmetric
+    * distance), and the top [[Sq8Rescore]] re-rank exactly. Every float
+    * op is the same fixed IEEE expression tree on both engines, so the
+    * whole pipeline — codebook, encode, decode, both rankings — carries
+    * an exact DuckDB oracle; the spec additionally pins that rescoring
+    * every candidate reproduces brute-force top-k for ANY codebook.
+    */
+  def topKSq8(spark: SparkSession, dir: String): DataFrame =
+    topKSq8With(emb(spark, dir), Sq8Rescore)
+
+  /** [[topKSq8]] with an explicit rescore depth (the spec sets it to the
+    * corpus size to pin rescore-all ≡ brute-force).
+    */
+  private[queries] def topKSq8With(e: DataFrame, rescore: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(sq8Codebook(e)))
+      .withColumn("codes", sq8Encode(col("v")))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("qv"),
+        VectorOps.cosine(sq8Decode(col("codes")), col("qv")).as("approx"))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(rescore)
+    cand.select(col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"),
+        floor(col("approx") * lit(1000000.0)).cast("long").as("approx_ppm"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding-cosine near-dup: top-20 most similar pairs within each
     * (sign-bucket, label) block. The coarse quantizer ([[signBucket]],
     * the same expression the bucketed ANN uses) is the primary blocking
@@ -234,6 +304,7 @@ object VectorQueries {
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
     "simsearch_ivf_trained" -> (topKIvfTrained _),
+    "simsearch_sq8" -> (topKSq8 _),
     "neardup_embedding" -> (nearDup _),
   )
 
@@ -298,6 +369,34 @@ object VectorQueries {
          |CROSS JOIN q
          |WHERE x.vec_id <> $QueryVecId
          |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
+    // Same codebook (per-dim min/max), same encode/decode expression
+    // trees, same two-stage ranking as topKSq8.
+    "simsearch_sq8" ->
+      s"""WITH e AS ($CastEmb),
+         |x AS (SELECT unnest(v) AS xv, unnest(range(1, len(v) + 1)) AS i FROM e),
+         |d AS (SELECT i, min(xv) AS mn, max(xv) AS mx FROM x GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d),
+         |enc AS (
+         |  SELECT vec_id, v,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> CASE WHEN mxs[i] > mns[i]
+         |           THEN floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))
+         |           ELSE 0.0 END) AS codes,
+         |    mns, mxs
+         |  FROM e CROSS JOIN mm),
+         |dec AS (
+         |  SELECT vec_id, v,
+         |    list_transform(range(1, len(codes) + 1),
+         |      i -> mns[i] + (codes[i] + 0.5) * (mxs[i] - mns[i]) / 255.0) AS dv
+         |  FROM enc),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+         |cand AS (
+         |  SELECT vec_id, v, qv, ${VectorOps.cosineSql("dv", "qv")} AS approx
+         |  FROM dec, q WHERE vec_id <> $QueryVecId
+         |  ORDER BY approx DESC, vec_id LIMIT $Sq8Rescore)
+         |SELECT vec_id, ${VectorOps.cosineSql("v", "qv")} AS sim,
+         |  CAST(floor(approx * 1000000.0) AS BIGINT) AS approx_ppm
+         |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "neardup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, v, ${bucketSql("v")} AS bucket

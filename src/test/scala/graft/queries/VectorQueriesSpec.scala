@@ -73,4 +73,28 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(cells.map(_._1).distinct.length.toLong === n, "no vector assigned twice")
     assert(cells.forall(c => c._2 >= 1 && c._2 <= VectorQueries.IvfCentroids))
   }
+
+  test("sq8: rescoring every candidate reproduces the brute-force top-10") {
+    // The approx ranking only SELECTS candidates; scores in the final
+    // ranking are always true cosines — so with rescore = corpus size
+    // the compression path must agree with brute force exactly, for any
+    // codebook.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count().toInt
+    val all = VectorQueries.topKSq8With(e, n)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(all === brute)
+  }
+
+  test("sq8: the default rescore depth keeps high recall on the fixture") {
+    val got = VectorQueries.topKSq8(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((got & brute).size >= 8,
+      s"SQ8 with rescore=${VectorQueries.Sq8Rescore} should recover most of the true top-10")
+  }
 }
