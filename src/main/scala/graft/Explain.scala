@@ -15,7 +15,9 @@ object Explain {
     "simsearch_ivf", "sample_decontam", "events_funnel",
     "join_revenue", "join_salted", "agg_corr",
     "q1_pricing", "events_asof", "search_count",
-    "band_join", "band_join_auto", "topk_groups", "text_repetition")
+    "band_join", "band_join_auto", "topk_groups", "text_repetition",
+    "q3_shipping", "agg_spearman", "simsearch_sq8", "events_sliding",
+    "events_zscore", "agg_ntile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
