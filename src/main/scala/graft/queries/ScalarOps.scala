@@ -219,7 +219,34 @@ object ScalarOps {
         element_at(col("pp"), 2).as("price_p90"))
       .orderBy("l_returnflag")
 
+  /** Robust statistics per group: exact median and MAD (median absolute
+    * deviation) — the outlier-resistant counterpart of agg_stats'
+    * mean/stddev. Two-pass shape like the z-score query: per-group
+    * medians (rows = groups) broadcast back onto the stream, the
+    * deviation |x − med| is scan-local, and a second exact percentile
+    * runs over the deviations. Exact-percentile state grows with group
+    * size (the documented agg_percentile trade; approx_percentile is
+    * the sketch path at extreme group sizes). Parity: percentile
+    * interpolation is bit-exact against quantile_cont (pinned by
+    * agg_percentile), and |x − med| is one IEEE subtraction on both
+    * engines.
+    */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val meds = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(meds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max(col("med")).as("median_price"),
+        percentile(abs(col("l_extendedprice") - col("med")), lit(0.5)).as("mad_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad" -> (robustStats _),
     "agg_percentile" -> (exactPercentile _),
     "pivot_counts" -> (pivotCounts _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -246,6 +273,15 @@ object ScalarOps {
         |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
         |  quantile_cont(l_extendedprice, 0.9) AS price_p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, max(m.med) AS median_price,
+        |  quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad_price,
+        |  count(*) AS cnt
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "pivot_counts" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",

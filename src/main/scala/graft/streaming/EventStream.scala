@@ -161,6 +161,25 @@ object EventStream {
     * bounds are evaluated within matching key groups, never as a
     * cross-stream scan.
     */
+  /** Stream–static enrichment join: each streaming event picks up its
+    * user's dimension row (tier, region, …) from a STATIC table, then
+    * aggregates per (window, tier). The static side needs no watermark
+    * and holds no state — Spark broadcasts it to the stream's tasks and
+    * re-resolves file listings per batch, which is exactly how a
+    * 100 TB/day stream joins a dimension table without shuffling the
+    * stream on the dimension key. Aggregation state is still bounded by
+    * the watermark as in [[hourlyCounts]].
+    */
+  def enrichedHourlyCounts(events: DataFrame, users: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(users), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("tier"), col("cnt"))
+
   def attributeClicks(views: DataFrame, clicks: DataFrame,
       horizonMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
     val v = views.withWatermark("ts", watermark)

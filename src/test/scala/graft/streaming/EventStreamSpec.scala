@@ -254,4 +254,28 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got === Set((1L, 100L, 200L), (9L, 102L, 203L)))
     } finally q.stop()
   }
+
+  test("golden: stream-static enrichment joins the dim and closes windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = EventStream.enrichedHourlyCounts(in.toDF(), users, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        Ev(1, ts("10:05"), 1, "click"),
+        Ev(2, ts("10:10"), 1, "view"),
+        Ev(3, ts("10:20"), 2, "click"),
+        // user 5 has no dim row → the left join must keep it as "unknown"
+        Ev(4, ts("10:25"), 5, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("12:00"), 2, "view"))
+      q.processAllAvailable()
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      assert(spark.table("enriched").as[(Long, String, Long)].collect().toSet ===
+        Set((h10, "gold", 2L), (h10, "basic", 1L), (h10, "unknown", 1L)))
+    } finally q.stop()
+  }
 }
