@@ -286,23 +286,34 @@ object StarOps {
 
   /** Spearman rank correlation per group, exactly: Pearson over DOUBLED
     * average ranks. A tie group occupying ranks [r, r+c-1] has average
-    * rank r + (c-1)/2 — doubling (2r + c − 1) keeps every rank an
-    * integer, so the power sums are exact (integers < 2^53 ride
-    * [[Parity]]'s decimal route) and the closed-form double arithmetic
-    * at the end is the same IEEE tree on both engines — bit-exact like
-    * [[aggCorr]]. Two rank windows (one per variable) shuffle on the
-    * same group key; ppm flooring absorbs the final cast.
+    * rank r + (c-1)/2 — doubling (2r + c − 1 = 2·cum − c + 1) keeps
+    * every rank an integer, so the power sums are exact (integers
+    * < 2^53 ride [[Parity]]'s decimal route) and the closed-form double
+    * arithmetic at the end is the same IEEE tree on both engines —
+    * bit-exact like [[aggCorr]].
+    *
+    * Rank computation runs over DISTINCT (group, value) pairs — count
+    * per value, then a cumulative sum along the value order — and joins
+    * back on (group, value), instead of a rank window over the raw
+    * rows. A raw-row window puts a whole group on one task (3 giant
+    * partitions at 100 TB); the distinct formulation's heavy shuffles
+    * are keyed by (group, value) — well distributed — and the window
+    * only sorts the distinct-value frame.
     */
   def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
-    def dubRank(value: String): org.apache.spark.sql.Column = {
-      val r = Window.partitionBy("l_returnflag").orderBy(value)
-      val ties = Window.partitionBy("l_returnflag", value)
-      (rank().over(r) * 2 + count(lit(1)).over(ties) - 1).cast("double")
+    def dubRanks(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col("l_returnflag"), col(value))
+        .agg(count(lit(1)).as("c"))
+        .select(col("l_returnflag"), col(value),
+          (sum("c").over(w) * 2 - col("c") + 1).cast("double").as(out))
     }
-    Tables.lineitem(spark, dir)
+    val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      .withColumn("dx", dubRank("l_quantity"))
-      .withColumn("dy", dubRank("l_extendedprice"))
+    base
+      .join(dubRanks(base, "l_quantity", "dx"), Seq("l_returnflag", "l_quantity"))
+      .join(dubRanks(base, "l_extendedprice", "dy"), Seq("l_returnflag", "l_extendedprice"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
