@@ -231,8 +231,39 @@ object RelOps {
       .orderBy("o_orderpriority", "decile")
   }
 
+  /** Distribution window functions: percent_rank, cume_dist, and the
+    * running leader (first_value) per priority, on a customer-sampled
+    * slice. Both ratios are a single integer division in both engines
+    * (same IEEE op), surfaced as floored ppm like every ratio column.
+    */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pr_ppm", floor(percent_rank().over(w) * 1000000.0).cast("long"))
+      .withColumn("cd_ppm", floor(cume_dist().over(w) * 1000000.0).cast("long"))
+      .withColumn("top_price", first("o_totalprice").over(w))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Equal-WIDTH histogram (the fixed-bucket complement of
+    * [[ntileDeciles]]' equal-frequency bins): spend bucketed by a
+    * constant width — a scan-local floor division, map-side combinable,
+    * the cheapest possible distribution profile at any scale.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((floor(col("o_totalprice") / 25000.0) * 25000).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsumCents(col("o_totalprice")).as("spend_cents"))
+      .orderBy("bucket_lo")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ntile" -> (ntileDeciles _),
+    "window_dist" -> (windowDist _),
+    "agg_histogram" -> (histogram _),
     "grouping_sets" -> (groupingSets _),
     "window_frames" -> (windowFrames _),
     "agg_multidistinct" -> (multiDistinct _),
@@ -245,6 +276,23 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_ppm,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cd_ppm,
+        |  first_value(o_totalprice) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS top_price
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS cnt,
+        |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS spend_cents
+        |FROM orders GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
     "agg_ntile" ->
       """SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
         |  count(*) AS cnt,

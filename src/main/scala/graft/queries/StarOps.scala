@@ -330,10 +330,43 @@ object StarOps {
       .orderBy("l_returnflag")
   }
 
+  /** Full outer join: per-nation customer and supplier counts with
+    * presence on either side — the join variant where neither input is
+    * the anchor. Both sides pre-aggregate to nation-sized frames before
+    * joining, so the outer join itself touches rows = |nations| at any
+    * corpus size.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Multiset EXCEPT ALL: order multiplicity per customer minus the
+    * customer row itself — set ops with duplicate semantics (distinct
+    * variants are `set_union`/`set_intersect`/`set_except`). Spark
+    * plans exceptAll as a counted anti-multiplicity join, not a
+    * distinct exchange.
+    */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "typed_wavg" -> (typedWavg _),
     "q3_shipping" -> (q3Shipping _),
     "agg_spearman" -> (aggSpearman _),
+    "join_full" -> (joinFull _),
+    "set_exceptall" -> (setExceptAll _),
     "topk_groups" -> (topkGroups _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
@@ -352,6 +385,22 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_full" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "set_exceptall" ->
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer) t
+        |GROUP BY k ORDER BY k""".stripMargin,
     "agg_spearman" ->
       """WITH r AS (
         |  SELECT l_returnflag,
