@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries dump through a small thread pool — Spark's scheduler runs
   * independent jobs concurrently, so the wall-clock is bounded by the
-  * heaviest queries instead of the sum of all 48.
+  * heaviest queries instead of the sum over the whole registry.
   */
 object Verify {
   def main(args: Array[String]): Unit = {

@@ -57,6 +57,27 @@ object Multimodal {
     }
   }
 
+  /** Stride-resample each payload to every `stride`-th byte — the stub
+    * stand-in for an image resize / audio downsample (a real resampler
+    * slots into the same per-partition, zero-shuffle shape and the same
+    * payload-in/payload-out contract). Deterministic byte selection, so
+    * the result is oracle-able from the original blob.
+    */
+  def resample(in: Dataset[MediaRow], stride: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be positive")
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val out = Array.ofDim[Byte]((r.payload.length + stride - 1) / stride)
+        var i = 0
+        var j = 0
+        while (i < r.payload.length) { out(j) = r.payload(i); j += 1; i += stride }
+        r.copy(payload = out)
+      }
+    }
+  }
+
   /** Frame-sample each payload every `frameBytes` bytes and decode each
     * frame. Runs as one `mapPartitions` pass: the iterator-in /
     * iterator-out shape never materializes a partition in memory, and at

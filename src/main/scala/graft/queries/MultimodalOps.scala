@@ -54,9 +54,36 @@ object MultimodalOps {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Downsample factor for [[resized]]. */
+  val ResizeStride = 4
+
+  /** The resize stage: stride-resample every payload through
+    * [[Multimodal.resample]], then feature-extract the resized payload
+    * as one frame — decode → resize → re-featurize, the standard media
+    * preprocessing chain, all per-partition with zero shuffle. The
+    * moments are byte arithmetic over deterministically selected bytes,
+    * so DuckDB recomputes them exactly from the original blob.
+    */
+  def resized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[Multimodal.MediaRow]
+    Multimodal.resample(media, ResizeStride)(spark)
+      .map { r =>
+        val f = Multimodal.FakeDecoder.decodeFrame(r.payload, 0, r.payload.length)
+        (r.media_id, r.payload.length.toLong, f(0), f(2), f(3))
+      }
+      .toDF("media_id", "resized_len", "f_mean", "f_min", "f_max")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (frames _),
     "multimodal_features" -> (features _),
+    "multimodal_resize" -> (resized _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,6 +97,33 @@ object MultimodalOps {
          |    greatest(1, CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT)) AS n_frames
          |  FROM documents) t
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same byte reconstruction as multimodal_features, restricted to the
+    // stride-selected bytes (i % stride = 0) — exactly the bytes the
+    // resampler keeps.
+    "multimodal_resize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, encode(text)::BIT bb,
+         |         octet_length(encode(text)) n
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT media_id,
+         |         get_bit(bb, CAST(8*i   AS INT))*128 + get_bit(bb, CAST(8*i+1 AS INT))*64 +
+         |         get_bit(bb, CAST(8*i+2 AS INT))*32  + get_bit(bb, CAST(8*i+3 AS INT))*16 +
+         |         get_bit(bb, CAST(8*i+4 AS INT))*8   + get_bit(bb, CAST(8*i+5 AS INT))*4 +
+         |         get_bit(bb, CAST(8*i+6 AS INT))*2   + get_bit(bb, CAST(8*i+7 AS INT)) AS v
+         |  FROM d, LATERAL unnest(range(n)) t(i)
+         |  WHERE i % $ResizeStride = 0),
+         |agg AS (
+         |  SELECT media_id, count(*) AS rn,
+         |         CAST(sum(v) AS DOUBLE) / count(*) AS f_mean,
+         |         CAST(min(v) AS DOUBLE) AS f_min,
+         |         CAST(max(v) AS DOUBLE) AS f_max
+         |  FROM bytes GROUP BY media_id)
+         |SELECT d.media_id, CAST(coalesce(agg.rn, 0) AS BIGINT) AS resized_len,
+         |       coalesce(f_mean, 0.0) AS f_mean,
+         |       coalesce(f_min, 255.0) AS f_min, coalesce(f_max, 0.0) AS f_max
+         |FROM d LEFT JOIN agg USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // Byte-exact twin of the stub decoder: reconstruct each payload byte
     // from the blob's bits (DuckDB has get_bit but no get_byte), bucket
     // bytes into 256-byte frames, and aggregate the same four moments.
