@@ -160,11 +160,11 @@ object DedupOps {
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
       .limit(20)
 
-  /** All scored pairs for a documents frame (the [[jaccard]] body minus
-    * the top-k), exposed so tests can assert the stoplist's pair-count
-    * bound directly.
+  /** Shared-shingle pair counts (a, b, na, nb, inter) under the
+    * [[JaccardMaxDf]] stoplist — the one expansion both similarity
+    * scores ([[jaccardPairs]], [[containmentPairs]]) derive from.
     */
-  def jaccardPairs(docs: DataFrame): DataFrame =
+  private def sharedShinglePairCounts(docs: DataFrame): DataFrame =
     shingleSetWithSize(docs)
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n")))).as("ds"))
@@ -175,9 +175,36 @@ object DedupOps {
           |       y -> named_struct('a', ds[i].d, 'na', ds[i].n, 'b', y.d, 'nb', y.n))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
+
+  /** All scored pairs for a documents frame (the [[jaccard]] body minus
+    * the top-k), exposed so tests can assert the stoplist's pair-count
+    * bound directly.
+    */
+  def jaccardPairs(docs: DataFrame): DataFrame =
+    sharedShinglePairCounts(docs)
       .select(col("a"), col("b"), col("inter"),
         floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
           .cast("long").as("j_ppm"))
+
+  /** Containment near-dup: top-20 pairs by |A∩B| / min(|A|,|B|) — the
+    * asymmetric score that catches INCLUSION (one document quoting or
+    * wholly embedding another), which symmetric Jaccard dilutes: a 50-
+    * shingle doc inside a 1000-shingle doc scores J ≈ 0.05 but
+    * containment = 1.0. Exactly the [[jaccardPairs]] plan (same scan,
+    * same shuffle, same stoplist bound) with a different final ratio,
+    * so its 100 TB posture is identical.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+      .orderBy(desc("cont_ppm"), asc("a"), asc("b"))
+      .limit(20)
+
+  /** All containment-scored pairs (exposed for tests). */
+  def containmentPairs(docs: DataFrame): DataFrame =
+    sharedShinglePairCounts(docs)
+      .select(col("a"), col("b"), col("inter"),
+        floor(col("inter") * lit(1000000.0) / least(col("na"), col("nb")))
+          .cast("long").as("cont_ppm"))
 
   /** 60-bit engine-portable hash: the first 15 hex chars of md5, read as
     * an integer. DuckDB computes the identical value
@@ -539,6 +566,7 @@ object DedupOps {
     "dedup_hash_count" -> (hashCount _),
     "dedup_incremental" -> (incremental _),
     "neardup_jaccard" -> (jaccard _),
+    "neardup_containment" -> (containment _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_simhash" -> (simhashQuery _),
@@ -728,5 +756,30 @@ object DedupOps {
         |JOIN sizes sa ON a = sa.doc_id
         |JOIN sizes sb ON b = sb.doc_id
         |ORDER BY j_ppm DESC, a, b LIMIT 20""".stripMargin,
+    // Identical pair expansion and stoplist as neardup_jaccard; only the
+    // final ratio differs (intersection over the SMALLER set).
+    "neardup_containment" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh
+        |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN keep k ON x.sh = k.sh
+        |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, inter,
+        |  CAST(floor(inter * 1000000.0 / least(sa.n_sh, sb.n_sh)) AS BIGINT) AS cont_ppm
+        |FROM inter
+        |JOIN sizes sa ON a = sa.doc_id
+        |JOIN sizes sb ON b = sb.doc_id
+        |ORDER BY cont_ppm DESC, a, b LIMIT 20""".stripMargin,
   )
 }

@@ -281,6 +281,38 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Type-2 slowly-changing-dimension build: the per-user history of
+    * `event_type` states with [valid_from, valid_to) epoch-µs validity,
+    * consecutive duplicate states collapsed, open-ended current row
+    * flagged — the batch materialization a warehouse runs to turn a
+    * change stream into a point-in-time-joinable dimension. Shape: one
+    * shuffle on user_id serves both window passes (change detection,
+    * then valid_to via lead — the second window keys on the same
+    * partitioning, so no second exchange), and per-user state is one
+    * row of look-behind. Determinism: (ts, event_id) totally orders
+    * each user's stream, and validity surfaces as epoch-µs BIGINTs.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(spark, dir))
+
+  /** [[scd2]] over an arbitrary events frame (tests plant duplicate
+    * states and assert collapse + interval chaining).
+    */
+  def scd2Of(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead("us", 1).over(w))
+      .select(
+        col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -302,6 +334,7 @@ object EventOps {
     "events_gapfill" -> (gapfillHourly _),
     "events_sliding" -> (slidingCounts _),
     "events_rollup_merge" -> (rollupMerge _),
+    "events_scd2" -> (scd2 _),
   )
 
   private val TsCast = "CAST(ts AS TIMESTAMP)"
@@ -435,6 +468,24 @@ object EventOps {
          |  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS value_cents
          |FROM events GROUP BY event_type, day
          |ORDER BY event_type, day""".stripMargin,
+    "events_scd2" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us($TsCast) AS us
+         |  FROM events),
+         |ch AS (
+         |  SELECT user_id, event_id, event_type, us FROM (
+         |    SELECT user_id, event_id, event_type, us,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id) AS prev
+         |    FROM e) t
+         |  WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, event_type AS state, us AS valid_from,
+         |  lead(us) OVER w AS valid_to,
+         |  CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_current
+         |FROM ch
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |ORDER BY user_id, valid_from, state""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

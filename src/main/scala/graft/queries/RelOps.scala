@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -260,6 +260,48 @@ object RelOps {
         graft.operators.Parity.dsumCents(col("o_totalprice")).as("spend_cents"))
       .orderBy("bucket_lo")
 
+  /** Bits per dimension of the [[zorderLayout]] interleave. */
+  private val ZBits = 8
+
+  /** Morton/Z-order interleave of two [[ZBits]]-bit non-negative keys:
+    * bit i of x lands at position 2i, bit i of y at 2i+1 — pure shift/
+    * mask arithmetic, identical in both engines on non-negatives.
+    */
+  private def zorder(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** The DuckDB twin of [[zorder]], generated from the same constants. */
+  private def duckZorder(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)}) + ((($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Z-order (Morton) data-layout clustering profile: interleave the
+    * low [[ZBits]] bits of two scan dimensions and bucket by the
+    * curve's high bits. Each bucket is a tight axis-aligned rectangle
+    * (32×32 here — the spec asserts the bound), which is exactly why a
+    * Z-ORDER BY table layout prunes multi-dimension range scans: sorting
+    * the 100 TB fact table by `z` before writing gives every parquet
+    * file min/max bounds on BOTH dimensions at once, so either
+    * predicate skips files. The interleave is scan-local expression
+    * arithmetic (codegen'd, no shuffle); the profile aggregate is one
+    * map-side-combinable group-by on 64 buckets.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val z = zorder(col("x"), col("y"))
+    Tables.lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(256L)).as("x"),
+        pmod(col("l_suppkey"), lit(256L)).as("y"))
+      .groupBy(shiftright(z, 10).cast("long").as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("x_lo"), max("x").as("x_hi"),
+        min("y").as("y_lo"), max("y").as("y_hi"))
+      .orderBy("zbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ntile" -> (ntileDeciles _),
     "window_dist" -> (windowDist _),
@@ -273,9 +315,20 @@ object RelOps {
     "window_range" -> (windowRange _),
     "cogroup_orders" -> (cogroupOrders _),
     "join_bloom" -> (bloomJoin _),
+    "layout_zorder" -> (zorderLayout _),
   )
 
   val oracle: Map[String, String] = Map(
+    // The interleave SQL is generated from the same ZBits constants the
+    // Spark expression uses, so the two sides cannot drift.
+    "layout_zorder" ->
+      s"""WITH b AS (
+        |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+        |z AS (SELECT x, y, ${duckZorder("x", "y")} AS z FROM b)
+        |SELECT CAST(z >> 10 AS BIGINT) AS zbucket, count(*) AS cnt,
+        |  CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+        |  CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
     "window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_ppm,

@@ -203,6 +203,47 @@ object TextOps {
       .orderBy("w")
   }
 
+  /** Doc-frequency ceiling for a token to count as rare ([[rarity]]). */
+  val RareMaxDf = 2
+
+  /** Rare-token rate per document: the share of token occurrences whose
+    * corpus doc-frequency is ≤ [[RareMaxDf]] — the integer-exact stand-in
+    * for LM-perplexity quality scoring (gibberish and boilerplate-free
+    * unique content both surface as high-rarity; log-prob scoring would
+    * rank the same way but floats last-ulp-differ across engines).
+    * Shape: per-(doc, token) counts shuffle once on (doc_id, t); the
+    * doc-frequency table aggregates that by token and the rare-token
+    * inner join is co-partitioned on t; per-doc totals come straight off
+    * the scan (no shuffle). The rare set is Zipf-tail-sized, so the join
+    * is the standard shuffle-on-key — no broadcast assumption that a
+    * growing vocabulary would break.
+    */
+  def rarity(spark: SparkSession, dir: String): DataFrame =
+    rarityOf(Tables.documents(spark, dir))
+
+  /** [[rarity]] over an arbitrary documents frame (tests plant docs
+    * with known shared/unique tokens).
+    */
+  def rarityOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val stats = docs.select(col("doc_id"), size(toks).cast("long").as("tok_cnt"))
+    val occ = docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val rare = occ.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RareMaxDf)
+      .select("t")
+    val rareCnt = occ.join(rare, "t")
+      .groupBy("doc_id").agg(sum("c").as("rare_cnt"))
+    stats.join(rareCnt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("tok_cnt"),
+        coalesce(col("rare_cnt"), lit(0L)).as("rare_cnt"),
+        floor(coalesce(col("rare_cnt"), lit(0L)) * lit(1000000.0)
+          / greatest(col("tok_cnt"), lit(1L))).cast("long").as("rare_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
@@ -259,6 +300,7 @@ object TextOps {
     "text_redact" -> (redact _),
     "text_repetition" -> (repetition _),
     "text_heavyhitters" -> (heavyHitters _),
+    "text_rarity" -> (rarity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -379,6 +421,29 @@ object TextOps {
         |  CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
         |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    // RareMaxDf generated from the same constant the Spark side uses.
+    "text_rarity" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> '' GROUP BY doc_id, t),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |rare AS (
+        |  SELECT t FROM (SELECT t, count(*) AS df FROM tf GROUP BY t)
+        |  WHERE df <= $RareMaxDf),
+        |rc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rare_cnt
+        |  FROM tf JOIN rare USING (t) GROUP BY doc_id)
+        |SELECT s.doc_id AS doc_id, s.tok_cnt AS tok_cnt,
+        |  coalesce(rc.rare_cnt, 0) AS rare_cnt,
+        |  CAST(floor(coalesce(rc.rare_cnt, 0) * 1000000.0
+        |       / greatest(s.tok_cnt, 1)) AS BIGINT) AS rare_ppm
+        |FROM stats s LEFT JOIN rc ON s.doc_id = rc.doc_id
         |ORDER BY s.doc_id""".stripMargin,
     "text_langid" ->
       """SELECT lang, count(*) AS docs,

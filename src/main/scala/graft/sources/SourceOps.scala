@@ -133,6 +133,51 @@ object SourceOps {
       .orderBy("value")
   }
 
+  /** Target bytes per compacted output file ([[compactionRoundtrip]]).
+    * Small so the fixture exercises the sizing math; production sets
+    * ~128 MB (the parquet row-group sweet spot).
+    */
+  val CompactTargetBytes: Long = 8L << 20
+
+  /** Compact a parquet directory to ceil(actualBytes / targetBytes)
+    * files and return that target count (exposed for the spec, which
+    * asserts the output file count). This is the maintenance op that
+    * keeps a 100 TB table scannable: a streaming or per-task writer
+    * leaves thousands of KB-sized files whose open cost dominates the
+    * scan, and the fix is a periodic size-driven rewrite — file count
+    * from MEASURED bytes, not a guessed constant, so the same code
+    * yields 1 file at test scale and thousands at production scale.
+    */
+  def compactTo(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val df = spark.read.parquet(inDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    df.repartition(target).write.mode("overwrite").parquet(outDir)
+    target
+  }
+
+  /** Small-file compaction round trip: fragment the documents table
+    * into 64 tiny files (the pathology), compact by measured size, and
+    * prove the rewrite lossless by aggregating the compacted copy
+    * against the original table's oracle.
+    */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val small = scratch("docs_small")
+    val compacted = scratch("docs_compacted")
+    Tables.documents(spark, dir)
+      .repartition(64).write.mode("overwrite").parquet(small)
+    compactTo(spark, small, compacted, CompactTargetBytes)
+    spark.read.parquet(compacted)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Bucket count shared by the write and the plan spec. */
   val BucketCount = 8
 
@@ -175,6 +220,7 @@ object SourceOps {
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_partitioned" -> (partitionedRoundtrip _),
+    "src_compaction" -> (compactionRoundtrip _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -224,5 +270,11 @@ object SourceOps {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The fragment→compact rewrite is lossless, so the twin is the plain
+    // aggregate over the original table.
+    "src_compaction" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

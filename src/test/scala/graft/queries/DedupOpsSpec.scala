@@ -114,6 +114,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("containment scores full inclusion at 1.0 where jaccard dilutes it") {
+    // Doc 2 wholly contains doc 1's text plus unrelated padding: every
+    // shingle of 1 appears in 2, so containment = 1e6 ppm while the
+    // symmetric jaccard of the same pair is well below.
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val docs = Seq((1L, small), (2L, big), (3L, "totally different words here now")).toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(docs)
+      .select("a", "b", "cont_ppm").as[(Long, Long, Long)].collect()
+    assert(cont.toSeq === Seq((1L, 2L, 1000000L)))
+    val jac = DedupOps.jaccardPairs(docs)
+      .select("j_ppm").as[Long].collect()
+    assert(jac.head < 500000L, s"jaccard should dilute inclusion, got ${jac.head}")
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()

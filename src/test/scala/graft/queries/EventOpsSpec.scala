@@ -71,6 +71,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out === Map(2L -> None))
   }
 
+  test("scd2 collapses duplicate states and chains validity intervals") {
+    // user 1: x@10:00, x@10:05 (dup, collapsed), y@10:10, x@10:20 —
+    // history (x, 10:00→10:10), (y, 10:10→10:20), (x, 10:20→open).
+    val ev = Seq(
+      (1L, ts("10:00:00"), 1L, "x"),
+      (2L, ts("10:05:00"), 1L, "x"),
+      (3L, ts("10:10:00"), 1L, "y"),
+      (4L, ts("10:20:00"), 1L, "x"),
+      (5L, ts("09:00:00"), 2L, "z"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val got = EventOps.scd2Of(ev)
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "x", us("10:00:00"), Some(us("10:10:00")), 0L),
+      (1L, "y", us("10:10:00"), Some(us("10:20:00")), 0L),
+      (1L, "x", us("10:20:00"), None, 1L),
+      (2L, "z", us("09:00:00"), None, 1L)))
+  }
+
   test("funnel stages: ordered journey counts, out-of-order does not") {
     val events = Seq(
       // user 1: full ordered funnel → stage 3

@@ -9,6 +9,21 @@ class RelOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("zorder buckets are tight rectangles on both dimensions") {
+    // 8 bits/dim, bucket = z >> 10: each bucket frees 5 low bits of x
+    // and 5 of y, so a bucket never spans more than a 32x32 rectangle —
+    // the bound that makes per-file min/max stats prune either
+    // dimension's predicate.
+    import spark.implicits._
+    val rows = RelOps.zorderLayout(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    rows.foreach { case (zb, _, xLo, xHi, yLo, yHi) =>
+      assert(xHi - xLo < 32, s"bucket $zb x-range [$xLo,$xHi]")
+      assert(yHi - yLo < 32, s"bucket $zb y-range [$yLo,$yHi]")
+    }
+  }
+
   test("subqueries decorrelate to joins — no nested-loop, no per-row subquery") {
     val plan = RelOps.subqueries(spark, dir).queryExecution.executedPlan.toString
     // EXISTS and IN must arrive as semi joins; a correlated subquery the

@@ -55,6 +55,20 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rarity counts occurrences of tokens with doc-frequency <= RareMaxDf") {
+    // "aa" is in 3 docs (> RareMaxDf=2, common); bb/cc/dd are in 1 doc
+    // each (rare); "ee" is in 2 docs (boundary: still rare).
+    val df = Seq(
+      (1L, "aa bb ee"), (2L, "aa cc ee"), (3L, "aa dd"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.rarityOf(df)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, tok, rare, ppm) => id -> ((tok, rare, ppm)) }.toMap
+    assert(rows(1L) === ((3L, 2L, 666666L)))
+    assert(rows(2L) === ((3L, 2L, 666666L)))
+    assert(rows(3L) === ((2L, 1L, 500000L)))
+  }
+
   test("repetition signals match a hand-computed document") {
     // "a b a b a": 5 tokens, 2 distinct, top bigram "a b" x2 of 4.
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")

@@ -8,6 +8,26 @@ import graft.{Tables, TestSpark}
 class SourceOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("compaction sizes output files from measured bytes and shrinks the count") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val small = s"$root/small"
+    val out = s"$root/out"
+    Tables.documents(spark, dir)
+      .repartition(16).write.mode("overwrite").parquet(small)
+    def partFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(partFiles(small) === 16)
+    // Large target: everything fits one file.
+    assert(SourceOps.compactTo(spark, small, out, 64L << 20) === 1)
+    assert(partFiles(out) === 1)
+    // Tiny target: the measured-bytes math must split into >1 file and
+    // the writer must produce exactly that many.
+    val target = SourceOps.compactTo(spark, small, out, 8L << 10)
+    assert(target > 1, s"8KB target over ${partFiles(small)} small files")
+    assert(partFiles(out) === target)
+  }
+
   test("partitioned read prunes to the selected partition's files only") {
     val dir = "/root/testdata/sf0.001"
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}/orders_part_spec"
