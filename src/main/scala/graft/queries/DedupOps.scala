@@ -339,6 +339,37 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
 
+  /** Incremental LSH index maintenance — the daily-crawl shape: today's
+    * batch probes a PERSISTED signature index instead of re-hashing the
+    * historical corpus. The history split's band buckets are written
+    * once as a compact parquet artifact (16 bands × 8 bytes per doc —
+    * signatures, never text), and each incoming batch computes only its
+    * own signatures and joins on (band, bucket): cost per batch scales
+    * with the batch plus a bucket-keyed shuffle of the index, not with
+    * history size, and the index append is the batch's own bucket rows.
+    * Output: candidate (new_doc, old_doc) pairs a verify stage (the
+    * [[verifiedPairs]] machinery) would confirm.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lshindex_${ProcessHandle.current().pid()}"
+    minhashBands(d.filter(col("split") === "train"), nBands = 4, rowsPerBand = 4)
+      .write.mode("overwrite").parquet(out)
+    probeIndex(spark.read.parquet(out),
+      minhashBands(d.filter(col("split") =!= "train"), nBands = 4, rowsPerBand = 4))
+  }
+
+  /** Candidate pairs from probing a persisted band-bucket index with a
+    * batch's band buckets (both shaped (doc_id, band, bucket); exposed
+    * for tests, which plant a near-dup of an indexed doc).
+    */
+  def probeIndex(index: DataFrame, batch: DataFrame): DataFrame =
+    batch.select(col("doc_id").as("new_doc"), col("band"), col("bucket"))
+      .join(index.select(col("doc_id").as("old_doc"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_doc", "old_doc").distinct()
+      .orderBy("new_doc", "old_doc")
+
   /** SimHash: 60-bit signature from per-bit majority votes of token
     * hashes (portable family → exact value oracle; production swaps in
     * xxhash64/64-bit, same shape). Near-dups differ in few bits
@@ -569,6 +600,7 @@ object DedupOps {
     "neardup_containment" -> (containment _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
+    "neardup_minhash_incr" -> (minhashIncremental _),
     "neardup_simhash" -> (simhashQuery _),
     "neardup_simhash_pairs" -> (simhashPairs _),
   )
@@ -691,6 +723,26 @@ object DedupOps {
       s"""WITH $duckSignatureCtes
          |SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
          |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin,
+    // The persisted index is result-transparent (bucket rows round-trip
+    // through parquet unchanged), so the twin recomputes both sides'
+    // bands and applies the same content-keyed split as
+    // dedup_incremental (generated from SampleOps' constants).
+    "neardup_minhash_incr" ->
+      s"""WITH $duckSignatureCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN sb < ${SampleOps.TrainPct} THEN 'train'
+         |         WHEN sb < ${SampleOps.TrainPct + SampleOps.ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS sb
+         |        FROM documents) t)
+         |SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS old_doc
+         |FROM bands n
+         |JOIN sp sn ON n.doc_id = sn.doc_id AND sn.split <> 'train'
+         |JOIN bands h ON n.band = h.band AND n.bucket = h.bucket
+         |JOIN sp sh ON h.doc_id = sh.doc_id AND sh.split = 'train'
+         |ORDER BY new_doc, old_doc""".stripMargin,
     "neardup_simhash" -> duckSimhashSql,
     "neardup_simhash_pairs" -> duckSimhashPairsSql,
     "neardup_pipeline" ->

@@ -244,6 +244,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per non-overlapping chunk for [[boilerplate]]. */
+  val ChunkTokens = 8
+
+  /** Cross-document boilerplate signal: the share of each document made
+    * of non-overlapping [[ChunkTokens]]-token chunks that appear in ≥ 2
+    * documents — the hashed-paragraph dedup a crawl pipeline runs to
+    * strip shared headers/footers/templates before training. Chunks are
+    * NON-overlapping (tokens/[[ChunkTokens]] per doc, vs every-position
+    * shingles), so the exploded volume is a fraction of the shingle
+    * queries'; doc frequency comes from distinct (doc, chunk) rows and
+    * joins back on the chunk key, co-partitioned after the aggregate.
+    * Production would compare 64-bit chunk hashes, not chunk strings —
+    * same plan, narrower shuffle.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateOf(Tables.documents(spark, dir))
+
+  /** [[boilerplate]] over an arbitrary documents frame (tests plant a
+    * shared template block).
+    */
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val chunked = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= ChunkTokens,
+          expr(s"""transform(sequence(1, size(toks) div $ChunkTokens),
+                  |  i -> array_join(slice(toks, (i-1)*$ChunkTokens + 1, $ChunkTokens), ' '))""".stripMargin))
+          .otherwise(expr("array()").cast("array<string>")).as("chunks"))
+    val occ = chunked.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    val shared = occ.distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("chunk")
+    val boiler = occ.join(shared, "chunk")
+      .groupBy("doc_id").agg(count(lit(1)).as("boiler_chunks"))
+    chunked.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+      .join(boiler, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chunks"),
+        coalesce(col("boiler_chunks"), lit(0L)).as("boiler_chunks"),
+        floor(coalesce(col("boiler_chunks"), lit(0L)) * lit(1000000.0)
+          / greatest(col("n_chunks"), lit(1L))).cast("long").as("boiler_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
@@ -301,6 +346,7 @@ object TextOps {
     "text_repetition" -> (repetition _),
     "text_heavyhitters" -> (heavyHitters _),
     "text_rarity" -> (rarity _),
+    "text_boilerplate" -> (boilerplate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +468,29 @@ object TextOps {
         |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // Chunk width generated from ChunkTokens; DuckDB list slices are
+    // 1-based inclusive, Spark's slice() is 1-based length-counted —
+    // both spell the same 8 tokens.
+    "text_boilerplate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) // $ChunkTokens + 1),
+        |    i -> array_to_string(tk[(i-1)*$ChunkTokens + 1 : i*$ChunkTokens], ' '))) AS chunk
+        |  FROM t),
+        |n AS (SELECT doc_id, CAST(len(tk) // $ChunkTokens AS BIGINT) AS n_chunks FROM t),
+        |shared AS (
+        |  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+        |  GROUP BY chunk HAVING count(*) >= 2),
+        |b AS (SELECT doc_id, count(*) AS boiler FROM ch JOIN shared USING (chunk)
+        |      GROUP BY doc_id)
+        |SELECT n.doc_id AS doc_id, n.n_chunks AS n_chunks,
+        |  CAST(coalesce(b.boiler, 0) AS BIGINT) AS boiler_chunks,
+        |  CAST(floor(coalesce(b.boiler, 0) * 1000000.0
+        |       / greatest(n.n_chunks, 1)) AS BIGINT) AS boiler_ppm
+        |FROM n LEFT JOIN b ON n.doc_id = b.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     // RareMaxDf generated from the same constant the Spark side uses.
     "text_rarity" ->
       s"""WITH tf AS (

@@ -42,6 +42,17 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("index probe surfaces a batch near-dup of an indexed doc, not noise") {
+    val index = DedupOps.minhashBands(docs((1L, base), (2L, unrelated)), 4, 4)
+    val batch = DedupOps.minhashBands(
+      docs((10L, nearDup), (11L, "fresh tokens that match nothing in history at all")), 4, 4)
+    val pairs = DedupOps.probeIndex(index, batch)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), "near-dup must hit the persisted index")
+    assert(!pairs.exists { case (n, o) => n == 11L || o == 2L },
+      "unrelated docs on either side must not pair")
+  }
+
   test("portable64 is the first 15 hex chars of md5 as an integer") {
     // md5('abc') = 900150983cd24fb0d6963f7d28e17f72 (RFC 1321 test
     // vector), so portable64 must equal 0x900150983cd24fb — the same

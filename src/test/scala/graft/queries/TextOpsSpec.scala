@@ -69,6 +69,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(3L) === ((2L, 1L, 500000L)))
   }
 
+  test("boilerplate flags chunks shared across docs, not unique content") {
+    // 8-token template block shared by docs 1 and 2 as their first
+    // chunk; doc 3 is all-unique; doc 4 is too short to chunk at all.
+    val template = "terms of service apply to all content here"
+    val df = Seq(
+      (1L, template + " unique tail one two three four five six"),
+      (2L, template + " other words in this second document body x"),
+      (3L, "eight completely unique tokens in this document exactly"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.boilerplateOf(df)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, b, ppm) => id -> ((n, b, ppm)) }.toMap
+    assert(rows(1L) === ((2L, 1L, 500000L)))
+    assert(rows(2L) === ((2L, 1L, 500000L)))
+    assert(rows(3L) === ((1L, 0L, 0L)))
+    assert(rows(4L) === ((0L, 0L, 0L)))
+  }
+
   test("repetition signals match a hand-computed document") {
     // "a b a b a": 5 tokens, 2 distinct, top bigram "a b" x2 of 4.
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
