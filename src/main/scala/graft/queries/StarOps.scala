@@ -284,6 +284,39 @@ object StarOps {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped 6-way join: revenue by nation for one region and
+    * one order year, where the supplier must be LOCAL to the customer
+    * (same nation) — the join-graph stress case a warehouse optimizer
+    * must get right. The region→nation prune happens before any fact is
+    * touched (two dims broadcast as one 5-row build side); the
+    * customer/orders/lineitem/supplier chain shuffles once per equi key
+    * with Catalyst + AQE picking build sides from runtime sizes; the
+    * local-supplier condition rides the supplier join as a second
+    * conjunct, never a post-join filter over a wider product.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .join(o.filter(col("o_orderdate") >= Tables.tsLit(o, "o_orderdate", "1996-01-01")
+          && col("o_orderdate") < Tables.tsLit(o, "o_orderdate", "1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue_cents"),
+        count(lit(1)).as("cnt"))
+      .orderBy(desc("revenue_cents"), asc("n_name"))
+  }
+
   /** Spearman rank correlation per group, exactly: Pearson over DOUBLED
     * average ranks. A tie group occupying ranks [r, r+c-1] has average
     * rank r + (c-1)/2 — doubling (2r + c − 1 = 2·cum − c + 1) keeps
@@ -370,6 +403,7 @@ object StarOps {
     "topk_groups" -> (topkGroups _),
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -459,6 +493,21 @@ object StarOps {
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "join_revenue" ->
       """SELECT n_name,
         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,

@@ -77,6 +77,35 @@ object SourceOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Planted malformed lines for [[jsonCorrupt]]. */
+  val CorruptLines = 7
+
+  /** Malformed-record tolerance: real crawl/ingest JSON always contains
+    * broken lines, and the job must quarantine them without dying or
+    * silently dropping. PERMISSIVE read with an explicit
+    * `_corrupt_record` column: good rows parse, each bad line surfaces
+    * as exactly one quarantined row, and the counts prove nothing was
+    * double-counted or lost. Scan-local (the corrupt branch is per-line
+    * parsing, no extra pass); at 100 TB the quarantine column routes to
+    * a dead-letter sink instead of an aggregate.
+    */
+  def jsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratch("orders_json_corrupt")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").json(out)
+    (1 to CorruptLines).map(i => s"{broken json line $i").toDF("value")
+      .coalesce(1).write.mode("append").text(out)
+    spark.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt_record STRING")
+      .json(out)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("status")
+  }
+
   /** ORC sink → ORC source → aggregate (columnar twin of the parquet
     * path; DuckDB cannot read ORC, so fidelity is proven by matching
     * the aggregate against the parquet original).
@@ -221,6 +250,7 @@ object SourceOps {
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_partitioned" -> (partitionedRoundtrip _),
     "src_compaction" -> (compactionRoundtrip _),
+    "src_json_corrupt" -> (jsonCorrupt _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -270,6 +300,14 @@ object SourceOps {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Good rows must aggregate exactly like the original table; the
+    // quarantine row carries the planted line count (constant generated
+    // from CorruptLines).
+    "src_json_corrupt" ->
+      s"""SELECT o_orderstatus AS status, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT '_corrupt', $CorruptLines
+        |ORDER BY status""".stripMargin,
     // The fragment→compact rewrite is lossless, so the twin is the plain
     // aggregate over the original table.
     "src_compaction" ->
