@@ -136,7 +136,28 @@ object SampleOps {
       .orderBy("lang", "bucket", "shard")
   }
 
+  /** Sample size for [[reservoir]]. */
+  val ReservoirK = 50
+
+  /** Deterministic fixed-size corpus sample: the [[ReservoirK]] documents
+    * with the smallest salted content hash — the distributed, rerun-
+    * stable equivalent of reservoir sampling (every row competes
+    * independently; the winners are a pure function of the corpus, not
+    * of partitioning or arrival order). Plans as TakeOrderedAndProject:
+    * each partition forwards ≤ k rows, no global sort, no RNG, no
+    * coordination; appended data can only replace winners, never
+    * arbitrarily reshuffle the survivors. The salt decorrelates the
+    * sample from the split assignment, which hashes the same id.
+    */
+  def reservoir(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        DedupOps.portable64(concat(lit("rsv:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h", "doc_id")
+      .limit(ReservoirK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> (reservoir _),
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
     "sample_decontam" -> (decontam _),
@@ -154,6 +175,13 @@ object SampleOps {
     }
 
   val oracle: Map[String, String] = Map(
+    // Same salted portable hash; the doc_id tie-break keeps the top-k
+    // fully order-determined on both engines.
+    "sample_reservoir" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |FROM documents
+         |ORDER BY h, doc_id LIMIT $ReservoirK""".stripMargin,
     "sample_splits" ->
       s"""WITH b AS (
          |  SELECT lang, text, ${duckBucket("doc_id")} AS bucket FROM documents)

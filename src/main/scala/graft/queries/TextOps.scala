@@ -276,17 +276,51 @@ object TextOps {
     val shared = occ.distinct()
       .groupBy("chunk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select("chunk")
-    val boiler = occ.join(shared, "chunk")
-      .groupBy("doc_id").agg(count(lit(1)).as("boiler_chunks"))
-    chunked.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
-      .join(boiler, Seq("doc_id"), "left")
+      .select(col("chunk"), lit(1L).as("hit"))
+    // One left join carries both totals and hits into a single per-doc
+    // aggregate; zero-chunk (short) docs re-enter via a doc_id-only
+    // right branch, which column-prunes text out of that scan entirely.
+    val per = occ.join(shared, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("boiler_chunks"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_chunks"),
+        col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("boiler_chunks"), lit(0L)).as("boiler_chunks"),
         floor(coalesce(col("boiler_chunks"), lit(0L)) * lit(1000000.0)
-          / greatest(col("n_chunks"), lit(1L))).cast("long").as("boiler_ppm"))
+          / greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L))).cast("long").as("boiler_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** Minimum bigram count to enter the [[ngramLm]] table. */
+  val LmMinCount = 20
+
+  /** Corpus bigram language model: P(next | prev) for every bigram seen
+    * ≥ [[LmMinCount]] times, as floor-scaled ppm of exact counts — the
+    * model-building aggregation behind cheap LM-based corpus filtering
+    * (score a candidate doc by its bigrams' table probabilities). Two
+    * aggregates: bigram counts shuffle once on (prev, next); the prefix
+    * totals derive FROM the bigram table (so the denominator is exactly
+    * the table's own mass) and the join back is co-partitioned on the
+    * prefix key. The min-count cut bounds the published table the way a
+    * real LM prunes its long tail.
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(tokens(lower(col("text"))).as("toks"))
+      .select(explode(expr(
+        """zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),
+          |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val totals = bg.groupBy("a").agg(sum("c").as("tot"))
+    bg.join(totals, "a")
+      .filter(col("c") >= LmMinCount)
+      .select(col("a"), col("b"), col("c"),
+        floor(col("c") * lit(1000000.0) / col("tot")).cast("long").as("p_ppm"))
+      .orderBy("a", "b")
   }
 
   /** Training-corpus quality filter: the composed keep/drop decision a
@@ -347,6 +381,7 @@ object TextOps {
     "text_heavyhitters" -> (heavyHitters _),
     "text_rarity" -> (rarity _),
     "text_boilerplate" -> (boilerplate _),
+    "text_ngram_lm" -> (ngramLm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -468,6 +503,23 @@ object TextOps {
         |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // Prefix totals come from the bigram table itself on both sides, so
+    // the conditional probabilities share one denominator definition.
+    "text_ngram_lm" ->
+      s"""WITH t AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+        |  FROM t),
+        |bg AS (SELECT p.a AS a, p.b AS b, count(*) AS c FROM bgp GROUP BY 1, 2),
+        |uni AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot FROM bg GROUP BY a)
+        |SELECT bg.a AS a, bg.b AS b, bg.c AS c,
+        |  CAST(floor(bg.c * 1000000.0 / uni.tot) AS BIGINT) AS p_ppm
+        |FROM bg JOIN uni USING (a)
+        |WHERE bg.c >= $LmMinCount
+        |ORDER BY a, b""".stripMargin,
     // Chunk width generated from ChunkTokens; DuckDB list slices are
     // 1-based inclusive, Spark's slice() is 1-based length-counted —
     // both spell the same 8 tokens.
