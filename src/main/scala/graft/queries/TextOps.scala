@@ -307,8 +307,15 @@ object TextOps {
     * prefix key. The min-count cut bounds the published table the way a
     * real LM prunes its long tail.
     */
-  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    ngramLmOf(Tables.documents(spark, dir), LmMinCount)
+
+  /** [[ngramLm]] over an arbitrary documents frame with an explicit
+    * count cut (tests plant a tiny corpus with hand-computed
+    * conditionals).
+    */
+  def ngramLmOf(docs: DataFrame, minCount: Int): DataFrame = {
+    val pairs = docs
       .select(tokens(lower(col("text"))).as("toks"))
       .select(explode(expr(
         """zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),
@@ -317,7 +324,7 @@ object TextOps {
     val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
     val totals = bg.groupBy("a").agg(sum("c").as("tot"))
     bg.join(totals, "a")
-      .filter(col("c") >= LmMinCount)
+      .filter(col("c") >= minCount)
       .select(col("a"), col("b"), col("c"),
         floor(col("c") * lit(1000000.0) / col("tot")).cast("long").as("p_ppm"))
       .orderBy("a", "b")

@@ -88,6 +88,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(4L) === ((0L, 0L, 0L)))
   }
 
+  test("ngram LM conditionals match hand-computed fractions") {
+    // Bigrams: (a,b)x2 + (a,b)x1 from doc 2 (lowercase folding), (b,a)x2,
+    // (a,c)x1 — prefix a totals 4, so P(b|a)=3/4, P(c|a)=1/4, P(a|b)=1.
+    val df = Seq((1L, "a b a b a c"), (2L, "A B")).toDF("doc_id", "text")
+    val rows = TextOps.ngramLmOf(df, 1)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rows === Set(
+      ("a", "b", 3L, 750000L),
+      ("a", "c", 1L, 250000L),
+      ("b", "a", 2L, 1000000L)))
+  }
+
   test("repetition signals match a hand-computed document") {
     // "a b a b a": 5 tokens, 2 distinct, top bigram "a b" x2 of 4.
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
