@@ -298,7 +298,44 @@ object VectorQueries {
       .agg(sum(col("micro")).as("sum_micro"), count(lit(1)).as("cnt"))
       .orderBy("label", "pos")
 
+  /** Query-batch size and neighbors per query for [[knnBatch]]. */
+  val KnnQueries = 5
+  val KnnK = 5
+
+  /** Batch k-NN: top-[[KnnK]] cosine neighbors for EVERY query of a
+    * batch at once — the retrieval shape an embedding-dedup or RAG
+    * indexing job runs over millions of queries, vs the single-query
+    * baselines above. The query batch broadcasts like any model
+    * artifact; one corpus scan scores each row against the whole batch
+    * in-task; and the per-query top-k rides the bounded
+    * [[graft.functions.TopKAgg]] aggregator — each partition forwards
+    * ≤ k rows per query, so the shuffle carries
+    * O(queries × k × partitions) rows where a window-rank formulation
+    * would sort a corpus-sized partition per query. Null cosines
+    * (zero-norm vectors) are skipped on both sides.
+    */
+  def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val topk = udaf(new graft.functions.TopKAgg(KnnK),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("score", DoubleType), StructField("key", LongType)))))
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.filter(col("vec_id") >= KnnQueries)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .groupBy("qid")
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.keys").as("vec_id"), col("col.scores").as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_knn_batch" -> (knnBatch _),
     "embed_centroids" -> (centroids _),
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
@@ -328,6 +365,20 @@ object VectorQueries {
          |  CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
          |  count(*) AS cnt
          |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    // The bounded aggregator's (sim desc, vec_id asc) order is exactly
+    // the row_number twin; null sims are excluded on both sides.
+    "simsearch_knn_batch" ->
+      s"""WITH e AS ($CastEmb),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $KnnQueries),
+         |s AS (
+         |  SELECT q.qid, e.vec_id, ${VectorOps.cosineSql("e.v", "q.qv")} AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id >= $KnnQueries),
+         |r AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM s WHERE sim IS NOT NULL)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+         |FROM r WHERE rank <= $KnnK ORDER BY qid, rank""".stripMargin,
     "simsearch_topk" ->
       s"""WITH e AS ($CastEmb),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
