@@ -302,7 +302,25 @@ object RelOps {
       .orderBy("zbucket")
   }
 
+  /** Rollup with explicit grouping markers: `grouping_id()` and
+    * per-column `grouping()` distinguish "NULL because subtotal row"
+    * from "NULL in the data" — the contract every consumer of rollup
+    * output keys on. Both engines put the first rollup column in the
+    * marker's most significant bit (checked against DuckDB's GROUPING).
+    * Same one-exchange plan as any rollup: Expand sits below the
+    * exchange, so the shuffle carries group rows.
+    */
+  def groupingMarkers(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_id" -> (groupingMarkers _),
     "agg_ntile" -> (ntileDeciles _),
     "window_dist" -> (windowDist _),
     "agg_histogram" -> (histogram _),
@@ -357,6 +375,14 @@ object RelOps {
         |  FROM orders) t
         |GROUP BY o_orderpriority, decile
         |ORDER BY o_orderpriority, decile""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -294,6 +294,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization for crawl dedup ([[urlNorm]]): strip the
+    * fragment, strip trailing `&utm_*` tracking params, lowercase. The
+    * corpus carries no URLs, so the query PLANTS one per document from
+    * `doc_id` (mixed-case host, tracking param, fragment — identically
+    * in the oracle SQL, the same planted-fixture move as `text_redact`):
+    * many raw variants collapse onto one canonical page URL, which is
+    * the whole point of canonicalizing before URL-level dedup.
+    */
+  def canonicalUrl(url: Column): Column =
+    lower(regexp_replace(regexp_replace(url, "#.*$", ""), "&utm_[^&#]*", ""))
+
+  /** Per-host raw-vs-canonical URL counts over planted crawl URLs. */
+  def urlNorm(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://Src"), pmod(col("doc_id"), lit(20)).cast("string"),
+      lit(".Example.com/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit("?x=1&utm_source=s"), col("doc_id").cast("string"),
+      lit("#sec"), col("doc_id").cast("string"))
+    Tables.documents(spark, dir)
+      .select(url.as("raw"))
+      .select(col("raw"),
+        lower(regexp_extract(col("raw"), "^https://([^/]+)/", 1)).as("host"),
+        canonicalUrl(col("raw")).as("canon"))
+      .groupBy("host")
+      .agg(countDistinct(col("raw")).as("raw_urls"),
+        countDistinct(col("canon")).as("canon_urls"))
+      .orderBy("host")
+  }
+
   /** Minimum bigram count to enter the [[ngramLm]] table. */
   val LmMinCount = 20
 
@@ -389,6 +418,7 @@ object TextOps {
     "text_rarity" -> (rarity _),
     "text_boilerplate" -> (boilerplate _),
     "text_ngram_lm" -> (ngramLm _),
+    "text_urlnorm" -> (urlNorm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -510,6 +540,25 @@ object TextOps {
         |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // Same planted URL, same two strips + lower; regexp_replace needs
+    // the 'g' flag in DuckDB to match Spark's replace-all (one strip
+    // site each here, but 'g' keeps the twins literally parallel).
+    "text_urlnorm" ->
+      """WITH u AS (
+        |  SELECT 'https://Src' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+        |      || '?x=1&utm_source=s' || CAST(doc_id AS VARCHAR)
+        |      || '#sec' || CAST(doc_id AS VARCHAR) AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT raw,
+        |    lower(regexp_extract(raw, '^https://([^/]+)/', 1)) AS host,
+        |    lower(regexp_replace(regexp_replace(raw, '#.*$', '', 'g'),
+        |          '&utm_[^&#]*', '', 'g')) AS canon
+        |  FROM u)
+        |SELECT host, count(DISTINCT raw) AS raw_urls,
+        |  count(DISTINCT canon) AS canon_urls
+        |FROM c GROUP BY host ORDER BY host""".stripMargin,
     // Prefix totals come from the bigram table itself on both sides, so
     // the conditional probabilities share one denominator definition.
     "text_ngram_lm" ->
