@@ -207,6 +207,32 @@ object SourceOps {
       .orderBy("lang")
   }
 
+  /** Schema evolution across file generations: a long-lived table's
+    * early files lack columns later files carry (and vice versa), and
+    * the reader must reconcile — `mergeSchema` unions the parquet
+    * footers and surfaces missing columns as NULLs, which the counts
+    * prove (each generation's rows carry exactly its own columns).
+    * At 100 TB this is the contract that lets a pipeline add a column
+    * without rewriting history; production pins the merged schema in a
+    * metastore instead of re-inferring per read.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val gen1 = scratch("orders_evolve_gen1")
+    val gen2 = scratch("orders_evolve_gen2")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(gen1)
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(gen2)
+    spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+      .agg(count(lit(1)).as("rows"),
+        count(col("o_totalprice")).as("with_price"),
+        count(col("o_orderpriority")).as("with_priority"),
+        graft.operators.Parity.dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** Bucket count shared by the write and the plan spec. */
   val BucketCount = 8
 
@@ -251,6 +277,7 @@ object SourceOps {
     "src_partitioned" -> (partitionedRoundtrip _),
     "src_compaction" -> (compactionRoundtrip _),
     "src_json_corrupt" -> (jsonCorrupt _),
+    "src_schema_evolution" -> (schemaEvolution _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -300,6 +327,15 @@ object SourceOps {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Each generation carries exactly its own columns; the merged read
+    // must neither lose rows nor invent values for the missing column.
+    "src_schema_evolution" ->
+      """SELECT count(*) AS rows,
+        |  count(*) FILTER (WHERE o_orderkey % 2 = 0) AS with_price,
+        |  count(*) FILTER (WHERE o_orderkey % 2 <> 0) AS with_priority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
     // Good rows must aggregate exactly like the original table; the
     // quarantine row carries the planted line count (constant generated
     // from CorruptLines).
