@@ -19,7 +19,8 @@ object Explain {
     "q3_shipping", "agg_spearman", "simsearch_sq8", "events_sliding",
     "events_zscore", "agg_ntile", "neardup_containment", "text_rarity",
     "events_scd2", "layout_zorder", "agg_mad", "q5_local_supplier",
-    "neardup_minhash_incr", "text_boilerplate")
+    "neardup_minhash_incr", "text_boilerplate", "simsearch_knn_batch",
+    "text_ngram_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
