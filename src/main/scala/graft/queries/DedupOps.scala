@@ -339,6 +339,30 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
 
+  /** MinHash Jaccard ESTIMATION, calibrated: for every LSH candidate
+    * pair, the Broder estimator — the fraction of equal signature
+    * components — as floor-scaled ppm. This is the number a production
+    * pipeline thresholds on INSTEAD of exact shingle-set Jaccard when
+    * the corpus is too big to re-shingle candidates (signatures are 16
+    * longs; shingle sets are the whole document). Deterministic given
+    * the portable family, so the estimate itself carries an exact
+    * oracle; its statistical quality against exact Jaccard is pinned by
+    * the planted near-dups in DedupOpsSpec.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs, 16)
+    val matches = (0 until 16)
+      .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    minhashCandidates(docs)
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        floor(matches * lit(1000000.0) / lit(16)).cast("long").as("est_ppm"))
+      .orderBy("a", "b")
+  }
+
   /** Incremental LSH index maintenance — the daily-crawl shape: today's
     * batch probes a PERSISTED signature index instead of re-hashing the
     * historical corpus. The history split's band buckets are written
@@ -601,6 +625,7 @@ object DedupOps {
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
+    "neardup_minhash_est" -> (minhashEstimate _),
     "neardup_simhash" -> (simhashQuery _),
     "neardup_simhash_pairs" -> (simhashPairs _),
   )
@@ -723,6 +748,21 @@ object DedupOps {
       s"""WITH $duckSignatureCtes
          |SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size
          |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin,
+    // The 16 equality terms are generated, mirroring the Spark side's
+    // per-component comparison of the same portable-family signatures.
+    "neardup_minhash_est" ->
+      s"""WITH $duckSignatureCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT c.a AS a, c.b AS b,
+         |  CAST(floor((${(0 until 16).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")})
+         |       * 1000000.0 / 16) AS BIGINT) AS est_ppm
+         |FROM cand c
+         |JOIN sig sa ON c.a = sa.doc_id
+         |JOIN sig sb ON c.b = sb.doc_id
+         |ORDER BY a, b""".stripMargin,
     // The persisted index is result-transparent (bucket rows round-trip
     // through parquet unchanged), so the twin recomputes both sides'
     // bands and applies the same content-keyed split as

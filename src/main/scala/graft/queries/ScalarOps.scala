@@ -31,6 +31,29 @@ object ScalarOps {
         greatest(col("o_custkey"), col("o_orderkey")).as("max_key"))
       .orderBy("o_orderkey")
 
+  /** Calendar arithmetic in one projection: quarter, ISO weekday,
+    * month truncation, day offsets, and month end — every derived value
+    * surfaces as an epoch-day/number BIGINT so the compare never touches
+    * either engine's date rendering or week-start convention (Spark's
+    * `weekday` is Monday=0; DuckDB's `isodow` is Monday=1 — the +1
+    * aligns them; both `datediff` calls count whole days from epoch).
+    */
+  def datetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val epoch = to_date(lit("1970-01-01"))
+    def days(c: org.apache.spark.sql.Column) = datediff(c, epoch).cast("long")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        quarter(d).cast("long").as("o_quarter"),
+        (weekday(d) + 1).cast("long").as("o_isodow"),
+        days(trunc(d, "month")).as("month_start_day"),
+        days(date_add(d, 30)).as("plus30_day"),
+        days(last_day(d)).as("month_end_day"))
+      .orderBy("o_orderkey")
+  }
+
   /** Map-typed columns end-to-end: per-user event-type counts packed
     * into a `map<string,long>` (`map_from_entries` over an aggregated
     * struct list) and exploded back to rows. The map round-trip is the
@@ -253,6 +276,7 @@ object ScalarOps {
     "flatmap_posexplode" -> (posExplode _),
     "approx_percentile" -> (approxPercentile _),
     "scalar_funcs" -> (scalarFuncs _),
+    "scalar_datetime" -> (datetimeFuncs _),
     "scalar_map" -> (scalarMap _),
     "range_join" -> (rangeJoin _),
     "band_join" -> (bandJoin _),
@@ -302,6 +326,19 @@ object ScalarOps {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
         |  FROM documents WHERE doc_id < 20) t
         |ORDER BY doc_id, pos""".stripMargin,
+    // Every derived value is an epoch-day/number BIGINT; isodow aligns
+    // Spark's Monday=0 weekday with DuckDB's Monday=1 isodow.
+    "scalar_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS o_isodow,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |       date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT) AS month_start_day,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS BIGINT) AS plus30_day,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |       last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS month_end_day
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
