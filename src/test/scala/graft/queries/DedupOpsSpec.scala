@@ -42,6 +42,24 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("signature-equality estimator: 1.0 for exact dups, high for near-dups") {
+    val d = docs((1L, base), (2L, nearDup), (4L, base))
+    val sig = DedupOps.minhashSignatures(d, 16)
+    val matches = (0 until 16)
+      .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = DedupOps.minhashCandidates(d)
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        floor(matches * 1000000L / 16L).cast("long").as("est"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(est((1L, 4L)) === 1000000L, "identical docs share every component")
+    est.get((1L, 2L)).foreach(e => assert(e >= 500000L,
+      s"near-dup estimate should be high, got $e"))
+  }
+
   test("index probe surfaces a batch near-dup of an indexed doc, not noise") {
     val index = DedupOps.minhashBands(docs((1L, base), (2L, unrelated)), 4, 4)
     val batch = DedupOps.minhashBands(

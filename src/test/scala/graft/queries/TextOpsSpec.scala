@@ -88,6 +88,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(4L) === ((0L, 0L, 0L)))
   }
 
+  test("canonicalUrl strips fragment and tracking params, folds case") {
+    val got = Seq(
+      "https://WWW.Example.COM/p/1?x=1&utm_source=a&utm_medium=b#frag",
+      "https://www.example.com/p/1?x=1",
+      "https://other.org/q?x=2&utm_campaign=z")
+      .toDF("u").select(TextOps.canonicalUrl(col("u"))).as[String].collect()
+    assert(got(0) === "https://www.example.com/p/1?x=1")
+    assert(got(0) === got(1), "variants must collapse to one canonical URL")
+    assert(got(2) === "https://other.org/q?x=2")
+  }
+
   test("ngram LM conditionals match hand-computed fractions") {
     // Bigrams: (a,b)x2 + (a,b)x1 from doc 2 (lowercase folding), (b,a)x2,
     // (a,c)x1 — prefix a totals 4, so P(b|a)=3/4, P(c|a)=1/4, P(a|b)=1.
