@@ -194,6 +194,42 @@ object StarOps {
           * 1000000.0).cast("long").as("corr_ppm"))
       .orderBy("l_returnflag")
 
+  /** Exact higher moments per group: skewness and excess kurtosis from
+    * integer power sums of the (integral) quantity — the one-pass,
+    * map-side-combinable extension of [[aggCorr]]'s machinery to 3rd
+    * and 4th moments. Sums ride DECIMAL(38,0) (a long would overflow
+    * Σx⁴ past ~10^12 rows); each sum is < 2^53 at harness scale, so the
+    * decimal→double casts are exact, and the closed-form double tree is
+    * written identically on both engines. Surfaced as floored ppm like
+    * every ratio.
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xi = col("l_quantity").cast("long")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val t2 = col("s2").cast("double") / nD
+    val t3 = col("s3").cast("double") / nD
+    val t4 = col("s4").cast("double") / nD
+    val m2 = t2 - mean * mean
+    val m3 = t3 - lit(3.0) * mean * t2 + lit(2.0) * mean * mean * mean
+    val m4 = t4 - lit(4.0) * mean * t3 + lit(6.0) * mean * mean * t2 -
+      lit(3.0) * mean * mean * mean * mean
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(xi).as("s1"),
+        dsum(xi * xi).as("s2"),
+        dsum(xi * xi * xi).as("s3"),
+        dsum(xi * xi * xi * xi).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        floor(m3 / sqrt(m2 * m2 * m2) * 1000000.0).cast("long").as("skew_ppm"),
+        floor((m4 / (m2 * m2) - lit(3.0)) * 1000000.0).cast("long").as("kurt_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact mode (most frequent value) per group, deterministic: counts
     * per (group, value) then `min_by` over (-count, value) — highest
     * count wins, ties break to the lexicographically smallest value,
@@ -411,6 +447,7 @@ object StarOps {
     "join_theta" -> (joinTheta _),
     "join_salted" -> (joinSalted _),
     "agg_corr" -> (aggCorr _),
+    "agg_moments" -> (aggMoments _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "rollup_agg" -> (rollupAgg _),
@@ -537,6 +574,32 @@ object StarOps {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // Power sums stay < 2^53 (integral quantities ≤ 50), so every
+    // decimal→double cast is exact and the closed-form double tree —
+    // written with identical association on both sides — cannot differ.
+    "agg_moments" ->
+      """SELECT l_returnflag, n,
+        |  CAST(floor(m3 / sqrt(m2*m2*m2) * 1000000.0) AS BIGINT) AS skew_ppm,
+        |  CAST(floor((m4 / (m2*m2) - 3.0) * 1000000.0) AS BIGINT) AS kurt_ppm
+        |FROM (
+        |  SELECT l_returnflag, n,
+        |    t2 - mean*mean AS m2,
+        |    t3 - 3.0*mean*t2 + 2.0*mean*mean*mean AS m3,
+        |    t4 - 4.0*mean*t3 + 6.0*mean*mean*t2 - 3.0*mean*mean*mean*mean AS m4
+        |  FROM (
+        |    SELECT l_returnflag, n,
+        |      s1 / nd AS mean, s2 / nd AS t2, s3 / nd AS t3, s4 / nd AS t4
+        |    FROM (
+        |      SELECT l_returnflag, count(*) AS n,
+        |        CAST(count(*) AS DOUBLE) AS nd,
+        |        CAST(sum(xi) AS DOUBLE) AS s1,
+        |        CAST(sum(xi*xi) AS DOUBLE) AS s2,
+        |        CAST(sum(xi*xi*xi) AS DOUBLE) AS s3,
+        |        CAST(sum(xi*xi*xi*xi) AS DOUBLE) AS s4
+        |      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xi
+        |            FROM lineitem) t
+        |      GROUP BY l_returnflag) a) b) c
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_corr" ->
       """SELECT l_returnflag, n,
         |  CAST(floor(sqrt((sxx - sx*sx/n) / (n - 1)) * 1000000.0) AS BIGINT) AS std_qty_ppm,
