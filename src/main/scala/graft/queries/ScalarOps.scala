@@ -54,6 +54,27 @@ object ScalarOps {
       .orderBy("o_orderkey")
   }
 
+  /** Array-function surface in one projection over real token arrays:
+    * sort/distinct/slice/join/contains/reverse plus an `aggregate` HOF
+    * fold — the building blocks every shingle/sketch query composes,
+    * registered once in isolation so the category has a direct oracle.
+    * Booleans and sums surface as BIGINTs for dtype-stable compares.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("uniq_cnt"),
+        array_join(slice(array_sort(col("tk")), 1, 3), " ").as("first3_sorted"),
+        array_contains(col("tk"), "the").cast("long").as("has_the"),
+        element_at(reverse(col("tk")), 1).as("last_tok"),
+        aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t))
+          .as("char_sum"))
+      .orderBy("doc_id")
+
   /** Map-typed columns end-to-end: per-user event-type counts packed
     * into a `map<string,long>` (`map_from_entries` over an aggregated
     * struct list) and exploded back to rows. The map round-trip is the
@@ -277,6 +298,7 @@ object ScalarOps {
     "approx_percentile" -> (approxPercentile _),
     "scalar_funcs" -> (scalarFuncs _),
     "scalar_datetime" -> (datetimeFuncs _),
+    "scalar_array" -> (arrayFuncs _),
     "scalar_map" -> (scalarMap _),
     "range_join" -> (rangeJoin _),
     "band_join" -> (bandJoin _),
@@ -326,6 +348,22 @@ object ScalarOps {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
         |  FROM documents WHERE doc_id < 20) t
         |ORDER BY doc_id, pos""".stripMargin,
+    // list_sort is binary-collation ascending like array_sort; DuckDB
+    // slices are 1-based inclusive (tk[1:3] == slice(tk, 1, 3)); the
+    // fold surfaces via list_sum with an empty-list coalesce matching
+    // aggregate()'s zero seed.
+    "scalar_array" ->
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS uniq_cnt,
+        |  array_to_string(list_sort(tk)[1:3], ' ') AS first3_sorted,
+        |  CAST(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+        |  list_reverse(tk)[1] AS last_tok,
+        |  CAST(coalesce(list_sum(list_transform(tk, t -> strlen(t))), 0) AS BIGINT) AS char_sum
+        |FROM (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id""".stripMargin,
     // Every derived value is an epoch-day/number BIGINT; isodow aligns
     // Spark's Monday=0 weekday with DuckDB's Monday=1 isodow.
     "scalar_datetime" ->
