@@ -91,6 +91,23 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, "z", us("09:00:00"), None, 1L)))
   }
 
+  test("scd2 intervals chain gaplessly with exactly one open row per user") {
+    val rows = EventOps.scd2(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Option[Long], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, history) =>
+      val h = history.sortBy(_._3)
+      // valid_to of each closed row is the next row's valid_from
+      h.zip(h.tail).foreach { case (cur, next) =>
+        assert(cur._4.contains(next._3), s"user $user interval gap")
+        assert(cur._5 === 0L, s"user $user non-final row flagged current")
+        assert(cur._2 !== next._2, s"user $user consecutive dup state survived")
+      }
+      assert(h.last._4.isEmpty && h.last._5 === 1L,
+        s"user $user must end with one open current row")
+    }
+  }
+
   test("funnel stages: ordered journey counts, out-of-order does not") {
     val events = Seq(
       // user 1: full ordered funnel → stage 3

@@ -12,6 +12,36 @@ class VectorQueriesSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("batch knn: bounded aggregator reproduces the window-rank top-k per query") {
+    import org.apache.spark.sql.expressions.Window
+    val got = VectorQueries.knnBatch(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).distinct.length === VectorQueries.KnnQueries)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length === VectorQueries.KnnK, s"query $qid row count")
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $qid sims must be non-increasing in rank")
+    }
+    // The window-rank formulation over the same scores must agree
+    // exactly (TopKAgg's (sim desc, vec_id asc) order is its twin).
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < VectorQueries.KnnQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val ref = e.filter(col("vec_id") >= VectorQueries.KnnQueries)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= VectorQueries.KnnK)
+      .select("qid", "rank", "vec_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.toSet === ref)
+  }
+
   test("ivf: probes at most IvfProbe cells and scores are true cosines") {
     val got = VectorQueries.topKIvf(spark, dir)
       .as[(Long, Long, Double)].collect()
