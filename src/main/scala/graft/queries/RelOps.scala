@@ -231,6 +231,102 @@ object RelOps {
       .orderBy("o_orderpriority", "decile")
   }
 
+  /** Exact ntile(10) by range assignment — the scale path for
+    * [[ntileDeciles]], whose window sorts a whole priority's ROWS on one
+    * task. Here nothing corpus-sized is ever sorted on one task:
+    *
+    *   1. counts per DISTINCT (priority, price) level cumulate in a
+    *      window over price levels — partition size is the price DOMAIN
+    *      (≤ ~6e7 cent values), not the row count (the same
+    *      distinct-value-frame move `agg_spearman` makes);
+    *   2. ntile's nine cut ranks R_b = b·⌊n/10⌋ + min(b, n mod 10) are
+    *      located in that cumulative profile; a cut falling INSIDE a tie
+    *      run is resolved by ranking rows at that one price point by the
+    *      ntile tie-break key (orderkey) — ≤ 9 price points per group,
+    *      so the tie window touches only boundary-value rows;
+    *   3. each row's decile is 1 + the number of cut keys it follows in
+    *      (price DESC, orderkey ASC) order — a broadcast of ≤ 9 cut keys
+    *      per group and one scan-local array `filter`, no second shuffle
+    *      of the facts.
+    *
+    * Row at rank k follows cut b iff k > R_b, so the assignment equals
+    * `ntile(10)` bit-for-bit — including under heavy ties and n < 10
+    * (both spec-pinned) — which is why it shares agg_ntile's oracle.
+    * Prices map to exact cents through the same DECIMAL route as
+    * [[graft.operators.Parity.dsumCents]], so level grouping never
+    * touches double identity.
+    */
+  private[queries] def rangeDecile(base: DataFrame): DataFrame = {
+    // Every derived relation re-derives from `base`, so all intermediate
+    // column names are kept globally unique — Spark's ambiguous-self-join
+    // detection rejects dataset-qualified refs across shared lineage.
+    val keys = base.select("prio", "cents", "okey")
+    val levels = keys.groupBy("prio", "cents").agg(count(lit(1)).as("lcnt"))
+    val wl = Window.partitionBy("prio").orderBy(desc("cents"))
+    val cum = levels
+      .withColumn("cum", sum("lcnt").over(wl))
+      .withColumn("cum_before", col("cum") - col("lcnt"))
+
+    // The nine ntile cut ranks per group: bucket b ends at rank R_b.
+    val ranks = keys.groupBy("prio").agg(count(lit(1)).as("n"))
+      .select(col("prio").as("rprio"), col("n"),
+        explode(sequence(lit(1L), lit(9L))).as("b"))
+      .withColumn("rank_b",
+        col("b") * floor(col("n") / 10) + least(col("b"), col("n") % 10))
+
+    // Price level containing each cut rank; tie_rank is the cut's
+    // position inside that level's (orderkey-ordered) run of equal prices.
+    val lvlCut = cum.join(broadcast(ranks), col("prio") === col("rprio"))
+      .filter(col("cum_before") < col("rank_b") && col("rank_b") <= col("cum"))
+      .select(col("prio").as("lprio"), col("cents").as("cut_cents"),
+        (col("rank_b") - col("cum_before")).as("tie_rank"))
+
+    // Resolve intra-tie cuts by orderkey rank — only rows AT a cut price.
+    val cutLevels = lvlCut
+      .select(col("lprio").as("cprio"), col("cut_cents").as("ccents"))
+      .distinct()
+    val wt = Window.partitionBy("prio", "cents").orderBy(asc("okey"))
+    val boundaries = keys
+      .join(broadcast(cutLevels),
+        col("prio") === col("cprio") && col("cents") === col("ccents"))
+      .withColumn("rn", row_number().over(wt))
+      .join(broadcast(lvlCut),
+        col("prio") === col("lprio") && col("cents") === col("cut_cents") &&
+          col("rn") === col("tie_rank"))
+      .select(col("prio").as("pprio"), col("cut_cents"), col("okey").as("cut_okey"))
+
+    val packed = boundaries.groupBy("pprio")
+      .agg(collect_list(struct(col("cut_cents").as("c"), col("cut_okey").as("k")))
+        .as("cuts"))
+
+    // decile = 1 + |{cuts the row follows in (price DESC, okey ASC) order}|
+    base.join(broadcast(packed), col("prio") === col("pprio"))
+      .drop("pprio")
+      .withColumn("decile",
+        (size(filter(col("cuts"), x =>
+          col("cents") < x.getField("c") ||
+            (col("cents") === x.getField("c") && col("okey") > x.getField("k")))) + 1)
+          .cast("long"))
+      .drop("cuts")
+  }
+
+  /** [[ntileDeciles]] recomputed through [[rangeDecile]] — identical
+    * output (same oracle SQL), but the plan survives a priority whose
+    * orders no longer fit one task.
+    */
+  def ntileDecilesRange(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"),
+      col("o_totalprice"),
+      (col("o_totalprice").cast(DecimalType(18, 4)) * 100).cast("long").as("cents"),
+      col("o_orderkey").as("okey"))
+    rangeDecile(base)
+      .groupBy(col("prio").as("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsumCents(col("o_totalprice")).as("spend_cents"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   /** Distribution window functions: percent_rank, cume_dist, and the
     * running leader (first_value) per priority, on a customer-sampled
     * slice. Both ratios are a single integer division in both engines
@@ -319,9 +415,23 @@ object RelOps {
         grouping(col("l_linestatus")).cast("long").as("g_status"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Shared by agg_ntile and agg_ntile_range — both must equal ntile. */
+  private val NtileOracleSql =
+    """SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+      |  count(*) AS cnt,
+      |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS spend_cents
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      |  FROM orders) t
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_grouping_id" -> (groupingMarkers _),
     "agg_ntile" -> (ntileDeciles _),
+    "agg_ntile_range" -> (ntileDecilesRange _),
     "window_dist" -> (windowDist _),
     "agg_histogram" -> (histogram _),
     "grouping_sets" -> (groupingSets _),
@@ -364,17 +474,10 @@ object RelOps {
         |  count(*) AS cnt,
         |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS spend_cents
         |FROM orders GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
-    "agg_ntile" ->
-      """SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
-        |  count(*) AS cnt,
-        |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS spend_cents
-        |FROM (
-        |  SELECT o_orderpriority, o_totalprice,
-        |    ntile(10) OVER (PARTITION BY o_orderpriority
-        |                    ORDER BY o_totalprice DESC, o_orderkey) AS decile
-        |  FROM orders) t
-        |GROUP BY o_orderpriority, decile
-        |ORDER BY o_orderpriority, decile""".stripMargin,
+    "agg_ntile" -> NtileOracleSql,
+    // Same oracle on purpose: the range-assignment path must reproduce
+    // ntile(10) bit-for-bit, not merely approximate it.
+    "agg_ntile_range" -> NtileOracleSql,
     "agg_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -70,7 +70,10 @@ object ScalarOps {
         size(array_distinct(col("tk"))).cast("long").as("uniq_cnt"),
         array_join(slice(array_sort(col("tk")), 1, 3), " ").as("first3_sorted"),
         array_contains(col("tk"), "the").cast("long").as("has_the"),
-        element_at(reverse(col("tk")), 1).as("last_tok"),
+        // try_element_at, not element_at: under ANSI mode an empty token
+        // array must yield NULL (as the oracle's list_reverse(tk)[1]
+        // does), not throw.
+        try_element_at(reverse(col("tk")), lit(1)).as("last_tok"),
         aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t))
           .as("char_sum"))
       .orderBy("doc_id")
@@ -269,8 +272,9 @@ object ScalarOps {
     * medians (rows = groups) broadcast back onto the stream, the
     * deviation |x − med| is scan-local, and a second exact percentile
     * runs over the deviations. Exact-percentile state grows with group
-    * size (the documented agg_percentile trade; approx_percentile is
-    * the sketch path at extreme group sizes). Parity: percentile
+    * size — the documented agg_percentile trade; [[robustStatsApprox]]
+    * (`agg_mad_approx`) is the registered sketch path whose state stays
+    * bounded at extreme group sizes. Parity: percentile
     * interpolation is bit-exact against quantile_cont (pinned by
     * agg_percentile), and |x − med| is one IEEE subtraction on both
     * engines.
@@ -289,8 +293,40 @@ object ScalarOps {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch accuracy knob shared by [[robustStatsApprox]] and its spec:
+    * percentile_approx's rank error is bounded by n/accuracy rows.
+    */
+  private[queries] val ApproxAccuracy = 10000
+
+  /** Sketch twin of [[robustStats]] — the same two-pass median+MAD shape
+    * with `percentile_approx` (bounded-state rank sketch) in place of
+    * exact `percentile`, mirroring the agg_percentile/approx_percentile
+    * pairing. This is the 100 TB path: an `l_returnflag` group is ~1/3
+    * of the corpus and exact percentile's per-group value→count state
+    * outgrows an executor, while the sketch holds O([[ApproxAccuracy]])
+    * state per group at any scale. Rows-only in the harness (sketch
+    * internals are engine-specific); SketchAccuracySpec pins both
+    * columns inside the sketch's rank-error band of the exact twin.
+    */
+  def robustStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val meds = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(ApproxAccuracy))
+        .as("med"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(meds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max(col("med")).as("median_price"),
+        percentile_approx(abs(col("l_extendedprice") - col("med")), lit(0.5),
+          lit(ApproxAccuracy)).as("mad_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mad" -> (robustStats _),
+    "agg_mad_approx" -> (robustStatsApprox _),
     "agg_percentile" -> (exactPercentile _),
     "pivot_counts" -> (pivotCounts _),
     "unpivot_metrics" -> (unpivotMetrics _),

@@ -83,6 +83,46 @@ class RelOpsSpec extends AnyFunSuite {
     assert(rows.length === grand.length + perFlag.length + detail.length)
   }
 
+  test("range-assigned deciles equal the ntile window on real data") {
+    val viaNtile = RelOps.ntileDeciles(spark, dir).collect().toSeq
+    val viaRange = RelOps.ntileDecilesRange(spark, dir).collect().toSeq
+    assert(viaRange === viaNtile)
+  }
+
+  test("range-assigned deciles equal ntile under heavy ties") {
+    // 997 rows but only 7 distinct prices: every decile cut lands INSIDE
+    // a tie run, so the intra-tie orderkey ranking carries the whole
+    // assignment. 997 = 10*99 + 7 also exercises ntile's remainder rule
+    // (first 7 buckets get 100 rows, last 3 get 99).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 997).map(i => ("P", (i % 7).toLong * 100L, i.toLong))
+      .toDF("prio", "cents", "okey")
+    val w = Window.partitionBy("prio").orderBy(desc("cents"), asc("okey"))
+    val want = base.withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("okey", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = RelOps.rangeDecile(base)
+      .select("okey", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("range-assigned deciles equal ntile when a group has fewer rows than buckets") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // n=3 < 10: ntile assigns one row per bucket 1..3; duplicated cut
+    // ranks must not shift anyone.
+    val base = Seq(("A", 300L, 1L), ("A", 200L, 2L), ("A", 200L, 3L))
+      .toDF("prio", "cents", "okey")
+    val w = Window.partitionBy("prio").orderBy(desc("cents"), asc("okey"))
+    val want = base.withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("okey", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = RelOps.rangeDecile(base)
+      .select("okey", "decile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("window frame sums agree with a manual 3-row fold") {
     val rows = RelOps.windowFrames(spark, dir)
       .select("o_custkey", "o_orderkey", "o_totalprice", "mov_sum3")

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Executable accuracy contracts for the `no_oracle` sketch queries.
+  *
+  * The harness records approx_distinct / approx_percentile /
+  * agg_mad_approx as rows-only (sketch internals have no DuckDB twin),
+  * so these assertions are their correctness gate: each approx result is
+  * pinned inside its sketch's published error band around the registered
+  * EXACT twin (agg_multidistinct, agg_percentile, agg_mad). Both sketches
+  * are deterministic for a fixed input, so the bounds are stable, not
+  * flaky-probabilistic.
+  */
+class SketchAccuracySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_distinct is inside the HLL++ error band of the exact counts") {
+    // approx_count_distinct's default relative standard deviation is
+    // 0.05; 4 sigma (20%) is a generous-but-meaningful deterministic pin.
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_part"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ScalarOps.approxDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag)
+      assert(math.abs(a - e) <= 0.2 * e,
+        s"flag=$flag approx=$a exact=$e outside 4-sigma HLL band")
+    }
+  }
+
+  /** Exact quantile band [q(f-eps), q(f+eps)] per group for a column. */
+  private def band(colExpr: org.apache.spark.sql.Column, f: Double, eps: Double) =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(colExpr, array(lit(f - eps), lit(f + eps))).as("band"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1).head, r.getSeq[Double](1).last))
+      .toMap
+
+  test("approx_percentile lands within a 1%-rank window of the exact quantiles") {
+    // accuracy=10000 bounds rank error at n/10000 rows — far inside the
+    // 1%-rank window asserted here, which keeps the pin valid at any sf.
+    val p50 = band(col("l_extendedprice"), 0.50, 0.01)
+    val p90 = band(col("l_extendedprice"), 0.90, 0.01)
+    val approx = ScalarOps.approxPercentile(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === p50.keySet)
+    approx.foreach { case (flag, (a50, a90)) =>
+      val (lo50, hi50) = p50(flag)
+      val (lo90, hi90) = p90(flag)
+      assert(a50 >= lo50 && a50 <= hi50, s"flag=$flag p50 $a50 outside [$lo50,$hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"flag=$flag p90 $a90 outside [$lo90,$hi90]")
+    }
+  }
+
+  test("agg_mad_approx lands within a 1%-rank window of the exact median and MAD") {
+    val medBand = band(col("l_extendedprice"), 0.50, 0.01)
+    val approx = ScalarOps.robustStatsApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === medBand.keySet)
+    approx.foreach { case (flag, (aMed, _)) =>
+      val (lo, hi) = medBand(flag)
+      assert(aMed >= lo && aMed <= hi, s"flag=$flag median $aMed outside [$lo,$hi]")
+    }
+    // The MAD pass runs over |x − approxMed|, so its exact band must be
+    // computed around the SAME approximate center the sketch used.
+    val meds = approx.map { case (flag, (aMed, _)) => (flag, aMed) }
+    val medsDf = spark.createDataFrame(meds.toSeq).toDF("l_returnflag", "amed")
+    val devBand = Tables.lineitem(spark, dir)
+      .join(broadcast(medsDf), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(percentile(abs(col("l_extendedprice") - col("amed")),
+        array(lit(0.49), lit(0.51))).as("band"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1).head, r.getSeq[Double](1).last))
+      .toMap
+    approx.foreach { case (flag, (_, aMad)) =>
+      val (lo, hi) = devBand(flag)
+      assert(aMad >= lo && aMad <= hi, s"flag=$flag MAD $aMad outside [$lo,$hi]")
+    }
+  }
+}
