@@ -121,12 +121,22 @@ object DedupOps {
     * Carrying `n_sh` through the shuffle costs 8 bytes/row and removes
     * both the second corpus scan and the two size joins the previous
     * shape needed.
+    *
+    * `explode_outer` + a post-Generate `isNotNull`, NOT plain `explode`:
+    * `InferFiltersFromGenerate` only fires on non-outer generates, and
+    * on the plain form its inferred `size(shset) > 0` filter gets pushed
+    * through the binding projection to the scan, re-inlining (and
+    * re-evaluating) the whole tokenize+shingle tree over raw `text` — a
+    * measured ~2× on the shingle stage. The outer form emits one null
+    * `sh` per shingle-less doc, which the attribute-level filter drops
+    * for the identical relation at O(1) cost.
     */
   private def shingleSetWithSize(docs: DataFrame): DataFrame =
     tokenized(docs)
       .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
       .select(col("doc_id"), size(col("shset")).cast("long").as("n_sh"),
-        explode(col("shset")).as("sh"))
+        explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** Doc-frequency stoplist threshold: a shingle appearing in more than
     * this many documents is dropped before pair expansion. Real corpora

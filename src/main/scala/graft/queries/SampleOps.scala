@@ -91,11 +91,16 @@ object SampleOps {
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("split"),
         DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+    // explode_outer + isNotNull (not plain explode): keeps
+    // InferFiltersFromGenerate from re-inlining the shingle tree into a
+    // scan-level filter — see DedupOps.shingleSetWithSize.
     val testSh = base.filter(col("split") === "test")
-      .select(explode(col("shset")).as("sh")).distinct()
+      .select(explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
     val train = base.filter(col("split") === "train")
     val contaminated = train
-      .select(col("doc_id"), explode(col("shset")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull)
       .join(testSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
     train.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")

@@ -272,7 +272,11 @@ object TextOps {
           expr(s"""transform(sequence(1, size(toks) div $ChunkTokens),
                   |  i -> array_join(slice(toks, (i-1)*$ChunkTokens + 1, $ChunkTokens), ' '))""".stripMargin))
           .otherwise(expr("array()").cast("array<string>")).as("chunks"))
-    val occ = chunked.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    // explode_outer + isNotNull (not plain explode): keeps
+    // InferFiltersFromGenerate from re-inlining the tokenize+chunk tree
+    // into a scan-level filter — see DedupOps.shingleSetWithSize.
+    val occ = chunked.select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
+      .filter(col("chunk").isNotNull)
     val shared = occ.distinct()
       .groupBy("chunk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)

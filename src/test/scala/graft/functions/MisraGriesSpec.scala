@@ -28,9 +28,9 @@ object MisraGriesProps extends Properties("MisraGries") {
     val boundaries = (cuts.map(c => if (ws.isEmpty) 0 else c % (ws.size + 1))
       :+ 0 :+ ws.size).distinct.sorted
     val chunks = boundaries.zip(boundaries.tail).map { case (a, b) => ws.slice(a, b) }
-    chunks
+    agg.finish(chunks
       .map(_.foldLeft(agg.zero)((b, w) => agg.reduce(b, Row(w))))
-      .foldLeft(agg.zero)(agg.merge)
+      .foldLeft(agg.zero)(agg.merge))
   }
 
   property("every > N/(k+1) item survives any reduce/merge split") =
