@@ -386,7 +386,7 @@ object DedupOps {
     */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = SampleOps.withSplit(Tables.documents(spark, dir))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_lshindex_${ProcessHandle.current().pid()}"
+    val out = graft.Scratch.dir("lshindex")
     minhashBands(d.filter(col("split") === "train"), nBands = 4, rowsPerBand = 4)
       .write.mode("overwrite").parquet(out)
     probeIndex(spark.read.parquet(out),

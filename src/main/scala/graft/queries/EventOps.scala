@@ -270,7 +270,7 @@ object EventOps {
     def agg(df: DataFrame): DataFrame =
       df.groupBy("event_type", "day")
         .agg(count(lit(1)).as("cnt"), Parity.dsumCents(col("value")).as("value_cents"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_${ProcessHandle.current().pid()}"
+    val out = graft.Scratch.dir("rollup")
     agg(ev.filter(col("day") < MergeSplitDay))
       .write.mode("overwrite").parquet(out)
     val history = spark.read.parquet(out)

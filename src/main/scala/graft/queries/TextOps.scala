@@ -299,23 +299,34 @@ object TextOps {
   }
 
   /** URL canonicalization for crawl dedup ([[urlNorm]]): strip the
-    * fragment, strip trailing `&utm_*` tracking params, lowercase. The
-    * corpus carries no URLs, so the query PLANTS one per document from
-    * `doc_id` (mixed-case host, tracking param, fragment — identically
-    * in the oracle SQL, the same planted-fixture move as `text_redact`):
-    * many raw variants collapse onto one canonical page URL, which is
-    * the whole point of canonicalizing before URL-level dedup.
+    * fragment, strip `utm_*` tracking params in ANY position (including
+    * a leading `?utm_...`, renormalizing the `?` onto the next surviving
+    * param or dropping it when none survives), lowercase. The corpus
+    * carries no URLs, so the query PLANTS one per document from
+    * `doc_id` (mixed-case host, tracking param first for even ids and
+    * mid-query for odd ids, fragment — identically in the oracle SQL,
+    * the same planted-fixture move as `text_redact`): many raw variants
+    * collapse onto one canonical page URL, which is the whole point of
+    * canonicalizing before URL-level dedup.
     */
-  def canonicalUrl(url: Column): Column =
-    lower(regexp_replace(regexp_replace(url, "#.*$", ""), "&utm_[^&#]*", ""))
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noMid = regexp_replace(noFrag, "&utm_[^&#]*", "")
+    val noFirst = regexp_replace(noMid, "\\?utm_[^&#]*&", "?")
+    lower(regexp_replace(noFirst, "\\?utm_[^&#]*$", ""))
+  }
 
   /** Per-host raw-vs-canonical URL counts over planted crawl URLs. */
   def urlNorm(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val query = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?utm_source=s"), id, lit("&x=1")))
+      .otherwise(concat(lit("?x=1&utm_source=s"), id))
     val url = concat(
       lit("https://Src"), pmod(col("doc_id"), lit(20)).cast("string"),
       lit(".Example.com/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
-      lit("?x=1&utm_source=s"), col("doc_id").cast("string"),
-      lit("#sec"), col("doc_id").cast("string"))
+      query,
+      lit("#sec"), id)
     Tables.documents(spark, dir)
       .select(url.as("raw"))
       .select(col("raw"),
@@ -544,21 +555,26 @@ object TextOps {
         |  CAST(floor(coalesce(top_cnt, 0) * 1000000.0 / greatest(tok_cnt - 1, 1)) AS BIGINT) AS top_bigram_ppm
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
         |ORDER BY s.doc_id""".stripMargin,
-    // Same planted URL, same two strips + lower; regexp_replace needs
+    // Same planted URL, same four strips + lower; regexp_replace needs
     // the 'g' flag in DuckDB to match Spark's replace-all (one strip
     // site each here, but 'g' keeps the twins literally parallel).
     "text_urlnorm" ->
       """WITH u AS (
         |  SELECT 'https://Src' || CAST(doc_id % 20 AS VARCHAR)
         |      || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
-        |      || '?x=1&utm_source=s' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN '?utm_source=s' || CAST(doc_id AS VARCHAR) || '&x=1'
+        |           ELSE '?x=1&utm_source=s' || CAST(doc_id AS VARCHAR) END
         |      || '#sec' || CAST(doc_id AS VARCHAR) AS raw
         |  FROM documents),
         |c AS (
         |  SELECT raw,
         |    lower(regexp_extract(raw, '^https://([^/]+)/', 1)) AS host,
-        |    lower(regexp_replace(regexp_replace(raw, '#.*$', '', 'g'),
-        |          '&utm_[^&#]*', '', 'g')) AS canon
+        |    lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |          '#.*$', '', 'g'),
+        |          '&utm_[^&#]*', '', 'g'),
+        |          '\?utm_[^&#]*&', '?', 'g'),
+        |          '\?utm_[^&#]*$', '', 'g')) AS canon
         |  FROM u)
         |SELECT host, count(DISTINCT raw) AS raw_urls,
         |  count(DISTINCT canon) AS canon_urls

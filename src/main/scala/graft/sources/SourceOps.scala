@@ -34,15 +34,11 @@ object SourceOps {
     RefOps.searchFiles(listing, "item")
   }
 
-  /** Per-JVM scratch root: concurrent graft JVMs (a bench next to a test
-    * run, parallel CI workers) must not race each other's
-    * write→read round-trip directories — on a shared tmpdir the loser
-    * sees its files chmod'd/deleted mid-read.
+  /** Round-trip sinks go to [[graft.Scratch]]: per-pid (concurrent JVMs
+    * must not race each other's write→read directories) and deleted by
+    * its shutdown hook when the session ends.
     */
-  private val scratchRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}"
-
-  private def scratch(name: String): String = s"$scratchRoot/$name"
+  private def scratch(name: String): String = graft.Scratch.dir(s"roundtrip_$name")
 
   /** CSV sink → CSV source → aggregate; doubles survive via the writer's
     * full-precision default and an explicit read schema.
@@ -185,7 +181,12 @@ object SourceOps {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // Clamp by row count: repartition(n) emits fewer than n files when
+    // rows < n, which would break the returned count's "exactly this
+    // many part files" contract on very small inputs. count() on
+    // parquet is a footer-metadata sum, not a data scan.
+    val target = math.max(1L, math.min(
+      math.ceil(bytes.toDouble / targetBytes).toLong, df.count())).toInt
     df.repartition(target).write.mode("overwrite").parquet(outDir)
     target
   }

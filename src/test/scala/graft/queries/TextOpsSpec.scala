@@ -99,6 +99,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2) === "https://other.org/q?x=2")
   }
 
+  test("canonicalUrl handles utm params in first query position") {
+    val got = Seq(
+      "https://a.org/p?utm_source=x&y=1",   // leading utm, another param survives
+      "https://a.org/p?utm_source=x",       // utm is the only param
+      "https://a.org/p?utm_a=1&utm_b=2&y=1" // several leading utm params
+    ).toDF("u").select(TextOps.canonicalUrl(col("u"))).as[String].collect()
+    assert(got(0) === "https://a.org/p?y=1")
+    assert(got(1) === "https://a.org/p")
+    assert(got(2) === "https://a.org/p?y=1")
+  }
+
   test("ngram LM conditionals match hand-computed fractions") {
     // Bigrams: (a,b)x2 + (a,b)x1 from doc 2 (lowercase folding), (b,a)x2,
     // (a,c)x1 — prefix a totals 4, so P(b|a)=3/4, P(c|a)=1/4, P(a|b)=1.

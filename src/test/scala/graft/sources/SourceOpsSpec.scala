@@ -10,7 +10,7 @@ class SourceOpsSpec extends AnyFunSuite {
 
   test("compaction sizes output files from measured bytes and shrinks the count") {
     val dir = "/root/testdata/sf0.001"
-    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val root = graft.Scratch.dir("compact_spec")
     val small = s"$root/small"
     val out = s"$root/out"
     Tables.documents(spark, dir)
@@ -30,7 +30,7 @@ class SourceOpsSpec extends AnyFunSuite {
 
   test("partitioned read prunes to the selected partition's files only") {
     val dir = "/root/testdata/sf0.001"
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}/orders_part_spec"
+    val out = graft.Scratch.dir("orders_part_spec")
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)

@@ -108,8 +108,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("idempotent batch sink: replaying a batch does not duplicate output") {
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_batchsink").toString
+    val root = graft.Scratch.dir("batchsink_spec")
     val b0 = Seq((1L, "click", 3L), (2L, "view", 1L)).toDF("w", "event_type", "cnt")
     val b1 = Seq((3L, "click", 5L)).toDF("w", "event_type", "cnt")
     EventStream.writeBatch(b0, 0L, root)
@@ -127,8 +126,7 @@ class EventStreamSpec extends AnyFunSuite {
   test("golden: the idempotent hourly sink lands exactly the closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_hourlysink").toString
+    val root = graft.Scratch.dir("hourlysink_spec")
     val in = MemoryStream[Ev]
     val q = EventStream.idempotentHourlySink(
       in.toDF(), s"$root/out", s"$root/ckpt", watermark = "30 minutes").start()
