@@ -268,7 +268,9 @@ object RelOps {
       .withColumn("cum_before", col("cum") - col("lcnt"))
 
     // The nine ntile cut ranks per group: bucket b ends at rank R_b.
-    val ranks = keys.groupBy("prio").agg(count(lit(1)).as("n"))
+    // n comes from the level counts (not a separate scan of `keys`), so
+    // the levels aggregate's scan+exchange subtree is shared/reused.
+    val ranks = levels.groupBy("prio").agg(sum("lcnt").as("n"))
       .select(col("prio").as("rprio"), col("n"),
         explode(sequence(lit(1L), lit(9L))).as("b"))
       .withColumn("rank_b",
