@@ -244,6 +244,114 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqW]] dims
+    * (64-dim embeddings), [[PqK]] sub-centroids per subspace, and the
+    * exact-rescore depth. Like the IVF constants, these generate the
+    * oracle SQL too.
+    */
+  val PqM = 8
+  val PqW = 8
+  val PqK = 16
+  val PqRescore = 50
+
+  /** Subspace m of a vector (1-based slice, width [[PqW]]). */
+  private def sub(v: Column, m: Int): Column = slice(v, m * PqW + 1, PqW)
+
+  /** Squared L2 via three native dot products — ‖a‖² − 2a·b + ‖b‖², the
+    * exact IEEE tree the oracle mirrors (`pqL2Sql`).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    (VectorOps.dot(a, a) - lit(2.0) * VectorOps.dot(a, b)) + VectorOps.dot(b, b)
+
+  /** Unit-normalize a vector (zero-norm vectors pass through, matching
+    * cosine's null there). PQ encodes in NORMALIZED space: for unit
+    * vectors ‖q−x‖² = 2−2·cos(q,x), so the sub-L2 ADC ranking tracks the
+    * cosine objective the rescore uses — on raw vectors the two metrics
+    * disagree and candidate selection degrades to noise.
+    */
+  private def unit(v: Column): Column = {
+    val n = VectorOps.norm(v)
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Deterministic PQ sub-codebooks: the subspace slices of (normalized)
+    * vectors 1..[[PqK]] stand in for per-subspace k-means artifacts (the
+    * same move as [[fixedCents]]), which keeps encode, ADC, and rescore
+    * all exactly reproducible in SQL. (cid, cv) rows, broadcast
+    * everywhere.
+    */
+  private def pqCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, PqK))
+      .select(col("vec_id").as("cid"), unit(col("v")).as("cv"))
+
+  /** Per-(vector, centroid) sub-distances d0..d{M-1} in normalized
+    * space, one row per pair.
+    */
+  private def pqSubDists(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(pqCents(e)))
+      .withColumn("vn", unit(col("v")))
+      .select(col("vec_id") +: col("cid") +:
+        (0 until PqM).map(m => l2sq(sub(col("vn"), m), sub(col("cv"), m)).as(s"d$m")): _*)
+
+  /** PQ codes per vector: for each subspace, the nearest sub-centroid id
+    * (ties to the lowest cid — min_by over (distance, cid), the same
+    * deterministic tie-break as the IVF assignment). M small integers
+    * per vector — the 100 TB index artifact is M bytes/vector vs 4·dims
+    * for raw float32 (16× smaller here), and this one aggregate builds
+    * it in a single pass over the corpus×K cross join.
+    */
+  private[queries] def pqCodes(e: DataFrame): DataFrame =
+    pqSubDists(e).groupBy("vec_id")
+      .agg(
+        min_by(col("cid"), struct(col("d0"), col("cid"))).as("c0"),
+        (1 until PqM).map(m =>
+          min_by(col("cid"), struct(col(s"d$m"), col("cid"))).as(s"c$m")): _*)
+
+  /** Product-quantized ANN with asymmetric distance + exact rescore —
+    * the memory-side scale path next to [[topKSq8]]'s: candidates rank
+    * by the ADC table lookup (the query's [[PqM]]×[[PqK]] sub-distance
+    * table, a broadcast artifact computed once per query; per-vector
+    * cost is M lookups on the M-byte code, the raw vector is never
+    * touched), and only the top [[PqRescore]] fetch their floats for
+    * exact cosine re-ranking. The four-term ADC sum is left-associated
+    * on both engines, so the whole pipeline — codebook, encode, ADC,
+    * both rankings — carries an exact DuckDB value oracle; the spec
+    * additionally pins rescore-all ≡ brute-force (true for ANY codebook)
+    * and the code range.
+    */
+  def topKPq(spark: SparkSession, dir: String): DataFrame =
+    topKPqWith(emb(spark, dir), PqRescore)
+
+  /** [[topKPq]] with an explicit rescore depth (the spec sets it to the
+    * corpus size to pin rescore-all ≡ brute-force).
+    */
+  private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame = {
+    val sd = pqSubDists(e)
+    val codes = pqCodes(e)
+    // The query's ADC lookup rows: per subspace, (centroid id → the
+    // query's sub-distance to it). K rows each, broadcast.
+    val lookups = (0 until PqM).map { m =>
+      sd.filter(col("vec_id") === QueryVecId)
+        .select(col("cid").as(s"q${m}_cid"), col(s"d$m").as(s"qd$m"))
+    }
+    val withAdist = lookups.zipWithIndex
+      .foldLeft(codes) { case (acc, (ql, m)) =>
+        acc.join(broadcast(ql), col(s"c$m") === col(s"q${m}_cid"))
+      }
+      .withColumn("adist", (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _))
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    val cand = withAdist.filter(col("vec_id") =!= QueryVecId)
+      .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
+      .select("vec_id", "adist")
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"),
+        floor(col("adist") * lit(1000000.0)).cast("long").as("adist_micro"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding-cosine near-dup: top-20 most similar pairs within each
     * (sign-bucket, label) block. The coarse quantizer ([[signBucket]],
     * the same expression the bucketed ANN uses) is the primary blocking
@@ -342,6 +450,7 @@ object VectorQueries {
     "simsearch_ivf" -> (topKIvf _),
     "simsearch_ivf_trained" -> (topKIvfTrained _),
     "simsearch_sq8" -> (topKSq8 _),
+    "simsearch_pq" -> (topKPq _),
     "neardup_embedding" -> (nearDup _),
   )
 
@@ -353,7 +462,61 @@ object VectorQueries {
       .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB twin of [[sub]] (1-based inclusive slice). */
+  private def pqSubSql(v: String, m: Int): String =
+    s"($v)[${m * PqW + 1}:${(m + 1) * PqW}]"
+
+  /** DuckDB twin of [[unit]]: same guard, same per-element division by
+    * the identical norm value.
+    */
+  private def unitSql(v: String): String = {
+    val n = s"sqrt(${VectorOps.dotSql(v, v)})"
+    s"CASE WHEN $n > 0 THEN list_transform($v, x -> x / $n) ELSE $v END"
+  }
+
+  /** DuckDB twin of [[l2sq]] — the identical IEEE tree. */
+  private def pqL2Sql(a: String, b: String): String =
+    s"((${VectorOps.dotSql(a, a)}) - 2.0 * (${VectorOps.dotSql(a, b)})) + (${VectorOps.dotSql(b, b)})"
+
   val oracle: Map[String, String] = Map(
+    // Long-form twin of the wide Spark plan: the per-subspace CASE picks
+    // the same l2sq tree, row_number's (d, cid) order is min_by's
+    // (d, cid) struct min, and the ADC sum is left-associated on both
+    // sides. All geometry constants interpolate from PqM/PqW/PqK.
+    "simsearch_pq" -> {
+      val dCases = (0 until PqM).map(m =>
+        s"WHEN $m THEN ${pqL2Sql(pqSubSql("nv.vn", m), pqSubSql("c.cv", m))}")
+        .mkString(" ")
+      val adistSum = (0 until PqM)
+        .map(m => s"max(CASE WHEN m = $m THEN d END)")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH e AS ($CastEmb),
+         |cents AS (SELECT vec_id AS cid, ${unitSql("v")} AS cv FROM e
+         |          WHERE vec_id BETWEEN 1 AND $PqK),
+         |nv AS (SELECT vec_id, ${unitSql("v")} AS vn FROM e),
+         |mm AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+         |sd AS (
+         |  SELECT nv.vec_id, c.cid, mm.m, CASE mm.m $dCases END AS d
+         |  FROM nv CROSS JOIN cents c CROSS JOIN mm),
+         |codes AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM sd) t WHERE rn = 1),
+         |qd AS (SELECT m, cid, d FROM sd WHERE vec_id = $QueryVecId),
+         |joined AS (
+         |  SELECT codes.vec_id, codes.m, qd.d
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cid),
+         |adist AS (
+         |  SELECT vec_id, $adistSum AS adist FROM joined GROUP BY vec_id),
+         |cand AS (SELECT vec_id, adist FROM adist WHERE vec_id <> $QueryVecId
+         |         ORDER BY adist, vec_id LIMIT $PqRescore),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT x.vec_id, ${VectorOps.cosineSql("x.v", "qv")} AS sim,
+         |  CAST(floor(cand.adist * 1000000.0) AS BIGINT) AS adist_micro
+         |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
+         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
+    },
     // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
     // and BIGINT sums are integer-exact — no engine can disagree. sum()
     // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT.

@@ -127,4 +127,41 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert((got & brute).size >= 8,
       s"SQ8 with rescore=${VectorQueries.Sq8Rescore} should recover most of the true top-10")
   }
+
+  test("pq: rescoring every candidate reproduces the brute-force top-10") {
+    // The ADC ranking only SELECTS candidates; the final ranking is
+    // always true cosines — so rescore = corpus size must agree with
+    // brute force exactly, for ANY sub-codebook.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count().toInt
+    val all = VectorQueries.topKPqWith(e, n)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(all === brute)
+  }
+
+  test("pq: every vector gets one code per subspace, all within [1, PqK]") {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val codes = VectorQueries.pqCodes(e).collect()
+    assert(codes.length.toLong === n)
+    codes.foreach { r =>
+      (1 to VectorQueries.PqM).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 1 && c <= VectorQueries.PqK, s"code $c out of range in $r")
+      }
+    }
+  }
+
+  test("pq: the default rescore depth keeps high recall on the fixture") {
+    val got = VectorQueries.topKPq(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((got & brute).size >= 8,
+      s"PQ with rescore=${VectorQueries.PqRescore} should recover most of the true top-10")
+  }
 }
