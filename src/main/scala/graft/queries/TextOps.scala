@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -32,6 +33,50 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
+
+  /** Keywords reported per document by [[tfidf]]. */
+  val TfidfTopK = 3
+
+  /** TF-IDF-style keyword extraction, integer-exact: each document's
+    * tokens ranked by tf·(N/df), surfaced as the scaled integer
+    * `tf·N·10⁶ div df`. The linear N/df weight replaces ln(N/df) on
+    * purpose — ln() would hand the compare to each engine's libm (Java
+    * Math.log and DuckDB's C log may differ in the last ulp), while the
+    * linear form is monotone in the same document-frequency signal and
+    * exactly computable in BIGINTs.
+    *
+    * Shapes for 100 TB: tf is one explode + (doc, token) group-by (the
+    * wordcount shuffle); df aggregates the tf rows (distinct by
+    * construction — no second corpus scan); the tf⋈df join shuffles on
+    * the token key, the same scale class as the wordcount itself; the
+    * corpus size joins as a broadcast scalar; and the per-doc top-k
+    * window partitions by doc_id — bounded by a document's distinct
+    * tokens, never corpus-sized. The doc_id < 20 report slice prunes
+    * BEFORE the window but after df, so weights reflect the full corpus.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfOf(Tables.documents(spark, dir))
+
+  /** [[tfidf]] over an arbitrary documents frame (tests plant a tiny
+    * corpus with hand-computed weights).
+    */
+  def tfidfOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("t"))
+    tf.join(df, "t")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * n_docs * 1000000 DIV df"))
+      .filter(col("doc_id") < 20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("t").as("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
 
   /** Quality scoring per document: token count, chars-per-token and
     * stopword ratio as floor-scaled ppm integers.
@@ -434,6 +479,7 @@ object TextOps {
     "text_boilerplate" -> (boilerplate _),
     "text_ngram_lm" -> (ngramLm _),
     "text_urlnorm" -> (urlNorm _),
+    "text_tfidf" -> (tfidf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -499,6 +545,28 @@ object TextOps {
         |                t -> t IN ('the', 'a', 'of', 'and')) AS stop
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    // Integer DIV on both sides (Spark DIV ≡ DuckDB // on positives), so
+    // the score never touches a double; top-k and tie-break mirror the
+    // window exactly.
+    "text_tfidf" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+        |    (tf.tf * n.n_docs * 1000000) // df.df AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN n
+        |  WHERE tf.doc_id < 20),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, t) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS token, tf, df, score
+        |FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
