@@ -285,13 +285,28 @@ object VectorQueries {
       .select(col("vec_id").as("cid"), unit(col("v")).as("cv"))
 
   /** Per-(vector, centroid) sub-distances d0..d{M-1} in normalized
-    * space, one row per pair.
+    * space, one row per pair. `frame` may be a pruned candidate set, but
+    * `cents` must always be the FULL corpus' codebook — codes are only
+    * comparable across queries when every vector encodes against the
+    * same artifact.
     */
-  private def pqSubDists(e: DataFrame): DataFrame =
-    e.crossJoin(broadcast(pqCents(e)))
+  private def pqSubDistsWith(frame: DataFrame, cents: DataFrame): DataFrame =
+    frame.crossJoin(broadcast(cents))
       .withColumn("vn", unit(col("v")))
       .select(col("vec_id") +: col("cid") +:
         (0 until PqM).map(m => l2sq(sub(col("vn"), m), sub(col("cv"), m)).as(s"d$m")): _*)
+
+  private def pqSubDists(e: DataFrame): DataFrame = pqSubDistsWith(e, pqCents(e))
+
+  /** PQ-code aggregation over any per-(vector, centroid) sub-distance
+    * frame (min_by over (distance, cid) per subspace).
+    */
+  private def pqCodesFrom(sd: DataFrame): DataFrame =
+    sd.groupBy("vec_id")
+      .agg(
+        min_by(col("cid"), struct(col("d0"), col("cid"))).as("c0"),
+        (1 until PqM).map(m =>
+          min_by(col("cid"), struct(col(s"d$m"), col("cid"))).as(s"c$m")): _*)
 
   /** PQ codes per vector: for each subspace, the nearest sub-centroid id
     * (ties to the lowest cid — min_by over (distance, cid), the same
@@ -301,11 +316,7 @@ object VectorQueries {
     * it in a single pass over the corpus×K cross join.
     */
   private[queries] def pqCodes(e: DataFrame): DataFrame =
-    pqSubDists(e).groupBy("vec_id")
-      .agg(
-        min_by(col("cid"), struct(col("d0"), col("cid"))).as("c0"),
-        (1 until PqM).map(m =>
-          min_by(col("cid"), struct(col(s"d$m"), col("cid"))).as(s"c$m")): _*)
+    pqCodesFrom(pqSubDists(e))
 
   /** Product-quantized ANN with asymmetric distance + exact rescore —
     * the memory-side scale path next to [[topKSq8]]'s: candidates rank
@@ -322,30 +333,76 @@ object VectorQueries {
   def topKPq(spark: SparkSession, dir: String): DataFrame =
     topKPqWith(emb(spark, dir), PqRescore)
 
-  /** [[topKPq]] with an explicit rescore depth (the spec sets it to the
-    * corpus size to pin rescore-all ≡ brute-force).
+  /** (vec_id, adist) for a candidate frame: encode the candidates
+    * against the full-corpus codebook and sum the query's per-subspace
+    * table lookups (K rows per subspace, broadcast) in fixed left-to-
+    * right order.
     */
-  private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame = {
-    val sd = pqSubDists(e)
-    val codes = pqCodes(e)
-    // The query's ADC lookup rows: per subspace, (centroid id → the
-    // query's sub-distance to it). K rows each, broadcast.
+  private def pqAdist(e: DataFrame, candidates: DataFrame): DataFrame = {
+    val cb = pqCents(e)
+    val codes = pqCodesFrom(pqSubDistsWith(candidates, cb))
+    val qsd = pqSubDistsWith(e.filter(col("vec_id") === QueryVecId), cb)
     val lookups = (0 until PqM).map { m =>
-      sd.filter(col("vec_id") === QueryVecId)
-        .select(col("cid").as(s"q${m}_cid"), col(s"d$m").as(s"qd$m"))
+      qsd.select(col("cid").as(s"q${m}_cid"), col(s"d$m").as(s"qd$m"))
     }
-    val withAdist = lookups.zipWithIndex
+    lookups.zipWithIndex
       .foldLeft(codes) { case (acc, (ql, m)) =>
         acc.join(broadcast(ql), col(s"c$m") === col(s"q${m}_cid"))
       }
       .withColumn("adist", (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _))
-    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
-    val cand = withAdist.filter(col("vec_id") =!= QueryVecId)
-      .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
       .select("vec_id", "adist")
+  }
+
+  /** [[topKPq]] with an explicit rescore depth (the spec sets it to the
+    * corpus size to pin rescore-all ≡ brute-force).
+    */
+  private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame = {
+    val cand = pqAdist(e, e.filter(col("vec_id") =!= QueryVecId).select("vec_id", "v"))
+      .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
     e.join(cand, "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"),
+        floor(col("adist") * lit(1000000.0)).cast("long").as("adist_micro"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF ∘ PQ — the standard production ANN layout: the inverted file
+    * prunes the corpus to the probed cells (scanned volume =
+    * probe/centroids, the IVF axis), then PQ's ADC ranks ONLY those
+    * candidates from their M-byte codes (the compression axis), and the
+    * top [[PqRescore]] survivors rescore exactly. Both index artifacts —
+    * cell assignment and codes — are per-vector and built offline at
+    * scale; the per-query cost is the probed cells' code rows plus
+    * [[PqRescore]] raw-float fetches. Deterministic centroids and
+    * sub-codebooks keep the whole composition exactly value-oracled;
+    * the spec pins probe-all + rescore-all ≡ brute force (cells
+    * partition the corpus and ADC only selects candidates, so the
+    * degenerate configuration must agree exactly for ANY artifacts).
+    */
+  def topKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    topKIvfPqWith(emb(spark, dir), IvfProbe, PqRescore)
+
+  /** [[topKIvfPq]] with explicit probe width and rescore depth. */
+  private[queries] def topKIvfPqWith(e: DataFrame, probe: Int, rescore: Int): DataFrame = {
+    val sims = ivfSims(e, fixedCents(e))
+    val cells = sims.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    val probed = sims.filter(col("vec_id") === QueryVecId)
+      .orderBy(desc("sim"), asc("cid")).limit(probe)
+      .select(col("cid").as("cell"))
+    val cand = e.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= QueryVecId)
+    val ranked = pqAdist(e, cand.select("vec_id", "v"))
+      .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    e.join(cells, "vec_id")
+      .join(ranked, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
         VectorOps.cosine(col("v"), col("qv")).as("sim"),
         floor(col("adist") * lit(1000000.0)).cast("long").as("adist_micro"))
       .orderBy(desc("sim"), asc("vec_id"))
@@ -451,6 +508,7 @@ object VectorQueries {
     "simsearch_ivf_trained" -> (topKIvfTrained _),
     "simsearch_sq8" -> (topKSq8 _),
     "simsearch_pq" -> (topKPq _),
+    "simsearch_ivfpq" -> (topKIvfPq _),
     "neardup_embedding" -> (nearDup _),
   )
 
@@ -474,6 +532,15 @@ object VectorQueries {
     s"CASE WHEN $n > 0 THEN list_transform($v, x -> x / $n) ELSE $v END"
   }
 
+  /** Shared PQ oracle fragments (generated from PqM/PqW/PqK). */
+  private def pqDCases(vn: String, cv: String): String =
+    (0 until PqM).map(m =>
+      s"WHEN $m THEN ${pqL2Sql(pqSubSql(vn, m), pqSubSql(cv, m))}").mkString(" ")
+  private val pqAdistSumSql: String =
+    (0 until PqM).map(m => s"max(CASE WHEN m = $m THEN d END)")
+      .reduce((a, b) => s"($a + $b)")
+  private val pqMmSql: String = s"SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m"
+
   /** DuckDB twin of [[l2sq]] — the identical IEEE tree. */
   private def pqL2Sql(a: String, b: String): String =
     s"((${VectorOps.dotSql(a, a)}) - 2.0 * (${VectorOps.dotSql(a, b)})) + (${VectorOps.dotSql(b, b)})"
@@ -483,20 +550,14 @@ object VectorQueries {
     // the same l2sq tree, row_number's (d, cid) order is min_by's
     // (d, cid) struct min, and the ADC sum is left-associated on both
     // sides. All geometry constants interpolate from PqM/PqW/PqK.
-    "simsearch_pq" -> {
-      val dCases = (0 until PqM).map(m =>
-        s"WHEN $m THEN ${pqL2Sql(pqSubSql("nv.vn", m), pqSubSql("c.cv", m))}")
-        .mkString(" ")
-      val adistSum = (0 until PqM)
-        .map(m => s"max(CASE WHEN m = $m THEN d END)")
-        .reduce((a, b) => s"($a + $b)")
+    "simsearch_pq" ->
       s"""WITH e AS ($CastEmb),
          |cents AS (SELECT vec_id AS cid, ${unitSql("v")} AS cv FROM e
          |          WHERE vec_id BETWEEN 1 AND $PqK),
          |nv AS (SELECT vec_id, ${unitSql("v")} AS vn FROM e),
-         |mm AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+         |mm AS ($pqMmSql),
          |sd AS (
-         |  SELECT nv.vec_id, c.cid, mm.m, CASE mm.m $dCases END AS d
+         |  SELECT nv.vec_id, c.cid, mm.m, CASE mm.m ${pqDCases("nv.vn", "c.cv")} END AS d
          |  FROM nv CROSS JOIN cents c CROSS JOIN mm),
          |codes AS (
          |  SELECT vec_id, m, cid AS code FROM (
@@ -508,15 +569,67 @@ object VectorQueries {
          |  SELECT codes.vec_id, codes.m, qd.d
          |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cid),
          |adist AS (
-         |  SELECT vec_id, $adistSum AS adist FROM joined GROUP BY vec_id),
+         |  SELECT vec_id, $pqAdistSumSql AS adist FROM joined GROUP BY vec_id),
          |cand AS (SELECT vec_id, adist FROM adist WHERE vec_id <> $QueryVecId
          |         ORDER BY adist, vec_id LIMIT $PqRescore),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
          |SELECT x.vec_id, ${VectorOps.cosineSql("x.v", "qv")} AS sim,
          |  CAST(floor(cand.adist * 1000000.0) AS BIGINT) AS adist_micro
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
-         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
+    // The IVF half is simsearch_ivf's CTE chain verbatim; the PQ half is
+    // simsearch_pq's with its sub-distance table restricted to the
+    // probed candidates (plus the query row for the ADC lookups).
+    "simsearch_ivfpq" ->
+      s"""WITH e AS ($CastEmb),
+         |icents AS (SELECT vec_id AS cid, v AS cv FROM e
+         |           WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |isims AS (
+         |  SELECT e.vec_id, c.cid,
+         |    coalesce(${VectorOps.cosineSql("e.v", "c.cv")}, -2.0) AS sim
+         |  FROM e CROSS JOIN icents c),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM isims) t WHERE rn = 1),
+         |probe AS (SELECT cid AS cell FROM isims WHERE vec_id = $QueryVecId
+         |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
+         |cand0 AS (
+         |  SELECT e.vec_id, e.v FROM e
+         |  JOIN cells ON e.vec_id = cells.vec_id
+         |  JOIN probe ON cells.cell = probe.cell
+         |  WHERE e.vec_id <> $QueryVecId),
+         |pcents AS (SELECT vec_id AS cid, ${unitSql("v")} AS cv FROM e
+         |           WHERE vec_id BETWEEN 1 AND $PqK),
+         |nv AS (SELECT vec_id, ${unitSql("v")} AS vn FROM cand0
+         |       UNION ALL
+         |       SELECT vec_id, ${unitSql("v")} AS vn FROM e WHERE vec_id = $QueryVecId),
+         |mm AS ($pqMmSql),
+         |sd AS (
+         |  SELECT nv.vec_id, c.cid, mm.m, CASE mm.m ${pqDCases("nv.vn", "c.cv")} END AS d
+         |  FROM nv CROSS JOIN pcents c CROSS JOIN mm),
+         |codes AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM sd WHERE vec_id <> $QueryVecId) t WHERE rn = 1),
+         |qd AS (SELECT m, cid, d FROM sd WHERE vec_id = $QueryVecId),
+         |joined AS (
+         |  SELECT codes.vec_id, codes.m, qd.d
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cid),
+         |adist AS (
+         |  SELECT vec_id, $pqAdistSumSql AS adist FROM joined GROUP BY vec_id),
+         |cand AS (SELECT vec_id, adist FROM adist
+         |         ORDER BY adist, vec_id LIMIT $PqRescore),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT x.vec_id, cells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim,
+         |  CAST(floor(cand.adist * 1000000.0) AS BIGINT) AS adist_micro
+         |FROM e x
+         |JOIN cells ON x.vec_id = cells.vec_id
+         |JOIN cand ON x.vec_id = cand.vec_id
+         |CROSS JOIN q
+         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
     // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
     // and BIGINT sums are integer-exact — no engine can disagree. sum()
     // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT.

@@ -156,6 +156,29 @@ class VectorQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq: probing all cells and rescoring all candidates reproduces brute force") {
+    // Cells partition the corpus and ADC only SELECTS candidates, so the
+    // degenerate configuration must agree with brute force exactly —
+    // for ANY centroid set and ANY sub-codebook.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count().toInt
+    val all = VectorQueries.topKIvfPqWith(e, VectorQueries.IvfCentroids, n)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val brute = VectorQueries.topK(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(all === brute)
+  }
+
+  test("ivfpq: default config returns true cosines from at most IvfProbe cells") {
+    val got = VectorQueries.topKIvfPq(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._2).distinct.length <= VectorQueries.IvfProbe)
+    // scores are true cosines: spot-check monotone ordering
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-(_: Double)).toSeq)
+  }
+
   test("pq: the default rescore depth keeps high recall on the fixture") {
     val got = VectorQueries.topKPq(spark, dir)
       .select("vec_id").as[Long].collect().toSet
