@@ -122,6 +122,28 @@ object EventStream {
       }
   }
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` — the
+    * declarative twin of [[sessionize]]: Spark's native session operator
+    * merges overlapping [ts, ts+gap) intervals in state with no user
+    * state code, so it stays on the engine's incremental-merge path
+    * (functions-not-UDFs, applied to streaming state). Closed sessions
+    * emit in append mode once the watermark passes. Window end is
+    * last-event-time + gap by definition; the spec pins both forms to
+    * the same session boundaries on a golden input. The
+    * flatMapGroupsWithState form remains for semantics built-ins cannot
+    * express (custom per-session state or emission).
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"))
+
   /** The foreachBatch body for [[idempotentHourlySink]], factored out so
     * retries are testable without a streaming runtime: every micro-batch
     * lands in its own `batch_id=` partition, written with DYNAMIC

@@ -80,6 +80,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the custom sessionizer on a golden log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionizeNative(in.toDF(), gapMinutes = 30, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("native_sessions").outputMode("append")
+      .start()
+    try {
+      // Same event log as the flatMapGroupsWithState test: user 7 has a
+      // two-event session then a singleton; user 8's events only advance
+      // the watermark.
+      in.addData(Ev(1, ts("10:00"), 7, "click"), Ev(2, ts("10:10"), 7, "view"))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("12:00"), 7, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("13:30"), 8, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("13:40"), 8, "view"))
+      q.processAllAvailable()
+      val u7 = spark.table("native_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 == 7L)
+        .map { case (_, s, e, n) => (s.toString, e.toString, n) }.toSet
+      // session_window's end is last-event + gap by definition; start and
+      // event counts must match the custom sessionizer's boundaries.
+      assert(u7 === Set(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+        ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("golden: fixed event log yields exactly the expected closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
