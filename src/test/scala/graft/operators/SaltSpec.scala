@@ -30,4 +30,34 @@ class SaltSpec extends AnyFunSuite {
       .select("s").distinct().as[Long].collect().toSet
     assert(salts.size > 4, s"expected most of 8 salt buckets used, got $salts")
   }
+
+  test("AQE's own skew-join mitigation fires on the same join shape") {
+    // The thresholds guarding OptimizeSkewedJoin are sized for clusters;
+    // drop them so the fixture's hot key registers as skew, and force
+    // the sort-merge join the rule targets. This pins that saltedJoin's
+    // manual spread is the same mitigation AQE applies at runtime — the
+    // production default — while the salt operator remains the portable
+    // form for engines/paths without AQE.
+    TestSpark.withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = ((1 to 20000).map(i => ("hot", i)) ++ (1 to 200).map(i => (s"k$i", i)))
+        .toDF("k", "v")
+      val dim = (Seq("hot") ++ (1 to 200).map(i => s"k$i")).zipWithIndex
+        .toDF("dk", "dv")
+      // No aggregation downstream: splitting a skewed partition breaks
+      // the join's output partitioning, and OptimizeSkewedJoin declines
+      // when that would add a shuffle for a downstream consumer.
+      val j = probe.join(dim, probe("k") === dim("dk")).select("k", "v", "dv")
+      j.collect() // AQE re-plans at runtime; materialize to get the final plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join, got:\n$plan")
+    }
+  }
 }
