@@ -20,7 +20,8 @@ object Explain {
     "events_zscore", "agg_ntile", "neardup_containment", "text_rarity",
     "events_scd2", "layout_zorder", "agg_mad", "q5_local_supplier",
     "neardup_minhash_incr", "text_boilerplate", "simsearch_knn_batch",
-    "text_ngram_lm")
+    "text_ngram_lm", "agg_ntile_range", "agg_mad_approx", "simsearch_pq",
+    "simsearch_ivfpq", "text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
