@@ -17,6 +17,12 @@ object Scratch {
     System.getProperty("java.io.tmpdir"),
     s"graft_scratch_${ProcessHandle.current().pid()}")
 
+  // Pid-keyed paths are only fresh if no earlier KILLED process (whose
+  // shutdown hook never ran) left the same recycled pid's root behind —
+  // a stale streaming checkpoint under a reused pid would poison a
+  // later run. The root can only ever be leftovers at init: clear it.
+  deleteRecursively(root.toFile)
+
   // Registered once for all scratch users. JVM shutdown hooks run
   // unordered, but deletion doesn't contend with Spark's own hooks: by
   // then every query's write→read pair has long completed.

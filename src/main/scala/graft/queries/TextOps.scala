@@ -38,12 +38,16 @@ object TextOps {
   val TfidfTopK = 3
 
   /** TF-IDF-style keyword extraction, integer-exact: each document's
-    * tokens ranked by tf·(N/df), surfaced as the scaled integer
-    * `tf·N·10⁶ div df`. The linear N/df weight replaces ln(N/df) on
-    * purpose — ln() would hand the compare to each engine's libm (Java
-    * Math.log and DuckDB's C log may differ in the last ulp), while the
-    * linear form is monotone in the same document-frequency signal and
-    * exactly computable in BIGINTs.
+    * tokens ranked by tf/df, surfaced as the scaled integer
+    * `tf·10⁶ div df`. Two deliberate departures from the textbook
+    * tf·ln(N/df): ln() would hand the compare to each engine's libm
+    * (Java Math.log and DuckDB's C log may differ in the last ulp), and
+    * the corpus-size factor N is CONSTANT within a ranking, so tf·N/df
+    * and tf/df order every document's keywords identically — dropping N
+    * keeps the score inside int64 at any corpus size (tf ≤ document
+    * tokens, so tf·10⁶ is bounded by document length, never corpus
+    * size), where tf·N·10⁶ would overflow ANSI BIGINT math near
+    * N ~ 10¹⁰.
     *
     * Shapes for 100 TB: tf is one explode + (doc, token) group-by (the
     * wordcount shuffle); df aggregates the tf rows (distinct by
@@ -65,11 +69,9 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("t"))
     tf.join(df, "t")
-      .crossJoin(broadcast(n))
-      .withColumn("score", expr("tf * n_docs * 1000000 DIV df"))
+      .withColumn("score", expr("tf * 1000000 DIV df"))
       .filter(col("doc_id") < 20)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TfidfTopK)
@@ -555,11 +557,10 @@ object TextOps {
         |  FROM documents),
         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (
         |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
-        |    (tf.tf * n.n_docs * 1000000) // df.df AS score
-        |  FROM tf JOIN df USING (t) CROSS JOIN n
+        |    (tf.tf * 1000000) // df.df AS score
+        |  FROM tf JOIN df USING (t)
         |  WHERE tf.doc_id < 20),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -291,8 +291,11 @@ object VectorQueries {
     * same artifact.
     */
   private def pqSubDistsWith(frame: DataFrame, cents: DataFrame): DataFrame =
-    frame.crossJoin(broadcast(cents))
-      .withColumn("vn", unit(col("v")))
+    // Normalize BEFORE the centroid cross join (mirroring the oracle's
+    // `nv` CTE): projected after it, the norm+divisions would re-run
+    // once per (vector, centroid) pair instead of once per vector.
+    frame.select(col("vec_id"), unit(col("v")).as("vn"))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id") +: col("cid") +:
         (0 until PqM).map(m => l2sq(sub(col("vn"), m), sub(col("cv"), m)).as(s"d$m")): _*)
 

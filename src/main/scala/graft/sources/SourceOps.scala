@@ -177,16 +177,25 @@ object SourceOps {
       targetBytes: Long): Int = {
     val df = spark.read.parquet(inDir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = df.inputFiles.iterator.map { f =>
+    val files = df.inputFiles
+    val bytes = files.iterator.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
     // Clamp by row count: repartition(n) emits fewer than n files when
     // rows < n, which would break the returned count's "exactly this
-    // many part files" contract on very small inputs. count() on
-    // parquet is a footer-metadata sum, not a data scan.
+    // many part files" contract on very small inputs. Rows come from
+    // the parquet FOOTERS of the files already listed — no Spark job,
+    // no data pages read (a count() would schedule a scan that re-opens
+    // every small file, the very pathology this op repairs).
+    val rows = files.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
     val target = math.max(1L, math.min(
-      math.ceil(bytes.toDouble / targetBytes).toLong, df.count())).toInt
+      math.ceil(bytes.toDouble / targetBytes).toLong, rows)).toInt
     df.repartition(target).write.mode("overwrite").parquet(outDir)
     target
   }

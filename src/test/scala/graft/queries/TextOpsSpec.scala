@@ -112,8 +112,8 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("tfidf ranks a doc-specific token above corpus-wide ones, scores hand-checked") {
     // 4 docs; "the" appears in all (df=4), "zebra" only in doc 0 (df=1,
-    // tf=2). doc 0 scores: zebra = 2*4*1e6 div 1 = 8e6; the = 2*4e6 div 4
-    // = 2e6 — zebra must rank first with exactly these integers.
+    // tf=2). doc 0 scores: zebra = 2*1e6 div 1 = 2e6; the = 2*1e6 div 4
+    // = 5e5 — zebra must rank first with exactly these integers.
     val docs = Seq(
       (0L, "zebra the zebra the"),
       (1L, "the cat"),
@@ -122,8 +122,8 @@ class TextOpsSpec extends AnyFunSuite {
     val rows = TextOps.tfidfOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
     val doc0 = rows.filter(_._1 == 0L).sortBy(_._2)
-    assert(doc0.head._3 === "zebra" && doc0.head._4 === 8000000L)
-    assert(doc0(1)._3 === "the" && doc0(1)._4 === 2000000L)
+    assert(doc0.head._3 === "zebra" && doc0.head._4 === 2000000L)
+    assert(doc0(1)._3 === "the" && doc0(1)._4 === 500000L)
     // every doc reports at most TfidfTopK keywords
     rows.groupBy(_._1).foreach { case (_, ks) =>
       assert(ks.length <= TextOps.TfidfTopK)
