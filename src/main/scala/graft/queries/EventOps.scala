@@ -60,6 +60,27 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** [[sessions]] recomputed through the BUILT-IN `session_window`
+    * operator in batch mode — the engine's own gap-merge (overlapping
+    * [ts, ts+gap) intervals coalesce inside the aggregate, with
+    * streaming-state reuse in the streaming twin
+    * `EventStream.sessionizeNative`), two-level: per-session counts,
+    * then per-user session/event totals. Boundary semantics match the
+    * island form exactly: session_window merges a new event when its
+    * start <= the current session's end, so an event EXACTLY gap after
+    * its predecessor stays in the session — the same strict `> gap`
+    * split as [[sessions]]' lag test (probed empirically; EventOpsSpec
+    * pins the exactly-gap merge). The two queries therefore share one
+    * oracle. Same one-shuffle-per-user scale shape.
+    */
+  def sessionsNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
+      .orderBy("user_id")
+
   /** As-of join: for every purchase, the user's most recent view at or
     * before the purchase time. Spark lacks a native as-of join; rather
     * than a range join (which explodes into a per-pair filter), this
@@ -326,6 +347,7 @@ object EventOps {
     "events_hourly" -> (hourly _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
+    "events_sessions_native" -> (sessionsNative _),
     "events_asof" -> (asofViewBeforePurchase _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
@@ -338,6 +360,21 @@ object EventOps {
   )
 
   private val TsCast = "CAST(ts AS TIMESTAMP)"
+
+  /** Shared by events_sessions and events_sessions_native — the two
+    * formulations are semantically identical, boundary cases included.
+    */
+  private val SessionsOracleSql =
+    s"""SELECT user_id,
+       |  CAST(sum(gap_new) AS BIGINT) AS n_sessions,
+       |  count(*) AS n_events
+       |FROM (
+       |  SELECT user_id,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+       |         THEN 1 ELSE 0 END AS gap_new
+       |  FROM (SELECT user_id, event_id, epoch_us($TsCast) AS us FROM events) t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) s
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "events_hourly" ->
@@ -352,17 +389,11 @@ object EventOps {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "events_sessions" ->
-      s"""SELECT user_id,
-         |  CAST(sum(gap_new) AS BIGINT) AS n_sessions,
-         |  count(*) AS n_events
-         |FROM (
-         |  SELECT user_id,
-         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
-         |         THEN 1 ELSE 0 END AS gap_new
-         |  FROM (SELECT user_id, event_id, epoch_us($TsCast) AS us FROM events) t
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) s
-         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_sessions" -> SessionsOracleSql,
+    // session_window merges an event landing exactly at session-end
+    // (start <= end overlap test), which is precisely the island form's
+    // strict `> gap` split — one oracle serves both (spec-pinned).
+    "events_sessions_native" -> SessionsOracleSql,
     "events_asof" ->
       s"""WITH v AS (
          |  SELECT user_id, $TsCast AS ts, max(event_id) AS view_id

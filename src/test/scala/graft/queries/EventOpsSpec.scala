@@ -172,4 +172,23 @@ class EventOpsSpec extends AnyFunSuite {
       (15L, base, 1L), (15L, base + 3600, 2L), (15L, base + 7200, 0L),
       (15L, base + 10800, 0L), (15L, base + 14400, 1L)))
   }
+
+  test("session_window boundary matches the island form: exactly-gap merges, past-gap splits") {
+    // session_window merges when new.start <= current session end, so an
+    // event exactly gap after its predecessor stays in the session —
+    // identical to events_sessions' strict `> gap` split test. This is
+    // what licenses the two queries sharing one oracle.
+    val df = Seq(
+      (1L, ts("10:00:00")),
+      (1L, ts("10:10:00")),        // exactly 10 min later → merges
+      (1L, ts("10:15:00")),        // 5 min later → merges
+      (2L, ts("10:00:00")),
+      (2L, ts("10:10:00.000001"))  // 1 µs past the gap → new session
+    ).toDF("user_id", "ts")
+    val got = df
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("user_id", "cnt").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 3L), (2L, 1L), (2L, 1L)))
+  }
 }
