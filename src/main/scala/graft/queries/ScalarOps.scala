@@ -191,6 +191,45 @@ object ScalarOps {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** LATERAL correlated subquery through the SQL front end: top-2
+    * orders per priority, expressed as a per-row dependent subquery with
+    * ORDER BY + LIMIT. Catalyst decorrelates it (the plan is a join —
+    * no per-outer-row re-execution; spec-asserted like subquery_mix),
+    * which is exactly why LATERAL is usable at scale: the engine turns
+    * the "for each row, run this query" form into the same
+    * window/join shape topk_groups writes by hand. DuckDB runs the
+    * identical SQL natively.
+    */
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lv")
+    spark.sql(
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders_lv) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lv o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY p.o_orderpriority, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing from the join — the lookup
+    * semantics a dimension with an explicit "missing" row needs. The
+    * fact side derives NULLs deterministically (`nullif` on a modulus);
+    * the dim side is an inline three-row broadcast with one NULL key,
+    * so the NULL-match cardinality is bounded by the dim (never
+    * null-count²). Surfaced as per-label counts.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val facts = Tables.orders(spark, dir)
+      .select(nullif(col("o_orderkey") % 7, lit(0L)).as("k"))
+    val dim = Seq((Option(1L), "one"), (Option(2L), "two"), (Option.empty[Long], "missing"))
+      .toDF("dk", "label")
+    facts.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+      .orderBy("label")
+  }
+
   /** The `spark.sql` entry path over a registered view — same engine,
     * SQL-text front end.
     */
@@ -343,6 +382,8 @@ object ScalarOps {
     "set_except" -> (setExcept _),
     "approx_distinct" -> (approxDistinct _),
     "sql_api" -> (sqlApi _),
+    "sql_lateral" -> (sqlLateral _),
+    "join_nullsafe" -> (nullSafeJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,6 +497,20 @@ object ScalarOps {
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
+    // DuckDB runs the LATERAL form natively; Spark decorrelates it.
+    "sql_lateral" ->
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY p.o_orderpriority, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "join_nullsafe" ->
+      """WITH f AS (SELECT nullif(o_orderkey % 7, 0) AS k FROM orders),
+        |d(dk, label) AS (VALUES (1, 'one'), (2, 'two'), (NULL, 'missing'))
+        |SELECT label, count(*) AS cnt
+        |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.dk
+        |GROUP BY label ORDER BY label""".stripMargin,
     "sql_api" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
