@@ -302,6 +302,45 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** CDC merge/upsert audit — MERGE INTO semantics without a table
+    * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
+    * snapshot (latest state per user), the post-split stream to a delta
+    * of per-user ops (its latest action; a final 'purchase' plays the
+    * tombstone/delete op a real change feed carries — derived
+    * deterministically so the harness needs no synthetic feed), and ONE
+    * full outer join on the key applies keep/update/insert/delete with
+    * last-writer-wins. Output is the merge audit: row counts per merge
+    * outcome, including the delete-of-absent-key no-op. Scale shape:
+    * two latest-per-key aggregates (max_by over the unique (ts,
+    * event_id) order — no per-user sort) and one user-keyed join whose
+    * sides co-partition; this is the incremental snapshot-maintenance
+    * op, cost keyed to users touched, not history size.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeOf(Tables.events(spark, dir))
+
+  /** [[cdcMerge]] over an arbitrary events frame (tests plant one user
+    * per merge outcome).
+    */
+  def cdcMergeOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("day", floor(unix_timestamp(col("ts")) / 86400L).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+    def latest(df: DataFrame, as: String): DataFrame = df.groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("us"), col("event_id"))).as(as))
+    val snap = latest(ev.filter(col("day") < MergeSplitDay), "state")
+    val delta = latest(ev.filter(col("day") >= MergeSplitDay), "op")
+    snap.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("op").isNull, "kept")
+          .when(col("op") === "purchase",
+            when(col("state").isNull, "noop").otherwise("deleted"))
+          .when(col("state").isNull, "inserted")
+          .otherwise("updated"))
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+      .orderBy("status")
+  }
+
   /** Type-2 slowly-changing-dimension build: the per-user history of
     * `event_type` states with [valid_from, valid_to) epoch-µs validity,
     * consecutive duplicate states collapsed, open-ended current row
@@ -356,6 +395,7 @@ object EventOps {
     "events_gapfill" -> (gapfillHourly _),
     "events_sliding" -> (slidingCounts _),
     "events_rollup_merge" -> (rollupMerge _),
+    "events_cdc_merge" -> (cdcMerge _),
     "events_scd2" -> (scd2 _),
   )
 
@@ -394,6 +434,36 @@ object EventOps {
     // (start <= end overlap test), which is precisely the island form's
     // strict `> gap` split — one oracle serves both (spec-pinned).
     "events_sessions_native" -> SessionsOracleSql,
+    // max_by over struct(us, event_id) == row_number ORDER BY us DESC,
+    // event_id DESC; the CASE ladder mirrors the merge statuses exactly.
+    "events_cdc_merge" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch($TsCast) / 86400) AS BIGINT) AS day,
+         |    epoch_us($TsCast) AS us
+         |  FROM events),
+         |snap AS (
+         |  SELECT user_id, event_type AS state FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e WHERE day < $MergeSplitDay) t WHERE rn = 1),
+         |delta AS (
+         |  SELECT user_id, event_type AS op FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e WHERE day >= $MergeSplitDay) t WHERE rn = 1),
+         |m AS (
+         |  SELECT s.state, d.op
+         |  FROM snap s FULL OUTER JOIN delta d ON s.user_id = d.user_id)
+         |SELECT CASE WHEN op IS NULL THEN 'kept'
+         |            WHEN op = 'purchase' AND state IS NULL THEN 'noop'
+         |            WHEN op = 'purchase' THEN 'deleted'
+         |            WHEN state IS NULL THEN 'inserted'
+         |            ELSE 'updated' END AS status,
+         |  count(*) AS cnt
+         |FROM m GROUP BY status ORDER BY status""".stripMargin,
     "events_asof" ->
       s"""WITH v AS (
          |  SELECT user_id, $TsCast AS ts, max(event_id) AS view_id

@@ -421,6 +421,40 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  /** LM-based corpus scoring — the CONSUMER of [[ngramLm]]'s table:
+    * each document scored by the mean table probability of its bigrams,
+    * with bigrams absent from the pruned table contributing zero —
+    * exactly how a cheap-LM corpus filter penalizes out-of-model text.
+    * Integer-exact: score = sum(p_ppm) DIV n_bigrams, no floats in the
+    * decision. Shapes: the model build is [[ngramLm]]'s corpus-wide
+    * aggregation (built BEFORE the report slice filters); scoring is
+    * one bigram explode over the slice and one vocabulary-keyed left
+    * join — the same scale class as text_rarity's doc-frequency join
+    * (deliberately not a broadcast: the LM table grows with
+    * vocabulary). Documents with < 2 tokens have no bigrams and no row,
+    * on both engines.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lm = ngramLmOf(docs, LmMinCount).select("a", "b", "p_ppm")
+    val bigrams = docs
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode_outer(expr(
+        """zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),
+          |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    bigrams.join(lm, Seq("a", "b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("p_ppm")).as("in_model"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("s"))
+      .withColumn("score", expr("s DIV n_bigrams"))
+      .drop("s")
+      .orderBy("doc_id")
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
@@ -482,6 +516,7 @@ object TextOps {
     "text_ngram_lm" -> (ngramLm _),
     "text_urlnorm" -> (urlNorm _),
     "text_tfidf" -> (tfidf _),
+    "text_lm_score" -> (lmScore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -568,6 +603,37 @@ object TextOps {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS token, tf, df, score
         |FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    // The lm CTEs restate text_ngram_lm's model (same floor/threshold);
+    // integer // keeps the per-doc mean exact on both engines.
+    "text_lm_score" ->
+      s"""WITH t AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+        |  FROM t),
+        |bg AS (SELECT p.a AS a, p.b AS b, count(*) AS c FROM bgp GROUP BY 1, 2),
+        |uni AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot FROM bg GROUP BY a),
+        |lm AS (
+        |  SELECT bg.a AS a, bg.b AS b,
+        |    CAST(floor(bg.c * 1000000.0 / uni.tot) AS BIGINT) AS p_ppm
+        |  FROM bg JOIN uni USING (a)
+        |  WHERE bg.c >= $LmMinCount),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+        |  FROM d),
+        |j AS (
+        |  SELECT db.doc_id, lm.p_ppm
+        |  FROM db LEFT JOIN lm ON db.p.a = lm.a AND db.p.b = lm.b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  count(p_ppm) AS in_model,
+        |  CAST(sum(coalesce(p_ppm, 0)) // count(*) AS BIGINT) AS score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,

@@ -173,6 +173,28 @@ class EventOpsSpec extends AnyFunSuite {
       (15L, base + 10800, 0L), (15L, base + 14400, 1L)))
   }
 
+  test("cdc merge covers all five outcomes with last-writer-wins op selection") {
+    def t(day: String, hhmm: String) = Timestamp.valueOf(s"2024-$day $hhmm:00")
+    // Snapshot side is any day < MergeSplitDay (2024-01-01 qualifies),
+    // delta side any day >= it (2024-02-01). One user per outcome; user
+    // 2's delta holds a purchase FOLLOWED by a view, so last-writer-wins
+    // must pick the view (update), not the tombstone.
+    val events = Seq(
+      (1L, t("01-01", "10:00"), 1L, "click"), // kept: no delta
+      (2L, t("01-01", "10:00"), 2L, "click"), // updated
+      (2L, t("02-01", "10:00"), 3L, "purchase"),
+      (2L, t("02-01", "11:00"), 4L, "view"),
+      (3L, t("02-01", "10:00"), 5L, "view"),  // inserted: no snapshot
+      (4L, t("01-01", "10:00"), 6L, "click"), // deleted: delta ends in purchase
+      (4L, t("02-01", "10:00"), 7L, "purchase"),
+      (5L, t("02-01", "10:00"), 8L, "purchase")) // noop: delete of absent key
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.cdcMergeOf(events)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("kept" -> 1L, "updated" -> 1L, "inserted" -> 1L,
+      "deleted" -> 1L, "noop" -> 1L))
+  }
+
   test("session_window boundary matches the island form: exactly-gap merges, past-gap splits") {
     // session_window merges when new.start <= current session end, so an
     // event exactly gap after its predecessor stays in the session —
