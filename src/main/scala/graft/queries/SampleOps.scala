@@ -161,8 +161,42 @@ object SampleOps {
       .orderBy("h", "doc_id")
       .limit(ReservoirK)
 
+  /** Sample size per language for [[stratified]]. */
+  val StratifiedK = 10
+
+  /** Stratified exact-k sampling: the [[StratifiedK]] lowest-hash
+    * documents of EVERY language — [[reservoir]]'s determinism contract
+    * (content-keyed hash order, rerun-stable) applied per stratum, built
+    * the scale-correct way: the bounded
+    * [[graft.functions.TopKAgg]] forwards ≤ k rows per language per
+    * partition, so the shuffle carries O(langs × k × partitions) rows
+    * where a per-language window would sort corpus-sized partitions
+    * (the dominant language IS most of the corpus). Hashes fold to 2^50
+    * so the aggregator's double scores stay integer-exact; the sign
+    * flip turns its (score desc, key asc) order into (hash asc, doc_id
+    * asc), which is exactly the oracle's row_number order.
+    */
+  def stratified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val topk = udaf(new graft.functions.TopKAgg(StratifiedK),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("score", DoubleType), StructField("key", LongType)))))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        pmod(DedupOps.portable64(concat(lit("strat:"), col("doc_id").cast("string"))),
+          lit(1L << 50)).as("h"))
+      .groupBy("lang")
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.keys").as("doc_id"),
+        (-col("col.scores")).cast("long").as("h"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_reservoir" -> (reservoir _),
+    "sample_stratified" -> (stratified _),
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
     "sample_decontam" -> (decontam _),
@@ -182,6 +216,18 @@ object SampleOps {
   val oracle: Map[String, String] = Map(
     // Same salted portable hash; the doc_id tie-break keeps the top-k
     // fully order-determined on both engines.
+    "sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % ${1L << 50} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+         |  FROM h)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+         |FROM r WHERE rank <= $StratifiedK ORDER BY lang, rank""".stripMargin,
     "sample_reservoir" ->
       s"""SELECT doc_id, lang,
          |  CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

@@ -59,6 +59,31 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum === trainTokens)
   }
 
+  test("stratified equals the per-language window top-k it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SampleOps.stratified(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // The single-task-per-language reference formulation the aggregator
+    // exists to avoid at scale: row_number over (h, doc_id) per lang.
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    val want = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        pmod(DedupOps.portable64(concat(lit("strat:"), col("doc_id").cast("string"))),
+          lit(1L << 50)).as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SampleOps.StratifiedK)
+      .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.sorted === want.sorted)
+    // Every language is represented with exactly min(K, langDocs) rows.
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val gotPerLang = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(gotPerLang === perLang.map { case (l, c) =>
+      l -> math.min(c, SampleOps.StratifiedK.toLong) })
+  }
+
   test("rebalance downsamples the dominant language and keeps strata") {
     val kept = SampleOps.rebalance(spark, dir)
       .as[(String, Long)].collect().toMap
