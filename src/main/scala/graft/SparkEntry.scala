@@ -28,6 +28,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SampleOps.queries, SampleOps.oracle),
+      (GraphOps.queries, GraphOps.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (EventOps.queries, EventOps.oracle),
       (MultimodalOps.queries, MultimodalOps.oracle),

@@ -624,8 +624,44 @@ object DedupOps {
     tokenized(docs)
       .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
 
+  /** Prefix length compared by [[editDistance]]. */
+  val EditPrefixLen = 80
+
+  /** Maximum edit distance for a pair to count as a fuzzy duplicate. */
+  val MaxEdit = 24
+
+  /** Edit-distance fuzzy near-dup: candidate pairs from the SAME
+    * stoplist-bounded shared-shingle expansion every other near-dup
+    * query uses (never all-pairs), verified by Levenshtein distance on
+    * a fixed [[EditPrefixLen]]-char prefix — the field-level fuzzy
+    * match (titles, headers, OCR noise) that token-set similarity
+    * can't see: a one-character typo changes three shingles but is
+    * edit distance 1. The verify step uses Spark's thresholded
+    * `levenshtein(l, r, max)` — the banded DP is O(prefix·max) per
+    * pair instead of O(prefix²) and bails early past [[MaxEdit]] —
+    * and joins text prefixes (bounded bytes, never full payloads)
+    * back to the bounded candidate set only. The threshold form
+    * returns the exact distance whenever it is ≤ max, so the plain
+    * `levenshtein(...) <= max` oracle keeps an exact value compare.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, EditPrefixLen).as("pre"))
+    sharedShinglePairCounts(docs)
+      .select("a", "b")
+      .join(pre.select(col("doc_id").as("a"), col("pre").as("pa")), "a")
+      .join(pre.select(col("doc_id").as("b"), col("pre").as("pb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("pb"), MaxEdit).cast("long").as("edit"))
+      .filter(col("edit") =!= -1L)
+      .orderBy(asc("edit"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pipeline" -> (neardupPipeline _),
+    "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
@@ -754,6 +790,28 @@ object DedupOps {
        |  WHERE floor(inter * 1000000.0 / (s1.n_sh + s2.n_sh - inter)) >= 800000)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "neardup_edit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(0, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |  FROM toks),
+         |keep AS (SELECT sh FROM sh GROUP BY sh
+         |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN keep k ON x.sh = k.sh
+         |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |pre AS (SELECT doc_id, substr(text, 1, $EditPrefixLen) AS pre FROM documents)
+         |SELECT c.a, c.b, CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS edit
+         |FROM cand c
+         |JOIN pre pa ON pa.doc_id = c.a
+         |JOIN pre pb ON pb.doc_id = c.b
+         |WHERE levenshtein(pa.pre, pb.pre) <= $MaxEdit
+         |ORDER BY edit, a, b LIMIT 20""".stripMargin,
     "neardup_minhash" ->
       s"""WITH $duckSignatureCtes
          |SELECT band, bucket, CAST(count(*) AS BIGINT) AS bucket_size

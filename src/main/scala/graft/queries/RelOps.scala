@@ -430,8 +430,55 @@ object RelOps {
       |GROUP BY o_orderpriority, decile
       |ORDER BY o_orderpriority, decile""".stripMargin
 
+  /** ANALYZE-style column statistics in ONE corpus pass: per column
+    * non-null count, null count, exact NDV, and min/max rendered to a
+    * uniform string — the stats a cost-based optimizer (or a pipeline
+    * owner sizing a shuffle) collects before planning. All five
+    * columns' aggregates run in a single `agg` over one scan (Catalyst
+    * plans the multi-distinct via Expand — the [[multiDistinct]]
+    * trade, already registered); the tall (column, stats) shape comes
+    * from `stack` over the single aggregate row, not per-column scans.
+    * At 100 TB the exact NDVs swap for `approx_count_distinct` — the
+    * sketch twin the registry already carries as `approx_distinct`.
+    * Min/max strings avoid float rendering: quantities cast to BIGINT
+    * (integral by construction), dates format as yyyy-MM-dd.
+    */
+  def metaStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def stats(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
+      count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"ndv_$c"),
+      minS.as(s"min_$c"), maxS.as(s"max_$c"))
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        stats("l_returnflag", min(col("l_returnflag")), max(col("l_returnflag"))) ++
+        stats("l_linestatus", min(col("l_linestatus")), max(col("l_linestatus"))) ++
+        stats("l_quantity",
+          min(col("l_quantity")).cast("long").cast("string"),
+          max(col("l_quantity")).cast("long").cast("string")) ++
+        stats("l_orderkey",
+          min(col("l_orderkey")).cast("string"),
+          max(col("l_orderkey")).cast("string")) ++
+        stats("l_shipdate",
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd")): _*)
+      .selectExpr(
+        "n_rows",
+        """stack(5,
+          |  'l_linestatus', nn_l_linestatus, ndv_l_linestatus, min_l_linestatus, max_l_linestatus,
+          |  'l_orderkey', nn_l_orderkey, ndv_l_orderkey, min_l_orderkey, max_l_orderkey,
+          |  'l_quantity', nn_l_quantity, ndv_l_quantity, min_l_quantity, max_l_quantity,
+          |  'l_returnflag', nn_l_returnflag, ndv_l_returnflag, min_l_returnflag, max_l_returnflag,
+          |  'l_shipdate', nn_l_shipdate, ndv_l_shipdate, min_l_shipdate, max_l_shipdate
+          |) AS (col, non_null, ndv, min_s, max_s)""".stripMargin)
+      .select(col("col"), col("non_null"),
+        (col("n_rows") - col("non_null")).as("nulls"), col("ndv"),
+        col("min_s"), col("max_s"))
+      .orderBy("col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_grouping_id" -> (groupingMarkers _),
+    "meta_stats" -> (metaStats _),
     "agg_ntile" -> (ntileDeciles _),
     "agg_ntile_range" -> (ntileDecilesRange _),
     "window_dist" -> (windowDist _),
@@ -449,6 +496,35 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "meta_stats" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS ndv_rf,
+        |    min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |    count(l_linestatus) AS nn_ls, count(DISTINCT l_linestatus) AS ndv_ls,
+        |    min(l_linestatus) AS min_ls, max(l_linestatus) AS max_ls,
+        |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS ndv_q,
+        |    CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR) AS min_q,
+        |    CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) AS max_q,
+        |    count(l_orderkey) AS nn_ok, count(DISTINCT l_orderkey) AS ndv_ok,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_ok,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_ok,
+        |    count(l_shipdate) AS nn_sd, count(DISTINCT l_shipdate) AS ndv_sd,
+        |    strftime(min(l_shipdate), '%Y-%m-%d') AS min_sd,
+        |    strftime(max(l_shipdate), '%Y-%m-%d') AS max_sd
+        |  FROM lineitem)
+        |SELECT col, non_null, n_rows - non_null AS nulls, ndv, min_s, max_s
+        |FROM (
+        |  SELECT n_rows, 'l_linestatus' AS col, nn_ls AS non_null, ndv_ls AS ndv, min_ls AS min_s, max_ls AS max_s FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'l_orderkey', nn_ok, ndv_ok, min_ok, max_ok FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'l_quantity', nn_q, ndv_q, min_q, max_q FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'l_returnflag', nn_rf, ndv_rf, min_rf, max_rf FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'l_shipdate', nn_sd, ndv_sd, min_sd, max_sd FROM a)
+        |ORDER BY col""".stripMargin,
     // The interleave SQL is generated from the same ZBits constants the
     // Spark expression uses, so the two sides cannot drift.
     "layout_zorder" ->

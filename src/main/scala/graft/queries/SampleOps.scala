@@ -194,9 +194,33 @@ object SampleOps {
       .orderBy("lang", "rank")
   }
 
+  /** Sample size for [[weighted]]. */
+  val WeightedK = 30
+
+  /** Deterministic weighted priority sample: each document's priority
+    * is its salted content hash divided by its weight (n_chars), and
+    * the [[WeightedK]] smallest priorities win — integer-exact priority
+    * sampling where a document's chance of winning scales with its
+    * weight (the hash is uniform, so hash/w clears any fixed threshold
+    * w times as often), but the decision stays a pure function of the
+    * corpus like [[reservoir]]: no RNG, rerun-stable, appendable.
+    * Same TakeOrderedAndProject posture — each partition forwards ≤ k
+    * rows, no global sort. The weight guard `greatest(w, 1)` keeps
+    * zero-length documents sampleable rather than dividing by zero.
+    */
+  def weighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        DedupOps.portable64(concat(lit("wt:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pri", expr("h div greatest(n_chars, 1L)"))
+      .select("doc_id", "lang", "n_chars", "pri")
+      .orderBy("pri", "doc_id")
+      .limit(WeightedK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_reservoir" -> (reservoir _),
     "sample_stratified" -> (stratified _),
+    "sample_weighted" -> (weighted _),
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
     "sample_decontam" -> (decontam _),
@@ -228,6 +252,12 @@ object SampleOps {
          |  FROM h)
          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
          |FROM r WHERE rank <= $StratifiedK ORDER BY lang, rank""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(concat('0x', substr(md5('wt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    // greatest(n_chars, 1) AS pri
+         |FROM documents
+         |ORDER BY pri, doc_id LIMIT $WeightedK""".stripMargin,
     "sample_reservoir" ->
       s"""SELECT doc_id, lang,
          |  CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

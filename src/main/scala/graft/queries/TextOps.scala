@@ -500,8 +500,46 @@ object TextOps {
           .as("diversity_ppm"))
       .orderBy("doc_id")
 
+  /** Multi-term retrieval query terms: one rare discriminative token
+    * (high idf) plus two common ones — the shape a real keyword query
+    * has against a crawl corpus.
+    */
+  val SearchTerms: Seq[String] = Seq("dup", "spark", "filter")
+
+  /** Ranked multi-term retrieval — the inverted-index search the
+    * reference's flagship pipeline points at, scored: per (doc, term)
+    * term frequency joined with corpus document frequency, combined as
+    * Σ tf·(10⁶ div df) (the same linear, integer-exact idf weight
+    * [[tfidf]] uses — monotone in the same signal as ln(N/df) with no
+    * libm in the compare). Plan: one corpus scan pre-filtered to
+    * documents containing ANY query term (`arrays_overlap` — at scale
+    * this predicate prunes the explode to the posting lists' docs),
+    * tf and df from the same grouped subtree, df (≤ |terms| rows)
+    * broadcast back, and a TakeOrderedAndProject head. No driver-side
+    * index: the "inverted index" IS the grouped (term, doc, tf)
+    * relation, which at 100 TB would be written bucketed by term once
+    * and range-probed per query.
+    */
+  def searchRank(spark: SparkSession, dir: String): DataFrame = {
+    val termsArr = array(SearchTerms.map(lit): _*)
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .filter(arrays_overlap(col("tk"), termsArr))
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .filter(col("w").isin(SearchTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_filter" -> (corpusFilter _),
+    "text_search_rank" -> (searchRank _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
@@ -519,7 +557,26 @@ object TextOps {
     "text_lm_score" -> (lmScore _),
   )
 
+  private val duckTermsList: String =
+    SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
+    "text_search_rank" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, unnest(tk) AS w FROM tk
+         |  WHERE list_has_any(tk, $duckTermsList)),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM m
+         |  WHERE w IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+         |SELECT tf.doc_id, CAST(sum(tf.tf * (1000000 // df.df)) AS BIGINT) AS score,
+         |  count(*) AS terms_hit
+         |FROM tf JOIN df USING (w)
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // h = h*31 + byte with 64-bit wraparound, replayed as a HUGEINT fold
     // with mod 2^64 per step, then mapped back to the signed long Spark
     // emits. Valid because the corpus is ASCII (ord == UTF-8 byte).

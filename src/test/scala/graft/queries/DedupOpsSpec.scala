@@ -164,4 +164,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head > 900000L,
       s"expected a >0.9 Jaccard pair in the corpus, top was ${top.headOption}")
   }
+
+  test("edit-distance near-dup finds the planted duplicates at distance 0") {
+    val rows = DedupOps.editDistance(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // The corpus plants exact duplicates; the closest candidate pairs
+    // must be prefix-identical, and nothing may exceed the threshold
+    // (the thresholded levenshtein returns -1 past MaxEdit, which the
+    // query filters).
+    assert(rows.head._3 === 0L)
+    rows.foreach { case (a, b, e) =>
+      assert(a < b, "pairs are ordered (a < b)")
+      assert(e >= 0L && e <= DedupOps.MaxEdit.toLong)
+    }
+    // Ordered by (edit, a, b).
+    assert(rows.map(r => (r._3, r._1, r._2)) === rows.map(r => (r._3, r._1, r._2)).sorted)
+  }
 }

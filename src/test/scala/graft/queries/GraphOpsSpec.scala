@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Sequential md5-prefix hash — the plain-Scala twin of portable64
+    * (same shape SampleProps uses).
+    */
+  private def portableSeq(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("pagerank equals a sequential reimplementation of the recurrence") {
+    val n = Tables.documents(spark, dir).count().toInt
+    val edges = for {
+      src <- 0 until n
+      j <- 0 until GraphOps.OutDeg
+    } yield (src.toLong, portableSeq(s"pr:$src:$j") % n)
+    val base = GraphOps.Scale * (100 - GraphOps.Damp) / 100
+    var ranks = Array.fill(n)(GraphOps.Scale)
+    for (_ <- 1 to GraphOps.Iters) {
+      val in = Array.fill(n)(0L)
+      edges.foreach { case (s, d) =>
+        in(d.toInt) += ranks(s.toInt) / GraphOps.OutDeg
+      }
+      ranks = Array.tabulate(n)(i => base + in(i) * GraphOps.Damp / 100)
+    }
+    val want = ranks.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+      .sortBy { case (i, r) => (-r, i) }
+      .take(GraphOps.TopK).toSeq
+    val got = GraphOps.pagerank(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("pagerank ranks are bounded below by the teleport base") {
+    val base = GraphOps.Scale * (100 - GraphOps.Damp) / 100
+    val rows = GraphOps.pagerank(spark, dir).as[(Long, Long)].collect()
+    assert(rows.length === GraphOps.TopK)
+    rows.foreach { case (_, r) => assert(r >= base) }
+    // Top-k is rank-descending with id tie-break.
+    assert(rows.map(r => (-r._2, r._1)).toSeq === rows.map(r => (-r._2, r._1)).sorted.toSeq)
+  }
+}

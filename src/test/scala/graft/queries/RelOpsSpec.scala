@@ -139,4 +139,22 @@ class RelOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("meta_stats matches directly-computed column statistics") {
+    import spark.implicits._
+    val got = RelOps.metaStats(spark, dir)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val li = graft.Tables.lineitem(spark, dir)
+    val n = li.count()
+    // Spot-check one string and one numeric column against direct
+    // single-column aggregates.
+    val rfNdv = li.select("l_returnflag").distinct().count()
+    assert(got("l_returnflag") === (("l_returnflag", n, 0L, rfNdv, "A", "R")))
+    val okRow = got("l_orderkey")
+    assert(okRow._2 === n && okRow._3 === 0L)
+    assert(okRow._4 === li.select("l_orderkey").distinct().count())
+    // Every column reports non_null + nulls == row count.
+    got.values.foreach { r => assert(r._2 + r._3 === n, s"counts must cover all rows: $r") }
+  }
 }

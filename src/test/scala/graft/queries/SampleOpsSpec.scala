@@ -84,6 +84,25 @@ class SampleOpsSpec extends AnyFunSuite {
       l -> math.min(c, SampleOps.StratifiedK.toLong) })
   }
 
+  test("weighted sample is deterministic and weight-biased") {
+    val rows = SampleOps.weighted(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.length === SampleOps.WeightedK)
+    // Priorities arrive non-decreasing (the top-k head of pri asc).
+    assert(rows.map(_._4) === rows.map(_._4).sorted)
+    // Rerun-stable: identical winners on a second run.
+    val again = SampleOps.weighted(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(again === rows)
+    // Weight bias: winners skew longer than the corpus average (hash/w
+    // makes large-w docs clear any threshold proportionally more often).
+    val corpusAvg = Tables.documents(spark, dir)
+      .agg(avg(col("n_chars"))).as[Double].collect().head
+    val sampleAvg = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample should skew long: sample $sampleAvg vs corpus $corpusAvg")
+  }
+
   test("rebalance downsamples the dominant language and keeps strata") {
     val kept = SampleOps.rebalance(spark, dir)
       .as[(String, Long)].collect().toMap

@@ -162,4 +162,25 @@ class TextOpsSpec extends AnyFunSuite {
       assert(topPpm <= 1000000L, s"doc $id top-bigram ppm bounded")
     }
   }
+
+  test("search_rank weights the rare term above the common ones") {
+    val rows = TextOps.searchRank(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.length <= 15)
+    // Every hit contains at least one query term, at most all of them.
+    rows.foreach { case (_, score, hit) =>
+      assert(hit >= 1L && hit <= TextOps.SearchTerms.length.toLong)
+      assert(score > 0L)
+    }
+    // Scores are the sort key (desc), doc_id breaks ties.
+    assert(rows.map(r => (-r._2, r._1)) === rows.map(r => (-r._2, r._1)).sorted)
+    // The rare term ("dup", df~25/500) carries ~15x the idf weight of a
+    // common term: the top hit must actually contain it.
+    val topDoc = rows.head._1
+    val text = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") === topDoc)
+      .select("text").as[String].collect().head
+    assert(text.toLowerCase.split(" ").contains("dup"),
+      s"top-ranked doc $topDoc should contain the high-idf term")
+  }
 }
