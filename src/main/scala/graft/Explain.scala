@@ -21,7 +21,8 @@ object Explain {
     "events_scd2", "layout_zorder", "agg_mad", "q5_local_supplier",
     "neardup_minhash_incr", "text_boilerplate", "simsearch_knn_batch",
     "text_ngram_lm", "agg_ntile_range", "agg_mad_approx", "simsearch_pq",
-    "simsearch_ivfpq", "text_tfidf")
+    "simsearch_ivfpq", "text_tfidf", "graph_pagerank", "text_search_rank",
+    "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
