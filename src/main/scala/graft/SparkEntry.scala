@@ -29,6 +29,7 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracle),
       (SampleOps.queries, SampleOps.oracle),
       (GraphOps.queries, GraphOps.oracle),
+      (AuditOps.queries, AuditOps.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (EventOps.queries, EventOps.oracle),
       (MultimodalOps.queries, MultimodalOps.oracle),

@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class AuditOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quality checks report every constraint over the full population") {
+    val rows = AuditOps.qualityChecks(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === rows.map(_._1).sorted)
+    assert(rows.length === 4)
+    val byName = rows.map(r => r._1 -> r).toMap
+    val nOrders = Tables.orders(spark, dir).count()
+    val nCust = Tables.customer(spark, dir).count()
+    // The generated star schema is referentially intact and key-unique:
+    // those checks must pass over the full population.
+    assert(byName("orders_custkey_fk") === (("orders_custkey_fk", 0L, nOrders, 1L)))
+    assert(byName("customer_custkey_unique") === (("customer_custkey_unique", 0L, nCust, 1L)))
+    rows.foreach { case (name, viol, checked, pass) =>
+      assert(viol >= 0L && viol <= checked, s"$name violations bounded")
+      assert(pass === (if (viol == 0L) 1L else 0L), s"$name pass flag consistent")
+    }
+  }
+
+  test("k-anonymity profile is internally consistent") {
+    val (classes, small, minClass, atRisk) =
+      AuditOps.kAnonymity(spark, dir).as[(Long, Long, Long, Long)].collect().head
+    val nCust = Tables.customer(spark, dir).count()
+    assert(classes >= 1L && classes <= nCust)
+    assert(small >= 0L && small <= classes)
+    assert(minClass >= 1L)
+    assert(atRisk >= small * 1L && atRisk < AuditOps.KAnon * small + 1,
+      s"rows at risk ($atRisk) must be between the small-class count ($small) and k*small")
+    if (small == 0L) assert(atRisk === 0L)
+  }
+}
