@@ -373,6 +373,34 @@ object EventOps {
       .orderBy("user_id", "valid_from", "state")
   }
 
+  /** Point-in-time dimension probe — the consumer half of the SCD2
+    * pattern [[scd2]] builds: for every purchase, look up the state the
+    * user was in IMMEDIATELY BEFORE it (as-of `ts − 1µs`; at the
+    * purchase's own timestamp the answer is trivially 'purchase'), and
+    * report purchase counts by prior state — last-touch attribution
+    * against a versioned dimension. The join is equi on `user_id` with
+    * the validity-interval predicate as a residual: both sides shuffle
+    * once on the user key and the interval scan stays inside the
+    * per-user match group, which the SCD2 construction keeps history-
+    * sized. Validity intervals partition each user's timeline, so
+    * every probe matches at most one row (the left join preserves
+    * first-event purchases as 'none') and the aggregate is exact.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2Of(ev).select("user_id", "state", "valid_from", "valid_to")
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        (unix_micros(col("ts")) - 1).as("at_us"))
+    probes.join(dim,
+        col("p_user") === col("user_id") &&
+        col("valid_from") <= col("at_us") &&
+        (col("valid_to").isNull || col("at_us") < col("valid_to")), "left")
+      .groupBy(coalesce(col("state"), lit("none")).as("prior_state"))
+      .agg(count(lit(1)).as("purchases"))
+      .orderBy("prior_state")
+  }
+
   /** JSON property extraction + aggregate: sum of props.k per type. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -397,6 +425,7 @@ object EventOps {
     "events_rollup_merge" -> (rollupMerge _),
     "events_cdc_merge" -> (cdcMerge _),
     "events_scd2" -> (scd2 _),
+    "events_scd2_lookup" -> (scd2Lookup _),
   )
 
   private val TsCast = "CAST(ts AS TIMESTAMP)"
@@ -587,6 +616,29 @@ object EventOps {
          |FROM ch
          |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          |ORDER BY user_id, valid_from, state""".stripMargin,
+    "events_scd2_lookup" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us($TsCast) AS us
+         |  FROM events),
+         |ch AS (
+         |  SELECT user_id, event_id, event_type, us FROM (
+         |    SELECT user_id, event_id, event_type, us,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id) AS prev
+         |    FROM e) t
+         |  WHERE prev IS NULL OR prev <> event_type),
+         |dim AS (
+         |  SELECT user_id, event_type AS state, us AS valid_from,
+         |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+         |  FROM ch),
+         |p AS (
+         |  SELECT user_id, epoch_us($TsCast) - 1 AS at_us
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT coalesce(d.state, 'none') AS prior_state, count(*) AS purchases
+         |FROM p LEFT JOIN dim d
+         |  ON d.user_id = p.user_id AND d.valid_from <= p.at_us
+         |  AND (d.valid_to IS NULL OR p.at_us < d.valid_to)
+         |GROUP BY prior_state ORDER BY prior_state""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

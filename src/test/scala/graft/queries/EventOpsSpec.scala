@@ -213,4 +213,23 @@ class EventOpsSpec extends AnyFunSuite {
       .select("user_id", "cnt").as[(Long, Long)].collect().sorted.toSeq
     assert(got === Seq((1L, 3L), (2L, 1L), (2L, 1L)))
   }
+
+  test("scd2 lookup attributes every purchase to exactly one prior state") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventOps.scd2Lookup(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // Validity intervals partition each user's timeline, so the left
+    // join is match-unique and the attribution must cover every
+    // purchase exactly once.
+    val purchases = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum === purchases)
+    val types = graft.Tables.events(spark, dir)
+      .select("event_type").distinct().as[String].collect().toSet + "none"
+    rows.foreach { case (s, c) =>
+      assert(types.contains(s), s"unknown prior state $s")
+      assert(c > 0L)
+    }
+  }
 }
