@@ -630,6 +630,16 @@ object DedupOps {
   /** Maximum edit distance for a pair to count as a fuzzy duplicate. */
   val MaxEdit = 24
 
+  /** Minimum shared shingles for a pair to reach the Levenshtein
+    * verify. Like [[JaccardMaxDf]] this is a recall/cost knob mirrored
+    * exactly in the oracle: one shared trigram admits ~10× the
+    * candidates that two do (1.13M vs 112K at sf0.1), and a pair
+    * within [[MaxEdit]] edits on a prefix shares long runs of
+    * identical trigrams, so the second shingle is nearly free recall-
+    * wise while cutting the verify stage an order of magnitude.
+    */
+  val EditMinShared = 2
+
   /** Edit-distance fuzzy near-dup: candidate pairs from the SAME
     * stoplist-bounded shared-shingle expansion every other near-dup
     * query uses (never all-pairs), verified by Levenshtein distance on
@@ -649,6 +659,7 @@ object DedupOps {
     val pre = docs.select(col("doc_id"),
       substring(col("text"), 1, EditPrefixLen).as("pre"))
     sharedShinglePairCounts(docs)
+      .filter(col("inter") >= EditMinShared)
       .select("a", "b")
       .join(pre.select(col("doc_id").as("a"), col("pre").as("pa")), "a")
       .join(pre.select(col("doc_id").as("b"), col("pre").as("pb")), "b")
@@ -802,9 +813,11 @@ object DedupOps {
          |keep AS (SELECT sh FROM sh GROUP BY sh
          |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM sh x JOIN keep k ON x.sh = k.sh
-         |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= $EditMinShared),
          |pre AS (SELECT doc_id, substr(text, 1, $EditPrefixLen) AS pre FROM documents)
          |SELECT c.a, c.b, CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS edit
          |FROM cand c

@@ -430,25 +430,30 @@ object RelOps {
       |GROUP BY o_orderpriority, decile
       |ORDER BY o_orderpriority, decile""".stripMargin
 
-  /** ANALYZE-style column statistics in ONE corpus pass: per column
-    * non-null count, null count, exact NDV, and min/max rendered to a
-    * uniform string — the stats a cost-based optimizer (or a pipeline
-    * owner sizing a shuffle) collects before planning. All five
-    * columns' aggregates run in a single `agg` over one scan (Catalyst
-    * plans the multi-distinct via Expand — the [[multiDistinct]]
-    * trade, already registered); the tall (column, stats) shape comes
-    * from `stack` over the single aggregate row, not per-column scans.
-    * At 100 TB the exact NDVs swap for `approx_count_distinct` — the
-    * sketch twin the registry already carries as `approx_distinct`.
-    * Min/max strings avoid float rendering: quantities cast to BIGINT
-    * (integral by construction), dates format as yyyy-MM-dd.
+  /** ANALYZE-style column statistics: per column non-null count, null
+    * count, exact NDV, and min/max rendered to a uniform string — the
+    * stats a cost-based optimizer (or a pipeline owner sizing a
+    * shuffle) collects before planning. Two passes, both hash-
+    * aggregated and map-side combinable: (1) counts and typed min/max
+    * for ALL columns in one no-distinct aggregate (a single row); (2)
+    * NDVs via a `stack`-melt to narrow (column, value) rows and ONE
+    * two-level distinct — grouping (col, val) first means partial
+    * aggregation dedups within each partition before the exchange.
+    * This deliberately avoids a single multi-column `count_distinct`
+    * aggregate: Catalyst plans that as a 6-way Expand into 6-key
+    * SortAggregates (measured 7s vs 1s at sf0.1). The melt renders
+    * values injectively (casts, never lossy formats), so per-column
+    * distinct counts are exact. At 100 TB the exact NDVs swap for
+    * `approx_count_distinct` — the sketch twin the registry already
+    * carries as `approx_distinct`. Min/max strings avoid float
+    * rendering: quantities cast to BIGINT (integral by construction),
+    * dates format as yyyy-MM-dd.
     */
   def metaStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def stats(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
-      count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"ndv_$c"),
-      minS.as(s"min_$c"), maxS.as(s"max_$c"))
-    li.agg(
+      count(col(c)).as(s"nn_$c"), minS.as(s"min_$c"), maxS.as(s"max_$c"))
+    val tall = li.agg(
         count(lit(1)).as("n_rows"),
         stats("l_returnflag", min(col("l_returnflag")), max(col("l_returnflag"))) ++
         stats("l_linestatus", min(col("l_linestatus")), max(col("l_linestatus"))) ++
@@ -464,14 +469,27 @@ object RelOps {
       .selectExpr(
         "n_rows",
         """stack(5,
-          |  'l_linestatus', nn_l_linestatus, ndv_l_linestatus, min_l_linestatus, max_l_linestatus,
-          |  'l_orderkey', nn_l_orderkey, ndv_l_orderkey, min_l_orderkey, max_l_orderkey,
-          |  'l_quantity', nn_l_quantity, ndv_l_quantity, min_l_quantity, max_l_quantity,
-          |  'l_returnflag', nn_l_returnflag, ndv_l_returnflag, min_l_returnflag, max_l_returnflag,
-          |  'l_shipdate', nn_l_shipdate, ndv_l_shipdate, min_l_shipdate, max_l_shipdate
-          |) AS (col, non_null, ndv, min_s, max_s)""".stripMargin)
+          |  'l_linestatus', nn_l_linestatus, min_l_linestatus, max_l_linestatus,
+          |  'l_orderkey', nn_l_orderkey, min_l_orderkey, max_l_orderkey,
+          |  'l_quantity', nn_l_quantity, min_l_quantity, max_l_quantity,
+          |  'l_returnflag', nn_l_returnflag, min_l_returnflag, max_l_returnflag,
+          |  'l_shipdate', nn_l_shipdate, min_l_shipdate, max_l_shipdate
+          |) AS (col, non_null, min_s, max_s)""".stripMargin)
+    val ndv = li.selectExpr(
+        """stack(5,
+          |  'l_linestatus', l_linestatus,
+          |  'l_orderkey', cast(l_orderkey AS string),
+          |  'l_quantity', cast(l_quantity AS string),
+          |  'l_returnflag', l_returnflag,
+          |  'l_shipdate', cast(l_shipdate AS string)
+          |) AS (col, val)""".stripMargin)
+      .filter(col("val").isNotNull)
+      .distinct()
+      .groupBy("col").agg(count(lit(1)).as("ndv"))
+    tall.join(broadcast(ndv), Seq("col"), "left")
       .select(col("col"), col("non_null"),
-        (col("n_rows") - col("non_null")).as("nulls"), col("ndv"),
+        (col("n_rows") - col("non_null")).as("nulls"),
+        coalesce(col("ndv"), lit(0L)).as("ndv"),
         col("min_s"), col("max_s"))
       .orderBy("col")
   }
