@@ -74,8 +74,15 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nodes = docs.select(col("doc_id").as("id"))
-    val e = edges(docs)
+    pagerankOf(docs.select(col("doc_id").as("id")), edges(docs))
+      .orderBy(desc("rank"), asc("id")).limit(TopK)
+  }
+
+  /** The iteration over arbitrary `nodes(id)` / `edges(src, dst)`
+    * frames with constant out-degree [[OutDeg]] (exposed so property
+    * tests can drive random graphs through the exact production loop).
+    */
+  def pagerankOf(nodes: DataFrame, e: DataFrame): DataFrame = {
     val base = Scale * (100 - Damp) / 100
     var ranks = nodes.select(col("id"), lit(Scale).as("rank"))
     for (_ <- 1 to Iters) {
@@ -86,7 +93,7 @@ object GraphOps {
         .select(col("id"),
           (lit(base) + expr(s"(coalesce(in_sum, 0L) * $Damp) div 100")).as("rank"))
     }
-    ranks.orderBy(desc("rank"), asc("id")).limit(TopK)
+    ranks
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

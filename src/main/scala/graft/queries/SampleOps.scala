@@ -217,6 +217,50 @@ object SampleOps {
       .orderBy("pri", "doc_id")
       .limit(WeightedK)
 
+  /** The END-TO-END training-corpus materialization — the four stages a
+    * real pipeline chains, composed into ONE Spark DAG so Catalyst
+    * plans them together: (1) exact content dedup keeping the min-id
+    * representative per sha256 (hash group-by + semi join); (2) the
+    * [[TextOps.corpusFilter]] quality gate (scan-local predicates,
+    * shared constants); (3) content-hash split assignment
+    * ([[withSplit]]); (4) train←test trigram decontamination — the
+    * DROP action whose audit form is [[decontam]] — via the same
+    * shingle-key semi join. Output is the per-(lang, split) doc/token
+    * summary of the surviving corpus. Every stage is a shuffle-on-key
+    * or scan-local shape (no all-pairs anywhere), and every constant
+    * (hash, stopwords, split percentages, shingle width) is the SAME
+    * Scala value its standalone query uses, so the composed oracle
+    * cannot drift from the per-stage ones.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rep = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val dd = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val toks = TextOps.tokens(col("text"))
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    val q = dd.withColumn("tok_cnt", size(toks).cast("long"))
+      .withColumn("stop_cnt", size(stop).cast("long"))
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 2000 &&
+        col("tok_cnt") >= 20 &&
+        col("stop_cnt") * 1000000L >= col("tok_cnt") * 10000L)
+    val base = withSplit(q)
+      .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
+        DedupOps.shingleSetOfTokens(TextOps.tokens(col("text"))).as("shset"))
+    val testSh = base.filter(col("split") === "test")
+      .select(explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val contaminated = base.filter(col("split") === "train")
+      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(testSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    base.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"), sum("tok_cnt").as("tokens"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_reservoir" -> (reservoir _),
     "sample_stratified" -> (stratified _),
@@ -225,6 +269,7 @@ object SampleOps {
     "sample_rebalance" -> (rebalance _),
     "sample_decontam" -> (decontam _),
     "sample_shards" -> (packShards _),
+    "pipeline_corpus" -> (corpusPipeline _),
   )
 
   // DuckDB twins, generated from the same constants (portable64 is the
@@ -252,6 +297,48 @@ object SampleOps {
          |  FROM h)
          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
          |FROM r WHERE rank <= $StratifiedK ORDER BY lang, rank""".stripMargin,
+    // The composed pipeline: each CTE is the standalone stage's oracle
+    // with the same shared constants (sha256 dedup, quality thresholds,
+    // split CASE, trigram shingles).
+    "pipeline_corpus" ->
+      s"""WITH rep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |dd AS (SELECT d.* FROM documents d JOIN rep USING (doc_id)),
+         |q AS (
+         |  SELECT doc_id, lang, text, tok_cnt FROM (
+         |    SELECT doc_id, lang, text, n_chars,
+         |      CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok_cnt,
+         |      CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop_cnt
+         |    FROM dd) x
+         |  WHERE n_chars BETWEEN 100 AND 2000
+         |    AND tok_cnt >= 20
+         |    AND stop_cnt * 1000000 >= tok_cnt * 10000),
+         |s AS (
+         |  SELECT doc_id, lang, text, tok_cnt,
+         |    CASE WHEN bucket < $TrainPct THEN 'train'
+         |         WHEN bucket < ${TrainPct + ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT q.*, ${duckBucket("doc_id")} AS bucket FROM q) b),
+         |toksv AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM s),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(0, greatest(len(tk) - 2, 0)),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |  FROM toksv),
+         |test_sh AS (
+         |  SELECT DISTINCT sh FROM sh JOIN s USING (doc_id) WHERE s.split = 'test'),
+         |cont AS (
+         |  SELECT DISTINCT x.doc_id FROM sh x
+         |  JOIN s USING (doc_id)
+         |  JOIN test_sh t ON x.sh = t.sh
+         |  WHERE s.split = 'train')
+         |SELECT lang, split, count(*) AS docs, CAST(sum(tok_cnt) AS BIGINT) AS tokens
+         |FROM s
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "sample_weighted" ->
       s"""SELECT doc_id, lang, n_chars,
          |  CAST(concat('0x', substr(md5('wt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)

@@ -84,6 +84,27 @@ class SampleOpsSpec extends AnyFunSuite {
       l -> math.min(c, SampleOps.StratifiedK.toLong) })
   }
 
+  test("composed corpus pipeline only ever removes documents") {
+    val rows = SampleOps.corpusPipeline(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2)) === rows.map(r => (r._1, r._2)).sorted)
+    rows.foreach { case (_, split, docs, tokens) =>
+      assert(Set("train", "valid", "test").contains(split))
+      assert(docs > 0L && tokens > 0L)
+      // The quality gate enforces >= 20 tokens per surviving doc.
+      assert(tokens >= docs * 20L, s"$split tokens must respect the gate")
+    }
+    // Dedup+quality+decontam can only shrink the per-language corpus
+    // relative to the quality gate alone.
+    val gateOnly = TextOps.corpusFilter(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum <= gateOnly.getOrElse(lang, 0L),
+        s"$lang pipeline output exceeds its quality-gate bound")
+    }
+  }
+
   test("weighted sample is deterministic and weight-biased") {
     val rows = SampleOps.weighted(spark, dir)
       .as[(Long, String, Long, Long)].collect().toSeq
