@@ -172,17 +172,6 @@ object EventStream {
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatch(batch.toDF(), id, outDir))
 
-  /** Stream-stream interval join: attribute each click to the same
-    * user's views from the preceding `horizonMinutes` — the two-stream
-    * stateful join Structured Streaming is built for. Both inputs carry
-    * watermarks and the join condition bounds click time against view
-    * time from BOTH sides, which is what lets the engine expire buffered
-    * state: a view older than watermark + horizon can never match again
-    * and is dropped from the state store. The `user_id` equi key keeps
-    * the join a co-partitioned hash join over the shuffle — interval
-    * bounds are evaluated within matching key groups, never as a
-    * cross-stream scan.
-    */
   /** Stream–static enrichment join: each streaming event picks up its
     * user's dimension row (tier, region, …) from a STATIC table, then
     * aggregates per (window, tier). The static side needs no watermark
@@ -202,6 +191,17 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("tier"), col("cnt"))
 
+  /** Stream-stream interval join: attribute each click to the same
+    * user's views from the preceding `horizonMinutes` — the two-stream
+    * stateful join Structured Streaming is built for. Both inputs carry
+    * watermarks and the join condition bounds click time against view
+    * time from BOTH sides, which is what lets the engine expire buffered
+    * state: a view older than watermark + horizon can never match again
+    * and is dropped from the state store. The `user_id` equi key keeps
+    * the join a co-partitioned hash join over the shuffle — interval
+    * bounds are evaluated within matching key groups, never as a
+    * cross-stream scan.
+    */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
       horizonMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
