@@ -191,6 +191,34 @@ object ScalarOps {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Incremental distinct-count maintenance via MERGEABLE HLL sketches
+    * (Spark's native DataSketches surface): history and the incoming
+    * batch each collapse to a constant-size binary sketch, and the
+    * corpus-wide distinct count comes from `hll_union` of the two —
+    * never from recounting history. In production the history sketch is
+    * a PERSISTED artifact (kilobytes, regardless of corpus size) and
+    * each increment unions yesterday's sketch with the day's batch —
+    * the same incremental contract as `neardup_minhash_incr`, for
+    * cardinality instead of similarity. No SQL twin exists for the
+    * sketch binary (rows-only check); SketchAccuracySpec pins the
+    * merged estimate inside HLL error of the exact distinct count and
+    * the estimates' monotonicity.
+    */
+  def approxDistinctIncr(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(col("split"), col("text"))
+    val hist = d.filter(col("split") === "train")
+      .agg(hll_sketch_agg(col("text")).as("sk_h"))
+    val batch = d.filter(col("split") =!= "train")
+      .agg(hll_sketch_agg(col("text")).as("sk_b"))
+    hist.crossJoin(broadcast(batch))
+      .select(
+        hll_sketch_estimate(col("sk_h")).as("history_distinct"),
+        hll_sketch_estimate(col("sk_b")).as("batch_distinct"),
+        hll_sketch_estimate(hll_union(col("sk_h"), col("sk_b")))
+          .as("merged_distinct"))
+  }
+
   /** LATERAL correlated subquery through the SQL front end: top-2
     * orders per priority, expressed as a per-row dependent subquery with
     * ORDER BY + LIMIT. Catalyst decorrelates it (the plan is a join —
@@ -381,6 +409,7 @@ object ScalarOps {
     "cube_agg" -> (cubeAgg _),
     "set_except" -> (setExcept _),
     "approx_distinct" -> (approxDistinct _),
+    "approx_distinct_incr" -> (approxDistinctIncr _),
     "sql_api" -> (sqlApi _),
     "sql_lateral" -> (sqlLateral _),
     "join_nullsafe" -> (nullSafeJoin _),

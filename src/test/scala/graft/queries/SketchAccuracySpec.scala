@@ -37,6 +37,26 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_distinct_incr merge is inside HLL error of the exact union") {
+    val row = ScalarOps.approxDistinctIncr(spark, dir).collect().head
+    val (hist, batch, merged) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // Union semantics up to sketch error: the merged estimate sits
+    // between the larger input and the inputs' sum, each bound slacked
+    // by the HLL error band (all three numbers are estimates — the
+    // exact containment only holds for true cardinalities).
+    assert(merged >= 0.95 * math.max(hist, batch) && merged <= 1.05 * (hist + batch),
+      s"merged=$merged outside the slacked [max($hist,$batch), $hist+$batch] band")
+    // DataSketches HLL at default lgK=12 has ~1.6% relative standard
+    // error; 5% is a generous deterministic pin against the exact count.
+    val exact = Tables.documents(spark, dir)
+      .select(countDistinct(col("text"))).collect().head.getLong(0)
+    assert(math.abs(merged - exact) <= 0.05 * exact,
+      s"merged=$merged exact=$exact outside the 5% HLL band")
+    // Deterministic: a rerun yields the identical sketch estimates.
+    val again = ScalarOps.approxDistinctIncr(spark, dir).collect().head
+    assert((again.getLong(0), again.getLong(1), again.getLong(2)) === ((hist, batch, merged)))
+  }
+
   /** Exact quantile band [q(f-eps), q(f+eps)] per group for a column. */
   private def band(colExpr: org.apache.spark.sql.Column, f: Double, eps: Double) =
     Tables.lineitem(spark, dir)
