@@ -22,7 +22,8 @@ object Explain {
     "neardup_minhash_incr", "text_boilerplate", "simsearch_knn_batch",
     "text_ngram_lm", "agg_ntile_range", "agg_mad_approx", "simsearch_pq",
     "simsearch_ivfpq", "text_tfidf", "graph_pagerank", "text_search_rank",
-    "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified")
+    "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified",
+    "pipeline_corpus", "audit_quality", "events_scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
