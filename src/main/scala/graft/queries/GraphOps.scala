@@ -96,8 +96,35 @@ object GraphOps {
     ranks
   }
 
+  /** Triangle count over the undirected form of the planted graph —
+    * the canonical multi-way self-join graph workload. Orientation does
+    * the heavy lifting: every edge canonicalizes to (a < b), so each
+    * triangle materializes as exactly ONE wedge (a,b)+(b,c) with
+    * a < b < c, closed by a semi join probing (a,c) — no triple
+    * counting, no post-hoc division. The wedge join is the quadratic
+    * risk (Σ deg² pairs); at 100 TB the standard mitigations compose
+    * onto this exact plan: orient by DEGREE instead of id (splits hub
+    * fan-outs), and stoplist hubs past a bound the way the shingle
+    * expansion caps [[DedupOps.JaccardMaxDf]]. The closing probe is a
+    * semi join, so nothing wider than (a,b,c) ever crosses a shuffle.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val und = edges(docs).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und.join(und.select(col("a").as("b2"), col("b").as("c")),
+        col("b") === col("b2"))
+      .select("a", "b", "c")
+    wedges.join(und.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
+    "graph_triangles" -> (triangles _),
   )
 
   /** One unrolled-iteration CTE per round, generated from the same
@@ -121,6 +148,16 @@ object GraphOps {
        |  GROUP BY d.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH e AS (
+          |$duckEdges),
+          |und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM e WHERE src <> dst)
+          |SELECT count(*) AS triangles
+          |FROM und x
+          |JOIN und y ON y.a = x.b
+          |JOIN und z ON z.a = x.a AND z.b = y.b""".stripMargin,
     "graph_pagerank" ->
       (s"""WITH e AS (
           |$duckEdges),

@@ -43,6 +43,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("triangle count equals a sequential enumeration") {
+    val n = Tables.documents(spark, dir).count().toInt
+    val und = (for {
+      src <- 0 until n
+      j <- 0 until GraphOps.OutDeg
+      dst = (portableSeq(s"pr:$src:$j") % n).toInt
+      if dst != src
+    } yield (math.min(src, dst), math.max(src, dst))).toSet
+    val byA = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = und.toSeq.map { case (a, b) =>
+      byA.getOrElse(b, Set.empty).count(c => und.contains((a, c)))
+    }.sum
+    val got = GraphOps.triangles(spark, dir).as[Long].collect().head
+    assert(got === want.toLong)
+  }
+
   test("pagerank ranks are bounded below by the teleport base") {
     val base = GraphOps.Scale * (100 - GraphOps.Damp) / 100
     val rows = GraphOps.pagerank(spark, dir).as[(Long, Long)].collect()
