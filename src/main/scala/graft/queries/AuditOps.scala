@@ -86,8 +86,13 @@ object AuditOps {
         |c AS (
         |  SELECT count(*) AS ctotal, count(DISTINCT c_custkey) AS cndv FROM customer),
         |f AS (
-        |  SELECT count(*) AS orphans FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  -- NOT EXISTS, not NOT IN: a NULL o_custkey must count as an
+        |  -- orphan (Spark's left_anti keeps rows whose key matches
+        |  -- nothing, NULL included), and a NULL c_custkey must not
+        |  -- NULL-out the whole predicate.
+        |  SELECT count(*) AS orphans FROM orders o
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |SELECT check_name, violations, checked,
         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM (

@@ -237,13 +237,7 @@ object SampleOps {
     val rep = docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val dd = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
-    val toks = TextOps.tokens(col("text"))
-    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
-    val q = dd.withColumn("tok_cnt", size(toks).cast("long"))
-      .withColumn("stop_cnt", size(stop).cast("long"))
-      .filter(col("n_chars") >= 100 && col("n_chars") <= 2000 &&
-        col("tok_cnt") >= 20 &&
-        col("stop_cnt") * 1000000L >= col("tok_cnt") * 10000L)
+    val q = TextOps.withGateCounts(dd).filter(TextOps.gateKeep)
     val base = withSplit(q)
       .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
         DedupOps.shingleSetOfTokens(TextOps.tokens(col("text"))).as("shset"))
@@ -307,13 +301,9 @@ object SampleOps {
          |q AS (
          |  SELECT doc_id, lang, text, tok_cnt FROM (
          |    SELECT doc_id, lang, text, n_chars,
-         |      CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok_cnt,
-         |      CAST(len(list_filter(string_split(text, ' '),
-         |           t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop_cnt
+         |      ${TextOps.duckGateCounts}
          |    FROM dd) x
-         |  WHERE n_chars BETWEEN 100 AND 2000
-         |    AND tok_cnt >= 20
-         |    AND stop_cnt * 1000000 >= tok_cnt * 10000),
+         |  WHERE ${TextOps.duckGateKeep}),
          |s AS (
          |  SELECT doc_id, lang, text, tok_cnt,
          |    CASE WHEN bucket < $TrainPct THEN 'train'

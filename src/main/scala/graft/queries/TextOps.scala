@@ -455,24 +455,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-gate constants, shared by [[corpusFilter]] and
+    * [[SampleOps.corpusPipeline]] — and interpolated into BOTH oracle
+    * twins, so the standalone gate and the composed pipeline cannot
+    * drift apart.
+    */
+  val GateMinChars = 100
+  val GateMaxChars = 2000
+  val GateMinTokens = 20
+  val GateMinStopPpm = 10000 // ≥1% stopwords
+  val GateStopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** The keep/drop predicate of the quality gate, applied to a frame
+    * carrying `n_chars`, `tok_cnt`, `stop_cnt`.
+    */
+  def gateKeep: Column =
+    col("n_chars") >= GateMinChars && col("n_chars") <= GateMaxChars &&
+      col("tok_cnt") >= GateMinTokens &&
+      col("stop_cnt") * 1000000L >= col("tok_cnt") * GateMinStopPpm.toLong
+
+  /** Adds the gate's measurement columns (`tok_cnt`, `stop_cnt`). */
+  def withGateCounts(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = filter(toks, t => t.isin(GateStopwords: _*))
+    docs.withColumn("tok_cnt", size(toks).cast("long"))
+      .withColumn("stop_cnt", size(stop).cast("long"))
+  }
+
   /** Training-corpus quality filter: the composed keep/drop decision a
     * data pipeline runs before tokenization — length bounds, token
     * minimum, stopword-ratio band — reported as survivors per language.
     */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
-    Tables.documents(spark, dir)
-      .withColumn("tok_cnt", size(toks).cast("long"))
-      .withColumn("stop_cnt", size(stop).cast("long"))
-      .filter(col("n_chars") >= 100 && col("n_chars") <= 2000)
-      .filter(col("tok_cnt") >= 20)
-      .filter(col("stop_cnt") * 1000000L >= col("tok_cnt") * 10000L) // ≥1% stopwords
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    withGateCounts(Tables.documents(spark, dir))
+      .filter(gateKeep)
       .groupBy("lang")
       .agg(count(lit(1)).as("kept"),
         sum(col("tok_cnt")).as("kept_tokens"))
       .orderBy("lang")
-  }
+
+  /** The gate as oracle-SQL fragments (generated from the same
+    * constants): a projection computing `tok_cnt`/`stop_cnt` and the
+    * WHERE predicate over them.
+    */
+  val duckGateCounts: String =
+    s"""CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok_cnt,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |           t -> t IN (${GateStopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stop_cnt""".stripMargin
+
+  val duckGateKeep: String =
+    s"""n_chars BETWEEN $GateMinChars AND $GateMaxChars
+       |  AND tok_cnt >= $GateMinTokens
+       |  AND stop_cnt * 1000000 >= tok_cnt * $GateMinStopPpm""".stripMargin
 
   /** Lexical diversity per document as Simpson concentration — the
     * probability two sampled tokens differ, 1 − Σc(c−1)/(N(N−1)) — in
@@ -594,18 +628,14 @@ object TextOps {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "corpus_filter" ->
-      """SELECT lang, count(*) AS kept,
-        |  CAST(sum(tok_cnt) AS BIGINT) AS kept_tokens
-        |FROM (
-        |  SELECT lang, n_chars,
-        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok_cnt,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop_cnt
-        |  FROM documents) t
-        |WHERE n_chars BETWEEN 100 AND 2000
-        |  AND tok_cnt >= 20
-        |  AND stop_cnt * 1000000 >= tok_cnt * 10000
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""SELECT lang, count(*) AS kept,
+         |  CAST(sum(tok_cnt) AS BIGINT) AS kept_tokens
+         |FROM (
+         |  SELECT lang, n_chars,
+         |    $duckGateCounts
+         |  FROM documents) t
+         |WHERE $duckGateKeep
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // sum() in DuckDB widens to HUGEINT; cast back to the BIGINTs Spark
     // emits. `//` (floor) == Spark's `div` (truncate) on this
     // all-positive domain.
