@@ -57,6 +57,36 @@ object Multimodal {
     }
   }
 
+  /** Average-hash perceptual signature (aHash): one bit per
+    * `block`-byte slice of the payload, set when the slice's mean
+    * exceeds the WHOLE payload's mean — the byte-domain analog of the
+    * classic image aHash (resize → per-cell mean vs global mean). The
+    * compare is cross-multiplied integers (`s·n > total·len`), never a
+    * float division, so the signature is exactly reproducible from the
+    * blob in any engine. Capped at `maxBits` (< 64) blocks so the
+    * signature stays a positive long.
+    */
+  def aHash(payload: Array[Byte], block: Int, maxBits: Int): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += payload(i) & 0xff; i += 1 }
+    val nBlocks = math.min(maxBits, (n + block - 1) / block)
+    var sig = 0L
+    var b = 0
+    while (b < nBlocks) {
+      val off = b * block
+      val end = math.min(off + block, n)
+      var s = 0L
+      var j = off
+      while (j < end) { s += payload(j) & 0xff; j += 1 }
+      if (s * n > total * (end - off)) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Stride-resample each payload to every `stride`-th byte — the stub
     * stand-in for an image resize / audio downsample (a real resampler
     * slots into the same per-partition, zero-shuffle shape and the same

@@ -80,13 +80,78 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** Block width (bytes) and signature width (bits) for the aHash. */
+  val PhashBlock = 16
+  val PhashBits = 60
+
+  /** Media-level near-dup via perceptual hash: every payload collapses
+    * to a 60-bit [[Multimodal.aHash]] signature (per-block mean vs
+    * whole-payload mean, cross-multiplied integer compare), and
+    * duplicate GROUPS are signature-equal payloads — the media twin of
+    * `dedup_hash_count`, robust to the low-order byte jitter an exact
+    * content hash is defeated by (a real image pipeline computes the
+    * same signature from decoded pixels; the byte-domain stub keeps the
+    * plumbing and the oracle exact). One scan, constant-size signature
+    * per payload, one group-by — the same shape at any corpus size;
+    * Hamming-banded NEAR-equality composes on top exactly as
+    * `neardup_simhash_pairs` does for text.
+    */
+  def phashGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, Multimodal.aHash(p, PhashBlock, PhashBits)) }
+      .toDF("media_id", "phash")
+      .groupBy("phash")
+      .agg(count(lit(1)).as("dup_cnt"), min(col("media_id")).as("rep_media"))
+      .filter(col("dup_cnt") > 1)
+      .orderBy(desc("dup_cnt"), asc("phash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (frames _),
     "multimodal_features" -> (features _),
     "multimodal_resize" -> (resized _),
+    "multimodal_phash" -> (phashGroups _),
   )
 
   val oracle: Map[String, String] = Map(
+    // Byte-exact aHash twin: reconstruct bytes from the blob's bits,
+    // block sums vs the whole-payload sum by cross-multiplied integer
+    // compare, bits assembled with shifts — all constants shared.
+    "multimodal_phash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, encode(text)::BIT bb,
+         |         octet_length(encode(text)) n
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT media_id, i, CAST(n AS BIGINT) AS n,
+         |         get_bit(bb, CAST(8*i   AS INT))*128 + get_bit(bb, CAST(8*i+1 AS INT))*64 +
+         |         get_bit(bb, CAST(8*i+2 AS INT))*32  + get_bit(bb, CAST(8*i+3 AS INT))*16 +
+         |         get_bit(bb, CAST(8*i+4 AS INT))*8   + get_bit(bb, CAST(8*i+5 AS INT))*4 +
+         |         get_bit(bb, CAST(8*i+6 AS INT))*2   + get_bit(bb, CAST(8*i+7 AS INT)) AS v
+         |  FROM d, LATERAL unnest(range(n)) t(i)),
+         |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
+         |blk AS (
+         |  SELECT media_id, i // $PhashBlock AS b, n,
+         |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
+         |  FROM bytes WHERE i // $PhashBlock < $PhashBits
+         |  GROUP BY media_id, i // $PhashBlock, n),
+         |sig AS (
+         |  SELECT blk.media_id,
+         |         CAST(sum(CASE WHEN s * n > total * blen
+         |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM blk JOIN tot USING (media_id)
+         |  GROUP BY blk.media_id),
+         |-- LEFT JOIN back to every payload: an empty blob has no byte
+         |-- rows but still hashes (to 0) on the Spark side.
+         |all_sig AS (
+         |  SELECT d.media_id, coalesce(sig.phash, 0) AS phash
+         |  FROM d LEFT JOIN sig USING (media_id))
+         |SELECT phash, count(*) AS dup_cnt, min(media_id) AS rep_media
+         |FROM all_sig GROUP BY phash HAVING count(*) > 1
+         |ORDER BY dup_cnt DESC, phash""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id, byte_len,
          |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,

@@ -23,6 +23,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(2L).map(_.frame_idx).toSeq === Seq(0))
   }
 
+  test("aHash: bit set iff block mean beats payload mean; dup payloads collide") {
+    // Blocks of 16: first block all-high (bit 0 set), second all-low
+    // (bit 1 clear), third mixed at exactly the mean (strict >, clear).
+    val p = Array.fill[Byte](16)(100) ++ Array.fill[Byte](16)(0) ++
+      Array.fill[Byte](16)(50)
+    val sig = Multimodal.aHash(p, 16, 60)
+    assert((sig & 1L) === 1L, "high block above mean")
+    assert((sig >> 1 & 1L) === 0L, "low block below mean")
+    assert((sig >> 2 & 1L) === 0L, "at-mean block is strict-compare clear")
+    // Identical payloads collide; one-byte jitter leaves blocks that
+    // sit decisively above/below the mean unmoved (the borderline
+    // at-mean block MAY flip — the global mean shifted — which is why
+    // near-equality composes via Hamming bands, not exact equality).
+    assert(Multimodal.aHash(p.clone(), 16, 60) === sig)
+    val jitter = p.clone(); jitter(3) = 99
+    val jSig = Multimodal.aHash(jitter, 16, 60)
+    assert((jSig & 1L) === 1L && (jSig >> 1 & 1L) === 0L,
+      "decisive blocks must survive one-byte jitter")
+    // Empty payload hashes to 0; maxBits caps the signature width.
+    assert(Multimodal.aHash(Array.empty[Byte], 16, 60) === 0L)
+    val long = Array.fill[Byte](16 * 80)(1)
+    assert(java.lang.Long.numberOfTrailingZeros(
+      Multimodal.aHash(long, 16, 60) + 1) >= 0) // stays a positive long
+    assert(Multimodal.aHash(long, 16, 60) >= 0L)
+  }
+
+  test("phash groups on the corpus surface the planted duplicates") {
+    val rows = graft.queries.MultimodalOps.phashGroups(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "planted exact dups must share a signature")
+    rows.foreach { case (_, cnt, _) => assert(cnt >= 2L) }
+    // Descending group size, phash tie-break.
+    assert(rows.map(r => (-r._2, r._1)).toSeq === rows.map(r => (-r._2, r._1)).sorted.toSeq)
+  }
+
   test("stub decoder is deterministic and respects frame boundaries") {
     // distinct content per frame (0..511 would wrap mod 256 and make the
     // two frames byte-identical histograms)
