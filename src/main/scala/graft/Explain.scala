@@ -23,7 +23,8 @@ object Explain {
     "text_ngram_lm", "agg_ntile_range", "agg_mad_approx", "simsearch_pq",
     "simsearch_ivfpq", "text_tfidf", "graph_pagerank", "text_search_rank",
     "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified",
-    "pipeline_corpus", "audit_quality", "events_scd2_lookup")
+    "pipeline_corpus", "audit_quality", "events_scd2_lookup",
+    "graph_triangles", "multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
