@@ -144,6 +144,48 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("events"))
 
+  case class Scd2State(state: String, from: Long)
+  case class Scd2Closed(user_id: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Incremental SCD2 dimension maintenance — the streaming twin of the
+    * batch `EventOps.scd2` build: per-user state holds the OPEN
+    * validity interval, and each state CHANGE emits the closed interval
+    * exactly once (append semantics; the open interval stays in the
+    * state store until its closing event arrives — it is not a fact
+    * yet). Within a batch the iterator folds in event-time order like
+    * the batch window does; cross-batch correctness assumes per-user
+    * in-order arrival, which production guarantees by keying the
+    * upstream log by user (or buffers behind a watermark — the standard
+    * trade this scaladoc exists to name). State is one (state, from)
+    * pair per user in the executor state store: the dimension's history
+    * lives in the SINK, never in memory.
+    */
+  def scd2Stream(events: Dataset[Ev]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, st) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = st.getOption
+          val closed = List.newBuilder[Scd2Closed]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if s.state != e.event_type =>
+                closed += Scd2Closed(uid, s.state, new Timestamp(s.from), new Timestamp(t))
+                cur = Some(Scd2State(e.event_type, t))
+              case Some(_) => // same state continues the open interval
+              case None => cur = Some(Scd2State(e.event_type, t))
+            }
+          }
+          cur.foreach(st.update)
+          closed.result().iterator
+      }
+  }
+
   /** The foreachBatch body for [[idempotentHourlySink]], factored out so
     * retries are testable without a streaming runtime: every micro-batch
     * lands in its own `batch_id=` partition, written with DYNAMIC

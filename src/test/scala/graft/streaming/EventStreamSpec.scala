@@ -307,4 +307,46 @@ class EventStreamSpec extends AnyFunSuite {
         Set((h10, "gold", 2L), (h10, "basic", 1L), (h10, "unknown", 1L)))
     } finally q.stop()
   }
+
+  test("golden: streaming SCD2 emits the batch form's closed intervals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = Seq(
+      Ev(1, ts("10:00"), 1, "view"),
+      Ev(2, ts("10:10"), 1, "view"),   // same state — interval continues
+      Ev(3, ts("10:20"), 1, "click"),  // closes view@10:00
+      Ev(4, ts("10:05"), 2, "view"),
+      Ev(5, ts("11:00"), 1, "view"),   // closes click@10:20 (next batch)
+      Ev(6, ts("11:30"), 2, "purchase")) // closes view@10:05 (next batch)
+    val in = MemoryStream[Ev]
+    val q = EventStream.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2_stream").outputMode("append")
+      .start()
+    try {
+      in.addData(log.take(4): _*)
+      q.processAllAvailable()
+      in.addData(log.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("scd2_stream")
+        .as[(Long, String, Timestamp, Timestamp)].collect()
+        .map { case (u, s, f, t) => (u, s, f.toString, t.toString) }.toSet
+      // Exactly the CLOSED intervals the batch scd2 build derives from
+      // the same log; the open view@11:00 / purchase@11:30 intervals
+      // stay in state and must not appear.
+      assert(got === Set(
+        (1L, "view", "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0"),
+        (1L, "click", "2024-01-01 10:20:00.0", "2024-01-01 11:00:00.0"),
+        (2L, "view", "2024-01-01 10:05:00.0", "2024-01-01 11:30:00.0")))
+      // Cross-check against the batch builder on the identical log: the
+      // streaming output must equal the batch rows with is_current = 0.
+      val batch = graft.queries.EventOps.scd2Of(
+          log.toDF("event_id", "ts", "user_id", "event_type"))
+        .filter($"is_current" === 0L)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map { case (u, s, f, t, _) =>
+          (u, s, new Timestamp(f / 1000).toString, new Timestamp(t / 1000).toString) }
+        .toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
