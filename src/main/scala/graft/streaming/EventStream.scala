@@ -144,6 +144,50 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("events"))
 
+  /** Funnel stages, shared with the batch `EventOps.funnel` semantics. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  case class FunnelProg(stage: Int, startMs: Long, lastMs: Long)
+  case class FunnelHit(user_id: Long, started: Timestamp, completed: Timestamp)
+
+  /** Streaming funnel detection — MATCH_RECOGNIZE-lite as a per-user
+    * state machine: advance one stage per matching event at a strictly
+    * later timestamp (the batch `EventOps.funnel` chained-min
+    * semantics), emit a [[FunnelHit]] the moment the last stage fires,
+    * then RESET — so each completed journey emits exactly once and a
+    * user can convert repeatedly. State per user is one (stage, start,
+    * last) triple regardless of history; in-batch events fold in
+    * event-time order like every stateful operator here. The batch
+    * query reports how far users got; the streaming twin is the
+    * trigger-on-completion form a real-time pipeline acts on.
+    */
+  def funnelStream(events: Dataset[Ev]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProg, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, st) =>
+          var cur = st.getOption.getOrElse(FunnelProg(0, 0L, 0L))
+          val hits = List.newBuilder[FunnelHit]
+          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+            val t = e.ts.getTime
+            if (e.event_type == FunnelStages(cur.stage) &&
+                (cur.stage == 0 || t > cur.lastMs)) {
+              cur =
+                if (cur.stage == 0) FunnelProg(1, t, t)
+                else FunnelProg(cur.stage + 1, cur.startMs, t)
+              if (cur.stage == FunnelStages.length) {
+                hits += FunnelHit(uid, new Timestamp(cur.startMs), new Timestamp(t))
+                cur = FunnelProg(0, 0L, 0L)
+              }
+            }
+          }
+          if (cur.stage == 0) st.remove() else st.update(cur)
+          hits.result().iterator
+      }
+  }
+
   case class Scd2State(state: String, from: Long)
   case class Scd2Closed(user_id: Long, state: String,
       valid_from: Timestamp, valid_to: Timestamp)

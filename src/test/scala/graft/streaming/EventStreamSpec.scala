@@ -308,6 +308,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("golden: streaming funnel fires once per completed journey, resets after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("append")
+      .start()
+    try {
+      // user 1 mid-funnel, user 2 wrong order (click before view counts
+      // nothing), user 3 simultaneous click (not strictly later — no
+      // advance).
+      in.addData(
+        Ev(1, ts("10:00"), 1, "view"),
+        Ev(2, ts("10:05"), 1, "click"),
+        Ev(3, ts("10:01"), 2, "click"),
+        Ev(4, ts("10:02"), 2, "view"),
+        Ev(5, ts("10:03"), 3, "view"),
+        Ev(6, ts("10:03"), 3, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() === 0)
+      // user 1 completes across batches; then converts a SECOND time.
+      in.addData(
+        Ev(7, ts("10:10"), 1, "purchase"),
+        Ev(8, ts("10:20"), 1, "view"),
+        Ev(9, ts("10:25"), 1, "click"),
+        Ev(10, ts("10:30"), 1, "purchase"),
+        Ev(11, ts("10:06"), 2, "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .as[(Long, Timestamp, Timestamp)].collect()
+        .map { case (u, s, c) => (u, s.toString, c.toString) }.toSet
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"),
+        (1L, "2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0")))
+      // user 2 (view@10:02 → click@10:06) is mid-funnel, not emitted.
+    } finally q.stop()
+  }
+
   test("golden: streaming SCD2 emits the batch form's closed intervals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
