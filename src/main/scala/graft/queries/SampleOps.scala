@@ -85,24 +85,32 @@ object SampleOps {
     * shingle computation out of the counting branch, so shingles are
     * computed exactly once per document across the three uses of `base`.
     */
+  /** Train-split doc_ids sharing ANY shingle with the test split.
+    * `base` carries (doc_id, split, shset); shared by the [[decontam]]
+    * audit and the [[corpusPipeline]] drop so the two stay one
+    * implementation. explode_outer + isNotNull (not plain explode):
+    * keeps InferFiltersFromGenerate from re-inlining the shingle tree
+    * into a scan-level filter — see DedupOps.shingleSetWithSize.
+    */
+  private def testContaminatedTrainDocs(base: DataFrame): DataFrame = {
+    val testSh = base.filter(col("split") === "test")
+      .select(explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    base.filter(col("split") === "train")
+      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(testSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   def decontam(spark: SparkSession, dir: String): DataFrame = {
     val base = withSplit(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("split"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("split"),
         DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
-    // explode_outer + isNotNull (not plain explode): keeps
-    // InferFiltersFromGenerate from re-inlining the shingle tree into a
-    // scan-level filter — see DedupOps.shingleSetWithSize.
-    val testSh = base.filter(col("split") === "test")
-      .select(explode_outer(col("shset")).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
     val train = base.filter(col("split") === "train")
-    val contaminated = train
-      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .join(testSh, Seq("sh"), "left_semi")
-      .select("doc_id").distinct()
+    val contaminated = testContaminatedTrainDocs(base)
     train.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
       .groupBy("lang")
       .agg(count(lit(1)).as("train_docs"),
@@ -238,18 +246,15 @@ object SampleOps {
       .agg(min(col("doc_id")).as("doc_id"))
     val dd = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
     val q = TextOps.withGateCounts(dd).filter(TextOps.gateKeep)
+    // Bind toks to an attribute BEFORE the shingle HOF consumes it four
+    // times (slice/size refs) — the same move DedupOps.tokenized makes,
+    // measured ~2× on the shingle stage.
     val base = withSplit(q)
       .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
-        DedupOps.shingleSetOfTokens(TextOps.tokens(col("text"))).as("shset"))
-    val testSh = base.filter(col("split") === "test")
-      .select(explode_outer(col("shset")).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
-    val contaminated = base.filter(col("split") === "train")
-      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .join(testSh, Seq("sh"), "left_semi")
-      .select("doc_id").distinct()
-    base.join(contaminated, Seq("doc_id"), "left_anti")
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
+        DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+    base.join(testContaminatedTrainDocs(base), Seq("doc_id"), "left_anti")
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("docs"), sum("tok_cnt").as("tokens"))
       .orderBy("lang", "split")

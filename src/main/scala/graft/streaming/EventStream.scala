@@ -144,10 +144,25 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("events"))
 
+  /** Microsecond view of a Timestamp — `getTime` alone is millisecond
+    * precision, and the harness events carry sub-millisecond instants;
+    * the batch twins (`unix_micros`, full TimestampType compares) are
+    * µs-exact, so the streaming state machines must order, strict-
+    * compare, and EMIT at µs too or they diverge on sub-ms data.
+    */
+  private def tsUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  private def usTs(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000L))
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Funnel stages, shared with the batch `EventOps.funnel` semantics. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 
-  case class FunnelProg(stage: Int, startMs: Long, lastMs: Long)
+  case class FunnelProg(stage: Int, startUs: Long, lastUs: Long)
   case class FunnelHit(user_id: Long, started: Timestamp, completed: Timestamp)
 
   /** Streaming funnel detection — MATCH_RECOGNIZE-lite as a per-user
@@ -170,15 +185,15 @@ object EventStream {
         (uid, evs, st) =>
           var cur = st.getOption.getOrElse(FunnelProg(0, 0L, 0L))
           val hits = List.newBuilder[FunnelHit]
-          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
-            val t = e.ts.getTime
+          for (e <- evs.toSeq.sortBy(x => (tsUs(x.ts), x.event_id))) {
+            val t = tsUs(e.ts)
             if (e.event_type == FunnelStages(cur.stage) &&
-                (cur.stage == 0 || t > cur.lastMs)) {
+                (cur.stage == 0 || t > cur.lastUs)) {
               cur =
                 if (cur.stage == 0) FunnelProg(1, t, t)
-                else FunnelProg(cur.stage + 1, cur.startMs, t)
+                else FunnelProg(cur.stage + 1, cur.startUs, t)
               if (cur.stage == FunnelStages.length) {
-                hits += FunnelHit(uid, new Timestamp(cur.startMs), new Timestamp(t))
+                hits += FunnelHit(uid, usTs(cur.startUs), usTs(t))
                 cur = FunnelProg(0, 0L, 0L)
               }
             }
@@ -212,14 +227,14 @@ object EventStream {
       .flatMapGroupsWithState[Scd2State, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid, evs, st) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
           var cur = st.getOption
           val closed = List.newBuilder[Scd2Closed]
           for (e <- sorted) {
-            val t = e.ts.getTime
+            val t = tsUs(e.ts)
             cur match {
               case Some(s) if s.state != e.event_type =>
-                closed += Scd2Closed(uid, s.state, new Timestamp(s.from), new Timestamp(t))
+                closed += Scd2Closed(uid, s.state, usTs(s.from), usTs(t))
                 cur = Some(Scd2State(e.event_type, t))
               case Some(_) => // same state continues the open interval
               case None => cur = Some(Scd2State(e.event_type, t))

@@ -41,12 +41,17 @@ class MultimodalSpec extends AnyFunSuite {
     val jSig = Multimodal.aHash(jitter, 16, 60)
     assert((jSig & 1L) === 1L && (jSig >> 1 & 1L) === 0L,
       "decisive blocks must survive one-byte jitter")
-    // Empty payload hashes to 0; maxBits caps the signature width.
+    // Empty payload hashes to 0; maxBits caps the signature width. The
+    // ramp puts the HIGH blocks above the mean, so without the cap the
+    // 80-block payload would set bits ≥ 60 (incl. the sign bit at 63)
+    // — the cap must leave exactly the sub-60 high blocks set.
     assert(Multimodal.aHash(Array.empty[Byte], 16, 60) === 0L)
-    val long = Array.fill[Byte](16 * 80)(1)
-    assert(java.lang.Long.numberOfTrailingZeros(
-      Multimodal.aHash(long, 16, 60) + 1) >= 0) // stays a positive long
-    assert(Multimodal.aHash(long, 16, 60) >= 0L)
+    val ramp = (0 until 16 * 80).map(i => (i / 16).toByte).toArray
+    val capped = Multimodal.aHash(ramp, 16, 60)
+    assert(capped > 0L, "ramp must set some bits below the cap")
+    assert((capped >>> 60) === 0L, "no bit at or above maxBits may be set")
+    assert((capped >> 59 & 1L) === 1L,
+      "block 59 (ramp value 59, above the 0..79 mean) must be set")
   }
 
   test("phash groups on the corpus surface the planted duplicates") {
