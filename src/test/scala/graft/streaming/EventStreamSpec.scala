@@ -346,6 +346,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel and SCD2 state machines advance on sub-millisecond separations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(base: String, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(s"2024-01-01 $base:00")
+      t.setNanos(micros * 1000)
+      t
+    }
+    // view/click/purchase inside ONE millisecond: at ms precision the
+    // strict > would reject every advance; at µs they are ordered.
+    val in = MemoryStream[Ev]
+    val q = EventStream.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_us").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        Ev(1, us("10:00", 100), 1, "view"),
+        Ev(2, us("10:00", 500), 1, "click"),
+        Ev(3, us("10:00", 900), 1, "purchase"))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_us")
+        .as[(Long, Timestamp, Timestamp)].collect()
+      assert(hits.length === 1, "sub-ms-separated stages must advance")
+      // Emitted timestamps keep their microseconds.
+      assert(hits.head._2.getNanos === 100000 && hits.head._3.getNanos === 900000)
+    } finally q.stop()
+
+    val in2 = MemoryStream[Ev]
+    val q2 = EventStream.scd2Stream(in2.toDS())
+      .writeStream.format("memory").queryName("scd2_us").outputMode("append")
+      .start()
+    try {
+      in2.addData(
+        Ev(1, us("10:00", 100), 1, "view"),
+        Ev(2, us("10:00", 900), 1, "click"))
+      q2.processAllAvailable()
+      val rows = spark.table("scd2_us")
+        .as[(Long, String, Timestamp, Timestamp)].collect()
+      assert(rows.length === 1)
+      val (_, state, f, t) = rows.head
+      assert(state === "view" && f.getNanos === 100000 && t.getNanos === 900000,
+        "closed interval must carry the µs the batch rows do")
+    } finally q2.stop()
+  }
+
   test("golden: streaming SCD2 emits the batch form's closed intervals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
