@@ -571,9 +571,61 @@ object TextOps {
       .limit(15)
   }
 
+  /** The query log for [[searchRankBatch]]: (query_id, term) rows — a
+    * literal here, a small broadcast table in production.
+    */
+  val SearchBatch: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "spark",
+    2L -> "window", 2L -> "stream", 2L -> "batch",
+    3L -> "vector", 3L -> "dup", 3L -> "filter")
+
+  /** Results kept per query in [[searchRankBatch]]. */
+  val SearchBatchK = 5
+
+  /** Batch retrieval — the WHOLE query log scored in ONE corpus scan,
+    * the text analog of `simsearch_knn_batch`: the (query_id, term)
+    * log broadcasts like a model artifact, per-(doc, term) tf rows join
+    * it to score every query at once, and the bounded
+    * [[graft.functions.TopKAgg]] keeps ≤ k docs per query per
+    * partition across the shuffle — per-query result cost is
+    * O(queries × k × partitions), never a per-query corpus sort. The
+    * idf weight is the same integer-exact 10⁶ div df as
+    * [[searchRank]]; the score doubles stay integer-valued (sums of
+    * long products), so the compare is exact.
+    */
+  def searchRankBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val allTerms = SearchBatch.map(_._2).distinct
+    val queriesDf = SearchBatch.toDF("query_id", "w")
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .filter(arrays_overlap(col("tk"), array(allTerms.map(lit): _*)))
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .filter(col("w").isin(allTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val topk = udaf(new graft.functions.TopKAgg(SearchBatchK),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("score", DoubleType), StructField("key", LongType)))))
+    tf.join(broadcast(df), "w")
+      .join(broadcast(queriesDf), "w")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"))
+      .groupBy("query_id")
+      // (score desc, doc_id asc) is TopKAgg's order; doc_id rides as
+      // the key, score negated back out of the struct below.
+      .agg(topk(col("score").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.keys").as("doc_id"), col("col.scores").cast("long").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
+    "text_search_batch" -> (searchRankBatch _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
@@ -594,6 +646,15 @@ object TextOps {
   private val duckTermsList: String =
     SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  private val duckBatchTermsIn: String =
+    SearchBatch.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+
+  private val duckBatchTermsList: String =
+    SearchBatch.map(_._2).distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  private val duckBatchValues: String =
+    SearchBatch.map { case (q, w) => s"($q, '$w')" }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
     "text_search_rank" ->
       s"""WITH tk AS (
@@ -611,6 +672,31 @@ object TextOps {
          |  count(*) AS terms_hit
          |FROM tf JOIN df USING (w)
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "text_search_batch" ->
+      s"""WITH ql(query_id, w) AS (VALUES $duckBatchValues),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, unnest(tk) AS w FROM tk
+         |  WHERE list_has_any(tk, $duckBatchTermsList)),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM m
+         |  WHERE w IN ($duckBatchTermsIn)
+         |  GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (
+         |  SELECT ql.query_id, tf.doc_id,
+         |    CAST(sum(tf.tf * (1000000 // df.df)) AS BIGINT) AS score
+         |  FROM tf JOIN df USING (w) JOIN ql USING (w)
+         |  GROUP BY ql.query_id, tf.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, score
+         |FROM r WHERE rank <= $SearchBatchK ORDER BY query_id, rank""".stripMargin,
     // h = h*31 + byte with 64-bit wraparound, replayed as a HUGEINT fold
     // with mod 2^64 per step, then mapped back to the signed long Spark
     // emits. Valid because the corpus is ASCII (ord == UTF-8 byte).

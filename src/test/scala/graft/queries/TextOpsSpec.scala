@@ -163,6 +163,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("batch retrieval equals the per-query window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextOps.searchRankBatch(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // Ranks are contiguous from 1, at most K per query.
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.length.toLong),
+        s"query $q ranks must be contiguous")
+      assert(rs.length <= TextOps.SearchBatchK)
+    }
+    // The single-task window reference the bounded aggregator replaces.
+    val allTerms = TextOps.SearchBatch.map(_._2).distinct
+    val tf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").isin(allTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    val want = tf.join(df, "w")
+      .join(TextOps.SearchBatch.toDF("query_id", "w"), "w")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TextOps.SearchBatchK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.sorted === want.sorted)
+  }
+
   test("search_rank weights the rare term above the common ones") {
     val rows = TextOps.searchRank(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
