@@ -71,9 +71,37 @@ object AuditOps {
         min(col("sz")).as("min_class"),
         sum(when(col("sz") < KAnon, col("sz")).otherwise(0L)).as("rows_at_risk"))
 
+  /** Keys reported by [[joinKeySkew]]. */
+  val SkewTopK = 10
+
+  /** Join-key skew audit — the measurement that decides between a
+    * plain shuffle join, AQE's skew split, and the explicit salting
+    * `operators/Salt.scala` implements: per-key row counts for the
+    * lineitem⋈orders key, the [[SkewTopK]] heaviest keys with their
+    * share of the table (ppm, integer-exact), and each key's ratio to
+    * the mean key load (×100, `div`-truncated). Two aggregations (rows
+    * → keys → profile constants) both map-side combined, the totals
+    * broadcast back onto the tiny top-k head — nothing corpus-sized
+    * past the first exchange at any scale.
+    */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val totals = keys.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    keys.crossJoin(broadcast(totals))
+      .select(col("l_orderkey"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        expr("(cnt * 100 * n_keys) div n_rows").as("x100_of_mean"))
+      .orderBy(desc("cnt"), asc("l_orderkey"))
+      .limit(SkewTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_quality" -> (qualityChecks _),
     "audit_kanon" -> (kAnonymity _),
+    "audit_skew" -> (joinKeySkew _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,6 +129,15 @@ object AuditOps {
         |  UNION ALL SELECT 'orders_status_domain', badstatus, total FROM o
         |  UNION ALL SELECT 'orders_totalprice_positive', nonpos, total FROM o)
         |ORDER BY check_name""".stripMargin,
+    "audit_skew" ->
+      s"""WITH k AS (
+         |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+         |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM k)
+         |SELECT l_orderkey, cnt,
+         |  (cnt * 1000000) // n_rows AS share_ppm,
+         |  (cnt * 100 * n_keys) // n_rows AS x100_of_mean
+         |FROM k, t
+         |ORDER BY cnt DESC, l_orderkey LIMIT $SkewTopK""".stripMargin,
     "audit_kanon" ->
       s"""WITH cls AS (
          |  SELECT c_nationkey, c_mktsegment, count(*) AS sz

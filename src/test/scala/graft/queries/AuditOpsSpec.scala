@@ -28,6 +28,19 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew audit ranks the heaviest keys with consistent shares") {
+    val rows = AuditOps.joinKeySkew(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.length === AuditOps.SkewTopK)
+    // Descending load, key tie-break; shares bounded; the heaviest key
+    // carries at least the mean load.
+    assert(rows.map(r => (-r._2, r._1)) === rows.map(r => (-r._2, r._1)).sorted)
+    rows.foreach { case (_, cnt, ppm, x100) =>
+      assert(cnt >= 1L && ppm >= 0L && ppm <= 1000000L && x100 >= 0L)
+    }
+    assert(rows.head._4 >= 100L, "the top key is at least the mean key load")
+  }
+
   test("k-anonymity profile is internally consistent") {
     val (classes, small, minClass, atRisk) =
       AuditOps.kAnonymity(spark, dir).as[(Long, Long, Long, Long)].collect().head
