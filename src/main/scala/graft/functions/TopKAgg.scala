@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders, Row}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Bounded top-k state: parallel arrays sorted by (score desc, key asc),
   * never longer than k. A case class of arrays keeps the buffer inside
@@ -42,4 +44,30 @@ class TopKAgg(k: Int) extends Aggregator[Row, TopKBuf, TopKBuf] {
 
   def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
+
+/** The one udaf construction + buffer-unpacking contract every query
+  * site shares (topk_groups, simsearch_knn_batch, sample_stratified,
+  * text_search_batch) — so the arrays_zip field naming, the `pos + 1`
+  * rank convention, and the Row(score, key) argument encoding live in
+  * exactly one place.
+  */
+object TopKAgg {
+
+  /** SQL-callable form: arguments are (score: Double, key: Long). */
+  def asUdaf(k: Int): UserDefinedFunction =
+    udaf(new TopKAgg(k), Encoders.row(StructType(Seq(
+      StructField("score", DoubleType), StructField("key", LongType)))))
+
+  /** Unpack an aggregated [[TopKBuf]] struct column into one row per
+    * ranked entry — (`keep`*, rank: Long from 1, score: Double,
+    * key: Long) in the buffer's (score desc, key asc) order.
+    */
+  def exploded(df: DataFrame, bufCol: String, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+
+        posexplode(arrays_zip(col(s"$bufCol.scores"), col(s"$bufCol.keys"))): _*)
+      .select(keep.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.scores").as("score"),
+        col("col.keys").as("key")): _*)
 }

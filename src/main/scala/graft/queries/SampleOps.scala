@@ -75,16 +75,6 @@ object SampleOps {
       .agg(count(lit(1)).as("kept"))
       .orderBy("lang")
 
-  /** Benchmark-decontamination audit: which train-split documents share
-    * any word trigram with the test split. The shape is the scale-safe
-    * one — explode both sides to (doc, shingle), semi-join on the
-    * shingle key, never document-pairs — so the cost is one shuffle on
-    * shingles regardless of corpus size (the same key distribution the
-    * Jaccard near-dup query handles; a production run would apply the
-    * same doc-frequency stoplist before the join). Catalyst prunes the
-    * shingle computation out of the counting branch, so shingles are
-    * computed exactly once per document across the three uses of `base`.
-    */
   /** Train-split doc_ids sharing ANY shingle with the test split.
     * `base` carries (doc_id, split, shset); shared by the [[decontam]]
     * audit and the [[corpusPipeline]] drop so the two stay one
@@ -103,6 +93,16 @@ object SampleOps {
       .select("doc_id").distinct()
   }
 
+  /** Benchmark-decontamination audit: which train-split documents share
+    * any word trigram with the test split. The shape is the scale-safe
+    * one — explode both sides to (doc, shingle), semi-join on the
+    * shingle key, never document-pairs — so the cost is one shuffle on
+    * shingles regardless of corpus size (the same key distribution the
+    * Jaccard near-dup query handles; a production run would apply the
+    * same doc-frequency stoplist before the join). Catalyst prunes the
+    * shingle computation out of the counting branch, so shingles are
+    * computed exactly once per document across the three uses of `base`.
+    */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
     val base = withSplit(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("split"),
@@ -185,20 +185,16 @@ object SampleOps {
     * asc), which is exactly the oracle's row_number order.
     */
   def stratified(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val topk = udaf(new graft.functions.TopKAgg(StratifiedK),
-      org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("score", DoubleType), StructField("key", LongType)))))
-    Tables.documents(spark, dir)
+    val topk = graft.functions.TopKAgg.asUdaf(StratifiedK)
+    val agg = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         pmod(DedupOps.portable64(concat(lit("strat:"), col("doc_id").cast("string"))),
           lit(1L << 50)).as("h"))
       .groupBy("lang")
       .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
-      .select(col("lang"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
-      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.keys").as("doc_id"),
-        (-col("col.scores")).cast("long").as("h"))
+    graft.functions.TopKAgg.exploded(agg, "top", Seq("lang"))
+      .select(col("lang"), col("rank"), col("key").as("doc_id"),
+        (-col("score")).cast("long").as("h"))
       .orderBy("lang", "rank")
   }
 

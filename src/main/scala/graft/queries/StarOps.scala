@@ -274,19 +274,13 @@ object StarOps {
     * bit-for-bit.
     */
   def topkGroups(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val top3 = udaf(new graft.functions.TopKAgg(3),
-      org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("score", DoubleType), StructField("key", LongType)))))
-    Tables.orders(spark, dir)
+    val top3 = graft.functions.TopKAgg.asUdaf(3)
+    val agg = Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
-      .select(col("o_orderpriority"),
-        posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
-      .select(col("o_orderpriority"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("col.keys").as("o_orderkey"),
-        col("col.scores").as("o_totalprice"))
+    graft.functions.TopKAgg.exploded(agg, "top", Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("rank"),
+        col("key").as("o_orderkey"), col("score").as("o_totalprice"))
       .orderBy("o_orderpriority", "rank")
   }
 

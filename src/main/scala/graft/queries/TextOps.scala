@@ -554,14 +554,22 @@ object TextOps {
     * relation, which at 100 TB would be written bucketed by term once
     * and range-probed per query.
     */
-  def searchRank(spark: SparkSession, dir: String): DataFrame = {
-    val termsArr = array(SearchTerms.map(lit): _*)
-    val tf = Tables.documents(spark, dir)
+  /** Per-(doc, term) frequencies for a term set, from ONE corpus scan
+    * pre-filtered to documents holding any of the terms — the scoring
+    * contract [[searchRank]] and [[searchRankBatch]] share (one
+    * implementation, so the retrieval paths and their oracles cannot
+    * desynchronize).
+    */
+  private def termFreqs(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
-      .filter(arrays_overlap(col("tk"), termsArr))
+      .filter(arrays_overlap(col("tk"), array(terms.map(lit): _*)))
       .select(col("doc_id"), explode(col("tk")).as("w"))
-      .filter(col("w").isin(SearchTerms: _*))
+      .filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  def searchRank(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(spark, dir, SearchTerms)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "w")
       .groupBy("doc_id")
@@ -594,31 +602,23 @@ object TextOps {
     * long products), so the compare is exact.
     */
   def searchRankBatch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import spark.implicits._
-    val allTerms = SearchBatch.map(_._2).distinct
     val queriesDf = SearchBatch.toDF("query_id", "w")
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
-      .filter(arrays_overlap(col("tk"), array(allTerms.map(lit): _*)))
-      .select(col("doc_id"), explode(col("tk")).as("w"))
-      .filter(col("w").isin(allTerms: _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(spark, dir, SearchBatch.map(_._2).distinct)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val topk = udaf(new graft.functions.TopKAgg(SearchBatchK),
-      org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("score", DoubleType), StructField("key", LongType)))))
-    tf.join(broadcast(df), "w")
+    val topk = graft.functions.TopKAgg.asUdaf(SearchBatchK)
+    // The raw score goes straight in: TopKAgg's internal order is
+    // already (score desc, key asc) — exactly the oracle's
+    // row_number ORDER BY score DESC, doc_id.
+    val agg = tf.join(broadcast(df), "w")
       .join(broadcast(queriesDf), "w")
       .groupBy("query_id", "doc_id")
       .agg(sum(expr("tf * (1000000 div df)")).as("score"))
       .groupBy("query_id")
-      // (score desc, doc_id asc) is TopKAgg's order; doc_id rides as
-      // the key, score negated back out of the struct below.
       .agg(topk(col("score").cast("double"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.keys").as("doc_id"), col("col.scores").cast("long").as("score"))
+    graft.functions.TopKAgg.exploded(agg, "top", Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("key").as("doc_id"),
+        col("score").cast("long").as("score"))
       .orderBy("query_id", "rank")
   }
 

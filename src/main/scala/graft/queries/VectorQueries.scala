@@ -483,22 +483,19 @@ object VectorQueries {
     * (zero-norm vectors) are skipped on both sides.
     */
   def knnBatch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val topk = udaf(new graft.functions.TopKAgg(KnnK),
-      org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("score", DoubleType), StructField("key", LongType)))))
+    val topk = graft.functions.TopKAgg.asUdaf(KnnK)
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < KnnQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    e.filter(col("vec_id") >= KnnQueries)
+    val agg = e.filter(col("vec_id") >= KnnQueries)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         VectorOps.cosine(col("v"), col("qv")).as("sim"))
       .groupBy("qid")
       .agg(topk(col("sim"), col("vec_id")).as("top"))
-      .select(col("qid"), posexplode(arrays_zip(col("top.scores"), col("top.keys"))))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.keys").as("vec_id"), col("col.scores").as("sim"))
+    graft.functions.TopKAgg.exploded(agg, "top", Seq("qid"))
+      .select(col("qid"), col("rank"),
+        col("key").as("vec_id"), col("score").as("sim"))
       .orderBy("qid", "rank")
   }
 
