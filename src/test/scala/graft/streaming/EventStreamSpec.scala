@@ -384,6 +384,41 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("restart from checkpoint resumes flatMapGroupsWithState user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scd2Stream through a foreachBatch parquet sink (recoverable,
+    // unlike the memory sink): the OPEN interval lives in the custom
+    // per-user state and must survive the restart to close correctly.
+    val ckpt = graft.Scratch.dir("ckpt_restart_scd2")
+    val out = graft.Scratch.dir("restart_scd2_out")
+    val in = MemoryStream[Ev]
+    def start() = EventStream.scd2Stream(in.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(batch.toDF(), id, out))
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(Ev(1, ts("10:00"), 1, "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      in.addData(Ev(2, ts("10:30"), 1, "click"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("user_id", "state", "valid_from", "valid_to")
+        .as[(Long, String, Timestamp, Timestamp)].collect().toSeq
+      assert(rows.map(r => (r._1, r._2, r._3.toString, r._4.toString)) ===
+        Seq((1L, "view", "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0")),
+        "the open interval must survive the restart and close exactly once")
+    } finally q2.stop()
+  }
+
   test("funnel and SCD2 state machines advance on sub-millisecond separations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
