@@ -108,9 +108,15 @@ object GraphOps {
     * expansion caps [[DedupOps.JaccardMaxDf]]. The closing probe is a
     * semi join, so nothing wider than (a,b,c) ever crosses a shuffle.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val und = edges(docs).filter(col("src") =!= col("dst"))
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(edges(Tables.documents(spark, dir)))
+
+  /** The count over an arbitrary `(src, dst)` edge frame (exposed so
+    * property tests can drive random graphs through the production
+    * plan); self-loops and duplicate/reversed edges canonicalize away.
+    */
+  def trianglesOf(e: DataFrame): DataFrame = {
+    val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
