@@ -45,19 +45,20 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(extensions: SparkSessionExtensions): Unit = {
+    // The full (non-deprecated) ExpressionInfo constructor; empty
+    // fields render like any built-in without docs for that section.
+    def info(clazz: Class[_], name: String, usage: String) =
+      new ExpressionInfo(clazz.getName, null, name, usage,
+        "", "", "", "hash_funcs", "1.0.0", "", "built-in")
     extensions.injectFunction((
       FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(
-        classOf[RollingHash].getName, null, "rolling_hash",
-        "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes.",
-        ""),
+      info(classOf[RollingHash], "rolling_hash",
+        "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes."),
       GraftFunctions.buildRollingHash))
     extensions.injectFunction((
       FunctionIdentifier("digest_prefix64"),
-      new ExpressionInfo(
-        classOf[DigestPrefix64].getName, null, "digest_prefix64",
-        "digest_prefix64(str) - first 15 hex chars of md5(str) as a 60-bit integer.",
-        ""),
+      info(classOf[DigestPrefix64], "digest_prefix64",
+        "digest_prefix64(str) - first 15 hex chars of md5(str) as a 60-bit integer."),
       GraftFunctions.buildDigestPrefix64))
     extensions.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
