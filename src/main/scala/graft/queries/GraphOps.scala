@@ -78,35 +78,98 @@ object GraphOps {
       .orderBy(desc("rank"), asc("id")).limit(TopK)
   }
 
+  /** One power-iteration round: contributions shuffle on `src`, partial-
+    * aggregate per `dst`, left join back to the node set for the
+    * teleport base — O(edges), no all-pairs.
+    */
+  private def step(nodes: DataFrame, e: DataFrame, ranks: DataFrame): DataFrame = {
+    val base = Scale * (100 - Damp) / 100
+    val contribs = e.join(ranks, e("src") === ranks("id"))
+      .select(col("dst"), expr(s"rank div $OutDeg").as("c"))
+      .groupBy("dst").agg(sum("c").as("in_sum"))
+    nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+      .select(col("id"),
+        (lit(base) + expr(s"(coalesce(in_sum, 0L) * $Damp) div 100")).as("rank"))
+  }
+
   /** The iteration over arbitrary `nodes(id)` / `edges(src, dst)`
     * frames with constant out-degree [[OutDeg]] (exposed so property
     * tests can drive random graphs through the exact production loop).
     */
   def pagerankOf(nodes: DataFrame, e: DataFrame): DataFrame = {
-    val base = Scale * (100 - Damp) / 100
     var ranks = nodes.select(col("id"), lit(Scale).as("rank"))
-    for (_ <- 1 to Iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst"), expr(s"rank div $OutDeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_sum"))
-      ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"(coalesce(in_sum, 0L) * $Damp) div 100")).as("rank"))
+    for (_ <- 1 to Iters) ranks = step(nodes, e, ranks)
+    ranks
+  }
+
+  /** Iterate-to-convergence PageRank — the production loop the unrolled
+    * [[pagerankOf]] is a 3-round slice of. Runs [[step]] until the
+    * latest round's max per-node rank delta (probed at checkpoint
+    * rounds) is ≤ `tol` (scaled units) or `maxIters` rounds elapse. Every `checkpointEvery` rounds
+    * the ranks localCheckpoint (the [[DedupOps.connectedGroups]]
+    * posture: materialize + truncate lineage so the plan stays O(k)
+    * deep and the convergence probe — one abs-delta aggregate, a single
+    * long to the driver — reads materialized blocks instead of
+    * recomputing the whole chain). Integer truncation means a strict
+    * fixpoint is not guaranteed (ranks can cycle by ±1 in the last
+    * scaled digit), so `maxIters` is a hard bound, not a safety net;
+    * `tol` at default absorbs that noise. Per-round cost and shuffle
+    * shape are identical to the unrolled form, so the registered
+    * query's oracle covers this loop's arithmetic exactly — the
+    * property spec pins loop ≡ unrolled at [[Iters]] rounds.
+    */
+  def pagerankLoop(nodes: DataFrame, e: DataFrame, maxIters: Int = 40,
+      tol: Long = 1000L, checkpointEvery: Int = 4): DataFrame = {
+    require(maxIters >= 1 && checkpointEvery >= 1)
+    var ranks = nodes.select(col("id"), lit(Scale).as("rank"))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val atCheckpoint = it % checkpointEvery == 0 || it == maxIters
+      val next =
+        if (atCheckpoint) step(nodes, e, ranks).localCheckpoint()
+        else step(nodes, e, ranks)
+      if (atCheckpoint) {
+        val delta = next.select(col("id"), col("rank").as("r2"))
+          .join(ranks.select(col("id"), col("rank").as("r1")), Seq("id"))
+          .agg(coalesce(max(abs(col("r2") - col("r1"))), lit(0L)))
+          .head().getLong(0)
+        converged = delta <= tol
+      }
+      ranks = next
     }
     ranks
   }
 
+  /** Hub cap for [[trianglesOf]]: an edge touching a node whose
+    * undirected degree exceeds this bound is dropped before the wedge
+    * join — the [[DedupOps.JaccardMaxDf]] move applied to graphs. Even
+    * degree-oriented counting pays O(out-deg²) wedges per node, and a
+    * social-graph celebrity node with degree 10⁷ would emit 10¹⁴ of
+    * them; the cap makes the count a documented lower bound when it
+    * bites (triangles entirely inside the sub-cap graph are exact).
+    * The oracle SQL applies the identical cap (generated from this
+    * constant), so both engines agree exactly. 1024 is far above the
+    * planted graph's max degree (~2·[[OutDeg]]), so the registered
+    * query's count is exact.
+    */
+  val TriangleMaxDeg = 1024
+
   /** Triangle count over the undirected form of the planted graph —
     * the canonical multi-way self-join graph workload. Orientation does
-    * the heavy lifting: every edge canonicalizes to (a < b), so each
-    * triangle materializes as exactly ONE wedge (a,b)+(b,c) with
-    * a < b < c, closed by a semi join probing (a,c) — no triple
-    * counting, no post-hoc division. The wedge join is the quadratic
-    * risk (Σ deg² pairs); at 100 TB the standard mitigations compose
-    * onto this exact plan: orient by DEGREE instead of id (splits hub
-    * fan-outs), and stoplist hubs past a bound the way the shingle
-    * expansion caps [[DedupOps.JaccardMaxDf]]. The closing probe is a
-    * semi join, so nothing wider than (a,b,c) ever crosses a shuffle.
+    * the heavy lifting, and it is DEGREE orientation (lower (degree,
+    * id) endpoint → higher): each triangle materializes as exactly ONE
+    * wedge rooted at its minimum-rank corner, closed by a semi join
+    * probing the third oriented edge — no triple counting, no post-hoc
+    * division. Degree orientation is what makes the wedge join survive
+    * power-law graphs: a hub of degree d has out-degree O(√m) after
+    * orientation (all its edges to lower-degree neighbors point AWAY
+    * from them), so the wedge fan-out is Σ out-deg² ≤ O(m^1.5) instead
+    * of the Σ deg² blow-up an id-oriented join pays when a single hub
+    * materializes O(d²) wedges. The [[TriangleMaxDeg]] stoplist bounds
+    * the residual worst case. The closing probe is a semi join, so
+    * nothing wider than (lo, p, q) ever crosses a shuffle.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(edges(Tables.documents(spark, dir)))
@@ -114,17 +177,43 @@ object GraphOps {
   /** The count over an arbitrary `(src, dst)` edge frame (exposed so
     * property tests can drive random graphs through the production
     * plan); self-loops and duplicate/reversed edges canonicalize away.
+    * `maxDeg` is the hub stoplist (degrees measured in the full
+    * canonical graph, BEFORE any edge is dropped, so the cut is a pure
+    * per-edge predicate and two capped components never re-merge).
     */
-  def trianglesOf(e: DataFrame): DataFrame = {
+  def trianglesOf(e: DataFrame, maxDeg: Int = TriangleMaxDeg): DataFrame = {
     val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val wedges = und.join(und.select(col("a").as("b2"), col("b").as("c")),
-        col("b") === col("b2"))
-      .select("a", "b", "c")
-    wedges.join(und.select(col("a").as("a3"), col("b").as("c3")),
-        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+    // Undirected degree of every endpoint — one row per node, built by
+    // the same shuffle key (node id) the two attach joins below reuse.
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .filter(col("da") <= maxDeg && col("db") <= maxDeg)
+    // Orient lower (degree, id) → higher; carry the head's rank so the
+    // wedge pair below can canonicalize without another degree join.
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("hid"))
+    // Each triangle's minimum-rank corner roots exactly one wedge: the
+    // pair of its out-neighbors, ordered by (degree, id) rank so the
+    // closing edge is oriented p → q by construction.
+    val wedges = oriented.select(col("lo"), col("hi").as("p"), col("hid").as("pd"))
+      .join(oriented.select(col("lo"), col("hi").as("q"), col("hid").as("qd")),
+        Seq("lo"))
+      .filter(col("pd") < col("qd") ||
+        (col("pd") === col("qd") && col("p") < col("q")))
+      .select("p", "q")
+    wedges.join(oriented.select(col("lo").as("p"), col("hi").as("q")),
+        Seq("p", "q"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
   }
 
@@ -154,23 +243,38 @@ object GraphOps {
        |  GROUP BY d.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Orientation is count-preserving, so the oracle keeps the simple
+    // id-oriented wedge join; only the TriangleMaxDeg hub stoplist must
+    // mirror (same constant, degrees measured before the cut).
     "graph_triangles" ->
       s"""WITH e AS (
           |$duckEdges),
           |und AS (
           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |  FROM e WHERE src <> dst)
+          |  FROM e WHERE src <> dst),
+          |deg AS (
+          |  SELECT v, count(*) AS d FROM (
+          |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+          |  GROUP BY v),
+          |kept AS (
+          |  SELECT a, b FROM und
+          |  JOIN deg da ON da.v = und.a
+          |  JOIN deg db ON db.v = und.b
+          |  WHERE da.d <= $TriangleMaxDeg AND db.d <= $TriangleMaxDeg)
           |SELECT count(*) AS triangles
-          |FROM und x
-          |JOIN und y ON y.a = x.b
-          |JOIN und z ON z.a = x.a AND z.b = y.b""".stripMargin,
+          |FROM kept x
+          |JOIN kept y ON y.a = x.b
+          |JOIN kept z ON z.a = x.a AND z.b = y.b""".stripMargin,
     "graph_pagerank" ->
       (s"""WITH e AS (
           |$duckEdges),
           |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS rank FROM documents),
           |""".stripMargin
         + (1 to Iters).map(i => duckIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n"
-        + s"""SELECT id, rank FROM r$Iters
+        // CAST back: DuckDB's SUM widens to HUGEINT inside duckIter and
+        // the widening propagates to the final projection; Spark's rank
+        // is BIGINT, and the driver's value hash is type-sensitive.
+        + s"""SELECT id, CAST(rank AS BIGINT) AS rank FROM r$Iters
             |ORDER BY rank DESC, id LIMIT $TopK""".stripMargin),
   )
 }

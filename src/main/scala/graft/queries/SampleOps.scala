@@ -75,21 +75,45 @@ object SampleOps {
       .agg(count(lit(1)).as("kept"))
       .orderBy("lang")
 
-  /** Train-split doc_ids sharing ANY shingle with the test split.
-    * `base` carries (doc_id, split, shset); shared by the [[decontam]]
-    * audit and the [[corpusPipeline]] drop so the two stay one
-    * implementation. explode_outer + isNotNull (not plain explode):
-    * keeps InferFiltersFromGenerate from re-inlining the shingle tree
-    * into a scan-level filter — see DedupOps.shingleSetWithSize.
+  /** Doc-frequency stoplist for the decontamination join —
+    * [[DedupOps.JaccardMaxDf]] applied to contamination: a trigram
+    * present in more than this many documents (df measured over the
+    * WHOLE corpus the decontam runs on, all splits, before any cut) is
+    * boilerplate ("all rights reserved", headers), not benchmark
+    * leakage, and matching on it would (a) drag a corpus-sized posting
+    * list through the semi join — the one skewed key that breaks the
+    * shuffle at 100 TB — and (b) flag essentially every train document
+    * as contaminated. Dropping hot shingles bounds every posting list
+    * at the constant and leaves the decision to the rare, discriminative
+    * trigrams real decontamination keys on. The oracle SQL applies the
+    * identical cap (generated from this constant), so both engines
+    * agree exactly.
+    */
+  val DecontamMaxDf = 50
+
+  /** Train-split doc_ids sharing any sub-stoplist shingle with the test
+    * split. `base` carries (doc_id, split, shset); shared by the
+    * [[decontam]] audit and the [[corpusPipeline]] drop so the two stay
+    * one implementation. One aggregation on the shingle key produces
+    * both halves of the probe-set decision — the corpus doc frequency
+    * (`shset` is a set, so count(*) counts documents) and test-split
+    * membership — then the train side semi-joins the bounded probe set.
+    * explode_outer + isNotNull (not plain explode): keeps
+    * InferFiltersFromGenerate from re-inlining the shingle tree into a
+    * scan-level filter — see DedupOps.shingleSetWithSize.
     */
   private def testContaminatedTrainDocs(base: DataFrame): DataFrame = {
-    val testSh = base.filter(col("split") === "test")
-      .select(explode_outer(col("shset")).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
-    base.filter(col("split") === "train")
-      .select(col("doc_id"), explode_outer(col("shset")).as("sh"))
+    val sh = base
+      .select(col("doc_id"), col("split"), explode_outer(col("shset")).as("sh"))
       .filter(col("sh").isNotNull)
-      .join(testSh, Seq("sh"), "left_semi")
+    val probe = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+      .filter(col("df") <= DecontamMaxDf && col("in_test") === 1)
+      .select("sh")
+    sh.filter(col("split") === "train")
+      .select("doc_id", "sh")
+      .join(probe, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
   }
 
@@ -97,11 +121,12 @@ object SampleOps {
     * any word trigram with the test split. The shape is the scale-safe
     * one — explode both sides to (doc, shingle), semi-join on the
     * shingle key, never document-pairs — so the cost is one shuffle on
-    * shingles regardless of corpus size (the same key distribution the
-    * Jaccard near-dup query handles; a production run would apply the
-    * same doc-frequency stoplist before the join). Catalyst prunes the
-    * shingle computation out of the counting branch, so shingles are
-    * computed exactly once per document across the three uses of `base`.
+    * shingles regardless of corpus size, and the [[DecontamMaxDf]]
+    * doc-frequency stoplist bounds every posting list crossing the join
+    * (the same key distribution and the same cap discipline the Jaccard
+    * near-dup query applies). Catalyst prunes the shingle computation
+    * out of the counting branch, so shingles are computed exactly once
+    * per document across the uses of `base`.
     */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
     val base = withSplit(Tables.documents(spark, dir))
@@ -319,12 +344,15 @@ object SampleOps {
          |    range(0, greatest(len(tk) - 2, 0)),
          |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
          |  FROM toksv),
-         |test_sh AS (
-         |  SELECT DISTINCT sh FROM sh JOIN s USING (doc_id) WHERE s.split = 'test'),
+         |probe AS (
+         |  SELECT x.sh FROM sh x JOIN s USING (doc_id)
+         |  GROUP BY x.sh
+         |  HAVING count(*) <= $DecontamMaxDf
+         |     AND max(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END) = 1),
          |cont AS (
          |  SELECT DISTINCT x.doc_id FROM sh x
          |  JOIN s USING (doc_id)
-         |  JOIN test_sh t ON x.sh = t.sh
+         |  JOIN probe t ON x.sh = t.sh
          |  WHERE s.split = 'train')
          |SELECT lang, split, count(*) AS docs, CAST(sum(tok_cnt) AS BIGINT) AS tokens
          |FROM s
@@ -373,12 +401,15 @@ object SampleOps {
          |    range(0, greatest(len(tk) - 2, 0)),
          |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
          |  FROM toks),
-         |test_sh AS (
-         |  SELECT DISTINCT sh FROM sh JOIN b USING (doc_id) WHERE b.split = 'test'),
+         |probe AS (
+         |  SELECT s.sh FROM sh s JOIN b USING (doc_id)
+         |  GROUP BY s.sh
+         |  HAVING count(*) <= $DecontamMaxDf
+         |     AND max(CASE WHEN b.split = 'test' THEN 1 ELSE 0 END) = 1),
          |cont AS (
          |  SELECT DISTINCT s.doc_id FROM sh s
          |  JOIN b USING (doc_id)
-         |  JOIN test_sh t ON s.sh = t.sh
+         |  JOIN probe t ON s.sh = t.sh
          |  WHERE b.split = 'train')
          |SELECT b.lang, count(*) AS train_docs,
          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

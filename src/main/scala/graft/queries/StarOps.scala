@@ -393,6 +393,49 @@ object StarOps {
       .orderBy("l_returnflag")
   }
 
+  /** Quantile-bin resolution for [[aggSpearmanApprox]]. Rank error from
+    * binning is ≤ n/[[SpearmanBins]] rows per value, so the bin-index
+    * correlation converges to Spearman at O(1/bins).
+    */
+  val SpearmanBins = 256
+
+  /** Sketch twin of [[aggSpearman]] — the bounded-state 100 TB path for
+    * the last exact-sort aggregate, mirroring the agg_mad /
+    * agg_mad_approx pairing: exact average ranks (a distinct-value
+    * window plus two joins back) are replaced by QUANTILE-BIN indices.
+    * Each group keeps [[SpearmanBins]]−1 approximate cut points per
+    * column (`percentile_approx`, O(accuracy) state regardless of group
+    * size), the cuts broadcast back like a model artifact, every row's
+    * approximate rank is its bin index (one codegen'd array `filter`
+    * per column — no window, no join on values, no distinct frame), and
+    * Pearson over the two bin indices is the estimate. Monotone-
+    * invariant like true Spearman (bins are order statistics); ties
+    * share a bin by construction. Rows-only in the harness (sketch cut
+    * points are engine-specific); SketchAccuracySpec pins the estimate
+    * inside a fixed band of the exact twin.
+    */
+  def aggSpearmanApprox(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val fracs = array((1 until SpearmanBins).map(i =>
+      lit(i.toDouble / SpearmanBins)): _*)
+    val cuts = base.groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), fracs, lit(ScalarOps.ApproxAccuracy))
+          .as("cx"),
+        percentile_approx(col("l_extendedprice"), fracs, lit(ScalarOps.ApproxAccuracy))
+          .as("cy"))
+    base.join(broadcast(cuts), "l_returnflag")
+      .select(col("l_returnflag"),
+        size(filter(col("cx"), c => c <= col("l_quantity"))).cast("double").as("bx"),
+        size(filter(col("cy"), c => c <= col("l_extendedprice"))).cast("double").as("by"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), corr(col("bx"), col("by")).as("r"))
+      .select(col("l_returnflag"), col("n"),
+        floor(col("r") * 1000000.0).cast("long").as("spearman_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   /** Full outer join: per-nation customer and supplier counts with
     * presence on either side — the join variant where neither input is
     * the anchor. Both sides pre-aggregate to nation-sized frames before
@@ -428,6 +471,7 @@ object StarOps {
     "typed_wavg" -> (typedWavg _),
     "q3_shipping" -> (q3Shipping _),
     "agg_spearman" -> (aggSpearman _),
+    "agg_spearman_approx" -> (aggSpearmanApprox _),
     "join_full" -> (joinFull _),
     "set_exceptall" -> (setExceptAll _),
     "topk_groups" -> (topkGroups _),

@@ -409,7 +409,8 @@ object TextOps {
     val pairs = docs
       .select(tokens(lower(col("text"))).as("toks"))
       .select(explode(expr(
-        """zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),
+        """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+          |         slice(toks, 2, greatest(size(toks)-1, 0)),
           |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
@@ -441,7 +442,8 @@ object TextOps {
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode_outer(expr(
-        """zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),
+        """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+          |         slice(toks, 2, greatest(size(toks)-1, 0)),
           |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
@@ -601,10 +603,17 @@ object TextOps {
     * [[searchRank]]; the score doubles stay integer-valued (sums of
     * long products), so the compare is exact.
     */
-  def searchRankBatch(spark: SparkSession, dir: String): DataFrame = {
+  def searchRankBatch(spark: SparkSession, dir: String): DataFrame =
+    scoreBatch(spark, termFreqs(spark, dir, SearchBatch.map(_._2).distinct))
+
+  /** The whole-log scoring stage over a (doc_id, w, tf) relation — ONE
+    * implementation shared by the scan-time path ([[searchRankBatch]])
+    * and the persisted-index path ([[searchRankIndexed]]), so the two
+    * registered twins (and their common oracle) cannot desynchronize.
+    */
+  private def scoreBatch(spark: SparkSession, tf: DataFrame): DataFrame = {
     import spark.implicits._
     val queriesDf = SearchBatch.toDF("query_id", "w")
-    val tf = termFreqs(spark, dir, SearchBatch.map(_._2).distinct)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val topk = graft.functions.TopKAgg.asUdaf(SearchBatchK)
     // The raw score goes straight in: TopKAgg's internal order is
@@ -622,10 +631,44 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Full-vocabulary inverted index: one (w, doc_id, tf) row per
+    * distinct (token, document) pair — the relation a 100 TB deployment
+    * writes ONCE, bucketed by term, and serves every query from.
+    * Exposed for [[searchRankIndexed]] and its spec.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Batch retrieval against a PERSISTED inverted index — the
+    * [[DedupOps.minhashIncremental]] move applied to text search, and
+    * the production completion of [[searchRankBatch]], which re-derives
+    * tf from the corpus on every run: here the full-vocabulary
+    * (w, doc_id, tf) index is written once as a compact parquet
+    * artifact (term + id + count — never text), and query time touches
+    * ONLY the probed terms' posting lists — at scale the index is
+    * bucketed by term, so a query log reads its own postings and
+    * nothing else, and a daily crawl appends its batch's rows without
+    * re-tokenizing history. Term df falls out of the index itself
+    * (posting-list length), so scoring needs no second corpus pass.
+    * Scoring is [[scoreBatch]], shared with the scan-time twin — the
+    * two queries return identical rows and share one oracle, which is
+    * what pins index-build + probe ≡ direct computation as an exact
+    * equivalence, not a rows-only claim.
+    */
+  def searchRankIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("invindex")
+    invertedIndex(Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(out)
+    val terms = SearchBatch.map(_._2).distinct
+    scoreBatch(spark, spark.read.parquet(out).filter(col("w").isin(terms: _*)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_batch" -> (searchRankBatch _),
+    "text_search_index" -> (searchRankIndexed _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
@@ -655,6 +698,37 @@ object TextOps {
   private val duckBatchValues: String =
     SearchBatch.map { case (q, w) => s"($q, '$w')" }.mkString(", ")
 
+  /** Shared by `text_search_batch` and `text_search_index`: the two
+    * registered paths compute the same relation (scan-time tf vs
+    * persisted-index probe), so one oracle pins both — and pins their
+    * equivalence.
+    */
+  private val duckSearchBatchSql: String =
+    s"""WITH ql(query_id, w) AS (VALUES $duckBatchValues),
+       |tk AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, unnest(tk) AS w FROM tk
+       |  WHERE list_has_any(tk, $duckBatchTermsList)),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM m
+       |  WHERE w IN ($duckBatchTermsIn)
+       |  GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT ql.query_id, tf.doc_id,
+       |    CAST(sum(tf.tf * (1000000 // df.df)) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (w) JOIN ql USING (w)
+       |  GROUP BY ql.query_id, tf.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, score
+       |FROM r WHERE rank <= $SearchBatchK ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_search_rank" ->
       s"""WITH tk AS (
@@ -672,31 +746,12 @@ object TextOps {
          |  count(*) AS terms_hit
          |FROM tf JOIN df USING (w)
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
-    "text_search_batch" ->
-      s"""WITH ql(query_id, w) AS (VALUES $duckBatchValues),
-         |tk AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, unnest(tk) AS w FROM tk
-         |  WHERE list_has_any(tk, $duckBatchTermsList)),
-         |tf AS (
-         |  SELECT doc_id, w, count(*) AS tf FROM m
-         |  WHERE w IN ($duckBatchTermsIn)
-         |  GROUP BY doc_id, w),
-         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-         |sc AS (
-         |  SELECT ql.query_id, tf.doc_id,
-         |    CAST(sum(tf.tf * (1000000 // df.df)) AS BIGINT) AS score
-         |  FROM tf JOIN df USING (w) JOIN ql USING (w)
-         |  GROUP BY ql.query_id, tf.doc_id),
-         |r AS (
-         |  SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |  FROM sc)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-         |  doc_id, score
-         |FROM r WHERE rank <= $SearchBatchK ORDER BY query_id, rank""".stripMargin,
+    "text_search_batch" -> duckSearchBatchSql,
+    // The persisted-index twin scores the same log with the same idf
+    // weight from the same tf relation (built via the index instead of
+    // at scan time), so its oracle IS the scan-time oracle — the
+    // equivalence the twin exists to pin as an exact value match.
+    "text_search_index" -> duckSearchBatchSql,
     // h = h*31 + byte with 64-bit wraparound, replayed as a HUGEINT fold
     // with mod 2^64 per step, then mapped back to the signed long Spark
     // emits. Valid because the corpus is ASCII (ord == UTF-8 byte).

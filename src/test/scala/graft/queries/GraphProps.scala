@@ -44,4 +44,26 @@ object GraphProps extends Properties("GraphOps.pagerankOf") {
       }
       got == ranks.toSeq
     }
+
+  // The production convergence loop, pinned to the unrolled form at the
+  // same round count: tol = -1 can never be met (the abs-delta probe is
+  // ≥ 0), so pagerankLoop runs exactly Iters rounds through BOTH
+  // checkpoint cadences — the every-round probe and a mid-loop
+  // checkpoint — and must reproduce pagerankOf's ranks bit-for-bit.
+  property("convergence loop equals the unrolled form at Iters rounds") =
+    Prop.forAllNoShrink(genGraph) { case (n, targets) =>
+      import spark.implicits._
+      val edges = targets.zipWithIndex.map { case (dst, i) =>
+        ((i / GraphOps.OutDeg).toLong, dst.toLong)
+      }
+      val nodesDf = (0 until n).map(_.toLong).toDF("id")
+      val edgesDf = edges.toDF("src", "dst")
+      val want = GraphOps.pagerankOf(nodesDf, edgesDf)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      Seq(1, 2).forall { k =>
+        GraphOps.pagerankLoop(nodesDf, edgesDf,
+            maxIters = GraphOps.Iters, tol = -1L, checkpointEvery = k)
+          .as[(Long, Long)].collect().sortBy(_._1).toSeq == want
+      }
+    }
 }

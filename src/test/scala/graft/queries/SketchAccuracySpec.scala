@@ -108,4 +108,23 @@ class SketchAccuracySpec extends AnyFunSuite {
       assert(aMad >= lo && aMad <= hi, s"flag=$flag MAD $aMad outside [$lo,$hi]")
     }
   }
+
+  test("agg_spearman_approx is within 1% (10000 ppm) of the exact rank correlation") {
+    // Quantile binning at SpearmanBins=256 bounds per-value rank error
+    // at n/256 rows, so the bin-index correlation sits O(1/256) ≈
+    // 3900 ppm from true Spearman in the worst case; measured deltas on
+    // this corpus are ≤ ~500 ppm. 10000 ppm is a generous-but-meaningful
+    // deterministic pin (percentile_approx cuts are deterministic for a
+    // fixed input, so this is stable, not flaky-probabilistic).
+    val exact = StarOps.aggSpearman(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = StarOps.aggSpearmanApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag)
+      assert(math.abs(a - e) <= 10000L,
+        s"flag=$flag approx=$a exact=$e outside the 10000 ppm band")
+    }
+  }
 }
