@@ -24,7 +24,8 @@ object Explain {
     "simsearch_ivfpq", "text_tfidf", "graph_pagerank", "text_search_rank",
     "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified",
     "pipeline_corpus", "audit_quality", "events_scd2_lookup",
-    "graph_triangles", "multimodal_phash")
+    "graph_triangles", "multimodal_phash", "agg_spearman_approx",
+    "text_search_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

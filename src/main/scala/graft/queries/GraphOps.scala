@@ -182,10 +182,18 @@ object GraphOps {
     * per-edge predicate and two capped components never re-merge).
     */
   def trianglesOf(e: DataFrame, maxDeg: Int = TriangleMaxDeg): DataFrame = {
+    // The canonical edge set is referenced three times (degree build +
+    // attach join) and the oriented set three more (both wedge sides +
+    // closing probe); without materialization each reference re-derives
+    // the whole upstream chain — six corpus scans in the registered
+    // query's plan (no exchange subtree repeats exactly, so ReuseExchange
+    // never fires). localCheckpoint both once — the connectedGroups
+    // posture: at scale you materialize the edge list, then count.
     val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     // Undirected degree of every endpoint — one row per node, built by
     // the same shuffle key (node id) the two attach joins below reuse.
     val deg = und.select(col("a").as("v"))
@@ -203,6 +211,7 @@ object GraphOps {
       when(aFirst, col("a")).otherwise(col("b")).as("lo"),
       when(aFirst, col("b")).otherwise(col("a")).as("hi"),
       when(aFirst, col("db")).otherwise(col("da")).as("hid"))
+      .localCheckpoint()
     // Each triangle's minimum-rank corner roots exactly one wedge: the
     // pair of its out-neighbors, ordered by (degree, id) rank so the
     // closing edge is oriented p → q by construction.

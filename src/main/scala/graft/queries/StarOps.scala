@@ -406,9 +406,12 @@ object StarOps {
     * Each group keeps [[SpearmanBins]]−1 approximate cut points per
     * column (`percentile_approx`, O(accuracy) state regardless of group
     * size), the cuts broadcast back like a model artifact, every row's
-    * approximate rank is its bin index (one codegen'd array `filter`
-    * per column — no window, no join on values, no distinct frame), and
-    * Pearson over the two bin indices is the estimate. Monotone-
+    * approximate rank is its bin index (the native
+    * [[graft.functions.SortedRank]] binary search — O(log bins) inside
+    * whole-stage codegen, where the HOF `size(filter(...))` form
+    * interprets O(bins) boxed compares per row and measured 11.8s vs
+    * ~1s at sf0.1; no window, no join on values, no distinct frame),
+    * and Pearson over the two bin indices is the estimate. Monotone-
     * invariant like true Spearman (bins are order statistics); ties
     * share a bin by construction. Rows-only in the harness (sketch cut
     * points are engine-specific); SketchAccuracySpec pins the estimate
@@ -421,14 +424,16 @@ object StarOps {
       lit(i.toDouble / SpearmanBins)): _*)
     val cuts = base.groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_quantity"), fracs, lit(ScalarOps.ApproxAccuracy))
-          .as("cx"),
-        percentile_approx(col("l_extendedprice"), fracs, lit(ScalarOps.ApproxAccuracy))
-          .as("cy"))
+        percentile_approx(col("l_quantity").cast("double"), fracs,
+          lit(ScalarOps.ApproxAccuracy)).as("cx"),
+        percentile_approx(col("l_extendedprice").cast("double"), fracs,
+          lit(ScalarOps.ApproxAccuracy)).as("cy"))
     base.join(broadcast(cuts), "l_returnflag")
       .select(col("l_returnflag"),
-        size(filter(col("cx"), c => c <= col("l_quantity"))).cast("double").as("bx"),
-        size(filter(col("cy"), c => c <= col("l_extendedprice"))).cast("double").as("by"))
+        graft.functions.SortedRank(col("cx"), col("l_quantity").cast("double"))
+          .cast("double").as("bx"),
+        graft.functions.SortedRank(col("cy"), col("l_extendedprice").cast("double"))
+          .cast("double").as("by"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), corr(col("bx"), col("by")).as("r"))
       .select(col("l_returnflag"), col("n"),
