@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.queries.DedupOps
+
+/** Streaming near-duplicate ingest — the crawl-loop form of
+  * [[graft.queries.DedupOps.minhashIncremental]]: documents arrive as a
+  * stream, and each micro-batch (a) computes ONLY its own MinHash band
+  * buckets, (b) probes the PERSISTED band-bucket index for cross-batch
+  * candidates, and (c) appends its buckets to the index — so by the
+  * next batch, this batch's documents are probe-able history. Cost per
+  * batch scales with the batch plus a bucket-keyed join against the
+  * index, never with corpus history; the index rows are (doc_id, band,
+  * bucket) — signatures, never text — exactly the artifact the batch
+  * query maintains, so a nightly batch job and this stream can share
+  * one index.
+  *
+  * Exactly-once posture: both sinks partition by `batch_id` and
+  * overwrite dynamically (the [[EventStream.writeBatch]] recipe), so a
+  * replayed batch lands byte-identically instead of duplicating, and
+  * the probe filters the index to `batch_id` STRICTLY BELOW the current
+  * batch — a replay never sees the half-written rows of its own failed
+  * attempt, and candidates are stable under restart (drilled in
+  * DocStreamSpec).
+  */
+object DocStream {
+
+  case class Doc(doc_id: Long, text: String)
+
+  /** Band/row layout shared with the batch incremental query
+    * ([[DedupOps.minhashIncremental]]) so stream and batch agree on
+    * what a candidate is.
+    */
+  val NBands = 4
+  val RowsPerBand = 4
+
+  /** `batch_id` used when seeding the index from a batch (historical)
+    * corpus: strictly below every stream batch id, so batch 0 already
+    * probes it.
+    */
+  val SeedBatchId = -1L
+
+  /** Write a historical corpus's band buckets as the index seed —
+    * the one-off backfill a deployment runs before switching the
+    * stream on.
+    */
+  def seedIndex(docs: DataFrame, indexDir: String): Unit =
+    DedupOps.minhashBands(docs, NBands, RowsPerBand)
+      .withColumn("batch_id", lit(SeedBatchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+
+  /** One micro-batch step: probe history, emit candidates, append the
+    * batch's buckets. Public so the spec (and a batch backfill) can
+    * drive the exact production step without a streaming query around
+    * it.
+    */
+  def probeAndAppend(batch: DataFrame, batchId: Long,
+      indexDir: String, candDir: String): Unit = {
+    val spark = batch.sparkSession
+    val bands = DedupOps.minhashBands(batch, NBands, RowsPerBand)
+      .localCheckpoint() // two consumers below; hash the batch once
+    val history = spark.read.parquet(indexDir)
+      .filter(col("batch_id") < batchId)
+      .select("doc_id", "band", "bucket")
+    val cands = DedupOps.probeIndex(history, bands)
+    cands.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(candDir)
+    bands.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+  }
+
+  /** The streaming query: arriving (doc_id, text) micro-batches run
+    * [[probeAndAppend]] against the shared index. Start after
+    * [[seedIndex]] (or against an empty directory with an explicit
+    * schema-bearing seed).
+    */
+  def neardupIngest(docs: Dataset[Doc], indexDir: String, candDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        probeAndAppend(batch.toDF(), id, indexDir, candDir))
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.DocStream.Doc
+
+/** Golden drills for the streaming near-dup ingest loop: candidates
+  * against the seeded index, candidates against a PRIOR batch (the
+  * index append made it history), no self/same-batch pairs, and
+  * replay idempotency of one micro-batch step.
+  */
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // Long repeated-token texts so identical content is guaranteed to
+  // collide in every band (identical signature); distinct content has
+  // distinct shingles.
+  private def text(tag: String): String =
+    (1 to 40).map(i => s"tok$i-$tag").mkString(" ")
+
+  test("golden: stream batches probe the seed, then each other, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("docstream").toString
+    val (indexDir, candDir, ckpt) =
+      (s"$root/index", s"$root/cands", s"$root/ckpt")
+
+    DocStream.seedIndex(
+      Seq(1L -> text("alpha"), 2L -> text("beta")).toDF("doc_id", "text"),
+      indexDir)
+
+    val in = MemoryStream[Doc]
+    val q = DocStream.neardupIngest(in.toDS(), indexDir, candDir, ckpt).start()
+    try {
+      // Batch 0: doc 10 duplicates seeded doc 1; doc 11 is new content.
+      in.addData(Doc(10L, text("alpha")), Doc(11L, text("gamma")))
+      q.processAllAvailable()
+      // Batch 1: doc 20 duplicates BATCH-0 doc 11 (visible only because
+      // batch 0 appended to the index); doc 21 is unique.
+      in.addData(Doc(20L, text("gamma")), Doc(21L, text("delta")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cands = spark.read.parquet(candDir)
+      .select("batch_id", "new_doc", "old_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cands === Set((0L, 10L, 1L), (1L, 20L, 11L)))
+
+    // Replaying batch 1 (a restart re-delivering the same data under the
+    // same id) overwrites its own partitions byte-identically: same
+    // candidates, same index size, and the probe never sees the replay's
+    // own rows as history.
+    val indexRows = spark.read.parquet(indexDir).count()
+    DocStream.probeAndAppend(
+      Seq(20L -> text("gamma"), 21L -> text("delta")).toDF("doc_id", "text"),
+      batchId = 1L, indexDir, candDir)
+    val candsAfter = spark.read.parquet(candDir)
+      .select("batch_id", "new_doc", "old_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(candsAfter === cands)
+    assert(spark.read.parquet(indexDir).count() === indexRows)
+
+    // The stream's index is the batch query's artifact: a batch-mode
+    // probe of the final index finds the same duplicate relationships.
+    val batchProbe = graft.queries.DedupOps.probeIndex(
+      spark.read.parquet(indexDir).filter($"batch_id" < 0).select("doc_id", "band", "bucket"),
+      graft.queries.DedupOps.minhashBands(
+        Seq(30L -> text("beta")).toDF("doc_id", "text"),
+        DocStream.NBands, DocStream.RowsPerBand))
+      .as[(Long, Long)].collect().toSet
+    assert(batchProbe === Set((30L, 2L)))
+  }
+}
