@@ -96,17 +96,74 @@ object MultimodalOps {
     * Hamming-banded NEAR-equality composes on top exactly as
     * `neardup_simhash_pairs` does for text.
     */
-  def phashGroups(spark: SparkSession, dir: String): DataFrame = {
+  /** (media_id, phash) for every payload — the constant-size signature
+    * relation [[phashGroups]] and [[phashNearPairs]] both derive from.
+    */
+  private def phashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .map { case (id, p) => (id, Multimodal.aHash(p, PhashBlock, PhashBits)) }
       .toDF("media_id", "phash")
+  }
+
+  def phashGroups(spark: SparkSession, dir: String): DataFrame =
+    phashSignatures(spark, dir)
       .groupBy("phash")
       .agg(count(lit(1)).as("dup_cnt"), min(col("media_id")).as("rep_media"))
       .filter(col("dup_cnt") > 1)
       .orderBy(desc("dup_cnt"), asc("phash"))
+
+  /** Banding layout and Hamming cut for [[phashNearPairs]]: 4 chunks of
+    * 15 bits. By pigeonhole any pair within Hamming distance 3 shares
+    * at least one exact chunk (banded-LSH recall); the exact cut below
+    * then keeps pairs within [[PhashMaxHamming]] bits.
+    */
+  val PhashBands = 4
+  val PhashChunkBits: Int = PhashBits / PhashBands
+  val PhashMaxHamming = 8
+
+  /** Media near-dup PAIRS via Hamming-banded perceptual hashes — the
+    * composition [[phashGroups]]' scaladoc promises: exactly
+    * [[DedupOps.simhashPairsOf]]'s band→bucket→pair shape applied to
+    * the media signature. Group by (band, 15-bit chunk), expand each
+    * bucket's sorted media list in-array (never all-pairs — only
+    * chunk-sharing media meet), then one codegen'd `bit_count(xor)`
+    * per candidate and the exact Hamming cut. One scan, constant-size
+    * signatures, one shuffle on (band, chunk): the same 100 TB posture
+    * as the text near-dup family, and an exact value oracle because
+    * the aHash itself is byte-reproducible in SQL.
+    */
+  def phashNearPairs(spark: SparkSession, dir: String): DataFrame =
+    phashNearPairsOf(phashSignatures(spark, dir))
+
+  /** [[phashNearPairs]] over an arbitrary `(media_id, phash)` frame
+    * (exposed so property tests can drive planted payloads through the
+    * production plan and compare against brute force).
+    */
+  def phashNearPairsOf(sig: DataFrame): DataFrame = {
+    val mask = (1L << PhashChunkBits) - 1
+    val bands = (0 until PhashBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("phash"), b * PhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    sig
+      .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bc"))
+      .select(col("media_id"), col("phash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      .groupBy("band", "chunk")
+      .agg(sort_array(collect_list(struct(col("media_id").as("d"), col("phash").as("s")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds)-2),
+          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
+          |       y -> named_struct('a', ds[i].d, 'sa', ds[i].s, 'b', y.d, 'sb', y.s))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        expr("bit_count(p.sa ^ p.sb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy(asc("hamming"), asc("a"), asc("b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,44 +171,72 @@ object MultimodalOps {
     "multimodal_features" -> (features _),
     "multimodal_resize" -> (resized _),
     "multimodal_phash" -> (phashGroups _),
+    "multimodal_phash_near" -> (phashNearPairs _),
   )
 
+  /** Byte-exact aHash CTE chain ending in `all_sig(media_id, phash)`:
+    * reconstruct bytes from the blob's bits, block sums vs the whole-
+    * payload sum by cross-multiplied integer compare, bits assembled
+    * with shifts — all constants shared. The LEFT JOIN back to every
+    * payload matters: an empty blob has no byte rows but still hashes
+    * (to 0) on the Spark side. Shared by the dup-group and banded-pair
+    * oracles so the two stay one signature definition.
+    */
+  private val duckPhashCtes: String =
+    s"""d AS (
+       |  SELECT doc_id AS media_id, encode(text)::BIT bb,
+       |         octet_length(encode(text)) n
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT media_id, i, CAST(n AS BIGINT) AS n,
+       |         get_bit(bb, CAST(8*i   AS INT))*128 + get_bit(bb, CAST(8*i+1 AS INT))*64 +
+       |         get_bit(bb, CAST(8*i+2 AS INT))*32  + get_bit(bb, CAST(8*i+3 AS INT))*16 +
+       |         get_bit(bb, CAST(8*i+4 AS INT))*8   + get_bit(bb, CAST(8*i+5 AS INT))*4 +
+       |         get_bit(bb, CAST(8*i+6 AS INT))*2   + get_bit(bb, CAST(8*i+7 AS INT)) AS v
+       |  FROM d, LATERAL unnest(range(n)) t(i)),
+       |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
+       |blk AS (
+       |  SELECT media_id, i // $PhashBlock AS b, n,
+       |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
+       |  FROM bytes WHERE i // $PhashBlock < $PhashBits
+       |  GROUP BY media_id, i // $PhashBlock, n),
+       |sig AS (
+       |  SELECT blk.media_id,
+       |         CAST(sum(CASE WHEN s * n > total * blen
+       |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM blk JOIN tot USING (media_id)
+       |  GROUP BY blk.media_id),
+       |all_sig AS (
+       |  SELECT d.media_id, coalesce(sig.phash, 0) AS phash
+       |  FROM d LEFT JOIN sig USING (media_id))""".stripMargin
+
+  /** DuckDB twin of [[phashNearPairs]] (bands generated from the same
+    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`).
+    */
+  private val duckPhashPairsSql: String = {
+    val mask = (1L << PhashChunkBits) - 1
+    val bandSelects = (0 until PhashBands).map { b =>
+      s"  SELECT media_id, phash, CAST($b AS BIGINT) AS band, " +
+        s"(phash >> ${b * PhashChunkBits}) & $mask AS chunk FROM all_sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $duckPhashCtes,
+       |bands AS (
+       |$bandSelects)
+       |SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+       |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.chunk = y.chunk AND x.media_id < y.media_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashMaxHamming
+       |ORDER BY hamming, a, b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    // Byte-exact aHash twin: reconstruct bytes from the blob's bits,
-    // block sums vs the whole-payload sum by cross-multiplied integer
-    // compare, bits assembled with shifts — all constants shared.
     "multimodal_phash" ->
-      s"""WITH d AS (
-         |  SELECT doc_id AS media_id, encode(text)::BIT bb,
-         |         octet_length(encode(text)) n
-         |  FROM documents),
-         |bytes AS (
-         |  SELECT media_id, i, CAST(n AS BIGINT) AS n,
-         |         get_bit(bb, CAST(8*i   AS INT))*128 + get_bit(bb, CAST(8*i+1 AS INT))*64 +
-         |         get_bit(bb, CAST(8*i+2 AS INT))*32  + get_bit(bb, CAST(8*i+3 AS INT))*16 +
-         |         get_bit(bb, CAST(8*i+4 AS INT))*8   + get_bit(bb, CAST(8*i+5 AS INT))*4 +
-         |         get_bit(bb, CAST(8*i+6 AS INT))*2   + get_bit(bb, CAST(8*i+7 AS INT)) AS v
-         |  FROM d, LATERAL unnest(range(n)) t(i)),
-         |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
-         |blk AS (
-         |  SELECT media_id, i // $PhashBlock AS b, n,
-         |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
-         |  FROM bytes WHERE i // $PhashBlock < $PhashBits
-         |  GROUP BY media_id, i // $PhashBlock, n),
-         |sig AS (
-         |  SELECT blk.media_id,
-         |         CAST(sum(CASE WHEN s * n > total * blen
-         |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS phash
-         |  FROM blk JOIN tot USING (media_id)
-         |  GROUP BY blk.media_id),
-         |-- LEFT JOIN back to every payload: an empty blob has no byte
-         |-- rows but still hashes (to 0) on the Spark side.
-         |all_sig AS (
-         |  SELECT d.media_id, coalesce(sig.phash, 0) AS phash
-         |  FROM d LEFT JOIN sig USING (media_id))
+      s"""WITH $duckPhashCtes
          |SELECT phash, count(*) AS dup_cnt, min(media_id) AS rep_media
          |FROM all_sig GROUP BY phash HAVING count(*) > 1
          |ORDER BY dup_cnt DESC, phash""".stripMargin,
+    "multimodal_phash_near" -> duckPhashPairsSql,
     "multimodal_frames" ->
       s"""SELECT doc_id, byte_len,
          |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
