@@ -166,12 +166,46 @@ object MultimodalOps {
       .orderBy(asc("hamming"), asc("a"), asc("b"))
   }
 
+  /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
+    * for payloads, in ONE Spark DAG: (1) perceptual dedup — every
+    * payload collapses to its [[Multimodal.aHash]] signature and each
+    * signature group elects min(media_id) as its representative (hash
+    * group-by + membership join, the `dedup_exact` shape on the
+    * perceptual key); (2) frame-sampling arithmetic over the survivors
+    * ([[frames]]' formula); (3) the per-language ingest report a
+    * pipeline owner reads: total vs kept media, surviving frame and
+    * byte volumes. Signatures are constant-size, the election is one
+    * shuffle on `phash`, the membership join one shuffle on `media_id` —
+    * no stage touches payload bytes twice, and every constant (block
+    * width, signature bits, frame bytes) is the SAME Scala value its
+    * standalone query uses, so the composed oracle cannot drift from
+    * the per-stage ones.
+    */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val keep = phashSignatures(spark, dir)
+      .groupBy("phash").agg(min("media_id").as("media_id"))
+      .select(col("media_id"), lit(1L).as("k"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("lang"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("n_frames",
+        greatest(lit(1L), ceil(col("byte_len") / lit(FrameBytes.toDouble)).cast("long")))
+      .join(keep, Seq("media_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_media"),
+        sum(coalesce(col("k"), lit(0L))).as("kept_media"),
+        sum(when(col("k").isNotNull, col("n_frames")).otherwise(0L)).as("frames"),
+        sum(when(col("k").isNotNull, col("byte_len")).otherwise(0L)).as("bytes"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (frames _),
     "multimodal_features" -> (features _),
     "multimodal_resize" -> (resized _),
     "multimodal_phash" -> (phashGroups _),
     "multimodal_phash_near" -> (phashNearPairs _),
+    "pipeline_media" -> (mediaPipeline _),
   )
 
   /** Byte-exact aHash CTE chain ending in `all_sig(media_id, phash)`:
@@ -237,6 +271,24 @@ object MultimodalOps {
          |FROM all_sig GROUP BY phash HAVING count(*) > 1
          |ORDER BY dup_cnt DESC, phash""".stripMargin,
     "multimodal_phash_near" -> duckPhashPairsSql,
+    // Composed pipeline: perceptual-dedup election over the SAME
+    // signature CTE chain, frame arithmetic from the same FrameBytes
+    // constant as multimodal_frames.
+    "pipeline_media" ->
+      s"""WITH $duckPhashCtes,
+         |rep AS (SELECT min(media_id) AS media_id FROM all_sig GROUP BY phash),
+         |base AS (
+         |  SELECT doc_id AS media_id, lang,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |    greatest(1, CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT)) AS n_frames
+         |  FROM documents)
+         |SELECT base.lang,
+         |  count(*) AS total_media,
+         |  CAST(sum(CASE WHEN rep.media_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_media,
+         |  CAST(sum(CASE WHEN rep.media_id IS NOT NULL THEN n_frames ELSE 0 END) AS BIGINT) AS frames,
+         |  CAST(sum(CASE WHEN rep.media_id IS NOT NULL THEN byte_len ELSE 0 END) AS BIGINT) AS bytes
+         |FROM base LEFT JOIN rep USING (media_id)
+         |GROUP BY base.lang ORDER BY base.lang""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id, byte_len,
          |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
