@@ -40,6 +40,26 @@ object SourceOps {
     */
   private def scratch(name: String): String = graft.Scratch.dir(s"roundtrip_$name")
 
+  /** XML sink → XML source → aggregate over the customer dim — Spark 4's
+    * built-in XML datasource (rowTag framing, explicit read schema so
+    * numerics survive). Same fidelity contract as the other round-trips:
+    * the aggregate must equal the parquet original's, value-exact.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("customer_xml")
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").option("rowTag", "customer").xml(out)
+    spark.read
+      .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+      .option("rowTag", "customer")
+      .xml(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Parity.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CSV sink → CSV source → aggregate; doubles survive via the writer's
     * full-precision default and an explicit read schema.
     */
@@ -281,6 +301,7 @@ object SourceOps {
     "src_bucketed" -> (bucketedJoin _),
     "src_dirscan" -> (dirScanSearch _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_text_roundtrip" -> (textRoundtrip _),
@@ -321,6 +342,10 @@ object SourceOps {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS cnt,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
