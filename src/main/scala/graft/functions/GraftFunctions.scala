@@ -34,11 +34,31 @@ object GraftFunctions {
     DigestPrefix64(exprs.head)
   }
 
+  private[functions] def buildArrayDot(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"array_dot expects exactly 2 arguments, got ${exprs.length}")
+    ArrayDot(exprs.head, exprs(1))
+  }
+
+  private[functions] def buildSortedRank(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"sorted_rank expects exactly 2 arguments, got ${exprs.length}")
+    SortedRank(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", buildRollingHash, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "digest_prefix64", buildDigestPrefix64, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", buildArrayDot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_rank", buildSortedRank, "built-in")
   }
 }
 
@@ -60,6 +80,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[DigestPrefix64], "digest_prefix64",
         "digest_prefix64(str) - first 15 hex chars of md5(str) as a 60-bit integer."),
       GraftFunctions.buildDigestPrefix64))
+    extensions.injectFunction((
+      FunctionIdentifier("array_dot"),
+      info(classOf[ArrayDot], "array_dot",
+        "array_dot(a, b) - dot product of two ARRAY<DOUBLE> values (left fold in index order)."),
+      GraftFunctions.buildArrayDot))
+    extensions.injectFunction((
+      FunctionIdentifier("sorted_rank"),
+      info(classOf[SortedRank], "sorted_rank",
+        "sorted_rank(cuts, x) - number of elements of sorted ARRAY<DOUBLE> cuts that are <= x."),
+      GraftFunctions.buildSortedRank))
     extensions.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

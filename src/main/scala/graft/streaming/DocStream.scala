@@ -63,22 +63,27 @@ object DocStream {
   def probeAndAppend(batch: DataFrame, batchId: Long,
       indexDir: String, candDir: String): Unit = {
     val spark = batch.sparkSession
-    val bands = DedupOps.minhashBands(batch, NBands, RowsPerBand)
-      .localCheckpoint() // two consumers below; hash the batch once
-    val history = spark.read.parquet(indexDir)
-      .filter(col("batch_id") < batchId)
-      .select("doc_id", "band", "bucket")
-    val cands = DedupOps.probeIndex(history, bands)
-    cands.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(candDir)
-    bands.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(indexDir)
+    // persist/unpersist (not localCheckpoint): two consumers below
+    // should hash the batch once, but a stream runs this every batch —
+    // an un-released checkpoint RDD per batch would accumulate in the
+    // block manager for the life of the query.
+    val bands = DedupOps.minhashBands(batch, NBands, RowsPerBand).persist()
+    try {
+      val history = spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId)
+        .select("doc_id", "band", "bucket")
+      DedupOps.probeIndex(history, bands)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(candDir)
+      bands.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+    } finally bands.unpersist(blocking = false)
   }
 
   /** The streaming query: arriving (doc_id, text) micro-batches run

@@ -34,6 +34,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val hex = md.digest("abc".getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
       assert(row.getLong(1) === java.lang.Long.parseLong(hex, 16))
 
+      val arr = s.sql(
+        """SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       sorted_rank(array(1.0D, 2.0D, 2.0D, 5.0D), 2.0D) AS r""".stripMargin)
+        .collect().head
+      assert(arr.getDouble(0) === 11.0)
+      assert(arr.getLong(1) === 3L)
+
       // DESCRIBE works like a built-in (the ExpressionInfo is wired).
       val desc = s.sql("DESCRIBE FUNCTION rolling_hash").collect().mkString
       assert(desc.contains("rolling_hash"))
