@@ -148,6 +148,48 @@ object VectorQueries {
     topKIvfWith(e, fixedCents(e), IvfProbe)
   }
 
+  /** IVF against a PERSISTED inverted file — the vector leg of the
+    * persisted-index trilogy (`neardup_minhash_incr` for signatures,
+    * `text_search_index` for postings): the per-vector cell assignment
+    * is written ONCE as a parquet artifact PARTITIONED BY CELL, and
+    * query time reads only the probed cells — the directory layout
+    * itself enforces the probe/centroids scan fraction (the probe is a
+    * broadcast join on the partition column, so Spark's dynamic
+    * partition pruning skips the unprobed cells' files entirely;
+    * a daily batch assigns only itself against the broadcast centroids
+    * and appends its cells). The query's probe-cell selection touches
+    * one vector × [[IvfCentroids]] rows. Scoring, tie-breaks, and the
+    * final head are [[topKIvfWith]]'s exactly, so this twin shares
+    * `simsearch_ivf`'s oracle — index-persist + probe ≡ direct
+    * computation, gated as an exact value match.
+    */
+  def topKIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = fixedCents(e)
+    val sims = ivfSims(e, cents)
+    val out = graft.Scratch.dir("ivfindex")
+    sims.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+      .join(e, "vec_id")
+      .select("cell", "vec_id", "v")
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val idx = spark.read.parquet(out)
+    val probed = sims.filter(col("vec_id") === QueryVecId)
+      .orderBy(desc("sim"), asc("cid")).limit(IvfProbe)
+      .select(col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    idx.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      // cast: the partition column comes back int-inferred from the
+      // directory names; the oracle's cell is BIGINT like the cid it
+      // derives from.
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** K-means-trained centroids (the real IVF index build): MLlib KMeans
     * over the corpus with a pinned seed, centers shipped back as a
     * small broadcastable frame. At scale this runs offline — the model
@@ -505,6 +547,7 @@ object VectorQueries {
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
+    "simsearch_ivf_incr" -> (topKIvfIndexed _),
     "simsearch_ivf_trained" -> (topKIvfTrained _),
     "simsearch_sq8" -> (topKSq8 _),
     "simsearch_pq" -> (topKPq _),
@@ -513,6 +556,34 @@ object VectorQueries {
   )
 
   private val CastEmb = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  /** Shared by `simsearch_ivf` and `simsearch_ivf_incr`: the persisted-
+    * index path stores and re-reads the same assignment, so one oracle
+    * pins both — and pins their equivalence.
+    */
+  private lazy val duckIvfSql: String =
+    s"""WITH e AS ($CastEmb),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid,
+       |    coalesce(${VectorOps.cosineSql("e.v", "c.cv")}, -2.0) AS sim
+       |  FROM e CROSS JOIN cents c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |probe AS (SELECT cid AS cell FROM sims WHERE vec_id = $QueryVecId
+       |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+       |SELECT x.vec_id, cells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim
+       |FROM e x
+       |JOIN cells ON x.vec_id = cells.vec_id
+       |JOIN probe ON cells.cell = probe.cell
+       |CROSS JOIN q
+       |WHERE x.vec_id <> $QueryVecId
+       |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB twin of [[signBucket]] (generated from the same SignBits). */
   private def bucketSql(v: String): String =
@@ -673,29 +744,12 @@ object VectorQueries {
     // Mirrors topKIvf exactly: same deterministic centroids, the
     // row_number twin of max_by's (sim, -cid) tie-break, same -2
     // null-cosine sentinel.
-    "simsearch_ivf" ->
-      s"""WITH e AS ($CastEmb),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e
-         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
-         |sims AS (
-         |  SELECT e.vec_id, c.cid,
-         |    coalesce(${VectorOps.cosineSql("e.v", "c.cv")}, -2.0) AS sim
-         |  FROM e CROSS JOIN cents c),
-         |cells AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-         |    FROM sims) t WHERE rn = 1),
-         |probe AS (SELECT cid AS cell FROM sims WHERE vec_id = $QueryVecId
-         |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
-         |SELECT x.vec_id, cells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim
-         |FROM e x
-         |JOIN cells ON x.vec_id = cells.vec_id
-         |JOIN probe ON cells.cell = probe.cell
-         |CROSS JOIN q
-         |WHERE x.vec_id <> $QueryVecId
-         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
+    "simsearch_ivf" -> duckIvfSql,
+    // The persisted-index twin reads the same assignment back from the
+    // cell-partitioned artifact and scores identically, so its oracle
+    // IS the direct-computation oracle — the equivalence the twin
+    // exists to gate.
+    "simsearch_ivf_incr" -> duckIvfSql,
     // Same codebook (per-dim min/max), same encode/decode expression
     // trees, same two-stage ranking as topKSq8.
     "simsearch_sq8" ->
