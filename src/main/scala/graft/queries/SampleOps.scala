@@ -102,7 +102,7 @@ object SampleOps {
     * InferFiltersFromGenerate from re-inlining the shingle tree into a
     * scan-level filter — see DedupOps.shingleSetWithSize.
     */
-  private def testContaminatedTrainDocs(base: DataFrame): DataFrame = {
+  private[queries] def testContaminatedTrainDocs(base: DataFrame): DataFrame = {
     val sh = base
       .select(col("doc_id"), col("split"), explode_outer(col("shset")).as("sh"))
       .filter(col("sh").isNotNull)

@@ -43,6 +43,30 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "expected at least one contaminated doc")
   }
 
+  test("decontam stoplist drops boilerplate trigrams, keeps rare-trigram hits") {
+    import spark.implicits._
+    // A boilerplate trigram shared by MORE than DecontamMaxDf documents
+    // (including the test split) must NOT flag anyone; a rare trigram
+    // shared by exactly one train doc and the test doc must.
+    val boiler = Seq("all", "rights", "reserved")
+    val rare = Seq("zephyr", "quartz", "gnomon")
+    val n = SampleOps.DecontamMaxDf + 5
+    val rows =
+      // n train docs carrying only the boilerplate trigram...
+      (1 to n).map(i => (i.toLong, "train", boiler)) ++
+        // ...one train doc also carrying the rare trigram...
+        Seq((100L, "train", rare)) ++
+        // ...and the test doc carrying both.
+        Seq((200L, "test", boiler ++ rare))
+    val base = rows.toDF("doc_id", "split", "toks")
+      .select(col("doc_id"), lit("en").as("lang"), col("split"),
+        DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+    val contaminated = SampleOps.testContaminatedTrainDocs(base)
+      .as[Long].collect().toSet
+    assert(contaminated === Set(100L),
+      "only the rare-trigram doc is contamination; boilerplate is stoplisted")
+  }
+
   test("shard packing is exhaustive with contiguous shard ids") {
     val rows = SampleOps.packShards(spark, dir)
       .as[(String, Long, Long, Long, Long)].collect()
