@@ -294,6 +294,47 @@ object TextOps {
   /** Tokens per non-overlapping chunk for [[boilerplate]]. */
   val ChunkTokens = 8
 
+  /** Training-chunk geometry for [[trainingChunks]]: window and overlap
+    * in tokens (tiny for the harness corpus; production uses the model
+    * context length and the identical arithmetic).
+    */
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+
+  /** Intra-document chunking — the op that turns documents into fixed-
+    * length training rows: sliding [[ChunkSize]]-token windows at
+    * stride [[ChunkSize]]−[[ChunkOverlap]], each row carrying its token
+    * span and materialized text. The overlap is what keeps context from
+    * being severed at chunk boundaries (every token pair within
+    * [[ChunkOverlap]] of a boundary co-occurs in some chunk). Shape:
+    * scan-local arithmetic + one `sequence`/`explode` per document —
+    * no shuffle at all before the report's sort, and the expansion
+    * factor is n/stride, bounded by construction. A document shorter
+    * than the window yields exactly one chunk of its full length;
+    * empty documents yield none. The report slices to `doc_id < 100`
+    * ([[lmScore]]'s convention) — the chunk arithmetic itself is
+    * corpus-general.
+    */
+  def trainingChunks(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("nc",
+        greatest(lit(1L),
+          ceil((col("n") - ChunkOverlap) / lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_len", least(lit(ChunkSize.toLong), col("n") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        concat_ws(" ", slice(col("toks"),
+          (col("tok_start") + 1).cast("int"), col("tok_len").cast("int"))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Cross-document boilerplate signal: the share of each document made
     * of non-overlapping [[ChunkTokens]]-token chunks that appear in ≥ 2
     * documents — the hashed-paragraph dedup a crawl pipeline runs to
@@ -669,6 +710,7 @@ object TextOps {
     "text_search_rank" -> (searchRank _),
     "text_search_batch" -> (searchRankBatch _),
     "text_search_index" -> (searchRankIndexed _),
+    "text_chunks" -> (trainingChunks _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
@@ -746,6 +788,28 @@ object TextOps {
          |  count(*) AS terms_hit
          |FROM tf JOIN df USING (w)
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // Same window/overlap constants; DuckDB list slices are 1-based
+    // inclusive on both ends, matching Spark's slice(arr, start, len).
+    "text_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents WHERE doc_id < 100),
+         |sized AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+         |  FROM toks WHERE len(tk) > 0),
+         |counted AS (
+         |  SELECT doc_id, tk, n,
+         |    greatest(1, CAST(ceil((n - $ChunkOverlap) / ${ChunkSize - ChunkOverlap}.0) AS BIGINT)) AS nc
+         |  FROM sized),
+         |x AS (
+         |  SELECT doc_id, tk, n, unnest(range(nc)) AS chunk_idx FROM counted)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * ${ChunkSize - ChunkOverlap} AS tok_start,
+         |  least($ChunkSize, n - chunk_idx * ${ChunkSize - ChunkOverlap}) AS tok_len,
+         |  array_to_string(tk[chunk_idx * ${ChunkSize - ChunkOverlap} + 1 :
+         |    chunk_idx * ${ChunkSize - ChunkOverlap} + least($ChunkSize, n - chunk_idx * ${ChunkSize - ChunkOverlap})], ' ')
+         |    AS chunk_text
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_search_batch" -> duckSearchBatchSql,
     // The persisted-index twin scores the same log with the same idf
     // weight from the same tf relation (built via the index instead of

@@ -213,4 +213,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(text.toLowerCase.split(" ").contains("dup"),
       s"top-ranked doc $topDoc should contain the high-idf term")
   }
+
+  test("training chunks cover every token with the configured stride and overlap") {
+    import spark.implicits._
+    val stride = TextOps.ChunkSize - TextOps.ChunkOverlap
+    val chunks = TextOps.trainingChunks(spark, dir)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nByDoc = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet === nByDoc.keySet, "every non-empty doc chunks")
+    chunks.foreach { case (doc, cs) =>
+      val n = nByDoc(doc)
+      // Contiguous indices at the configured stride, window-bounded
+      // positive lengths.
+      assert(cs.map(_._2).toSeq === (0L until cs.length.toLong))
+      cs.foreach { case (_, idx, start, len) =>
+        assert(start === idx * stride)
+        assert(len >= 1 && len <= TextOps.ChunkSize)
+        assert(start + len <= n)
+      }
+      // Exhaustive coverage: the last chunk ends exactly at n, and each
+      // next chunk starts ChunkOverlap tokens before its predecessor's
+      // end (no gap a token could fall through).
+      assert(cs.last._3 + cs.last._4 === n, s"doc $doc: tokens dropped at the tail")
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s2 === s1 + l1 - TextOps.ChunkOverlap)
+        case _ => ()
+      }
+    }
+  }
 }
