@@ -98,10 +98,46 @@ object AuditOps {
       .limit(SkewTopK)
   }
 
+  /** Embedding-table governance — the checks an ANN index build gates
+    * on, one constant-size report row: id duplication, dimensional
+    * consistency (min/max length), zero-norm vectors (cosine-undefined,
+    * the degenerate rows every scorer special-cases), exact duplicate
+    * payloads (grouping by the vector value itself — the embedding twin
+    * of `dedup_exact`), and two-way coverage against the documents
+    * table (docs without a vector starve retrieval; vectors without a
+    * doc are orphaned index weight). Three partial-aggregated scans and
+    * two anti-joins, nothing corpus-sized past any exchange; the norm
+    * check rides the native [[graft.functions.ArrayDot]] inside
+    * whole-stage codegen.
+    */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val eAgg = e.agg(
+      count(lit(1)).as("n_vecs"),
+      count_distinct(col("vec_id")).as("n_ids"),
+      min(size(col("v"))).cast("long").as("min_dim"),
+      max(size(col("v"))).cast("long").as("max_dim"),
+      sum(when(coalesce(graft.functions.ArrayDot(col("v"), col("v")), lit(-1.0)) === 0.0,
+        1L).otherwise(0L)).as("zero_norm"),
+      count_distinct(col("v")).as("n_distinct"))
+    val missing = d.join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_missing_vec"))
+    val orphan = e.select(col("vec_id").as("doc_id")).join(d, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("vecs_missing_doc"))
+    eAgg.crossJoin(broadcast(missing)).crossJoin(broadcast(orphan))
+      .select(col("n_vecs"), (col("n_vecs") - col("n_ids")).as("dup_ids"),
+        col("min_dim"), col("max_dim"), col("zero_norm"),
+        (col("n_vecs") - col("n_distinct")).as("dup_vectors"),
+        col("docs_missing_vec"), col("vecs_missing_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_quality" -> (qualityChecks _),
     "audit_kanon" -> (kAnonymity _),
     "audit_skew" -> (joinKeySkew _),
+    "audit_embeddings" -> (embeddingAudit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,6 +174,31 @@ object AuditOps {
          |  (cnt * 100 * n_keys) // n_rows AS x100_of_mean
          |FROM k, t
          |ORDER BY cnt DESC, l_orderkey LIMIT $SkewTopK""".stripMargin,
+    // The norm check replays ArrayDot's fold as the same dotSql tree
+    // the cosine oracles use; float→double casting is injective, so
+    // DISTINCT over the cast lists matches Spark's distinct vectors.
+    "audit_embeddings" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |agg AS (
+         |  SELECT count(*) AS n_vecs,
+         |    count(DISTINCT vec_id) AS n_ids,
+         |    CAST(min(len(v)) AS BIGINT) AS min_dim,
+         |    CAST(max(len(v)) AS BIGINT) AS max_dim,
+         |    CAST(sum(CASE WHEN coalesce(${graft.functions.VectorOps.dotSql("v", "v")}, -1.0) = 0.0
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS zero_norm,
+         |    count(DISTINCT v) AS n_distinct
+         |  FROM e),
+         |m AS (
+         |  SELECT count(*) AS docs_missing_vec FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d.doc_id)),
+         |o AS (
+         |  SELECT count(*) AS vecs_missing_doc FROM e
+         |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+         |SELECT n_vecs, n_vecs - n_ids AS dup_ids, min_dim, max_dim,
+         |  zero_norm, n_vecs - n_distinct AS dup_vectors,
+         |  docs_missing_vec, vecs_missing_doc
+         |FROM agg, m, o""".stripMargin,
     "audit_kanon" ->
       s"""WITH cls AS (
          |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
