@@ -25,7 +25,8 @@ object Explain {
     "neardup_edit", "meta_stats", "sample_weighted", "sample_stratified",
     "pipeline_corpus", "audit_quality", "events_scd2_lookup",
     "graph_triangles", "multimodal_phash", "agg_spearman_approx",
-    "text_search_index")
+    "text_search_index", "simsearch_ivf_incr", "pipeline_media",
+    "text_chunks", "audit_embeddings", "multimodal_phash_near")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -105,10 +105,13 @@ object AuditOps {
     * payloads (grouping by the vector value itself — the embedding twin
     * of `dedup_exact`), and two-way coverage against the documents
     * table (docs without a vector starve retrieval; vectors without a
-    * doc are orphaned index weight). Three partial-aggregated scans and
-    * two anti-joins, nothing corpus-sized past any exchange; the norm
-    * check rides the native [[graft.functions.ArrayDot]] inside
-    * whole-stage codegen.
+    * doc are orphaned index weight). Three scans and two anti-joins;
+    * the norm check rides the native [[graft.functions.ArrayDot]]
+    * inside whole-stage codegen. The two exact DISTINCTs (ids, vector
+    * payloads) dedup map-side but can carry distinct values through
+    * their exchange — at 100 TB both swap for `approx_count_distinct`
+    * exactly like `meta_stats`' documented NDV trade (the registry's
+    * `approx_distinct` is the sketch path).
     */
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"))

@@ -198,8 +198,8 @@ object TextOps {
       size(array_distinct(col("toks"))).cast("long").as("uniq_cnt"))
     val topBigram = docs
       .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
