@@ -705,9 +705,48 @@ object TextOps {
     scoreBatch(spark, spark.read.parquet(out).filter(col("w").isin(terms: _*)))
   }
 
+  /** Phrase probed by [[searchPhrase]] (adjacent-token exact match). */
+  val PhraseTerms: Seq[String] = Seq("merge", "data")
+
+  /** Result head size for [[searchPhrase]]. */
+  val PhraseTopK = 20
+
+  /** Positional phrase search — the retrieval capability term-frequency
+    * scoring cannot express: documents ranked by how often the EXACT
+    * token sequence [[PhraseTerms]] occurs (overlapping occurrences
+    * count, so "data data data" holds "data data" twice). Spark-first
+    * shape: phrase matching is per-document LOCAL, so instead of a
+    * positional posting-list self-join (position arrays shuffled once
+    * per phrase term) the whole match runs INSIDE expressions on one
+    * corpus scan — `filter(sequence(1, n-L+1), i -> slice(tk, i, L) =
+    * phrase)` — zero shuffles before the TakeOrderedAndProject head,
+    * fully inside whole-stage codegen. An `arrays_overlap`-style
+    * prefilter (every phrase term present via `forall`) prunes
+    * non-candidates before any positional work. At 100 TB this is one
+    * embarrassingly parallel scan; the persisted-index variant (probe
+    * [[invertedIndex]] postings first, then slice-scan only surviving
+    * docs) drops in front without changing the match expression.
+    */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val L = PhraseTerms.length
+    val phrase = array(PhraseTerms.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .filter(forall(phrase, t => array_contains(col("tk"), t)))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= L,
+          size(filter(sequence(lit(1), size(col("tk")) - L + 1),
+            i => slice(col("tk"), i, lit(L)) === phrase)))
+          .otherwise(0).cast("long").as("hits"))
+      .filter(col("hits") > 0)
+      .orderBy(desc("hits"), asc("doc_id"))
+      .limit(PhraseTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
+    "text_search_phrase" -> (searchPhrase _),
     "text_search_batch" -> (searchRankBatch _),
     "text_search_index" -> (searchRankIndexed _),
     "text_chunks" -> (trainingChunks _),
@@ -788,6 +827,24 @@ object TextOps {
          |  count(*) AS terms_hit
          |FROM tf JOIN df USING (w)
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // Same positional-match expression replayed on DuckDB lists:
+    // tk[i : i+L-1] is 1-based inclusive on both ends = Spark's
+    // slice(tk, i, L); range(1, n-L+2) = Spark's sequence(1, n-L+1).
+    // Both CASE arms cast to BIGINT so no engine-side widening leaks.
+    "text_search_phrase" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= ${PhraseTerms.length} THEN
+         |      CAST(len(list_filter(range(1, len(tk) - ${PhraseTerms.length} + 2),
+         |        i -> tk[i : i + ${PhraseTerms.length} - 1] =
+         |          ${PhraseTerms.map(t => s"'$t'").mkString("[", ", ", "]")})) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS hits
+         |  FROM tk)
+         |SELECT doc_id, hits FROM h WHERE hits > 0
+         |ORDER BY hits DESC, doc_id LIMIT $PhraseTopK""".stripMargin,
     // Same window/overlap constants; DuckDB list slices are 1-based
     // inclusive on both ends, matching Spark's slice(arr, start, len).
     "text_chunks" ->

@@ -248,4 +248,40 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("searchPhrase counts overlapping occurrences and drops non-matches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("phrase_docs").toString
+    val ph = TextOps.PhraseTerms.mkString(" ") // "merge data"
+    Seq(
+      (1L, s"$ph and then $ph again", "en", "t", 0L), // two occurrences
+      (2L, "merge data data data merge", "en", "t", 0L), // one: only pos 1
+      (3L, "data merge", "en", "t", 0L),            // reversed: no match
+      (4L, "merge", "en", "t", 0L),                 // shorter than phrase
+      (5L, "", "en", "t", 0L),                      // empty text
+      (6L, s"MERGE DATA", "en", "t", 0L))           // lower-cased match
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.searchPhrase(spark, tmp)
+      .as[(Long, Long)].collect().toSeq
+    // hits desc, doc_id asc; docs 3/4/5 are pruned entirely
+    assert(rows === Seq((1L, 2L), (2L, 1L), (6L, 1L)))
+    // overlap semantics: "data data data" holds "data data" twice
+    val tmp2 = java.nio.file.Files.createTempDirectory("phrase_docs2").toString
+    Seq((1L, "x y x y x y", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp2/documents.parquet")
+    // drive the same expression via the registered pipeline on a phrase
+    // that overlaps itself: "x y x y" occurs at positions 1 and 3 of
+    // "x y x y x y" — both count.
+    val hits = graft.Tables.documents(spark, tmp2)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.tokens(lower(col("text"))).as("tk"))
+      .select(size(org.apache.spark.sql.functions.filter(
+        sequence(lit(1), size(col("tk")) - 4 + 1),
+        i => slice(col("tk"), i, lit(4)) === array(lit("x"), lit("y"), lit("x"), lit("y"))))
+        .as("h"))
+      .as[Int].collect().head
+    assert(hits === 2)
+  }
 }
