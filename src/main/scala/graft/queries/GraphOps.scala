@@ -226,9 +226,60 @@ object GraphOps {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** BFS seed node for [[bfs]]. */
+  val BfsSeed = 0L
+
+  /** Max hop distance explored by [[bfs]] (one join round per hop). */
+  val BfsHops = 4
+
+  /** Hop distance from [[BfsSeed]] over the directed planted graph —
+    * the crawl-frontier workload (how deep does a crawl reach in k
+    * rounds, and how many pages per depth). One row per node reachable
+    * within [[BfsHops]] hops: (id, dist), dist minimal by construction.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame =
+    bfsOf(edges(Tables.documents(spark, dir)), BfsSeed, BfsHops)
+      .orderBy(asc("dist"), asc("id"))
+
+  /** Frontier BFS over an arbitrary `(src, dst)` edge frame (exposed
+    * for property tests). Per round the plan joins the edge list with
+    * the LAST round's frontier only — never the full visited set — so
+    * round cost is O(edges touching the frontier): expand (equi-join on
+    * `src`), dedup targets (`distinct`), subtract already-visited
+    * (anti join), tag the survivors with the round number. The fresh
+    * set localCheckpoints each round (the [[DedupOps.neardupGroups]]
+    * posture): the visited accumulator is referenced by every later
+    * anti join AND the final union, and materializing the per-round
+    * increment keeps those re-reads O(1) instead of replaying the whole
+    * join chain; lineage depth stays O(1) per round. Minimality of
+    * `dist` is structural — a node joins the visited set the FIRST
+    * round a frontier edge reaches it and the anti join bars re-entry.
+    * At 100 TB the visited set is the only state that grows; it carries
+    * two longs per node, shuffled on the same `id` key every round.
+    */
+  def bfsOf(e: DataFrame, seed: Long, hops: Int): DataFrame = {
+    require(hops >= 0)
+    val spark = e.sparkSession
+    var dist = spark.range(1)
+      .select(lit(seed).as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select("id")
+    for (h <- 1 to hops) {
+      val fresh = e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionAll(fresh)
+      frontier = fresh.select("id")
+    }
+    dist
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
+    "graph_bfs" -> (bfs _),
   )
 
   /** One unrolled-iteration CTE per round, generated from the same
@@ -251,7 +302,35 @@ object GraphOps {
        |  LEFT JOIN $prev ON $prev.id = e.src
        |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Cumulative k-hop reach sets as unrolled CTEs: r_k = r_{k-1} ∪
+    * out-neighbors(r_{k-1}); dist falls out as the first k whose set
+    * holds the node. Membership order makes minimality explicit — the
+    * same structural argument the frontier loop's anti join makes.
+    */
+  private val duckBfs: String = {
+    val steps = (1 to BfsHops).map { k =>
+      s"""r$k AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id FROM e JOIN r${k - 1} p ON e.src = p.id) u)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dist = (0 until BfsHops).map { k =>
+      s"WHEN id IN (SELECT id FROM r$k) THEN $k"
+    }.mkString("\n    ")
+    s"""WITH e AS (
+       |$duckEdges),
+       |r0 AS (SELECT CAST($BfsSeed AS BIGINT) AS id),
+       |$steps
+       |SELECT id, CAST(CASE
+       |    $dist
+       |    ELSE $BfsHops END AS BIGINT) AS dist
+       |FROM r$BfsHops ORDER BY dist, id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_bfs" -> duckBfs,
     // Orientation is count-preserving, so the oracle keeps the simple
     // id-oriented wedge join; only the TriangleMaxDeg hub stoplist must
     // mirror (same constant, degrees measured before the cut).

@@ -67,4 +67,15 @@ class GraphOpsSpec extends AnyFunSuite {
     // Top-k is rank-descending with id tie-break.
     assert(rows.map(r => (-r._2, r._1)).toSeq === rows.map(r => (-r._2, r._1)).sorted.toSeq)
   }
+
+  test("bfs takes the shorter of two paths and stops at the hop bound") {
+    import spark.implicits._
+    // Diamond with a long tail: 0→1→3, 0→2→3 (dist 3 = 2, not 3),
+    // then 3→4→5→6 — node 6 is 5 hops out, beyond a 4-hop frontier.
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.bfsOf(e, seed = 0L, hops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
 }
