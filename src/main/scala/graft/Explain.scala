@@ -26,7 +26,8 @@ object Explain {
     "pipeline_corpus", "audit_quality", "events_scd2_lookup",
     "graph_triangles", "multimodal_phash", "agg_spearman_approx",
     "text_search_index", "simsearch_ivf_incr", "pipeline_media",
-    "text_chunks", "audit_embeddings", "multimodal_phash_near")
+    "text_chunks", "audit_embeddings", "multimodal_phash_near",
+    "text_search_phrase", "graph_bfs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -219,6 +219,48 @@ object ScalarOps {
           .as("merged_distinct"))
   }
 
+  /** Incremental quantile maintenance via MERGEABLE KLL sketches
+    * (Spark 4's native DataSketches quantile surface) — the
+    * [[approxDistinctIncr]] contract for percentiles instead of
+    * cardinality: history (shipped before the cut date) and the
+    * incoming batch each collapse to a constant-size binary sketch per
+    * group, and corpus-wide quantiles come from `kll_sketch_merge` of
+    * the two — never from re-sorting history. In production the
+    * history sketch is a PERSISTED artifact (kilobytes regardless of
+    * corpus size; `kll_merge_agg_double` folds a whole directory of
+    * daily sketches) and each day unions its batch in — the exact-sort
+    * `agg_percentile` twin's scale path when even the two-pass exact
+    * plan is too hot. KLL compaction is randomized, so the sketch
+    * binary has no SQL twin (rows-only check); SketchAccuracySpec pins
+    * every estimate's TRUE rank inside the sketch's normalized
+    * rank-error band against the exactly-sorted data, plus
+    * history ≤ merged ≤ history+batch count consistency.
+    */
+  def approxPercentileIncr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate"))
+    val hist = li.filter(col("l_shipdate") < lit(PercentileIncrCut))
+      .groupBy("l_returnflag")
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_h"))
+    val batch = li.filter(col("l_shipdate") >= lit(PercentileIncrCut))
+      .groupBy("l_returnflag")
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_b"))
+    hist.join(batch, "l_returnflag")
+      .select(col("l_returnflag"),
+        expr("kll_sketch_get_n_double(sk_h)").as("history_n"),
+        expr("kll_sketch_get_n_double(sk_b)").as("batch_n"),
+        expr("kll_sketch_get_quantile_double(sk_h, 0.5)").as("history_p50"),
+        expr("kll_sketch_get_quantile_double(sk_b, 0.5)").as("batch_p50"),
+        expr("kll_sketch_get_quantile_double(kll_sketch_merge_double(sk_h, sk_b), 0.5)")
+          .as("merged_p50"),
+        expr("kll_sketch_get_quantile_double(kll_sketch_merge_double(sk_h, sk_b), 0.9)")
+          .as("merged_p90"))
+      .orderBy("l_returnflag")
+  }
+
+  /** History/batch cut date for [[approxPercentileIncr]]. */
+  val PercentileIncrCut = "1997-01-01"
+
   /** LATERAL correlated subquery through the SQL front end: top-2
     * orders per priority, expressed as a per-row dependent subquery with
     * ORDER BY + LIMIT. Catalyst decorrelates it (the plan is a join —
@@ -410,6 +452,7 @@ object ScalarOps {
     "set_except" -> (setExcept _),
     "approx_distinct" -> (approxDistinct _),
     "approx_distinct_incr" -> (approxDistinctIncr _),
+    "approx_percentile_incr" -> (approxPercentileIncr _),
     "sql_api" -> (sqlApi _),
     "sql_lateral" -> (sqlLateral _),
     "join_nullsafe" -> (nullSafeJoin _),

@@ -82,6 +82,30 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile_incr merged KLL quantiles land within a 3%-rank window") {
+    // DataSketches KLL at Spark's default k=200 bounds normalized rank
+    // error near 1.65% (99% confidence); 3% absorbs that plus the
+    // randomized-compaction wobble on top of the merge.
+    val p50 = band(col("l_extendedprice"), 0.50, 0.03)
+    val p90 = band(col("l_extendedprice"), 0.90, 0.03)
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ScalarOps.approxPercentileIncr(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === p50.keySet)
+    rows.foreach { case (flag, r) =>
+      // n bookkeeping is exact in KLL: the split loses no rows.
+      assert(r.getLong(1) + r.getLong(2) === counts(flag),
+        s"flag=$flag history_n+batch_n != total")
+      val (lo50, hi50) = p50(flag)
+      val (lo90, hi90) = p90(flag)
+      val (m50, m90) = (r.getDouble(5), r.getDouble(6))
+      assert(m50 >= lo50 && m50 <= hi50, s"flag=$flag merged p50 $m50 outside [$lo50,$hi50]")
+      assert(m90 >= lo90 && m90 <= hi90, s"flag=$flag merged p90 $m90 outside [$lo90,$hi90]")
+    }
+  }
+
   test("agg_mad_approx lands within a 1%-rank window of the exact median and MAD") {
     val medBand = band(col("l_extendedprice"), 0.50, 0.01)
     val approx = ScalarOps.robustStatsApprox(spark, dir)
