@@ -670,7 +670,70 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Expected CDC chunk length: a token is a chunk boundary when its
+    * portable hash ≡ 0 (mod this), so boundaries are content-derived
+    * and survive insertions/deletions elsewhere in the document — the
+    * property fixed-stride windows ([[TextOps.trainingChunks]]) lack.
+    */
+  val CdcBoundaryMod = 8L
+
+  /** Per-document content-defined chunk hashes: token positions whose
+    * hashed token is ≡ 0 mod [[CdcBoundaryMod]] CLOSE a chunk; the tail
+    * past the last boundary is the final chunk. Every token lands in
+    * exactly one chunk. The whole derivation — boundary positions,
+    * span arithmetic, per-chunk hash — runs inside array expressions on
+    * the scanned row: zero shuffles, no explode until the caller needs
+    * instance rows. Exposed for the reference-implementation spec.
+    */
+  def cdcChunkHashes(docs: DataFrame): DataFrame = {
+    val n = size(col("tk"))
+    val bpos = filter(sequence(lit(1), n),
+      i => pmod(portable64(element_at(col("tk"), i)), lit(CdcBoundaryMod)) === 0)
+    val starts = concat(array(lit(1)), transform(col("bpos"), p => p + 1))
+    val ends = concat(col("bpos"), array(n))
+    val hashes = filter(
+      zip_with(col("starts"), col("ends"), (s, e) =>
+        when(s <= e, portable64(array_join(slice(col("tk"), s, e - s + 1), " ")))),
+      h => h.isNotNull)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("bpos", bpos)
+      .select(col("doc_id"), col("tk"), col("bpos"),
+        starts.as("starts"), ends.as("ends"))
+      .select(col("doc_id"), hashes.as("hs"))
+  }
+
+  /** Sub-document dedup via content-defined chunking — the Dolma-style
+    * pass that catches documents SHARING passages without being
+    * near-identical overall (quote farms, templated wrappers around
+    * common bodies), which whole-document hashing ([[hashCount]]) and
+    * document-level MinHash both miss. Chunk instances explode to
+    * (doc, hash) rows, a corpus-wide count per hash marks instances
+    * duplicate (≥ 2 occurrences anywhere, same doc included), and each
+    * document reports its chunk count and floor-scaled duplicate-chunk
+    * ppm. Scale shape: the per-doc chunking is scan-local expressions;
+    * the only shuffles are the chunk-hash count (wordcount class —
+    * the universe is tokens/[[CdcBoundaryMod]]) and its join back,
+    * which share the `h` key so the exchange reuses. Production stores
+    * (chunk_hash → exemplar) once and anti-joins new batches — the
+    * [[incremental]] contract one level below the document.
+    */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = cdcChunkHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val counts = inst.groupBy("h").agg(count(lit(1)).as("c"))
+    inst.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        expr("(dup_chunks * 1000000) div n_chunks").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc" -> (cdcDedup _),
     "neardup_pipeline" -> (neardupPipeline _),
     "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
@@ -884,6 +947,42 @@ object DedupOps {
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
+    // The whole chunk derivation replayed on DuckDB lists: range(1,n+1)
+    // = sequence(1,n), tk[s:e] is 1-based inclusive = slice(tk,s,e-s+1),
+    // and the boundary/chunk hashes are the md5-prefix portable64.
+    // Sums CAST to BIGINT before the scaled division (SUM widens to
+    // HUGEINT).
+    "dedup_cdc" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(range(1, len(tk) + 1),
+         |      i -> ${duckPortable64("tk[i]")} % $CdcBoundaryMod = 0) AS bpos
+         |  FROM tk WHERE len(tk) > 0),
+         |sp AS (
+         |  SELECT doc_id, tk,
+         |    list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+         |    list_append(bpos, len(tk)) AS ends
+         |  FROM b),
+         |inst AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM (
+         |    SELECT doc_id,
+         |      list_filter(list_transform(range(1, len(starts) + 1),
+         |        k -> CASE WHEN starts[k] <= ends[k]
+         |          THEN ${duckPortable64("array_to_string(tk[starts[k]:ends[k]], ' ')")}
+         |          END),
+         |        h -> h IS NOT NULL) AS hs
+         |    FROM sp) x),
+         |c AS (SELECT h, count(*) AS c FROM inst GROUP BY h)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |  (CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS dup_ppm
+         |FROM inst JOIN c USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,

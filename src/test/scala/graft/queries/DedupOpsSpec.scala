@@ -181,4 +181,59 @@ class DedupOpsSpec extends AnyFunSuite {
     // Ordered by (edit, a, b).
     assert(rows.map(r => (r._3, r._1, r._2)) === rows.map(r => (r._3, r._1, r._2)).sorted)
   }
+
+  /** Sequential reference of the CDC chunker: portable64 via MessageDigest,
+    * boundary tokens close chunks, tail past the last boundary is final.
+    */
+  private def refCdcHashes(text: String): Seq[Long] = {
+    def p64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val tk = text.split(" ").filter(_.nonEmpty)
+    if (tk.isEmpty) Seq.empty
+    else {
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      tk.foreach { t =>
+        cur += t
+        if (p64(t) % DedupOps.CdcBoundaryMod == 0) { chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.toSeq.map(c => p64(c.mkString(" ")))
+    }
+  }
+
+  test("cdc chunk hashes equal the sequential reference on real corpus docs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val sample = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 25).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = DedupOps.cdcChunkHashes(
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 25))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = sample.view.mapValues(refCdcHashes).filter(_._2.nonEmpty).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, hs) => assert(hs === want(id), s"doc $id") }
+  }
+
+  test("cdc dedup marks shared-passage chunks duplicate across documents") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_docs").toString
+    // Docs 1 and 2 are identical -> every chunk duplicated; doc 3 is
+    // unique text with all-distinct tokens -> no duplicate chunks.
+    Seq((1L, base, "en", "t", 0L), (2L, base, "en", "t", 0L),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = DedupOps.cdcDedup(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, d, p) => id -> ((n, d, p)) }.toMap
+    assert(rows(1L)._3 === 1000000L, "identical doc fully duplicate")
+    assert(rows(2L)._3 === 1000000L)
+    assert(rows(3L)._2 === 0L && rows(3L)._3 === 0L, "unique doc clean")
+    // Chunk counts partition the token stream: n_chunks >= 1 and every
+    // token is in exactly one chunk (reference count agrees).
+    assert(rows(1L)._1 === refCdcHashes(base).length.toLong)
+  }
 }
