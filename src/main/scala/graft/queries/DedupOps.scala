@@ -732,8 +732,34 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental sub-document dedup: the incoming batch's chunk hashes
+    * probe the HISTORY chunk index ([[dedup_incremental]]'s contract one
+    * level below the document) — per batch document, how many of its
+    * passages are genuinely new vs already present anywhere in history.
+    * The split buckets stand in for the two corpora exactly as in
+    * [[incremental]]; production reads the historical hashes from the
+    * persisted chunk index (hashes only, never text) and appends the
+    * batch's fresh chunks to it. Shape: one anti-join-shaped left join
+    * on the chunk hash (the wordcount-class key), per-doc counts on the
+    * batch side only — history never re-chunks.
+    */
+  def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val inst = SampleOps.withSplit(cdcChunkHashes(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("split"), explode(col("hs")).as("h"))
+    val history = inst.filter(col("split") === "train").select("h").distinct()
+    inst.filter(col("split") =!= "train")
+      .join(history.withColumn("seen", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("fresh_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("fresh_chunks"),
+        expr("(fresh_chunks * 1000000) div n_chunks").as("fresh_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc" -> (cdcDedup _),
+    "dedup_cdc_incr" -> (cdcIncremental _),
     "neardup_pipeline" -> (neardupPipeline _),
     "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
@@ -763,6 +789,35 @@ object DedupOps {
 
   private def duckBucket(cols: Seq[String]): String =
     cols.reduce((acc, c) => s"(($acc) * $BucketMix + $c) % $P31")
+
+  /** CTE chain ending in `inst(doc_id, h)` — one row per content-defined
+    * chunk instance, exactly mirroring [[cdcChunkHashes]]. Shared by the
+    * `dedup_cdc` and `dedup_cdc_incr` oracles so the batch/full paths
+    * cannot drift.
+    */
+  private val duckCdcInstCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |cb AS (
+       |  SELECT doc_id, tk,
+       |    list_filter(range(1, len(tk) + 1),
+       |      i -> ${duckPortable64("tk[i]")} % $CdcBoundaryMod = 0) AS bpos
+       |  FROM tk WHERE len(tk) > 0),
+       |sp AS (
+       |  SELECT doc_id, tk,
+       |    list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+       |    list_append(bpos, len(tk)) AS ends
+       |  FROM cb),
+       |inst AS (
+       |  SELECT doc_id, unnest(hs) AS h FROM (
+       |    SELECT doc_id,
+       |      list_filter(list_transform(range(1, len(starts) + 1),
+       |        k -> CASE WHEN starts[k] <= ends[k]
+       |          THEN ${duckPortable64("array_to_string(tk[starts[k]:ends[k]], ' ')")}
+       |          END),
+       |        h -> h IS NOT NULL) AS hs
+       |    FROM sp) x)""".stripMargin
 
   /** Shared CTEs: distinct (doc_id, shingle) pairs and the 16-member
     * MinHash signature per document, exactly mirroring
@@ -953,28 +1008,7 @@ object DedupOps {
     // Sums CAST to BIGINT before the scaled division (SUM widens to
     // HUGEINT).
     "dedup_cdc" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, tk,
-         |    list_filter(range(1, len(tk) + 1),
-         |      i -> ${duckPortable64("tk[i]")} % $CdcBoundaryMod = 0) AS bpos
-         |  FROM tk WHERE len(tk) > 0),
-         |sp AS (
-         |  SELECT doc_id, tk,
-         |    list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
-         |    list_append(bpos, len(tk)) AS ends
-         |  FROM b),
-         |inst AS (
-         |  SELECT doc_id, unnest(hs) AS h FROM (
-         |    SELECT doc_id,
-         |      list_filter(list_transform(range(1, len(starts) + 1),
-         |        k -> CASE WHEN starts[k] <= ends[k]
-         |          THEN ${duckPortable64("array_to_string(tk[starts[k]:ends[k]], ' ')")}
-         |          END),
-         |        h -> h IS NOT NULL) AS hs
-         |    FROM sp) x),
+      s"""WITH $duckCdcInstCtes,
          |c AS (SELECT h, count(*) AS c FROM inst GROUP BY h)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_chunks,
@@ -983,6 +1017,28 @@ object DedupOps {
          |    // count(*) AS dup_ppm
          |FROM inst JOIN c USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SAME chunk-instance CTEs + the SAME split CASE as
+    // dedup_incremental (both generated from SampleOps' constants).
+    "dedup_cdc_incr" ->
+      s"""WITH $duckCdcInstCtes,
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < ${SampleOps.TrainPct} THEN 'train'
+         |         WHEN bucket < ${SampleOps.TrainPct + SampleOps.ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${duckPortable64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |        FROM documents) t),
+         |si AS (SELECT i.doc_id, i.h, s.split FROM inst i JOIN s USING (doc_id)),
+         |hist AS (SELECT DISTINCT h FROM si WHERE split = 'train'),
+         |batch AS (SELECT doc_id, h FROM si WHERE split <> 'train')
+         |SELECT batch.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fresh_chunks,
+         |  (CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS fresh_ppm
+         |FROM batch LEFT JOIN hist ON batch.h = hist.h
+         |GROUP BY batch.doc_id ORDER BY batch.doc_id""".stripMargin,
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,
