@@ -447,38 +447,59 @@ object DedupOps {
   val SimhashChunkBits: Int = SimhashBits / SimhashBands
   val SimhashMaxHamming = 8
 
+  /** Bucket-size cap for the SimHash banded expansion — the
+    * [[JaccardMaxDf]] move at the signature level, shared in spirit
+    * with [[MultimodalOps.PhashMaxBucket]]: a (band, chunk) bucket with
+    * more members is dropped before pair generation, so the worst
+    * bucket contributes at most cap²/2 pairs regardless of corpus size
+    * or signature skew. Mirrored in the DuckDB oracle (recall/cost
+    * knob, not a correctness risk).
+    */
+  val SimhashMaxBucket = 100
+
   /** Candidate near-dup pairs from SimHash banding, verified by exact
     * Hamming distance — the operator that makes the signature usable,
-    * mirroring the MinHash path's band→bucket→pair shape: group by
-    * (band, chunk), expand each bucket's sorted doc list in-array, then
-    * one codegen'd `bit_count(xor)` per candidate. Never all-pairs: the
-    * only pairs that materialize share a 15-bit chunk, a corpus-size-
-    * independent collision bound for non-near documents.
+    * mirroring the MinHash path's band→bucket→pair shape: explode each
+    * signature to its 4 (band, chunk) keys, keep buckets with
+    * 2..[[SimhashMaxBucket]] members, self-join members on the bucket
+    * key (`a < b`) so candidates distribute across tasks, then one
+    * codegen'd `bit_count(xor)` per candidate. Never all-pairs: only
+    * chunk-sharing docs meet, the cap bounds every bucket's pair count,
+    * and no per-bucket array is ever materialized — there is no
+    * single-row blow-up mode even on an adversarial corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.documents(spark, dir))
 
   /** [[simhashPairs]] over an arbitrary documents frame (tests plant
-    * exact/near/unrelated docs and assert the recall guarantee).
+    * exact/near/unrelated docs and assert the recall guarantee;
+    * `maxBucket` is overridable only so tests can exercise the cap
+    * with small planted corpora).
     */
-  def simhashPairsOf(docs: DataFrame): DataFrame = {
+  def simhashPairsOf(docs: DataFrame, maxBucket: Int = SimhashMaxBucket): DataFrame = {
     val sig = simhash(docs)
     val mask = (1L << SimhashChunkBits) - 1
     val bands = (0 until SimhashBands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col("simhash"), b * SimhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
-    sig.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
+    val members = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      .groupBy("band", "chunk")
-      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("simhash").as("s")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds)-2),
-          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
-          |       y -> named_struct('a', ds[i].d, 'sa', ds[i].s, 'b', y.d, 'sb', y.s))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        expr("bit_count(p.sa ^ p.sb)").cast("long").as("hamming"))
+    val okBuckets = members.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
+      .select("band", "chunk")
+    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
+    inBucket
+      .select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("sa"))
+      .join(
+        inBucket.select(col("band"), col("chunk"),
+          col("doc_id").as("b"), col("simhash").as("sb")),
+        Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
       .orderBy(asc("hamming"), asc("a"), asc("b"))
@@ -876,7 +897,8 @@ object DedupOps {
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[simhashPairs]] (bands generated from the same
-    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`).
+    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`; `okb`
+    * mirrors the [[SimhashMaxBucket]] bucket cap).
     */
   private val duckSimhashPairsSql: String = {
     val mask = (1L << SimhashChunkBits) - 1
@@ -886,10 +908,15 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH $duckSimhashCtes,
        |bands AS (
-       |$bandSelects)
+       |$bandSelects),
+       |okb AS (
+       |  SELECT band, chunk FROM bands GROUP BY band, chunk
+       |  HAVING count(*) > 1 AND count(*) <= $SimhashMaxBucket)
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |FROM bands x JOIN bands y
+       |FROM bands x
+       |JOIN okb ON x.band = okb.band AND x.chunk = okb.chunk
+       |JOIN bands y
        |  ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming
        |ORDER BY hamming, a, b""".stripMargin

