@@ -698,30 +698,57 @@ object DedupOps {
     */
   val CdcBoundaryMod = 8L
 
-  /** Per-document content-defined chunk hashes: token positions whose
-    * hashed token is ≡ 0 mod [[CdcBoundaryMod]] CLOSE a chunk; the tail
-    * past the last boundary is the final chunk. Every token lands in
-    * exactly one chunk. The whole derivation — boundary positions,
-    * span arithmetic, per-chunk hash — runs inside array expressions on
-    * the scanned row: zero shuffles, no explode until the caller needs
+  /** Second mix constant for the CDC chunk hash: chunk identity is TWO
+    * independent 31-bit modular folds of the per-token hashes (seeded
+    * 0, mixes [[BucketMix]] and this), combined as `f1·2³¹ + f2` into
+    * one 62-bit value. All intermediates stay under 2⁶³ (acc < P31,
+    * mix ≈ 10⁶, token hash < 2⁶⁰), so the arithmetic is exact — and
+    * identical — in both engines' 64-bit integers.
+    */
+  private val CdcMix2 = 1000033L
+
+  /** Per-document content-defined chunk hashes: tokens whose portable
+    * hash is ≡ 0 mod [[CdcBoundaryMod]] CLOSE a chunk; the tail past
+    * the last boundary is the final chunk. Every token lands in exactly
+    * one chunk. The whole derivation is ONE fold over the hashed-token
+    * array on the scanned row — `aggregate` carries (emitted chunk
+    * hashes, both running folds, open-chunk flag) and emits a chunk at
+    * each boundary token — so each token is md5-hashed exactly once and
+    * touched exactly once, with no boundary-position / span arrays at
+    * all. (The round-7 version materialized positions and re-digested
+    * every chunk's joined text — 2× the md5 work — and a naive
+    * "parallel hash array" refactor is a trap: Catalyst collapses the
+    * projections and `element_at(transform(tk, portable64), i)`
+    * re-evaluates the whole transform per index, going quadratic.)
+    * Chunk identity is the 62-bit double modular fold of the chunk's
+    * token hashes ([[BucketMix]]/[[CdcMix2]] mod P31, combined as
+    * `f1·2³¹ + f2`). Zero shuffles, no explode until the caller needs
     * instance rows. Exposed for the reference-implementation spec.
     */
   def cdcChunkHashes(docs: DataFrame): DataFrame = {
-    val n = size(col("tk"))
-    val bpos = filter(sequence(lit(1), n),
-      i => pmod(portable64(element_at(col("tk"), i)), lit(CdcBoundaryMod)) === 0)
-    val starts = concat(array(lit(1)), transform(col("bpos"), p => p + 1))
-    val ends = concat(col("bpos"), array(n))
-    val hashes = filter(
-      zip_with(col("starts"), col("ends"), (s, e) =>
-        when(s <= e, portable64(array_join(slice(col("tk"), s, e - s + 1), " ")))),
-      h => h.isNotNull)
+    def emit(f1: Column, f2: Column): Column = f1 * lit(1L << 31) + f2
+    val zero = struct(
+      expr("CAST(array() AS ARRAY<BIGINT>)").as("hs"),
+      lit(0L).as("f1"), lit(0L).as("f2"), lit(false).as("open"))
+    val hashes = aggregate(
+      transform(col("tk"), t => portable64(t)),
+      zero,
+      (acc, h) => {
+        val f1 = pmod(acc.getField("f1") * lit(BucketMix) + h, lit(P31))
+        val f2 = pmod(acc.getField("f2") * lit(CdcMix2) + h, lit(P31))
+        when(pmod(h, lit(CdcBoundaryMod)) === 0,
+          struct(concat(acc.getField("hs"), array(emit(f1, f2))).as("hs"),
+            lit(0L).as("f1"), lit(0L).as("f2"), lit(false).as("open")))
+          .otherwise(struct(acc.getField("hs").as("hs"),
+            f1.as("f1"), f2.as("f2"), lit(true).as("open")))
+      },
+      acc => when(acc.getField("open"),
+        concat(acc.getField("hs"),
+          array(emit(acc.getField("f1"), acc.getField("f2")))))
+        .otherwise(acc.getField("hs")))
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
-      .withColumn("bpos", bpos)
-      .select(col("doc_id"), col("tk"), col("bpos"),
-        starts.as("starts"), ends.as("ends"))
       .select(col("doc_id"), hashes.as("hs"))
   }
 
@@ -816,26 +843,34 @@ object DedupOps {
     * `dedup_cdc` and `dedup_cdc_incr` oracles so the batch/full paths
     * cannot drift.
     */
+  private def duckCdcFold(slice: String, mix: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $slice), " +
+      s"(acc, h) -> (acc * $mix + h) % $P31)"
+
   private val duckCdcInstCtes: String =
     s"""tk AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
        |  FROM documents),
-       |cb AS (
-       |  SELECT doc_id, tk,
-       |    list_filter(range(1, len(tk) + 1),
-       |      i -> ${duckPortable64("tk[i]")} % $CdcBoundaryMod = 0) AS bpos
+       |th AS (
+       |  SELECT doc_id, list_transform(tk, t -> ${duckPortable64("t")}) AS th
        |  FROM tk WHERE len(tk) > 0),
+       |cb AS (
+       |  SELECT doc_id, th,
+       |    list_filter(range(1, len(th) + 1),
+       |      i -> th[i] % $CdcBoundaryMod = 0) AS bpos
+       |  FROM th),
        |sp AS (
-       |  SELECT doc_id, tk,
+       |  SELECT doc_id, th,
        |    list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
-       |    list_append(bpos, len(tk)) AS ends
+       |    list_append(bpos, len(th)) AS ends
        |  FROM cb),
        |inst AS (
        |  SELECT doc_id, unnest(hs) AS h FROM (
        |    SELECT doc_id,
        |      list_filter(list_transform(range(1, len(starts) + 1),
        |        k -> CASE WHEN starts[k] <= ends[k]
-       |          THEN ${duckPortable64("array_to_string(tk[starts[k]:ends[k]], ' ')")}
+       |          THEN ${duckCdcFold("th[starts[k]:ends[k]]", BucketMix)}
+       |               * ${1L << 31} + ${duckCdcFold("th[starts[k]:ends[k]]", CdcMix2)}
        |          END),
        |        h -> h IS NOT NULL) AS hs
        |    FROM sp) x)""".stripMargin
@@ -1030,10 +1065,11 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
     // The whole chunk derivation replayed on DuckDB lists: range(1,n+1)
-    // = sequence(1,n), tk[s:e] is 1-based inclusive = slice(tk,s,e-s+1),
-    // and the boundary/chunk hashes are the md5-prefix portable64.
-    // Sums CAST to BIGINT before the scaled division (SUM widens to
-    // HUGEINT).
+    // = sequence(1,n), th[s:e] is 1-based inclusive = slice(th,s,e-s+1),
+    // boundary hashes are the md5-prefix portable64 (each token hashed
+    // once), and chunk identity is the 62-bit double modular fold via
+    // list_reduce. Sums CAST to BIGINT before the scaled division (SUM
+    // widens to HUGEINT).
     "dedup_cdc" ->
       s"""WITH $duckCdcInstCtes,
          |c AS (SELECT h, count(*) AS c FROM inst GROUP BY h)

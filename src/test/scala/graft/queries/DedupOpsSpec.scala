@@ -182,8 +182,13 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r._3, r._1, r._2)) === rows.map(r => (r._3, r._1, r._2)).sorted)
   }
 
-  /** Sequential reference of the CDC chunker: portable64 via MessageDigest,
-    * boundary tokens close chunks, tail past the last boundary is final.
+  /** Sequential reference of the CDC chunker: portable64 via MessageDigest
+    * hashes each token ONCE, boundary tokens (hash ≡ 0 mod the boundary
+    * modulus) close chunks, tail past the last boundary is final, and
+    * chunk identity is the 62-bit double modular fold of the chunk's
+    * token hashes (f1·2³¹ + f2, mixes 1000003 / 1000033 mod 2³¹−1 —
+    * the same constants the production expressions and the DuckDB
+    * oracle share).
     */
   private def refCdcHashes(text: String): Seq[Long] = {
     def p64(s: String): Long = {
@@ -191,17 +196,23 @@ class DedupOpsSpec extends AnyFunSuite {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
+    val P31 = 2147483647L
+    def fold(hs: Seq[Long], mix: Long): Long =
+      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % P31)
+    def chunkHash(hs: Seq[Long]): Long =
+      fold(hs, 1000003L) * (1L << 31) + fold(hs, 1000033L)
     val tk = text.split(" ").filter(_.nonEmpty)
     if (tk.isEmpty) Seq.empty
     else {
-      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
-      var cur = scala.collection.mutable.ArrayBuffer[String]()
-      tk.foreach { t =>
-        cur += t
-        if (p64(t) % DedupOps.CdcBoundaryMod == 0) { chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+      val th = tk.map(p64).toSeq
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      th.foreach { h =>
+        cur += h
+        if (h % DedupOps.CdcBoundaryMod == 0) { chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
       }
       if (cur.nonEmpty) chunks += cur.toSeq
-      chunks.toSeq.map(c => p64(c.mkString(" ")))
+      chunks.toSeq.map(chunkHash)
     }
   }
 
