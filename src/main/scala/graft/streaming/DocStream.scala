@@ -98,4 +98,75 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: Dataset[Row], id: Long) =>
         probeAndAppend(batch.toDF(), id, indexDir, candDir))
+
+  // ---- Chunk-level (CDC) ingest: the same loop one level below the
+  // document. The index artifact is (doc_id, chunk_hash) instances from
+  // [[DedupOps.cdcChunkHashes]] — the BATCH path's chunk derivation,
+  // verbatim — so a nightly dedup_cdc-style job and this stream share
+  // one chunk index, pinning batch/stream interchangeability at the
+  // chunk level exactly as [[seedIndex]]/[[probeAndAppend]] pin it at
+  // the band-bucket level (drilled in DocStreamSpec).
+
+  /** Seed the chunk index from a historical corpus via the batch
+    * chunker — the backfill a deployment runs before switching the
+    * chunk-level stream on. History ships (doc_id, chunk_hash) only,
+    * never text.
+    */
+  def seedChunkIndex(docs: DataFrame, indexDir: String): Unit =
+    DedupOps.cdcChunkHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("batch_id", lit(SeedBatchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+
+  /** One chunk-level micro-batch step — the streaming form of
+    * [[DedupOps.cdcIncremental]]: chunk the batch once, probe the
+    * history chunk index (strictly-below batch_id, so a replay never
+    * sees its own failed attempt), report per-document fresh-passage
+    * ppm, and append the batch's chunks so the next batch probes them
+    * as history. Both sinks partition by `batch_id` with dynamic
+    * overwrite — the replay-idempotent recipe the band-bucket loop
+    * uses.
+    */
+  def chunkProbeAndAppend(batch: DataFrame, batchId: Long,
+      indexDir: String, reportDir: String): Unit = {
+    val spark = batch.sparkSession
+    val inst = DedupOps.cdcChunkHashes(batch)
+      .select(col("doc_id"), explode(col("hs")).as("h")).persist()
+    try {
+      val history = spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId)
+        .select("h").distinct()
+      inst.join(history.withColumn("seen", lit(1)), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("fresh_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("fresh_chunks"),
+          expr("(fresh_chunks * 1000000) div n_chunks").as("fresh_ppm"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(reportDir)
+      inst.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+    } finally inst.unpersist(blocking = false)
+  }
+
+  /** The chunk-level streaming query: arriving (doc_id, text)
+    * micro-batches run [[chunkProbeAndAppend]] against the shared
+    * chunk index. Start after [[seedChunkIndex]].
+    */
+  def chunkIngest(docs: Dataset[Doc], indexDir: String, reportDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        chunkProbeAndAppend(batch.toDF(), id, indexDir, reportDir))
 }

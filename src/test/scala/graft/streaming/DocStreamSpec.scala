@@ -74,4 +74,67 @@ class DocStreamSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(batchProbe === Set((30L, 2L)))
   }
+
+  test("golden: chunk-level stream seeded from the BATCH chunk index, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("docstream_cdc").toString
+    val (indexDir, reportDir, ckpt) =
+      (s"$root/chunks", s"$root/reports", s"$root/ckpt")
+
+    // History written by the BATCH path: the seed is cdcChunkHashes'
+    // own output — the same derivation dedup_cdc runs — so this drill
+    // pins batch/stream index interchangeability at the chunk level.
+    DocStream.seedChunkIndex(
+      Seq(1L -> text("alpha"), 2L -> text("beta")).toDF("doc_id", "text"),
+      indexDir)
+
+    val in = MemoryStream[Doc]
+    val q = DocStream.chunkIngest(in.toDS(), indexDir, reportDir, ckpt).start()
+    try {
+      // Batch 0: doc 10 repeats seeded doc 1's text -> every passage is
+      // history (fresh_ppm 0); doc 11 is new content (fresh_ppm 1e6).
+      in.addData(Doc(10L, text("alpha")), Doc(11L, text("gamma")))
+      q.processAllAvailable()
+      // Batch 1: doc 20 repeats BATCH-0 doc 11 (history only because
+      // batch 0 appended its chunks); doc 21 is unique.
+      in.addData(Doc(20L, text("gamma")), Doc(21L, text("delta")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val reports = spark.read.parquet(reportDir)
+      .select("batch_id", "doc_id", "fresh_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reports === Set(
+      (0L, 10L, 0L), (0L, 11L, 1000000L),
+      (1L, 20L, 0L), (1L, 21L, 1000000L)))
+
+    // Replaying batch 1 under the same id overwrites its own partitions
+    // byte-identically: same reports, same index size, and the probe
+    // never counts the replay's own rows as history.
+    val indexRows = spark.read.parquet(indexDir).count()
+    DocStream.chunkProbeAndAppend(
+      Seq(20L -> text("gamma"), 21L -> text("delta")).toDF("doc_id", "text"),
+      batchId = 1L, indexDir, reportDir)
+    assert(spark.read.parquet(reportDir)
+      .select("batch_id", "doc_id", "fresh_ppm")
+      .as[(Long, Long, Long)].collect().toSet === reports)
+    assert(spark.read.parquet(indexDir).count() === indexRows)
+
+    // Interchange, the other direction: the stream-built index IS the
+    // batch artifact — a batch-mode probe (cdcIncremental's join shape)
+    // of the final index re-derives a seeded doc as fully-known and
+    // never-seen content as fully-fresh.
+    val probeInst = graft.queries.DedupOps.cdcChunkHashes(
+        Seq(30L -> text("beta"), 31L -> text("omega")).toDF("doc_id", "text"))
+      .select($"doc_id", org.apache.spark.sql.functions.explode($"hs").as("h"))
+    val hist = spark.read.parquet(indexDir).select("h").distinct()
+    val fresh = probeInst.join(hist.withColumn("seen", org.apache.spark.sql.functions.lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"seen".isNull, 1L).otherwise(0L)).as("fresh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fresh(30L) === 0L, "seeded content fully known to the stream-built index")
+    assert(fresh(31L) > 0L, "unseen content fresh")
+  }
 }
