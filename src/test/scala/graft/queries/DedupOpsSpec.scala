@@ -103,6 +103,21 @@ class DedupOpsSpec extends AnyFunSuite {
       "unrelated doc must not survive the hamming cut")
   }
 
+  test("simhash banding bucket cap drops oversized buckets, mirrored semantics") {
+    // Five identical docs share every (band, chunk) bucket. With the
+    // cap shrunk below the bucket size, NO pair may surface (the
+    // production cap bounds any bucket's pair count at cap²/2); at the
+    // default cap all 10 pairs do.
+    val five = docs((1 to 5).map(i => i.toLong -> base): _*)
+    val capped = DedupOps.simhashPairsOf(five, maxBucket = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.isEmpty, s"over-cap bucket must be dropped, got ${capped.toSeq}")
+    val uncapped = DedupOps.simhashPairsOf(five)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.length === 10)
+    assert(uncapped.forall(_._3 === 0L))
+  }
+
   test("connectedGroups propagates min labels across transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val got = DedupOps.connectedGroups(pairs)
