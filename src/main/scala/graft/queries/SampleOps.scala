@@ -293,9 +293,18 @@ object SampleOps {
   )
 
   // DuckDB twins, generated from the same constants (portable64 is the
-  // shared md5 bridge — see DedupOps).
-  private def duckBucket(id: String): String =
+  // shared md5 bridge — see DedupOps). duckBucket/duckSplitCase are
+  // package-visible so other families splitting on a different id
+  // column (VectorQueries' embedding decontam) render the SAME SQL.
+  private[queries] def duckBucket(id: String): String =
     s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  /** The split CASE over a bucket expression, generated from the same
+    * [[TrainPct]]/[[ValidPct]] the Spark side uses.
+    */
+  private[queries] def duckSplitCase(bucket: String): String =
+    s"CASE WHEN $bucket < $TrainPct THEN 'train' " +
+      s"WHEN $bucket < ${TrainPct + ValidPct} THEN 'valid' ELSE 'test' END"
 
   private val duckRate: String =
     RebalanceRates.foldRight(DefaultRate.toString) { case ((l, r), acc) =>

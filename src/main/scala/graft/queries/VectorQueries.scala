@@ -485,6 +485,59 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Pairs reported by [[decontamEmbedding]]. */
+  val SemLeakTopK = 20
+
+  /** Embedding-level (semantic) train←test decontamination — the audit
+    * the n-gram `sample_decontam` cannot perform: a paraphrased or
+    * re-tokenized test document shares no trigrams with its train-side
+    * twin but still sits next to it in embedding space. Every vector
+    * gets the SAME content-keyed split the corpus uses
+    * ([[SampleOps.bucketOf]] over its id) and the SAME inverted-file
+    * cell assignment the ANN family builds ([[ivfAssignment]]);
+    * candidate pairs are train×test WITHIN a cell only — the blocked,
+    * bounded expansion (Σ over cells of |train|·|test|, the IVF recall
+    * trade [[topKBucketed]] documents) instead of the full cross join —
+    * and the report is the top-[[SemLeakTopK]] most-similar cross-split
+    * pairs a release gate reviews before training. Norms are
+    * precomputed per vector (the [[nearDup]] move: 1 dot product per
+    * pair, not 3), cosines are the shared [[VectorOps]] doubles, so
+    * the oracle is exact. At 100 TB the cell assignment is the stored
+    * IVF index and the split rides the stored corpus buckets — this
+    * query is one blocked join over two artifacts that already exist.
+    */
+  def decontamEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val sp = emb(spark, dir)
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("bucket", SampleOps.bucketOf(col("vec_id")))
+      .withColumn("split",
+        when(col("bucket") < SampleOps.TrainPct, lit("train"))
+          .when(col("bucket") < SampleOps.TrainPct + SampleOps.ValidPct, lit("valid"))
+          .otherwise(lit("test")))
+    semLeakPairsOf(sp.join(ivfAssignment(spark, dir), Seq("vec_id")))
+  }
+
+  /** [[decontamEmbedding]]'s pairing over an arbitrary
+    * `(vec_id, v, n, split, cell)` frame (exposed so tests can plant
+    * known leaks without the corpus).
+    */
+  private[queries] def semLeakPairsOf(w: DataFrame): DataFrame = {
+    val tr = w.filter(col("split") === "train")
+      .select(col("vec_id").as("train_vec"), col("cell"),
+        col("v").as("tv"), col("n").as("tn"))
+    val te = w.filter(col("split") === "test")
+      .select(col("vec_id").as("test_vec"), col("cell"),
+        col("v").as("xv"), col("n").as("xn"))
+    tr.join(te, Seq("cell"))
+      .select(col("train_vec"), col("test_vec"), col("cell"),
+        when(col("tn") > 0 && col("xn") > 0,
+          VectorOps.dot(col("tv"), col("xv")) / (col("tn") * col("xn")))
+          .as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), asc("train_vec"), asc("test_vec"))
+      .limit(SemLeakTopK)
+  }
+
   /** Per-label centroid accumulation — the offline index-build /
     * class-prototype shape: posexplode to (label, dimension, component),
     * then one shuffle keyed by (label, pos). Shuffle volume is
@@ -553,6 +606,7 @@ object VectorQueries {
     "simsearch_pq" -> (topKPq _),
     "simsearch_ivfpq" -> (topKIvfPq _),
     "neardup_embedding" -> (nearDup _),
+    "sample_decontam_emb" -> (decontamEmbedding _),
   )
 
   private val CastEmb = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
@@ -561,8 +615,12 @@ object VectorQueries {
     * index path stores and re-reads the same assignment, so one oracle
     * pins both — and pins their equivalence.
     */
-  private lazy val duckIvfSql: String =
-    s"""WITH e AS ($CastEmb),
+  /** Shared CTE chain `e, cents, sims, cells` — the inverted-file
+    * assignment every IVF-family oracle (and the embedding decontam)
+    * rides, generated once so the cell definition cannot drift.
+    */
+  private lazy val duckCellsCtes: String =
+    s"""e AS ($CastEmb),
        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
        |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
        |sims AS (
@@ -573,7 +631,10 @@ object VectorQueries {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-       |    FROM sims) t WHERE rn = 1),
+       |    FROM sims) t WHERE rn = 1)""".stripMargin
+
+  private lazy val duckIvfSql: String =
+    s"""WITH $duckCellsCtes,
        |probe AS (SELECT cid AS cell FROM sims WHERE vec_id = $QueryVecId
        |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
@@ -787,5 +848,29 @@ object VectorQueries {
          |FROM e x JOIN e y
          |  ON x.bucket = y.bucket AND x.label = y.label AND x.vec_id < y.vec_id
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+    // Split CASE and hash bucket generated from SampleOps' constants;
+    // cells from the shared IVF CTE chain; cosine via precomputed norms
+    // exactly as the Spark side (the nearDup 1-dot-per-pair shape).
+    "sample_decontam_emb" ->
+      s"""WITH $duckCellsCtes,
+         |en AS (
+         |  SELECT vec_id, v, sqrt(${VectorOps.dotSql("v", "v")}) AS n,
+         |         ${SampleOps.duckBucket("vec_id")} AS bucket
+         |  FROM e),
+         |sp AS (
+         |  SELECT vec_id, v, n, ${SampleOps.duckSplitCase("bucket")} AS split
+         |  FROM en),
+         |tr AS (SELECT s.vec_id AS train_vec, c.cell, s.v, s.n
+         |       FROM sp s JOIN cells c USING (vec_id) WHERE s.split = 'train'),
+         |te AS (SELECT s.vec_id AS test_vec, c.cell, s.v AS xv, s.n AS xn
+         |       FROM sp s JOIN cells c USING (vec_id) WHERE s.split = 'test'),
+         |pairs AS (
+         |  SELECT train_vec, test_vec, tr.cell AS cell,
+         |    CASE WHEN tr.n > 0 AND te.xn > 0
+         |         THEN ${VectorOps.dotSql("tr.v", "te.xv")} / (tr.n * te.xn) END AS sim
+         |  FROM tr JOIN te ON tr.cell = te.cell)
+         |SELECT train_vec, test_vec, cell, sim FROM pairs
+         |WHERE sim IS NOT NULL
+         |ORDER BY sim DESC, train_vec, test_vec LIMIT $SemLeakTopK""".stripMargin,
   )
 }

@@ -187,4 +187,47 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert((got & brute).size >= 8,
       s"PQ with rescore=${VectorQueries.PqRescore} should recover most of the true top-10")
   }
+
+  test("semantic decontam surfaces a planted train-test leak, blocked by cell") {
+    // Train vec 1 IS test vec 2 (same cell): a perfect leak, sim = 1.
+    // Train vec 3 sits in a DIFFERENT cell than its test twin 4, so the
+    // cell blocking (the documented recall trade) must NOT pair them.
+    // Zero-norm test vec 5 must never produce a null-sim row.
+    val w = Seq(
+      (1L, Seq(1.0, 0.0, 2.0), "train", 7L),
+      (2L, Seq(1.0, 0.0, 2.0), "test", 7L),
+      (3L, Seq(0.0, 5.0, 0.0), "train", 8L),
+      (4L, Seq(0.0, 5.0, 0.0), "test", 9L),
+      (5L, Seq(0.0, 0.0, 0.0), "test", 7L),
+      (6L, Seq(2.0, 0.0, -1.0), "train", 7L))
+      .toDF("vec_id", "v", "split", "cell")
+      .withColumn("n", VectorOps.norm(col("v")))
+    val got = VectorQueries.semLeakPairsOf(w)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.head._1 === 1L && got.head._2 === 2L && got.head._3 === 7L
+      && math.abs(got.head._4 - 1.0) < 1e-12,
+      s"planted dup must lead with sim ~ 1: ${got.toSeq}")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 4L),
+      "cross-cell twin must be blocked out")
+    assert(!got.exists(r => r._2 == 5L), "zero-norm vectors never pair")
+    // Only train x test within a cell: (1,2), (6,2) possible here.
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L), (6L, 2L)))
+    assert(got.map(_._4).toSeq === got.map(_._4).sortBy(-(_: Double)).toSeq)
+  }
+
+  test("sample_decontam_emb on the corpus: bounded, ordered, split-correct") {
+    val rows = VectorQueries.decontamEmbedding(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= VectorQueries.SemLeakTopK)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-(_: Double)).toSeq)
+    // Every reported id really is in the split its column claims.
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    assert(rows.forall(r => bucket(r._1) < graft.queries.SampleOps.TrainPct))
+    assert(rows.forall(r => bucket(r._2) >=
+      graft.queries.SampleOps.TrainPct + graft.queries.SampleOps.ValidPct))
+  }
 }
