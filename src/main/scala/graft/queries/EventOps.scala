@@ -410,6 +410,31 @@ object EventOps {
       .agg(sum("k").as("k_sum"), count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  /** Semi-structured payload stats via the VARIANT type —
+    * [[jsonProps]]' modern twin: `parse_json` decodes each payload ONCE
+    * into VARIANT's shredding-friendly binary encoding, and every
+    * downstream access is a typed `variant_get` probe into that binary
+    * — where `get_json_object` re-parses the JSON STRING inside every
+    * expression that touches it. At 100 TB the VARIANT column is what
+    * lands in the lake at ingest, payload fields are read many times
+    * per write, and the parse-once/probe-many asymmetry is the point.
+    * The absent-field probe is the schema-drift audit a payload owner
+    * watches: `variant_get` of a path the payload lacks is NULL, so
+    * `missing_tag` counts payloads that dropped the field (here: all,
+    * by construction of the fixture).
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        variant_get(col("v"), "$.tag", "string").as("tag"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
+        sum(when(col("tag").isNull, 1L).otherwise(0L)).as("missing_tag"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> (hourly _),
     "events_latest" -> (latestPerUser _),
@@ -419,6 +444,7 @@ object EventOps {
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_json" -> (jsonProps _),
+    "events_variant" -> (variantProps _),
     "events_zscore" -> (zscoreOutliers _),
     "events_gapfill" -> (gapfillHourly _),
     "events_sliding" -> (slidingCounts _),
@@ -643,6 +669,15 @@ object EventOps {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // VARIANT twin: same values as the JSON-string path (the encoding
+    // is an engine detail; the FIELD values are the contract).
+    "events_variant" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.tag') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_tag
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

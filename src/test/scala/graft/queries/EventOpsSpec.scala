@@ -232,4 +232,18 @@ class EventOpsSpec extends AnyFunSuite {
       assert(c > 0L)
     }
   }
+
+  test("variant path agrees with the json-string path and audits absent fields") {
+    val dir = "/root/testdata/sf0.001"
+    val js = EventOps.jsonProps(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val vr = EventOps.variantProps(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(vr.nonEmpty)
+    vr.foreach { case (t, cnt, kSum, kMin, kMax, missingTag) =>
+      assert(js(t) === ((kSum, cnt)), s"variant k_sum/cnt must equal json path for $t")
+      assert(kMin <= kMax)
+      assert(missingTag === cnt, "fixture payloads carry no $.tag field")
+    }
+  }
 }
