@@ -53,26 +53,49 @@ class MisraGries(k: Int) extends Aggregator[Row, MGAcc, MGBuf] {
     }
   }
 
-  def merge(a: MGAcc, b: MGAcc): MGAcc = {
-    val (small, large) = if (a.m.size < b.m.size) (a.m, b.m) else (b.m, a.m)
-    val combined = small.foldLeft(large) { case (acc, (w, c)) =>
-      acc.updated(w, acc.getOrElse(w, 0L) + c)
-    }
-    if (combined.size <= k) MGAcc(combined)
-    else {
-      // Subtract the (k+1)-th largest count; only entries strictly above
-      // it survive, and there are at most k of those.
-      val cut = combined.valuesIterator.toArray.sortBy(-(_: Long)).apply(k)
-      MGAcc(combined.collect { case (w, c) if c > cut => (w, c - cut) })
-    }
-  }
+  def merge(a: MGAcc, b: MGAcc): MGAcc =
+    MGAcc(MisraGries.mergeMaps(a.m, b.m, k))
 
   /** Deterministic layout so equal summaries are array-equal too. */
-  def finish(b: MGAcc): MGBuf = {
-    val sorted = b.m.toArray.sortBy { case (w, c) => (-c, w) }
-    MGBuf(sorted.map(_._1), sorted.map(_._2))
-  }
+  def finish(b: MGAcc): MGBuf = MisraGries.pack(b.m)
 
   def bufferEncoder: Encoder[MGAcc] = Encoders.product[MGAcc]
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+}
+
+object MisraGries {
+
+  /** The mergeable-summaries merge (Agarwal et al., "Mergeable
+    * Summaries"): combine counts, then subtract the (k+1)-th largest
+    * count; only entries strictly above it survive, and there are at
+    * most k of those. Shared by the in-aggregation merge above and the
+    * FINISHED-summary merge below, so the two cannot drift.
+    */
+  def mergeMaps(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val (small, large) = if (a.size < b.size) (a, b) else (b, a)
+    val combined = small.foldLeft(large) { case (acc, (w, c)) =>
+      acc.updated(w, acc.getOrElse(w, 0L) + c)
+    }
+    if (combined.size <= k) combined
+    else {
+      val cut = combined.valuesIterator.toArray.sortBy(-(_: Long)).apply(k)
+      combined.collect { case (w, c) if c > cut => (w, c - cut) }
+    }
+  }
+
+  /** Deterministic (-count, word) layout shared by finish() and
+    * [[mergeBufs]].
+    */
+  def pack(m: Map[String, Long]): MGBuf = {
+    val sorted = m.toArray.sortBy { case (w, c) => (-c, w) }
+    MGBuf(sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** Merge two FINISHED summaries — the incremental-maintenance step:
+    * history's PERSISTED O(k) summary merges with each batch's without
+    * re-scanning history, and the merged error stays ≤ N_total/(k+1)
+    * (mergeability is the theorem; the spec pins the band).
+    */
+  def mergeBufs(a: MGBuf, b: MGBuf, k: Int): MGBuf =
+    pack(mergeMaps(a.words.zip(a.counts).toMap, b.words.zip(b.counts).toMap, k))
 }

@@ -250,6 +250,43 @@ object TextOps {
       .orderBy("w")
   }
 
+  /** Incremental heavy-hitter maintenance via mergeable Misra-Gries
+    * summaries — the [[ScalarOps.approxDistinctIncr]] (HLL) /
+    * `approx_percentile_incr` (KLL) contract for FREQUENT ITEMS,
+    * completing the incremental-sketch trio: history (train split) and
+    * the incoming batch each collapse to an O(k) summary, and the
+    * corpus-wide candidate set comes from
+    * [[graft.functions.MisraGries.mergeBufs]] of the two — never from
+    * re-scanning history. In production the history summary is a
+    * PERSISTED artifact (≤ k (token, count) pairs regardless of corpus
+    * size) and each batch merges in. Reported counts are the merged
+    * summary's — under-estimates within N_total/(k+1) of truth, and
+    * the candidate set provably contains every φ-heavy hitter of the
+    * combined corpus for k ≥ 1/φ − 1 (the [[heavyHitters]] guarantee,
+    * surviving the merge by the mergeable-summaries theorem).
+    * Summary layout is implementation-defined → rows-only in the
+    * harness; SketchAccuracySpec pins the superset guarantee and the
+    * error band against exact counts.
+    */
+  def heavyHittersIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val mg = udaf(new graft.functions.MisraGries(MgSummarySize),
+      org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("w", StringType)))))
+    val words = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(col("split"), explode(tokens(lower(col("text")))).as("w"))
+    val hist = words.filter(col("split") === "train").agg(mg(col("w")).as("_1"))
+    val batch = words.filter(col("split") =!= "train").agg(mg(col("w")).as("_2"))
+    hist.crossJoin(broadcast(batch))
+      .as[(graft.functions.MGBuf, graft.functions.MGBuf)]
+      .map { case (h, b) =>
+        graft.functions.MisraGries.mergeBufs(h, b, MgSummarySize) }
+      .select(explode(arrays_zip(col("words"), col("counts"))).as("e"))
+      .select(col("e.words").as("w"), col("e.counts").as("est_cnt"))
+      .orderBy(desc("est_cnt"), asc("w"))
+  }
+
   /** Doc-frequency ceiling for a token to count as rare ([[rarity]]). */
   val RareMaxDf = 2
 
@@ -759,6 +796,7 @@ object TextOps {
     "text_redact" -> (redact _),
     "text_repetition" -> (repetition _),
     "text_heavyhitters" -> (heavyHitters _),
+    "text_heavyhitters_incr" -> (heavyHittersIncr _),
     "text_rarity" -> (rarity _),
     "text_boilerplate" -> (boilerplate _),
     "text_ngram_lm" -> (ngramLm _),

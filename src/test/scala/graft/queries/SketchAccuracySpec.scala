@@ -57,6 +57,37 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert((again.getLong(0), again.getLong(1), again.getLong(2)) === ((hist, batch, merged)))
   }
 
+  test("text_heavyhitters_incr: superset of true heavy hitters, counts in the MG band") {
+    import spark.implicits._
+    val got = TextOps.heavyHittersIncr(spark, dir)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    // Exact corpus-wide counts over the SAME tokenization.
+    val exact = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val k = 1024L
+    // Superset guarantee survives the merge: every >= 0.1%-of-corpus
+    // token must be among the merged candidates.
+    val cands = got.map(_._1).toSet
+    exact.foreach { case (w, c) =>
+      if (c * 1000L >= total) assert(cands.contains(w),
+        s"true heavy hitter $w (cnt=$c, total=$total) missing from merged summary")
+    }
+    // Merged counts are under-estimates within N_total/(k+1) of truth.
+    got.foreach { case (w, est) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(est <= t, s"$w: est=$est over true=$t")
+      assert(t - est <= total / (k + 1) + 1,
+        s"$w: est=$est below true=$t by more than N/(k+1)")
+    }
+    // Deterministic rerun.
+    assert(TextOps.heavyHittersIncr(spark, dir)
+      .as[(String, Long)].collect().toSeq === got.toSeq)
+  }
+
   /** Exact quantile band [q(f-eps), q(f+eps)] per group for a column. */
   private def band(colExpr: org.apache.spark.sql.Column, f: Double, eps: Double) =
     Tables.lineitem(spark, dir)
