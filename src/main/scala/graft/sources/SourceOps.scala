@@ -40,6 +40,27 @@ object SourceOps {
     */
   private def scratch(name: String): String = graft.Scratch.dir(s"roundtrip_$name")
 
+  /** VARIANT persisted round-trip: the events payloads parse ONCE into
+    * VARIANT at write time and land in parquet as the binary encoding —
+    * the Spark 4 lakehouse pattern where semi-structured columns are
+    * STORED pre-parsed and every reader does typed `variant_get` probes
+    * instead of re-parsing JSON strings per query (the storage half of
+    * `events_variant`'s compute story). The read-back aggregation must
+    * reproduce the original field values exactly — oracle over the raw
+    * table's JSON strings — proving encode → parquet → decode lossless.
+    */
+  def variantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("events_variant")
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(col("event_type"), variant_get(col("v"), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+  }
+
   /** XML sink → XML source → aggregate over the customer dim — Spark 4's
     * built-in XML datasource (rowTag framing, explicit read schema so
     * numerics survive). Same fidelity contract as the other round-trips:
@@ -308,6 +329,7 @@ object SourceOps {
     "src_partitioned" -> (partitionedRoundtrip _),
     "src_compaction" -> (compactionRoundtrip _),
     "src_json_corrupt" -> (jsonCorrupt _),
+    "src_variant_roundtrip" -> (variantRoundtrip _),
     "src_schema_evolution" -> (schemaEvolution _),
   )
 
@@ -379,6 +401,12 @@ object SourceOps {
         |FROM orders GROUP BY o_orderstatus
         |UNION ALL SELECT '_corrupt', $CorruptLines
         |ORDER BY status""".stripMargin,
+    // The VARIANT encode -> parquet -> typed-probe loop is lossless, so
+    // the twin reads the raw JSON strings.
+    "src_variant_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The fragment→compact rewrite is lossless, so the twin is the plain
     // aggregate over the original table.
     "src_compaction" ->

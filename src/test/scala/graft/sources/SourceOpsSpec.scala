@@ -81,4 +81,15 @@ class SourceOpsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("o_orderkey"))
     assert(joined.count() === plain.count())
   }
+
+  test("variant round-trip stores a true VARIANT column in parquet") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SourceOps.variantRoundtrip(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // The stored column must be the binary VARIANT type (parse-once at
+    // write), not a re-serialized JSON string.
+    val stored = spark.read.parquet(graft.Scratch.dir("roundtrip_events_variant"))
+    assert(stored.schema("v").dataType.typeName === "variant",
+      s"stored type was ${stored.schema("v").dataType}")
+  }
 }
