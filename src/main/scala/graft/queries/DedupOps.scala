@@ -483,14 +483,18 @@ object DedupOps {
       struct(lit(b.toLong).as("band"),
         shiftright(col("simhash"), b * SimhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
+    // Bucket sizes via a window over the SAME (band, chunk) exchange
+    // the self-join below shuffles on — a separate groupBy+join would
+    // re-derive the whole signature subtree (per-token md5) per
+    // reference; exchange reuse makes this ONE signature pass.
     val members = sig
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val okBuckets = members.groupBy("band", "chunk")
-      .agg(count(lit(1)).as("bcnt"))
+    val inBucket = members
+      .withColumn("bcnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
       .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .select("band", "chunk")
-    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
+      .drop("bcnt")
     inBucket
       .select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("sa"))
       .join(
@@ -698,14 +702,27 @@ object DedupOps {
     */
   val CdcBoundaryMod = 8L
 
-  /** Second mix constant for the CDC chunk hash: chunk identity is TWO
-    * independent 31-bit modular folds of the per-token hashes (seeded
-    * 0, mixes [[BucketMix]] and this), combined as `f1·2³¹ + f2` into
-    * one 62-bit value. All intermediates stay under 2⁶³ (acc < P31,
+  /** Second mix and — crucially — second MODULUS for the CDC chunk
+    * hash: chunk identity is two modular folds of the per-token hashes
+    * (seeded 0; [[BucketMix]] mod [[P31]] and [[CdcMix2]] mod this
+    * prime), combined as `f1·2³¹ + f2` into one 62-bit value. The
+    * second fold MUST run over a different prime: with one modulus,
+    * two equal-length chunks differing at a single token collide in
+    * BOTH folds whenever the token hashes are congruent mod that
+    * prime (the mixes cancel in the delta — 2⁻³¹ joint probability,
+    * not 2⁻⁶²), and a single-token chunk's two folds are outright
+    * equal. With coprime moduli, joint collision needs the hash delta
+    * ≡ 0 mod P31·P31B ≈ 2⁶² — impossible for 60-bit token hashes
+    * unless the hashes are equal, so one-token-apart chunks (the very
+    * class CDC dedup exists to distinguish) can only collide through
+    * md5 itself. All intermediates stay under 2⁶³ (acc < 2³¹,
     * mix ≈ 10⁶, token hash < 2⁶⁰), so the arithmetic is exact — and
     * identical — in both engines' 64-bit integers.
     */
   private val CdcMix2 = 1000033L
+
+  /** The second fold's prime modulus (largest prime below [[P31]]). */
+  private val P31B = 2147483629L
 
   /** Per-document content-defined chunk hashes: tokens whose portable
     * hash is ≡ 0 mod [[CdcBoundaryMod]] CLOSE a chunk; the tail past
@@ -735,7 +752,7 @@ object DedupOps {
       zero,
       (acc, h) => {
         val f1 = pmod(acc.getField("f1") * lit(BucketMix) + h, lit(P31))
-        val f2 = pmod(acc.getField("f2") * lit(CdcMix2) + h, lit(P31))
+        val f2 = pmod(acc.getField("f2") * lit(CdcMix2) + h, lit(P31B))
         when(pmod(h, lit(CdcBoundaryMod)) === 0,
           struct(concat(acc.getField("hs"), array(emit(f1, f2))).as("hs"),
             lit(0L).as("f1"), lit(0L).as("f2"), lit(false).as("open")))
@@ -843,9 +860,9 @@ object DedupOps {
     * `dedup_cdc` and `dedup_cdc_incr` oracles so the batch/full paths
     * cannot drift.
     */
-  private def duckCdcFold(slice: String, mix: Long): String =
+  private def duckCdcFold(slice: String, mix: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $slice), " +
-      s"(acc, h) -> (acc * $mix + h) % $P31)"
+      s"(acc, h) -> (acc * $mix + h) % $mod)"
 
   private val duckCdcInstCtes: String =
     s"""tk AS (
@@ -869,8 +886,8 @@ object DedupOps {
        |    SELECT doc_id,
        |      list_filter(list_transform(range(1, len(starts) + 1),
        |        k -> CASE WHEN starts[k] <= ends[k]
-       |          THEN ${duckCdcFold("th[starts[k]:ends[k]]", BucketMix)}
-       |               * ${1L << 31} + ${duckCdcFold("th[starts[k]:ends[k]]", CdcMix2)}
+       |          THEN ${duckCdcFold("th[starts[k]:ends[k]]", BucketMix, P31)}
+       |               * ${1L << 31} + ${duckCdcFold("th[starts[k]:ends[k]]", CdcMix2, P31B)}
        |          END),
        |        h -> h IS NOT NULL) AS hs
        |    FROM sp) x)""".stripMargin

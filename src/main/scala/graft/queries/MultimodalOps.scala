@@ -80,11 +80,13 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
-  /** Signature width (bits) for the aHash. The block width is
-    * LENGTH-RELATIVE — `ceil(n / PhashBits)` bytes per block via
-    * [[Multimodal.aHashGrid]] — so all 60 bits carry signal at every
-    * payload size (a fixed width left the high bits structurally zero
-    * for short payloads and collapsed the LSH bands; round-7 verdict).
+  /** Signature width (bits) for the aHash. Block boundaries are
+    * PROPORTIONAL — byte i lands in block `⌊i·60/n⌋` via
+    * [[Multimodal.aHashGrid]] — so all 60 bits carry signal whenever
+    * the payload has ≥ 60 bytes, and shorter payloads spread their
+    * populated bits across the full band range (a fixed width left the
+    * high bits structurally zero for short payloads and collapsed the
+    * LSH bands; round-7 verdict).
     */
   val PhashBits = 60
 
@@ -169,15 +171,19 @@ object MultimodalOps {
       struct(lit(b.toLong).as("band"),
         shiftright(col("phash"), b * PhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
+    // Bucket sizes via a window over the SAME (band, chunk) exchange
+    // the self-join below shuffles on — a separate groupBy+join would
+    // re-derive the whole signature subtree per reference (3× the scan
+    // and hash work; exchange reuse makes this ONE signature pass).
     val members = sig
       .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bc"))
       .select(col("media_id"), col("phash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val okBuckets = members.groupBy("band", "chunk")
-      .agg(count(lit(1)).as("bcnt"))
+    val inBucket = members
+      .withColumn("bcnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
       .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .select("band", "chunk")
-    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
+      .drop("bcnt")
     inBucket
       .select(col("band"), col("chunk"), col("media_id").as("a"), col("phash").as("sa"))
       .join(
@@ -236,14 +242,14 @@ object MultimodalOps {
 
   /** Byte-exact aHash CTE chain ending in `all_sig(media_id, phash)`:
     * reconstruct bytes from the blob's bits, grid each payload into
-    * [[PhashBits]] length-relative blocks of `ceil(n / PhashBits)`
-    * bytes (`i // ((n + ${PhashBits-1}) // PhashBits)` — the exact
-    * integer arithmetic [[Multimodal.aHashGrid]] uses), block sums vs
-    * the whole-payload sum by cross-multiplied integer compare, bits
-    * assembled with shifts — all constants shared. The LEFT JOIN back
-    * to every payload matters: an empty blob has no byte rows but
-    * still hashes (to 0) on the Spark side. Shared by the dup-group
-    * and banded-pair oracles so the two stay one signature definition.
+    * [[PhashBits]] proportional blocks (`(i * PhashBits) // n` — the
+    * exact integer arithmetic [[Multimodal.aHashGrid]] uses), block
+    * sums vs the whole-payload sum by cross-multiplied integer
+    * compare, bits assembled with shifts — all constants shared. The
+    * LEFT JOIN back to every payload matters: an empty blob has no
+    * byte rows but still hashes (to 0) on the Spark side. Shared by
+    * the dup-group and banded-pair oracles so the two stay one
+    * signature definition.
     */
   private val duckPhashCtes: String =
     s"""d AS (
@@ -259,10 +265,10 @@ object MultimodalOps {
        |  FROM d, LATERAL unnest(range(n)) t(i)),
        |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
        |blk AS (
-       |  SELECT media_id, i // ((n + ${PhashBits - 1}) // $PhashBits) AS b, n,
+       |  SELECT media_id, (i * $PhashBits) // n AS b, n,
        |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
-       |  FROM bytes WHERE i // ((n + ${PhashBits - 1}) // $PhashBits) < $PhashBits
-       |  GROUP BY media_id, i // ((n + ${PhashBits - 1}) // $PhashBits), n),
+       |  FROM bytes
+       |  GROUP BY media_id, (i * $PhashBits) // n, n),
        |sig AS (
        |  SELECT blk.media_id,
        |         CAST(sum(CASE WHEN s * n > total * blen

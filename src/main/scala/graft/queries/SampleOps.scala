@@ -29,13 +29,20 @@ object SampleOps {
   val TrainPct = 80
   val ValidPct = 10 // test gets the remaining 10
 
+  /** The split CASE over a bucket column — the ONE Spark-side encoding
+    * of the train/valid/test thresholds (mirrored in SQL by
+    * [[duckSplitCase]]); every family splitting on a different id
+    * column applies this to its own [[bucketOf]] result.
+    */
+  def splitOf(bucket: Column): Column =
+    when(bucket < TrainPct, lit("train"))
+      .when(bucket < TrainPct + ValidPct, lit("valid"))
+      .otherwise(lit("test"))
+
   /** Deterministic train/valid/test assignment from the hash bucket. */
   def withSplit(docs: DataFrame): DataFrame =
     docs.withColumn("bucket", bucketOf(col("doc_id")))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, lit("train"))
-          .when(col("bucket") < TrainPct + ValidPct, lit("valid"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitOf(col("bucket")))
 
   /** Registered query: per-(lang, split) document and token volumes —
     * the summary a pipeline owner checks before training (split sizes

@@ -220,7 +220,7 @@ object TextOps {
     * φ-heavy hitter; 1024 gives slack.
     */
   private val HeavyPerMille = 1L
-  private val MgSummarySize = 1024
+  private[queries] val MgSummarySize = 1024
 
   /** Corpus-wide frequent tokens (≥ 0.1% of all tokens), computed the
     * 100 TB way: a bounded Misra-Gries summary (O(k) state per

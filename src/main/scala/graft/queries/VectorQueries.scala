@@ -510,10 +510,7 @@ object VectorQueries {
     val sp = emb(spark, dir)
       .withColumn("n", VectorOps.norm(col("v")))
       .withColumn("bucket", SampleOps.bucketOf(col("vec_id")))
-      .withColumn("split",
-        when(col("bucket") < SampleOps.TrainPct, lit("train"))
-          .when(col("bucket") < SampleOps.TrainPct + SampleOps.ValidPct, lit("valid"))
-          .otherwise(lit("test")))
+      .withColumn("split", SampleOps.splitOf(col("bucket")))
     semLeakPairsOf(sp.join(ivfAssignment(spark, dir), Seq("vec_id")))
   }
 

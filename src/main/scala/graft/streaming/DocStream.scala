@@ -45,13 +45,18 @@ object DocStream {
 
   /** Write a historical corpus's band buckets as the index seed —
     * the one-off backfill a deployment runs before switching the
-    * stream on.
+    * stream on. Deliberately a PLAIN overwrite (no dynamic partition
+    * mode): a seed is a full reset of the artifact, so any stale
+    * batch partitions from a previous stream run are dropped too —
+    * under dynamic overwrite only the seed partition would be
+    * replaced, and a restarted stream (fresh checkpoint, batch ids
+    * back at 0) would read the old run's leftover batches as phantom
+    * history.
     */
   def seedIndex(docs: DataFrame, indexDir: String): Unit =
     DedupOps.minhashBands(docs, NBands, RowsPerBand)
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(indexDir)
 
@@ -110,14 +115,15 @@ object DocStream {
   /** Seed the chunk index from a historical corpus via the batch
     * chunker — the backfill a deployment runs before switching the
     * chunk-level stream on. History ships (doc_id, chunk_hash) only,
-    * never text.
+    * never text. Plain overwrite for the same full-reset reason as
+    * [[seedIndex]]: stale stream partitions from a previous run must
+    * not survive a re-seed as phantom history.
     */
   def seedChunkIndex(docs: DataFrame, indexDir: String): Unit =
     DedupOps.cdcChunkHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(indexDir)
 

@@ -54,13 +54,22 @@ class MultimodalSpec extends AnyFunSuite {
       "block 59 (ramp value 59, above the 0..79 mean) must be set")
   }
 
-  test("phash groups on the corpus surface the planted duplicates") {
-    val rows = graft.queries.MultimodalOps.phashGroups(spark, "/root/testdata/sf0.001")
+  test("phash groups surface planted duplicate payloads, nothing else") {
+    import spark.implicits._
+    // The corpus has NO exact text duplicates (the round-7 fixed-width
+    // signature made corpus groups appear via hash-collision artifacts
+    // — a symptom of its degeneracy, not planted dups), so this drill
+    // plants its own: docs 1/3 identical, 2 unique.
+    val tmp = java.nio.file.Files.createTempDirectory("phash_docs").toString
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 60).map(i => s"other$i").mkString(" ")
+    Seq((1L, a, "en", "t", 0L), (2L, b, "en", "t", 0L), (3L, a, "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.MultimodalOps.phashGroups(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(rows.nonEmpty, "planted exact dups must share a signature")
-    rows.foreach { case (_, cnt, _) => assert(cnt >= 2L) }
-    // Descending group size, phash tie-break.
-    assert(rows.map(r => (-r._2, r._1)).toSeq === rows.map(r => (-r._2, r._1)).sorted.toSeq)
+    assert(rows.map(r => (r._2, r._3)).toSeq === Seq((2L, 1L)),
+      s"exactly the planted dup group (rep=1, cnt=2): ${rows.toSeq}")
   }
 
   test("stub decoder is deterministic and respects frame boundaries") {

@@ -39,20 +39,22 @@ object CdcChunkProps extends Properties("DedupOps.cdcChunkHashes") {
     * boundary token, emit the double modular fold per chunk.
     */
   private def reference(tk: Seq[String]): Seq[Long] = {
-    val P31 = 2147483647L
-    def fold(hs: Seq[Long], mix: Long): Long =
-      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % P31)
+    def fold(hs: Seq[Long], mix: Long, mod: Long): Long =
+      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % mod)
+    // Fold 2 runs over a DIFFERENT prime so a single-token hash delta
+    // cannot cancel both folds (the production constants).
+    def chunkHash(hs: Seq[Long]): Long =
+      fold(hs, 1000003L, 2147483647L) * (1L << 31) + fold(hs, 1000033L, 2147483629L)
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var cur = scala.collection.mutable.ArrayBuffer[Long]()
     tk.map(p64).foreach { h =>
       cur += h
       if (h % DedupOps.CdcBoundaryMod == 0) {
-        out += fold(cur.toSeq, 1000003L) * (1L << 31) + fold(cur.toSeq, 1000033L)
+        out += chunkHash(cur.toSeq)
         cur = scala.collection.mutable.ArrayBuffer[Long]()
       }
     }
-    if (cur.nonEmpty)
-      out += fold(cur.toSeq, 1000003L) * (1L << 31) + fold(cur.toSeq, 1000033L)
+    if (cur.nonEmpty) out += chunkHash(cur.toSeq)
     out.toSeq
   }
 

@@ -201,9 +201,11 @@ class DedupOpsSpec extends AnyFunSuite {
     * hashes each token ONCE, boundary tokens (hash ≡ 0 mod the boundary
     * modulus) close chunks, tail past the last boundary is final, and
     * chunk identity is the 62-bit double modular fold of the chunk's
-    * token hashes (f1·2³¹ + f2, mixes 1000003 / 1000033 mod 2³¹−1 —
-    * the same constants the production expressions and the DuckDB
-    * oracle share).
+    * token hashes (f1·2³¹ + f2, fold 1 mixing 1000003 mod 2³¹−1 and
+    * fold 2 mixing 1000033 mod the DIFFERENT prime 2147483629, so a
+    * single-token hash delta cannot cancel both folds — the same
+    * constants the production expressions and the DuckDB oracle
+    * share).
     */
   private def refCdcHashes(text: String): Seq[Long] = {
     def p64(s: String): Long = {
@@ -211,11 +213,10 @@ class DedupOpsSpec extends AnyFunSuite {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
-    val P31 = 2147483647L
-    def fold(hs: Seq[Long], mix: Long): Long =
-      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % P31)
+    def fold(hs: Seq[Long], mix: Long, mod: Long): Long =
+      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % mod)
     def chunkHash(hs: Seq[Long]): Long =
-      fold(hs, 1000003L) * (1L << 31) + fold(hs, 1000033L)
+      fold(hs, 1000003L, 2147483647L) * (1L << 31) + fold(hs, 1000033L, 2147483629L)
     val tk = text.split(" ").filter(_.nonEmpty)
     if (tk.isEmpty) Seq.empty
     else {

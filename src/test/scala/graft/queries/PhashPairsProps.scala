@@ -113,7 +113,25 @@ object PhashPairsProps extends Properties("MultimodalOps.phashNearPairsOf") {
   property("every band distinguishes random payloads of any length") =
     Prop.forAllNoShrink(
       Gen.listOfN(12,
-        Gen.chooseNum(60, 400).flatMap(l => Gen.listOfN(l, Gen.chooseNum(0, 255))))) {
+        Gen.chooseNum(24, 400).flatMap(l => Gen.listOfN(l, Gen.chooseNum(0, 255))))) {
+      rows =>
+        val hs = rows.map(r => Multimodal.aHashGrid(r.map(_.toByte).toArray,
+          MultimodalOps.PhashBits))
+        (0 until MultimodalOps.PhashBands).forall { b =>
+          hs.map(h => chunks(h)(b)).distinct.size > 1
+        }
+    }
+
+  /** Stricter still — and the case a uniform `ceil(n/bits)` block width
+    * fails: for lengths 60..90 that width is 2 and only ⌈n/2⌉ ≤ 45 bits
+    * populate, leaving band 3 (bits 45–59) structurally zero. The
+    * proportional grid populates ALL 60 bits for every n ≥ 60, so each
+    * band must distinguish a short-payload-only corpus too.
+    */
+  property("all 60 bits populate for payloads of 60..90 bytes") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(12,
+        Gen.chooseNum(60, 90).flatMap(l => Gen.listOfN(l, Gen.chooseNum(0, 255))))) {
       rows =>
         val hs = rows.map(r => Multimodal.aHashGrid(r.map(_.toByte).toArray,
           MultimodalOps.PhashBits))

@@ -68,7 +68,7 @@ class SketchAccuracySpec extends AnyFunSuite {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)].collect().toMap
     val total = exact.values.sum
-    val k = 1024L
+    val k = TextOps.MgSummarySize.toLong
     // Superset guarantee survives the merge: every >= 0.1%-of-corpus
     // token must be among the merged candidates.
     val cands = got.map(_._1).toSet
