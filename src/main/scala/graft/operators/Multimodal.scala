@@ -57,54 +57,23 @@ object Multimodal {
     }
   }
 
-  /** Average-hash perceptual signature (aHash): one bit per
-    * `block`-byte slice of the payload, set when the slice's mean
-    * exceeds the WHOLE payload's mean — the byte-domain analog of the
-    * classic image aHash (resize → per-cell mean vs global mean). The
-    * compare is cross-multiplied integers (`s·n > total·len`), never a
-    * float division, so the signature is exactly reproducible from the
-    * blob in any engine. Capped at `maxBits` (< 64) blocks so the
-    * signature stays a positive long.
-    */
-  def aHash(payload: Array[Byte], block: Int, maxBits: Int): Long = {
-    require(block > 0, s"block must be positive, got $block")
-    require(maxBits > 0 && maxBits < 64,
-      s"maxBits must be in [1, 63] to keep the signature a positive long, got $maxBits")
-    val n = payload.length
-    if (n == 0) return 0L
-    var total = 0L
-    var i = 0
-    while (i < n) { total += payload(i) & 0xff; i += 1 }
-    val nBlocks = math.min(maxBits, (n + block - 1) / block)
-    var sig = 0L
-    var b = 0
-    while (b < nBlocks) {
-      val off = b * block
-      val end = math.min(off + block, n)
-      var s = 0L
-      var j = off
-      while (j < end) { s += payload(j) & 0xff; j += 1 }
-      if (s * n > total * (end - off)) sig |= 1L << b
-      b += 1
-    }
-    sig
-  }
-
-  /** Length-relative aHash with PROPORTIONAL block boundaries: byte i
-    * belongs to block `⌊i·bits/n⌋`, so the payload is gridded into
-    * exactly `bits` cells like the classic image aHash (resize to a
-    * fixed cell COUNT) — every block is non-empty whenever `n ≥ bits`,
-    * and for shorter payloads the `n` populated bits SPREAD ACROSS the
-    * full bit range instead of packing low. Both alternatives fail:
-    * a fixed block width leaves the high bits structurally zero below
-    * `bits × width` bytes (round-7 verdict — the whole short-doc corpus
-    * collided in the zero bands and banded LSH degenerated to
-    * all-pairs), and a uniform `ceil(n/bits)` width still zeroes the
-    * tail bits for most lengths (`ceil(n/ceil(n/bits)) < bits` for
-    * e.g. n=70 → 35 populated bits), starving the top LSH band of
-    * signal on any short-payload corpus. Bit b compares block b's mean
-    * to the whole payload's by cross-multiplied integers, exactly
-    * reproducible in SQL (`(i * bits) // n` is the block index).
+  /** Average-hash perceptual signature (aHash) with PROPORTIONAL block
+    * boundaries: byte i belongs to block `⌊i·bits/n⌋`, so the payload
+    * is gridded into exactly `bits` cells like the classic image aHash
+    * (resize to a fixed cell COUNT, per-cell mean vs global mean) —
+    * every block is non-empty whenever `n ≥ bits`, and for shorter
+    * payloads the `n` populated bits SPREAD ACROSS the full bit range
+    * instead of packing low. Both alternatives fail: a fixed block
+    * width leaves the high bits structurally zero below `bits × width`
+    * bytes (round-7 verdict — the whole short-doc corpus collided in
+    * the zero bands and banded LSH degenerated to all-pairs), and a
+    * uniform `ceil(n/bits)` width still zeroes the tail bits for most
+    * lengths (`ceil(n/ceil(n/bits)) < bits` for e.g. n=70 → 35
+    * populated bits), starving the top LSH band of signal on any
+    * short-payload corpus. Bit b compares block b's mean to the whole
+    * payload's by cross-multiplied integers (`s·n > total·len`, never
+    * a float division), exactly reproducible in SQL (`(i * bits) // n`
+    * is the block index).
     */
   def aHashGrid(payload: Array[Byte], bits: Int): Long = {
     require(bits > 0 && bits < 64,

@@ -483,18 +483,23 @@ object DedupOps {
       struct(lit(b.toLong).as("band"),
         shiftright(col("simhash"), b * SimhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
-    // Bucket sizes via a window over the SAME (band, chunk) exchange
-    // the self-join below shuffles on — a separate groupBy+join would
-    // re-derive the whole signature subtree (per-token md5) per
-    // reference; exchange reuse makes this ONE signature pass.
-    val members = sig
+    // The signature relation is consumed three times below and column
+    // pruning blocks exchange reuse across the differently-projected
+    // consumers, so without materialization the per-token-md5 simhash
+    // pipeline re-runs per consumer (3×). Persist SIG — two longs per
+    // doc, the smallest relation here (the verifiedPairs two-phase
+    // persist precedent) — so the digest work happens once; banding is
+    // cheap to re-derive. Hot buckets drop streaming through the cap
+    // join (counts partial-aggregate; no window-task buffering).
+    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = cached
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val inBucket = members
-      .withColumn("bcnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+    val okBuckets = members.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .drop("bcnt")
+      .select("band", "chunk")
+    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
     inBucket
       .select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("sa"))
       .join(
@@ -738,7 +743,9 @@ object DedupOps {
     * projections and `element_at(transform(tk, portable64), i)`
     * re-evaluates the whole transform per index, going quadratic.)
     * Chunk identity is the 62-bit double modular fold of the chunk's
-    * token hashes ([[BucketMix]]/[[CdcMix2]] mod P31, combined as
+    * token hashes ([[BucketMix]] mod [[P31]] and [[CdcMix2]] mod the
+    * coprime [[P31B]] — see [[CdcMix2]]'s doc for why one modulus is
+    * not enough — combined as
     * `f1·2³¹ + f2`). Zero shuffles, no explode until the caller needs
     * instance rows. Exposed for the reference-implementation spec.
     */

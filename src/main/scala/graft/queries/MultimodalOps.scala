@@ -91,7 +91,7 @@ object MultimodalOps {
   val PhashBits = 60
 
   /** Media-level near-dup via perceptual hash: every payload collapses
-    * to a 60-bit [[Multimodal.aHash]] signature (per-block mean vs
+    * to a 60-bit [[Multimodal.aHashGrid]] signature (per-block mean vs
     * whole-payload mean, cross-multiplied integer compare), and
     * duplicate GROUPS are signature-equal payloads — the media twin of
     * `dedup_hash_count`, robust to the low-order byte jitter an exact
@@ -171,19 +171,28 @@ object MultimodalOps {
       struct(lit(b.toLong).as("band"),
         shiftright(col("phash"), b * PhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
-    // Bucket sizes via a window over the SAME (band, chunk) exchange
-    // the self-join below shuffles on — a separate groupBy+join would
-    // re-derive the whole signature subtree per reference (3× the scan
-    // and hash work; exchange reuse makes this ONE signature pass).
-    val members = sig
+    // The signature relation is consumed three times below (the
+    // bucket-size count and both self-join sides) and column pruning
+    // gives each consumer a differently-projected subtree, so exchange
+    // reuse cannot make them share — without materialization the
+    // payload-hashing scan re-runs per consumer (3×). Persisting SIG
+    // (two longs per payload — the smallest relation in the query, the
+    // two-phase-pipeline persist precedent of verifiedPairs; a 100 TB
+    // run checkpoints it to storage between phases) computes the hash
+    // once; the banding explode downstream is cheap to re-derive. Hot
+    // buckets are dropped STREAMING through the cap join — counts
+    // partial-aggregate map-side, and an over-cap bucket's members
+    // never buffer on one task the way a window-count would.
+    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = cached
       .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bc"))
       .select(col("media_id"), col("phash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val inBucket = members
-      .withColumn("bcnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+    val okBuckets = members.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .drop("bcnt")
+      .select("band", "chunk")
+    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
     inBucket
       .select(col("band"), col("chunk"), col("media_id").as("a"), col("phash").as("sa"))
       .join(
@@ -200,7 +209,7 @@ object MultimodalOps {
 
   /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
     * for payloads, in ONE Spark DAG: (1) perceptual dedup — every
-    * payload collapses to its [[Multimodal.aHash]] signature and each
+    * payload collapses to its [[Multimodal.aHashGrid]] signature and each
     * signature group elects min(media_id) as its representative (hash
     * group-by + membership join, the `dedup_exact` shape on the
     * perceptual key); (2) frame-sampling arithmetic over the survivors

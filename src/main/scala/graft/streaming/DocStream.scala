@@ -43,6 +43,16 @@ object DocStream {
     */
   val SeedBatchId = -1L
 
+  /** Chunk-index format version, stamped on every persisted row and
+    * asserted at probe time: the chunk-hash definition is a CONSTANT
+    * CONTRACT between writer and reader (changing the fold moduli
+    * changes every hash), and without the stamp an index written under
+    * old constants would silently match nothing — every passage
+    * reported fresh — instead of failing loudly. Bump when the chunk
+    * hash definition changes (2 = coprime-moduli fold pair).
+    */
+  val ChunkIndexFormat = 2L
+
   /** Write a historical corpus's band buckets as the index seed —
     * the one-off backfill a deployment runs before switching the
     * stream on. Deliberately a PLAIN overwrite (no dynamic partition
@@ -57,6 +67,9 @@ object DocStream {
     DedupOps.minhashBands(docs, NBands, RowsPerBand)
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")
+      // Explicitly static: a session-wide dynamic default would quietly
+      // turn the full reset back into a partial one.
+      .option("partitionOverwriteMode", "static")
       .partitionBy("batch_id")
       .parquet(indexDir)
 
@@ -122,8 +135,10 @@ object DocStream {
   def seedChunkIndex(docs: DataFrame, indexDir: String): Unit =
     DedupOps.cdcChunkHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("fmt", lit(ChunkIndexFormat))
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
       .partitionBy("batch_id")
       .parquet(indexDir)
 
@@ -142,7 +157,16 @@ object DocStream {
     val inst = DedupOps.cdcChunkHashes(batch)
       .select(col("doc_id"), explode(col("hs")).as("h")).persist()
     try {
-      val history = spark.read.parquet(indexDir)
+      val idx = spark.read.parquet(indexDir)
+      // Writer/reader contract check (constant-size driver probe, like
+      // the CC convergence scalar): an index written under a different
+      // chunk-hash definition would silently match nothing — fail
+      // loudly and demand a re-seed instead.
+      val fmts = idx.select("fmt").distinct().collect().map(_.getLong(0)).toSet
+      require(fmts.subsetOf(Set(ChunkIndexFormat)),
+        s"chunk index at $indexDir written under format(s) $fmts, " +
+          s"expected $ChunkIndexFormat — re-seed the index")
+      val history = idx
         .filter(col("batch_id") < batchId)
         .select("h").distinct()
       inst.join(history.withColumn("seen", lit(1)), Seq("h"), "left")
@@ -156,7 +180,8 @@ object DocStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(reportDir)
-      inst.withColumn("batch_id", lit(batchId))
+      inst.withColumn("fmt", lit(ChunkIndexFormat))
+        .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")

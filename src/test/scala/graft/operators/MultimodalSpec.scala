@@ -23,35 +23,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(2L).map(_.frame_idx).toSeq === Seq(0))
   }
 
-  test("aHash: bit set iff block mean beats payload mean; dup payloads collide") {
-    // Blocks of 16: first block all-high (bit 0 set), second all-low
-    // (bit 1 clear), third mixed at exactly the mean (strict >, clear).
-    val p = Array.fill[Byte](16)(100) ++ Array.fill[Byte](16)(0) ++
-      Array.fill[Byte](16)(50)
-    val sig = Multimodal.aHash(p, 16, 60)
-    assert((sig & 1L) === 1L, "high block above mean")
-    assert((sig >> 1 & 1L) === 0L, "low block below mean")
-    assert((sig >> 2 & 1L) === 0L, "at-mean block is strict-compare clear")
+  test("aHashGrid: bit set iff block mean beats payload mean; dup payloads collide") {
+    // 120 bytes over 60 proportional blocks (2 bytes each): the low
+    // half's blocks sit below the mean (bits 0..29 clear), the high
+    // half's above (bits 30..59 set) — including bit 59, pinning that
+    // the TOP block populates and can set.
+    val p = Array.fill[Byte](60)(0) ++ Array.fill[Byte](60)(100)
+    val sig = Multimodal.aHashGrid(p, 60)
+    (0 until 30).foreach(b => assert((sig >> b & 1L) === 0L, s"low block $b clear"))
+    (30 until 60).foreach(b => assert((sig >> b & 1L) === 1L, s"high block $b set"))
     // Identical payloads collide; one-byte jitter leaves blocks that
-    // sit decisively above/below the mean unmoved (the borderline
-    // at-mean block MAY flip — the global mean shifted — which is why
-    // near-equality composes via Hamming bands, not exact equality).
-    assert(Multimodal.aHash(p.clone(), 16, 60) === sig)
-    val jitter = p.clone(); jitter(3) = 99
-    val jSig = Multimodal.aHash(jitter, 16, 60)
-    assert((jSig & 1L) === 1L && (jSig >> 1 & 1L) === 0L,
+    // sit decisively above/below the mean unmoved (borderline blocks
+    // MAY flip — the global mean shifted — which is why near-equality
+    // composes via Hamming bands, not exact equality).
+    assert(Multimodal.aHashGrid(p.clone(), 60) === sig)
+    val jitter = p.clone(); jitter(3) = 1
+    val jSig = Multimodal.aHashGrid(jitter, 60)
+    assert((jSig >> 59 & 1L) === 1L && (jSig & 1L) === 0L,
       "decisive blocks must survive one-byte jitter")
-    // Empty payload hashes to 0; maxBits caps the signature width. The
-    // ramp puts the HIGH blocks above the mean, so without the cap the
-    // 80-block payload would set bits ≥ 60 (incl. the sign bit at 63)
-    // — the cap must leave exactly the sub-60 high blocks set.
-    assert(Multimodal.aHash(Array.empty[Byte], 16, 60) === 0L)
-    val ramp = (0 until 16 * 80).map(i => (i / 16).toByte).toArray
-    val capped = Multimodal.aHash(ramp, 16, 60)
-    assert(capped > 0L, "ramp must set some bits below the cap")
-    assert((capped >>> 60) === 0L, "no bit at or above maxBits may be set")
-    assert((capped >> 59 & 1L) === 1L,
-      "block 59 (ramp value 59, above the 0..79 mean) must be set")
+    // Empty payload hashes to 0; nothing at or above bit 60 ever sets.
+    assert(Multimodal.aHashGrid(Array.empty[Byte], 60) === 0L)
+    assert((sig >>> 60) === 0L)
+    // Sub-60-byte payloads spread their populated bits across the full
+    // range rather than packing low: a 10-byte payload's last byte
+    // lands in block ⌊9·60/10⌋ = 54 — deep inside the top LSH band
+    // (bits 45-59), where the old fixed-width scheme left nothing.
+    val tiny = Array.fill[Byte](9)(0) :+ 100.toByte
+    assert((Multimodal.aHashGrid(tiny, 60) >> 54 & 1L) === 1L,
+      "final byte of a 10-byte payload must land in block 54 and set it")
   }
 
   test("phash groups surface planted duplicate payloads, nothing else") {
