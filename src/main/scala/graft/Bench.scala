@@ -130,7 +130,15 @@ object Bench {
       try {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(path, full.getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
+      } catch {
+        // Never fail the bench over the artifact, but never be silent
+        // either: a cwd-relative write from the wrong directory would
+        // otherwise leave a STALE committed artifact masquerading as
+        // this run's audit trail.
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] WARNING: could not write $path (cwd=${System.getProperty("user.dir")}): $e")
+      }
     }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The capped band→bucket→pair plan shared by the SimHash
+  * (`neardup_simhash_pairs`) and pHash (`multimodal_phash_near`)
+  * near-dup queries — ONE implementation so the cap semantics, the
+  * streaming bucket drop, and the materialization decision cannot
+  * drift between the text and media families (each family's DuckDB
+  * twin is still generated from its own constants, which this helper
+  * takes as parameters).
+  *
+  * Shape: explode each signature row to its (band, chunk) keys, keep
+  * buckets with 2..`maxBucket` members, self-join members on the
+  * bucket key (`a < b`) so candidate pairs distribute across tasks —
+  * no per-bucket array is ever materialized — then one codegen'd
+  * `bit_count(xor)` per candidate and the exact Hamming cut. Bucket
+  * counts partial-aggregate map-side and an over-cap bucket's members
+  * are dropped STREAMING through the sort-merge cap join (a
+  * window-count formulation would buffer the whole hot bucket on one
+  * task before filtering it). Pair volume is bounded by
+  * buckets × cap²/2 at any corpus size.
+  *
+  * The signature relation (two longs per row — the smallest relation
+  * in the query) is persisted MEMORY_AND_DISK: column pruning blocks
+  * exchange reuse across the differently-projected count and
+  * self-join consumers, so without materialization the expensive
+  * signature derivation (per-token md5 for SimHash) re-runs per
+  * consumer. Blocks are LRU-evictable; the bench/verify harness
+  * clearCache()s between runs, and a long-lived session embedding
+  * this call should do the same when done — the result is lazy, so
+  * the helper cannot unpersist on the caller's behalf (a 100 TB run
+  * checkpoints the signature relation to storage between phases
+  * instead).
+  */
+object BandedPairs {
+
+  /** Hamming-verified candidate pairs `(a, b, hamming)` from banded
+    * signatures in `sig(idCol, sigCol)`, capped per bucket.
+    */
+  def pairs(sig: DataFrame, idCol: String, sigCol: String, nBands: Int,
+      chunkBits: Int, maxBucket: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col(sigCol), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = cached
+      .select(col(idCol), col(sigCol), explode(array(bands: _*)).as("bc"))
+      .select(col(idCol), col(sigCol),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val okBuckets = members.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
+      .select("band", "chunk")
+    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
+    inBucket
+      .select(col("band"), col("chunk"), col(idCol).as("a"), col(sigCol).as("sa"))
+      .join(
+        inBucket.select(col("band"), col("chunk"),
+          col(idCol).as("b"), col(sigCol).as("sb")),
+        Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(asc("hamming"), asc("a"), asc("b"))
+  }
+}

@@ -80,6 +80,13 @@ object Multimodal {
       s"bits must be in [1, 63] to keep the signature a positive long, got $bits")
     val n = payload.length
     if (n == 0) return 0L
+    // Proportional blocks make s ~ 255·n/bits, so the cross-multiplied
+    // compare s·n is ~ 4n² and silently wraps Long for payloads past
+    // ~1.4 GB (inside JVM array limits — plausible for real media
+    // blobs, where the fixed-width version's s ≤ 255·width could never
+    // overflow). Branch those to an exact 128-bit compare; the DuckDB
+    // twin errors loudly on BIGINT overflow rather than diverging.
+    val huge = n > (1 << 30)
     var total = 0L
     var i = 0
     while (i < n) { total += payload(i) & 0xff; i += 1 }
@@ -92,7 +99,10 @@ object Multimodal {
       while (end < n && (end.toLong * bits / n).toInt == b) {
         s += payload(end) & 0xff; end += 1
       }
-      if (s * n > total * (end - start)) sig |= 1L << b
+      val above =
+        if (huge) BigInt(s) * n > BigInt(total) * (end - start)
+        else s * n > total * (end - start)
+      if (above) sig |= 1L << b
       start = end
     }
     sig

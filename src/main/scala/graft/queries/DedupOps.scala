@@ -476,43 +476,9 @@ object DedupOps {
     * `maxBucket` is overridable only so tests can exercise the cap
     * with small planted corpora).
     */
-  def simhashPairsOf(docs: DataFrame, maxBucket: Int = SimhashMaxBucket): DataFrame = {
-    val sig = simhash(docs)
-    val mask = (1L << SimhashChunkBits) - 1
-    val bands = (0 until SimhashBands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        shiftright(col("simhash"), b * SimhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
-    }
-    // The signature relation is consumed three times below and column
-    // pruning blocks exchange reuse across the differently-projected
-    // consumers, so without materialization the per-token-md5 simhash
-    // pipeline re-runs per consumer (3×). Persist SIG — two longs per
-    // doc, the smallest relation here (the verifiedPairs two-phase
-    // persist precedent) — so the digest work happens once; banding is
-    // cheap to re-derive. Hot buckets drop streaming through the cap
-    // join (counts partial-aggregate; no window-task buffering).
-    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = cached
-      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bc"))
-      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val okBuckets = members.groupBy("band", "chunk")
-      .agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .select("band", "chunk")
-    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
-    inBucket
-      .select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("sa"))
-      .join(
-        inBucket.select(col("band"), col("chunk"),
-          col("doc_id").as("b"), col("simhash").as("sb")),
-        Seq("band", "chunk"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= SimhashMaxHamming)
-      .orderBy(asc("hamming"), asc("a"), asc("b"))
-  }
+  def simhashPairsOf(docs: DataFrame, maxBucket: Int = SimhashMaxBucket): DataFrame =
+    graft.operators.BandedPairs.pairs(simhash(docs), "doc_id", "simhash",
+      SimhashBands, SimhashChunkBits, maxBucket, SimhashMaxHamming)
 
   /** The production two-phase near-dup pipeline composed end-to-end:
     * (1) LSH banding proposes candidate pairs (constant-size signatures,

@@ -165,47 +165,9 @@ object MultimodalOps {
     * defaults to the production cap and is overridable only so tests
     * can exercise the cap with small planted corpora).
     */
-  def phashNearPairsOf(sig: DataFrame, maxBucket: Int = PhashMaxBucket): DataFrame = {
-    val mask = (1L << PhashChunkBits) - 1
-    val bands = (0 until PhashBands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        shiftright(col("phash"), b * PhashChunkBits).bitwiseAND(lit(mask)).as("chunk"))
-    }
-    // The signature relation is consumed three times below (the
-    // bucket-size count and both self-join sides) and column pruning
-    // gives each consumer a differently-projected subtree, so exchange
-    // reuse cannot make them share — without materialization the
-    // payload-hashing scan re-runs per consumer (3×). Persisting SIG
-    // (two longs per payload — the smallest relation in the query, the
-    // two-phase-pipeline persist precedent of verifiedPairs; a 100 TB
-    // run checkpoints it to storage between phases) computes the hash
-    // once; the banding explode downstream is cheap to re-derive. Hot
-    // buckets are dropped STREAMING through the cap join — counts
-    // partial-aggregate map-side, and an over-cap bucket's members
-    // never buffer on one task the way a window-count would.
-    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = cached
-      .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bc"))
-      .select(col("media_id"), col("phash"),
-        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val okBuckets = members.groupBy("band", "chunk")
-      .agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)
-      .select("band", "chunk")
-    val inBucket = members.join(okBuckets, Seq("band", "chunk"))
-    inBucket
-      .select(col("band"), col("chunk"), col("media_id").as("a"), col("phash").as("sa"))
-      .join(
-        inBucket.select(col("band"), col("chunk"),
-          col("media_id").as("b"), col("phash").as("sb")),
-        Seq("band", "chunk"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= PhashMaxHamming)
-      .orderBy(asc("hamming"), asc("a"), asc("b"))
-  }
+  def phashNearPairsOf(sig: DataFrame, maxBucket: Int = PhashMaxBucket): DataFrame =
+    graft.operators.BandedPairs.pairs(sig, "media_id", "phash",
+      PhashBands, PhashChunkBits, maxBucket, PhashMaxHamming)
 
   /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
     * for payloads, in ONE Spark DAG: (1) perceptual dedup — every

@@ -158,14 +158,21 @@ object DocStream {
       .select(col("doc_id"), explode(col("hs")).as("h")).persist()
     try {
       val idx = spark.read.parquet(indexDir)
-      // Writer/reader contract check (constant-size driver probe, like
-      // the CC convergence scalar): an index written under a different
-      // chunk-hash definition would silently match nothing — fail
-      // loudly and demand a re-seed instead.
-      val fmts = idx.select("fmt").distinct().collect().map(_.getLong(0)).toSet
-      require(fmts.subsetOf(Set(ChunkIndexFormat)),
-        s"chunk index at $indexDir written under format(s) $fmts, " +
-          s"expected $ChunkIndexFormat — re-seed the index")
+      // Writer/reader contract check: an index written under a
+      // different chunk-hash definition would silently match nothing —
+      // fail loudly and demand a re-seed instead. Schema presence is
+      // free; the value spot-check reads ONE row (one file footer +
+      // first page), not the index — all partitions are stamped by the
+      // same writer version and the seed fully resets the directory,
+      // so a single row represents the artifact.
+      require(idx.columns.contains("fmt"),
+        s"chunk index at $indexDir predates format stamping — re-seed the index")
+      val fmtSample = idx.select("fmt").head(1)
+      require(fmtSample.isEmpty ||
+          (!fmtSample.head.isNullAt(0) && fmtSample.head.getLong(0) == ChunkIndexFormat),
+        s"chunk index at $indexDir written under format " +
+          s"${fmtSample.headOption.map(_.get(0))}, expected $ChunkIndexFormat — " +
+          "re-seed the index")
       val history = idx
         .filter(col("batch_id") < batchId)
         .select("h").distinct()
