@@ -36,21 +36,61 @@ import org.apache.spark.sql.functions._
   */
 object BandedPairs {
 
-  /** Hamming-verified candidate pairs `(a, b, hamming)` from banded
-    * signatures in `sig(idCol, sigCol)`, capped per bucket.
+  /** Bands a `(idCol, sigCol)` relation into one row per (band, chunk)
+    * membership.
     */
-  def pairs(sig: DataFrame, idCol: String, sigCol: String, nBands: Int,
-      chunkBits: Int, maxBucket: Int, maxHamming: Int): DataFrame = {
+  private def bandedMembers(sig: DataFrame, idCol: String, sigCol: String,
+      nBands: Int, chunkBits: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val bands = (0 until nBands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col(sigCol), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = cached
+    sig
       .select(col(idCol), col(sigCol), explode(array(bands: _*)).as("bc"))
       .select(col(idCol), col(sigCol),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** Two-sided probe — the incremental-maintenance step: a batch's
+    * signatures probe a PERSISTED history signature relation (the
+    * index ships (id, signature) rows only — 16 bytes per doc, never
+    * text). Buckets are capped on the HISTORY side (a hot history
+    * bucket is the index owner's pathology; the cap bounds every probe
+    * row's fan-out at `maxBucket` matches), then one `bit_count(xor)`
+    * per candidate and the exact Hamming cut. Per-batch cost tracks
+    * the batch size plus a bucket-keyed join against the index —
+    * never corpus history. Returns `(a, b, hamming)` with `a` the
+    * batch id and `b` the history id.
+    */
+  def probe(history: DataFrame, batch: DataFrame, idCol: String,
+      sigCol: String, nBands: Int, chunkBits: Int, maxBucket: Int,
+      maxHamming: Int): DataFrame = {
+    val hb = bandedMembers(history, idCol, sigCol, nBands, chunkBits)
+    val bb = bandedMembers(batch, idCol, sigCol, nBands, chunkBits)
+    val okBuckets = hb.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") <= maxBucket)
+      .select("band", "chunk")
+    bb.select(col("band"), col("chunk"), col(idCol).as("a"), col(sigCol).as("sa"))
+      .join(okBuckets, Seq("band", "chunk"))
+      .join(
+        hb.select(col("band"), col("chunk"), col(idCol).as("b"), col(sigCol).as("sb")),
+        Seq("band", "chunk"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(asc("hamming"), asc("a"), asc("b"))
+  }
+
+  /** Hamming-verified candidate pairs `(a, b, hamming)` from banded
+    * signatures in `sig(idCol, sigCol)`, capped per bucket.
+    */
+  def pairs(sig: DataFrame, idCol: String, sigCol: String, nBands: Int,
+      chunkBits: Int, maxBucket: Int, maxHamming: Int): DataFrame = {
+    val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = bandedMembers(cached, idCol, sigCol, nBands, chunkBits)
     val okBuckets = members.groupBy("band", "chunk")
       .agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") > 1 && col("bcnt") <= maxBucket)

@@ -480,6 +480,36 @@ object DedupOps {
     graft.operators.BandedPairs.pairs(simhash(docs), "doc_id", "simhash",
       SimhashBands, SimhashChunkBits, maxBucket, SimhashMaxHamming)
 
+  /** Incremental SimHash near-dup maintenance — [[minhashIncremental]]'s
+    * contract for the Hamming-signature family, completing the
+    * incremental matrix (MinHash band buckets, CDC chunks, and now
+    * SimHash signatures all probe persisted history): the train split's
+    * signatures persist as the index artifact — (doc_id, simhash) rows,
+    * 16 bytes per historical doc, never text — and the incoming batch
+    * band-hashes only itself, probes the index through the shared
+    * [[graft.operators.BandedPairs.probe]] (history-side bucket cap,
+    * exact Hamming verify), and would append its own signatures for the
+    * next batch exactly as [[graft.streaming.DocStream]] does at the
+    * band-bucket and chunk levels. Exact value oracle: the portable
+    * hash family reproduces signatures, banding, cap, and cut in SQL.
+    */
+  def simhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    val out = graft.Scratch.dir("simhashindex")
+    simhash(d.filter(col("split") === "train"))
+      .write.mode("overwrite").parquet(out)
+    simhashProbe(spark.read.parquet(out), simhash(d.filter(col("split") =!= "train")))
+  }
+
+  /** [[simhashIncremental]]'s probe step over arbitrary history/batch
+    * signature frames (exposed for tests, which plant a near-dup of an
+    * indexed doc).
+    */
+  def simhashProbe(history: DataFrame, batch: DataFrame): DataFrame =
+    graft.operators.BandedPairs.probe(history, batch, "doc_id", "simhash",
+      SimhashBands, SimhashChunkBits, SimhashMaxBucket, SimhashMaxHamming)
+      .select(col("a").as("new_doc"), col("b").as("old_doc"), col("hamming"))
+
   /** The production two-phase near-dup pipeline composed end-to-end:
     * (1) LSH banding proposes candidate pairs (constant-size signatures,
     * hash-bucket join — the only phase that touches the whole corpus);
@@ -812,6 +842,7 @@ object DedupOps {
     "neardup_minhash_est" -> (minhashEstimate _),
     "neardup_simhash" -> (simhashQuery _),
     "neardup_simhash_pairs" -> (simhashPairs _),
+    "neardup_simhash_incr" -> (simhashIncremental _),
   )
 
   // ---- DuckDB twins of the portable hash family ------------------------
@@ -947,6 +978,41 @@ object DedupOps {
        |ORDER BY hamming, a, b""".stripMargin
   }
 
+  /** DuckDB twin of [[simhashIncremental]]: same signature CTEs, the
+    * sampling family's split CASE, bands generated per side from the
+    * shared constants, history-side bucket cap, exact Hamming cut.
+    */
+  private val duckSimhashIncrSql: String = {
+    val mask = (1L << SimhashChunkBits) - 1
+    def bandSelects(from: String): String = (0 until SimhashBands).map { b =>
+      s"  SELECT doc_id, simhash, CAST($b AS BIGINT) AS band, " +
+        s"(simhash >> ${b * SimhashChunkBits}) & $mask AS chunk FROM $from"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $duckSimhashCtes,
+       |sp AS (
+       |  SELECT doc_id,
+       |    ${SampleOps.duckSplitCase(SampleOps.duckBucket("doc_id"))} AS split
+       |  FROM documents),
+       |hist AS (SELECT sig.doc_id, simhash FROM sig JOIN sp USING (doc_id)
+       |         WHERE split = 'train'),
+       |bat AS (SELECT sig.doc_id, simhash FROM sig JOIN sp USING (doc_id)
+       |        WHERE split <> 'train'),
+       |hb AS (
+       |${bandSelects("hist")}),
+       |bb AS (
+       |${bandSelects("bat")}),
+       |okb AS (
+       |  SELECT band, chunk FROM hb GROUP BY band, chunk
+       |  HAVING count(*) <= $SimhashMaxBucket)
+       |SELECT DISTINCT b.doc_id AS new_doc, h.doc_id AS old_doc,
+       |  CAST(bit_count(xor(b.simhash, h.simhash)) AS BIGINT) AS hamming
+       |FROM bb b
+       |JOIN okb ON b.band = okb.band AND b.chunk = okb.chunk
+       |JOIN hb h ON b.band = h.band AND b.chunk = h.chunk
+       |WHERE bit_count(xor(b.simhash, h.simhash)) <= $SimhashMaxHamming
+       |ORDER BY hamming, new_doc, old_doc""".stripMargin
+  }
+
   /** CTE chain ending in `ver` = the verified near-dup pairs, exactly
     * mirroring [[verifiedPairs]].
     */
@@ -1036,6 +1102,7 @@ object DedupOps {
          |ORDER BY new_doc, old_doc""".stripMargin,
     "neardup_simhash" -> duckSimhashSql,
     "neardup_simhash_pairs" -> duckSimhashPairsSql,
+    "neardup_simhash_incr" -> duckSimhashIncrSql,
     "neardup_pipeline" ->
       s"""WITH $duckVerifiedCtes
          |SELECT b AS doc_id, min(a) AS keep_as

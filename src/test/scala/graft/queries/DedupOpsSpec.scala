@@ -103,6 +103,19 @@ class DedupOpsSpec extends AnyFunSuite {
       "unrelated doc must not survive the hamming cut")
   }
 
+  test("simhash probe finds a near-dup of an indexed doc, skips unrelated") {
+    val hist = DedupOps.simhash(docs((1L, base), (3L, unrelated)))
+    val batch = DedupOps.simhash(docs((10L, nearDup), (11L, base)))
+    val got = DedupOps.simhashProbe(hist, batch)
+      .as[(Long, Long, Long)].collect()
+    assert(got.exists(r => r._1 == 10L && r._2 == 1L),
+      s"near-dup of indexed doc 1 must surface: ${got.toSeq}")
+    assert(got.exists(r => r._1 == 11L && r._2 == 1L && r._3 == 0L),
+      "exact dup of indexed doc must surface at hamming 0")
+    assert(!got.exists(_._2 == 3L), "unrelated indexed doc never matches")
+    assert(got.forall(_._3 <= DedupOps.SimhashMaxHamming))
+  }
+
   test("simhash banding bucket cap drops oversized buckets, mirrored semantics") {
     // Five identical docs share every (band, chunk) bucket. With the
     // cap shrunk below the bucket size, NO pair may surface (the
