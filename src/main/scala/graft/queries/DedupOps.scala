@@ -31,6 +31,11 @@ object DedupOps {
     * interpreted, measured 9s vs 0.5s at sf0.1 for the same 5k docs.
     * `greatest(n-2, 0)` makes the slices empty below 3 tokens, so no
     * separate guard is needed.
+    *
+    * This STRING form defines what a shingle is (and the spec pins it);
+    * every production query keys on the fold-derived trigram identity
+    * instead ([[trigramHashesOf]] over [[hashedTokens]] — one digest
+    * per token, integer arithmetic per trigram, 8-byte shuffle keys).
     */
   def shinglesOfTokens(toks: Column): Column = {
     val n = greatest(size(toks) - 2, lit(0))
@@ -41,7 +46,7 @@ object DedupOps {
 
   /** Spread CPU-bound per-row work across the cluster: parquet split
     * counts track BYTES, so a small-but-text-heavy table can arrive in
-    * one split and serialize the (md5-per-shingle) hash work on one
+    * one split and serialize the (md5-per-token) hash work on one
     * core. Repartitions only when the scan has fewer partitions than
     * the cluster's parallelism — at production scale the scan already
     * has thousands of splits and this is a no-op with no shuffle.
@@ -114,26 +119,30 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Distinct (doc_id, shingle) rows, each carrying the doc's set size.
-    * The array is projected ONCE and consumed twice (`size` + `explode`)
-    * in the same stage — shingling is the expensive part of every
-    * near-dup query, so it must run exactly one time per document.
-    * Carrying `n_sh` through the shuffle costs 8 bytes/row and removes
-    * both the second corpus scan and the two size joins the previous
-    * shape needed.
+  /** Distinct (doc_id, shingle-identity) rows, each carrying the doc's
+    * set size. Shingle identity is the 62-bit fold of per-token hashes
+    * ([[trigramHashesOf]] over the [[hashedTokens]] binding — one md5
+    * per token, integer arithmetic per trigram), so the downstream
+    * group-by shuffles fixed 8-byte keys instead of variable-length
+    * trigram strings. The set array is projected ONCE and consumed
+    * twice (`size` + `explode`) in the same stage — shingle hashing is
+    * the expensive part of every near-dup query, so it must run
+    * exactly one time per document. Carrying `n_sh` through the
+    * shuffle costs 8 bytes/row and removes both the second corpus scan
+    * and the two size joins the previous shape needed.
     *
     * `explode_outer` + a post-Generate `isNotNull`, NOT plain `explode`:
     * `InferFiltersFromGenerate` only fires on non-outer generates, and
     * on the plain form its inferred `size(shset) > 0` filter gets pushed
     * through the binding projection to the scan, re-inlining (and
-    * re-evaluating) the whole tokenize+shingle tree over raw `text` — a
-    * measured ~2× on the shingle stage. The outer form emits one null
+    * re-evaluating) the whole tokenize+hash+fold tree over raw `text` —
+    * a measured ~2× on the shingle stage. The outer form emits one null
     * `sh` per shingle-less doc, which the attribute-level filter drops
     * for the identical relation at O(1) cost.
     */
   private def shingleSetWithSize(docs: DataFrame): DataFrame =
-    tokenized(docs)
-      .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
+    hashedTokens(docs)
+      .select(col("doc_id"), array_distinct(trigramHashesOf(col("th"))).as("shset"))
       .select(col("doc_id"), size(col("shset")).cast("long").as("n_sh"),
         explode_outer(col("shset")).as("sh"))
       .filter(col("sh").isNotNull)
@@ -232,13 +241,35 @@ object DedupOps {
     */
   def portable64(c: Column): Column = graft.functions.DigestPrefix64(c)
 
-  /** A seeded min-hash family: `base` collapses a shingle string to a
-    * fixed-width base value, `member(j, base)` derives the j-th family
-    * member from it (Broder-style derived permutations — re-hashing the
-    * short base is much cheaper than re-hashing the shingle per member),
-    * and `bucket` hashes one band's signature slice to its LSH bucket.
+  /** Per-token portable hashes bound to an attribute: (doc_id, th) with
+    * `th[i] = portable64(tk[i])`. Every near-dup query derives shingle
+    * identity from THIS array — each token is md5-hashed exactly once
+    * per document, and every trigram identity is then pure integer
+    * arithmetic over three neighboring entries ([[trigramHashesOf]]).
+    * The previous shape digested each JOINED trigram string instead:
+    * ~3× the md5 calls (each token appears in 3 trigrams) over ~3× the
+    * bytes per call, plus a `concat_ws` allocation per trigram — it was
+    * the dominant cost of the four slowest near-dup queries. The `th`
+    * binding projection survives CollapseProject because the array is
+    * consumed by three slice references (non-cheap, multi-referenced),
+    * the same mechanism that keeps `toks` bound in [[tokenized]].
+    */
+  private def hashedTokens(docs: DataFrame): DataFrame =
+    tokenized(docs).select(col("doc_id"),
+      transform(col("toks"), t => portable64(t)).as("th"))
+
+  /** A seeded min-hash family: `tokenHash` hashes one raw token,
+    * `shingleHashes` derives the trigram-identity array from the bound
+    * token-hash array, `base` collapses a trigram identity to the
+    * member base value, `member(j, base)` derives the j-th family
+    * member from it (Broder-style derived permutations — deriving from
+    * the short base is much cheaper than re-hashing the shingle per
+    * member), and `bucket` hashes one band's signature slice to its
+    * LSH bucket.
     */
   final case class HashFamily(
+      tokenHash: Column => Column,
+      shingleHashes: Column => Column,
       base: Column => Column,
       member: (Int, Column) => Column,
       bucket: Seq[Column] => Column)
@@ -254,25 +285,64 @@ object DedupOps {
   private[queries] def memberB(j: Int): Long = (j * 40503L * 65537L) % P31
   private val BucketMix = 1000003L
 
+  /** 62-bit trigram identities from a bound token-hash array: for each
+    * window of three consecutive token hashes, the SAME coprime double
+    * modular fold [[cdcChunkHashes]] uses for chunk identity
+    * ([[BucketMix]] mod [[P31]] and [[CdcMix2]] mod [[P31B]], combined
+    * as `f1·2³¹ + f2` — see [[CdcMix2]]'s doc for why one modulus is
+    * not enough). Exactly reproducible in DuckDB integer arithmetic
+    * ([[duckTrigram]] is generated from the same constants), so every
+    * query keyed on these identities keeps an exact value oracle.
+    *
+    * Shape: two `zip_with` passes over slices of the bound array — the
+    * pairwise partial folds (each < 2³¹) pack into one long as
+    * `p1·2³¹ + p2`, so the 3-way zip needs no struct. Each zip_with
+    * child array is evaluated once per row and streamed (the
+    * [[shinglesOfTokens]] perf contract), and all intermediates stay
+    * under 2⁶³: partial ≤ 2³¹·2²⁰ + 2⁶⁰ < 2⁶¹, packed < 2⁶², final
+    * `f1·2³¹ + f2 < 2⁶² + 2³¹`.
+    */
+  def trigramHashesOf(th: Column): Column = {
+    val n = greatest(size(th) - 2, lit(0))
+    val partial = zip_with(slice(th, lit(1), n), slice(th, lit(2), n), (h1, h2) =>
+      ((h1 % P31) * BucketMix + h2) % P31 * lit(1L << 31) +
+        ((h1 % P31B) * CdcMix2 + h2) % P31B)
+    zip_with(partial, slice(th, lit(3), n), (p, h3) =>
+      (shiftright(p, 31) * BucketMix + h3) % P31 * lit(1L << 31) +
+        (p.bitwiseAND(lit((1L << 31) - 1)) * CdcMix2 + h3) % P31B)
+  }
+
   /** Portable family — bit-reproducible in DuckDB SQL, so the
     * registered sketch queries carry exact value oracles. One md5 per
-    * shingle collapses it to a base value in [0, 2^31); the seeded
-    * members are then pure integer arithmetic (`(a_j*x + b_j) mod p`,
-    * the textbook universal family), NOT one md5 per member — 17x
-    * fewer digest calls and a far smaller generated stage.
+    * TOKEN ([[portable64]]) feeds the fold-derived trigram identities
+    * ([[trigramHashesOf]]); the seeded members are then pure integer
+    * arithmetic (`(a_j*x + b_j) mod p`, the textbook universal
+    * family), NOT one md5 per member — so a document's whole signature
+    * costs one digest per token, full stop.
     */
   val PortableFamily: HashFamily = HashFamily(
-    base = c => portable64(c) % lit(P31),
+    tokenHash = portable64,
+    shingleHashes = trigramHashesOf,
+    base = c => c % lit(P31),
     member = (j, b) => (b * lit(memberA(j)) + lit(memberB(j))) % lit(P31),
     bucket = cols => cols.reduce((acc, c) => (acc * lit(BucketMix) + c) % lit(P31)))
 
   /** xxhash64-derived family — the production scale path (~an order of
     * magnitude cheaper per byte than md5, same plan shape, no DuckDB
-    * twin). Swapping families is this one argument; LSH recall of both
-    * is pinned by DedupOpsSpec.
+    * twin). Trigram identity is the pairwise xxhash64 chain over the
+    * three token hashes (well-mixed 64-bit at every step, no modulus
+    * needed since nothing downstream assumes non-negative). Swapping
+    * families is this one argument; LSH recall of both is pinned by
+    * DedupOpsSpec.
     */
   val FastFamily: HashFamily = HashFamily(
-    base = xxhash64(_),
+    tokenHash = xxhash64(_),
+    shingleHashes = th => {
+      val n = greatest(size(th) - 2, lit(0))
+      zip_with(zip_with(slice(th, lit(1), n), slice(th, lit(2), n), (a, b) => xxhash64(a, b)),
+        slice(th, lit(3), n), (p, c) => xxhash64(p, c))
+    },
+    base = identity,
     member = (j, b) => xxhash64(lit(j), b),
     bucket = cols => xxhash64(cols: _*))
 
@@ -282,11 +352,19 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, nHashes: Int,
       fam: HashFamily = PortableFamily): DataFrame = {
     // No distinct: min() is idempotent over duplicate shingles, so the
-    // dedup shuffle would only add a stage. Tokens are bound to an
-    // attribute first (shinglesOfTokens perf contract).
+    // dedup shuffle would only add a stage. Token hashes are bound to
+    // an attribute first (hashedTokens contract). explode_OUTER + an
+    // attribute-level null filter, not plain explode: the generator
+    // child now contains the per-token digest transform, and
+    // InferFiltersFromGenerate (non-outer generates only) would push
+    // its inferred size() filter below the binding projection and
+    // re-evaluate the whole digest tree per row (see
+    // shingleSetWithSize's doc for the measured cost of that trap).
     val sh = tokenized(docs)
-      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("sh"))
-      .select(col("doc_id"), fam.base(col("sh")).as("h0"))
+      .select(col("doc_id"), transform(col("toks"), fam.tokenHash).as("th"))
+      .select(col("doc_id"), explode_outer(fam.shingleHashes(col("th"))).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), fam.base(col("t")).as("h0"))
     val mins = (0 until nHashes).map(j => min(fam.member(j, col("h0"))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -643,12 +721,14 @@ object DedupOps {
     labels.toDF("doc_id", "rep").orderBy("doc_id")
   }
 
-  /** (doc_id, shset) for the verify phase — only joined against the
-    * (small) candidate set, never self-joined.
+  /** (doc_id, shset) for the verify phase — distinct 62-bit trigram
+    * identities (the [[trigramHashesOf]] fold, so `array_intersect`
+    * compares longs, not strings), only joined against the (small)
+    * candidate set, never self-joined.
     */
   private def docShingleSetsFor(docs: DataFrame): DataFrame =
-    tokenized(docs)
-      .select(col("doc_id"), shingleSetOfTokens(col("toks")).as("shset"))
+    hashedTokens(docs)
+      .select(col("doc_id"), array_distinct(trigramHashesOf(col("th"))).as("shset"))
 
   /** Prefix length compared by [[editDistance]]. */
   val EditPrefixLen = 80
@@ -853,11 +933,52 @@ object DedupOps {
   // The SQL below is GENERATED from the same Scala constants the Spark
   // expressions use, so the two sides cannot drift.
 
-  private def duckPortable64(x: String): String =
+  private[queries] def duckPortable64(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
   private def duckBucket(cols: Seq[String]): String =
     cols.reduce((acc, c) => s"(($acc) * $BucketMix + $c) % $P31")
+
+  // trigram identity == trigramHashesOf: the coprime double modular
+  // fold of three consecutive token hashes, f1*2^31 + f2 — generated
+  // from the SAME mix/modulus constants the Spark expressions use.
+  private def duckTrigramFold(h1: String, h2: String, h3: String,
+      mix: Long, mod: Long): String =
+    s"(((($h1 % $mod) * $mix + $h2) % $mod) * $mix + $h3) % $mod"
+
+  private def duckTrigram(h1: String, h2: String, h3: String): String =
+    s"((${duckTrigramFold(h1, h2, h3, BucketMix, P31)}) * ${1L << 31} + " +
+      s"(${duckTrigramFold(h1, h2, h3, CdcMix2, P31B)}))"
+
+  /** CTE chain ending in `tho(doc_id, th)` — the per-token portable
+    * hash list, mirroring [[hashedTokens]] (one md5 per token).
+    */
+  private val duckTokenHashCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |tho AS (
+       |  SELECT doc_id, list_transform(tk, t -> ${duckPortable64("t")}) AS th
+       |  FROM toks)""".stripMargin
+
+  /** The trigram-identity list over a list column named `th`, mirroring
+    * [[trigramHashesOf]] (package-visible so SampleOps' decontamination
+    * oracles render the SAME shingle identity SQL).
+    */
+  private[queries] val duckShingleList: String =
+    s"list_transform(range(0, greatest(len(th) - 2, 0)), " +
+      s"i -> ${duckTrigram("th[i+1]", "th[i+2]", "th[i+3]")})"
+
+  /** CTE chain ending in `sh(doc_id, sh)` — each document's DISTINCT
+    * 62-bit trigram identities, mirroring [[shingleSetWithSize]] /
+    * [[docShingleSetsFor]]. Shared by the jaccard/containment/edit
+    * oracles so the three cannot drift.
+    */
+  private val duckDistinctShingleCtes: String =
+    s"""$duckTokenHashCtes,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest($duckShingleList) AS sh
+       |  FROM tho)""".stripMargin
 
   /** CTE chain ending in `inst(doc_id, h)` — one row per content-defined
     * chunk instance, exactly mirroring [[cdcChunkHashes]]. Shared by the
@@ -904,15 +1025,11 @@ object DedupOps {
     val mins = (0 until 16)
       .map(j => s"  min((h0 * ${memberA(j)} + ${memberB(j)}) % $P31) AS h$j")
       .mkString(",\n")
-    s"""toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-       |  FROM documents),
+    s"""$duckTokenHashCtes,
        |sh AS (
-       |  SELECT doc_id, unnest(list_transform(
-       |    range(0, greatest(len(tk) - 2, 0)),
-       |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
-       |  FROM toks),
-       |hs AS (SELECT doc_id, ${duckPortable64("sh")} % $P31 AS h0 FROM sh),
+       |  SELECT doc_id, unnest($duckShingleList) AS sh
+       |  FROM tho),
+       |hs AS (SELECT doc_id, sh % $P31 AS h0 FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |$mins
@@ -1038,14 +1155,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "neardup_edit" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(0, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
-         |  FROM toks),
+      s"""WITH $duckDistinctShingleCtes,
          |keep AS (SELECT sh FROM sh GROUP BY sh
          |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
          |cand AS (
@@ -1182,14 +1292,7 @@ object DedupOps {
     // from the same constant): hot shingles contribute to n_sh but never
     // to the pair expansion, on both engines identically.
     "neardup_jaccard" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    range(0, greatest(len(tk) - 2, 0)),
-        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
-        |  FROM toks),
+      s"""WITH $duckDistinctShingleCtes,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |keep AS (SELECT sh FROM sh GROUP BY sh
         |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),
@@ -1207,14 +1310,7 @@ object DedupOps {
     // Identical pair expansion and stoplist as neardup_jaccard; only the
     // final ratio differs (intersection over the SMALLER set).
     "neardup_containment" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    range(0, greatest(len(tk) - 2, 0)),
-        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
-        |  FROM toks),
+      s"""WITH $duckDistinctShingleCtes,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |keep AS (SELECT sh FROM sh GROUP BY sh
         |         HAVING count(*) > 1 AND count(*) <= $JaccardMaxDf),

@@ -136,11 +136,17 @@ object SampleOps {
     * per document across the uses of `base`.
     */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
+    // Shingle identity is the fold of per-token portable hashes (the
+    // DedupOps.trigramHashesOf contract: one md5 per token, 8-byte
+    // join keys), with toks and th each bound to an attribute before
+    // multi-reference consumption.
     val base = withSplit(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("split"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("split"),
-        DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+        transform(col("toks"), t => DedupOps.portable64(t)).as("th"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        array_distinct(DedupOps.trigramHashesOf(col("th"))).as("shset"))
     val train = base.filter(col("split") === "train")
     val contaminated = testContaminatedTrainDocs(base)
     train.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
@@ -274,14 +280,17 @@ object SampleOps {
       .agg(min(col("doc_id")).as("doc_id"))
     val dd = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
     val q = TextOps.withGateCounts(dd).filter(TextOps.gateKeep)
-    // Bind toks to an attribute BEFORE the shingle HOF consumes it four
-    // times (slice/size refs) — the same move DedupOps.tokenized makes,
-    // measured ~2× on the shingle stage.
+    // Bind toks, then the per-token hash array, each to an attribute
+    // BEFORE the trigram HOF consumes it via three slice refs — the
+    // same move DedupOps.hashedTokens makes, measured ~2× on the
+    // shingle stage.
     val base = withSplit(q)
       .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
-        DedupOps.shingleSetOfTokens(col("toks")).as("shset"))
+        transform(col("toks"), t => DedupOps.portable64(t)).as("th"))
+      .select(col("doc_id"), col("lang"), col("split"), col("tok_cnt"),
+        array_distinct(DedupOps.trigramHashesOf(col("th"))).as("shset"))
     base.join(testContaminatedTrainDocs(base), Seq("doc_id"), "left_anti")
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("docs"), sum("tok_cnt").as("tokens"))
@@ -355,11 +364,12 @@ object SampleOps {
          |toksv AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
          |  FROM s),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(0, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |thov AS (
+         |  SELECT doc_id, list_transform(tk, t -> ${DedupOps.duckPortable64("t")}) AS th
          |  FROM toksv),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${DedupOps.duckShingleList}) AS sh
+         |  FROM thov),
          |probe AS (
          |  SELECT x.sh FROM sh x JOIN s USING (doc_id)
          |  GROUP BY x.sh
@@ -412,11 +422,12 @@ object SampleOps {
          |toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
          |  FROM b),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(0, greatest(len(tk) - 2, 0)),
-         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |tho AS (
+         |  SELECT doc_id, list_transform(tk, t -> ${DedupOps.duckPortable64("t")}) AS th
          |  FROM toks),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${DedupOps.duckShingleList}) AS sh
+         |  FROM tho),
          |probe AS (
          |  SELECT s.sh FROM sh s JOIN b USING (doc_id)
          |  GROUP BY s.sh

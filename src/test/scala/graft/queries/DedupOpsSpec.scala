@@ -245,6 +245,48 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram fold identities equal the sequential reference on corpus docs") {
+    // Sequential reference of the shingle identity every near-dup query
+    // keys on: portable64 per token, then per consecutive triple the
+    // SAME 62-bit coprime double fold the CDC chunker uses (shared
+    // constants — if either side drifts, this and the DuckDB oracles
+    // both catch it).
+    def p64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def fold(hs: Seq[Long], mix: Long, mod: Long): Long =
+      hs.foldLeft(0L)((acc, h) => (acc * mix + h) % mod)
+    def refTrigrams(text: String): Seq[Long] = {
+      val th = text.split(" ").filter(_.nonEmpty).map(p64).toSeq
+      th.sliding(3).filter(_.length == 3).map(t =>
+        fold(t, 1000003L, 2147483647L) * (1L << 31) +
+          fold(t, 1000033L, 2147483629L)).toSeq
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val sample = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 15).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 15)
+      .select(col("doc_id"), graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => DedupOps.portable64(t)).as("th"))
+      .select(col("doc_id"), DedupOps.trigramHashesOf(col("th")).as("tg"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet === sample.keySet)
+    got.foreach { case (id, tg) =>
+      assert(tg === refTrigrams(sample(id)), s"doc $id") }
+    // Short and empty docs produce no trigrams.
+    val edge = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => DedupOps.portable64(t)).as("th"))
+      .select(col("doc_id"), DedupOps.trigramHashesOf(col("th")).as("tg"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edge(1L).isEmpty && edge(2L).isEmpty)
+  }
+
   test("cdc chunk hashes equal the sequential reference on real corpus docs") {
     val sfDir = "/root/testdata/sf0.001"
     val sample = graft.Tables.documents(spark, sfDir)
