@@ -8,12 +8,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * of Python's `mapInPandas` (per-partition iterator in, iterator out; no
   * per-row UDF dispatch, decoder state amortized across the partition).
   *
-  * The decoder itself is a STUB: this container has no image/audio
-  * libraries, so [[FakeDecoder]] produces a deterministic feature vector
-  * from the raw bytes. Everything around it — the schema, the frame
-  * sampling, the partition-batched execution shape, the encoders — is
-  * real and is what a production decoder would plug into via
-  * [[MediaDecoder]].
+  * IMAGE payloads decode for REAL through the JDK's own codecs — see
+  * [[ImageCodec]] (javax.imageio PNG/BMP/GIF/JPEG, zero new
+  * dependencies), exercised end-to-end by the `multimodal_decode`
+  * query's analytic oracle. [[FakeDecoder]] remains ONLY for the
+  * byte-domain queries whose oracles are defined over raw payload
+  * bytes (this container ships no audio/video codecs, and document
+  * text stands in for those payloads); the schema, frame sampling,
+  * partition-batched execution shape, and encoders around it are real
+  * and are what any further codec plugs into via [[MediaDecoder]].
   */
 object Multimodal {
 
@@ -80,13 +83,17 @@ object Multimodal {
       s"bits must be in [1, 63] to keep the signature a positive long, got $bits")
     val n = payload.length
     if (n == 0) return 0L
-    // Proportional blocks make s ~ 255·n/bits, so the cross-multiplied
-    // compare s·n is ~ 4n² and silently wraps Long for payloads past
-    // ~1.4 GB (inside JVM array limits — plausible for real media
-    // blobs, where the fixed-width version's s ≤ 255·width could never
-    // overflow). Branch those to an exact 128-bit compare; the DuckDB
-    // twin errors loudly on BIGINT overflow rather than diverging.
-    val huge = n > (1 << 30)
+    // Proportional blocks make s ≤ 255·(n/bits + 1), so the
+    // cross-multiplied compare s·n can reach ~255·n²/bits and silently
+    // wraps Long once n²/bits passes ~2⁵⁴ (inside JVM array limits —
+    // plausible for real media blobs, where the fixed-width version's
+    // s ≤ 255·width could never overflow). The guard scales WITH bits:
+    // the old fixed `n > 2³⁰` cutoff was derived from bits=60 and
+    // wrapped well below it for small widths (bits=4 overflows near
+    // n≈3.8e8). Branch to an exact 128-bit compare past the bound;
+    // the DuckDB twin errors loudly on BIGINT overflow rather than
+    // diverging.
+    val huge = n.toLong * n / bits > (1L << 54)
     var total = 0L
     var i = 0
     while (i < n) { total += payload(i) & 0xff; i += 1 }

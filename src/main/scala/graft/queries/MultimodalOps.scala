@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{ImageCodec, Multimodal}
 
 /** Registered multimodal queries. The harness has no binary media table,
   * so document text bytes stand in as the opaque payload (UTF-8 cast to
@@ -169,6 +169,44 @@ object MultimodalOps {
     graft.operators.BandedPairs.pairs(sig, "media_id", "phash",
       PhashBands, PhashChunkBits, maxBucket, PhashMaxHamming)
 
+  /** Planted-image count for [[decoded]] (ids 0..199 exist at every
+    * harness SF) and the size formulas — shared with the oracle SQL.
+    */
+  val DecodeMaxId = 200L
+
+  /** REAL image decode end-to-end through the JDK's own codecs: plant
+    * [[DecodeMaxId]] deterministic images (gray PNG / RGB PNG / RGB BMP
+    * round-robin by id, pixel channels from [[ImageCodec]]'s integer
+    * formulas), PNG/BMP-encode them with `javax.imageio`, then DECODE
+    * the real bytes back ([[ImageCodec.lumaRaster]]) and extract
+    * features — dimensions, exact luma sum, and the
+    * [[Multimodal.aHashGrid]] signature over the decoded pixel luma.
+    * The oracle never touches a codec: it recomputes every feature
+    * ANALYTICALLY from the planted pixel formulas, so any decoder
+    * defect (band order, row order, colorspace remap, lossy roundtrip)
+    * breaks the exact value compare. Encode and decode are both
+    * scan-local `mapPartitions` — zero shuffle, the standard media
+    * ingest shape at any corpus size.
+    */
+  def decoded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < DecodeMaxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val fmt = (id % 3) match {
+          case 0 => "png-gray"
+          case 1 => "png-rgb"
+          case _ => "bmp-rgb"
+        }
+        Multimodal.MediaRow(id, ImageCodec.encodePlanted(id, w, h, fmt), fmt)
+      })
+    ImageCodec.decodeFeatures(media, PhashBits)(spark).toDF()
+      .orderBy("media_id")
+  }
+
   /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
     * for payloads, in ONE Spark DAG: (1) perceptual dedup — every
     * payload collapses to its [[Multimodal.aHashGrid]] signature and each
@@ -208,6 +246,7 @@ object MultimodalOps {
     "multimodal_resize" -> (resized _),
     "multimodal_phash" -> (phashGroups _),
     "multimodal_phash_near" -> (phashNearPairs _),
+    "multimodal_decode" -> (decoded _),
     "pipeline_media" -> (mediaPipeline _),
   )
 
@@ -283,6 +322,51 @@ object MultimodalOps {
          |FROM all_sig GROUP BY phash HAVING count(*) > 1
          |ORDER BY dup_cnt DESC, phash""".stripMargin,
     "multimodal_phash_near" -> duckPhashPairsSql,
+    // The planted-image decode twin never runs a codec: pixel channels
+    // are the shared integer formulas, luma is the same exact Rec.601
+    // integer division, and the signature is the same proportional-grid
+    // cross-multiplied compare as duckPhashCtes — over ANALYTIC pixel
+    // values, so the Spark side's encode→decode roundtrip is what's
+    // under test.
+    "multimodal_decode" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id,
+         |         8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h,
+         |         CASE doc_id % 3 WHEN 0 THEN 'png-gray'
+         |                         WHEN 1 THEN 'png-rgb'
+         |                         ELSE 'bmp-rgb' END AS fmt
+         |  FROM documents WHERE doc_id < $DecodeMaxId),
+         |lum AS (
+         |  SELECT media_id, fmt, w, h, i,
+         |    CASE WHEN fmt = 'png-gray'
+         |      THEN (7*(i % w) + 13*(i // w) + 31*media_id) % 256
+         |      ELSE (299*((7*(i % w) + 13*(i // w) + 31*media_id) % 256)
+         |          + 587*((11*(i % w) + 17*(i // w) + 29*media_id) % 256)
+         |          + 114*((5*(i % w) + 19*(i // w) + 23*media_id) % 256)) // 1000
+         |    END AS v
+         |  FROM planted, LATERAL unnest(range(w*h)) t(i)),
+         |tot AS (
+         |  SELECT media_id, CAST(sum(v) AS BIGINT) AS luma_sum,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM lum GROUP BY media_id),
+         |blk AS (
+         |  SELECT media_id, (i * $PhashBits) // (w * h) AS b,
+         |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
+         |  FROM lum GROUP BY media_id, (i * $PhashBits) // (w * h)),
+         |sig AS (
+         |  SELECT blk.media_id,
+         |         CAST(sum(CASE WHEN s * n > luma_sum * blen
+         |                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |                  ELSE 0 END) AS BIGINT) AS phash
+         |  FROM blk JOIN tot USING (media_id)
+         |  GROUP BY blk.media_id)
+         |SELECT p.media_id, p.fmt,
+         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |       CAST(w * h AS BIGINT) AS n_px, tot.luma_sum, sig.phash
+         |FROM planted p
+         |JOIN tot USING (media_id)
+         |JOIN sig USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // Composed pipeline: perceptual-dedup election over the SAME
     // signature CTE chain, frame arithmetic from the same FrameBytes
     // constant as multimodal_frames.

@@ -71,6 +71,48 @@ class MultimodalSpec extends AnyFunSuite {
       s"exactly the planted dup group (rep=1, cnt=2): ${rows.toSeq}")
   }
 
+  test("imageio codec: encode→decode roundtrips exact planted pixels per format") {
+    // Every supported format must recover the EXACT analytic luma: gray
+    // PNG returns the stored sample (not a CS_GRAY→sRGB remap), RGB
+    // PNG/BMP recover each channel in order (the distinct per-channel
+    // coefficients catch band swaps) and collapse through the integer
+    // Rec.601 division.
+    def refLuma(id: Long, w: Int, h: Int, gray: Boolean): Array[Int] =
+      (0 until w * h).map { i =>
+        val x = i % w
+        val y = i / w
+        if (gray) ImageCodec.plantedR(id, x, y)
+        else (299 * ImageCodec.plantedR(id, x, y) +
+          587 * ImageCodec.plantedG(id, x, y) +
+          114 * ImageCodec.plantedB(id, x, y)) / 1000
+      }.toArray
+    for ((fmt, id, w, h) <- Seq(("png-gray", 3L, 9, 8), ("png-rgb", 4L, 16, 11),
+        ("bmp-rgb", 5L, 8, 23))) {
+      val bytes = ImageCodec.encodePlanted(id, w, h, fmt)
+      val Some((gw, gh, luma)) = ImageCodec.lumaRaster(bytes)
+      assert((gw, gh) === ((w, h)), fmt)
+      assert(luma.map(_ & 0xff).toSeq === refLuma(id, w, h, fmt == "png-gray").toSeq,
+        s"$fmt luma mismatch")
+    }
+  }
+
+  test("imageio codec: non-image payloads decode to None, empty set dropped") {
+    import spark.implicits._
+    implicit val s = spark
+    assert(ImageCodec.lumaRaster("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.lumaRaster(Array.empty[Byte]).isEmpty)
+    val in = Seq(
+      MediaRow(1L, ImageCodec.encodePlanted(1L, 8, 8, "png-rgb"), "png-rgb"),
+      MediaRow(2L, Array[Byte](1, 2, 3), "garbage")).toDS()
+    val out = ImageCodec.decodeFeatures(in, 60).collect()
+    assert(out.map(_.media_id).toSeq === Seq(1L),
+      "non-image payloads are dropped, image payloads decode")
+    assert(out.head.n_px === 64L && out.head.width === 8L)
+    assert(out.head.luma_sum === out.head.luma_sum.toLong &&
+      out.head.phash === Multimodal.aHashGrid(
+        ImageCodec.lumaRaster(ImageCodec.encodePlanted(1L, 8, 8, "png-rgb")).get._3, 60))
+  }
+
   test("stub decoder is deterministic and respects frame boundaries") {
     // distinct content per frame (0..511 would wrap mod 256 and make the
     // two frames byte-identical histograms)
