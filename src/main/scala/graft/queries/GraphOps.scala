@@ -276,8 +276,26 @@ object GraphOps {
     dist
   }
 
+  /** Registered convergence-loop PageRank: [[pagerankLoop]] over the
+    * planted graph with `tol = 0` and `maxIters =` [[Iters]], which
+    * provably runs exactly [[Iters]] rounds (the only checkpoint probe
+    * fires AT the final round, after the iteration bound has already
+    * been reached) — so it shares `graph_pagerank`'s unrolled oracle
+    * and the LOOP's plan, checkpoint cadence, and cost become part of
+    * the bench/gate audit trail instead of being reachable only from
+    * tests. The property spec additionally pins loop ≡ unrolled on
+    * random graphs for arbitrary round counts.
+    */
+  def pagerankConv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    pagerankLoop(docs.select(col("doc_id").as("id")), edges(docs),
+        maxIters = Iters, tol = 0L)
+      .orderBy(desc("rank"), asc("id")).limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
+    "graph_pagerank_conv" -> (pagerankConv _),
     "graph_triangles" -> (triangles _),
     "graph_bfs" -> (bfs _),
   )
@@ -353,16 +371,21 @@ object GraphOps {
           |FROM kept x
           |JOIN kept y ON y.a = x.b
           |JOIN kept z ON z.a = x.a AND z.b = y.b""".stripMargin,
-    "graph_pagerank" ->
-      (s"""WITH e AS (
-          |$duckEdges),
-          |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS rank FROM documents),
-          |""".stripMargin
-        + (1 to Iters).map(i => duckIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n"
-        // CAST back: DuckDB's SUM widens to HUGEINT inside duckIter and
-        // the widening propagates to the final projection; Spark's rank
-        // is BIGINT, and the driver's value hash is type-sensitive.
-        + s"""SELECT id, CAST(rank AS BIGINT) AS rank FROM r$Iters
-            |ORDER BY rank DESC, id LIMIT $TopK""".stripMargin),
+    "graph_pagerank" -> duckPagerankSql,
+    // The convergence loop at tol=0 / maxIters=Iters runs exactly the
+    // unrolled rounds — one oracle, two plans under the gate.
+    "graph_pagerank_conv" -> duckPagerankSql,
   )
+
+  private lazy val duckPagerankSql: String =
+    s"""WITH e AS (
+       |$duckEdges),
+       |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS rank FROM documents),
+       |""".stripMargin +
+      (1 to Iters).map(i => duckIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+      // CAST back: DuckDB's SUM widens to HUGEINT inside duckIter and
+      // the widening propagates to the final projection; Spark's rank
+      // is BIGINT, and the driver's value hash is type-sensitive.
+      s"""SELECT id, CAST(rank AS BIGINT) AS rank FROM r$Iters
+         |ORDER BY rank DESC, id LIMIT $TopK""".stripMargin
 }

@@ -383,10 +383,13 @@ object VectorQueries {
     * table lookups (K rows per subspace, broadcast) in fixed left-to-
     * right order.
     */
-  private def pqAdist(e: DataFrame, candidates: DataFrame): DataFrame = {
-    val cb = pqCents(e)
-    val codes = pqCodesFrom(pqSubDistsWith(candidates, cb))
-    val qsd = pqSubDistsWith(e.filter(col("vec_id") === QueryVecId), cb)
+  /** ADC over an explicit code frame: join each vector's M codes to the
+    * query's per-subspace distance table (K rows per subspace,
+    * broadcast) and sum in fixed left-to-right order. Split out of
+    * [[pqAdist]] so the persisted-index query ([[topKPqIndexed]]) scores
+    * codes READ BACK from parquet through the identical expression tree.
+    */
+  private def pqAdistOf(codes: DataFrame, qsd: DataFrame): DataFrame = {
     val lookups = (0 until PqM).map { m =>
       qsd.select(col("cid").as(s"q${m}_cid"), col(s"d$m").as(s"qd$m"))
     }
@@ -398,12 +401,54 @@ object VectorQueries {
       .select("vec_id", "adist")
   }
 
+  private def pqAdist(e: DataFrame, candidates: DataFrame): DataFrame = {
+    val cb = pqCents(e)
+    pqAdistOf(pqCodesFrom(pqSubDistsWith(candidates, cb)),
+      pqSubDistsWith(e.filter(col("vec_id") === QueryVecId), cb))
+  }
+
   /** [[topKPq]] with an explicit rescore depth (the spec sets it to the
     * corpus size to pin rescore-all ≡ brute-force).
     */
   private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame = {
     val cand = pqAdist(e, e.filter(col("vec_id") =!= QueryVecId).select("vec_id", "v"))
       .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"),
+        floor(col("adist") * lit(1000000.0)).cast("long").as("adist_micro"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** PQ against a PERSISTED code index — completing the incremental
+    * matrix for compressed vectors ([[topKIvfIndexed]]'s contract on
+    * the compression axis): the sub-codebooks and every vector's
+    * M-byte code persist ONCE as the index artifact (codes are M small
+    * ints per vector — no raw floats beyond the [[PqK]] codebook rows),
+    * and query time encodes only ITSELF against the read-back codebook,
+    * ADC-scores the persisted codes, and fetches raw floats for the
+    * top [[PqRescore]] survivors only — the cost profile a daily batch
+    * keeps as history grows (encode the batch, append its codes).
+    * Codebook doubles and code ids round-trip parquet exactly and the
+    * ADC sum is the same left-associated tree, so this shares
+    * `simsearch_pq`'s oracle: index-persist + probe ≡ direct
+    * computation, gated as an exact value match.
+    */
+  def topKPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val out = graft.Scratch.dir("pqindex")
+    pqCents(e).write.mode("overwrite").parquet(s"$out/codebook")
+    pqCodesFrom(pqSubDistsWith(
+        e.filter(col("vec_id") =!= QueryVecId).select("vec_id", "v"), pqCents(e)))
+      .write.mode("overwrite").parquet(s"$out/codes")
+    val cb = spark.read.parquet(s"$out/codebook")
+    val codes = spark.read.parquet(s"$out/codes")
+    val qsd = pqSubDistsWith(e.filter(col("vec_id") === QueryVecId), cb)
+    val cand = pqAdistOf(codes, qsd)
+      .orderBy(asc("adist"), asc("vec_id")).limit(PqRescore)
     val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
     e.join(cand, "vec_id")
       .crossJoin(broadcast(q))
@@ -601,6 +646,7 @@ object VectorQueries {
     "simsearch_ivf_trained" -> (topKIvfTrained _),
     "simsearch_sq8" -> (topKSq8 _),
     "simsearch_pq" -> (topKPq _),
+    "simsearch_pq_incr" -> (topKPqIndexed _),
     "simsearch_ivfpq" -> (topKIvfPq _),
     "neardup_embedding" -> (nearDup _),
     "sample_decontam_emb" -> (decontamEmbedding _),
@@ -674,13 +720,15 @@ object VectorQueries {
   private def pqL2Sql(a: String, b: String): String =
     s"((${VectorOps.dotSql(a, a)}) - 2.0 * (${VectorOps.dotSql(a, b)})) + (${VectorOps.dotSql(b, b)})"
 
-  val oracle: Map[String, String] = Map(
-    // Long-form twin of the wide Spark plan: the per-subspace CASE picks
-    // the same l2sq tree, row_number's (d, cid) order is min_by's
-    // (d, cid) struct min, and the ADC sum is left-associated on both
-    // sides. All geometry constants interpolate from PqM/PqW/PqK.
-    "simsearch_pq" ->
-      s"""WITH e AS ($CastEmb),
+  // Long-form twin of the wide Spark plan: the per-subspace CASE picks
+  // the same l2sq tree, row_number's (d, cid) order is min_by's
+  // (d, cid) struct min, and the ADC sum is left-associated on both
+  // sides. All geometry constants interpolate from PqM/PqW/PqK. Shared
+  // by simsearch_pq and its persisted-index twin simsearch_pq_incr
+  // (codes/codebook round-trip parquet exactly, so index + probe must
+  // equal the direct computation value-for-value).
+  private lazy val duckPqSql: String =
+    s"""WITH e AS ($CastEmb),
          |cents AS (SELECT vec_id AS cid, ${unitSql("v")} AS cv FROM e
          |          WHERE vec_id BETWEEN 1 AND $PqK),
          |nv AS (SELECT vec_id, ${unitSql("v")} AS vn FROM e),
@@ -705,7 +753,11 @@ object VectorQueries {
          |SELECT x.vec_id, ${VectorOps.cosineSql("x.v", "qv")} AS sim,
          |  CAST(floor(cand.adist * 1000000.0) AS BIGINT) AS adist_micro
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
-         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin,
+         |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "simsearch_pq" -> duckPqSql,
+    "simsearch_pq_incr" -> duckPqSql,
     // The IVF half is simsearch_ivf's CTE chain verbatim; the PQ half is
     // simsearch_pq's with its sub-distance table restricted to the
     // probed candidates (plus the query row for the ADC lookups).
