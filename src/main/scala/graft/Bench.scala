@@ -65,6 +65,7 @@ object Bench {
     // query is billed for a predecessor's cached state or pays to
     // recompute around it.
     def cleanState(): Unit = {
+      graft.operators.BandedPairs.releaseCached()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -27,14 +27,39 @@ import org.apache.spark.sql.functions._
   * exchange reuse across the differently-projected count and
   * self-join consumers, so without materialization the expensive
   * signature derivation (per-token md5 for SimHash) re-runs per
-  * consumer. Blocks are LRU-evictable; the bench/verify harness
-  * clearCache()s between runs, and a long-lived session embedding
-  * this call should do the same when done — the result is lazy, so
+  * consumer. Blocks are LRU-evictable, and every cached handle
+  * registers in a weak internal queue that [[releaseCached]] drains —
+  * Bench's cleanState calls it, and a long-lived session embedding
+  * this call does the same when done — because the result is lazy, so
   * the helper cannot unpersist on the caller's behalf (a 100 TB run
   * checkpoints the signature relation to storage between phases
   * instead).
   */
 object BandedPairs {
+
+  /** Cached signature relations handed out by [[pairs]] and not yet
+    * released. Weakly referenced — a frame the caller dropped stays
+    * GC-collectable (its blocks were LRU-evictable regardless);
+    * [[releaseCached]] unpersists whatever is still reachable.
+    */
+  private val cachedSigs = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[DataFrame]]()
+
+  /** Unpersist every signature relation [[pairs]] has cached so far —
+    * the ONE place the harness (Bench's cleanState) and any long-lived
+    * session release this helper's storage between queries, instead of
+    * each caller having to remember a session-wide clearCache().
+    * Idempotent; safe while queries on other threads still hold their
+    * own frames (unpersist only drops cached blocks — consumers
+    * recompute).
+    */
+  def releaseCached(): Unit = {
+    var ref = cachedSigs.poll()
+    while (ref != null) {
+      Option(ref.get()).foreach(_.unpersist(blocking = false))
+      ref = cachedSigs.poll()
+    }
+  }
 
   /** Bands a `(idCol, sigCol)` relation into one row per (band, chunk)
     * membership.
@@ -90,6 +115,7 @@ object BandedPairs {
   def pairs(sig: DataFrame, idCol: String, sigCol: String, nBands: Int,
       chunkBits: Int, maxBucket: Int, maxHamming: Int): DataFrame = {
     val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedSigs.add(new java.lang.ref.WeakReference(cached))
     val members = bandedMembers(cached, idCol, sigCol, nBands, chunkBits)
     val okBuckets = members.groupBy("band", "chunk")
       .agg(count(lit(1)).as("bcnt"))

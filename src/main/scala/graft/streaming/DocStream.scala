@@ -161,18 +161,23 @@ object DocStream {
       // Writer/reader contract check: an index written under a
       // different chunk-hash definition would silently match nothing —
       // fail loudly and demand a re-seed instead. Schema presence is
-      // free; the value spot-check reads ONE row (one file footer +
-      // first page), not the index — all partitions are stamped by the
-      // same writer version and the seed fully resets the directory,
-      // so a single row represents the artifact.
+      // free; the value check verifies the fmt RANGE, not a single
+      // sampled row — a one-row sample passes on an index holding
+      // MIXED formats (a re-seed that failed before deleting, or
+      // batches appended by an older-writer process still running),
+      // leaving some partitions silently matching nothing. min/max
+      // over the stamped column scans one column driven by parquet
+      // footer statistics, never the hash data, so every partition's
+      // stamp participates at metadata cost.
       require(idx.columns.contains("fmt"),
         s"chunk index at $indexDir predates format stamping — re-seed the index")
-      val fmtSample = idx.select("fmt").head(1)
-      require(fmtSample.isEmpty ||
-          (!fmtSample.head.isNullAt(0) && fmtSample.head.getLong(0) == ChunkIndexFormat),
-        s"chunk index at $indexDir written under format " +
-          s"${fmtSample.headOption.map(_.get(0))}, expected $ChunkIndexFormat — " +
-          "re-seed the index")
+      val fmtRange = idx.agg(min("fmt"), max("fmt")).head()
+      require(fmtRange.isNullAt(0) ||
+          (fmtRange.getLong(0) == ChunkIndexFormat &&
+            fmtRange.getLong(1) == ChunkIndexFormat),
+        s"chunk index at $indexDir holds formats in " +
+          s"[${fmtRange.get(0)}, ${fmtRange.get(1)}], expected only " +
+          s"$ChunkIndexFormat — re-seed the index")
       val history = idx
         .filter(col("batch_id") < batchId)
         .select("h").distinct()

@@ -75,6 +75,46 @@ class DocStreamSpec extends AnyFunSuite {
     assert(batchProbe === Set((30L, 2L)))
   }
 
+  test("golden: kill and restart from checkpoint loses no batch and doubles none") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("docstream_restart").toString
+    val (indexDir, candDir, ckpt) =
+      (s"$root/index", s"$root/cands", s"$root/ckpt")
+
+    DocStream.seedIndex(
+      Seq(1L -> text("alpha"), 2L -> text("beta")).toDF("doc_id", "text"),
+      indexDir)
+
+    // First query instance: batch 0 commits, then the query is killed.
+    val in = MemoryStream[Doc]
+    val q1 = DocStream.neardupIngest(in.toDS(), indexDir, candDir, ckpt).start()
+    try {
+      in.addData(Doc(10L, text("alpha")), Doc(11L, text("gamma")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Data arrives while the query is DOWN, then a NEW query instance
+    // resumes from the same checkpoint. The restart must deliver the
+    // pending data as the NEXT batch id (a query that ignored the
+    // checkpoint would restart at id 0 and both overwrite batch 0's
+    // partitions and miss doc 11 as history), and must not re-deliver
+    // batch 0.
+    in.addData(Doc(20L, text("gamma")), Doc(21L, text("delta")))
+    val q2 = DocStream.neardupIngest(in.toDS(), indexDir, candDir, ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val cands = spark.read.parquet(candDir)
+      .select("batch_id", "new_doc", "old_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cands === Set((0L, 10L, 1L), (1L, 20L, 11L)),
+      "restart continues at batch 1 against batch 0's appended history")
+    // Index holds exactly one NBands-row group per ingested doc (2
+    // seeded + 2 per batch): nothing doubled across the restart
+    // boundary, nothing lost.
+    assert(spark.read.parquet(indexDir).count() === 6L * DocStream.NBands)
+  }
+
   test("golden: chunk-level stream seeded from the BATCH chunk index, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
