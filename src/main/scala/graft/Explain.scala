@@ -28,7 +28,8 @@ object Explain {
     "text_search_index", "simsearch_ivf_incr", "pipeline_media",
     "text_chunks", "audit_embeddings", "multimodal_phash_near",
     "text_search_phrase", "graph_bfs", "dedup_cdc", "dedup_cdc_incr",
-    "sample_decontam_emb", "neardup_simhash_incr")
+    "sample_decontam_emb", "neardup_simhash_incr", "simsearch_pq_incr",
+    "graph_pagerank_conv", "multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
