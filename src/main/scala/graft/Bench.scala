@@ -158,8 +158,12 @@ object Bench {
     // trail of per-query timings survives even when the captured tail
     // truncates — round 7's committed artifact kept only 65 of 166
     // entries and the headline evidence was unreproducible from git.
-    for (path <- Seq(java.nio.file.Paths.get("target", "bench.json"),
-                     java.nio.file.Paths.get("bench_full.json"))) {
+    // bench_full.json is the TRACKED full-registry audit trail: a
+    // dev-subset run (SPARK_GRAFT_ONLY) must not overwrite it with a
+    // partial line that would masquerade as a round's numbers.
+    val artifacts = java.nio.file.Paths.get("target", "bench.json") ::
+      (if (only.isEmpty) List(java.nio.file.Paths.get("bench_full.json")) else Nil)
+    for (path <- artifacts) {
       try {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(path, full.getBytes("UTF-8"))

@@ -8,12 +8,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * of Python's `mapInPandas` (per-partition iterator in, iterator out; no
   * per-row UDF dispatch, decoder state amortized across the partition).
   *
-  * IMAGE payloads decode for REAL through the JDK's own codecs — see
-  * [[ImageCodec]] (javax.imageio PNG/BMP/GIF/JPEG, zero new
-  * dependencies), exercised end-to-end by the `multimodal_decode`
-  * query's analytic oracle. [[FakeDecoder]] remains ONLY for the
-  * byte-domain queries whose oracles are defined over raw payload
-  * bytes (this container ships no audio/video codecs, and document
+  * IMAGE and AUDIO payloads decode for REAL through the JDK's own
+  * codecs — see [[ImageCodec]] (javax.imageio PNG/BMP/GIF/JPEG) and
+  * [[AudioCodec]] (javax.sound.sampled WAV), zero new dependencies,
+  * each exercised end-to-end by its planted-media query's analytic
+  * oracle (`multimodal_decode`, `multimodal_audio`). [[FakeDecoder]]
+  * remains ONLY for the byte-domain queries whose oracles are defined
+  * over raw payload bytes (the JDK ships no VIDEO codec, and document
   * text stands in for those payloads); the schema, frame sampling,
   * partition-batched execution shape, and encoders around it are real
   * and are what any further codec plugs into via [[MediaDecoder]].

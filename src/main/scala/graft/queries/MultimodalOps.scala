@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ImageCodec, Multimodal}
+import graft.operators.{AudioCodec, ImageCodec, Multimodal}
 
 /** Registered multimodal queries. The harness has no binary media table,
   * so document text bytes stand in as the opaque payload (UTF-8 cast to
@@ -207,6 +207,30 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** REAL audio decode end-to-end through the JDK's own WAV codec —
+    * [[decoded]]'s contract for the audio modality: plant
+    * [[DecodeMaxId]] deterministic 16-bit mono PCM clips (samples from
+    * [[AudioCodec.plantedSample]]'s integer formula, spanning the full
+    * signed range so endianness/sign misreads fail loudly), WAV-encode
+    * them with `javax.sound.sampled`, decode the real bytes back, and
+    * report exact integer sample statistics. The oracle recomputes
+    * everything analytically from the sample formula — no codec on the
+    * DuckDB side. With this, only VIDEO decode remains byte-domain
+    * (the JDK ships no video codec).
+    */
+  def audioDecoded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < DecodeMaxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (200 + (id % 5) * 50).toInt
+        Multimodal.MediaRow(id, AudioCodec.encodePlanted(id, n), "audio/wav")
+      })
+    AudioCodec.decodeFeatures(media)(spark).toDF()
+      .orderBy("media_id")
+  }
+
   /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
     * for payloads, in ONE Spark DAG: (1) perceptual dedup — every
     * payload collapses to its [[Multimodal.aHashGrid]] signature and each
@@ -247,6 +271,7 @@ object MultimodalOps {
     "multimodal_phash" -> (phashGroups _),
     "multimodal_phash_near" -> (phashNearPairs _),
     "multimodal_decode" -> (decoded _),
+    "multimodal_audio" -> (audioDecoded _),
     "pipeline_media" -> (mediaPipeline _),
   )
 
@@ -366,6 +391,21 @@ object MultimodalOps {
          |FROM planted p
          |JOIN tot USING (media_id)
          |JOIN sig USING (media_id)
+         |ORDER BY media_id""".stripMargin,
+    // Analytic twin of the WAV roundtrip: sample statistics recomputed
+    // from the shared generating formula, never a codec.
+    "multimodal_audio" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id, 200 + (doc_id % 5) * 50 AS n
+         |  FROM documents WHERE doc_id < $DecodeMaxId),
+         |s AS (
+         |  SELECT media_id, n, ((31*media_id + 17*i) % 65536) - 32768 AS v
+         |  FROM planted, LATERAL unnest(range(n)) t(i))
+         |SELECT media_id, 'audio/wav' AS fmt, CAST(n AS BIGINT) AS n_samples,
+         |       CAST(sum(v) AS BIGINT) AS sum_s,
+         |       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+         |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+         |FROM s GROUP BY media_id, n
          |ORDER BY media_id""".stripMargin,
     // Composed pipeline: perceptual-dedup election over the SAME
     // signature CTE chain, frame arithmetic from the same FrameBytes

@@ -113,6 +113,43 @@ class MultimodalSpec extends AnyFunSuite {
         ImageCodec.lumaRaster(ImageCodec.encodePlanted(1L, 8, 8, "png-rgb")).get._3, 60))
   }
 
+  test("wav codec: encode→decode roundtrips exact planted samples") {
+    // Long enough that 17·i wraps the full 16-bit range (i > 65536/17),
+    // so the sign/endianness assertion below has teeth.
+    val n = 5000
+    val bytes = AudioCodec.encodePlanted(7L, n)
+    val Some(got) = AudioCodec.samples(bytes)
+    assert(got.length === n)
+    assert(got.toSeq === (0 until n).map(AudioCodec.plantedSample(7L, _)),
+      "16-bit LE signed samples must round-trip bit-exact")
+    // The planted formula spans the signed range; a sign or endianness
+    // misread cannot reproduce it.
+    assert(got.min < -30000 && got.max > 30000)
+  }
+
+  test("wav codec: non-audio and unsupported shapes decode to None") {
+    import spark.implicits._
+    implicit val s = spark
+    assert(AudioCodec.samples("definitely not riff".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.samples(Array.empty[Byte]).isEmpty)
+    // A stereo clip is a real WAV but not the supported shape — it must
+    // route to quarantine (None), not silently misparse as mono.
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val raw = new Array[Byte](400)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(AudioCodec.samples(out.toByteArray).isEmpty)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, AudioCodec.encodePlanted(1L, 250), "audio/wav"),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9), "garbage")).toDS()
+    val feats = AudioCodec.decodeFeatures(ds).collect()
+    assert(feats.map(_.media_id).toSeq === Seq(1L))
+    assert(feats.head.n_samples === 250L)
+  }
+
   test("stub decoder is deterministic and respects frame boundaries") {
     // distinct content per frame (0..511 would wrap mod 256 and make the
     // two frames byte-identical histograms)
