@@ -755,26 +755,39 @@ object TextOps {
     * shape: phrase matching is per-document LOCAL, so instead of a
     * positional posting-list self-join (position arrays shuffled once
     * per phrase term) the whole match runs INSIDE expressions on one
-    * corpus scan — `filter(sequence(1, n-L+1), i -> slice(tk, i, L) =
-    * phrase)` — zero shuffles before the TakeOrderedAndProject head,
-    * fully inside whole-stage codegen. An `arrays_overlap`-style
-    * prefilter (every phrase term present via `forall`) prunes
-    * non-candidates before any positional work. At 100 TB this is one
-    * embarrassingly parallel scan; the persisted-index variant (probe
-    * [[invertedIndex]] postings first, then slice-scan only surviving
-    * docs) drops in front without changing the match expression.
+    * corpus scan — per phrase term j, compare the token array's
+    * j-shifted slice against the term, AND the L boolean arrays
+    * positionally with `zip_with` (each child array evaluates once and
+    * streams — the [[graft.queries.DedupOps.shinglesOfTokens]]
+    * contract), and fold the match vector to a count with `aggregate`.
+    * No per-position array is ever allocated: the previous
+    * `slice(tk, i, L) = phrase` form materialized an L-array and ran an
+    * array equality at EVERY position. Zero shuffles before the
+    * TakeOrderedAndProject head, fully inside whole-stage codegen. An
+    * `arrays_overlap`-style prefilter (every phrase term present via
+    * `forall`) prunes non-candidates before any positional work. At
+    * 100 TB this is one embarrassingly parallel scan; the
+    * persisted-index variant (probe [[invertedIndex]] postings first,
+    * then slice-scan only surviving docs) drops in front without
+    * changing the match expression.
     */
   def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
     val L = PhraseTerms.length
     val phrase = array(PhraseTerms.map(lit): _*)
+    def hits(tk: Column): Column = {
+      // n-L+1 candidate start positions (empty below L tokens — the
+      // greatest() guard makes every slice empty, no branch needed).
+      val n = greatest(size(tk) - (L - 1), lit(0))
+      val termMatches = PhraseTerms.zipWithIndex.map { case (t, j) =>
+        transform(slice(tk, lit(j + 1), n), x => x === lit(t))
+      }
+      val matchVec = termMatches.reduce((a, b) => zip_with(a, b, (x, y) => x && y))
+      aggregate(matchVec, lit(0L), (acc, m) => acc + when(m, 1L).otherwise(0L))
+    }
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .filter(forall(phrase, t => array_contains(col("tk"), t)))
-      .select(col("doc_id"),
-        when(size(col("tk")) >= L,
-          size(filter(sequence(lit(1), size(col("tk")) - L + 1),
-            i => slice(col("tk"), i, lit(L)) === phrase)))
-          .otherwise(0).cast("long").as("hits"))
+      .select(col("doc_id"), hits(col("tk")).as("hits"))
       .filter(col("hits") > 0)
       .orderBy(desc("hits"), asc("doc_id"))
       .limit(PhraseTopK)
