@@ -29,7 +29,8 @@ object Explain {
     "text_chunks", "audit_embeddings", "multimodal_phash_near",
     "text_search_phrase", "graph_bfs", "dedup_cdc", "dedup_cdc_incr",
     "sample_decontam_emb", "neardup_simhash_incr", "simsearch_pq_incr",
-    "graph_pagerank_conv", "multimodal_decode", "multimodal_audio")
+    "graph_pagerank_conv", "multimodal_decode", "multimodal_audio",
+    "multimodal_quarantine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

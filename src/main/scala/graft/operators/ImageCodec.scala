@@ -43,9 +43,12 @@ object ImageCodec {
       height: Long, n_px: Long, luma_sum: Long, phash: Long)
 
   /** payload → (width, height, row-major integer luma raster, one byte
-    * per pixel); None when the bytes decode as no supported image.
+    * per pixel); None when the bytes decode as no supported image —
+    * including TRUNCATED payloads that match a codec's magic but fail
+    * mid-stream (`ImageIO.read` throws there rather than returning
+    * null; a corrupt blob must quarantine, never kill the ingest task).
     */
-  def lumaRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def lumaRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     if (img == null) None
     else {
@@ -72,7 +75,7 @@ object ImageCodec {
       }
       Some((w, h, out))
     }
-  }
+  } catch { case _: Exception => None }
 
   // Planted pixel formulas — plain integer arithmetic shared verbatim
   // with the DuckDB oracle, which recomputes the features analytically.

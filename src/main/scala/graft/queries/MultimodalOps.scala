@@ -231,6 +231,49 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** Media ingest quarantine — `src_json_corrupt`'s contract for binary
+    * payloads: a 100 TB media crawl always contains blobs that are
+    * garbage or truncated mid-stream, and the decode stage must ROUTE
+    * them to a quarantine report, never crash the task or silently
+    * drop them. The planted set mixes valid PNG/WAV payloads with two
+    * corruption classes — pure garbage (no codec magic) and REAL
+    * encodes truncated to 24 bytes (magic matches, body fails
+    * mid-stream, the case that throws inside a codec rather than
+    * returning null). Every payload is classified by ACTUALLY
+    * attempting both decodes (image first, then audio); the oracle
+    * knows which residue class each planted id is in, so the per-status
+    * counts are analytic — a decoder that crashes, misroutes, or
+    * half-decodes a truncated payload breaks the compare. Scan-local
+    * mapPartitions, one group-by on the tiny status key.
+    */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < DecodeMaxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload: Array[Byte] =
+          if (id % 5 == 4) Array.tabulate(32)(i => ((id * 7 + i) % 251).toByte)
+          else {
+            val full =
+              if (id % 2 == 0) ImageCodec.encodePlanted(id, 8 + (id % 8).toInt, 8, "png-rgb")
+              else AudioCodec.encodePlanted(id, 100 + (id % 4).toInt * 25)
+            if (id % 5 == 3) full.take(24) else full
+          }
+        Multimodal.MediaRow(id, payload, "application/octet-stream")
+      })
+    media.mapPartitions(_.map { r =>
+      val status =
+        if (ImageCodec.lumaRaster(r.payload).isDefined) "image"
+        else if (AudioCodec.samples(r.payload).isDefined) "audio"
+        else "quarantined"
+      (r.media_id, status)
+    }).toDF("media_id", "status")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_media"), min("media_id").as("first_id"))
+      .orderBy("status")
+  }
+
   /** The composed MEDIA-modality pipeline — [[SampleOps.corpusPipeline]]
     * for payloads, in ONE Spark DAG: (1) perceptual dedup — every
     * payload collapses to its [[Multimodal.aHashGrid]] signature and each
@@ -272,6 +315,7 @@ object MultimodalOps {
     "multimodal_phash_near" -> (phashNearPairs _),
     "multimodal_decode" -> (decoded _),
     "multimodal_audio" -> (audioDecoded _),
+    "multimodal_quarantine" -> (quarantine _),
     "pipeline_media" -> (mediaPipeline _),
   )
 
@@ -407,6 +451,19 @@ object MultimodalOps {
          |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
          |FROM s GROUP BY media_id, n
          |ORDER BY media_id""".stripMargin,
+    // The quarantine twin classifies each planted id by its residue
+    // class — the ground truth the Spark side must REDISCOVER by
+    // actually decoding: id%5 in {3,4} corrupt (truncated / garbage),
+    // otherwise image when even, audio when odd.
+    "multimodal_quarantine" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id,
+         |         CASE WHEN doc_id % 5 IN (3, 4) THEN 'quarantined'
+         |              WHEN doc_id % 2 = 0 THEN 'image'
+         |              ELSE 'audio' END AS status
+         |  FROM documents WHERE doc_id < $DecodeMaxId)
+         |SELECT status, count(*) AS n_media, min(media_id) AS first_id
+         |FROM planted GROUP BY status ORDER BY status""".stripMargin,
     // Composed pipeline: perceptual-dedup election over the SAME
     // signature CTE chain, frame arithmetic from the same FrameBytes
     // constant as multimodal_frames.

@@ -101,6 +101,11 @@ class MultimodalSpec extends AnyFunSuite {
     implicit val s = spark
     assert(ImageCodec.lumaRaster("not an image at all".getBytes("UTF-8")).isEmpty)
     assert(ImageCodec.lumaRaster(Array.empty[Byte]).isEmpty)
+    // Truncated REAL encode: the PNG magic matches so ImageIO picks a
+    // reader, then the body fails mid-stream — must quarantine (None),
+    // not throw through the ingest task.
+    assert(ImageCodec.lumaRaster(
+      ImageCodec.encodePlanted(2L, 8, 8, "png-rgb").take(24)).isEmpty)
     val in = Seq(
       MediaRow(1L, ImageCodec.encodePlanted(1L, 8, 8, "png-rgb"), "png-rgb"),
       MediaRow(2L, Array[Byte](1, 2, 3), "garbage")).toDS()
@@ -132,6 +137,8 @@ class MultimodalSpec extends AnyFunSuite {
     implicit val s = spark
     assert(AudioCodec.samples("definitely not riff".getBytes("UTF-8")).isEmpty)
     assert(AudioCodec.samples(Array.empty[Byte]).isEmpty)
+    // Truncated WAV (RIFF magic, cut header) must quarantine, not throw.
+    assert(AudioCodec.samples(AudioCodec.encodePlanted(2L, 100).take(24)).isEmpty)
     // A stereo clip is a real WAV but not the supported shape — it must
     // route to quarantine (None), not silently misparse as mono.
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
