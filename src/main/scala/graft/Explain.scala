@@ -30,7 +30,7 @@ object Explain {
     "text_search_phrase", "graph_bfs", "dedup_cdc", "dedup_cdc_incr",
     "sample_decontam_emb", "neardup_simhash_incr", "simsearch_pq_incr",
     "graph_pagerank_conv", "multimodal_decode", "multimodal_audio",
-    "multimodal_quarantine")
+    "multimodal_quarantine", "neardup_embedding_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

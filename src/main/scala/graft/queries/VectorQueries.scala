@@ -530,6 +530,47 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Incremental embedding near-dup — [[graft.queries.DedupOps]]'
+    * `minhashIncremental` contract for the raw-vector modality,
+    * completing the incremental matrix across every near-dup family:
+    * the history (train split) persists ONCE as the index artifact,
+    * PARTITIONED BY the sign-bucket blocking key (vectors +
+    * precomputed norms — for embeddings the vectors ARE the index,
+    * exactly what an ANN store keeps), and the incoming batch computes
+    * only its own buckets and norms, then joins the persisted index on
+    * (bucket, label): the directory layout confines each batch row to
+    * its own block's files, and per-batch cost tracks
+    * batch × block size, never history². Doubles round-trip parquet
+    * exactly, so the whole chain keeps an exact value oracle. Output:
+    * top-20 (new_vec, old_vec) cosine pairs — the verify-stage input a
+    * daily crawl would confirm before appending its own vectors to the
+    * index.
+    */
+  def nearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("bucket", signBucket(col("v"), SignBits))
+      .withColumn("split", SampleOps.splitOf(SampleOps.bucketOf(col("vec_id"))))
+    val out = graft.Scratch.dir("embindex")
+    e.filter(col("split") === "train")
+      .select("bucket", "label", "vec_id", "v", "n")
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    // cast: the partition column comes back int-inferred from the
+    // directory names; the batch side's bucket is BIGINT.
+    val idx = spark.read.parquet(out)
+      .select(col("bucket").cast("long").as("bucket"), col("label"),
+        col("vec_id").as("old_vec"), col("v").as("vh"), col("n").as("nh"))
+    e.filter(col("split") =!= "train")
+      .select(col("bucket"), col("label"), col("vec_id").as("new_vec"),
+        col("v").as("vb"), col("n").as("nb"))
+      .join(idx, Seq("bucket", "label"))
+      .select(col("new_vec"), col("old_vec"), col("label"),
+        when(col("nb") > 0 && col("nh") > 0,
+          VectorOps.dot(col("vb"), col("vh")) / (col("nb") * col("nh"))).as("sim"))
+      .orderBy(desc("sim"), asc("new_vec"), asc("old_vec"))
+      .limit(20)
+  }
+
   /** Pairs reported by [[decontamEmbedding]]. */
   val SemLeakTopK = 20
 
@@ -649,6 +690,7 @@ object VectorQueries {
     "simsearch_pq_incr" -> (topKPqIndexed _),
     "simsearch_ivfpq" -> (topKIvfPq _),
     "neardup_embedding" -> (nearDup _),
+    "neardup_embedding_incr" -> (nearDupIncremental _),
     "sample_decontam_emb" -> (decontamEmbedding _),
   )
 
@@ -897,6 +939,23 @@ object VectorQueries {
          |FROM e x JOIN e y
          |  ON x.bucket = y.bucket AND x.label = y.label AND x.vec_id < y.vec_id
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+    // The incremental twin: same block keys and the nearDup
+    // precomputed-norm cosine, with the content-keyed split CASE
+    // (generated from SampleOps' constants) standing in for
+    // history/batch exactly as every *_incr oracle does.
+    "neardup_embedding_incr" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, v, ${bucketSql("v")} AS bucket,
+         |         sqrt(${VectorOps.dotSql("v", "v")}) AS n,
+         |         ${SampleOps.duckSplitCase(SampleOps.duckBucket("vec_id"))} AS split
+         |  FROM ($CastEmb) t)
+         |SELECT b.vec_id AS new_vec, h.vec_id AS old_vec, b.label AS label,
+         |  CASE WHEN b.n > 0 AND h.n > 0
+         |       THEN (${VectorOps.dotSql("b.v", "h.v")}) / (b.n * h.n) END AS sim
+         |FROM e b JOIN e h
+         |  ON b.bucket = h.bucket AND b.label = h.label
+         |WHERE b.split <> 'train' AND h.split = 'train'
+         |ORDER BY sim DESC, new_vec, old_vec LIMIT 20""".stripMargin,
     // Split CASE and hash bucket generated from SampleOps' constants;
     // cells from the shared IVF CTE chain; cosine via precomputed norms
     // exactly as the Spark side (the nearDup 1-dot-per-pair shape).
