@@ -538,9 +538,15 @@ object VectorQueries {
     * precomputed norms — for embeddings the vectors ARE the index,
     * exactly what an ANN store keeps), and the incoming batch computes
     * only its own buckets and norms, then joins the persisted index on
-    * (bucket, label): the directory layout confines each batch row to
-    * its own block's files, and per-batch cost tracks
-    * batch × block size, never history². Doubles round-trip parquet
+    * (bucket, label) — the standard shuffle-on-key join, so per-batch
+    * pair volume tracks batch × block size, never history². The
+    * bucket-partitioned layout additionally makes per-block index
+    * maintenance file-local (appending a block touches one directory)
+    * and lets a SELECTIVE batch — one touching few buckets, the daily
+    * norm — prune unprobed history files by broadcasting its bucket
+    * set, the `simsearch_ivf_incr` move; the registered query's batch
+    * spans most buckets, so its plan is the plain co-partitioned join.
+    * Doubles round-trip parquet
     * exactly, so the whole chain keeps an exact value oracle. Output:
     * top-20 (new_vec, old_vec) cosine pairs — the verify-stage input a
     * daily crawl would confirm before appending its own vectors to the
