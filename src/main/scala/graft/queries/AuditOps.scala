@@ -136,7 +136,50 @@ object AuditOps {
         col("docs_missing_vec"), col("vecs_missing_doc"))
   }
 
+  /** Histogram geometry for [[splitDrift]]: length deciles of width 64
+    * chars, capped at bucket [[DriftBucketMax]] (the harness corpus tops
+    * out under 640 chars; production would widen the buckets, same
+    * plan).
+    */
+  val DriftBucketWidth = 64
+  val DriftBucketMax = 9
+
+  /** Split-drift audit — the check that catches a broken split
+    * assignment or a shifted ingest distribution before training: the
+    * document-length histogram of the train split vs the held-out
+    * splits, side-by-side as integer ppm shares with their absolute
+    * difference per bucket (the summands of an L1/total-variation
+    * distance, kept per-bucket so the report shows WHERE the
+    * distributions diverge, not just that they do). All-integer
+    * arithmetic — bucket ppm = docs·10⁶ div side-total — so the report
+    * is exactly reproducible on any engine; PSI's log term is
+    * deliberately omitted (no correctly-rounded ln guarantee across
+    * engines, and the L1 profile carries the same decision signal).
+    *
+    * Scale shape: one scan with a conditional per-bucket aggregate
+    * (both splits counted in the same pass — no second scan, no join
+    * between sides), a constant-size totals aggregate broadcast back
+    * onto the ≤ [[DriftBucketMax]]+1-row histogram. Nothing
+    * corpus-sized past the first exchange.
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val perB = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(expr(s"least($DriftBucketMax, n_chars div $DriftBucketWidth)").as("bucket"),
+        col("split"))
+      .groupBy("bucket")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("eval_docs"))
+    val tot = perB.agg(sum("train_docs").as("tt"), sum("eval_docs").as("te"))
+    perB.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("train_docs"), col("eval_docs"),
+        expr("(train_docs * 1000000) div greatest(tt, 1L)").as("train_ppm"),
+        expr("(eval_docs * 1000000) div greatest(te, 1L)").as("eval_ppm"))
+      .withColumn("drift_ppm", abs(col("train_ppm") - col("eval_ppm")))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_drift" -> (splitDrift _),
     "audit_quality" -> (qualityChecks _),
     "audit_kanon" -> (kAnonymity _),
     "audit_skew" -> (joinKeySkew _),
@@ -144,6 +187,28 @@ object AuditOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same split CASE as the sampling family (generated from the shared
+    // constants); all-integer ppm arithmetic so the drift profile is
+    // bit-exact.
+    "audit_drift" ->
+      s"""WITH b AS (
+         |  SELECT least($DriftBucketMax, n_chars // $DriftBucketWidth) AS bucket,
+         |    ${SampleOps.duckSplitCase(SampleOps.duckBucket("doc_id"))} AS split
+         |  FROM documents),
+         |perb AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+         |    CAST(sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS eval_docs
+         |  FROM b GROUP BY bucket),
+         |t AS (
+         |  SELECT CAST(sum(train_docs) AS BIGINT) AS tt,
+         |    CAST(sum(eval_docs) AS BIGINT) AS te FROM perb)
+         |SELECT bucket, train_docs, eval_docs,
+         |  (train_docs * 1000000) // greatest(tt, 1) AS train_ppm,
+         |  (eval_docs * 1000000) // greatest(te, 1) AS eval_ppm,
+         |  abs((train_docs * 1000000) // greatest(tt, 1)
+         |    - (eval_docs * 1000000) // greatest(te, 1)) AS drift_ppm
+         |FROM perb, t ORDER BY bucket""".stripMargin,
     "audit_quality" ->
       """WITH o AS (
         |  SELECT count(*) AS total,

@@ -880,6 +880,35 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Passages reported by [[cdcCross]]. */
+  val CdcCrossTopK = 20
+
+  /** Cross-document hot-passage ranking — the complement of [[cdcDedup]]
+    * (which reports per-document duplication): rank the content-defined
+    * chunks that appear in the MOST DISTINCT documents, i.e. surface the
+    * boilerplate passages themselves (license blocks, templated headers,
+    * quote-farm bodies) so a pipeline owner can decide whether to strip
+    * them corpus-wide rather than document-by-document. Chunk identity
+    * is the same 62-bit double fold ([[cdcChunkHashes]]), so this query,
+    * the per-doc report, and the streaming chunk ingest all read one
+    * index.
+    *
+    * Scale shape: scan-local chunking, one wordcount-class aggregation
+    * on the chunk hash (count + distinct-doc count in the same pass —
+    * instances of a chunk within one doc are a handful, so the
+    * per-group distinct state is bounded), TakeOrderedAndProject head.
+    * Nothing corpus-sized past the exchange; the hash key universe is
+    * tokens/[[CdcBoundaryMod]].
+    */
+  def cdcCross(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("insts"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("insts"), asc("h"))
+      .limit(CdcCrossTopK)
+
   /** Incremental sub-document dedup: the incoming batch's chunk hashes
     * probe the HISTORY chunk index ([[dedup_incremental]]'s contract one
     * level below the document) — per batch document, how many of its
@@ -908,6 +937,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc" -> (cdcDedup _),
     "dedup_cdc_incr" -> (cdcIncremental _),
+    "dedup_cdc_cross" -> (cdcCross _),
     "neardup_pipeline" -> (neardupPipeline _),
     "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
@@ -1269,6 +1299,14 @@ object DedupOps {
          |    // count(*) AS fresh_ppm
          |FROM batch LEFT JOIN hist ON batch.h = hist.h
          |GROUP BY batch.doc_id ORDER BY batch.doc_id""".stripMargin,
+    // SAME chunk-instance CTEs as dedup_cdc; the h tie-break is unique
+    // per group so the top-k head is fully order-determined.
+    "dedup_cdc_cross" ->
+      s"""WITH $duckCdcInstCtes
+         |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS insts
+         |FROM inst GROUP BY h
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, insts DESC, h LIMIT $CdcCrossTopK""".stripMargin,
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,

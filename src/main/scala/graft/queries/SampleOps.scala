@@ -259,6 +259,45 @@ object SampleOps {
       .orderBy("pri", "doc_id")
       .limit(WeightedK)
 
+  /** Temperature exponent numerator for [[temperature]]: expected kept
+    * docs per language ≈ TempK·√count, i.e. the α = 0.5 point of the
+    * `p_s ∝ count^α` mixture-smoothing family multilingual LM training
+    * uses (α = 1 keeps the raw skew, α = 0 is uniform). α is pinned to
+    * 0.5 deliberately: `sqrt` is correctly rounded under IEEE-754 on
+    * every engine, so the Spark and DuckDB rate computations are
+    * bit-identical, where a general `pow(c, α)` carries no such
+    * guarantee and could flip the floor on a boundary value.
+    */
+  val TempK = 8
+
+  /** Registered query: temperature-based language mixing with
+    * DATA-DERIVED rates — unlike [[rebalance]]'s fixed literal rates,
+    * each language's keep-rate is computed from its observed document
+    * count (rate_ppm = 10⁶·[[TempK]]/√count, capped at 10⁶), so the
+    * dominant language is downsampled hard and rare languages pass
+    * through, flattening the mixture toward `count^0.5` without any
+    * hand-tuned table. The keep decision is the same content-keyed hash
+    * predicate every sampler here uses (rerun-stable, no RNG).
+    *
+    * Scale shape: the rate dim is one row per language (a constant-size
+    * aggregate) broadcast back to the scan — the corpus-side work is a
+    * map-side predicate plus one count shuffle, identical at 100 TB.
+    */
+  def temperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(DedupOps.portable64(concat(lit("temp:"), col("doc_id").cast("string"))),
+          lit(1000000L)).as("hp"))
+    val rates = d.groupBy("lang").agg(count(lit(1)).as("docs"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(lit(1000000.0) * TempK / sqrt(col("docs").cast("double")))))
+    d.join(broadcast(rates), "lang")
+      .groupBy("lang", "docs", "rate_ppm")
+      .agg(sum(when(col("hp") < col("rate_ppm"), 1L).otherwise(0L)).as("kept"))
+      .orderBy("lang")
+  }
+
   /** The END-TO-END training-corpus materialization — the four stages a
     * real pipeline chains, composed into ONE Spark DAG so Catalyst
     * plans them together: (1) exact content dedup keeping the min-id
@@ -303,6 +342,7 @@ object SampleOps {
     "sample_weighted" -> (weighted _),
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
+    "sample_temperature" -> (temperature _),
     "sample_decontam" -> (decontam _),
     "sample_shards" -> (packShards _),
     "pipeline_corpus" -> (corpusPipeline _),
@@ -409,6 +449,21 @@ object SampleOps {
       s"""SELECT lang, count(*) AS kept FROM documents
          |WHERE ${duckBucket("doc_id")} < ($duckRate)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // sqrt is IEEE-exact on both engines (see TempK), so the floor'd
+    // ppm rate and therefore the integer kept counts match bit-for-bit.
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS docs FROM documents GROUP BY lang),
+         |r AS (
+         |  SELECT lang, docs,
+         |    least(1000000, CAST(floor(1000000.0 * $TempK / sqrt(CAST(docs AS DOUBLE))) AS BIGINT))
+         |      AS rate_ppm
+         |  FROM c)
+         |SELECT r.lang, r.docs, r.rate_ppm,
+         |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |                     % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |GROUP BY r.lang, r.docs, r.rate_ppm
+         |ORDER BY r.lang""".stripMargin,
     // Same trigram CTEs as the Jaccard oracle, same split CASE as
     // sample_splits — both generated from the shared constants.
     "sample_decontam" ->

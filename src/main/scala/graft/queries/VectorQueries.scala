@@ -642,13 +642,49 @@ object VectorQueries {
     * metrics. The mean is sum_micro/cnt on the consumer side.
     */
   def centroids(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir)
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    centroidSums(emb(spark, dir)).orderBy("label", "pos")
+
+  /** The (label, dimension) micro-sum aggregation stage — ONE
+    * implementation shared by the full build ([[centroids]]) and the
+    * incremental merge ([[centroidsIncremental]]) so the two registered
+    * twins (and their common oracle) cannot desynchronize.
+    */
+  private def centroidSums(df: DataFrame): DataFrame =
+    df.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("label"), col("pos").cast("long").as("pos"),
         floor(col("x") * lit(1000000.0)).as("micro"))
       .groupBy("label", "pos")
       .agg(sum(col("micro")).as("sum_micro"), count(lit(1)).as("cnt"))
+
+  /** Incremental centroid maintenance — the mini-batch update of the
+    * class-prototype index: the HISTORY corpus's per-(label, dimension)
+    * micro-sums and counts are the persisted artifact (exactly what
+    * [[centroids]] emits — sums, not means, BECAUSE sums merge); the
+    * incoming batch aggregates only itself and the merge is one
+    * addition per (label, pos) cell. Integer micro-unit sums are
+    * associative, so persisted-history + batch is EXACTLY the full
+    * rebuild — this query shares [[centroids]]' oracle, making
+    * index-persist + merge ≡ direct a gated exact equivalence (the
+    * `simsearch_ivf_incr` contract applied to the centroid artifact).
+    * The split buckets stand in for the two corpora as everywhere else.
+    *
+    * Scale shape: history is never re-scanned (labels × dims rows read
+    * back, corpus-independent); batch-side cost tracks the batch; the
+    * merge is a join-free union + one aggregation over two
+    * constant-size inputs.
+    */
+  def centroidsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val s = emb(spark, dir)
+      .withColumn("split", SampleOps.splitOf(SampleOps.bucketOf(col("vec_id"))))
+    val out = graft.Scratch.dir("centroidindex")
+    centroidSums(s.filter(col("split") === "train"))
+      .write.mode("overwrite").parquet(out)
+    centroidSums(s.filter(col("split") =!= "train"))
+      .unionByName(spark.read.parquet(out))
+      .groupBy("label", "pos")
+      .agg(sum("sum_micro").as("sum_micro"), sum("cnt").as("cnt"))
       .orderBy("label", "pos")
+  }
 
   /** Query-batch size and neighbors per query for [[knnBatch]]. */
   val KnnQueries = 5
@@ -686,6 +722,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_knn_batch" -> (knnBatch _),
     "embed_centroids" -> (centroids _),
+    "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
@@ -803,6 +840,19 @@ object VectorQueries {
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
          |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
+  // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
+  // and BIGINT sums are integer-exact — no engine can disagree. sum()
+  // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT. Shared by
+  // the full build and the incremental merge (see the map entries).
+  private val CentroidsSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (SELECT label, unnest(v) AS xv,
+       |        unnest(range(1, len(v) + 1)) AS i FROM e)
+       |SELECT label, i - 1 AS pos,
+       |  CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+       |  count(*) AS cnt
+       |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "simsearch_pq" -> duckPqSql,
     "simsearch_pq_incr" -> duckPqSql,
@@ -862,14 +912,11 @@ object VectorQueries {
     // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
     // and BIGINT sums are integer-exact — no engine can disagree. sum()
     // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT.
-    "embed_centroids" ->
-      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (SELECT label, unnest(v) AS xv,
-         |        unnest(range(1, len(v) + 1)) AS i FROM e)
-         |SELECT label, i - 1 AS pos,
-         |  CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
-         |  count(*) AS cnt
-         |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "embed_centroids" -> CentroidsSql,
+    // SAME SQL as embed_centroids: integer micro-sums are associative,
+    // so persisted-history + batch-merge must equal the full rebuild
+    // exactly — the equivalence IS the gate.
+    "embed_centroids_incr" -> CentroidsSql,
     // The bounded aggregator's (sim desc, vec_id asc) order is exactly
     // the row_number twin; null sims are excluded on both sides.
     "simsearch_knn_batch" ->

@@ -52,4 +52,22 @@ class AuditOpsSpec extends AnyFunSuite {
       s"rows at risk ($atRisk) must be between the small-class count ($small) and k*small")
     if (small == 0L) assert(atRisk === 0L)
   }
+
+  test("split-drift histogram is exhaustive, ppm-consistent, and bounded") {
+    val rows = AuditOps.splitDrift(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(r => r._2 + r._3).sum === nDocs,
+      "every document lands in exactly one bucket/side")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= AuditOps.DriftBucketMax))
+    // Each side's ppm shares sum to 1e6 minus at most one floor-loss
+    // per bucket; drift is the exact abs difference.
+    for ((side, idx) <- Seq(("train", 4), ("eval", 5)).map(t => (t._1, t._2 - 1))) {
+      val s = rows.map(r => Seq(r._1, r._2, r._3, r._4, r._5, r._6)(idx)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$side ppm shares must sum to ~1e6, got $s")
+    }
+    rows.foreach(r => assert(r._6 === math.abs(r._4 - r._5)))
+  }
 }

@@ -318,4 +318,29 @@ class DedupOpsSpec extends AnyFunSuite {
     // token is in exactly one chunk (reference count agrees).
     assert(rows(1L)._1 === refCdcHashes(base).length.toLong)
   }
+
+  test("cdc cross-document ranking surfaces the shared passage only") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_cross").toString
+    // Three docs embed the SAME passage between distinct prefixes and
+    // suffixes; a fourth doc is all-unique tokens. Content-defined
+    // boundaries re-synchronize inside the shared region (boundary =
+    // token-hash property, position-independent), so its interior
+    // chunks hash identically in all three docs.
+    val shared = (1 to 60).map(i => s"w${i % 13}x${i % 7}").mkString(" ")
+    def doc(i: Int) = s"pre${i}a pre${i}b $shared post${i}a post${i}b"
+    (Seq.tabulate(3)(i => ((i + 1).toLong, doc(i), "en", "t", 0L)) :+
+      ((9L, "alpha beta gamma delta epsilon zeta", "en", "t", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = DedupOps.cdcCross(spark, tmp)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "shared interior chunks must surface")
+    assert(rows.forall { case (_, d, i) => d >= 2 && i >= d },
+      "every reported chunk spans >= 2 docs with insts >= n_docs")
+    assert(rows.exists(_._2 === 3L), "the shared passage spans all three docs")
+    assert(rows.forall(_._2 <= 3L), "the unique doc contributes no pairs")
+    // Ranking is (n_docs desc, insts desc, h asc).
+    val key = rows.map { case (h, d, i) => (-d, -i, h) }
+    assert(key.sameElements(key.sorted), "rank order is deterministic")
+  }
 }

@@ -160,4 +160,29 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(enFrac < deFrac, "dominant language must be sampled harder")
     kept.foreach { case (l, k) => assert(k <= totals(l)) }
   }
+
+  test("temperature mixing derives rates from counts and flattens the skew") {
+    val rows = SampleOps.temperature(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val totals = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(_._1).toSet === totals.keySet, "every language reported")
+    rows.foreach { case (l, docs, ppm, kept) =>
+      assert(docs === totals(l), s"$l count")
+      // rate_ppm is exactly the pinned formula (sqrt is IEEE-exact).
+      val want = math.min(1000000L,
+        math.floor(1000000.0 * SampleOps.TempK / math.sqrt(docs.toDouble)).toLong)
+      assert(ppm === want, s"$l rate")
+      assert(kept >= 0L && kept <= docs)
+    }
+    // alpha = 0.5 flattening: the dominant language's share of the kept
+    // mixture is strictly below its share of the raw corpus.
+    val (domLang, domDocs) = rows.map(r => (r._1, r._2)).maxBy(_._2)
+    val keptTotal = rows.map(_._4).sum.toDouble
+    val docTotal = rows.map(_._2).sum.toDouble
+    val domKept = rows.find(_._1 == domLang).get._4.toDouble
+    assert(domKept / keptTotal < domDocs / docTotal,
+      "temperature must flatten the dominant language's share")
+  }
 }

@@ -230,4 +230,15 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => bucket(r._2) >=
       graft.queries.SampleOps.TrainPct + graft.queries.SampleOps.ValidPct))
   }
+
+  test("incremental centroid merge equals the full rebuild exactly") {
+    // Integer micro-unit sums are associative, so persisted history +
+    // batch merge must reproduce the full-corpus build bit-for-bit —
+    // the exact equivalence the shared oracle gates.
+    val full = VectorQueries.centroids(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val incr = VectorQueries.centroidsIncremental(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(incr === full)
+  }
 }
