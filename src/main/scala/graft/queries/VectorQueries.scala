@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -686,6 +687,87 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** [[hybrid]] constants: how many of the query document's terms the
+    * lexical channel keeps (the most SELECTIVE ones — lowest doc
+    * frequency — the standard query-term-selection pruning that bounds
+    * per-query work no matter how long the query document is), the
+    * per-channel candidate pool depth, the standard RRF dampening
+    * constant (k = 60 from the original reciprocal-rank-fusion
+    * formulation), and the fused head size.
+    */
+  val HybridQTerms = 8
+  val HybridPoolK = 50
+  val HybridRrfC = 60
+  val HybridTopK = 10
+
+  /** Hybrid retrieval — the fusion shape every production RAG/search
+    * stack runs: a LEXICAL channel (documents sharing the query
+    * document's rare terms, scored by the same integer tf·idf as
+    * `text_search_rank`) and a VECTOR channel (cosine to the query
+    * document's embedding) each produce a ranked candidate pool, and
+    * reciprocal-rank fusion combines them —
+    * fused = Σ 10⁶ div ([[HybridRrfC]] + rank) — so a document strong
+    * in either channel surfaces even when the other channel misses it
+    * entirely (synonyms defeat the lexical side; rare proper nouns
+    * defeat the embedding side). Integer RRF keeps the fusion
+    * value-oracled; a rank of 0 in the output marks "absent from that
+    * channel's pool".
+    *
+    * Scale shape: the query document's term set reduces to the
+    * [[HybridQTerms]] most selective terms (df computed by one
+    * wordcount-class aggregation, the 8-row result broadcast), so the
+    * scoring side is a bounded-factor semi-join of the corpus against
+    * 8 terms followed by wordcount-class shuffles — rows flow through
+    * aggregations, no posting LIST ever materializes; both channel
+    * pools are TakeOrderedAndProject heads ranked only AFTER the cut
+    * (the row_number window runs over [[HybridPoolK]] rows, never the
+    * corpus); the fusion is a full-outer join of two 50-row relations.
+    */
+  def hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val qid = QueryVecId.toLong
+    // Vector channel.
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
+    val vr = e.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), asc("doc_id"))
+      .limit(HybridPoolK)
+      .withColumn("vrank", row_number().over(Window.orderBy(desc("sim"), asc("doc_id"))))
+      .select("doc_id", "vrank")
+    // Lexical channel: tokens bound to an attribute before the explode
+    // (the shared HOF perf contract); explode_outer + isNotNull keeps
+    // InferFiltersFromGenerate from re-inlining the token tree.
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+    val qTerms = tok.filter(col("doc_id") === qid).select("w").distinct()
+    val qsel = tok.join(broadcast(qTerms), "w")
+      .groupBy("w")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .orderBy(asc("df"), asc("w"))
+      .limit(HybridQTerms)
+    val lr = tok.filter(col("doc_id") =!= qid)
+      .join(broadcast(qsel), "w")
+      .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(HybridPoolK)
+      .withColumn("lrank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select("doc_id", "lrank")
+    lr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lrank").cast("long"), lit(0L)).as("lex_rank"),
+        coalesce(col("vrank").cast("long"), lit(0L)).as("vec_rank"),
+        (coalesce(expr(s"1000000 div ($HybridRrfC + lrank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($HybridRrfC + vrank)"), lit(0L))).as("fused"))
+      .orderBy(desc("fused"), asc("doc_id"))
+      .limit(HybridTopK)
+  }
+
   /** Query-batch size and neighbors per query for [[knnBatch]]. */
   val KnnQueries = 5
   val KnnK = 5
@@ -721,6 +803,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_knn_batch" -> (knnBatch _),
+    "simsearch_hybrid" -> (hybrid _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
@@ -854,6 +937,46 @@ object VectorQueries {
        |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Both channel pools are rank-filtered AFTER a fully tie-broken
+    // order (≡ Spark's limit-then-rank); RRF arithmetic is all-integer.
+    "simsearch_hybrid" ->
+      s"""WITH e AS ($CastEmb),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+         |vs AS (
+         |  SELECT vec_id AS doc_id, ${VectorOps.cosineSql("v", "qv")} AS sim
+         |  FROM e CROSS JOIN q WHERE vec_id <> $QueryVecId),
+         |vr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+         |  FROM vs WHERE sim IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+         |  FROM documents),
+         |qt AS (SELECT DISTINCT w FROM tok WHERE doc_id = $QueryVecId),
+         |qsel AS (
+         |  SELECT tok.w, count(DISTINCT tok.doc_id) AS df
+         |  FROM tok JOIN qt USING (w) GROUP BY tok.w
+         |  ORDER BY df, w LIMIT $HybridQTerms),
+         |tf AS (
+         |  SELECT doc_id, tok.w, qsel.df, count(*) AS tf
+         |  FROM tok JOIN qsel ON tok.w = qsel.w
+         |  WHERE doc_id <> $QueryVecId GROUP BY doc_id, tok.w, qsel.df),
+         |lex AS (
+         |  SELECT doc_id, CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score
+         |  FROM tf GROUP BY doc_id),
+         |lr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+         |  FROM lex),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lrank, v.vrank
+         |  FROM (SELECT * FROM lr WHERE lrank <= $HybridPoolK) l
+         |  FULL OUTER JOIN (SELECT * FROM vr WHERE vrank <= $HybridPoolK) v
+         |    ON l.doc_id = v.doc_id)
+         |SELECT doc_id,
+         |  CAST(coalesce(lrank, 0) AS BIGINT) AS lex_rank,
+         |  CAST(coalesce(vrank, 0) AS BIGINT) AS vec_rank,
+         |  CAST(coalesce(1000000 // ($HybridRrfC + lrank), 0)
+         |    + coalesce(1000000 // ($HybridRrfC + vrank), 0) AS BIGINT) AS fused
+         |FROM f ORDER BY fused DESC, doc_id LIMIT $HybridTopK""".stripMargin,
     "simsearch_pq" -> duckPqSql,
     "simsearch_pq_incr" -> duckPqSql,
     // The IVF half is simsearch_ivf's CTE chain verbatim; the PQ half is

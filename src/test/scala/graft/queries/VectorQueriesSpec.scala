@@ -231,6 +231,28 @@ class VectorQueriesSpec extends AnyFunSuite {
       graft.queries.SampleOps.TrainPct + graft.queries.SampleOps.ValidPct))
   }
 
+  test("hybrid RRF fusion is consistent with its channels") {
+    val rows = VectorQueries.hybrid(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= VectorQueries.HybridTopK)
+    def rrf(r: Long) = if (r == 0L) 0L else 1000000L / (VectorQueries.HybridRrfC + r)
+    rows.foreach { case (id, l, v, f) =>
+      assert(id !== 0L, "the query document never retrieves itself")
+      assert(l >= 0L && l <= VectorQueries.HybridPoolK)
+      assert(v >= 0L && v <= VectorQueries.HybridPoolK)
+      assert(l > 0L || v > 0L, "a fused row came from at least one channel")
+      assert(f === rrf(l) + rrf(v), "fused score is exactly the integer RRF sum")
+    }
+    // The head is sorted by (fused desc, doc_id).
+    val key = rows.map { case (id, _, _, f) => (-f, id) }
+    assert(key.sameElements(key.sorted))
+    // Channel consistency: the vector channel's rank-1 doc is the
+    // brute-force cosine top-1.
+    val bruteTop = VectorQueries.topK(spark, dir)
+      .select("vec_id").as[Long].head()
+    rows.find(_._3 == 1L).foreach { case (id, _, _, _) => assert(id === bruteTop) }
+  }
+
   test("incremental centroid merge equals the full rebuild exactly") {
     // Integer micro-unit sums are associative, so persisted history +
     // batch merge must reproduce the full-corpus build bit-for-bit —
