@@ -793,7 +793,135 @@ object TextOps {
       .limit(PhraseTopK)
   }
 
+  /** Merge rounds learned by [[bpeTrain]]. */
+  val BpeMerges = 6
+
+  /** Characters of a word. Both engines' empty-separator splits emit
+    * character lists; the filter drops any empty artifacts so the two
+    * stay identical on every input.
+    */
+  private def charsOf(w: Column): Column = filter(split(w, ""), ch => ch =!= "")
+
+  /** Adjacent symbol pairs of a BOUND sequence attribute (the shared
+    * HOF perf contract — two slice refs, streamed once).
+    */
+  private def symbolPairsOf(s: Column): Column = {
+    val n = greatest(size(s) - 1, lit(0))
+    zip_with(slice(s, lit(1), n), slice(s, lit(2), n),
+      (a, b) => struct(a.as("l"), b.as("r")))
+  }
+
+  /** Greedy left-to-right application of one merge (l, r) to a symbol
+    * sequence: fold the sequence into a fresh array, fusing the current
+    * symbol into the accumulator's tail when the tail/current pair
+    * matches — so `a a a` under merge (a, a) becomes `[aa, a]`, exactly
+    * the textbook BPE application order. try_element_at keeps the
+    * empty-accumulator probe NULL (≠ l) under ANSI semantics.
+    */
+  private def mergeFold(s: Column, l: String, r: String): Column =
+    aggregate(s, expr("CAST(array() AS ARRAY<STRING>)"),
+      (acc, x) =>
+        when(size(acc) > 0 && try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE tokenizer training — learn the [[BpeMerges]]
+    * highest-count byte-pair merges from the corpus, the vocabulary-
+    * construction step every LLM pipeline runs before tokenizing.
+    * The classic two-level shape keeps it tractable: the CORPUS is
+    * scanned once into a (word, count) vocabulary (the wordcount
+    * shuffle), and every merge round runs over the VOCABULARY relation
+    * only — pair counts weighted by word frequency, argmax selection
+    * (count desc, then lexical — fully deterministic), greedy
+    * re-segmentation via [[mergeFold]]. Output is the ordered merge
+    * table (rank, lhs, rhs, pair_count) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale shape: corpus-sized work is the one wordcount; each round is
+    * an aggregation over vocab rows (millions, not corpus-sized) whose
+    * pair-count shuffle carries symbol-pair keys; the per-round driver
+    * traffic is ONE row (the argmax — the convergence-probe posture of
+    * `pagerankLoop`), and seqs localCheckpoint per round so lineage
+    * stays flat. Adjacent-pair counts include overlaps (the textbook
+    * counting); ties cannot diverge across engines because the
+    * tie-break is total.
+    */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var seqs = vocab
+      .select(col("w"), col("c"), charsOf(col("w")).as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMerges && !exhausted) {
+      val top = seqs
+        .select(col("c"), explode_outer(symbolPairsOf(col("s"))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = top.head
+        merges += ((round.toLong, l, r, cnt))
+        seqs = seqs.withColumn("s", mergeFold(col("s"), l, r)).localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLoop(spark, dir)._1.toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** BPE encoding report — the trained merge table ([[bpeTrain]]'s
+    * loop) applied BACK to the corpus: per language, the corpus token
+    * count, raw character volume, post-merge symbol volume, and the
+    * compression the learned vocabulary buys (symbols·10⁶ div chars).
+    * This is the measurement a tokenizer team runs before shipping a
+    * vocab — fertility/compression per language — and it exercises the
+    * learned artifact end-to-end rather than just emitting it.
+    *
+    * Scale shape: encoding happens on the VOCABULARY (each distinct
+    * word segmented once, reused for all its occurrences via the
+    * (lang, word) count join — the same two-level move as training);
+    * the join shuffles on the word key (wordcount class) and the report
+    * is one constant-size aggregation.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, seqs) = bpeLoop(spark, dir)
+    val lv = Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cl"))
+    lv.join(seqs.select(col("w"), size(col("s")).cast("long").as("symlen"),
+        length(col("w")).cast("long").as("wlen")), "w")
+      .groupBy("lang")
+      .agg(sum(col("cl")).as("tokens"),
+        sum(col("cl") * col("wlen")).as("chars"),
+        sum(col("cl") * col("symlen")).as("symbols"))
+      .select(col("lang"), col("tokens"), col("chars"), col("symbols"),
+        expr("(symbols * 1000000) div chars").as("compression_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_phrase" -> (searchPhrase _),
@@ -861,7 +989,69 @@ object TextOps {
        |  doc_id, score
        |FROM r WHERE rank <= $SearchBatchK ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB twin of [[bpeTrain]], generated as [[BpeMerges]] unrolled
+    * rounds (the pagerank-oracle technique applied to the merge loop):
+    * each round's CTEs restate the pair count, the total-order argmax,
+    * and the greedy list fold ([[mergeFold]]'s exact semantics — the
+    * accumulator-tail fusion — as a list_reduce over single-element
+    * lists with a list accumulator).
+    */
+  private val duckBpeCtes: String = {
+    val rounds = (0 until BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT x.l AS l, x.r AS r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(s)),
+         |      j -> {'l': s[j], 'r': s[j+1]})) AS x
+         |    FROM seqs$i) GROUP BY x.l, x.r),
+         |t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |seqs${i + 1} AS (
+         |  SELECT w, c, list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(s, ch -> [ch])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l AND x[1] = t.r
+         |      THEN list_append(acc[1:len(acc)-1], t.l || t.r)
+         |      ELSE list_concat(acc, x) END) AS s
+         |  FROM seqs$i, t$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |    FROM documents) GROUP BY w),
+       |seqs0 AS (
+       |  SELECT w, c, list_filter(string_split(w, ''), ch -> ch <> '') AS s
+       |  FROM vocab),
+       |$rounds""".stripMargin
+  }
+
+  private val duckBpeSql: String = {
+    val union = (0 until BpeMerges)
+      .map(i => s"  SELECT ${i + 1} AS rank, l AS lhs, r AS rhs, cnt AS pair_count FROM t$i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH $duckBpeCtes
+       |SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, pair_count FROM (
+       |$union) u ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeEncode]]: the SAME unrolled training CTEs,
+    * final segmentation joined back to per-(lang, word) counts.
+    */
+  private val duckBpeEncodeSql: String =
+    s"""WITH $duckBpeCtes,
+       |lv AS (
+       |  SELECT lang, w, count(*) AS cl FROM (
+       |    SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |    FROM documents) GROUP BY lang, w)
+       |SELECT lang,
+       |  CAST(sum(cl) AS BIGINT) AS tokens,
+       |  CAST(sum(cl * len(w)) AS BIGINT) AS chars,
+       |  CAST(sum(cl * len(s)) AS BIGINT) AS symbols,
+       |  (CAST(sum(cl * len(s)) AS BIGINT) * 1000000)
+       |    // CAST(sum(cl * len(w)) AS BIGINT) AS compression_ppm
+       |FROM lv JOIN seqs$BpeMerges USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> duckBpeSql,
+    "text_bpe_encode" -> duckBpeEncodeSql,
     "text_search_rank" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

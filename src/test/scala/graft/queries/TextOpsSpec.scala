@@ -284,4 +284,70 @@ class TextOpsSpec extends AnyFunSuite {
       .as[Int].collect().head
     assert(hits === 2)
   }
+
+  /** Sequential reference BPE: textbook overlap-counting pair stats and
+    * greedy left-to-right merge application, used to pin the
+    * distributed loop.
+    */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(Long, String, String, Long)] = {
+    var seqs = words.toSeq.map { case (w, c) => (w.split("").filter(_.nonEmpty).toSeq, c) }
+    val out = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    for (round <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((s, c) <- seqs; i <- 0 until s.length - 1) counts((s(i), s(i + 1))) += c
+      if (counts.nonEmpty && out.length == round - 1) {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((round.toLong, l, r, cnt))
+        seqs = seqs.map { case (s, c) =>
+          val b = scala.collection.mutable.Buffer[String]()
+          for (x <- s) {
+            if (b.nonEmpty && b.last == l && x == r) b(b.length - 1) = l + r
+            else b += x
+          }
+          (b.toSeq, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe training matches the sequential reference on planted and real corpora") {
+    // Planted: forces a second-level merge (the learned symbol 'ab'
+    // must itself pair and win round 2) and a tie broken lexically.
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_docs").toString
+    Seq((1L, "abab abab abc", "en", "t", 0L), (2L, "abab cd cd", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val words = Map("abab" -> 3L, "abc" -> 1L, "cd" -> 2L)
+    val got = TextOps.bpeTrain(spark, tmp)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === refBpe(words, TextOps.BpeMerges))
+    assert(got.head._2 === "a" && got.head._3 === "b",
+      "round 1 learns the dominant pair")
+    assert(got.exists(m => m._2 == "ab" || m._3 == "ab"),
+      "a later round merges the learned symbol itself")
+
+    // Real corpus: the distributed loop equals the reference computed
+    // from the same word counts.
+    val dir = "/root/testdata/sf0.001"
+    val corpusWords = graft.Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val gotCorpus = TextOps.bpeTrain(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(gotCorpus === refBpe(corpusWords, TextOps.BpeMerges))
+
+    // The encode report is internally consistent: every word encodes to
+    // between 1 and len(word) symbols, so tokens <= symbols <= chars,
+    // merges strictly compress a corpus containing the learned pairs,
+    // and the ppm is the exact integer quotient.
+    val enc = TextOps.bpeEncode(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (_, toks, chars, syms, ppm) =>
+      assert(toks <= syms && syms < chars)
+      assert(ppm === syms * 1000000L / chars)
+    }
+  }
 }
