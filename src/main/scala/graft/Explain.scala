@@ -30,7 +30,10 @@ object Explain {
     "text_search_phrase", "graph_bfs", "dedup_cdc", "dedup_cdc_incr",
     "sample_decontam_emb", "neardup_simhash_incr", "simsearch_pq_incr",
     "graph_pagerank_conv", "multimodal_decode", "multimodal_audio",
-    "multimodal_quarantine", "neardup_embedding_incr")
+    "multimodal_quarantine", "neardup_embedding_incr",
+    "sample_temperature", "audit_drift", "dedup_cdc_cross",
+    "embed_centroids_incr", "simsearch_hybrid", "text_bpe_train",
+    "text_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
