@@ -181,14 +181,17 @@ object GraphOps {
     * canonical graph, BEFORE any edge is dropped, so the cut is a pure
     * per-edge predicate and two capped components never re-merge).
     */
-  def trianglesOf(e: DataFrame, maxDeg: Int = TriangleMaxDeg): DataFrame = {
-    // The canonical edge set is referenced three times (degree build +
-    // attach join) and the oriented set three more (both wedge sides +
-    // closing probe); without materialization each reference re-derives
-    // the whole upstream chain — six corpus scans in the registered
-    // query's plan (no exchange subtree repeats exactly, so ReuseExchange
-    // never fires). localCheckpoint both once — the connectedGroups
-    // posture: at scale you materialize the edge list, then count.
+  /** Canonical undirected edges with both endpoint degrees attached and
+    * the [[TriangleMaxDeg]] hub stoplist applied — the shared front end
+    * of [[trianglesOf]] and [[commonNeighborsOf]]. The edge set is
+    * referenced multiple times downstream (degree build + attach joins
+    * + wedge sides); without materialization each reference re-derives
+    * the whole upstream chain (no exchange subtree repeats exactly, so
+    * ReuseExchange never fires). localCheckpoint once — the
+    * connectedGroups posture: at scale you materialize the edge list,
+    * then count.
+    */
+  private def cappedUndirected(e: DataFrame, maxDeg: Int): DataFrame = {
     val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -199,10 +202,14 @@ object GraphOps {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val withDeg = und
+    und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .filter(col("da") <= maxDeg && col("db") <= maxDeg)
+  }
+
+  def trianglesOf(e: DataFrame, maxDeg: Int = TriangleMaxDeg): DataFrame = {
+    val withDeg = cappedUndirected(e, maxDeg)
     // Orient lower (degree, id) → higher; carry the head's rank so the
     // wedge pair below can canonicalize without another degree join.
     val aFirst = col("da") < col("db") ||
@@ -224,6 +231,44 @@ object GraphOps {
     wedges.join(oriented.select(col("lo").as("p"), col("hi").as("q")),
         Seq("p", "q"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Pairs reported by [[commonNeighbors]]. */
+  val CnTopK = 15
+
+  /** Link prediction by common-neighbor counting — the classic
+    * first-order recommender/link-prediction baseline: for every
+    * UNCONNECTED node pair, how many neighbors they share, top
+    * [[CnTopK]] pairs. Unlike triangle counting (where rooting each
+    * wedge at its min-rank corner suffices), common-neighbor counting
+    * needs EVERY wedge regardless of center rank, so the fan-out per
+    * center is degree² — which is exactly why the [[TriangleMaxDeg]]
+    * hub stoplist applies here too: a capped center contributes at most
+    * cap²/2 pairs (the `BandedPairs` cap discipline on graphs), and the
+    * celebrity hub whose wedges would dominate — and mean nothing for
+    * link prediction — is dropped, with the same constant mirrored in
+    * the oracle.
+    *
+    * Shape: one canonical-edge materialization shared with the triangle
+    * query, a degree-bounded adjacency self-join on the center key, one
+    * pair-count aggregation, an anti-join removing already-connected
+    * pairs, TakeOrderedAndProject head.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame =
+    commonNeighborsOf(edges(Tables.documents(spark, dir)), TriangleMaxDeg, CnTopK)
+
+  def commonNeighborsOf(e: DataFrame, maxDeg: Int, k: Int): DataFrame = {
+    val kept = cappedUndirected(e, maxDeg).select("a", "b").localCheckpoint()
+    val adj = kept.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(kept.select(col("b").as("u"), col("a").as("v")))
+    val wedgePairs = adj
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    wedgePairs.groupBy("v", "w").agg(count(lit(1)).as("common"))
+      .join(kept.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_anti")
+      .select(col("v").as("a"), col("w").as("b"), col("common"))
+      .orderBy(desc("common"), asc("a"), asc("b"))
+      .limit(k)
   }
 
   /** BFS seed node for [[bfs]]. */
@@ -297,6 +342,7 @@ object GraphOps {
     "graph_pagerank" -> (pagerank _),
     "graph_pagerank_conv" -> (pagerankConv _),
     "graph_triangles" -> (triangles _),
+    "graph_common_neighbors" -> (commonNeighbors _),
     "graph_bfs" -> (bfs _),
   )
 
@@ -371,6 +417,34 @@ object GraphOps {
           |FROM kept x
           |JOIN kept y ON y.a = x.b
           |JOIN kept z ON z.a = x.a AND z.b = y.b""".stripMargin,
+    // Same capped edge CTEs as graph_triangles; the adjacency self-join
+    // on the center with v < w enumerates each unordered neighbor pair
+    // once per shared neighbor — count-identical to the Spark plan.
+    "graph_common_neighbors" ->
+      s"""WITH e AS (
+          |$duckEdges),
+          |und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM e WHERE src <> dst),
+          |deg AS (
+          |  SELECT v, count(*) AS d FROM (
+          |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+          |  GROUP BY v),
+          |kept AS (
+          |  SELECT a, b FROM und
+          |  JOIN deg da ON da.v = und.a
+          |  JOIN deg db ON db.v = und.b
+          |  WHERE da.d <= $TriangleMaxDeg AND db.d <= $TriangleMaxDeg),
+          |adj AS (
+          |  SELECT a AS u, b AS v FROM kept
+          |  UNION ALL SELECT b AS u, a AS v FROM kept),
+          |cn AS (
+          |  SELECT x.v AS a, y.v AS b, count(*) AS common
+          |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+          |  GROUP BY x.v, y.v)
+          |SELECT a, b, common FROM cn
+          |WHERE NOT EXISTS (SELECT 1 FROM kept WHERE kept.a = cn.a AND kept.b = cn.b)
+          |ORDER BY common DESC, a, b LIMIT $CnTopK""".stripMargin,
     "graph_pagerank" -> duckPagerankSql,
     // The convergence loop at tol=0 / maxIters=Iters runs exactly the
     // unrolled rounds — one oracle, two plans under the gate.

@@ -78,4 +78,21 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
+
+  test("common neighbors predicts unconnected pairs and respects the hub cap") {
+    import spark.implicits._
+    // Star 0-{1,2,3} plus edge 1-2: unconnected pairs sharing a
+    // neighbor are (1,3) and (2,3) via 0; (1,2) is connected and must
+    // not appear; (0, x) pairs are all connected.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.commonNeighborsOf(e, maxDeg = 1024, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 1L), (2L, 3L, 1L)))
+    // Hub stoplist: capping degree at 2 drops node 0 (degree 3), so the
+    // only surviving wedge center is 1/2 (degree 2 each) — but their
+    // edges all connect existing pairs, leaving no predictions.
+    val capped = GraphOps.commonNeighborsOf(e, maxDeg = 2, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.isEmpty, "hub-capped graph yields no wedges through the hub")
+  }
 }
