@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.queries.DedupOps
 
@@ -212,4 +212,63 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: Dataset[Row], id: Long) =>
         chunkProbeAndAppend(batch.toDF(), id, indexDir, reportDir))
+
+  // ---- Streaming trending words: the Misra-Gries summary as LIVE
+  // stream state — the streaming twin of `text_heavyhitters_incr`
+  // (there, history is a persisted parquet summary merged per batch;
+  // here, the same O(k) summary lives in the state store and every
+  // micro-batch folds into it via the identical mergeable-summaries
+  // merge, so batch and stream maintenance provably share one
+  // algorithm).
+
+  /** Token shards for [[trendingWords]]: state is ONE summary per
+    * shard, so memory is shards × O(k) regardless of vocabulary, and
+    * shards bound the per-group work. A token always hashes to the same
+    * shard, so each shard's summary is an exact Misra-Gries over its
+    * own token substream — the superset guarantee holds per shard with
+    * N = that shard's token count.
+    */
+  val TrendShards = 4
+
+  /** Summary size per shard for [[trendingWords]]. */
+  val TrendK = 8
+
+  case class TokenShard(shard: Int, w: String)
+  case class TrendState(m: Map[String, Long])
+  case class Trend(shard: Int, word: String, est: Long)
+
+  /** Streaming trending words via `flatMapGroupsWithState`: each
+    * micro-batch's tokens are exact-counted per shard (transient,
+    * bounded by the batch), pruned to a Misra-Gries k-summary, and
+    * merged into the shard's persisted state with the SAME
+    * [[graft.functions.MisraGries.mergeMaps]] the batch aggregator and
+    * the incremental query use — state never exceeds k entries, and the
+    * merged error bound N/(k+1) is the mergeable-summaries theorem.
+    * Every trigger emits the shard's current candidates (Update mode),
+    * so a dashboard reads live heavy-hitter estimates whose true counts
+    * can only be under-stated, never missed (count > N/(k+1) ⇒
+    * present).
+    */
+  def trendingWords(docs: Dataset[Doc], k: Int = TrendK,
+      shards: Int = TrendShards): Dataset[Trend] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => d.text.split(" ").iterator.filter(_.nonEmpty)
+        .map(w => TokenShard(math.floorMod(w.hashCode, shards), w)))
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[TrendState, Trend](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, toks: Iterator[TokenShard], state: GroupState[TrendState]) =>
+          val batch = toks.foldLeft(Map.empty[String, Long]) { (m, t) =>
+            m.updated(t.w, m.getOrElse(t.w, 0L) + 1L)
+          }
+          val merged = graft.functions.MisraGries.mergeMaps(
+            state.getOption.map(_.m).getOrElse(Map.empty),
+            graft.functions.MisraGries.mergeMaps(batch, Map.empty, k), k)
+          state.update(TrendState(merged))
+          val packed = graft.functions.MisraGries.pack(merged)
+          packed.words.iterator.zip(packed.counts.iterator)
+            .map { case (w, c) => Trend(shard, w, c) }
+      }
+  }
 }

@@ -177,4 +177,31 @@ class DocStreamSpec extends AnyFunSuite {
     assert(fresh(30L) === 0L, "seeded content fully known to the stream-built index")
     assert(fresh(31L) > 0L, "unseen content fresh")
   }
+
+  test("golden: trending words maintain a Misra-Gries summary across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // One shard so the golden arithmetic below is the whole state.
+    val q = DocStream.trendingWords(in.toDS(), k = 3, shards = 1)
+      .writeStream.format("memory").queryName("trends").outputMode("update")
+      .start()
+    try {
+      // Batch 0: counts {a:3, b:2, c:1} — fits in k=3, kept exactly.
+      in.addData(Doc(1L, "a a a b b c"))
+      q.processAllAvailable()
+      val afterB0 = spark.table("trends")
+        .as[(Int, String, Long)].collect().toSet
+      assert(afterB0 === Set((0, "a", 3L), (0, "b", 2L), (0, "c", 1L)))
+      // Batch 1: 4×d. Combined {a:3,b:2,c:1,d:4} overflows k=3 → the
+      // mergeable-summaries cut subtracts the 4th-largest (1):
+      // {d:3, a:2, b:1}, c cancelled. True heavies (count > N/(k+1) =
+      // 10/4) are a and d — both must survive, and do.
+      in.addData(Doc(2L, "d d d d"))
+      q.processAllAvailable()
+      val finalRows = spark.table("trends")
+        .as[(Int, String, Long)].collect().toSet -- afterB0
+      assert(finalRows === Set((0, "d", 3L), (0, "a", 2L), (0, "b", 1L)))
+    } finally q.stop()
+  }
 }
