@@ -880,6 +880,72 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom geometry for [[bloomDedup]]: m bits (packed into m/32 words
+    * — 2 KB total; 32-bit packing because DuckDB's checked BIGINT shift
+    * rejects `1 << 63`, and the oracle must evaluate the identical
+    * filter) probed k ways. Deterministic (fixed salted portable64
+    * positions), so unlike the engine's runtime bloom join
+    * (`join_bloom`), this one is a PORTABLE artifact with an exact
+    * cross-engine oracle: any system that can md5 can evaluate the same
+    * filter.
+    */
+  val BloomBits = 16384
+  val BloomProbes = 3
+
+  /** The k salted bit positions of a 64-bit content hash. */
+  private def bloomPositions(h: Column): Column =
+    array((0 until BloomProbes).map { i =>
+      pmod(portable64(concat(lit(s"bf$i:"), h.cast("string"))), lit(BloomBits.toLong))
+    }: _*)
+
+  /** Bloom-filter incremental dedup pre-filter — the at-scale front end
+    * of [[incremental]]: instead of shipping the history's full hash
+    * set to every ingest worker, history compresses into a [[BloomBits]]-
+    * bit filter (2 KB, corpus-size-independent) that broadcasts
+    * everywhere; a batch document whose k probe bits are all set is
+    * "maybe seen" and only those routed to the exact anti-join, while a
+    * clear bit proves novelty with NO false negatives. The report
+    * audits the trade on the harness corpus: batch size, flagged count,
+    * true duplicates (ground truth via the exact join), false
+    * positives, and the realized FP rate in ppm over the clean
+    * population — the number that sizes m/k in production.
+    *
+    * Scale shape: the build is one scan + a bit-or aggregation over
+    * ≤ m/64 groups; the packed filter broadcasts to the probe scan
+    * (map-side membership test); the exact join runs only for the
+    * audit. Everything is integer/deterministic — exact value oracle.
+    */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"), portable64(col("text")).as("h"))
+    val hist = d.filter(col("split") === "train").select("h").distinct()
+    val words = hist
+      .select(explode(bloomPositions(col("h"))).as("p"))
+      .select(expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+    val batch = d.filter(col("split") =!= "train").select("doc_id", "h")
+    val maybe = batch
+      .select(col("doc_id"), col("h"), explode(bloomPositions(col("h"))).as("p"))
+      .select(col("doc_id"), col("h"),
+        expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .join(broadcast(words), Seq("word"), "left")
+      .select(col("doc_id"), col("h"),
+        when(expr("bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"),
+          1L).otherwise(0L).as("hit"))
+      .groupBy("doc_id", "h")
+      .agg(min(col("hit")).as("maybe"))
+    val truth = maybe.join(hist.withColumn("dup", lit(1L)), Seq("h"), "left")
+    truth.agg(
+        count(lit(1)).as("batch_docs"),
+        sum(col("maybe")).as("flagged"),
+        sum(coalesce(col("dup"), lit(0L))).as("true_dups"),
+        sum(when(col("maybe") === 1L && col("dup").isNull, 1L).otherwise(0L))
+          .as("false_pos"))
+      .select(col("batch_docs"), col("flagged"), col("true_dups"), col("false_pos"),
+        expr("(false_pos * 1000000) div greatest(batch_docs - true_dups, 1L)").as("fp_ppm"))
+  }
+
   /** Passages reported by [[cdcCross]]. */
   val CdcCrossTopK = 20
 
@@ -938,6 +1004,7 @@ object DedupOps {
     "dedup_cdc" -> (cdcDedup _),
     "dedup_cdc_incr" -> (cdcIncremental _),
     "dedup_cdc_cross" -> (cdcCross _),
+    "dedup_bloom" -> (bloomDedup _),
     "neardup_pipeline" -> (neardupPipeline _),
     "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
@@ -1310,6 +1377,48 @@ object DedupOps {
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,
+    // The bloom filter is a deterministic artifact (salted portable64
+    // positions, fixed geometry), so build + probe + FP audit all carry
+    // an exact value oracle; the range table stands in for the k probes.
+    "dedup_bloom" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${SampleOps.duckSplitCase(SampleOps.duckBucket("doc_id"))} AS split,
+         |    ${duckPortable64("text")} AS h
+         |  FROM documents),
+         |hist AS (SELECT DISTINCT h FROM d WHERE split = 'train'),
+         |pos AS (
+         |  SELECT h,
+         |    ${duckPortable64("concat('bf', CAST(r.range AS VARCHAR), ':', CAST(h AS VARCHAR))")}
+         |      % $BloomBits AS p
+         |  FROM hist, range(0, $BloomProbes) r),
+         |words AS (
+         |  SELECT p // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM pos GROUP BY p // 32),
+         |batch AS (SELECT doc_id, h FROM d WHERE split <> 'train'),
+         |bp AS (
+         |  SELECT doc_id, h,
+         |    ${duckPortable64("concat('bf', CAST(r.range AS VARCHAR), ':', CAST(h AS VARCHAR))")}
+         |      % $BloomBits AS p
+         |  FROM batch, range(0, $BloomProbes) r),
+         |mb AS (
+         |  SELECT bp.doc_id, bp.h,
+         |    min(CASE WHEN words.bits IS NOT NULL
+         |          AND (words.bits & (CAST(1 AS BIGINT) << CAST(bp.p % 32 AS INT))) != 0
+         |        THEN 1 ELSE 0 END) AS maybe
+         |  FROM bp LEFT JOIN words ON bp.p // 32 = words.word
+         |  GROUP BY bp.doc_id, bp.h),
+         |t AS (
+         |  SELECT mb.maybe, CASE WHEN hist.h IS NULL THEN 0 ELSE 1 END AS dup
+         |  FROM mb LEFT JOIN hist ON mb.h = hist.h)
+         |SELECT CAST(count(*) AS BIGINT) AS batch_docs,
+         |  CAST(sum(maybe) AS BIGINT) AS flagged,
+         |  CAST(sum(dup) AS BIGINT) AS true_dups,
+         |  CAST(sum(CASE WHEN maybe = 1 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+         |  (CAST(sum(CASE WHEN maybe = 1 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // greatest(CAST(count(*) AS BIGINT) - CAST(sum(dup) AS BIGINT), 1) AS fp_ppm
+         |FROM t""".stripMargin,
     // Split CASE generated from SampleOps' constants; hashes are only
     // ever compared engine-internally (anti-join within one engine), so
     // the check is representation-independent by construction.

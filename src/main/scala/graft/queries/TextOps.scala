@@ -793,6 +793,63 @@ object TextOps {
       .limit(PhraseTopK)
   }
 
+  /** Count-min geometry for [[countMin]]: d hash rows × w counters.
+    * Error bound: est − true ≤ e·N/w with probability 1 − e^−d over the
+    * hash draw; here the "draw" is the fixed salted portable64 family,
+    * so the whole sketch is DETERMINISTIC — which is what buys it an
+    * exact cross-engine value oracle, unlike the randomized-compaction
+    * KLL/HLL sketches that can only be rows-only checked.
+    */
+  val CmRows = 4
+  val CmWidth = 256
+
+  /** Words probed by [[countMin]]. */
+  val CmTopQ = 20
+
+  /** Count-min sketch frequency estimation — the bounded-memory
+    * frequency table for a vocabulary too large to count exactly: the
+    * sketch is d×w counters (a constant-size artifact at ANY vocabulary
+    * — the point at 100 TB where the exact wordcount's key space is the
+    * corpus vocabulary), each token increments one counter per row
+    * (salted hash), and a word's estimate is the MIN over its d
+    * counters — an over-estimate by construction, never an
+    * under-estimate. The query reports the [[CmTopQ]] heaviest words'
+    * exact counts next to their sketch estimates with the non-negative
+    * overcount, making the bound auditable row by row.
+    *
+    * Scale shape: the build is one scan + a d×w-group aggregation
+    * (256·4 groups — the exchange carries counter-level volume); the
+    * constant-size sketch broadcasts to the probe join. The exact
+    * wordcount here exists to AUDIT the sketch on the harness corpus;
+    * production ships only the sketch.
+    */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    def cells(w: Column): Column = array((0 until CmRows).map { j =>
+      struct(lit(j.toLong).as("j"),
+        pmod(graft.queries.DedupOps.portable64(concat(lit(s"cm$j:"), w)),
+          lit(CmWidth.toLong)).as("idx"))
+    }: _*)
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+    val sketch = tok
+      .select(explode(cells(col("w"))).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.idx").as("idx"))
+      .agg(count(lit(1)).as("c"))
+    val q = tok.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("w"))
+      .limit(CmTopQ)
+    q.select(col("w"), col("exact"), explode(cells(col("w"))).as("p"))
+      .select(col("w"), col("exact"), col("p.j").as("j"), col("p.idx").as("idx"))
+      .join(broadcast(sketch), Seq("j", "idx"))
+      .groupBy("w", "exact")
+      .agg(min(col("c")).as("est"))
+      .select(col("w"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(desc("exact"), asc("w"))
+  }
+
   /** Merge rounds learned by [[bpeTrain]]. */
   val BpeMerges = 6
 
@@ -922,6 +979,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_countmin" -> (countMin _),
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_phrase" -> (searchPhrase _),
@@ -1052,6 +1110,34 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> duckBpeSql,
     "text_bpe_encode" -> duckBpeEncodeSql,
+    // The sketch is deterministic (fixed salted portable64 family), so
+    // the whole build+probe carries an exact value oracle; the range
+    // table stands in for the d hash rows.
+    "text_countmin" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+         |  FROM documents),
+         |cell AS (
+         |  SELECT r.range AS j,
+         |    ${graft.queries.DedupOps.duckPortable64(
+               "concat('cm', CAST(r.range AS VARCHAR), ':', w)")} % $CmWidth AS idx,
+         |    w
+         |  FROM tok, range(0, $CmRows) r),
+         |sketch AS (
+         |  SELECT j, idx, count(*) AS c FROM cell GROUP BY j, idx),
+         |q AS (
+         |  SELECT w, count(*) AS exact FROM tok GROUP BY w
+         |  ORDER BY exact DESC, w LIMIT $CmTopQ),
+         |probe AS (
+         |  SELECT q.w, q.exact, r.range AS j,
+         |    ${graft.queries.DedupOps.duckPortable64(
+               "concat('cm', CAST(r.range AS VARCHAR), ':', q.w)")} % $CmWidth AS idx
+         |  FROM q, range(0, $CmRows) r)
+         |SELECT probe.w, probe.exact, min(sketch.c) AS est,
+         |  min(sketch.c) - probe.exact AS overcount
+         |FROM probe JOIN sketch USING (j, idx)
+         |GROUP BY probe.w, probe.exact
+         |ORDER BY exact DESC, w""".stripMargin,
     "text_search_rank" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

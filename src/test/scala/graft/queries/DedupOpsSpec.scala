@@ -319,6 +319,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows(1L)._1 === refCdcHashes(base).length.toLong)
   }
 
+  test("bloom pre-filter never misses a true duplicate and audits consistently") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_docs").toString
+    // 300 docs; every 10th shares its text with its predecessor, so
+    // SOME duplicate pairs straddle the hash-split boundary.
+    val docs = (0 until 300).map { i =>
+      val text = if (i % 10 == 9) s"doc body ${i - 1}" else s"doc body $i"
+      (i.toLong, text, "en", "t", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    // Expected ground truth via the same split assignment.
+    val d = SampleOps.withSplit(graft.Tables.documents(spark, tmp))
+      .select(col("doc_id"), col("split"), col("text"))
+      .as[(Long, String, String)].collect()
+    val histTexts = d.filter(_._2 == "train").map(_._3).toSet
+    val batch = d.filter(_._2 != "train")
+    val wantDups = batch.count(b => histTexts.contains(b._3)).toLong
+    assert(wantDups > 0L, "the planted corpus must have cross-split duplicates")
+
+    val (batchDocs, flagged, trueDups, falsePos, fpPpm) =
+      DedupOps.bloomDedup(spark, tmp)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(batchDocs === batch.length.toLong)
+    assert(trueDups === wantDups)
+    // The defining property: a set bit can lie, a clear bit cannot —
+    // every true duplicate is flagged.
+    assert(flagged >= trueDups, "bloom must never miss a true duplicate")
+    assert(falsePos === flagged - trueDups)
+    assert(fpPpm === falsePos * 1000000L / math.max(batchDocs - trueDups, 1L))
+  }
+
   test("cdc cross-document ranking surfaces the shared passage only") {
     val tmp = java.nio.file.Files.createTempDirectory("cdc_cross").toString
     // Three docs embed the SAME passage between distinct prefixes and

@@ -285,6 +285,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hits === 2)
   }
 
+  test("count-min estimates never under-count and collide under load") {
+    // 600 distinct words forced into 256 counters per row: collisions
+    // are guaranteed by pigeonhole, so some overcount must be positive —
+    // while the min-over-rows estimate can never drop below the truth.
+    val tmp = java.nio.file.Files.createTempDirectory("cm_docs").toString
+    val text = (0 until 600).map(i => s"w$i").mkString(" ") + " hot hot hot hot"
+    Seq((1L, text, "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.countMin(spark, tmp)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === TextOps.CmTopQ)
+    rows.foreach { case (w, exact, est, over) =>
+      assert(est >= exact, s"$w under-counted: est $est < exact $exact")
+      assert(over === est - exact)
+    }
+    assert(rows.head._1 === "hot" && rows.head._2 === 4L,
+      "the heaviest word ranks first with its exact count")
+    // Pigeonhole: 601 words in 256 counters collide in every row; the
+    // probability that some probed word's FOUR counters are all
+    // collision-free is essentially nil for this fixed hash family.
+    assert(rows.exists(_._4 > 0L), "expected at least one overcount")
+  }
+
   /** Sequential reference BPE: textbook overlap-counting pair stats and
     * greedy left-to-right merge application, used to pin the
     * distributed loop.
