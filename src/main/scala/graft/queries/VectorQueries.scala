@@ -687,6 +687,56 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** Points selected by [[kCenter]] beyond the seed. */
+  val KCenterRounds = 6
+
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-sampling pass a data-curation pipeline runs to pick a
+    * maximally-spread subset of an embedded corpus (dedup keeps the
+    * corpus non-redundant; THIS keeps a SAMPLE representative): start
+    * from the seed vector, then [[KCenterRounds]] times pick the vector
+    * whose nearest already-chosen center is farthest away (here:
+    * smallest maximum cosine, ties to the lowest id — a total order,
+    * so the greedy sequence is fully deterministic). The classic
+    * 2-approximation to the k-center objective.
+    *
+    * Scale shape: each round is ONE corpus scan scoring against the
+    * broadcast chosen set (≤ k rows — a model-artifact-sized
+    * broadcast), a partial-aggregated per-vector max, and a
+    * TakeOrderedAndProject argmin; driver traffic is one row per round
+    * (the `pagerankLoop` probe posture). Zero-norm vectors coalesce to
+    * similarity 1.0 (nearest possible), so degenerate rows are never
+    * selected as "far". The oracle unrolls the rounds into generated
+    * CTEs — the BPE/pagerank technique.
+    *
+    * Output: selection order, the chosen vector, and its max similarity
+    * to the previously-chosen set (the covering-radius trace; the seed
+    * reports the −2.0 sentinel).
+    */
+  def kCenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).localCheckpoint()
+    var chosen = Seq((0L, QueryVecId.toLong, -2.0))
+    for (round <- 1 to KCenterRounds) {
+      val chosenDf = chosen.map(_._2).toDF("cid")
+        .join(e.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
+      val pick = e
+        .filter(!col("vec_id").isin(chosen.map(_._2): _*))
+        .crossJoin(broadcast(chosenDf))
+        .select(col("vec_id"),
+          coalesce(VectorOps.cosine(col("v"), col("cv")), lit(1.0)).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(col("sim")).as("near"))
+        .orderBy(asc("near"), asc("vec_id"))
+        .limit(1)
+        .as[(Long, Double)]
+        .collect()
+        .head
+      chosen = chosen :+ ((round.toLong, pick._1, pick._2))
+    }
+    chosen.toDF("rank", "vec_id", "far_sim").orderBy("rank")
+  }
+
   /** [[hybrid]] constants: how many of the query document's terms the
     * lexical channel keeps (the most SELECTIVE ones — lowest doc
     * frequency — the standard query-term-selection pruning that bounds
@@ -804,6 +854,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_knn_batch" -> (knnBatch _),
     "simsearch_hybrid" -> (hybrid _),
+    "sample_kcenter" -> (kCenter _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
@@ -923,6 +974,31 @@ object VectorQueries {
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
          |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB twin of [[kCenter]]: the greedy rounds unrolled into
+    * generated CTEs (chosen-set join, per-vector max similarity, the
+    * total-order argmin, cumulative union) — each round rendered from
+    * the same constants and the shared cosine tree.
+    */
+  private val duckKCenterSql: String = {
+    val rounds = (1 to KCenterRounds).map { i =>
+      s"""cset$i AS (SELECT e.vec_id, e.v AS cv FROM e JOIN ch${i - 1} USING (vec_id)),
+         |cand$i AS (
+         |  SELECT x.vec_id, max(coalesce(${VectorOps.cosineSql("x.v", "c.cv")}, 1.0)) AS near
+         |  FROM e x, cset$i c
+         |  WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+         |  GROUP BY x.vec_id),
+         |pick$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, vec_id, near AS far_sim
+         |  FROM cand$i ORDER BY near, vec_id LIMIT 1),
+         |ch$i AS (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($CastEmb),
+       |ch0 AS (SELECT CAST(0 AS BIGINT) AS rank,
+       |        CAST($QueryVecId AS BIGINT) AS vec_id, -2.0 AS far_sim),
+       |$rounds
+       |SELECT rank, vec_id, far_sim FROM ch$KCenterRounds ORDER BY rank""".stripMargin
+  }
+
   // float→double is exact, x*1e6 is one IEEE-defined multiply, floor
   // and BIGINT sums are integer-exact — no engine can disagree. sum()
   // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT. Shared by
@@ -937,6 +1013,7 @@ object VectorQueries {
        |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sample_kcenter" -> duckKCenterSql,
     // Both channel pools are rank-filtered AFTER a fully tie-broken
     // order (≡ Spark's limit-then-rank); RRF arithmetic is all-integer.
     "simsearch_hybrid" ->

@@ -253,6 +253,19 @@ class VectorQueriesSpec extends AnyFunSuite {
     rows.find(_._3 == 1L).foreach { case (id, _, _, _) => assert(id === bruteTop) }
   }
 
+  test("k-center picks are distinct and the covering radius tightens monotonically") {
+    val rows = VectorQueries.kCenter(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length === VectorQueries.KCenterRounds + 1)
+    assert(rows.map(_._2).distinct.length === rows.length, "no vector chosen twice")
+    assert(rows.head === ((0L, 0L, -2.0)), "the seed opens the sequence")
+    // Greedy k-center: as the chosen set grows, the farthest remaining
+    // point can only get nearer — far_sim is non-decreasing over ranks.
+    val sims = rows.drop(1).map(_._3)
+    assert(sims.sameElements(sims.sorted),
+      s"covering radius must tighten monotonically: ${sims.mkString(", ")}")
+  }
+
   test("incremental centroid merge equals the full rebuild exactly") {
     // Integer micro-unit sums are associative, so persisted history +
     // batch merge must reproduce the full-corpus build bit-for-bit —
