@@ -32,6 +32,30 @@ object EventOps {
         col("event_type"), col("cnt"), col("value_sum"))
       .orderBy("hour_start", "event_type")
 
+  /** OHLC resampling — the financial-style open/high/low/close rollup
+    * applied to the event stream: per (event_type, hour), the first
+    * value, the extremes, and the last value of the bucket. Open/close
+    * ride `min_by`/`max_by` over the (ts, event_id) composite — a
+    * single partial-aggregated pass with two-long state per group,
+    * where the window-rank formulation would sort whole buckets; the
+    * event_id tie-break makes both picks total-order deterministic.
+    * No arithmetic touches the doubles (pure selection), so the result
+    * is value-exact on any engine.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("cnt"))
+      .orderBy("hour_start", "event_type")
+
   /** Latest event per user (CDC latest-record-wins dedup): one
     * range-partition-free window pass, deterministic via the
     * (ts, event_id) tie-break.
@@ -437,6 +461,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> (hourly _),
+    "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
     "events_sessions_native" -> (sessionsNative _),
@@ -477,6 +502,29 @@ object EventOps {
          |  event_type, count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Open/close via explicit (ts, event_id)-ordered row_numbers — the
+    // rank twin of min_by/max_by over the composite; pure selection, no
+    // double arithmetic, so values are bit-identical.
+    "events_ohlc" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
+         |    value, epoch_us($TsCast) AS us, event_id
+         |  FROM events),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, hour_start
+         |      ORDER BY us, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY event_type, hour_start
+         |      ORDER BY us DESC, event_id DESC) AS rnd
+         |  FROM b)
+         |SELECT hour_start, event_type,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  count(*) AS cnt
+         |FROM r GROUP BY hour_start, event_type
+         |ORDER BY hour_start, event_type""".stripMargin,
     "events_latest" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

@@ -793,6 +793,48 @@ object TextOps {
       .limit(PhraseTopK)
   }
 
+  /** [[collocations]] knobs: minimum pair support and report size. */
+  val ColMinPair = 5
+  val ColTopK = 20
+
+  /** Collocation mining — adjacent word pairs ranked by the Dice
+    * association coefficient (2·c(ab) / (c(a)+c(b)), surfaced as exact
+    * integer ppm): the phrase-extraction pass that separates "machine
+    * learning"-style multiword units from pairs that co-occur only
+    * because both words are common. Dice is chosen over PMI
+    * deliberately — PMI's log hands the compare to each engine's libm
+    * (`text_tfidf`'s argument), while Dice is a pure integer ratio with
+    * the same ranking power for adjacent-pair mining. The
+    * [[ColMinPair]] support floor kills the noise pairs PMI-family
+    * scores notoriously inflate.
+    *
+    * Scale shape: bigram and unigram counts are wordcount-class
+    * shuffles; the two count-attach joins shuffle on the token key
+    * (deliberately NOT broadcast — the vocabulary grows with the
+    * corpus, the `text_rarity` argument); TakeOrderedAndProject head.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = toks
+      .select(explode_outer(symbolPairsOf(col("toks"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= ColMinPair)
+    val uni = toks
+      .select(explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    pairs
+      .join(uni.select(col("w").as("l"), col("c").as("ca")), Seq("l"))
+      .join(uni.select(col("w").as("r"), col("c").as("cb")), Seq("r"))
+      .select(col("l"), col("r"), col("cab"), col("ca"), col("cb"),
+        expr("(cab * 2000000) div (ca + cb)").as("dice_ppm"))
+      .orderBy(desc("dice_ppm"), desc("cab"), asc("l"), asc("r"))
+      .limit(ColTopK)
+  }
+
   /** Count-min geometry for [[countMin]]: d hash rows × w counters.
     * Error bound: est − true ≤ e·N/w with probability 1 − e^−d over the
     * hash draw; here the "draw" is the fixed salted portable64 family,
@@ -980,6 +1022,7 @@ object TextOps {
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_countmin" -> (countMin _),
+    "text_collocations" -> (collocations _),
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_phrase" -> (searchPhrase _),
@@ -1110,6 +1153,26 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> duckBpeSql,
     "text_bpe_encode" -> duckBpeEncodeSql,
+    // Pure integer Dice ratio — no log, no doubles; the bigram list
+    // mirrors symbolPairsOf's two-slice zip.
+    "text_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> {'l': tk[i], 'r': tk[i+1]})) AS p
+         |  FROM toks),
+         |pc AS (
+         |  SELECT p.l AS l, p.r AS r, count(*) AS cab FROM bg
+         |  GROUP BY p.l, p.r HAVING count(*) >= $ColMinPair),
+         |uc AS (
+         |  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) u
+         |  GROUP BY w)
+         |SELECT pc.l, pc.r, cab, ca.c AS ca, cb.c AS cb,
+         |  (cab * 2000000) // (ca.c + cb.c) AS dice_ppm
+         |FROM pc JOIN uc ca ON pc.l = ca.w JOIN uc cb ON pc.r = cb.w
+         |ORDER BY dice_ppm DESC, cab DESC, l, r LIMIT $ColTopK""".stripMargin,
     // The sketch is deterministic (fixed salted portable64 family), so
     // the whole build+probe carries an exact value oracle; the range
     // table stands in for the d hash rows.

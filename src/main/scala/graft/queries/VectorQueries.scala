@@ -687,6 +687,29 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** Similarity floor for [[rangeSearch]]. */
+  val RangeTau = 0.28
+
+  /** Radius (threshold) search — the retrieval mode top-k cannot
+    * express: ALL vectors within a similarity radius of the query,
+    * however many there are. Top-k answers "the 10 nearest"; range
+    * answers "everything closer than τ" — the primitive behind
+    * duplicate-radius sweeps and recall-controlled candidate
+    * generation. One scan, broadcast query row, map-side predicate —
+    * the filter prunes before any ordering, so the only ordered data is
+    * the survivors. At scale the same τ-predicate composes with the IVF
+    * cell pruning (`simsearch_ivf`'s scan fraction) unchanged.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("sim") >= RangeTau)
+      .orderBy(desc("sim"), asc("vec_id"))
+  }
+
   /** Points selected by [[kCenter]] beyond the seed. */
   val KCenterRounds = 6
 
@@ -855,6 +878,7 @@ object VectorQueries {
     "simsearch_knn_batch" -> (knnBatch _),
     "simsearch_hybrid" -> (hybrid _),
     "sample_kcenter" -> (kCenter _),
+    "simsearch_range" -> (rangeSearch _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
@@ -1014,6 +1038,14 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "sample_kcenter" -> duckKCenterSql,
+    "simsearch_range" ->
+      s"""WITH e AS ($CastEmb),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT vec_id, ${VectorOps.cosineSql("v", "qv")} AS sim
+         |FROM e CROSS JOIN q
+         |WHERE vec_id <> $QueryVecId
+         |  AND ${VectorOps.cosineSql("v", "qv")} >= $RangeTau
+         |ORDER BY sim DESC, vec_id""".stripMargin,
     // Both channel pools are rank-filtered AFTER a fully tie-broken
     // order (≡ Spark's limit-then-rank); RRF arithmetic is all-integer.
     "simsearch_hybrid" ->

@@ -246,4 +246,23 @@ class EventOpsSpec extends AnyFunSuite {
       assert(missingTag === cnt, "fixture payloads carry no $.tag field")
     }
   }
+
+  test("ohlc buckets are internally consistent and agree with hourly counts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventOps.ohlc(spark, dir)
+      .as[(Long, String, Double, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, open, high, low, close, cnt) =>
+      assert(low <= high && cnt >= 1L)
+      assert(low <= open && open <= high, "open inside the extremes")
+      assert(low <= close && close <= high, "close inside the extremes")
+      if (cnt == 1L) assert(open == close && open == high && high == low,
+        "a single-event bucket collapses to one value")
+    }
+    // Same bucketing as events_hourly: identical (bucket, type, cnt) sets.
+    val hourly = EventOps.hourly(spark, dir)
+      .select("hour_start", "event_type", "cnt")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2, r._7)).toSet === hourly)
+  }
 }

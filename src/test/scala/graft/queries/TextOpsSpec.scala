@@ -285,6 +285,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hits === 2)
   }
 
+  test("collocations score by exact Dice and keep the support floor") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.collocations(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.ColTopK)
+    rows.foreach { case (_, _, cab, ca, cb, dice) =>
+      assert(cab >= TextOps.ColMinPair)
+      assert(cab <= math.min(ca, cb), "a pair can't outnumber its words")
+      assert(dice === cab * 2000000L / (ca + cb), "exact integer Dice")
+    }
+    val key = rows.map { case (l, r, cab, _, _, d) => (-d, -cab, l, r) }
+    assert(key.sameElements(key.sorted), "rank order is deterministic")
+  }
+
   test("count-min estimates never under-count and collide under load") {
     // 600 distinct words forced into 256 counters per row: collisions
     // are guaranteed by pigeonhole, so some overcount must be positive —

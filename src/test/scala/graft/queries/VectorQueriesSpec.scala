@@ -253,6 +253,20 @@ class VectorQueriesSpec extends AnyFunSuite {
     rows.find(_._3 == 1L).foreach { case (id, _, _, _) => assert(id === bruteTop) }
   }
 
+  test("range search returns exactly the vectors above the radius, consistent with top-k") {
+    val range = VectorQueries.rangeSearch(spark, dir)
+      .as[(Long, Double)].collect()
+    range.foreach { case (id, sim) =>
+      assert(id != 0L && sim >= VectorQueries.RangeTau)
+    }
+    val key = range.map { case (id, sim) => (-sim, id) }
+    assert(key.sameElements(key.sorted))
+    // Every top-k hit above tau is in the range result with the same sim.
+    val topk = VectorQueries.topK(spark, dir).as[(Long, Double)].collect()
+      .filter(_._2 >= VectorQueries.RangeTau).toSet
+    assert(topk.subsetOf(range.toSet))
+  }
+
   test("k-center picks are distinct and the covering radius tightens monotonically") {
     val rows = VectorQueries.kCenter(spark, dir)
       .as[(Long, Long, Double)].collect()
