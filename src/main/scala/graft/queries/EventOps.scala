@@ -134,6 +134,44 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Match horizon for [[asofTolerance]], minutes. */
+  val AsofToleranceMin = 30
+
+  /** As-of join with a TOLERANCE — the pandas `merge_asof(tolerance=)`
+    * / kdb `wj` variant: each purchase is enriched with the latest
+    * preceding view ONLY if that view falls within
+    * [[AsofToleranceMin]] minutes; a staler match is worse than no
+    * match (attribution windows, sensor-reading freshness). Same
+    * union + running-last single-shuffle shape as `events_asof` — the
+    * window additionally carries the matched view's timestamp, and one
+    * row-local predicate nulls out matches beyond the horizon. No
+    * second shuffle, no range-pair expansion: the tolerance is a
+    * filter on the already-joined row, exactly how the scale-safe
+    * as-of handles every windowing variant.
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .select(col("user_id"), col("ts"), col("view_id"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("view_id"),
+        lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view", last("view_id", ignoreNulls = true).over(w))
+      .withColumn("last_view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("last_view_ts") >=
+            col("ts") - expr(s"INTERVAL $AsofToleranceMin MINUTES"),
+          col("last_view")).as("last_view"))
+      .orderBy("event_id")
+  }
+
   /** Funnel analysis (view → click → purchase, strictly increasing
     * timestamps): how many users reached each stage. This is sequential
     * pattern matching (MATCH_RECOGNIZE-lite) expressed Spark-first as
@@ -466,6 +504,7 @@ object EventOps {
     "events_sessions" -> (sessions _),
     "events_sessions_native" -> (sessionsNative _),
     "events_asof" -> (asofViewBeforePurchase _),
+    "events_asof_tol" -> (asofTolerance _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_json" -> (jsonProps _),
@@ -575,6 +614,22 @@ object EventOps {
          |  SELECT event_id, user_id, $TsCast AS ts
          |  FROM events WHERE event_type = 'purchase')
          |SELECT p.event_id, p.user_id, v.view_id AS last_view
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+    // The tolerance variant: the ASOF match is the latest preceding
+    // view by construction, so a match outside the horizon has no
+    // in-horizon substitute — NULLing it is exact.
+    "events_asof_tol" ->
+      s"""WITH v AS (
+         |  SELECT user_id, $TsCast AS ts, max(event_id) AS view_id
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, $TsCast),
+         |p AS (
+         |  SELECT event_id, user_id, $TsCast AS ts
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id,
+         |  CASE WHEN v.ts >= p.ts - INTERVAL $AsofToleranceMin MINUTE
+         |    THEN v.view_id END AS last_view
          |FROM p ASOF LEFT JOIN v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,

@@ -1105,7 +1105,7 @@ object TextOps {
          |      j -> {'l': s[j], 'r': s[j+1]})) AS x
          |    FROM seqs$i) GROUP BY x.l, x.r),
          |t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |seqs${i + 1} AS (
+         |seqs${i + 1} AS MATERIALIZED (
          |  SELECT w, c, list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]), list_transform(s, ch -> [ch])),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l AND x[1] = t.r
@@ -1113,11 +1113,11 @@ object TextOps {
          |      ELSE list_concat(acc, x) END) AS s
          |  FROM seqs$i, t$i t)""".stripMargin
     }.mkString(",\n")
-    s"""vocab AS (
+    s"""vocab AS MATERIALIZED (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
        |    FROM documents) GROUP BY w),
-       |seqs0 AS (
+       |seqs0 AS MATERIALIZED (
        |  SELECT w, c, list_filter(string_split(w, ''), ch -> ch <> '') AS s
        |  FROM vocab),
        |$rounds""".stripMargin

@@ -710,6 +710,59 @@ object VectorQueries {
       .orderBy(desc("sim"), asc("vec_id"))
   }
 
+  /** [[mmr]] knobs: candidate-pool depth, selections, and the λ = 0.5
+    * relevance/diversity trade (0.5 is a power of two, so the blend's
+    * double arithmetic is identical on every IEEE engine).
+    */
+  val MmrPool = 25
+  val MmrK = 10
+
+  /** Maximal-marginal-relevance re-ranking — the diversification pass a
+    * RAG retriever runs on its candidate pool so the k returned
+    * passages aren't k near-copies of the best one: greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected. The corpus-scale work (scoring the pool, the
+    * pool's pairwise similarities) is distributed; the greedy loop runs
+    * over the COLLECTED constant-size pool (25 rels + ≤ 25² sims — a
+    * model-artifact-sized value, the codebook/centroid precedent), which
+    * is exactly how production re-rankers operate. Fully deterministic:
+    * total (score desc, id) order each round, exact-λ arithmetic, and
+    * the oracle unrolls the greedy rounds into generated CTEs.
+    */
+  def mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    val pool = e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("rel"))
+      .filter(col("rel").isNotNull)
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(MmrPool)
+      .localCheckpoint()
+    val pv = pool.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val rels = pool.as[(Long, Double)].collect()
+    val sims = pv.as("x").crossJoin(pv.as("y"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        VectorOps.cosine(col("x.v"), col("y.v")).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val relOf = rels.toMap
+    // Greedy: seed with the most relevant, then λ-blend each round.
+    val first = rels.minBy { case (id, r) => (-r, id) }
+    var selected = Vector((1L, first._1, first._2, first._2))
+    while (selected.length < math.min(MmrK, rels.length)) {
+      val chosen = selected.map(_._2).toSet
+      val pick = rels.iterator.filterNot(c => chosen(c._1)).map { case (id, r) =>
+        val near = chosen.iterator.map(s => sims((id, s))).max
+        (id, r, 0.5 * r - 0.5 * near)
+      }.minBy { case (id, _, m) => (-m, id) }
+      selected = selected :+ ((selected.length + 1L, pick._1, pick._2, pick._3))
+    }
+    selected.toDF("rank", "vec_id", "rel", "mmr").orderBy("rank")
+  }
+
   /** Points selected by [[kCenter]] beyond the seed. */
   val KCenterRounds = 6
 
@@ -879,6 +932,7 @@ object VectorQueries {
     "simsearch_hybrid" -> (hybrid _),
     "sample_kcenter" -> (kCenter _),
     "simsearch_range" -> (rangeSearch _),
+    "simsearch_mmr" -> (mmr _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
@@ -998,6 +1052,43 @@ object VectorQueries {
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id CROSS JOIN q
          |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB twin of [[mmr]]: pool + pairwise sims as CTEs, then the
+    * greedy rounds unrolled — each round's argmax over the remaining
+    * pool with the λ-blend rendered from the same constants.
+    */
+  private val duckMmrSql: String = {
+    val rounds = (2 to MmrK).map { i =>
+      s"""cand$i AS (
+         |  SELECT p.vec_id, p.rel, 0.5 * p.rel - 0.5 * max(ps.s) AS mmr
+         |  FROM pool p
+         |  JOIN ps ON ps.a = p.vec_id
+         |  JOIN acc${i - 1} s ON ps.b = s.vec_id
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})
+         |  GROUP BY p.vec_id, p.rel),
+         |sel$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, vec_id, rel, mmr
+         |  FROM cand$i ORDER BY mmr DESC, vec_id LIMIT 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($CastEmb),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, ${VectorOps.cosineSql("v", "qv")} AS rel
+       |  FROM e CROSS JOIN q
+       |  WHERE vec_id <> $QueryVecId
+       |    AND ${VectorOps.cosineSql("v", "qv")} IS NOT NULL
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+       |pv AS (SELECT pool.vec_id, pool.rel, e.v FROM pool JOIN e USING (vec_id)),
+       |ps AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, ${VectorOps.cosineSql("x.v", "y.v")} AS s
+       |  FROM pv x JOIN pv y ON x.vec_id <> y.vec_id),
+       |acc1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, rel AS mmr
+       |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rank, vec_id, rel, mmr FROM acc$MmrK ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB twin of [[kCenter]]: the greedy rounds unrolled into
     * generated CTEs (chosen-set join, per-vector max similarity, the
     * total-order argmin, cumulative union) — each round rendered from
@@ -1014,9 +1105,9 @@ object VectorQueries {
          |pick$i AS (
          |  SELECT CAST($i AS BIGINT) AS rank, vec_id, near AS far_sim
          |  FROM cand$i ORDER BY near, vec_id LIMIT 1),
-         |ch$i AS (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+         |ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($CastEmb),
+    s"""WITH e AS MATERIALIZED ($CastEmb),
        |ch0 AS (SELECT CAST(0 AS BIGINT) AS rank,
        |        CAST($QueryVecId AS BIGINT) AS vec_id, -2.0 AS far_sim),
        |$rounds
@@ -1038,6 +1129,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "sample_kcenter" -> duckKCenterSql,
+    "simsearch_mmr" -> duckMmrSql,
     "simsearch_range" ->
       s"""WITH e AS ($CastEmb),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

@@ -267,6 +267,25 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(topk.subsetOf(range.toSet))
   }
 
+  test("mmr re-ranking diversifies the pool with monotone greedy scores") {
+    val rows = VectorQueries.mmr(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length === VectorQueries.MmrK)
+    assert(rows.map(_._2).distinct.length === rows.length, "no repeats")
+    val topIds = VectorQueries.topK(spark, dir).select("vec_id")
+      .as[Long].collect()
+    assert(rows.head._2 === topIds.head, "rank 1 is the pure-relevance top-1")
+    assert(rows.head._3 === rows.head._4, "the seed's mmr is its relevance")
+    // Greedy maximization over a shrinking candidate set with a growing
+    // penalty term: scores are monotone non-increasing.
+    val scores = rows.drop(1).map(_._4)
+    assert(scores.sameElements(scores.sorted.reverse),
+      s"greedy scores must not increase: ${scores.mkString(", ")}")
+    // The diversification must actually bite on this corpus: the MMR
+    // order differs from the pure top-k order.
+    assert(!rows.map(_._2).sameElements(topIds.take(rows.length)))
+  }
+
   test("k-center picks are distinct and the covering radius tightens monotonically") {
     val rows = VectorQueries.kCenter(spark, dir)
       .as[(Long, Long, Double)].collect()
