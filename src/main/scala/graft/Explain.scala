@@ -33,7 +33,9 @@ object Explain {
     "multimodal_quarantine", "neardup_embedding_incr",
     "sample_temperature", "audit_drift", "dedup_cdc_cross",
     "embed_centroids_incr", "simsearch_hybrid", "text_bpe_train",
-    "text_bpe_encode")
+    "text_bpe_encode", "graph_common_neighbors", "text_countmin",
+    "dedup_bloom", "sample_kcenter", "events_ohlc", "text_collocations",
+    "simsearch_range", "events_asof_tol", "simsearch_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
