@@ -87,16 +87,19 @@ object Bench {
     val ReRunCeilingSec = 5.0
 
     // A query that throws is NOT silently absorbed into a plausible
-    // wall-time: the failure is recorded (first exception per query),
-    // logged to stderr, and surfaces as a "failed" array in BOTH output
-    // JSON lines — empty in the good case — so a crash is visible in
-    // the committed artifact, not just in the correctness gate.
+    // wall-time: the failure is recorded, logged to stderr, and
+    // surfaces as a "failed" array in BOTH output JSON lines — empty in
+    // the good case — so a crash is visible in the committed artifact,
+    // not just in the correctness gate. The entry tracks the LAST run's
+    // outcome: a later successful run clears it, so a transient cold-run
+    // hiccup whose clean re-run produced the reported timing is not
+    // branded a crash, while a query whose measured run threw stays
+    // flagged next to its (meaningless) wall-time.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try exec(name) catch { case e: Throwable =>
-        if (!failures.contains(name))
-          failures(name) = e.toString.takeWhile(_ != '\n').take(200)
+      try { exec(name); failures.remove(name) } catch { case e: Throwable =>
+        failures(name) = e.toString.takeWhile(_ != '\n').take(200)
         System.err.println(s"[bench] $name FAILED: $e")
       }
       (System.nanoTime() - t0) / 1e9

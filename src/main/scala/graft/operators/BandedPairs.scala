@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * self-join consumers, so without materialization the expensive
   * signature derivation (per-token md5 for SimHash) re-runs per
   * consumer. Blocks are LRU-evictable, and every cached handle
-  * registers in a weak internal queue that [[releaseCached]] drains —
+  * registers in an internal queue that [[releaseCached]] drains —
   * Bench's cleanState calls it, and a long-lived session embedding
   * this call does the same when done — because the result is lazy, so
   * the helper cannot unpersist on the caller's behalf (a 100 TB run
@@ -38,12 +38,15 @@ import org.apache.spark.sql.functions._
 object BandedPairs {
 
   /** Cached signature relations handed out by [[pairs]] and not yet
-    * released. Weakly referenced — a frame the caller dropped stays
-    * GC-collectable (its blocks were LRU-evictable regardless);
-    * [[releaseCached]] unpersists whatever is still reachable.
+    * released. STRONGLY referenced on purpose: Spark's CacheManager
+    * pins the cached relation regardless of whether the Dataset
+    * wrapper stays reachable, so a weak reference could be GC-cleared
+    * mid-query and turn the later release into a silent no-op while
+    * the blocks stay pinned. The queue holds a handful of small
+    * wrappers between releases, and [[releaseCached]] empties it.
     */
-  private val cachedSigs = new java.util.concurrent.ConcurrentLinkedQueue[
-    java.lang.ref.WeakReference[DataFrame]]()
+  private val cachedSigs =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Unpersist every signature relation [[pairs]] has cached so far —
     * the ONE place the harness (Bench's cleanState) and any long-lived
@@ -54,10 +57,10 @@ object BandedPairs {
     * recompute).
     */
   def releaseCached(): Unit = {
-    var ref = cachedSigs.poll()
-    while (ref != null) {
-      Option(ref.get()).foreach(_.unpersist(blocking = false))
-      ref = cachedSigs.poll()
+    var df = cachedSigs.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = cachedSigs.poll()
     }
   }
 
@@ -115,7 +118,7 @@ object BandedPairs {
   def pairs(sig: DataFrame, idCol: String, sigCol: String, nBands: Int,
       chunkBits: Int, maxBucket: Int, maxHamming: Int): DataFrame = {
     val cached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cachedSigs.add(new java.lang.ref.WeakReference(cached))
+    cachedSigs.add(cached)
     val members = bandedMembers(cached, idCol, sigCol, nBands, chunkBits)
     val okBuckets = members.groupBy("band", "chunk")
       .agg(count(lit(1)).as("bcnt"))

@@ -1106,12 +1106,15 @@ object TextOps {
          |    FROM seqs$i) GROUP BY x.l, x.r),
          |t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |seqs${i + 1} AS MATERIALIZED (
-         |  SELECT w, c, list_reduce(
+         |  -- LEFT JOIN ON TRUE, not a cross join: a round with no pairs
+         |  -- left (t$i empty) must KEEP the segmentation, mirroring the
+         |  -- Spark loop's early stop, not collapse seqs to zero rows.
+         |  SELECT w, c, CASE WHEN t.l IS NULL THEN s ELSE list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]), list_transform(s, ch -> [ch])),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l AND x[1] = t.r
          |      THEN list_append(acc[1:len(acc)-1], t.l || t.r)
-         |      ELSE list_concat(acc, x) END) AS s
-         |  FROM seqs$i, t$i t)""".stripMargin
+         |      ELSE list_concat(acc, x) END) END AS s
+         |  FROM seqs$i LEFT JOIN t$i t ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""vocab AS MATERIALIZED (
        |  SELECT w, count(*) AS c FROM (

@@ -411,9 +411,18 @@ object VectorQueries {
   /** [[topKPq]] with an explicit rescore depth (the spec sets it to the
     * corpus size to pin rescore-all ≡ brute-force).
     */
-  private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame = {
-    val cand = pqAdist(e, e.filter(col("vec_id") =!= QueryVecId).select("vec_id", "v"))
-      .orderBy(asc("adist"), asc("vec_id")).limit(rescore)
+  private[queries] def topKPqWith(e: DataFrame, rescore: Int): DataFrame =
+    pqRescoreTail(e,
+      pqAdist(e, e.filter(col("vec_id") =!= QueryVecId).select("vec_id", "v"))
+        .orderBy(asc("adist"), asc("vec_id")).limit(rescore))
+
+  /** The exact-rescore tail shared by the direct ([[topKPqWith]]) and
+    * persisted-index ([[topKPqIndexed]]) PQ paths — ONE implementation
+    * because the two registered twins share `simsearch_pq`'s oracle, so
+    * any tweak to the rescore depth, tie-break, or adist_micro scaling
+    * must hit both or the shared-oracle gate breaks.
+    */
+  private def pqRescoreTail(e: DataFrame, cand: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
     e.join(cand, "vec_id")
       .crossJoin(broadcast(q))
@@ -448,16 +457,8 @@ object VectorQueries {
     val cb = spark.read.parquet(s"$out/codebook")
     val codes = spark.read.parquet(s"$out/codes")
     val qsd = pqSubDistsWith(e.filter(col("vec_id") === QueryVecId), cb)
-    val cand = pqAdistOf(codes, qsd)
-      .orderBy(asc("adist"), asc("vec_id")).limit(PqRescore)
-    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
-    e.join(cand, "vec_id")
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        VectorOps.cosine(col("v"), col("qv")).as("sim"),
-        floor(col("adist") * lit(1000000.0)).cast("long").as("adist_micro"))
-      .orderBy(desc("sim"), asc("vec_id"))
-      .limit(10)
+    pqRescoreTail(e, pqAdistOf(codes, qsd)
+      .orderBy(asc("adist"), asc("vec_id")).limit(PqRescore))
   }
 
   /** IVF ∘ PQ — the standard production ANN layout: the inverted file
@@ -748,7 +749,6 @@ object VectorQueries {
         VectorOps.cosine(col("x.v"), col("y.v")).as("s"))
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, s) => (a, b) -> s }.toMap
-    val relOf = rels.toMap
     // Greedy: seed with the most relevant, then λ-blend each round.
     val first = rels.minBy { case (id, r) => (-r, id) }
     var selected = Vector((1L, first._1, first._2, first._2))

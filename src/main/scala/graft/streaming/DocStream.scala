@@ -132,7 +132,26 @@ object DocStream {
     * [[seedIndex]]: stale stream partitions from a previous run must
     * not survive a re-seed as phantom history.
     */
-  def seedChunkIndex(docs: DataFrame, indexDir: String): Unit =
+  /** Highest batch_id whose fmt stamps this process has already
+    * validated, per chunk-index directory: the per-trigger contract
+    * check scans only partitions above this watermark (partition
+    * pruning on batch_id). Process-local by design — a restart
+    * re-validates the full index once, which is exactly when stale
+    * partitions from another writer could have appeared.
+    */
+  private val fmtValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Test hook: forget validation watermarks so a spec can exercise the
+    * full-index check again within one JVM.
+    */
+  private[streaming] def resetFmtValidation(): Unit = fmtValidated.clear()
+
+  def seedChunkIndex(docs: DataFrame, indexDir: String): Unit = {
+    // A re-seed rewrites the directory, so any prior validation
+    // watermark is stale — forget it, or the seed partition (below the
+    // old watermark) would escape the next contract check.
+    fmtValidated.remove(indexDir)
     DedupOps.cdcChunkHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .withColumn("fmt", lit(ChunkIndexFormat))
@@ -141,6 +160,7 @@ object DocStream {
       .option("partitionOverwriteMode", "static")
       .partitionBy("batch_id")
       .parquet(indexDir)
+  }
 
   /** One chunk-level micro-batch step — the streaming form of
     * [[DedupOps.cdcIncremental]]: chunk the batch once, probe the
@@ -165,19 +185,31 @@ object DocStream {
       // sampled row — a one-row sample passes on an index holding
       // MIXED formats (a re-seed that failed before deleting, or
       // batches appended by an older-writer process still running),
-      // leaving some partitions silently matching nothing. min/max
-      // over the stamped column scans one column driven by parquet
-      // footer statistics, never the hash data, so every partition's
-      // stamp participates at metadata cost.
+      // leaving some partitions silently matching nothing. The range
+      // scan is INCREMENTAL: batch_id is the partition column, so
+      // filtering above the per-process validation watermark prunes to
+      // partitions this process has not yet checked — steady-state
+      // cost is O(new partitions) per trigger (a fresh process
+      // re-validates the whole index exactly once), never a full
+      // fmt-column decode of the growing index on every micro-batch.
       require(idx.columns.contains("fmt"),
         s"chunk index at $indexDir predates format stamping — re-seed the index")
-      val fmtRange = idx.agg(min("fmt"), max("fmt")).head()
+      val watermark = fmtValidated.get(indexDir)
+      val toCheck =
+        if (watermark == null) idx else idx.filter(col("batch_id") > watermark.longValue())
+      val fmtRange = toCheck.agg(min("fmt"), max("fmt")).head()
       require(fmtRange.isNullAt(0) ||
           (fmtRange.getLong(0) == ChunkIndexFormat &&
             fmtRange.getLong(1) == ChunkIndexFormat),
         s"chunk index at $indexDir holds formats in " +
           s"[${fmtRange.get(0)}, ${fmtRange.get(1)}], expected only " +
           s"$ChunkIndexFormat — re-seed the index")
+      // Everything strictly below this batch is now validated; our own
+      // partition (written below with the current stamp) gets covered
+      // by the NEXT trigger's delta check, and a replay of this batch
+      // id stays above the watermark and re-validates itself.
+      fmtValidated.merge(indexDir, java.lang.Long.valueOf(batchId - 1),
+        (a, b) => if (a.longValue() >= b.longValue()) a else b)
       val history = idx
         .filter(col("batch_id") < batchId)
         .select("h").distinct()
