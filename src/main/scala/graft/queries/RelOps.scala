@@ -449,6 +449,50 @@ object RelOps {
     * rendering: quantities cast to BIGINT (integral by construction),
     * dates format as yyyy-MM-dd.
     */
+  /** Residue ring for [[tableChecksums]]: per-row hash residues mod
+    * 2³¹ sum exactly in DECIMAL(38) at any row count (10²⁹ rows before
+    * the sum could overflow 38 digits), then reduce mod again.
+    */
+  val ChecksumMod = 1L << 31
+
+  /** Order-insensitive table content checksums — the cheap
+    * did-the-copy-preserve-the-table equality check for datasets too
+    * large to diff: each row canonicalizes to one portable64 hash
+    * (integers/strings verbatim, doubles as floor-micros, timestamps
+    * as epoch-µs — the repo's standard engine-exact canonical forms,
+    * nulls as an explicit sentinel so NULL ≠ ''), and the table reduces
+    * to (row count, Σ row-hash residues mod [[ChecksumMod]]). Integer
+    * addition commutes, so the checksum is independent of partitioning,
+    * row order, and merge order — two tables agree iff counts and
+    * checksums agree (up to hash collisions, as with any checksum).
+    * One scan per table, constant output; the three covered tables
+    * exercise every canonicalization rule.
+    */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def canon(c: Column): Column = coalesce(c.cast("string"), lit("\\N"))
+    def micro(c: Column): Column = canon(floor(c * lit(1000000.0)).cast("long"))
+    def one(df: DataFrame, name: String, cols: Seq[Column]): DataFrame = {
+      val h = graft.queries.DedupOps.portable64(concat_ws("\u0001", cols: _*))
+      df.select(pmod(h, lit(ChecksumMod)).as("hm"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(sum(CAST(hm AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+            .as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    }
+    val docs = one(Tables.documents(spark, dir), "documents",
+      Seq(canon(col("doc_id")), canon(col("text")), canon(col("lang")),
+        canon(col("source")), canon(col("n_chars"))))
+    val cust = one(Tables.customer(spark, dir), "customer",
+      Seq(canon(col("c_custkey")), canon(col("c_name")), canon(col("c_nationkey")),
+        micro(col("c_acctbal")), canon(col("c_mktsegment"))))
+    val ords = one(Tables.orders(spark, dir), "orders",
+      Seq(canon(col("o_orderkey")), canon(col("o_custkey")),
+        canon(col("o_orderstatus")), micro(col("o_totalprice")),
+        canon(unix_micros(col("o_orderdate").cast("timestamp"))),
+        canon(col("o_orderpriority"))))
+    docs.unionByName(cust).unionByName(ords).orderBy("table_name")
+  }
+
   def metaStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def stats(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
@@ -497,6 +541,7 @@ object RelOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_grouping_id" -> (groupingMarkers _),
     "meta_stats" -> (metaStats _),
+    "meta_checksum" -> (tableChecksums _),
     "agg_ntile" -> (ntileDeciles _),
     "agg_ntile_range" -> (ntileDecilesRange _),
     "window_dist" -> (windowDist _),
@@ -514,6 +559,31 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same canonical forms (chr(1) separators, '\N' null sentinel,
+    // floor-micro doubles, epoch-µs timestamps) and the same residue
+    // ring; integer addition commutes, so row order cannot matter.
+    "meta_checksum" -> {
+      def one(table: String, canonical: String): String =
+        s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+           |  CAST(sum(hm) % $ChecksumMod AS BIGINT) AS checksum
+           |FROM (SELECT ${DedupOps.duckPortable64(canonical)} % $ChecksumMod AS hm
+           |      FROM $table) t""".stripMargin
+      def c(x: String) = s"coalesce(CAST($x AS VARCHAR), '\\N')"
+      def m(x: String) = c(s"CAST(floor($x * 1000000.0) AS BIGINT)")
+      val docs = one("documents", s"concat_ws(chr(1), ${c("doc_id")}, ${c("text")}, " +
+        s"${c("lang")}, ${c("source")}, ${c("n_chars")})")
+      val cust = one("customer", s"concat_ws(chr(1), ${c("c_custkey")}, ${c("c_name")}, " +
+        s"${c("c_nationkey")}, ${m("c_acctbal")}, ${c("c_mktsegment")})")
+      val ords = one("orders", s"concat_ws(chr(1), ${c("o_orderkey")}, ${c("o_custkey")}, " +
+        s"${c("o_orderstatus")}, ${m("o_totalprice")}, " +
+        s"${c("epoch_us(CAST(o_orderdate AS TIMESTAMP))")}, ${c("o_orderpriority")})")
+      s"""$docs
+         |UNION ALL
+         |$cust
+         |UNION ALL
+         |$ords
+         |ORDER BY table_name""".stripMargin
+    },
     "meta_stats" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

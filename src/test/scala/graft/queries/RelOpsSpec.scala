@@ -157,4 +157,36 @@ class RelOpsSpec extends AnyFunSuite {
     // Every column reports non_null + nulls == row count.
     got.values.foreach { r => assert(r._2 + r._3 === n, s"counts must cover all rows: $r") }
   }
+
+  test("table checksums are order-insensitive and content-sensitive") {
+    import spark.implicits._
+    val base = RelOps.tableChecksums(spark, dir)
+      .as[(String, Long, Long)].collect().map { case (k, r, c) => k -> ((r, c)) }.toMap
+    assert(base.keySet === Set("documents", "customer", "orders"))
+    base.values.foreach { case (rows, sum) =>
+      assert(rows > 0L && sum >= 0L && sum < RelOps.ChecksumMod)
+    }
+    // Rerun = identical (the whole point: partitioning/order can't
+    // perturb an integer residue sum).
+    val again = RelOps.tableChecksums(spark, dir)
+      .as[(String, Long, Long)].collect().map { case (k, r, c) => k -> ((r, c)) }.toMap
+    assert(again === base)
+    // Content sensitivity: the same machinery over a one-row-perturbed
+    // copy of documents must disagree.
+    val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
+    val docs = graft.Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions._
+    docs.withColumn("text",
+        when(col("doc_id") === 0L, concat(col("text"), lit(" x"))).otherwise(col("text")))
+      .repartition(7) // different layout too — must not matter beyond the edit
+      .write.parquet(s"$tmp/documents.parquet")
+    graft.Tables.customer(spark, dir).write.parquet(s"$tmp/customer.parquet")
+    graft.Tables.orders(spark, dir).write.parquet(s"$tmp/orders.parquet")
+    val mutated = RelOps.tableChecksums(spark, tmp)
+      .as[(String, Long, Long)].collect().map { case (k, r, c) => k -> ((r, c)) }.toMap
+    assert(mutated("documents")._1 === base("documents")._1, "same row count")
+    assert(mutated("documents")._2 !== base("documents")._2, "edit must change the checksum")
+    assert(mutated("customer") === base("customer"), "untouched table agrees across layouts")
+    assert(mutated("orders") === base("orders"))
+  }
 }
