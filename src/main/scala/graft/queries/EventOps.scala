@@ -134,6 +134,31 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral model behind next-action prediction
+    * and anomaly scoring: for each (from, to) event-type pair, how
+    * often `to` immediately follows `from` in SOME user's timeline,
+    * with the row-conditional probability as exact integer ppm.
+    * One shuffle on user_id (the lead window), then an aggregation
+    * whose group count is |event types|² — constant-size output at any
+    * corpus scale; the per-from normalization is a window over that
+    * constant-size aggregate, never over events.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("from_type").agg(sum("cnt").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("(cnt * 1000000) div tot").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Match horizon for [[asofTolerance]], minutes. */
   val AsofToleranceMin = 30
 
@@ -505,6 +530,7 @@ object EventOps {
     "events_sessions_native" -> (sessionsNative _),
     "events_asof" -> (asofViewBeforePurchase _),
     "events_asof_tol" -> (asofTolerance _),
+    "events_transitions" -> (transitions _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_json" -> (jsonProps _),
@@ -617,6 +643,26 @@ object EventOps {
          |FROM p ASOF LEFT JOIN v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,
+    // Per-from totals attach by join (same shape as the Spark side);
+    // all-integer ppm.
+    "events_transitions" ->
+      s"""WITH s AS (
+         |  SELECT user_id, event_type, epoch_us($TsCast) AS us, event_id
+         |  FROM events),
+         |n AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS to_type
+         |  FROM s),
+         |c AS (
+         |  SELECT from_type, to_type, count(*) AS cnt FROM n
+         |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+         |      GROUP BY from_type)
+         |SELECT c.from_type, c.to_type, c.cnt,
+         |  (c.cnt * 1000000) // t.tot AS p_ppm
+         |FROM c JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
     // The tolerance variant: the ASOF match is the latest preceding
     // view by construction, so a match outside the horizon has no
     // in-horizon substitute — NULLing it is exact.

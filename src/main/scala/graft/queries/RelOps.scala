@@ -493,6 +493,36 @@ object RelOps {
     docs.unionByName(cust).unionByName(ords).orderBy("table_name")
   }
 
+  /** Incremental checksum maintenance — the [[tableChecksums]] residue
+    * sum is associative, so the persisted HISTORY fingerprint (count +
+    * residue sum of the train split, stored once) merges with the
+    * incoming batch's fingerprint by integer addition — no history
+    * re-scan, and the merged value must equal the full-table
+    * fingerprint EXACTLY (same residue ring). This registers the
+    * documents-table equivalence as its own gated row: persisted
+    * history + batch ≡ direct, the `embed_centroids_incr` contract
+    * applied to the integrity artifact.
+    */
+  def tableChecksumsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def canon(c: Column): Column = coalesce(c.cast("string"), lit("\\N"))
+    val hm = pmod(graft.queries.DedupOps.portable64(concat_ws("\u0001",
+        canon(col("doc_id")), canon(col("text")), canon(col("lang")),
+        canon(col("source")), canon(col("n_chars")))),
+      lit(ChecksumMod))
+    def fp(df: DataFrame): DataFrame =
+      df.select(hm.as("hm"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("sum(CAST(hm AS DECIMAL(38,0)))").as("s"))
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    val out = graft.Scratch.dir("cksumindex")
+    fp(d.filter(col("split") === "train")).write.mode("overwrite").parquet(out)
+    fp(d.filter(col("split") =!= "train"))
+      .unionByName(spark.read.parquet(out))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr(s"CAST(sum(s) % $ChecksumMod AS BIGINT)").as("checksum"))
+      .select(lit("documents").as("table_name"), col("n_rows"), col("checksum"))
+  }
+
   def metaStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def stats(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
@@ -542,6 +572,7 @@ object RelOps {
     "agg_grouping_id" -> (groupingMarkers _),
     "meta_stats" -> (metaStats _),
     "meta_checksum" -> (tableChecksums _),
+    "meta_checksum_incr" -> (tableChecksumsIncremental _),
     "agg_ntile" -> (ntileDeciles _),
     "agg_ntile_range" -> (ntileDecilesRange _),
     "window_dist" -> (windowDist _),
@@ -558,32 +589,45 @@ object RelOps {
     "layout_zorder" -> (zorderLayout _),
   )
 
+  // Checksum canonical forms rendered once and shared by the full and
+  // incremental twins (see the map entries).
+  private def duckChecksumOne(table: String, canonical: String): String =
+    s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(hm) % $ChecksumMod AS BIGINT) AS checksum
+       |FROM (SELECT ${DedupOps.duckPortable64(canonical)} % $ChecksumMod AS hm
+       |      FROM $table) t""".stripMargin
+  private def duckCanon(x: String) = s"coalesce(CAST($x AS VARCHAR), '\\N')"
+  private def duckCanonMicro(x: String) =
+    duckCanon(s"CAST(floor($x * 1000000.0) AS BIGINT)")
+  private val duckDocsChecksum: String = duckChecksumOne("documents",
+    s"concat_ws(chr(1), ${duckCanon("doc_id")}, ${duckCanon("text")}, " +
+      s"${duckCanon("lang")}, ${duckCanon("source")}, ${duckCanon("n_chars")})")
+  private val duckCustChecksum: String = duckChecksumOne("customer",
+    s"concat_ws(chr(1), ${duckCanon("c_custkey")}, ${duckCanon("c_name")}, " +
+      s"${duckCanon("c_nationkey")}, ${duckCanonMicro("c_acctbal")}, " +
+      s"${duckCanon("c_mktsegment")})")
+  private val duckOrdsChecksum: String = duckChecksumOne("orders",
+    s"concat_ws(chr(1), ${duckCanon("o_orderkey")}, ${duckCanon("o_custkey")}, " +
+      s"${duckCanon("o_orderstatus")}, ${duckCanonMicro("o_totalprice")}, " +
+      s"${duckCanon("epoch_us(CAST(o_orderdate AS TIMESTAMP))")}, " +
+      s"${duckCanon("o_orderpriority")})")
+
   val oracle: Map[String, String] = Map(
     // Same canonical forms (chr(1) separators, '\N' null sentinel,
     // floor-micro doubles, epoch-µs timestamps) and the same residue
     // ring; integer addition commutes, so row order cannot matter.
-    "meta_checksum" -> {
-      def one(table: String, canonical: String): String =
-        s"""SELECT '$table' AS table_name, count(*) AS n_rows,
-           |  CAST(sum(hm) % $ChecksumMod AS BIGINT) AS checksum
-           |FROM (SELECT ${DedupOps.duckPortable64(canonical)} % $ChecksumMod AS hm
-           |      FROM $table) t""".stripMargin
-      def c(x: String) = s"coalesce(CAST($x AS VARCHAR), '\\N')"
-      def m(x: String) = c(s"CAST(floor($x * 1000000.0) AS BIGINT)")
-      val docs = one("documents", s"concat_ws(chr(1), ${c("doc_id")}, ${c("text")}, " +
-        s"${c("lang")}, ${c("source")}, ${c("n_chars")})")
-      val cust = one("customer", s"concat_ws(chr(1), ${c("c_custkey")}, ${c("c_name")}, " +
-        s"${c("c_nationkey")}, ${m("c_acctbal")}, ${c("c_mktsegment")})")
-      val ords = one("orders", s"concat_ws(chr(1), ${c("o_orderkey")}, ${c("o_custkey")}, " +
-        s"${c("o_orderstatus")}, ${m("o_totalprice")}, " +
-        s"${c("epoch_us(CAST(o_orderdate AS TIMESTAMP))")}, ${c("o_orderpriority")})")
-      s"""$docs
+    "meta_checksum" ->
+      s"""$duckDocsChecksum
          |UNION ALL
-         |$cust
+         |$duckCustChecksum
          |UNION ALL
-         |$ords
-         |ORDER BY table_name""".stripMargin
-    },
+         |$duckOrdsChecksum
+         |ORDER BY table_name""".stripMargin,
+    // SAME documents-row SQL as meta_checksum's first branch: the
+    // residue sum is associative, so persisted history + batch merge
+    // must reproduce the direct fingerprint exactly — the equivalence
+    // IS the gate.
+    "meta_checksum_incr" -> duckDocsChecksum,
     "meta_stats" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

@@ -247,6 +247,23 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transition matrix rows normalize to ~1e6 ppm and count every adjacency") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventOps.transitions(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Per from_type, the conditional ppm sum is 1e6 minus floor loss.
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val s = ts.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - ts.length,
+        s"$from row ppm sum $s")
+    }
+    // Total transitions = total events minus one per active user.
+    val ev = graft.Tables.events(spark, dir)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === want)
+  }
+
   test("ohlc buckets are internally consistent and agree with hourly counts") {
     val dir = "/root/testdata/sf0.001"
     val rows = EventOps.ohlc(spark, dir)

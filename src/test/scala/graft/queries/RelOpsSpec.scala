@@ -158,6 +158,16 @@ class RelOpsSpec extends AnyFunSuite {
     got.values.foreach { r => assert(r._2 + r._3 === n, s"counts must cover all rows: $r") }
   }
 
+  test("incremental checksum merge equals the direct documents fingerprint") {
+    import spark.implicits._
+    val direct = RelOps.tableChecksums(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("table_name") === "documents")
+      .as[(String, Long, Long)].collect().head
+    val incr = RelOps.tableChecksumsIncremental(spark, dir)
+      .as[(String, Long, Long)].collect().head
+    assert(incr === direct)
+  }
+
   test("table checksums are order-insensitive and content-sensitive") {
     import spark.implicits._
     val base = RelOps.tableChecksums(spark, dir)
