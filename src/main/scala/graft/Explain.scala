@@ -36,7 +36,8 @@ object Explain {
     "text_bpe_encode", "graph_common_neighbors", "text_countmin",
     "dedup_bloom", "sample_kcenter", "events_ohlc", "text_collocations",
     "simsearch_range", "events_asof_tol", "simsearch_mmr",
-    "meta_checksum", "meta_checksum_incr", "events_transitions")
+    "meta_checksum", "meta_checksum_incr", "events_transitions",
+    "text_search_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

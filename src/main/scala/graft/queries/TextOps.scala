@@ -742,6 +742,30 @@ object TextOps {
     scoreBatch(spark, spark.read.parquet(out).filter(col("w").isin(terms: _*)))
   }
 
+  /** Incremental inverted-index maintenance — the daily-crawl append:
+    * HISTORY'S postings persist once (the train split standing in for
+    * the historical corpus, as everywhere in the `_incr` family), the
+    * incoming batch tokenizes ONLY ITSELF and appends its own
+    * (w, doc_id, tf) rows, and query time scores the merged index.
+    * Postings are per-(doc, term) rows, so history ∪ batch is EXACTLY
+    * the full-corpus index — no merge arithmetic at all, just an
+    * append — and this query shares the scan-time twins' oracle:
+    * index-append + probe ≡ direct computation, gated as an exact
+    * value match (the `text_search_index` contract extended to
+    * incremental builds). History is never re-tokenized; batch cost
+    * tracks the batch.
+    */
+  def searchRankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("invindex_incr")
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    invertedIndex(d.filter(col("split") === "train"))
+      .write.mode("overwrite").parquet(out)
+    invertedIndex(d.filter(col("split") =!= "train"))
+      .write.mode("append").parquet(out)
+    val terms = SearchBatch.map(_._2).distinct
+    scoreBatch(spark, spark.read.parquet(out).filter(col("w").isin(terms: _*)))
+  }
+
   /** Phrase probed by [[searchPhrase]] (adjacent-token exact match). */
   val PhraseTerms: Seq[String] = Seq("merge", "data")
 
@@ -1028,6 +1052,7 @@ object TextOps {
     "text_search_phrase" -> (searchPhrase _),
     "text_search_batch" -> (searchRankBatch _),
     "text_search_index" -> (searchRankIndexed _),
+    "text_search_incr" -> (searchRankIncremental _),
     "text_chunks" -> (trainingChunks _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
@@ -1266,6 +1291,9 @@ object TextOps {
     // at scan time), so its oracle IS the scan-time oracle — the
     // equivalence the twin exists to pin as an exact value match.
     "text_search_index" -> duckSearchBatchSql,
+    // Postings are per-(doc, term) rows, so history-append + probe must
+    // equal the direct computation exactly — same oracle a third time.
+    "text_search_incr" -> duckSearchBatchSql,
     // h = h*31 + byte with 64-bit wraparound, replayed as a HUGEINT fold
     // with mod 2^64 per step, then mapped back to the signed long Spark
     // emits. Valid because the corpus is ASCII (ord == UTF-8 byte).
