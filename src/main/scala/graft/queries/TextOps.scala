@@ -817,6 +817,41 @@ object TextOps {
       .limit(PhraseTopK)
   }
 
+  /** [[windowCooccurrence]] knobs: context-window radius, support
+    * floor, report size.
+    */
+  val CoocWindow = 2
+  val CoocMin = 10
+  val CoocTopK = 20
+
+  /** Skip-gram co-occurrence extraction — the word2vec/GloVe
+    * preprocessing pass: count unordered word pairs appearing within
+    * [[CoocWindow]] positions of each other. Pair emission is
+    * scan-local (one d-shifted `zip_with` per offset over the bound
+    * token array — no positional self-join), pairs canonicalize by
+    * lexical (least, greatest), and the only shuffle is the
+    * wordcount-class pair count. The [[CoocMin]] support floor plus the
+    * top-k head bound the report; at scale the full matrix sinks to a
+    * (pair → count) artifact instead, same plan minus the head.
+    */
+  def windowCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    def pairsAt(toks: Column, d: Int): Column = {
+      val n = greatest(size(toks) - d, lit(0))
+      zip_with(slice(toks, lit(1), n), slice(toks, lit(1 + d), n),
+        (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode_outer(concat(
+        (1 to CoocWindow).map(d => pairsAt(col("toks"), d)): _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CoocMin)
+      .orderBy(desc("cnt"), asc("a"), asc("b"))
+      .limit(CoocTopK)
+  }
+
   /** [[collocations]] knobs: minimum pair support and report size. */
   val ColMinPair = 5
   val ColTopK = 20
@@ -1047,6 +1082,7 @@ object TextOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_countmin" -> (countMin _),
     "text_collocations" -> (collocations _),
+    "text_window_cooc" -> (windowCooccurrence _),
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_phrase" -> (searchPhrase _),
@@ -1181,6 +1217,21 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> duckBpeSql,
     "text_bpe_encode" -> duckBpeEncodeSql,
+    // One generated list_transform per offset; least/greatest on
+    // VARCHAR is plain lexicographic on both engines.
+    "text_window_cooc" -> {
+      val offs = (1 to CoocWindow).map { d =>
+        s"list_transform(range(1, greatest(len(tk) - $d, 0) + 1), " +
+          s"i -> {'a': least(tk[i], tk[i+$d]), 'b': greatest(tk[i], tk[i+$d])})"
+      }.mkString("list_concat(", ", ", ")")
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |pr AS (SELECT unnest($offs) AS p FROM toks)
+         |SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM pr
+         |GROUP BY p.a, p.b HAVING count(*) >= $CoocMin
+         |ORDER BY cnt DESC, a, b LIMIT $CoocTopK""".stripMargin
+    },
     // Pure integer Dice ratio — no log, no doubles; the bigram list
     // mirrors symbolPairsOf's two-slice zip.
     "text_collocations" ->

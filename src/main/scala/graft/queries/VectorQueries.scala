@@ -688,6 +688,33 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** Label predicate for [[filteredSearch]]. */
+  val FilterLabel = 1
+
+  /** Filtered vector search — the production retrieval mode plain ANN
+    * benchmarks ignore: top-k under a METADATA predicate ("nearest
+    * passages from source X / label L"). The predicate applies BEFORE
+    * any vector math (Catalyst pushes it into the scan — at scale the
+    * label is a partition/cluster column of the stored index, so the
+    * filter prunes files, the same mechanism `simsearch_ivf_incr`
+    * proves for cell pruning), which sidesteps filtered-ANN's classic
+    * failure mode: post-filtering a top-k list until too few survivors
+    * remain. Scoring is the brute baseline over the filtered subset;
+    * composing the same predicate into the IVF path is the documented
+    * scale route.
+    */
+  def filteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId && col("label") === FilterLabel)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Similarity floor for [[rangeSearch]]. */
   val RangeTau = 0.28
 
@@ -932,6 +959,7 @@ object VectorQueries {
     "simsearch_hybrid" -> (hybrid _),
     "sample_kcenter" -> (kCenter _),
     "simsearch_range" -> (rangeSearch _),
+    "simsearch_filtered" -> (filteredSearch _),
     "simsearch_mmr" -> (mmr _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
@@ -1138,6 +1166,14 @@ object VectorQueries {
          |WHERE vec_id <> $QueryVecId
          |  AND ${VectorOps.cosineSql("v", "qv")} >= $RangeTau
          |ORDER BY sim DESC, vec_id""".stripMargin,
+    "simsearch_filtered" ->
+      s"""WITH e AS ($CastEmb),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT vec_id, label, ${VectorOps.cosineSql("v", "qv")} AS sim
+         |FROM e CROSS JOIN q
+         |WHERE vec_id <> $QueryVecId AND label = $FilterLabel
+         |  AND ${VectorOps.cosineSql("v", "qv")} IS NOT NULL
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     // Both channel pools are rank-filtered AFTER a fully tie-broken
     // order (≡ Spark's limit-then-rank); RRF arithmetic is all-integer.
     "simsearch_hybrid" ->

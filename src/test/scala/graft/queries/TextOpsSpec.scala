@@ -299,6 +299,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(key.sameElements(key.sorted), "rank order is deterministic")
   }
 
+  test("window co-occurrence pairs are canonical, floored, and contain bigrams") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.windowCooccurrence(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.CoocTopK)
+    rows.foreach { case (a, b, cnt) =>
+      assert(a <= b, "pairs canonicalize lexically")
+      assert(cnt >= TextOps.CoocMin)
+    }
+    val key = rows.map { case (a, b, c) => (-c, a, b) }
+    assert(key.sameElements(key.sorted))
+    // Distance-1 containment: the window-2 count of a pair dominates
+    // its adjacent-bigram count (window pairs ⊇ adjacent pairs).
+    val (ta, tb, tc) = rows.head
+    val adj = graft.Tables.documents(spark, dir)
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+          "slice(tk, 2, greatest(size(tk) - 1, 0)), (x, y) -> struct(x, y))")).as("p"))
+      .filter((col("p.x") === ta && col("p.y") === tb) ||
+        (col("p.x") === tb && col("p.y") === ta))
+      .count()
+    assert(tc >= adj, s"window count $tc must dominate adjacent count $adj")
+  }
+
   test("count-min estimates never under-count and collide under load") {
     // 600 distinct words forced into 256 counters per row: collisions
     // are guaranteed by pigeonhole, so some overcount must be positive —

@@ -267,6 +267,26 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(topk.subsetOf(range.toSet))
   }
 
+  test("filtered search honors the predicate and pushes it to the scan") {
+    val df = VectorQueries.filteredSearch(spark, dir)
+    val rows = df.as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (id, label, _) =>
+      assert(id != 0L && label === VectorQueries.FilterLabel)
+    }
+    // The label predicate reaches the parquet scan (pre-vector-math
+    // pruning — the filtered-ANN posture), visible as a pushed filter.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate must push into the scan:\n$plan")
+    // Consistency with the unfiltered baseline: any top-k hit carrying
+    // the filter label must appear here with the same similarity.
+    val base = VectorQueries.topK(spark, dir).as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, _, sim) =>
+      base.get(id).foreach(s => assert(s === sim))
+    }
+  }
+
   test("mmr re-ranking diversifies the pool with monotone greedy scores") {
     val rows = VectorQueries.mmr(spark, dir)
       .as[(Long, Long, Double, Double)].collect()
