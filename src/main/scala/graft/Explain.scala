@@ -37,7 +37,8 @@ object Explain {
     "dedup_bloom", "sample_kcenter", "events_ohlc", "text_collocations",
     "simsearch_range", "events_asof_tol", "simsearch_mmr",
     "meta_checksum", "meta_checksum_incr", "events_transitions",
-    "text_search_incr", "simsearch_filtered", "text_window_cooc")
+    "text_search_incr", "simsearch_filtered", "text_window_cooc",
+    "agg_winsorized", "text_hashing_tf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -375,6 +375,45 @@ object ScalarOps {
         element_at(col("pp"), 2).as("price_p90"))
       .orderBy("l_returnflag")
 
+  /** Winsorization bounds for [[winsorizedStats]]. */
+  val WinsorLo = 0.1
+  val WinsorHi = 0.9
+
+  /** Winsorized (clipped) statistics — the robust-mean move between
+    * plain averaging (outlier-dominated) and the median (throws away
+    * magnitude): clip every value into the group's exact
+    * [p10, p90] band, then aggregate the clipped stream. Two-pass shape
+    * like `agg_mad`: exact per-group cuts (bit-exact vs quantile_cont,
+    * the agg_percentile parity) broadcast back onto the scan, clipping
+    * is pure `least`/`greatest` selection, and the clipped sum surfaces
+    * as floor-micros — floor of a bit-identical double is engine-exact,
+    * where a DECIMAL cast of the INTERPOLATED cut value could round
+    * differently at a half-way point. Also reports how many values each
+    * tail clipped, which is the sanity check that the band actually
+    * bit (~10% each side).
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(WinsorLo), lit(WinsorHi))).as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("pp"), 1).as("lo"), element_at(col("pp"), 2).as("hi"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(cuts), "l_returnflag")
+      .select(col("l_returnflag"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("wv"),
+        (col("l_extendedprice") < col("lo")).as("clip_lo"),
+        (col("l_extendedprice") > col("hi")).as("clip_hi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        expr("CAST(sum(CAST(floor(wv * 1000000.0) AS DECIMAL(38,0))) AS BIGINT)")
+          .as("win_micro_sum"),
+        sum(when(col("clip_lo"), 1L).otherwise(0L)).as("clipped_lo"),
+        sum(when(col("clip_hi"), 1L).otherwise(0L)).as("clipped_hi"))
+      .orderBy("l_returnflag")
+  }
+
   /** Robust statistics per group: exact median and MAD (median absolute
     * deviation) — the outlier-resistant counterpart of agg_stats'
     * mean/stddev. Two-pass shape like the z-score query: per-group
@@ -437,6 +476,7 @@ object ScalarOps {
     "agg_mad" -> (robustStats _),
     "agg_mad_approx" -> (robustStatsApprox _),
     "agg_percentile" -> (exactPercentile _),
+    "agg_winsorized" -> (winsorizedStats _),
     "pivot_counts" -> (pivotCounts _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "flatmap_posexplode" -> (posExplode _),
@@ -468,6 +508,23 @@ object ScalarOps {
         |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
         |  quantile_cont(l_extendedprice, 0.9) AS price_p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Same quantile_cont cuts, pure least/greatest clipping, and the
+    // floor-micro sum — no decimal cast of the interpolated bound.
+    "agg_winsorized" ->
+      s"""WITH c AS (
+         |  SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, $WinsorLo) AS lo,
+         |    quantile_cont(l_extendedprice, $WinsorHi) AS hi
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l.l_returnflag, count(*) AS cnt,
+         |  CAST(sum(CAST(floor(least(greatest(l.l_extendedprice, c.lo), c.hi)
+         |    * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS win_micro_sum,
+         |  CAST(sum(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS clipped_lo,
+         |  CAST(sum(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS clipped_hi
+         |FROM lineitem l JOIN c USING (l_returnflag)
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "agg_mad" ->
       """WITH m AS (
         |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med

@@ -817,6 +817,43 @@ object TextOps {
       .limit(PhraseTopK)
   }
 
+  /** [[hashingTf]] geometry: feature dimensions and the report's
+    * document slice.
+    */
+  val HashDims = 16
+  val HashDocs = 20
+
+  /** Feature hashing (the "hashing trick" — MLlib's HashingTF with the
+    * signed-collision refinement): each token maps to a FIXED-width
+    * feature dimension by hash, with a second hash choosing ±1 so
+    * colliding tokens cancel in expectation instead of piling up — the
+    * featurization that makes bag-of-words models trainable at any
+    * vocabulary, because the feature space never grows. Surfaced in the
+    * tall (doc, dim, weight) form a sparse trainer consumes; the
+    * doc_id slice keeps the report bounded while weights reflect each
+    * document fully.
+    *
+    * Scale shape: scan-local hashing, one wordcount-class shuffle on
+    * (doc, dim) — and the dim universe is [[HashDims]], so downstream
+    * joins/aggregations on features are constant-width forever.
+    * Deterministic salted hashes ⇒ exact value oracle (the count-min
+    * argument applied to featurization).
+    */
+  def hashingTf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < HashDocs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"),
+        pmod(graft.queries.DedupOps.portable64(concat(lit("ht:"), col("w"))),
+          lit(HashDims.toLong)).as("dim"),
+        when(pmod(graft.queries.DedupOps.portable64(concat(lit("hs:"), col("w"))),
+          lit(2L)) === 0L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("weight"))
+      .orderBy("doc_id", "dim")
+
   /** [[windowCooccurrence]] knobs: context-window radius, support
     * floor, report size.
     */
@@ -1083,6 +1120,7 @@ object TextOps {
     "text_countmin" -> (countMin _),
     "text_collocations" -> (collocations _),
     "text_window_cooc" -> (windowCooccurrence _),
+    "text_hashing_tf" -> (hashingTf _),
     "corpus_filter" -> (corpusFilter _),
     "text_search_rank" -> (searchRank _),
     "text_search_phrase" -> (searchPhrase _),
@@ -1217,6 +1255,16 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> duckBpeSql,
     "text_bpe_encode" -> duckBpeEncodeSql,
+    // Deterministic salted dimension + sign hashes ⇒ exact values.
+    "text_hashing_tf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+         |  FROM documents WHERE doc_id < $HashDocs)
+         |SELECT doc_id,
+         |  ${graft.queries.DedupOps.duckPortable64("concat('ht:', w)")} % $HashDims AS dim,
+         |  CAST(sum(CASE WHEN ${graft.queries.DedupOps.duckPortable64("concat('hs:', w)")} % 2 = 0
+         |           THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM tok GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
     // One generated list_transform per offset; least/greatest on
     // VARCHAR is plain lexicographic on both engines.
     "text_window_cooc" -> {

@@ -6,6 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class ScalarOpsSpec extends AnyFunSuite {
+
+  test("winsorized stats clip ~10% per tail and keep the sum inside the band") {
+    import TestSpark.spark.implicits._
+    val rows = ScalarOps.winsorizedStats(TestSpark.spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, cnt, microSum, clipLo, clipHi) =>
+      // Exact p10/p90 cuts clip at most ~10% per tail (interpolation
+      // can leave slightly fewer strictly-outside values).
+      assert(clipLo <= cnt / 10 + 1 && clipHi <= cnt / 10 + 1, s"$flag tails")
+      assert(clipLo > 0 && clipHi > 0, s"$flag band must bite on real data")
+      // The clipped mean lies inside the clipping band by construction.
+      val mean = microSum.toDouble / cnt / 1e6
+      assert(mean > 0, s"$flag mean $mean")
+    }
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

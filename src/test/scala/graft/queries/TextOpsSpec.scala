@@ -299,6 +299,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(key.sameElements(key.sorted), "rank order is deterministic")
   }
 
+  test("hashing trick features are bounded, signed, and parity-consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.hashingTf(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val tokCounts = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < TextOps.HashDocs)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, feats) =>
+      feats.foreach { case (_, dim, w) =>
+        assert(dim >= 0 && dim < TextOps.HashDims)
+        assert(math.abs(w) <= tokCounts(doc))
+      }
+      // Each token contributes exactly ±1, so |Σ weights| ≤ tokens and
+      // Σ weights has the token count's parity.
+      val s = feats.map(_._3).sum
+      assert(math.abs(s) <= tokCounts(doc))
+      assert(((s % 2 + 2) % 2) === (tokCounts(doc) % 2),
+        s"doc $doc: weight-sum parity must match token-count parity")
+      // Collision cancelling really bit somewhere or not — either way
+      // total mass is bounded by the token count.
+      assert(feats.map(f => math.abs(f._3)).sum <= tokCounts(doc))
+    }
+  }
+
   test("window co-occurrence pairs are canonical, floored, and contain bigrams") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextOps.windowCooccurrence(spark, dir)
