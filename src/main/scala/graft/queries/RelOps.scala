@@ -468,28 +468,43 @@ object RelOps {
     * One scan per table, constant output; the three covered tables
     * exercise every canonicalization rule.
     */
+  private def checksumCanon(c: Column): Column =
+    coalesce(c.cast("string"), lit("\\N"))
+  private def checksumMicro(c: Column): Column =
+    checksumCanon(floor(c * lit(1000000.0)).cast("long"))
+
+  /** The documents table's canonical row-hash residue — ONE expression
+    * shared by the full and incremental twins (the Duck side shares
+    * `duckDocsChecksum` the same way), so an edit to the canonical form
+    * cannot break the incr-vs-direct equivalence gate silently.
+    */
+  private def documentsResidue: Column =
+    checksumResidue(Seq(checksumCanon(col("doc_id")), checksumCanon(col("text")),
+      checksumCanon(col("lang")), checksumCanon(col("source")),
+      checksumCanon(col("n_chars"))))
+
+  private def checksumResidue(cols: Seq[Column]): Column =
+    pmod(graft.queries.DedupOps.portable64(concat_ws("\u0001", cols: _*)),
+      lit(ChecksumMod))
+
+  private def checksumRow(df: DataFrame, name: String, residue: Column): DataFrame =
+    df.select(residue.as("hm"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(sum(CAST(hm AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("checksum"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+
   def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
-    def canon(c: Column): Column = coalesce(c.cast("string"), lit("\\N"))
-    def micro(c: Column): Column = canon(floor(c * lit(1000000.0)).cast("long"))
-    def one(df: DataFrame, name: String, cols: Seq[Column]): DataFrame = {
-      val h = graft.queries.DedupOps.portable64(concat_ws("\u0001", cols: _*))
-      df.select(pmod(h, lit(ChecksumMod)).as("hm"))
-        .agg(count(lit(1)).as("n_rows"),
-          expr(s"CAST(sum(CAST(hm AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
-            .as("checksum"))
-        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
-    }
-    val docs = one(Tables.documents(spark, dir), "documents",
-      Seq(canon(col("doc_id")), canon(col("text")), canon(col("lang")),
-        canon(col("source")), canon(col("n_chars"))))
-    val cust = one(Tables.customer(spark, dir), "customer",
-      Seq(canon(col("c_custkey")), canon(col("c_name")), canon(col("c_nationkey")),
-        micro(col("c_acctbal")), canon(col("c_mktsegment"))))
-    val ords = one(Tables.orders(spark, dir), "orders",
-      Seq(canon(col("o_orderkey")), canon(col("o_custkey")),
-        canon(col("o_orderstatus")), micro(col("o_totalprice")),
-        canon(unix_micros(col("o_orderdate").cast("timestamp"))),
-        canon(col("o_orderpriority"))))
+    val docs = checksumRow(Tables.documents(spark, dir), "documents", documentsResidue)
+    val cust = checksumRow(Tables.customer(spark, dir), "customer",
+      checksumResidue(Seq(checksumCanon(col("c_custkey")), checksumCanon(col("c_name")),
+        checksumCanon(col("c_nationkey")), checksumMicro(col("c_acctbal")),
+        checksumCanon(col("c_mktsegment")))))
+    val ords = checksumRow(Tables.orders(spark, dir), "orders",
+      checksumResidue(Seq(checksumCanon(col("o_orderkey")), checksumCanon(col("o_custkey")),
+        checksumCanon(col("o_orderstatus")), checksumMicro(col("o_totalprice")),
+        checksumCanon(unix_micros(col("o_orderdate").cast("timestamp"))),
+        checksumCanon(col("o_orderpriority")))))
     docs.unionByName(cust).unionByName(ords).orderBy("table_name")
   }
 
@@ -504,13 +519,8 @@ object RelOps {
     * applied to the integrity artifact.
     */
   def tableChecksumsIncremental(spark: SparkSession, dir: String): DataFrame = {
-    def canon(c: Column): Column = coalesce(c.cast("string"), lit("\\N"))
-    val hm = pmod(graft.queries.DedupOps.portable64(concat_ws("\u0001",
-        canon(col("doc_id")), canon(col("text")), canon(col("lang")),
-        canon(col("source")), canon(col("n_chars")))),
-      lit(ChecksumMod))
     def fp(df: DataFrame): DataFrame =
-      df.select(hm.as("hm"))
+      df.select(documentsResidue.as("hm"))
         .agg(count(lit(1)).as("n_rows"),
           expr("sum(CAST(hm AS DECIMAL(38,0)))").as("s"))
     val d = SampleOps.withSplit(Tables.documents(spark, dir))

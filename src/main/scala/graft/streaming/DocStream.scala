@@ -135,9 +135,11 @@ object DocStream {
   /** Highest batch_id whose fmt stamps this process has already
     * validated, per chunk-index directory: the per-trigger contract
     * check scans only partitions above this watermark (partition
-    * pruning on batch_id). Process-local by design — a restart
-    * re-validates the full index once, which is exactly when stale
-    * partitions from another writer could have appeared.
+    * pruning on batch_id). Process-local by design — a restart or a
+    * re-seed re-validates the full index once, which is how a writer
+    * HANDOFF (old version stopped, new version started) gets caught.
+    * The watermark assumes one live writer per index directory (see
+    * the contract note in [[chunkProbeAndAppend]]).
     */
   private val fmtValidated =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -183,15 +185,24 @@ object DocStream {
       // fail loudly and demand a re-seed instead. Schema presence is
       // free; the value check verifies the fmt RANGE, not a single
       // sampled row — a one-row sample passes on an index holding
-      // MIXED formats (a re-seed that failed before deleting, or
-      // batches appended by an older-writer process still running),
-      // leaving some partitions silently matching nothing. The range
-      // scan is INCREMENTAL: batch_id is the partition column, so
-      // filtering above the per-process validation watermark prunes to
+      // MIXED formats (a re-seed that failed before deleting, or a
+      // leftover partition from a previous writer version), leaving
+      // some partitions silently matching nothing. The range scan is
+      // INCREMENTAL: batch_id is the partition column, so filtering
+      // above the per-process validation watermark prunes to
       // partitions this process has not yet checked — steady-state
-      // cost is O(new partitions) per trigger (a fresh process
-      // re-validates the whole index exactly once), never a full
-      // fmt-column decode of the growing index on every micro-batch.
+      // cost is O(new partitions) per trigger, never a full fmt-column
+      // decode of the growing index on every micro-batch. The
+      // watermark makes the check's coverage PER PROCESS LIFETIME:
+      // everything present when this process first touches the index,
+      // plus everything appended above the watermark after that. A
+      // SECOND writer appending below the watermark while this one
+      // runs is outside the contract — one live writer per index
+      // directory, the same single-writer rule the probe's
+      // strictly-below-batch_id semantics and Structured Streaming's
+      // own sink/checkpoint model already assume; writer handoffs go
+      // through restart (or re-seed), both of which re-validate in
+      // full. Drilled in DocStreamSpec.
       require(idx.columns.contains("fmt"),
         s"chunk index at $indexDir predates format stamping — re-seed the index")
       val watermark = fmtValidated.get(indexDir)

@@ -178,6 +178,40 @@ class DocStreamSpec extends AnyFunSuite {
     assert(fresh(31L) > 0L, "unseen content fresh")
   }
 
+  test("fmt contract: stale partitions fail loudly; the watermark scopes the check") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fmtdrill").toString
+    val (indexDir, reportDir) = (s"$root/index", s"$root/reports")
+    def probe(id: Long): Unit = DocStream.chunkProbeAndAppend(
+      Seq((100 + id, text("alpha"))).toDF("doc_id", "text"), id, indexDir, reportDir)
+    def plantStale(batchId: Long): Unit =
+      Seq((999L, 12345L, 999L, batchId)).toDF("doc_id", "h", "fmt", "batch_id")
+        .write.mode("append").partitionBy("batch_id").parquet(indexDir)
+
+    DocStream.resetFmtValidation()
+    DocStream.seedChunkIndex(
+      Seq(1L -> text("alpha")).toDF("doc_id", "text"), indexDir)
+    probe(0L) // validates the whole index (fresh process), watermark = -1
+    // A stale-format partition ABOVE the watermark is caught on the
+    // next trigger, before any probe uses it.
+    plantStale(batchId = 7L)
+    val e = intercept[IllegalArgumentException](probe(1L))
+    assert(e.getMessage.contains("re-seed"), s"wrong failure: ${e.getMessage}")
+    // Remove it; the stream proceeds and the watermark advances.
+    val stale = new java.io.File(s"$indexDir/batch_id=7")
+    stale.listFiles().foreach(_.delete()); stale.delete()
+    probe(1L); probe(2L) // watermark now 1
+    // Below-watermark tampering is OUTSIDE the single-writer contract —
+    // the steady-state delta check deliberately skips it...
+    plantStale(batchId = 0L)
+    probe(3L)
+    // ...but a restart (fresh process = cleared watermark) re-validates
+    // the full index and catches it loudly.
+    DocStream.resetFmtValidation()
+    val e2 = intercept[IllegalArgumentException](probe(4L))
+    assert(e2.getMessage.contains("re-seed"))
+  }
+
   test("golden: trending words maintain a Misra-Gries summary across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
