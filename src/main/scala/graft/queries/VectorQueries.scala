@@ -840,6 +840,39 @@ object VectorQueries {
     chosen.toDF("rank", "vec_id", "far_sim").orderBy("rank")
   }
 
+  /** Index variants audited by [[recallAudit]] (each must expose a
+    * vec_id column and an exact oracle in the base map).
+    */
+  val RecallMethods: Seq[String] =
+    Seq("simsearch_bucketed", "simsearch_ivf", "simsearch_sq8",
+      "simsearch_pq", "simsearch_ivfpq")
+
+  /** ANN recall self-audit — the measure-don't-guess number every index
+    * deployment tracks: recall@10 of each approximate variant against
+    * the brute-force ground truth, as an exact intersection count. The
+    * per-method top-10s and the truth set are all deterministic
+    * registered queries, so the audit is itself exactly value-oracled —
+    * and its oracle is COMPOSED from the methods' own oracle strings,
+    * so the audit can never disagree with the per-method gates about
+    * what each method returns. At scale this is the recurring job that
+    * decides probe widths and rescore depths from a sampled query log.
+    */
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = topK(spark, dir).select("vec_id")
+    val methods: Map[String, DataFrame] = Map(
+      "simsearch_bucketed" -> topKBucketed(spark, dir),
+      "simsearch_ivf" -> topKIvf(spark, dir),
+      "simsearch_sq8" -> topKSq8(spark, dir),
+      "simsearch_pq" -> topKPq(spark, dir),
+      "simsearch_ivfpq" -> topKIvfPq(spark, dir))
+    RecallMethods.map { name =>
+      methods(name).select("vec_id")
+        .join(truth, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_at_10"))
+        .select(lit(name).as("method"), col("hits_at_10"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
   /** [[hybrid]] constants: how many of the query document's terms the
     * lexical channel keeps (the most SELECTIVE ones — lowest doc
     * frequency — the standard query-term-selection pruning that bounds
@@ -961,6 +994,7 @@ object VectorQueries {
     "simsearch_range" -> (rangeSearch _),
     "simsearch_filtered" -> (filteredSearch _),
     "simsearch_mmr" -> (mmr _),
+    "simsearch_recall" -> (recallAudit _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "simsearch_topk" -> (topK _),
@@ -1155,7 +1189,7 @@ object VectorQueries {
        |  count(*) AS cnt
        |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "sample_kcenter" -> duckKCenterSql,
     "simsearch_mmr" -> duckMmrSql,
     "simsearch_range" ->
@@ -1394,4 +1428,24 @@ object VectorQueries {
          |WHERE sim IS NOT NULL
          |ORDER BY sim DESC, train_vec, test_vec LIMIT $SemLeakTopK""".stripMargin,
   )
+
+  /** DuckDB twin of [[recallAudit]], COMPOSED from the audited methods'
+    * own oracle strings (each embedded as a WITH-bearing subquery) — the
+    * audit and the per-method gates literally share one SQL definition
+    * per method, so they cannot drift.
+    */
+  private val duckRecallSql: String = {
+    def ids(name: String): String =
+      s"SELECT vec_id FROM (\n${baseOracle(name)}\n) t"
+    val methods = RecallMethods.map { name =>
+      s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS hits_at_10
+         |FROM (${ids(name)}) m
+         |JOIN (${ids("simsearch_topk")}) truth USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT method, hits_at_10 FROM (
+       |$methods) u ORDER BY method""".stripMargin
+  }
+
+  val oracle: Map[String, String] =
+    baseOracle + ("simsearch_recall" -> duckRecallSql)
 }

@@ -267,6 +267,19 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(topk.subsetOf(range.toSet))
   }
 
+  test("recall audit equals directly-computed intersections") {
+    val audit = VectorQueries.recallAudit(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(audit.keySet === VectorQueries.RecallMethods.toSet)
+    audit.values.foreach(h => assert(h >= 0L && h <= 10L))
+    val truth = VectorQueries.topK(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("vec_id").as[Long].collect().count(truth).toLong
+    assert(audit("simsearch_sq8") === hits(VectorQueries.topKSq8(spark, dir)))
+    assert(audit("simsearch_ivf") === hits(VectorQueries.topKIvf(spark, dir)))
+  }
+
   test("filtered search honors the predicate and pushes it to the scan") {
     val df = VectorQueries.filteredSearch(spark, dir)
     val rows = df.as[(Long, Int, Double)].collect()
