@@ -38,7 +38,8 @@ object Explain {
     "simsearch_range", "events_asof_tol", "simsearch_mmr",
     "meta_checksum", "meta_checksum_incr", "events_transitions",
     "text_search_incr", "simsearch_filtered", "text_window_cooc",
-    "agg_winsorized", "text_hashing_tf", "simsearch_recall")
+    "agg_winsorized", "text_hashing_tf", "simsearch_recall",
+    "neardup_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

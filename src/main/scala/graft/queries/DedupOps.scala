@@ -451,6 +451,28 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** LSH recall self-audit — the dedup twin of `simsearch_recall`: of
+    * the exact top-20 Jaccard near-dup pairs, how many does the banded
+    * MinHash candidate generation actually surface? This is the number
+    * that decides the band/row configuration (the S-curve in practice,
+    * not in theory): a recall shortfall here means real duplicates
+    * sail through the sketch path. Both sides are deterministic
+    * registered queries, so the audit value-oracles — and its oracle
+    * embeds the two queries' own oracle strings, so audit and gates
+    * cannot drift.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = jaccard(spark, dir).select("a", "b")
+    val cand = minhashCandidates(docs).select("a", "b")
+    val truthN = exact.agg(count(lit(1)).as("truth_pairs"))
+    val rec = exact.join(cand, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("recalled"))
+    truthN.crossJoin(broadcast(rec))
+      .select(col("truth_pairs"), col("recalled"),
+        expr("(recalled * 1000000) div greatest(truth_pairs, 1L)").as("recall_ppm"))
+  }
+
   /** Incremental LSH index maintenance — the daily-crawl shape: today's
     * batch probes a PERSISTED signature index instead of re-hashing the
     * historical corpus. The history split's band buckets are written
@@ -1017,6 +1039,7 @@ object DedupOps {
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
     "neardup_minhash_est" -> (minhashEstimate _),
+    "neardup_lsh_recall" -> (lshRecall _),
     "neardup_simhash" -> (simhashQuery _),
     "neardup_simhash_pairs" -> (simhashPairs _),
     "neardup_simhash_incr" -> (simhashIncremental _),
@@ -1250,7 +1273,26 @@ object DedupOps {
        |  JOIN sizes s2 ON b = s2.doc_id
        |  WHERE floor(inter * 1000000.0 / (s1.n_sh + s2.n_sh - inter)) >= 800000)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // lazy: baseOracle is declared below (keeping the big map next to its
+  // CTE helpers); the composed entry must not dereference it at
+  // object-init time.
+  lazy val oracle: Map[String, String] = baseOracle +
+    // Composed from the two audited queries' own oracle strings (the
+    // simsearch_recall technique): the exact top-20 Jaccard pairs
+    // semi-joined against the banded candidate set.
+    ("neardup_lsh_recall" -> {
+      def pairs(name: String) = s"SELECT a, b FROM (\n${baseOracle(name)}\n) t"
+      s"""WITH e AS (${pairs("neardup_jaccard")}),
+         |c AS (${pairs("neardup_minhash_est")}),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS recalled
+         |      FROM e JOIN c USING (a, b)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM e)
+         |SELECT n.truth_pairs, r.recalled,
+         |  (r.recalled * 1000000) // greatest(n.truth_pairs, 1) AS recall_ppm
+         |FROM n, r""".stripMargin
+    })
+
+  private val baseOracle: Map[String, String] = Map(
     "neardup_edit" ->
       s"""WITH $duckDistinctShingleCtes,
          |keep AS (SELECT sh FROM sh GROUP BY sh

@@ -319,6 +319,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows(1L)._1 === refCdcHashes(base).length.toLong)
   }
 
+  test("lsh recall audit matches a direct intersection of its two inputs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (truthN, recalled, ppm) = DedupOps.lshRecall(spark, sfDir)
+      .as[(Long, Long, Long)].collect().head
+    assert(recalled >= 0L && recalled <= truthN)
+    assert(ppm === recalled * 1000000L / math.max(truthN, 1L))
+    val exact = DedupOps.jaccard(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cand = DedupOps.minhashCandidates(graft.Tables.documents(spark, sfDir))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(recalled === exact.count(cand).toLong)
+    assert(truthN === exact.size.toLong)
+  }
+
   test("bloom pre-filter never misses a true duplicate and audits consistently") {
     val tmp = java.nio.file.Files.createTempDirectory("bloom_docs").toString
     // 300 docs; every 10th shares its text with its predecessor, so
