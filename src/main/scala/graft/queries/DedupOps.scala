@@ -462,9 +462,12 @@ object DedupOps {
     * cannot drift.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val exact = jaccard(spark, dir).select("a", "b")
-    val cand = minhashCandidates(docs).select("a", "b")
+    // The candidate side is the REGISTERED estimator query's pair set —
+    // the same query whose oracle the composed audit oracle embeds — so
+    // the Spark side and the oracle composition consume one definition
+    // by construction (not two relations that happen to coincide).
+    val cand = minhashEstimate(spark, dir).select("a", "b")
     val truthN = exact.agg(count(lit(1)).as("truth_pairs"))
     val rec = exact.join(cand, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("recalled"))

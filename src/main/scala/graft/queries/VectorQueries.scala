@@ -840,12 +840,20 @@ object VectorQueries {
     chosen.toDF("rank", "vec_id", "far_sim").orderBy("rank")
   }
 
-  /** Index variants audited by [[recallAudit]] (each must expose a
-    * vec_id column and an exact oracle in the base map).
+  /** Index variants audited by [[recallAudit]]: ONE structure carries
+    * both the registry name (which must hold an exact oracle in the
+    * base map — the composed audit oracle dereferences it) and the
+    * query function, so the Spark audit and the oracle composition
+    * cannot fall out of sync by a one-sided edit.
     */
-  val RecallMethods: Seq[String] =
-    Seq("simsearch_bucketed", "simsearch_ivf", "simsearch_sq8",
-      "simsearch_pq", "simsearch_ivfpq")
+  private val RecallAudited: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("simsearch_bucketed" -> (topKBucketed _),
+      "simsearch_ivf" -> (topKIvf _),
+      "simsearch_sq8" -> (topKSq8 _),
+      "simsearch_pq" -> (topKPq _),
+      "simsearch_ivfpq" -> (topKIvfPq _))
+
+  val RecallMethods: Seq[String] = RecallAudited.map(_._1)
 
   /** ANN recall self-audit — the measure-don't-guess number every index
     * deployment tracks: recall@10 of each approximate variant against
@@ -859,14 +867,8 @@ object VectorQueries {
     */
   def recallAudit(spark: SparkSession, dir: String): DataFrame = {
     val truth = topK(spark, dir).select("vec_id")
-    val methods: Map[String, DataFrame] = Map(
-      "simsearch_bucketed" -> topKBucketed(spark, dir),
-      "simsearch_ivf" -> topKIvf(spark, dir),
-      "simsearch_sq8" -> topKSq8(spark, dir),
-      "simsearch_pq" -> topKPq(spark, dir),
-      "simsearch_ivfpq" -> topKIvfPq(spark, dir))
-    RecallMethods.map { name =>
-      methods(name).select("vec_id")
+    RecallAudited.map { case (name, fn) =>
+      fn(spark, dir).select("vec_id")
         .join(truth, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits_at_10"))
         .select(lit(name).as("method"), col("hits_at_10"))

@@ -327,7 +327,7 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(ppm === recalled * 1000000L / math.max(truthN, 1L))
     val exact = DedupOps.jaccard(spark, sfDir)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val cand = DedupOps.minhashCandidates(graft.Tables.documents(spark, sfDir))
+    val cand = DedupOps.minhashEstimate(spark, sfDir)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(recalled === exact.count(cand).toLong)
     assert(truthN === exact.size.toLong)
