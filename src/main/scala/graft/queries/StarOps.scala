@@ -472,7 +472,43 @@ object StarOps {
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k")
 
+  /** Range partitions for the Pareto prefix sum (at production scale:
+    * sized so each holds a memory-friendly slice of the CUSTOMER
+    * relation, not the order rows).
+    */
+  val ParetoPartitions = 32
+
+  /** Revenue concentration (Pareto) analysis — "how many customers make
+    * up 80% of revenue": per-customer exact cents revenue, a GLOBAL
+    * cumulative sum over (revenue desc, custkey), and the crossing
+    * point. The cumulative sum runs through
+    * [[graft.operators.PrefixSum]] — range partitioning + per-partition
+    * running sums + a broadcast offset join — because the naive
+    * `Window.orderBy` with no partition key would drag the whole
+    * relation into ONE task; here every window is bounded by a range
+    * split, and only the per-PARTITION totals (≤ [[ParetoPartitions]]
+    * rows) see a global window. All-integer cents arithmetic keeps the
+    * crossing-point comparison exact on both engines (cum·5 < total·4 ⇔
+    * cum < 80%).
+    */
+  def pareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(Parity.dsumCents(col("o_totalprice")).as("rev"))
+    val cum = graft.operators.PrefixSum.withRunningTotal(
+      rev, Seq(desc("rev"), asc("o_custkey")), col("rev"), ParetoPartitions)
+    val t = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("customers"))
+    cum.crossJoin(broadcast(t))
+      .agg(max(col("customers")).as("customers"),
+        max(col("total")).as("total_cents"),
+        (sum(when(col("cum") * 5 < col("total") * 4, 1L).otherwise(0L)) + lit(1L))
+          .as("top80_customers"),
+        min(when(col("cum") * 5 >= col("total") * 4, col("cum"))).as("covered"))
+      .select(col("customers"), col("total_cents"), col("top80_customers"),
+        expr("(covered * 1000000) div total_cents").as("covered_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pareto" -> (pareto _),
     "typed_wavg" -> (typedWavg _),
     "q3_shipping" -> (q3Shipping _),
     "agg_spearman" -> (aggSpearman _),
@@ -499,6 +535,27 @@ object StarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // The cents chain is dsumCents' documented twin; the tie-broken
+    // global order makes RANGE/ROWS frames identical, and the 80%
+    // crossing is pure integer comparison.
+    "agg_pareto" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT o_custkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS cum
+        |  FROM r),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total, count(*) AS customers FROM r),
+        |k AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN cum * 5 < total * 4 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS top80,
+        |    CAST(min(CASE WHEN cum * 5 >= total * 4 THEN cum END) AS BIGINT) AS covered
+        |  FROM c, t)
+        |SELECT t.customers, t.total AS total_cents, k.top80 AS top80_customers,
+        |  (k.covered * 1000000) // t.total AS covered_ppm
+        |FROM t, k""".stripMargin,
     "join_full" ->
       """SELECT coalesce(c.nk, s.nk) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,
