@@ -45,12 +45,19 @@ object Verify {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Per-query dump failures collect here and surface as a "failed"
+    // array in oracle_sql.json (the Bench precedent), so the dump
+    // artifact is self-describing: a query that threw writes no parquet
+    // — the driver's compare already records an err for it — but the
+    // artifact itself now says which queries died and why.
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     val dumps = selected.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add((name, String.valueOf(e.getMessage)))
         }
       }
     }
@@ -69,8 +76,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlFor(sfDir)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    import scala.jdk.CollectionConverters._
+    val failedJson = failed.asScala.toSeq.sortBy(_._1)
+      .map { case (n, m) => s"{${q("query")}: ${q(n)}, ${q("error")}: ${q(m)}}" }
+      .mkString("[", ",", "]")
+    val json = (SparkEntry.oracleSqlFor(sfDir)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.toSeq :+
+      s"${q("failed")}: $failedJson").mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

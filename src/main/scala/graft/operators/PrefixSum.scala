@@ -28,16 +28,42 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Working column names this operator claims for itself (`cum` is the
+    * OUTPUT column; the rest are dropped before returning). Guarded by a
+    * `require` below: `withColumn` silently REPLACES an existing column,
+    * so an input already carrying one of these names would be corrupted
+    * without the check.
+    */
+  private val Reserved = Seq("cum", "__pid", "__v", "__local_cum", "__offset")
+
   /** `df` plus a `cum` column: the running sum of `value` over the
     * global `sortCols` order (ascending list as given; pass explicit
     * `desc(...)` columns for descending). `partitions` bounds the
-    * per-task window size at roughly rows/partitions.
+    * per-task window size at roughly rows/partitions. The input must not
+    * already contain a column named `cum` (or any [[Reserved]] working
+    * name); the output column is named `cum`.
+    *
+    * The range-partitioned frame is materialized ONCE
+    * (`localCheckpoint`) before either branch derives from it: both the
+    * per-partition window and the per-partition totals MUST see the same
+    * partitioning, and `repartitionByRange` samples its split points —
+    * without the shared materialization, the two branches plan two
+    * independent range exchanges and correctness would silently depend
+    * on exchange reuse deduplicating them (the same multiply-referenced-
+    * frame discipline as GraphOps/BandedPairs). Boundary invariance
+    * (prefix sums don't care WHERE the range splits land, only that both
+    * passes agree on them) therefore holds by construction here.
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
       partitions: Int): DataFrame = {
+    val clash = df.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"PrefixSum reserves column names ${Reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
     val ranged = df.repartitionByRange(partitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
+      .localCheckpoint()
     val local = ranged.withColumn("__local_cum",
       sum(col("__v")).over(Window.partitionBy("__pid").orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

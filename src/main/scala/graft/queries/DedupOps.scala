@@ -161,6 +161,85 @@ object DedupOps {
     */
   val JaccardMaxDf = 50
 
+  // ---- Persisted shingle index ----------------------------------------
+
+  /** Memoized per-(JVM, sfDir) location of the persisted shingle index;
+    * the registered rebuild query swaps in a FRESH directory and updates
+    * the pointer atomically, so concurrent readers (Verify dumps queries
+    * through a thread pool) keep reading a complete artifact.
+    */
+  private val shingleIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val shingleIndexSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Write the `(sh, doc_id, n_sh)` artifact fresh and return its path:
+    * one corpus scan (the [[shingleSetWithSize]] projection — one digest
+    * per token, fold-derived trigram identities) into a compact
+    * all-BIGINT parquet table. This is the expensive part of EVERY
+    * portable-family near-dup query, done once.
+    */
+  private def buildShingleIndex(spark: SparkSession, dir: String): String = {
+    val p = graft.Scratch.dir(s"shingleindex_${shingleIndexSeq.incrementAndGet()}")
+    shingleSetWithSize(Tables.documents(spark, dir))
+      .select("sh", "doc_id", "n_sh")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The persisted shingle index for `dir`, built at most once per JVM
+    * (double-checked under a lock; losers of the race read the winner's
+    * files). Longs round-trip parquet exactly, so every derivation from
+    * the index is value-identical to the direct-from-text form — which
+    * is precisely what the shared oracles gate: the DuckDB twins all
+    * recompute from raw text, so index-build + probe ≡ direct
+    * computation is pinned as an exact value match on every consumer.
+    *
+    * This is the production posture at 100 TB: the shingle table is a
+    * STORED artifact a daily batch maintains incrementally (append the
+    * batch's rows — the `neardup_minhash_incr` contract), and the
+    * near-dup family PROBES it instead of re-tokenizing and re-hashing
+    * the corpus once per query. The memoization is the single-session
+    * stand-in for that stored table; `neardup_index` rebuilds it from
+    * scratch every run so the build cost itself stays a measured,
+    * first-class bench entry rather than hiding inside whichever
+    * consumer happens to run first.
+    */
+  private[queries] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = Option(shingleIndexPaths.get(dir)).getOrElse(
+      shingleIndexPaths.synchronized {
+        Option(shingleIndexPaths.get(dir)).getOrElse {
+          val p = buildShingleIndex(spark, dir)
+          shingleIndexPaths.put(dir, p)
+          p
+        }
+      })
+    spark.read.parquet(path)
+  }
+
+  /** Registered index-build query (`neardup_index`): rebuild the
+    * persisted shingle index unconditionally, publish it to the
+    * consumers' pointer, and report the index's summary statistics —
+    * entry count, distinct shingles, indexed docs, the hottest
+    * shingle's doc frequency, and how many shingles the
+    * [[JaccardMaxDf]] stoplist will drop at expansion time. The
+    * summary reads back the artifact (not the in-flight frame), so a
+    * corrupted write could not report clean numbers; its oracle
+    * recomputes the same statistics from raw text.
+    */
+  def shingleIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val p = buildShingleIndex(spark, dir)
+    shingleIndexPaths.put(dir, p)
+    val idx = spark.read.parquet(p)
+    val dfStats = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(sum("df").as("n_entries"),
+        count(lit(1)).as("n_shingles"),
+        max("df").as("max_df"),
+        sum(when(col("df") > JaccardMaxDf, 1L).otherwise(0L)).as("hot_shingles"))
+    val docStats = idx.agg(count_distinct(col("doc_id")).as("n_docs"))
+    dfStats.crossJoin(broadcast(docStats))
+      .select(col("n_entries"), col("n_shingles"), col("n_docs"),
+        col("max_df"), col("hot_shingles"))
+  }
+
   /** n-gram Jaccard near-dup: top-20 most similar document pairs.
     * |A∩B| comes from grouping the shingle table by shingle and expanding
     * each shingle's (small) doc list into unordered pairs in-array — one
@@ -175,16 +254,19 @@ object DedupOps {
     * the compare is integer-exact.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir))
+    scoreJaccard(pairCountsOf(shingleIndex(spark, dir)))
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
       .limit(20)
 
   /** Shared-shingle pair counts (a, b, na, nb, inter) under the
-    * [[JaccardMaxDf]] stoplist — the one expansion both similarity
-    * scores ([[jaccardPairs]], [[containmentPairs]]) derive from.
+    * [[JaccardMaxDf]] stoplist, over any `(sh, doc_id, n_sh)` frame —
+    * the one expansion every similarity score derives from, fed either
+    * by the persisted [[shingleIndex]] (registered queries) or by a
+    * direct [[shingleSetWithSize]] projection (the docs-frame test
+    * cores).
     */
-  private def sharedShinglePairCounts(docs: DataFrame): DataFrame =
-    shingleSetWithSize(docs)
+  private def pairCountsOf(shingles: DataFrame): DataFrame =
+    shingles
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= JaccardMaxDf)
@@ -195,15 +277,26 @@ object DedupOps {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
 
-  /** All scored pairs for a documents frame (the [[jaccard]] body minus
-    * the top-k), exposed so tests can assert the stoplist's pair-count
-    * bound directly.
+  /** The [[JaccardMaxDf]]-bounded pair counts for a raw documents frame
+    * (test core; registered queries probe the persisted index instead).
+    */
+  private def sharedShinglePairCounts(docs: DataFrame): DataFrame =
+    pairCountsOf(shingleSetWithSize(docs))
+
+  /** Jaccard scoring over a pair-counts frame (the [[jaccard]] body
+    * minus the top-k).
+    */
+  private def scoreJaccard(pc: DataFrame): DataFrame =
+    pc.select(col("a"), col("b"), col("inter"),
+      floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
+        .cast("long").as("j_ppm"))
+
+  /** All scored pairs for a documents frame, exposed so tests can
+    * assert the stoplist's pair-count bound directly (and pin
+    * direct-from-text ≡ index-probed).
     */
   def jaccardPairs(docs: DataFrame): DataFrame =
-    sharedShinglePairCounts(docs)
-      .select(col("a"), col("b"), col("inter"),
-        floor(col("inter") * lit(1000000.0) / (col("na") + col("nb") - col("inter")))
-          .cast("long").as("j_ppm"))
+    scoreJaccard(sharedShinglePairCounts(docs))
 
   /** Containment near-dup: top-20 pairs by |A∩B| / min(|A|,|B|) — the
     * asymmetric score that catches INCLUSION (one document quoting or
@@ -214,16 +307,19 @@ object DedupOps {
     * so its 100 TB posture is identical.
     */
   def containment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.documents(spark, dir))
+    scoreContainment(pairCountsOf(shingleIndex(spark, dir)))
       .orderBy(desc("cont_ppm"), asc("a"), asc("b"))
       .limit(20)
 
+  /** Containment scoring over a pair-counts frame. */
+  private def scoreContainment(pc: DataFrame): DataFrame =
+    pc.select(col("a"), col("b"), col("inter"),
+      floor(col("inter") * lit(1000000.0) / least(col("na"), col("nb")))
+        .cast("long").as("cont_ppm"))
+
   /** All containment-scored pairs (exposed for tests). */
   def containmentPairs(docs: DataFrame): DataFrame =
-    sharedShinglePairCounts(docs)
-      .select(col("a"), col("b"), col("inter"),
-        floor(col("inter") * lit(1000000.0) / least(col("na"), col("nb")))
-          .cast("long").as("cont_ppm"))
+    scoreContainment(sharedShinglePairCounts(docs))
 
   /** 60-bit engine-portable hash: the first 15 hex chars of md5, read as
     * an integer. DuckDB computes the identical value
@@ -369,13 +465,26 @@ object DedupOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over MinHash signatures: `nBands` bands of `rowsPerBand`
-    * signature rows, each band hashed to one bucket value. Documents
-    * sharing any (band, bucket) are near-dup candidates.
+  /** MinHash signatures (portable family) derived from a persisted
+    * `(sh, doc_id, ...)` shingle frame instead of raw text: the index
+    * stores exactly the [[trigramHashesOf]] identities the portable
+    * family's `base` reduces, and `min` is idempotent over the
+    * multiset-vs-set distinction, so this is value-identical to
+    * [[minhashSignatures]] on [[PortableFamily]] — with the md5 work
+    * already paid by the index build.
     */
-  def minhashBands(docs: DataFrame, nBands: Int, rowsPerBand: Int,
-      fam: HashFamily = PortableFamily): DataFrame = {
-    val sig = minhashSignatures(docs, nBands * rowsPerBand, fam)
+  private def minhashSignaturesOfShingles(shingles: DataFrame, nHashes: Int): DataFrame = {
+    val sh = shingles.select(col("doc_id"), PortableFamily.base(col("sh")).as("h0"))
+    val mins = (0 until nHashes).map(j => min(PortableFamily.member(j, col("h0"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over an explicit signature frame: `nBands` bands of
+    * `rowsPerBand` signature rows, each band hashed to one bucket value.
+    * Documents sharing any (band, bucket) are near-dup candidates.
+    */
+  private def bandsOfSig(sig: DataFrame, nBands: Int, rowsPerBand: Int,
+      fam: HashFamily): DataFrame = {
     val bandCols = (0 until nBands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b.toLong).as("band"), fam.bucket(rows).as("bucket"))
@@ -383,6 +492,12 @@ object DedupOps {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  /** LSH banding from raw documents (test/streaming core). */
+  def minhashBands(docs: DataFrame, nBands: Int, rowsPerBand: Int,
+      fam: HashFamily = PortableFamily): DataFrame =
+    bandsOfSig(minhashSignatures(docs, nBands * rowsPerBand, fam),
+      nBands, rowsPerBand, fam)
 
   /** Candidate near-dup pairs from LSH banding (used by tests and by a
     * downstream verify-with-exact-Jaccard stage at scale). Pairs come
@@ -392,7 +507,11 @@ object DedupOps {
     */
   def minhashCandidates(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 4,
       fam: HashFamily = PortableFamily): DataFrame =
-    minhashBands(docs, nBands, rowsPerBand, fam)
+    candidatesOfBands(minhashBands(docs, nBands, rowsPerBand, fam))
+
+  /** Distinct candidate pairs from an explicit band-bucket frame. */
+  private def candidatesOfBands(bands: DataFrame): DataFrame =
+    bands
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -406,10 +525,14 @@ object DedupOps {
   /** Registered MinHash query: the LSH bucket structure itself (bucket
     * occupancy per band), on the portable family → exact value oracle;
     * the pair-finding path is additionally unit-tested with planted
-    * near-duplicates in both families.
+    * near-duplicates in both families. Signatures derive from the
+    * persisted [[shingleIndex]] (value-identical — see
+    * [[minhashSignaturesOfShingles]]); the oracle recomputes from raw
+    * text, gating the equivalence.
     */
   def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
-    minhashBands(Tables.documents(spark, dir), nBands = 4, rowsPerBand = 4)
+    bandsOfSig(minhashSignaturesOfShingles(shingleIndex(spark, dir), 16),
+        nBands = 4, rowsPerBand = 4, PortableFamily)
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
@@ -438,12 +561,16 @@ object DedupOps {
     * the planted near-dups in DedupOpsSpec.
     */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sig = minhashSignatures(docs, 16)
+    // Signatures derive from the persisted shingle index and are
+    // referenced THREE times (candidate banding + both join sides);
+    // localCheckpoint materializes the small frame (16 longs/doc) once
+    // instead of re-aggregating the index per reference.
+    val sig = minhashSignaturesOfShingles(shingleIndex(spark, dir), 16)
+      .localCheckpoint()
     val matches = (0 until 16)
       .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    minhashCandidates(docs)
+    candidatesOfBands(bandsOfSig(sig, 4, 4, PortableFamily))
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
@@ -460,9 +587,18 @@ object DedupOps {
     * registered queries, so the audit value-oracles — and its oracle
     * embeds the two queries' own oracle strings, so audit and gates
     * cannot drift.
+    *
+    * Both members probe the persisted [[shingleIndex]], so the audit
+    * re-reads and re-hashes the corpus ZERO times: the truth pass and
+    * the candidate pass share one stored artifact (built at most once
+    * per session), exactly how the recurring production audit would
+    * run against the maintained shingle table.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = jaccard(spark, dir).select("a", "b")
+    // The truth pairs feed BOTH the denominator count and the semi-join
+    // numerator; materialize the 20-row result once instead of running
+    // the whole Jaccard pipeline per reference.
+    val exact = jaccard(spark, dir).select("a", "b").localCheckpoint()
     // The candidate side is the REGISTERED estimator query's pair set —
     // the same query whose oracle the composed audit oracle embeds — so
     // the Spark side and the oracle composition consume one definition
@@ -641,22 +777,31 @@ object DedupOps {
     */
   private[queries] def verifiedPairsWithHandle(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
+    // Both phases probe the persisted shingle index: candidates from
+    // index-derived signatures (value-identical to the raw-text path —
+    // see minhashSignaturesOfShingles), verify sets by re-grouping the
+    // index's distinct (doc, sh) rows. The md5-heavy shingle projection
+    // runs zero times here.
+    val idx = shingleIndex(spark, dir)
     // The candidate pairs are referenced three times below (verify join
     // + both sides of the semi-join filter). Without materialization the
-    // planner would inline the md5-heavy signature subtree once per
-    // reference (3x the sketch work; exchange reuse under AQE is
+    // planner would inline the signature subtree once per reference
+    // (3x the sketch work; exchange reuse under AQE is
     // timing-dependent, not guaranteed). Candidates are the SMALL
     // output of phase 1 — a pair list, not corpus data — so persisting
     // them is the standard two-phase-pipeline shape at any scale (a
     // 100 TB run would checkpoint them to storage between phases).
-    val candidates = minhashCandidates(docs, nBands = 4, rowsPerBand = 4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shingle ONLY the docs that appear in some candidate pair: a
-    // left-semi filter ahead of the (expensive) shingle projection.
+    val candidates =
+      candidatesOfBands(bandsOfSig(minhashSignaturesOfShingles(idx, 16),
+          4, 4, PortableFamily))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Re-assemble shingle sets ONLY for docs that appear in some
+    // candidate pair: a left-semi filter ahead of the group-by. The
+    // index rows are distinct (doc_id, sh), so collect_list rebuilds
+    // the distinct set (order is irrelevant to array_intersect/size).
     val candDocs = candidates.select(explode(array(col("a"), col("b"))).as("doc_id"))
-    val sets = docShingleSetsFor(
-      docs.join(candDocs, Seq("doc_id"), "left_semi"))
+    val sets = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list("sh").as("shset"))
     val pairs = candidates
       .join(sets.toDF("a2", "sha"), col("a") === col("a2"))
       .join(sets.toDF("b2", "shb"), col("b") === col("b2"))
@@ -746,15 +891,6 @@ object DedupOps {
     labels.toDF("doc_id", "rep").orderBy("doc_id")
   }
 
-  /** (doc_id, shset) for the verify phase — distinct 62-bit trigram
-    * identities (the [[trigramHashesOf]] fold, so `array_intersect`
-    * compares longs, not strings), only joined against the (small)
-    * candidate set, never self-joined.
-    */
-  private def docShingleSetsFor(docs: DataFrame): DataFrame =
-    hashedTokens(docs)
-      .select(col("doc_id"), array_distinct(trigramHashesOf(col("th"))).as("shset"))
-
   /** Prefix length compared by [[editDistance]]. */
   val EditPrefixLen = 80
 
@@ -789,7 +925,9 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
     val pre = docs.select(col("doc_id"),
       substring(col("text"), 1, EditPrefixLen).as("pre"))
-    sharedShinglePairCounts(docs)
+    // Candidates probe the persisted shingle index; only the (cheap,
+    // pushdown-pruned) 80-char prefix projection touches raw text.
+    pairCountsOf(shingleIndex(spark, dir))
       .filter(col("inter") >= EditMinShared)
       .select("a", "b")
       .join(pre.select(col("doc_id").as("a"), col("pre").as("pa")), "a")
@@ -905,8 +1043,9 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Bloom geometry for [[bloomDedup]]: m bits (packed into m/32 words
-    * — 2 KB total; 32-bit packing because DuckDB's checked BIGINT shift
+  /** Bloom geometry for [[bloomDedup]]: m bits, packed 32 per BIGINT —
+    * 512 64-bit words (4 KB) as stored/broadcast, holding 16384 filter
+    * bits; 32-bit packing because DuckDB's checked BIGINT shift
     * rejects `1 << 63`, and the oracle must evaluate the identical
     * filter) probed k ways. Deterministic (fixed salted portable64
     * positions), so unlike the engine's runtime bloom join
@@ -926,7 +1065,8 @@ object DedupOps {
   /** Bloom-filter incremental dedup pre-filter — the at-scale front end
     * of [[incremental]]: instead of shipping the history's full hash
     * set to every ingest worker, history compresses into a [[BloomBits]]-
-    * bit filter (2 KB, corpus-size-independent) that broadcasts
+    * bit filter (512 64-bit words, 4 KB as stored — corpus-size-
+    * independent) that broadcasts
     * everywhere; a batch document whose k probe bits are all set is
     * "maybe seen" and only those routed to the exact anti-join, while a
     * clear bit proves novelty with NO false negatives. The report
@@ -1038,6 +1178,7 @@ object DedupOps {
     "dedup_incremental" -> (incremental _),
     "neardup_jaccard" -> (jaccard _),
     "neardup_containment" -> (containment _),
+    "neardup_index" -> (shingleIndexBuild _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
@@ -1093,9 +1234,11 @@ object DedupOps {
       s"i -> ${duckTrigram("th[i+1]", "th[i+2]", "th[i+3]")})"
 
   /** CTE chain ending in `sh(doc_id, sh)` — each document's DISTINCT
-    * 62-bit trigram identities, mirroring [[shingleSetWithSize]] /
-    * [[docShingleSetsFor]]. Shared by the jaccard/containment/edit
-    * oracles so the three cannot drift.
+    * 62-bit trigram identities, mirroring [[shingleSetWithSize]] (the
+    * persisted [[shingleIndex]]'s content). Shared by the
+    * index/jaccard/containment/edit oracles so they cannot drift; every
+    * twin recomputes from raw text, so each green row gates
+    * index-build + probe ≡ direct computation.
     */
   private val duckDistinctShingleCtes: String =
     s"""$duckTokenHashCtes,
@@ -1480,6 +1623,19 @@ object DedupOps {
          |WHERE split <> 'train'
          |  AND h NOT IN (SELECT h FROM d WHERE split = 'train')
          |ORDER BY doc_id""".stripMargin,
+    // The index summary recomputed from raw text: the Spark side reads
+    // the freshly-written parquet artifact back, so a green row proves
+    // the persisted index's content equals the direct derivation.
+    "neardup_index" ->
+      s"""WITH $duckDistinctShingleCtes,
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_entries,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM df) AS n_shingles,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM sh) AS n_docs,
+        |  (SELECT CAST(max(df) AS BIGINT) FROM df) AS max_df,
+        |  (SELECT CAST(count(*) FILTER (WHERE df > $JaccardMaxDf) AS BIGINT) FROM df)
+        |    AS hot_shingles""".stripMargin,
     // `keep` mirrors the Spark side's JaccardMaxDf stoplist (generated
     // from the same constant): hot shingles contribute to n_sh but never
     // to the pair expansion, on both engines identically.

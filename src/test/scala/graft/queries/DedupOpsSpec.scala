@@ -186,6 +186,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(jac.head < 500000L, s"jaccard should dilute inclusion, got ${jac.head}")
   }
 
+  test("index-probed registered queries ≡ direct-from-text derivation") {
+    // The registered jaccard/containment queries probe the persisted
+    // shingle index; the docs-frame cores recompute from raw text. The
+    // two must agree row-for-row (longs round-trip parquet exactly) —
+    // the in-process pin of the index-build + probe ≡ direct contract
+    // the shared DuckDB oracles gate.
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Tables.documents(spark, dir)
+    val direct = DedupOps.jaccardPairs(d)
+      .orderBy(desc("j_ppm"), col("a"), col("b")).limit(20)
+      .collect().toSeq
+    val probed = DedupOps.jaccard(spark, dir).collect().toSeq
+    assert(probed === direct)
+    val directC = DedupOps.containmentPairs(d)
+      .orderBy(desc("cont_ppm"), col("a"), col("b")).limit(20)
+      .collect().toSeq
+    val probedC = DedupOps.containment(spark, dir).collect().toSeq
+    assert(probedC === directC)
+    // The index summary agrees with a direct count over the same frame.
+    val stats = DedupOps.shingleIndexBuild(spark, dir).collect().head
+    val directEntries = DedupOps.shingleIndex(spark, dir).count()
+    assert(stats.getAs[Long]("n_entries") === directEntries)
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()
