@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure-Spark snapshot-isolated table maintenance — the manifest layer
+  * that ties the engine's existing maintenance ops (compaction, CDC
+  * merge, rollup merge) into a versioned table WITHOUT a lakehouse
+  * dependency: each generation is one tiny parquet manifest listing the
+  * data files that make up that snapshot, and readers resolve a
+  * generation ONLY through its manifest — never by listing the data
+  * directory.
+  *
+  * The three invariants this buys at 100 TB (each one exercised by the
+  * registered `src_snapshot` query and pinned by SnapshotTableSpec):
+  *
+  *  - '''Append without rewrite''': committing a batch writes ONLY the
+  *    batch's files; the new manifest lists the old generation's files
+  *    plus the new ones. History is never copied.
+  *  - '''Time travel''': a compaction writes compacted files and a new
+  *    manifest; the pre-compaction manifest still lists the original
+  *    files, so "read as of generation N" keeps working after the
+  *    rewrite — the content is identical, the file sets disjoint.
+  *  - '''Snapshot isolation''': a reader planning generation N scans
+  *    exactly manifest N's files (the file list IS the scan's
+  *    FileIndex), untouched by concurrent commits of N+1.
+  *
+  * Manifests are data-size-independent (one row per FILE, not per row),
+  * so the generation history costs kilobytes against a 100 TB table;
+  * production would prune old generations with a retention sweep that
+  * deletes manifests first, data files second (the standard
+  * expire-snapshots order — a crash between the two steps leaves only
+  * unreferenced files, never a dangling manifest).
+  */
+object SnapshotTable {
+
+  private def manifestPath(table: String, gen: Long): String =
+    s"$table/manifests/gen=$gen"
+
+  /** Commit `df` as generation `gen`: write its data files under a
+    * generation-private directory, then publish the manifest listing
+    * them (plus everything `carryFrom`'s manifest already listed, for
+    * append commits). The manifest write is the COMMIT POINT — readers
+    * only ever see fully-written data files because the manifest is
+    * published after the data lands (the write-ahead ordering every
+    * table format uses).
+    */
+  def commit(df: DataFrame, table: String, gen: Long,
+      carryFrom: Option[Long] = None): Unit = {
+    val spark = df.sparkSession
+    val dataDir = s"$table/data/gen=$gen"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
+    import spark.implicits._
+    (carried ++ fresh).sorted.toDF("path")
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath(table, gen))
+  }
+
+  /** The file list of generation `gen` — one driver-side collect of a
+    * per-FILE relation (bounded by file count, never data size).
+    */
+  def listFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(manifestPath(table, gen))
+      .select("path").as[String].collect().toSeq.sorted
+  }
+
+  /** Read the table AS OF generation `gen`: the scan's file set is
+    * exactly the manifest's list, so snapshot isolation and
+    * time travel hold by construction — later generations' files are
+    * invisible because they were never handed to the reader.
+    */
+  def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
+    spark.read.parquet(listFiles(spark, table, gen): _*)
+
+  /** Compact generation `fromGen` into `fromGen + 1`: read the old
+    * snapshot through its manifest, rewrite into `files` output files,
+    * publish the new manifest. The old manifest (and its files) remain
+    * untouched — that is what keeps time travel to the pre-compaction
+    * generation alive.
+    */
+  def compact(spark: SparkSession, table: String, fromGen: Long, files: Int): Unit =
+    commit(readAs(spark, table, fromGen).repartition(files),
+      table, fromGen + 1)
+}

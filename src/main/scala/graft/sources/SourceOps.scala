@@ -258,6 +258,57 @@ object SourceOps {
       .orderBy("lang")
   }
 
+  /** Per-generation output file counts for [[snapshotRoundtrip]],
+    * mirrored in the oracle (deterministic: a round-robin
+    * `repartition(n)` over thousands of rows leaves no partition empty,
+    * so exactly n part files land).
+    */
+  val SnapInitFiles = 4
+  val SnapAppendFiles = 2
+  val SnapCompactFiles = 2
+
+  /** Snapshot / time-travel round trip over [[SnapshotTable]]'s
+    * manifest-per-generation layout — the versioned-table tie between
+    * `src_compaction` (file maintenance), `events_cdc_merge` (MERGE
+    * semantics), and `events_rollup_merge` (incremental state):
+    *
+    *  - gen 1: the initial load (orders with `o_orderkey % 4 != 0`).
+    *  - gen 2: an APPEND commit of the remaining rows — writes only the
+    *    batch's files; the manifest carries gen 1's files forward
+    *    verbatim (history is never copied).
+    *  - gen 3: a compaction REWRITE of gen 2 into
+    *    [[SnapCompactFiles]] files — new files, new manifest, old
+    *    generations untouched.
+    *
+    * The result reads every generation back THROUGH ITS MANIFEST and
+    * reports (gen, n_files, n_rows, key_sum): gens 2 and 3 must agree
+    * on content while differing in file count — i.e. time travel to the
+    * pre-compaction generation still serves the identical rows from the
+    * original files. The oracle recomputes each generation's content
+    * directly from the orders table with the same split predicate and
+    * the file-count constants above; SnapshotTableSpec additionally
+    * pins the file-set mechanics (disjoint gen-1/gen-3 scans, append
+    * reuse, manifest-exact scan pruning) that SQL cannot see.
+    */
+  def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val table = scratch("snapshot_orders")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(SnapInitFiles),
+      table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(SnapAppendFiles),
+      table, 2L, carryFrom = Some(1L))
+    SnapshotTable.compact(spark, table, 2L, SnapCompactFiles)
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readAs(spark, table, g)
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong).as("n_files"),
+          col("n_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Schema evolution across file generations: a long-lived table's
     * early files lack columns later files carry (and vice versa), and
     * the reader must reconcile — `mergeSchema` unions the parquet
@@ -331,6 +382,7 @@ object SourceOps {
     "src_json_corrupt" -> (jsonCorrupt _),
     "src_variant_roundtrip" -> (variantRoundtrip _),
     "src_schema_evolution" -> (schemaEvolution _),
+    "src_snapshot" -> (snapshotRoundtrip _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -353,6 +405,29 @@ object SourceOps {
 
   val oracle: Map[String, String] = Map(
     "src_dirscan" -> dirScanOracle("/root/testdata/sf0.01"),
+    // Each generation's CONTENT recomputed from the orders table with
+    // the same split predicate; file counts are the generated
+    // constants (append = init's files carried + the batch's). A green
+    // row pins manifest-resolved reads == direct derivation for all
+    // three snapshots — including time travel through the
+    // pre-compaction manifest after the gen-3 rewrite.
+    "src_snapshot" ->
+      s"""WITH init AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_files, n_rows, key_sum
+         |FROM init
+         |UNION ALL
+         |SELECT 2, ${SnapInitFiles + SnapAppendFiles}, n_rows, key_sum FROM al
+         |UNION ALL
+         |SELECT 3, $SnapCompactFiles, n_rows, key_sum FROM al
+         |ORDER BY gen""".stripMargin,
     // The bucketed layout is result-transparent — the twin is the plain
     // join over the original parquet.
     "src_bucketed" ->

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The file-set mechanics of the manifest layer — the invariants the
+  * SQL oracle of `src_snapshot` cannot see (it only checks content):
+  * scans resolve to exactly the manifest's files, appends reuse history
+  * without rewriting it, and compaction leaves old generations
+  * readable from their original (disjoint) files.
+  */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("append reuses history; compaction rewrites without touching it") {
+    val table = graft.Scratch.dir("snapshot_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(4), table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(2),
+      table, 2L, carryFrom = Some(1L))
+    SnapshotTable.compact(spark, table, 2L, 2)
+
+    val f1 = SnapshotTable.listFiles(spark, table, 1L).toSet
+    val f2 = SnapshotTable.listFiles(spark, table, 2L).toSet
+    val f3 = SnapshotTable.listFiles(spark, table, 3L).toSet
+    // Append without rewrite: gen 2 carries gen 1's files verbatim.
+    assert(f1.subsetOf(f2), "append manifest must reuse the base files")
+    assert((f2 -- f1).size === 2, "append contributes only the batch's files")
+    // Compaction writes a fresh file set — time travel needs the old one.
+    assert(f3.intersect(f2).isEmpty, "compacted generation shares no files")
+    assert(f3.size === 2)
+
+    // Scan pruning: the planned read touches exactly the manifest's
+    // files — snapshot isolation by construction.
+    assert(SnapshotTable.readAs(spark, table, 1L).inputFiles.toSet === f1)
+    assert(SnapshotTable.readAs(spark, table, 3L).inputFiles.toSet === f3)
+
+    // Time travel: pre- and post-compaction snapshots serve identical
+    // content from different files.
+    val g2 = SnapshotTable.readAs(spark, table, 2L)
+      .orderBy("o_orderkey").collect().toSeq
+    val g3 = SnapshotTable.readAs(spark, table, 3L)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(g2 === g3)
+    // And gen 1 still reads the pre-append subset.
+    val g1n = SnapshotTable.readAs(spark, table, 1L).count()
+    assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
+  }
+}
