@@ -50,31 +50,7 @@ object ImageCodec {
     */
   def lumaRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
-    if (img == null) None
-    else {
-      val raster = img.getRaster
-      val w = img.getWidth
-      val h = img.getHeight
-      val bands = raster.getNumBands
-      val out = new Array[Byte](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v =
-            if (bands >= 3) {
-              val r = raster.getSample(x, y, 0)
-              val g = raster.getSample(x, y, 1)
-              val b = raster.getSample(x, y, 2)
-              (299 * r + 587 * g + 114 * b) / 1000
-            } else raster.getSample(x, y, 0)
-          out(y * w + x) = v.toByte
-          x += 1
-        }
-        y += 1
-      }
-      Some((w, h, out))
-    }
+    if (img == null) None else Some(lumaOf(img))
   } catch { case _: Exception => None }
 
   // Planted pixel formulas — plain integer arithmetic shared verbatim
@@ -144,5 +120,120 @@ object ImageCodec {
         }
       }
     }
+  }
+
+  // ---- Animated GIF (multi-frame) -------------------------------------
+
+  /** Per-frame temporal shift of the planted animated-GIF formula:
+    * frame f's gray value is `(7x + 13y + 31·id + 41·f) mod 256`, so
+    * consecutive frames differ by exactly 41 (mod 256) at every pixel —
+    * which makes the per-pixel |Δ| analytically two-valued (41 below
+    * the wrap, 215 across it) and the temporal-difference feature
+    * exactly oracle-able.
+    */
+  val GifFrameShift = 41
+
+  def plantedFrameGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((7L * x + 13L * y + 31L * id + GifFrameShift.toLong * f) % 256).toInt
+
+  /** The identity 256-level gray palette: index i renders as (i,i,i),
+    * so stored GIF indices ARE the planted gray values and the
+    * write→read round trip is bit-lossless (GIF's palette indirection
+    * costs nothing when the palette is the identity).
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode one planted animated GIF: `n` full-size indexed-gray frames
+    * through the JDK's own sequence writer
+    * (`ImageWriter.prepareWriteSequence` / `writeToSequence` — the
+    * multi-image API `ImageIO.write` hides). Loud failure if the JDK
+    * lacks the writer.
+    */
+  def encodePlantedGif(id: Long, w: Int, h: Int, n: Int): Array[Byte] = {
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no JDK GIF writer")
+    val writer = writers.next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val r = im.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, plantedFrameGray(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** ALL frames of a (possibly animated) image payload, each as a
+    * (width, height, row-major luma raster) — `ImageReader.getNumImages`
+    * + `read(i)`, the frame-enumeration API `ImageIO.read` truncates to
+    * frame 0. None when no JDK reader claims the bytes or the stream
+    * dies mid-frame (the quarantine contract, like [[lumaRaster]]).
+    * Single-frame formats come back as one-element sequences, so this
+    * subsumes the still-image path.
+    */
+  def frameRasters(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] = try {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    val readers = ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); None }
+    else {
+      val rd = readers.next()
+      try {
+        rd.setInput(iis, false, true)
+        val n = rd.getNumImages(true)
+        Some((0 until n).map(i => lumaOf(rd.read(i))))
+      } finally {
+        rd.dispose()
+        iis.close()
+      }
+    }
+  } catch { case _: Exception => None }
+
+  /** Row-major integer luma of a decoded image (the [[lumaRaster]] loop,
+    * shared by the single- and multi-frame readers). Band-1 rasters
+    * return the stored sample directly — for an indexed GIF under the
+    * identity gray palette that IS the planted value.
+    */
+  private def lumaOf(img: BufferedImage): (Int, Int, Array[Byte]) = {
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = raster.getNumBands
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (bands >= 3) {
+            val r = raster.getSample(x, y, 0)
+            val g = raster.getSample(x, y, 1)
+            val b = raster.getSample(x, y, 2)
+            (299 * r + 587 * g + 114 * b) / 1000
+          } else raster.getSample(x, y, 0)
+        out(y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
   }
 }

@@ -231,6 +231,54 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** REAL animated-GIF multi-frame decode — the VIDEO-shaped modality
+    * through an actual JDK codec: plant [[DecodeMaxId]] animated GIFs
+    * (2–5 full-size indexed-gray frames from
+    * [[ImageCodec.plantedFrameGray]]'s integer formula), encode them
+    * with `javax.imageio`'s sequence writer, then enumerate and decode
+    * every REAL frame back (`ImageReader.getNumImages` / `read(i)` —
+    * the API `ImageIO.read` truncates to frame 0) and report per-frame
+    * dimensions, exact luma sum, and the temporal feature a video
+    * pipeline actually computes: the summed per-pixel |Δ| against the
+    * previous frame. The planted shift makes that delta analytically
+    * two-valued (41 below the mod-256 wrap, 215 across it), so the
+    * oracle recomputes everything from the formulas — a decoder that
+    * drops frames, reorders them, or remaps the palette fails the
+    * exact compare. With this, the byte-domain stand-in remains only
+    * for payloads no JDK codec exists for (compressed video streams).
+    * Scan-local mapPartitions, zero shuffle.
+    */
+  def gifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < DecodeMaxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 11).toInt
+        val n = (2 + id % 4).toInt
+        Multimodal.MediaRow(id, ImageCodec.encodePlantedGif(id, w, h, n), "image/gif")
+      })
+    media.mapPartitions(_.flatMap { r =>
+      val fs = ImageCodec.frameRasters(r.payload).getOrElse(Seq.empty)
+      fs.zipWithIndex.map { case ((w, h, luma), i) =>
+        var lsum = 0L
+        var j = 0
+        while (j < luma.length) { lsum += luma(j) & 0xff; j += 1 }
+        var dsum = 0L
+        if (i > 0) {
+          val prev = fs(i - 1)._3
+          var k = 0
+          while (k < luma.length) {
+            dsum += math.abs((luma(k) & 0xff) - (prev(k) & 0xff)); k += 1
+          }
+        }
+        (r.media_id, i.toLong, w.toLong, h.toLong, lsum, dsum)
+      }
+    }).toDF("media_id", "frame_idx", "width", "height", "luma_sum", "delta_sum")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Media ingest quarantine — `src_json_corrupt`'s contract for binary
     * payloads: a 100 TB media crawl always contains blobs that are
     * garbage or truncated mid-stream, and the decode stage must ROUTE
@@ -315,6 +363,7 @@ object MultimodalOps {
     "multimodal_phash_near" -> (phashNearPairs _),
     "multimodal_decode" -> (decoded _),
     "multimodal_audio" -> (audioDecoded _),
+    "multimodal_gif_frames" -> (gifFrames _),
     "multimodal_quarantine" -> (quarantine _),
     "pipeline_media" -> (mediaPipeline _),
   )
@@ -436,6 +485,32 @@ object MultimodalOps {
          |JOIN tot USING (media_id)
          |JOIN sig USING (media_id)
          |ORDER BY media_id""".stripMargin,
+    // Analytic twin of the animated-GIF roundtrip: per-frame luma and
+    // temporal delta recomputed from the planted formulas (the |Δ| is
+    // two-valued because consecutive frames differ by the constant
+    // shift mod 256), never a codec.
+    "multimodal_gif_frames" -> {
+      val shift = ImageCodec.GifFrameShift
+      val wrap = 256 - shift
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id,
+         |         8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h,
+         |         2 + doc_id % 4 AS nf
+         |  FROM documents WHERE doc_id < $DecodeMaxId),
+         |px AS (
+         |  SELECT media_id, w, h, f,
+         |         (7*(i % w) + 13*(i // w) + 31*media_id + $shift*f) % 256 AS v
+         |  FROM planted, LATERAL unnest(range(nf)) ft(f),
+         |       LATERAL unnest(range(w*h)) t(i))
+         |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |       CAST(sum(v) AS BIGINT) AS luma_sum,
+         |       CAST(CASE WHEN f = 0 THEN 0 ELSE
+         |         sum(CASE WHEN (v + $wrap) % 256 < $wrap
+         |                  THEN $shift ELSE $wrap END) END AS BIGINT) AS delta_sum
+         |FROM px GROUP BY media_id, f, w, h
+         |ORDER BY media_id, frame_idx""".stripMargin
+    },
     // Analytic twin of the WAV roundtrip: sample statistics recomputed
     // from the shared generating formula, never a codec.
     "multimodal_audio" ->

@@ -96,6 +96,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif codec: animated encode→decode enumerates every exact frame") {
+    val (id, w, h, n) = (7L, 10, 9, 4)
+    val bytes = ImageCodec.encodePlantedGif(id, w, h, n)
+    val Some(frames) = ImageCodec.frameRasters(bytes)
+    assert(frames.length === n, "every planted frame must come back")
+    for ((f, idx) <- frames.zipWithIndex) {
+      val (gw, gh, luma) = f
+      assert((gw, gh) === ((w, h)))
+      val ref = (0 until w * h).map { i =>
+        ImageCodec.plantedFrameGray(id, idx, i % w, i / w)
+      }
+      assert(luma.map(_ & 0xff).toSeq === ref,
+        s"frame $idx luma mismatch (palette remap or frame reorder)")
+    }
+    // frameRasters subsumes still images (one-element sequence)...
+    val still = ImageCodec.encodePlanted(3L, 9, 8, "png-gray")
+    assert(ImageCodec.frameRasters(still).map(_.length) === Some(1))
+    // ...and quarantines garbage and mid-stream truncation.
+    assert(ImageCodec.frameRasters(Array.tabulate(32)(_.toByte)).isEmpty)
+    assert(ImageCodec.frameRasters(bytes.take(24)).forall(_.isEmpty))
+  }
+
   test("imageio codec: non-image payloads decode to None, empty set dropped") {
     import spark.implicits._
     implicit val s = spark
