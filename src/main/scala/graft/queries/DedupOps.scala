@@ -479,6 +479,32 @@ object DedupOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Memoized per-(JVM, sfDir) location of the persisted 16-member
+    * MinHash signature table (doc_id, h0..h15) — the second layer of
+    * the session's index stack: derived from [[shingleIndex]] (one
+    * group-by, 16 modular-arithmetic minima), written once, and probed
+    * by every portable-family MinHash consumer. At 100 TB this is the
+    * stored signature table the incremental queries
+    * (`neardup_minhash_incr`) already maintain per batch; longs
+    * round-trip parquet exactly, so every derivation stays
+    * value-identical to the from-text form the oracles recompute.
+    */
+  private val sigIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def sigIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = Option(sigIndexPaths.get(dir)).getOrElse(
+      sigIndexPaths.synchronized {
+        Option(sigIndexPaths.get(dir)).getOrElse {
+          val p = graft.Scratch.dir(s"sigindex_${shingleIndexSeq.incrementAndGet()}")
+          minhashSignaturesOfShingles(shingleIndex(spark, dir), 16)
+            .write.mode("overwrite").parquet(p)
+          sigIndexPaths.put(dir, p)
+          p
+        }
+      })
+    spark.read.parquet(path)
+  }
+
   /** LSH banding over an explicit signature frame: `nBands` bands of
     * `rowsPerBand` signature rows, each band hashed to one bucket value.
     * Documents sharing any (band, bucket) are near-dup candidates.
@@ -531,8 +557,7 @@ object DedupOps {
     * text, gating the equivalence.
     */
   def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
-    bandsOfSig(minhashSignaturesOfShingles(shingleIndex(spark, dir), 16),
-        nBands = 4, rowsPerBand = 4, PortableFamily)
+    bandsOfSig(sigIndex(spark, dir), nBands = 4, rowsPerBand = 4, PortableFamily)
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("bucket_size"))
       .orderBy("band", "bucket")
@@ -561,12 +586,10 @@ object DedupOps {
     * the planted near-dups in DedupOpsSpec.
     */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures derive from the persisted shingle index and are
-    // referenced THREE times (candidate banding + both join sides);
-    // localCheckpoint materializes the small frame (16 longs/doc) once
-    // instead of re-aggregating the index per reference.
-    val sig = minhashSignaturesOfShingles(shingleIndex(spark, dir), 16)
-      .localCheckpoint()
+    // The persisted signature table is referenced three times (candidate
+    // banding + both join sides) — each reference is a re-read of the
+    // tiny (16 longs/doc) parquet artifact, no re-aggregation.
+    val sig = sigIndex(spark, dir)
     val matches = (0 until 16)
       .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -792,8 +815,7 @@ object DedupOps {
     // them is the standard two-phase-pipeline shape at any scale (a
     // 100 TB run would checkpoint them to storage between phases).
     val candidates =
-      candidatesOfBands(bandsOfSig(minhashSignaturesOfShingles(idx, 16),
-          4, 4, PortableFamily))
+      candidatesOfBands(bandsOfSig(sigIndex(spark, dir), 4, 4, PortableFamily))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Re-assemble shingle sets ONLY for docs that appear in some
     // candidate pair: a left-semi filter ahead of the group-by. The
@@ -850,22 +872,33 @@ object DedupOps {
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("rep"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 60) {
-      val nbrMin = sym.join(labels, col("dst") === col("v"))
+    // One propagation step: each vertex takes min(own, neighbors' min,
+    // label's label). Output carries ("v", "rep", "old" = input rep).
+    def step(cur: DataFrame): DataFrame = {
+      val nbrMin = sym.join(cur, col("dst") === col("v"))
         .groupBy(col("src")).agg(min("rep").as("nmin"))
-      // LAZY checkpoint: the convergence count is the round's single
-      // action — it materializes the checkpoint cache as it runs, so
-      // each round costs one Spark job, not two (eager checkpoint +
-      // count would scan the round twice).
-      val next = labels.toDF("v", "old")
+      cur.toDF("v", "old")
         .join(nbrMin, col("v") === col("src"), "left")
-        .join(labels.toDF("r", "rr"), col("old") === col("r"), "left")
+        .join(cur.toDF("r", "rr"), col("old") === col("r"), "left")
         .select(col("v"),
           least(col("old"), coalesce(col("nmin"), col("old")),
             coalesce(col("rr"), col("old"))).as("rep"),
           col("old"))
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      // TWO steps per materialization (checkpoint cadence 2): lineage
+      // depth stays bounded (one un-truncated step of 3-reference
+      // growth) while the per-iteration driver round-trips — the lazy
+      // checkpoint's materializing count() job — halve. Convergence
+      // detection stays sound on the SECOND step's delta alone: a full
+      // step that changes nothing proves its input is the propagation
+      // fixpoint, regardless of what the first step did. LAZY
+      // checkpoint: the convergence count is the iteration's single
+      // action — it materializes the checkpoint cache as it runs, so
+      // each iteration costs one Spark job, not two.
+      val next = step(step(labels).select("v", "rep"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("rep") < col("old")).count()
       labels = next.select("v", "rep")
