@@ -977,6 +977,139 @@ object VectorQueries {
       .limit(HybridTopK)
   }
 
+  /** The composed RAG retrieval pipeline — `pipeline_corpus` /
+    * `pipeline_media`'s contract for the retrieval stack, in ONE Spark
+    * DAG with every constant shared with the standalone queries:
+    *
+    *  1. '''embed-join''': the retrievable corpus is documents ∩
+    *     embeddings (doc_id = vec_id) — exactly the subset a vector
+    *     index can serve.
+    *  2. '''hybrid channels''': the lexical channel ([[HybridQTerms]]
+    *     rarest query-document terms, integer tf·idf) and the vector
+    *     channel (cosine), each a [[HybridPoolK]]-deep
+    *     TakeOrderedAndProject pool — [[hybrid]]'s exact shapes over
+    *     the embedded corpus.
+    *  3. '''RRF fusion''' ([[HybridRrfC]]) → the [[HybridTopK]] head.
+    *  4. '''chunk provenance''': for each fused document, the
+    *     best-matching non-overlapping [[TextOps.ChunkTokens]]-token
+    *     chunk (most selected-term hits, ties to the earliest chunk) —
+    *     the passage a RAG prompt would actually stuff; documents
+    *     surfaced by the vector channel alone may have zero lexical
+    *     hits and report chunk −1.
+    *  5. '''MMR re-rank''' of the fused head by embedding cosine
+    *     (λ = 0.5, [[mmr]]'s exact greedy: total (score, id) order,
+    *     power-of-two λ) — the diversification pass before the prompt.
+    *
+    * Scale shape: stages 1–4 are the members' own bounded plans (no
+    * posting lists, broadcast 8-term selection, pools cut BEFORE any
+    * window rank, the chunk stage touches only the 10 fused documents);
+    * stage 5's greedy runs over the COLLECTED ≤ [[HybridTopK]]-row pool
+    * (≤ 90 pairwise sims) — the model-artifact-sized driver loop the
+    * standalone [[mmr]] already documents. The oracle rebuilds every
+    * stage from the same constants, with the MMR rounds unrolled into
+    * generated CTEs.
+    */
+  def retrievalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qid = QueryVecId.toLong
+    val e = emb(spark, dir)
+    val ev = e.select(col("vec_id").as("doc_id"), col("v"))
+    val corpus = Tables.documents(spark, dir).join(ev, Seq("doc_id"))
+    val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
+    // Vector channel (hybrid's, over the embedded corpus).
+    val vr = corpus.filter(col("doc_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), asc("doc_id"))
+      .limit(HybridPoolK)
+      .withColumn("vrank", row_number().over(Window.orderBy(desc("sim"), asc("doc_id"))))
+      .select("doc_id", "vrank")
+    // Lexical channel (hybrid's shape and guards — see hybrid's doc for
+    // the explode_outer/binding contract).
+    val tok = corpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+    val qTerms = tok.filter(col("doc_id") === qid).select("w").distinct()
+    // The 8-row term selection feeds BOTH the lexical scorer and the
+    // chunk-provenance stage; materialize it once.
+    val qsel = tok.join(broadcast(qTerms), "w")
+      .groupBy("w")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .orderBy(asc("df"), asc("w"))
+      .limit(HybridQTerms)
+      .localCheckpoint()
+    val lr = tok.filter(col("doc_id") =!= qid)
+      .join(broadcast(qsel), "w")
+      .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(HybridPoolK)
+      .withColumn("lrank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select("doc_id", "lrank")
+    // RRF fusion → the head every later stage consumes (materialized:
+    // three references).
+    val fh = lr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000 div ($HybridRrfC + lrank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($HybridRrfC + vrank)"), lit(0L))).as("fused"))
+      .orderBy(desc("fused"), asc("doc_id"))
+      .limit(HybridTopK)
+      .localCheckpoint()
+    // Chunk provenance over the 10 fused docs only.
+    val bestChunk = corpus.join(broadcast(fh.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        expr(s"pos div ${TextOps.ChunkTokens}").cast("long").as("chunk_idx"), col("w"))
+      .join(broadcast(qsel.select("w")), "w")
+      .groupBy("doc_id", "chunk_idx").agg(count(lit(1)).as("chunk_hits"))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("chunk_idx"), col("chunk_hits")),
+        struct(col("chunk_hits"), (-col("chunk_idx")).as("tb"))).as("bc"))
+      .select(col("doc_id"), col("bc.chunk_idx").as("chunk_idx"),
+        col("bc.chunk_hits").as("chunk_hits"))
+    // MMR pool: fused head + cosine relevance (zero-norm rows drop, as
+    // in mmr); pairwise sims over ≤ HybridTopK rows.
+    val pool = fh.join(ev, "doc_id")
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("fused"), VectorOps.cosine(col("v"), col("qv")).as("rel"))
+      .filter(col("rel").isNotNull)
+      .localCheckpoint()
+    val pv = pool.select("doc_id", "rel").join(ev, Seq("doc_id"))
+    val rels = pool.select("doc_id", "rel").as[(Long, Double)].collect()
+    val sims = pv.as("x").crossJoin(pv.as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        VectorOps.cosine(col("x.v"), col("y.v")).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ranked =
+      if (rels.isEmpty) Seq.empty[(Long, Long, Double, Double)]
+      else {
+        val first = rels.minBy { case (id, r) => (-r, id) }
+        var selected = Vector((1L, first._1, first._2, first._2))
+        while (selected.length < math.min(HybridTopK, rels.length)) {
+          val chosen = selected.map(_._2).toSet
+          val pick = rels.iterator.filterNot(c => chosen(c._1)).map { case (id, r) =>
+            val near = chosen.iterator.map(s => sims((id, s))).max
+            (id, r, 0.5 * r - 0.5 * near)
+          }.minBy { case (id, _, m) => (-m, id) }
+          selected = selected :+ ((selected.length + 1L, pick._1, pick._2, pick._3))
+        }
+        selected
+      }
+    ranked.toDF("rank", "doc_id", "rel", "mmr")
+      .join(fh, "doc_id")
+      .join(bestChunk, Seq("doc_id"), "left")
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("chunk_idx"), lit(-1L)).as("chunk_idx"),
+        coalesce(col("chunk_hits"), lit(0L)).as("chunk_hits"),
+        col("fused"), col("rel"), col("mmr"))
+      .orderBy("rank")
+  }
+
   /** Query-batch size and neighbors per query for [[knnBatch]]. */
   val KnnQueries = 5
   val KnnK = 5
@@ -1013,6 +1146,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_knn_batch" -> (knnBatch _),
     "simsearch_hybrid" -> (hybrid _),
+    "pipeline_retrieval" -> (retrievalPipeline _),
     "sample_kcenter" -> (kCenter _),
     "simsearch_range" -> (rangeSearch _),
     "simsearch_filtered" -> (filteredSearch _),
@@ -1174,6 +1308,103 @@ object VectorQueries {
        |SELECT rank, vec_id, rel, mmr FROM acc$MmrK ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB twin of [[retrievalPipeline]]: embed-join corpus, hybrid's
+    * channel/fusion CTEs restricted to it, the chunk-provenance argmax
+    * as a deterministic window rank, and the MMR rounds unrolled over
+    * the fused pool (the [[duckMmrSql]] generator technique — acc CTEs
+    * MATERIALIZED, rounds from the same constants). Every limit,
+    * dampening constant, chunk width, and tie-break renders from the
+    * Scala values the Spark stages use.
+    */
+  private val duckRetrievalSql: String = {
+    val rounds = (2 to HybridTopK).map { i =>
+      s"""cand$i AS (
+         |  SELECT p.doc_id, p.rel, 0.5 * p.rel - 0.5 * max(ps.s) AS mmr
+         |  FROM pool p
+         |  JOIN ps ON ps.a = p.doc_id
+         |  JOIN acc${i - 1} s ON ps.b = s.doc_id
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM acc${i - 1})
+         |  GROUP BY p.doc_id, p.rel),
+         |sel$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, doc_id, rel, mmr
+         |  FROM cand$i ORDER BY mmr DESC, doc_id LIMIT 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($CastEmb),
+       |c AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, e.v FROM documents d
+       |  JOIN e ON d.doc_id = e.vec_id),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+       |vs AS (
+       |  SELECT doc_id, ${VectorOps.cosineSql("v", "qv")} AS sim
+       |  FROM c CROSS JOIN q WHERE doc_id <> $QueryVecId),
+       |vr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+       |  FROM vs WHERE sim IS NOT NULL),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |  FROM c),
+       |qt AS (SELECT DISTINCT w FROM tok WHERE doc_id = $QueryVecId),
+       |qsel AS MATERIALIZED (
+       |  SELECT tok.w, count(DISTINCT tok.doc_id) AS df
+       |  FROM tok JOIN qt USING (w) GROUP BY tok.w
+       |  ORDER BY df, w LIMIT $HybridQTerms),
+       |tf AS (
+       |  SELECT doc_id, tok.w, qsel.df, count(*) AS tf
+       |  FROM tok JOIN qsel ON tok.w = qsel.w
+       |  WHERE doc_id <> $QueryVecId GROUP BY doc_id, tok.w, qsel.df),
+       |lex AS (
+       |  SELECT doc_id, CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score
+       |  FROM tf GROUP BY doc_id),
+       |lr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+       |  FROM lex),
+       |fh AS MATERIALIZED (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // ($HybridRrfC + lrank), 0)
+       |      + coalesce(1000000 // ($HybridRrfC + vrank), 0) AS BIGINT) AS fused
+       |  FROM (SELECT * FROM lr WHERE lrank <= $HybridPoolK) l
+       |  FULL OUTER JOIN (SELECT * FROM vr WHERE vrank <= $HybridPoolK) v
+       |    ON l.doc_id = v.doc_id
+       |  ORDER BY fused DESC, doc_id LIMIT $HybridTopK),
+       |ptok AS (
+       |  SELECT c.doc_id, i - 1 AS pos, tk[i] AS w FROM (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |    FROM c JOIN fh USING (doc_id)) c,
+       |    LATERAL unnest(range(1, len(tk) + 1)) t(i)),
+       |ch AS (
+       |  SELECT p.doc_id, p.pos // ${TextOps.ChunkTokens} AS chunk_idx,
+       |         count(*) AS chunk_hits
+       |  FROM ptok p JOIN qsel ON p.w = qsel.w
+       |  GROUP BY p.doc_id, p.pos // ${TextOps.ChunkTokens}),
+       |bsel AS (
+       |  SELECT doc_id, chunk_idx, chunk_hits FROM (
+       |    SELECT doc_id, chunk_idx, chunk_hits,
+       |      row_number() OVER (PARTITION BY doc_id
+       |                         ORDER BY chunk_hits DESC, chunk_idx) AS rn
+       |    FROM ch) WHERE rn = 1),
+       |pool AS MATERIALIZED (
+       |  SELECT fh.doc_id, fh.fused, ${VectorOps.cosineSql("c.v", "qv")} AS rel
+       |  FROM fh JOIN c USING (doc_id) CROSS JOIN q
+       |  WHERE ${VectorOps.cosineSql("c.v", "qv")} IS NOT NULL),
+       |pv AS (SELECT pool.doc_id, pool.rel, c.v FROM pool JOIN c USING (doc_id)),
+       |ps AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, ${VectorOps.cosineSql("x.v", "y.v")} AS s
+       |  FROM pv x JOIN pv y ON x.doc_id <> y.doc_id),
+       |acc1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, rel AS mmr
+       |  FROM pool ORDER BY rel DESC, doc_id LIMIT 1),
+       |$rounds
+       |SELECT a.rank, a.doc_id,
+       |  CAST(coalesce(b.chunk_idx, -1) AS BIGINT) AS chunk_idx,
+       |  CAST(coalesce(b.chunk_hits, 0) AS BIGINT) AS chunk_hits,
+       |  pool.fused, a.rel, a.mmr
+       |FROM acc$HybridTopK a
+       |JOIN pool USING (doc_id)
+       |LEFT JOIN bsel b USING (doc_id)
+       |ORDER BY a.rank""".stripMargin
+  }
+
   /** DuckDB twin of [[kCenter]]: the greedy rounds unrolled into
     * generated CTEs (chosen-set join, per-vector max similarity, the
     * total-order argmin, cumulative union) — each round rendered from
@@ -1215,6 +1446,7 @@ object VectorQueries {
   private val baseOracle: Map[String, String] = Map(
     "sample_kcenter" -> duckKCenterSql,
     "simsearch_mmr" -> duckMmrSql,
+    "pipeline_retrieval" -> duckRetrievalSql,
     "simsearch_range" ->
       s"""WITH e AS ($CastEmb),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

@@ -267,6 +267,27 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(topk.subsetOf(range.toSet))
   }
 
+  test("retrieval pipeline: MMR permutation of the hybrid-style fused head") {
+    val rows = VectorQueries.retrievalPipeline(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= VectorQueries.HybridTopK)
+    // Ranks are the contiguous selection order; docs are distinct.
+    assert(rows.map(_._1) === (1L to rows.size.toLong))
+    assert(rows.map(_._2).distinct.size === rows.size)
+    rows.foreach { case (_, doc, chunkIdx, hits, fused, rel, mmr) =>
+      assert(doc != 0L, "the query document never retrieves itself")
+      assert(fused > 0L, "every surfaced doc scored in some channel")
+      // chunk −1 ⇔ zero lexical hits (vector-only docs).
+      assert((chunkIdx == -1L) === (hits == 0L))
+      assert(rel >= -1.0 && rel <= 1.0)
+      // The λ=0.5 blend can never exceed pure relevance.
+      assert(mmr <= rel + 1e-12)
+    }
+    // Seed = the most relevant pool member, reported with mmr == rel.
+    assert(rows.head._6 === rows.head._7)
+    assert(rows.head._6 === rows.map(_._6).max)
+  }
+
   test("recall audit equals directly-computed intersections") {
     val audit = VectorQueries.recallAudit(spark, dir)
       .as[(String, Long)].collect().toMap
