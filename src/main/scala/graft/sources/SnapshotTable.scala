@@ -52,8 +52,18 @@ object SnapshotTable {
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
     val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
+    publish(spark, table, gen, carried ++ fresh)
+  }
+
+  /** Publish generation `gen` as an explicit file list — the commit
+    * point shared by every writer: [[commit]]'s whole-directory form and
+    * file-granular writers (copy-on-write MERGE) that carry an
+    * arbitrary subset of the previous generation's files forward.
+    */
+  def publish(spark: SparkSession, table: String, gen: Long,
+      paths: Seq[String]): Unit = {
     import spark.implicits._
-    (carried ++ fresh).sorted.toDF("path")
+    paths.sorted.toDF("path")
       .coalesce(1).write.mode("overwrite").parquet(manifestPath(table, gen))
   }
 

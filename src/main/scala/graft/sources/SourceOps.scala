@@ -309,6 +309,88 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** [[snapshotMerge]] geometry, mirrored in the oracle: key buckets
+    * (one data file each), the batch's residue predicates, and the
+    * insert key offset — ≡ 0 (mod [[MergeBuckets]]) so inserted keys
+    * stay in their source row's bucket.
+    */
+  val MergeBuckets = 4
+  val MergeMod = 16
+  val MergeInsertOffset = 10000000L
+
+  /** File-pruned copy-on-write MERGE over the [[SnapshotTable]] layout —
+    * `events_cdc_merge`'s upsert semantics tied into the versioned
+    * table, the way a lakehouse actually executes it:
+    *
+    *  - gen 1 lands one data file per key bucket (`o_orderkey mod
+    *    [[MergeBuckets]]`), the Hive-style `b=<n>` path segment
+    *    recording each file's bucket in the manifest — the per-file
+    *    metadata every table format keeps.
+    *  - the MERGE batch (status-flip updates on keys ≡ 1, derived
+    *    inserts on keys ≡ 2 mod [[MergeMod]]) first computes its
+    *    TOUCHED BUCKETS (a ≤ [[MergeBuckets]]-row collect), prunes the
+    *    gen-1 manifest to the touched files, reads ONLY those
+    *    (spec-asserted via `inputFiles`), applies the upsert, and
+    *    rewrites just the touched buckets.
+    *  - gen 2's manifest carries the untouched files VERBATIM next to
+    *    the rewritten ones — so the merge cost scales with the touched
+    *    fraction, not the table, and gen 1 still time-travels from the
+    *    original files.
+    *
+    * The oracle recomputes both generations' content from the orders
+    * table with the same predicates (a pure-SQL MERGE twin) and pins
+    * the file counts from the bucket constants.
+    */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = scratch("snapshot_merge")
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val bucket = (c: org.apache.spark.sql.Column) => pmod(c, lit(MergeBuckets.toLong))
+    val gen1Paths = (0 until MergeBuckets).flatMap { b =>
+      val d = s"$table/data/gen=1/b=$b"
+      src.filter(bucket(col("o_orderkey")) === b.toLong)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      spark.read.parquet(d).inputFiles.toSeq
+    }
+    SnapshotTable.publish(spark, table, 1L, gen1Paths)
+    val updates = src.filter(pmod(col("o_orderkey"), lit(MergeMod.toLong)) === 1)
+      .select(col("o_orderkey").as("k"))
+    val inserts = src.filter(pmod(col("o_orderkey"), lit(MergeMod.toLong)) === 2)
+      .select((col("o_orderkey") + MergeInsertOffset).as("o_orderkey"),
+        col("o_orderkey").as("o_custkey"), lit("I").as("o_orderstatus"))
+    // Touched-bucket discovery from the batch itself — bounded by the
+    // bucket count, never the batch size.
+    val touched = updates.select(bucket(col("k")).as("b"))
+      .union(inserts.select(bucket(col("o_orderkey")).as("b")))
+      .distinct().as[Long].collect().toSet
+    def bucketOf(p: String): Long =
+      "b=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    val (rewrite, carry) = gen1Paths.partition(p => touched(bucketOf(p)))
+    val merged = spark.read.parquet(rewrite: _*)
+      .join(updates, col("o_orderkey") === col("k"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("k").isNotNull, lit("U")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"))
+      .unionByName(inserts)
+    val outDir = s"$table/data/gen=2"
+    merged.withColumn("b", bucket(col("o_orderkey")))
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(outDir)
+    SnapshotTable.publish(spark, table, 2L,
+      carry ++ spark.read.parquet(outDir).inputFiles.toSeq)
+    Seq(1L, 2L).map { g =>
+      SnapshotTable.readAs(spark, table, g)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"),
+          sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("o_orderstatus") === "I", 1L).otherwise(0L)).as("n_inserted"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong).as("n_files"),
+          col("n_rows"), col("key_sum"), col("n_updated"), col("n_inserted"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Schema evolution across file generations: a long-lived table's
     * early files lack columns later files carry (and vice versa), and
     * the reader must reconcile — `mergeSchema` unions the parquet
@@ -383,6 +465,7 @@ object SourceOps {
     "src_variant_roundtrip" -> (variantRoundtrip _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_snapshot" -> (snapshotRoundtrip _),
+    "src_snapshot_merge" -> (snapshotMerge _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -411,6 +494,31 @@ object SourceOps {
     // row pins manifest-resolved reads == direct derivation for all
     // three snapshots — including time travel through the
     // pre-compaction manifest after the gen-3 rewrite.
+    // Pure-SQL MERGE twin: gen 2's content = all rows with the update
+    // predicate's statuses flipped, plus the derived inserts; file
+    // counts from the bucket constants (untouched carried + touched
+    // rewritten = MergeBuckets either way).
+    "src_snapshot_merge" ->
+      s"""WITH up AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderkey % $MergeMod = 1),
+         |ins AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c,
+         |         CAST(coalesce(sum(o_orderkey + $MergeInsertOffset), 0) AS BIGINT) AS ks
+         |  FROM orders WHERE o_orderkey % $MergeMod = 2),
+         |al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |       CAST($MergeBuckets AS BIGINT) AS n_files,
+         |       al.n AS n_rows, al.ks AS key_sum,
+         |       CAST(0 AS BIGINT) AS n_updated, CAST(0 AS BIGINT) AS n_inserted
+         |FROM al
+         |UNION ALL
+         |SELECT 2, $MergeBuckets, al.n + ins.c, al.ks + ins.ks, up.c, ins.c
+         |FROM al, up, ins
+         |ORDER BY gen""".stripMargin,
     "src_snapshot" ->
       s"""WITH init AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

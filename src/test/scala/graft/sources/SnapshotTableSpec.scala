@@ -52,4 +52,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     val g1n = SnapshotTable.readAs(spark, table, 1L).count()
     assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
   }
+
+  test("copy-on-write merge prunes to touched buckets and carries the rest") {
+    // Run the registered query for its side effects, then dissect the
+    // two manifests it produced.
+    val out = SourceOps.snapshotMerge(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("gen")).toSeq === Seq(1L, 2L))
+    val table = graft.Scratch.dir("roundtrip_snapshot_merge")
+    val f1 = SnapshotTable.listFiles(spark, table, 1L)
+    val f2 = SnapshotTable.listFiles(spark, table, 2L)
+    def bucketOf(p: String): Long =
+      "b=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    assert(f1.size === SourceOps.MergeBuckets)
+    // Untouched buckets (0, 3) carry their gen-1 files VERBATIM; the
+    // touched buckets (1 = updates, 2 = inserts) were rewritten.
+    val carried = f1.filter(p => bucketOf(p) == 0L || bucketOf(p) == 3L)
+    assert(carried.forall(f2.contains), "untouched files must carry over")
+    val rewritten = f2.filterNot(f1.contains)
+    assert(rewritten.map(bucketOf).toSet === Set(1L, 2L))
+    assert(f1.filter(p => Set(1L, 2L)(bucketOf(p))).forall(!f2.contains(_)),
+      "touched buckets' old files must not leak into gen 2")
+    // The merge's rewrite scan read ONLY the touched gen-1 files.
+    val touchedOld = f1.filter(p => Set(1L, 2L)(bucketOf(p)))
+    val scanned = spark.read.parquet(touchedOld: _*).inputFiles.toSet
+    assert(scanned === touchedOld.toSet)
+    // Gen-2 content: updates flipped in place, inserts present, and
+    // time travel to gen 1 shows neither.
+    val g2 = SnapshotTable.readAs(spark, table, 2L)
+    assert(g2.filter(col("o_orderstatus") === "U").count() ===
+      g2.filter(col("o_orderkey") % SourceOps.MergeMod === 1
+        && col("o_orderkey") < SourceOps.MergeInsertOffset).count())
+    val g1 = SnapshotTable.readAs(spark, table, 1L)
+    assert(g1.filter(col("o_orderstatus").isin("U", "I")).count() === 0L)
+  }
 }
