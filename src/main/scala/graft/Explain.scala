@@ -40,7 +40,8 @@ object Explain {
     "text_search_incr", "simsearch_filtered", "text_window_cooc",
     "agg_winsorized", "text_hashing_tf", "simsearch_recall",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
-    "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge")
+    "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",
+    "src_snapshot_expire")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

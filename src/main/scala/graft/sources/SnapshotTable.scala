@@ -84,6 +84,47 @@ object SnapshotTable {
   def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
     spark.read.parquet(listFiles(spark, table, gen): _*)
 
+  /** All committed generation numbers of `table`, ascending (one
+    * manifest directory each).
+    */
+  def generations(spark: SparkSession, table: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/manifests")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.drop(4).toLong }
+      .sorted
+  }
+
+  /** Retention sweep: expire every generation strictly below
+    * `keepFrom`. The ORDER is the whole safety argument — dead
+    * generations' file lists are read into memory, their MANIFESTS
+    * delete first (after this no reader can resolve an expired
+    * snapshot), and only then do the data files referenced by NO
+    * surviving manifest delete. A crash anywhere mid-sweep therefore
+    * leaves at worst unreferenced data files (garbage a re-run
+    * collects), never a live manifest pointing at deleted data — the
+    * standard expire-snapshots contract. Everything here is
+    * driver-side work bounded by manifest/file COUNTS, never data
+    * size. Returns (manifests removed, orphaned data files removed).
+    */
+  def expire(spark: SparkSession, table: String, keepFrom: Long): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (dead, live) = generations(spark, table).partition(_ < keepFrom)
+    val liveFiles = live.flatMap(g => listFiles(spark, table, g)).toSet
+    val deadFiles = dead.flatMap(g => listFiles(spark, table, g)).toSet
+    dead.foreach { g =>
+      val m = new org.apache.hadoop.fs.Path(manifestPath(table, g))
+      m.getFileSystem(conf).delete(m, true)
+    }
+    val orphans = (deadFiles -- liveFiles).toSeq.sorted
+    orphans.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    (dead.size.toLong, orphans.size.toLong)
+  }
+
   /** Compact generation `fromGen` into `fromGen + 1`: read the old
     * snapshot through its manifest, rewrite into `files` output files,
     * publish the new manifest. The old manifest (and its files) remain

@@ -290,8 +290,10 @@ object SourceOps {
     * pins the file-set mechanics (disjoint gen-1/gen-3 scans, append
     * reuse, manifest-exact scan pruning) that SQL cannot see.
     */
-  def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val table = scratch("snapshot_orders")
+  /** The init/append/compact 3-generation fixture shared by
+    * [[snapshotRoundtrip]] and [[snapshotExpire]].
+    */
+  private def buildThreeGens(spark: SparkSession, dir: String, table: String): Unit = {
     val orders = Tables.orders(spark, dir)
     SnapshotTable.commit(
       orders.filter(col("o_orderkey") % 4 =!= 0).repartition(SnapInitFiles),
@@ -300,6 +302,11 @@ object SourceOps {
       orders.filter(col("o_orderkey") % 4 === 0).repartition(SnapAppendFiles),
       table, 2L, carryFrom = Some(1L))
     SnapshotTable.compact(spark, table, 2L, SnapCompactFiles)
+  }
+
+  def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val table = scratch("snapshot_orders")
+    buildThreeGens(spark, dir, table)
     Seq(1L, 2L, 3L).map { g =>
       SnapshotTable.readAs(spark, table, g)
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
@@ -307,6 +314,45 @@ object SourceOps {
           lit(SnapshotTable.listFiles(spark, table, g).size.toLong).as("n_files"),
           col("n_rows"), col("key_sum"))
     }.reduce(_ unionByName _).orderBy("gen")
+  }
+
+  /** Snapshot retention sweep over the same 3-generation fixture —
+    * [[SnapshotTable.expire]]'s manifests-first contract as a
+    * registered query: before the sweep the table holds three
+    * manifests over [[SnapInitFiles]] + [[SnapAppendFiles]] +
+    * [[SnapCompactFiles]] live data files (the append SHARES the init
+    * generation's files, so "live" counts distinct paths); expiring
+    * everything below the compacted generation removes two manifests
+    * and every file only they referenced, while the surviving
+    * snapshot serves the identical content from its untouched files.
+    * Both phases report distinct-live-file counts measured from the
+    * surviving manifests AND the latest generation's content, so a
+    * sweep that deleted a still-referenced file would break the
+    * after-phase row (the read would lose rows), and one that missed
+    * orphans would break the file count.
+    */
+  def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
+    val table = scratch("snapshot_expire")
+    buildThreeGens(spark, dir, table)
+    def phase(name: String): DataFrame = {
+      val gens = SnapshotTable.generations(spark, table)
+      val liveFiles = gens.flatMap(g => SnapshotTable.listFiles(spark, table, g)).toSet
+      SnapshotTable.readAs(spark, table, gens.max)
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(name).as("phase"),
+          lit(gens.size.toLong).as("n_manifests"),
+          lit(liveFiles.size.toLong).as("n_live_files"),
+          col("n_rows"), col("key_sum"))
+    }
+    val before = phase("before")
+    // The before-phase stats must be COLLECTED before the sweep deletes
+    // the files its lazy plan would read.
+    val beforeRows = before.collect().toSeq
+    SnapshotTable.expire(spark, table, keepFrom = 3L)
+    import spark.implicits._
+    val beforeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(beforeRows, 1), before.schema)
+    beforeDf.unionByName(phase("after")).orderBy("phase")
   }
 
   /** [[snapshotMerge]] geometry, mirrored in the oracle: key buckets
@@ -466,6 +512,7 @@ object SourceOps {
     "src_schema_evolution" -> (schemaEvolution _),
     "src_snapshot" -> (snapshotRoundtrip _),
     "src_snapshot_merge" -> (snapshotMerge _),
+    "src_snapshot_expire" -> (snapshotExpire _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -494,6 +541,25 @@ object SourceOps {
     // row pins manifest-resolved reads == direct derivation for all
     // three snapshots — including time travel through the
     // pre-compaction manifest after the gen-3 rewrite.
+    // Retention-sweep twin: the latest generation's content is the full
+    // table in both phases; manifest and distinct-live-file counts from
+    // the generated constants (the append generation SHARES the init
+    // files, so live-before counts each path once).
+    "src_snapshot_expire" ->
+      s"""WITH al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders)
+         |SELECT 'after' AS phase, CAST(1 AS BIGINT) AS n_manifests,
+         |       CAST($SnapCompactFiles AS BIGINT) AS n_live_files,
+         |       n_rows, key_sum
+         |FROM al
+         |UNION ALL
+         |SELECT 'before', 3,
+         |       ${SnapInitFiles + SnapAppendFiles + SnapCompactFiles},
+         |       n_rows, key_sum
+         |FROM al
+         |ORDER BY phase""".stripMargin,
     // Pure-SQL MERGE twin: gen 2's content = all rows with the update
     // predicate's statuses flipped, plus the derived inserts; file
     // counts from the bucket constants (untouched carried + touched

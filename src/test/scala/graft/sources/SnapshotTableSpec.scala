@@ -53,6 +53,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
   }
 
+  test("expire deletes manifests first, orphans only, survivors intact") {
+    val table = graft.Scratch.dir("expire_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(orders.repartition(3), table, 1L)
+    SnapshotTable.compact(spark, table, 1L, 2)
+    val f1 = SnapshotTable.listFiles(spark, table, 1L)
+    val f2 = SnapshotTable.listFiles(spark, table, 2L)
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L))
+    val (m, o) = SnapshotTable.expire(spark, table, keepFrom = 2L)
+    assert((m, o) === ((1L, f1.size.toLong)), "gen 1's files are all orphans")
+    assert(SnapshotTable.generations(spark, table) === Seq(2L))
+    def exists(p: String): Boolean = new java.io.File(new java.net.URI(p).getPath).exists ||
+      new java.io.File(p.stripPrefix("file:")).exists
+    f1.foreach(p => assert(!exists(p), s"orphan $p must be deleted"))
+    f2.foreach(p => assert(exists(p), s"survivor $p must remain"))
+    // The surviving snapshot still serves the full content.
+    assert(SnapshotTable.readAs(spark, table, 2L).count() === orders.count())
+    // The expired generation is no longer resolvable.
+    intercept[Exception](SnapshotTable.readAs(spark, table, 1L).count())
+  }
+
   test("copy-on-write merge prunes to touched buckets and carries the rest") {
     // Run the registered query for its side effects, then dissect the
     // two manifests it produced.
