@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.sources.SnapshotTable
+
+/** Transactional streaming ingest into a [[SnapshotTable]] — the
+  * exactly-once sink contract a `foreachBatch` writer must provide for
+  * itself (Structured Streaming only guarantees at-least-once delivery
+  * into the batch function):
+  *
+  * micro-batch N commits as generation N + 1 — data files land in a
+  * generation-private directory, and the manifest publishes only AFTER
+  * the data is fully written, carrying generation N's files forward
+  * verbatim (the append-without-rewrite invariant).
+  *
+  * Why this is exactly-once end-to-end from a replayable source: after
+  * a crash, Structured Streaming replays at most the last in-flight
+  * batch, always under the SAME batch id. A replayed batch re-lands its
+  * OWN generation — the data-directory overwrite drops the failed
+  * attempt's files and the manifest republishes over itself — so
+  * duplication is structurally impossible rather than probabilistically
+  * avoided. Readers meanwhile resolve older generations through their
+  * untouched manifests (snapshot isolation), and "the table as of batch
+  * N" is simply generation N + 1 (time travel across the stream's whole
+  * history). This is the same commit protocol every lakehouse streaming
+  * sink implements; here it is ~20 lines over the manifest layer.
+  */
+object SnapshotStream {
+
+  /** One micro-batch commit. Public so the spec (and a batch backfill)
+    * can drive the exact production step — including a deliberate
+    * same-id replay — without a streaming query around it.
+    */
+  def commitBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
+    val gen = batchId + 1
+    SnapshotTable.commit(batch, table, gen,
+      carryFrom = if (gen > 1) Some(gen - 1) else None)
+  }
+
+  /** The streaming query: each arriving (doc_id, text) micro-batch
+    * commits one table generation.
+    */
+  def snapshotIngest(docs: Dataset[DocStream.Doc], table: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) => commitBatch(b.toDF(), id, table))
+}
