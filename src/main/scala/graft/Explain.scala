@@ -41,7 +41,7 @@ object Explain {
     "agg_winsorized", "text_hashing_tf", "simsearch_recall",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",
-    "src_snapshot_expire")
+    "src_snapshot_expire", "src_snapshot_skip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -84,6 +84,69 @@ object SnapshotTable {
   def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
     spark.read.parquet(listFiles(spark, table, gen): _*)
 
+  /** Per-file min/max of a BIGINT column, read from the parquet
+    * FOOTERS — no data pages touched (the [[SourceOps.compactTo]]
+    * footer-read pattern). This is the zone-map every columnar writer
+    * already produced for free; recording it in the manifest is what
+    * turns the manifest into a data-skipping index.
+    */
+  def footerKeyStats(spark: SparkSession, paths: Seq[String],
+      column: String): Seq[(String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val stats = r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"no column $column in footer of $f"))
+            .getStatistics
+        }
+        require(stats.nonEmpty && stats.forall(s => s.hasNonNullValue),
+          s"footer of $f carries no $column statistics")
+        (f,
+          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally r.close()
+    }
+  }
+
+  /** Publish generation `gen` with per-file zone-map stats:
+    * manifest rows are (path, min_key, max_key). [[listFiles]] /
+    * [[readAs]] keep working (they project `path` only);
+    * [[readWhere]] prunes by the stats.
+    */
+  def publishWithStats(spark: SparkSession, table: String, gen: Long,
+      rows: Seq[(String, Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.sortBy(_._1).toDF("path", "min_key", "max_key")
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath(table, gen))
+  }
+
+  /** Read generation `gen` restricted to `column ∈ [lo, hi]`, pruning
+    * FILES by the manifest's zone maps before any data file opens: a
+    * file whose [min_key, max_key] misses the range is never handed to
+    * the reader at all. The row-level filter still applies on top (zone
+    * maps admit boundary files whose surviving rows the scan filters) —
+    * the classic two-level skip every table format implements, here as
+    * one manifest filter + an explicit file list.
+    */
+  def readWhere(spark: SparkSession, table: String, gen: Long,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val paths = spark.read.parquet(manifestPath(table, gen))
+      .filter(col("min_key") <= hi && col("max_key") >= lo)
+      .select("path").as[String].collect().toSeq.sorted
+    if (paths.isEmpty)
+      spark.read.parquet(listFiles(spark, table, gen): _*)
+        .filter(lit(false))
+    else
+      spark.read.parquet(paths: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** All committed generation numbers of `table`, ascending (one
     * manifest directory each).
     */

@@ -355,6 +355,48 @@ object SourceOps {
     beforeDf.unionByName(phase("after")).orderBy("phase")
   }
 
+  /** Range-slice count for [[snapshotSkip]]'s layout, mirrored in the
+    * oracle.
+    */
+  val SkipSlices = 8
+
+  /** Zone-map data skipping on the snapshot layer — the second pruning
+    * axis next to [[snapshotMerge]]'s partition buckets: gen 1 lands
+    * one file per key-range slice, and the manifest records each
+    * file's (min_key, max_key) read from the parquet FOOTERS (the
+    * statistics every columnar writer already produced — no data pages
+    * touched). A range query then prunes FILES through the manifest
+    * alone ([[SnapshotTable.readWhere]]): a file whose zone map misses
+    * the range is never opened. The report pins both the pruning and
+    * the content: total files, files the manifest admitted, and the
+    * surviving rows' exact stats. The oracle recomputes the zone maps
+    * as per-slice min/max in SQL — identical to the footer values by
+    * construction — so the admitted-file COUNT is value-gated, not
+    * just the row content; the spec additionally pins `inputFiles` ⊆
+    * admitted paths at the plan level.
+    */
+  def snapshotSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = scratch("snapshot_skip")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices // ceil((max+1)/slices)
+    val paths = (0 until SkipSlices).flatMap { s =>
+      val d = s"$table/data/gen=1/s=$s"
+      src.filter(col("o_orderkey") >= s * w && col("o_orderkey") < (s + 1) * w)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      spark.read.parquet(d).inputFiles.toSeq
+    }
+    SnapshotTable.publishWithStats(spark, table, 1L,
+      SnapshotTable.footerKeyStats(spark, paths, "o_orderkey"))
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val pruned = SnapshotTable.readWhere(spark, table, 1L, "o_orderkey", lo, hi)
+    pruned.agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+      .select(lit(paths.size.toLong).as("n_files_total"),
+        lit(pruned.inputFiles.length.toLong).as("n_files_read"),
+        col("n_rows"), col("key_sum"))
+  }
+
   /** [[snapshotMerge]] geometry, mirrored in the oracle: key buckets
     * (one data file each), the batch's residue predicates, and the
     * insert key offset — ≡ 0 (mod [[MergeBuckets]]) so inserted keys
@@ -513,6 +555,7 @@ object SourceOps {
     "src_snapshot" -> (snapshotRoundtrip _),
     "src_snapshot_merge" -> (snapshotMerge _),
     "src_snapshot_expire" -> (snapshotExpire _),
+    "src_snapshot_skip" -> (snapshotSkip _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -541,6 +584,27 @@ object SourceOps {
     // row pins manifest-resolved reads == direct derivation for all
     // three snapshots — including time travel through the
     // pre-compaction manifest after the gen-3 rewrite.
+    // Zone-map twin: per-slice min/max recomputed in SQL are identical
+    // to the parquet footer statistics by construction, so the
+    // admitted-file count (overlap of each slice's zone map with the
+    // query range) is an exact value compare, as are the surviving
+    // rows' stats.
+    "src_snapshot_skip" ->
+      s"""WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM orders),
+         |w AS (SELECT (mk + $SkipSlices) // $SkipSlices AS w, mk FROM mx),
+         |sl AS (
+         |  SELECT o_orderkey // w.w AS s,
+         |         min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+         |  FROM orders, w GROUP BY o_orderkey // w.w),
+         |b AS (SELECT mk // 4 AS lo, mk // 2 AS hi FROM mx)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE mn <= hi AND mxk >= lo) AS n_files_read,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo AND hi) AS n_rows,
+         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo AND hi) AS key_sum""".stripMargin,
     // Retention-sweep twin: the latest generation's content is the full
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init

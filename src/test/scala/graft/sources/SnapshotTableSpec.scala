@@ -53,6 +53,38 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
   }
 
+  test("zone-map skip: footer stats in the manifest prune files exactly") {
+    import spark.implicits._
+    // Run the registered query for its table side effects.
+    val Array(row) = SourceOps.snapshotSkip(spark, dir).collect()
+    assert(row.getAs[Long]("n_files_read") < row.getAs[Long]("n_files_total"),
+      "the range query must actually skip files")
+    val table = graft.Scratch.dir("roundtrip_snapshot_skip")
+    // Manifest zone maps equal the true per-file key extremes.
+    val manifest = spark.read
+      .parquet(s"$table/manifests/gen=1")
+      .as[(String, Long, Long)].collect()
+    manifest.foreach { case (p, mn, mx) =>
+      val Array(actual) = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+          org.apache.spark.sql.functions.max("o_orderkey")).collect()
+      assert((actual.getLong(0), actual.getLong(1)) === ((mn, mx)),
+        s"footer stats must match data for $p")
+    }
+    // The pruned read's planned file set is exactly the admitted paths.
+    val maxKey = Tables.orders(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("o_orderkey")).as[Long].head()
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val admitted = manifest.filter { case (_, mn, mx) => mn <= hi && mx >= lo }
+      .map(_._1).toSet
+    val pruned = SnapshotTable.readWhere(spark, table, 1L, "o_orderkey", lo, hi)
+    assert(pruned.inputFiles.toSet === admitted)
+    // Zone maps are sound: the pruned read loses no matching row.
+    val expect = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+    assert(pruned.count() === expect)
+  }
+
   test("expire deletes manifests first, orphans only, survivors intact") {
     val table = graft.Scratch.dir("expire_spec")
     val orders = Tables.orders(spark, dir)
