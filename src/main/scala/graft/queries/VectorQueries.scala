@@ -400,14 +400,23 @@ object VectorQueries {
     * codes READ BACK from parquet through the identical expression tree.
     */
   private def pqAdistOf(codes: DataFrame, qsd: DataFrame): DataFrame = {
+    // The query's M×K sub-distance table is a per-query CONSTANT-size
+    // artifact (8×16 doubles here — the codebook/centroid precedent):
+    // collect it once and inline each subspace's lookup as a literal
+    // map, so the ADC scan is pure codegen'd expression work with ZERO
+    // joins. The previous shape chained M broadcast joins — M broadcast
+    // exchanges (and their driver jobs) per query for what is a 128-
+    // value table lookup. The summation stays the same left-associated
+    // `reduce(_ + _)` over the same doubles (map round-trip is exact),
+    // so the shared simsearch_pq/ivfpq oracles are untouched.
+    val rows = qsd.select(col("cid") +: (0 until PqM).map(m => col(s"d$m")): _*)
+      .collect()
     val lookups = (0 until PqM).map { m =>
-      qsd.select(col("cid").as(s"q${m}_cid"), col(s"d$m").as(s"qd$m"))
+      map(rows.flatMap(r => Seq(lit(r.getLong(0)), lit(r.getDouble(m + 1)))): _*)
     }
-    lookups.zipWithIndex
-      .foldLeft(codes) { case (acc, (ql, m)) =>
-        acc.join(broadcast(ql), col(s"c$m") === col(s"q${m}_cid"))
-      }
-      .withColumn("adist", (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _))
+    codes
+      .withColumn("adist",
+        (0 until PqM).map(m => element_at(lookups(m), col(s"c$m"))).reduce(_ + _))
       .select("vec_id", "adist")
   }
 

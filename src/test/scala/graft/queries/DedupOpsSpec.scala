@@ -208,6 +208,16 @@ class DedupOpsSpec extends AnyFunSuite {
     val stats = DedupOps.shingleIndexBuild(spark, dir).collect().head
     val directEntries = DedupOps.shingleIndex(spark, dir).count()
     assert(stats.getAs[Long]("n_entries") === directEntries)
+    // Plan-level pin: the probing queries carry NO digest work — the
+    // md5-per-token tree lives only in the index build. A regression
+    // that re-inlined the from-text derivation would reappear here
+    // before it reappeared in the bench.
+    for (q <- Seq(DedupOps.jaccard(spark, dir), DedupOps.containment(spark, dir),
+        DedupOps.minhashBuckets(spark, dir), DedupOps.minhashEstimate(spark, dir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("digest_prefix64") && !plan.toLowerCase.contains("md5"),
+        "probe plans must not recompute shingle identities from text")
+    }
   }
 
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
