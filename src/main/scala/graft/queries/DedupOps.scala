@@ -408,6 +408,66 @@ object DedupOps {
         (p.bitwiseAND(lit((1L << 31) - 1)) * CdcMix2 + h3) % P31B)
   }
 
+  /** 62-bit identities for EVERY-POSITION k-token spans of a bound
+    * token-hash array — [[trigramHashesOf]] generalized to arbitrary
+    * width (identical construction and constants; at k = 3 the two
+    * produce the same values): the seed packs each window-head's two
+    * residues, then k − 1 `zip_with` passes extend both folds one
+    * token at a time, so the whole derivation is O(k · tokens) array
+    * arithmetic with no quadratic `element_at(transform(...))` trap
+    * and no per-window string materialization. Same overflow budget as
+    * the trigram fold (every intermediate < 2⁶²), exactly reproducible
+    * in DuckDB via `list_reduce` over the window slice.
+    */
+  def spanHashesOf(th: Column, k: Int): Column = {
+    val n = greatest(size(th) - (k - 1), lit(0))
+    val seed = transform(slice(th, lit(1), n), h =>
+      (h % P31) * lit(1L << 31) + (h % P31B))
+    (2 to k).foldLeft(seed) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j), n), (p, h) =>
+        (shiftright(p, 31) * BucketMix + h) % P31 * lit(1L << 31) +
+          (p.bitwiseAND(lit((1L << 31) - 1)) * CdcMix2 + h) % P31B)
+    }
+  }
+
+  /** Window width for [[spanDedup]] — the standard ~50-character match
+    * length of substring-level training-data dedup, in tokens.
+    */
+  val SpanTokens = 8
+
+  /** Every-position duplicated-span fraction — the EXACT-SUBSTRING
+    * dedup signal ("Deduplicating Training Data Makes Language Models
+    * Better"-style) that completes the sub-document family: CDC chunks
+    * ([[cdcDedup]]) are content-defined and [[TextOps.boilerplateOf]]'s
+    * chunks are non-overlapping, so both can miss a copied passage that
+    * straddles their boundaries — an every-position [[SpanTokens]]-gram
+    * window catches a shared run at ANY alignment. Per document: total
+    * spans, spans whose 62-bit identity occurs ≥ 2 times anywhere in
+    * the corpus, and the floor-scaled duplicated ppm — the score a
+    * curation pipeline thresholds to route documents to substring-level
+    * surgery.
+    *
+    * Scale shape: identical to the trigram family — one corpus scan
+    * (one digest per token, fold-derived span identities, 8-byte
+    * shuffle keys), one wordcount-class count on the span hash, and the
+    * join back shares the `h` key so the exchange reuses. Span volume
+    * is ≈ token volume (k-grams overlap), the same exploded cardinality
+    * every shingle query already carries.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = hashedTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode_outer(spanHashesOf(col("th"), SpanTokens)).as("h"))
+      .filter(col("h").isNotNull)
+    val counts = inst.groupBy("h").agg(count(lit(1)).as("c"))
+    inst.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("(dup_spans * 1000000) div n_spans").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Portable family — bit-reproducible in DuckDB SQL, so the
     * registered sketch queries carry exact value oracles. One md5 per
     * TOKEN ([[portable64]]) feeds the fold-derived trigram identities
@@ -1200,6 +1260,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc" -> (cdcDedup _),
+    "dedup_spans" -> (spanDedup _),
     "dedup_cdc_incr" -> (cdcIncremental _),
     "dedup_cdc_cross" -> (cdcCross _),
     "dedup_bloom" -> (bloomDedup _),
@@ -1656,6 +1717,27 @@ object DedupOps {
          |WHERE split <> 'train'
          |  AND h NOT IN (SELECT h FROM d WHERE split = 'train')
          |ORDER BY doc_id""".stripMargin,
+    // Every-position span fold recomputed via list_reduce over each
+    // window slice — seeded 0, so the first step reduces to h % mod,
+    // matching spanHashesOf's seed exactly.
+    "dedup_spans" -> {
+      val w = SpanTokens - 1
+      val slice = s"th[i:i+$w]"
+      s"""WITH $duckTokenHashCtes,
+         |sp AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(th) - $w, 0) + 1),
+         |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
+         |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+         |  FROM tho),
+         |c AS (SELECT h, count(*) AS c FROM sp GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+         |  (CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS dup_ppm
+         |FROM sp JOIN c USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // The index summary recomputed from raw text: the Spark side reads
     // the freshly-written parquet artifact back, so a green row proves
     // the persisted index's content equals the direct derivation.

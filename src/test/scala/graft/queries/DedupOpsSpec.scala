@@ -220,6 +220,46 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("span hashes: width-3 form equals the trigram fold; spans catch straddling copies") {
+    import org.apache.spark.sql.functions.{col, explode_outer}
+    // The generalized fold at k = 3 must reproduce trigramHashesOf
+    // value-for-value (same constants, same construction).
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, "a b"))
+    val both = d
+      .select(col("doc_id"), graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        DedupOps.spanHashesOf(
+          org.apache.spark.sql.functions.transform(col("toks"), t => DedupOps.portable64(t)), 3).as("s"),
+        DedupOps.trigramHashesOf(
+          org.apache.spark.sql.functions.transform(col("toks"), t => DedupOps.portable64(t))).as("t"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, s, t) => assert(s === t, s"doc $id") }
+
+    // A copied passage embedded mid-document at an arbitrary alignment:
+    // every 8-token window inside the passage duplicates, so both hosts
+    // score dup_spans > 0, while an unrelated doc scores 0.
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val host1 = s"unique1 opening words here $passage and a tail"
+    val host2 = s"totally different preamble text goes on $passage closing run"
+    val spans = Seq((1L, host1), (2L, host2), (3L, unrelated)).toDF("doc_id", "text")
+    // Reuse the registered query's body shape over a planted frame.
+    val inst = spans
+      .select(col("doc_id"), graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(DedupOps.spanHashesOf(
+          org.apache.spark.sql.functions.transform(col("toks"), t => DedupOps.portable64(t)),
+          DedupOps.SpanTokens)).as("h"))
+      .filter(col("h").isNotNull)
+    val c = inst.groupBy("h").count()
+    val dup = inst.join(c, "h").filter(col("count") >= 2)
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(dup.contains(1L) && dup.contains(2L),
+      "both hosts must report duplicated spans inside the shared passage")
+    assert(!dup.contains(3L), "the unrelated doc must report none")
+    assert(dup(1L) === dup(2L), "the shared passage contributes the same windows to both")
+  }
+
   test("jaccard on the real corpus surfaces its planted near-dup pairs") {
     val top = DedupOps.jaccard(spark, "/root/testdata/sf0.001")
       .select("j_ppm").as[Long].collect()
