@@ -468,6 +468,36 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental span dedup against a PERSISTED history index — the
+    * daily-crawl completion of [[spanDedup]] (the `minhashIncremental`
+    * contract at span granularity): the history split's DISTINCT span
+    * identities are written once as a compact single-column BIGINT
+    * parquet artifact (8 bytes per distinct span, never text), and the
+    * incoming batch hashes only ITSELF and probes the index — per-doc
+    * fraction of spans already seen in history, the "how much of this
+    * document is copied from the corpus" score. Batch cost tracks the
+    * batch plus a hash-keyed shuffle of the index; the index append is
+    * the batch's own novel spans.
+    */
+  def spanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    val out = graft.Scratch.dir("spanindex")
+    def spans(docs: DataFrame): DataFrame =
+      hashedTokens(docs)
+        .select(col("doc_id"), explode_outer(spanHashesOf(col("th"), SpanTokens)).as("h"))
+        .filter(col("h").isNotNull)
+    spans(d.filter(col("split") === "train")).select("h").distinct()
+      .write.mode("overwrite").parquet(out)
+    spans(d.filter(col("split") =!= "train"))
+      .join(spark.read.parquet(out).withColumn("seen", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("seen_spans"))
+      .select(col("doc_id"), col("n_spans"), col("seen_spans"),
+        expr("(seen_spans * 1000000) div n_spans").as("seen_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Portable family — bit-reproducible in DuckDB SQL, so the
     * registered sketch queries carry exact value oracles. One md5 per
     * TOKEN ([[portable64]]) feeds the fold-derived trigram identities
@@ -1261,6 +1291,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc" -> (cdcDedup _),
     "dedup_spans" -> (spanDedup _),
+    "dedup_spans_incr" -> (spanIncremental _),
     "dedup_cdc_incr" -> (cdcIncremental _),
     "dedup_cdc_cross" -> (cdcCross _),
     "dedup_bloom" -> (bloomDedup _),
@@ -1737,6 +1768,39 @@ object DedupOps {
          |    // CAST(count(*) AS BIGINT) AS dup_ppm
          |FROM sp JOIN c USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // The persisted span index is result-transparent (distinct BIGINTs
+    // round-trip parquet unchanged), so the twin recomputes both sides
+    // from raw text with the same split CASE — index-persist + probe ≡
+    // direct, gated exact.
+    "dedup_spans_incr" -> {
+      val w = SpanTokens - 1
+      val slice = s"th[i:i+$w]"
+      s"""WITH $duckTokenHashCtes,
+         |sp AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(th) - $w, 0) + 1),
+         |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
+         |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+         |  FROM tho),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < ${SampleOps.TrainPct} THEN 'train'
+         |         WHEN bucket < ${SampleOps.TrainPct + SampleOps.ValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${duckPortable64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |        FROM documents) t),
+         |si AS (SELECT sp.doc_id, sp.h, s.split FROM sp JOIN s USING (doc_id)),
+         |hist AS (SELECT DISTINCT h FROM si WHERE split = 'train'),
+         |batch AS (SELECT doc_id, h FROM si WHERE split <> 'train')
+         |SELECT batch.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS seen_spans,
+         |  (CAST(sum(CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS seen_ppm
+         |FROM batch LEFT JOIN hist ON batch.h = hist.h
+         |GROUP BY batch.doc_id ORDER BY batch.doc_id""".stripMargin
     },
     // The index summary recomputed from raw text: the Spark side reads
     // the freshly-written parquet artifact back, so a green row proves
