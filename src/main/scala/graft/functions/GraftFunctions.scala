@@ -50,6 +50,20 @@ object GraftFunctions {
     SortedRank(exprs.head, exprs(1))
   }
 
+  private[functions] def buildSpanFold(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"span_fold expects exactly 2 arguments, got ${exprs.length}")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"span_fold width must be an INT literal, got $other")
+    }
+    SpanFold(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", buildRollingHash, "built-in")
@@ -59,6 +73,8 @@ object GraftFunctions {
       "array_dot", buildArrayDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_rank", buildSortedRank, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_fold", buildSpanFold, "built-in")
   }
 }
 
@@ -90,6 +106,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SortedRank], "sorted_rank",
         "sorted_rank(cuts, x) - number of elements of sorted ARRAY<DOUBLE> cuts that are <= x."),
       GraftFunctions.buildSortedRank))
+    extensions.injectFunction((
+      FunctionIdentifier("span_fold"),
+      info(classOf[SpanFold], "span_fold",
+        "span_fold(th, k) - 62-bit double-modular fold identity of every k-wide window of ARRAY<BIGINT> th."),
+      GraftFunctions.buildSpanFold))
     extensions.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

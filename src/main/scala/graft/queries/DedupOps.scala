@@ -375,11 +375,14 @@ object DedupOps {
     * 2^62, so Spark longs and DuckDB BIGINTs compute it identically
     * with no overflow on either engine.
     */
-  val P31 = 2147483647L
+  val P31: Long = graft.functions.SpanFold.Mod1
 
   private[queries] def memberA(j: Int): Long = ((2L * j + 1) * 2654435761L) % P31
   private[queries] def memberB(j: Int): Long = (j * 40503L * 65537L) % P31
-  private val BucketMix = 1000003L
+  // Fold constants live in SpanFold (the native expression is their
+  // single source of truth); these re-exports keep the oracle
+  // generators and the sketch members reading one set of values.
+  private val BucketMix = graft.functions.SpanFold.Mix1
 
   /** 62-bit trigram identities from a bound token-hash array: for each
     * window of three consecutive token hashes, the SAME coprime double
@@ -390,15 +393,22 @@ object DedupOps {
     * ([[duckTrigram]] is generated from the same constants), so every
     * query keyed on these identities keeps an exact value oracle.
     *
-    * Shape: two `zip_with` passes over slices of the bound array — the
-    * pairwise partial folds (each < 2³¹) pack into one long as
-    * `p1·2³¹ + p2`, so the 3-way zip needs no struct. Each zip_with
-    * child array is evaluated once per row and streamed (the
-    * [[shinglesOfTokens]] perf contract), and all intermediates stay
-    * under 2⁶³: partial ≤ 2³¹·2²⁰ + 2⁶⁰ < 2⁶¹, packed < 2⁶², final
-    * `f1·2³¹ + f2 < 2⁶² + 2³¹`.
+    * Shape: the native [[graft.functions.SpanFold]] expression at
+    * width 3 — ONE fused codegen loop over the bound array, no
+    * intermediate slice/zip allocations (r10; the previous two-pass
+    * `zip_with` form survives as [[trigramHashesOfHof]], the spec
+    * baseline SpanFold is property-pinned bit-equal to). All
+    * intermediates stay under 2⁶³ for 60-bit token hashes: partial
+    * fold ≤ 2³¹·2²⁰ + 2⁶⁰ < 2⁶¹, packed identity < 2⁶² + 2³¹.
     */
-  def trigramHashesOf(th: Column): Column = {
+  def trigramHashesOf(th: Column): Column = graft.functions.SpanFold(th, 3)
+
+  /** The HOF reference formulation of [[trigramHashesOf]] (ZipWith is
+    * CodegenFallback — correct but per-element interpreted; kept as the
+    * spec baseline the native [[graft.functions.SpanFold]] must match
+    * bit-for-bit, the ArrayDot/dotHof precedent).
+    */
+  def trigramHashesOfHof(th: Column): Column = {
     val n = greatest(size(th) - 2, lit(0))
     val partial = zip_with(slice(th, lit(1), n), slice(th, lit(2), n), (h1, h2) =>
       ((h1 % P31) * BucketMix + h2) % P31 * lit(1L << 31) +
@@ -418,8 +428,12 @@ object DedupOps {
     * and no per-window string materialization. Same overflow budget as
     * the trigram fold (every intermediate < 2⁶²), exactly reproducible
     * in DuckDB via `list_reduce` over the window slice.
+    *
+    * Production form: the native [[graft.functions.SpanFold]] (one
+    * fused codegen loop); this HOF formulation is the spec baseline it
+    * is property-pinned bit-equal to.
     */
-  def spanHashesOf(th: Column, k: Int): Column = {
+  def spanHashesOfHof(th: Column, k: Int): Column = {
     val n = greatest(size(th) - (k - 1), lit(0))
     val seed = transform(slice(th, lit(1), n), h =>
       (h % P31) * lit(1L << 31) + (h % P31B))
@@ -429,6 +443,9 @@ object DedupOps {
           (p.bitwiseAND(lit((1L << 31) - 1)) * CdcMix2 + h) % P31B)
     }
   }
+
+  /** Every-position span identities — the native [[graft.functions.SpanFold]]. */
+  def spanHashesOf(th: Column, k: Int): Column = graft.functions.SpanFold(th, k)
 
   /** Window width for [[spanDedup]] — the standard ~50-character match
     * length of substring-level training-data dedup, in tokens.
@@ -1086,10 +1103,10 @@ object DedupOps {
     * mix ≈ 10⁶, token hash < 2⁶⁰), so the arithmetic is exact — and
     * identical — in both engines' 64-bit integers.
     */
-  private val CdcMix2 = 1000033L
+  private val CdcMix2 = graft.functions.SpanFold.Mix2
 
   /** The second fold's prime modulus (largest prime below [[P31]]). */
-  private val P31B = 2147483629L
+  private val P31B = graft.functions.SpanFold.Mod2
 
   /** Per-document content-defined chunk hashes: tokens whose portable
     * hash is ≡ 0 mod [[CdcBoundaryMod]] CLOSE a chunk; the tail past
