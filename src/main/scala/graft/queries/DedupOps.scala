@@ -995,18 +995,22 @@ object DedupOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
-      // TWO steps per materialization (checkpoint cadence 2): lineage
-      // depth stays bounded (one un-truncated step of 3-reference
-      // growth) while the per-iteration driver round-trips — the lazy
-      // checkpoint's materializing count() job — halve. Convergence
-      // detection stays sound on the SECOND step's delta alone: a full
-      // step that changes nothing proves its input is the propagation
-      // fixpoint, regardless of what the first step did. LAZY
-      // checkpoint: the convergence count is the iteration's single
-      // action — it materializes the checkpoint cache as it runs, so
-      // each iteration costs one Spark job, not two.
-      val next = step(step(labels).select("v", "rep"))
-        .localCheckpoint(eager = false)
+      // TWO steps per materialization (checkpoint cadence 2): the
+      // per-iteration driver round-trips — the lazy checkpoint's
+      // materializing count() job — halve. Convergence detection stays
+      // sound on the SECOND step's delta alone: a full step that
+      // changes nothing proves its input is the propagation fixpoint,
+      // regardless of what the first step did. BOTH steps checkpoint
+      // LAZILY: the outer step references the inner result three times
+      // (neighbor join + main branch + the rr self-join), so an
+      // un-materialized inner frame would re-plan its 3-join subtree
+      // per reference (exchange reuse is timing-dependent, not
+      // guaranteed — the verifiedPairs discipline); the lazy inner
+      // checkpoint is one shared RDD computed once when the count
+      // materializes the chain, so each iteration still costs a single
+      // Spark job.
+      val mid = step(labels).select("v", "rep").localCheckpoint(eager = false)
+      val next = step(mid).localCheckpoint(eager = false)
       changed = next.filter(col("rep") < col("old")).count()
       labels = next.select("v", "rep")
       iter += 1

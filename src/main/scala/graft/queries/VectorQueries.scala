@@ -411,12 +411,24 @@ object VectorQueries {
     // so the shared simsearch_pq/ivfpq oracles are untouched.
     val rows = qsd.select(col("cid") +: (0 until PqM).map(m => col(s"d$m")): _*)
       .collect()
+    // Degenerate query (no query vector → empty table): the join shape
+    // produced an empty result; mirror it instead of building map()
+    // (whose VOID type would fail analysis).
+    if (rows.isEmpty)
+      return codes.select(col("vec_id"), lit(null).cast("double").as("adist"))
+        .filter(lit(false))
     val lookups = (0 until PqM).map { m =>
       map(rows.flatMap(r => Seq(lit(r.getLong(0)), lit(r.getDouble(m + 1)))): _*)
     }
     codes
+      // try_element_at (not element_at): ANSI mode throws on a missing
+      // map key; a code absent from the table (a stale persisted code
+      // index after a codebook change) must DROP like the old inner
+      // join dropped it, not kill the query — nulls propagate through
+      // the sum and the filter removes them.
       .withColumn("adist",
-        (0 until PqM).map(m => element_at(lookups(m), col(s"c$m"))).reduce(_ + _))
+        (0 until PqM).map(m => try_element_at(lookups(m), col(s"c$m"))).reduce(_ + _))
+      .filter(col("adist").isNotNull)
       .select("vec_id", "adist")
   }
 

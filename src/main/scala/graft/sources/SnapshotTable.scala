@@ -93,22 +93,31 @@ object SnapshotTable {
   def footerKeyStats(spark: SparkSession, paths: Seq[String],
       column: String): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    paths.map { f =>
+    paths.flatMap { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        val stats = r.getFooter.getBlocks.asScala.map { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == column)
-            .getOrElse(sys.error(s"no column $column in footer of $f"))
-            .getStatistics
+        val blocks = r.getFooter.getBlocks.asScala
+        // Zero-row files (a slice writer can legitimately emit a
+        // schema-only part file for an empty key range) carry no row
+        // groups and therefore no statistics: they are DROPPED, not an
+        // error — an empty file can never match a range query, so a
+        // stats manifest that omits it prunes it for free.
+        if (blocks.isEmpty) None
+        else {
+          val stats = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column)
+              .getOrElse(sys.error(s"no column $column in footer of $f"))
+              .getStatistics
+          }
+          require(stats.forall(s => s.hasNonNullValue),
+            s"footer of $f carries no $column statistics")
+          Some((f,
+            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
         }
-        require(stats.nonEmpty && stats.forall(s => s.hasNonNullValue),
-          s"footer of $f carries no $column statistics")
-        (f,
-          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
       } finally r.close()
     }
   }
@@ -139,10 +148,17 @@ object SnapshotTable {
     val paths = spark.read.parquet(manifestPath(table, gen))
       .filter(col("min_key") <= hi && col("max_key") >= lo)
       .select("path").as[String].collect().toSeq.sorted
-    if (paths.isEmpty)
-      spark.read.parquet(listFiles(spark, table, gen): _*)
-        .filter(lit(false))
-    else
+    if (paths.isEmpty) {
+      // No file admitted: return an EMPTY frame with the table's schema
+      // from ONE footer — never a corpus-wide scan wearing a false
+      // filter (that shape would report every file in `inputFiles` and
+      // plan a scan over all of them, the opposite of pruning).
+      val all = listFiles(spark, table, gen)
+      require(all.nonEmpty, s"generation $gen of $table has no data files")
+      val schema = spark.read.parquet(all.head).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
       spark.read.parquet(paths: _*)
         .filter(col(column) >= lo && col(column) <= hi)
   }
