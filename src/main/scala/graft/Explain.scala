@@ -38,7 +38,7 @@ object Explain {
     "simsearch_range", "events_asof_tol", "simsearch_mmr",
     "meta_checksum", "meta_checksum_incr", "events_transitions",
     "text_search_incr", "simsearch_filtered", "text_window_cooc",
-    "agg_winsorized", "text_hashing_tf", "simsearch_recall",
+    "agg_winsorized", "text_hashing_tf", "simsearch_recall", "simsearch_cells",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
     "dedup_spans", "dedup_spans_incr",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",

@@ -1131,6 +1131,33 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** IVF index-quality audit — the third leg of the evaluation family
+    * next to the recall self-audits (`simsearch_recall` measures
+    * retrieval, `neardup_lsh_recall` candidate generation; THIS
+    * measures the index structure itself): per cell, the occupancy
+    * (balance — probe cost variance and the worst cell's scan volume
+    * at query time) and the coherence of its members (floor-micros
+    * cosine of each vector to its own centroid — min/mean-via-sum/max;
+    * the -2 sentinel keeps zero-norm vectors countable). A lopsided
+    * occupancy column says re-train the centroids; a low-coherence
+    * cell says raise the probe width. One corpus×centroids scan and
+    * one |cells|-row aggregate; exact value oracle over the shared
+    * cells CTE.
+    */
+  def cellQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val sims = ivfSims(e, fixedCents(e))
+    val cells = sims.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+      .withColumnRenamed("vec_id", "cvid")
+    sims.join(cells, col("vec_id") === col("cvid") && col("cid") === col("cell"))
+      .select(col("cell"), floor(col("sim") * lit(1000000.0)).cast("long").as("sm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vec"), sum("sm").as("sim_micro_sum"),
+        min("sm").as("min_sim_micro"), max("sm").as("max_sim_micro"))
+      .orderBy("cell")
+  }
+
   /** Query-batch size and neighbors per query for [[knnBatch]]. */
   val KnnQueries = 5
   val KnnK = 5
@@ -1168,6 +1195,7 @@ object VectorQueries {
     "simsearch_knn_batch" -> (knnBatch _),
     "simsearch_hybrid" -> (hybrid _),
     "pipeline_retrieval" -> (retrievalPipeline _),
+    "simsearch_cells" -> (cellQuality _),
     "sample_kcenter" -> (kCenter _),
     "simsearch_range" -> (rangeSearch _),
     "simsearch_filtered" -> (filteredSearch _),
@@ -1620,6 +1648,19 @@ object VectorQueries {
     // row_number twin of max_by's (sim, -cid) tie-break, same -2
     // null-cosine sentinel.
     "simsearch_ivf" -> duckIvfSql,
+    // Cell-quality audit over the SAME cells CTE as simsearch_ivf: the
+    // member-to-own-centroid similarity is already a `sims` row, so
+    // the twin is one join + one aggregate — audit and index cannot
+    // disagree about what a cell is.
+    "simsearch_cells" ->
+      s"""WITH $duckCellsCtes
+         |SELECT cells.cell, CAST(count(*) AS BIGINT) AS n_vec,
+         |  CAST(sum(CAST(floor(sims.sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sim_micro_sum,
+         |  CAST(min(CAST(floor(sims.sim * 1000000.0) AS BIGINT)) AS BIGINT) AS min_sim_micro,
+         |  CAST(max(CAST(floor(sims.sim * 1000000.0) AS BIGINT)) AS BIGINT) AS max_sim_micro
+         |FROM cells JOIN sims
+         |  ON sims.vec_id = cells.vec_id AND sims.cid = cells.cell
+         |GROUP BY cells.cell ORDER BY cells.cell""".stripMargin,
     // The persisted-index twin reads the same assignment back from the
     // cell-partitioned artifact and scores identically, so its oracle
     // IS the direct-computation oracle — the equivalence the twin
