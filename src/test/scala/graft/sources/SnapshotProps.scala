@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.TestSpark
+
+/** Model-based drill of the manifest layer: a random sequence of
+  * append / compact / expire operations against a REAL on-disk table,
+  * checked after every step against a trivial in-memory model
+  * (generation → expected id multiset). What this pins beyond the
+  * example-based spec: content correctness under arbitrary op
+  * interleavings (append-after-compact, double compaction, expiring
+  * mid-history), that every surviving generation stays readable after
+  * every later operation, and that expire never deletes a file a
+  * surviving manifest still references.
+  */
+object SnapshotProps extends Properties("SnapshotTable") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+
+  sealed trait Op
+  case class Append(ids: List[Long]) extends Op
+  case object Compact extends Op
+  case object Expire extends Op
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    5 -> Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Append(_))),
+    2 -> Gen.const(Compact),
+    2 -> Gen.const(Expire))
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  property("random append/compact/expire sequences match the model") =
+    Prop.forAll(Gen.chooseNum(1, 10).flatMap(ids => Gen.listOfN(7, genOp))) { ops =>
+      import spark.implicits._
+      val table = graft.Scratch.dir(s"snapprops_${seq.incrementAndGet()}")
+      // model: gen -> expected id list (sorted, with duplicates).
+      var model = Map.empty[Long, List[Long]]
+      var gen = 0L
+      def commitBatch(ids: List[Long]): Unit = {
+        val carry = if (gen == 0) None else Some(gen)
+        SnapshotTable.commit(ids.toDF("id").repartition(2), table, gen + 1, carry)
+        model += (gen + 1) -> (model.getOrElse(gen, Nil) ++ ids).sorted
+        gen += 1
+      }
+      // Seed so compact/expire-first sequences have something to act on.
+      commitBatch(List(1L, 2L, 3L))
+      ops.foreach {
+        case Append(ids) => commitBatch(ids)
+        case Compact =>
+          SnapshotTable.compact(spark, table, gen, 2)
+          model += (gen + 1) -> model(gen)
+          gen += 1
+        case Expire if model.size > 1 =>
+          val keepFrom = model.keys.toSeq.sorted.apply(1) // drop the oldest gen
+          SnapshotTable.expire(spark, table, keepFrom)
+          model = model.filter(_._1 >= keepFrom)
+        case Expire => ()
+      }
+      val live = SnapshotTable.generations(spark, table)
+      val gensMatch = live == model.keys.toSeq.sorted
+      val contentMatch = model.forall { case (g, expect) =>
+        SnapshotTable.readAs(spark, table, g)
+          .as[Long].collect().toList.sorted == expect
+      }
+      // Every file any surviving manifest references must still exist
+      // (expire deleted orphans only).
+      val filesIntact = live.forall { g =>
+        SnapshotTable.listFiles(spark, table, g).forall { p =>
+          new java.io.File(p.stripPrefix("file:")).exists
+        }
+      }
+      gensMatch && contentMatch && filesIntact
+    }
+}
