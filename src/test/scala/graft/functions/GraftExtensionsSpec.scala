@@ -41,6 +41,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(arr.getDouble(0) === 11.0)
       assert(arr.getLong(1) === 3L)
 
+      // span_fold arrives through the same plugin point and matches
+      // the fold constants end to end (one 2-wide window of (7, 11)).
+      val sf = s.sql("SELECT span_fold(array(7L, 11L), 2) AS w").collect().head
+      val f1 = ((7L % SpanFold.Mod1) * SpanFold.Mix1 + 11L) % SpanFold.Mod1
+      val f2 = ((7L % SpanFold.Mod2) * SpanFold.Mix2 + 11L) % SpanFold.Mod2
+      assert(sf.getSeq[Long](0) === Seq(f1 * (1L << 31) + f2))
+
       // DESCRIBE works like a built-in (the ExpressionInfo is wired).
       val desc = s.sql("DESCRIBE FUNCTION rolling_hash").collect().mkString
       assert(desc.contains("rolling_hash"))
