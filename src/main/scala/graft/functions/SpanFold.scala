@@ -71,13 +71,16 @@ object SpanFold {
   val Mix2 = 1000033L
 
   /** Shared by the interpreted and generated paths so they cannot
-    * drift. One boxed Long per NULLIFIED window only; clean windows
-    * write primitives.
+    * drift. The common case (no null elements — every production
+    * caller, since token hashes are non-null by construction) fills a
+    * primitive long[] with zero boxing; only an input that actually
+    * contains nulls falls back to the boxed array.
     */
   def fold(th: ArrayData, k: Int): ArrayData = {
     val len = th.numElements()
     val n = math.max(len - (k - 1), 0)
-    val out = new Array[Any](n)
+    val out = new Array[Long](n)
+    var boxed: Array[Any] = null
     var i = 0
     while (i < n) {
       var f1 = 0L
@@ -93,10 +96,17 @@ object SpanFold {
           j += 1
         }
       }
-      out(i) = if (anyNull) null else java.lang.Long.valueOf(f1 * (1L << 31) + f2)
+      if (anyNull && boxed == null) {
+        boxed = new Array[Any](n)
+        var c = 0
+        while (c < i) { boxed(c) = java.lang.Long.valueOf(out(c)); c += 1 }
+      }
+      val v = f1 * (1L << 31) + f2
+      if (boxed != null) boxed(i) = if (anyNull) null else java.lang.Long.valueOf(v)
+      else out(i) = v
       i += 1
     }
-    new GenericArrayData(out)
+    if (boxed != null) new GenericArrayData(boxed) else new GenericArrayData(out)
   }
 
   /** Column wrapper: `SpanFold(th, k)` over an `array<bigint>` column. */

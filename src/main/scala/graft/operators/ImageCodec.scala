@@ -112,14 +112,19 @@ object ImageCodec {
     in.mapPartitions { rows =>
       rows.flatMap { r =>
         lumaRaster(r.payload).map { case (w, h, luma) =>
-          var sum = 0L
-          var i = 0
-          while (i < luma.length) { sum += luma(i) & 0xff; i += 1 }
           ImageFeatures(r.media_id, r.mime, w.toLong, h.toLong,
-            w.toLong * h, sum, Multimodal.aHashGrid(luma, bits))
+            w.toLong * h, lumaSum(luma), Multimodal.aHashGrid(luma, bits))
         }
       }
     }
+  }
+
+  /** Exact integer sum of a luma raster's unsigned byte values. */
+  def lumaSum(luma: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < luma.length) { sum += luma(i) & 0xff; i += 1 }
+    sum
   }
 
   // ---- Animated GIF (multi-frame) -------------------------------------

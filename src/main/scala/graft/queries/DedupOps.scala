@@ -471,10 +471,18 @@ object DedupOps {
     * is ≈ token volume (k-grams overlap), the same exploded cardinality
     * every shingle query already carries.
     */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = hashedTokens(Tables.documents(spark, dir))
+  /** One (doc_id, span-identity) row per [[SpanTokens]]-wide window —
+    * the instance relation both span queries derive from
+    * (explode_outer + attribute-level null filter: the
+    * [[shingleSetWithSize]] InferFiltersFromGenerate contract).
+    */
+  private def spanInstances(docs: DataFrame): DataFrame =
+    hashedTokens(docs)
       .select(col("doc_id"), explode_outer(spanHashesOf(col("th"), SpanTokens)).as("h"))
       .filter(col("h").isNotNull)
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = spanInstances(Tables.documents(spark, dir))
     val counts = inst.groupBy("h").agg(count(lit(1)).as("c"))
     inst.join(counts, "h")
       .groupBy("doc_id")
@@ -499,13 +507,9 @@ object DedupOps {
   def spanIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = SampleOps.withSplit(Tables.documents(spark, dir))
     val out = graft.Scratch.dir("spanindex")
-    def spans(docs: DataFrame): DataFrame =
-      hashedTokens(docs)
-        .select(col("doc_id"), explode_outer(spanHashesOf(col("th"), SpanTokens)).as("h"))
-        .filter(col("h").isNotNull)
-    spans(d.filter(col("split") === "train")).select("h").distinct()
+    spanInstances(d.filter(col("split") === "train")).select("h").distinct()
       .write.mode("overwrite").parquet(out)
-    spans(d.filter(col("split") =!= "train"))
+    spanInstances(d.filter(col("split") =!= "train"))
       .join(spark.read.parquet(out).withColumn("seen", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),

@@ -262,9 +262,7 @@ object MultimodalOps {
     media.mapPartitions(_.flatMap { r =>
       val fs = ImageCodec.frameRasters(r.payload).getOrElse(Seq.empty)
       fs.zipWithIndex.map { case ((w, h, luma), i) =>
-        var lsum = 0L
-        var j = 0
-        while (j < luma.length) { lsum += luma(j) & 0xff; j += 1 }
+        val lsum = ImageCodec.lumaSum(luma)
         var dsum = 0L
         if (i > 0) {
           val prev = fs(i - 1)._3

@@ -349,7 +349,6 @@ object SourceOps {
     // the files its lazy plan would read.
     val beforeRows = before.collect().toSeq
     SnapshotTable.expire(spark, table, keepFrom = 3L)
-    import spark.implicits._
     val beforeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(beforeRows, 1), before.schema)
     beforeDf.unionByName(phase("after")).orderBy("phase")
