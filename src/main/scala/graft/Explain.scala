@@ -40,7 +40,7 @@ object Explain {
     "text_search_incr", "simsearch_filtered", "text_window_cooc",
     "agg_winsorized", "text_hashing_tf", "simsearch_recall", "simsearch_cells",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
-    "dedup_spans", "dedup_spans_incr",
+    "dedup_spans", "dedup_spans_incr", "neardup_index_incr",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",
     "src_snapshot_expire", "src_snapshot_skip")
 

@@ -240,6 +240,38 @@ object DedupOps {
         col("max_df"), col("hot_shingles"))
   }
 
+  /** The shingle index maintained as a VERSIONED SnapshotTable — the
+    * two session-artifact stories composed: generation 1 commits the
+    * history split's `(sh, doc_id, n_sh)` rows (the initial backfill),
+    * generation 2 APPENDS only the batch split's rows (history's files
+    * carried verbatim by the manifest — the daily-crawl append cost is
+    * the batch, never a rewrite), and the query probes the LATEST
+    * snapshot with the direct Jaccard scoring. Because the splits
+    * partition the corpus, generation 2's content IS the full corpus
+    * index — so this registers under `neardup_jaccard`'s own oracle
+    * string: versioned-index maintenance ≡ direct computation, gated
+    * as an exact value match (the strongest form of the shared-oracle
+    * equivalence contract, now across BOTH the index layer and the
+    * snapshot layer). Time travel falls out for free: generation 1 is
+    * "the index before today's crawl".
+    */
+  def shingleIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("shingle_snap")
+    // Both generations' rows come from the persisted session artifact
+    // (the split is a pure function of doc_id, so it applies to index
+    // rows directly) — the backfill never re-tokenizes the corpus.
+    def rows(split: org.apache.spark.sql.Column): DataFrame =
+      SampleOps.withSplit(shingleIndex(spark, dir))
+        .filter(split).select("sh", "doc_id", "n_sh")
+    graft.sources.SnapshotTable.commit(rows(col("split") === "train"), table, 1L)
+    graft.sources.SnapshotTable.commit(rows(col("split") =!= "train"),
+      table, 2L, carryFrom = Some(1L))
+    scoreJaccard(pairCountsOf(
+        graft.sources.SnapshotTable.readAs(spark, table, 2L)))
+      .orderBy(desc("j_ppm"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
   /** n-gram Jaccard near-dup: top-20 most similar document pairs.
     * |A∩B| comes from grouping the shingle table by shingle and expanding
     * each shingle's (small) doc list into unordered pairs in-array — one
@@ -1329,6 +1361,7 @@ object DedupOps {
     "neardup_jaccard" -> (jaccard _),
     "neardup_containment" -> (containment _),
     "neardup_index" -> (shingleIndexBuild _),
+    "neardup_index_incr" -> (shingleIndexIncremental _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
@@ -1573,6 +1606,11 @@ object DedupOps {
   // CTE helpers); the composed entry must not dereference it at
   // object-init time.
   lazy val oracle: Map[String, String] = baseOracle +
+    // Versioned-index maintenance ≡ direct computation: the snapshot
+    // table's latest generation holds exactly the full corpus' shingle
+    // rows, so the incremental twin shares neardup_jaccard's oracle
+    // string verbatim.
+    ("neardup_index_incr" -> baseOracle("neardup_jaccard")) +
     // Composed from the two audited queries' own oracle strings (the
     // simsearch_recall technique): the exact top-20 Jaccard pairs
     // semi-joined against the banded candidate set.
