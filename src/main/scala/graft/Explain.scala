@@ -39,6 +39,7 @@ object Explain {
     "meta_checksum", "meta_checksum_incr", "events_transitions",
     "text_search_incr", "simsearch_filtered", "text_window_cooc",
     "agg_winsorized", "text_hashing_tf", "simsearch_recall", "simsearch_cells",
+    "text_langid_predict",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
     "dedup_spans", "dedup_spans_incr", "neardup_index_incr",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",

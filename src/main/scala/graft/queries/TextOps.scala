@@ -111,6 +111,52 @@ object TextOps {
         sum(when(col("text").contains(" the "), 1L).otherwise(0L)).as("en_marker"))
       .orderBy("lang")
 
+  /** Stopword profiles of the language-ID classifier — the textbook
+    * closed-class-marker heuristic (a production system swaps in
+    * character n-gram profiles; the scoring and argmax shape is
+    * identical). Declaration ORDER is the deterministic tie-break, and
+    * the lists are the single source both the Spark expressions and
+    * the generated oracle SQL render from. Profiles deliberately
+    * overlap (fr/es share articles) exactly as real ones do.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "los", "una", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "et"))
+
+  /** Per-document language prediction — the actual classifier the
+    * `text_langid` scaffolding stands in front of: count each
+    * profile's marker tokens in one pass over the exploded tokens,
+    * predict the highest-scoring language (ties to profile declaration
+    * order, zero hits → "und"), and report the per-prediction corpus
+    * histogram with total marker mass. One wordcount-class shuffle on
+    * doc_id, constant per-doc state (one counter per profile), a
+    * profiles-sized output — the shape that classifies 100 TB in one
+    * scan. Exact value oracle: the same membership CASEs and ordered
+    * argmax, generated from [[LangProfiles]].
+    */
+  def langidPredict(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+    val profileSums = LangProfiles.map { case (lang, ws) =>
+      sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val scores = tok.groupBy("doc_id").agg(profileSums.head, profileSums.tail: _*)
+    // Ordered argmax: the first profile whose score equals the max and
+    // is positive wins; all-zero predicts "und".
+    val maxScore = greatest(LangProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = LangProfiles.foldRight(lit("und")) { case ((l, _), rest) =>
+      when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(rest)
+    }
+    // foldRight keeps declaration order: en's WHEN is outermost.
+    scores
+      .select(col("doc_id"), predicted.as("predicted_lang"), maxScore.as("hits"))
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("docs"), sum("hits").as("marker_hits"))
+      .orderBy("predicted_lang")
+  }
+
   /** Token counting two ways per document: whitespace tokens and a
     * BPE-ish regex segmentation (letter runs / digit runs / single
     * punctuation — the shape a byte-pair pre-tokenizer produces). The
@@ -1132,6 +1178,7 @@ object TextOps {
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langMarkers _),
+    "text_langid_predict" -> (langidPredict _),
     "text_tokens" -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
     "text_redact" -> (redact _),
@@ -1650,5 +1697,37 @@ object TextOps {
       """SELECT lang, count(*) AS docs,
         |  CAST(sum(CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS en_marker
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Membership CASEs, the greatest() and the ordered argmax all
+    // generated from LangProfiles; token-less documents survive via the
+    // LEFT JOIN (Spark's explode_outer keeps them, unnest would not).
+    "text_langid_predict" -> {
+      val sums = LangProfiles.map { case (l, ws) =>
+        s"sum(CASE WHEN w IN (${ws.map(w => s"'$w'").mkString(", ")}) " +
+          s"THEN 1 ELSE 0 END) AS s_$l"
+      }.mkString(",\n    ")
+      val coal = LangProfiles.map { case (l, _) =>
+        s"coalesce(s_$l, 0) AS s_$l"
+      }.mkString(", ")
+      val m = LangProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val argmax = LangProfiles.map { case (l, _) =>
+        s"WHEN s_$l = $m AND $m > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+         |  FROM documents),
+         |sc0 AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM tok GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, $coal
+         |       FROM documents d LEFT JOIN sc0 USING (doc_id)),
+         |pred AS (
+         |  SELECT doc_id, $m AS hits,
+         |    CASE $argmax ELSE 'und' END AS predicted_lang
+         |  FROM sc)
+         |SELECT predicted_lang, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(hits) AS BIGINT) AS marker_hits
+         |FROM pred GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+    },
   )
 }
