@@ -380,12 +380,14 @@ object SourceOps {
     val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val maxKey = src.agg(max("o_orderkey")).as[Long].head()
     val w = (maxKey + SkipSlices) / SkipSlices // ceil((max+1)/slices)
-    val paths = (0 until SkipSlices).flatMap { s =>
-      val d = s"$table/data/gen=1/s=$s"
-      src.filter(col("o_orderkey") >= s * w && col("o_orderkey") < (s + 1) * w)
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      spark.read.parquet(d).inputFiles.toSeq
-    }
+    // One write lands every slice file (the snapshotMerge move): the
+    // slice index is a derived column, repartition puts each slice in
+    // one task, partitionBy encodes it in the path.
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
     // Empty slices (possible for skewed key domains at other sf dirs)
     // drop out of the stats — the manifest lists only files that can
     // ever match, which keeps n_files_total equal to the oracle's
@@ -438,12 +440,15 @@ object SourceOps {
     val src = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val bucket = (c: org.apache.spark.sql.Column) => pmod(c, lit(MergeBuckets.toLong))
-    val gen1Paths = (0 until MergeBuckets).flatMap { b =>
-      val d = s"$table/data/gen=1/b=$b"
-      src.filter(bucket(col("o_orderkey")) === b.toLong)
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      spark.read.parquet(d).inputFiles.toSeq
-    }
+    // ONE write lands every bucket file: repartition on the bucket key
+    // puts each bucket in a single task, and partitionBy encodes the
+    // bucket in the b=<n> path segment the manifest records — the same
+    // layout the per-bucket loop produced, minus N−1 sequential jobs.
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("b", bucket(col("o_orderkey")))
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(gen1Dir)
+    val gen1Paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
     SnapshotTable.publish(spark, table, 1L, gen1Paths)
     val updates = src.filter(pmod(col("o_orderkey"), lit(MergeMod.toLong)) === 1)
       .select(col("o_orderkey").as("k"))
