@@ -73,8 +73,11 @@ object SpanFold {
   /** Shared by the interpreted and generated paths so they cannot
     * drift. The common case (no null elements — every production
     * caller, since token hashes are non-null by construction) fills a
-    * primitive long[] with zero boxing; only an input that actually
-    * contains nulls falls back to the boxed array.
+    * primitive long[] and wraps it via
+    * `UnsafeArrayData.fromPrimitiveArray` — genuinely unboxed end to
+    * end (GenericArrayData's long[] constructor would re-box every
+    * element); only an input that actually contains nulls falls back
+    * to the boxed array.
     */
   def fold(th: ArrayData, k: Int): ArrayData = {
     val len = th.numElements()
@@ -106,7 +109,9 @@ object SpanFold {
       else out(i) = v
       i += 1
     }
-    if (boxed != null) new GenericArrayData(boxed) else new GenericArrayData(out)
+    if (boxed != null) new GenericArrayData(boxed)
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Column wrapper: `SpanFold(th, k)` over an `array<bigint>` column. */

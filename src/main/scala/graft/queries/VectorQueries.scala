@@ -126,11 +126,21 @@ object VectorQueries {
     e.filter(col("vec_id").between(1, IvfCentroids))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  /** Cell assignment over a per-(vector, centroid) similarity frame —
+    * THE definition of the index's assignment semantics (max_by over
+    * (sim, −cid): ties to the lowest centroid id, mirroring the
+    * row_number twin in the oracle's cells CTE). The ONE copy every
+    * IVF path and the cell-quality audit share, so a tie-break tweak
+    * cannot desynchronize them.
+    */
+  private def cellsOf(sims: DataFrame): DataFrame =
+    sims.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+
   /** The inverted-file index: every vector → its nearest centroid cell. */
   private[queries] def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    ivfSims(e, fixedCents(e)).groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    cellsOf(ivfSims(e, fixedCents(e)))
   }
 
   /** Two-level ANN over an arbitrary centroid frame: build the inverted
@@ -138,8 +148,7 @@ object VectorQueries {
     */
   private[queries] def topKIvfWith(e: DataFrame, cents: DataFrame, probe: Int): DataFrame = {
     val sims = ivfSims(e, cents)
-    val cells = sims.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    val cells = cellsOf(sims)
     val probed = sims.filter(col("vec_id") === QueryVecId)
       .orderBy(desc("sim"), asc("cid")).limit(probe)
       .select(col("cid").as("cell"))
@@ -178,8 +187,7 @@ object VectorQueries {
     val cents = fixedCents(e)
     val sims = ivfSims(e, cents)
     val out = graft.Scratch.dir("ivfindex")
-    sims.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    cellsOf(sims)
       .join(e, "vec_id")
       .select("cell", "vec_id", "v")
       .write.mode("overwrite").partitionBy("cell").parquet(out)
@@ -510,8 +518,7 @@ object VectorQueries {
   /** [[topKIvfPq]] with explicit probe width and rescore depth. */
   private[queries] def topKIvfPqWith(e: DataFrame, probe: Int, rescore: Int): DataFrame = {
     val sims = ivfSims(e, fixedCents(e))
-    val cells = sims.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
+    val cells = cellsOf(sims)
     val probed = sims.filter(col("vec_id") === QueryVecId)
       .orderBy(desc("sim"), asc("cid")).limit(probe)
       .select(col("cid").as("cell"))
@@ -1147,9 +1154,7 @@ object VectorQueries {
   def cellQuality(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val sims = ivfSims(e, fixedCents(e))
-    val cells = sims.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cell"))
-      .withColumnRenamed("vec_id", "cvid")
+    val cells = cellsOf(sims).withColumnRenamed("vec_id", "cvid")
     sims.join(cells, col("vec_id") === col("cvid") && col("cid") === col("cell"))
       .select(col("cell"), floor(col("sim") * lit(1000000.0)).cast("long").as("sm"))
       .groupBy("cell")

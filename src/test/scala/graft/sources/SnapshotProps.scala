@@ -35,7 +35,7 @@ object SnapshotProps extends Properties("SnapshotTable") {
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
   property("random append/compact/expire sequences match the model") =
-    Prop.forAll(Gen.chooseNum(1, 10).flatMap(ids => Gen.listOfN(7, genOp))) { ops =>
+    Prop.forAll(Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, genOp))) { ops =>
       import spark.implicits._
       val table = graft.Scratch.dir(s"snapprops_${seq.incrementAndGet()}")
       // model: gen -> expected id list (sorted, with duplicates).
