@@ -462,4 +462,28 @@ class DedupOpsSpec extends AnyFunSuite {
     val key = rows.map { case (h, d, i) => (-d, -i, h) }
     assert(key.sameElements(key.sorted), "rank order is deterministic")
   }
+
+  test("index probe scores batch-history and batch-batch pairs, never history-history") {
+    // History: two near-dup docs (1, 2) and an unrelated doc (3).
+    // Batch: a near-dup of history doc 1 (10) plus two batch-side
+    // near-dups of each other (11, 12) sharing nothing with history.
+    val other =
+      "orange trees grow sweet fruit in warm coastal valleys every summer season"
+    val otherDup = other.replace("summer", "winter")
+    val hist = DedupOps.shingleSetWithSize(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)))
+    val batch = DedupOps.shingleSetWithSize(
+      docs((10L, base), (11L, other), (12L, otherDup)))
+    val out = DedupOps.shingleProbePairs(hist, batch)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out.contains((10L, 1L)),
+      "batch near-dup of an indexed doc must surface as (new, old)")
+    assert(out.contains((11L, 12L)),
+      "batch-batch near-dups must surface once with a < b")
+    assert(!out.contains((12L, 11L)), "batch-batch pairs must not repeat")
+    assert(!out.exists { case (a, _) => a < 10L },
+      "history docs never appear on the batch side")
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated docs pair with nothing")
+  }
 }
