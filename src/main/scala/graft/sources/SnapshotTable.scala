@@ -46,25 +46,97 @@ object SnapshotTable {
     * table format uses).
     */
   def commit(df: DataFrame, table: String, gen: Long,
-      carryFrom: Option[Long] = None): Unit = {
+      carryFrom: Option[Long] = None, replace: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val dataDir = s"$table/data/gen=$gen"
+    // Data stages under an ATTEMPT-private directory, so a replace
+    // commit (streaming replay) never deletes files a concurrent reader
+    // may be resolving through the already-published manifest — the
+    // manifest swap below is the only switch point.
+    val genDir = s"$table/data/gen=$gen"
+    val attempt = nextAttempt(spark, genDir)
+    val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
     val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
-    publish(spark, table, gen, carried ++ fresh)
+    publish(spark, table, gen, carried ++ fresh, replace)
+    // Post-switch cleanup: earlier attempts of THIS generation are now
+    // unreferenced by any manifest (older generations list their own
+    // paths; this generation's manifest lists only the fresh attempt).
+    // A reader that resolved the pre-replay manifest and is still
+    // mid-scan can lose files here — the latest generation is
+    // single-writer/quiesced-reader during a replay window, like every
+    // lakehouse sink's last in-flight commit.
+    if (replace) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val gp = new org.apache.hadoop.fs.Path(genDir)
+      val fs = gp.getFileSystem(conf)
+      fs.listStatus(gp).map(_.getPath)
+        .filter(p => p.getName.startsWith("a=") && p.getName != s"a=$attempt")
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
+  /** First attempt number not yet present under `genDir` (0 for a
+    * fresh generation; a replay stages the next one).
+    */
+  private def nextAttempt(spark: SparkSession, genDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(genDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("a=") => s.drop(2).toLong }
+      .foldLeft(-1L)(math.max) + 1L
   }
 
   /** Publish generation `gen` as an explicit file list — the commit
     * point shared by every writer: [[commit]]'s whole-directory form and
     * file-granular writers (copy-on-write MERGE) that carry an
     * arbitrary subset of the previous generation's files forward.
+    *
+    * The manifest stages into a dot-prefixed temp directory and moves
+    * into place with one RENAME — so the commit point is atomic and
+    * FIRST-WRITER-WINS: two writers racing to the same generation
+    * cannot both succeed (the loser's rename fails onto the existing
+    * target and throws — no lineage is ever silently overwritten).
+    * `replace = true` (the streaming sink's same-batch-id replay, the
+    * one legitimate re-publish) deletes the old manifest before the
+    * rename; that window is why the latest generation is single-writer
+    * by contract.
     */
   def publish(spark: SparkSession, table: String, gen: Long,
-      paths: Seq[String]): Unit = {
+      paths: Seq[String], replace: Boolean = false): Unit = {
     import spark.implicits._
-    paths.sorted.toDF("path")
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath(table, gen))
+    writeManifest(spark, table, gen, replace,
+      paths.sorted.toDF("path"))
+  }
+
+  /** Shared staged-rename manifest writer for [[publish]] and
+    * [[publishWithStats]].
+    */
+  private def writeManifest(spark: SparkSession, table: String, gen: Long,
+      replace: Boolean, rows: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$table/manifests/.gen=$gen.staging")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) {
+      if (!replace) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"generation $gen of $table is already committed " +
+            "(concurrent writer lost the race); earlier generations keep serving")
+      }
+      fs.delete(target, true)
+    }
+    if (!fs.rename(tmp, target)) {
+      // rename-onto-existing fails atomically on HDFS-semantics stores:
+      // a concurrent writer published between our check and the move.
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"generation $gen of $table was committed concurrently; " +
+          "this writer's attempt is discarded")
+    }
   }
 
   /** The file list of generation `gen` — one driver-side collect of a
@@ -130,8 +202,8 @@ object SnapshotTable {
   def publishWithStats(spark: SparkSession, table: String, gen: Long,
       rows: Seq[(String, Long, Long)]): Unit = {
     import spark.implicits._
-    rows.sortBy(_._1).toDF("path", "min_key", "max_key")
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath(table, gen))
+    writeManifest(spark, table, gen, replace = false,
+      rows.sortBy(_._1).toDF("path", "min_key", "max_key"))
   }
 
   /** Read generation `gen` restricted to `column ∈ [lo, hi]`, pruning
@@ -150,12 +222,16 @@ object SnapshotTable {
       .select("path").as[String].collect().toSeq.sorted
     if (paths.isEmpty) {
       // No file admitted: return an EMPTY frame with the table's schema
-      // from ONE footer — never a corpus-wide scan wearing a false
-      // filter (that shape would report every file in `inputFiles` and
-      // plan a scan over all of them, the opposite of pruning).
+      // from the FOOTERS of every manifest file (mergeSchema unions
+      // evolving schemas — metadata reads only, no data pages) — never
+      // a corpus-wide scan wearing a false filter (that shape would
+      // report every file in `inputFiles` and plan a scan over all of
+      // them, the opposite of pruning), and never `all.head` alone,
+      // whose single-file schema could miss columns other files carry.
       val all = listFiles(spark, table, gen)
       require(all.nonEmpty, s"generation $gen of $table has no data files")
-      val schema = spark.read.parquet(all.head).schema
+      val schema =
+        spark.read.option("mergeSchema", true).parquet(all: _*).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else

@@ -40,6 +40,20 @@ object SourceOps {
     */
   private def scratch(name: String): String = graft.Scratch.dir(s"roundtrip_$name")
 
+  /** A [[scratch]] path wiped clean first — snapshot-table queries
+    * CREATE their table each invocation, and [[SnapshotTable.publish]]
+    * is first-writer-wins (a re-run would otherwise trip the
+    * conflicting-commit guard on its own previous manifests). The path
+    * stays FIXED per name so the specs can dissect the table a
+    * registered query just built.
+    */
+  private def freshTable(name: String): String = {
+    val p = scratch(name)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(hp, true)
+    p
+  }
+
   /** VARIANT persisted round-trip: the events payloads parse ONCE into
     * VARIANT at write time and land in parquet as the binary encoding —
     * the Spark 4 lakehouse pattern where semi-structured columns are
@@ -305,7 +319,7 @@ object SourceOps {
   }
 
   def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val table = scratch("snapshot_orders")
+    val table = freshTable("snapshot_orders")
     buildThreeGens(spark, dir, table)
     Seq(1L, 2L, 3L).map { g =>
       SnapshotTable.readAs(spark, table, g)
@@ -332,7 +346,7 @@ object SourceOps {
     * orphans would break the file count.
     */
   def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
-    val table = scratch("snapshot_expire")
+    val table = freshTable("snapshot_expire")
     buildThreeGens(spark, dir, table)
     def phase(name: String): DataFrame = {
       val gens = SnapshotTable.generations(spark, table)
@@ -376,7 +390,7 @@ object SourceOps {
     */
   def snapshotSkip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = scratch("snapshot_skip")
+    val table = freshTable("snapshot_skip")
     val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val maxKey = src.agg(max("o_orderkey")).as[Long].head()
     val w = (maxKey + SkipSlices) / SkipSlices // ceil((max+1)/slices)
@@ -436,7 +450,7 @@ object SourceOps {
     */
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = scratch("snapshot_merge")
+    val table = freshTable("snapshot_merge")
     val src = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val bucket = (c: org.apache.spark.sql.Column) => pmod(c, lit(MergeBuckets.toLong))

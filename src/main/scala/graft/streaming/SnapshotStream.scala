@@ -18,14 +18,17 @@ import graft.sources.SnapshotTable
   * Why this is exactly-once end-to-end from a replayable source: after
   * a crash, Structured Streaming replays at most the last in-flight
   * batch, always under the SAME batch id. A replayed batch re-lands its
-  * OWN generation — the data-directory overwrite drops the failed
-  * attempt's files and the manifest republishes over itself — so
-  * duplication is structurally impossible rather than probabilistically
-  * avoided. Readers meanwhile resolve older generations through their
-  * untouched manifests (snapshot isolation), and "the table as of batch
-  * N" is simply generation N + 1 (time travel across the stream's whole
-  * history). This is the same commit protocol every lakehouse streaming
-  * sink implements; here it is ~20 lines over the manifest layer.
+  * OWN generation — the data stages into a FRESH attempt-private
+  * directory and the manifest republish is the only switch point, after
+  * which the failed attempt's files are swept — so duplication is
+  * structurally impossible rather than probabilistically avoided.
+  * Readers resolve older generations through their untouched manifests
+  * (snapshot isolation holds unconditionally for every generation but
+  * the latest); the LATEST generation is single-writer and
+  * quiesced-reader during a replay window, because the republish
+  * replaces its manifest — the caveat every lakehouse sink carries for
+  * its last in-flight commit. "The table as of batch N" is simply
+  * generation N + 1 (time travel across the stream's whole history).
   */
 object SnapshotStream {
 
@@ -35,8 +38,11 @@ object SnapshotStream {
     */
   def commitBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
     val gen = batchId + 1
+    // replace = true: a same-batch-id replay is the ONE caller allowed
+    // to republish an existing generation (everyone else gets
+    // first-writer-wins).
     SnapshotTable.commit(batch, table, gen,
-      carryFrom = if (gen > 1) Some(gen - 1) else None)
+      carryFrom = if (gen > 1) Some(gen - 1) else None, replace = true)
   }
 
   /** The streaming query: each arriving (doc_id, text) micro-batch

@@ -53,6 +53,29 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
   }
 
+  test("conflicting commit to an existing generation fails; history keeps serving") {
+    val table = graft.Scratch.dir("conflict_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(orders.repartition(2), table, 1L)
+    SnapshotTable.commit(orders.limit(10), table, 2L, carryFrom = Some(1L))
+    val f2 = SnapshotTable.listFiles(spark, table, 2L)
+    // A second writer racing to generation 2 must LOSE, not silently
+    // overwrite the committed lineage.
+    intercept[IllegalStateException] {
+      SnapshotTable.commit(orders.limit(3), table, 2L, carryFrom = Some(1L))
+    }
+    // The loser changed nothing: gen 2 resolves to the winner's exact
+    // file list and gen 1 keeps serving its full content.
+    assert(SnapshotTable.listFiles(spark, table, 2L) === f2)
+    assert(SnapshotTable.readAs(spark, table, 1L).count() === orders.count())
+    // The streaming sink's same-batch-id replay is the one sanctioned
+    // re-publish: replace = true lands a fresh attempt and swaps the
+    // manifest.
+    SnapshotTable.commit(orders.limit(10), table, 2L,
+      carryFrom = Some(1L), replace = true)
+    assert(SnapshotTable.readAs(spark, table, 2L).count() === orders.count() + 10)
+  }
+
   test("zone-map skip: footer stats in the manifest prune files exactly") {
     import spark.implicits._
     // Run the registered query for its table side effects.
