@@ -77,12 +77,17 @@ object Verify {
       case c => c.toString
     } + "\""
     import scala.jdk.CollectionConverters._
+    // The failure list is a SEPARATE artifact: oracle_sql.json stays a
+    // pure name → SQL map (every key a query name — no sentinel key a
+    // consumer must special-case, no collision with a query that could
+    // legitimately be named "failed").
     val failedJson = failed.asScala.toSeq.sortBy(_._1)
       .map { case (n, m) => s"{${q("query")}: ${q(n)}, ${q("error")}: ${q(m)}}" }
       .mkString("[", ",", "]")
-    val json = (SparkEntry.oracleSqlFor(sfDir)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.toSeq :+
-      s"${q("failed")}: $failedJson").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    val json = SparkEntry.oracleSqlFor(sfDir)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -144,8 +144,10 @@ object SnapshotTable {
     */
   def listFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
     import spark.implicits._
+    // distinct: a multi-column stats manifest lists a path once per
+    // recorded dimension.
     spark.read.parquet(manifestPath(table, gen))
-      .select("path").as[String].collect().toSeq.sorted
+      .select("path").distinct().as[String].collect().toSeq.sorted
   }
 
   /** Read the table AS OF generation `gen`: the scan's file set is
@@ -163,7 +165,17 @@ object SnapshotTable {
     * turns the manifest into a data-skipping index.
     */
   def footerKeyStats(spark: SparkSession, paths: Seq[String],
-      column: String): Seq[(String, Long, Long)] = {
+      column: String): Seq[(String, Long, Long)] =
+    footerStats(spark, paths, Seq(column)).map { case (f, _, mn, mx) => (f, mn, mx) }
+
+  /** Per-file min/max of SEVERAL BIGINT columns in one footer pass —
+    * one `(path, column, min, max)` row per (file, column). The
+    * multi-column generalization [[publishStats]] records, giving the
+    * manifest a zone map per dimension (a Z-ORDERed layout makes every
+    * recorded dimension's per-file bounds tight at once).
+    */
+  def footerStats(spark: SparkSession, paths: Seq[String],
+      columns: Seq[String]): Seq[(String, String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     paths.flatMap { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -177,8 +189,8 @@ object SnapshotTable {
         // groups and therefore no statistics: they are DROPPED, not an
         // error — an empty file can never match a range query, so a
         // stats manifest that omits it prunes it for free.
-        if (blocks.isEmpty) None
-        else {
+        if (blocks.isEmpty) Seq.empty
+        else columns.map { column =>
           val stats = blocks.map { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == column)
               .getOrElse(sys.error(s"no column $column in footer of $f"))
@@ -186,9 +198,9 @@ object SnapshotTable {
           }
           require(stats.forall(s => s.hasNonNullValue),
             s"footer of $f carries no $column statistics")
-          Some((f,
+          (f, column,
             stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
         }
       } finally r.close()
     }
@@ -206,6 +218,23 @@ object SnapshotTable {
       rows.sortBy(_._1).toDF("path", "min_key", "max_key"))
   }
 
+  /** Publish generation `gen` with MULTI-COLUMN zone maps: manifest
+    * rows are (path, key_col, min_key, max_key) — one row per (file,
+    * recorded column), the long form of [[footerStats]]'s output — so
+    * [[readWhere]] can prune on ANY recorded dimension of the same
+    * manifest (the `layout_zorder` story at the manifest layer: a
+    * Z-ORDERed file layout keeps every dimension's per-file bounds
+    * tight, and this manifest is what turns those bounds into file
+    * skipping). [[listFiles]] / [[readAs]] keep working (they project
+    * DISTINCT paths).
+    */
+  def publishStats(spark: SparkSession, table: String, gen: Long,
+      rows: Seq[(String, String, Long, Long)]): Unit = {
+    import spark.implicits._
+    writeManifest(spark, table, gen, replace = false,
+      rows.sortBy(r => (r._1, r._2)).toDF("path", "key_col", "min_key", "max_key"))
+  }
+
   /** Read generation `gen` restricted to `column ∈ [lo, hi]`, pruning
     * FILES by the manifest's zone maps before any data file opens: a
     * file whose [min_key, max_key] misses the range is never handed to
@@ -217,9 +246,26 @@ object SnapshotTable {
   def readWhere(spark: SparkSession, table: String, gen: Long,
       column: String, lo: Long, hi: Long): DataFrame = {
     import spark.implicits._
-    val paths = spark.read.parquet(manifestPath(table, gen))
-      .filter(col("min_key") <= hi && col("max_key") >= lo)
-      .select("path").as[String].collect().toSeq.sorted
+    val manifest = spark.read.parquet(manifestPath(table, gen))
+    val paths = (if (manifest.columns.contains("key_col")) {
+      // Multi-column manifest ([[publishStats]]): admit a file unless
+      // the REQUESTED dimension's zone map excludes it; a file with no
+      // row for the dimension admits conservatively. Refuse a column
+      // the manifest never recorded — an all-admit "prune" on a typo'd
+      // name would silently read the whole table.
+      val rows = manifest
+        .select("path", "key_col", "min_key", "max_key")
+        .as[(String, String, Long, Long)].collect().toSeq
+      require(rows.exists(_._2 == column),
+        s"manifest of $table gen $gen records no zone map for $column " +
+          s"(has: ${rows.map(_._2).distinct.sorted.mkString(", ")})")
+      val excluded = rows.collect {
+        case (p, c, mn, mx) if c == column && (mn > hi || mx < lo) => p
+      }.toSet
+      rows.map(_._1).distinct.filterNot(excluded)
+    } else
+      manifest.filter(col("min_key") <= hi && col("max_key") >= lo)
+        .select("path").as[String].collect().toSeq).sorted
     if (paths.isEmpty) {
       // No file admitted: return an EMPTY frame with the table's schema
       // from the FOOTERS of every manifest file (mergeSchema unions

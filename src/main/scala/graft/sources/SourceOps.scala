@@ -416,6 +416,68 @@ object SourceOps {
         col("n_rows"), col("key_sum"))
   }
 
+  /** [[snapshotSkip2]] geometry: both keys map onto a
+    * [[ZGrid]]×[[ZGrid]] grid, the Morton interleave of the grid
+    * coordinates is sliced by its top bits into [[ZSliceShift]]-shifted
+    * buckets (a 4×4 grid of axis-aligned rectangles), and every
+    * constant is mirrored in the oracle.
+    */
+  val ZGrid = 256
+  val ZGridBits = 8
+  val ZSliceShift = 12 // 16-bit z → 16 slices
+
+  /** Two-dimensional zone-map skipping on the snapshot layer — the
+    * manifest-layer twin of `layout_zorder`, completing what
+    * [[snapshotSkip]] starts: gen 1 lands one file per Z-ORDER slice
+    * (each slice an axis-aligned rectangle in (o_orderkey, o_custkey)
+    * space, so BOTH columns' per-file bounds are tight at once), the
+    * manifest records each file's footer min/max for BOTH columns
+    * ([[SnapshotTable.publishStats]]'s long-form rows), and the SAME
+    * manifest then prunes two different range probes — one per
+    * dimension ([[SnapshotTable.readWhere]] selects the requested
+    * column's zone map). The report pins, per probe: total files,
+    * admitted files, and the surviving rows' exact stats. The oracle
+    * recomputes the slice assignment from the same interleave
+    * constants and each slice's min/max relationally — identical to
+    * the footer statistics by construction — so both dimensions'
+    * admitted-file counts are value-gated.
+    */
+  def snapshotSkip2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable("snapshot_skip2")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val Array((maxKey, maxCust)) =
+      src.agg(max("o_orderkey"), max("o_custkey")).as[(Long, Long)].collect()
+    val wx = (maxKey + ZGrid) / ZGrid
+    val wy = (maxCust + ZGrid) / ZGrid
+    val zx = expr(s"o_orderkey div $wx")
+    val zy = expr(s"o_custkey div $wy")
+    val z = (0 until ZGridBits).map { i =>
+      (shiftright(zx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(zy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", shiftright(z, ZSliceShift).cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val stats = SnapshotTable.footerStats(spark, paths,
+      Seq("o_orderkey", "o_custkey"))
+    SnapshotTable.publishStats(spark, table, 1L, stats)
+    val nFiles = stats.map(_._1).distinct.size.toLong
+    def probe(name: String, column: String, maxV: Long): DataFrame = {
+      val (lo, hi) = (maxV / 4, maxV / 2)
+      val pruned = SnapshotTable.readWhere(spark, table, 1L, column, lo, hi)
+      pruned.agg(count(lit(1)).as("n_rows"), sum(column).as("key_sum"))
+        .select(lit(name).as("probe"), lit(nFiles).as("n_files_total"),
+          lit(pruned.inputFiles.length.toLong).as("n_files_read"),
+          col("n_rows"), col("key_sum"))
+    }
+    probe("custkey", "o_custkey", maxCust)
+      .unionByName(probe("orderkey", "o_orderkey", maxKey))
+      .orderBy("probe")
+  }
+
   /** [[snapshotMerge]] geometry, mirrored in the oracle: key buckets
     * (one data file each), the batch's residue predicates, and the
     * insert key offset — ≡ 0 (mod [[MergeBuckets]]) so inserted keys
@@ -578,6 +640,7 @@ object SourceOps {
     "src_snapshot_merge" -> (snapshotMerge _),
     "src_snapshot_expire" -> (snapshotExpire _),
     "src_snapshot_skip" -> (snapshotSkip _),
+    "src_snapshot_skip2" -> (snapshotSkip2 _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -627,6 +690,49 @@ object SourceOps {
          |   WHERE o_orderkey BETWEEN lo AND hi) AS n_rows,
          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
          |   WHERE o_orderkey BETWEEN lo AND hi) AS key_sum""".stripMargin,
+    // Two-dimensional zone-map twin: the Morton slice assignment is
+    // regenerated from the same grid/interleave constants, per-slice
+    // min/max of BOTH columns are the footer statistics by
+    // construction, and each probe's admitted-file count checks that
+    // dimension's zone map against the range.
+    "src_snapshot_skip2" -> {
+      val zExpr = (0 until ZGridBits).map { i =>
+        s"(((zx >> $i) & 1) * ${1L << (2 * i)}) + (((zy >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk,
+         |                   CAST(max(o_custkey) AS BIGINT) AS mc FROM orders),
+         |g AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         o_orderkey // ((mk + $ZGrid) // $ZGrid) AS zx,
+         |         o_custkey // ((mc + $ZGrid) // $ZGrid) AS zy
+         |  FROM orders, mx),
+         |sl AS (
+         |  SELECT ($zExpr) >> $ZSliceShift AS s,
+         |         min(o_orderkey) AS k1lo, max(o_orderkey) AS k1hi,
+         |         min(o_custkey) AS k2lo, max(o_custkey) AS k2hi
+         |  FROM g GROUP BY 1),
+         |b AS (SELECT mk // 4 AS lo1, mk // 2 AS hi1,
+         |             mc // 4 AS lo2, mc // 2 AS hi2 FROM mx),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sl)
+         |SELECT 'custkey' AS probe, n.total AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE k2lo <= hi2 AND k2hi >= lo2) AS n_files_read,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+         |   WHERE o_custkey BETWEEN lo2 AND hi2) AS n_rows,
+         |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders, b
+         |   WHERE o_custkey BETWEEN lo2 AND hi2) AS key_sum
+         |FROM n
+         |UNION ALL
+         |SELECT 'orderkey' AS probe, n.total AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE k1lo <= hi1 AND k1hi >= lo1) AS n_files_read,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo1 AND hi1) AS n_rows,
+         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo1 AND hi1) AS key_sum
+         |FROM n
+         |ORDER BY probe""".stripMargin
+    },
     // Retention-sweep twin: the latest generation's content is the full
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init

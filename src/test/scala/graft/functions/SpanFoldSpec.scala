@@ -37,10 +37,14 @@ class SpanFoldSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val viaSql = spark.sql(
       "SELECT span_fold(array(7L, 11L, 13L, 17L), 3)").collect()(0).getSeq[Long](0)
+    // CODEGEN_ONLY + fallback=false on the codegen leg: if SpanFold's
+    // generated code ever fails to compile, this test FAILS instead of
+    // silently passing through the interpreted fallback.
     def via(wholeStage: Boolean): Seq[Long] =
       TestSpark.withConf(
         "spark.sql.codegen.wholeStage" -> wholeStage.toString,
-        "spark.sql.codegen.factoryMode" -> (if (wholeStage) "FALLBACK" else "NO_CODEGEN")) {
+        "spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.factoryMode" -> (if (wholeStage) "CODEGEN_ONLY" else "NO_CODEGEN")) {
         Seq(Seq(7L, 11L, 13L, 17L)).toDF("th")
           .select(SpanFold(col("th"), 3)).collect()(0).getSeq[Long](0)
       }

@@ -108,6 +108,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("multi-column zone maps prune on either dimension and reject unknown columns") {
+    import spark.implicits._
+    // Run the registered query for its table side effects.
+    val rows = SourceOps.snapshotSkip2(spark, dir).collect()
+      .map(r => r.getAs[String]("probe") -> r).toMap
+    assert(rows.keySet === Set("orderkey", "custkey"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_files_read") < r.getAs[Long]("n_files_total"),
+        s"probe ${r.getAs[String]("probe")} must actually skip files")
+    }
+    val table = graft.Scratch.dir("roundtrip_snapshot_skip2")
+    // The same manifest serves both dimensions: each probe's planned
+    // file set is exactly the paths its OWN column's zone map admits.
+    val manifest = spark.read.parquet(s"$table/manifests/gen=1")
+      .as[(String, String, Long, Long)].collect()
+    assert(manifest.map(_._2).distinct.sorted === Seq("o_custkey", "o_orderkey"))
+    val src = Tables.orders(spark, dir)
+    for (column <- Seq("o_orderkey", "o_custkey")) {
+      val maxV = src.agg(org.apache.spark.sql.functions.max(column)).as[Long].head()
+      val (lo, hi) = (maxV / 4, maxV / 2)
+      val admitted = manifest.filter { case (_, c, mn, mx) =>
+        c == column && mn <= hi && mx >= lo
+      }.map(_._1).toSet
+      val pruned = SnapshotTable.readWhere(spark, table, 1L, column, lo, hi)
+      assert(pruned.inputFiles.toSet === admitted, s"pruning on $column")
+      // Sound: no matching row is lost to the file skip.
+      assert(pruned.count() ===
+        src.filter(col(column) >= lo && col(column) <= hi).count())
+    }
+    // A dimension the manifest never recorded must refuse, not all-admit.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhere(spark, table, 1L, "o_totalprice", 0L, 1L)
+    }
+  }
+
   test("expire deletes manifests first, orphans only, survivors intact") {
     val table = graft.Scratch.dir("expire_spec")
     val orders = Tables.orders(spark, dir)
