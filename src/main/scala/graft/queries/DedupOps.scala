@@ -646,6 +646,47 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals — the Gopher-class quality
+    * gate that complements the CROSS-corpus span family: machine-
+    * generated and boilerplate-stuffed documents repeat themselves, so
+    * a curation pipeline thresholds (a) the share of token instances
+    * belonging to the document's single most frequent token and (b)
+    * the share of 2-gram / 3-gram instances whose n-gram occurs ≥ 2
+    * times IN THE SAME DOCUMENT. Registered under the text-analysis
+    * family; it lives here because every identity rides the span
+    * machinery ([[portable64]] token hashes, [[spanHashesOf]] windows —
+    * SpanFoldSpec pins widths 2 and 3 against the HOF reference).
+    *
+    * Scale shape: wordcount-class — one corpus scan, three
+    * (doc_id, identity)-keyed hash counts (all map-side combinable,
+    * 16-byte shuffle keys), two doc-keyed joins of doc-count-sized
+    * frames. Nothing sorts a whole document on one task and nothing is
+    * quadratic in document length.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ht = hashedTokens(Tables.documents(spark, dir))
+    def gramStats(k: Int): DataFrame = {
+      val ids = if (k == 1) col("th") else spanHashesOf(col("th"), k)
+      ht.select(col("doc_id"), explode_outer(ids).as("h"))
+        .filter(col("h").isNotNull)
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(s"n$k"), max("c").as(s"top$k"),
+          sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as(s"dup$k"))
+    }
+    def ppm(num: String, den: String): Column =
+      when(coalesce(col(den), lit(0L)) > 0L,
+        expr(s"($num * 1000000) div $den")).otherwise(0L)
+    gramStats(1)
+      .join(gramStats(2), Seq("doc_id"), "left")
+      .join(gramStats(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n1").as("n_tokens"),
+        expr("(top1 * 1000000) div n1").as("top_token_ppm"),
+        ppm("dup2", "n2").as("dup_2gram_ppm"),
+        ppm("dup3", "n3").as("dup_3gram_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Portable family — bit-reproducible in DuckDB SQL, so the
     * registered sketch queries carry exact value oracles. One md5 per
     * TOKEN ([[portable64]]) feeds the fold-derived trigram identities
@@ -1518,6 +1559,7 @@ object DedupOps {
     "neardup_index" -> (shingleIndexBuild _),
     "neardup_index_incr" -> (shingleIndexIncremental _),
     "neardup_index_probe" -> (shingleIndexProbe _),
+    "text_repetition" -> (textRepetition _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
@@ -1767,6 +1809,43 @@ object DedupOps {
     // rows, so the incremental twin shares neardup_jaccard's oracle
     // string verbatim.
     ("neardup_index_incr" -> baseOracle("neardup_jaccard")) +
+    // Within-doc repetition: the same token-hash + windowed-fold
+    // identities (SpanFold widths 2 and 3), counted per document.
+    ("text_repetition" -> {
+      def spanCte(k: Int, name: String): String = {
+        val w = k - 1
+        val slice = s"th[i:i+$w]"
+        s"""$name AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(len(th) - $w, 0) + 1),
+           |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
+           |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+           |  FROM tho)""".stripMargin
+      }
+      s"""WITH $duckTokenHashCtes,
+         |i1 AS (SELECT doc_id, unnest(th) AS h FROM tho),
+         |${spanCte(2, "i2")},
+         |${spanCte(3, "i3")},
+         |c1 AS (SELECT doc_id, h, count(*) AS c FROM i1 GROUP BY 1, 2),
+         |c2 AS (SELECT doc_id, h, count(*) AS c FROM i2 GROUP BY 1, 2),
+         |c3 AS (SELECT doc_id, h, count(*) AS c FROM i3 GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n1,
+         |              CAST(max(c) AS BIGINT) AS top1 FROM c1 GROUP BY 1),
+         |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2
+         |       FROM c2 GROUP BY 1),
+         |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+         |              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3
+         |       FROM c3 GROUP BY 1)
+         |SELECT t1.doc_id, t1.n1 AS n_tokens,
+         |  (t1.top1 * 1000000) // t1.n1 AS top_token_ppm,
+         |  CASE WHEN coalesce(t2.n2, 0) > 0
+         |       THEN (t2.dup2 * 1000000) // t2.n2 ELSE 0 END AS dup_2gram_ppm,
+         |  CASE WHEN coalesce(t3.n3, 0) > 0
+         |       THEN (t3.dup3 * 1000000) // t3.n3 ELSE 0 END AS dup_3gram_ppm
+         |FROM t1 LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) +
     // Batch-only probe of the versioned index: the same shingle CTEs
     // plus the split CASE reproduce exactly the batch×(batch∪history)
     // candidate set and the df-capped scores.

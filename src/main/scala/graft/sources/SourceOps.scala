@@ -478,6 +478,72 @@ object SourceOps {
       .orderBy("probe")
   }
 
+  /** [[snapshotOptimize]] geometry: the scattered generation lands one
+    * file per key RESIDUE (mod [[OptScatterFiles]] — every file spans
+    * the whole key range, the worst case for zone maps, which is
+    * exactly what an ingest-order layout degrades into), and OPTIMIZE
+    * rewrites into [[OptSlices]] key-RANGE slices.
+    */
+  val OptScatterFiles = 16
+  val OptSlices = 8
+
+  /** OPTIMIZE on the snapshot layer — the lakehouse bin-pack + cluster
+    * maintenance command, composing [[SnapshotTable.compact]]'s
+    * time-travel contract with [[snapshotSkip]]'s zone-map pruning to
+    * pin the one fact neither shows alone: SAME DATA, SAME manifest
+    * machinery, and a range probe's file skipping is unlocked purely by
+    * the LAYOUT REWRITE. Generation 1 lands the ingest-order pathology
+    * (one file per key residue — every file's [min, max] spans the
+    * whole domain, so zone maps admit everything); OPTIMIZE rewrites
+    * into sorted key-range slices and publishes generation 2 with
+    * fresh footer stats, gen 1's manifest and files untouched (time
+    * travel to the pre-OPTIMIZE layout keeps serving). The report
+    * probes BOTH generations' manifests with the identical range and
+    * pins, per generation: file count, admitted files, surviving rows
+    * and key sum. The oracle recomputes both layouts' per-file bounds
+    * relationally (per-residue min/max ≡ the scattered footers,
+    * per-slice min/max ≡ the optimized footers — both by construction)
+    * so the before/after admitted counts are exact value gates: gen 1
+    * must admit ALL files, gen 2 only the range's slices.
+    */
+  def snapshotOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable("snapshot_optimize")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    // Gen 1: ingest-order pathology — one file per key residue.
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", pmod(col("o_orderkey"), lit(OptScatterFiles.toLong)).cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths1 = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishWithStats(spark, table, 1L,
+      SnapshotTable.footerKeyStats(spark, paths1, "o_orderkey"))
+    // OPTIMIZE: rewrite into sorted key-range slices (deterministic
+    // width, the snapshotSkip slicing — not repartitionByRange, whose
+    // sampled boundaries would make file contents run-dependent),
+    // publish gen 2 with fresh footer stats. Gen 1 stays resolvable.
+    val w = (maxKey + OptSlices) / OptSlices
+    val gen2Dir = s"$table/data/gen=2"
+    SnapshotTable.readAs(spark, table, 1L)
+      .withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .sortWithinPartitions("o_orderkey")
+      .write.partitionBy("s").mode("overwrite").parquet(gen2Dir)
+    val paths2 = spark.read.parquet(gen2Dir).inputFiles.toSeq
+    SnapshotTable.publishWithStats(spark, table, 2L,
+      SnapshotTable.footerKeyStats(spark, paths2, "o_orderkey"))
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    Seq(1L, 2L).map { g =>
+      val pruned = SnapshotTable.readWhere(spark, table, g, "o_orderkey", lo, hi)
+      pruned.agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong).as("n_files"),
+          lit(pruned.inputFiles.length.toLong).as("n_files_read"),
+          col("n_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** [[snapshotMerge]] geometry, mirrored in the oracle: key buckets
     * (one data file each), the batch's residue predicates, and the
     * insert key offset — ≡ 0 (mod [[MergeBuckets]]) so inserted keys
@@ -641,6 +707,7 @@ object SourceOps {
     "src_snapshot_expire" -> (snapshotExpire _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
+    "src_snapshot_optimize" -> (snapshotOptimize _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -733,6 +800,39 @@ object SourceOps {
          |FROM n
          |ORDER BY probe""".stripMargin
     },
+    // OPTIMIZE twin: gen 1's per-residue min/max and gen 2's per-slice
+    // min/max are the two layouts' footer statistics by construction,
+    // so the before/after admitted-file counts (all files vs the
+    // range's slices) are exact value compares, as are the probes'
+    // surviving rows (identical in both generations — OPTIMIZE moves
+    // rows, never changes them).
+    "src_snapshot_optimize" ->
+      s"""WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM orders),
+         |b AS (SELECT mk // 4 AS lo, mk // 2 AS hi FROM mx),
+         |scat AS (
+         |  SELECT o_orderkey % $OptScatterFiles AS s,
+         |         min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+         |  FROM orders GROUP BY 1),
+         |opt AS (
+         |  SELECT o_orderkey // ((mk + $OptSlices) // $OptSlices) AS s,
+         |         min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+         |  FROM orders, mx GROUP BY 1),
+         |hit AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders, b WHERE o_orderkey BETWEEN lo AND hi)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scat) AS n_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scat, b
+         |   WHERE mn <= hi AND mxk >= lo) AS n_files_read,
+         |  hit.n_rows, hit.key_sum FROM hit
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS gen,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM opt) AS n_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM opt, b
+         |   WHERE mn <= hi AND mxk >= lo) AS n_files_read,
+         |  hit.n_rows, hit.key_sum FROM hit
+         |ORDER BY gen""".stripMargin,
     // Retention-sweep twin: the latest generation's content is the full
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init

@@ -463,6 +463,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(key.sameElements(key.sorted), "rank order is deterministic")
   }
 
+  test("within-doc repetition signals match hand counts on planted docs") {
+    val tmp = graft.Scratch.dir("repetition_docs")
+    Seq(
+      (1L, "a a a a b", "en", "t", 0L),       // top 4/5; dup2 3/4; dup3 2/3
+      (2L, "p q r s", "en", "t", 0L),         // all distinct
+      (3L, "x y", "en", "t", 0L),             // too short for any 3-gram
+      (4L, "solo", "en", "t", 0L))            // single token
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.textRepetition(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((5L, 800000L, 750000L, 666666L)))
+    assert(out(2L) === ((4L, 250000L, 0L, 0L)))
+    assert(out(3L) === ((2L, 500000L, 0L, 0L)))
+    assert(out(4L) === ((1L, 1000000L, 0L, 0L)))
+  }
+
   test("index probe scores batch-history and batch-batch pairs, never history-history") {
     // History: two near-dup docs (1, 2) and an unrelated doc (3).
     // Batch: a near-dup of history doc 1 (10) plus two batch-side
