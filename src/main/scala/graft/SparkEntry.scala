@@ -36,15 +36,28 @@ object SparkEntry {
       (SourceOps.queries, SourceOps.oracle),
     )
 
+  /** Merge per-file maps, REFUSING duplicate keys: `Map ++` silently
+    * lets the later file shadow the earlier one, which would drop a
+    * registered query (and its oracle pairing) without any gate
+    * noticing — the shadowed query simply stops being verified.
+    */
+  private def merged[V](maps: Iterator[Map[String, V]]): Map[String, V] =
+    maps.reduce { (a, b) =>
+      val dup = a.keySet.intersect(b.keySet)
+      require(dup.isEmpty,
+        s"duplicate query registration across files: ${dup.toSeq.sorted.mkString(", ")}")
+      a ++ b
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.iterator.map(_._1).reduce(_ ++ _)
+    merged(registry.iterator.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    registry.iterator.map(_._2).reduce(_ ++ _)
+    merged(registry.iterator.map(_._2))
 
   /** [[oracleSql]] with the dir-dependent twins (src_dirscan's real
     * directory glob) generated for the sf dir Verify actually runs at.

@@ -1559,7 +1559,7 @@ object DedupOps {
     "neardup_index" -> (shingleIndexBuild _),
     "neardup_index_incr" -> (shingleIndexIncremental _),
     "neardup_index_probe" -> (shingleIndexProbe _),
-    "text_repetition" -> (textRepetition _),
+    "text_repetition_ngram" -> (textRepetition _),
     "neardup_minhash" -> (minhashBuckets _),
     "neardup_minhash_fast" -> (minhashBucketsFast _),
     "neardup_minhash_incr" -> (minhashIncremental _),
@@ -1811,7 +1811,7 @@ object DedupOps {
     ("neardup_index_incr" -> baseOracle("neardup_jaccard")) +
     // Within-doc repetition: the same token-hash + windowed-fold
     // identities (SpanFold widths 2 and 3), counted per document.
-    ("text_repetition" -> {
+    ("text_repetition_ngram" -> {
       def spanCte(k: Int, name: String): String = {
         val w = k - 1
         val slice = s"th[i:i+$w]"
