@@ -44,7 +44,8 @@ object Explain {
     "dedup_spans", "dedup_spans_incr", "neardup_index_incr",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",
     "src_snapshot_expire", "src_snapshot_skip", "src_snapshot_skip2",
-    "neardup_index_probe", "src_snapshot_optimize", "text_repetition_ngram")
+    "neardup_index_probe", "src_snapshot_optimize", "text_repetition_ngram",
+    "multimodal_audio_vad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -44,11 +44,41 @@ object AudioCodec {
     (((31L * id + 17L * i) % 65536L) - 32768L).toInt
 
   /** Render + WAV-encode one planted clip of `n` samples. */
-  def encodePlanted(id: Long, n: Int): Array[Byte] = {
+  def encodePlanted(id: Long, n: Int): Array[Byte] =
+    encodeWith(n, i => plantedSample(id, i))
+
+  /** Window width (samples) of the SEGMENTED planted formula and the
+    * VAD query's energy frames — one constant so the planted quiet/
+    * loud boundaries land exactly on analysis-frame boundaries and the
+    * oracle reproduces the segmentation from arithmetic alone.
+    */
+  val SegWindow = 50
+
+  /** Segmented planted formula — speech-shaped clips for the VAD
+    * query: window `i div SegWindow` is QUIET (|v| ≤ 100) when
+    * `(window + id) % 3 == 0`, else LOUD with |v| ∈ [8000, 27999] and
+    * alternating sign (both polarities exercised without the
+    * full-range formula's occasional near-silent stretches — the
+    * active/quiet classification is unambiguous by construction).
+    * Plain integer arithmetic, shared verbatim with the DuckDB oracle.
+    */
+  def plantedSegSample(id: Long, i: Int): Int =
+    if (((i / SegWindow) + id) % 3 == 0)
+      ((7L * id + 13L * i) % 201L - 100L).toInt
+    else {
+      val b = ((31L * id + 17L * i) % 20000L + 8000L).toInt
+      if (i % 2 == 0) b else -b
+    }
+
+  /** Render + WAV-encode one planted SEGMENTED clip of `n` samples. */
+  def encodePlantedSegments(id: Long, n: Int): Array[Byte] =
+    encodeWith(n, i => plantedSegSample(id, i))
+
+  private def encodeWith(n: Int, sample: Int => Int): Array[Byte] = {
     val raw = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = plantedSample(id, i)
+      val s = sample(i)
       raw(2 * i) = (s & 0xff).toByte
       raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -86,6 +116,33 @@ object AudioCodec {
         Some(out)
       }
     } catch { case _: Exception => None }
+
+  /** One analysis frame's exact integer energy. */
+  case class WindowEnergy(media_id: Long, w: Long, abs_sum: Long)
+
+  /** Decode every payload and emit one row per [[SegWindow]]-sample
+    * analysis frame with its exact abs-sum energy — the scan-local
+    * front half of the VAD query (decode + framing + energy all inside
+    * one `mapPartitions`, zero shuffle; only the tiny per-frame rows
+    * ever leave the scan). Non-audio payloads drop (the quarantine
+    * contract).
+    */
+  def windowEnergies(in: Dataset[Multimodal.MediaRow])(
+      implicit spark: SparkSession): Dataset[WindowEnergy] = {
+    import spark.implicits._
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        samples(r.payload).toSeq.flatMap { s =>
+          s.grouped(SegWindow).zipWithIndex.map { case (g, w) =>
+            var abs = 0L
+            var i = 0
+            while (i < g.length) { abs += math.abs(g(i).toLong); i += 1 }
+            WindowEnergy(r.media_id, w.toLong, abs)
+          }
+        }
+      }
+    }
+  }
 
   /** Decode every payload and emit exact sample statistics — one
     * `mapPartitions` pass (zero shuffle); non-audio payloads drop (the

@@ -353,6 +353,56 @@ object MultimodalOps {
       .orderBy("lang")
   }
 
+  /** Active-frame energy cut for [[audioVad]]: a [[AudioCodec.SegWindow]]-
+    * sample frame is ACTIVE when its abs-sum exceeds this (quiet planted
+    * frames bound at 100·50 = 5 000; loud ones at ≥ 8 000·50 = 400 000 —
+    * the cut sits between with a 10× margin each way).
+    */
+  val VadThreshold = 50000L
+
+  /** Windowed-energy VAD segmentation — the silence-trim / speech-
+    * segmentation pass an audio training-data pipeline runs before
+    * transcription or packing, end-to-end through the REAL JDK WAV
+    * codec: plant [[DecodeMaxId]] segmented clips
+    * ([[AudioCodec.plantedSegSample]]'s quiet/loud integer formula),
+    * decode the actual bytes back, frame into [[AudioCodec.SegWindow]]-
+    * sample windows with exact abs-sum energies (decode + framing +
+    * energy all scan-local — only tiny per-frame rows leave the scan),
+    * threshold into active/quiet, and report per clip: frame count,
+    * active frames, active ppm, longest active run, and segment count
+    * (gaps-and-islands over the per-clip frames — ≤ 8 rows per clip).
+    * The oracle recomputes the whole chain from the sample formula —
+    * a decoder defect or framing off-by-one breaks the exact compare.
+    */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < DecodeMaxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (200 + (id % 5) * 50).toInt
+        Multimodal.MediaRow(id, AudioCodec.encodePlantedSegments(id, n), "audio/wav")
+      })
+    val act = AudioCodec.windowEnergies(media)(spark).toDF()
+      .withColumn("active", col("abs_sum") > VadThreshold)
+    val isl = act.filter(col("active"))
+      .withColumn("grp", col("w") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("w")))
+    val seg = isl.groupBy("media_id", "grp").agg(count(lit(1)).as("len"))
+    val per = seg.groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"), max("len").as("longest_run"),
+        sum("len").as("act"))
+    act.groupBy("media_id").agg(count(lit(1)).as("n_windows"))
+      .join(per, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_windows"),
+        coalesce(col("act"), lit(0L)).as("active_windows"),
+        expr("(coalesce(act, 0L) * 1000000) div n_windows").as("active_ppm"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (frames _),
     "multimodal_features" -> (features _),
@@ -361,6 +411,7 @@ object MultimodalOps {
     "multimodal_phash_near" -> (phashNearPairs _),
     "multimodal_decode" -> (decoded _),
     "multimodal_audio" -> (audioDecoded _),
+    "multimodal_audio_vad" -> (audioVad _),
     "multimodal_gif_frames" -> (gifFrames _),
     "multimodal_quarantine" -> (quarantine _),
     "pipeline_media" -> (mediaPipeline _),
@@ -524,6 +575,43 @@ object MultimodalOps {
          |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
          |FROM s GROUP BY media_id, n
          |ORDER BY media_id""".stripMargin,
+    // VAD twin: the segmented sample formula, framing, threshold, and
+    // gaps-and-islands segmentation all regenerate from the same
+    // constants — no codec on the DuckDB side.
+    "multimodal_audio_vad" -> {
+      val sw = AudioCodec.SegWindow
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id, 200 + (doc_id % 5) * 50 AS n
+         |  FROM documents WHERE doc_id < $DecodeMaxId),
+         |s AS (
+         |  SELECT media_id, i, i // $sw AS w,
+         |    CASE WHEN ((i // $sw) + media_id) % 3 = 0
+         |         THEN (7 * media_id + 13 * i) % 201 - 100
+         |         ELSE CASE WHEN i % 2 = 0
+         |                   THEN (31 * media_id + 17 * i) % 20000 + 8000
+         |                   ELSE -((31 * media_id + 17 * i) % 20000 + 8000) END
+         |    END AS v
+         |  FROM planted, LATERAL unnest(range(n)) t(i)),
+         |e AS (SELECT media_id, w, sum(abs(v)) AS ab FROM s GROUP BY 1, 2),
+         |isl AS (
+         |  SELECT media_id, w,
+         |         w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+         |  FROM e WHERE ab > $VadThreshold),
+         |seg AS (SELECT media_id, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+         |per AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |               CAST(max(len) AS BIGINT) AS longest_run,
+         |               CAST(sum(len) AS BIGINT) AS act
+         |        FROM seg GROUP BY 1),
+         |tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows
+         |        FROM e GROUP BY 1)
+         |SELECT t.media_id, t.n_windows,
+         |  coalesce(p.act, 0) AS active_windows,
+         |  (coalesce(p.act, 0) * 1000000) // t.n_windows AS active_ppm,
+         |  coalesce(p.longest_run, 0) AS longest_run,
+         |  coalesce(p.n_segments, 0) AS n_segments
+         |FROM tot t LEFT JOIN per p USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    },
     // The quarantine twin classifies each planted id by its residue
     // class — the ground truth the Spark side must REDISCOVER by
     // actually decoding: id%5 in {3,4} corrupt (truncated / garbage),

@@ -179,6 +179,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.head.n_samples === 250L)
   }
 
+  test("segmented wav: decode round-trips the formula; frame energies classify exactly") {
+    import spark.implicits._
+    implicit val s = spark
+    val id = 4L
+    val n = 400 // 8 full SegWindow frames
+    val bytes = AudioCodec.encodePlantedSegments(id, n)
+    val Some(got) = AudioCodec.samples(bytes)
+    assert(got.toSeq === (0 until n).map(AudioCodec.plantedSegSample(id, _)),
+      "decoded segmented samples must equal the planted formula")
+    val ds = Seq(Multimodal.MediaRow(id, bytes, "audio/wav")).toDS()
+    val wins = AudioCodec.windowEnergies(ds).collect().sortBy(_.w)
+    assert(wins.length === n / AudioCodec.SegWindow)
+    wins.foreach { we =>
+      val expect = (0 until AudioCodec.SegWindow).map { j =>
+        math.abs(AudioCodec.plantedSegSample(id,
+          we.w.toInt * AudioCodec.SegWindow + j).toLong)
+      }.sum
+      assert(we.abs_sum === expect, s"frame ${we.w} energy")
+      // Quiet frames ((w + id) % 3 == 0) sit far below the VAD cut,
+      // loud frames far above — the classification has no edge cases.
+      if ((we.w + id) % 3 == 0)
+        assert(we.abs_sum <= 100L * AudioCodec.SegWindow &&
+          we.abs_sum < graft.queries.MultimodalOps.VadThreshold / 10)
+      else
+        assert(we.abs_sum >= 8000L * AudioCodec.SegWindow &&
+          we.abs_sum > graft.queries.MultimodalOps.VadThreshold * 8)
+    }
+  }
+
   test("stub decoder is deterministic and respects frame boundaries") {
     // distinct content per frame (0..511 would wrap mod 256 and make the
     // two frames byte-identical histograms)
