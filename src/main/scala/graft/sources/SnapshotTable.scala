@@ -130,12 +130,26 @@ object SnapshotTable {
       fs.delete(target, true)
     }
     if (!fs.rename(tmp, target)) {
-      // rename-onto-existing fails atomically on HDFS-semantics stores:
-      // a concurrent writer published between our check and the move.
+      // rename-onto-existing fails on HDFS-semantics stores: a
+      // concurrent writer published between our check and the move.
       fs.delete(tmp, true)
       throw new IllegalStateException(
         s"generation $gen of $table was committed concurrently; " +
           "this writer's attempt is discarded")
+    }
+    // POSIX-semantics stores (local FS) do NOT fail that rename — they
+    // NEST the staging dir inside the existing target and return true
+    // (verified behavior of RawLocalFileSystem). The winner's manifest
+    // stays intact either way (parquet readers skip dot-prefixed
+    // children), but the loser must still LOSE loudly: detect the
+    // nesting, sweep it, and throw.
+    val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"generation $gen of $table was committed concurrently " +
+          "(rename nested into the winner's manifest); this writer's " +
+          "attempt is discarded")
     }
   }
 
