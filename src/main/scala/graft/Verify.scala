@@ -45,11 +45,11 @@ object Verify {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    // Per-query dump failures collect here and surface as a "failed"
-    // array in oracle_sql.json (the Bench precedent), so the dump
-    // artifact is self-describing: a query that threw writes no parquet
-    // — the driver's compare already records an err for it — but the
-    // artifact itself now says which queries died and why.
+    // Per-query dump failures collect here and surface in the separate
+    // failed.json artifact (the Bench precedent), so the dump is
+    // self-describing: a query that threw writes no parquet — the
+    // driver's compare already records an err for it — but the
+    // artifact itself says which queries died and why.
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     val dumps = selected.map { case (name, fn) =>
       Future {

@@ -657,29 +657,39 @@ object DedupOps {
     * machinery ([[portable64]] token hashes, [[spanHashesOf]] windows —
     * SpanFoldSpec pins widths 2 and 3 against the HOF reference).
     *
-    * Scale shape: wordcount-class — one corpus scan, three
-    * (doc_id, identity)-keyed hash counts (all map-side combinable,
-    * 16-byte shuffle keys), two doc-keyed joins of doc-count-sized
-    * frames. Nothing sorts a whole document on one task and nothing is
-    * quadratic in document length.
+    * Scale shape: wordcount-class — ONE corpus scan (all three widths'
+    * identities explode from the same bound token-hash array in a
+    * single Generate), one (doc_id, width, identity)-keyed hash count
+    * (map-side combinable, tiny shuffle keys), one doc-keyed conditional
+    * aggregation. Nothing sorts a whole document on one task and
+    * nothing is quadratic in document length.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val ht = hashedTokens(Tables.documents(spark, dir))
-    def gramStats(k: Int): DataFrame = {
-      val ids = if (k == 1) col("th") else spanHashesOf(col("th"), k)
-      ht.select(col("doc_id"), explode_outer(ids).as("h"))
-        .filter(col("h").isNotNull)
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as(s"n$k"), max("c").as(s"top$k"),
-          sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as(s"dup$k"))
-    }
+    // ONE tokenize+hash scan for all three widths: the per-width
+    // identity arrays derive from the same bound `th` and explode as
+    // tagged (k, h) instances in a single Generate — three separate
+    // gramStats pipelines would re-run the per-token md5 scan 3×.
+    def tag(k: Int, ids: Column): Column =
+      transform(ids, h => struct(lit(k).as("k"), h.as("h")))
+    val inst = hashedTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode_outer(concat(
+        tag(1, col("th")),
+        tag(2, spanHashesOf(col("th"), 2)),
+        tag(3, spanHashesOf(col("th"), 3)))).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g.k").as("k"), col("g.h").as("h"))
+    def forK(k: Int, v: Column): Column = sum(when(col("k") === k, v))
     def ppm(num: String, den: String): Column =
       when(coalesce(col(den), lit(0L)) > 0L,
         expr(s"($num * 1000000) div $den")).otherwise(0L)
-    gramStats(1)
-      .join(gramStats(2), Seq("doc_id"), "left")
-      .join(gramStats(3), Seq("doc_id"), "left")
+    inst.groupBy("doc_id", "k", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(forK(1, col("c")).as("n1"),
+        max(when(col("k") === 1, col("c"))).as("top1"),
+        forK(2, col("c")).as("n2"),
+        forK(2, when(col("c") >= 2L, col("c")).otherwise(0L)).as("dup2"),
+        forK(3, col("c")).as("n3"),
+        forK(3, when(col("c") >= 2L, col("c")).otherwise(0L)).as("dup3"))
       .select(col("doc_id"), col("n1").as("n_tokens"),
         expr("(top1 * 1000000) div n1").as("top_token_ppm"),
         ppm("dup2", "n2").as("dup_2gram_ppm"),

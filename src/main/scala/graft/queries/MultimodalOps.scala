@@ -383,8 +383,12 @@ object MultimodalOps {
         val n = (200 + (id % 5) * 50).toInt
         Multimodal.MediaRow(id, AudioCodec.encodePlantedSegments(id, n), "audio/wav")
       })
+    // The tiny per-frame energy rows materialize ONCE (localCheckpoint —
+    // the spanIncremental discipline): the islands branch and the
+    // totals branch would otherwise each re-run the decode scan.
     val act = AudioCodec.windowEnergies(media)(spark).toDF()
       .withColumn("active", col("abs_sum") > VadThreshold)
+      .localCheckpoint()
     val isl = act.filter(col("active"))
       .withColumn("grp", col("w") - row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -53,7 +53,7 @@ object SnapshotTable {
     // may be resolving through the already-published manifest — the
     // manifest swap below is the only switch point.
     val genDir = s"$table/data/gen=$gen"
-    val attempt = nextAttempt(spark, genDir)
+    val attempt = attemptName()
     val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
@@ -76,17 +76,18 @@ object SnapshotTable {
     }
   }
 
-  /** First attempt number not yet present under `genDir` (0 for a
-    * fresh generation; a replay stages the next one).
+  private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A WRITER-UNIQUE attempt name — (pid, per-JVM counter), never
+    * derived from listing existing attempts: a list-then-pick scheme is
+    * check-then-act, and two concurrent committers of the same
+    * generation would pick the same number and clobber each other's
+    * staged data before either publishes. With unique names every
+    * writer stages in isolation and the manifest swap alone decides the
+    * winner.
     */
-  private def nextAttempt(spark: SparkSession, genDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(genDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).map(_.getPath.getName)
-      .collect { case s if s.startsWith("a=") => s.drop(2).toLong }
-      .foldLeft(-1L)(math.max) + 1L
-  }
+  private def attemptName(): String =
+    s"${ProcessHandle.current().pid()}_${attemptSeq.incrementAndGet()}"
 
   /** Publish generation `gen` as an explicit file list — the commit
     * point shared by every writer: [[commit]]'s whole-directory form and
@@ -116,8 +117,12 @@ object SnapshotTable {
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
       replace: Boolean, rows: DataFrame): Unit = {
     val target = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
+    // The staging path is WRITER-UNIQUE: a shared path would let racer
+    // B's overwrite replace racer A's staged file list before A's
+    // rename, publishing B's content under A's "successful" commit —
+    // the silent lineage mix-up the whole protocol exists to prevent.
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$table/manifests/.gen=$gen.staging")
+      s"$table/manifests/.gen=$gen.staging.${attemptName()}")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) {

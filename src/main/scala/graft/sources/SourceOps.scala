@@ -47,10 +47,10 @@ object SourceOps {
     * stays FIXED per name so the specs can dissect the table a
     * registered query just built.
     */
-  private def freshTable(name: String): String = {
+  private def freshTable(spark: SparkSession, name: String): String = {
     val p = scratch(name)
     val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(hp, true)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     p
   }
 
@@ -319,7 +319,7 @@ object SourceOps {
   }
 
   def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable("snapshot_orders")
+    val table = freshTable(spark, "snapshot_orders")
     buildThreeGens(spark, dir, table)
     Seq(1L, 2L, 3L).map { g =>
       SnapshotTable.readAs(spark, table, g)
@@ -346,7 +346,7 @@ object SourceOps {
     * orphans would break the file count.
     */
   def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable("snapshot_expire")
+    val table = freshTable(spark, "snapshot_expire")
     buildThreeGens(spark, dir, table)
     def phase(name: String): DataFrame = {
       val gens = SnapshotTable.generations(spark, table)
@@ -390,7 +390,7 @@ object SourceOps {
     */
   def snapshotSkip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = freshTable("snapshot_skip")
+    val table = freshTable(spark, "snapshot_skip")
     val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val maxKey = src.agg(max("o_orderkey")).as[Long].head()
     val w = (maxKey + SkipSlices) / SkipSlices // ceil((max+1)/slices)
@@ -444,7 +444,7 @@ object SourceOps {
     */
   def snapshotSkip2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = freshTable("snapshot_skip2")
+    val table = freshTable(spark, "snapshot_skip2")
     val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val Array((maxKey, maxCust)) =
       src.agg(max("o_orderkey"), max("o_custkey")).as[(Long, Long)].collect()
@@ -508,7 +508,7 @@ object SourceOps {
     */
   def snapshotOptimize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = freshTable("snapshot_optimize")
+    val table = freshTable(spark, "snapshot_optimize")
     val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val maxKey = src.agg(max("o_orderkey")).as[Long].head()
     // Gen 1: ingest-order pathology — one file per key residue.
@@ -578,7 +578,7 @@ object SourceOps {
     */
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = freshTable("snapshot_merge")
+    val table = freshTable(spark, "snapshot_merge")
     val src = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val bucket = (c: org.apache.spark.sql.Column) => pmod(c, lit(MergeBuckets.toLong))
