@@ -25,12 +25,15 @@ object SnapshotProps extends Properties("SnapshotTable") {
   case class Append(ids: List[Long]) extends Op
   case object Compact extends Op
   case object Expire extends Op
+  case class DupCommit(ids: List[Long]) extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     5 -> Gen.chooseNum(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Append(_))),
     2 -> Gen.const(Compact),
-    2 -> Gen.const(Expire))
+    2 -> Gen.const(Expire),
+    2 -> Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(DupCommit(_))))
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -51,6 +54,17 @@ object SnapshotProps extends Properties("SnapshotTable") {
       commitBatch(List(1L, 2L, 3L))
       ops.foreach {
         case Append(ids) => commitBatch(ids)
+        // A conflicting writer racing to the CURRENT generation must
+        // throw and leave every generation's content and file list
+        // untouched — first-writer-wins at any point in the history.
+        case DupCommit(ids) =>
+          val before = SnapshotTable.listFiles(spark, table, gen)
+          val thrown =
+            try { SnapshotTable.commit(ids.toDF("id"), table, gen); false }
+            catch { case _: IllegalStateException => true }
+          assert(thrown, "duplicate commit must be rejected")
+          assert(SnapshotTable.listFiles(spark, table, gen) == before,
+            "loser must not change the winner's file list")
         case Compact =>
           SnapshotTable.compact(spark, table, gen, 2)
           model += (gen + 1) -> model(gen)
