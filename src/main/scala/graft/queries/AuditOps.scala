@@ -178,7 +178,37 @@ object AuditOps {
       .orderBy("bucket")
   }
 
+  /** Source-concentration audit — the diversity check a data-mixing
+    * owner runs before trusting a language's slice: per language, how
+    * many sources feed it, the largest source's share, and the
+    * Herfindahl–Hirschman concentration index (Σ share² — 1 000 000 ppm
+    * when one source IS the slice, → 1e6/k for k equal sources). A
+    * slice that looks large but is one crawl in a trenchcoat gets
+    * flagged here, not after a training run. All-integer ppm
+    * arithmetic — counts, squares (decimal-summed so the squares stay
+    * exact at any slice size), one floor division — so the report is
+    * bit-exact cross-engine. Two wordcount-class aggregations, nothing
+    * corpus-sized past the first exchange.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max("c").as("topc"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("(topc * 1000000) div n_docs").as("top_source_ppm"),
+        expr("CAST((s2 * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_concentration" -> (sourceConcentration _),
     "audit_drift" -> (splitDrift _),
     "audit_quality" -> (qualityChecks _),
     "audit_kanon" -> (kAnonymity _),
@@ -187,6 +217,18 @@ object AuditOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // HHI twin: DuckDB's sum(c*c) widens to HUGEINT natively, matching
+    // the Spark side's decimal-summed squares; positive-operand floor
+    // division agrees across engines.
+    "audit_concentration" ->
+      """WITH cs AS (
+        |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+        |    AS top_source_ppm,
+        |  CAST((sum(c * c) * 1000000) // (sum(c) * sum(c)) AS BIGINT) AS hhi_ppm
+        |FROM cs GROUP BY lang ORDER BY lang""".stripMargin,
     // Same split CASE as the sampling family (generated from the shared
     // constants); all-integer ppm arithmetic so the drift profile is
     // bit-exact.

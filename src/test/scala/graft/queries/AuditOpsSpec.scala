@@ -70,4 +70,20 @@ class AuditOpsSpec extends AnyFunSuite {
     }
     rows.foreach(r => assert(r._6 === math.abs(r._4 - r._5)))
   }
+
+  test("source concentration matches hand-computed HHI on a planted corpus") {
+    val tmp = graft.Scratch.dir("hhi_docs")
+    // en: one source owns all 4 docs (HHI = 1e6); de: 2+1+1 over three
+    // sources (HHI = (4+1+1)/16 = 375000, top = 500000).
+    (Seq.tabulate(4)(i => (i.toLong, "t", "en", "crawlA", 0L)) ++
+      Seq((10L, "t", "de", "crawlA", 0L), (11L, "t", "de", "crawlA", 0L),
+        (12L, "t", "de", "crawlB", 0L), (13L, "t", "de", "crawlC", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = AuditOps.sourceConcentration(spark, tmp)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("en") === ((4L, 1L, 1000000L, 1000000L)))
+    assert(out("de") === ((4L, 3L, 500000L, 375000L)))
+  }
 }
