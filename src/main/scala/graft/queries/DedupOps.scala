@@ -163,27 +163,21 @@ object DedupOps {
 
   // ---- Persisted shingle index ----------------------------------------
 
-  /** Memoized per-(JVM, sfDir) location of the persisted shingle index;
-    * the registered rebuild query swaps in a FRESH directory and updates
-    * the pointer atomically, so concurrent readers (Verify dumps queries
-    * through a thread pool) keep reading a complete artifact.
+  /** Memoized per-(JVM, sfDir) shingle-index pointer (the
+    * [[graft.SessionArtifact]] ensure/rebuild contract).
     */
-  private val shingleIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val shingleIndexSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val shingleArtifact = new graft.SessionArtifact("shingleindex")
 
-  /** Write the `(sh, doc_id, n_sh)` artifact fresh and return its path:
-    * one corpus scan (the [[shingleSetWithSize]] projection — one digest
-    * per token, fold-derived trigram identities) into a compact
-    * all-BIGINT parquet table. This is the expensive part of EVERY
-    * portable-family near-dup query, done once.
+  /** Write the `(sh, doc_id, n_sh)` artifact into `p`: one corpus scan
+    * (the [[shingleSetWithSize]] projection — one digest per token,
+    * fold-derived trigram identities) into a compact all-BIGINT parquet
+    * table. This is the expensive part of EVERY portable-family
+    * near-dup query, done once.
     */
-  private def buildShingleIndex(spark: SparkSession, dir: String): String = {
-    val p = graft.Scratch.dir(s"shingleindex_${shingleIndexSeq.incrementAndGet()}")
+  private def buildShingleIndex(spark: SparkSession, dir: String)(p: String): Unit =
     shingleSetWithSize(Tables.documents(spark, dir))
       .select("sh", "doc_id", "n_sh")
       .write.mode("overwrite").parquet(p)
-    p
-  }
 
   /** The persisted shingle index for `dir`, built at most once per JVM
     * (double-checked under a lock; losers of the race read the winner's
@@ -204,15 +198,7 @@ object DedupOps {
     * consumer happens to run first.
     */
   private[queries] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = Option(shingleIndexPaths.get(dir)).getOrElse(
-      shingleIndexPaths.synchronized {
-        Option(shingleIndexPaths.get(dir)).getOrElse {
-          val p = buildShingleIndex(spark, dir)
-          shingleIndexPaths.put(dir, p)
-          p
-        }
-      })
-    spark.read.parquet(path)
+    spark.read.parquet(shingleArtifact.ensure(dir)(buildShingleIndex(spark, dir)))
   }
 
   /** Registered index-build query (`neardup_index`): rebuild the
@@ -226,9 +212,8 @@ object DedupOps {
     * recomputes the same statistics from raw text.
     */
   def shingleIndexBuild(spark: SparkSession, dir: String): DataFrame = {
-    val p = buildShingleIndex(spark, dir)
-    shingleIndexPaths.put(dir, p)
-    val idx = spark.read.parquet(p)
+    val idx = spark.read.parquet(
+      shingleArtifact.rebuild(dir)(buildShingleIndex(spark, dir)))
     val dfStats = idx.groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(sum("df").as("n_entries"),
         count(lit(1)).as("n_shingles"),
@@ -256,8 +241,7 @@ object DedupOps {
     * "the index before today's crawl".
     */
   def shingleIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val table = buildShingleSnapshot(spark, dir)
-    shingleSnapPaths.put(dir, table)
+    val table = shingleSnapArtifact.rebuild(dir)(buildShingleSnapshot(spark, dir))
     scoreJaccard(pairCountsOf(
         graft.sources.SnapshotTable.readAs(spark, table, 2L)))
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
@@ -272,39 +256,23 @@ object DedupOps {
     * ensure-builds and probes, exactly as a daily batch job probes the
     * stored table another job maintains.
     */
-  private val shingleSnapPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val shingleSnapSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val shingleSnapArtifact = new graft.SessionArtifact("shingle_snap")
 
-  /** Commit the two-generation versioned shingle table fresh (gen 1 =
-    * history backfill, gen 2 appends the batch with history's files
-    * carried by the manifest) and return its table path. Both
-    * generations' rows come from the persisted session artifact (the
-    * split is a pure function of doc_id, so it applies to index rows
-    * directly) — the backfill never re-tokenizes the corpus.
+  /** Commit the two-generation versioned shingle table into `table`
+    * (gen 1 = history backfill, gen 2 appends the batch with history's
+    * files carried by the manifest). Both generations' rows come from
+    * the persisted session artifact (the split is a pure function of
+    * doc_id, so it applies to index rows directly) — the backfill
+    * never re-tokenizes the corpus.
     */
-  private def buildShingleSnapshot(spark: SparkSession, dir: String): String = {
-    val table = graft.Scratch.dir(s"shingle_snap_${shingleSnapSeq.incrementAndGet()}")
+  private def buildShingleSnapshot(spark: SparkSession, dir: String)(table: String): Unit = {
     def rows(split: org.apache.spark.sql.Column): DataFrame =
       SampleOps.withSplit(shingleIndex(spark, dir))
         .filter(split).select("sh", "doc_id", "n_sh")
     graft.sources.SnapshotTable.commit(rows(col("split") === "train"), table, 1L)
     graft.sources.SnapshotTable.commit(rows(col("split") =!= "train"),
       table, 2L, carryFrom = Some(1L))
-    table
   }
-
-  /** The versioned shingle table for `dir`, committed at most once per
-    * JVM (losers of the race read the winner's generations).
-    */
-  private def shingleSnapshot(spark: SparkSession, dir: String): String =
-    Option(shingleSnapPaths.get(dir)).getOrElse(
-      shingleSnapPaths.synchronized {
-        Option(shingleSnapPaths.get(dir)).getOrElse {
-          val t = buildShingleSnapshot(spark, dir)
-          shingleSnapPaths.put(dir, t)
-          t
-        }
-      })
 
   /** The BATCH-ONLY probe of the versioned shingle index — the
     * scale-complete daily-crawl step that [[shingleIndexIncremental]]
@@ -326,7 +294,7 @@ object DedupOps {
     */
   def shingleIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val full = SampleOps.withSplit(graft.sources.SnapshotTable.readAs(
-      spark, shingleSnapshot(spark, dir), 2L))
+      spark, shingleSnapArtifact.ensure(dir)(buildShingleSnapshot(spark, dir)), 2L))
     shingleProbePairs(full.filter(col("split") === "train"),
       full.filter(col("split") =!= "train"))
   }
@@ -778,21 +746,13 @@ object DedupOps {
     * round-trip parquet exactly, so every derivation stays
     * value-identical to the from-text form the oracles recompute.
     */
-  private val sigIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sigArtifact = new graft.SessionArtifact("sigindex")
 
-  private[queries] def sigIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = Option(sigIndexPaths.get(dir)).getOrElse(
-      sigIndexPaths.synchronized {
-        Option(sigIndexPaths.get(dir)).getOrElse {
-          val p = graft.Scratch.dir(s"sigindex_${shingleIndexSeq.incrementAndGet()}")
-          minhashSignaturesOfShingles(shingleIndex(spark, dir), 16)
-            .write.mode("overwrite").parquet(p)
-          sigIndexPaths.put(dir, p)
-          p
-        }
-      })
-    spark.read.parquet(path)
-  }
+  private[queries] def sigIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sigArtifact.ensure(dir) { p =>
+      minhashSignaturesOfShingles(shingleIndex(spark, dir), 16)
+        .write.mode("overwrite").parquet(p)
+    })
 
   /** LSH banding over an explicit signature frame: `nBands` bands of
     * `rowsPerBand` signature rows, each band hashed to one bucket value.
@@ -994,22 +954,18 @@ object DedupOps {
     * (Verify dumps queries through a thread pool) keep reading a
     * complete artifact.
     */
-  private val simhashIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val simhashIndexSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val simhashArtifact = new graft.SessionArtifact("simhashindex")
 
-  /** Write the `(doc_id, simhash)` artifact fresh and return its path:
-    * the per-token digest + 60-vote aggregate — the expensive part of
-    * EVERY SimHash query — runs once, into a 16-bytes-per-doc parquet
-    * table. Longs round-trip parquet exactly, so every derivation from
-    * the artifact is value-identical to the direct-from-text form,
-    * which is what the shared oracles gate (the DuckDB twins all
-    * recompute signatures from raw text).
+  /** Write the `(doc_id, simhash)` artifact into `p`: the per-token
+    * digest + 60-vote aggregate — the expensive part of EVERY SimHash
+    * query — runs once, into a 16-bytes-per-doc parquet table. Longs
+    * round-trip parquet exactly, so every derivation from the artifact
+    * is value-identical to the direct-from-text form, which is what
+    * the shared oracles gate (the DuckDB twins all recompute
+    * signatures from raw text).
     */
-  private def buildSimhashIndex(spark: SparkSession, dir: String): String = {
-    val p = graft.Scratch.dir(s"simhashindex_${simhashIndexSeq.incrementAndGet()}")
+  private def buildSimhashIndex(spark: SparkSession, dir: String)(p: String): Unit =
     simhash(Tables.documents(spark, dir)).write.mode("overwrite").parquet(p)
-    p
-  }
 
   /** The persisted SimHash signature table for `dir`, built at most once
     * per JVM. Production posture at 100 TB: signatures are a STORED
@@ -1018,17 +974,8 @@ object DedupOps {
     * once per query. `neardup_simhash` rebuilds it unconditionally so
     * the build cost stays a measured, first-class bench entry.
     */
-  private[queries] def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val path = Option(simhashIndexPaths.get(dir)).getOrElse(
-      simhashIndexPaths.synchronized {
-        Option(simhashIndexPaths.get(dir)).getOrElse {
-          val p = buildSimhashIndex(spark, dir)
-          simhashIndexPaths.put(dir, p)
-          p
-        }
-      })
-    spark.read.parquet(path)
-  }
+  private[queries] def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(simhashArtifact.ensure(dir)(buildSimhashIndex(spark, dir)))
 
   /** Registered SimHash query (exact oracle: portable hash family) —
     * doubles as the signature index's measured build: rebuild the
@@ -1038,11 +985,9 @@ object DedupOps {
     * clean signatures) and `neardup_simhash_pairs`/`_incr` probe it
     * instead of recomputing the 60-vote aggregate from raw text.
     */
-  def simhashQuery(spark: SparkSession, dir: String): DataFrame = {
-    val p = buildSimhashIndex(spark, dir)
-    simhashIndexPaths.put(dir, p)
-    spark.read.parquet(p).orderBy("doc_id")
-  }
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(simhashArtifact.rebuild(dir)(buildSimhashIndex(spark, dir)))
+      .orderBy("doc_id")
 
   /** SimHash banding: 4 chunks of 15 bits. By pigeonhole, any pair
     * within Hamming distance 3 of the 60-bit signature shares at least
