@@ -1591,6 +1591,20 @@ object DedupOps {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $slice), " +
       s"(acc, h) -> (acc * $mix + h) % $mod)"
 
+  /** The every-position `k`-wide span-identity list over a list column
+    * named `th` — [[graft.functions.SpanFold]]'s double-modulus
+    * identity in SQL, the ONE generator the span-family oracles
+    * (`dedup_spans*`, `text_repetition_ngram`, `events_trajectory`)
+    * share so the identity arithmetic cannot drift between them.
+    */
+  private[queries] def duckSpanList(k: Int): String = {
+    val w = k - 1
+    val slice = s"th[i:i+$w]"
+    s"list_transform(range(1, greatest(len(th) - $w, 0) + 1), " +
+      s"i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31} " +
+      s"+ ${duckCdcFold(slice, CdcMix2, P31B)})"
+  }
+
   private val duckCdcInstCtes: String =
     s"""tk AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -1767,16 +1781,10 @@ object DedupOps {
     // Within-doc repetition: the same token-hash + windowed-fold
     // identities (SpanFold widths 2 and 3), counted per document.
     ("text_repetition_ngram" -> {
-      def spanCte(k: Int, name: String): String = {
-        val w = k - 1
-        val slice = s"th[i:i+$w]"
+      def spanCte(k: Int, name: String): String =
         s"""$name AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    range(1, greatest(len(th) - $w, 0) + 1),
-           |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
-           |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+           |  SELECT doc_id, unnest(${duckSpanList(k)}) AS h
            |  FROM tho)""".stripMargin
-      }
       s"""WITH $duckTokenHashCtes,
          |i1 AS (SELECT doc_id, unnest(th) AS h FROM tho),
          |${spanCte(2, "i2")},
@@ -2031,14 +2039,9 @@ object DedupOps {
     // window slice — seeded 0, so the first step reduces to h % mod,
     // matching spanHashesOf's seed exactly.
     "dedup_spans" -> {
-      val w = SpanTokens - 1
-      val slice = s"th[i:i+$w]"
       s"""WITH $duckTokenHashCtes,
          |sp AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    range(1, greatest(len(th) - $w, 0) + 1),
-         |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
-         |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+         |  SELECT doc_id, unnest(${duckSpanList(SpanTokens)}) AS h
          |  FROM tho),
          |c AS (SELECT h, count(*) AS c FROM sp GROUP BY h)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -2053,14 +2056,9 @@ object DedupOps {
     // from raw text with the same split CASE — index-persist + probe ≡
     // direct, gated exact.
     "dedup_spans_incr" -> {
-      val w = SpanTokens - 1
-      val slice = s"th[i:i+$w]"
       s"""WITH $duckTokenHashCtes,
          |sp AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    range(1, greatest(len(th) - $w, 0) + 1),
-         |    i -> ${duckCdcFold(slice, BucketMix, P31)} * ${1L << 31}
-         |         + ${duckCdcFold(slice, CdcMix2, P31B)})) AS h
+         |  SELECT doc_id, unnest(${duckSpanList(SpanTokens)}) AS h
          |  FROM tho),
          |s AS (
          |  SELECT doc_id,

@@ -522,7 +522,57 @@ object EventOps {
         sum(when(col("tag").isNull, 1L).otherwise(0L)).as("missing_tag"))
       .orderBy("event_type")
 
+  /** Result size for [[trajectorySimilarity]]. */
+  val TrajectoryTopK = 10
+
+  /** Behavioral trajectory similarity search — the REPOSE/"top-k
+    * trajectory similarity" theme (ICDE 2021) re-expressed on the span
+    * machinery: each user's ordered event-type sequence is a
+    * trajectory, its every-position 3-gram identity set
+    * ([[DedupOps.spanHashesOf]] over per-type portable hashes) is the
+    * comparable signature, and the query returns the
+    * [[TrajectoryTopK]] users most Jaccard-similar to a
+    * DATA-DERIVED query user (the most active one; ties to the lowest
+    * id — deterministic and scale-independent, no magic constant).
+    * "Who behaves like this power user" is the session-analytics twin
+    * of document near-dup: same identities, same capped expansion
+    * story, behavioral data instead of text.
+    *
+    * Scale shape: per-user sequences assemble with sort_array over
+    * (ts, event_id)-keyed structs (bounded by per-user activity — the
+    * events_sessions caveat; a bot-scale user would be capped
+    * upstream), the query signature BROADCASTS (one user's grams), and
+    * candidates meet it through a hash join on the gram key — per-user
+    * cost tracks each user's own trajectory, never users².
+    */
+  def trajectorySimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("es"))
+      .select(col("user_id"), col("n_events"),
+        array_distinct(DedupOps.spanHashesOf(
+          transform(col("es"), e => DedupOps.portable64(e.getField("event_type"))),
+          3)).as("gs"))
+    val q = seqs.orderBy(desc("n_events"), asc("user_id")).limit(1)
+      .select(col("user_id").as("q_user"),
+        size(col("gs")).cast("long").as("nq"), explode(col("gs")).as("g"))
+    seqs.select(col("user_id"), size(col("gs")).cast("long").as("na"),
+        explode(col("gs")).as("g"))
+      .join(broadcast(q), Seq("g"))
+      .filter(col("user_id") =!= col("q_user"))
+      .groupBy("user_id", "na", "nq")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("user_id"), col("inter"),
+        floor(col("inter") * lit(1000000.0) / (col("na") + col("nq") - col("inter")))
+          .cast("long").as("j_ppm"))
+      .orderBy(desc("j_ppm"), asc("user_id"))
+      .limit(TrajectoryTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trajectory" -> (trajectorySimilarity _),
     "events_hourly" -> (hourly _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
@@ -562,6 +612,32 @@ object EventOps {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same portable hashes, the shared span-identity generator at
+    // k = 3, list_distinct for the gram set, and the identical
+    // most-active/lowest-id query-user selection.
+    "events_trajectory" ->
+      s"""WITH es AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |         list(event_type ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY user_id),
+         |tho AS (
+         |  SELECT user_id, n_events,
+         |         list_transform(seq, t -> ${DedupOps.duckPortable64("t")}) AS th
+         |  FROM es),
+         |gs AS (
+         |  SELECT user_id, n_events,
+         |         list_distinct(${DedupOps.duckSpanList(3)}) AS gs
+         |  FROM tho),
+         |q AS (SELECT user_id AS q_user, len(gs) AS nq, unnest(gs) AS g
+         |      FROM (SELECT * FROM gs ORDER BY n_events DESC, user_id LIMIT 1)),
+         |cand AS (SELECT user_id, len(gs) AS na, unnest(gs) AS g FROM gs)
+         |SELECT cand.user_id, CAST(count(*) AS BIGINT) AS inter,
+         |  CAST(floor(count(*) * 1000000.0 / (cand.na + q.nq - count(*))) AS BIGINT)
+         |    AS j_ppm
+         |FROM cand JOIN q USING (g)
+         |WHERE cand.user_id <> q.q_user
+         |GROUP BY cand.user_id, cand.na, q.nq
+         |ORDER BY j_ppm DESC, user_id LIMIT $TrajectoryTopK""".stripMargin,
     "events_hourly" ->
       s"""SELECT CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
          |  event_type, count(*) AS cnt,

@@ -264,6 +264,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum === want)
   }
 
+  test("trajectory search ranks the behavioral near-dup above the unrelated user") {
+    val tmp = graft.Scratch.dir("trajectory_events")
+    // User 1 (most events → query user) walks a distinctive 8-step
+    // funnel; user 2 walks the same funnel with one extra step; user 3
+    // does something entirely different.
+    val funnel = Seq("view", "search", "view", "cart", "view", "pay", "ship", "rate")
+    def row(id: Long, user: Long, i: Int, t: String) =
+      (id, ts(f"10:${i}%02d:00"), user, t, 1.0, "{}")
+    val rows =
+      funnel.zipWithIndex.map { case (t, i) => row(100 + i, 1L, i, t) } ++
+        Seq(row(50L, 1L, 40, "idle")) ++ // the extra event making user 1 most active
+        ("search" +: funnel).zipWithIndex.map { case (t, i) => row(200 + i, 2L, i, t) } ++
+        Seq("login", "logout", "login", "logout", "login").zipWithIndex
+          .map { case (t, i) => row(300 + i, 3L, i, t) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val out = EventOps.trajectorySimilarity(spark, tmp)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).contains(2L), "the shared-funnel user must surface")
+    assert(!out.map(_._1).contains(1L), "the query user never matches itself")
+    assert(!out.map(_._1).contains(3L),
+      "the unrelated user shares no 3-gram and must not appear")
+    val (_, inter, jppm) = out.find(_._1 == 2L).get
+    // User 1 has 6 distinct funnel 3-grams + none from the idle gap;
+    // user 2's shifted funnel shares all 6 of them.
+    assert(inter === 6L)
+    assert(jppm > 500000L, s"near-identical trajectories score high, got $jppm")
+  }
+
   test("ohlc buckets are internally consistent and agree with hourly counts") {
     val dir = "/root/testdata/sf0.001"
     val rows = EventOps.ohlc(spark, dir)
