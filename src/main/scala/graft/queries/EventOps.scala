@@ -555,6 +555,10 @@ object EventOps {
         array_distinct(DedupOps.spanHashesOf(
           transform(col("es"), e => DedupOps.portable64(e.getField("event_type"))),
           3)).as("gs"))
+      // Users-sized, referenced by BOTH the query-user selection and the
+      // candidate expansion — materialize once (the BandedPairs/
+      // spanIncremental discipline) so the corpus shuffle runs once.
+      .localCheckpoint()
     val q = seqs.orderBy(desc("n_events"), asc("user_id")).limit(1)
       .select(col("user_id").as("q_user"),
         size(col("gs")).cast("long").as("nq"), explode(col("gs")).as("g"))
