@@ -177,6 +177,26 @@ object SnapshotTable {
   def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
     spark.read.parquet(listFiles(spark, table, gen): _*)
 
+  /** The manifest diff between two generations: `(added, removed)`
+    * file lists, each sorted. Because an append commit carries the
+    * parent's files VERBATIM ([[commit]]'s `carryFrom`), the added
+    * set of an append hop is exactly the batch's files — an
+    * incremental consumer reads new data at a cost proportional to
+    * the change, never the table (the Delta CDF / Iceberg
+    * incremental-scan contract). A compaction hop reports a full
+    * rewrite (every old file removed, the compacted files added),
+    * which is the honest file-level answer; content-level neutrality
+    * is the consumer's check (net deltas — see
+    * [[SourceOps.snapshotChanges]]). Driver work is two manifest
+    * reads, bounded by file counts.
+    */
+  def changedFiles(spark: SparkSession, table: String,
+      fromGen: Long, toGen: Long): (Seq[String], Seq[String]) = {
+    val from = listFiles(spark, table, fromGen).toSet
+    val to = listFiles(spark, table, toGen).toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
   /** Per-file min/max of a BIGINT column, read from the parquet
     * FOOTERS — no data pages touched (the [[SourceOps.compactTo]]
     * footer-read pattern). This is the zone-map every columnar writer

@@ -368,6 +368,52 @@ object SourceOps {
     beforeDf.unionByName(phase("after")).orderBy("phase")
   }
 
+  /** Incremental change read (CDC) over the snapshot layer — the scan
+    * an incremental consumer runs instead of a full-table diff: for
+    * each generation hop, [[SnapshotTable.changedFiles]] diffs the two
+    * MANIFESTS (driver work bounded by file counts) and the consumer
+    * reads ONLY the added/removed files, so the cost of consuming an
+    * append is proportional to the batch, never the table — at 100 TB
+    * an incremental pipeline tails appends without rescanning history.
+    * Per hop the report pins both layers:
+    *  - file mechanics: `n_added_files` / `n_removed_files` from the
+    *    manifest diff (value-gated via the shared layout constants —
+    *    the append hop adds exactly [[SnapAppendFiles]] and removes
+    *    nothing because the manifest carries gen 1's files verbatim);
+    *  - content: `added_rows`/`added_key_sum` read from the added
+    *    files alone, plus `net_row_delta`/`net_key_delta` =
+    *    added − removed. The compaction hop (2→3) is a full file-set
+    *    rewrite whose net deltas must be ZERO — the CDC lens proves
+    *    compaction content-neutral, while a consumer that naively
+    *    treated added files as new data would double-count (the
+    *    removed side is what saves it).
+    * SnapshotTableSpec additionally pins that the incremental read's
+    * `inputFiles` never touches a carried-forward file.
+    */
+  def snapshotChanges(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_changes")
+    buildThreeGens(spark, dir, table)
+    def hop(fromGen: Long, toGen: Long): DataFrame = {
+      val (added, removed) = SnapshotTable.changedFiles(spark, table, fromGen, toGen)
+      def stats(paths: Seq[String]): DataFrame =
+        if (paths.isEmpty)
+          spark.range(1).select(lit(0L).as("n"), lit(0L).as("ks"))
+        else
+          spark.read.parquet(paths: _*)
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum("o_orderkey"), lit(0L)).as("ks"))
+      stats(added).as("a").crossJoin(stats(removed).as("r"))
+        .select(lit(fromGen).as("from_gen"), lit(toGen).as("to_gen"),
+          lit(added.size.toLong).as("n_added_files"),
+          lit(removed.size.toLong).as("n_removed_files"),
+          col("a.n").as("added_rows"),
+          col("a.ks").as("added_key_sum"),
+          (col("a.n") - col("r.n")).as("net_row_delta"),
+          (col("a.ks") - col("r.ks")).as("net_key_delta"))
+    }
+    hop(1L, 2L).unionByName(hop(2L, 3L)).orderBy("from_gen")
+  }
+
   /** Range-slice count for [[snapshotSkip]]'s layout, mirrored in the
     * oracle.
     */
@@ -705,6 +751,7 @@ object SourceOps {
     "src_snapshot" -> (snapshotRoundtrip _),
     "src_snapshot_merge" -> (snapshotMerge _),
     "src_snapshot_expire" -> (snapshotExpire _),
+    "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -837,6 +884,31 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // CDC twin: the append hop's added content is exactly the batch
+    // predicate's rows; the compaction hop adds the whole table and
+    // removes the whole table, netting to zero. File counts from the
+    // shared layout constants.
+    "src_snapshot_changes" ->
+      s"""WITH app AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS from_gen, CAST(2 AS BIGINT) AS to_gen,
+         |       CAST($SnapAppendFiles AS BIGINT) AS n_added_files,
+         |       CAST(0 AS BIGINT) AS n_removed_files,
+         |       n AS added_rows, ks AS added_key_sum,
+         |       n AS net_row_delta, ks AS net_key_delta
+         |FROM app
+         |UNION ALL
+         |SELECT 2, 3, $SnapCompactFiles,
+         |       ${SnapInitFiles + SnapAppendFiles},
+         |       n, ks, 0, 0
+         |FROM al
+         |ORDER BY from_gen""".stripMargin,
     "src_snapshot_expire" ->
       s"""WITH al AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

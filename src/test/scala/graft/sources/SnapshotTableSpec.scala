@@ -53,6 +53,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(g1n === orders.filter(col("o_orderkey") % 4 =!= 0).count())
   }
 
+  test("incremental change read touches only the diffed files") {
+    val table = graft.Scratch.dir("snapshot_changes_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(4), table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(2),
+      table, 2L, carryFrom = Some(1L))
+    SnapshotTable.compact(spark, table, 2L, 2)
+
+    // Append hop: added = exactly the batch's files, nothing removed —
+    // the carried-forward history never re-enters the consumer's scan.
+    val (a12, r12) = SnapshotTable.changedFiles(spark, table, 1L, 2L)
+    val f1 = SnapshotTable.listFiles(spark, table, 1L).toSet
+    assert(r12.isEmpty, "an append hop removes nothing")
+    assert(a12.size === 2)
+    assert(a12.toSet.intersect(f1).isEmpty)
+    val inc = spark.read.parquet(a12: _*)
+    assert(inc.inputFiles.toSet === a12.toSet,
+      "incremental scan must open only the added files")
+    assert(inc.count() === orders.filter(col("o_orderkey") % 4 === 0).count())
+
+    // Compaction hop: full file-set rewrite, content-neutral — added
+    // and removed sides carry identical rows.
+    val (a23, r23) = SnapshotTable.changedFiles(spark, table, 2L, 3L)
+    assert(a23.size === 2 && r23.size === 6)
+    val added = spark.read.parquet(a23: _*)
+      .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+    val removed = spark.read.parquet(r23: _*)
+      .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+    assert(added === removed)
+  }
+
   test("conflicting commit to an existing generation fails; history keeps serving") {
     val table = graft.Scratch.dir("conflict_spec")
     val orders = Tables.orders(spark, dir)
