@@ -321,6 +321,44 @@ object GraphOps {
     dist
   }
 
+  /** The same reachability computation through the SQL surface's
+    * `WITH RECURSIVE` (Spark 4's recursive CTE — the ResolveWithCTE
+    * analyzer rule turns the self-reference into an iterative union):
+    * anchor = the seed at dist 0, recursive member = one edge
+    * expansion bounded by [[BfsHops]], outer query = `min(dist)` per
+    * node (UNION ALL enumerates paths; the group-by restores BFS
+    * minimality). Same rows as `graph_bfs`, arrived at declaratively —
+    * and the oracle is the IDENTICAL recursive statement in DuckDB, so
+    * the gate pins cross-engine recursive-CTE semantics, not just the
+    * result. Scale note: path enumeration under UNION ALL grows with
+    * path COUNT, not node count — the right shape for bounded-depth
+    * reachability on sparse graphs; for deep or dense expansion the
+    * frontier loop [[bfsOf]] (anti-join dedup per round) is the
+    * registered scale path.
+    */
+  def bfsRecursive(spark: SparkSession, dir: String): DataFrame =
+    bfsRecursiveOf(edges(Tables.documents(spark, dir)), BfsSeed, BfsHops)
+
+  /** The recursive-CTE reachability statement over an arbitrary
+    * `(src, dst)` edge frame (exposed for the property spec, which
+    * pins it ≡ [[bfsOf]]'s frontier loop on random graphs).
+    */
+  def bfsRecursiveOf(e: DataFrame, seed: Long, hops: Int): DataFrame = {
+    require(hops >= 0)
+    val spark = e.sparkSession
+    e.createOrReplaceTempView("edges_rec")
+    spark.sql(
+      s"""WITH RECURSIVE reach AS (
+         |  SELECT CAST($seed AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+         |  UNION ALL
+         |  SELECT e.dst AS id, r.dist + 1 AS dist
+         |  FROM reach r JOIN edges_rec e ON e.src = r.id
+         |  WHERE r.dist < $hops
+         |)
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY id ORDER BY dist, id""".stripMargin)
+  }
+
   /** Registered convergence-loop PageRank: [[pagerankLoop]] over the
     * planted graph with `tol = 0` and `maxIters =` [[Iters]], which
     * provably runs exactly [[Iters]] rounds (the only checkpoint probe
@@ -344,6 +382,7 @@ object GraphOps {
     "graph_triangles" -> (triangles _),
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_bfs" -> (bfs _),
+    "sql_recursive" -> (bfsRecursive _),
   )
 
   /** One unrolled-iteration CTE per round, generated from the same
@@ -395,6 +434,19 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "graph_bfs" -> duckBfs,
+    // The SAME recursive statement both engines run — only the edge
+    // CTE differs (planted-hash derivation in portable SQL).
+    "sql_recursive" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |$duckEdges),
+         |reach AS (
+         |  SELECT CAST($BfsSeed AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+         |  UNION ALL
+         |  SELECT e.dst AS id, r.dist + 1 AS dist
+         |  FROM reach r JOIN e ON e.src = r.id
+         |  WHERE r.dist < $BfsHops)
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY id ORDER BY dist, id""".stripMargin,
     // Orientation is count-preserving, so the oracle keeps the simple
     // id-oriented wedge join; only the TriangleMaxDeg hub stoplist must
     // mirror (same constant, degrees measured before the cut).

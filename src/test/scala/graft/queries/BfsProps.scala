@@ -47,4 +47,17 @@ object BfsProps extends Properties("GraphOps.bfsOf") {
         .as[(Long, Long)].collect().toMap
       got == want
     }
+
+  // The declarative twin: Spark's WITH RECURSIVE path-enumeration +
+  // min(dist) must land on the same (id, dist) set the frontier loop
+  // computes — minimality via group-by instead of anti-join.
+  property("recursive CTE equals the frontier loop") =
+    Prop.forAllNoShrink(genCase) { case (es, seed, hops) =>
+      import spark.implicits._
+      val want = brute(es, seed, hops)
+      val got = GraphOps
+        .bfsRecursiveOf((es :+ (7L, 7L)).toDF("src", "dst"), seed, hops)
+        .as[(Long, Long)].collect().toMap
+      got == want
+    }
 }
