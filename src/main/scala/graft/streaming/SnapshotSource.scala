@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+
+/** A [[SnapshotTable]] as a Structured Streaming SOURCE — the read
+  * side of the lakehouse loop whose write side is
+  * [[SnapshotStream.snapshotIngest]]: a DataSource V2 `MicroBatchStream`
+  * whose OFFSETS are the table's generation numbers. Each micro-batch
+  * covers a span of generation hops; per hop the planned input is the
+  * MANIFEST DIFF ([[SnapshotTable.changedFiles]]) — an append hop
+  * contributes exactly the batch's files (history, carried verbatim in
+  * the manifest, is never re-read), so tailing the table costs the
+  * new data, never the table. That is the Delta/Iceberg streaming-read
+  * contract, built on the same public connector API
+  * (`TableProvider` → `SupportsRead` → `Scan.toMicroBatchStream`).
+  *
+  * Rewrite hops (a non-empty removed side: compaction / OPTIMIZE)
+  * carry no new content — their added−removed net is zero (pinned by
+  * `src_snapshot_changes`) — but a file-level tail cannot SEE that
+  * without reading both sides, so the source follows the lakehouse
+  * convention: it THROWS on a rewrite hop by default (a MERGE would
+  * also look like a rewrite, and silently skipping one would drop
+  * updates), and skips rewrite hops as content-neutral only under
+  * `.option("skipRewrites", "true")` — the analogue of Delta's
+  * `ignoreChanges` opt-in.
+  *
+  * Exactly-once across restarts comes from the offset log: Structured
+  * Streaming checkpoints the consumed generation, a restarted query
+  * resumes planning at the next hop, and because generations are
+  * immutable once published (first-writer-wins commits), re-planning a
+  * hop yields byte-identical files. Retention is the one caveat:
+  * [[SnapshotTable.expire]] deletes old manifests, so the replayable
+  * window is the unexpired history — the standard
+  * retention-vs-replay trade every lakehouse source documents.
+  *
+  * The per-file readers decode parquet through the library's public
+  * example Group API (no Spark internals): primitive columns map by
+  * NAME from the file footer's schema to the scan schema, so a file
+  * written before a column was added simply yields nulls for it —
+  * the mergeSchema posture at the row level.
+  */
+class SnapshotSourceProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSource.latestSchema(SnapshotSource.tableRoot(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotSourceTable(
+      SnapshotSource.tableRoot(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private[streaming] object SnapshotSource {
+
+  def tableRoot(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "snapshot source requires .option(\"path\", <table root>) or .load(<table root>)")
+    p
+  }
+
+  def latestSchema(table: String): StructType = {
+    val spark = SparkSession.active
+    val gens = SnapshotTable.generations(spark, table)
+    require(gens.nonEmpty,
+      s"snapshot source needs at least one committed generation at $table")
+    val files = SnapshotTable.listFiles(spark, table, gens.max)
+    spark.read.option("mergeSchema", true).parquet(files: _*).schema
+  }
+}
+
+private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"snapshot:$table"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val skipRewrites = options.getBoolean("skipRewrites", false)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"SnapshotSource($table)"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SnapshotMicroBatchStream(table, tableSchema, skipRewrites)
+      }
+    }
+  }
+}
+
+/** Offset = highest generation whose content the batch includes. */
+private[streaming] case class GenOffset(gen: Long) extends Offset {
+  override def json(): String = gen.toString
+}
+
+private[streaming] class SnapshotMicroBatchStream(table: String,
+    schema: StructType, skipRewrites: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GenOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val gens = SnapshotTable.generations(spark, table)
+    GenOffset(if (gens.isEmpty) 0L else gens.max)
+  }
+
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GenOffset].gen
+    val to = end.asInstanceOf[GenOffset].gen
+    val committed = SnapshotTable.generations(spark, table).toSet
+    val out = ArrayBuffer.empty[InputPartition]
+    for (g <- from + 1 to to if committed.contains(g)) {
+      val (added, removed) =
+        if (committed.contains(g - 1)) SnapshotTable.changedFiles(spark, table, g - 1, g)
+        else (SnapshotTable.listFiles(spark, table, g), Seq.empty[String])
+      if (removed.nonEmpty && !skipRewrites)
+        throw new IllegalStateException(
+          s"generation $g of $table rewrites ${removed.size} file(s) " +
+            "(compaction or merge); a file-level tail cannot express it as " +
+            "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
+            "skip content-neutral rewrites")
+      if (removed.isEmpty) out ++= added.map(SnapshotFilePartition(_))
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+private[streaming] case class SnapshotFilePartition(path: String) extends InputPartition
+
+private[streaming] class SnapshotReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[SnapshotFilePartition].path
+    new SnapshotFileReader(path, schema)
+  }
+}
+
+/** Row-by-row parquet decode of one data file through the public
+  * Group API; field resolution is by name against the file footer, so
+  * schema evolution degrades to nulls instead of misaligned columns.
+  */
+private[streaming] class SnapshotFileReader(path: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = ParquetReader
+    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
+    .withConf(new Configuration())
+    .build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val fileType = g.getType
+    val values = schema.fields.map { f =>
+      if (!fileType.containsField(f.name)) null
+      else {
+        val idx = fileType.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else f.dataType match {
+          case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
+          case IntegerType => g.getInteger(idx, 0)
+          case DateType => g.getInteger(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case dt => throw new UnsupportedOperationException(
+            s"snapshot source supports primitive columns; got $dt for ${f.name}")
+        }
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

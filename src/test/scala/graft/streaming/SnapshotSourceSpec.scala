@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.SnapshotTable
+import graft.streaming.DocStream.Doc
+
+/** Drills for the snapshot STREAMING SOURCE — generations as offsets:
+  * incremental tailing (each micro-batch reads only the manifest
+  * diff), exactly-once across a stop/commit/restart, the
+  * rewrite-hop contract (throw by default, content-neutral skip under
+  * the opt-in), and the closed lakehouse loop where the transactional
+  * sink feeds the source through the table.
+  */
+class SnapshotSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => Doc(i, s"text $i")).toDF()
+  }
+
+  private def tail(table: String, ckpt: String, name: String,
+      skipRewrites: Boolean = false) = {
+    val r = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table)
+    (if (skipRewrites) r.option("skipRewrites", "true") else r)
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  private def seen(name: String): Set[Long] = {
+    import spark.implicits._
+    spark.table(name).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("tails appends incrementally and resumes exactly-once from the checkpoint") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsource").toString
+    val (table, ckpt) = (s"$root/table", s"$root/ckpt")
+    SnapshotTable.commit(docsDf(1L, 2L), table, 1L)
+
+    // The memory sink cannot recover from a checkpoint, so the tail
+    // lands in a recovery-capable foreachBatch collector.
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().foreach(got.add)
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.toArray(Array.empty[java.lang.Long]).map(Long.unbox).toSet === Set(1L, 2L))
+
+      // An append while the query runs: the next micro-batch plans the
+      // manifest DIFF only — the carried-forward gen-1 files never
+      // re-enter a scan, so no duplicates can arise.
+      SnapshotTable.commit(docsDf(3L), table, 2L, carryFrom = Some(1L))
+      q1.processAllAvailable()
+      assert(got.size === 3, "exactly one row per committed document")
+    } finally q1.stop()
+
+    // Data lands while the consumer is DOWN; the restarted query reads
+    // its offset from the checkpoint and consumes ONLY the new hop.
+    SnapshotTable.commit(docsDf(4L, 5L), table, 3L, carryFrom = Some(2L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = got.toArray(Array.empty[java.lang.Long]).map(Long.unbox)
+      assert(all.toSet === Set(1L, 2L, 3L, 4L, 5L))
+      assert(all.length === 5,
+        "a restart must not replay generations the checkpoint already consumed")
+    } finally q2.stop()
+  }
+
+  test("rewrite hops throw by default and skip as content-neutral under the opt-in") {
+    val root = Files.createTempDirectory("snapsource_rw").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L, 3L), table, 1L)
+    SnapshotTable.compact(spark, table, 1L, 1)
+
+    // Default: a non-append hop is an error, not silent data loss — a
+    // MERGE looks identical at the file level.
+    val q1 = tail(table, s"$root/ckpt1", "snap_rw1")
+    val ex = intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(ex.getMessage.contains("skipRewrites")
+      || Option(ex.getCause).exists(_.getMessage.contains("skipRewrites")))
+
+    // Opt-in: the rewrite hop contributes nothing (its added-minus-
+    // removed net is zero), and the stream keeps tailing afterwards.
+    val q2 = tail(table, s"$root/ckpt2", "snap_rw2", skipRewrites = true)
+    try {
+      q2.processAllAvailable()
+      assert(seen("snap_rw2") === Set(1L, 2L, 3L),
+        "gen 1 content once; the compaction hop adds nothing")
+      SnapshotTable.commit(docsDf(9L), table, 3L, carryFrom = Some(2L))
+      q2.processAllAvailable()
+      assert(seen("snap_rw2") === Set(1L, 2L, 3L, 9L))
+    } finally q2.stop()
+  }
+
+  test("closed loop: the transactional sink feeds the source through the table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("snaploop").toString
+    val (table, inCkpt, outCkpt) = (s"$root/table", s"$root/in", s"$root/out")
+
+    val in = MemoryStream[Doc]
+    val ingest = SnapshotStream.snapshotIngest(in.toDS(), table, inCkpt).start()
+    try {
+      in.addData(Doc(1L, "a"), Doc(2L, "b"))
+      ingest.processAllAvailable()
+
+      val out = tail(table, outCkpt, "snap_loop")
+      try {
+        out.processAllAvailable()
+        in.addData(Doc(3L, "c"))
+        ingest.processAllAvailable()
+        out.processAllAvailable()
+        assert(seen("snap_loop") === Set(1L, 2L, 3L))
+        assert(spark.table("snap_loop").count() === 3L)
+        // The relay preserved payloads, not just keys.
+        assert(spark.table("snap_loop").filter(col("doc_id") === 3L)
+          .select("text").as[String].collect().toSeq === Seq("c"))
+      } finally out.stop()
+    } finally ingest.stop()
+  }
+}
