@@ -245,6 +245,22 @@ object SnapshotTable {
     }
   }
 
+  /** Per-file ROW COUNTS from the parquet footers — the third
+    * metadata-only statistic next to [[footerStats]]' min/max: every
+    * block header already carries its row count, so a table's size
+    * per snapshot is O(files) metadata reads, never a data scan
+    * (what DESCRIBE HISTORY / a `files` metadata table serves).
+    */
+  def footerRowCounts(spark: SparkSession, paths: Seq[String]): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (f, r.getRecordCount) finally r.close()
+    }
+  }
+
   /** Publish generation `gen` with per-file zone-map stats:
     * manifest rows are (path, min_key, max_key). [[listFiles]] /
     * [[readAs]] keep working (they project `path` only);

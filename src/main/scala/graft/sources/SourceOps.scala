@@ -414,6 +414,36 @@ object SourceOps {
     hop(1L, 2L).unionByName(hop(2L, 3L)).orderBy("from_gen")
   }
 
+  /** DESCRIBE HISTORY over the snapshot layer as a METADATA-ONLY
+    * computation: per generation, file count and new-vs-carried split
+    * from the manifests, and row counts summed from the parquet
+    * FOOTERS ([[SnapshotTable.footerRowCounts]]) — no data page is
+    * ever read, so table history costs O(files) at any data scale
+    * (the `DESCRIBE HISTORY` / `files`-metadata-table contract). The
+    * oracle recomputes every row count RELATIONALLY from the orders
+    * table with the fixture's split predicate, so a green row proves
+    * the footer metadata agrees with the actual content — the
+    * metadata path is value-gated, not trusted.
+    */
+  def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_history")
+    buildThreeGens(spark, dir, table)
+    val gens = SnapshotTable.generations(spark, table)
+    val rows = gens.map { g =>
+      val files = SnapshotTable.listFiles(spark, table, g)
+      val prev = if (gens.contains(g - 1))
+        SnapshotTable.listFiles(spark, table, g - 1).toSet
+      else Set.empty[String]
+      val fresh = files.filterNot(prev)
+      val counts = SnapshotTable.footerRowCounts(spark, files).toMap
+      (g, files.size.toLong, fresh.size.toLong,
+        fresh.map(counts).sum, counts.values.sum)
+    }
+    import spark.implicits._
+    rows.toDF("gen", "n_files", "n_new_files", "new_rows", "total_rows")
+      .orderBy("gen")
+  }
+
   /** Range-slice count for [[snapshotSkip]]'s layout, mirrored in the
     * oracle.
     */
@@ -752,6 +782,7 @@ object SourceOps {
     "src_snapshot_merge" -> (snapshotMerge _),
     "src_snapshot_expire" -> (snapshotExpire _),
     "src_snapshot_changes" -> (snapshotChanges _),
+    "src_snapshot_history" -> (snapshotHistory _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -884,6 +915,30 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // History twin: every footer-metadata row count re-derived
+    // relationally with the fixture's split predicate; a disagreeing
+    // footer (or a miscounted new-vs-carried split) breaks the hash.
+    "src_snapshot_history" ->
+      s"""WITH init AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |app AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen, CAST($SnapInitFiles AS BIGINT) AS n_files,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_new_files,
+         |       init.n AS new_rows, init.n AS total_rows
+         |FROM init
+         |UNION ALL
+         |SELECT 2, ${SnapInitFiles + SnapAppendFiles}, $SnapAppendFiles,
+         |       app.n, al.n
+         |FROM app, al
+         |UNION ALL
+         |SELECT 3, $SnapCompactFiles, $SnapCompactFiles, al.n, al.n
+         |FROM al
+         |ORDER BY gen""".stripMargin,
     // CDC twin: the append hop's added content is exactly the batch
     // predicate's rows; the compaction hop adds the whole table and
     // removes the whole table, netting to zero. File counts from the
