@@ -444,6 +444,38 @@ object SourceOps {
       .orderBy("gen")
   }
 
+  /** Snapshot generations read THROUGH the DataSource V2 connector
+    * ([[graft.streaming.SnapshotSourceProvider]] with `BATCH_READ` and
+    * the `generation` time-travel option) — this puts the connector's
+    * OWN parquet decode (the public Group API readers the streaming
+    * source also uses) inside the value-oracle gate: per generation
+    * the aggregate exercises every primitive path the readers decode —
+    * BIGINT (`key_sum`), UTF8 strings (`status_chars`), doubles
+    * (`price_micro`, floor-micros canonical form), and INT64-micros
+    * timestamps (`ts_min`) — against DuckDB reading the original
+    * parquet. A decode bug in any branch of the reader's type dispatch
+    * breaks the hash.
+    */
+  def connectorRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_connector")
+    buildThreeGens(spark, dir, table)
+    def readGen(g: Long): DataFrame = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).option("generation", g).load()
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").as("key_sum"),
+        sum(length(col("o_orderstatus"))).as("status_chars"),
+        expr("CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT)")
+          .as("price_micro"),
+        // The connector infers TIMESTAMP_NTZ (the underlying INT64
+        // micros, no zone); the UTC session makes the ntz→ltz cast
+        // epoch-preserving, so unix_micros sees the stored value.
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("ts_min"))
+      .select(lit(g).as("gen"), col("n_rows"), col("key_sum"),
+        col("status_chars"), col("price_micro"), col("ts_min"))
+    readGen(1L).unionByName(readGen(2L)).orderBy("gen")
+  }
+
   /** Range-slice count for [[snapshotSkip]]'s layout, mirrored in the
     * oracle.
     */
@@ -783,6 +815,7 @@ object SourceOps {
     "src_snapshot_expire" -> (snapshotExpire _),
     "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_history" -> (snapshotHistory _),
+    "src_connector_read" -> (connectorRead _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -915,6 +948,28 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // Connector twin: DuckDB reads the ORIGINAL parquet with the
+    // fixture's split predicates; Spark reads the committed snapshot
+    // through the DSv2 readers — agreement gates the custom decode.
+    "src_connector_read" ->
+      s"""WITH g1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |         CAST(sum(length(o_orderstatus)) AS BIGINT) AS status_chars,
+         |         CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+         |         CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS ts_min
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |g2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |         CAST(sum(length(o_orderstatus)) AS BIGINT) AS status_chars,
+         |         CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+         |         CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS ts_min
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen, * FROM g1
+         |UNION ALL
+         |SELECT 2, * FROM g2
+         |ORDER BY gen""".stripMargin,
     // History twin: every footer-metadata row count re-derived
     // relationally with the fixture's split predicate; a disagreeing
     // footer (or a miscounted new-vs-carried split) breaks the hash.

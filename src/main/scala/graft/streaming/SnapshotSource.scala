@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,19 +96,46 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val skipRewrites = options.getBoolean("skipRewrites", false)
+    // Batch reads default to the latest snapshot; `generation` is the
+    // connector's time-travel knob.
+    val generation = Option(options.get("generation")).map(_.toLong)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, tableSchema, skipRewrites)
+        override def toBatch: Batch = new SnapshotBatch(table, tableSchema, generation)
       }
     }
   }
+}
+
+/** Batch scan AS OF a generation (latest by default): the planned
+  * partitions are exactly the manifest's files — the same snapshot
+  * isolation [[SnapshotTable.readAs]] provides, but through the
+  * connector's own readers, which puts the custom parquet decode path
+  * inside the value-oracle gate (`src_connector_read`).
+  */
+private[streaming] class SnapshotBatch(table: String, schema: StructType,
+    generation: Option[Long]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val gens = SnapshotTable.generations(spark, table)
+    require(gens.nonEmpty, s"no committed generation at $table")
+    val gen = generation.getOrElse(gens.max)
+    require(gens.contains(gen), s"generation $gen of $table does not exist")
+    SnapshotTable.listFiles(spark, table, gen)
+      .map(SnapshotFilePartition(_)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(schema)
 }
 
 /** Offset = highest generation whose content the batch includes. */
