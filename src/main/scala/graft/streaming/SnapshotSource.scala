@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,13 +103,22 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
     // Batch reads default to the latest snapshot; `generation` is the
     // connector's time-travel knob.
     val generation = Option(options.get("generation")).map(_.toLong)
-    new ScanBuilder {
+    // Column pruning reaches the row decoder: readers resolve and
+    // convert ONLY the pruned schema's fields, so a 2-column
+    // projection over a wide table skips the other columns' value
+    // materialization entirely (the Group assembly still parses the
+    // row group; production columnar decode would skip the pages too —
+    // the pruning CONTRACT is what this connector pins).
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(table, tableSchema, skipRewrites)
-        override def toBatch: Batch = new SnapshotBatch(table, tableSchema, generation)
+          new SnapshotMicroBatchStream(table, required, skipRewrites)
+        override def toBatch: Batch = new SnapshotBatch(table, required, generation)
       }
     }
   }

@@ -118,6 +118,33 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("batch read time-travels by generation and prunes columns into the decoder") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapbatch").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L), table, 1L)
+    SnapshotTable.commit(docsDf(3L), table, 2L, carryFrom = Some(1L))
+
+    def read(gen: Long) = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).option("generation", gen).load()
+
+    assert(read(1L).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(read(2L).count() === 3L)
+
+    // Catalyst's column pruning must reach the connector's scan: the
+    // physical read schema of a single-column projection carries only
+    // that column, so the row decoder never materializes the rest.
+    val pruned = read(2L).select("text")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq === Seq("text"))
+    assert(pruned.as[String].collect().toSet === Set("text 1", "text 2", "text 3"))
+  }
+
   test("closed loop: the transactional sink feeds the source through the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
