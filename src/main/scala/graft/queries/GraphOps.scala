@@ -321,6 +321,75 @@ object GraphOps {
     dist
   }
 
+  /** Weight modulus for [[weightedEdges]]: weights land in
+    * 1..[[WeightMod]].
+    */
+  val WeightMod = 9L
+
+  /** Relaxation rounds for [[sssp]] — exact shortest costs over paths
+    * of ≤ this many edges (the bounded-round Bellman-Ford contract).
+    */
+  val SsspRounds = 4
+
+  /** The planted edge list with a deterministic integer WEIGHT per
+    * edge: same target derivation as [[edges]], weight = salted
+    * portable hash folded onto 1..[[WeightMod]] — identically in the
+    * oracle, so the whole iterative relaxation is integer-exact
+    * cross-engine. One projection, one explode of (dst, w) structs.
+    */
+  private def weightedEdges(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("cnt"))
+    val pairs = (0 until OutDeg).map { j =>
+      struct(
+        pmod(DedupOps.portable64(
+          concat(lit("pr:"), col("doc_id").cast("string"), lit(":"), lit(j.toString))),
+          col("cnt")).as("dst"),
+        (pmod(DedupOps.portable64(
+          concat(lit("w:"), col("doc_id").cast("string"), lit(":"), lit(j.toString))),
+          lit(WeightMod)) + lit(1L)).as("w"))
+    }
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), explode(array(pairs: _*)).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+  }
+
+  /** Single-source shortest paths, [[SsspRounds]] Bellman-Ford
+    * relaxation rounds from [[BfsSeed]] over the weighted planted
+    * graph: minimal total edge weight over paths of ≤ R edges — the
+    * cost-aware sibling of [[bfs]] (whose hop distance is the uniform-
+    * weight special case). Result: (id, cost) for every node reached.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame =
+    ssspOf(weightedEdges(Tables.documents(spark, dir)), BfsSeed, SsspRounds)
+      .orderBy(asc("cost"), asc("id"))
+
+  /** One relaxation round = one equi-join of the edge list with the
+    * CURRENT tentative-cost frame on `src` plus a `min` re-aggregation
+    * on `id` — O(edges incident to reached nodes) per round, no
+    * all-pairs, shuffles keyed on node id throughout. The cost frame
+    * localCheckpoints each round (the [[bfsOf]] discipline): it is
+    * both join input and union arm next round, and materializing it
+    * keeps lineage depth O(1) per round instead of O(rounds) at the
+    * end. Unlike BFS, a node's cost can IMPROVE in a later round
+    * (a longer-hop but cheaper path), which is why the whole frame
+    * re-aggregates instead of anti-joining out already-seen nodes.
+    */
+  def ssspOf(e: DataFrame, seed: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val spark = e.sparkSession
+    var dist = spark.range(1)
+      .select(lit(seed).as("id"), lit(0L).as("cost"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .select(e("dst").as("id"), (dist("cost") + e("w")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** The same reachability computation through the SQL surface's
     * `WITH RECURSIVE` (Spark 4's recursive CTE — the ResolveWithCTE
     * analyzer rule turns the self-reference into an iterative union):
@@ -383,6 +452,7 @@ object GraphOps {
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_bfs" -> (bfs _),
     "sql_recursive" -> (bfsRecursive _),
+    "graph_sssp" -> (sssp _),
   )
 
   /** One unrolled-iteration CTE per round, generated from the same
@@ -395,6 +465,41 @@ object GraphOps {
          |    % (SELECT count(*) FROM documents) AS dst
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Weighted planted edges in portable SQL — the [[duckEdges]]
+    * derivation plus the per-(src, j) weight hash.
+    */
+  private val duckWeightedEdges: String =
+    (0 until OutDeg).map { j =>
+      s"""SELECT doc_id AS src,
+         |  CAST(concat('0x', substr(md5('pr:' || CAST(doc_id AS VARCHAR) || ':$j'), 1, 15)) AS BIGINT)
+         |    % (SELECT count(*) FROM documents) AS dst,
+         |  CAST(concat('0x', substr(md5('w:' || CAST(doc_id AS VARCHAR) || ':$j'), 1, 15)) AS BIGINT)
+         |    % $WeightMod + 1 AS w
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Unrolled Bellman-Ford rounds: d_k = min over (d_{k-1} ∪ one
+    * relaxation of d_{k-1}). Each round's frame is referenced twice
+    * (union arm + join input), so every CTE is MATERIALIZED — DuckDB
+    * would otherwise inline the reference chain exponentially.
+    */
+  private def duckSssp: String = {
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM (
+         |    SELECT id, cost FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.cost + e.w AS cost
+         |    FROM d${k - 1} p JOIN e ON e.src = p.id) u
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |$duckWeightedEdges),
+       |d0 AS (SELECT CAST($BfsSeed AS BIGINT) AS id, CAST(0 AS BIGINT) AS cost),
+       |$rounds
+       |SELECT id, cost FROM d$SsspRounds ORDER BY cost, id""".stripMargin
+  }
 
   private def duckIter(prev: String, cur: String): String =
     s"""$cur AS (
@@ -434,6 +539,7 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "graph_bfs" -> duckBfs,
+    "graph_sssp" -> duckSssp,
     // The SAME recursive statement both engines run — only the edge
     // CTE differs (planted-hash derivation in portable SQL).
     "sql_recursive" ->
