@@ -290,6 +290,35 @@ object SnapshotTable {
       rows.sortBy(r => (r._1, r._2)).toDF("path", "key_col", "min_key", "max_key"))
   }
 
+  /** Files of generation `gen` admitted by CONJUNCTIVE per-column
+    * bounds against the manifest's zone maps — the [[readWhere]]
+    * pruning rule generalized to several dimensions at once (the
+    * connector's filter-pushdown hook). A plain path-only manifest
+    * admits everything; a column with no recorded stats row for some
+    * file admits that file conservatively. Unlike [[readWhere]] this
+    * does NOT refuse unrecorded columns — the caller pushes whatever
+    * predicates the query has, and pruning is best-effort (the
+    * residual row filter keeps correctness).
+    */
+  def admittedFiles(spark: SparkSession, table: String, gen: Long,
+      bounds: Map[String, (Long, Long)]): Seq[String] = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(manifestPath(table, gen))
+    if (!manifest.columns.contains("key_col") || bounds.isEmpty)
+      listFiles(spark, table, gen)
+    else {
+      val rows = manifest
+        .select("path", "key_col", "min_key", "max_key")
+        .as[(String, String, Long, Long)].collect().toSeq
+      val excluded = rows.collect {
+        case (p, c, mn, mx) if bounds.get(c).exists {
+          case (lo, hi) => mn > hi || mx < lo
+        } => p
+      }.toSet
+      rows.map(_._1).distinct.filterNot(excluded).sorted
+    }
+  }
+
   /** Read generation `gen` restricted to `column ∈ [lo, hi]`, pruning
     * FILES by the manifest's zone maps before any data file opens: a
     * file whose [min_key, max_key] misses the range is never handed to

@@ -13,8 +13,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,6 +87,27 @@ private[streaming] object SnapshotSource {
     val files = SnapshotTable.listFiles(spark, table, gens.max)
     spark.read.option("mergeSchema", true).parquet(files: _*).schema
   }
+
+  /** A pushed filter as a zone-map bound: `Some(column -> (lo, hi))`
+    * for integer comparisons the manifest stats can prune on.
+    */
+  def boundOf(f: Filter): Option[(String, (Long, Long))] = f match {
+    case EqualTo(c, v: Long) => Some(c -> (v, v))
+    case EqualTo(c, v: Int) => Some(c -> (v.toLong, v.toLong))
+    case GreaterThan(c, v: Long) => Some(c -> (v + 1, Long.MaxValue))
+    case GreaterThanOrEqual(c, v: Long) => Some(c -> (v, Long.MaxValue))
+    case LessThan(c, v: Long) => Some(c -> (Long.MinValue, v - 1))
+    case LessThanOrEqual(c, v: Long) => Some(c -> (Long.MinValue, v))
+    case _ => None
+  }
+
+  /** Conjunctive fold of the pushed filters into per-column bounds
+    * (interval intersection per column).
+    */
+  def boundsOf(filters: Array[Filter]): Map[String, (Long, Long)] =
+    filters.flatMap(boundOf).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    }
 }
 
 private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructType)
@@ -108,17 +130,32 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
     // projection over a wide table skips the other columns' value
     // materialization entirely (the Group assembly still parses the
     // row group; production columnar decode would skip the pages too —
-    // the pruning CONTRACT is what this connector pins).
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    // the pruning CONTRACT is what this connector pins). Filter
+    // pushdown prunes FILES through the manifest's zone maps
+    // (stats manifests only): pushed comparisons fold into per-column
+    // [lo, hi] bounds and batch planning admits only files whose
+    // recorded range intersects — pruning is best-effort and every
+    // filter is ALSO returned as a residual, so Spark re-applies the
+    // row-level predicate and correctness never rests on the stats.
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => SnapshotSource.boundOf(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites)
-        override def toBatch: Batch = new SnapshotBatch(table, required, generation)
+        override def toBatch: Batch =
+          new SnapshotBatch(table, required, generation,
+            SnapshotSource.boundsOf(pushed))
       }
     }
   }
@@ -131,7 +168,8 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
   * inside the value-oracle gate (`src_connector_read`).
   */
 private[streaming] class SnapshotBatch(table: String, schema: StructType,
-    generation: Option[Long]) extends Batch {
+    generation: Option[Long],
+    bounds: Map[String, (Long, Long)] = Map.empty) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -139,7 +177,7 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     require(gens.nonEmpty, s"no committed generation at $table")
     val gen = generation.getOrElse(gens.max)
     require(gens.contains(gen), s"generation $gen of $table does not exist")
-    SnapshotTable.listFiles(spark, table, gen)
+    SnapshotTable.admittedFiles(spark, table, gen, bounds)
       .map(SnapshotFilePartition(_)).toArray
   }
 

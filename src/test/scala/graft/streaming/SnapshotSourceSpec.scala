@@ -145,6 +145,43 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(pruned.as[String].collect().toSet === Set("text 1", "text 2", "text 3"))
   }
 
+  test("pushed range filters prune files through the manifest zone maps") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snappush").toString
+    val table = s"$root/table"
+    // Four files with disjoint doc_id ranges and a long-form stats
+    // manifest over them (the snapshotSkip2 layout, minimal).
+    val slices = Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L)
+    val dataDir = s"$table/data/gen=1"
+    val paths = slices.zipWithIndex.map { case (r, i) =>
+      val p = s"$dataDir/slice_$i"
+      r.map(id => Doc(id, s"t$id")).toDF().coalesce(1).write.parquet(p)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    }
+    SnapshotTable.publishStats(spark, table, 1L,
+      SnapshotTable.footerStats(spark, paths, Seq("doc_id")))
+
+    val df = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("doc_id") >= 12L && col("doc_id") <= 25L)
+
+    // Catalyst pushes the comparisons; batch planning admits only the
+    // two slices whose recorded range intersects [12, 25].
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputRDD.getNumPartitions === 2,
+      "only the two intersecting slices may be planned")
+    // The residual row filter still applies on top of the admitted
+    // boundary files.
+    assert(df.select("doc_id").as[Long].collect().toSet === (12L to 25L).toSet)
+  }
+
   test("closed loop: the transactional sink feeds the source through the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
