@@ -476,6 +476,72 @@ object SourceOps {
     readGen(1L).unionByName(readGen(2L)).orderBy("gen")
   }
 
+  /** File counts for [[lakehousePipeline]]'s two commits, mirrored in
+    * the oracle.
+    */
+  val LakeInitFiles = 4
+  val LakeAppendFiles = 2
+
+  /** The training-data lakehouse loop COMPOSED end to end — the
+    * capstone that chains the snapshot layer with incremental exact
+    * dedup and validates the append through the CDC lens:
+    *
+    *  1. the train split of the corpus (the [[graft.queries.SampleOps]]
+    *     bucketing every split query shares) commits as generation 1
+    *     of a content-hash table `(doc_id, h)`;
+    *  2. the incoming batch (every non-train document) dedups against
+    *     history by sha-256 content hash — the `dedup_incremental`
+    *     contract verbatim (anti-join against the DISTINCT history
+    *     hashes; within-batch duplicates are retained, documented
+    *     there);
+    *  3. survivors commit as generation 2, an append carrying
+    *     history's files verbatim;
+    *  4. the CDC hop 1→2 reads ONLY the manifest-diff's added files —
+    *     its row count, id sum, and distinct-hash count must equal the
+    *     accepted batch exactly (an append that rewrote or lost rows
+    *     breaks the phase).
+    *
+    * One report row per phase (history / batch / dropped / accepted /
+    * cdc_added / final), each carrying rows, distinct hashes, and the
+    * doc_id sum, ALL re-derived relationally in the oracle from the
+    * shared split predicate and hash — so the whole composition
+    * (bucketing ∘ dedup ∘ commit ∘ manifest diff ∘ snapshot read) is
+    * value-gated in one query. Every stage is the member query's own
+    * plan shape: wordcount-class hash counts, no all-pairs, manifest
+    * work bounded by file counts — consuming a batch costs the batch
+    * at any corpus size.
+    */
+  def lakehousePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.SampleOps
+    val table = freshTable(spark, "lakehouse")
+    val d = SampleOps.withSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"), sha2(col("text"), 256).as("h"))
+    val history = d.filter(col("split") === "train").select("doc_id", "h")
+    val batch = d.filter(col("split") =!= "train").select("doc_id", "h")
+    val accepted = batch.join(
+      history.select("h").distinct(), Seq("h"), "left_anti")
+    SnapshotTable.commit(history.repartition(LakeInitFiles), table, 1L)
+    SnapshotTable.commit(accepted.select("doc_id", "h")
+      .repartition(LakeAppendFiles), table, 2L, carryFrom = Some(1L))
+    val (added, removed) = SnapshotTable.changedFiles(spark, table, 1L, 2L)
+    require(removed.isEmpty, "an append hop must not rewrite history")
+    def phase(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("h")).as("n_hashes"),
+          coalesce(sum("doc_id"), lit(0L)).as("id_sum"))
+        .select(lit(name).as("phase"), col("n_rows"), col("n_hashes"),
+          col("id_sum"))
+    Seq(
+      phase("history", history),
+      phase("batch", batch),
+      phase("dropped", batch.join(history.select("h").distinct(), Seq("h"),
+        "left_semi")),
+      phase("accepted", accepted),
+      phase("cdc_added", spark.read.parquet(added: _*)),
+      phase("final", SnapshotTable.readAs(spark, table, 2L)))
+      .reduce(_ unionByName _).orderBy("phase")
+  }
+
   /** Range-slice count for [[snapshotSkip]]'s layout, mirrored in the
     * oracle.
     */
@@ -816,6 +882,7 @@ object SourceOps {
     "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_connector_read" -> (connectorRead _),
+    "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -948,6 +1015,38 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // Lakehouse-loop twin: the whole composition re-derived from the
+    // shared split bucketing and content hash; cdc_added must equal
+    // accepted BY CONSTRUCTION (the manifest diff of an append is the
+    // batch), so both phases read from the same CTE.
+    "pipeline_lakehouse" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, sha256(text) AS h,
+         |    CASE WHEN bucket < ${graft.queries.SampleOps.TrainPct} THEN 'train'
+         |         ELSE 'other' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         |        FROM documents) t),
+         |hist AS MATERIALIZED (SELECT doc_id, h FROM d WHERE split = 'train'),
+         |bat AS MATERIALIZED (SELECT doc_id, h FROM d WHERE split <> 'train'),
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id, h FROM bat WHERE h NOT IN (SELECT h FROM hist)),
+         |drp AS (SELECT doc_id, h FROM bat WHERE h IN (SELECT h FROM hist)),
+         |fin AS (SELECT doc_id, h FROM hist UNION ALL SELECT doc_id, h FROM acc)
+         |SELECT 'accepted' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_hashes,
+         |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM acc
+         |UNION ALL
+         |SELECT 'batch', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM bat
+         |UNION ALL
+         |SELECT 'cdc_added', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM acc
+         |UNION ALL
+         |SELECT 'dropped', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM drp
+         |UNION ALL
+         |SELECT 'final', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM fin
+         |UNION ALL
+         |SELECT 'history', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM hist
+         |ORDER BY phase""".stripMargin,
     // Connector twin: DuckDB reads the ORIGINAL parquet with the
     // fixture's split predicates; Spark reads the committed snapshot
     // through the DSv2 readers — agreement gates the custom decode.
