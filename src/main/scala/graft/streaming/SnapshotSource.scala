@@ -207,12 +207,27 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GenOffset].gen
     val to = end.asInstanceOf[GenOffset].gen
-    val committed = SnapshotTable.generations(spark, table).toSet
+    val committed = SnapshotTable.generations(spark, table)
     val out = ArrayBuffer.empty[InputPartition]
     for (g <- from + 1 to to if committed.contains(g)) {
+      // The full-list branch is ONLY correct as the INITIAL load of a
+      // consumer that has consumed nothing (offset 0, earliest
+      // surviving generation — which serves the whole snapshot
+      // including carried files). In every other parent-less case the
+      // manifest needed for the diff was expired mid-consumption, and
+      // emitting g's full list would re-deliver carried-forward files
+      // the consumer already saw — fail loudly instead (the lakehouse
+      // "retention outran the stream" error).
       val (added, removed) =
-        if (committed.contains(g - 1)) SnapshotTable.changedFiles(spark, table, g - 1, g)
-        else (SnapshotTable.listFiles(spark, table, g), Seq.empty[String])
+        if (committed.contains(g - 1))
+          SnapshotTable.changedFiles(spark, table, g - 1, g)
+        else if (from == 0L && g == committed.min)
+          (SnapshotTable.listFiles(spark, table, g), Seq.empty[String])
+        else
+          throw new IllegalStateException(
+            s"cannot plan generation hop ${g - 1}->$g of $table: the parent " +
+              "manifest was expired while this consumer still needed the " +
+              "diff - retention outran the stream's replayable window")
       if (removed.nonEmpty && !skipRewrites)
         throw new IllegalStateException(
           s"generation $g of $table rewrites ${removed.size} file(s) " +

@@ -145,6 +145,36 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(pruned.as[String].collect().toSet === Set("text 1", "text 2", "text 3"))
   }
 
+  test("retention that outruns the consumer fails loudly; initial loads still work") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapretain").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+
+    // A FRESH consumer starting after expire serves the earliest
+    // surviving snapshot in full, then diffs forward — correct.
+    SnapshotTable.expire(spark, table, keepFrom = 2L)
+    val q1 = tail(table, s"$root/ckpt_fresh", "snap_fresh")
+    try {
+      q1.processAllAvailable()
+      assert(seen("snap_fresh") === Set(1L, 2L, 3L))
+      assert(spark.table("snap_fresh").count() === 3L,
+        "initial load = gen 2 full snapshot, then the 2->3 diff")
+    } finally q1.stop()
+
+    // A consumer whose checkpoint predates the expired manifests must
+    // NOT silently re-deliver carried files: planning the un-diffable
+    // hop is an error.
+    val stream = new SnapshotMicroBatchStream(table, spark.table("snap_fresh").schema,
+      skipRewrites = false)
+    val ex = intercept[IllegalStateException] {
+      stream.planInputPartitions(GenOffset(1L), GenOffset(3L))
+    }
+    assert(ex.getMessage.contains("retention outran"))
+  }
+
   test("pushed range filters prune files through the manifest zone maps") {
     import spark.implicits._
     val root = Files.createTempDirectory("snappush").toString
