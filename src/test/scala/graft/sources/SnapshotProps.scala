@@ -88,6 +88,20 @@ object SnapshotProps extends Properties("SnapshotTable") {
           new java.io.File(p.stripPrefix("file:")).exists
         }
       }
-      gensMatch && contentMatch && filesIntact
+      // CDC conservation across every surviving hop, whatever op
+      // produced it (append OR compaction): the manifest diff must
+      // satisfy model(g−1) ⊎ added = model(g) ⊎ removed as id
+      // multisets — the invariant src_snapshot_changes and the
+      // streaming source's planner both stand on.
+      val cdcMatch = live.sliding(2).forall {
+        case scala.collection.Seq(a, b) if b == a + 1 =>
+          val (added, removed) = SnapshotTable.changedFiles(spark, table, a, b)
+          def rows(ps: Seq[String]): List[Long] =
+            if (ps.isEmpty) Nil
+            else spark.read.parquet(ps: _*).as[Long].collect().toList
+          (rows(added) ++ model(a)).sorted == (rows(removed) ++ model(b)).sorted
+        case _ => true
+      }
+      gensMatch && contentMatch && filesIntact && cdcMatch
     }
 }
