@@ -307,6 +307,20 @@ object SourceOps {
   /** The init/append/compact 3-generation fixture shared by
     * [[snapshotRoundtrip]] and [[snapshotExpire]].
     */
+  /** Memoized pointer to the shared READ-ONLY 3-generation fixture:
+    * `src_snapshot` is the designated measured build (rebuilds
+    * unconditionally, the [[graft.SessionArtifact]] contract), the
+    * read-only consumers (`src_snapshot_changes` / `_history` /
+    * `src_connector_read`) ensure-build — one fixture per (JVM, sf
+    * dir) instead of one per query. Queries that MUTATE their table
+    * (`_expire`) or need different content (`_skip*`, `_merge`,
+    * `_optimize`, `pipeline_lakehouse`) keep private tables.
+    */
+  private val genFixture = new graft.SessionArtifact("snapgens")
+
+  private def sharedThreeGens(spark: SparkSession, dir: String): String =
+    genFixture.ensure(dir)(p => buildThreeGens(spark, dir, p))
+
   private def buildThreeGens(spark: SparkSession, dir: String, table: String): Unit = {
     val orders = Tables.orders(spark, dir)
     SnapshotTable.commit(
@@ -319,8 +333,7 @@ object SourceOps {
   }
 
   def snapshotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable(spark, "snapshot_orders")
-    buildThreeGens(spark, dir, table)
+    val table = genFixture.rebuild(dir)(p => buildThreeGens(spark, dir, p))
     Seq(1L, 2L, 3L).map { g =>
       SnapshotTable.readAs(spark, table, g)
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
@@ -391,8 +404,7 @@ object SourceOps {
     * `inputFiles` never touches a carried-forward file.
     */
   def snapshotChanges(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable(spark, "snapshot_changes")
-    buildThreeGens(spark, dir, table)
+    val table = sharedThreeGens(spark, dir)
     def hop(fromGen: Long, toGen: Long): DataFrame = {
       val (added, removed) = SnapshotTable.changedFiles(spark, table, fromGen, toGen)
       def stats(paths: Seq[String]): DataFrame =
@@ -426,8 +438,7 @@ object SourceOps {
     * metadata path is value-gated, not trusted.
     */
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable(spark, "snapshot_history")
-    buildThreeGens(spark, dir, table)
+    val table = sharedThreeGens(spark, dir)
     val gens = SnapshotTable.generations(spark, table)
     val rows = gens.map { g =>
       val files = SnapshotTable.listFiles(spark, table, g)
@@ -457,8 +468,7 @@ object SourceOps {
     * breaks the hash.
     */
   def connectorRead(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable(spark, "snapshot_connector")
-    buildThreeGens(spark, dir, table)
+    val table = sharedThreeGens(spark, dir)
     def readGen(g: Long): DataFrame = spark.read
       .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
       .option("path", table).option("generation", g).load()
