@@ -212,6 +212,27 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(df.select("doc_id").as[Long].collect().toSet === (12L to 25L).toSet)
   }
 
+  test("schema evolution degrades to nulls in the connector's by-name decode") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapevolve").toString
+    val table = s"$root/table"
+    // Gen 1 predates the `score` column; gen 2 appends files that
+    // carry it. Schema inference unions the footers (mergeSchema), and
+    // the by-name row decode must null-fill the old files' missing
+    // column instead of misaligning positions.
+    SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), table, 1L)
+    SnapshotTable.commit(Seq((3L, "c", 9L)).toDF("doc_id", "text", "score"),
+      table, 2L, carryFrom = Some(1L))
+
+    val df = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    assert(df.schema.fieldNames.toSet === Set("doc_id", "text", "score"))
+    val rows = df.select("doc_id", "score")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(9L)))
+  }
+
   test("closed loop: the transactional sink feeds the source through the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
