@@ -58,7 +58,22 @@ object SnapshotTable {
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
     val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
-    publish(spark, table, gen, carried ++ fresh, replace)
+    // Tombstones carry THROUGH appends: dropping them here would
+    // resurrect every merge-on-read-deleted row in the new generation.
+    // (Key-level tombstones apply to the whole snapshot, so an
+    // appended row under a deleted key stays invisible until a
+    // materialization purges — the documented MoR semantic.)
+    val carriedDels = carryFrom.toSeq
+      .flatMap(g => listDeleteFiles(spark, table, g))
+    if (carriedDels.isEmpty)
+      publish(spark, table, gen, carried ++ fresh, replace)
+    else {
+      import spark.implicits._
+      val rows = (carried ++ fresh).map(_ -> "data") ++
+        carriedDels.map(_ -> "delete")
+      writeManifest(spark, table, gen, replace,
+        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+    }
     // Post-switch cleanup: earlier attempts of THIS generation are now
     // unreferenced by any manifest (older generations list their own
     // paths; this generation's manifest lists only the fresh attempt).
@@ -158,15 +173,72 @@ object SnapshotTable {
     }
   }
 
-  /** The file list of generation `gen` — one driver-side collect of a
-    * per-FILE relation (bounded by file count, never data size).
+  /** The DATA file list of generation `gen` — one driver-side collect
+    * of a per-FILE relation (bounded by file count, never data size).
+    * Tombstone entries of a merge-on-read manifest ([[commitDeletes]])
+    * are excluded: they are not data and must never enter a scan.
     */
   def listFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
     import spark.implicits._
+    val m = spark.read.parquet(manifestPath(table, gen))
+    val data = if (m.columns.contains("kind"))
+      m.filter(org.apache.spark.sql.functions.col("kind") === "data") else m
     // distinct: a multi-column stats manifest lists a path once per
     // recorded dimension.
-    spark.read.parquet(manifestPath(table, gen))
+    data.select("path").distinct().as[String].collect().toSeq.sorted
+  }
+
+  /** The TOMBSTONE file list of generation `gen` — empty for every
+    * manifest form except merge-on-read ([[commitDeletes]]).
+    */
+  def listDeleteFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
+    import spark.implicits._
+    val m = spark.read.parquet(manifestPath(table, gen))
+    if (!m.columns.contains("kind")) Seq.empty
+    else m.filter(org.apache.spark.sql.functions.col("kind") === "delete")
       .select("path").distinct().as[String].collect().toSeq.sorted
+  }
+
+  /** MERGE-ON-READ delete commit: `keys` (a one-column frame of the
+    * key values to delete) lands as a TOMBSTONE parquet under a
+    * generation-private directory, and the manifest carries the parent
+    * generation's data files VERBATIM plus the tombstones (parent
+    * tombstones carried too — deletes accumulate until a
+    * materialization purges them). No data file is rewritten: a delete
+    * costs O(tombstone), not a table rewrite — the other half of the
+    * COW-vs-MoR trade next to [[SourceOps.snapshotMerge]]'s
+    * copy-on-write. Readers pay for it instead: [[readMor]] anti-joins
+    * the tombstone keys on every scan until a fresh [[commit]] of the
+    * materialized view purges them.
+    */
+  def commitDeletes(keys: DataFrame, table: String, gen: Long,
+      carryFrom: Long): Unit = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
+    keys.write.mode("overwrite").parquet(delDir)
+    val fresh = spark.read.parquet(delDir).inputFiles.toSeq
+    val rows =
+      listFiles(spark, table, carryFrom).map(_ -> "data") ++
+        (listDeleteFiles(spark, table, carryFrom) ++ fresh).map(_ -> "delete")
+    writeManifest(spark, table, gen, replace = false,
+      rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+  }
+
+  /** Read generation `gen` with its merge-on-read tombstones applied:
+    * the data scan is exactly the manifest's data files, and the
+    * accumulated delete keys anti-join on `keyCol`. For a generation
+    * with no tombstones this IS [[readAs]] (no join in the plan).
+    */
+  def readMor(spark: SparkSession, table: String, gen: Long,
+      keyCol: String): DataFrame = {
+    val dels = listDeleteFiles(spark, table, gen)
+    val data = readAs(spark, table, gen)
+    if (dels.isEmpty) data
+    else data.join(
+      spark.read.parquet(dels: _*)
+        .select(org.apache.spark.sql.functions.col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
   }
 
   /** Read the table AS OF generation `gen`: the scan's file set is
@@ -396,8 +468,14 @@ object SnapshotTable {
   def expire(spark: SparkSession, table: String, keepFrom: Long): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (dead, live) = generations(spark, table).partition(_ < keepFrom)
-    val liveFiles = live.flatMap(g => listFiles(spark, table, g)).toSet
-    val deadFiles = dead.flatMap(g => listFiles(spark, table, g)).toSet
+    // Tombstone files are manifest-referenced content too: a surviving
+    // merge-on-read generation needs its delete files to serve the
+    // right rows, and an expired one's tombstones are orphans like any
+    // other unreferenced file.
+    def allFiles(g: Long): Seq[String] =
+      listFiles(spark, table, g) ++ listDeleteFiles(spark, table, g)
+    val liveFiles = live.flatMap(allFiles).toSet
+    val deadFiles = dead.flatMap(allFiles).toSet
     dead.foreach { g =>
       val m = new org.apache.hadoop.fs.Path(manifestPath(table, g))
       m.getFileSystem(conf).delete(m, true)
@@ -416,7 +494,16 @@ object SnapshotTable {
     * untouched — that is what keeps time travel to the pre-compaction
     * generation alive.
     */
-  def compact(spark: SparkSession, table: String, fromGen: Long, files: Int): Unit =
+  def compact(spark: SparkSession, table: String, fromGen: Long, files: Int): Unit = {
+    // A compaction reads the PURE data files; compacting a
+    // merge-on-read generation this way would resurrect its deleted
+    // rows. Materializing a MoR generation is a key-aware operation —
+    // commit(readMor(...)) — and must be requested as one.
+    require(listDeleteFiles(spark, table, fromGen).isEmpty,
+      s"generation $fromGen of $table carries merge-on-read tombstones; " +
+        "compact would resurrect deleted rows - materialize via " +
+        "commit(readMor(...)) instead")
     commit(readAs(spark, table, fromGen).repartition(files),
       table, fromGen + 1)
+  }
 }

@@ -486,6 +486,54 @@ object SourceOps {
     readGen(1L).unionByName(readGen(2L)).orderBy("gen")
   }
 
+  /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
+  val MorDeleteMod = 10L
+
+  /** Output files of [[snapshotMor]]'s materialization commit. */
+  val MorMaterializeFiles = 2
+
+  /** MERGE-ON-READ deletes over the snapshot layer — the other half of
+    * the COW/MoR trade next to [[snapshotMerge]]'s copy-on-write:
+    *  - gen 1: the base table ([[SnapInitFiles]] files);
+    *  - gen 2: DELETE WHERE key % [[MorDeleteMod]] = 3 as ONE tombstone
+    *    commit — the manifest carries every base data file VERBATIM
+    *    plus one delete file, so the delete costs O(deleted keys), not
+    *    a table rewrite; readers pay the anti-join instead
+    *    ([[SnapshotTable.readMor]]);
+    *  - gen 3: the materialization — `commit(readMor(gen 2))` rewrites
+    *    the VISIBLE rows and purges the tombstones (plain `compact`
+    *    REFUSES a tombstoned generation: it reads pure data files and
+    *    would resurrect the deleted rows — spec-pinned).
+    * Per generation the report carries data/tombstone file counts from
+    * the manifest and the VISIBLE content stats; gens 2 and 3 must
+    * agree on content while differing in file shape. All value-gated
+    * from the delete predicate and layout constants.
+    */
+  def snapshotMor(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_mor")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    SnapshotTable.commit(orders.repartition(SnapInitFiles), table, 1L)
+    SnapshotTable.commitDeletes(
+      orders.filter(col("o_orderkey") % MorDeleteMod === 3)
+        .select("o_orderkey").repartition(1),
+      table, 2L, carryFrom = 1L)
+    SnapshotTable.commit(
+      SnapshotTable.readMor(spark, table, 2L, "o_orderkey")
+        .repartition(MorMaterializeFiles),
+      table, 3L)
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readMor(spark, table, g, "o_orderkey")
+        .agg(count(lit(1)).as("visible_rows"),
+          sum("o_orderkey").as("visible_key_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong)
+            .as("n_data_files"),
+          lit(SnapshotTable.listDeleteFiles(spark, table, g).size.toLong)
+            .as("n_delete_files"),
+          col("visible_rows"), col("visible_key_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** File counts for [[lakehousePipeline]]'s two commits, mirrored in
     * the oracle.
     */
@@ -893,6 +941,7 @@ object SourceOps {
     "src_snapshot_history" -> (snapshotHistory _),
     "src_connector_read" -> (connectorRead _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
+    "src_snapshot_mor" -> (snapshotMor _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -1025,6 +1074,28 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // MoR twin: visibility re-derived from the delete predicate; file
+    // shapes from the layout constants (base files carried verbatim +
+    // one tombstone, then the materialized rewrite).
+    "src_snapshot_mor" ->
+      s"""WITH al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders),
+         |vis AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders WHERE o_orderkey % $MorDeleteMod <> 3)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_data_files,
+         |       CAST(0 AS BIGINT) AS n_delete_files,
+         |       n AS visible_rows, ks AS visible_key_sum
+         |FROM al
+         |UNION ALL
+         |SELECT 2, $SnapInitFiles, 1, n, ks FROM vis
+         |UNION ALL
+         |SELECT 3, $MorMaterializeFiles, 0, n, ks FROM vis
+         |ORDER BY gen""".stripMargin,
     // Lakehouse-loop twin: the whole composition re-derived from the
     // shared split bucketing and content hash; cdc_added must equal
     // accepted BY CONSTRUCTION (the manifest diff of an append is the

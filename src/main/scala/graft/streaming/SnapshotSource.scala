@@ -234,6 +234,22 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
             "(compaction or merge); a file-level tail cannot express it as " +
             "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
             "skip content-neutral rewrites")
+      // A merge-on-read delete hop changes no data file at all — the
+      // change is row-level and invisible to an append tail. Same
+      // contract as rewrites: throw unless explicitly skipped (the
+      // ignoreDeletes analogue: the opted-in consumer keeps rows the
+      // table has deleted).
+      if (!skipRewrites && committed.contains(g - 1)) {
+        val prevDels = SnapshotTable.listDeleteFiles(spark, table, g - 1).toSet
+        val freshDels = SnapshotTable.listDeleteFiles(spark, table, g)
+          .filterNot(prevDels)
+        if (freshDels.nonEmpty)
+          throw new IllegalStateException(
+            s"generation $g of $table adds ${freshDels.size} merge-on-read " +
+              "tombstone file(s); row-level deletes are not expressible as " +
+              "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
+              "ignore deletes")
+      }
       if (removed.isEmpty) out ++= added.map(SnapshotFilePartition(_))
     }
     out.toArray

@@ -86,6 +86,75 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(added === removed)
   }
 
+  test("merge-on-read: tombstones carry, compact refuses, expire reaps them") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_mor_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(orders.select("o_orderkey").repartition(4), table, 1L)
+    SnapshotTable.commitDeletes(
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
+        .repartition(1),
+      table, 2L, carryFrom = 1L)
+
+    // The delete rewrote NOTHING: gen 2's data files are gen 1's
+    // verbatim, plus exactly one tombstone entry.
+    val f1 = SnapshotTable.listFiles(spark, table, 1L)
+    assert(SnapshotTable.listFiles(spark, table, 2L) === f1)
+    val dels = SnapshotTable.listDeleteFiles(spark, table, 2L)
+    assert(dels.size === 1)
+    assert(SnapshotTable.listDeleteFiles(spark, table, 1L).isEmpty)
+
+    // Visibility: readMor applies the anti-join; readAs still serves
+    // the raw data files (time travel to pre-delete content via gen 1).
+    val odd = orders.filter(col("o_orderkey") % 2 =!= 0).count()
+    assert(SnapshotTable.readMor(spark, table, 2L, "o_orderkey").count() === odd)
+    assert(SnapshotTable.readAs(spark, table, 1L).count() === orders.count())
+
+    // A pure-data compaction of the tombstoned generation would
+    // resurrect deleted rows — it must refuse.
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, table, 2L, 2)
+    }
+    assert(ex.getMessage.contains("resurrect"))
+
+    // Materialization purges: commit(readMor) has no tombstones and a
+    // tombstone-free readMor plans NO join (it IS readAs).
+    SnapshotTable.commit(
+      SnapshotTable.readMor(spark, table, 2L, "o_orderkey").repartition(2),
+      table, 3L)
+    assert(SnapshotTable.listDeleteFiles(spark, table, 3L).isEmpty)
+    val plan = SnapshotTable.readMor(spark, table, 3L, "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert(SnapshotTable.readMor(spark, table, 3L, "o_orderkey").count() === odd)
+
+    // Expire below the materialization: gen 2's tombstone file is an
+    // orphan (only gen 2 referenced it) and must be reaped with the
+    // rest; the survivor keeps serving.
+    SnapshotTable.expire(spark, table, keepFrom = 3L)
+    assert(!new java.io.File(dels.head.stripPrefix("file:")).exists,
+      "expired tombstone files are orphans like any other")
+    assert(SnapshotTable.readMor(spark, table, 3L, "o_orderkey").count() === odd)
+  }
+
+  test("merge-on-read: tombstones carry through a plain append") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_mor_carry_spec")
+    SnapshotTable.commit(Seq(1L, 2L, 3L, 4L).toDF("o_orderkey"), table, 1L)
+    SnapshotTable.commitDeletes(Seq(2L, 4L).toDF("o_orderkey"),
+      table, 2L, carryFrom = 1L)
+    // An append that dropped the carried tombstones would resurrect
+    // the deleted rows; a key-level tombstone also keeps suppressing a
+    // RE-INSERTED key until a materialization purges (the documented
+    // whole-snapshot semantic).
+    SnapshotTable.commit(Seq(5L, 4L).toDF("o_orderkey"), table, 3L,
+      carryFrom = Some(2L))
+    assert(SnapshotTable.listDeleteFiles(spark, table, 3L) ===
+      SnapshotTable.listDeleteFiles(spark, table, 2L))
+    assert(SnapshotTable.readMor(spark, table, 3L, "o_orderkey")
+      .as[Long].collect().toSet === Set(1L, 3L, 5L))
+  }
+
   test("conflicting commit to an existing generation fails; history keeps serving") {
     val table = graft.Scratch.dir("conflict_spec")
     val orders = Tables.orders(spark, dir)

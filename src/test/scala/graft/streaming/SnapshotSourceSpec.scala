@@ -145,6 +145,23 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(pruned.as[String].collect().toSet === Set("text 1", "text 2", "text 3"))
   }
 
+  test("merge-on-read delete hops throw like rewrites") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapmordel").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L, 3L), table, 1L)
+    SnapshotTable.commitDeletes(Seq(2L).toDF("doc_id"), table, 2L, carryFrom = 1L)
+
+    val q = tail(table, s"$root/ckpt", "snap_mor")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    def msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("|")
+    assert(msgs.contains("tombstone"))
+  }
+
   test("retention that outruns the consumer fails loudly; initial loads still work") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapretain").toString
