@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -125,6 +125,12 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
     // Batch reads default to the latest snapshot; `generation` is the
     // connector's time-travel knob.
     val generation = Option(options.get("generation")).map(_.toLong)
+    // Admission control: cap how many generation hops one micro-batch
+    // may cover (the maxFilesPerTrigger analogue) — a consumer starting
+    // against a long history backfills in bounded batches instead of
+    // one giant initial batch.
+    val maxGensPerBatch = options.getLong("maxGensPerBatch", Long.MaxValue)
+    require(maxGensPerBatch > 0, "maxGensPerBatch must be positive")
     // Column pruning reaches the row decoder: readers resolve and
     // convert ONLY the pruned schema's fields, so a 2-column
     // projection over a wide table skips the other columns' value
@@ -152,7 +158,8 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(table, required, skipRewrites)
+          new SnapshotMicroBatchStream(table, required, skipRewrites,
+            maxGensPerBatch)
         override def toBatch: Batch =
           new SnapshotBatch(table, required, generation,
             SnapshotSource.boundsOf(pushed))
@@ -191,7 +198,9 @@ private[streaming] case class GenOffset(gen: Long) extends Offset {
 }
 
 private[streaming] class SnapshotMicroBatchStream(table: String,
-    schema: StructType, skipRewrites: Boolean) extends MicroBatchStream {
+    schema: StructType, skipRewrites: Boolean,
+    maxGensPerBatch: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -200,6 +209,21 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   override def latestOffset(): Offset = {
     val gens = SnapshotTable.generations(spark, table)
     GenOffset(if (gens.isEmpty) 0L else gens.max)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Rate-limited offset selection: one micro-batch advances at most
+    * [[maxGensPerBatch]] generations past `start`, so a consumer
+    * pointed at a deep history catches up in bounded steps.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GenOffset].gen
+    val latest = latestOffset().asInstanceOf[GenOffset].gen
+    // Saturating add: the unlimited default is Long.MaxValue.
+    val cap = if (Long.MaxValue - from < maxGensPerBatch) Long.MaxValue
+      else from + maxGensPerBatch
+    GenOffset(math.min(latest, cap))
   }
 
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)

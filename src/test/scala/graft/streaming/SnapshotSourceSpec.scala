@@ -145,6 +145,31 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(pruned.as[String].collect().toSet === Set("text 1", "text 2", "text 3"))
   }
 
+  test("maxGensPerBatch backfills a deep history in bounded micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapadmit").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).option("maxGensPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Three generations, capped at one hop per micro-batch: three
+    // non-empty batches of one row each, nothing duplicated or lost.
+    val sizes = batches.toArray(Array.empty[java.lang.Long]).map(Long.unbox).toSeq
+    assert(sizes.filter(_ > 0) === Seq(1L, 1L, 1L))
+  }
+
   test("merge-on-read delete hops throw like rewrites") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapmordel").toString
