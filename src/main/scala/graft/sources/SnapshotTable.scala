@@ -57,23 +57,7 @@ object SnapshotTable {
     val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
-    val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
-    // Tombstones carry THROUGH appends: dropping them here would
-    // resurrect every merge-on-read-deleted row in the new generation.
-    // (Key-level tombstones apply to the whole snapshot, so an
-    // appended row under a deleted key stays invisible until a
-    // materialization purges — the documented MoR semantic.)
-    val carriedDels = carryFrom.toSeq
-      .flatMap(g => listDeleteFiles(spark, table, g))
-    if (carriedDels.isEmpty)
-      publish(spark, table, gen, carried ++ fresh, replace)
-    else {
-      import spark.implicits._
-      val rows = (carried ++ fresh).map(_ -> "data") ++
-        carriedDels.map(_ -> "delete")
-      writeManifest(spark, table, gen, replace,
-        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
-    }
+    publishAppend(spark, table, gen, fresh, carryFrom, replace)
     // Post-switch cleanup: earlier attempts of THIS generation are now
     // unreferenced by any manifest (older generations list their own
     // paths; this generation's manifest lists only the fresh attempt).
@@ -88,6 +72,32 @@ object SnapshotTable {
       fs.listStatus(gp).map(_.getPath)
         .filter(p => p.getName.startsWith("a=") && p.getName != s"a=$attempt")
         .foreach(p => fs.delete(p, true))
+    }
+  }
+
+  /** Publish `fresh` as generation `gen`, carrying `carryFrom`'s files
+    * forward — the manifest half of [[commit]], shared with writers
+    * that stage their own data files (the DataSource V2 write path).
+    * Tombstones carry THROUGH appends: dropping them would resurrect
+    * every merge-on-read-deleted row in the new generation. (Key-level
+    * tombstones apply to the whole snapshot, so an appended row under
+    * a deleted key stays invisible until a materialization purges —
+    * the documented MoR semantic.)
+    */
+  def publishAppend(spark: SparkSession, table: String, gen: Long,
+      fresh: Seq[String], carryFrom: Option[Long],
+      replace: Boolean = false): Unit = {
+    val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
+    val carriedDels = carryFrom.toSeq
+      .flatMap(g => listDeleteFiles(spark, table, g))
+    if (carriedDels.isEmpty)
+      publish(spark, table, gen, carried ++ fresh, replace)
+    else {
+      import spark.implicits._
+      val rows = (carried ++ fresh).map(_ -> "data") ++
+        carriedDels.map(_ -> "delete")
+      writeManifest(spark, table, gen, replace,
+        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
     }
   }
 

@@ -486,6 +486,39 @@ object SourceOps {
     readGen(1L).unionByName(readGen(2L)).orderBy("gen")
   }
 
+  /** The ENCODE half of the connector gate ([[connectorRead]] is the
+    * decode half): orders rows flow TO a fresh snapshot table through
+    * the DataSource V2 write path (`df.write.format(connector)` — the
+    * Group-API parquet encoder, generation-per-append commits), then
+    * back out through a PLAIN `spark.read.parquet` of the committed
+    * manifests, and the same decode-sensitive aggregate must match
+    * DuckDB over the original table. A writer that mangled any
+    * primitive branch — long, UTF8 string, double, micros timestamp —
+    * or lost rows across the two appends breaks the hash; so would an
+    * append whose manifest dropped the first generation's files.
+    */
+  def connectorWrite(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_connector_write")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", table).mode("append").save()
+    append(orders.filter(col("o_orderkey") % 3 === 0))
+    append(orders.filter(col("o_orderkey") % 3 =!= 0))
+    def statsOf(g: Long): DataFrame =
+      SnapshotTable.readAs(spark, table, g)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"),
+          sum(length(col("o_orderstatus"))).as("status_chars"),
+          expr("CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT)")
+            .as("price_micro"),
+          min(unix_micros(col("o_orderdate").cast("timestamp"))).as("ts_min"))
+        .select(lit(g).as("gen"), col("n_rows"), col("key_sum"),
+          col("status_chars"), col("price_micro"), col("ts_min"))
+    statsOf(1L).unionByName(statsOf(2L)).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -942,6 +975,7 @@ object SourceOps {
     "src_connector_read" -> (connectorRead _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_mor" -> (snapshotMor _),
+    "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -1074,6 +1108,27 @@ object SourceOps {
     // table in both phases; manifest and distinct-live-file counts from
     // the generated constants (the append generation SHARES the init
     // files, so live-before counts each path once).
+    // Encode twin: gen 1 is the first append's predicate, gen 2 is
+    // the whole table; DuckDB reads the ORIGINAL parquet.
+    "src_connector_write" ->
+      s"""WITH g1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |         CAST(sum(length(o_orderstatus)) AS BIGINT) AS status_chars,
+         |         CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+         |         CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS ts_min
+         |  FROM orders WHERE o_orderkey % 3 = 0),
+         |g2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |         CAST(sum(length(o_orderstatus)) AS BIGINT) AS status_chars,
+         |         CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+         |         CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS ts_min
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen, * FROM g1
+         |UNION ALL
+         |SELECT 2, * FROM g2
+         |ORDER BY gen""".stripMargin,
     // MoR twin: visibility re-derived from the delete predicate; file
     // shapes from the layout constants (base files carried verbatim +
     // one tombstone, then the materialized rewrite).

@@ -11,10 +11,11 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,6 +65,11 @@ class SnapshotSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotSource.latestSchema(SnapshotSource.tableRoot(options))
 
+  // Writes to a not-yet-existing table have no schema to infer; with
+  // external metadata allowed, Spark hands the dataframe's schema to
+  // getTable instead. Reads still infer from the latest manifest.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SnapshotSourceTable(
@@ -108,17 +114,69 @@ private[streaming] object SnapshotSource {
     filters.flatMap(boundOf).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
+
+  /** The parquet schema for the write path — the same primitive set
+    * the readers decode, with the standard logical annotations so a
+    * plain `spark.read.parquet` round-trips the types.
+    */
+  def messageTypeOf(schema: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        case IntegerType => Types.optional(INT32)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case dt => throw new UnsupportedOperationException(
+          s"snapshot writer supports primitive columns; got $dt for ${f.name}")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("spark_schema")
+  }
 }
 
 private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"snapshot:$table"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  /** The WRITE path: `df.write.format(...).mode("append").save()`
+    * stages one parquet file per task under a writer-unique attempt
+    * directory (encoded through the same public Group API the readers
+    * decode with), and the driver-side commit publishes them as the
+    * NEXT generation carrying the previous one's files verbatim — the
+    * same append-without-rewrite, first-writer-wins, manifest-as-
+    * commit-point protocol every other writer uses. Two racing
+    * appends cannot both land on one generation: the loser's publish
+    * throws and its staged files are swept.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SnapshotBatchWrite(table, info.schema())
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val skipRewrites = options.getBoolean("skipRewrites", false)
@@ -296,6 +354,110 @@ private[streaming] class SnapshotReaderFactory(schema: StructType)
     val path = partition.asInstanceOf[SnapshotFilePartition].path
     new SnapshotFileReader(path, schema)
   }
+}
+
+private[streaming] case class SnapshotWriteMessage(path: String)
+    extends WriterCommitMessage
+
+/** Driver-side transactional append: tasks stage one parquet file each
+  * under a writer-unique attempt directory; `commit` resolves the NEXT
+  * generation at commit time and publishes the staged files through
+  * [[SnapshotTable.publishAppend]] — the same append-without-rewrite,
+  * first-writer-wins, manifest-as-commit-point protocol as every other
+  * writer. A lost race (or an abort) sweeps the staged files; nothing
+  * is visible to readers until the manifest rename.
+  */
+private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
+    extends BatchWrite {
+
+  private val stageDir =
+    s"$table/data/staged/a=${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotWriterFactory(stageDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val gens = SnapshotTable.generations(spark, table)
+    val gen = if (gens.isEmpty) 1L else gens.max + 1
+    try SnapshotTable.publishAppend(spark, table, gen, files,
+      carryFrom = gens.maxOption)
+    catch { case e: Throwable => sweep(); throw e }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
+
+  private def sweep(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+private[streaming] class SnapshotWriterFactory(stageDir: String,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotFileWriter(
+      s"$stageDir/part-$partitionId-$taskId.parquet", schema)
+}
+
+/** Row-by-row parquet ENCODE of one staged file through the public
+  * Group API — the mirror of [[SnapshotFileReader]]'s decode, same
+  * primitive-type dispatch.
+  */
+private[streaming] class SnapshotFileWriter(path: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+
+  private val msgType = SnapshotSource.messageTypeOf(schema)
+  private val writer = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(msgType, conf)
+    ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+  }
+  private val factory = new SimpleGroupFactory(msgType)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          g.add(f.name, row.getLong(i))
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name, row.getUTF8String(i).toString)
+        case BinaryType => g.add(f.name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+        case dt => throw new UnsupportedOperationException(
+          s"snapshot writer supports primitive columns; got $dt for ${f.name}")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    SnapshotWriteMessage(path)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new Configuration()).delete(p, false)
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Row-by-row parquet decode of one data file through the public

@@ -275,6 +275,37 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(9L)))
   }
 
+  test("DataFrameWriter appends commit generations through the connector") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapwrite").toString
+    val table = s"$root/table"
+
+    def append(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table).mode("append").save()
+
+    // First write creates generation 1 (no schema to infer yet — the
+    // dataframe's own schema flows through external metadata).
+    append(docsDf(1L, 2L))
+    append(docsDf(3L))
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L))
+
+    // Append-without-rewrite holds for connector writes too.
+    val f1 = SnapshotTable.listFiles(spark, table, 1L).toSet
+    assert(f1.subsetOf(SnapshotTable.listFiles(spark, table, 2L).toSet))
+
+    // Round-trip BOTH ways: the connector's own readers and a plain
+    // spark.read.parquet must see identical typed content.
+    assert(SnapshotTable.readAs(spark, table, 2L)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    val viaConnector = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(viaConnector === Set((1L, "text 1"), (2L, "text 2"), (3L, "text 3")))
+
+  }
+
   test("closed loop: the transactional sink feeds the source through the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
