@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -158,7 +159,7 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   /** The WRITE path: `df.write.format(...).mode("append").save()`
     * stages one parquet file per task under a writer-unique attempt
@@ -175,6 +176,8 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new SnapshotBatchWrite(table, info.schema())
+        override def toStreaming: StreamingWrite =
+          new SnapshotStreamingWrite(table, info.schema())
       }
     }
 
@@ -397,10 +400,51 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
 }
 
 private[streaming] class SnapshotWriterFactory(stageDir: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType) extends DataWriterFactory
+    with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotFileWriter(
       s"$stageDir/part-$partitionId-$taskId.parquet", schema)
+  // Streaming epochs stage under epoch-scoped directories so a
+  // replayed epoch never collides with its failed attempt's files.
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new SnapshotFileWriter(
+      s"$stageDir/e=$epochId/part-$partitionId-$taskId.parquet", schema)
+}
+
+/** The NATIVE streaming sink — [[SnapshotStream.snapshotIngest]]'s
+  * contract (micro-batch N commits generation N+1, a same-epoch replay
+  * re-publishes its own generation) expressed through the connector
+  * API instead of `foreachBatch`: `writeStream.format(connector)`
+  * resolves here via `STREAMING_WRITE`. Exactly-once is structural for
+  * the same reason as the foreachBatch sink: the epoch id IS the
+  * generation, and `replace = true` republishes a replayed epoch over
+  * itself while every older generation's manifest stays untouched.
+  */
+private[streaming] class SnapshotStreamingWrite(table: String, schema: StructType)
+    extends StreamingWrite {
+
+  private val stageDir =
+    s"$table/data/streamed/a=${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SnapshotWriterFactory(stageDir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val gen = epochId + 1
+    SnapshotTable.publishAppend(spark, table, gen, files,
+      carryFrom = if (gen > 1) Some(gen - 1) else None, replace = true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stageDir/e=$epochId")
+    p.getFileSystem(new Configuration()).delete(p, true)
+    ()
+  }
 }
 
 /** Row-by-row parquet ENCODE of one staged file through the public
