@@ -111,7 +111,7 @@ object SnapshotTable {
     * writer stages in isolation and the manifest swap alone decides the
     * winner.
     */
-  private def attemptName(): String =
+  private[graft] def attemptName(): String =
     s"${ProcessHandle.current().pid()}_${attemptSeq.incrementAndGet()}"
 
   /** Publish generation `gen` as an explicit file list — the commit
@@ -188,25 +188,53 @@ object SnapshotTable {
     * Tombstone entries of a merge-on-read manifest ([[commitDeletes]])
     * are excluded: they are not data and must never enter a scan.
     */
-  def listFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
-    import spark.implicits._
-    val m = spark.read.parquet(manifestPath(table, gen))
-    val data = if (m.columns.contains("kind"))
-      m.filter(org.apache.spark.sql.functions.col("kind") === "data") else m
-    // distinct: a multi-column stats manifest lists a path once per
-    // recorded dimension.
-    data.select("path").distinct().as[String].collect().toSeq.sorted
-  }
+  def listFiles(spark: SparkSession, table: String, gen: Long): Seq[String] =
+    manifestEntries(spark, table, gen)._1
 
   /** The TOMBSTONE file list of generation `gen` — empty for every
     * manifest form except merge-on-read ([[commitDeletes]]).
     */
-  def listDeleteFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
+  def listDeleteFiles(spark: SparkSession, table: String, gen: Long): Seq[String] =
+    manifestEntries(spark, table, gen)._2
+
+  /** Both halves of generation `gen`'s manifest — `(data files,
+    * tombstone files)` — in ONE manifest read. Planning paths that
+    * need both (the streaming source's hop planner) use this instead
+    * of paying two `spark.read.parquet` + collect rounds per
+    * generation.
+    */
+  def manifestEntries(spark: SparkSession, table: String,
+      gen: Long): (Seq[String], Seq[String]) = {
     import spark.implicits._
     val m = spark.read.parquet(manifestPath(table, gen))
-    if (!m.columns.contains("kind")) Seq.empty
-    else m.filter(org.apache.spark.sql.functions.col("kind") === "delete")
-      .select("path").distinct().as[String].collect().toSeq.sorted
+    if (!m.columns.contains("kind"))
+      (m.select("path").distinct().as[String].collect().toSeq.sorted, Seq.empty)
+    else {
+      val rows = m.select("path", "kind").distinct()
+        .as[(String, String)].collect().toSeq
+      (rows.collect { case (p, "data") => p }.distinct.sorted,
+        rows.collect { case (p, "delete") => p }.distinct.sorted)
+    }
+  }
+
+  /** Guard for generation-per-epoch streaming sinks: epoch-derived
+    * generation `gen` may only be the LATEST generation (a same-epoch
+    * replay) or the next one (a fresh batch) — anything else means the
+    * query's checkpoint is not aligned with this table's history (e.g.
+    * a NEW checkpoint pointed at a table with existing generations),
+    * and committing with replace would silently destroy committed
+    * lineage.
+    */
+  def requireEpochAligned(spark: SparkSession, table: String, gen: Long): Unit = {
+    val gens = generations(spark, table)
+    val ok = (gens.isEmpty && gen == 1L) ||
+      (gens.nonEmpty && (gen == gens.max || gen == gens.max + 1))
+    if (!ok) throw new IllegalStateException(
+      s"streaming epoch would commit generation $gen of $table, but the " +
+        s"table's generations are [${gens.mkString(", ")}] - the query's " +
+        "checkpoint is not aligned with this table's history (a fresh " +
+        "checkpoint against a non-empty table?); refusing to overwrite " +
+        "committed lineage")
   }
 
   /** MERGE-ON-READ delete commit: `keys` (a one-column frame of the

@@ -21,6 +21,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.SnapshotTable
 
@@ -94,6 +95,16 @@ private[streaming] object SnapshotSource {
     val files = SnapshotTable.listFiles(spark, table, gens.max)
     spark.read.option("mergeSchema", true).parquet(files: _*).schema
   }
+
+  /** The session's Hadoop configuration, captured DRIVER-SIDE in a
+    * serializable wrapper for the task-side readers/writers — a bare
+    * `new Configuration()` would drop every `spark.hadoop.*` setting
+    * (filesystem credentials, scheme registrations) the rest of the
+    * snapshot layer honors.
+    */
+  def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
 
   /** A pushed filter as a zone-map bound: `Some(column -> (lo, hi))`
     * for integer comparisons the manifest stats can prune on.
@@ -245,12 +256,21 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     require(gens.nonEmpty, s"no committed generation at $table")
     val gen = generation.getOrElse(gens.max)
     require(gens.contains(gen), s"generation $gen of $table does not exist")
+    // A merge-on-read generation's visibility is data MINUS tombstone
+    // keys; a file-level scan cannot apply that and serving the raw
+    // data files would silently resurrect deleted rows — fail loudly
+    // (the table-aware read is SnapshotTable.readMor).
+    if (SnapshotTable.listDeleteFiles(spark, table, gen).nonEmpty)
+      throw new IllegalStateException(
+        s"generation $gen of $table carries merge-on-read tombstones; a " +
+          "file-level batch scan would return deleted rows - read it via " +
+          "SnapshotTable.readMor, or materialize the generation first")
     SnapshotTable.admittedFiles(spark, table, gen, bounds)
       .map(SnapshotFilePartition(_)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema)
+    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
 }
 
 /** Offset = highest generation whose content the batch includes. */
@@ -293,8 +313,15 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     val from = start.asInstanceOf[GenOffset].gen
     val to = end.asInstanceOf[GenOffset].gen
     val committed = SnapshotTable.generations(spark, table)
+    // ONE manifest read per generation touched by this batch: adjacent
+    // hops share g's entries as the next hop's g−1, so a deep backfill
+    // span pays span+1 manifest reads, not ~4 per hop.
+    val entries = scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[String])]
+    def of(g: Long): (Seq[String], Seq[String]) =
+      entries.getOrElseUpdate(g, SnapshotTable.manifestEntries(spark, table, g))
     val out = ArrayBuffer.empty[InputPartition]
     for (g <- from + 1 to to if committed.contains(g)) {
+      val (data, dels) = of(g)
       // The full-list branch is ONLY correct as the INITIAL load of a
       // consumer that has consumed nothing (offset 0, earliest
       // surviving generation — which serves the whole snapshot
@@ -303,11 +330,14 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       // emitting g's full list would re-deliver carried-forward files
       // the consumer already saw — fail loudly instead (the lakehouse
       // "retention outran the stream" error).
-      val (added, removed) =
-        if (committed.contains(g - 1))
-          SnapshotTable.changedFiles(spark, table, g - 1, g)
-        else if (from == 0L && g == committed.min)
-          (SnapshotTable.listFiles(spark, table, g), Seq.empty[String])
+      val (added, removed, freshDels) =
+        if (committed.contains(g - 1)) {
+          val (prevData, prevDels) = of(g - 1)
+          ((data.toSet -- prevData).toSeq.sorted,
+            (prevData.toSet -- data).toSeq.sorted,
+            dels.filterNot(prevDels.toSet))
+        } else if (from == 0L && g == committed.min)
+          (data, Seq.empty[String], dels)
         else
           throw new IllegalStateException(
             s"cannot plan generation hop ${g - 1}->$g of $table: the parent " +
@@ -319,29 +349,25 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
             "(compaction or merge); a file-level tail cannot express it as " +
             "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
             "skip content-neutral rewrites")
-      // A merge-on-read delete hop changes no data file at all — the
-      // change is row-level and invisible to an append tail. Same
-      // contract as rewrites: throw unless explicitly skipped (the
-      // ignoreDeletes analogue: the opted-in consumer keeps rows the
-      // table has deleted).
-      if (!skipRewrites && committed.contains(g - 1)) {
-        val prevDels = SnapshotTable.listDeleteFiles(spark, table, g - 1).toSet
-        val freshDels = SnapshotTable.listDeleteFiles(spark, table, g)
-          .filterNot(prevDels)
-        if (freshDels.nonEmpty)
-          throw new IllegalStateException(
-            s"generation $g of $table adds ${freshDels.size} merge-on-read " +
-              "tombstone file(s); row-level deletes are not expressible as " +
-              "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
-              "ignore deletes")
-      }
+      // Merge-on-read tombstones — whether added by a delete hop or
+      // carried into an initial full-snapshot load — are row-level
+      // changes invisible to an append tail. Same contract as
+      // rewrites: throw unless explicitly skipped (the ignoreDeletes
+      // analogue: the opted-in consumer keeps rows the table has
+      // deleted).
+      if (!skipRewrites && freshDels.nonEmpty)
+        throw new IllegalStateException(
+          s"generation $g of $table carries ${freshDels.size} merge-on-read " +
+            "tombstone file(s); row-level deletes are not expressible as " +
+            "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
+            "ignore deletes")
       if (removed.isEmpty) out ++= added.map(SnapshotFilePartition(_))
     }
     out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema)
+    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
 
   override def commit(end: Offset): Unit = ()
 
@@ -350,12 +376,12 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
 
 private[streaming] case class SnapshotFilePartition(path: String) extends InputPartition
 
-private[streaming] class SnapshotReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[streaming] class SnapshotReaderFactory(schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
-    new SnapshotFileReader(path, schema)
+    new SnapshotFileReader(path, schema, conf.value)
   }
 }
 
@@ -374,10 +400,10 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
     extends BatchWrite {
 
   private val stageDir =
-    s"$table/data/staged/a=${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID()}"
+    s"$table/data/staged/a=${SnapshotTable.attemptName()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(stageDir, schema)
+    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -393,24 +419,25 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
 
   private def sweep(): Unit = {
     val p = new org.apache.hadoop.fs.Path(stageDir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     ()
   }
 }
 
 private[streaming] class SnapshotWriterFactory(stageDir: String,
-    schema: StructType) extends DataWriterFactory
-    with StreamingDataWriterFactory {
+    schema: StructType, conf: SerializableConfiguration)
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotFileWriter(
-      s"$stageDir/part-$partitionId-$taskId.parquet", schema)
+      s"$stageDir/part-$partitionId-$taskId.parquet", schema, conf.value)
   // Streaming epochs stage under epoch-scoped directories so a
   // replayed epoch never collides with its failed attempt's files.
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new SnapshotFileWriter(
-      s"$stageDir/e=$epochId/part-$partitionId-$taskId.parquet", schema)
+      s"$stageDir/e=$epochId/part-$partitionId-$taskId.parquet", schema, conf.value)
 }
 
 /** The NATIVE streaming sink — [[SnapshotStream.snapshotIngest]]'s
@@ -426,23 +453,31 @@ private[streaming] class SnapshotStreamingWrite(table: String, schema: StructTyp
     extends StreamingWrite {
 
   private val stageDir =
-    s"$table/data/streamed/a=${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID()}"
+    s"$table/data/streamed/a=${SnapshotTable.attemptName()}"
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SnapshotWriterFactory(stageDir, schema)
+    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
     val gen = epochId + 1
+    // Epoch-aligned or refuse: a NEW checkpoint pointed at a table
+    // with existing history would otherwise overwrite generation 1
+    // onward with replace=true — destroying committed lineage with no
+    // error. Only the latest generation (a same-epoch replay) or the
+    // next one (a fresh batch) are legal.
+    SnapshotTable.requireEpochAligned(spark, table, gen)
+    val isReplay = SnapshotTable.generations(spark, table).contains(gen)
     SnapshotTable.publishAppend(spark, table, gen, files,
-      carryFrom = if (gen > 1) Some(gen - 1) else None, replace = true)
+      carryFrom = if (gen > 1) Some(gen - 1) else None, replace = isReplay)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$stageDir/e=$epochId")
-    p.getFileSystem(new Configuration()).delete(p, true)
+    p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
     ()
   }
 }
@@ -451,15 +486,17 @@ private[streaming] class SnapshotStreamingWrite(table: String, schema: StructTyp
   * Group API — the mirror of [[SnapshotFileReader]]'s decode, same
   * primitive-type dispatch.
   */
-private[streaming] class SnapshotFileWriter(path: String, schema: StructType)
-    extends DataWriter[InternalRow] {
+private[streaming] class SnapshotFileWriter(path: String, schema: StructType,
+    hadoopConf: Configuration) extends DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
 
   private val msgType = SnapshotSource.messageTypeOf(schema)
   private val writer = {
-    val conf = new Configuration()
+    // Clone before mutating: setSchema writes into the conf, and the
+    // session conf is shared across this task's writers.
+    val conf = new Configuration(hadoopConf)
     GroupWriteSupport.setSchema(msgType, conf)
     ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
       .withConf(conf).build()
@@ -497,7 +534,7 @@ private[streaming] class SnapshotFileWriter(path: String, schema: StructType)
   override def abort(): Unit = {
     writer.close()
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(new Configuration()).delete(p, false)
+    p.getFileSystem(hadoopConf).delete(p, false)
     ()
   }
 
@@ -508,12 +545,12 @@ private[streaming] class SnapshotFileWriter(path: String, schema: StructType)
   * Group API; field resolution is by name against the file footer, so
   * schema evolution degrades to nulls instead of misaligned columns.
   */
-private[streaming] class SnapshotFileReader(path: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+private[streaming] class SnapshotFileReader(path: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-    .withConf(new Configuration())
+    .withConf(conf)
     .build()
 
   private var current: Group = _

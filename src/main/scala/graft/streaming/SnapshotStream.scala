@@ -38,6 +38,11 @@ object SnapshotStream {
     */
   def commitBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
     val gen = batchId + 1
+    // Epoch-aligned or refuse: a NEW checkpoint against a table with
+    // existing history would replay batch ids from 0 and overwrite
+    // committed generations with replace=true — refuse instead of
+    // destroying lineage.
+    SnapshotTable.requireEpochAligned(batch.sparkSession, table, gen)
     // replace = true: a same-batch-id replay is the ONE caller allowed
     // to republish an existing generation (everyone else gets
     // first-writer-wins).

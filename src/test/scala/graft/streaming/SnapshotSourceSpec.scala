@@ -347,6 +347,34 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(ids(1L) === Set(1L, 2L), "history stays byte-stable")
   }
 
+  test("batch read refuses a tombstoned generation; misaligned sinks refuse too") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapguards").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L), table, 1L)
+    SnapshotTable.commitDeletes(Seq(2L).toDF("doc_id"), table, 2L, carryFrom = 1L)
+
+    // A file-level batch scan of a merge-on-read generation would
+    // resurrect deleted rows — it must fail, not return them.
+    val ex1 = intercept[Exception] {
+      spark.read.format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table).load().count()
+    }
+    def msgs(e: Throwable) = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("|")
+    assert(msgs(ex1).contains("readMor"))
+
+    // A streaming sink with a FRESH checkpoint pointed at this table
+    // would replay epoch 0 and overwrite generation 1 — the alignment
+    // guard refuses before any manifest is touched.
+    val ex2 = intercept[IllegalStateException] {
+      SnapshotStream.commitBatch(docsDf(9L), batchId = 0L, table)
+    }
+    assert(ex2.getMessage.contains("not aligned"))
+    // Nothing was destroyed: gen 1 still serves its original content.
+    assert(SnapshotTable.readAs(spark, table, 1L).count() === 2L)
+  }
+
   test("closed loop: the transactional sink feeds the source through the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
