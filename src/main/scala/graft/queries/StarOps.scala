@@ -194,6 +194,41 @@ object StarOps {
           * 1000000.0).cast("long").as("corr_ppm"))
       .orderBy("l_returnflag")
 
+  /** SQL-standard linear-regression aggregates (the `REGR_*` family:
+    * REGR_SLOPE / REGR_INTERCEPT / REGR_R2) per group — the OLS fit of
+    * price on quantity from the SAME one-pass decimal power sums as
+    * [[aggCorr]]: slope = Sxy/Sxx, intercept = ȳ − slope·x̄, R² =
+    * Sxy²/(Sxx·Syy), all from (n, Σx, Σy, Σx², Σy², Σxy). One
+    * map-side-combinable aggregation, closed form at the end — no
+    * second pass, no per-group iteration, the shape `regr_slope` takes
+    * on any MPP engine. The centered sums are computed once in an
+    * intermediate projection so the final double tree is written
+    * identically on both engines; results surface as floor-scaled ppm
+    * longs in the house style.
+    */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Parity.dsum(col("l_quantity")).as("sx"),
+        Parity.dsum(col("l_extendedprice")).as("sy"),
+        Parity.dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+        Parity.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+        Parity.dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        (col("sxy") - col("sx") * col("sy") / col("n")).as("cxy"),
+        (col("sxx") - col("sx") * col("sx") / col("n")).as("cxx"),
+        (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"))
+      .select(col("l_returnflag"), col("n"),
+        floor(col("cxy") / col("cxx") * 1000000.0)
+          .cast("long").as("slope_ppm"),
+        floor((col("sy") / col("n") - col("cxy") / col("cxx") * (col("sx") / col("n")))
+          * 1000000.0).cast("long").as("intercept_ppm"),
+        floor(col("cxy") * col("cxy") / (col("cxx") * col("cyy")) * 1000000.0)
+          .cast("long").as("r2_ppm"))
+      .orderBy("l_returnflag")
+
   /** Exact higher moments per group: skewness and excess kurtosis from
     * integer power sums of the (integral) quantity — the one-pass,
     * map-side-combinable extension of [[aggCorr]]'s machinery to 3rd
@@ -559,6 +594,7 @@ object StarOps {
     "join_theta" -> (joinTheta _),
     "join_salted" -> (joinSalted _),
     "agg_corr" -> (aggCorr _),
+    "agg_regression" -> (aggRegression _),
     "agg_moments" -> (aggMoments _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
@@ -749,6 +785,28 @@ object StarOps {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+    // Same decimal power-sum block as agg_corr; the centered sums land
+    // in an intermediate projection so the closed-form double tree is
+    // the IDENTICAL IEEE expression on both engines.
+    "agg_regression" ->
+      """SELECT l_returnflag, n,
+        |  CAST(floor(cxy / cxx * 1000000.0) AS BIGINT) AS slope_ppm,
+        |  CAST(floor((sy / n - cxy / cxx * (sx / n)) * 1000000.0) AS BIGINT) AS intercept_ppm,
+        |  CAST(floor(cxy * cxy / (cxx * cyy) * 1000000.0) AS BIGINT) AS r2_ppm
+        |FROM (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    sxy - sx*sy/n AS cxy,
+        |    sxx - sx*sx/n AS cxx,
+        |    syy - sy*sy/n AS cyy
+        |  FROM (
+        |    SELECT l_returnflag, count(*) AS n,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |    FROM lineitem GROUP BY l_returnflag) s) t
         |ORDER BY l_returnflag""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
