@@ -197,6 +197,65 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Lookback horizon for [[attribution]], minutes. The covering-bucket
+    * width equals the horizon, so every purchase probes at most two
+    * buckets.
+    */
+  val AttribWindowMin = 60
+
+  /** Multi-touch LINEAR attribution — the marketing-analytics staple
+    * next to [[asofTolerance]]'s last-touch: every click by the same
+    * user within the [[AttribWindowMin]]-minute lookback of a purchase
+    * shares that purchase's conversion credit equally (`1e6 div n`
+    * ppm per touch — integer division, identical in both engines), and
+    * campaigns (the click's `event_id % 4` cohort) accumulate credited
+    * touches, reached purchases, and total credit ppm.
+    *
+    * Shape: this is a RANGE join (purchase × clicks within a trailing
+    * window), expressed scale-safe with the `band_join` covering-bucket
+    * technique — clicks land in `floor(ts/W)` buckets, purchases
+    * explode to the ≤2 buckets covering `[ts−W, ts]`, the join is EQUI
+    * on (user, bucket) with the exact range as a residual filter. No
+    * nested loop, no per-user cross product: candidates are bounded by
+    * per-user-per-window activity. The per-purchase normalization
+    * (`n` touches) is a window over the candidate pairs keyed by
+    * purchase id — rows ∝ attributed touches, never users², and every
+    * stage is partial-aggregable. At 100 TB the lookback bound IS the
+    * state bound, the same contract as the watermarked streaming joins.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(spark, dir))
+
+  /** [[attribution]] over an arbitrary events frame (tests plant
+    * boundary clicks at the exact window edges and shared-credit
+    * cohorts).
+    */
+  def attributionOf(ev: DataFrame): DataFrame = {
+    val wUs = AttribWindowMin * 60L * 1000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cts"),
+        concat(lit("c"), (col("event_id") % 4).cast("string")).as("campaign"))
+      .withColumn("bucket", floor(col("cts") / wUs).cast("long"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pts"),
+        col("event_id").as("purchase_id"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("pts") - wUs) / wUs).cast("long"),
+        floor(col("pts") / wUs).cast("long"))))
+    val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("cts") >= col("pts") - wUs && col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("campaign"))
+    val perPurchase = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("ppm", expr("1000000 div n"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum("ppm").as("credit_ppm"))
+      .orderBy("campaign")
+  }
+
   /** Funnel analysis (view → click → purchase, strictly increasing
     * timestamps): how many users reached each stage. This is sequential
     * pattern matching (MATCH_RECOGNIZE-lite) expressed Spark-first as
@@ -584,6 +643,7 @@ object EventOps {
     "events_sessions_native" -> (sessionsNative _),
     "events_asof" -> (asofViewBeforePurchase _),
     "events_asof_tol" -> (asofTolerance _),
+    "events_attribution" -> (attribution _),
     "events_transitions" -> (transitions _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
@@ -723,6 +783,29 @@ object EventOps {
          |FROM p ASOF LEFT JOIN v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,
+    // The oracle states the range join PLAINLY (purchase x in-window
+    // clicks); the Spark side's covering buckets must admit exactly the
+    // same pairs. Credit is integer ppm via truncating division (both
+    // operands positive, so Spark `div` and DuckDB `//` agree).
+    "events_attribution" ->
+      s"""WITH c AS (
+         |  SELECT user_id, epoch_us($TsCast) AS cts,
+         |    'c' || CAST(event_id % 4 AS VARCHAR) AS campaign
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, epoch_us($TsCast) AS pts, event_id AS purchase_id
+         |  FROM events WHERE event_type = 'purchase'),
+         |pairs AS (
+         |  SELECT p.purchase_id, c.campaign,
+         |    count(*) OVER (PARTITION BY p.purchase_id) AS n
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.cts >= p.pts - ${AttribWindowMin * 60L * 1000000L}
+         |    AND c.cts <= p.pts)
+         |SELECT campaign,
+         |  CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+         |  CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
+         |FROM pairs GROUP BY campaign ORDER BY campaign""".stripMargin,
     // Per-from totals attach by join (same shape as the Spark side);
     // all-integer ppm.
     "events_transitions" ->

@@ -131,6 +131,54 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("attribution: window edges inclusive, credit splits by integer div") {
+    // Purchase at 11:00, window 60 min → clicks in [10:00, 11:00].
+    // c at 10:00:00 exactly on the trailing edge — IN.
+    // c at 09:59:59 one second earlier — OUT.
+    // c at 11:00:00 simultaneous with the purchase — IN.
+    // Three in-window touches → each gets 1000000 div 3 = 333333 ppm.
+    val events = Seq(
+      (4L, ts("09:59:59"), 1L, "click"),   // campaign c0, out of window
+      (5L, ts("10:00:00"), 1L, "click"),   // c1, edge-in
+      (6L, ts("10:30:00"), 1L, "click"),   // c2
+      (7L, ts("11:00:00"), 1L, "click"),   // c3, simultaneous
+      (8L, ts("11:00:00"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.attributionOf(events)
+      .select("campaign", "n_touches", "n_purchases", "credit_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("c1", 1L, 1L, 333333L),
+      ("c2", 1L, 1L, 333333L),
+      ("c3", 1L, 1L, 333333L)))
+  }
+
+  test("attribution: clicks never cross users; purchase with no touch emits nothing") {
+    val events = Seq(
+      (1L, ts("10:30:00"), 1L, "click"),     // user 1's click, campaign c1
+      (2L, ts("11:00:00"), 2L, "purchase"),  // user 2: no own clicks
+      (3L, ts("10:40:00"), 1L, "purchase"))  // user 1: one touch, full credit
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.attributionOf(events)
+      .select("campaign", "n_touches", "n_purchases", "credit_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("c1", 1L, 1L, 1000000L)))
+  }
+
+  test("attribution: one click credits every purchase it precedes in window") {
+    // A single click followed by two purchases inside the hour: linear
+    // attribution credits the click's campaign once per conversion.
+    val events = Seq(
+      (8L, ts("10:00:00"), 1L, "click"),     // campaign c0
+      (2L, ts("10:20:00"), 1L, "purchase"),
+      (3L, ts("10:50:00"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.attributionOf(events)
+      .select("campaign", "n_touches", "n_purchases", "credit_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("c0", 2L, 2L, 2000000L)))
+  }
+
   test("zscore flags exactly the planted outlier, none among uniform values") {
     // 20 values at 10.00 and one at 1000.00: the spike is far beyond
     // 3σ; the uniform rows sit well inside. A float-threshold
