@@ -307,6 +307,35 @@ object SnapshotTable {
     ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
   }
 
+  /** RESTORE: roll the table back to `toGen`'s content AS A NEW COMMIT
+    * (the Delta `RESTORE` / Iceberg rollback contract). The new
+    * generation's manifest carries `toGen`'s entries VERBATIM — data
+    * files and any merge-on-read tombstones — so a rollback writes ZERO
+    * data files at any table size; it is a manifest re-point, O(files)
+    * driver work. History is preserved, not rewritten: the bad
+    * generations between `toGen` and `asGen` keep time-traveling (an
+    * audit can still read what the bad batch contained), and the
+    * retention sweep reclaims their files later like any other expired
+    * snapshot. Goes through the same first-writer-wins publish as every
+    * commit — a writer racing the rollback to `asGen` loses loudly.
+    */
+  def rollback(spark: SparkSession, table: String,
+      toGen: Long, asGen: Long): Unit = {
+    val latest = generations(spark, table).max
+    require(toGen <= latest && asGen > latest,
+      s"rollback of $table must restore an existing generation " +
+        s"($toGen vs latest $latest) as a NEW one ($asGen): rolling " +
+        "back onto committed lineage would rewrite history")
+    import spark.implicits._
+    val (data, dels) = manifestEntries(spark, table, toGen)
+    if (dels.isEmpty) publish(spark, table, asGen, data)
+    else {
+      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
+      writeManifest(spark, table, asGen, replace = false,
+        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+    }
+  }
+
   /** Per-file min/max of a BIGINT column, read from the parquet
     * FOOTERS — no data pages touched (the [[SourceOps.compactTo]]
     * footer-read pattern). This is the zone-map every columnar writer

@@ -381,6 +381,39 @@ object SourceOps {
     beforeDf.unionByName(phase("after")).orderBy("phase")
   }
 
+  /** ROLLBACK / RESTORE over the snapshot layer
+    * ([[SnapshotTable.rollback]]): gen 1 is the initial load, gen 2
+    * appends the remaining rows (the "bad batch" in this drill), and
+    * gen 3 RESTORES gen 1 — as a NEW commit whose manifest re-points at
+    * gen 1's files verbatim. The report reads every generation back
+    * through its manifest: gen 3 must reproduce gen 1's content AND
+    * file count (zero data files written by the restore — at 100 TB a
+    * rollback is a kilobyte manifest write, not a table rewrite), while
+    * gen 2 keeps time-traveling with the bad batch intact for audit.
+    * The oracle recomputes each generation's content relationally from
+    * the split predicate; SnapshotTableSpec pins the file-set mechanics
+    * (verbatim carry, zero fresh files, the no-rewriting-history
+    * guard) that SQL cannot see.
+    */
+  def snapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_rollback")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(SnapInitFiles),
+      table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(SnapAppendFiles),
+      table, 2L, carryFrom = Some(1L))
+    SnapshotTable.rollback(spark, table, toGen = 1L, asGen = 3L)
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readAs(spark, table, g)
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong).as("n_files"),
+          col("n_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Incremental change read (CDC) over the snapshot layer — the scan
     * an incremental consumer runs instead of a full-table diff: for
     * each generation hop, [[SnapshotTable.changedFiles]] diffs the two
@@ -979,6 +1012,7 @@ object SourceOps {
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
+    "src_snapshot_rollback" -> (snapshotRollback _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -1310,6 +1344,26 @@ object SourceOps {
          |SELECT 2, ${SnapInitFiles + SnapAppendFiles}, n_rows, key_sum FROM al
          |UNION ALL
          |SELECT 3, $SnapCompactFiles, n_rows, key_sum FROM al
+         |ORDER BY gen""".stripMargin,
+    // Gen 3 restores gen 1: identical content AND file count (the
+    // restore re-points at gen 1's files; it writes none of its own),
+    // while gen 2 still serves the full table for audit.
+    "src_snapshot_rollback" ->
+      s"""WITH init AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_files, n_rows, key_sum
+         |FROM init
+         |UNION ALL
+         |SELECT 2, ${SnapInitFiles + SnapAppendFiles}, n_rows, key_sum FROM al
+         |UNION ALL
+         |SELECT 3, $SnapInitFiles, n_rows, key_sum FROM init
          |ORDER BY gen""".stripMargin,
     // The bucketed layout is result-transparent — the twin is the plain
     // join over the original parquet.

@@ -155,6 +155,48 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L, 3L, 5L))
   }
 
+  test("rollback re-points at the restored files verbatim, writes none, guards lineage") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_rollback_spec")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(3), table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(2),
+      table, 2L, carryFrom = Some(1L))
+    SnapshotTable.rollback(spark, table, toGen = 1L, asGen = 3L)
+    // The restore is a manifest re-point: gen 3's file list IS gen 1's,
+    // and no new data file appeared anywhere in the table.
+    assert(SnapshotTable.listFiles(spark, table, 3L) ===
+      SnapshotTable.listFiles(spark, table, 1L))
+    assert(SnapshotTable.readAs(spark, table, 3L).inputFiles.toSet ===
+      SnapshotTable.readAs(spark, table, 1L).inputFiles.toSet)
+    // The rolled-back-over generation keeps time-traveling for audit.
+    assert(SnapshotTable.readAs(spark, table, 2L).count() === orders.count())
+    // History is append-only: restoring ONTO committed lineage (asGen
+    // not beyond the latest) or restoring a generation that does not
+    // exist yet must both refuse.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rollback(spark, table, toGen = 1L, asGen = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rollback(spark, table, toGen = 9L, asGen = 4L)
+    }
+
+    // A rollback TO a merge-on-read generation carries its tombstones:
+    // restoring the pre-purge view must keep the deleted keys hidden.
+    val t2 = graft.Scratch.dir("snapshot_rollback_mor_spec")
+    SnapshotTable.commit(Seq(1L, 2L, 3L, 4L).toDF("o_orderkey"), t2, 1L)
+    SnapshotTable.commitDeletes(Seq(2L).toDF("o_orderkey"), t2, 2L, carryFrom = 1L)
+    // Gen 3 materializes the purge; gen 4 restores the tombstoned view.
+    SnapshotTable.commit(SnapshotTable.readMor(spark, t2, 2L, "o_orderkey"), t2, 3L)
+    SnapshotTable.rollback(spark, t2, toGen = 2L, asGen = 4L)
+    assert(SnapshotTable.listDeleteFiles(spark, t2, 4L) ===
+      SnapshotTable.listDeleteFiles(spark, t2, 2L))
+    assert(SnapshotTable.readMor(spark, t2, 4L, "o_orderkey")
+      .as[Long].collect().toSet === Set(1L, 3L, 4L))
+  }
+
   test("conflicting commit to an existing generation fails; history keeps serving") {
     val table = graft.Scratch.dir("conflict_spec")
     val orders = Tables.orders(spark, dir)
