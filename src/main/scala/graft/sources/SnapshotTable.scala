@@ -140,21 +140,34 @@ object SnapshotTable {
     * [[publishWithStats]].
     */
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
-      replace: Boolean, rows: DataFrame): Unit = {
-    val target = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
+      replace: Boolean, rows: DataFrame): Unit =
+    writeManifestAt(spark,
+      manifestPath(table, gen),
+      s"$table/manifests/.gen=$gen.staging.${attemptName()}",
+      replace, rows,
+      what = s"generation $gen of $table")
+
+  /** The staged-rename commit core, shared by the generation manifests
+    * and the WAP branch manifests ([[stage]]): write rows to a
+    * writer-unique staging path, rename onto the target, lose LOUDLY on
+    * a concurrent publish.
+    */
+  private def writeManifestAt(spark: SparkSession, targetPath: String,
+      stagingPath: String, replace: Boolean, rows: DataFrame,
+      what: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetPath)
     // The staging path is WRITER-UNIQUE: a shared path would let racer
     // B's overwrite replace racer A's staged file list before A's
     // rename, publishing B's content under A's "successful" commit —
     // the silent lineage mix-up the whole protocol exists to prevent.
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$table/manifests/.gen=$gen.staging.${attemptName()}")
+    val tmp = new org.apache.hadoop.fs.Path(stagingPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) {
       if (!replace) {
         fs.delete(tmp, true)
         throw new IllegalStateException(
-          s"generation $gen of $table is already committed " +
+          s"$what is already committed " +
             "(concurrent writer lost the race); earlier generations keep serving")
       }
       fs.delete(target, true)
@@ -164,7 +177,7 @@ object SnapshotTable {
       // concurrent writer published between our check and the move.
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"generation $gen of $table was committed concurrently; " +
+        s"$what was committed concurrently; " +
           "this writer's attempt is discarded")
     }
     // POSIX-semantics stores (local FS) do NOT fail that rename — they
@@ -177,7 +190,7 @@ object SnapshotTable {
     if (fs.exists(nested)) {
       fs.delete(nested, true)
       throw new IllegalStateException(
-        s"generation $gen of $table was committed concurrently " +
+        s"$what was committed concurrently " +
           "(rename nested into the winner's manifest); this writer's " +
           "attempt is discarded")
     }
@@ -333,6 +346,82 @@ object SnapshotTable {
       val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
       writeManifest(spark, table, asGen, replace = false,
         rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+    }
+  }
+
+  // ----- Write-audit-publish branch staging ------------------------------
+
+  private def branchManifestPath(table: String, branch: String): String =
+    s"$table/branches/$branch/manifest"
+
+  /** WRITE half of write-audit-publish: land `df`'s files in the
+    * table's data layout and publish them under a named BRANCH manifest
+    * — addressable for auditing, INVISIBLE to every generation read
+    * (the generation lineage never references a branch). Staging goes
+    * through the same staged-rename commit as a generation, so two
+    * writers racing to one branch are first-writer-wins. The staged
+    * snapshot then either [[publishStaged]]es into the lineage (zero
+    * data rewrite — the files are already in place) or
+    * [[abandonStaged]]s (manifest and files deleted; the lineage never
+    * knew them). This is the Iceberg WAP / Delta shallow-branch
+    * pattern: audits gate data BEFORE readers can see it, without a
+    * quarantine copy of the batch.
+    */
+  def stage(df: DataFrame, table: String, branch: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dataDir = s"$table/data/branch=$branch/a=${attemptName()}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    writeManifestAt(spark,
+      branchManifestPath(table, branch),
+      s"$table/branches/.${branch}.staging.${attemptName()}",
+      replace = false, fresh.sorted.toDF("path"),
+      what = s"branch '$branch' of $table")
+  }
+
+  /** The staged branch's file list (audit planning, [[publishStaged]]). */
+  def stagedFiles(spark: SparkSession, table: String, branch: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(branchManifestPath(table, branch))
+      .select("path").as[String].collect().toSeq.sorted
+  }
+
+  /** AUDIT half: read the staged snapshot through its branch manifest —
+    * exactly like a generation read, but over data no lineage reader
+    * can see yet.
+    */
+  def readStaged(spark: SparkSession, table: String, branch: String): DataFrame =
+    spark.read.parquet(stagedFiles(spark, table, branch): _*)
+
+  /** PUBLISH half: fast-forward the audited branch into the generation
+    * lineage as `gen` — the staged files enter the manifest BY
+    * REFERENCE (carrying `carryFrom`'s history like any append), and
+    * the branch pointer is retired. No data moves: publish after a
+    * green audit is a manifest write, O(files) at any batch size.
+    */
+  def publishStaged(spark: SparkSession, table: String, branch: String,
+      gen: Long, carryFrom: Option[Long]): Unit = {
+    val fresh = stagedFiles(spark, table, branch)
+    publishAppend(spark, table, gen, fresh, carryFrom)
+    // The lineage owns the files now; only the branch POINTER retires.
+    val m = new org.apache.hadoop.fs.Path(branchManifestPath(table, branch))
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, true)
+  }
+
+  /** REJECT half: a failed audit abandons the branch — manifest first
+    * (nothing can resolve the files once the pointer is gone), then the
+    * staged files themselves. The generation lineage is untouched
+    * because it never referenced the branch.
+    */
+  def abandonStaged(spark: SparkSession, table: String, branch: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = stagedFiles(spark, table, branch)
+    val m = new org.apache.hadoop.fs.Path(branchManifestPath(table, branch))
+    m.getFileSystem(conf).delete(m, true)
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
     }
   }
 

@@ -414,6 +414,66 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** Audit gate for [[snapshotWap]]: a staged batch may publish only if
+    * no row reaches this total price (the planted "bad data" predicate;
+    * real sf data has rows on both sides).
+    */
+  val WapAuditMaxPrice = 250000.0
+
+  /** WRITE-AUDIT-PUBLISH over the snapshot layer — the Iceberg WAP
+    * pattern on [[SnapshotTable.stage]]/[[SnapshotTable.publishStaged]]/
+    * [[SnapshotTable.abandonStaged]]: a batch lands on a NAMED BRANCH,
+    * invisible to every lineage reader; the audit runs against the
+    * staged snapshot; a green audit fast-forwards the staged files into
+    * the next generation BY REFERENCE (zero data rewrite), a red audit
+    * abandons the branch and the lineage never saw the batch. The drill
+    * stages two branches — the clean half of the odd-key batch (audit
+    * green → published as gen 2) and the violating half (audit red →
+    * abandoned) — and reports each staged batch's audited numbers plus
+    * the final main-lineage content. The oracle recomputes all three
+    * rows relationally from the split + audit predicates; the spec pins
+    * what SQL cannot see (staged invisibility, publish-by-reference,
+    * abandon removing the files, branch first-writer-wins).
+    */
+  def snapshotWap(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_wap")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(SnapInitFiles),
+      table, 1L)
+    def stagePhase(branch: String, batch: DataFrame): Seq[org.apache.spark.sql.Row] = {
+      SnapshotTable.stage(batch.repartition(SnapAppendFiles), table, branch)
+      // Audit AGAINST THE STAGED SNAPSHOT (not the input frame): the
+      // gate must judge what would actually publish.
+      val audited = SnapshotTable.readStaged(spark, table, branch)
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("o_totalprice") >= WapAuditMaxPrice, 1)).as("n_bad"),
+          coalesce(sum("o_orderkey"), lit(0L)).as("key_sum"))
+        .select(lit(s"${branch}_staged").as("phase"),
+          col("n_rows"), col("n_bad"), col("key_sum"))
+      val rows = audited.collect().toSeq
+      val bad = rows.head.getAs[Long]("n_bad")
+      if (bad == 0L)
+        SnapshotTable.publishStaged(spark, table, branch, gen = 2L,
+          carryFrom = Some(1L))
+      else
+        SnapshotTable.abandonStaged(spark, table, branch)
+      rows
+    }
+    val odd = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val badRows = stagePhase("bad", odd.filter(col("o_totalprice") >= WapAuditMaxPrice))
+    val goodRows = stagePhase("good", odd.filter(col("o_totalprice") < WapAuditMaxPrice))
+    val main = SnapshotTable.readAs(spark, table,
+        SnapshotTable.generations(spark, table).max)
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("o_totalprice") >= WapAuditMaxPrice, 1)).as("n_bad"),
+        sum("o_orderkey").as("key_sum"))
+      .select(lit("main").as("phase"), col("n_rows"), col("n_bad"), col("key_sum"))
+    val staged = spark.createDataFrame(
+      spark.sparkContext.parallelize(badRows ++ goodRows, 1), main.schema)
+    staged.unionByName(main).orderBy("phase")
+  }
+
   /** Incremental change read (CDC) over the snapshot layer — the scan
     * an incremental consumer runs instead of a full-table diff: for
     * each generation hop, [[SnapshotTable.changedFiles]] diffs the two
@@ -1013,6 +1073,7 @@ object SourceOps {
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
     "src_snapshot_rollback" -> (snapshotRollback _),
+    "src_snapshot_wap" -> (snapshotWap _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -1365,6 +1426,29 @@ object SourceOps {
          |UNION ALL
          |SELECT 3, $SnapInitFiles, n_rows, key_sum FROM init
          |ORDER BY gen""".stripMargin,
+    // The two staged batches' audited numbers, then the main lineage
+    // after the gate: the published generation is init + the CLEAN
+    // batch only — its violation count equals the unaudited init's own
+    // (the gated batch contributed zero).
+    "src_snapshot_wap" ->
+      s"""WITH ev AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |odd AS (SELECT * FROM orders WHERE o_orderkey % 2 <> 0)
+         |SELECT 'bad_staged' AS phase,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_bad,
+         |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum
+         |FROM odd WHERE o_totalprice >= $WapAuditMaxPrice
+         |UNION ALL
+         |SELECT 'good_staged', count(*), 0, coalesce(sum(o_orderkey), 0)
+         |FROM odd WHERE o_totalprice < $WapAuditMaxPrice
+         |UNION ALL
+         |SELECT 'main', count(*),
+         |  count(*) FILTER (WHERE o_totalprice >= $WapAuditMaxPrice),
+         |  sum(o_orderkey)
+         |FROM (SELECT * FROM ev
+         |      UNION ALL
+         |      SELECT * FROM odd WHERE o_totalprice < $WapAuditMaxPrice)
+         |ORDER BY phase""".stripMargin,
     // The bucketed layout is result-transparent — the twin is the plain
     // join over the original parquet.
     "src_bucketed" ->

@@ -197,6 +197,61 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L, 3L, 4L))
   }
 
+  test("WAP: staged branch invisible until published by reference; abandon removes files") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_wap_spec")
+    val conf = spark.sparkContext.hadoopConfiguration
+    SnapshotTable.commit(Seq(1L, 2L, 3L).toDF("o_orderkey"), table, 1L)
+    val f1 = SnapshotTable.listFiles(spark, table, 1L).toSet
+
+    // WRITE: the batch stages on a branch. The generation lineage must
+    // not move — a reader sees only gen 1 — while the auditor CAN read
+    // the staged snapshot through the branch pointer.
+    SnapshotTable.stage(Seq(4L, 5L).toDF("o_orderkey"), table, "audit")
+    assert(SnapshotTable.generations(spark, table) === Seq(1L))
+    assert(SnapshotTable.readStaged(spark, table, "audit")
+      .as[Long].collect().toSet === Set(4L, 5L))
+    // Branches are first-writer-wins like generations: a racer staging
+    // the same branch name loses loudly.
+    intercept[IllegalStateException] {
+      SnapshotTable.stage(Seq(9L).toDF("o_orderkey"), table, "audit")
+    }
+    // ... and the loser did not disturb the winner's staged content.
+    assert(SnapshotTable.readStaged(spark, table, "audit")
+      .as[Long].collect().toSet === Set(4L, 5L))
+
+    // PUBLISH: fast-forward by reference — gen 2 carries gen 1's files
+    // verbatim plus EXACTLY the staged files (no rewrite), and the
+    // branch pointer retires.
+    val staged = SnapshotTable.stagedFiles(spark, table, "audit").toSet
+    SnapshotTable.publishStaged(spark, table, "audit", gen = 2L,
+      carryFrom = Some(1L))
+    assert(SnapshotTable.listFiles(spark, table, 2L).toSet === f1 ++ staged)
+    assert(SnapshotTable.readAs(spark, table, 2L)
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+    intercept[Exception] { SnapshotTable.stagedFiles(spark, table, "audit") }
+    // The published files survive: they are lineage-owned now.
+    staged.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      assert(p.getFileSystem(conf).exists(p), s"published file lost: $f")
+    }
+
+    // ABANDON: a red audit removes the branch manifest AND its files;
+    // the lineage never saw them.
+    SnapshotTable.stage(Seq(99L).toDF("o_orderkey"), table, "red")
+    val redFiles = SnapshotTable.stagedFiles(spark, table, "red")
+    SnapshotTable.abandonStaged(spark, table, "red")
+    redFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      assert(!p.getFileSystem(conf).exists(p), s"abandoned file survived: $f")
+    }
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L))
+    // A retired branch name is reusable for the next batch.
+    SnapshotTable.stage(Seq(6L).toDF("o_orderkey"), table, "audit")
+    assert(SnapshotTable.readStaged(spark, table, "audit")
+      .as[Long].collect().toSet === Set(6L))
+  }
+
   test("conflicting commit to an existing generation fails; history keeps serving") {
     val table = graft.Scratch.dir("conflict_spec")
     val orders = Tables.orders(spark, dir)
