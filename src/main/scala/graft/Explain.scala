@@ -46,7 +46,9 @@ object Explain {
     "src_snapshot_expire", "src_snapshot_skip", "src_snapshot_skip2",
     "neardup_index_probe", "src_snapshot_optimize", "text_repetition_ngram",
     "multimodal_audio_vad", "audit_concentration", "events_trajectory",
-    "src_snapshot_changes", "sql_recursive", "src_snapshot_history", "src_connector_read", "graph_sssp", "pipeline_lakehouse", "src_snapshot_mor", "src_connector_write")
+    "src_snapshot_changes", "sql_recursive", "src_snapshot_history", "src_connector_read", "graph_sssp", "pipeline_lakehouse", "src_snapshot_mor", "src_connector_write",
+    "agg_regression", "events_attribution", "src_snapshot_rollback",
+    "src_snapshot_wap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

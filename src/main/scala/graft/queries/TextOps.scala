@@ -977,6 +977,70 @@ object TextOps {
       .limit(ColTopK)
   }
 
+  /** Result head for [[keyphrases]]. */
+  val KeyTopK = 15
+
+  /** RAKE-style keyphrase extraction (Rose et al. 2010) — the
+    * unsupervised multiword-keyword pass next to [[collocations]]'
+    * pair mining and [[tfidf]]'s unigram ranking: candidate phrases
+    * are the maximal stopword-free token runs ([[GateStopwords]] as
+    * the delimiter set), each word scores degree/freq (degree = summed
+    * length of the phrases containing it, freq = its occurrences in
+    * phrases — words that live in LONG phrases beat merely-common
+    * words), and a phrase scores the sum of its words' scores. All
+    * arithmetic is exact integer ppm with truncating division, so the
+    * ranking carries a full value oracle (the log-free discipline of
+    * the Dice choice).
+    *
+    * Scale shape: phrase segmentation is ONE scan-local `aggregate`
+    * fold per document — the run-splitting state machine rides the
+    * token array inside whole-stage codegen, no per-doc window
+    * shuffle (the `dedup_cdc` chunking discipline). Everything after
+    * is wordcount-class: word freq/degree counts, phrase-type counts,
+    * a vocabulary-keyed count-attach join (NOT broadcast — vocabulary
+    * grows with the corpus), and a TakeOrderedAndProject head.
+    */
+  /** The scan-local run-splitting state machine of [[keyphrases]]: fold
+    * a token array into the array of its maximal stopword-free runs,
+    * each joined with spaces. An open run closes on a stopword or at
+    * the end of the array; leading/trailing/repeated stopwords emit
+    * nothing (no empty phrases).
+    */
+  private[queries] def phraseFold(tokenArrayExpr: String): Column = {
+    val stopList = GateStopwords.map(w => s"'$w'").mkString(", ")
+    expr(
+      s"""aggregate($tokenArrayExpr,
+         |  named_struct('cur', cast(array() as array<string>),
+         |               'out', cast(array() as array<string>)),
+         |  (s, t) -> if(t in ($stopList),
+         |    named_struct('cur', cast(array() as array<string>),
+         |      'out', if(size(s.cur) > 0,
+         |        concat(s.out, array(array_join(s.cur, ' '))), s.out)),
+         |    named_struct('cur', concat(s.cur, array(t)), 'out', s.out)),
+         |  s -> if(size(s.cur) > 0,
+         |    concat(s.out, array(array_join(s.cur, ' '))), s.out))""".stripMargin)
+  }
+
+  def keyphrases(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(explode(phraseFold("tk")).as("phrase"))
+      .withColumn("len", size(split(col("phrase"), " ")))
+    val wstat = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("degree"))
+    phrases.groupBy("phrase").agg(count(lit(1)).as("n"))
+      .select(col("phrase"), col("n"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstat, "w")
+      .groupBy("phrase", "n")
+      .agg(sum(expr("(degree * 1000000) div freq")).as("score_ppm"))
+      .orderBy(desc("score_ppm"), desc("n"), asc("phrase"))
+      .limit(KeyTopK)
+      .select("phrase", "n", "score_ppm")
+  }
+
   /** Count-min geometry for [[countMin]]: d hash rows × w counters.
     * Error bound: est − true ≤ e·N/w with probability 1 − e^−d over the
     * hash draw; here the "draw" is the fixed salted portable64 family,
@@ -1165,6 +1229,7 @@ object TextOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_countmin" -> (countMin _),
     "text_collocations" -> (collocations _),
+    "text_keyphrase" -> (keyphrases _),
     "text_window_cooc" -> (windowCooccurrence _),
     "text_hashing_tf" -> (hashingTf _),
     "corpus_filter" -> (corpusFilter _),
@@ -1347,6 +1412,38 @@ object TextOps {
          |  (cab * 2000000) // (ca.c + cb.c) AS dice_ppm
          |FROM pc JOIN uc ca ON pc.l = ca.w JOIN uc cb ON pc.r = cb.w
          |ORDER BY dice_ppm DESC, cab DESC, l, r LIMIT $ColTopK""".stripMargin,
+    // The oracle segments runs by gaps-and-islands (pos − row_number)
+    // where the Spark side uses the scan-local fold — two independent
+    // formulations of the same maximal-run semantics; integer ppm
+    // scoring with truncating division on both engines.
+    "text_keyphrase" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(range(1, len(tk)+1)) AS pos, tk FROM toks),
+         |w AS (
+         |  SELECT doc_id, pos, tk[pos] AS w FROM p
+         |  WHERE tk[pos] NOT IN (${GateStopwords.map(w => s"'$w'").mkString(", ")})),
+         |g AS (
+         |  SELECT doc_id, pos, w,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM w),
+         |ph AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS len
+         |  FROM g GROUP BY doc_id, grp),
+         |wstat AS (
+         |  SELECT w, count(*) AS freq, sum(len) AS degree
+         |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph)
+         |  GROUP BY w),
+         |ty AS (SELECT phrase, count(*) AS n FROM ph GROUP BY phrase),
+         |tyw AS (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS w FROM ty)
+         |SELECT t.phrase, CAST(t.n AS BIGINT) AS n,
+         |  CAST(sum((s.degree * 1000000) // s.freq) AS BIGINT) AS score_ppm
+         |FROM tyw t JOIN wstat s ON t.w = s.w
+         |GROUP BY t.phrase, t.n
+         |ORDER BY score_ppm DESC, n DESC, phrase LIMIT $KeyTopK""".stripMargin,
     // The sketch is deterministic (fixed salted portable64 family), so
     // the whole build+probe carries an exact value oracle; the range
     // table stands in for the d hash rows.

@@ -25,6 +25,22 @@ class TextOpsSpec extends AnyFunSuite {
       "no pii here at all"))
   }
 
+  test("phraseFold splits maximal stopword-free runs, never emits empties") {
+    val out = Seq(
+      "the quick brown fox of a lazy dog",  // lead/mid/trail-interior stops
+      "the a of and",                        // all stopwords -> no phrases
+      "spark engine",                        // no stopwords -> one run
+      "")                                    // empty doc -> no phrases
+      .toDF("text")
+      .select(TextOps.phraseFold("filter(split(text, ' '), t -> t != '')").as("ph"))
+      .as[Seq[String]].collect().toSeq
+    assert(out === Seq(
+      Seq("quick brown fox", "lazy dog"),
+      Seq.empty,
+      Seq("spark engine"),
+      Seq.empty))
+  }
+
   test("diversity ppm on planted degenerate and all-distinct docs") {
     val df = Seq((1L, "aa aa aa"), (2L, "a b c d"), (3L, "x y y"), (4L, "solo"))
       .toDF("doc_id", "text")
