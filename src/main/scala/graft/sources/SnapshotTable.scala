@@ -349,6 +349,34 @@ object SnapshotTable {
     }
   }
 
+  /** SHALLOW CLONE: materialize `srcGen` of `srcTable` as generation 1
+    * of a NEW table whose manifest references the source's files BY
+    * PATH — zero data copied, O(files) driver work at any table size
+    * (the Delta `CREATE TABLE ... SHALLOW CLONE` contract). The clone
+    * then evolves independently: its appends/compactions/rollbacks
+    * write under its own directory and never touch the source — the
+    * dev/test-against-production-data pattern. The one cross-table
+    * contract (Delta's documented caveat too): the source must not
+    * [[expire]] the referenced generation out from under a live
+    * shallow clone — the clone references, it does not own. A clone
+    * of a merge-on-read generation carries its tombstones, so the
+    * cloned view hides exactly what the source hid.
+    */
+  def cloneShallow(spark: SparkSession, srcTable: String, srcGen: Long,
+      destTable: String): Unit = {
+    import spark.implicits._
+    val (data, dels) = manifestEntries(spark, srcTable, srcGen)
+    require(generations(spark, destTable).isEmpty,
+      s"shallow clone target $destTable already has committed " +
+        "generations; clone only creates NEW tables")
+    if (dels.isEmpty) publish(spark, destTable, 1L, data)
+    else {
+      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
+      writeManifest(spark, destTable, 1L, replace = false,
+        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+    }
+  }
+
   // ----- Write-audit-publish branch staging ------------------------------
 
   private def branchManifestPath(table: String, branch: String): String =

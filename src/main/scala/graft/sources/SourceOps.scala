@@ -414,6 +414,47 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** The clone's dev-experiment batch: every 100th order key. */
+  private def cloneBatch(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 100 === 0)
+
+  /** SHALLOW CLONE over the snapshot layer
+    * ([[SnapshotTable.cloneShallow]]): generation 2 of the shared
+    * fixture clones — zero data copied — into a brand-new table whose
+    * gen-1 manifest references the source's files by path; the clone
+    * then evolves INDEPENDENTLY (an appended experiment batch lands
+    * under the clone's own directory), and the source must be
+    * bit-for-bit unaffected. The report pins all four views: the
+    * source generation, the clone's referencing snapshot (same
+    * content, same file COUNT — the zero-copy evidence the spec
+    * completes by comparing the actual paths), the evolved clone
+    * (source content + the experiment batch), and the source re-read
+    * AFTER the clone evolved. The oracle recomputes every row from
+    * the fixture's split predicates; SnapshotTableSpec pins the
+    * file-set mechanics (verbatim path reuse, zero files written by
+    * the clone, source untouched, MoR tombstone carry, refuse
+    * non-empty targets).
+    */
+  def snapshotClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = sharedThreeGens(spark, dir)
+    val dest = freshTable(spark, "snapshot_clone")
+    SnapshotTable.cloneShallow(spark, src, srcGen = 2L, dest)
+    SnapshotTable.commit(
+      cloneBatch(Tables.orders(spark, dir)).repartition(SnapAppendFiles),
+      dest, 2L, carryFrom = Some(1L))
+    def phase(name: String, table: String, gen: Long): DataFrame =
+      SnapshotTable.readAs(spark, table, gen)
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(name).as("phase"),
+          lit(SnapshotTable.listFiles(spark, table, gen).size.toLong).as("n_files"),
+          col("n_rows"), col("key_sum"))
+    phase("src_gen2", src, 2L)
+      .unionByName(phase("clone_gen1", dest, 1L))
+      .unionByName(phase("clone_gen2", dest, 2L))
+      .unionByName(phase("src_after", src, 2L))
+      .orderBy("phase")
+  }
+
   /** Audit gate for [[snapshotWap]]: a staged batch may publish only if
     * no row reaches this total price (the planted "bad data" predicate;
     * real sf data has rows on both sides).
@@ -1074,6 +1115,7 @@ object SourceOps {
     "src_snapshot_optimize" -> (snapshotOptimize _),
     "src_snapshot_rollback" -> (snapshotRollback _),
     "src_snapshot_wap" -> (snapshotWap _),
+    "src_snapshot_clone" -> (snapshotClone _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -1448,6 +1490,31 @@ object SourceOps {
          |FROM (SELECT * FROM ev
          |      UNION ALL
          |      SELECT * FROM odd WHERE o_totalprice < $WapAuditMaxPrice)
+         |ORDER BY phase""".stripMargin,
+    // The clone references gen 2's files (same count, zero copied);
+    // the evolved clone adds the experiment batch; the source stays
+    // identical before and after.
+    "src_snapshot_clone" ->
+      s"""WITH al AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders),
+         |b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders WHERE o_orderkey % 100 = 0)
+         |SELECT 'clone_gen1' AS phase,
+         |  CAST(${SnapInitFiles + SnapAppendFiles} AS BIGINT) AS n_files,
+         |  al.n AS n_rows, al.ks AS key_sum
+         |FROM al
+         |UNION ALL
+         |SELECT 'clone_gen2', ${SnapInitFiles + 2 * SnapAppendFiles},
+         |  al.n + b.n, al.ks + b.ks
+         |FROM al, b
+         |UNION ALL
+         |SELECT 'src_after', ${SnapInitFiles + SnapAppendFiles}, al.n, al.ks FROM al
+         |UNION ALL
+         |SELECT 'src_gen2', ${SnapInitFiles + SnapAppendFiles}, al.n, al.ks FROM al
          |ORDER BY phase""".stripMargin,
     // The bucketed layout is result-transparent — the twin is the plain
     // join over the original parquet.

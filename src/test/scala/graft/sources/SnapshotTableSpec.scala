@@ -197,6 +197,43 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L, 3L, 4L))
   }
 
+  test("shallow clone references source files verbatim and evolves independently") {
+    import spark.implicits._
+    val src = graft.Scratch.dir("snapshot_clone_src_spec")
+    val dest = graft.Scratch.dir("snapshot_clone_dest_spec")
+    SnapshotTable.commit(Seq(1L, 2L, 3L, 4L).toDF("o_orderkey"), src, 1L)
+    SnapshotTable.cloneShallow(spark, src, 1L, dest)
+    // Zero-copy: the clone's gen-1 file list IS the source's.
+    val srcFiles = SnapshotTable.listFiles(spark, src, 1L)
+    assert(SnapshotTable.listFiles(spark, dest, 1L) === srcFiles)
+    // Independence: the clone's append writes under the CLONE's
+    // directory; the source's manifest and content are untouched.
+    SnapshotTable.commit(Seq(5L).toDF("o_orderkey"), dest, 2L,
+      carryFrom = Some(1L))
+    assert(SnapshotTable.listFiles(spark, src, 1L) === srcFiles)
+    assert(SnapshotTable.generations(spark, src) === Seq(1L))
+    assert(SnapshotTable.readAs(spark, src, 1L)
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(SnapshotTable.readAs(spark, dest, 2L)
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+    val fresh = SnapshotTable.listFiles(spark, dest, 2L).filterNot(srcFiles.contains)
+    // inputFiles are file:// URIs; compare on the contained path.
+    assert(fresh.nonEmpty && fresh.forall(_.contains(dest)),
+      "the clone's own files must land under the clone's directory")
+    // A clone target with committed lineage refuses.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneShallow(spark, src, 1L, dest)
+    }
+    // A merge-on-read source clones WITH its tombstones.
+    val src2 = graft.Scratch.dir("snapshot_clone_mor_spec")
+    val dest2 = graft.Scratch.dir("snapshot_clone_mor_dest_spec")
+    SnapshotTable.commit(Seq(1L, 2L, 3L).toDF("o_orderkey"), src2, 1L)
+    SnapshotTable.commitDeletes(Seq(2L).toDF("o_orderkey"), src2, 2L, carryFrom = 1L)
+    SnapshotTable.cloneShallow(spark, src2, 2L, dest2)
+    assert(SnapshotTable.readMor(spark, dest2, 1L, "o_orderkey")
+      .as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("WAP: staged branch invisible until published by reference; abandon removes files") {
     import spark.implicits._
     val table = graft.Scratch.dir("snapshot_wap_spec")
