@@ -229,6 +229,42 @@ object StarOps {
           .cast("long").as("r2_ppm"))
       .orderBy("l_returnflag")
 
+  /** Welch's two-sample t statistic between every pair of groups —
+    * the A/B-test / drift-detection aggregate on the same one-pass
+    * power-sum machinery as [[aggCorr]]: per group (n, Σx, Σx²)
+    * map-side-combine in ONE scan; the pairwise comparison is a
+    * self-join of the GROUP-COUNT-sized aggregate (3 rows here —
+    * bounded by distinct keys, never data), and the closed-form t and
+    * Welch–Satterthwaite degrees of freedom are the same IEEE double
+    * tree on both engines, surfaced as floored ppm. Unequal variances
+    * and sizes are the point of Welch's form — no pooled-variance
+    * assumption, the production default.
+    */
+  def aggTtest(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        Parity.dsum(col("l_quantity")).as("sx"),
+        Parity.dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"))
+      .select(col("flag"), col("n"), (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("vr"))
+    def side(s: String) = g.select(col("flag").as(s"flag_$s"),
+      col("n").as(s"n_$s"), col("mean").as(s"mean_$s"), col("vr").as(s"vr_$s"))
+    side("a").join(side("b"), col("flag_a") < col("flag_b"))
+      .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+        (col("vr_a") / col("n_a") + col("vr_b") / col("n_b")).as("se2"),
+        col("mean_a"), col("mean_b"), col("vr_a"), col("vr_b"))
+      .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+        floor((col("mean_a") - col("mean_b")) / sqrt(col("se2")) * 1000000.0)
+          .cast("long").as("t_ppm"),
+        floor(col("se2") * col("se2") /
+          ((col("vr_a") / col("n_a")) * (col("vr_a") / col("n_a")) / (col("n_a") - 1) +
+           (col("vr_b") / col("n_b")) * (col("vr_b") / col("n_b")) / (col("n_b") - 1))
+          * 1000000.0).cast("long").as("dof_ppm"))
+      .orderBy("flag_a", "flag_b")
+  }
+
   /** Exact higher moments per group: skewness and excess kurtosis from
     * integer power sums of the (integral) quantity — the one-pass,
     * map-side-combinable extension of [[aggCorr]]'s machinery to 3rd
@@ -595,6 +631,7 @@ object StarOps {
     "join_salted" -> (joinSalted _),
     "agg_corr" -> (aggCorr _),
     "agg_regression" -> (aggRegression _),
+    "agg_ttest" -> (aggTtest _),
     "agg_moments" -> (aggMoments _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
@@ -808,6 +845,30 @@ object StarOps {
         |      CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
         |    FROM lineitem GROUP BY l_returnflag) s) t
         |ORDER BY l_returnflag""".stripMargin,
+    // The group aggregate (3 rows) is the only data-scale work; the
+    // pairwise self-join and the t / Welch-dof trees are written as
+    // the SAME IEEE expression both sides.
+    "agg_ttest" ->
+      """WITH g AS (
+        |  SELECT flag, n, sx / n AS mean,
+        |    (sxx - sx*sx/n) / (n - 1) AS vr
+        |  FROM (
+        |    SELECT l_returnflag AS flag, count(*) AS n,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |    FROM lineitem GROUP BY l_returnflag) s),
+        |p AS (
+        |  SELECT a.flag AS flag_a, b.flag AS flag_b, a.n AS n_a, b.n AS n_b,
+        |    a.vr / a.n + b.vr / b.n AS se2,
+        |    a.mean AS mean_a, b.mean AS mean_b, a.vr AS vr_a, b.vr AS vr_b
+        |  FROM g a JOIN g b ON a.flag < b.flag)
+        |SELECT flag_a, flag_b, n_a, n_b,
+        |  CAST(floor((mean_a - mean_b) / sqrt(se2) * 1000000.0) AS BIGINT) AS t_ppm,
+        |  CAST(floor(se2 * se2 /
+        |    ((vr_a / n_a) * (vr_a / n_a) / (n_a - 1) +
+        |     (vr_b / n_b) * (vr_b / n_b) / (n_b - 1))
+        |    * 1000000.0) AS BIGINT) AS dof_ppm
+        |FROM p ORDER BY flag_a, flag_b""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
