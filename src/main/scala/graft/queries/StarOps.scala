@@ -265,6 +265,43 @@ object StarOps {
       .orderBy("flag_a", "flag_b")
   }
 
+  /** Pearson χ² test of independence over the
+    * returnflag × linestatus contingency table — the categorical
+    * companion to [[aggTtest]]: ONE scan builds the cell counts
+    * (bounded by |flags|·|statuses|, never data), margins come from
+    * re-aggregating the CELLS (not the table), and each cell reports
+    * its expected count and its χ² contribution. Every per-cell value
+    * is a deterministic function of integer counts; the total
+    * statistic is defined as the INTEGER sum of the floored per-cell
+    * ppm terms (a window over the constant-size cell relation), so no
+    * order-sensitive float summation exists anywhere — the discipline
+    * that keeps the cross-engine compare exact. dof = (R−1)(C−1)
+    * rides along.
+    */
+  def aggChisq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("flag").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("status").agg(sum("obs").as("ct"))
+    val tot = cells.agg(sum("obs").as("n"),
+      countDistinct("flag").as("r"), countDistinct("status").as("c"))
+    val all = Window.partitionBy()
+    cells
+      .join(broadcast(rt), "flag")
+      .join(broadcast(ct), "status")
+      .crossJoin(broadcast(tot))
+      .select(col("flag"), col("status"), col("obs"),
+        ((col("rt") * col("ct")).cast("double") / col("n")).as("e"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"))
+      .select(col("flag"), col("status"), col("obs"), col("dof"),
+        floor(col("e") * 1000.0).cast("long").as("exp_milli"),
+        floor((col("obs") - col("e")) * (col("obs") - col("e")) / col("e")
+          * 1000000.0).cast("long").as("term_ppm"))
+      .withColumn("chi2_ppm", sum("term_ppm").over(all))
+      .orderBy("flag", "status")
+  }
+
   /** Exact higher moments per group: skewness and excess kurtosis from
     * integer power sums of the (integral) quantity — the one-pass,
     * map-side-combinable extension of [[aggCorr]]'s machinery to 3rd
@@ -632,6 +669,7 @@ object StarOps {
     "agg_corr" -> (aggCorr _),
     "agg_regression" -> (aggRegression _),
     "agg_ttest" -> (aggTtest _),
+    "agg_chisq" -> (aggChisq _),
     "agg_moments" -> (aggMoments _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
@@ -869,6 +907,31 @@ object StarOps {
         |     (vr_b / n_b) * (vr_b / n_b) / (n_b - 1))
         |    * 1000000.0) AS BIGINT) AS dof_ppm
         |FROM p ORDER BY flag_a, flag_b""".stripMargin,
+    // Margins from the cells, expected counts as integer-ratio doubles,
+    // the total as an ORDER-FREE integer sum of floored terms.
+    "agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |    count(*) AS obs
+        |  FROM lineitem GROUP BY flag, status),
+        |rt AS (SELECT flag, sum(obs) AS rt FROM cells GROUP BY flag),
+        |ct AS (SELECT status, sum(obs) AS ct FROM cells GROUP BY status),
+        |tot AS (SELECT sum(obs) AS n, count(DISTINCT flag) AS r,
+        |               count(DISTINCT status) AS c FROM cells),
+        |t AS (
+        |  SELECT cells.flag, cells.status, obs,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / n AS e,
+        |    CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+        |  FROM cells JOIN rt ON cells.flag = rt.flag
+        |    JOIN ct ON cells.status = ct.status, tot),
+        |terms AS (
+        |  SELECT flag, status, CAST(obs AS BIGINT) AS obs, dof,
+        |    CAST(floor(e * 1000.0) AS BIGINT) AS exp_milli,
+        |    CAST(floor((obs - e) * (obs - e) / e * 1000000.0) AS BIGINT) AS term_ppm
+        |  FROM t)
+        |SELECT flag, status, obs, dof, exp_milli, term_ppm,
+        |  CAST(sum(term_ppm) OVER () AS BIGINT) AS chi2_ppm
+        |FROM terms ORDER BY flag, status""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
