@@ -432,26 +432,38 @@ object TextOps {
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateOf(Tables.documents(spark, dir))
 
-  /** [[boilerplate]] over an arbitrary documents frame (tests plant a
-    * shared template block).
+  /** The ordered per-doc [[ChunkTokens]]-token chunk instances shared by
+    * [[boilerplateOf]] (detection) and [[boilerplateStripOf]]
+    * (removal): one row per full window, position-indexed. explode_outer
+    * + isNotNull (not plain explode) keeps InferFiltersFromGenerate
+    * from re-inlining the tokenize+chunk tree into a scan-level filter
+    * — see DedupOps.shingleSetWithSize.
     */
-  def boilerplateOf(docs: DataFrame): DataFrame = {
-    val chunked = docs
+  private def chunkOccurrences(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) >= ChunkTokens,
           expr(s"""transform(sequence(1, size(toks) div $ChunkTokens),
                   |  i -> array_join(slice(toks, (i-1)*$ChunkTokens + 1, $ChunkTokens), ' '))""".stripMargin))
           .otherwise(expr("array()").cast("array<string>")).as("chunks"))
-    // explode_outer + isNotNull (not plain explode): keeps
-    // InferFiltersFromGenerate from re-inlining the tokenize+chunk tree
-    // into a scan-level filter — see DedupOps.shingleSetWithSize.
-    val occ = chunked.select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
+      .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("idx", "chunk")))
       .filter(col("chunk").isNotNull)
-    val shared = occ.distinct()
+
+  /** The cross-document template chunks ([[boilerplateOf]]'s df ≥ 2
+    * rule) — ONE definition so detect and strip cannot drift.
+    */
+  private def sharedChunks(occ: DataFrame): DataFrame =
+    occ.select("doc_id", "chunk").distinct()
       .groupBy("chunk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("chunk"), lit(1L).as("hit"))
+
+  /** [[boilerplate]] over an arbitrary documents frame (tests plant a
+    * shared template block).
+    */
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val occ = chunkOccurrences(docs).select("doc_id", "chunk")
+    val shared = sharedChunks(occ).select(col("chunk"), lit(1L).as("hit"))
     // One left join carries both totals and hits into a single per-doc
     // aggregate; zero-chunk (short) docs re-enter via a doc_id-only
     // right branch, which column-prunes text out of that scan entirely.
@@ -466,6 +478,54 @@ object TextOps {
         coalesce(col("boiler_chunks"), lit(0L)).as("boiler_chunks"),
         floor(coalesce(col("boiler_chunks"), lit(0L)) * lit(1000000.0)
           / greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L))).cast("long").as("boiler_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** The TRANSFORM half of [[boilerplate]]: emit each document's
+    * CLEANED text with the cross-document template chunks removed —
+    * what the detector only reports, the strip actually does (the
+    * training-corpus "remove headers/footers/navigation" pass).
+    * Shares [[chunkOccurrences]] and [[sharedChunks]] with the
+    * detector so the two cannot disagree about what boilerplate IS.
+    * Surviving chunks rejoin IN ORDER (position index through the
+    * anti join), and the sub-window tail — genuine content, never
+    * df-testable — is always kept. The full cleaned text is in the
+    * compared output, so the oracle gates the reconstruction
+    * byte-for-byte, not just the counts.
+    *
+    * Scale shape: chunking is scan-local; the df count and the
+    * chunk-keyed anti join are wordcount-class shuffles; the per-doc
+    * reassembly groups by doc_id with state bounded by document
+    * length (the sessionization bound).
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(Tables.documents(spark, dir))
+
+  /** [[boilerplateStrip]] over an arbitrary documents frame (tests
+    * plant a template block and pin the reassembled text).
+    */
+  def boilerplateStripOf(docs: DataFrame): DataFrame = {
+    val occ = chunkOccurrences(docs)
+    val shared = sharedChunks(occ).select("chunk")
+    val keptAgg = occ.join(shared, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+        expr("transform(array_sort(collect_list(struct(idx, chunk))), s -> s.chunk)")
+          .as("segs"))
+    val tails = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        expr(s"size(toks) div $ChunkTokens").as("n_chunks"),
+        expr(s"""array_join(slice(toks, (size(toks) div $ChunkTokens) * $ChunkTokens + 1,
+                |  size(toks) - (size(toks) div $ChunkTokens) * $ChunkTokens), ' ')""".stripMargin)
+          .as("tail"))
+    tails.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L))).as("dropped_chunks"),
+        expr("""array_join(filter(
+               |  concat(coalesce(segs, cast(array() as array<string>)), array(tail)),
+               |  s -> s != ''), ' ')""".stripMargin).as("cleaned"))
       .orderBy("doc_id")
   }
 
@@ -1230,6 +1290,7 @@ object TextOps {
     "text_countmin" -> (countMin _),
     "text_collocations" -> (collocations _),
     "text_keyphrase" -> (keyphrases _),
+    "text_boilerplate_strip" -> (boilerplateStrip _),
     "text_window_cooc" -> (windowCooccurrence _),
     "text_hashing_tf" -> (hashingTf _),
     "corpus_filter" -> (corpusFilter _),
@@ -1767,6 +1828,42 @@ object TextOps {
         |       / greatest(n.n_chunks, 1)) AS BIGINT) AS boiler_ppm
         |FROM n LEFT JOIN b ON n.doc_id = b.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    // The strip twin reconstructs the cleaned text itself: indexed
+    // chunks, df>=2 template removal, ordered rejoin plus the always-
+    // kept tail — byte-for-byte in the compared output.
+    "text_boilerplate_strip" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, tk, len(tk) // $ChunkTokens AS n FROM t),
+        |ix AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM base),
+        |ch AS (
+        |  SELECT ix.doc_id, i,
+        |    array_to_string(tk[(i-1)*$ChunkTokens + 1 : i*$ChunkTokens], ' ') AS chunk
+        |  FROM ix JOIN base ON ix.doc_id = base.doc_id),
+        |shared AS (
+        |  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+        |  GROUP BY chunk HAVING count(*) >= 2),
+        |kept AS (
+        |  SELECT doc_id, i, chunk FROM ch
+        |  WHERE chunk NOT IN (SELECT chunk FROM shared)),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS kept_chunks,
+        |    list(chunk ORDER BY i) AS segs
+        |  FROM kept GROUP BY doc_id),
+        |tails AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_chunks,
+        |    array_to_string(tk[n*$ChunkTokens + 1 : len(tk)], ' ') AS tail
+        |  FROM base)
+        |SELECT tails.doc_id AS doc_id, n_chunks,
+        |  CAST(coalesce(ka.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+        |  CAST(n_chunks - coalesce(ka.kept_chunks, 0) AS BIGINT) AS dropped_chunks,
+        |  -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+        |  -- array_join is '' — normalize.
+        |  coalesce(array_to_string(list_filter(
+        |    list_concat(coalesce(ka.segs, []), [tail]), s -> s <> ''), ' '), '') AS cleaned
+        |FROM tails LEFT JOIN ka ON tails.doc_id = ka.doc_id
+        |ORDER BY tails.doc_id""".stripMargin,
     // RareMaxDf generated from the same constant the Spark side uses.
     "text_rarity" ->
       s"""WITH tf AS (

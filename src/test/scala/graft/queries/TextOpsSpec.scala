@@ -25,6 +25,37 @@ class TextOpsSpec extends AnyFunSuite {
       "no pii here at all"))
   }
 
+  test("boilerplateStrip removes the shared template, keeps order and the tail") {
+    // Two docs share an identical ChunkTokens-token header (the
+    // template); each has a distinct ChunkTokens-token body chunk and
+    // a short tail. A third doc is all-template. Chunk boundaries are
+    // exact multiples, so the planted layout is unambiguous.
+    val C = TextOps.ChunkTokens
+    val template = (1 to C).map(_ => "tpl").mkString(" ")
+    val bodyA = (1 to C).map(i => s"a$i").mkString(" ")
+    val bodyB = (1 to C).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$template $bodyA tail1 tail2"),
+      (2L, s"$template $bodyB"),
+      (3L, template))
+      .toDF("doc_id", "text")
+    val got = TextOps.boilerplateStripOf(df)
+      .select("doc_id", "n_chunks", "kept_chunks", "dropped_chunks", "cleaned")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 2L, 1L, 1L, s"$bodyA tail1 tail2"),
+      (2L, 2L, 1L, 1L, bodyB),
+      (3L, 1L, 0L, 1L, "")))
+    // The detector and the strip agree on what boilerplate is: the
+    // dropped counts equal boilerplateOf's boiler_chunks per doc.
+    val det = TextOps.boilerplateOf(df)
+      .select("doc_id", "boiler_chunks")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, _, dropped, _) =>
+      assert(det(id) === dropped, s"detector/strip drift on doc $id")
+    }
+  }
+
   test("phraseFold splits maximal stopword-free runs, never emits empties") {
     val out = Seq(
       "the quick brown fox of a lazy dog",  // lead/mid/trail-interior stops
