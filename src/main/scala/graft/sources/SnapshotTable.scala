@@ -672,6 +672,59 @@ object SnapshotTable {
     (dead.size.toLong, orphans.size.toLong)
   }
 
+  /** VACUUM: delete files under the table's data/deletes directories
+    * that NO generation manifest references — failed-attempt debris,
+    * crashed-writer leftovers, files staged by a writer that lost the
+    * first-writer-wins race. Distinct from [[expire]] (which retires
+    * MANIFESTS and then their now-unreferenced files): vacuum never
+    * touches a manifest, so every readable snapshot is untouched by
+    * construction. WAP branch staging is exempt — a staged-but-unaudited
+    * batch is referenced by its BRANCH manifest, so vacuum treats
+    * branch manifests as references too. Driver work is O(files)
+    * (directory listing + manifest reads), never data size. Returns
+    * (files examined, orphans deleted).
+    */
+  def vacuum(spark: SparkSession, table: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val referenced = (generations(spark, table).flatMap { g =>
+      val (d, t) = manifestEntries(spark, table, g)
+      d ++ t
+    } ++ branches(spark, table).flatMap(b => stagedFiles(spark, table, b)))
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val roots = Seq(s"$table/data", s"$table/deletes")
+    val present = roots.flatMap { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+            buf += f.getPath
+        }
+        buf.toSeq
+      }
+    }
+    val orphans = present.filterNot(p => referenced.contains(p.toUri.getPath))
+    orphans.foreach(p => p.getFileSystem(conf).delete(p, false))
+    (present.size.toLong, orphans.size.toLong)
+  }
+
+  /** The live WAP branch names of `table` ([[stage]]). */
+  def branches(spark: SparkSession, table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/branches")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .filter(b => fs.exists(
+        new org.apache.hadoop.fs.Path(branchManifestPath(table, b))))
+      .sorted
+  }
+
   /** Compact generation `fromGen` into `fromGen + 1`: read the old
     * snapshot through its manifest, rewrite into `files` output files,
     * publish the new manifest. The old manifest (and its files) remain

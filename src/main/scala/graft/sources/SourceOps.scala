@@ -414,6 +414,46 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** Planted crashed-writer debris file count for [[snapshotVacuum]]. */
+  val VacuumOrphanFiles = 3
+
+  /** VACUUM over the snapshot layer ([[SnapshotTable.vacuum]]): the
+    * orphan-file GC every table format ships next to expire — after a
+    * crashed or race-losing writer leaves staged data files behind,
+    * vacuum deletes exactly the files NO manifest references, while
+    * (1) every generation keeps serving byte-identical content (vacuum
+    * never touches manifests) and (2) a WAP branch staged for audit
+    * SURVIVES, because branch manifests count as references. The drill
+    * commits an init generation, plants [[VacuumOrphanFiles]] debris
+    * files inside the table's data layout, stages an audit branch, and
+    * vacuums: examined/removed counts, the surviving generation's
+    * content, and the intact staged batch are all value-gated from the
+    * shared layout constants and split predicates.
+    */
+  def snapshotVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_vacuum")
+    val orders = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 4 =!= 0).repartition(SnapInitFiles),
+      table, 1L)
+    // Crashed-writer debris: files in the table's data layout that no
+    // manifest ever published.
+    orders.filter(col("o_orderkey") % 4 === 0).repartition(VacuumOrphanFiles)
+      .write.mode("overwrite").parquet(s"$table/data/gen=1/a=orphan")
+    SnapshotTable.stage(
+      cloneBatch(orders).repartition(SnapAppendFiles), table, "wap")
+    val (examined, removed) = SnapshotTable.vacuum(spark, table)
+    SnapshotTable.readAs(spark, table, 1L)
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+      .crossJoin(SnapshotTable.readStaged(spark, table, "wap")
+        .agg(count(lit(1)).as("staged_rows")))
+      .select(
+        lit(examined).as("n_examined"),
+        lit(removed).as("n_removed"),
+        lit(SnapshotTable.listFiles(spark, table, 1L).size.toLong).as("n_live_files"),
+        col("n_rows"), col("key_sum"), col("staged_rows"))
+  }
+
   /** The clone's dev-experiment batch: every 100th order key. */
   private def cloneBatch(orders: DataFrame): DataFrame =
     orders.filter(col("o_orderkey") % 100 === 0)
@@ -1116,6 +1156,7 @@ object SourceOps {
     "src_snapshot_rollback" -> (snapshotRollback _),
     "src_snapshot_wap" -> (snapshotWap _),
     "src_snapshot_clone" -> (snapshotClone _),
+    "src_snapshot_vacuum" -> (snapshotVacuum _),
   )
 
   /** src_dirscan's oracle globs the same REAL directory the Spark query
@@ -1491,6 +1532,22 @@ object SourceOps {
          |      UNION ALL
          |      SELECT * FROM odd WHERE o_totalprice < $WapAuditMaxPrice)
          |ORDER BY phase""".stripMargin,
+    // Counts from the shared layout constants; the surviving snapshot
+    // and the staged branch re-derive from the split predicates.
+    "src_snapshot_vacuum" ->
+      s"""WITH init AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS staged_rows
+         |  FROM orders WHERE o_orderkey % 100 = 0)
+         |SELECT
+         |  CAST(${SnapInitFiles + VacuumOrphanFiles + SnapAppendFiles} AS BIGINT) AS n_examined,
+         |  CAST($VacuumOrphanFiles AS BIGINT) AS n_removed,
+         |  CAST($SnapInitFiles AS BIGINT) AS n_live_files,
+         |  n_rows, key_sum, staged_rows
+         |FROM init, st""".stripMargin,
     // The clone references gen 2's files (same count, zero copied);
     // the evolved clone adds the experiment batch; the source stays
     // identical before and after.

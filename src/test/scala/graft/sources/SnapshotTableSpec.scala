@@ -197,6 +197,30 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(1L, 3L, 4L))
   }
 
+  test("vacuum removes only unreferenced files; tombstones and staged branches survive") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_vacuum_spec")
+    val conf = spark.sparkContext.hadoopConfiguration
+    SnapshotTable.commit(Seq(1L, 2L, 3L, 4L).toDF("o_orderkey"), table, 1L)
+    // A merge-on-read delete: the tombstone file is manifest-referenced
+    // content and must survive vacuum.
+    SnapshotTable.commitDeletes(Seq(2L).toDF("o_orderkey"), table, 2L, carryFrom = 1L)
+    // Crashed-writer debris in both layout roots.
+    Seq(9L).toDF("o_orderkey").write.parquet(s"$table/data/gen=1/a=crashed")
+    Seq(9L).toDF("o_orderkey").write.parquet(s"$table/deletes/gen=2/a=crashed")
+    // A staged-for-audit branch: referenced by its branch manifest.
+    SnapshotTable.stage(Seq(7L).toDF("o_orderkey"), table, "audit")
+    val (_, removed) = SnapshotTable.vacuum(spark, table)
+    assert(removed === 2L, "exactly the two debris files are orphans")
+    // Everything referenced still serves.
+    assert(SnapshotTable.readMor(spark, table, 2L, "o_orderkey")
+      .as[Long].collect().toSet === Set(1L, 3L, 4L))
+    assert(SnapshotTable.readStaged(spark, table, "audit")
+      .as[Long].collect().toSet === Set(7L))
+    // Idempotent: a second sweep finds nothing.
+    assert(SnapshotTable.vacuum(spark, table)._2 === 0L)
+  }
+
   test("shallow clone references source files verbatim and evolves independently") {
     import spark.implicits._
     val src = graft.Scratch.dir("snapshot_clone_src_spec")
