@@ -72,9 +72,15 @@ object EventOps {
   /** Gap sessionization: a new session starts after >10 min of user
     * inactivity; sessions counted per user. Gap math in epoch µs.
     */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionsOf(Tables.events(spark, dir))
+
+  /** [[sessions]] over an arbitrary events frame — shared with the
+    * composed `pipeline_events`.
+    */
+  def sessionsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("gap_new",
         when(col("us") - lag("us", 1).over(w) > 600000000L || lag("us", 1).over(w).isNull, 1L)
@@ -230,7 +236,20 @@ object EventOps {
     * boundary clicks at the exact window edges and shared-credit
     * cohorts).
     */
-  def attributionOf(ev: DataFrame): DataFrame = {
+  def attributionOf(ev: DataFrame): DataFrame =
+    attributionPairsOf(ev)
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum("ppm").as("credit_ppm"))
+      .orderBy("campaign")
+
+  /** The credited (user, purchase, campaign, ppm) touch relation under
+    * [[attributionOf]] — exposed so the composed `pipeline_events`
+    * consumes the SAME covering-bucket join and credit split the
+    * registered query aggregates.
+    */
+  def attributionPairsOf(ev: DataFrame): DataFrame = {
     val wUs = AttribWindowMin * 60L * 1000000L
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("cts"),
@@ -244,16 +263,43 @@ object EventOps {
         floor(col("pts") / wUs).cast("long"))))
     val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
       .filter(col("cts") >= col("pts") - wUs && col("cts") <= col("pts"))
-      .select(col("purchase_id"), col("campaign"))
+      .select(col("user_id"), col("purchase_id"), col("campaign"))
     val perPurchase = Window.partitionBy("purchase_id")
     pairs
       .withColumn("n", count(lit(1)).over(perPurchase))
       .withColumn("ppm", expr("1000000 div n"))
-      .groupBy("campaign")
+  }
+
+  /** The composed PRODUCT-ANALYTICS pipeline — sessionize → funnel →
+    * attribute in ONE DAG, the fourth composed pipeline next to
+    * corpus/media/retrieval/lakehouse: campaign credit comes from
+    * [[attributionPairsOf]] (the registered attribution's exact
+    * relation), and each campaign's credited users enrich with THEIR
+    * session counts ([[sessionsOf]]) and funnel stages
+    * ([[funnelStagesOf]]) — the "which campaigns reach engaged,
+    * converting users" report. Every stage consumes the member
+    * queries' own frames, and the oracle embeds the members' own CTE
+    * blocks, so the composition cannot drift from the parts.
+    *
+    * Scale shape: the members' own postures (covering-bucket join,
+    * one-shuffle sessionization, one-fold funnel) plus two user-keyed
+    * joins of per-user aggregates and a campaign-count-sized head.
+    */
+  def pipelineEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pairs = attributionPairsOf(ev)
+    val perCamp = pairs.groupBy("campaign")
       .agg(count(lit(1)).as("n_touches"),
         countDistinct(col("purchase_id")).as("n_purchases"),
         sum("ppm").as("credit_ppm"))
-      .orderBy("campaign")
+    val credited = pairs.select("campaign", "user_id").distinct()
+      .join(sessionsOf(ev), "user_id")
+      .join(funnelStagesOf(ev), "user_id")
+      .groupBy("campaign")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum("n_sessions").as("sum_sessions"),
+        sum("stage").as("sum_stage"))
+    perCamp.join(credited, "campaign").orderBy("campaign")
   }
 
   /** Funnel analysis (view → click → purchase, strictly increasing
@@ -276,7 +322,17 @@ object EventOps {
   /** [[funnel]] over an arbitrary events frame (tests plant ordered,
     * out-of-order, and partial journeys).
     */
-  def funnelOf(events: DataFrame): DataFrame = {
+  def funnelOf(events: DataFrame): DataFrame =
+    funnelStagesOf(events)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+
+  /** The per-user stage relation under [[funnelOf]] — the one state
+    * machine, exposed so the composed `pipeline_events` consumes the
+    * SAME fold the registered funnel aggregates.
+    */
+  def funnelStagesOf(events: DataFrame): DataFrame = {
     val sorted = events
       .select(col("user_id"),
         struct(col("ts"), col("event_id"), col("event_type").as("t")).as("e"))
@@ -297,10 +353,7 @@ object EventOps {
             .otherwise(step(acc, 2, "purchase", e)
               .otherwise(acc))),
       acc => acc.getField("stage").cast("long"))
-    sorted.select(stage.as("stage"))
-      .groupBy("stage")
-      .agg(count(lit(1)).as("users"))
-      .orderBy("stage")
+    sorted.select(col("user_id"), stage.as("stage"))
   }
 
   /** Cohort retention: users grouped by their first-activity week
@@ -644,6 +697,7 @@ object EventOps {
     "events_asof" -> (asofViewBeforePurchase _),
     "events_asof_tol" -> (asofTolerance _),
     "events_attribution" -> (attribution _),
+    "pipeline_events" -> (pipelineEvents _),
     "events_transitions" -> (transitions _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
@@ -663,6 +717,54 @@ object EventOps {
   /** Shared by events_sessions and events_sessions_native — the two
     * formulations are semantically identical, boundary cases included.
     */
+  /** The credited-touch CTE block of events_attribution's oracle,
+    * shared verbatim with pipeline_events' so the composition cannot
+    * drift from the member.
+    */
+  private lazy val AttribPairsCtes =
+    s"""c AS (
+       |  SELECT user_id, epoch_us($TsCast) AS cts,
+       |    'c' || CAST(event_id % 4 AS VARCHAR) AS campaign
+       |  FROM events WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, epoch_us($TsCast) AS pts, event_id AS purchase_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.user_id, p.purchase_id, c.campaign,
+       |    count(*) OVER (PARTITION BY p.purchase_id) AS n
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.cts >= p.pts - ${AttribWindowMin * 60L * 1000000L}
+       |    AND c.cts <= p.pts)""".stripMargin
+
+  /** The per-user stage CTE block of events_funnel's oracle, shared
+    * verbatim with pipeline_events'.
+    */
+  private lazy val FunnelStagesCtes =
+    s"""s1 AS (
+       |  SELECT user_id, min($TsCast) AS t1 FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, min($TsCast) AS t2 FROM events e
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND $TsCast > s1.t1
+       |  GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, min($TsCast) AS t3 FROM events e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND $TsCast > s2.t2
+       |  GROUP BY e.user_id),
+       |uu AS (SELECT DISTINCT user_id FROM events),
+       |st AS (
+       |  SELECT uu.user_id,
+       |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+       |         WHEN s2.user_id IS NOT NULL THEN 2
+       |         WHEN s1.user_id IS NOT NULL THEN 1
+       |         ELSE 0 END AS stage
+       |  FROM uu
+       |  LEFT JOIN s1 ON uu.user_id = s1.user_id
+       |  LEFT JOIN s2 ON uu.user_id = s2.user_id
+       |  LEFT JOIN s3 ON uu.user_id = s3.user_id)""".stripMargin
+
   private val SessionsOracleSql =
     s"""SELECT user_id,
        |  CAST(sum(gap_new) AS BIGINT) AS n_sessions,
@@ -788,24 +890,38 @@ object EventOps {
     // same pairs. Credit is integer ppm via truncating division (both
     // operands positive, so Spark `div` and DuckDB `//` agree).
     "events_attribution" ->
-      s"""WITH c AS (
-         |  SELECT user_id, epoch_us($TsCast) AS cts,
-         |    'c' || CAST(event_id % 4 AS VARCHAR) AS campaign
-         |  FROM events WHERE event_type = 'click'),
-         |p AS (
-         |  SELECT user_id, epoch_us($TsCast) AS pts, event_id AS purchase_id
-         |  FROM events WHERE event_type = 'purchase'),
-         |pairs AS (
-         |  SELECT p.purchase_id, c.campaign,
-         |    count(*) OVER (PARTITION BY p.purchase_id) AS n
-         |  FROM p JOIN c ON p.user_id = c.user_id
-         |    AND c.cts >= p.pts - ${AttribWindowMin * 60L * 1000000L}
-         |    AND c.cts <= p.pts)
+      s"""WITH $AttribPairsCtes
          |SELECT campaign,
          |  CAST(count(*) AS BIGINT) AS n_touches,
          |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
          |  CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
          |FROM pairs GROUP BY campaign ORDER BY campaign""".stripMargin,
+    // The composed pipeline embeds the members' OWN CTE blocks
+    // (attribution pairs, funnel stages, the sessions statement) so a
+    // drift in any member breaks this row too.
+    "pipeline_events" ->
+      s"""WITH $AttribPairsCtes,
+         |$FunnelStagesCtes,
+         |sess AS ($SessionsOracleSql),
+         |percamp AS (
+         |  SELECT campaign,
+         |    CAST(count(*) AS BIGINT) AS n_touches,
+         |    CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+         |    CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
+         |  FROM pairs GROUP BY campaign),
+         |cred AS (
+         |  SELECT campaign,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(sess.n_sessions) AS BIGINT) AS sum_sessions,
+         |    CAST(sum(st.stage) AS BIGINT) AS sum_stage
+         |  FROM (SELECT DISTINCT campaign, user_id FROM pairs) cu
+         |  JOIN sess ON cu.user_id = sess.user_id
+         |  JOIN st ON cu.user_id = st.user_id
+         |  GROUP BY campaign)
+         |SELECT percamp.campaign, n_touches, n_purchases, credit_ppm,
+         |  n_users, sum_sessions, sum_stage
+         |FROM percamp JOIN cred ON percamp.campaign = cred.campaign
+         |ORDER BY percamp.campaign""".stripMargin,
     // Per-from totals attach by join (same shape as the Spark side);
     // all-integer ppm.
     "events_transitions" ->
@@ -847,30 +963,7 @@ object EventOps {
     // previous stage's — the same fixpoint the Spark-side fold reaches
     // in one pass.
     "events_funnel" ->
-      s"""WITH s1 AS (
-         |  SELECT user_id, min($TsCast) AS t1 FROM events
-         |  WHERE event_type = 'view' GROUP BY user_id),
-         |s2 AS (
-         |  SELECT e.user_id, min($TsCast) AS t2 FROM events e
-         |  JOIN s1 ON e.user_id = s1.user_id
-         |  WHERE e.event_type = 'click' AND $TsCast > s1.t1
-         |  GROUP BY e.user_id),
-         |s3 AS (
-         |  SELECT e.user_id, min($TsCast) AS t3 FROM events e
-         |  JOIN s2 ON e.user_id = s2.user_id
-         |  WHERE e.event_type = 'purchase' AND $TsCast > s2.t2
-         |  GROUP BY e.user_id),
-         |u AS (SELECT DISTINCT user_id FROM events),
-         |st AS (
-         |  SELECT u.user_id,
-         |    CASE WHEN s3.user_id IS NOT NULL THEN 3
-         |         WHEN s2.user_id IS NOT NULL THEN 2
-         |         WHEN s1.user_id IS NOT NULL THEN 1
-         |         ELSE 0 END AS stage
-         |  FROM u
-         |  LEFT JOIN s1 ON u.user_id = s1.user_id
-         |  LEFT JOIN s2 ON u.user_id = s2.user_id
-         |  LEFT JOIN s3 ON u.user_id = s3.user_id)
+      s"""WITH $FunnelStagesCtes
          |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS users
          |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
     "events_retention" ->
