@@ -48,7 +48,9 @@ object Explain {
     "multimodal_audio_vad", "audit_concentration", "events_trajectory",
     "src_snapshot_changes", "sql_recursive", "src_snapshot_history", "src_connector_read", "graph_sssp", "pipeline_lakehouse", "src_snapshot_mor", "src_connector_write",
     "agg_regression", "events_attribution", "src_snapshot_rollback",
-    "src_snapshot_wap")
+    "src_snapshot_wap", "agg_ttest", "agg_chisq", "text_keyphrase",
+    "text_boilerplate_strip", "src_snapshot_clone", "src_snapshot_vacuum",
+    "pipeline_events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
