@@ -207,7 +207,48 @@ object AuditOps {
       .orderBy("lang")
   }
 
+  /** Benford first-digit expectations, floor(log10(1 + 1/d) · 1e6) for
+    * d = 1..9 — fixed public constants, so both engines consume the
+    * SAME table and no libm log enters the compare (the Dice/PMI
+    * argument). Shared generator for the Spark literal map and the
+    * oracle VALUES list.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law conformance audit over order totals — the classic
+    * fraud / synthetic-data / unit-mixup screen: naturally-occurring
+    * multi-scale amounts follow log-uniform first-digit frequencies,
+    * and a slice that was generated, truncated, or re-priced in one
+    * band sticks out immediately. First digits extract via
+    * floor→BIGINT→string — integer-to-string casts are portable where
+    * double formatting and libm log10 are not — and each digit row
+    * reports observed vs expected ppm with an |Δ| deviation; the total
+    * L1 deviation rides every row via a window over the 9-row result
+    * (integer sum, order-free). ONE scan, 9 groups, constant-size
+    * output at any table size.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = map(BenfordPpm.flatMap { case (d, p) =>
+      Seq(lit(d), lit(p)) }: _*)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(all))
+      .select(col("digit"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("obs_ppm"),
+        element_at(expected, col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("obs_ppm") - col("benford_ppm")))
+      .withColumn("total_dev_ppm", sum("dev_ppm").over(all))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_benford" -> (benford _),
     "audit_concentration" -> (sourceConcentration _),
     "audit_drift" -> (splitDrift _),
     "audit_quality" -> (qualityChecks _),
@@ -217,6 +258,28 @@ object AuditOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Digits from integer->string casts (portable); the expected table
+    // is the same BenfordPpm constant rendered as VALUES.
+    "audit_benford" ->
+      s"""WITH exp_t(digit, benford_ppm) AS (VALUES
+         |  ${BenfordPpm.map { case (d, p) => s"($d, CAST($p AS BIGINT))" }
+               .mkString(", ")}),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS cnt
+         |  FROM orders GROUP BY 1),
+         |j AS (
+         |  SELECT obs.digit, CAST(cnt AS BIGINT) AS cnt,
+         |    (CAST(cnt AS BIGINT) * 1000000) // CAST(sum(cnt) OVER () AS BIGINT) AS obs_ppm,
+         |    benford_ppm
+         |  FROM obs JOIN exp_t ON obs.digit = exp_t.digit),
+         |d AS (
+         |  SELECT digit, cnt, obs_ppm, benford_ppm,
+         |    abs(obs_ppm - benford_ppm) AS dev_ppm
+         |  FROM j)
+         |SELECT digit, cnt, obs_ppm, benford_ppm, dev_ppm,
+         |  CAST(sum(dev_ppm) OVER () AS BIGINT) AS total_dev_ppm
+         |FROM d ORDER BY digit""".stripMargin,
     // HHI twin: DuckDB's sum(c*c) widens to HUGEINT natively, matching
     // the Spark side's decimal-summed squares; positive-operand floor
     // division agrees across engines.
