@@ -270,6 +270,54 @@ object EventOps {
       .withColumn("ppm", expr("1000000 div n"))
   }
 
+  /** Assignment salt for [[abtest]] — versioning the salt re-randomizes
+    * the experiment without touching user ids.
+    */
+  val AbSalt = "ab1:"
+
+  /** Deterministic A/B experiment analysis — the assignment+readout
+    * pipeline every experimentation platform runs: users assign to
+    * variants by PORTABLE HASH of (salt, user_id) — stable across
+    * reruns and engines, no RNG, the same md5-prefix family as the
+    * dedup stack — per-user purchase outcomes aggregate as exact
+    * cents, and the variants compare by Welch's t over the per-user
+    * totals (the [[graft.queries.StarOps.aggTtest]] tree on power
+    * sums). Everything is map-side-combinable: per-user totals, then
+    * per-variant (n, Σx, Σx²); the readout is a 2-row aggregate and a
+    * closed form. The sums cross to double only at the end — identical
+    * integers give identical correctly-rounded doubles on both
+    * engines, so the ppm floor is stable.
+    */
+  def abtest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Parity
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(Parity.dsumCents(col("value")).as("x"))
+      .withColumn("variant",
+        when(pmod(graft.queries.DedupOps.portable64(
+          concat(lit(AbSalt), col("user_id").cast("string"))), lit(2)) === 0, "A")
+          .otherwise("B"))
+    val g = per.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sxx"))
+      .select(col("variant"), col("n"), col("sx"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        ((col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n")) / (col("n") - 1)).as("vr"))
+    def side(v: String, s: String) = g.filter(col("variant") === v)
+      .select(col("n").as(s"n_$s"), col("sx").as(s"sx_$s"),
+        col("mean").as(s"mean_$s"), col("vr").as(s"vr_$s"))
+    side("A", "a").crossJoin(side("B", "b"))
+      .select(col("n_a"), col("n_b"),
+        col("sx_a").as("sum_a_cents"), col("sx_b").as("sum_b_cents"),
+        floor((col("mean_a") - col("mean_b")) /
+          sqrt(col("vr_a") / col("n_a") + col("vr_b") / col("n_b")) * 1000000.0)
+          .cast("long").as("t_ppm"))
+  }
+
   /** The composed PRODUCT-ANALYTICS pipeline — sessionize → funnel →
     * attribute in ONE DAG, the fourth composed pipeline next to
     * corpus/media/retrieval/lakehouse: campaign credit comes from
@@ -697,6 +745,7 @@ object EventOps {
     "events_asof" -> (asofViewBeforePurchase _),
     "events_asof_tol" -> (asofTolerance _),
     "events_attribution" -> (attribution _),
+    "events_abtest" -> (abtest _),
     "pipeline_events" -> (pipelineEvents _),
     "events_transitions" -> (transitions _),
     "events_funnel" -> (funnel _),
@@ -896,6 +945,32 @@ object EventOps {
          |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
          |  CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
          |FROM pairs GROUP BY campaign ORDER BY campaign""".stripMargin,
+    // The same md5-prefix assignment hash, the dsumCents outcome, and
+    // the aggTtest double tree; integer sums cross to double only at
+    // the end, so the correctly-rounded doubles agree.
+    "events_abtest" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) * 100) AS BIGINT) AS x,
+         |    CASE WHEN ${graft.queries.DedupOps.duckPortable64(
+                 s"concat('$AbSalt', CAST(user_id AS VARCHAR))")} % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS variant
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |g AS (
+         |  SELECT variant, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxxd
+         |  FROM per GROUP BY variant),
+         |m AS (
+         |  SELECT variant, n, sx,
+         |    CAST(sx AS DOUBLE) / n AS mean,
+         |    (sxxd - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS vr
+         |  FROM g)
+         |SELECT a.n AS n_a, b.n AS n_b,
+         |  a.sx AS sum_a_cents, b.sx AS sum_b_cents,
+         |  CAST(floor((a.mean - b.mean) /
+         |    sqrt(a.vr / a.n + b.vr / b.n) * 1000000.0) AS BIGINT) AS t_ppm
+         |FROM (SELECT * FROM m WHERE variant = 'A') a,
+         |     (SELECT * FROM m WHERE variant = 'B') b""".stripMargin,
     // The composed pipeline embeds the members' OWN CTE blocks
     // (attribution pairs, funnel stages, the sessions statement) so a
     // drift in any member breaks this row too.
