@@ -99,6 +99,29 @@ object DedupOps {
     Tables.documents(spark, dir)
       .agg(countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
+  /** SOFT dedup — duplicate-aware sampling WEIGHTS instead of removal
+    * (the "each copy trains with weight 1/n" regime several LLM data
+    * papers prefer over hard dedup, preserving natural frequency
+    * signal while bounding duplicate gradient mass): every document
+    * keeps one row, weighted `1e6 div n_copies` ppm by exact content
+    * hash, so the expected contribution of duplicated CONTENT equals
+    * one copy. One wordcount-class hash count + one key-shared join
+    * back; the summary columns (corpus size, distinct contents,
+    * duplicated-copy surplus) ride a window over the already-grouped
+    * count relation. The weights land next to `sample_weighted`'s
+    * machinery: weighted priority sampling consumes exactly this
+    * column.
+    */
+  def softWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val copies = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "h")
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental ingest dedup: which documents of an incoming batch are
     * NOT already in the historical corpus, by exact content hash — the
     * op a daily crawl runs before appending. The split buckets stand in
@@ -1508,6 +1531,7 @@ object DedupOps {
     "neardup_groups" -> (neardupGroups _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
+    "dedup_weights" -> (softWeights _),
     "dedup_incremental" -> (incremental _),
     "neardup_jaccard" -> (jaccard _),
     "neardup_containment" -> (containment _),
@@ -1977,6 +2001,12 @@ object DedupOps {
     "dedup_hash_count" ->
       """SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_docs
         |FROM documents""".stripMargin,
+    "dedup_weights" ->
+      """WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |c AS (SELECT h, count(*) AS n_copies FROM hh GROUP BY h)
+        |SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+        |  1000000 // CAST(n_copies AS BIGINT) AS weight_ppm
+        |FROM hh JOIN c USING (h) ORDER BY doc_id""".stripMargin,
     // The bloom filter is a deterministic artifact (salted portable64
     // positions, fixed geometry), so build + probe + FP audit all carry
     // an exact value oracle; the range table stands in for the k probes.

@@ -501,6 +501,46 @@ object EventOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Gap fill with LAST-OBSERVATION-CARRIED-FORWARD — the sensor/
+    * pricing companion to [[gapfillHourly]]'s zero fill: silent hours
+    * inherit the user's last known reading instead of 0 (what a
+    * downstream join against "current state at hour H" needs). Per
+    * (user, hour) the LAST event's value wins deterministically (max
+    * over (ts, event_id) — unique by construction) as exact integer
+    * cents; the hour spine densifies via sequence+explode exactly like
+    * the zero-fill twin; and the carry is ONE `last(ignoreNulls)`
+    * running window per user — a single user-keyed shuffle whose state
+    * is one value per user, the canonical LOCF plan at any scale. The
+    * `carried` flag marks filled rows so consumers can distinguish
+    * observation from inference.
+    */
+  def locfHourly(spark: SparkSession, dir: String): DataFrame =
+    locfOf(Tables.events(spark, dir))
+
+  /** [[locfHourly]] over an arbitrary events frame (tests plant a
+    * multi-hour silence and pin the carried value and flags).
+    */
+  def locfOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id") % 15 === 0)
+      .select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("vc"))
+    val lastPerHour = ev.groupBy("user_id", "hr")
+      .agg(max(struct(col("us"), col("event_id"), col("vc"))).getField("vc").as("vc"))
+    val spans = ev.groupBy("user_id").agg(min("hr").as("lo"), max("hr").as("hi"))
+    val fill = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      .join(lastPerHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last("vc", ignoreNulls = true).over(fill).as("v_cents"),
+        when(col("vc").isNull, 1L).otherwise(0L).as("carried"))
+      .orderBy("user_id", "hr")
+  }
+
   /** Sliding (hopping) windows: 1-hour windows every 30 minutes via
     * Spark's native `window(ts, width, slide)` — each event lands in
     * width/slide = 2 windows, declared once and planned as a single
@@ -754,6 +794,7 @@ object EventOps {
     "events_variant" -> (variantProps _),
     "events_zscore" -> (zscoreOutliers _),
     "events_gapfill" -> (gapfillHourly _),
+    "events_locf" -> (locfHourly _),
     "events_sliding" -> (slidingCounts _),
     "events_rollup_merge" -> (rollupMerge _),
     "events_cdc_merge" -> (cdcMerge _),
@@ -1081,6 +1122,32 @@ object EventOps {
          |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS hr FROM s)
          |SELECT g.user_id, g.hr, coalesce(c.cnt, 0) AS cnt
          |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+         |ORDER BY g.user_id, g.hr""".stripMargin,
+    // Per-hour winner by row_number over (us, event_id) DESC — a
+    // different formulation of the Spark side's struct max (ties
+    // impossible: event ids are unique); the carry is IGNORE NULLS
+    // last_value over the same spine.
+    "events_locf" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hr,
+         |    epoch_us($TsCast) AS us, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE user_id % 15 = 0),
+         |lh AS (
+         |  SELECT user_id, hr, vc FROM (
+         |    SELECT user_id, hr, vc,
+         |      row_number() OVER (PARTITION BY user_id, hr
+         |                         ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e) t WHERE rn = 1),
+         |s AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS hr FROM s)
+         |SELECT g.user_id, g.hr,
+         |  last_value(lh.vc IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
+         |  CASE WHEN lh.vc IS NULL THEN 1 ELSE 0 END AS carried
+         |FROM g LEFT JOIN lh ON g.user_id = lh.user_id AND g.hr = lh.hr
          |ORDER BY g.user_id, g.hr""".stripMargin,
     // Width 3600 / slide 1800 ⇒ each event is in exactly the two
     // windows starting at floor(sec/1800)*1800 and 1800 earlier.

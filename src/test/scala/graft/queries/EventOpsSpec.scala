@@ -179,6 +179,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === Set(("c0", 2L, 2L, 2000000L)))
   }
 
+  test("locf carries the last reading across silent hours and flags the fills") {
+    // user 15 (passes the % 15 slice): reading 12.34 at 10:00, silence
+    // for two hours, reading 56.78 at 13:00. Hours 11 and 12 must carry
+    // 1234 cents with carried=1; observed hours flag 0.
+    val events = Seq(
+      (1L, ts("10:15:00"), 15L, "view", 12.34),
+      (2L, ts("13:05:00"), 15L, "view", 56.78),
+      // Two readings in one hour: the later one (max ts) wins.
+      (3L, ts("13:40:00"), 15L, "view", 99.99),
+      // user 7: filtered out by the % 15 slice entirely.
+      (4L, ts("10:00:00"), 7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.locfOf(events)
+      .select("user_id", "hr", "v_cents", "carried")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val h10 = ts("10:15:00").getTime / 1000 / 3600 * 3600
+    assert(got === Seq(
+      (15L, h10, 1234L, 0L),
+      (15L, h10 + 3600, 1234L, 1L),
+      (15L, h10 + 7200, 1234L, 1L),
+      (15L, h10 + 10800, 9999L, 0L)))
+  }
+
   test("zscore flags exactly the planted outlier, none among uniform values") {
     // 20 values at 10.00 and one at 1000.00: the spike is far beyond
     // 3σ; the uniform rows sit well inside. A float-threshold
