@@ -5,16 +5,21 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.TestSpark
 
 /** Model-based drill of the manifest layer: a random sequence of
-  * append / delete / compact / expire operations against a REAL
-  * on-disk table, checked after every run against a trivial in-memory
-  * model (generation → (data multiset, accumulated tombstone set)).
-  * What this pins beyond the example-based spec: content correctness
-  * under arbitrary op interleavings (append-after-compact, double
-  * compaction, delete-then-append with the key-level suppression
-  * semantic, expiring mid-history), that every surviving generation
-  * stays readable after every later operation, that expire never
-  * deletes a file (data OR tombstone) a surviving manifest still
-  * references, and CDC conservation across every surviving hop.
+  * append / delete / compact / expire / rollback / WAP / clone /
+  * vacuum operations against a REAL on-disk table, checked after every
+  * run against a trivial in-memory model (generation → (data multiset,
+  * accumulated tombstone set)). What this pins beyond the
+  * example-based spec: content correctness under arbitrary op
+  * interleavings (append-after-compact, double compaction,
+  * delete-then-append with the key-level suppression semantic,
+  * expiring mid-history, restore-of-a-tombstoned-snapshot,
+  * append-after-restore, vacuum racing nothing), that every surviving
+  * generation stays readable after every later operation, that expire
+  * never deletes a file (data OR tombstone) a surviving manifest still
+  * references, that WAP staging never advances the lineage and a
+  * published staged batch lands exactly once, that a shallow clone
+  * reproduces its source snapshot, that vacuum is idempotent, and CDC
+  * conservation across every surviving hop.
   */
 object SnapshotProps extends Properties("SnapshotTable") {
 
@@ -29,6 +34,10 @@ object SnapshotProps extends Properties("SnapshotTable") {
   case object Compact extends Op
   case object Expire extends Op
   case class DupCommit(ids: List[Long]) extends Op
+  case class Rollback(pick: Int) extends Op
+  case class Wap(ids: List[Long]) extends Op
+  case object CloneCheck extends Op
+  case object Vacuum extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     5 -> Gen.chooseNum(1, 12).flatMap(n =>
@@ -38,11 +47,21 @@ object SnapshotProps extends Properties("SnapshotTable") {
     2 -> Gen.const(Compact),
     2 -> Gen.const(Expire),
     2 -> Gen.chooseNum(1, 5).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(DupCommit(_))))
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(DupCommit(_))),
+    2 -> Gen.chooseNum(0, 1000).map(Rollback(_)),
+    2 -> Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Wap(_))),
+    1 -> Gen.const(CloneCheck),
+    1 -> Gen.const(Vacuum))
+
+  /** WAP audit predicate for the drill: a batch with any id above 400
+    * is "bad" and must be abandoned.
+    */
+  private def wapBad(ids: List[Long]): Boolean = ids.exists(_ > 400L)
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
-  property("random append/delete/compact/expire sequences match the model") =
+  property("random append/delete/compact/expire/rollback/wap/clone/vacuum sequences match the model") =
     Prop.forAll(Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, genOp))) { ops =>
       import spark.implicits._
       val table = graft.Scratch.dir(s"snapprops_${seq.incrementAndGet()}")
@@ -108,6 +127,48 @@ object SnapshotProps extends Properties("SnapshotTable") {
           SnapshotTable.expire(spark, table, keepFrom)
           model = model.filter(_._1 >= keepFrom)
         case Expire => ()
+        // RESTORE to a random surviving generation: the new generation
+        // must reproduce that snapshot's data AND tombstones exactly —
+        // the model just copies the restored state.
+        case Rollback(pick) =>
+          val gens = model.keys.toSeq.sorted
+          val toGen = gens(pick % gens.size)
+          SnapshotTable.rollback(spark, table, toGen, gen + 1)
+          model += (gen + 1) -> state(toGen)
+          gen += 1
+        // Write-audit-publish: stage, audit against the STAGED read,
+        // publish only a clean batch. While staged, the generation
+        // lineage must not have moved.
+        case Wap(ids) =>
+          val branch = s"b${seq.incrementAndGet()}"
+          SnapshotTable.stage(ids.toDF("id").repartition(2), table, branch)
+          assert(SnapshotTable.generations(spark, table).max == gen,
+            "staging must not advance the lineage")
+          val staged = SnapshotTable.readStaged(spark, table, branch)
+            .as[Long].collect().toList.sorted
+          assert(staged == ids.sorted, "staged snapshot must hold the batch")
+          if (wapBad(ids))
+            SnapshotTable.abandonStaged(spark, table, branch)
+          else {
+            SnapshotTable.publishStaged(spark, table, branch, gen + 1, Some(gen))
+            val (data, tomb) = state(gen)
+            model += (gen + 1) -> (((data ++ ids).sorted, tomb))
+            gen += 1
+          }
+        // A shallow clone of the current generation must serve the same
+        // rows from the same files, in a table that shares no lineage.
+        case CloneCheck =>
+          val dest = graft.Scratch.dir(s"snapprops_clone_${seq.incrementAndGet()}")
+          SnapshotTable.cloneShallow(spark, table, gen, dest)
+          assert(SnapshotTable.readMor(spark, dest, 1L, "id")
+            .as[Long].collect().toList.sorted == visible(gen).sorted,
+            "clone must reproduce the source snapshot")
+        // Vacuum removes only unreferenced debris (e.g. a race loser's
+        // staged attempt), and a second sweep finds nothing.
+        case Vacuum =>
+          SnapshotTable.vacuum(spark, table)
+          assert(SnapshotTable.vacuum(spark, table)._2 == 0L,
+            "vacuum must be idempotent")
       }
       val live = SnapshotTable.generations(spark, table)
       val gensMatch = live == model.keys.toSeq.sorted
