@@ -89,6 +89,37 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("WAP: a tailing consumer sees nothing while staged, exactly the batch on publish") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("snapwap").toString
+    val (table, ckpt) = (s"$root/table", s"$root/ckpt")
+    SnapshotTable.commit(docsDf(1L, 2L), table, 1L)
+    val q = tail(table, ckpt, "wap_tail")
+    try {
+      q.processAllAvailable()
+      assert(seen("wap_tail") === Set(1L, 2L))
+      // Stage a batch for audit: the lineage has not moved, so the
+      // tailing consumer must see NOTHING new — the whole point of WAP
+      // is that unaudited data is invisible downstream.
+      SnapshotTable.stage(docsDf(3L, 4L), table, "audit")
+      q.processAllAvailable()
+      assert(seen("wap_tail") === Set(1L, 2L),
+        "staged-but-unpublished data must not reach a consumer")
+      // Publish after a green audit: the next micro-batch is exactly
+      // the published batch (the fast-forwarded files ARE the hop's
+      // added files).
+      SnapshotTable.publishStaged(spark, table, "audit", gen = 2L,
+        carryFrom = Some(1L))
+      q.processAllAvailable()
+      assert(seen("wap_tail") === Set(1L, 2L, 3L, 4L))
+      // An abandoned branch never surfaces.
+      SnapshotTable.stage(docsDf(99L), table, "red")
+      SnapshotTable.abandonStaged(spark, table, "red")
+      q.processAllAvailable()
+      assert(seen("wap_tail") === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("rewrite hops throw by default and skip as content-neutral under the opt-in") {
     val root = Files.createTempDirectory("snapsource_rw").toString
     val table = s"$root/table"
