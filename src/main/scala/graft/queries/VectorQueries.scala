@@ -208,6 +208,57 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Delete slice for [[topKIvfMor]]: vectors with
+    * `vec_id % IvfMorMod == IvfMorRem` are tombstoned (the remainder
+    * avoids [[QueryVecId]]).
+    */
+  val IvfMorMod = 17
+  val IvfMorRem = 5
+
+  /** ANN index maintenance WITH DELETES — the operation every vector
+    * store needs when documents are retracted (GDPR erasure, license
+    * takedowns) and the index cannot be rebuilt per delete: the
+    * cell-keyed inverted file lives as a [[graft.sources.SnapshotTable]]
+    * generation, and a delete lands as ONE merge-on-read tombstone
+    * commit ([[graft.sources.SnapshotTable.commitDeletes]]) — O(keys),
+    * no index rewrite. Queries probe through `readMor`, so tombstoned
+    * vectors are anti-joined out of the candidate scan and can never
+    * be returned; generation 1 still time-travels to the pre-delete
+    * index (the audit view), and a periodic materialization
+    * (`commit(readMor(...))`) purges when tombstones accumulate — the
+    * documented MoR lifecycle applied to the ANN index. Scoring and
+    * the head are the shared IVF path; the oracle is the IVF oracle
+    * with the delete predicate excluded relationally.
+    */
+  def topKIvfMor(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = fixedCents(e)
+    val sims = ivfSims(e, cents)
+    val table = {
+      val p = graft.Scratch.dir("ivf_mor_table")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      p
+    }
+    graft.sources.SnapshotTable.commit(
+      cellsOf(sims).join(e, "vec_id").select("cell", "vec_id", "v"), table, 1L)
+    graft.sources.SnapshotTable.commitDeletes(
+      e.filter(col("vec_id") % IvfMorMod === IvfMorRem).select("vec_id"),
+      table, 2L, carryFrom = 1L)
+    val idx = graft.sources.SnapshotTable.readMor(spark, table, 2L, "vec_id")
+    val probed = sims.filter(col("vec_id") === QueryVecId)
+      .orderBy(desc("sim"), asc("cid")).limit(IvfProbe)
+      .select(col("cid").as("cell"))
+    val q = e.filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+    idx.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** K-means-trained centroids (the real IVF index build): MLlib KMeans
     * over the corpus with a pinned seed, centers shipped back as a
     * small broadcastable frame. At scale this runs offline — the model
@@ -1212,6 +1263,7 @@ object VectorQueries {
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
     "simsearch_ivf_incr" -> (topKIvfIndexed _),
+    "simsearch_ivf_mor" -> (topKIvfMor _),
     "simsearch_ivf_trained" -> (topKIvfTrained _),
     "simsearch_sq8" -> (topKSq8 _),
     "simsearch_pq" -> (topKPq _),
@@ -1257,6 +1309,23 @@ object VectorQueries {
        |JOIN probe ON cells.cell = probe.cell
        |CROSS JOIN q
        |WHERE x.vec_id <> $QueryVecId
+       |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
+
+  /** The IVF oracle with the MoR delete slice excluded relationally —
+    * tombstoned vectors must never be candidates.
+    */
+  private lazy val duckIvfMorSql: String =
+    s"""WITH $duckCellsCtes,
+       |probe AS (SELECT cid AS cell FROM sims WHERE vec_id = $QueryVecId
+       |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+       |SELECT x.vec_id, cells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim
+       |FROM e x
+       |JOIN cells ON x.vec_id = cells.vec_id
+       |JOIN probe ON cells.cell = probe.cell
+       |CROSS JOIN q
+       |WHERE x.vec_id <> $QueryVecId
+       |  AND x.vec_id % $IvfMorMod <> $IvfMorRem
        |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB twin of [[signBucket]] (generated from the same SignBits). */
@@ -1671,6 +1740,7 @@ object VectorQueries {
     // IS the direct-computation oracle — the equivalence the twin
     // exists to gate.
     "simsearch_ivf_incr" -> duckIvfSql,
+    "simsearch_ivf_mor" -> duckIvfMorSql,
     // Same codebook (per-dim min/max), same encode/decode expression
     // trees, same two-stage ranking as topKSq8.
     "simsearch_sq8" ->

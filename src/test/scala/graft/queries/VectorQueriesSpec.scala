@@ -42,6 +42,26 @@ class VectorQueriesSpec extends AnyFunSuite {
     assert(got.toSet === ref)
   }
 
+  test("ivf MoR: tombstoned vectors never surface; the pre-delete index time-travels") {
+    val got = VectorQueries.topKIvfMor(spark, dir)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.forall(v =>
+      v % VectorQueries.IvfMorMod != VectorQueries.IvfMorRem),
+      "a deleted vector surfaced from the MoR index")
+    // The registered query just built the table; generation 1 must
+    // still serve the FULL pre-delete index (the audit view), and the
+    // tombstoned view must be a strict subset when deletes exist.
+    val table = graft.Scratch.dir("ivf_mor_table")
+    val g1 = graft.sources.SnapshotTable.readAs(spark, table, 1L).count()
+    val g2 = graft.sources.SnapshotTable
+      .readMor(spark, table, 2L, "vec_id").count()
+    val deleted = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % VectorQueries.IvfMorMod === VectorQueries.IvfMorRem)
+      .count()
+    assert(g1 - g2 === deleted,
+      "readMor must hide exactly the tombstoned vectors; gen 1 keeps them all")
+  }
+
   test("ivf: probes at most IvfProbe cells and scores are true cosines") {
     val got = VectorQueries.topKIvf(spark, dir)
       .as[(Long, Long, Double)].collect()
