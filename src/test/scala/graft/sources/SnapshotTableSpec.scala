@@ -336,6 +336,44 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readAs(spark, table, 2L).count() === orders.count() + 10)
   }
 
+  test("truly concurrent committers to one generation: exactly one wins, content is the winner's") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_race_spec")
+    SnapshotTable.commit(Seq(0L).toDF("o_orderkey"), table, 1L)
+    // Four writers race generation 2 FROM SEPARATE THREADS — the
+    // sequential conflict test can't catch a check-then-act hole in
+    // the staged-rename protocol; this one exercises the real
+    // interleaving (all four stage concurrently, the rename decides).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val attempts = (1 to 4).map { i =>
+      scala.concurrent.Future {
+        try {
+          SnapshotTable.commit(Seq(i * 10L, i * 10L + 1).toDF("o_orderkey"),
+            table, 2L, carryFrom = Some(1L))
+          Some(i)
+        } catch { case _: IllegalStateException => None }
+      }
+    }
+    val winners = scala.concurrent.Await
+      .result(scala.concurrent.Future.sequence(attempts),
+        scala.concurrent.duration.Duration(120, "s")).flatten
+    pool.shutdown()
+    assert(winners.size === 1,
+      s"exactly one concurrent committer may win (got $winners)")
+    // The surviving manifest serves the winner's batch exactly — no
+    // mixed lineage, no partial file list.
+    val w = winners.head
+    assert(SnapshotTable.readAs(spark, table, 2L)
+      .as[Long].collect().toSet === Set(0L, w * 10L, w * 10L + 1))
+    // Losers' staged attempt data is unreferenced debris; vacuum reaps
+    // it and the winner's content is untouched.
+    SnapshotTable.vacuum(spark, table)
+    assert(SnapshotTable.readAs(spark, table, 2L)
+      .as[Long].collect().toSet === Set(0L, w * 10L, w * 10L + 1))
+  }
+
   test("zone-map skip: footer stats in the manifest prune files exactly") {
     import spark.implicits._
     // Run the registered query for its table side effects.
