@@ -455,6 +455,47 @@ object StarOps {
       .orderBy(desc("revenue_cents"), asc("n_name"))
   }
 
+  /** The two trading partners of [[q7Volume]]. */
+  val Q7NationA = "NATION_1"
+  val Q7NationB = "NATION_2"
+
+  /** TPC-H Q7-shaped VOLUME SHIPPING: bilateral trade between two
+    * nations by ship year — supplier nation from the lineitem side,
+    * customer nation through orders, revenue as exact cents per
+    * (supp_nation, cust_nation, year). The nation dims PRUNE to the
+    * two partners before any fact scan and broadcast onto
+    * supplier/customer (the q5 discipline), so the fact pipeline is
+    * lineitem ⋈ broadcast(supp) ⋈ orders ⋈ broadcast(cust) — the only
+    * data-scale shuffle is lineitem⋈orders on the order key, and the
+    * asymmetric-pair filter drops mismatched directions before the
+    * aggregation. Year extraction via `year()` on the timestamp is
+    * calendar-portable across both engines.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val partners = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(Q7NationA, Q7NationB))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(partners), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(partners), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Spearman rank correlation per group, exactly: Pearson over DOUBLED
     * average ranks. A tie group occupying ranks [r, r+c-1] has average
     * rank r + (c-1)/2 — doubling (2r + c − 1 = 2·cum − c + 1) keeps
@@ -660,6 +701,7 @@ object StarOps {
     "q1_pricing" -> (q1Pricing _),
     "join_revenue" -> (joinRevenue _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume" -> (q7Volume _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -907,6 +949,19 @@ object StarOps {
         |     (vr_b / n_b) * (vr_b / n_b) / (n_b - 1))
         |    * 1000000.0) AS BIGINT) AS dof_ppm
         |FROM p ORDER BY flag_a, flag_b""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year, count(*) AS cnt,
+         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+         |   OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // Margins from the cells, expected counts as integer-ratio doubles,
     // the total as an ORDER-FREE integer sum of floored terms.
     "agg_chisq" ->
