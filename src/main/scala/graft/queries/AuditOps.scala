@@ -234,13 +234,22 @@ object AuditOps {
       Seq(lit(d), lit(p)) }: _*)
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     Tables.orders(spark, dir)
+      // Benford applies to positive multi-scale amounts: sub-1 and
+      // negative totals are out of domain, and filtering them HERE
+      // (mirrored in the oracle) keeps the '-'→int cast and the
+      // digit-0 map probe from ever executing under the ANSI session.
+      .filter(col("o_totalprice") >= 1.0)
       .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum("cnt").over(all))
       .select(col("digit"), col("cnt"),
         expr("(cnt * 1000000) div total").as("obs_ppm"),
-        element_at(expected, col("digit")).as("benford_ppm"))
+        // try_element_at + the isNotNull filter below mirror the
+        // oracle's inner join (house rule: literal-map lookups under
+        // ANSI must not throw on an unexpected key).
+        try_element_at(expected, col("digit")).as("benford_ppm"))
+      .filter(col("benford_ppm").isNotNull)
       .withColumn("dev_ppm",
         abs(col("obs_ppm") - col("benford_ppm")))
       .withColumn("total_dev_ppm", sum("dev_ppm").over(all))
@@ -267,7 +276,7 @@ object AuditOps {
          |obs AS (
          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          |    count(*) AS cnt
-         |  FROM orders GROUP BY 1),
+         |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
          |j AS (
          |  SELECT obs.digit, CAST(cnt AS BIGINT) AS cnt,
          |    (CAST(cnt AS BIGINT) * 1000000) // CAST(sum(cnt) OVER () AS BIGINT) AS obs_ppm,

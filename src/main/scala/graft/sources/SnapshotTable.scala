@@ -90,12 +90,23 @@ object SnapshotTable {
     val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
     val carriedDels = carryFrom.toSeq
       .flatMap(g => listDeleteFiles(spark, table, g))
-    if (carriedDels.isEmpty)
-      publish(spark, table, gen, carried ++ fresh, replace)
+    publishEntries(spark, table, gen, carried ++ fresh, carriedDels, replace)
+  }
+
+  /** The ONE manifest-row renderer for every publisher that carries
+    * both entry kinds ([[publishAppend]], [[commitDeletes]],
+    * [[rollback]], [[cloneShallow]]): a tombstone-free generation gets
+    * the plain single-column manifest, a merge-on-read one gets the
+    * (path, kind) form — changing the manifest shape happens HERE,
+    * nowhere else.
+    */
+  private def publishEntries(spark: SparkSession, table: String, gen: Long,
+      data: Seq[String], dels: Seq[String],
+      replace: Boolean = false): Unit = {
+    if (dels.isEmpty) publish(spark, table, gen, data, replace)
     else {
       import spark.implicits._
-      val rows = (carried ++ fresh).map(_ -> "data") ++
-        carriedDels.map(_ -> "delete")
+      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
       writeManifest(spark, table, gen, replace,
         rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
     }
@@ -163,6 +174,12 @@ object SnapshotTable {
     val tmp = new org.apache.hadoop.fs.Path(stagingPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // The rename target's PARENT must pre-exist: on HDFS-semantics
+    // stores a rename into a missing directory fails (a spurious
+    // "concurrent writer" error on the first commit of a branch), and
+    // RawLocalFileSystem silently degrades the failed rename to a
+    // non-atomic copy — destroying the atomic-commit-point claim.
+    fs.mkdirs(target.getParent)
     if (fs.exists(target)) {
       if (!replace) {
         fs.delete(tmp, true)
@@ -269,11 +286,9 @@ object SnapshotTable {
     val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
     keys.write.mode("overwrite").parquet(delDir)
     val fresh = spark.read.parquet(delDir).inputFiles.toSeq
-    val rows =
-      listFiles(spark, table, carryFrom).map(_ -> "data") ++
-        (listDeleteFiles(spark, table, carryFrom) ++ fresh).map(_ -> "delete")
-    writeManifest(spark, table, gen, replace = false,
-      rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+    publishEntries(spark, table, gen,
+      listFiles(spark, table, carryFrom),
+      listDeleteFiles(spark, table, carryFrom) ++ fresh)
   }
 
   /** Read generation `gen` with its merge-on-read tombstones applied:
@@ -334,19 +349,16 @@ object SnapshotTable {
     */
   def rollback(spark: SparkSession, table: String,
       toGen: Long, asGen: Long): Unit = {
-    val latest = generations(spark, table).max
-    require(toGen <= latest && asGen > latest,
+    val gens = generations(spark, table)
+    // contains (not <=): an EXPIRED generation is gone — restoring it
+    // must fail with the guard's message, not a deep parquet
+    // path-not-found; and an empty table has nothing to restore.
+    require(gens.nonEmpty && gens.contains(toGen) && asGen > gens.max,
       s"rollback of $table must restore an existing generation " +
-        s"($toGen vs latest $latest) as a NEW one ($asGen): rolling " +
-        "back onto committed lineage would rewrite history")
-    import spark.implicits._
+        s"($toGen vs [${gens.mkString(", ")}]) as a NEW one ($asGen): " +
+        "rolling back onto committed lineage would rewrite history")
     val (data, dels) = manifestEntries(spark, table, toGen)
-    if (dels.isEmpty) publish(spark, table, asGen, data)
-    else {
-      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
-      writeManifest(spark, table, asGen, replace = false,
-        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
-    }
+    publishEntries(spark, table, asGen, data, dels)
   }
 
   /** SHALLOW CLONE: materialize `srcGen` of `srcTable` as generation 1
@@ -364,17 +376,11 @@ object SnapshotTable {
     */
   def cloneShallow(spark: SparkSession, srcTable: String, srcGen: Long,
       destTable: String): Unit = {
-    import spark.implicits._
     val (data, dels) = manifestEntries(spark, srcTable, srcGen)
     require(generations(spark, destTable).isEmpty,
       s"shallow clone target $destTable already has committed " +
         "generations; clone only creates NEW tables")
-    if (dels.isEmpty) publish(spark, destTable, 1L, data)
-    else {
-      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
-      writeManifest(spark, destTable, 1L, replace = false,
-        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
-    }
+    publishEntries(spark, destTable, 1L, data, dels)
   }
 
   // ----- Write-audit-publish branch staging ------------------------------
@@ -400,7 +406,11 @@ object SnapshotTable {
     import spark.implicits._
     val dataDir = s"$table/data/branch=$branch/a=${attemptName()}"
     df.write.mode("overwrite").parquet(dataDir)
-    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    // Read back WITH the writer's schema: an all-empty-partition write
+    // leaves no part files, and schemaless parquet inference would
+    // throw on the empty directory — an empty staged batch is legal
+    // (it audits as empty and abandons).
+    val fresh = spark.read.schema(df.schema).parquet(dataDir).inputFiles.toSeq
     writeManifestAt(spark,
       branchManifestPath(table, branch),
       s"$table/branches/.${branch}.staging.${attemptName()}",
@@ -439,17 +449,25 @@ object SnapshotTable {
 
   /** REJECT half: a failed audit abandons the branch — manifest first
     * (nothing can resolve the files once the pointer is gone), then the
-    * staged files themselves. The generation lineage is untouched
-    * because it never referenced the branch.
+    * staged files themselves. Files the generation lineage ALSO
+    * references are never deleted: if [[publishStaged]] crashed between
+    * its publish and its branch-pointer delete, the stuck branch lists
+    * lineage-owned files — abandoning it then must only retire the
+    * pointer, or every reader of the published generation would break.
     */
   def abandonStaged(spark: SparkSession, table: String, branch: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = stagedFiles(spark, table, branch)
+    val owned = generations(spark, table).flatMap { g =>
+      val (d, t) = manifestEntries(spark, table, g)
+      d ++ t
+    }.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
     val m = new org.apache.hadoop.fs.Path(branchManifestPath(table, branch))
     m.getFileSystem(conf).delete(m, true)
     files.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).delete(p, false)
+      if (!owned.contains(p.toUri.getPath))
+        p.getFileSystem(conf).delete(p, false)
     }
   }
 
@@ -683,33 +701,58 @@ object SnapshotTable {
     * branch manifests as references too. Driver work is O(files)
     * (directory listing + manifest reads), never data size. Returns
     * (files examined, orphans deleted).
+    *
+    * Concurrency contract: a writer mid-[[commit]] has staged data
+    * files that no manifest references YET. In-progress Spark writes
+    * (under `_temporary`) are skipped by the hidden-ANCESTOR check,
+    * and `minAgeMs` is the standard retention guard for the
+    * staged-but-unpublished window — run vacuum with `minAgeMs`
+    * comfortably above the longest commit duration (Delta's default
+    * is 7 days), or quiesce writers. `minAgeMs = 0` is for
+    * single-writer maintenance windows (and the drills).
     */
-  def vacuum(spark: SparkSession, table: String): (Long, Long) = {
+  def vacuum(spark: SparkSession, table: String,
+      minAgeMs: Long = 0L): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val referenced = (generations(spark, table).flatMap { g =>
       val (d, t) = manifestEntries(spark, table, g)
       d ++ t
     } ++ branches(spark, table).flatMap(b => stagedFiles(spark, table, b)))
       .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val roots = Seq(s"$table/data", s"$table/deletes")
+    // A file is hidden if ANY path component below the root is
+    // dot/underscore-prefixed — a bare leaf-name test would admit
+    // part files inside an in-flight writer's `_temporary` tree.
+    def hidden(p: org.apache.hadoop.fs.Path, root: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toUri.getPath != root.toUri.getPath) {
+        val n = cur.getName
+        if (n.startsWith(".") || n.startsWith("_")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val present = roots.flatMap { r =>
-      val p = new org.apache.hadoop.fs.Path(r)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Seq.empty
+      val root = new org.apache.hadoop.fs.Path(r)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
       else {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(org.apache.hadoop.fs.Path, Long)]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_"))
-            buf += f.getPath
+          if (f.isFile && !hidden(f.getPath, root))
+            buf += ((f.getPath, f.getModificationTime))
         }
         buf.toSeq
       }
     }
-    val orphans = present.filterNot(p => referenced.contains(p.toUri.getPath))
-    orphans.foreach(p => p.getFileSystem(conf).delete(p, false))
+    val orphans = present.filter { case (p, mtime) =>
+      !referenced.contains(p.toUri.getPath) && mtime <= cutoff
+    }
+    orphans.foreach { case (p, _) => p.getFileSystem(conf).delete(p, false) }
     (present.size.toLong, orphans.size.toLong)
   }
 

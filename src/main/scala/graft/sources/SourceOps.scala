@@ -525,18 +525,32 @@ object SourceOps {
     def stagePhase(branch: String, batch: DataFrame): Seq[org.apache.spark.sql.Row] = {
       SnapshotTable.stage(batch.repartition(SnapAppendFiles), table, branch)
       // Audit AGAINST THE STAGED SNAPSHOT (not the input frame): the
-      // gate must judge what would actually publish.
-      val audited = SnapshotTable.readStaged(spark, table, branch)
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(col("o_totalprice") >= WapAuditMaxPrice, 1)).as("n_bad"),
-          coalesce(sum("o_orderkey"), lit(0L)).as("key_sum"))
-        .select(lit(s"${branch}_staged").as("phase"),
-          col("n_rows"), col("n_bad"), col("key_sum"))
+      // gate must judge what would actually publish. A batch that
+      // staged zero rows (possible at tiny scale factors) audits as
+      // empty without a read — spark.read.parquet of an empty staged
+      // file list would throw, and there is nothing to publish.
+      val staged = SnapshotTable.stagedFiles(spark, table, branch)
+      val audited =
+        (if (staged.isEmpty)
+          spark.range(1).select(lit(0L).as("n_rows"), lit(0L).as("n_bad"),
+            lit(0L).as("key_sum"))
+        else
+          SnapshotTable.readStaged(spark, table, branch)
+            .agg(count(lit(1)).as("n_rows"),
+              count(when(col("o_totalprice") >= WapAuditMaxPrice, 1)).as("n_bad"),
+              coalesce(sum("o_orderkey"), lit(0L)).as("key_sum")))
+          .select(lit(s"${branch}_staged").as("phase"),
+            col("n_rows"), col("n_bad"), col("key_sum"))
       val rows = audited.collect().toSeq
       val bad = rows.head.getAs[Long]("n_bad")
-      if (bad == 0L)
-        SnapshotTable.publishStaged(spark, table, branch, gen = 2L,
-          carryFrom = Some(1L))
+      val n = rows.head.getAs[Long]("n_rows")
+      // Publish only a non-empty clean batch, as the NEXT generation of
+      // whatever the lineage currently holds (a hardcoded number would
+      // collide if the other branch published first).
+      val head = SnapshotTable.generations(spark, table).max
+      if (bad == 0L && n > 0L)
+        SnapshotTable.publishStaged(spark, table, branch, gen = head + 1,
+          carryFrom = Some(head))
       else
         SnapshotTable.abandonStaged(spark, table, branch)
       rows

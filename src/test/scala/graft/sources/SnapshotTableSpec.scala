@@ -336,6 +336,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readAs(spark, table, 2L).count() === orders.count() + 10)
   }
 
+  test("abandon after a crashed publish retires only the pointer; lineage files survive") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_wap_crash_spec")
+    SnapshotTable.commit(Seq(1L).toDF("o_orderkey"), table, 1L)
+    SnapshotTable.stage(Seq(2L, 3L).toDF("o_orderkey"), table, "stuck")
+    // Simulate publishStaged dying BETWEEN its lineage publish and its
+    // branch-pointer delete: the files are generation 2's now, but the
+    // branch manifest still lists them.
+    SnapshotTable.publishAppend(spark, table, 2L,
+      SnapshotTable.stagedFiles(spark, table, "stuck"), carryFrom = Some(1L))
+    // The natural cleanup of the stuck branch must NOT break gen 2.
+    SnapshotTable.abandonStaged(spark, table, "stuck")
+    assert(SnapshotTable.readAs(spark, table, 2L)
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+    intercept[Exception] { SnapshotTable.stagedFiles(spark, table, "stuck") }
+  }
+
   test("truly concurrent committers to one generation: exactly one wins, content is the winner's") {
     import spark.implicits._
     val table = graft.Scratch.dir("snapshot_race_spec")
