@@ -1081,8 +1081,14 @@ object TextOps {
          |    concat(s.out, array(array_join(s.cur, ' '))), s.out))""".stripMargin)
   }
 
-  def keyphrases(spark: SparkSession, dir: String): DataFrame = {
-    val phrases = Tables.documents(spark, dir)
+  def keyphrases(spark: SparkSession, dir: String): DataFrame =
+    keyphrasesOf(Tables.documents(spark, dir))
+
+  /** [[keyphrases]] over an arbitrary documents frame (tests pin
+    * hand-computed degree/freq scores).
+    */
+  def keyphrasesOf(docs: DataFrame): DataFrame = {
+    val phrases = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(explode(phraseFold("tk")).as("phrase"))
       .withColumn("len", size(split(col("phrase"), " ")))

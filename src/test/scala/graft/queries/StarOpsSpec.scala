@@ -14,6 +14,52 @@ class StarOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("one-pass regression and Welch t match sequential least-squares folds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    def ols(xs: Array[(Double, Double)]): (Double, Double, Double) = {
+      val n = xs.length.toDouble
+      val mx = xs.map(_._1).sum / n
+      val my = xs.map(_._2).sum / n
+      val cxy = xs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val cxx = xs.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val cyy = xs.map { case (_, y) => (y - my) * (y - my) }.sum
+      (cxy / cxx, my - cxy / cxx * mx, cxy * cxy / (cxx * cyy))
+    }
+    val want = rows.groupBy(_._1).view
+      .mapValues(g => ols(g.map(r => (r._2, r._3)))).toMap
+    StarOps.aggRegression(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .foreach { case (flag, _, slope, intercept, r2) =>
+        val (ws, wi, wr) = want(flag)
+        // Different summation order/formula: allow a couple of floor
+        // units of drift — a real defect diverges by orders of
+        // magnitude.
+        assert(math.abs(slope - math.floor(ws * 1e6)) <= 2, s"$flag slope")
+        assert(math.abs(intercept - math.floor(wi * 1e6)) <= 2, s"$flag intercept")
+        assert(math.abs(r2 - math.floor(wr * 1e6)) <= 2, s"$flag r2")
+      }
+    // Welch t: cross-check one pair against the direct formula over
+    // per-group quantity folds.
+    val byFlag = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def welch(a: Array[Double], b: Array[Double]): Double = {
+      def mv(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+      (ma - mb) / math.sqrt(va / a.length + vb / b.length)
+    }
+    StarOps.aggTtest(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .foreach { case (fa, fb, _, _, t, _) =>
+        val wt = welch(byFlag(fa), byFlag(fb))
+        assert(math.abs(t - math.floor(wt * 1e6)) <= 2, s"($fa,$fb) t")
+      }
+  }
+
   test("one-pass skewness/kurtosis match a sequential central-moment fold") {
     val dir = "/root/testdata/sf0.001"
     val got = StarOps.aggMoments(spark, dir)

@@ -56,6 +56,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyphrase scores match hand-computed RAKE degree/freq ppm") {
+    // Phrases: "machine learning" x2, "machine" x1.
+    // machine: freq 3, degree 2+2+1=5 -> 5e6 div 3 = 1666666.
+    // learning: freq 2, degree 4     -> 4e6 div 2 = 2000000.
+    // score("machine learning") = 3666666; score("machine") = 1666666.
+    val df = Seq(
+      (1L, "machine learning of machine"),
+      (2L, "machine learning"))
+      .toDF("doc_id", "text")
+    val got = TextOps.keyphrasesOf(df)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("machine learning", 2L, 3666666L),
+      ("machine", 1L, 1666666L)))
+  }
+
   test("phraseFold splits maximal stopword-free runs, never emits empties") {
     val out = Seq(
       "the quick brown fox of a lazy dog",  // lead/mid/trail-interior stops
