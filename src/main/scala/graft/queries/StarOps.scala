@@ -496,6 +496,58 @@ object StarOps {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** The observed nation / market / product slice of [[q8MarketShare]]. */
+  val Q8Nation = "NATION_1"
+  val Q8Region = "ASIA"
+  val Q8Type = "PROMO"
+
+  /** TPC-H Q8-shaped NATIONAL MARKET SHARE: of all [[Q8Type]]-part
+    * revenue sold to customers in [[Q8Region]], what fraction per
+    * order year was supplied by [[Q8Nation]] — the classic
+    * numerator-inside-denominator share query. Both sums ride ONE
+    * aggregation over the same joined scan (the nation-only numerator
+    * is a conditional decimal sum — no second pass, no self-join), and
+    * the share is integer-cents division, exact in both engines. The
+    * part/region/nation dims prune-and-broadcast before the fact scan;
+    * customer and supplier attach by key like every star join here.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === Q8Type).select("p_partkey")
+    val marketCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === Q8Region)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val nationPrice =
+      when(col("supp_nation") === Q8Nation, col("l_extendedprice"))
+        .otherwise(lit(0.0))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("total_cents"),
+        Parity.dsumProdCents(nationPrice, lit(1.0) - col("l_discount"))
+          .as("nation_cents"))
+      .select(col("o_year"), col("cnt"), col("total_cents"), col("nation_cents"),
+        expr("(nation_cents * 1000000) div total_cents").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
   /** Spearman rank correlation per group, exactly: Pearson over DOUBLED
     * average ranks. A tie group occupying ranks [r, r+c-1] has average
     * rank r + (c-1)/2 — doubling (2r + c − 1 = 2·cum − c + 1) keeps
@@ -702,6 +754,7 @@ object StarOps {
     "join_revenue" -> (joinRevenue _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume" -> (q7Volume _),
+    "q8_market_share" -> (q8MarketShare _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -962,6 +1015,29 @@ object StarOps {
          |WHERE (n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
          |   OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Numerator and denominator from ONE aggregation; the share is
+    // integer-cents division (both engines truncate non-negatives
+    // identically).
+    "q8_market_share" ->
+      s"""WITH j AS (
+         |  SELECT year(o_orderdate) AS o_year, l_extendedprice, l_discount,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = '$Q8Type'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '$Q8Region'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+         |a AS (
+         |  SELECT CAST(o_year AS BIGINT) AS o_year, count(*) AS cnt,
+         |    CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS total_cents,
+         |    CAST(floor(CAST(sum(CAST(CASE WHEN supp_nation = '$Q8Nation' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS nation_cents
+         |  FROM j GROUP BY 1)
+         |SELECT o_year, cnt, total_cents, nation_cents,
+         |  (nation_cents * 1000000) // total_cents AS share_ppm
+         |FROM a ORDER BY o_year""".stripMargin,
     // Margins from the cells, expected counts as integer-ratio doubles,
     // the total as an ORDER-FREE integer sum of floored terms.
     "agg_chisq" ->
