@@ -364,9 +364,40 @@ object DedupOps {
     * the compare is integer-exact.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame =
-    scoreJaccard(pairCountsOf(shingleIndex(spark, dir)))
+    scoreJaccard(spark.read.parquet(
+        pairCountsArtifact.rebuild(dir)(buildPairCounts(spark, dir))))
       .orderBy(desc("j_ppm"), asc("a"), asc("b"))
       .limit(20)
+
+  /** Memoized per-(JVM, sfDir) persisted pair-counts pointer: the
+    * stoplist-bounded shared-shingle expansion is the single most
+    * expensive step of the whole portable near-dup family, and three
+    * registered queries (`neardup_jaccard`, `neardup_containment`,
+    * `neardup_edit`) derive from the IDENTICAL `(a, b, na, nb, inter)`
+    * frame — so it gets the same session-index treatment as the
+    * shingle and signature tables: built once per (JVM, dir), probed
+    * by every consumer. All five columns are BIGINT (exact parquet
+    * round-trip), and every consumer's oracle recomputes from raw
+    * text, so persisted-expansion ≡ direct-expansion is value-gated
+    * on each of the three. [[jaccard]] is the designated measured
+    * build: it rebuilds unconditionally so the expansion cost stays a
+    * first-class bench entry instead of hiding in whichever consumer
+    * runs first.
+    */
+  private val pairCountsArtifact = new graft.SessionArtifact("paircounts")
+
+  /** Write the pair-counts artifact for `dir` into `p` (the
+    * [[pairCountsOf]] expansion of the persisted [[shingleIndex]]).
+    */
+  private def buildPairCounts(spark: SparkSession, dir: String)(p: String): Unit =
+    pairCountsOf(shingleIndex(spark, dir))
+      .write.mode("overwrite").parquet(p)
+
+  /** The persisted shared-shingle pair counts for `dir`, built at most
+    * once per JVM (losers of the ensure race read the winner's files).
+    */
+  private[queries] def pairCountsIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pairCountsArtifact.ensure(dir)(buildPairCounts(spark, dir)))
 
   /** Shared-shingle pair counts (a, b, na, nb, inter) under the
     * [[JaccardMaxDf]] stoplist, over any `(sh, doc_id, n_sh)` frame —
@@ -412,12 +443,12 @@ object DedupOps {
     * asymmetric score that catches INCLUSION (one document quoting or
     * wholly embedding another), which symmetric Jaccard dilutes: a 50-
     * shingle doc inside a 1000-shingle doc scores J ≈ 0.05 but
-    * containment = 1.0. Exactly the [[jaccardPairs]] plan (same scan,
-    * same shuffle, same stoplist bound) with a different final ratio,
-    * so its 100 TB posture is identical.
+    * containment = 1.0. Probes the persisted [[pairCountsIndex]] (the
+    * exact [[jaccardPairs]] expansion, same stoplist bound) with a
+    * different final ratio, so its 100 TB posture is identical.
     */
   def containment(spark: SparkSession, dir: String): DataFrame =
-    scoreContainment(pairCountsOf(shingleIndex(spark, dir)))
+    scoreContainment(pairCountsIndex(spark, dir))
       .orderBy(desc("cont_ppm"), asc("a"), asc("b"))
       .limit(20)
 
@@ -1279,9 +1310,10 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
     val pre = docs.select(col("doc_id"),
       substring(col("text"), 1, EditPrefixLen).as("pre"))
-    // Candidates probe the persisted shingle index; only the (cheap,
-    // pushdown-pruned) 80-char prefix projection touches raw text.
-    pairCountsOf(shingleIndex(spark, dir))
+    // Candidates probe the persisted pair-counts index; only the
+    // (cheap, pushdown-pruned) 80-char prefix projection touches raw
+    // text.
+    pairCountsIndex(spark, dir)
       .filter(col("inter") >= EditMinShared)
       .select("a", "b")
       .join(pre.select(col("doc_id").as("a"), col("pre").as("pa")), "a")

@@ -1365,15 +1365,15 @@ object SourceOps {
          |       CAST(count(DISTINCT h) AS BIGINT) AS n_hashes,
          |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM acc
          |UNION ALL
-         |SELECT 'batch', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM bat
+         |SELECT 'batch', count(*), count(DISTINCT h), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM bat
          |UNION ALL
-         |SELECT 'cdc_added', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM acc
+         |SELECT 'cdc_added', count(*), count(DISTINCT h), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM acc
          |UNION ALL
-         |SELECT 'dropped', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM drp
+         |SELECT 'dropped', count(*), count(DISTINCT h), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM drp
          |UNION ALL
-         |SELECT 'final', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM fin
+         |SELECT 'final', count(*), count(DISTINCT h), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM fin
          |UNION ALL
-         |SELECT 'history', count(*), count(DISTINCT h), coalesce(sum(doc_id), 0) FROM hist
+         |SELECT 'history', count(*), count(DISTINCT h), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM hist
          |ORDER BY phase""".stripMargin,
     // Connector twin: DuckDB reads the ORIGINAL parquet with the
     // fixture's split predicates; Spark reads the committed snapshot
@@ -1536,12 +1536,12 @@ object SourceOps {
          |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum
          |FROM odd WHERE o_totalprice >= $WapAuditMaxPrice
          |UNION ALL
-         |SELECT 'good_staged', count(*), 0, coalesce(sum(o_orderkey), 0)
+         |SELECT 'good_staged', count(*), 0, CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
          |FROM odd WHERE o_totalprice < $WapAuditMaxPrice
          |UNION ALL
          |SELECT 'main', count(*),
          |  count(*) FILTER (WHERE o_totalprice >= $WapAuditMaxPrice),
-         |  sum(o_orderkey)
+         |  CAST(sum(o_orderkey) AS BIGINT)
          |FROM (SELECT * FROM ev
          |      UNION ALL
          |      SELECT * FROM odd WHERE o_totalprice < $WapAuditMaxPrice)

@@ -24,6 +24,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def kind(s: pd.Series) -> str:
+    """Pre-coercion type bucket, mirroring the driver's typed value hash.
+
+    DuckDB HUGEINT (uncast sum(BIGINT) etc.) arrives as float64/object,
+    never int64 — so an int-vs-float kind mismatch here is exactly the
+    class of failure the driver catches but value comparison would miss.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # normalize dtypes: ints -> int64, floats -> float64, rest -> object str
@@ -67,6 +85,17 @@ def main():
         s, d = canon(spark), canon(duck)
         if list(s.columns) != list(d.columns):
             results[name] = f"SCHEMA spark={list(s.columns)} duck={list(d.columns)}"
+            continue
+        # Type-strict gate (pre-coercion): fail when DuckDB's raw dtype
+        # bucket differs from Spark's (e.g. HUGEINT-promoted sums
+        # arriving as float64 where Spark wrote int64).
+        tbad = []
+        for c in s.columns:
+            ks, kd = kind(spark[c]), kind(duck[c])
+            if ks != kd:
+                tbad.append(f"{c}: spark={ks}({spark[c].dtype}) duck={kd}({duck[c].dtype})")
+        if tbad:
+            results[name] = "TYPE " + "; ".join(tbad[:4])
             continue
         if len(s) != len(d):
             results[name] = f"ROWS spark={len(s)} duck={len(d)}"
