@@ -37,6 +37,96 @@ object SnapshotTable {
   private def manifestPath(table: String, gen: Long): String =
     s"$table/manifests/gen=$gen"
 
+  /** One manifest row in any of the four manifest forms: plain `(path)`,
+    * merge-on-read `(path, kind)`, single-column zone map
+    * `(path, min_key, max_key)`, multi-column zone map
+    * `(path, key_col, min_key, max_key)`. Absent columns are `None`.
+    */
+  private[sources] final case class ManifestRow(path: String,
+      kind: Option[String] = None, keyCol: Option[String] = None,
+      minKey: Option[Long] = None, maxKey: Option[Long] = None)
+
+  /** Driver-side manifest read (parquet-hadoop Group API, no Spark
+    * job). A manifest is a kilobyte file — routing it through
+    * `spark.read` pays a full job-scheduling round (~0.1-0.2s) per
+    * metadata lookup, which multiplies across every snapshot command
+    * (a 3-generation expire alone resolves ~8 manifests). Metadata-
+    * plane reads stay on the driver at any table size: O(files) rows,
+    * never data pages.
+    */
+  private def readManifestRows(spark: SparkSession,
+      dir: String): Seq[ManifestRow] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val parts = fs.listStatus(d).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .sortBy(_.toString)
+    parts.flatMap { p =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), p)
+        .withConf(conf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        val t = g.getType
+        def str(f: String): Option[String] =
+          if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+            Some(g.getString(f, 0)) else None
+        def lng(f: String): Option[Long] =
+          if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+            Some(g.getLong(f, 0)) else None
+        ManifestRow(g.getString("path", 0), str("kind"), str("key_col"),
+          lng("min_key"), lng("max_key"))
+      }.toVector
+      finally reader.close()
+    }.toSeq
+  }
+
+  /** Driver-side manifest write — ONE parquet part file inside the
+    * staging DIRECTORY (the directory, not the file, is what the
+    * atomic rename publishes, so the first-writer-wins semantics of
+    * [[writeManifestAt]] — including the POSIX nested-rename
+    * detection — are unchanged). Column order is canonical
+    * (path, kind?, key_col?, min_key?, max_key?) so positional tuple
+    * reads of the stats forms keep working.
+    */
+  private def writeManifestRows(spark: SparkSession, stagingDir: String,
+      rows: Seq[ManifestRow]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    def strField(n: String) = b.addField(
+      Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named(n))
+    def lngField(n: String) = b.addField(Types.required(INT64).named(n))
+    strField("path")
+    val hasKind = rows.exists(_.kind.isDefined)
+    val hasKeyCol = rows.exists(_.keyCol.isDefined)
+    val hasStats = rows.exists(_.minKey.isDefined)
+    if (hasKind) strField("kind")
+    if (hasKeyCol) strField("key_col")
+    if (hasStats) { lngField("min_key"); lngField("max_key") }
+    val msgType = b.named("spark_schema")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(msgType, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$stagingDir/part-00000.parquet"))
+      .withConf(conf).build()
+    val factory = new SimpleGroupFactory(msgType)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      g.add("path", r.path)
+      if (hasKind) g.add("kind", r.kind.getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest mixes kinded and kindless rows at ${r.path}")))
+      if (hasKeyCol) g.add("key_col", r.keyCol.get)
+      if (hasStats) { g.add("min_key", r.minKey.get); g.add("max_key", r.maxKey.get) }
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Commit `df` as generation `gen`: write its data files under a
     * generation-private directory, then publish the manifest listing
     * them (plus everything `carryFrom`'s manifest already listed, for
@@ -105,10 +195,10 @@ object SnapshotTable {
       replace: Boolean = false): Unit = {
     if (dels.isEmpty) publish(spark, table, gen, data, replace)
     else {
-      import spark.implicits._
-      val rows = data.map(_ -> "data") ++ dels.map(_ -> "delete")
+      val rows = data.map(p => ManifestRow(p, kind = Some("data"))) ++
+        dels.map(p => ManifestRow(p, kind = Some("delete")))
       writeManifest(spark, table, gen, replace,
-        rows.sortBy(r => (r._2, r._1)).toDF("path", "kind"))
+        rows.sortBy(r => (r.kind.get, r.path)))
     }
   }
 
@@ -141,17 +231,15 @@ object SnapshotTable {
     * by contract.
     */
   def publish(spark: SparkSession, table: String, gen: Long,
-      paths: Seq[String], replace: Boolean = false): Unit = {
-    import spark.implicits._
+      paths: Seq[String], replace: Boolean = false): Unit =
     writeManifest(spark, table, gen, replace,
-      paths.sorted.toDF("path"))
-  }
+      paths.sorted.map(ManifestRow(_)))
 
   /** Shared staged-rename manifest writer for [[publish]] and
     * [[publishWithStats]].
     */
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
-      replace: Boolean, rows: DataFrame): Unit =
+      replace: Boolean, rows: Seq[ManifestRow]): Unit =
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",
@@ -164,7 +252,7 @@ object SnapshotTable {
     * a concurrent publish.
     */
   private def writeManifestAt(spark: SparkSession, targetPath: String,
-      stagingPath: String, replace: Boolean, rows: DataFrame,
+      stagingPath: String, replace: Boolean, rows: Seq[ManifestRow],
       what: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     // The staging path is WRITER-UNIQUE: a shared path would let racer
@@ -173,7 +261,9 @@ object SnapshotTable {
     // the silent lineage mix-up the whole protocol exists to prevent.
     val tmp = new org.apache.hadoop.fs.Path(stagingPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    writeManifestRows(spark, tmp.toString, rows)
     // The rename target's PARENT must pre-exist: on HDFS-semantics
     // stores a rename into a missing directory fails (a spurious
     // "concurrent writer" error on the first commit of a branch), and
@@ -235,16 +325,11 @@ object SnapshotTable {
     */
   def manifestEntries(spark: SparkSession, table: String,
       gen: Long): (Seq[String], Seq[String]) = {
-    import spark.implicits._
-    val m = spark.read.parquet(manifestPath(table, gen))
-    if (!m.columns.contains("kind"))
-      (m.select("path").distinct().as[String].collect().toSeq.sorted, Seq.empty)
-    else {
-      val rows = m.select("path", "kind").distinct()
-        .as[(String, String)].collect().toSeq
-      (rows.collect { case (p, "data") => p }.distinct.sorted,
-        rows.collect { case (p, "delete") => p }.distinct.sorted)
-    }
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    (rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+        .distinct.sorted,
+      rows.collect { case r if r.kind.contains("delete") => r.path }
+        .distinct.sorted)
   }
 
   /** Guard for generation-per-epoch streaming sinks: epoch-derived
@@ -414,16 +499,14 @@ object SnapshotTable {
     writeManifestAt(spark,
       branchManifestPath(table, branch),
       s"$table/branches/.${branch}.staging.${attemptName()}",
-      replace = false, fresh.sorted.toDF("path"),
+      replace = false, fresh.sorted.map(ManifestRow(_)),
       what = s"branch '$branch' of $table")
   }
 
   /** The staged branch's file list (audit planning, [[publishStaged]]). */
-  def stagedFiles(spark: SparkSession, table: String, branch: String): Seq[String] = {
-    import spark.implicits._
-    spark.read.parquet(branchManifestPath(table, branch))
-      .select("path").as[String].collect().toSeq.sorted
-  }
+  def stagedFiles(spark: SparkSession, table: String, branch: String): Seq[String] =
+    readManifestRows(spark, branchManifestPath(table, branch))
+      .map(_.path).sorted
 
   /** AUDIT half: read the staged snapshot through its branch manifest —
     * exactly like a generation read, but over data no lineage reader
@@ -541,11 +624,10 @@ object SnapshotTable {
     * [[readWhere]] prunes by the stats.
     */
   def publishWithStats(spark: SparkSession, table: String, gen: Long,
-      rows: Seq[(String, Long, Long)]): Unit = {
-    import spark.implicits._
+      rows: Seq[(String, Long, Long)]): Unit =
     writeManifest(spark, table, gen, replace = false,
-      rows.sortBy(_._1).toDF("path", "min_key", "max_key"))
-  }
+      rows.sortBy(_._1).map { case (p, mn, mx) =>
+        ManifestRow(p, minKey = Some(mn), maxKey = Some(mx)) })
 
   /** Publish generation `gen` with MULTI-COLUMN zone maps: manifest
     * rows are (path, key_col, min_key, max_key) — one row per (file,
@@ -558,11 +640,10 @@ object SnapshotTable {
     * DISTINCT paths).
     */
   def publishStats(spark: SparkSession, table: String, gen: Long,
-      rows: Seq[(String, String, Long, Long)]): Unit = {
-    import spark.implicits._
+      rows: Seq[(String, String, Long, Long)]): Unit =
     writeManifest(spark, table, gen, replace = false,
-      rows.sortBy(r => (r._1, r._2)).toDF("path", "key_col", "min_key", "max_key"))
-  }
+      rows.sortBy(r => (r._1, r._2)).map { case (p, c, mn, mx) =>
+        ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx)) })
 
   /** Files of generation `gen` admitted by CONJUNCTIVE per-column
     * bounds against the manifest's zone maps — the [[readWhere]]
@@ -576,20 +657,16 @@ object SnapshotTable {
     */
   def admittedFiles(spark: SparkSession, table: String, gen: Long,
       bounds: Map[String, (Long, Long)]): Seq[String] = {
-    import spark.implicits._
-    val manifest = spark.read.parquet(manifestPath(table, gen))
-    if (!manifest.columns.contains("key_col") || bounds.isEmpty)
-      listFiles(spark, table, gen)
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    if (rows.forall(_.keyCol.isEmpty) || bounds.isEmpty)
+      rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+        .distinct.sorted
     else {
-      val rows = manifest
-        .select("path", "key_col", "min_key", "max_key")
-        .as[(String, String, Long, Long)].collect().toSeq
       val excluded = rows.collect {
-        case (p, c, mn, mx) if bounds.get(c).exists {
-          case (lo, hi) => mn > hi || mx < lo
-        } => p
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx))
+            if bounds.get(c).exists { case (lo, hi) => mn > hi || mx < lo } => p
       }.toSet
-      rows.map(_._1).distinct.filterNot(excluded).sorted
+      rows.map(_.path).distinct.filterNot(excluded).sorted
     }
   }
 
@@ -603,27 +680,30 @@ object SnapshotTable {
     */
   def readWhere(spark: SparkSession, table: String, gen: Long,
       column: String, lo: Long, hi: Long): DataFrame = {
-    import spark.implicits._
-    val manifest = spark.read.parquet(manifestPath(table, gen))
-    val paths = (if (manifest.columns.contains("key_col")) {
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    val paths = (if (rows.exists(_.keyCol.isDefined)) {
       // Multi-column manifest ([[publishStats]]): admit a file unless
       // the REQUESTED dimension's zone map excludes it; a file with no
       // row for the dimension admits conservatively. Refuse a column
       // the manifest never recorded — an all-admit "prune" on a typo'd
       // name would silently read the whole table.
-      val rows = manifest
-        .select("path", "key_col", "min_key", "max_key")
-        .as[(String, String, Long, Long)].collect().toSeq
-      require(rows.exists(_._2 == column),
+      require(rows.exists(_.keyCol.contains(column)),
         s"manifest of $table gen $gen records no zone map for $column " +
-          s"(has: ${rows.map(_._2).distinct.sorted.mkString(", ")})")
+          s"(has: ${rows.flatMap(_.keyCol).distinct.sorted.mkString(", ")})")
       val excluded = rows.collect {
-        case (p, c, mn, mx) if c == column && (mn > hi || mx < lo) => p
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx))
+            if c == column && (mn > hi || mx < lo) => p
       }.toSet
-      rows.map(_._1).distinct.filterNot(excluded)
-    } else
-      manifest.filter(col("min_key") <= hi && col("max_key") >= lo)
-        .select("path").as[String].collect().toSeq).sorted
+      rows.map(_.path).distinct.filterNot(excluded)
+    } else {
+      require(rows.exists(_.minKey.isDefined),
+        s"manifest of $table gen $gen carries no zone-map stats; " +
+          "readWhere needs a publishWithStats/publishStats manifest")
+      rows.collect {
+        case ManifestRow(p, _, _, Some(mn), Some(mx))
+            if mn <= hi && mx >= lo => p
+      }
+    }).sorted
     if (paths.isEmpty) {
       // No file admitted: return an EMPTY frame with the table's schema
       // from the FOOTERS of every manifest file (mergeSchema unions
