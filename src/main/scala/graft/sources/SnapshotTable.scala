@@ -786,13 +786,15 @@ object SnapshotTable {
     * files that no manifest references YET. In-progress Spark writes
     * (under `_temporary`) are skipped by the hidden-ANCESTOR check,
     * and `minAgeMs` is the standard retention guard for the
-    * staged-but-unpublished window — run vacuum with `minAgeMs`
-    * comfortably above the longest commit duration (Delta's default
-    * is 7 days), or quiesce writers. `minAgeMs = 0` is for
-    * single-writer maintenance windows (and the drills).
+    * staged-but-unpublished window. The DEFAULT is a conservative
+    * [[VacuumDefaultMinAgeMs]] (Delta's is 7 days): an unsafe-by-
+    * default sweep racing an in-flight connector write would delete
+    * the writer's staged parquet before its driver-side commit.
+    * `minAgeMs = 0` must be passed EXPLICITLY and only inside a
+    * quiesced single-writer maintenance window (the drills).
     */
   def vacuum(spark: SparkSession, table: String,
-      minAgeMs: Long = 0L): (Long, Long) = {
+      minAgeMs: Long = VacuumDefaultMinAgeMs): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val referenced = (generations(spark, table).flatMap { g =>
       val (d, t) = manifestEntries(spark, table, g)
@@ -835,6 +837,12 @@ object SnapshotTable {
     orphans.foreach { case (p, _) => p.getFileSystem(conf).delete(p, false) }
     (present.size.toLong, orphans.size.toLong)
   }
+
+  /** Default [[vacuum]] retention: 24 hours, comfortably above any
+    * commit duration. Production tables tune it UP (Delta defaults to
+    * 7 days); only a quiesced maintenance window passes 0.
+    */
+  val VacuumDefaultMinAgeMs: Long = 24L * 60 * 60 * 1000
 
   /** The live WAP branch names of `table` ([[stage]]). */
   def branches(spark: SparkSession, table: String): Seq[String] = {

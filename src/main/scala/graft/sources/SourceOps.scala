@@ -442,7 +442,7 @@ object SourceOps {
       .write.mode("overwrite").parquet(s"$table/data/gen=1/a=orphan")
     SnapshotTable.stage(
       cloneBatch(orders).repartition(SnapAppendFiles), table, "wap")
-    val (examined, removed) = SnapshotTable.vacuum(spark, table)
+    val (examined, removed) = SnapshotTable.vacuum(spark, table, minAgeMs = 0L)
     SnapshotTable.readAs(spark, table, 1L)
       .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
       .crossJoin(SnapshotTable.readStaged(spark, table, "wap")

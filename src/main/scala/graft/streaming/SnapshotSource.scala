@@ -300,11 +300,20 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GenOffset].gen
-    val latest = latestOffset().asInstanceOf[GenOffset].gen
+    val gens = SnapshotTable.generations(spark, table)
+    val latest = if (gens.isEmpty) 0L else gens.max
     // Saturating add: the unlimited default is Long.MaxValue.
     val cap = if (Long.MaxValue - from < maxGensPerBatch) Long.MaxValue
       else from + maxGensPerBatch
-    GenOffset(math.min(latest, cap))
+    // A FRESH consumer (offset 0) must take its first hop to at least
+    // the earliest SURVIVING generation: on a table whose history
+    // prefix was expired, a cap below committed.min would advance the
+    // offset through the expired prefix in empty hops, and the next
+    // batch (from > 0) could no longer claim planInputPartitions'
+    // initial-full-load branch — a spurious "retention outran the
+    // stream" failure for a consumer that has consumed nothing.
+    val floor = if (from == 0L && gens.nonEmpty) gens.min else 0L
+    GenOffset(math.min(latest, math.max(cap, floor)))
   }
 
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
@@ -362,6 +371,29 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
             "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
             "ignore deletes")
       if (removed.isEmpty) out ++= added.map(SnapshotFilePartition(_))
+      else {
+        // The opted-in skip is only sound for CONTENT-NEUTRAL rewrites
+        // (compaction, clustering): verify neutrality from the parquet
+        // FOOTER row counts (metadata-only, O(files)) before dropping
+        // the hop. A hop whose added and removed row totals differ is
+        // a data change wearing a rewrite's shape — a copy-on-write
+        // MERGE's net-new inserts, or a purge's net deletes — and
+        // silently dropping its added files would lose that
+        // difference for this consumer. Fail loudly instead (Delta's
+        // ignoreChanges re-delivers rather than drops for the same
+        // reason).
+        val addedRows =
+          SnapshotTable.footerRowCounts(spark, added).map(_._2).sum
+        val removedRows =
+          SnapshotTable.footerRowCounts(spark, removed).map(_._2).sum
+        if (addedRows != removedRows)
+          throw new IllegalStateException(
+            s"generation $g of $table is a NON-NEUTRAL rewrite " +
+              s"(removes $removedRows row(s), adds $addedRows): skipping " +
+              "it would silently lose the difference (a MERGE's inserts " +
+              "or a purge's deletes); restart from a fresh checkpoint to " +
+              "reload the snapshot, or express the change as appends")
+      }
     }
     out.toArray
   }

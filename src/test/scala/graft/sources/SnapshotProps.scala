@@ -166,8 +166,8 @@ object SnapshotProps extends Properties("SnapshotTable") {
         // Vacuum removes only unreferenced debris (e.g. a race loser's
         // staged attempt), and a second sweep finds nothing.
         case Vacuum =>
-          SnapshotTable.vacuum(spark, table)
-          assert(SnapshotTable.vacuum(spark, table)._2 == 0L,
+          SnapshotTable.vacuum(spark, table, minAgeMs = 0L)
+          assert(SnapshotTable.vacuum(spark, table, minAgeMs = 0L)._2 == 0L,
             "vacuum must be idempotent")
       }
       val live = SnapshotTable.generations(spark, table)

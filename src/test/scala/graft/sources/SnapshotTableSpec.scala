@@ -210,7 +210,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     Seq(9L).toDF("o_orderkey").write.parquet(s"$table/deletes/gen=2/a=crashed")
     // A staged-for-audit branch: referenced by its branch manifest.
     SnapshotTable.stage(Seq(7L).toDF("o_orderkey"), table, "audit")
-    val (_, removed) = SnapshotTable.vacuum(spark, table)
+    val (_, removed) = SnapshotTable.vacuum(spark, table, minAgeMs = 0L)
     assert(removed === 2L, "exactly the two debris files are orphans")
     // Everything referenced still serves.
     assert(SnapshotTable.readMor(spark, table, 2L, "o_orderkey")
@@ -218,7 +218,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readStaged(spark, table, "audit")
       .as[Long].collect().toSet === Set(7L))
     // Idempotent: a second sweep finds nothing.
-    assert(SnapshotTable.vacuum(spark, table)._2 === 0L)
+    assert(SnapshotTable.vacuum(spark, table, minAgeMs = 0L)._2 === 0L)
   }
 
   test("shallow clone references source files verbatim and evolves independently") {
@@ -386,7 +386,7 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(0L, w * 10L, w * 10L + 1))
     // Losers' staged attempt data is unreferenced debris; vacuum reaps
     // it and the winner's content is untouched.
-    SnapshotTable.vacuum(spark, table)
+    SnapshotTable.vacuum(spark, table, minAgeMs = 0L)
     assert(SnapshotTable.readAs(spark, table, 2L)
       .as[Long].collect().toSet === Set(0L, w * 10L, w * 10L + 1))
   }

@@ -248,6 +248,55 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("retention outran"))
   }
 
+  test("capped backfill on an expired-prefix table still serves the initial full load") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapcapretain").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+    SnapshotTable.expire(spark, table, keepFrom = 2L)
+    // A fresh consumer with a 1-hop cap: the first hop must jump to
+    // the earliest SURVIVING generation (the initial full load) rather
+    // than crawl through the expired prefix in empty hops and then
+    // spuriously fail the full-load condition with from > 0.
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).option("maxGensPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("doc_id").as[Long].collect().foreach(got.add); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.toArray(Array.empty[java.lang.Long]).map(Long.unbox).toSet
+        === Set(1L, 2L, 3L),
+        "initial load = gen 2 full snapshot, then the capped 2->3 diff")
+    } finally q.stop()
+  }
+
+  test("a skipped rewrite hop must be content-neutral: net inserts fail loudly") {
+    val root = Files.createTempDirectory("snapnonneutral").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L, 3L), table, 1L)
+    // A copy-on-write MERGE shape: generation 2 rewrites the whole
+    // table WITH a net-new row — at the file level it removes gen 1's
+    // files and adds files carrying one extra row. skipRewrites may
+    // only skip content-NEUTRAL rewrites; silently dropping this hop
+    // would lose doc 9 forever for the opted-in consumer.
+    SnapshotTable.commit(docsDf(1L, 2L, 3L, 9L), table, 2L)
+    val q = tail(table, s"$root/ckpt", "snap_nonneutral", skipRewrites = true)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    def msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("|")
+    assert(msgs.contains("NON-NEUTRAL"))
+  }
+
   test("pushed range filters prune files through the manifest zone maps") {
     import spark.implicits._
     val root = Files.createTempDirectory("snappush").toString
