@@ -570,11 +570,13 @@ object StarOps {
     * (count, Σdx, Σdx²) — every power sum the closed form needs is a
     * cell-level sum (`sxy = Σ dy·Σdx` because dy is constant within a
     * cell), so the former 600k×600k join back on the price key is gone
-    * entirely. The price-side cumulative count runs through
-    * [[graft.operators.PrefixSum]] over the global (group, value)
-    * order — per-group offsets are the 3-row max-cum frame broadcast
-    * back — so NO task ever windows a whole group (the quantity-side
-    * window touches only the ~150-row distinct-quantity frame). Cell
+    * entirely. The price-side cumulative count is the
+    * [[graft.operators.PrefixSum]] two-pass shape fused with the
+    * grouping: range-partition by (group, value), one tiny
+    * per-(partition, group) totals frame broadcast back as the
+    * offsets, and a window bounded by one range split — so NO task
+    * ever windows a whole group (the quantity-side window touches
+    * only the ~150-row distinct-quantity frame). Cell
     * sums stay DECIMAL end-to-end (integers — exact at any scale, the
     * [[Parity]] route; a long-product variant measured only ~0.3s
     * faster at sf0.1 and overflows per-cell at ~1.5e9 rows/group), and
@@ -597,19 +599,43 @@ object StarOps {
       .agg(count(lit(1)).as("c"),
         sum(col("dx").cast(dec)).as("sdx"),
         sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sdxx"))
-    val cum = graft.operators.PrefixSum.withRunningTotal(cells,
-      Seq(col("l_returnflag"), col("l_extendedprice")), col("c"),
-      ParetoPartitions)
-    // Per-group rank offset = total count of all EARLIER groups; groups
-    // are contiguous in the (group, value) sort, so each group's max
-    // global cum IS its prefix total — a 3-row frame, broadcast back.
-    val foffs = cum.groupBy("l_returnflag").agg(max("cum").as("cumtot"))
-      .withColumn("foff",
-        coalesce(lag("cumtot", 1).over(Window.orderBy("l_returnflag")), lit(0L)))
-      .select("l_returnflag", "foff")
-    cum.join(broadcast(foffs), Seq("l_returnflag"))
+    // WITHIN-GROUP running count via the PrefixSum two-pass shape,
+    // fused: range-partition by (group, value) and materialize ONCE
+    // (both passes must see the same sampled split points — the
+    // [[graft.operators.PrefixSum]] discipline); then ONE tiny
+    // aggregate of per-(partition, group) totals serves as the offset
+    // frame (≤ partitions × groups rows, driver-scale), and the local
+    // window partitions by (partition, group) — so the within-group
+    // cumulative falls out directly and the former global-cum +
+    // per-group max-cum/foff round trip (a second data-scale aggregate
+    // and broadcast) disappears. No task ever windows more than one
+    // range split.
+    // Materialize the cell frame BEFORE the range exchange: the range
+    // partitioner's sampling pass would otherwise recompute the whole
+    // scan+join+agg lineage once for sampling and again for the
+    // exchange itself. The cell frame is corpus-REDUCED (one row per
+    // distinct (group, price)), so checkpointing it is cheap relative
+    // to recomputing its lineage.
+    val cellsCk = cells.localCheckpoint()
+    val ranged = cellsCk
+      .repartitionByRange(ParetoPartitions,
+        col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = ranged.groupBy(col("__pid"), col("l_returnflag"))
+      .agg(sum("c").as("__ptot"))
+      .withColumn("__goff",
+        coalesce(sum("__ptot").over(Window.partitionBy("l_returnflag")
+          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("l_returnflag"), col("__goff"))
+    val local = ranged.withColumn("__lc",
+      sum(col("c")).over(Window.partitionBy(col("__pid"), col("l_returnflag"))
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    local.join(broadcast(offs), Seq("__pid", "l_returnflag"))
       .select(col("l_returnflag"), col("c"), col("sdx"), col("sdxx"),
-        ((col("cum") - col("foff")) * 2 - col("c") + 1)
+        ((col("__lc") + col("__goff")) * 2 - col("c") + 1)
           .cast("double").cast(dec).as("dy"))
       .groupBy("l_returnflag")
       .agg(
