@@ -707,6 +707,49 @@ object SourceOps {
     statsOf(1L).unionByName(statsOf(2L)).orderBy("gen")
   }
 
+  /** TIME TRAVEL through the connector across a REWRITE hop — the
+    * batch value gate for the streaming source's hop-classification
+    * metadata ([[graft.streaming.SnapshotSource]]'s skipRewrites
+    * contract): each generation of the shared init/append/compact
+    * fixture is read through the DataSource V2 BATCH_READ
+    * `generation` option (gen 3 proves DSv2 time travel ACROSS the
+    * compaction — the connector must resolve content through the
+    * post-rewrite manifest, not the file layout), and each hop
+    * reports its file-level diff (added/removed counts) plus the
+    * parquet-FOOTER row delta — exactly the content-neutrality
+    * evidence the streaming skip verifies before dropping a rewrite
+    * hop. The oracle recomputes every number from the split
+    * predicates and layout constants: the append hop's delta is the
+    * appended split's count, and the compact hop's delta MUST be
+    * zero — a compaction that lost or duplicated rows breaks the
+    * value hash here before any stream ever tails it.
+    */
+  def connectorTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = sharedThreeGens(spark, dir)
+    def hop(g: Long): (Long, Long, Long) = {
+      val cur = SnapshotTable.listFiles(spark, table, g)
+      val prev =
+        if (g == 1L) Seq.empty[String]
+        else SnapshotTable.listFiles(spark, table, g - 1)
+      val added = (cur.toSet -- prev).toSeq.sorted
+      val removed = (prev.toSet -- cur).toSeq.sorted
+      val delta =
+        SnapshotTable.footerRowCounts(spark, added).map(_._2).sum -
+          SnapshotTable.footerRowCounts(spark, removed).map(_._2).sum
+      (added.size.toLong, removed.size.toLong, delta)
+    }
+    Seq(1L, 2L, 3L).map { g =>
+      val (a, r, d) = hop(g)
+      spark.read
+        .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", table).option("generation", g).load()
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit(g).as("gen"), col("n_rows"), col("key_sum"),
+          lit(a).as("n_added_files"), lit(r).as("n_removed_files"),
+          lit(d).as("row_delta"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1161,6 +1204,7 @@ object SourceOps {
     "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_connector_read" -> (connectorRead _),
+    "src_connector_timetravel" -> (connectorTimeTravel _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_mor" -> (snapshotMor _),
     "src_connector_write" -> (connectorWrite _),
@@ -1396,6 +1440,33 @@ object SourceOps {
          |SELECT CAST(1 AS BIGINT) AS gen, * FROM g1
          |UNION ALL
          |SELECT 2, * FROM g2
+         |ORDER BY gen""".stripMargin,
+    // Time-travel twin: per-generation content from the split
+    // predicates; hop file counts from the layout constants; footer
+    // row deltas re-derived relationally (the compact hop's MUST be
+    // zero — content-neutrality under the value gate).
+    "src_connector_timetravel" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders),
+         |i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS ks
+         |  FROM orders WHERE o_orderkey % 4 <> 0),
+         |ap AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderkey % 4 = 0)
+         |SELECT CAST(1 AS BIGINT) AS gen, i.n AS n_rows, i.ks AS key_sum,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_added_files,
+         |       CAST(0 AS BIGINT) AS n_removed_files,
+         |       i.n AS row_delta
+         |FROM i
+         |UNION ALL
+         |SELECT 2, f.n, f.ks, $SnapAppendFiles, 0, ap.n FROM f, ap
+         |UNION ALL
+         |SELECT 3, f.n, f.ks, $SnapCompactFiles,
+         |       ${SnapInitFiles + SnapAppendFiles}, 0 FROM f
          |ORDER BY gen""".stripMargin,
     // History twin: every footer-metadata row count re-derived
     // relationally with the fixture's split predicate; a disagreeing
