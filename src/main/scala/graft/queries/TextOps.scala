@@ -418,6 +418,65 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sequence-packing capacity in tokens ([[packChunks]]): tiny for the
+    * harness corpus; production uses the model context length with the
+    * identical arithmetic.
+    */
+  val PackCapacity = 512L
+
+  /** Partition count for [[packChunks]]' global prefix sum. */
+  val PackPartitions = 32
+
+  /** Concat-and-chunk SEQUENCE PACKING — the pretraining batch-prep
+    * step that concatenates the tokenized corpus in a deterministic
+    * document order and cuts it into fixed-[[PackCapacity]] training
+    * sequences, so no context window is wasted on padding: each
+    * document occupies the global token span [cum − n, cum) and lands
+    * in chunks floor(start/C) .. floor((end−1)/C). The report is
+    * per-chunk: how many documents touch it, how many lie WHOLLY
+    * inside it (the rest are boundary-crossing continuations the
+    * loader masks or lets attend), its token fill (= C everywhere but
+    * the final chunk — packing leaves no holes by construction), and
+    * its first document.
+    *
+    * Scale shape: the only corpus-wide state is the global running
+    * token count, computed with the [[graft.operators.PrefixSum]]
+    * two-pass range-partition shape (no single-task window at any
+    * corpus size); the chunk expansion is one scan-local
+    * `sequence`/`explode` bounded by n/C + 1 rows per document, and
+    * the final aggregate shuffles on chunk_id — wordcount-class. The
+    * oracle re-derives the identical spans from a window cumsum over
+    * the same token counts.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunksOf(Tables.documents(spark, dir))
+
+  /** [[packChunks]] over an arbitrary documents frame (tests plant
+    * docs with hand-computed spans).
+    */
+  def packChunksOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("tok_cnt"))
+      .filter(col("tok_cnt") > 0)
+    val cum = graft.operators.PrefixSum.withRunningTotal(
+      docs, Seq(col("doc_id")), col("tok_cnt"), PackPartitions)
+    cum
+      .select(col("doc_id"), col("tok_cnt"),
+        (col("cum") - col("tok_cnt")).as("strt"), col("cum"))
+      .select(col("doc_id"), col("tok_cnt"), col("strt"), col("cum"),
+        explode(sequence(expr(s"strt div $PackCapacity"),
+          expr(s"(cum - 1) div $PackCapacity"))).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("strt") >= col("chunk_id") * PackCapacity &&
+            col("cum") <= (col("chunk_id") + 1) * PackCapacity, 1L)
+          .otherwise(0L)).as("n_whole_docs"),
+        sum(least(col("cum"), (col("chunk_id") + 1) * PackCapacity) -
+          greatest(col("strt"), col("chunk_id") * PackCapacity)).as("tok_fill"),
+        min("doc_id").as("first_doc"))
+      .orderBy("chunk_id")
+  }
+
   /** Cross-document boilerplate signal: the share of each document made
     * of non-overlapping [[ChunkTokens]]-token chunks that appear in ≥ 2
     * documents — the hashed-paragraph dedup a crawl pipeline runs to
@@ -1306,6 +1365,7 @@ object TextOps {
     "text_search_index" -> (searchRankIndexed _),
     "text_search_incr" -> (searchRankIncremental _),
     "text_chunks" -> (trainingChunks _),
+    "text_pack" -> (packChunks _),
     "text_diversity" -> (diversity _),
     "text_wordcount" -> (wordCount _),
     "text_quality" -> (quality _),
@@ -1595,6 +1655,32 @@ object TextOps {
          |    chunk_idx * ${ChunkSize - ChunkOverlap} + least($ChunkSize, n - chunk_idx * ${ChunkSize - ChunkOverlap})], ' ')
          |    AS chunk_text
          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Same capacity constant; the window cumsum re-derives the global
+    // token spans (DuckDB promotes the cumsum to HUGEINT — every
+    // arithmetic consumer is CAST back to BIGINT before output).
+    "text_pack" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok_cnt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok_cnt,
+         |    CAST(sum(tok_cnt) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t WHERE tok_cnt > 0),
+         |s AS (SELECT doc_id, tok_cnt, cum - tok_cnt AS strt, cum FROM c),
+         |e AS (
+         |  SELECT doc_id, tok_cnt, strt, cum,
+         |    unnest(range(strt // $PackCapacity, ((cum - 1) // $PackCapacity) + 1)) AS chunk_id
+         |  FROM s)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN strt >= chunk_id * $PackCapacity
+         |                 AND cum <= (chunk_id + 1) * $PackCapacity
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+         |  CAST(sum(least(cum, (chunk_id + 1) * $PackCapacity) -
+         |           greatest(strt, chunk_id * $PackCapacity)) AS BIGINT) AS tok_fill,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
     "text_search_batch" -> duckSearchBatchSql,
     // The persisted-index twin scores the same log with the same idf
     // weight from the same tf relation (built via the index instead of

@@ -277,6 +277,31 @@ class TextOpsSpec extends AnyFunSuite {
       s"top-ranked doc $topDoc should contain the high-idf term")
   }
 
+  test("sequence packing: hand-computed spans, no padding holes, boundary docs counted once per side") {
+    import spark.implicits._
+    val C = TextOps.PackCapacity // 512
+    def doc(n: Long): String = (1L to n).map(_ => "w").mkString(" ")
+    // Token spans (start, end) in concat order:
+    //   d1: [0, 300)          chunk 0 only, whole
+    //   d2: [300, 700)        crosses the 512 boundary -> chunks 0 and 1
+    //   d3: [700, 1024)       chunk 1 only, whole, ends exactly at 2C
+    //   d4: [1024, 1034)      chunk 2 only, whole (final partial chunk)
+    // An empty doc contributes nothing.
+    val docs = Seq(
+      (1L, doc(300)), (2L, doc(400)), (3L, doc(324)), (4L, doc(10)),
+      (5L, "")).toDF("doc_id", "text")
+    val rows = TextOps.packChunksOf(docs)
+      .select("chunk_id", "n_docs", "n_whole_docs", "tok_fill", "first_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 2L, 1L, C, 1L),      // d1 whole + d2's head; full
+      (1L, 2L, 1L, C, 2L),      // d2's tail + d3 whole; full
+      (2L, 1L, 1L, 10L, 4L)))   // the final partial chunk
+    // Conservation: fills sum to the corpus token count — packing
+    // neither drops nor duplicates a token.
+    assert(rows.map(_._4).sum === 300L + 400L + 324L + 10L)
+  }
+
   test("training chunks cover every token with the configured stride and overlap") {
     import spark.implicits._
     val stride = TextOps.ChunkSize - TextOps.ChunkOverlap
