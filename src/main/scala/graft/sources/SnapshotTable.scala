@@ -37,14 +37,21 @@ object SnapshotTable {
   private def manifestPath(table: String, gen: Long): String =
     s"$table/manifests/gen=$gen"
 
-  /** One manifest row in any of the four manifest forms: plain `(path)`,
+  /** One manifest row in any of the manifest forms: plain `(path)`,
     * merge-on-read `(path, kind)`, single-column zone map
     * `(path, min_key, max_key)`, multi-column zone map
-    * `(path, key_col, min_key, max_key)`. Absent columns are `None`.
+    * `(path, key_col, min_key, max_key)`, plus an optional `seq` —
+    * the Iceberg-style DATA SEQUENCE NUMBER that scopes equality
+    * deletes: a `seq`-stamped tombstone applies only to data entries
+    * with a STRICTLY SMALLER seq ([[commitUpsert]]), while a legacy
+    * unstamped tombstone applies to the whole snapshot
+    * ([[commitDeletes]]' documented semantic). Absent columns are
+    * `None`; an absent data seq reads as 0.
     */
   private[sources] final case class ManifestRow(path: String,
       kind: Option[String] = None, keyCol: Option[String] = None,
-      minKey: Option[Long] = None, maxKey: Option[Long] = None)
+      minKey: Option[Long] = None, maxKey: Option[Long] = None,
+      seq: Option[Long] = None)
 
   /** Driver-side manifest read (parquet-hadoop Group API, no Spark
     * job). A manifest is a kilobyte file — routing it through
@@ -76,7 +83,7 @@ object SnapshotTable {
           if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
             Some(g.getLong(f, 0)) else None
         ManifestRow(g.getString("path", 0), str("kind"), str("key_col"),
-          lng("min_key"), lng("max_key"))
+          lng("min_key"), lng("max_key"), lng("seq"))
       }.toVector
       finally reader.close()
     }.toSeq
@@ -97,16 +104,19 @@ object SnapshotTable {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val b = Types.buildMessage()
+    b.addField(
+      Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("path"))
     def strField(n: String) = b.addField(
-      Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named(n))
-    def lngField(n: String) = b.addField(Types.required(INT64).named(n))
-    strField("path")
+      Types.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(n))
+    def lngField(n: String) = b.addField(Types.optional(INT64).named(n))
     val hasKind = rows.exists(_.kind.isDefined)
     val hasKeyCol = rows.exists(_.keyCol.isDefined)
     val hasStats = rows.exists(_.minKey.isDefined)
+    val hasSeq = rows.exists(_.seq.isDefined)
     if (hasKind) strField("kind")
     if (hasKeyCol) strField("key_col")
     if (hasStats) { lngField("min_key"); lngField("max_key") }
+    if (hasSeq) lngField("seq")
     val msgType = b.named("spark_schema")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -118,11 +128,11 @@ object SnapshotTable {
     try rows.foreach { r =>
       val g = factory.newGroup()
       g.add("path", r.path)
-      if (hasKind) g.add("kind", r.kind.getOrElse(
-        throw new IllegalArgumentException(
-          s"manifest mixes kinded and kindless rows at ${r.path}")))
-      if (hasKeyCol) g.add("key_col", r.keyCol.get)
-      if (hasStats) { g.add("min_key", r.minKey.get); g.add("max_key", r.maxKey.get) }
+      r.kind.foreach(g.add("kind", _))
+      r.keyCol.foreach(g.add("key_col", _))
+      r.minKey.foreach(g.add("min_key", _))
+      r.maxKey.foreach(g.add("max_key", _))
+      r.seq.foreach(g.add("seq", _))
       writer.write(g)
     } finally writer.close()
   }
@@ -177,10 +187,23 @@ object SnapshotTable {
   def publishAppend(spark: SparkSession, table: String, gen: Long,
       fresh: Seq[String], carryFrom: Option[Long],
       replace: Boolean = false): Unit = {
-    val carried = carryFrom.toSeq.flatMap(g => listFiles(spark, table, g))
-    val carriedDels = carryFrom.toSeq
-      .flatMap(g => listDeleteFiles(spark, table, g))
-    publishEntries(spark, table, gen, carried ++ fresh, carriedDels, replace)
+    // FULL-ROW carry: tombstone kinds AND sequence numbers survive an
+    // append verbatim — a path-only carry would strip [[commitUpsert]]'s
+    // seq stamps and silently widen its scoped tombstones back to
+    // whole-snapshot deletes on the next append.
+    val carried = carryFrom.toSeq
+      .flatMap(g => readManifestRows(spark, manifestPath(table, g)))
+    // Fresh files are stamped with this commit's sequence ONLY in a
+    // seq-carrying lineage (anything after the first upsert): stamped
+    // data outranks every older tombstone, so an append under an
+    // upserted key stays visible. A never-upserted lineage keeps the
+    // legacy unstamped manifest form byte-for-byte.
+    val freshSeq = if (carried.exists(_.seq.isDefined)) Some(gen) else None
+    val freshKind = if (carried.exists(_.kind.isDefined)) Some("data") else None
+    writeManifest(spark, table, gen, replace,
+      (carried ++ fresh.sorted.map(p =>
+        ManifestRow(p, kind = freshKind, seq = freshSeq)))
+        .sortBy(r => (r.kind.getOrElse("data"), r.path)))
   }
 
   /** The ONE manifest-row renderer for every publisher that carries
@@ -371,9 +394,48 @@ object SnapshotTable {
     val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
     keys.write.mode("overwrite").parquet(delDir)
     val fresh = spark.read.parquet(delDir).inputFiles.toSeq
-    publishEntries(spark, table, gen,
-      listFiles(spark, table, carryFrom),
-      listDeleteFiles(spark, table, carryFrom) ++ fresh)
+    // Full-row carry; the fresh tombstones stay UNSTAMPED — the legacy
+    // whole-snapshot delete scope (vs [[commitUpsert]]'s seq-scoped
+    // ones).
+    val carried = readManifestRows(spark, manifestPath(table, carryFrom))
+      .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
+    writeManifest(spark, table, gen, replace = false,
+      (carried ++ fresh.sorted.map(p => ManifestRow(p, kind = Some("delete"))))
+        .sortBy(r => (r.kind.get, r.path)))
+  }
+
+  /** MERGE/UPSERT as ONE merge-on-read commit — the Iceberg
+    * equality-delete + data-sequence-number shape: the batch's rows
+    * land as fresh data files stamped `seq = gen`, and the batch's
+    * KEYS land as one equality-delete file with the same stamp. A
+    * stamped tombstone hides only data with a STRICTLY SMALLER
+    * sequence, so in one commit each key's old row disappears and its
+    * new row survives — and a LATER append under the same key outranks
+    * the tombstone and stays visible too. Cost is O(batch) + O(keys)
+    * at any table size: no base file is read or rewritten (the
+    * copy-on-write alternative is [[SourceOps.snapshotMerge]]), and
+    * readers pay [[readMor]]'s per-sequence-class anti-join until a
+    * materialization purges.
+    */
+  def commitUpsert(df: DataFrame, table: String, gen: Long,
+      keyCol: String, carryFrom: Long): Unit = {
+    val spark = df.sparkSession
+    val dataDir = s"$table/data/gen=$gen/a=${attemptName()}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val freshData = spark.read.parquet(dataDir).inputFiles.toSeq
+    val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
+    df.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(delDir)
+    val freshDels = spark.read.parquet(delDir).inputFiles.toSeq
+    val carried = readManifestRows(spark, manifestPath(table, carryFrom))
+      .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
+    writeManifest(spark, table, gen, replace = false,
+      (carried ++
+        freshData.sorted.map(p =>
+          ManifestRow(p, kind = Some("data"), seq = Some(gen))) ++
+        freshDels.sorted.map(p =>
+          ManifestRow(p, kind = Some("delete"), seq = Some(gen))))
+        .sortBy(r => (r.kind.get, r.path)))
   }
 
   /** Read generation `gen` with its merge-on-read tombstones applied:
@@ -383,13 +445,30 @@ object SnapshotTable {
     */
   def readMor(spark: SparkSession, table: String, gen: Long,
       keyCol: String): DataFrame = {
-    val dels = listDeleteFiles(spark, table, gen)
-    val data = readAs(spark, table, gen)
-    if (dels.isEmpty) data
-    else data.join(
-      spark.read.parquet(dels: _*)
-        .select(org.apache.spark.sql.functions.col(keyCol)).distinct(),
-      Seq(keyCol), "left_anti")
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    val dataRows = rows.filter(_.kind.forall(_ == "data"))
+    val delRows = rows.filter(_.kind.contains("delete"))
+    if (delRows.isEmpty) readAs(spark, table, gen)
+    else {
+      // Sequence-scoped visibility: an unstamped tombstone
+      // ([[commitDeletes]]) applies to every data file; a stamped one
+      // ([[commitUpsert]]) only to data with a strictly smaller
+      // sequence. Data files group into ≤ #commits-since-materialize
+      // sequence classes; each class scans its own files once and
+      // anti-joins the tombstone keys that outrank it — bounded
+      // per-class plans, one union, no data rewrite.
+      dataRows.groupBy(_.seq.getOrElse(0L)).toSeq.sortBy(_._1).map {
+        case (s, rs) =>
+          val applicable = delRows
+            .filter(d => d.seq.forall(_ > s)).map(_.path).distinct.sorted
+          val data = spark.read.parquet(rs.map(_.path).distinct.sorted: _*)
+          if (applicable.isEmpty) data
+          else data.join(
+            spark.read.parquet(applicable: _*)
+              .select(org.apache.spark.sql.functions.col(keyCol)).distinct(),
+            Seq(keyCol), "left_anti")
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Read the table AS OF generation `gen`: the scan's file set is
@@ -442,8 +521,8 @@ object SnapshotTable {
       s"rollback of $table must restore an existing generation " +
         s"($toGen vs [${gens.mkString(", ")}]) as a NEW one ($asGen): " +
         "rolling back onto committed lineage would rewrite history")
-    val (data, dels) = manifestEntries(spark, table, toGen)
-    publishEntries(spark, table, asGen, data, dels)
+    writeManifest(spark, table, asGen, replace = false,
+      readManifestRows(spark, manifestPath(table, toGen)))
   }
 
   /** SHALLOW CLONE: materialize `srcGen` of `srcTable` as generation 1
@@ -461,11 +540,11 @@ object SnapshotTable {
     */
   def cloneShallow(spark: SparkSession, srcTable: String, srcGen: Long,
       destTable: String): Unit = {
-    val (data, dels) = manifestEntries(spark, srcTable, srcGen)
     require(generations(spark, destTable).isEmpty,
       s"shallow clone target $destTable already has committed " +
         "generations; clone only creates NEW tables")
-    publishEntries(spark, destTable, 1L, data, dels)
+    writeManifest(spark, destTable, 1L, replace = false,
+      readManifestRows(spark, manifestPath(srcTable, srcGen)))
   }
 
   // ----- Write-audit-publish branch staging ------------------------------
@@ -663,7 +742,7 @@ object SnapshotTable {
         .distinct.sorted
     else {
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx))
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
             if bounds.get(c).exists { case (lo, hi) => mn > hi || mx < lo } => p
       }.toSet
       rows.map(_.path).distinct.filterNot(excluded).sorted
@@ -691,7 +770,7 @@ object SnapshotTable {
         s"manifest of $table gen $gen records no zone map for $column " +
           s"(has: ${rows.flatMap(_.keyCol).distinct.sorted.mkString(", ")})")
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx))
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
             if c == column && (mn > hi || mx < lo) => p
       }.toSet
       rows.map(_.path).distinct.filterNot(excluded)
@@ -700,7 +779,7 @@ object SnapshotTable {
         s"manifest of $table gen $gen carries no zone-map stats; " +
           "readWhere needs a publishWithStats/publishStats manifest")
       rows.collect {
-        case ManifestRow(p, _, _, Some(mn), Some(mx))
+        case ManifestRow(p, _, _, Some(mn), Some(mx), _)
             if mn <= hi && mx >= lo => p
       }
     }).sorted

@@ -750,6 +750,57 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** [[snapshotUpsert]] batch predicates and value deltas, mirrored in
+    * the oracle: the upsert touches keys ≡ 1 (mod [[UpsertMod]]), the
+    * later plain append re-inserts keys ≡ 1 (mod [[UpsertReinsertMod]]).
+    */
+  val UpsertMod = 10L
+  val UpsertReinsertMod = 20L
+  val UpsertDelta = 1000000L
+  val ReinsertDelta = 2000000L
+
+  /** MERGE/UPSERT over the snapshot layer
+    * ([[SnapshotTable.commitUpsert]]) — the third mutation shape next
+    * to copy-on-write MERGE ([[snapshotMerge]]) and whole-snapshot MoR
+    * deletes ([[snapshotMor]]): ONE commit lands the changed rows and
+    * a sequence-stamped equality-delete of their keys, so each key's
+    * old row disappears and its new row survives without reading or
+    * rewriting any base file — O(batch) at any table size. Generation
+    * 3 then proves the Iceberg sequence-number semantic the stamp
+    * exists for: a LATER plain append under already-upserted keys
+    * outranks the older tombstone, so BOTH the upserted row and the
+    * re-inserted row are visible (an append is not an upsert). Row
+    * counts, the custkey sums shifted by the per-phase deltas, and the
+    * data/tombstone file counts are all value-gated from the split
+    * predicates and layout constants.
+    */
+  def snapshotUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_upsert")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+    SnapshotTable.commit(base.repartition(SnapInitFiles), table, 1L)
+    SnapshotTable.commitUpsert(
+      base.filter(col("o_orderkey") % UpsertMod === 1)
+        .withColumn("o_custkey", col("o_custkey") + UpsertDelta)
+        .repartition(1),
+      table, 2L, "o_orderkey", carryFrom = 1L)
+    SnapshotTable.commit(
+      base.filter(col("o_orderkey") % UpsertReinsertMod === 1)
+        .withColumn("o_custkey", col("o_custkey") + ReinsertDelta)
+        .repartition(1),
+      table, 3L, carryFrom = Some(2L))
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readMor(spark, table, g, "o_orderkey")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("cust_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listFiles(spark, table, g).size.toLong)
+            .as("n_data_files"),
+          lit(SnapshotTable.listDeleteFiles(spark, table, g).size.toLong)
+            .as("n_delete_files"),
+          col("n_rows"), col("cust_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1207,6 +1258,7 @@ object SourceOps {
     "src_connector_timetravel" -> (connectorTimeTravel _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_mor" -> (snapshotMor _),
+    "src_snapshot_upsert" -> (snapshotUpsert _),
     "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
@@ -1440,6 +1492,37 @@ object SourceOps {
          |SELECT CAST(1 AS BIGINT) AS gen, * FROM g1
          |UNION ALL
          |SELECT 2, * FROM g2
+         |ORDER BY gen""".stripMargin,
+    // Upsert twin: gen 2 is a 1:1 replace (same row count, custkey sum
+    // shifted by the batch delta); gen 3's append under upserted keys
+    // is ADDITIVE (sequence semantics: the newer rows outrank the
+    // older tombstone). File counts from the layout constants.
+    "src_snapshot_upsert" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 0),
+         |b AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_custkey) AS BIGINT) AS cs FROM base),
+         |u AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_custkey) AS BIGINT) AS cs
+         |  FROM base WHERE o_orderkey % $UpsertMod = 1),
+         |r AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(o_custkey) AS BIGINT) AS cs
+         |  FROM base WHERE o_orderkey % $UpsertReinsertMod = 1)
+         |SELECT CAST(1 AS BIGINT) AS gen,
+         |  CAST($SnapInitFiles AS BIGINT) AS n_data_files,
+         |  CAST(0 AS BIGINT) AS n_delete_files,
+         |  b.n AS n_rows, b.cs AS cust_sum
+         |FROM b
+         |UNION ALL
+         |SELECT 2, ${SnapInitFiles + 1}, 1, b.n, b.cs + $UpsertDelta * u.n
+         |FROM b, u
+         |UNION ALL
+         |SELECT 3, ${SnapInitFiles + 2}, 1, b.n + r.n,
+         |  b.cs + $UpsertDelta * u.n + r.cs + $ReinsertDelta * r.n
+         |FROM b, u, r
          |ORDER BY gen""".stripMargin,
     // Time-travel twin: per-generation content from the split
     // predicates; hop file counts from the layout constants; footer

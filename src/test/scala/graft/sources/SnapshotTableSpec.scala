@@ -479,6 +479,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[Exception](SnapshotTable.readAs(spark, table, 1L).count())
   }
 
+  test("commitUpsert: seq-scoped tombstones replace in one commit; appends outrank; legacy deletes still sweep all") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_upsert_spec")
+    def rows(t: String) = SnapshotTable.readMor(spark, table, gen = t.toLong, "k")
+      .as[(Long, String)].collect().toSet
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/seed")
+    SnapshotTable.commit(spark.read.parquet(s"$table/seed"), table, 1L)
+    // One upsert commit: key 2's old row gone, new row visible — no
+    // base file rewritten (gen 1's files carry verbatim).
+    SnapshotTable.commitUpsert(Seq((2L, "B2")).toDF("k", "v"),
+      table, 2L, "k", carryFrom = 1L)
+    assert(rows("2") === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(SnapshotTable.listFiles(spark, table, 1L).toSet
+      .subsetOf(SnapshotTable.listFiles(spark, table, 2L).toSet),
+      "upsert must not rewrite base files")
+    // A LATER plain append under the upserted key outranks the older
+    // tombstone: both rows visible (append is not upsert).
+    SnapshotTable.commit(Seq((2L, "b3")).toDF("k", "v"),
+      table, 3L, carryFrom = Some(2L))
+    assert(rows("3") === Set((1L, "a"), (2L, "B2"), (2L, "b3"), (3L, "c")))
+    // Time travel: the pre-append upsert view is untouched.
+    assert(rows("2") === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // A legacy (unstamped) delete keeps its whole-snapshot scope: it
+    // sweeps EVERY row of the key, stamped or not.
+    SnapshotTable.commitDeletes(Seq(2L).toDF("k"), table, 4L, carryFrom = 3L)
+    assert(rows("4") === Set((1L, "a"), (3L, "c")))
+    // Rollback carries the stamped manifest VERBATIM: the restored
+    // view reproduces the upsert semantics exactly.
+    SnapshotTable.rollback(spark, table, toGen = 3L, asGen = 5L)
+    assert(rows("5") === Set((1L, "a"), (2L, "B2"), (2L, "b3"), (3L, "c")))
+  }
+
   test("copy-on-write merge prunes to touched buckets and carries the rest") {
     // Run the registered query for its side effects, then dissect the
     // two manifests it produced.
