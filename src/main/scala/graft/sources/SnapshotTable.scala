@@ -773,14 +773,18 @@ object SnapshotTable {
         case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
             if c == column && (mn > hi || mx < lo) => p
       }.toSet
-      rows.map(_.path).distinct.filterNot(excluded)
+      rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+        .distinct.filterNot(excluded)
     } else {
       require(rows.exists(_.minKey.isDefined),
         s"manifest of $table gen $gen carries no zone-map stats; " +
           "readWhere needs a publishWithStats/publishStats manifest")
+      // A data row with no recorded stats (e.g. appended after the
+      // stats publish) admits CONSERVATIVELY — pruning may only ever
+      // skip files the bounds PROVE irrelevant.
       rows.collect {
-        case ManifestRow(p, _, _, Some(mn), Some(mx), _)
-            if mn <= hi && mx >= lo => p
+        case r if r.kind.forall(_ == "data") &&
+          r.minKey.forall(_ <= hi) && r.maxKey.forall(_ >= lo) => r.path
       }
     }).sorted
     if (paths.isEmpty) {

@@ -750,6 +750,61 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** Slices per layout epoch in [[snapshotEvolve]]. */
+  val EvolveSlices = 4
+
+  /** PARTITION EVOLUTION over the snapshot layer — the table's layout
+    * policy changes MID-HISTORY and reads keep pruning correctly
+    * across the mixed layout, because file skipping is driven by the
+    * manifest's zone maps, never by directory structure (the Iceberg
+    * partition-evolution contract; Hive-style layouts cannot do this
+    * without a full rewrite). Epoch 1 lands the even-key half sliced
+    * by o_orderkey; epoch 2 appends the odd-key half sliced by
+    * o_custkey, carrying epoch 1's stats rows verbatim into the gen-2
+    * manifest. Each probe then prunes tightly on the files laid out
+    * FOR its dimension and admits the other epoch's conservatively —
+    * and both probes' admitted-file counts, row counts, and sums are
+    * value-gated: the per-slice min/max of every column ARE the
+    * parquet footer stats by construction, so DuckDB re-derives the
+    * exact admitted set relationally.
+    */
+  def snapshotEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "snapshot_evolve")
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val Array((maxKey, maxCust)) =
+      src.agg(max("o_orderkey"), max("o_custkey")).as[(Long, Long)].collect()
+    def epoch(genDir: String, rows: DataFrame, sliceOn: String,
+        maxV: Long): Seq[(String, String, Long, Long)] = {
+      rows.withColumn("s",
+          expr(s"($sliceOn * $EvolveSlices) div ${maxV + 1}").cast("int"))
+        .repartition(col("s"))
+        .write.partitionBy("s").mode("overwrite").parquet(genDir)
+      SnapshotTable.footerStats(spark,
+        spark.read.parquet(genDir).inputFiles.toSeq,
+        Seq("o_orderkey", "o_custkey"))
+    }
+    val stats1 = epoch(s"$table/data/gen=1",
+      src.filter(col("o_orderkey") % 2 === 0), "o_orderkey", maxKey)
+    SnapshotTable.publishStats(spark, table, 1L, stats1)
+    val stats2 = epoch(s"$table/data/gen=2",
+      src.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", maxCust)
+    SnapshotTable.publishStats(spark, table, 2L, stats1 ++ stats2)
+    val total = (stats1 ++ stats2).map(_._1).distinct.size.toLong
+    def probe(name: String, column: String, maxV: Long): DataFrame = {
+      val (lo, hi) = (maxV / 4, maxV / 2)
+      val pruned = SnapshotTable.readWhere(spark, table, 2L, column, lo, hi)
+      pruned.agg(count(lit(1)).as("n_rows"), sum(column).as("key_sum"))
+        .select(lit(name).as("probe"), lit(total).as("n_files_total"),
+          lit(pruned.inputFiles.length.toLong).as("n_files_read"),
+          col("n_rows"), col("key_sum"))
+    }
+    probe("custkey", "o_custkey", maxCust)
+      .unionByName(probe("orderkey", "o_orderkey", maxKey))
+      .orderBy("probe")
+  }
+
   /** [[snapshotUpsert]] batch predicates and value deltas, mirrored in
     * the oracle: the upsert touches keys ≡ 1 (mod [[UpsertMod]]), the
     * later plain append re-inserts keys ≡ 1 (mod [[UpsertReinsertMod]]).
@@ -1259,6 +1314,7 @@ object SourceOps {
     "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_mor" -> (snapshotMor _),
     "src_snapshot_upsert" -> (snapshotUpsert _),
+    "src_snapshot_evolve" -> (snapshotEvolve _),
     "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
@@ -1493,6 +1549,45 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Evolution twin: each epoch's per-slice min/max of BOTH columns
+    // are that slice's parquet footer stats by construction, so the
+    // admitted-file count per probe re-derives relationally over the
+    // mixed layout; content sums probe the full two-epoch table.
+    "src_snapshot_evolve" ->
+      s"""WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk,
+         |                   CAST(max(o_custkey) AS BIGINT) AS mc FROM orders),
+         |e1 AS MATERIALIZED (
+         |  SELECT (o_orderkey * $EvolveSlices) // (mk + 1) AS s,
+         |         min(o_orderkey) AS klo, max(o_orderkey) AS khi,
+         |         min(o_custkey) AS clo, max(o_custkey) AS chi
+         |  FROM orders, mx WHERE o_orderkey % 2 = 0 GROUP BY 1),
+         |e2 AS MATERIALIZED (
+         |  SELECT (o_custkey * $EvolveSlices) // (mc + 1) AS s,
+         |         min(o_orderkey) AS klo, max(o_orderkey) AS khi,
+         |         min(o_custkey) AS clo, max(o_custkey) AS chi
+         |  FROM orders, mx WHERE o_orderkey % 2 <> 0 GROUP BY 1),
+         |sl AS MATERIALIZED (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+         |b AS (SELECT mk // 4 AS lo1, mk // 2 AS hi1,
+         |             mc // 4 AS lo2, mc // 2 AS hi2 FROM mx),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sl)
+         |SELECT 'custkey' AS probe, n.total AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE clo <= hi2 AND chi >= lo2) AS n_files_read,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+         |   WHERE o_custkey BETWEEN lo2 AND hi2) AS n_rows,
+         |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders, b
+         |   WHERE o_custkey BETWEEN lo2 AND hi2) AS key_sum
+         |FROM n
+         |UNION ALL
+         |SELECT 'orderkey', n.total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE klo <= hi1 AND khi >= lo1),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo1 AND hi1),
+         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo1 AND hi1)
+         |FROM n
+         |ORDER BY probe""".stripMargin,
     // Upsert twin: gen 2 is a 1:1 replace (same row count, custkey sum
     // shifted by the batch delta); gen 3's append under upserted keys
     // is ADDITIVE (sequence semantics: the newer rows outrank the
