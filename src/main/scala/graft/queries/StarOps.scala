@@ -455,6 +455,66 @@ object StarOps {
       .orderBy(desc("revenue_cents"), asc("n_name"))
   }
 
+  /** [[q6Forecast]]'s predicate window, mirrored in the oracle. */
+  val Q6DiscLo = 0.05
+  val Q6DiscHi = 0.07
+  val Q6MaxQty = 24.0
+
+  /** TPC-H Q6-shaped REVENUE FORECAST: the pure scan-filter-aggregate
+    * probe — what would revenue change by if discounts in a band were
+    * dropped for one ship year. No join at all: the whole query is one
+    * parquet scan whose date range and quantity/discount bounds PUSH
+    * DOWN to the reader (range predicates on the raw columns, never
+    * `year()`-wrapped expressions that would defeat pushdown), one
+    * map-side partial sum, one 1-row exchange. Discount bounds compare
+    * against the identical double literals both engines parse, and the
+    * revenue is the exact-decimal cents sum.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= Tables.tsLit(l, "l_shipdate", "1996-01-01") &&
+        col("l_shipdate") < Tables.tsLit(l, "l_shipdate", "1997-01-01") &&
+        col("l_discount") >= Q6DiscLo && col("l_discount") <= Q6DiscHi &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"), col("l_discount"))
+          .as("revenue_cents"))
+  }
+
+  /** TPC-H Q10-shaped RETURNED-ITEM REPORT: the top 20 customers by
+    * revenue lost to returns in one order quarter. The returnflag and
+    * order-date predicates both push to their fact scans before the
+    * one data-scale shuffle (lineitem ⋈ orders on the order key);
+    * customer attaches by key and the 3-row nation dim broadcasts.
+    * The final top-20 is a TakeOrderedAndProject (per-partition heads,
+    * never a global sort), tie-broken by customer key; the account
+    * balance surfaces as exact floor-cents.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(o.filter(
+          col("o_orderdate") >= Tables.tsLit(o, "o_orderdate", "1996-01-01") &&
+          col("o_orderdate") < Tables.tsLit(o, "o_orderdate", "1996-04-01"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** The two trading partners of [[q7Volume]]. */
   val Q7NationA = "NATION_1"
   val Q7NationB = "NATION_2"
@@ -781,6 +841,8 @@ object StarOps {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume" -> (q7Volume _),
     "q8_market_share" -> (q8MarketShare _),
+    "q6_forecast" -> (q6Forecast _),
+    "q10_returns" -> (q10Returns _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -1064,6 +1126,28 @@ object StarOps {
          |SELECT o_year, cnt, total_cents, nation_cents,
          |  (nation_cents * 1000000) // total_cents AS share_ppm
          |FROM a ORDER BY o_year""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT count(*) AS cnt,
+         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= $Q6DiscLo AND l_discount <= $Q6DiscHi
+         |  AND l_quantity < $Q6MaxQty""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  n_name, count(*) AS cnt,
+         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
     // Margins from the cells, expected counts as integer-ratio doubles,
     // the total as an ORDER-FREE integer sum of floored terms.
     "agg_chisq" ->
