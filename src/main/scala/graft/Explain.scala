@@ -53,7 +53,8 @@ object Explain {
     "pipeline_events", "audit_benford", "events_abtest", "dedup_weights",
     "events_locf", "simsearch_ivf_mor", "q7_volume", "q8_market_share",
     "src_connector_timetravel", "text_pack", "src_snapshot_upsert",
-    "src_snapshot_evolve", "q6_forecast", "q10_returns")
+    "src_snapshot_evolve", "q6_forecast", "q10_returns",
+    "src_snapshot_schema_evo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

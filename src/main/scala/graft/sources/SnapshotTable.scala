@@ -479,6 +479,18 @@ object SnapshotTable {
   def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
     spark.read.parquet(listFiles(spark, table, gen): _*)
 
+  /** [[readAs]] for a generation whose files carry EVOLVED schemas:
+    * `mergeSchema` unions every file footer's fields (metadata reads,
+    * no data pages — O(files) planning like everything else here), and
+    * files lacking a later-added column serve NULL for it. Kept
+    * separate from [[readAs]] because homogeneous tables shouldn't pay
+    * the per-file footer pass; production tracks the merged schema in
+    * the catalog and hands it to the scan directly.
+    */
+  def readAsMerged(spark: SparkSession, table: String, gen: Long): DataFrame =
+    spark.read.option("mergeSchema", true)
+      .parquet(listFiles(spark, table, gen): _*)
+
   /** The manifest diff between two generations: `(added, removed)`
     * file lists, each sorted. Because an append commit carries the
     * parent's files VERBATIM ([[commit]]'s `carryFrom`), the added

@@ -750,6 +750,53 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
+    * claim lifted from loose parquet directories onto versioned
+    * lineage: generation 1 commits a 2-column shape, generation 2
+    * APPENDS files carrying an added column (history's files carried
+    * verbatim — evolving a schema rewrites nothing), and the evolved
+    * snapshot reads back two ways that must agree exactly: the native
+    * [[SnapshotTable.readAsMerged]] union (old files serve NULL for
+    * the new column) and the DSv2 connector, whose inferred schema
+    * merges the latest manifest's footers and whose row decoder
+    * resolves fields BY NAME so missing columns degrade to nulls
+    * instead of misaligned values. Gen 1 time-travels with its
+    * original narrow schema. Counts of rows carrying the new column,
+    * both key sums, and the floor-micros price sum value-gate all
+    * three views against the split predicates.
+    */
+  def snapshotSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_schema_evo")
+    val o = Tables.orders(spark, dir)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(SnapInitFiles),
+      table, 1L)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(SnapAppendFiles),
+      table, 2L, carryFrom = Some(1L))
+    def statsOf(phase: String, df: DataFrame, hasNew: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        (if (hasNew) count(col("o_orderpriority")) else lit(0L))
+          .as("with_priority"),
+        sum("o_orderkey").as("key_sum"),
+        expr("CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT)")
+          .as("price_micro"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("with_priority"),
+          col("key_sum"), col("price_micro"))
+    val connector = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).option("generation", 2L).load()
+    statsOf("gen1", SnapshotTable.readAs(spark, table, 1L), hasNew = false)
+      .unionByName(statsOf("merged",
+        SnapshotTable.readAsMerged(spark, table, 2L), hasNew = true))
+      .unionByName(statsOf("connector", connector, hasNew = true))
+      .orderBy("phase")
+  }
+
   /** Slices per layout epoch in [[snapshotEvolve]]. */
   val EvolveSlices = 4
 
@@ -1315,6 +1362,7 @@ object SourceOps {
     "src_snapshot_mor" -> (snapshotMor _),
     "src_snapshot_upsert" -> (snapshotUpsert _),
     "src_snapshot_evolve" -> (snapshotEvolve _),
+    "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
@@ -1549,6 +1597,28 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Schema-evolution twin: the merged and connector phases are the
+    // IDENTICAL statement over the full table (old rows count no
+    // priority), so native-merge ≡ connector-decode is value-gated.
+    "src_snapshot_schema_evo" -> {
+      val full =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END) AS BIGINT) AS with_priority,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro
+           |FROM orders""".stripMargin
+      s"""WITH f AS MATERIALIZED ($full)
+         |SELECT 'connector' AS phase, * FROM f
+         |UNION ALL
+         |SELECT 'gen1',
+         |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT)
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |UNION ALL
+         |SELECT 'merged', * FROM f
+         |ORDER BY phase""".stripMargin
+    },
     // Evolution twin: each epoch's per-slice min/max of BOTH columns
     // are that slice's parquet footer stats by construction, so the
     // admitted-file count per probe re-derives relationally over the
