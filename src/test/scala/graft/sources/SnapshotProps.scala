@@ -5,8 +5,8 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.TestSpark
 
 /** Model-based drill of the manifest layer: a random sequence of
-  * append / delete / compact / expire / rollback / WAP / clone /
-  * vacuum operations against a REAL on-disk table, checked after every
+  * append / delete / upsert / compact / expire / rollback / WAP /
+  * clone / vacuum operations against a REAL on-disk table, checked after every
   * run against a trivial in-memory model (generation → (data multiset,
   * accumulated tombstone set)). What this pins beyond the
   * example-based spec: content correctness under arbitrary op
@@ -31,6 +31,7 @@ object SnapshotProps extends Properties("SnapshotTable") {
   sealed trait Op
   case class Append(ids: List[Long]) extends Op
   case class Delete(keys: List[Long]) extends Op
+  case class Upsert(keys: List[Long]) extends Op
   case object Compact extends Op
   case object Expire extends Op
   case class DupCommit(ids: List[Long]) extends Op
@@ -44,6 +45,8 @@ object SnapshotProps extends Properties("SnapshotTable") {
       Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Append(_))),
     2 -> Gen.chooseNum(1, 4).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Delete(_))),
+    2 -> Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(ks => Upsert(ks.distinct))),
     2 -> Gen.const(Compact),
     2 -> Gen.const(Expire),
     2 -> Gen.chooseNum(1, 5).flatMap(n =>
@@ -61,24 +64,39 @@ object SnapshotProps extends Properties("SnapshotTable") {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
-  property("random append/delete/compact/expire/rollback/wap/clone/vacuum sequences match the model") =
+  property("random append/delete/upsert/compact/expire/rollback/wap/clone/vacuum sequences match the model") =
     Prop.forAll(Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, genOp))) { ops =>
       import spark.implicits._
       val table = graft.Scratch.dir(s"snapprops_${seq.incrementAndGet()}")
-      // model: gen -> (data id list sorted with duplicates, tombstones).
-      var model = Map.empty[Long, (List[Long], Set[Long])]
+      // model: gen -> (data rows as (id, seq), tombstones as
+      // (key, seq)); seq = None is the legacy unstamped form. A
+      // tombstone hides a data row iff same key AND (legacy OR the
+      // data row's seq (absent = 0) is strictly smaller).
+      var model = Map.empty[Long, (List[(Long, Option[Long])], Set[(Long, Option[Long])])]
       var gen = 0L
-      def state(g: Long): (List[Long], Set[Long]) =
+      def state(g: Long): (List[(Long, Option[Long])], Set[(Long, Option[Long])]) =
         model.getOrElse(g, (Nil, Set.empty))
+      def ids(g: Long): List[Long] = state(g)._1.map(_._1).sorted
       def visible(g: Long): List[Long] = {
         val (data, tomb) = state(g)
-        data.filterNot(tomb)
+        data.filterNot { case (id, s) =>
+          tomb.exists { case (k, ds) =>
+            k == id && ds.forall(_ > s.getOrElse(0L)) }
+        }.map(_._1)
       }
-      def commitBatch(ids: List[Long]): Unit = {
-        val carry = if (gen == 0) None else Some(gen)
-        SnapshotTable.commit(ids.toDF("id").repartition(2), table, gen + 1, carry)
+      // publishAppend stamps fresh rows only in a seq-carrying lineage.
+      def freshSeq(nextGen: Long): Option[Long] = {
         val (data, tomb) = state(gen)
-        model += (gen + 1) -> (((data ++ ids).sorted, tomb))
+        if (data.exists(_._2.isDefined) || tomb.exists(_._2.isDefined))
+          Some(nextGen)
+        else None
+      }
+      def commitBatch(batch: List[Long]): Unit = {
+        val carry = if (gen == 0) None else Some(gen)
+        SnapshotTable.commit(batch.toDF("id").repartition(2), table, gen + 1, carry)
+        val (data, tomb) = state(gen)
+        val fs = freshSeq(gen + 1)
+        model += (gen + 1) -> (((data ++ batch.map(id => (id, fs))), tomb))
         gen += 1
       }
       // Seed so compact/expire-first sequences have something to act on.
@@ -91,8 +109,21 @@ object SnapshotProps extends Properties("SnapshotTable") {
           SnapshotTable.commitDeletes(keys.toDF("id"), table, gen + 1,
             carryFrom = gen)
           val (data, tomb) = state(gen)
-          model += (gen + 1) -> ((data, tomb ++ keys))
+          model += (gen + 1) -> ((data, tomb ++ keys.map(k => (k, None))))
           gen += 1
+        // One-commit MERGE/UPSERT: a seq-stamped equality-delete of the
+        // keys plus stamped fresh rows — the old rows (whatever their
+        // multiplicity) disappear, exactly one new row per key
+        // survives, and NOTHING later than the stamp is touched.
+        case Upsert(keys) if keys.nonEmpty =>
+          SnapshotTable.commitUpsert(keys.toDF("id").repartition(2),
+            table, gen + 1, "id", carryFrom = gen)
+          val (data, tomb) = state(gen)
+          model += (gen + 1) -> ((
+            data ++ keys.map(k => (k, Some(gen + 1))),
+            tomb ++ keys.map(k => (k, Some(gen + 1)))))
+          gen += 1
+        case Upsert(_) => ()
         // A conflicting writer racing to the CURRENT generation must
         // throw and leave every generation's content and file list
         // untouched — first-writer-wins at any point in the history.
@@ -119,7 +150,9 @@ object SnapshotProps extends Properties("SnapshotTable") {
             SnapshotTable.commit(
               SnapshotTable.readMor(spark, table, gen, "id").repartition(2),
               table, gen + 1)
-            model += (gen + 1) -> ((visible(gen).sorted, Set.empty[Long]))
+            model += (gen + 1) -> ((
+              visible(gen).sorted.map(id => (id, None: Option[Long])),
+              Set.empty[(Long, Option[Long])]))
           }
           gen += 1
         case Expire if model.size > 1 =>
@@ -152,7 +185,8 @@ object SnapshotProps extends Properties("SnapshotTable") {
           else {
             SnapshotTable.publishStaged(spark, table, branch, gen + 1, Some(gen))
             val (data, tomb) = state(gen)
-            model += (gen + 1) -> (((data ++ ids).sorted, tomb))
+            val fs = freshSeq(gen + 1)
+            model += (gen + 1) -> ((data ++ ids.map(id => (id, fs)), tomb))
             gen += 1
           }
         // A shallow clone of the current generation must serve the same
@@ -174,9 +208,9 @@ object SnapshotProps extends Properties("SnapshotTable") {
       val gensMatch = live == model.keys.toSeq.sorted
       // Both lenses must match: the raw data files (readAs) and the
       // tombstone-applied view (readMor).
-      val contentMatch = model.forall { case (g, (data, _)) =>
+      val contentMatch = model.forall { case (g, _) =>
         SnapshotTable.readAs(spark, table, g)
-          .as[Long].collect().toList.sorted == data &&
+          .as[Long].collect().toList.sorted == ids(g) &&
           SnapshotTable.readMor(spark, table, g, "id")
             .as[Long].collect().toList.sorted == visible(g).sorted
       }
@@ -200,7 +234,7 @@ object SnapshotProps extends Properties("SnapshotTable") {
           def rows(ps: Seq[String]): List[Long] =
             if (ps.isEmpty) Nil
             else spark.read.parquet(ps: _*).as[Long].collect().toList
-          (rows(added) ++ state(a)._1).sorted == (rows(removed) ++ state(b)._1).sorted
+          (rows(added) ++ ids(a)).sorted == (rows(removed) ++ ids(b)).sorted
         case _ => true
       }
       gensMatch && contentMatch && filesIntact && cdcMatch
