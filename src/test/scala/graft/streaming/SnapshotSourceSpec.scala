@@ -248,6 +248,34 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("retention outran"))
   }
 
+  test("an upsert hop throws by default; skipRewrites tails its fresh rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapupserthop").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L), table, 1L)
+    // A one-commit upsert is a tombstone-carrying hop: a plain append
+    // tail cannot express the row-level replace and must fail loudly.
+    SnapshotTable.commitUpsert(docsDf(2L), table, 2L, "doc_id", carryFrom = 1L)
+    val q1 = tail(table, s"$root/ckpt1", "snap_up1")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    def msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("|")
+    assert(msgs.contains("tombstone"))
+    // The opted-in consumer gets the hop's ADDED files (the upsert's
+    // fresh rows) and ignores the tombstones — the ignoreDeletes-style
+    // contract: it re-sees key 2's new row next to the old one.
+    val q2 = tail(table, s"$root/ckpt2", "snap_up2", skipRewrites = true)
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("snap_up2").select("doc_id").as[Long].collect().toSeq
+      assert(got.sorted === Seq(1L, 2L, 2L),
+        "initial load (1,2) plus the upsert hop's fresh row for key 2")
+    } finally q2.stop()
+  }
+
   test("capped backfill on an expired-prefix table still serves the initial full load") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapcapretain").toString
