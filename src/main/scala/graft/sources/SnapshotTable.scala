@@ -165,14 +165,7 @@ object SnapshotTable {
     // mid-scan can lose files here — the latest generation is
     // single-writer/quiesced-reader during a replay window, like every
     // lakehouse sink's last in-flight commit.
-    if (replace) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val gp = new org.apache.hadoop.fs.Path(genDir)
-      val fs = gp.getFileSystem(conf)
-      fs.listStatus(gp).map(_.getPath)
-        .filter(p => p.getName.startsWith("a=") && p.getName != s"a=$attempt")
-        .foreach(p => fs.delete(p, true))
-    }
+    if (replace) sweepOtherAttempts(spark, genDir, attempt)
   }
 
   /** Publish `fresh` as generation `gen`, carrying `carryFrom`'s files
@@ -418,24 +411,49 @@ object SnapshotTable {
     * materialization purges.
     */
   def commitUpsert(df: DataFrame, table: String, gen: Long,
-      keyCol: String, carryFrom: Long): Unit = {
+      keyCol: String, carryFrom: Long, replace: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val dataDir = s"$table/data/gen=$gen/a=${attemptName()}"
+    val genDir = s"$table/data/gen=$gen"
+    val delGenDir = s"$table/deletes/gen=$gen"
+    val attempt = attemptName()
+    val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
     val freshData = spark.read.parquet(dataDir).inputFiles.toSeq
-    val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
+    val delDir = s"$delGenDir/a=$attempt"
     df.select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(delDir)
     val freshDels = spark.read.parquet(delDir).inputFiles.toSeq
     val carried = readManifestRows(spark, manifestPath(table, carryFrom))
       .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
-    writeManifest(spark, table, gen, replace = false,
+    writeManifest(spark, table, gen, replace,
       (carried ++
         freshData.sorted.map(p =>
           ManifestRow(p, kind = Some("data"), seq = Some(gen))) ++
         freshDels.sorted.map(p =>
           ManifestRow(p, kind = Some("delete"), seq = Some(gen))))
         .sortBy(r => (r.kind.get, r.path)))
+    // Same-id replay (the streaming CDC-apply sink): earlier attempts
+    // of THIS generation are unreferenced once the manifest republish
+    // lands — same single-writer/quiesced-reader window as [[commit]].
+    if (replace) {
+      sweepOtherAttempts(spark, genDir, attempt)
+      sweepOtherAttempts(spark, delGenDir, attempt)
+    }
+  }
+
+  /** Delete every `a=*` attempt directory under `genDir` except
+    * `attempt` — the post-republish cleanup shared by [[commit]] and
+    * [[commitUpsert]]'s replay paths.
+    */
+  private def sweepOtherAttempts(spark: SparkSession, genDir: String,
+      attempt: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gp = new org.apache.hadoop.fs.Path(genDir)
+    val fs = gp.getFileSystem(conf)
+    if (fs.exists(gp))
+      fs.listStatus(gp).map(_.getPath)
+        .filter(p => p.getName.startsWith("a=") && p.getName != s"a=$attempt")
+        .foreach(p => fs.delete(p, true))
   }
 
   /** Read generation `gen` with its merge-on-read tombstones applied:

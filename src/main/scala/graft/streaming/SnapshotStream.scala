@@ -59,4 +59,37 @@ object SnapshotStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: Dataset[Row], id: Long) => commitBatch(b.toDF(), id, table))
+
+  /** One micro-batch of the streaming CDC-APPLY sink: the batch's
+    * keyed rows UPSERT into the table as one merge-on-read commit
+    * ([[SnapshotTable.commitUpsert]] — stamped equality-delete +
+    * stamped fresh rows, no base file rewritten), so the table
+    * converges to latest-row-per-key as the change stream drains —
+    * the "apply a CDC feed to a lakehouse table" pattern. Batch 0 is
+    * the initial load (nothing to upsert against); exactly-once holds
+    * by the same argument as [[commitBatch]]: a same-id replay
+    * re-lands its own generation through a fresh attempt directory,
+    * with the manifest republish as the only switch point.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, table: String,
+      keyCol: String): Unit = {
+    val gen = batchId + 1
+    SnapshotTable.requireEpochAligned(batch.sparkSession, table, gen)
+    if (gen == 1L)
+      SnapshotTable.commit(batch, table, 1L, carryFrom = None, replace = true)
+    else
+      SnapshotTable.commitUpsert(batch, table, gen, keyCol,
+        carryFrom = gen - 1, replace = true)
+  }
+
+  /** The streaming CDC-apply query: each keyed micro-batch upserts one
+    * generation; `readMor(latest)` is always latest-row-per-key.
+    */
+  def cdcApply(updates: DataFrame, table: String, keyCol: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        upsertBatch(b.toDF(), id, table, keyCol))
 }

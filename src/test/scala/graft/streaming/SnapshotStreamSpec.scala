@@ -65,4 +65,50 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(ids(table, 3L) === Set(1L, 2L, 3L, 4L))
     assert(ids(table, 1L) === Set(1L, 2L), "history stays byte-stable")
   }
+
+  test("cdcApply: keyed micro-batches converge to latest-row-per-key, replay- and restart-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("snapcdc").toString
+    val (table, ckpt) = (s"$root/table", s"$root/ckpt")
+
+    def latest: Map[Long, String] = {
+      val g = SnapshotTable.generations(spark, table).max
+      SnapshotTable.readMor(spark, table, g, "doc_id")
+        .as[Doc].collect().map(d => d.doc_id -> d.text).toMap
+    }
+
+    val in = MemoryStream[Doc]
+    val q1 = SnapshotStream.cdcApply(in.toDS().toDF(), table, "doc_id", ckpt).start()
+    try {
+      // Batch 0: the initial load. Batch 1: key 2 updated, key 3 new.
+      in.addData(Doc(1L, "a"), Doc(2L, "b"))
+      q1.processAllAvailable()
+      in.addData(Doc(2L, "B2"), Doc(3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(latest === Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+      "the table converges to latest-row-per-key")
+    // No base file was rewritten by the upsert: gen 1's files carry.
+    assert(SnapshotTable.listFiles(spark, table, 1L).toSet
+      .subsetOf(SnapshotTable.listFiles(spark, table, 2L).toSet))
+    // Time travel: the pre-update view still serves the old row.
+    assert(SnapshotTable.readMor(spark, table, 1L, "doc_id")
+      .as[Doc].collect().map(d => d.doc_id -> d.text).toMap
+      === Map(1L -> "a", 2L -> "b"))
+
+    // Same-id replay re-lands generation 2 over itself: same content,
+    // no duplicate rows for the upserted key.
+    SnapshotStream.upsertBatch(
+      Seq(Doc(2L, "B2"), Doc(3L, "c")).toDS().toDF(), 1L, table, "doc_id")
+    assert(latest === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+
+    // Updates arriving while the query is down apply on restart as the
+    // NEXT generation.
+    in.addData(Doc(1L, "A3"))
+    val q2 = SnapshotStream.cdcApply(in.toDS().toDF(), table, "doc_id", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L, 3L))
+    assert(latest === Map(1L -> "A3", 2L -> "B2", 3L -> "c"))
+  }
 }
