@@ -199,25 +199,6 @@ object SnapshotTable {
         .sortBy(r => (r.kind.getOrElse("data"), r.path)))
   }
 
-  /** The ONE manifest-row renderer for every publisher that carries
-    * both entry kinds ([[publishAppend]], [[commitDeletes]],
-    * [[rollback]], [[cloneShallow]]): a tombstone-free generation gets
-    * the plain single-column manifest, a merge-on-read one gets the
-    * (path, kind) form — changing the manifest shape happens HERE,
-    * nowhere else.
-    */
-  private def publishEntries(spark: SparkSession, table: String, gen: Long,
-      data: Seq[String], dels: Seq[String],
-      replace: Boolean = false): Unit = {
-    if (dels.isEmpty) publish(spark, table, gen, data, replace)
-    else {
-      val rows = data.map(p => ManifestRow(p, kind = Some("data"))) ++
-        dels.map(p => ManifestRow(p, kind = Some("delete")))
-      writeManifest(spark, table, gen, replace,
-        rows.sortBy(r => (r.kind.get, r.path)))
-    }
-  }
-
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** A WRITER-UNIQUE attempt name — (pid, per-JVM counter), never
@@ -383,7 +364,6 @@ object SnapshotTable {
   def commitDeletes(keys: DataFrame, table: String, gen: Long,
       carryFrom: Long): Unit = {
     val spark = keys.sparkSession
-    import spark.implicits._
     val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
     keys.write.mode("overwrite").parquet(delDir)
     val fresh = spark.read.parquet(delDir).inputFiles.toSeq
@@ -423,6 +403,21 @@ object SnapshotTable {
     df.select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(delDir)
     val freshDels = spark.read.parquet(delDir).inputFiles.toSeq
+    // Latest-row-per-key only holds if the batch itself is one row per
+    // key: every batch row lands stamped seq=gen and the tombstone
+    // hides only STRICTLY SMALLER seqs, so two same-key rows in one
+    // batch would both survive forever. Refuse before publishing —
+    // footer row counts are driver-side metadata (no Spark job): batch
+    // rows == distinct keys iff the batch is key-unique.
+    val batchRows = footerRowCounts(spark, freshData).map(_._2).sum
+    val keyRows = footerRowCounts(spark, freshDels).map(_._2).sum
+    require(batchRows == keyRows,
+      s"commitUpsert batch for $table gen=$gen has duplicate keys " +
+        s"($batchRows row(s) over $keyRows distinct '$keyCol'): same-key " +
+        "rows in one commit would BOTH survive its seq-scoped tombstone " +
+        "and the table would never converge to latest-row-per-key - " +
+        "reduce the batch to one row per key first (the streaming " +
+        "CDC-apply sink's orderCol dedupe does this)")
     val carried = readManifestRows(spark, manifestPath(table, carryFrom))
       .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
     writeManifest(spark, table, gen, replace,
@@ -479,13 +474,20 @@ object SnapshotTable {
         case (s, rs) =>
           val applicable = delRows
             .filter(d => d.seq.forall(_ > s)).map(_.path).distinct.sorted
-          val data = spark.read.parquet(rs.map(_.path).distinct.sorted: _*)
+          // mergeSchema per class + by-name union with missing columns
+          // allowed: a seq-scoped lineage can EVOLVE (an upsert batch
+          // or a later append adds a column), so neither the files of
+          // one class nor the classes themselves are guaranteed to
+          // share a schema — absent columns read back as NULL, the
+          // same contract as [[readAsMerged]] and the connector.
+          val data = spark.read.option("mergeSchema", "true")
+            .parquet(rs.map(_.path).distinct.sorted: _*)
           if (applicable.isEmpty) data
           else data.join(
             spark.read.parquet(applicable: _*)
               .select(org.apache.spark.sql.functions.col(keyCol)).distinct(),
             Seq(keyCol), "left_anti")
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
 import graft.sources.SnapshotTable
@@ -70,15 +72,30 @@ object SnapshotStream {
     * by the same argument as [[commitBatch]]: a same-id replay
     * re-lands its own generation through a fresh attempt directory,
     * with the manifest republish as the only switch point.
+    *
+    * A CDC feed routinely delivers SEVERAL changes for one key inside
+    * one micro-batch; committing them all would break convergence
+    * (each lands stamped `seq = gen`, so the batch's own tombstone
+    * hides none of them). `orderCol` names the feed's change-order
+    * column (an LSN / change timestamp — every real CDC source carries
+    * one): the batch is first reduced to its latest row per key. With
+    * `orderCol = None` the CALLER asserts key-unique batches, and
+    * [[SnapshotTable.commitUpsert]] refuses (pre-publish, from footer
+    * row counts) any batch that violates it.
     */
   def upsertBatch(batch: DataFrame, batchId: Long, table: String,
-      keyCol: String): Unit = {
+      keyCol: String, orderCol: Option[String] = None): Unit = {
     val gen = batchId + 1
     SnapshotTable.requireEpochAligned(batch.sparkSession, table, gen)
+    val latest = orderCol.fold(batch) { oc =>
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(oc).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     if (gen == 1L)
-      SnapshotTable.commit(batch, table, 1L, carryFrom = None, replace = true)
+      SnapshotTable.commit(latest, table, 1L, carryFrom = None, replace = true)
     else
-      SnapshotTable.commitUpsert(batch, table, gen, keyCol,
+      SnapshotTable.commitUpsert(latest, table, gen, keyCol,
         carryFrom = gen - 1, replace = true)
   }
 
@@ -86,10 +103,10 @@ object SnapshotStream {
     * generation; `readMor(latest)` is always latest-row-per-key.
     */
   def cdcApply(updates: DataFrame, table: String, keyCol: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String, orderCol: Option[String] = None): DataStreamWriter[Row] =
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: Dataset[Row], id: Long) =>
-        upsertBatch(b.toDF(), id, table, keyCol))
+        upsertBatch(b.toDF(), id, table, keyCol, orderCol))
 }

@@ -512,6 +512,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows("5") === Set((1L, "a"), (2L, "B2"), (2L, "b3"), (3L, "c")))
   }
 
+  test("readMor across an evolved schema: upsert batches and appends that add a column union by name") {
+    import spark.implicits._
+    val table = graft.Scratch.dir("snapshot_upsert_evolve_spec")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/seed")
+    SnapshotTable.commit(spark.read.parquet(s"$table/seed"), table, 1L)
+    // The upsert batch itself carries an ADDED column: its seq class
+    // has 3 columns, the carried base class has 2 — readMor must serve
+    // NULL for the base rows' missing column, not throw.
+    SnapshotTable.commitUpsert(Seq((2L, "B2", 7L)).toDF("k", "v", "extra"),
+      table, 2L, "k", carryFrom = 1L)
+    val g2 = SnapshotTable.readMor(spark, table, 2L, "k")
+      .select("k", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(g2 === Set((1L, "a", None), (2L, "B2", Some(7L))))
+    // A later evolved APPEND into the seq-carrying lineage reads the
+    // same way (and the pre-append view stays untouched).
+    SnapshotTable.commit(Seq((3L, "c", 9L, true)).toDF("k", "v", "extra", "flag"),
+      table, 3L, carryFrom = Some(2L))
+    val g3 = SnapshotTable.readMor(spark, table, 3L, "k")
+      .select("k", "v", "extra", "flag")
+      .as[(Long, String, Option[Long], Option[Boolean])].collect().toSet
+    assert(g3 === Set((1L, "a", None, None), (2L, "B2", Some(7L), None),
+      (3L, "c", Some(9L), Some(true))))
+  }
+
   test("copy-on-write merge prunes to touched buckets and carries the rest") {
     // Run the registered query for its side effects, then dissect the
     // two manifests it produced.

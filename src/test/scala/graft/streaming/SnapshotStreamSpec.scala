@@ -14,6 +14,9 @@ import graft.streaming.DocStream.Doc
   * history, same-id replay idempotence, and checkpoint kill-and-restart
   * continuing at the next generation.
   */
+/** A CDC change row: `lsn` is the feed's change-order column. */
+case class Change(doc_id: Long, lsn: Long, text: String)
+
 class SnapshotStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -110,5 +113,47 @@ class SnapshotStreamSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L, 3L))
     assert(latest === Map(1L -> "A3", 2L -> "B2", 3L -> "c"))
+  }
+
+  /** A real CDC feed delivers SEVERAL changes for one key inside one
+    * micro-batch. Without an in-batch dedupe every such row lands
+    * stamped seq=gen and the batch's own tombstone (which hides only
+    * strictly-smaller seqs) hides none of them — the key serves two
+    * rows forever. orderCol reduces each batch to latest-per-key; a
+    * caller that asserts key-unique batches (orderCol = None) and
+    * breaks the promise is refused loudly before the commit publishes.
+    */
+  test("cdcApply: several same-key changes in ONE micro-batch converge via orderCol") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("snapcdcorder").toString
+    val (table, ckpt) = (s"$root/table", s"$root/ckpt")
+
+    val in = MemoryStream[Change]
+    val q = SnapshotStream.cdcApply(in.toDS().toDF(), table, "doc_id", ckpt,
+      orderCol = Some("lsn")).start()
+    try {
+      // Batch 0 (initial load) already carries two versions of key 2.
+      in.addData(Change(1L, 10L, "a"), Change(2L, 11L, "b"), Change(2L, 12L, "b2"))
+      q.processAllAvailable()
+      // Batch 1: key 1 changes twice more, key 3 appears.
+      in.addData(Change(1L, 20L, "a2"), Change(1L, 21L, "a3"), Change(3L, 22L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SnapshotTable.readMor(spark, table, 2L, "doc_id")
+      .as[Change].collect().map(c => c.doc_id -> (c.lsn, c.text)).toMap
+    assert(got === Map(1L -> (21L, "a3"), 2L -> (12L, "b2"), 3L -> (22L, "c")),
+      "each key serves exactly its highest-lsn row")
+
+    // The None contract is enforced, not assumed: a key-duplicate batch
+    // is refused BEFORE its manifest publishes, and the table still
+    // serves the pre-refusal state.
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStream.upsertBatch(
+        Seq(Change(3L, 30L, "x"), Change(3L, 31L, "y")).toDS().toDF(),
+        2L, table, "doc_id")
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L))
   }
 }
