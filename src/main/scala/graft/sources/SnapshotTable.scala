@@ -146,7 +146,8 @@ object SnapshotTable {
     * table format uses).
     */
   def commit(df: DataFrame, table: String, gen: Long,
-      carryFrom: Option[Long] = None, replace: Boolean = false): Unit = {
+      carryFrom: Option[Long] = None, replace: Boolean = false,
+      action: String = "append"): Unit = {
     val spark = df.sparkSession
     // Data stages under an ATTEMPT-private directory, so a replace
     // commit (streaming replay) never deletes files a concurrent reader
@@ -157,7 +158,7 @@ object SnapshotTable {
     val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
-    publishAppend(spark, table, gen, fresh, carryFrom, replace)
+    publishAppend(spark, table, gen, fresh, carryFrom, replace, action)
     // Post-switch cleanup: earlier attempts of THIS generation are now
     // unreferenced by any manifest (older generations list their own
     // paths; this generation's manifest lists only the fresh attempt).
@@ -179,7 +180,7 @@ object SnapshotTable {
     */
   def publishAppend(spark: SparkSession, table: String, gen: Long,
       fresh: Seq[String], carryFrom: Option[Long],
-      replace: Boolean = false): Unit = {
+      replace: Boolean = false, action: String = "append"): Unit = {
     // FULL-ROW carry: tombstone kinds AND sequence numbers survive an
     // append verbatim — a path-only carry would strip [[commitUpsert]]'s
     // seq stamps and silently widen its scoped tombstones back to
@@ -196,7 +197,21 @@ object SnapshotTable {
     writeManifest(spark, table, gen, replace,
       (carried ++ fresh.sorted.map(p =>
         ManifestRow(p, kind = freshKind, seq = freshSeq)))
-        .sortBy(r => (r.kind.getOrElse("data"), r.path)))
+        .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
+  }
+
+  /** The ACTION generation `gen` was committed with ("append",
+    * "compact", "optimize", "upsert", "delete", "merge", "rollback",
+    * "clone") — `None` for manifests written before actions were
+    * recorded. Driver-side directory listing, O(1).
+    */
+  def commitAction(spark: SparkSession, table: String, gen: Long): Option[String] = {
+    val d = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith(".action=") =>
+        n.stripPrefix(".action=") }
   }
 
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -228,20 +243,23 @@ object SnapshotTable {
     * by contract.
     */
   def publish(spark: SparkSession, table: String, gen: Long,
-      paths: Seq[String], replace: Boolean = false): Unit =
+      paths: Seq[String], replace: Boolean = false,
+      action: String = "append"): Unit =
     writeManifest(spark, table, gen, replace,
-      paths.sorted.map(ManifestRow(_)))
+      paths.sorted.map(ManifestRow(_)), Some(action))
 
   /** Shared staged-rename manifest writer for [[publish]] and
     * [[publishWithStats]].
     */
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
-      replace: Boolean, rows: Seq[ManifestRow]): Unit =
+      replace: Boolean, rows: Seq[ManifestRow],
+      action: Option[String] = None): Unit =
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",
       replace, rows,
-      what = s"generation $gen of $table")
+      what = s"generation $gen of $table",
+      action = action)
 
   /** The staged-rename commit core, shared by the generation manifests
     * and the WAP branch manifests ([[stage]]): write rows to a
@@ -250,7 +268,7 @@ object SnapshotTable {
     */
   private def writeManifestAt(spark: SparkSession, targetPath: String,
       stagingPath: String, replace: Boolean, rows: Seq[ManifestRow],
-      what: String): Unit = {
+      what: String, action: Option[String] = None): Unit = {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     // The staging path is WRITER-UNIQUE: a shared path would let racer
     // B's overwrite replace racer A's staged file list before A's
@@ -261,6 +279,16 @@ object SnapshotTable {
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
     writeManifestRows(spark, tmp.toString, rows)
+    // The commit's ACTION rides inside the staged directory (one empty
+    // `.action=<name>` marker), so it publishes atomically with the
+    // file list — the Iceberg snapshot-summary `operation` analogue.
+    // DOT-prefixed (not underscore): Spark's hidden-file filter exempts
+    // `_`-names containing '=', so an underscore marker would surface
+    // in any spark.read of the manifest directory; dot-prefixed names
+    // are invisible to Spark and to [[readManifestRows]] alike.
+    action.foreach { a =>
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s".action=$a")).close()
+    }
     // The rename target's PARENT must pre-exist: on HDFS-semantics
     // stores a rename into a missing directory fails (a spurious
     // "concurrent writer" error on the first commit of a branch), and
@@ -374,7 +402,7 @@ object SnapshotTable {
       .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
     writeManifest(spark, table, gen, replace = false,
       (carried ++ fresh.sorted.map(p => ManifestRow(p, kind = Some("delete"))))
-        .sortBy(r => (r.kind.get, r.path)))
+        .sortBy(r => (r.kind.get, r.path)), Some("delete"))
   }
 
   /** MERGE/UPSERT as ONE merge-on-read commit — the Iceberg
@@ -426,7 +454,7 @@ object SnapshotTable {
           ManifestRow(p, kind = Some("data"), seq = Some(gen))) ++
         freshDels.sorted.map(p =>
           ManifestRow(p, kind = Some("delete"), seq = Some(gen))))
-        .sortBy(r => (r.kind.get, r.path)))
+        .sortBy(r => (r.kind.get, r.path)), Some("upsert"))
     // Same-id replay (the streaming CDC-apply sink): earlier attempts
     // of THIS generation are unreferenced once the manifest republish
     // lands — same single-writer/quiesced-reader window as [[commit]].
@@ -554,7 +582,7 @@ object SnapshotTable {
         s"($toGen vs [${gens.mkString(", ")}]) as a NEW one ($asGen): " +
         "rolling back onto committed lineage would rewrite history")
     writeManifest(spark, table, asGen, replace = false,
-      readManifestRows(spark, manifestPath(table, toGen)))
+      readManifestRows(spark, manifestPath(table, toGen)), Some("rollback"))
   }
 
   /** SHALLOW CLONE: materialize `srcGen` of `srcTable` as generation 1
@@ -576,7 +604,7 @@ object SnapshotTable {
       s"shallow clone target $destTable already has committed " +
         "generations; clone only creates NEW tables")
     writeManifest(spark, destTable, 1L, replace = false,
-      readManifestRows(spark, manifestPath(srcTable, srcGen)))
+      readManifestRows(spark, manifestPath(srcTable, srcGen)), Some("clone"))
   }
 
   // ----- Write-audit-publish branch staging ------------------------------
@@ -735,10 +763,11 @@ object SnapshotTable {
     * [[readWhere]] prunes by the stats.
     */
   def publishWithStats(spark: SparkSession, table: String, gen: Long,
-      rows: Seq[(String, Long, Long)]): Unit =
+      rows: Seq[(String, Long, Long)],
+      action: String = "append"): Unit =
     writeManifest(spark, table, gen, replace = false,
       rows.sortBy(_._1).map { case (p, mn, mx) =>
-        ManifestRow(p, minKey = Some(mn), maxKey = Some(mx)) })
+        ManifestRow(p, minKey = Some(mn), maxKey = Some(mx)) }, Some(action))
 
   /** Publish generation `gen` with MULTI-COLUMN zone maps: manifest
     * rows are (path, key_col, min_key, max_key) — one row per (file,
@@ -751,10 +780,12 @@ object SnapshotTable {
     * DISTINCT paths).
     */
   def publishStats(spark: SparkSession, table: String, gen: Long,
-      rows: Seq[(String, String, Long, Long)]): Unit =
+      rows: Seq[(String, String, Long, Long)],
+      action: String = "append"): Unit =
     writeManifest(spark, table, gen, replace = false,
       rows.sortBy(r => (r._1, r._2)).map { case (p, c, mn, mx) =>
-        ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx)) })
+        ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx)) },
+      Some(action))
 
   /** Files of generation `gen` admitted by CONJUNCTIVE per-column
     * bounds against the manifest's zone maps — the [[readWhere]]
@@ -987,6 +1018,6 @@ object SnapshotTable {
         "compact would resurrect deleted rows - materialize via " +
         "commit(readMor(...)) instead")
     commit(readAs(spark, table, fromGen).repartition(files),
-      table, fromGen + 1)
+      table, fromGen + 1, action = "compact")
   }
 }

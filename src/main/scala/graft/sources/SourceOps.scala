@@ -1181,7 +1181,8 @@ object SourceOps {
       .write.partitionBy("s").mode("overwrite").parquet(gen2Dir)
     val paths2 = spark.read.parquet(gen2Dir).inputFiles.toSeq
     SnapshotTable.publishWithStats(spark, table, 2L,
-      SnapshotTable.footerKeyStats(spark, paths2, "o_orderkey"))
+      SnapshotTable.footerKeyStats(spark, paths2, "o_orderkey"),
+      action = "optimize")
     val (lo, hi) = (maxKey / 4, maxKey / 2)
     Seq(1L, 2L).map { g =>
       val pruned = SnapshotTable.readWhere(spark, table, g, "o_orderkey", lo, hi)
@@ -1265,7 +1266,8 @@ object SourceOps {
       .repartition(col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(outDir)
     SnapshotTable.publish(spark, table, 2L,
-      carry ++ spark.read.parquet(outDir).inputFiles.toSeq)
+      carry ++ spark.read.parquet(outDir).inputFiles.toSeq,
+      action = "merge")
     Seq(1L, 2L).map { g =>
       SnapshotTable.readAs(spark, table, g)
         .agg(count(lit(1)).as("n_rows"),

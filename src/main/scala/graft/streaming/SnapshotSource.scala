@@ -372,27 +372,47 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
             "ignore deletes")
       if (removed.isEmpty) out ++= added.map(SnapshotFilePartition(_))
       else {
-        // The opted-in skip is only sound for CONTENT-NEUTRAL rewrites
-        // (compaction, clustering): verify neutrality from the parquet
-        // FOOTER row counts (metadata-only, O(files)) before dropping
-        // the hop. A hop whose added and removed row totals differ is
-        // a data change wearing a rewrite's shape — a copy-on-write
-        // MERGE's net-new inserts, or a purge's net deletes — and
-        // silently dropping its added files would lose that
-        // difference for this consumer. Fail loudly instead (Delta's
-        // ignoreChanges re-delivers rather than drops for the same
-        // reason).
-        val addedRows =
-          SnapshotTable.footerRowCounts(spark, added).map(_._2).sum
-        val removedRows =
-          SnapshotTable.footerRowCounts(spark, removed).map(_._2).sum
-        if (addedRows != removedRows)
-          throw new IllegalStateException(
-            s"generation $g of $table is a NON-NEUTRAL rewrite " +
-              s"(removes $removedRows row(s), adds $addedRows): skipping " +
-              "it would silently lose the difference (a MERGE's inserts " +
-              "or a purge's deletes); restart from a fresh checkpoint to " +
-              "reload the snapshot, or express the change as appends")
+        // The opted-in skip is only sound for CONTENT-NEUTRAL rewrites,
+        // and neutrality is decided by the commit's RECORDED ACTION,
+        // not inferred from the data: compact/optimize rewrite the
+        // EXACT row set by construction, so their hops drop safely (a
+        // footer row-count mismatch there means corruption and throws).
+        // Any OTHER recorded action that removes files (a copy-on-write
+        // merge, a rollback, a whole-table replace) changes content —
+        // even when row counts happen to match, as a 1:1 UPDATE does —
+        // so it fails loudly (Delta's ignoreChanges re-delivers rather
+        // than drops for the same reason). Hops from manifests written
+        // before actions were recorded fall back to the count guard,
+        // which catches net inserts/deletes but NOT count-preserving
+        // value rewrites; that residual trust is what the consumer's
+        // explicit skipRewrites opt-in accepts for legacy lineages.
+        def rowsOf(ps: Seq[String]): Long =
+          SnapshotTable.footerRowCounts(spark, ps).map(_._2).sum
+        SnapshotTable.commitAction(spark, table, g) match {
+          case Some(a) if a == "compact" || a == "optimize" =>
+            val (addedRows, removedRows) = (rowsOf(added), rowsOf(removed))
+            if (addedRows != removedRows)
+              throw new IllegalStateException(
+                s"generation $g of $table claims to be a '$a' rewrite but " +
+                  s"removes $removedRows row(s) and adds $addedRows - the " +
+                  "table is corrupt; refusing to skip the hop")
+          case Some(a) =>
+            throw new IllegalStateException(
+              s"generation $g of $table is a NON-NEUTRAL rewrite (a '$a' " +
+                "commit that removes files): its content changes cannot be " +
+                "expressed as appends and skipping it would silently lose " +
+                "them; restart from a fresh checkpoint to reload the " +
+                "snapshot, or express the change as appends")
+          case None =>
+            val (addedRows, removedRows) = (rowsOf(added), rowsOf(removed))
+            if (addedRows != removedRows)
+              throw new IllegalStateException(
+                s"generation $g of $table is a NON-NEUTRAL rewrite " +
+                  s"(removes $removedRows row(s), adds $addedRows): skipping " +
+                  "it would silently lose the difference (a MERGE's inserts " +
+                  "or a purge's deletes); restart from a fresh checkpoint to " +
+                  "reload the snapshot, or express the change as appends")
+        }
       }
     }
     out.toArray

@@ -325,6 +325,30 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(msgs.contains("NON-NEUTRAL"))
   }
 
+  test("a count-preserving value rewrite (1:1 copy-on-write UPDATE) also fails loudly") {
+    val root = Files.createTempDirectory("snapvaluerewrite").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L, 2L, 3L), table, 1L)
+    // Same ROW COUNT, different values — the shape a footer-count-only
+    // guard cannot see. The commit's recorded 'merge' action decides
+    // neutrality, so the opted-in consumer still fails instead of
+    // silently serving stale values forever.
+    import spark.implicits._
+    val updDir = s"$table/data/gen=2"
+    Seq(Doc(1L, "CHANGED"), Doc(2L, "CHANGED"), Doc(3L, "CHANGED")).toDF()
+      .coalesce(1).write.parquet(updDir)
+    SnapshotTable.publish(spark, table, 2L,
+      spark.read.parquet(updDir).inputFiles.toSeq, action = "merge")
+    val q = tail(table, s"$root/ckpt", "snap_valuerewrite", skipRewrites = true)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    def msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("|")
+    assert(msgs.contains("NON-NEUTRAL") && msgs.contains("'merge'"))
+  }
+
   test("pushed range filters prune files through the manifest zone maps") {
     import spark.implicits._
     val root = Files.createTempDirectory("snappush").toString
