@@ -38,10 +38,14 @@ object PrefixSum {
 
   /** `df` plus a `cum` column: the running sum of `value` over the
     * global `sortCols` order (ascending list as given; pass explicit
-    * `desc(...)` columns for descending). `partitions` bounds the
-    * per-task window size at roughly rows/partitions. The input must not
-    * already contain a column named `cum` (or any [[Reserved]] working
-    * name); the output column is named `cum`.
+    * `desc(...)` columns for descending) — or, with `groupCols`
+    * non-empty, the running sum WITHIN each group over that order (the
+    * grouped variant StarOps' Spearman rank cumsum rides; no task ever
+    * windows a whole group, because the local window is still bounded
+    * by one range split). `partitions` bounds the per-task window size
+    * at roughly rows/partitions. The input must not already contain a
+    * column named `cum` (or any [[Reserved]] working name); the output
+    * column is named `cum`.
     *
     * The range-partitioned frame is materialized ONCE
     * (`localCheckpoint`) before either branch derives from it: both the
@@ -55,26 +59,34 @@ object PrefixSum {
     * passes agree on them) therefore holds by construction here.
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
-      partitions: Int): DataFrame = {
+      partitions: Int, groupCols: Seq[String] = Nil): DataFrame = {
     val clash = df.columns.filter(Reserved.contains)
     require(clash.isEmpty,
       s"PrefixSum reserves column names ${Reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")}")
-    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+    // Grouped runs range-partition by (group, sort): each partition
+    // holds contiguous runs of whole-or-partial groups, so the offset
+    // frame below stays ≤ partitions × groups-per-partition rows.
+    val rangeCols = groupCols.map(col) ++ sortCols
+    val ranged = df.repartitionByRange(partitions, rangeCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
       .localCheckpoint()
+    val partKeys = col("__pid") +: groupCols.map(col)
     val local = ranged.withColumn("__local_cum",
-      sum(col("__v")).over(Window.partitionBy("__pid").orderBy(sortCols: _*)
+      sum(col("__v")).over(Window.partitionBy(partKeys: _*).orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // One row per partition; the offset window runs over ≤ `partitions`
-    // rows — driver-scale, never data-scale.
-    val offsets = ranged.groupBy("__pid").agg(sum(col("__v")).as("__ptot"))
+    // One row per (partition, group); the offset window runs over ≤
+    // `partitions` rows per group — driver-scale, never data-scale.
+    val offsetWindow =
+      (if (groupCols.isEmpty) Window.orderBy("__pid")
+       else Window.partitionBy(groupCols.map(col): _*).orderBy("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(partKeys: _*).agg(sum(col("__v")).as("__ptot"))
       .withColumn("__offset",
-        coalesce(sum(col("__ptot")).over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), Seq("__pid"))
+        coalesce(sum(col("__ptot")).over(offsetWindow), lit(0L)))
+      .select(partKeys :+ col("__offset"): _*)
+    local.join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn("cum", col("__local_cum") + col("__offset"))
       .drop("__pid", "__v", "__local_cum", "__offset")
   }

@@ -659,43 +659,24 @@ object StarOps {
       .agg(count(lit(1)).as("c"),
         sum(col("dx").cast(dec)).as("sdx"),
         sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sdxx"))
-    // WITHIN-GROUP running count via the PrefixSum two-pass shape,
-    // fused: range-partition by (group, value) and materialize ONCE
-    // (both passes must see the same sampled split points — the
-    // [[graft.operators.PrefixSum]] discipline); then ONE tiny
-    // aggregate of per-(partition, group) totals serves as the offset
-    // frame (≤ partitions × groups rows, driver-scale), and the local
-    // window partitions by (partition, group) — so the within-group
-    // cumulative falls out directly and the former global-cum +
-    // per-group max-cum/foff round trip (a second data-scale aggregate
-    // and broadcast) disappears. No task ever windows more than one
-    // range split.
+    // WITHIN-GROUP running count via the grouped
+    // [[graft.operators.PrefixSum.withRunningTotal]]: range-partition
+    // by (group, value), ONE tiny per-(partition, group) totals frame
+    // broadcast back as the offsets (≤ partitions × groups rows,
+    // driver-scale), local window bounded by one range split — no task
+    // ever windows a whole group.
     // Materialize the cell frame BEFORE the range exchange: the range
     // partitioner's sampling pass would otherwise recompute the whole
     // scan+join+agg lineage once for sampling and again for the
     // exchange itself. The cell frame is corpus-REDUCED (one row per
     // distinct (group, price)), so checkpointing it is cheap relative
     // to recomputing its lineage.
-    val cellsCk = cells.localCheckpoint()
-    val ranged = cellsCk
-      .repartitionByRange(ParetoPartitions,
-        col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val offs = ranged.groupBy(col("__pid"), col("l_returnflag"))
-      .agg(sum("c").as("__ptot"))
-      .withColumn("__goff",
-        coalesce(sum("__ptot").over(Window.partitionBy("l_returnflag")
-          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("l_returnflag"), col("__goff"))
-    val local = ranged.withColumn("__lc",
-      sum(col("c")).over(Window.partitionBy(col("__pid"), col("l_returnflag"))
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    local.join(broadcast(offs), Seq("__pid", "l_returnflag"))
+    graft.operators.PrefixSum.withRunningTotal(
+      cells.localCheckpoint(),
+      Seq(col("l_extendedprice")), col("c"), ParetoPartitions,
+      groupCols = Seq("l_returnflag"))
       .select(col("l_returnflag"), col("c"), col("sdx"), col("sdxx"),
-        ((col("__lc") + col("__goff")) * 2 - col("c") + 1)
+        (col("cum") * 2 - col("c") + 1)
           .cast("double").cast(dec).as("dy"))
       .groupBy("l_returnflag")
       .agg(

@@ -29,6 +29,28 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped running totals equal the per-group sequential prefix sum at ANY partition count") {
+    // 3 groups × ~70 rows with duplicate values; the cumulative must
+    // reset per group and stay partition-boundary-invariant even when
+    // a range split lands inside a group.
+    val rows = (1 to 200).map(i =>
+      (("g" + (i % 3)), i.toLong, ((i * 37) % 11).toLong + 1L))
+    val df = rows.toDF("g", "id", "v")
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3).tail)
+    }.toMap
+    for (parts <- Seq(1, 3, 8, 32)) {
+      val got = PrefixSum.withRunningTotal(
+          df, Seq(asc("id")), col("v"), parts, groupCols = Seq("g"))
+        .select("g", "id", "cum")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toSeq)
+        .toMap
+      assert(got === want, s"partitions=$parts")
+    }
+  }
+
   test("pareto report is internally consistent on the fixture") {
     import graft.queries.StarOps
     val (customers, total, top80, ppm) =
