@@ -903,6 +903,64 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** [[snapshotCdcApply]] feed geometry, mirrored in the oracle: which
+    * key residues change in each batch and by what value delta.
+    */
+  val CdcDupMod = 7L
+  val CdcUpdMod = 5L
+  val CdcUpd2Mod = 15L
+  val CdcInsMod = 11L
+  val CdcInsOffset = 10000000L
+  val CdcD1 = 1000000L
+  val CdcD2 = 2000000L
+  val CdcD3 = 3000000L
+  val CdcD4 = 4000000L
+
+  /** The streaming CDC-APPLY sink driven in its batch form
+    * ([[graft.streaming.SnapshotStream.upsertBatch]] — public exactly
+    * so a backfill or a value gate can run the production step without
+    * a streaming query around it): three change batches apply to the
+    * table as three one-commit merge-on-read upserts, and every
+    * generation's `readMor` view must equal the latest-change-per-key
+    * reconstruction of the feed so far — which is exactly what the
+    * oracle computes relationally (`max_by(v, lsn)` over the same
+    * change predicates). Both CDC hazards ride the feed on purpose:
+    * the initial load carries a SECOND version of every key ≡ 1 (mod
+    * [[CdcDupMod]]), and batch 1 changes keys ≡ 1 (mod [[CdcUpd2Mod]])
+    * TWICE — the in-batch `orderCol` dedupe must keep only the
+    * highest-lsn row per key, or the seq-scoped tombstone would let
+    * both survive. Tombstone accounting (one equality-delete file per
+    * upsert commit) is value-gated as a constant column.
+    */
+  def snapshotCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_cdc_apply")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey"))
+    def chg(lsn: Long, delta: Long)(rows: DataFrame): DataFrame =
+      rows.select(col("k"), lit(lsn).as("lsn"),
+        (col("o_custkey") + delta).as("v"))
+    val b0 = chg(0L, 0L)(o)
+      .unionByName(chg(1L, CdcD1)(o.filter(col("k") % CdcDupMod === 1)))
+    val b1 = chg(2L, CdcD2)(o.filter(col("k") % CdcUpdMod === 1))
+      .unionByName(chg(3L, CdcD3)(o.filter(col("k") % CdcUpd2Mod === 1)))
+    val b2 = o.filter(col("k") % CdcInsMod === 2)
+      .select((col("k") + CdcInsOffset).as("k"), lit(4L).as("lsn"),
+        (col("o_custkey") + CdcD4).as("v"))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, id) =>
+      graft.streaming.SnapshotStream.upsertBatch(
+        b, id.toLong, table, "k", orderCol = Some("lsn"))
+    }
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readMor(spark, table, g, "k")
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
+          sum("v").as("val_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listDeleteFiles(spark, table, g).size.toLong)
+            .as("n_delete_files"),
+          col("n_rows"), col("key_sum"), col("val_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1363,6 +1421,7 @@ object SourceOps {
     "pipeline_lakehouse" -> (lakehousePipeline _),
     "src_snapshot_mor" -> (snapshotMor _),
     "src_snapshot_upsert" -> (snapshotUpsert _),
+    "src_snapshot_cdc_apply" -> (snapshotCdcApply _),
     "src_snapshot_evolve" -> (snapshotEvolve _),
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
@@ -1691,6 +1750,35 @@ object SourceOps {
          |  b.cs + $UpsertDelta * u.n + r.cs + $ReinsertDelta * r.n
          |FROM b, u, r
          |ORDER BY gen""".stripMargin,
+    // CDC-apply twin: the feed reconstructed relationally, each
+    // generation's view = latest change per key (max_by over lsn)
+    // among batches <= gen; tombstone file counts are one per upsert
+    // commit by construction.
+    "src_snapshot_cdc_apply" ->
+      s"""WITH o AS MATERIALIZED (
+         |  SELECT o_orderkey AS k, o_custkey FROM orders),
+         |changes AS MATERIALIZED (
+         |  SELECT k, CAST(0 AS BIGINT) AS lsn,
+         |         CAST(o_custkey AS BIGINT) AS v, 1 AS b FROM o
+         |  UNION ALL SELECT k, 1, o_custkey + $CdcD1, 1
+         |    FROM o WHERE k % $CdcDupMod = 1
+         |  UNION ALL SELECT k, 2, o_custkey + $CdcD2, 2
+         |    FROM o WHERE k % $CdcUpdMod = 1
+         |  UNION ALL SELECT k, 3, o_custkey + $CdcD3, 2
+         |    FROM o WHERE k % $CdcUpd2Mod = 1
+         |  UNION ALL SELECT k + $CdcInsOffset, 4, o_custkey + $CdcD4, 3
+         |    FROM o WHERE k % $CdcInsMod = 2),
+         |gens AS (SELECT 1 AS gen UNION ALL SELECT 2 UNION ALL SELECT 3),
+         |latest AS (
+         |  SELECT g.gen, c.k, max_by(c.v, c.lsn) AS v
+         |  FROM gens g JOIN changes c ON c.b <= g.gen
+         |  GROUP BY g.gen, c.k)
+         |SELECT CAST(gen AS BIGINT) AS gen,
+         |  CAST(gen - 1 AS BIGINT) AS n_delete_files,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(k) AS BIGINT) AS key_sum,
+         |  CAST(sum(v) AS BIGINT) AS val_sum
+         |FROM latest GROUP BY gen ORDER BY gen""".stripMargin,
     // Time-travel twin: per-generation content from the split
     // predicates; hop file counts from the layout constants; footer
     // row deltas re-derived relationally (the compact hop's MUST be
