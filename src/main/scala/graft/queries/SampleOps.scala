@@ -69,6 +69,56 @@ object SampleOps {
       when(lang === l, lit(r)).otherwise(acc)
     }
 
+  /** Target TOKEN shares (ppm, sums to 1e6) per language for
+    * [[mixture]] — the distribution the training run wants, vs
+    * whatever the crawl produced.
+    */
+  val MixtureTargets: Seq[(String, Long)] =
+    Seq("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+      "fr" -> 150000L, "zh" -> 150000L)
+
+  /** The target-share CASE, one SQL text for BOTH engines (Spark
+    * selectExpr and the DuckDB oracle parse it identically).
+    */
+  private[queries] def targetCaseSql: String =
+    "CASE lang " + MixtureTargets.map { case (l, p) =>
+      s"WHEN '$l' THEN CAST($p AS BIGINT)"
+    }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
+
+  /** Domain-mixture reweighting (the DoReMi-style STATIC reweight every
+    * pretraining pipeline runs before sampling): per language, the
+    * corpus's actual token share vs the target share, the sampling
+    * weight that closes the gap (`weight_ppm` > 1e6 = the domain must
+    * be upsampled / seen for more than one epoch), and the token budget
+    * the target allocates to it when resampling the corpus to its own
+    * size. Tokens are counted with the exact [[TextOps.tokens]]
+    * spelling the oracle mirrors; all shares are integer-ppm
+    * (multiply-first `div` — exact cross-engine on non-negative
+    * BIGINT; the 1e6 product bounds Σtokens at ~9e12, beyond which
+    * the ppm math moves to DECIMAL). One scan, one 5-row aggregate —
+    * the per-group frame is latency-, not data-scale; the weight math
+    * is driver-trivial at any corpus size.
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("tokens"))
+      .filter(col("tokens") > 0)
+      .localCheckpoint() // 5 rows, referenced twice (per-lang + total)
+    val total = toks.agg(sum("tokens").as("total"))
+    toks.crossJoin(broadcast(total))
+      .selectExpr(
+        "lang", "tokens",
+        s"$targetCaseSql AS target_ppm",
+        "tokens * 1000000 div total AS actual_ppm",
+        // target/actual in ONE division: target_ppm · total / tokens —
+        // no nested div, no zero-denominator risk for a present lang.
+        s"($targetCaseSql) * total div tokens AS weight_ppm",
+        s"total * ($targetCaseSql) div 1000000 AS alloc_tokens")
+      .orderBy("lang")
+  }
+
   /** Registered query: language-rebalanced corpus — keep a document iff
     * its bucket clears the language's rate, then count the surviving
     * mixture. One scan, one predicate, one count shuffle; the sample
@@ -342,6 +392,7 @@ object SampleOps {
     "sample_weighted" -> (weighted _),
     "sample_splits" -> (splitCounts _),
     "sample_rebalance" -> (rebalance _),
+    "sample_mixture" -> (mixture _),
     "sample_temperature" -> (temperature _),
     "sample_decontam" -> (decontam _),
     "sample_shards" -> (packShards _),
@@ -449,6 +500,21 @@ object SampleOps {
       s"""SELECT lang, count(*) AS kept FROM documents
          |WHERE ${duckBucket("doc_id")} < ($duckRate)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // The SAME CASE text Spark's selectExpr parses; integer ppm
+    // multiply-first div is exact cross-engine on non-negative BIGINT.
+    "sample_mixture" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT lang,
+         |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY lang HAVING sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) > 0),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM t)
+         |SELECT lang, tokens,
+         |  $targetCaseSql AS target_ppm,
+         |  CAST(tokens * 1000000 // total AS BIGINT) AS actual_ppm,
+         |  CAST(($targetCaseSql) * total // tokens AS BIGINT) AS weight_ppm,
+         |  CAST(total * ($targetCaseSql) // 1000000 AS BIGINT) AS alloc_tokens
+         |FROM t, tot ORDER BY lang""".stripMargin,
     // sqrt is IEEE-exact on both engines (see TempK), so the floor'd
     // ppm rate and therefore the integer kept counts match bit-for-bit.
     "sample_temperature" ->

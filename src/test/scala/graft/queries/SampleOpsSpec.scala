@@ -185,4 +185,28 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(domKept / keptTotal < domDocs / docTotal,
       "temperature must flatten the dominant language's share")
   }
+
+  test("mixture reweighting closes the gap between actual and target shares") {
+    val rows = SampleOps.mixture(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._3).sum === 1000000L, "targets sum to one")
+    rows.foreach { case (l, tokens, target, actual, weight, alloc) =>
+      assert(tokens > 0)
+      assert(actual === tokens * 1000000L / total, s"$l actual share")
+      assert(weight === target * total / tokens, s"$l weight")
+      assert(alloc === total * target / 1000000L, s"$l allocation")
+      // The reweight is exactly what makes the domain hit its target:
+      // weighted tokens / total ≈ target share (ppm-floor tolerance).
+      val hit = tokens * weight / total
+      assert(math.abs(hit - target) <= 1L, s"$l reweighted share $hit vs $target")
+    }
+    // An over-represented domain gets weight < 1e6 (downsample), an
+    // under-represented one > 1e6 (upsample/extra epochs).
+    rows.foreach { case (_, tokens, target, _, weight, _) =>
+      val actualShare = tokens * 1000000L / total
+      if (actualShare > target) assert(weight <= 1000000L)
+      if (actualShare < target) assert(weight >= 1000000L)
+    }
+  }
 }
