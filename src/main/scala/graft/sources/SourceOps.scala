@@ -635,11 +635,17 @@ object SourceOps {
       else Set.empty[String]
       val fresh = files.filterNot(prev)
       val counts = SnapshotTable.footerRowCounts(spark, files).toMap
-      (g, files.size.toLong, fresh.size.toLong,
+      // The RECORDED commit action (the manifest's `.action=` marker —
+      // what the streaming source's rewrite-skip trusts) goes under the
+      // value gate too: the oracle pins each generation's expected
+      // operation from the fixture's construction.
+      (g, SnapshotTable.commitAction(spark, table, g).getOrElse("unknown"),
+        files.size.toLong, fresh.size.toLong,
         fresh.map(counts).sum, counts.values.sum)
     }
     import spark.implicits._
-    rows.toDF("gen", "n_files", "n_new_files", "new_rows", "total_rows")
+    rows.toDF("gen", "action", "n_files", "n_new_files", "new_rows",
+        "total_rows")
       .orderBy("gen")
   }
 
@@ -1809,6 +1815,8 @@ object SourceOps {
     // History twin: every footer-metadata row count re-derived
     // relationally with the fixture's split predicate; a disagreeing
     // footer (or a miscounted new-vs-carried split) breaks the hash.
+    // The recorded action markers are pinned from the fixture's
+    // construction (two appends, one compaction).
     "src_snapshot_history" ->
       s"""WITH init AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n
@@ -1818,16 +1826,17 @@ object SourceOps {
          |  FROM orders WHERE o_orderkey % 4 = 0),
          |al AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
-         |SELECT CAST(1 AS BIGINT) AS gen, CAST($SnapInitFiles AS BIGINT) AS n_files,
+         |SELECT CAST(1 AS BIGINT) AS gen, 'append' AS action,
+         |       CAST($SnapInitFiles AS BIGINT) AS n_files,
          |       CAST($SnapInitFiles AS BIGINT) AS n_new_files,
          |       init.n AS new_rows, init.n AS total_rows
          |FROM init
          |UNION ALL
-         |SELECT 2, ${SnapInitFiles + SnapAppendFiles}, $SnapAppendFiles,
+         |SELECT 2, 'append', ${SnapInitFiles + SnapAppendFiles}, $SnapAppendFiles,
          |       app.n, al.n
          |FROM app, al
          |UNION ALL
-         |SELECT 3, $SnapCompactFiles, $SnapCompactFiles, al.n, al.n
+         |SELECT 3, 'compact', $SnapCompactFiles, $SnapCompactFiles, al.n, al.n
          |FROM al
          |ORDER BY gen""".stripMargin,
     // CDC twin: the append hop's added content is exactly the batch
