@@ -18,7 +18,8 @@ import graft.TestSpark
   * never deletes a file (data OR tombstone) a surviving manifest still
   * references, that WAP staging never advances the lineage and a
   * published staged batch lands exactly once, that a shallow clone
-  * reproduces its source snapshot, that vacuum is idempotent, and CDC
+  * reproduces its source snapshot, that vacuum is idempotent, that a
+  * key-duplicate upsert batch is refused without publishing, and CDC
   * conservation across every surviving hop.
   */
 object SnapshotProps extends Properties("SnapshotTable") {
@@ -35,6 +36,7 @@ object SnapshotProps extends Properties("SnapshotTable") {
   case object Compact extends Op
   case object Expire extends Op
   case class DupCommit(ids: List[Long]) extends Op
+  case class DupKeyUpsert(key: Long) extends Op
   case class Rollback(pick: Int) extends Op
   case class Wap(ids: List[Long]) extends Op
   case object CloneCheck extends Op
@@ -51,6 +53,7 @@ object SnapshotProps extends Properties("SnapshotTable") {
     2 -> Gen.const(Expire),
     2 -> Gen.chooseNum(1, 5).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(DupCommit(_))),
+    1 -> Gen.chooseNum(0L, 500L).map(DupKeyUpsert(_)),
     2 -> Gen.chooseNum(0, 1000).map(Rollback(_)),
     2 -> Gen.chooseNum(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(Wap(_))),
@@ -124,6 +127,20 @@ object SnapshotProps extends Properties("SnapshotTable") {
             tomb ++ keys.map(k => (k, Some(gen + 1)))))
           gen += 1
         case Upsert(_) => ()
+        // A batch carrying the same key twice would leave BOTH rows
+        // visible forever (each outranks the batch's own tombstone) —
+        // commitUpsert must refuse it BEFORE the manifest publishes,
+        // leaving the lineage untouched.
+        case DupKeyUpsert(k) =>
+          val gensBefore = SnapshotTable.generations(spark, table)
+          val refused =
+            try {
+              SnapshotTable.commitUpsert(List(k, k).toDF("id"),
+                table, gen + 1, "id", carryFrom = gen); false
+            } catch { case _: IllegalArgumentException => true }
+          assert(refused, "key-duplicate upsert batch must be refused")
+          assert(SnapshotTable.generations(spark, table) == gensBefore,
+            "refused upsert must not publish a generation")
         // A conflicting writer racing to the CURRENT generation must
         // throw and leave every generation's content and file list
         // untouched — first-writer-wins at any point in the history.
