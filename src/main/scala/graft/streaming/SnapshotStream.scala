@@ -1,8 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, max_by, struct}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
 import graft.sources.SnapshotTable
@@ -87,10 +86,17 @@ object SnapshotStream {
       keyCol: String, orderCol: Option[String] = None): Unit = {
     val gen = batchId + 1
     SnapshotTable.requireEpochAligned(batch.sparkSession, table, gen)
+    // max_by(struct) rather than a row_number window: the aggregate
+    // gets a map-side partial combine, so the key shuffle carries one
+    // candidate row per (task, key) instead of every change row — the
+    // difference that matters when a backfill batch holds many changes
+    // per key. Ties on orderCol are contract-broken (a CDC feed's
+    // LSN/change timestamp is unique per key).
     val latest = orderCol.fold(batch) { oc =>
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(oc).desc)
-      batch.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      batch
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(batch.columns.map(col): _*), col(oc)).as("__r"))
+        .select(col("__r.*"))
     }
     if (gen == 1L)
       SnapshotTable.commit(latest, table, 1L, carryFrom = None, replace = true)
