@@ -56,7 +56,15 @@ object SnapshotStream {
     */
   def snapshotIngest(docs: Dataset[DocStream.Doc], table: String,
       checkpointDir: String): DataStreamWriter[Row] =
-    docs.toDF().writeStream
+    ingest(docs.toDF(), table, checkpointDir)
+
+  /** [[snapshotIngest]] for ANY row shape — the append-only BRONZE
+    * ingest of a medallion pipeline (every arriving version kept;
+    * the curated latest-per-key view is [[cdcApply]]'s job downstream).
+    */
+  def ingest(rows: DataFrame, table: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    rows.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: Dataset[Row], id: Long) => commitBatch(b.toDF(), id, table))
