@@ -54,7 +54,8 @@ object Explain {
     "events_locf", "simsearch_ivf_mor", "q7_volume", "q8_market_share",
     "src_connector_timetravel", "text_pack", "src_snapshot_upsert",
     "src_snapshot_evolve", "q6_forecast", "q10_returns",
-    "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture")
+    "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
+    "q14_promo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -515,6 +515,35 @@ object StarOps {
       .limit(20)
   }
 
+  /** TPC-H Q14-shaped PROMOTION EFFECT: the share of one ship-month's
+    * revenue that came from promoted parts. The date predicate pushes
+    * to the lineitem scan; part attaches by key (projected to two
+    * columns — AQE broadcasts it at fixture scale, and at any scale
+    * the join shuffles on the part key, never wider than the two fact
+    * columns). Both revenue sums ride ONE aggregation over the same
+    * decimal product (the promo side zeroes non-promo rows), and the
+    * promo share surfaces as integer ppm from the two exact cents
+    * values — `promo_cents * 1e6 div total_cents`, exact cross-engine,
+    * no double ratio anywhere.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= Tables.tsLit(l, "l_shipdate", "1996-03-01") &&
+        col("l_shipdate") < Tables.tsLit(l, "l_shipdate", "1996-04-01"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        Parity.dsumProdCents(
+          when(col("p_type") === "PROMO", col("l_extendedprice"))
+            .otherwise(lit(0.0)),
+          lit(1.0) - col("l_discount")).as("promo_cents"),
+        Parity.dsumProdCents(col("l_extendedprice"),
+          lit(1.0) - col("l_discount")).as("total_cents"))
+      .selectExpr("promo_cents", "total_cents",
+        "promo_cents * 1000000 div total_cents AS promo_ppm")
+  }
+
   /** The two trading partners of [[q7Volume]]. */
   val Q7NationA = "NATION_1"
   val Q7NationB = "NATION_2"
@@ -824,6 +853,7 @@ object StarOps {
     "q8_market_share" -> (q8MarketShare _),
     "q6_forecast" -> (q6Forecast _),
     "q10_returns" -> (q10Returns _),
+    "q14_promo" -> (q14Promo _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -1107,6 +1137,18 @@ object StarOps {
          |SELECT o_year, cnt, total_cents, nation_cents,
          |  (nation_cents * 1000000) // total_cents AS share_ppm
          |FROM a ORDER BY o_year""".stripMargin,
+    // Q14 twin: the identical decimal product tree (CASE-zeroed on the
+    // promo side), both sums floored to cents ONCE, ppm from the two
+    // exact integers — no double ratio.
+    "q14_promo" ->
+      s"""SELECT
+         |  CAST(floor(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS promo_cents,
+         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS total_cents,
+         |  CAST(CAST(floor(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) * 1000000
+         |    // CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS BIGINT) AS promo_ppm
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "q6_forecast" ->
       s"""SELECT count(*) AS cnt,
          |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
