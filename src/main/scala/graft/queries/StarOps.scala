@@ -544,6 +544,91 @@ object StarOps {
         "promo_cents * 1000000 div total_cents AS promo_ppm")
   }
 
+  /** [[q13CustDist]] excludes this priority class, mirroring TPC-H
+    * Q13's comment-pattern exclusion with a column the schema has.
+    */
+  val Q13Excluded = "1-URGENT"
+
+  /** TPC-H Q13-shaped CUSTOMER ORDER-COUNT DISTRIBUTION: how many
+    * customers placed exactly k qualifying orders, INCLUDING the
+    * zero-order customers only a LEFT join can see (the shape's whole
+    * point — an inner join silently drops the biggest bucket). The
+    * exclusion predicate rides the JOIN CONDITION, not a post-filter
+    * (filtering after the join would turn excluded-only customers into
+    * zero-count rows twice). Two shuffles at any scale: customer⋈orders
+    * on the customer key, then the counts-of-counts aggregate over a
+    * customers-sized frame.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= Q13Excluded)
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** [[q15TopSupplier]] revenue quarter. */
+  val Q15From = "1996-01-01"
+  val Q15To = "1996-04-01"
+
+  /** TPC-H Q15-shaped TOP SUPPLIER: the supplier(s) achieving the
+    * maximum quarterly revenue — the "view + max = view.revenue" shape
+    * without the view. Revenue lands as exact floor-cents per supplier
+    * (a suppliers-sized frame, localCheckpointed because both the max
+    * and the equality probe read it), the 1-row max broadcasts back,
+    * and ties are all reported (deterministic without tie-breaks).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val rev = l.filter(
+        col("l_shipdate") >= Tables.tsLit(l, "l_shipdate", Q15From) &&
+        col("l_shipdate") < Tables.tsLit(l, "l_shipdate", Q15To))
+      .groupBy("l_suppkey")
+      .agg(Parity.dsumProdCents(col("l_extendedprice"),
+        lit(1.0) - col("l_discount")).as("revenue_cents"))
+      .localCheckpoint()
+    rev.join(broadcast(rev.agg(max("revenue_cents").as("mx"))),
+        col("revenue_cents") === col("mx"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** [[q18BigOrders]] quantity threshold (sum over the order's lines). */
+  val Q18MinQty = 300
+
+  /** TPC-H Q18-shaped LARGE-VOLUME CUSTOMERS: orders whose total line
+    * quantity clears [[Q18MinQty]], with their customer and value. The
+    * HAVING prunes the order-key aggregate to a tiny frame BEFORE any
+    * join, so the probe side of both joins is the handful of big
+    * orders (AQE broadcasts it), and the top-100 is a
+    * TakeOrderedAndProject on exact cents with the order key as the
+    * tie-break. Quantities stay DECIMAL through the sum and compare
+    * (the q1 spelling) — the threshold test is exact on both engines.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 4)
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec)).as("qdec"))
+      .filter(col("qdec") > Q18MinQty)
+    big.join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+        col("qdec").cast("double").as("total_qty"))
+      .orderBy(desc("totalprice_cents"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** The two trading partners of [[q7Volume]]. */
   val Q7NationA = "NATION_1"
   val Q7NationB = "NATION_2"
@@ -854,6 +939,9 @@ object StarOps {
     "q6_forecast" -> (q6Forecast _),
     "q10_returns" -> (q10Returns _),
     "q14_promo" -> (q14Promo _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_big_orders" -> (q18BigOrders _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -1137,6 +1225,47 @@ object StarOps {
          |SELECT o_year, cnt, total_cents, nation_cents,
          |  (nation_cents * 1000000) // total_cents AS share_ppm
          |FROM a ORDER BY o_year""".stripMargin,
+    // Q13 twin: LEFT join with the exclusion ON the join condition;
+    // counts of counts are exact integers.
+    "q13_custdist" ->
+      s"""WITH per_cust AS (
+         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         |  FROM customer c LEFT JOIN orders o
+         |    ON c.c_custkey = o.o_custkey
+         |   AND o.o_orderpriority <> '$Q13Excluded'
+         |  GROUP BY c.c_custkey)
+         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM per_cust GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15 twin: per-supplier floor-cents revenue CTE, max by self-join
+    // equality — ties all reported, no tie-break needed.
+    "q15_top_supplier" ->
+      s"""WITH rev AS MATERIALIZED (
+         |  SELECT l_suppkey,
+         |    CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q15From'
+         |    AND l_shipdate < TIMESTAMP '$Q15To'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, revenue_cents
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    // Q18 twin: the DECIMAL quantity sum and threshold compare are the
+    // q1 spelling; top-100 on exact cents, order key tie-break.
+    "q18_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qdec
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > $Q18MinQty)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         |  CAST(qdec AS DOUBLE) AS total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY totalprice_cents DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
     // Q14 twin: the identical decimal product tree (CASE-zeroed on the
     // promo side), both sums floored to cents ONCE, ppm from the two
     // exact integers — no double ratio.
