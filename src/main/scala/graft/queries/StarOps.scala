@@ -629,6 +629,89 @@ object StarOps {
       .limit(100)
   }
 
+  /** TPC-H Q17-shaped SMALL-QUANTITY-ORDER REVENUE: revenue from lines
+    * whose quantity is below a fifth of their part's average order
+    * quantity. The per-part average never materializes as a DIVISION:
+    * `qty < avg/5` rearranges to `5·qty·cnt < sum` — three exact
+    * DECIMAL terms, so the threshold test is bit-exact on both engines
+    * (a double average would wobble at the boundary). Per-part
+    * (sum, cnt) is a parts-sized aggregate joined back on the part
+    * key — a SHUFFLE join on purpose (the parts dimension scales with
+    * the data; AQE may still broadcast it at small scale), so the plan
+    * is two shuffles on the same key at any size.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 4)
+    val l = Tables.lineitem(spark, dir)
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(dec)).as("qsum"),
+        count(lit(1)).as("qcnt"))
+    l.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(dec) * 5 * col("qcnt") < col("qsum"))
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"), lit(1.0))
+          .as("revenue_cents"))
+  }
+
+  /** [[q19Disjunct]] brand/quantity bands, mirrored in the oracle. */
+  val Q19BrandA = "Brand#1"
+  val Q19BrandB = "Brand#2"
+  val Q19QtyA = (1, 15)
+  val Q19QtyB = (10, 25)
+
+  /** TPC-H Q19-shaped DISCOUNTED REVENUE under a DISJUNCTION of
+    * brand × quantity-band conjunctions — the shape that exercises
+    * OR-of-AND predicate handling: the join stays a plain key join and
+    * the disjunction evaluates post-join (it references both sides),
+    * while each side's single-table conjuncts (quantity ceiling, size
+    * floor) still push to their scans.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === Q19BrandA &&
+          col("l_quantity") >= Q19QtyA._1 && col("l_quantity") <= Q19QtyA._2 &&
+          col("p_size") >= 1 && col("p_size") <= 20) ||
+        (col("p_brand") === Q19BrandB &&
+          col("l_quantity") >= Q19QtyB._1 && col("l_quantity") <= Q19QtyB._2 &&
+          col("p_size") >= 1 && col("p_size") <= 40))
+      .agg(count(lit(1)).as("cnt"),
+        Parity.dsumProdCents(col("l_extendedprice"),
+          lit(1.0) - col("l_discount")).as("revenue_cents"))
+  }
+
+  /** TPC-H Q22-shaped IDLE WEALTHY CUSTOMERS: per nation, the count
+    * and balance of customers who hold more than the average positive
+    * balance yet placed NO orders — the scalar-subquery + anti-join
+    * shape. The 1-row average broadcasts onto the customer scan; the
+    * anti-join shuffles on the customer key. The average itself is a
+    * DECIMAL ratio surfaced only as a filter bound: the compare
+    * rearranges to `acctbal · cnt > sum` (division-free, exact).
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 4)
+    val c = Tables.customer(spark, dir)
+    val avgPos = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(dec)).as("bsum"),
+        count(lit(1)).as("bcnt"))
+    c.join(broadcast(avgPos),
+        col("c_acctbal").cast(dec) * col("bcnt") > col("bsum"))
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        expr("CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT)")
+          .as("totacctbal_cents"))
+      .orderBy("n_name")
+  }
+
   /** The two trading partners of [[q7Volume]]. */
   val Q7NationA = "NATION_1"
   val Q7NationB = "NATION_2"
@@ -942,6 +1025,9 @@ object StarOps {
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_big_orders" -> (q18BigOrders _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_rank" -> (windowRank _),
@@ -1225,6 +1311,43 @@ object StarOps {
          |SELECT o_year, cnt, total_cents, nation_cents,
          |  (nation_cents * 1000000) // total_cents AS share_ppm
          |FROM a ORDER BY o_year""".stripMargin,
+    // Q17 twin: the division-free threshold (5·qty·cnt < sum, all
+    // DECIMAL) makes the boundary test exact.
+    "q17_small_qty" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+        |    CAST(count(*) AS BIGINT) AS qcnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS cnt,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN per_part ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * qcnt < qsum""".stripMargin,
+    // Q19 twin: the same OR-of-AND disjunction post-join.
+    "q19_disjunct" ->
+      s"""SELECT count(*) AS cnt,
+         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = '$Q19BrandA'
+         |       AND l_quantity BETWEEN ${Q19QtyA._1} AND ${Q19QtyA._2}
+         |       AND p_size BETWEEN 1 AND 20)
+         |   OR (p_brand = '$Q19BrandB'
+         |       AND l_quantity BETWEEN ${Q19QtyB._1} AND ${Q19QtyB._2}
+         |       AND p_size BETWEEN 1 AND 40)""".stripMargin,
+    // Q22 twin: division-free average compare (acctbal·cnt > sum),
+    // anti-join via NOT EXISTS, floor-cents balance total.
+    "q22_idle_customers" ->
+      """WITH avgpos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bsum,
+        |         CAST(count(*) AS BIGINT) AS bcnt
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS totacctbal_cents
+        |FROM customer, avgpos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bcnt > bsum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // Q13 twin: LEFT join with the exclusion ON the join condition;
     // counts of counts are exact integers.
     "q13_custdist" ->
