@@ -203,6 +203,11 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
     // one giant initial batch.
     val maxGensPerBatch = options.getLong("maxGensPerBatch", Long.MaxValue)
     require(maxGensPerBatch > 0, "maxGensPerBatch must be positive")
+    // File-level admission control for the INITIAL load: the first
+    // batch of a fresh consumer otherwise plans the WHOLE snapshot —
+    // against a 100 TB table that is the one batch no cluster wants.
+    val maxFilesPerBatch = options.getLong("maxFilesPerBatch", Long.MaxValue)
+    require(maxFilesPerBatch > 0, "maxFilesPerBatch must be positive")
     // Column pruning reaches the row decoder: readers resolve and
     // convert ONLY the pruned schema's fields, so a 2-column
     // projection over a wide table skips the other columns' value
@@ -231,7 +236,7 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
-            maxGensPerBatch)
+            maxGensPerBatch, maxFilesPerBatch)
         override def toBatch: Batch =
           new SnapshotBatch(table, required, generation,
             SnapshotSource.boundsOf(pushed))
@@ -273,14 +278,29 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
 }
 
-/** Offset = highest generation whose content the batch includes. */
-private[streaming] case class GenOffset(gen: Long) extends Offset {
-  override def json(): String = gen.toString
+/** Offset = highest generation whose content the batch includes, plus
+  * — during a CHUNKED initial load only — how many of the initial
+  * generation's (sorted, immutable) data files have been delivered so
+  * far. `pos` is meaningful only while `gen == 0`; the JSON form stays
+  * the bare generation number whenever `pos == 0`, so checkpoints
+  * written before chunking existed deserialize unchanged.
+  */
+private[streaming] case class GenOffset(gen: Long, pos: Long = 0L)
+    extends Offset {
+  override def json(): String = if (pos == 0L) gen.toString else s"$gen:$pos"
+}
+
+private[streaming] object GenOffset {
+  def parse(json: String): GenOffset = json.split(":") match {
+    case Array(g) => GenOffset(g.toLong)
+    case Array(g, p) => GenOffset(g.toLong, p.toLong)
+  }
 }
 
 private[streaming] class SnapshotMicroBatchStream(table: String,
     schema: StructType, skipRewrites: Boolean,
-    maxGensPerBatch: Long = Long.MaxValue)
+    maxGensPerBatch: Long = Long.MaxValue,
+    maxFilesPerBatch: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -296,12 +316,31 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
 
   /** Rate-limited offset selection: one micro-batch advances at most
     * [[maxGensPerBatch]] generations past `start`, so a consumer
-    * pointed at a deep history catches up in bounded steps.
+    * pointed at a deep history catches up in bounded steps — and with
+    * [[maxFilesPerBatch]] set, the INITIAL full-snapshot load itself
+    * serves in bounded file chunks (the maxFilesPerTrigger analogue at
+    * the file level: against a 100 TB table the first batch plans N
+    * files, never the table). Chunk boundaries are indices into the
+    * initial generation's SORTED manifest list, which is immutable —
+    * so a restarted query replanning a chunk from its checkpoint sees
+    * byte-identical files.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[GenOffset].gen
+    val s = start.asInstanceOf[GenOffset]
     val gens = SnapshotTable.generations(spark, table)
-    val latest = if (gens.isEmpty) 0L else gens.max
+    if (gens.isEmpty) return GenOffset(0L)
+    val latest = gens.max
+    if (s.gen == 0L && (s.pos > 0L || maxFilesPerBatch < Long.MaxValue)) {
+      // Mid-initial-load (or about to start one under a file cap):
+      // advance within the initial generation's file list; the chunk
+      // that reaches the end completes the load as exactly (min, 0).
+      val m = gens.min
+      val total = SnapshotTable.manifestEntries(spark, table, m)._1.size.toLong
+      return if (total - s.pos > maxFilesPerBatch)
+        GenOffset(0L, s.pos + maxFilesPerBatch)
+      else GenOffset(m)
+    }
+    val from = s.gen
     // Saturating add: the unlimited default is Long.MaxValue.
     val cap = if (Long.MaxValue - from < maxGensPerBatch) Long.MaxValue
       else from + maxGensPerBatch
@@ -316,11 +355,11 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     GenOffset(math.min(latest, math.max(cap, floor)))
   }
 
-  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = GenOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GenOffset].gen
-    val to = end.asInstanceOf[GenOffset].gen
+    val s = start.asInstanceOf[GenOffset]
+    val e = end.asInstanceOf[GenOffset]
     val committed = SnapshotTable.generations(spark, table)
     // ONE manifest read per generation touched by this batch: adjacent
     // hops share g's entries as the next hop's g−1, so a deep backfill
@@ -329,25 +368,48 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     def of(g: Long): (Seq[String], Seq[String]) =
       entries.getOrElseUpdate(g, SnapshotTable.manifestEntries(spark, table, g))
     val out = ArrayBuffer.empty[InputPartition]
+    var from = s.gen
+    // The INITIAL full-snapshot load — the one batch whose plan is a
+    // manifest's full list rather than a diff, and (under
+    // maxFilesPerBatch) the only span served in sub-generation file
+    // CHUNKS: slice [s.pos, e.pos) of the initial generation's sorted
+    // immutable list, so a checkpoint replay of any chunk is
+    // byte-identical. This branch is ONLY correct for a consumer that
+    // has consumed nothing (offset gen 0); a parent-less hop anywhere
+    // else fails loudly below.
+    if (s.gen == 0L && committed.nonEmpty) {
+      val m = committed.min
+      val (data, dels) = of(m)
+      // Tombstones carried into a full-snapshot load are row-level
+      // changes invisible to a file tail — same contract as delete
+      // hops: throw unless explicitly skipped.
+      if (!skipRewrites && dels.nonEmpty)
+        throw new IllegalStateException(
+          s"generation $m of $table carries ${dels.size} merge-on-read " +
+            "tombstone file(s); row-level deletes are not expressible as " +
+            "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
+            "ignore deletes")
+      val hi = if (e.gen == 0L) e.pos else data.size.toLong
+      out ++= data.slice(s.pos.toInt, hi.toInt).map(SnapshotFilePartition(_))
+      if (e.gen == 0L) return out.toArray
+      from = m
+    }
+    val to = e.gen
     for (g <- from + 1 to to if committed.contains(g)) {
       val (data, dels) = of(g)
-      // The full-list branch is ONLY correct as the INITIAL load of a
-      // consumer that has consumed nothing (offset 0, earliest
-      // surviving generation — which serves the whole snapshot
-      // including carried files). In every other parent-less case the
-      // manifest needed for the diff was expired mid-consumption, and
-      // emitting g's full list would re-deliver carried-forward files
-      // the consumer already saw — fail loudly instead (the lakehouse
-      // "retention outran the stream" error).
+      // Every hop after the initial load diffs against its PARENT
+      // manifest; a missing parent means the manifest needed for the
+      // diff was expired mid-consumption, and emitting g's full list
+      // would re-deliver carried-forward files the consumer already
+      // saw — fail loudly instead (the lakehouse "retention outran
+      // the stream" error).
       val (added, removed, freshDels) =
         if (committed.contains(g - 1)) {
           val (prevData, prevDels) = of(g - 1)
           ((data.toSet -- prevData).toSeq.sorted,
             (prevData.toSet -- data).toSeq.sorted,
             dels.filterNot(prevDels.toSet))
-        } else if (from == 0L && g == committed.min)
-          (data, Seq.empty[String], dels)
-        else
+        } else
           throw new IllegalStateException(
             s"cannot plan generation hop ${g - 1}->$g of $table: the parent " +
               "manifest was expired while this consumer still needed the " +

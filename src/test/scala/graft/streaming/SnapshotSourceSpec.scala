@@ -305,6 +305,51 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerBatch chunks the initial load; a restart mid-load resumes the chunk sequence") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapchunk").toString
+    val table = s"$root/table"
+    // Four single-row files published explicitly, so each chunk's row
+    // count is exactly its file count.
+    val paths = (1L to 4L).map { i =>
+      val p = s"$table/data/gen=1/f_$i"
+      Seq(Doc(i, s"t$i")).toDF().coalesce(1).write.parquet(p)
+      spark.read.parquet(p).inputFiles.head
+    }
+    SnapshotTable.publish(spark, table, 1L, paths)
+    SnapshotTable.commit(docsDf(9L), table, 2L, carryFrom = Some(1L))
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def tailChunked(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table).option("maxFilesPerBatch", "2").load()
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = b.select("doc_id").as[Long].collect().toSet
+          if (ids.nonEmpty) batches.add(ids); ()
+        }
+      trigger.fold(w)(w.trigger).start()
+    }
+
+    // One triggered batch = the FIRST chunk only (2 of 4 files), then
+    // the query dies with the rest of the load pending.
+    val q1 = tailChunked(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    try q1.awaitTermination() finally q1.stop()
+    val first = batches.toArray(Array.empty[Set[Long]])
+    assert(first.length === 1 && first.head.size === 2,
+      s"first chunk must hold exactly 2 single-row files, got ${first.toSeq}")
+
+    // The restart resumes from the mid-load checkpoint: remaining
+    // chunk + the append hop, no row lost or duplicated.
+    val q2 = tailChunked(None)
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.toArray(Array.empty[Set[Long]])
+    assert(all.flatten.toSet === Set(1L, 2L, 3L, 4L, 9L))
+    assert(all.map(_.size).sum === 5, s"no duplicates across chunks: ${all.toSeq}")
+    assert(all.forall(_.size <= 2), "every batch stays within the file cap")
+  }
+
   test("a skipped rewrite hop must be content-neutral: net inserts fail loudly") {
     val root = Files.createTempDirectory("snapnonneutral").toString
     val table = s"$root/table"
