@@ -34,7 +34,8 @@ object PrefixSum {
     * so an input already carrying one of these names would be corrupted
     * without the check.
     */
-  private val Reserved = Seq("cum", "__pid", "__v", "__local_cum", "__offset")
+  private val Reserved =
+    Seq("cum", "__pid", "__v", "__local_cum", "__offset", "__opid")
 
   /** `df` plus a `cum` column: the running sum of `value` over the
     * global `sortCols` order (ascending list as given; pass explicit
@@ -45,7 +46,13 @@ object PrefixSum {
     * by one range split). `partitions` bounds the per-task window size
     * at roughly rows/partitions. The input must not already contain a
     * column named `cum` (or any [[Reserved]] working name); the output
-    * column is named `cum`.
+    * column is named `cum`. NULL group values form their own group
+    * (the offsets re-join is null-safe). `groupCols` must be
+    * LOW-CARDINALITY (flags, languages, categories): the offset frame
+    * is partitions × |groups| rows and BROADCASTS — for per-key
+    * running totals over a high-cardinality key, a plain
+    * `Window.partitionBy(key)` is already scale-correct and this
+    * operator is the wrong tool.
     *
     * The range-partitioned frame is materialized ONCE
     * (`localCheckpoint`) before either branch derives from it: both the
@@ -60,9 +67,10 @@ object PrefixSum {
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
       partitions: Int, groupCols: Seq[String] = Nil): DataFrame = {
-    val clash = df.columns.filter(Reserved.contains)
+    val reserved = Reserved ++ groupCols.map("__og_" + _)
+    val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
-      s"PrefixSum reserves column names ${Reserved.mkString(", ")}; " +
+      s"PrefixSum reserves column names ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")}")
     // Grouped runs range-partition by (group, sort): each partition
     // holds contiguous runs of whole-or-partial groups, so the offset
@@ -77,7 +85,9 @@ object PrefixSum {
       sum(col("__v")).over(Window.partitionBy(partKeys: _*).orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // One row per (partition, group); the offset window runs over ≤
-    // `partitions` rows per group — driver-scale, never data-scale.
+    // `partitions` rows per group. The frame as a whole is
+    // partitions × |groups| rows — broadcastable under the documented
+    // low-cardinality contract above.
     val offsetWindow =
       (if (groupCols.isEmpty) Window.orderBy("__pid")
        else Window.partitionBy(groupCols.map(col): _*).orderBy("__pid"))
@@ -86,8 +96,16 @@ object PrefixSum {
       .withColumn("__offset",
         coalesce(sum(col("__ptot")).over(offsetWindow), lit(0L)))
       .select(partKeys :+ col("__offset"): _*)
-    local.join(broadcast(offsets), "__pid" +: groupCols)
+      // Rename the join keys: the null-SAFE condition below needs
+      // unambiguous sides (a using-columns join is null-unsafe and
+      // would silently DROP every null-group row).
+      .toDF(("__opid" +: groupCols.map("__og_" + _)) :+ "__offset": _*)
+    val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
+      (acc, g) => acc && (col(g) <=> col("__og_" + g))
+    }
+    local.join(broadcast(offsets), joinCond)
       .withColumn("cum", col("__local_cum") + col("__offset"))
-      .drop("__pid", "__v", "__local_cum", "__offset")
+      .drop(("__pid" +: "__v" +: "__local_cum" +: "__offset" +: "__opid" +:
+        groupCols.map("__og_" + _)): _*)
   }
 }

@@ -278,12 +278,15 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
 }
 
-/** Offset = highest generation whose content the batch includes, plus
-  * — during a CHUNKED initial load only — how many of the initial
-  * generation's (sorted, immutable) data files have been delivered so
-  * far. `pos` is meaningful only while `gen == 0`; the JSON form stays
-  * the bare generation number whenever `pos == 0`, so checkpoints
-  * written before chunking existed deserialize unchanged.
+/** Offset state. `pos == 0`: the consumer holds the full content of
+  * generations ≤ `gen` (the original form; the JSON stays the bare
+  * generation number, so pre-chunking checkpoints deserialize
+  * unchanged). `pos > 0`: the consumer is MID-INITIAL-LOAD of
+  * generation `gen` exactly, `pos` files of its sorted immutable
+  * manifest list delivered — pinning the generation in the offset is
+  * what makes an `expire` during a chunked load fail LOUDLY
+  * (generation gone → retention outran the stream) instead of
+  * silently re-slicing a different generation's file list.
   */
 private[streaming] case class GenOffset(gen: Long, pos: Long = 0L)
     extends Offset {
@@ -325,19 +328,43 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     * so a restarted query replanning a chunk from its checkpoint sees
     * byte-identical files.
     */
+  /** The initial-load generation's manifest entries, parsed ONCE per
+    * stream instance: the list is immutable by the layer's contract,
+    * and a chunked load would otherwise re-parse and re-sort the whole
+    * manifest twice per chunk (latestOffset + planInputPartitions) —
+    * O(files²/chunk) driver work at exactly the many-file scale the
+    * chunking exists for.
+    */
+  private val initEntries =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Seq[String], Seq[String])]()
+  private def initEntriesOf(g: Long): (Seq[String], Seq[String]) =
+    initEntries.computeIfAbsent(g,
+      g => SnapshotTable.manifestEntries(spark, table, g))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GenOffset]
     val gens = SnapshotTable.generations(spark, table)
     if (gens.isEmpty) return GenOffset(0L)
     val latest = gens.max
-    if (s.gen == 0L && (s.pos > 0L || maxFilesPerBatch < Long.MaxValue)) {
-      // Mid-initial-load (or about to start one under a file cap):
-      // advance within the initial generation's file list; the chunk
-      // that reaches the end completes the load as exactly (min, 0).
-      val m = gens.min
-      val total = SnapshotTable.manifestEntries(spark, table, m)._1.size.toLong
+    if (s.pos > 0L) {
+      // Mid-initial-load of EXACTLY s.gen: advance within its file
+      // list; the chunk that reaches the end completes the load as
+      // (s.gen, 0). The pinned generation must still exist.
+      if (!gens.contains(s.gen))
+        throw new IllegalStateException(
+          s"initial-load generation ${s.gen} of $table was expired " +
+            "mid-load - retention outran the stream's replayable window")
+      val total = initEntriesOf(s.gen)._1.size.toLong
       return if (total - s.pos > maxFilesPerBatch)
-        GenOffset(0L, s.pos + maxFilesPerBatch)
+        GenOffset(s.gen, s.pos + maxFilesPerBatch)
+      else GenOffset(s.gen)
+    }
+    if (s.gen == 0L && maxFilesPerBatch < Long.MaxValue) {
+      // Fresh consumer under a file cap: open the chunked load of the
+      // earliest surviving generation, pinning it in the offset.
+      val m = gens.min
+      val total = initEntriesOf(m)._1.size.toLong
+      return if (total > maxFilesPerBatch) GenOffset(m, maxFilesPerBatch)
       else GenOffset(m)
     }
     val from = s.gen
@@ -372,14 +399,28 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     // The INITIAL full-snapshot load — the one batch whose plan is a
     // manifest's full list rather than a diff, and (under
     // maxFilesPerBatch) the only span served in sub-generation file
-    // CHUNKS: slice [s.pos, e.pos) of the initial generation's sorted
+    // CHUNKS: slice [s.pos, hi) of the initial generation's sorted
     // immutable list, so a checkpoint replay of any chunk is
     // byte-identical. This branch is ONLY correct for a consumer that
-    // has consumed nothing (offset gen 0); a parent-less hop anywhere
-    // else fails loudly below.
-    if (s.gen == 0L && committed.nonEmpty) {
-      val m = committed.min
-      val (data, dels) = of(m)
+    // has consumed nothing (offset gen 0, or mid-load of the pinned
+    // generation); a parent-less hop anywhere else fails loudly below.
+    if (s.gen == 0L || s.pos > 0L) {
+      // The load's target generation: pinned in whichever offset is
+      // mid-load; for the unchunked (0,0) -> (g,0) span it is the
+      // earliest surviving generation.
+      val m = if (s.pos > 0L) s.gen
+        else if (e.pos > 0L) e.gen
+        else if (committed.nonEmpty) committed.min
+        else 0L
+      if (!committed.contains(m))
+        throw new IllegalStateException(
+          s"initial-load generation $m of $table was expired mid-load - " +
+            "retention outran the stream's replayable window")
+      // Reuse the instance-cached parse (the list is immutable); seed
+      // the per-call map so the first post-load hop's diff against m
+      // doesn't re-read the manifest either.
+      val (data, dels) = initEntriesOf(m)
+      entries(m) = (data, dels)
       // Tombstones carried into a full-snapshot load are row-level
       // changes invisible to a file tail — same contract as delete
       // hops: throw unless explicitly skipped.
@@ -389,9 +430,9 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
             "tombstone file(s); row-level deletes are not expressible as " +
             "appends - re-run with .option(\"skipRewrites\", \"true\") to " +
             "ignore deletes")
-      val hi = if (e.gen == 0L) e.pos else data.size.toLong
+      val hi = if (e.pos > 0L) e.pos else data.size.toLong
       out ++= data.slice(s.pos.toInt, hi.toInt).map(SnapshotFilePartition(_))
-      if (e.gen == 0L) return out.toArray
+      if (e.pos > 0L) return out.toArray
       from = m
     }
     val to = e.gen

@@ -98,12 +98,18 @@ object SnapshotStream {
     // gets a map-side partial combine, so the key shuffle carries one
     // candidate row per (task, key) instead of every change row — the
     // difference that matters when a backfill batch holds many changes
-    // per key. Ties on orderCol are contract-broken (a CDC feed's
-    // LSN/change timestamp is unique per key).
+    // per key. The order key wraps in a single-field STRUCT: bare
+    // max_by IGNORES rows whose order expression is NULL, so a key
+    // whose every change carries a null orderCol would collapse to one
+    // all-NULL row; the struct is never null and orders its null field
+    // first, which keeps a REAL row (the window's old behavior). Ties
+    // on orderCol are contract-broken (a CDC feed's LSN/change
+    // timestamp is unique per key).
     val latest = orderCol.fold(batch) { oc =>
       batch
         .groupBy(col(keyCol))
-        .agg(max_by(struct(batch.columns.map(col): _*), col(oc)).as("__r"))
+        .agg(max_by(struct(batch.columns.map(col): _*),
+          struct(col(oc))).as("__r"))
         .select(col("__r.*"))
     }
     if (gen == 1L)

@@ -51,6 +51,18 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL group values form their own group instead of vanishing") {
+    val df = Seq((Some("a"), 1L, 2L), (None, 2L, 3L), (None, 3L, 5L),
+      (Some("a"), 4L, 7L)).toDF("g", "id", "v")
+    val got = PrefixSum.withRunningTotal(
+        df, Seq(asc("id")), col("v"), 4, groupCols = Seq("g"))
+      .select("g", "id", "cum")
+      .as[(Option[String], Long, Long)].collect().sortBy(_._2).toList
+    // A null-unsafe offsets join would DROP the None rows entirely.
+    assert(got === List((Some("a"), 1L, 2L), (None, 2L, 3L),
+      (None, 3L, 8L), (Some("a"), 4L, 9L)))
+  }
+
   test("pareto report is internally consistent on the fixture") {
     import graft.queries.StarOps
     val (customers, total, top80, ppm) =
