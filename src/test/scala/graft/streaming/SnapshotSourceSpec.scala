@@ -350,6 +350,44 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(all.forall(_.size <= 2), "every batch stays within the file cap")
   }
 
+  test("expiring the pinned generation MID-chunked-load fails loudly, never re-slices") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapchunkexp").toString
+    val table = s"$root/table"
+    val paths = (1L to 4L).map { i =>
+      val p = s"$table/data/gen=1/f_$i"
+      Seq(Doc(i, s"t$i")).toDF().coalesce(1).write.parquet(p)
+      spark.read.parquet(p).inputFiles.head
+    }
+    SnapshotTable.publish(spark, table, 1L, paths)
+    SnapshotTable.commit(docsDf(9L), table, 2L, carryFrom = Some(1L))
+
+    def tailChunked(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table).option("maxFilesPerBatch", "2").load()
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+      trigger.fold(w)(w.trigger).start()
+    }
+    // One chunk lands; the offset is pinned to generation 1 at file 2.
+    val q1 = tailChunked(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    try q1.awaitTermination() finally q1.stop()
+    // Retention sweeps the load's generation out from under the
+    // checkpoint. A resumed consumer must fail with the retention
+    // error — the offset pins gen 1, so it can NEVER silently slice
+    // gen 2's (different) file list from index 2.
+    SnapshotTable.expire(spark, table, keepFrom = 2L)
+    val q2 = tailChunked(None)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    def msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("|")
+    assert(msgs.contains("retention outran"), s"got: $msgs")
+  }
+
   test("a skipped rewrite hop must be content-neutral: net inserts fail loudly") {
     val root = Files.createTempDirectory("snapnonneutral").toString
     val table = s"$root/table"
