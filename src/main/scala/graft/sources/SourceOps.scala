@@ -967,6 +967,61 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** The MEDALLION pipeline EXECUTED AS A STREAM, under the driver's
+    * value gate — the first registered query whose engine path is
+    * Structured Streaming end to end, closing the standing "streaming
+    * is spec-only" residual. The [[snapshotCdcApply]] change feed
+    * commits as three APPEND generations of a bronze table (the raw
+    * zone keeps every version); the DSv2 connector TAILS bronze with
+    * `maxGensPerBatch = 1` (three real micro-batches, each planned as
+    * a manifest diff) and [[graft.streaming.SnapshotStream.cdcApply]]
+    * upserts each into a silver table with `orderCol` convergence. No
+    * data ever routes through the driver — the stream's source and
+    * sink are both distributed. Because bronze batch N becomes silver
+    * generation N+1 exactly as [[snapshotCdcApply]]'s direct commits
+    * do, the silver views bind the SAME oracle text verbatim:
+    * streaming execution ≡ batch execution ≡ DuckDB, the strongest
+    * equivalence form the gate can express.
+    */
+  def streamMedallion(spark: SparkSession, dir: String): DataFrame = {
+    val bronze = freshTable(spark, "stream_medallion_bronze")
+    val silver = freshTable(spark, "stream_medallion_silver")
+    val ckpt = freshTable(spark, "stream_medallion_ckpt")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey"))
+    def chg(lsn: Long, delta: Long)(rows: DataFrame): DataFrame =
+      rows.select(col("k"), lit(lsn).as("lsn"),
+        (col("o_custkey") + delta).as("v"))
+    SnapshotTable.commit(
+      chg(0L, 0L)(o)
+        .unionByName(chg(1L, CdcD1)(o.filter(col("k") % CdcDupMod === 1))),
+      bronze, 1L)
+    SnapshotTable.commit(
+      chg(2L, CdcD2)(o.filter(col("k") % CdcUpdMod === 1))
+        .unionByName(chg(3L, CdcD3)(o.filter(col("k") % CdcUpd2Mod === 1))),
+      bronze, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(
+      o.filter(col("k") % CdcInsMod === 2)
+        .select((col("k") + CdcInsOffset).as("k"), lit(4L).as("lsn"),
+          (col("o_custkey") + CdcD4).as("v")),
+      bronze, 3L, carryFrom = Some(2L))
+    val q = graft.streaming.SnapshotStream.cdcApply(
+      spark.readStream
+        .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", bronze).option("maxGensPerBatch", "1").load(),
+      silver, "k", ckpt, orderCol = Some("lsn")).start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(1L, 2L, 3L).map { g =>
+      SnapshotTable.readMor(spark, silver, g, "k")
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
+          sum("v").as("val_sum"))
+        .select(lit(g).as("gen"),
+          lit(SnapshotTable.listDeleteFiles(spark, silver, g).size.toLong)
+            .as("n_delete_files"),
+          col("n_rows"), col("key_sum"), col("val_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1428,6 +1483,7 @@ object SourceOps {
     "src_snapshot_mor" -> (snapshotMor _),
     "src_snapshot_upsert" -> (snapshotUpsert _),
     "src_snapshot_cdc_apply" -> (snapshotCdcApply _),
+    "stream_medallion" -> (streamMedallion _),
     "src_snapshot_evolve" -> (snapshotEvolve _),
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
@@ -1457,6 +1513,39 @@ object SourceOps {
     */
   def oracleFor(dir: String): Map[String, String] =
     oracle + ("src_dirscan" -> dirScanOracle(dir))
+
+  /** The [[snapshotCdcApply]] / [[streamMedallion]] shared twin: the
+    * feed reconstructed relationally, each generation's view = latest
+    * change per key (max_by over lsn) among batches <= gen; tombstone
+    * file counts are one per upsert commit by construction. BOTH
+    * queries bind this text verbatim — streaming execution ≡ batch
+    * execution ≡ DuckDB.
+    */
+  private val CdcApplyOracle: String =
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT o_orderkey AS k, o_custkey FROM orders),
+       |changes AS MATERIALIZED (
+       |  SELECT k, CAST(0 AS BIGINT) AS lsn,
+       |         CAST(o_custkey AS BIGINT) AS v, 1 AS b FROM o
+       |  UNION ALL SELECT k, 1, o_custkey + $CdcD1, 1
+       |    FROM o WHERE k % $CdcDupMod = 1
+       |  UNION ALL SELECT k, 2, o_custkey + $CdcD2, 2
+       |    FROM o WHERE k % $CdcUpdMod = 1
+       |  UNION ALL SELECT k, 3, o_custkey + $CdcD3, 2
+       |    FROM o WHERE k % $CdcUpd2Mod = 1
+       |  UNION ALL SELECT k + $CdcInsOffset, 4, o_custkey + $CdcD4, 3
+       |    FROM o WHERE k % $CdcInsMod = 2),
+       |gens AS (SELECT 1 AS gen UNION ALL SELECT 2 UNION ALL SELECT 3),
+       |latest AS (
+       |  SELECT g.gen, c.k, max_by(c.v, c.lsn) AS v
+       |  FROM gens g JOIN changes c ON c.b <= g.gen
+       |  GROUP BY g.gen, c.k)
+       |SELECT CAST(gen AS BIGINT) AS gen,
+       |  CAST(gen - 1 AS BIGINT) AS n_delete_files,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(k) AS BIGINT) AS key_sum,
+       |  CAST(sum(v) AS BIGINT) AS val_sum
+       |FROM latest GROUP BY gen ORDER BY gen""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "src_dirscan" -> dirScanOracle("/root/testdata/sf0.01"),
@@ -1759,32 +1848,10 @@ object SourceOps {
     // CDC-apply twin: the feed reconstructed relationally, each
     // generation's view = latest change per key (max_by over lsn)
     // among batches <= gen; tombstone file counts are one per upsert
-    // commit by construction.
-    "src_snapshot_cdc_apply" ->
-      s"""WITH o AS MATERIALIZED (
-         |  SELECT o_orderkey AS k, o_custkey FROM orders),
-         |changes AS MATERIALIZED (
-         |  SELECT k, CAST(0 AS BIGINT) AS lsn,
-         |         CAST(o_custkey AS BIGINT) AS v, 1 AS b FROM o
-         |  UNION ALL SELECT k, 1, o_custkey + $CdcD1, 1
-         |    FROM o WHERE k % $CdcDupMod = 1
-         |  UNION ALL SELECT k, 2, o_custkey + $CdcD2, 2
-         |    FROM o WHERE k % $CdcUpdMod = 1
-         |  UNION ALL SELECT k, 3, o_custkey + $CdcD3, 2
-         |    FROM o WHERE k % $CdcUpd2Mod = 1
-         |  UNION ALL SELECT k + $CdcInsOffset, 4, o_custkey + $CdcD4, 3
-         |    FROM o WHERE k % $CdcInsMod = 2),
-         |gens AS (SELECT 1 AS gen UNION ALL SELECT 2 UNION ALL SELECT 3),
-         |latest AS (
-         |  SELECT g.gen, c.k, max_by(c.v, c.lsn) AS v
-         |  FROM gens g JOIN changes c ON c.b <= g.gen
-         |  GROUP BY g.gen, c.k)
-         |SELECT CAST(gen AS BIGINT) AS gen,
-         |  CAST(gen - 1 AS BIGINT) AS n_delete_files,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(k) AS BIGINT) AS key_sum,
-         |  CAST(sum(v) AS BIGINT) AS val_sum
-         |FROM latest GROUP BY gen ORDER BY gen""".stripMargin,
+    // commit by construction. [[streamMedallion]] binds the SAME text:
+    // its silver generation g is by construction the same view.
+    "src_snapshot_cdc_apply" -> CdcApplyOracle,
+    "stream_medallion" -> CdcApplyOracle,
     // Time-travel twin: per-generation content from the split
     // predicates; hop file counts from the layout constants; footer
     // row deltas re-derived relationally (the compact hop's MUST be
