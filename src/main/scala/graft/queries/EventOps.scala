@@ -589,6 +589,49 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** The hourly windowed aggregation EXECUTED AS A STREAM, under the
+    * driver's value gate — the stateful-aggregation sibling of
+    * `stream_medallion`'s CDC-sink gating: the normalized events stage
+    * into four files, `readStream` consumes them one file per trigger
+    * (four REAL micro-batches incrementally updating windowed
+    * aggregation state in the state store), and the complete-mode
+    * emission after the last batch must equal the one-shot batch
+    * GROUP BY — it binds `events_hourly`'s oracle text verbatim, so
+    * the hash asserts streaming execution ≡ batch execution ≡ DuckDB.
+    * The decimal `Parity.dsum` is associative EXACTLY, which is what
+    * makes the incremental partials bit-identical to the batch sum.
+    * The final collect is the bounded (hours × types) result frame,
+    * not data.
+    */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val staged = graft.Scratch.dir("stream_hourly_src")
+    val ckpt = graft.Scratch.dir("stream_hourly_ckpt")
+    val hp = new org.apache.hadoop.fs.Path(ckpt)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    Tables.events(spark, dir).select("ts", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val last = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](null)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Parity.dsum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"), col("value_sum"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          last.set((b.schema, b.collect())); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val (sch, rows) = last.get()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+      .orderBy("hour_start", "event_type")
+  }
+
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
     * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
     * snapshot (latest state per user), the post-split stream to a delta
@@ -778,6 +821,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trajectory" -> (trajectorySimilarity _),
     "events_hourly" -> (hourly _),
+    "stream_hourly" -> (streamHourly _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -855,6 +899,12 @@ object EventOps {
        |  LEFT JOIN s2 ON uu.user_id = s2.user_id
        |  LEFT JOIN s3 ON uu.user_id = s3.user_id)""".stripMargin
 
+  private lazy val HourlyOracle: String =
+    s"""SELECT CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
+       |  event_type, count(*) AS cnt,
+       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val SessionsOracleSql =
     s"""SELECT user_id,
        |  CAST(sum(gap_new) AS BIGINT) AS n_sessions,
@@ -894,11 +944,11 @@ object EventOps {
          |WHERE cand.user_id <> q.q_user
          |GROUP BY cand.user_id, cand.na, q.nq
          |ORDER BY j_ppm DESC, user_id LIMIT $TrajectoryTopK""".stripMargin,
-    "events_hourly" ->
-      s"""SELECT CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
-         |  event_type, count(*) AS cnt,
-         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // [[streamHourly]] binds the SAME text: its final complete-mode
+    // emission is by construction the same windowed aggregate —
+    // streaming execution ≡ batch execution ≡ DuckDB.
+    "events_hourly" -> HourlyOracle,
+    "stream_hourly" -> HourlyOracle,
     // Open/close via explicit (ts, event_id)-ordered row_numbers — the
     // rank twin of min_by/max_by over the composite; pure selection, no
     // double arithmetic, so values are bit-identical.
