@@ -57,7 +57,7 @@ object Explain {
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
     "q14_promo", "q13_custdist", "q15_top_supplier", "q18_big_orders",
     "q17_small_qty", "q19_disjunct", "q22_idle_customers",
-    "stream_medallion", "stream_hourly")
+    "stream_medallion", "stream_hourly", "stream_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

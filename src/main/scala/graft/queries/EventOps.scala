@@ -632,6 +632,82 @@ object EventOps {
       .orderBy("hour_start", "event_type")
   }
 
+  /** SCD2 dimension maintenance EXECUTED AS A STREAM, under the value
+    * gate — the CUSTOM-STATE operator class
+    * (`flatMapGroupsWithState`), completing the gated trio next to
+    * `stream_medallion` (CDC sink) and `stream_hourly` (windowed
+    * aggregation). The events split into WEEK buckets published as
+    * snapshot generations in time order (cross-batch per-user arrival
+    * order — [[graft.streaming.EventStream.scd2Stream]]'s documented
+    * contract — holds by construction: the bucket is a function of
+    * the timestamp), the connector tails them one generation per
+    * trigger,
+    * the per-user open interval lives in the state store across
+    * batches, and every CLOSED interval lands exactly once through the
+    * idempotent batch-partitioned sink
+    * ([[graft.streaming.EventStream.writeBatch]]) — no data ever
+    * routes through the driver. The result binds the closed-interval
+    * projection of `events_scd2`'s own oracle CTEs: streaming
+    * execution ≡ batch execution ≡ DuckDB for the custom-state
+    * operator too.
+    */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val bronze = graft.Scratch.dir("stream_scd2_bronze")
+    val ckpt = graft.Scratch.dir("stream_scd2_ckpt")
+    val sink = graft.Scratch.dir("stream_scd2_sink")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(bronze, ckpt, sink).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    // Week buckets over the fixture's January 2024 span: 2024-01-01
+    // UTC in micros; 5 buckets -> 5 generations -> 5 real micro-batches.
+    // The timestamp stages as epoch MICROS (BIGINT): the session's
+    // parquet writer may emit INT96 for timestamp columns, which the
+    // connector's INT64 decoder correctly refuses — the micros round
+    // trip is lossless and rebuilt below. Three ~11-day buckets over
+    // the fixture's January 2024 span: enough real micro-batches to
+    // carry state across triggers without paying five rounds of
+    // state-store checkpointing for the same coverage.
+    val bucketUs = 11L * 86400L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"),
+        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
+          .cast("int").as("b"))
+      .repartition(col("b"))
+      .write.partitionBy("b").parquet(s"$bronze/staging")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$bronze/staging")
+    val buckets = stagingPath.getFileSystem(conf).listStatus(stagingPath)
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toInt).sorted
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      val files = spark.read.parquet(s"$bronze/staging/b=$b").inputFiles.toSeq
+      graft.sources.SnapshotTable.publishAppend(spark, bronze, (i + 1).toLong,
+        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+    import spark.implicits._
+    val typed = spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", bronze).option("maxGensPerBatch", "1").load()
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+      .as[graft.streaming.EventStream.Ev]
+    val q = graft.streaming.EventStream.scd2Stream(typed).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+      .select(col("user_id"), col("state"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
     * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
     * snapshot (latest state per user), the post-split stream to a delta
@@ -822,6 +898,7 @@ object EventOps {
     "events_trajectory" -> (trajectorySimilarity _),
     "events_hourly" -> (hourly _),
     "stream_hourly" -> (streamHourly _),
+    "stream_scd2" -> (streamScd2 _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -898,6 +975,22 @@ object EventOps {
        |  LEFT JOIN s1 ON uu.user_id = s1.user_id
        |  LEFT JOIN s2 ON uu.user_id = s2.user_id
        |  LEFT JOIN s3 ON uu.user_id = s3.user_id)""".stripMargin
+
+  /** The SCD2 change detection shared by `events_scd2` and
+    * `stream_scd2` — one text, so the batch and streaming twins cannot
+    * drift.
+    */
+  private lazy val Scd2ChCtes: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us($TsCast) AS us
+       |  FROM events),
+       |ch AS (
+       |  SELECT user_id, event_id, event_type, us FROM (
+       |    SELECT user_id, event_id, event_type, us,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY us, event_id) AS prev
+       |    FROM e) t
+       |  WHERE prev IS NULL OR prev <> event_type)""".stripMargin
 
   private lazy val HourlyOracle: String =
     s"""SELECT CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
@@ -1222,22 +1315,25 @@ object EventOps {
          |FROM events GROUP BY event_type, day
          |ORDER BY event_type, day""".stripMargin,
     "events_scd2" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, event_type, epoch_us($TsCast) AS us
-         |  FROM events),
-         |ch AS (
-         |  SELECT user_id, event_id, event_type, us FROM (
-         |    SELECT user_id, event_id, event_type, us,
-         |      lag(event_type) OVER (PARTITION BY user_id
-         |        ORDER BY us, event_id) AS prev
-         |    FROM e) t
-         |  WHERE prev IS NULL OR prev <> event_type)
+      s"""$Scd2ChCtes
          |SELECT user_id, event_type AS state, us AS valid_from,
          |  lead(us) OVER w AS valid_to,
          |  CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_current
          |FROM ch
          |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |ORDER BY user_id, valid_from, state""".stripMargin,
+    // [[streamScd2]]'s twin: the SAME change CTEs, projected to the
+    // CLOSED intervals (the stream's append output — the open interval
+    // is state, not a fact yet).
+    "stream_scd2" ->
+      s"""$Scd2ChCtes
+         |SELECT user_id, state, valid_from, valid_to FROM (
+         |  SELECT user_id, event_type AS state, us AS valid_from,
+         |    lead(us) OVER w AS valid_to
+         |  FROM ch
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) t
+         |WHERE valid_to IS NOT NULL
          |ORDER BY user_id, valid_from, state""".stripMargin,
     "events_scd2_lookup" ->
       s"""WITH e AS (
