@@ -55,9 +55,14 @@ object Explain {
     "src_connector_timetravel", "text_pack", "src_snapshot_upsert",
     "src_snapshot_evolve", "q6_forecast", "q10_returns",
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
+    // The stream_* queries are deliberately NOT in the plan audit:
+    // their registered function executes a full streaming query and
+    // the DataFrame it returns is only the trivial post-hoc sink read
+    // — the audit would pay the stream's wall time to print a parquet
+    // scan. Their streaming plans are exercised (and their content
+    // value-gated) by Verify.
     "q14_promo", "q13_custdist", "q15_top_supplier", "q18_big_orders",
-    "q17_small_qty", "q19_disjunct", "q22_idle_customers",
-    "stream_medallion", "stream_hourly", "stream_scd2")
+    "q17_small_qty", "q19_disjunct", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

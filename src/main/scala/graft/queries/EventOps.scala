@@ -627,9 +627,15 @@ object EventOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val (sch, rows) = last.get()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
-      .orderBy("hour_start", "event_type")
+    // Zero micro-batches (an empty staged input) = the batch twin's
+    // empty result, not an NPE.
+    Option(last.get()).fold(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "hour_start BIGINT, event_type STRING, cnt BIGINT, value_sum DOUBLE"))) {
+      case (sch, rows) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+    }.orderBy("hour_start", "event_type")
   }
 
   /** SCD2 dimension maintenance EXECUTED AS A STREAM, under the value
@@ -660,8 +666,8 @@ object EventOps {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).delete(hp, true)
     }
-    // Week buckets over the fixture's January 2024 span: 2024-01-01
-    // UTC in micros; 5 buckets -> 5 generations -> 5 real micro-batches.
+    // Time buckets anchored at 2024-01-01 UTC (in micros), one
+    // generation per bucket, one real micro-batch per generation.
     // The timestamp stages as epoch MICROS (BIGINT): the session's
     // parquet writer may emit INT96 for timestamp columns, which the
     // connector's INT64 decoder correctly refuses — the micros round
@@ -681,6 +687,14 @@ object EventOps {
     val buckets = stagingPath.getFileSystem(conf).listStatus(stagingPath)
       .map(_.getPath.getName).filter(_.startsWith("b="))
       .map(_.stripPrefix("b=").toInt).sorted
+    // The query's entire point is state carried ACROSS triggers; a
+    // fixture whose span fits one bucket would silently degrade to a
+    // single batch (which trivially matches the batch oracle) — fail
+    // the coverage claim loudly instead.
+    require(buckets.length >= 2,
+      s"stream_scd2 needs >= 2 time buckets for cross-batch state " +
+        s"coverage; the events span produced ${buckets.length} - widen " +
+        "the fixture or shrink the bucket width")
     buckets.zipWithIndex.foreach { case (b, i) =>
       val files = spark.read.parquet(s"$bronze/staging/b=$b").inputFiles.toSeq
       graft.sources.SnapshotTable.publishAppend(spark, bronze, (i + 1).toLong,

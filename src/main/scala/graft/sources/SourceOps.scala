@@ -938,24 +938,28 @@ object SourceOps {
     * both survive. Tombstone accounting (one equality-delete file per
     * upsert commit) is value-gated as a constant column.
     */
-  def snapshotCdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val table = freshTable(spark, "snapshot_cdc_apply")
+  /** The CDC change feed both [[snapshotCdcApply]] and
+    * [[streamMedallion]] apply — ONE construction, so the batch and
+    * streaming twins (which also bind one oracle text) cannot drift.
+    */
+  private def cdcFeedBatches(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_custkey"))
     def chg(lsn: Long, delta: Long)(rows: DataFrame): DataFrame =
       rows.select(col("k"), lit(lsn).as("lsn"),
         (col("o_custkey") + delta).as("v"))
-    val b0 = chg(0L, 0L)(o)
-      .unionByName(chg(1L, CdcD1)(o.filter(col("k") % CdcDupMod === 1)))
-    val b1 = chg(2L, CdcD2)(o.filter(col("k") % CdcUpdMod === 1))
-      .unionByName(chg(3L, CdcD3)(o.filter(col("k") % CdcUpd2Mod === 1)))
-    val b2 = o.filter(col("k") % CdcInsMod === 2)
-      .select((col("k") + CdcInsOffset).as("k"), lit(4L).as("lsn"),
-        (col("o_custkey") + CdcD4).as("v"))
-    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, id) =>
-      graft.streaming.SnapshotStream.upsertBatch(
-        b, id.toLong, table, "k", orderCol = Some("lsn"))
-    }
+    Seq(
+      chg(0L, 0L)(o)
+        .unionByName(chg(1L, CdcD1)(o.filter(col("k") % CdcDupMod === 1))),
+      chg(2L, CdcD2)(o.filter(col("k") % CdcUpdMod === 1))
+        .unionByName(chg(3L, CdcD3)(o.filter(col("k") % CdcUpd2Mod === 1))),
+      o.filter(col("k") % CdcInsMod === 2)
+        .select((col("k") + CdcInsOffset).as("k"), lit(4L).as("lsn"),
+          (col("o_custkey") + CdcD4).as("v")))
+  }
+
+  /** The per-generation report row shared by the CDC twins. */
+  private def cdcGenReport(spark: SparkSession, table: String): DataFrame =
     Seq(1L, 2L, 3L).map { g =>
       SnapshotTable.readMor(spark, table, g, "k")
         .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
@@ -965,6 +969,14 @@ object SourceOps {
             .as("n_delete_files"),
           col("n_rows"), col("key_sum"), col("val_sum"))
     }.reduce(_ unionByName _).orderBy("gen")
+
+  def snapshotCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_cdc_apply")
+    cdcFeedBatches(spark, dir).zipWithIndex.foreach { case (b, id) =>
+      graft.streaming.SnapshotStream.upsertBatch(
+        b, id.toLong, table, "k", orderCol = Some("lsn"))
+    }
+    cdcGenReport(spark, table)
   }
 
   /** The MEDALLION pipeline EXECUTED AS A STREAM, under the driver's
@@ -987,39 +999,17 @@ object SourceOps {
     val bronze = freshTable(spark, "stream_medallion_bronze")
     val silver = freshTable(spark, "stream_medallion_silver")
     val ckpt = freshTable(spark, "stream_medallion_ckpt")
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("k"), col("o_custkey"))
-    def chg(lsn: Long, delta: Long)(rows: DataFrame): DataFrame =
-      rows.select(col("k"), lit(lsn).as("lsn"),
-        (col("o_custkey") + delta).as("v"))
-    SnapshotTable.commit(
-      chg(0L, 0L)(o)
-        .unionByName(chg(1L, CdcD1)(o.filter(col("k") % CdcDupMod === 1))),
-      bronze, 1L)
-    SnapshotTable.commit(
-      chg(2L, CdcD2)(o.filter(col("k") % CdcUpdMod === 1))
-        .unionByName(chg(3L, CdcD3)(o.filter(col("k") % CdcUpd2Mod === 1))),
-      bronze, 2L, carryFrom = Some(1L))
-    SnapshotTable.commit(
-      o.filter(col("k") % CdcInsMod === 2)
-        .select((col("k") + CdcInsOffset).as("k"), lit(4L).as("lsn"),
-          (col("o_custkey") + CdcD4).as("v")),
-      bronze, 3L, carryFrom = Some(2L))
+    cdcFeedBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
+      SnapshotTable.commit(b, bronze, (i + 1).toLong,
+        carryFrom = if (i == 0) None else Some(i.toLong))
+    }
     val q = graft.streaming.SnapshotStream.cdcApply(
       spark.readStream
         .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
         .option("path", bronze).option("maxGensPerBatch", "1").load(),
       silver, "k", ckpt, orderCol = Some("lsn")).start()
     try q.processAllAvailable() finally q.stop()
-    Seq(1L, 2L, 3L).map { g =>
-      SnapshotTable.readMor(spark, silver, g, "k")
-        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
-          sum("v").as("val_sum"))
-        .select(lit(g).as("gen"),
-          lit(SnapshotTable.listDeleteFiles(spark, silver, g).size.toLong)
-            .as("n_delete_files"),
-          col("n_rows"), col("key_sum"), col("val_sum"))
-    }.reduce(_ unionByName _).orderBy("gen")
+    cdcGenReport(spark, silver)
   }
 
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
