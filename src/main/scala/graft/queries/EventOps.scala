@@ -722,6 +722,81 @@ object EventOps {
       .orderBy("user_id", "valid_from", "state")
   }
 
+  /** Every [[streamDedup]] duplicate re-delivers events with key ≡ 1
+    * (mod this), mirrored in nothing — the duplicates are EXTRA
+    * deliveries of existing rows, so the oracle is simply the distinct
+    * original events.
+    */
+  val StreamDupMod = 3L
+
+  /** Streaming EXACT DEDUP executed under the value gate — the fourth
+    * gated streaming operator class (the built-in
+    * `dropDuplicatesWithinWatermark` state store) next to the CDC
+    * sink, windowed aggregation, and flatMapGroupsWithState. The
+    * events split into time buckets committed as generations; every
+    * bucket after the first ALSO re-delivers a third of the PREVIOUS
+    * bucket's events (the at-least-once redelivery a real log
+    * produces), so the dedup state must suppress duplicates ACROSS
+    * micro-batches, not just within one. The watermark delay exceeds
+    * the fixture span, so no state evicts and the output is exactly
+    * one row per event — the oracle is the plain distinct projection
+    * of the events table. First-seen rows land through the idempotent
+    * batch-partitioned sink; nothing routes through the driver.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bronze = graft.Scratch.dir("stream_dedup_bronze")
+    val ckpt = graft.Scratch.dir("stream_dedup_ckpt")
+    val sink = graft.Scratch.dir("stream_dedup_sink")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(bronze, ckpt, sink).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    val bucketUs = 11L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"),
+        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
+          .cast("int").as("b"))
+    ev.repartition(col("b")).write.partitionBy("b").parquet(s"$bronze/staging")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$bronze/staging")
+    val buckets = stagingPath.getFileSystem(conf).listStatus(stagingPath)
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toInt).sorted
+    require(buckets.length >= 2,
+      "stream_dedup needs >= 2 time buckets for cross-batch duplicates")
+    // Each later bucket's generation carries its own files PLUS a
+    // re-delivery file of the previous bucket's ≡1 (mod StreamDupMod)
+    // events — duplicates that arrive in a LATER micro-batch.
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      val own = spark.read.parquet(s"$bronze/staging/b=$b")
+      val withDups = if (i == 0) own
+        else own.unionByName(
+          spark.read.parquet(s"$bronze/staging/b=${buckets(i - 1)}")
+            .filter(col("event_id") % StreamDupMod === 1))
+      graft.sources.SnapshotTable.commit(withDups, bronze, (i + 1).toLong,
+        carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+    val q = spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", bronze).option("maxGensPerBatch", "1").load()
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
     * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
     * snapshot (latest state per user), the post-split stream to a delta
@@ -913,6 +988,7 @@ object EventOps {
     "events_hourly" -> (hourly _),
     "stream_hourly" -> (streamHourly _),
     "stream_scd2" -> (streamScd2 _),
+    "stream_dedup" -> (streamDedup _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -1337,6 +1413,12 @@ object EventOps {
          |FROM ch
          |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          |ORDER BY user_id, valid_from, state""".stripMargin,
+    // [[streamDedup]]'s twin: the duplicates are EXTRA deliveries of
+    // existing rows, so dedup must reproduce exactly the original
+    // distinct events.
+    "stream_dedup" ->
+      s"""SELECT event_id, epoch_us($TsCast) AS us, user_id, event_type
+         |FROM events ORDER BY event_id""".stripMargin,
     // [[streamScd2]]'s twin: the SAME change CTEs, projected to the
     // CLOSED intervals (the stream's append output — the open interval
     // is state, not a fact yet).
