@@ -658,55 +658,11 @@ object EventOps {
     * operator too.
     */
   def streamScd2(spark: SparkSession, dir: String): DataFrame = {
-    val bronze = graft.Scratch.dir("stream_scd2_bronze")
-    val ckpt = graft.Scratch.dir("stream_scd2_ckpt")
-    val sink = graft.Scratch.dir("stream_scd2_sink")
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq(bronze, ckpt, sink).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).delete(hp, true)
-    }
-    // Time buckets anchored at 2024-01-01 UTC (in micros), one
-    // generation per bucket, one real micro-batch per generation.
-    // The timestamp stages as epoch MICROS (BIGINT): the session's
-    // parquet writer may emit INT96 for timestamp columns, which the
-    // connector's INT64 decoder correctly refuses — the micros round
-    // trip is lossless and rebuilt below. Three ~11-day buckets over
-    // the fixture's January 2024 span: enough real micro-batches to
-    // carry state across triggers without paying five rounds of
-    // state-store checkpointing for the same coverage.
-    val bucketUs = 11L * 86400L * 1000000L
-    Tables.events(spark, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("user_id"), col("event_type"),
-        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
-          .cast("int").as("b"))
-      .repartition(col("b"))
-      .write.partitionBy("b").parquet(s"$bronze/staging")
-    val stagingPath = new org.apache.hadoop.fs.Path(s"$bronze/staging")
-    val buckets = stagingPath.getFileSystem(conf).listStatus(stagingPath)
-      .map(_.getPath.getName).filter(_.startsWith("b="))
-      .map(_.stripPrefix("b=").toInt).sorted
-    // The query's entire point is state carried ACROSS triggers; a
-    // fixture whose span fits one bucket would silently degrade to a
-    // single batch (which trivially matches the batch oracle) — fail
-    // the coverage claim loudly instead.
-    require(buckets.length >= 2,
-      s"stream_scd2 needs >= 2 time buckets for cross-batch state " +
-        s"coverage; the events span produced ${buckets.length} - widen " +
-        "the fixture or shrink the bucket width")
-    buckets.zipWithIndex.foreach { case (b, i) =>
-      val files = spark.read.parquet(s"$bronze/staging/b=$b").inputFiles.toSeq
-      graft.sources.SnapshotTable.publishAppend(spark, bronze, (i + 1).toLong,
-        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
-    }
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_scd2_bronze", "stream_scd2_ckpt", "stream_scd2_sink")
+    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
     import spark.implicits._
-    val typed = spark.readStream
-      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
-      .option("path", bronze).option("maxGensPerBatch", "1").load()
-      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-        col("user_id"), col("event_type"))
-      .as[graft.streaming.EventStream.Ev]
+    val typed = eventTail(spark, bronze).as[graft.streaming.EventStream.Ev]
     val q = graft.streaming.EventStream.scd2Stream(typed).toDF()
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -729,6 +685,85 @@ object EventOps {
     */
   val StreamDupMod = 3L
 
+  /** Prepare a fresh set of scratch dirs (deleting leftovers). */
+  private def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.map { n =>
+      val p = graft.Scratch.dir(n)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+      p
+    }
+  }
+
+  /** Stage the events into ~11-day time buckets under `root/staging`
+    * (timestamps as epoch-micros BIGINT — the session's parquet writer
+    * may emit INT96 for timestamp columns, which the connector's INT64
+    * decoder correctly refuses; micros round-trip losslessly) and
+    * return the sorted bucket ids. Shared by every stream_* query:
+    * the bucket is a FUNCTION of the event time, so files of bucket k
+    * strictly precede bucket k+1 — the cross-batch arrival-order
+    * contract. At least two buckets or the multi-batch coverage claim
+    * fails loudly.
+    */
+  private def stageEventBuckets(spark: SparkSession, dir: String,
+      root: String, bucketDays: Long = 11L): Seq[Int] = {
+    val bucketUs = bucketDays * 86400L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"),
+        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
+          .cast("int").as("b"))
+      .repartition(col("b"))
+      .write.partitionBy("b").parquet(s"$root/staging")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$root/staging")
+    val buckets = stagingPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(stagingPath)
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toInt).sorted.toSeq
+    require(buckets.length >= 2,
+      s"stream_* queries need >= 2 time buckets for cross-batch state " +
+        s"coverage; the events span produced ${buckets.length} - widen " +
+        "the fixture or shrink the bucket width")
+    buckets
+  }
+
+  /** Publish each staged bucket as a snapshot generation in time order
+    * (plain appends — [[streamDedup]] rolls its own commits to inject
+    * re-deliveries).
+    */
+  private def publishEventGens(spark: SparkSession, root: String,
+      buckets: Seq[Int]): Unit =
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      val files = spark.read.parquet(s"$root/staging/b=$b").inputFiles.toSeq
+      graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
+        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+
+  /** The connector tail every stream_* query consumes: one generation
+    * per trigger, timestamps rebuilt from the staged micros.
+    */
+  private def eventTail(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", root).option("maxGensPerBatch", "1").load()
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+
+  /** Read the batch-partitioned sink back, or the given empty shape if
+    * no batch ever wrote (zero-row parquet writes leave no files).
+    */
+  private def readSinkOrEmpty(spark: SparkSession, sink: String,
+      emptyDdl: String): DataFrame =
+    try spark.read.parquet(sink)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+    }
+
   /** Streaming EXACT DEDUP executed under the value gate — the fourth
     * gated streaming operator class (the built-in
     * `dropDuplicatesWithinWatermark` state store) next to the CDC
@@ -744,27 +779,9 @@ object EventOps {
     * batch-partitioned sink; nothing routes through the driver.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val bronze = graft.Scratch.dir("stream_dedup_bronze")
-    val ckpt = graft.Scratch.dir("stream_dedup_ckpt")
-    val sink = graft.Scratch.dir("stream_dedup_sink")
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq(bronze, ckpt, sink).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).delete(hp, true)
-    }
-    val bucketUs = 11L * 86400L * 1000000L
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("user_id"), col("event_type"),
-        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
-          .cast("int").as("b"))
-    ev.repartition(col("b")).write.partitionBy("b").parquet(s"$bronze/staging")
-    val stagingPath = new org.apache.hadoop.fs.Path(s"$bronze/staging")
-    val buckets = stagingPath.getFileSystem(conf).listStatus(stagingPath)
-      .map(_.getPath.getName).filter(_.startsWith("b="))
-      .map(_.stripPrefix("b=").toInt).sorted
-    require(buckets.length >= 2,
-      "stream_dedup needs >= 2 time buckets for cross-batch duplicates")
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_dedup_bronze", "stream_dedup_ckpt", "stream_dedup_sink")
+    val buckets = stageEventBuckets(spark, dir, bronze)
     // Each later bucket's generation carries its own files PLUS a
     // re-delivery file of the previous bucket's ≡1 (mod StreamDupMod)
     // events — duplicates that arrive in a LATER micro-batch.
@@ -777,11 +794,7 @@ object EventOps {
       graft.sources.SnapshotTable.commit(withDups, bronze, (i + 1).toLong,
         carryFrom = if (i == 0) None else Some(i.toLong))
     }
-    val q = spark.readStream
-      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
-      .option("path", bronze).option("maxGensPerBatch", "1").load()
-      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-        col("user_id"), col("event_type"))
+    val q = eventTail(spark, bronze)
       .withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append")
@@ -795,6 +808,51 @@ object EventOps {
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"))
       .orderBy("event_id")
+  }
+
+  /** The STREAM-STREAM INTERVAL JOIN executed under the value gate —
+    * the last stateful streaming operator class
+    * ([[graft.streaming.EventStream.attributeClicks]]'s two-sided
+    * buffered join): the view and click legs both tail the same
+    * time-bucketed bronze (one generation per trigger), rows buffer in
+    * the join state store across micro-batches, and every view→click
+    * pair within the attribution horizon emits exactly once through
+    * the idempotent sink. An INNER stream-stream join emits matches as
+    * they arrive; the watermark only bounds STATE, and a 1-hour delay
+    * strictly dominates the 10-minute horizon (legs arrive in time
+    * order, so any straddling pair's buffered row is younger than the
+    * horizon), which means rows evict between the 11-day-apart batches
+    * without ever dropping a match — the output is exactly the batch
+    * interval self-join, at bounded state.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_join_bronze", "stream_join_ckpt", "stream_join_sink")
+    // TWO buckets (16-day width): the stream-stream join's per-batch
+    // state machinery (two legs x four store instances per partition)
+    // is the fixture's dominant cost, so the join drill covers the
+    // cross-batch boundary with the minimum number of rounds.
+    publishEventGens(spark, bronze,
+      stageEventBuckets(spark, dir, bronze, bucketDays = 16L))
+    val src = eventTail(spark, bronze)
+    val q = graft.streaming.EventStream.attributeClicks(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"),
+        horizonMinutes = 10, watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
+        "view_ts TIMESTAMP, click_ts TIMESTAMP, batch_id BIGINT")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy("view_id", "click_id")
   }
 
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
@@ -989,6 +1047,7 @@ object EventOps {
     "stream_hourly" -> (streamHourly _),
     "stream_scd2" -> (streamScd2 _),
     "stream_dedup" -> (streamDedup _),
+    "stream_join" -> (streamJoin _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -1413,6 +1472,20 @@ object EventOps {
          |FROM ch
          |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          |ORDER BY user_id, valid_from, state""".stripMargin,
+    // [[streamJoin]]'s twin: the batch interval self-join — an inner
+    // stream-stream join with a state-only watermark emits exactly the
+    // relational result.
+    "stream_join" ->
+      s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         |  epoch_us(${TsCast.replace("(ts", "(v.ts")}) AS view_us,
+         |  epoch_us(${TsCast.replace("(ts", "(c.ts")}) AS click_us
+         |FROM events v JOIN events c
+         |  ON v.user_id = c.user_id
+         | AND v.event_type = 'view' AND c.event_type = 'click'
+         | AND ${TsCast.replace("(ts", "(c.ts")} >= ${TsCast.replace("(ts", "(v.ts")}
+         | AND ${TsCast.replace("(ts", "(c.ts")}
+         |     <= ${TsCast.replace("(ts", "(v.ts")} + INTERVAL 10 MINUTES
+         |ORDER BY view_id, click_id""".stripMargin,
     // [[streamDedup]]'s twin: the duplicates are EXTRA deliveries of
     // existing rows, so dedup must reproduce exactly the original
     // distinct events.
