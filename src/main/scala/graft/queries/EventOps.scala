@@ -663,14 +663,7 @@ object EventOps {
     publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
     import spark.implicits._
     val typed = eventTail(spark, bronze).as[graft.streaming.EventStream.Ev]
-    val q = graft.streaming.EventStream.scd2Stream(typed).toDF()
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    runToSink(graft.streaming.EventStream.scd2Stream(typed).toDF(), ckpt, sink)
     spark.read.parquet(sink)
       .select(col("user_id"), col("state"),
         unix_micros(col("valid_from")).as("valid_from"),
@@ -684,6 +677,11 @@ object EventOps {
     * original events.
     */
   val StreamDupMod = 3L
+
+  /** [[streamJoin]]'s attribution horizon (minutes), mirrored in its
+    * oracle — one constant, two engines.
+    */
+  val StreamJoinHorizonMin = 10
 
   /** Prepare a fresh set of scratch dirs (deleting leftovers). */
   private def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
@@ -751,6 +749,22 @@ object EventOps {
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
         col("user_id"), col("event_type"))
 
+  /** Run a streaming frame to completion into the idempotent
+    * batch-partitioned sink — the one sink protocol every stream_*
+    * query shares (append mode, checkpointed, drained by
+    * processAllAvailable).
+    */
+  private def runToSink(streaming: DataFrame, ckpt: String,
+      sink: String): Unit = {
+    val q = streaming.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Read the batch-partitioned sink back, or the given empty shape if
     * no batch ever wrote (zero-row parquet writes leave no files).
     */
@@ -782,28 +796,41 @@ object EventOps {
     val Seq(bronze, ckpt, sink) = freshDirs(spark,
       "stream_dedup_bronze", "stream_dedup_ckpt", "stream_dedup_sink")
     val buckets = stageEventBuckets(spark, dir, bronze)
+    // The gate's precondition, enforced loudly: dedup-by-event_id can
+    // only equal the oracle's plain projection if event_ids are UNIQUE
+    // in the fixture (with a collision, the engine keeps an arbitrary
+    // one of two DIFFERENT rows — not value-deterministic).
+    val Array(nAll, nIds) = spark.read.parquet(s"$bronze/staging")
+      .agg(count(lit(1)), countDistinct(col("event_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nAll == nIds,
+      s"stream_dedup requires unique event_ids ($nAll rows, $nIds ids): " +
+        "with a collision the kept row is arbitrary and the value gate " +
+        "cannot bind the plain events projection")
     // Each later bucket's generation carries its own files PLUS a
     // re-delivery file of the previous bucket's ≡1 (mod StreamDupMod)
-    // events — duplicates that arrive in a LATER micro-batch.
+    // events — duplicates that arrive in a LATER micro-batch. The
+    // duplicate slice stages as its OWN file and the generation
+    // publishes by reference (publishAppend), so no already-staged
+    // bucket is rewritten.
     buckets.zipWithIndex.foreach { case (b, i) =>
-      val own = spark.read.parquet(s"$bronze/staging/b=$b")
-      val withDups = if (i == 0) own
-        else own.unionByName(
-          spark.read.parquet(s"$bronze/staging/b=${buckets(i - 1)}")
-            .filter(col("event_id") % StreamDupMod === 1))
-      graft.sources.SnapshotTable.commit(withDups, bronze, (i + 1).toLong,
+      val own = spark.read.parquet(s"$bronze/staging/b=$b").inputFiles.toSeq
+      val dupFiles = if (i == 0) Seq.empty[String] else {
+        val dupDir = s"$bronze/dups/b=$b"
+        spark.read.parquet(s"$bronze/staging/b=${buckets(i - 1)}")
+          .filter(col("event_id") % StreamDupMod === 1)
+          .coalesce(1).write.parquet(dupDir)
+        spark.read.parquet(dupDir).inputFiles.toSeq
+      }
+      graft.sources.SnapshotTable.publishAppend(spark, bronze,
+        (i + 1).toLong, (own ++ dupFiles).sorted,
         carryFrom = if (i == 0) None else Some(i.toLong))
     }
-    val q = eventTail(spark, bronze)
-      .withWatermark("ts", "60 days")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    runToSink(
+      eventTail(spark, bronze)
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("event_id"),
+      ckpt, sink)
     spark.read.parquet(sink)
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"))
@@ -819,11 +846,11 @@ object EventOps {
     * pair within the attribution horizon emits exactly once through
     * the idempotent sink. An INNER stream-stream join emits matches as
     * they arrive; the watermark only bounds STATE, and a 1-hour delay
-    * strictly dominates the 10-minute horizon (legs arrive in time
-    * order, so any straddling pair's buffered row is younger than the
-    * horizon), which means rows evict between the 11-day-apart batches
-    * without ever dropping a match — the output is exactly the batch
-    * interval self-join, at bounded state.
+    * strictly dominates the [[StreamJoinHorizonMin]]-minute horizon
+    * (legs arrive in time order, so any straddling pair's buffered row
+    * is younger than the horizon), which means rows evict between the
+    * 16-day-apart batches without ever dropping a match — the output
+    * is exactly the batch interval self-join, at bounded state.
     */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val Seq(bronze, ckpt, sink) = freshDirs(spark,
@@ -835,17 +862,12 @@ object EventOps {
     publishEventGens(spark, bronze,
       stageEventBuckets(spark, dir, bronze, bucketDays = 16L))
     val src = eventTail(spark, bronze)
-    val q = graft.streaming.EventStream.attributeClicks(
+    runToSink(
+      graft.streaming.EventStream.attributeClicks(
         src.filter(col("event_type") === "view"),
         src.filter(col("event_type") === "click"),
-        horizonMinutes = 10, watermark = "1 hour")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
-      .start()
-    try q.processAllAvailable() finally q.stop()
+        horizonMinutes = StreamJoinHorizonMin, watermark = "1 hour"),
+      ckpt, sink)
     readSinkOrEmpty(spark, sink,
       "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
         "view_ts TIMESTAMP, click_ts TIMESTAMP, batch_id BIGINT")
@@ -1484,7 +1506,7 @@ object EventOps {
          | AND v.event_type = 'view' AND c.event_type = 'click'
          | AND ${TsCast.replace("(ts", "(c.ts")} >= ${TsCast.replace("(ts", "(v.ts")}
          | AND ${TsCast.replace("(ts", "(c.ts")}
-         |     <= ${TsCast.replace("(ts", "(v.ts")} + INTERVAL 10 MINUTES
+         |     <= ${TsCast.replace("(ts", "(v.ts")} + INTERVAL $StreamJoinHorizonMin MINUTES
          |ORDER BY view_id, click_id""".stripMargin,
     // [[streamDedup]]'s twin: the duplicates are EXTRA deliveries of
     // existing rows, so dedup must reproduce exactly the original
