@@ -37,6 +37,13 @@ object PrefixSum {
   private val Reserved =
     Seq("cum", "__pid", "__v", "__local_cum", "__offset", "__opid")
 
+  /** Hard ceiling on the broadcast offsets frame (partitions ×
+    * |groups| rows). Far above any legitimate low-cardinality use
+    * (32 partitions × 2048 groups) yet small enough that a per-key
+    * misuse (millions of groups) fails fast instead of broadcasting.
+    */
+  val MaxOffsetRows = 65536L
+
   /** `df` plus a `cum` column: the running sum of `value` over the
     * global `sortCols` order (ascending list as given; pass explicit
     * `desc(...)` columns for descending) — or, with `groupCols`
@@ -92,7 +99,26 @@ object PrefixSum {
       (if (groupCols.isEmpty) Window.orderBy("__pid")
        else Window.partitionBy(groupCols.map(col): _*).orderBy("__pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(partKeys: _*).agg(sum(col("__v")).as("__ptot"))
+    val offsetsBase = ranged.groupBy(partKeys: _*).agg(sum(col("__v")).as("__ptot"))
+    // Enforce the low-cardinality contract at runtime, not just in the
+    // scaladoc: a high-cardinality group column would silently build
+    // and broadcast a partitions × |groups| frame and run an unbounded
+    // per-group offset window. Fail loudly instead. The count rides the
+    // materialized frame (≤ one row per (partition, group)), so the
+    // guard itself is a tiny job over the checkpointed input.
+    val offsetsSized =
+      if (groupCols.isEmpty) offsetsBase
+      else {
+        val sized = offsetsBase.localCheckpoint()
+        val n = sized.count()
+        require(n <= MaxOffsetRows,
+          s"PrefixSum.withRunningTotal: offsets frame has $n rows " +
+            s"(> $MaxOffsetRows) — groupCols ${groupCols.mkString(", ")} " +
+            "are not low-cardinality; use Window.partitionBy(key) for " +
+            "per-key running totals instead")
+        sized
+      }
+    val offsets = offsetsSized
       .withColumn("__offset",
         coalesce(sum(col("__ptot")).over(offsetWindow), lit(0L)))
       .select(partKeys :+ col("__offset"): _*)

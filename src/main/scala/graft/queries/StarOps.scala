@@ -541,7 +541,10 @@ object StarOps {
         Parity.dsumProdCents(col("l_extendedprice"),
           lit(1.0) - col("l_discount")).as("total_cents"))
       .selectExpr("promo_cents", "total_cents",
-        "promo_cents * 1000000 div total_cents AS promo_ppm")
+        // nullif guards an empty ship-month identically on both
+        // engines (DuckDB's // would RAISE on a zero denominator
+        // where Spark's div yields NULL — the guarded forms agree).
+        "promo_cents * 1000000 div nullif(total_cents, 0) AS promo_ppm")
   }
 
   /** [[q13CustDist]] excludes this priority class, mirroring TPC-H
@@ -683,13 +686,23 @@ object StarOps {
           lit(1.0) - col("l_discount")).as("revenue_cents"))
   }
 
+  /** [[q22IdleCustomers]] idleness cutoff: a customer is idle when it
+    * placed no order ON OR AFTER this date (the fixture's order dates
+    * run 1995-01..2001-08, and every customer has SOME order, so the
+    * reference Q22's "no orders ever" arm would be vacuously empty —
+    * the gate must bind rows the anti-join actually produces).
+    */
+  val Q22IdleSince = "1997-06-01"
+
   /** TPC-H Q22-shaped IDLE WEALTHY CUSTOMERS: per nation, the count
-    * and balance of customers who hold more than the average positive
-    * balance yet placed NO orders — the scalar-subquery + anti-join
-    * shape. The 1-row average broadcasts onto the customer scan; the
-    * anti-join shuffles on the customer key. The average itself is a
-    * DECIMAL ratio surfaced only as a filter bound: the compare
-    * rearranges to `acctbal · cnt > sum` (division-free, exact).
+    * and balance of customers who hold more than HALF the average
+    * positive balance yet placed no orders since [[Q22IdleSince]] —
+    * the scalar-subquery + anti-join shape. The 1-row average
+    * broadcasts onto the customer scan; the date predicate pushes to
+    * the orders scan BEFORE the anti-join shuffles on the customer
+    * key. The average itself is a DECIMAL ratio surfaced only as a
+    * filter bound: the compare rearranges to `acctbal · cnt · 2 >
+    * sum` (division-free, exact).
     */
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -698,9 +711,12 @@ object StarOps {
     val avgPos = c.filter(col("c_acctbal") > 0.0)
       .agg(sum(col("c_acctbal").cast(dec)).as("bsum"),
         count(lit(1)).as("bcnt"))
+    val o = Tables.orders(spark, dir)
     c.join(broadcast(avgPos),
-        col("c_acctbal").cast(dec) * col("bcnt") > col("bsum"))
-      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_acctbal").cast(dec) * col("bcnt") * 2 > col("bsum"))
+      .join(o.filter(
+          col("o_orderdate") >= Tables.tsLit(o, "o_orderdate", Q22IdleSince))
+          .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(Tables.nation(spark, dir)
         .select("n_nationkey", "n_name")),
@@ -1334,20 +1350,23 @@ object StarOps {
          |   OR (p_brand = '$Q19BrandB'
          |       AND l_quantity BETWEEN ${Q19QtyB._1} AND ${Q19QtyB._2}
          |       AND p_size BETWEEN 1 AND 40)""".stripMargin,
-    // Q22 twin: division-free average compare (acctbal·cnt > sum),
-    // anti-join via NOT EXISTS, floor-cents balance total.
+    // Q22 twin: division-free half-average compare (acctbal·cnt·2 >
+    // sum), anti-join via NOT EXISTS over the date-filtered orders,
+    // floor-cents balance total.
     "q22_idle_customers" ->
-      """WITH avgpos AS (
-        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bsum,
-        |         CAST(count(*) AS BIGINT) AS bcnt
-        |  FROM customer WHERE c_acctbal > 0.0)
-        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
-        |  CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS totacctbal_cents
-        |FROM customer, avgpos
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bcnt > bsum
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      s"""WITH avgpos AS (
+         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bsum,
+         |         CAST(count(*) AS BIGINT) AS bcnt
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+         |  CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS totacctbal_cents
+         |FROM customer, avgpos
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bcnt * 2 > bsum
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '$Q22IdleSince')
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // Q13 twin: LEFT join with the exclusion ON the join condition;
     // counts of counts are exact integers.
     "q13_custdist" ->
@@ -1397,7 +1416,7 @@ object StarOps {
          |  CAST(floor(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS promo_cents,
          |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS total_cents,
          |  CAST(CAST(floor(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) * 1000000
-         |    // CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS BIGINT) AS promo_ppm
+         |    // nullif(CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT), 0) AS BIGINT) AS promo_ppm
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
          |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,

@@ -808,7 +808,11 @@ object SnapshotTable {
         case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
             if bounds.get(c).exists { case (lo, hi) => mn > hi || mx < lo } => p
       }.toSet
-      rows.map(_.path).distinct.filterNot(excluded).sorted
+      // Data rows only: a stats lineage that later gains equality-delete
+      // tombstones must never hand a delete-key file to the reader as
+      // data (matches the plain branch and readWhere's multi-column arm).
+      rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+        .distinct.filterNot(excluded).sorted
     }
   }
 

@@ -63,6 +63,18 @@ class PrefixSumSpec extends AnyFunSuite {
       (None, 3L, 8L), (Some("a"), 4L, 9L)))
   }
 
+  test("a high-cardinality group column fails loudly instead of broadcasting") {
+    // The grouped variant's offsets frame is partitions × |groups| rows
+    // and BROADCASTS — a per-key misuse (here ~70k distinct groups)
+    // must hit the runtime guard, not silently build the frame.
+    val df = spark.range(70000).selectExpr("id AS g", "id", "1L AS v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(
+        df, Seq(asc("id")), col("v"), 4, groupCols = Seq("g")).collect()
+    }
+    assert(e.getMessage.contains("Window.partitionBy"))
+  }
+
   test("pareto report is internally consistent on the fixture") {
     import graft.queries.StarOps
     val (customers, total, top80, ppm) =

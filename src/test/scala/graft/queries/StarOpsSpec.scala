@@ -60,6 +60,18 @@ class StarOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("q22 idle-customers binds real rows at the driver gate's scale") {
+    // The r12 advice: with "no orders ever" the anti-join arm was empty
+    // at every fixture scale, so the exact oracle was vacuous. The
+    // half-average bound + idle-since cutoff must produce rows at
+    // sf0.01 (the driver's gate scale) for the hash to bind anything.
+    val got = StarOps.q22IdleCustomers(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty, "q22 gate is vacuous: no idle wealthy customers")
+    assert(got.map(_._2).sum >= 1L)
+    got.foreach { case (_, n, cents) => assert(n >= 1L && cents != 0L) }
+  }
+
   test("one-pass skewness/kurtosis match a sequential central-moment fold") {
     val dir = "/root/testdata/sf0.001"
     val got = StarOps.aggMoments(spark, dir)

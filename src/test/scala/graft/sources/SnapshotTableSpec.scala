@@ -423,6 +423,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("admittedFiles never hands a tombstone file to the reader as data") {
+    import spark.implicits._
+    // A stats lineage (publishStats) that later gains MoR tombstones
+    // (commitDeletes full-row carry): the multi-column zone-map branch
+    // must skip kind="delete" rows exactly like the plain branch and
+    // readWhere's multi-column arm — an equality-delete KEY file read
+    // as data would surface ghost rows.
+    val table = graft.Scratch.dir("admitted_tombstone")
+    val a = s"$table/data/gen=1/a.parquet"
+    val b = s"$table/data/gen=1/b.parquet"
+    SnapshotTable.publishStats(spark, table, 1L,
+      Seq((a, "k", 0L, 9L), (b, "k", 10L, 19L)))
+    SnapshotTable.commitDeletes(Seq(5L).toDF("k"), table, 2L, carryFrom = 1L)
+    assert(SnapshotTable.admittedFiles(spark, table, 2L,
+      Map("k" -> (0L, 19L))).toSet === Set(a, b))
+    // Bounds pruning still binds on the surviving data rows.
+    assert(SnapshotTable.admittedFiles(spark, table, 2L,
+      Map("k" -> (0L, 5L))) === Seq(a))
+  }
+
   test("multi-column zone maps prune on either dimension and reject unknown columns") {
     import spark.implicits._
     // Run the registered query for its table side effects.
