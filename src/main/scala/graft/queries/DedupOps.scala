@@ -1587,7 +1587,177 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  // ---- Streaming ingest under the value gate --------------------------
+  // The two DocStream production pipelines executed as REAL bounded
+  // streaming runs whose output the driver hashes against DuckDB — the
+  // same recipe as the stream_* event gates: documents staged as
+  // snapshot generations, the DSv2 connector tails them one generation
+  // per trigger, each micro-batch runs the exact production step
+  // (probe the persisted index, append itself as history), and the
+  // batch-partitioned sinks read back as the result. Batch identity is
+  // a FUNCTION of the doc_id (md5 bucket mod StreamIngestBatches + 1),
+  // so the oracle reconstructs the cross-batch history semantics
+  // relationally: history of batch k = the tag-0 seed plus every batch
+  // strictly below k. The WHOLE corpus participates (tag 0 seeds, tags
+  // 1..3 stream): under a train/non-train layout no near-dup pair had
+  // BOTH docs outside train at fixture scale, so the growing-index arm
+  // of the band gate would have been vacuously green (the q22 lesson).
+
+  /** Micro-batch count for the streaming ingest gates: documents with
+    * ingest tag ≥ 1 split into this many generations; tag 0 is the
+    * seed backfill (every tag populated at all fixture scales —
+    * enforced loudly at staging).
+    */
+  val StreamIngestBatches = 3
+
+  /** The per-document ingest tag in [0, StreamIngestBatches]: 0 seeds
+    * the index, tag k ≥ 1 streams as micro-batch k-1. A pure function
+    * of the doc_id (the split machinery's md5 bucket), mirrored in
+    * [[duckBatchTagCte]].
+    */
+  private def ingestTag: Column =
+    pmod(SampleOps.bucketOf(col("doc_id")), lit(StreamIngestBatches + 1))
+
+  /** Fresh scratch dirs (leftovers deleted) — the stream gates rerun
+    * within one JVM (Verify then Bench), so every run needs a fresh
+    * checkpoint and sink lineage.
+    */
+  private def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.map { n =>
+      val p = graft.Scratch.dir(n)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+      p
+    }
+  }
+
+  /** Stage the tag ≥ 1 documents as [[StreamIngestBatches]] snapshot
+    * generations in batch-tag order. The tag is a pure function of the
+    * doc_id, so the connector's one-generation-per-trigger tail yields
+    * deterministic micro-batch composition the oracle can reconstruct.
+    */
+  private def stageDocGens(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("bt", (ingestTag - 1).cast("int"))
+      .filter(col("bt") >= 0)
+      .select("doc_id", "text", "bt")
+    d.repartition(col("bt")).write.partitionBy("bt").parquet(s"$root/staging")
+    (0 until StreamIngestBatches).foreach { i =>
+      val part = s"$root/staging/bt=$i"
+      val hp = new org.apache.hadoop.fs.Path(part)
+      require(hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp),
+        s"stream ingest gates need every batch tag populated; tag $i of " +
+          s"$StreamIngestBatches is empty at $dir — shrink StreamIngestBatches")
+      val files = spark.read.parquet(part).inputFiles.toSeq
+      graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
+        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+  }
+
+  /** The connector tail the ingest gates consume: one generation per
+    * trigger, typed to [[graft.streaming.DocStream.Doc]].
+    */
+  private def docTail(spark: SparkSession,
+      root: String): org.apache.spark.sql.Dataset[graft.streaming.DocStream.Doc] = {
+    import spark.implicits._
+    spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", root).option("maxGensPerBatch", "1").load()
+      .select("doc_id", "text")
+      .as[graft.streaming.DocStream.Doc]
+  }
+
+  /** Read a batch-partitioned stream sink back, or the given empty
+    * shape if no batch ever produced rows (zero-row partitioned writes
+    * leave no readable files).
+    */
+  private def readSinkOrEmpty(spark: SparkSession, sink: String,
+      emptyDdl: String): DataFrame =
+    try spark.read.parquet(sink)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+    }
+
+  /** [[graft.streaming.DocStream.neardupIngest]] EXECUTED under the
+    * value gate: the band-bucket index seeds from the tag-0 quarter
+    * (the deployment backfill, via the persisted signature artifact),
+    * the tag ≥ 1 documents stream in as
+    * [[StreamIngestBatches]] real micro-batches, and every batch runs
+    * the production step verbatim — compute ONLY its own MinHash
+    * bands, probe the persisted index for strictly-earlier history,
+    * append itself. The returned frame is the candidate sink's
+    * content; the oracle recomputes every batch's candidate set
+    * relationally (bands joined on `history tag < batch tag`), so the
+    * hash asserts streaming ingest ≡ batch derivation ≡ DuckDB
+    * including the cross-batch index growth. Per-batch cost is the
+    * batch plus a bucket-keyed join — never corpus history.
+    */
+  def streamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, idx, cand, ckpt) = freshDirs(spark,
+      "stream_neardup_bronze", "stream_neardup_idx",
+      "stream_neardup_cand", "stream_neardup_ckpt")
+    // Seed from the memoized signature table (value-identical to
+    // hashing the tag-0 text — sigIndex's own gate pins that), not by
+    // re-hashing a quarter of the corpus: the deployment's backfill
+    // reads the batch job's persisted artifact too.
+    graft.streaming.DocStream.seedIndexFromBands(
+      bandsOfSig(
+        sigIndex(spark, dir).filter(ingestTag === 0),
+        graft.streaming.DocStream.NBands,
+        graft.streaming.DocStream.RowsPerBand, PortableFamily), idx)
+    stageDocGens(spark, dir, bronze)
+    val q = graft.streaming.DocStream
+      .neardupIngest(docTail(spark, bronze), idx, cand, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    readSinkOrEmpty(spark, cand,
+      "new_doc BIGINT, old_doc BIGINT, batch_id BIGINT")
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("new_doc"), col("old_doc"))
+      .orderBy("batch_id", "new_doc", "old_doc")
+  }
+
+  /** [[graft.streaming.DocStream.chunkIngest]] EXECUTED under the
+    * value gate — the chunk-level sibling of [[streamNeardup]]: the
+    * chunk index seeds from the tag-0 quarter (via the persisted
+    * chunk-instance artifact), the tag ≥ 1 documents stream in as
+    * real micro-batches, and each batch chunks
+    * ONLY itself, probes strictly-earlier history, reports per-doc
+    * fresh-passage ppm, and appends its chunks. The oracle derives
+    * every chunk's FIRST-SEEN batch tag (min over seed = -1 and all
+    * batch instances) and calls an instance fresh iff its own batch IS
+    * the first sighting — exactly the stream's history semantics, so
+    * the hash gates the growing-index behavior (58 cross-stream-batch
+    * history hits at sf0.01, 211 seed hits), not just one probe.
+    */
+  def streamChunks(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, idx, rpt, ckpt) = freshDirs(spark,
+      "stream_chunks_bronze", "stream_chunks_idx",
+      "stream_chunks_rpt", "stream_chunks_ckpt")
+    // Seed from the memoized chunk-instance table (the dedup_cdc
+    // artifact) instead of re-chunking the seed quarter — the same
+    // persisted-artifact backfill as stream_neardup's seed.
+    graft.streaming.DocStream.seedChunkIndexFromInstances(
+      cdcInstances(spark, dir).filter(ingestTag === 0), idx)
+    stageDocGens(spark, dir, bronze)
+    val q = graft.streaming.DocStream
+      .chunkIngest(docTail(spark, bronze), idx, rpt, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    readSinkOrEmpty(spark, rpt,
+      "doc_id BIGINT, n_chunks BIGINT, fresh_chunks BIGINT, " +
+        "fresh_ppm BIGINT, batch_id BIGINT")
+      .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+        col("n_chunks"), col("fresh_chunks"), col("fresh_ppm"))
+      .orderBy("batch_id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup" -> (streamNeardup _),
+    "stream_chunks" -> (streamChunks _),
     "dedup_cdc" -> (cdcDedup _),
     "dedup_spans" -> (spanDedup _),
     "dedup_spans_incr" -> (spanIncremental _),
@@ -1942,6 +2112,18 @@ object DedupOps {
          |FROM n, r""".stripMargin
     })
 
+  /** Batch-tag CTE for the streaming ingest oracles: the seed quarter
+    * maps to -1, tag k ≥ 1 to micro-batch k-1 — generated from the
+    * same md5-bucket arithmetic as [[ingestTag]], so the two sides
+    * cannot drift.
+    */
+  private def duckBatchTagCte: String =
+    s"""tag AS (
+       |  SELECT doc_id,
+       |    CAST((${duckPortable64("CAST(doc_id AS VARCHAR)")} % 100)
+       |      % ${StreamIngestBatches + 1} - 1 AS BIGINT) AS bt
+       |  FROM documents)""".stripMargin
+
   private val baseOracle: Map[String, String] = Map(
     "neardup_edit" ->
       s"""WITH $duckDistinctShingleCtes,
@@ -2002,6 +2184,42 @@ object DedupOps {
     "neardup_simhash" -> duckSimhashSql,
     "neardup_simhash_pairs" -> duckSimhashPairsSql,
     "neardup_simhash_incr" -> duckSimhashIncrSql,
+    // The streaming band-bucket ingest replayed relationally: every
+    // batch's candidates are its bands joined against bands whose
+    // batch tag is STRICTLY SMALLER (train seed = -1), exactly the
+    // probe-then-append history semantics. bb materializes (referenced
+    // as both sides of the self-join).
+    "stream_neardup" ->
+      s"""WITH $duckSignatureCtes,
+         |$duckBatchTagCte,
+         |bb AS MATERIALIZED (
+         |  SELECT b.doc_id, b.band, b.bucket, g.bt
+         |  FROM bands b JOIN tag g USING (doc_id))
+         |SELECT DISTINCT n.bt AS batch_id, n.doc_id AS new_doc,
+         |  h.doc_id AS old_doc
+         |FROM bb n JOIN bb h
+         |  ON n.band = h.band AND n.bucket = h.bucket AND h.bt < n.bt
+         |WHERE n.bt >= 0
+         |ORDER BY batch_id, new_doc, old_doc""".stripMargin,
+    // The streaming chunk ingest replayed relationally: an instance is
+    // FRESH iff its own batch is the chunk hash's first sighting
+    // across the train seed (-1) and every stream batch — min(bt) per
+    // hash reconstructs the growing index.
+    "stream_chunks" ->
+      s"""WITH $duckCdcInstCtes,
+         |$duckBatchTagCte,
+         |si AS MATERIALIZED (
+         |  SELECT i.doc_id, i.h, g.bt FROM inst i JOIN tag g USING (doc_id)),
+         |f AS (SELECT h, min(bt) AS t0 FROM si GROUP BY h)
+         |SELECT si.bt AS batch_id, si.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.t0 = si.bt THEN 1 ELSE 0 END) AS BIGINT) AS fresh_chunks,
+         |  (CAST(sum(CASE WHEN f.t0 = si.bt THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS fresh_ppm
+         |FROM si JOIN f USING (h)
+         |WHERE si.bt >= 0
+         |GROUP BY si.bt, si.doc_id
+         |ORDER BY batch_id, si.doc_id""".stripMargin,
     "neardup_pipeline" ->
       s"""WITH $duckVerifiedCtes
          |SELECT b AS doc_id, min(a) AS keep_as

@@ -64,7 +64,16 @@ object DocStream {
     * history.
     */
   def seedIndex(docs: DataFrame, indexDir: String): Unit =
-    DedupOps.minhashBands(docs, NBands, RowsPerBand)
+    seedIndexFromBands(
+      DedupOps.minhashBands(docs, NBands, RowsPerBand), indexDir)
+
+  /** [[seedIndex]] from an already-computed (doc_id, band, bucket)
+    * frame — the deployment that maintains a persisted signature/band
+    * table (the batch incremental query's artifact) seeds from it
+    * directly instead of re-hashing the corpus text.
+    */
+  def seedIndexFromBands(bands: DataFrame, indexDir: String): Unit =
+    bands.select("doc_id", "band", "bucket")
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")
       // Explicitly static: a session-wide dynamic default would quietly
@@ -149,13 +158,25 @@ object DocStream {
     */
   private[streaming] def resetFmtValidation(): Unit = fmtValidated.clear()
 
-  def seedChunkIndex(docs: DataFrame, indexDir: String): Unit = {
+  def seedChunkIndex(docs: DataFrame, indexDir: String): Unit =
+    seedChunkIndexFromInstances(
+      DedupOps.cdcChunkHashes(docs)
+        .select(col("doc_id"), explode(col("hs")).as("h")), indexDir)
+
+  /** [[seedChunkIndex]] from an already-computed (doc_id, h)
+    * chunk-instance frame — the deployment that maintains a persisted
+    * chunk index (the batch dedup_cdc artifact) seeds from it directly
+    * instead of re-chunking the corpus text. The fmt stamp applies
+    * here, so the caller's frame must carry CURRENT-format hashes
+    * (true by construction when it comes from the same
+    * [[DedupOps.cdcChunkHashes]] derivation).
+    */
+  def seedChunkIndexFromInstances(inst: DataFrame, indexDir: String): Unit = {
     // A re-seed rewrites the directory, so any prior validation
     // watermark is stale — forget it, or the seed partition (below the
     // old watermark) would escape the next contract check.
     fmtValidated.remove(indexDir)
-    DedupOps.cdcChunkHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    inst.select("doc_id", "h")
       .withColumn("fmt", lit(ChunkIndexFormat))
       .withColumn("batch_id", lit(SeedBatchId))
       .write.mode("overwrite")

@@ -212,6 +212,43 @@ class DocStreamSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("re-seed"))
   }
 
+  test("value-gated ingest queries bind BOTH history arms at the gate's scale") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{DedupOps, SampleOps}
+    val dir = "/root/testdata/sf0.01"
+    val nTags = DedupOps.StreamIngestBatches + 1
+    // stream_neardup: candidates must include seed hits AND hits whose
+    // old_doc entered the index as an EARLIER STREAM BATCH — the
+    // growing-index arm a train/non-train layout left vacuously green.
+    val cands = DedupOps.streamNeardup(spark, dir)
+      .withColumn("old_tag", pmod(SampleOps.bucketOf(col("old_doc")), lit(nTags)))
+      .collect()
+    assert(cands.nonEmpty)
+    assert(cands.map(_.getLong(0)).toSet ===
+      (0 until DedupOps.StreamIngestBatches).map(_.toLong).toSet,
+      "every micro-batch must produce candidates")
+    assert(cands.exists(_.getAs[Long]("old_tag") === 0L), "no seed hit")
+    assert(cands.exists(_.getAs[Long]("old_tag") >= 1L),
+      "growing-index arm vacuous: no candidate from an earlier stream batch")
+    // stream_chunks: some batch ≥ 1 document must report NON-fresh
+    // chunks (history binds), and the fixture must hold chunks whose
+    // first sighting is an earlier STREAM batch (not just the seed).
+    val rpt = DedupOps.streamChunks(spark, dir).collect()
+    assert(rpt.map(_.getLong(0)).toSet ===
+      (0 until DedupOps.StreamIngestBatches).map(_.toLong).toSet)
+    assert(rpt.exists(r => r.getLong(0) >= 1L &&
+      r.getAs[Long]("fresh_chunks") < r.getAs[Long]("n_chunks")))
+    val inst = DedupOps.cdcChunkHashes(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("bt", pmod(SampleOps.bucketOf(col("doc_id")), lit(nTags)) - 1)
+    val first = inst.groupBy("h").agg(min(col("bt")).as("t0"))
+    val crossStream = inst.join(first, "h")
+      .filter(col("bt") >= 1 && col("t0") >= 0 && col("t0") < col("bt"))
+      .count()
+    assert(crossStream >= 1L,
+      "growing-index arm vacuous: no chunk first seen in an earlier stream batch")
+  }
+
   test("golden: trending words maintain a Misra-Gries summary across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
