@@ -240,10 +240,12 @@ object RelOps {
     *      (≤ ~6e7 cent values), not the row count (the same
     *      distinct-value-frame move `agg_spearman` makes);
     *   2. ntile's nine cut ranks R_b = b·⌊n/10⌋ + min(b, n mod 10) are
-    *      located in that cumulative profile; a cut falling INSIDE a tie
-    *      run is resolved by ranking rows at that one price point by the
-    *      ntile tie-break key (orderkey) — ≤ 9 price points per group,
-    *      so the tie window touches only boundary-value rows;
+    *      located in that cumulative profile IN THE SAME PASS (the group
+    *      total rides a second window on the same partitioning, so the
+    *      exchange is shared); a cut falling INSIDE a tie run is
+    *      resolved by one sorted-collect of the ntile tie-break key
+    *      (orderkey) over that price point's rows — ≤ 9 price points
+    *      per group, so the collect touches only boundary-value rows;
     *   3. each row's decile is 1 + the number of cut keys it follows in
     *      (price DESC, orderkey ASC) order — a broadcast of ≤ 9 cut keys
     *      per group and one scan-local array `filter`, no second shuffle
@@ -261,41 +263,49 @@ object RelOps {
     // column names are kept globally unique — Spark's ambiguous-self-join
     // detection rejects dataset-qualified refs across shared lineage.
     val keys = base.select("prio", "cents", "okey")
+    // DOMAIN-bounded (≤ distinct prices per priority) and consumed by
+    // exactly one derivation below (the fused cut locator), so no
+    // materialization — the r12 tower (four fact scans from three
+    // consumers replanning this subtree) is gone by fusion, not by
+    // checkpointing.
     val levels = keys.groupBy("prio", "cents").agg(count(lit(1)).as("lcnt"))
-    val wl = Window.partitionBy("prio").orderBy(desc("cents"))
-    val cum = levels
-      .withColumn("cum", sum("lcnt").over(wl))
-      .withColumn("cum_before", col("cum") - col("lcnt"))
 
-    // The nine ntile cut ranks per group: bucket b ends at rank R_b.
-    // n comes from the level counts (not a separate scan of `keys`), so
-    // the levels aggregate's scan+exchange subtree is shared/reused.
-    val ranks = levels.groupBy("prio").agg(sum("lcnt").as("n"))
-      .select(col("prio").as("rprio"), col("n"),
-        explode(sequence(lit(1L), lit(9L))).as("b"))
+    // Cut location in ONE pass over the level profile: the cumulative
+    // count and the group total ride two windows on the SAME prio
+    // partitioning (one exchange), so the nine cut ranks R_b =
+    // b·⌊n/10⌋ + min(b, n mod 10) locate directly on each level row —
+    // no separate per-group aggregate, no rank join. tie_rank is the
+    // cut's position inside its level's (orderkey-ordered) tie run.
+    val wl = Window.partitionBy("prio").orderBy(desc("cents"))
+    val lvlCut = levels
+      .withColumn("cum", sum("lcnt").over(wl))
+      .withColumn("n", sum("lcnt").over(Window.partitionBy("prio")))
+      .withColumn("cum_before", col("cum") - col("lcnt"))
+      .withColumn("b", explode(sequence(lit(1L), lit(9L))))
       .withColumn("rank_b",
         col("b") * floor(col("n") / 10) + least(col("b"), col("n") % 10))
-
-    // Price level containing each cut rank; tie_rank is the cut's
-    // position inside that level's (orderkey-ordered) run of equal prices.
-    val lvlCut = cum.join(broadcast(ranks), col("prio") === col("rprio"))
       .filter(col("cum_before") < col("rank_b") && col("rank_b") <= col("cum"))
       .select(col("prio").as("lprio"), col("cents").as("cut_cents"),
         (col("rank_b") - col("cum_before")).as("tie_rank"))
-
-    // Resolve intra-tie cuts by orderkey rank — only rows AT a cut price.
-    val cutLevels = lvlCut
-      .select(col("lprio").as("cprio"), col("cut_cents").as("ccents"))
+      // n < 10 saturates the cut ranks (R_b = n for every b ≥ n), so
+      // several buckets cut at the SAME (level, tie_rank) — collapse
+      // them, or the duplicates multiply into the sorted-collect below
+      // and shift element_at's pick. Dropping duplicates is exact: a
+      // row "follows" the saturated rank-n cut only at rank > n, and
+      // no such row exists.
       .distinct()
-    val wt = Window.partitionBy("prio", "cents").orderBy(asc("okey"))
+
+    // Resolve intra-tie cuts by orderkey rank — only rows AT a cut
+    // price survive the broadcast join (≤ 9 levels per priority), and
+    // the rank probe is one sorted-collect per cut: the group carries
+    // that level's tie run (duplicated per cut falling inside it, so
+    // tie_rank is group-constant), and element_at picks the cut key.
     val boundaries = keys
-      .join(broadcast(cutLevels),
-        col("prio") === col("cprio") && col("cents") === col("ccents"))
-      .withColumn("rn", row_number().over(wt))
       .join(broadcast(lvlCut),
-        col("prio") === col("lprio") && col("cents") === col("cut_cents") &&
-          col("rn") === col("tie_rank"))
-      .select(col("prio").as("pprio"), col("cut_cents"), col("okey").as("cut_okey"))
+        col("prio") === col("lprio") && col("cents") === col("cut_cents"))
+      .groupBy(col("prio").as("pprio"), col("cut_cents"), col("tie_rank"))
+      .agg(element_at(sort_array(collect_list(col("okey"))),
+        col("tie_rank").cast("int")).as("cut_okey"))
 
     val packed = boundaries.groupBy("pprio")
       .agg(collect_list(struct(col("cut_cents").as("c"), col("cut_okey").as("k")))
