@@ -331,16 +331,38 @@ object DedupOps {
       batch: DataFrame): DataFrame = {
     val full = history.select(col("sh"), col("doc_id"), col("n_sh"), lit(true).as("hist"))
       .unionByName(batch.select(col("sh"), col("doc_id"), col("n_sh"), lit(false).as("hist")))
-    // Global doc-frequency stoplist over the LATEST snapshot — the df
-    // cap is what bounds every probe row's fan-out (≤ cap matches).
-    val keep = full.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= JaccardMaxDf)
-      .select("sh")
-    batch.select(col("sh"), col("doc_id").as("a"), col("n_sh").as("na"))
-      .join(keep, Seq("sh"))
-      .join(full.select(col("sh"), col("doc_id").as("b"),
-          col("n_sh").as("nb"), col("hist")), Seq("sh"))
-      .filter(col("hist") || col("a") < col("b"))
+    // One pass, two shuffles (the pairCountsOf shape): group the LATEST
+    // snapshot by shingle, expand each shingle's sorted doc list into
+    // unordered (a < b) pairs IN-ARRAY with the history flags carried,
+    // and drop history-history pairs inside the expansion. The
+    // size-of-list filter IS the global doc-frequency stoplist — the
+    // cap that bounds every shingle's fan-out (a hot shingle emits zero
+    // pairs instead of df² of them). The old shape re-derived the df
+    // table and joined it back: one extra corpus-keyed shuffle for the
+    // same candidate set.
+    val pairs = full.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"),
+        col("n_sh").as("n"), col("hist").as("h")))).as("ds"))
+      // The exists-guard keeps the probe's cost tracking the BATCH at
+      // any history size: a shingle carried only by history rows never
+      // expands at all (its pairs were scored when their batches
+      // arrived) — the scan-local equivalent of the old batch-first
+      // join, without that join's extra corpus-keyed shuffle.
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= JaccardMaxDf &&
+        expr("exists(ds, x -> NOT x.h)"))
+      .select(explode(expr(
+        """filter(flatten(transform(sequence(0, size(ds)-2),
+          |  i -> transform(slice(ds, i+2, size(ds)-i-1),
+          |       y -> named_struct('a', ds[i].d, 'na', ds[i].n, 'ha', ds[i].h,
+          |                         'b', y.d, 'nb', y.n, 'hb', y.h)))),
+          |  p -> NOT (p.ha AND p.hb))""".stripMargin)).as("p"))
+    // Batch-history pairs report the BATCH side as `a` whichever sort
+    // order held; batch-batch pairs keep the sorted (a < b) order.
+    pairs.select(
+        when(col("p.ha"), col("p.b")).otherwise(col("p.a")).as("a"),
+        when(col("p.ha"), col("p.a")).otherwise(col("p.b")).as("b"),
+        when(col("p.ha"), col("p.nb")).otherwise(col("p.na")).as("na"),
+        when(col("p.ha"), col("p.na")).otherwise(col("p.nb")).as("nb"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"), col("inter"),
@@ -364,10 +386,15 @@ object DedupOps {
     * the compare is integer-exact.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame =
-    scoreJaccard(spark.read.parquet(
-        pairCountsArtifact.rebuild(dir)(buildPairCounts(spark, dir))))
-      .orderBy(desc("j_ppm"), asc("a"), asc("b"))
-      .limit(20)
+    jaccardTopOf(scoreJaccard(spark.read.parquet(
+      pairCountsArtifact.rebuild(dir)(buildPairCounts(spark, dir)))))
+
+  /** The top-20 head [[jaccard]] reports, over any scored pair frame.
+    * Consumers that need the truth pairs WITHOUT re-measuring the build
+    * ([[lshRecall]]) apply it to the ensured [[pairCountsIndex]].
+    */
+  private def jaccardTopOf(scored: DataFrame): DataFrame =
+    scored.orderBy(desc("j_ppm"), asc("a"), asc("b")).limit(20)
 
   /** Memoized per-(JVM, sfDir) persisted pair-counts pointer: the
     * stoplist-bounded shared-shingle expansion is the single most
@@ -923,8 +950,11 @@ object DedupOps {
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     // The truth pairs feed BOTH the denominator count and the semi-join
     // numerator; materialize the 20-row result once instead of running
-    // the whole Jaccard pipeline per reference.
-    val exact = jaccard(spark, dir).select("a", "b").localCheckpoint()
+    // the whole Jaccard pipeline per reference. PROBE the ensured
+    // pair-counts index — calling jaccard() here would trigger its
+    // unconditional measured REBUILD and double-pay the expansion.
+    val exact = jaccardTopOf(scoreJaccard(pairCountsIndex(spark, dir)))
+      .select("a", "b").localCheckpoint()
     // The candidate side is the REGISTERED estimator query's pair set —
     // the same query whose oracle the composed audit oracle embeds — so
     // the Spark side and the oracle composition consume one definition

@@ -1105,23 +1105,29 @@ object VectorQueries {
       .withColumn("vrank", row_number().over(Window.orderBy(desc("sim"), asc("doc_id"))))
       .select("doc_id", "vrank")
     // Lexical channel (hybrid's shape and guards — see hybrid's doc for
-    // the explode_outer/binding contract).
-    val tok = corpus
+    // the explode_outer/binding contract). The per-(doc, term) tf frame
+    // is the ONE corpus tokenization every lexical stage consumes
+    // (query terms, df selection, scoring) — materialized once; the
+    // r12 shape re-planned the tokenize+explode subtree per consumer.
+    // Posting-list length IS the term's df (one row per (doc, term)),
+    // so no second corpus pass for df either.
+    val tf = corpus
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode_outer(col("toks")).as("w"))
       .filter(col("w").isNotNull)
-    val qTerms = tok.filter(col("doc_id") === qid).select("w").distinct()
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val qTerms = tf.filter(col("doc_id") === qid).select("w")
     // The 8-row term selection feeds BOTH the lexical scorer and the
     // chunk-provenance stage; materialize it once.
-    val qsel = tok.join(broadcast(qTerms), "w")
+    val qsel = tf.join(broadcast(qTerms), "w")
       .groupBy("w")
-      .agg(count_distinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .orderBy(asc("df"), asc("w"))
       .limit(HybridQTerms)
       .localCheckpoint()
-    val lr = tok.filter(col("doc_id") =!= qid)
-      .join(broadcast(qsel), "w")
-      .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+    val lr = tf.filter(col("doc_id") =!= qid)
+      .join(broadcast(qsel.select("w", "df")), "w")
       .groupBy("doc_id")
       .agg(sum(expr("tf * (1000000 div df)")).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
