@@ -1689,8 +1689,9 @@ object DedupOps {
   /** The connector tail the ingest gates consume: one generation per
     * trigger, typed to [[graft.streaming.DocStream.Doc]].
     */
-  private def docTail(spark: SparkSession,
+  private def docTail(mainSpark: SparkSession,
       root: String): org.apache.spark.sql.Dataset[graft.streaming.DocStream.Doc] = {
+    val spark = graft.streaming.StreamDrill.session(mainSpark)
     import spark.implicits._
     spark.readStream
       .format(classOf[graft.streaming.SnapshotSourceProvider].getName)

@@ -613,7 +613,7 @@ object EventOps {
     val schema = spark.read.parquet(staged).schema
     val last = new java.util.concurrent.atomic.AtomicReference[
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](null)
-    val q = spark.readStream.schema(schema)
+    val q = graft.streaming.StreamDrill.session(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), Parity.dsum(col("value")).as("value_sum"))
@@ -662,7 +662,8 @@ object EventOps {
       "stream_scd2_bronze", "stream_scd2_ckpt", "stream_scd2_sink")
     publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
     import spark.implicits._
-    val typed = eventTail(spark, bronze).as[graft.streaming.EventStream.Ev]
+    val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
+      .as[graft.streaming.EventStream.Ev]
     runToSink(graft.streaming.EventStream.scd2Stream(typed).toDF(), ckpt, sink)
     spark.read.parquet(sink)
       .select(col("user_id"), col("state"),
@@ -827,7 +828,7 @@ object EventOps {
         carryFrom = if (i == 0) None else Some(i.toLong))
     }
     runToSink(
-      eventTail(spark, bronze)
+      eventTail(graft.streaming.StreamDrill.session(spark), bronze)
         .withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark("event_id"),
       ckpt, sink)
@@ -861,7 +862,7 @@ object EventOps {
     // cross-batch boundary with the minimum number of rounds.
     publishEventGens(spark, bronze,
       stageEventBuckets(spark, dir, bronze, bucketDays = 16L))
-    val src = eventTail(spark, bronze)
+    val src = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
     runToSink(
       graft.streaming.EventStream.attributeClicks(
         src.filter(col("event_type") === "view"),

@@ -1004,7 +1004,7 @@ object SourceOps {
         carryFrom = if (i == 0) None else Some(i.toLong))
     }
     val q = graft.streaming.SnapshotStream.cdcApply(
-      spark.readStream
+      graft.streaming.StreamDrill.session(spark).readStream
         .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
         .option("path", bronze).option("maxGensPerBatch", "1").load(),
       silver, "k", ckpt, orderCol = Some("lsn")).start()
