@@ -103,6 +103,72 @@ object StarOps {
       .agg(Parity.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy("s_nationkey")
 
+  /** [[joinSkewAqe]]'s planted skew: every lineitem row whose suppkey
+    * is NOT ≡ 0 (mod this) collapses onto [[SkewHotKey]] — ~90% of the
+    * fact lands in one join partition.
+    */
+  val SkewKeyMod = 10L
+
+  /** The hot key the collapsed rows join through (a real suppkey, so
+    * the inner join keeps them).
+    */
+  val SkewHotKey = 1L
+
+  /** AQE AUTOMATIC skew-join handling, completing the skew toolkit's
+    * measure → manual → automatic ladder (`audit_skew` measures the
+    * key distribution, `join_salted` splits a hot key by hand, this
+    * query lets the engine split it at RUNTIME): ~90% of the fact
+    * collapses onto [[SkewHotKey]], the join runs as a sort-merge join
+    * under adaptive execution, and AQE's OptimizeSkewedJoin splits the
+    * oversized partition by mapper ranges while DUPLICATING the
+    * matching dim rows per split. The body EXECUTES the query and then
+    * asserts the final adaptive plan actually took the skew path
+    * (`SortMergeJoin(skew=true)` + `AQEShuffleRead skewed`) — a
+    * configuration drift that silently fell back to the unsplit join
+    * fails loudly instead of passing on values alone. The value oracle
+    * binds the same exact aggregate as `join_salted`'s (the skew split
+    * must not change results).
+    *
+    * Fixture-scoped knobs, on a conf-isolated clone (Verify runs
+    * queries concurrently): the skew thresholds scale down to fixture
+    * bytes, broadcast is disabled so the join stays SMJ (at real scale
+    * the dim may well broadcast — then skew handling is moot by
+    * design), and the fact pre-repartitions to 8 mappers because AQE
+    * splits at MAPPER granularity — a single-row-group parquet scan
+    * writes the whole skewed partition from one mapper, which is
+    * unsplittable. At production scale none of these knobs are needed:
+    * real partitions exceed the default 256 MB threshold and scans
+    * have thousands of mappers.
+    */
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4k")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val fact = Tables.lineitem(s, dir).select(
+      when(col("l_suppkey") % SkewKeyMod === 0, col("l_suppkey"))
+        .otherwise(lit(SkewHotKey)).as("k"),
+      col("l_quantity"))
+    val dim = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    val res = fact.repartition(8).join(dim, "k")
+      .groupBy("s_nationkey")
+      .agg(Parity.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("s_nationkey")
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+      "AQE did not take the skew-join path — the drill's planted skew or " +
+        "its scoped thresholds no longer trigger OptimizeSkewedJoin:\n" + plan)
+    res
+  }
+
   /** Pure theta join (no equi key): BroadcastNestedLoopJoin with the
     * small side broadcast. NLJ cost is |A|×|B| by construction — only
     * ever sane when one side is broadcast-small, which is why every
@@ -1050,6 +1116,7 @@ object StarOps {
     "topk_orders" -> (topkOrders _),
     "join_theta" -> (joinTheta _),
     "join_salted" -> (joinSalted _),
+    "join_skew_aqe" -> (joinSkewAqe _),
     "agg_corr" -> (aggCorr _),
     "agg_regression" -> (aggRegression _),
     "agg_ttest" -> (aggTtest _),
@@ -1473,6 +1540,17 @@ object StarOps {
         |  count(*) AS cnt
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // The planted-skew CASE shares its constants with the Spark side;
+    // the skew SPLIT must not change the exact aggregate.
+    "join_skew_aqe" ->
+      s"""SELECT s_nationkey,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  count(*) AS cnt
+         |FROM (SELECT CASE WHEN l_suppkey % $SkewKeyMod = 0
+         |             THEN l_suppkey ELSE $SkewHotKey END AS k, l_quantity
+         |      FROM lineitem) l
+         |JOIN supplier ON l.k = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_theta" ->
       """SELECT c_mktsegment, count(*) AS pairs
         |FROM customer JOIN supplier

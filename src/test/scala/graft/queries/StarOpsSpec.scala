@@ -60,6 +60,19 @@ class StarOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("AQE skew drill takes the split path at the smallest fixture too") {
+    // joinSkewAqe asserts the skew markers internally (require on the
+    // final adaptive plan); this drives that assertion at sf0.001 so a
+    // threshold drift that only breaks the smallest fixture is caught
+    // by tests, not by a later Verify run. Values must match the
+    // manual-salting twin's shape: one row per supplier nation.
+    val rows = StarOps.joinSkewAqe(spark, "/root/testdata/sf0.001")
+      .as[(Int, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum === graft.Tables
+      .lineitem(spark, "/root/testdata/sf0.001").count())
+  }
+
   test("q22 idle-customers binds real rows at the driver gate's scale") {
     // The r12 advice: with "no orders ever" the anti-join arm was empty
     // at every fixture scale, so the exact oracle was vacuous. The
