@@ -1786,9 +1786,97 @@ object DedupOps {
       .orderBy("batch_id", "doc_id")
   }
 
+  /** [[graft.streaming.DocStream.trendingWords]] EXECUTED under the
+    * value gate — the LIVE Misra-Gries summary as real stream state:
+    * the same tagged generations stream in, each micro-batch
+    * exact-counts its own tokens per shard, prunes to a k-summary, and
+    * merges into the shard's persisted state with the mergeable-
+    * summaries merge; every trigger's Update-mode emission lands in
+    * the batch-partitioned sink. The oracle UNROLLS the merge rounds
+    * in SQL (the pagerank/BPE technique): per batch, combined counts
+    * rank per shard, the (k+1)-th largest count subtracts, survivors
+    * carry — so the hash pins the exact cross-batch state evolution of
+    * the sketch, not just a final snapshot. Emission per round filters
+    * to shards PRESENT in that batch (flatMapGroupsWithState only
+    * invokes groups the trigger touched).
+    */
+  def streamTrending(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_trending_bronze", "stream_trending_ckpt", "stream_trending_sink")
+    stageDocGens(spark, dir, bronze)
+    val q = graft.streaming.DocStream.trendingWords(docTail(spark, bronze))
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readSinkOrEmpty(spark, sink,
+      "shard INT, word STRING, est BIGINT, batch_id BIGINT")
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("shard").cast("long").as("shard"), col("word"), col("est"))
+      .orderBy("batch_id", "shard", "word")
+  }
+
+  /** The [[streamTrending]] oracle: [[graft.functions.MisraGries
+    * .mergeMaps]] unrolled per micro-batch — combined counts per
+    * (shard, word), the (k+1)-th largest count per shard as the cut
+    * (0 when ≤ k entries), survivors strictly above it carry c − cut.
+    * Generated from the SAME k/shards constants the stream uses.
+    */
+  private def duckTrendingSql: String = {
+    val k = graft.streaming.DocStream.TrendK
+    val shards = graft.streaming.DocStream.TrendShards
+    def prune(src: String, out: String): String =
+      s"""${out}_r AS MATERIALIZED (
+         |  SELECT shard, w, c,
+         |    row_number() OVER (PARTITION BY shard ORDER BY c DESC) AS rn
+         |  FROM $src),
+         |${out}_cut AS (
+         |  SELECT shard,
+         |    coalesce(max(CASE WHEN rn = ${k + 1} THEN c END), 0) AS cut
+         |  FROM ${out}_r GROUP BY shard),
+         |$out AS MATERIALIZED (
+         |  SELECT r.shard, r.w, r.c - ct.cut AS c
+         |  FROM ${out}_r r JOIN ${out}_cut ct ON r.shard = ct.shard
+         |  WHERE r.c > ct.cut)""".stripMargin
+    val batchCtes = (0 until StreamIngestBatches).map { i =>
+      s"""bc$i AS MATERIALIZED (
+         |  SELECT shard, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok WHERE bt = $i GROUP BY shard, w)""".stripMargin
+    }
+    val rounds = (0 until StreamIngestBatches).flatMap { i =>
+      if (i == 0) Seq(prune("bc0", "s0"))
+      else Seq(prune(s"bc$i", s"bp$i"),
+        s"""u$i AS (
+           |  SELECT shard, w, CAST(sum(c) AS BIGINT) AS c FROM (
+           |    SELECT * FROM s${i - 1} UNION ALL SELECT * FROM bp$i) z
+           |  GROUP BY shard, w)""".stripMargin,
+        prune(s"u$i", s"s$i"))
+    }
+    val emits = (0 until StreamIngestBatches).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS batch_id, CAST(shard AS BIGINT) AS shard,
+         |  w AS word, CAST(c AS BIGINT) AS est
+         |FROM s$i WHERE shard IN (SELECT DISTINCT shard FROM bc$i)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $duckBatchTagCte,
+       |tok AS MATERIALIZED (
+       |  SELECT g.bt, ${duckPortable64("w")} % $shards AS shard, w
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |        FROM documents) d
+       |  JOIN tag g ON d.doc_id = g.doc_id
+       |  WHERE g.bt >= 0),
+       |${(batchCtes ++ rounds).mkString(",\n")}
+       |$emits
+       |ORDER BY batch_id, shard, word""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup" -> (streamNeardup _),
     "stream_chunks" -> (streamChunks _),
+    "stream_trending" -> (streamTrending _),
     "dedup_cdc" -> (cdcDedup _),
     "dedup_spans" -> (spanDedup _),
     "dedup_spans_incr" -> (spanIncremental _),
@@ -2232,6 +2320,7 @@ object DedupOps {
          |  ON n.band = h.band AND n.bucket = h.bucket AND h.bt < n.bt
          |WHERE n.bt >= 0
          |ORDER BY batch_id, new_doc, old_doc""".stripMargin,
+    "stream_trending" -> duckTrendingSql,
     // The streaming chunk ingest replayed relationally: an instance is
     // FRESH iff its own batch is the chunk hash's first sighting
     // across the train seed (-1) and every stream batch — min(bt) per

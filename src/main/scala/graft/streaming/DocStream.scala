@@ -290,9 +290,19 @@ object DocStream {
     * shards bound the per-group work. A token always hashes to the same
     * shard, so each shard's summary is an exact Misra-Gries over its
     * own token substream — the superset guarantee holds per shard with
-    * N = that shard's token count.
+    * N = that shard's token count. Sharding uses the PORTABLE md5
+    * prefix hash (not String.hashCode), so the `stream_trending` value
+    * gate can reconstruct shard membership in SQL exactly.
     */
   val TrendShards = 4
+
+  /** [[trendingWords]]'s shard of a token — the portable 60-bit hash
+    * mod [[TrendShards]] (non-negative by construction), numerically
+    * identical to the oracle's `portable64(w) % shards`.
+    */
+  def shardOf(w: String, shards: Int): Int =
+    (graft.functions.DigestPrefix64.hash(
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % shards).toInt
 
   /** Summary size per shard for [[trendingWords]]. */
   val TrendK = 8
@@ -318,7 +328,7 @@ object DocStream {
     import docs.sparkSession.implicits._
     docs
       .flatMap(d => d.text.split(" ").iterator.filter(_.nonEmpty)
-        .map(w => TokenShard(math.floorMod(w.hashCode, shards), w)))
+        .map(w => TokenShard(shardOf(w, shards), w)))
       .groupByKey(_.shard)
       .flatMapGroupsWithState[TrendState, Trend](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
