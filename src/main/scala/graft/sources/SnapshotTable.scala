@@ -351,11 +351,122 @@ object SnapshotTable {
   def manifestEntries(spark: SparkSession, table: String,
       gen: Long): (Seq[String], Seq[String]) = {
     val rows = readManifestRows(spark, manifestPath(table, gen))
+    // A SEGMENT manifest ([[commitSegment]]) lists only its own batch's
+    // files plus a parent reference — every plain reader must refuse it
+    // loudly, because silently returning the segment's own rows would
+    // serve a fraction of the snapshot as if it were the whole table.
+    require(!rows.exists(_.kind.contains(ParentKind)),
+      s"generation $gen of $table is a SEGMENT manifest (parent-linked); " +
+        "resolve it with readSegmented/resolvedFiles — a plain read " +
+        "would silently see only the segment's own files")
+    splitEntries(rows)
+  }
+
+  private def splitEntries(rows: Seq[ManifestRow]): (Seq[String], Seq[String]) =
     (rows.collect { case r if r.kind.forall(_ == "data") => r.path }
         .distinct.sorted,
       rows.collect { case r if r.kind.contains("delete") => r.path }
         .distinct.sorted)
+
+  /** [[splitEntries]] of one manifest's OWN rows, parent references
+    * skipped without resolution — for reference sweeps (vacuum,
+    * abandon) that walk every generation anyway.
+    */
+  private def rawEntries(spark: SparkSession, table: String,
+      gen: Long): (Seq[String], Seq[String]) =
+    splitEntries(readManifestRows(spark, manifestPath(table, gen)))
+
+  /** `kind` of a segment manifest's single parent-reference row; its
+    * `path` holds the parent MANIFEST's path (absolute, so a zero-copy
+    * clone of a segmented lineage keeps resolving into the source
+    * table) and `seq` the parent generation number (display only).
+    */
+  private[sources] val ParentKind = "parent"
+
+  /** Commit `df` as generation `gen` of an APPEND-ONLY segmented
+    * lineage: the manifest lists ONLY this batch's files plus one
+    * parent reference — commit cost is O(batch files) at ANY table
+    * size, where the default full-row carry ([[publishAppend]])
+    * rewrites an O(table files) manifest per commit. This is the
+    * Iceberg manifest-list trade: per-commit manifest segments, chain
+    * resolution at read ([[resolvedFiles]]). The price is read-side
+    * resolution depth (O(generations) driver-side manifest reads —
+    * production checkpoints the chain periodically with a full-carry
+    * [[commit]], exactly like Delta's parquet checkpoints) and an
+    * APPEND-ONLY contract: tombstone/upsert commits need the
+    * full-carry protocol, and [[resolvedFiles]] refuses non-data rows
+    * in a segment. Plain readers refuse segment manifests loudly
+    * ([[manifestEntries]]' guard) instead of silently serving one
+    * batch as the whole snapshot.
+    */
+  def commitSegment(df: DataFrame, table: String, gen: Long,
+      parent: Option[Long], action: String = "append"): Unit = {
+    val spark = df.sparkSession
+    val genDir = s"$table/data/gen=$gen"
+    val dataDir = s"$genDir/a=${attemptName()}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    writeManifest(spark, table, gen, replace = false,
+      fresh.sorted.map(p => ManifestRow(p)) ++
+        parent.map(pg => ManifestRow(manifestPath(table, pg),
+          kind = Some(ParentKind), seq = Some(pg))),
+      Some(action))
   }
+
+  /** The DATA file set of segmented generation `gen`, resolved by
+    * walking the parent chain — O(chain length) driver-side manifest
+    * reads, each O(its batch). Also accepts a plain full-carry
+    * manifest (a chain that starts from, or was checkpointed by, a
+    * [[commit]]), so segmented and full-carry commits interleave. A
+    * missing parent manifest (expired mid-chain) fails LOUDLY — the
+    * connector's expired-prefix rule — and any tombstone row in a
+    * segment is a contract violation, not data to misread.
+    */
+  def resolvedFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = manifestPath(table, gen)
+    var hops = 0
+    while (cur != null) {
+      val rows =
+        try readManifestRows(spark, cur)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"segment chain of $table gen $gen is broken at $cur " +
+                "(parent manifest expired?) — the snapshot is no longer " +
+                "resolvable; re-seed or restore from a full-carry commit", e)
+        }
+      require(rows.forall(r => r.kind.isEmpty || r.kind.contains("data") ||
+          r.kind.contains(ParentKind)),
+        s"manifest $cur holds non-data rows (${rows.flatMap(_.kind).distinct
+          .filterNot(_ == ParentKind).mkString(", ")}) — segmented " +
+          "lineages are APPEND-ONLY; tombstones/upserts use the " +
+          "full-carry protocol")
+      out ++= rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+      val parents = rows.filter(_.kind.contains(ParentKind))
+      require(parents.size <= 1,
+        s"manifest $cur carries ${parents.size} parent references")
+      cur = parents.headOption.map(_.path).orNull
+      hops += 1
+      require(hops <= 100000, s"segment chain of $table gen $gen exceeds " +
+        "100000 hops — cyclic parent references?")
+    }
+    out.toSeq.distinct.sorted
+  }
+
+  /** Read segmented generation `gen` AS OF its chain-resolved file
+    * set — time travel and snapshot isolation exactly as [[readAs]],
+    * at O(new files) commit cost.
+    */
+  def readSegmented(spark: SparkSession, table: String, gen: Long): DataFrame =
+    spark.read.parquet(resolvedFiles(spark, table, gen): _*)
+
+  /** Row count of one generation's OWN manifest (the O(batch)-commit
+    * evidence the segments query value-gates).
+    */
+  private[sources] def manifestRowCount(spark: SparkSession, table: String,
+      gen: Long): Long =
+    readManifestRows(spark, manifestPath(table, gen)).size.toLong
 
   /** Guard for generation-per-epoch streaming sinks: epoch-derived
     * generation `gen` may only be the LATEST generation (a same-epoch
@@ -681,7 +792,12 @@ object SnapshotTable {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = stagedFiles(spark, table, branch)
     val owned = generations(spark, table).flatMap { g =>
-      val (d, t) = manifestEntries(spark, table, g)
+      // Raw per-manifest rows, NOT chain resolution: a reference sweep
+      // wants each generation's OWN entries (segment manifests list
+      // exactly their batch; the union over all generations covers the
+      // chain), and the plain reader's segmented-manifest guard must
+      // not fire here.
+      val (d, t) = rawEntries(spark, table, g)
       d ++ t
     }.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
     val m = new org.apache.hadoop.fs.Path(branchManifestPath(table, branch))
@@ -947,7 +1063,12 @@ object SnapshotTable {
       minAgeMs: Long = VacuumDefaultMinAgeMs): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val referenced = (generations(spark, table).flatMap { g =>
-      val (d, t) = manifestEntries(spark, table, g)
+      // Raw per-manifest rows, NOT chain resolution: a reference sweep
+      // wants each generation's OWN entries (segment manifests list
+      // exactly their batch; the union over all generations covers the
+      // chain), and the plain reader's segmented-manifest guard must
+      // not fire here.
+      val (d, t) = rawEntries(spark, table, g)
       d ++ t
     } ++ branches(spark, table).flatMap(b => stagedFiles(spark, table, b)))
       .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet

@@ -1012,6 +1012,54 @@ object SourceOps {
     cdcGenReport(spark, silver)
   }
 
+  /** [[snapshotSegments]] lineage shape: this many segmented append
+    * generations, each landing this many data files — both mirrored
+    * in the oracle's constant columns.
+    */
+  val SegGens = 4
+  val SegFiles = 2
+
+  /** SEGMENTED manifests — the Iceberg manifest-list trade under the
+    * value gate: each generation's manifest lists ONLY its own batch's
+    * files plus one parent reference ([[SnapshotTable.commitSegment]]),
+    * so COMMIT cost is O(batch files) at any table size, where the
+    * default full-row carry rewrites an O(table files) manifest per
+    * commit (at a million-file table that is the difference between a
+    * kilobyte and a multi-megabyte metadata write on every append).
+    * Reads resolve the parent chain ([[SnapshotTable.resolvedFiles]] —
+    * O(chain) driver-side manifest reads; production checkpoints the
+    * chain with a periodic full-carry commit, Delta's parquet-
+    * checkpoint move). The report value-gates BOTH halves per
+    * generation: the O(batch) commit evidence (own-manifest row count
+    * = batch files + one parent ref, a constant from the fixture's
+    * construction) and the chain-resolved CONTENT (cumulative slices,
+    * recomputed relationally by DuckDB). Plain readers REFUSE a
+    * segment manifest loudly, a broken chain (expired parent) fails at
+    * resolution, and both guards are spec-pinned.
+    */
+  def snapshotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "snapshot_segments")
+    val orders = Tables.orders(spark, dir).select("o_orderkey")
+    (1 to SegGens).foreach { g =>
+      SnapshotTable.commitSegment(
+        orders.filter(col("o_orderkey") % SegGens === (g - 1))
+          .repartition(SegFiles),
+        table, g.toLong,
+        parent = if (g == 1) None else Some((g - 1).toLong))
+    }
+    (1 to SegGens).map { g =>
+      SnapshotTable.readSegmented(spark, table, g.toLong)
+        .agg(count(lit(1)).as("visible_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(g.toLong).as("gen"),
+          lit(SnapshotTable.manifestRowCount(spark, table, g.toLong))
+            .as("manifest_rows"),
+          lit(SnapshotTable.resolvedFiles(spark, table, g.toLong).size.toLong)
+            .as("files_visible"),
+          col("visible_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy("gen")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1467,6 +1515,7 @@ object SourceOps {
     "src_snapshot_expire" -> (snapshotExpire _),
     "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_history" -> (snapshotHistory _),
+    "src_snapshot_segments" -> (snapshotSegments _),
     "src_connector_read" -> (connectorRead _),
     "src_connector_timetravel" -> (connectorTimeTravel _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
@@ -1896,6 +1945,20 @@ object SourceOps {
          |SELECT 3, 'compact', $SnapCompactFiles, $SnapCompactFiles, al.n, al.n
          |FROM al
          |ORDER BY gen""".stripMargin,
+    // Segmented manifests: per generation, the own-manifest row count
+    // (batch files + one parent ref past gen 1) gates the O(batch)
+    // commit claim as fixture constants, and the chain-resolved
+    // content is the cumulative residue slices recomputed relationally.
+    "src_snapshot_segments" -> (1 to SegGens).map { g =>
+      val pref = if (g == 1) 0 else 1
+      s"""SELECT CAST($g AS BIGINT) AS gen,
+         |  CAST(${SegFiles + pref} AS BIGINT) AS manifest_rows,
+         |  CAST(${g * SegFiles} AS BIGINT) AS files_visible,
+         |  CAST((SELECT count(*) FROM orders
+         |        WHERE o_orderkey % $SegGens < $g) AS BIGINT) AS visible_rows,
+         |  CAST((SELECT sum(o_orderkey) FROM orders
+         |        WHERE o_orderkey % $SegGens < $g) AS BIGINT) AS key_sum""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY gen"),
     // CDC twin: the append hop's added content is exactly the batch
     // predicate's rows; the compaction hop adds the whole table and
     // removes the whole table, netting to zero. File counts from the

@@ -423,6 +423,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("segmented commits: O(batch) manifests, chain travel, loud guards") {
+    val table = graft.Scratch.dir("snapshot_segments_spec")
+    def slice(lo: Int, hi: Int) =
+      spark.range(lo, hi).selectExpr("id AS k").repartition(2)
+    SnapshotTable.commitSegment(slice(0, 10), table, 1L, parent = None)
+    SnapshotTable.commitSegment(slice(10, 20), table, 2L, parent = Some(1L))
+    SnapshotTable.commitSegment(slice(20, 30), table, 3L, parent = Some(2L))
+    // Chain resolution = time travel: each generation sees exactly the
+    // cumulative slices.
+    assert(SnapshotTable.readSegmented(spark, table, 1L).count() === 10L)
+    assert(SnapshotTable.readSegmented(spark, table, 2L).count() === 20L)
+    import spark.implicits._
+    assert(SnapshotTable.readSegmented(spark, table, 3L)
+      .as[Long].collect().sorted.toSeq === (0L until 30L))
+    // Each generation's OWN manifest stays O(batch): 2 data files plus
+    // one parent ref past the seed — never the cumulative file list.
+    assert(SnapshotTable.manifestRowCount(spark, table, 1L) === 2L)
+    assert(SnapshotTable.manifestRowCount(spark, table, 3L) === 3L)
+    assert(SnapshotTable.resolvedFiles(spark, table, 3L).size === 6)
+    // A plain reader must refuse a segment manifest loudly — silently
+    // serving one batch as the snapshot is the failure mode.
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readAs(spark, table, 2L)
+    }
+    assert(e.getMessage.contains("SEGMENT"))
+    // A broken chain (expired parent) fails at resolution, not by
+    // serving a partial snapshot.
+    val m1 = new org.apache.hadoop.fs.Path(s"$table/manifests/gen=1")
+    m1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m1, true)
+    val e2 = intercept[IllegalStateException] {
+      SnapshotTable.resolvedFiles(spark, table, 3L)
+    }
+    assert(e2.getMessage.contains("broken"))
+  }
+
   test("admittedFiles never hands a tombstone file to the reader as data") {
     import spark.implicits._
     // A stats lineage (publishStats) that later gains MoR tombstones
