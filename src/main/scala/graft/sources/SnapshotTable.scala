@@ -468,6 +468,22 @@ object SnapshotTable {
       gen: Long): Long =
     readManifestRows(spark, manifestPath(table, gen)).size.toLong
 
+  /** The TAIL planner's view of one generation: `(data, deletes,
+    * segmented)`. For a SEGMENT manifest, `data` is the segment's OWN
+    * batch — which IS the hop's added set, so the connector plans a
+    * segmented hop from one manifest read with NO parent diff at all
+    * (the cheapest possible incremental-tail plan, and the reason
+    * segmented lineages and streaming consumption compose so well).
+    * Unlike [[manifestEntries]] this does not refuse segments: the
+    * caller receives the flag and owns the semantics.
+    */
+  def tailEntries(spark: SparkSession, table: String,
+      gen: Long): (Seq[String], Seq[String], Boolean) = {
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    val (d, t) = splitEntries(rows)
+    (d, t, rows.exists(_.kind.contains(ParentKind)))
+  }
+
   /** Guard for generation-per-epoch streaming sinks: epoch-derived
     * generation `gen` may only be the LATEST generation (a same-epoch
     * replay) or the next one (a fresh batch) — anything else means the

@@ -1060,6 +1060,58 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** The DSv2 connector over a SEGMENTED lineage, under the value
+    * gate — the synergy that motivates segments: a segment's own
+    * manifest IS the hop's added set, so tailing costs ONE small
+    * manifest read per hop with no parent diff at all. The lineage
+    * interleaves both protocols: three segmented appends, a FULL-CARRY
+    * CHECKPOINT that re-publishes the chain-resolved files BY
+    * REFERENCE (the Delta parquet-checkpoint move — zero data written,
+    * plain readers work again, resolution depth resets), then another
+    * segment rooted at the checkpoint. The tail must deliver exactly
+    * one batch per commit — the three slices, an EMPTY checkpoint hop
+    * (same files before and after ⇒ nothing re-delivered), and the
+    * post-checkpoint slice — and the checkpoint generation's PLAIN
+    * read gates as the cumulative content. All recomputed relationally
+    * by DuckDB from the shared residue constants.
+    */
+  def connectorSegments(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "connector_segments")
+    val sink = freshTable(spark, "connector_segments_sink")
+    val ckpt = freshTable(spark, "connector_segments_ckpt")
+    val orders = Tables.orders(spark, dir).select("o_orderkey")
+    def slice(i: Int) =
+      orders.filter(col("o_orderkey") % SegGens === i).repartition(SegFiles)
+    SnapshotTable.commitSegment(slice(0), table, 1L, parent = None)
+    SnapshotTable.commitSegment(slice(1), table, 2L, parent = Some(1L))
+    SnapshotTable.commitSegment(slice(2), table, 3L, parent = Some(2L))
+    SnapshotTable.publishAppend(spark, table, 4L,
+      SnapshotTable.resolvedFiles(spark, table, 3L), carryFrom = None,
+      action = "checkpoint")
+    SnapshotTable.commitSegment(slice(3), table, 5L, parent = Some(4L))
+    val s = graft.streaming.StreamDrill.session(spark)
+    val q = s.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).option("maxGensPerBatch", "1").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tail = spark.read.parquet(sink)
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+    // The checkpoint restores PLAIN readability mid-lineage: readAs of
+    // gen 4 (which a segment manifest refuses) serves the cumulative
+    // content, reported as the batch_id = -1 row.
+    val plain = SnapshotTable.readAs(spark, table, 4L)
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+      .select(lit(-1L).as("batch_id"), col("cnt"), col("key_sum"))
+    tail.unionByName(plain).orderBy("batch_id")
+  }
+
   /** Key residue deleted by [[snapshotMor]], mirrored in the oracle. */
   val MorDeleteMod = 10L
 
@@ -1516,6 +1568,7 @@ object SourceOps {
     "src_snapshot_changes" -> (snapshotChanges _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_snapshot_segments" -> (snapshotSegments _),
+    "src_connector_segments" -> (connectorSegments _),
     "src_connector_read" -> (connectorRead _),
     "src_connector_timetravel" -> (connectorTimeTravel _),
     "pipeline_lakehouse" -> (lakehousePipeline _),
@@ -1959,6 +2012,24 @@ object SourceOps {
          |  CAST((SELECT sum(o_orderkey) FROM orders
          |        WHERE o_orderkey % $SegGens < $g) AS BIGINT) AS key_sum""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY gen"),
+    // Connector tail of the segmented lineage: batches 0-2 are the
+    // three slices (batch 0 = the chain-resolved initial load of gen 1
+    // = slice 0 alone), the checkpoint hop delivers nothing (absent
+    // row), batch 4 is the post-checkpoint slice, and -1 is the
+    // checkpoint generation's plain read (cumulative through slice 2).
+    "src_connector_segments" -> {
+      def sl(cond: String, first: Boolean) = {
+        val a1 = if (first) " AS cnt" else ""
+        val a2 = if (first) " AS key_sum" else ""
+        s"""CAST((SELECT count(*) FROM orders WHERE $cond) AS BIGINT)$a1,
+           |  CAST((SELECT sum(o_orderkey) FROM orders WHERE $cond) AS BIGINT)$a2""".stripMargin
+      }
+      (Seq(s"SELECT CAST(-1 AS BIGINT) AS batch_id,\n  ${sl(s"o_orderkey % $SegGens < 3", first = true)}") ++
+        Seq(0, 1, 2).map(i =>
+          s"SELECT CAST($i AS BIGINT),\n  ${sl(s"o_orderkey % $SegGens = $i", first = false)}") ++
+        Seq(s"SELECT CAST(4 AS BIGINT),\n  ${sl(s"o_orderkey % $SegGens = 3", first = false)}"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY batch_id")
+    },
     // CDC twin: the append hop's added content is exactly the batch
     // predicate's rows; the compaction hop adds the whole table and
     // removes the whole table, netting to zero. File counts from the

@@ -92,7 +92,9 @@ private[streaming] object SnapshotSource {
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty,
       s"snapshot source needs at least one committed generation at $table")
-    val files = SnapshotTable.listFiles(spark, table, gens.max)
+    val (own, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
+    val files =
+      if (seg) SnapshotTable.resolvedFiles(spark, table, gens.max) else own
     spark.read.option("mergeSchema", true).parquet(files: _*).schema
   }
 
@@ -261,6 +263,15 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     require(gens.nonEmpty, s"no committed generation at $table")
     val gen = generation.getOrElse(gens.max)
     require(gens.contains(gen), s"generation $gen of $table does not exist")
+    // A SEGMENTED generation serves its chain-resolved file set:
+    // resolution's own guards refuse tombstoned or otherwise non-data
+    // segments, and zone-map pruning is best-effort by contract
+    // (segments record no stats; the residual row filters keep
+    // correctness exactly as with an unrecorded column).
+    val (_, _, segmented) = SnapshotTable.tailEntries(spark, table, gen)
+    if (segmented)
+      return SnapshotTable.resolvedFiles(spark, table, gen)
+        .map(SnapshotFilePartition(_)).toArray
     // A merge-on-read generation's visibility is data MINUS tombstone
     // keys; a file-level scan cannot apply that and serving the raw
     // data files would silently resurrect deleted rows — fail loudly
@@ -338,8 +349,14 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   private val initEntries =
     new java.util.concurrent.ConcurrentHashMap[Long, (Seq[String], Seq[String])]()
   private def initEntriesOf(g: Long): (Seq[String], Seq[String]) =
-    initEntries.computeIfAbsent(g,
-      g => SnapshotTable.manifestEntries(spark, table, g))
+    initEntries.computeIfAbsent(g, g => {
+      // An initial load serves the generation's FULL content: a
+      // segmented generation chain-resolves (sorted, immutable —
+      // chunked replay stays byte-identical); resolution's own guards
+      // refuse tombstoned segments.
+      val (d, t, seg) = SnapshotTable.tailEntries(spark, table, g)
+      if (seg) (SnapshotTable.resolvedFiles(spark, table, g), t) else (d, t)
+    })
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GenOffset]
@@ -391,9 +408,18 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     // ONE manifest read per generation touched by this batch: adjacent
     // hops share g's entries as the next hop's g−1, so a deep backfill
     // span pays span+1 manifest reads, not ~4 per hop.
-    val entries = scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[String])]
-    def of(g: Long): (Seq[String], Seq[String]) =
-      entries.getOrElseUpdate(g, SnapshotTable.manifestEntries(spark, table, g))
+    val entries =
+      scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[String], Boolean)]
+    def of(g: Long): (Seq[String], Seq[String], Boolean) =
+      entries.getOrElseUpdate(g, SnapshotTable.tailEntries(spark, table, g))
+    // A diff against a SEGMENTED parent needs the parent's resolved
+    // content (its own manifest lists only its batch) — walked at most
+    // once per batch and only when a full-carry commit follows
+    // segments (the checkpoint hop).
+    def resolvedOf(g: Long): Seq[String] = {
+      val (d, _, seg) = of(g)
+      if (seg) SnapshotTable.resolvedFiles(spark, table, g) else d
+    }
     val out = ArrayBuffer.empty[InputPartition]
     var from = s.gen
     // The INITIAL full-snapshot load — the one batch whose plan is a
@@ -420,7 +446,10 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       // the per-call map so the first post-load hop's diff against m
       // doesn't re-read the manifest either.
       val (data, dels) = initEntriesOf(m)
-      entries(m) = (data, dels)
+      // Seed the per-call map with the RESOLVED content (seg = false):
+      // the first post-load hop's diff against m must see the full
+      // snapshot m served, whether m was full-carry or segmented.
+      entries(m) = (data, dels, false)
       // Tombstones carried into a full-snapshot load are row-level
       // changes invisible to a file tail — same contract as delete
       // hops: throw unless explicitly skipped.
@@ -437,16 +466,20 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     }
     val to = e.gen
     for (g <- from + 1 to to if committed.contains(g)) {
-      val (data, dels) = of(g)
-      // Every hop after the initial load diffs against its PARENT
-      // manifest; a missing parent means the manifest needed for the
-      // diff was expired mid-consumption, and emitting g's full list
-      // would re-deliver carried-forward files the consumer already
-      // saw — fail loudly instead (the lakehouse "retention outran
-      // the stream" error).
+      val (data, dels, seg) = of(g)
+      // Every full-carry hop after the initial load diffs against its
+      // PARENT manifest; a missing parent means the manifest needed
+      // for the diff was expired mid-consumption, and emitting g's
+      // full list would re-deliver carried-forward files the consumer
+      // already saw — fail loudly instead (the lakehouse "retention
+      // outran the stream" error). A SEGMENTED hop needs no parent at
+      // all: its own manifest IS the added set (and segments are
+      // append-only, so nothing is removed and no tombstone arrives).
       val (added, removed, freshDels) =
-        if (committed.contains(g - 1)) {
-          val (prevData, prevDels) = of(g - 1)
+        if (seg) (data, Seq.empty[String], dels)
+        else if (committed.contains(g - 1)) {
+          val (_, prevDels, _) = of(g - 1)
+          val prevData = resolvedOf(g - 1)
           ((data.toSet -- prevData).toSeq.sorted,
             (prevData.toSet -- data).toSeq.sorted,
             dels.filterNot(prevDels.toSet))
