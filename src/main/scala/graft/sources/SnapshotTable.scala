@@ -1032,24 +1032,59 @@ object SnapshotTable {
   def expire(spark: SparkSession, table: String, keepFrom: Long): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (dead, live) = generations(spark, table).partition(_ < keepFrom)
+    // SEGMENTED lineages resolve through their ancestors: a live
+    // segment's chain may pass through generations BELOW keepFrom, and
+    // retiring one of those manifests (or its files — a segment's
+    // files are referenced ONLY by its own manifest) would corrupt
+    // every live descendant. Dead generations on a live chain are
+    // therefore PROTECTED — kept, not retired — exactly Iceberg's
+    // referenced-snapshot rule; a full-carry CHECKPOINT commit is what
+    // re-roots the chain and makes its ancestors expirable.
+    def chainGens(g: Long): Seq[Long] = {
+      val prefix = s"$table/manifests/gen="
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = g
+      var continue = true
+      while (continue) {
+        val parent = readManifestRows(spark, manifestPath(table, cur))
+          .find(_.kind.contains(ParentKind))
+        parent.map(_.path) match {
+          // A clone's parent may live in ANOTHER table — protection
+          // cannot extend there (the source table's expire is its own
+          // affair, the documented shallow-clone caveat).
+          case Some(p) if p.startsWith(prefix) =>
+            cur = p.stripPrefix(prefix).toLong
+            out += cur
+          case _ => continue = false
+        }
+      }
+      out.toSeq
+    }
+    val protectedGens = live.flatMap(chainGens).toSet
+    val retirable = dead.filterNot(protectedGens)
     // Tombstone files are manifest-referenced content too: a surviving
     // merge-on-read generation needs its delete files to serve the
     // right rows, and an expired one's tombstones are orphans like any
-    // other unreferenced file.
-    def allFiles(g: Long): Seq[String] =
-      listFiles(spark, table, g) ++ listDeleteFiles(spark, table, g)
-    val liveFiles = live.flatMap(allFiles).toSet
-    val deadFiles = dead.flatMap(allFiles).toSet
-    dead.foreach { g =>
+    // other unreferenced file. Raw per-manifest rows everywhere: the
+    // kept set (live + protected ancestors) covers every chain, and a
+    // checkpoint's by-reference manifest keeps its ancestors' files
+    // alive even after those manifests retire.
+    def allFiles(g: Long): Seq[String] = {
+      val (d, t) = rawEntries(spark, table, g)
+      d ++ t
+    }
+    val keptFiles = (live ++ dead.filter(protectedGens)).flatMap(allFiles).toSet
+    val deadFiles = retirable.flatMap(allFiles).toSet
+    retirable.foreach { g =>
       val m = new org.apache.hadoop.fs.Path(manifestPath(table, g))
       m.getFileSystem(conf).delete(m, true)
     }
-    val orphans = (deadFiles -- liveFiles).toSeq.sorted
+    val orphans = (deadFiles -- keptFiles).toSeq.sorted
     orphans.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).delete(p, false)
     }
-    (dead.size.toLong, orphans.size.toLong)
+    (retirable.size.toLong, orphans.size.toLong)
   }
 
   /** VACUUM: delete files under the table's data/deletes directories

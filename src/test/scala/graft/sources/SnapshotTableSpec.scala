@@ -458,6 +458,34 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("broken"))
   }
 
+  test("expire protects dead generations a live segment chain resolves through") {
+    val table = graft.Scratch.dir("snapshot_segments_expire")
+    def slice(lo: Int, hi: Int) =
+      spark.range(lo, hi).selectExpr("id AS k").repartition(2)
+    SnapshotTable.commitSegment(slice(0, 10), table, 1L, parent = None)
+    SnapshotTable.commitSegment(slice(10, 20), table, 2L, parent = Some(1L))
+    // keepFrom = 2: gen 1 is dead but live gen 2's chain passes through
+    // it — retiring its manifest (or its files, referenced ONLY there)
+    // would corrupt gen 2. Protected: nothing retires.
+    assert(SnapshotTable.expire(spark, table, 2L) === ((0L, 0L)))
+    assert(SnapshotTable.readSegmented(spark, table, 2L).count() === 20L)
+    // A full-carry CHECKPOINT re-roots the chain (files by reference),
+    // making its ancestors expirable without losing a byte.
+    SnapshotTable.publishAppend(spark, table, 3L,
+      SnapshotTable.resolvedFiles(spark, table, 2L), carryFrom = None,
+      action = "checkpoint")
+    SnapshotTable.commitSegment(slice(20, 30), table, 4L, parent = Some(3L))
+    // keepFrom = 4: dead = {1,2,3}; gen 4's chain protects 3 (its
+    // root); 1 and 2 retire, but their FILES survive — the checkpoint
+    // references them — so zero orphans delete.
+    assert(SnapshotTable.expire(spark, table, 4L) === ((2L, 0L)))
+    assert(SnapshotTable.readSegmented(spark, table, 4L).count() === 30L)
+    assert(SnapshotTable.readAs(spark, table, 3L).count() === 20L)
+    import spark.implicits._
+    assert(SnapshotTable.readSegmented(spark, table, 4L)
+      .as[Long].collect().sorted.toSeq === (0L until 30L))
+  }
+
   test("admittedFiles never hands a tombstone file to the reader as data") {
     import spark.implicits._
     // A stats lineage (publishStats) that later gains MoR tombstones
