@@ -853,6 +853,37 @@ object EventOps {
     * 16-day-apart batches without ever dropping a match — the output
     * is exactly the batch interval self-join, at bounded state.
     */
+  /** The per-user FUNNEL STATE MACHINE executed as a stream under the
+    * value gate — [[graft.streaming.EventStream.funnelStream]]'s
+    * fire-on-completion-with-reset semantics (each completed
+    * view→click→purchase journey emits once and the machine restarts),
+    * which the BATCH funnel deliberately does not share (it saturates
+    * at the deepest stage). The time-bucketed generations keep
+    * per-user arrival order, state is one (stage, start, last) tuple
+    * per user across micro-batches, and every completion lands exactly
+    * once through the idempotent sink. The oracle replays the SAME
+    * reset machine relationally: one fold over each user's
+    * time-ordered events accumulating completed journeys (a string
+    * accumulator — DuckDB's list_reduce drops nested-list state across
+    * iterations), unnested back to (user, start, end) rows — so the
+    * hash pins the machine's multi-completion behavior across real
+    * triggers.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_funnel_bronze", "stream_funnel_ckpt", "stream_funnel_sink")
+    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    import spark.implicits._
+    val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
+      .as[graft.streaming.EventStream.Ev]
+    runToSink(graft.streaming.EventStream.funnelStream(typed).toDF(), ckpt, sink)
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, started TIMESTAMP, completed TIMESTAMP, batch_id BIGINT")
+      .select(col("user_id"), unix_micros(col("started")).as("start_us"),
+        unix_micros(col("completed")).as("end_us"))
+      .orderBy("user_id", "start_us")
+  }
+
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val Seq(bronze, ckpt, sink) = freshDirs(spark,
       "stream_join_bronze", "stream_join_ckpt", "stream_join_sink")
@@ -1071,6 +1102,7 @@ object EventOps {
     "stream_scd2" -> (streamScd2 _),
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
+    "stream_funnel" -> (streamFunnel _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -1498,6 +1530,55 @@ object EventOps {
     // [[streamJoin]]'s twin: the batch interval self-join — an inner
     // stream-stream join with a state-only watermark emits exactly the
     // relational result.
+    // The reset funnel machine replayed relationally as a RECURSIVE
+    // state table: iteration i holds every user's (stage, start, last)
+    // BEFORE its (i+1)-th event, and a completion row fires where a
+    // stage-2 state meets a later purchase. list_reduce is OFF LIMITS
+    // here: DuckDB's vectorized lambda leaks STRUCT and VARCHAR
+    // accumulator state ACROSS ROWS (user 41's machine picked up user
+    // 65's timestamps in testing) — only scalar-numeric fold
+    // accumulators are safe, and this machine needs three fields.
+    // Stage predicates mirror funnelStream exactly: stage 0 accepts a
+    // view unconditionally, later stages require strictly increasing
+    // event time.
+    "stream_funnel" -> {
+      def ev(f: String) = s"q.evs[CAST(st.i+1 AS INT)].$f"
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
+         |  SELECT user_id,
+         |    list_sort(list(struct_pack(us := epoch_us($TsCast),
+         |      eid := event_id,
+         |      g := CASE WHEN event_type = 'view' THEN 1
+         |                WHEN event_type = 'click' THEN 2
+         |                WHEN event_type = 'purchase' THEN 3 ELSE 0 END))) AS evs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY user_id),
+         |steps(user_id, i, stage, s, l) AS (
+         |  SELECT user_id, CAST(0 AS BIGINT), 0,
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM seq
+         |  UNION ALL
+         |  SELECT st.user_id, st.i + 1,
+         |    CASE WHEN st.stage = 0 AND ${ev("g")} = 1 THEN 1
+         |         WHEN st.stage = 1 AND ${ev("g")} = 2 AND ${ev("us")} > st.l THEN 2
+         |         WHEN st.stage = 2 AND ${ev("g")} = 3 AND ${ev("us")} > st.l THEN 0
+         |         ELSE st.stage END,
+         |    CASE WHEN st.stage = 0 AND ${ev("g")} = 1 THEN ${ev("us")}
+         |         WHEN st.stage = 2 AND ${ev("g")} = 3 AND ${ev("us")} > st.l
+         |           THEN CAST(0 AS BIGINT)
+         |         ELSE st.s END,
+         |    CASE WHEN st.stage = 0 AND ${ev("g")} = 1 THEN ${ev("us")}
+         |         WHEN st.stage = 1 AND ${ev("g")} = 2 AND ${ev("us")} > st.l
+         |           THEN ${ev("us")}
+         |         WHEN st.stage = 2 AND ${ev("g")} = 3 AND ${ev("us")} > st.l
+         |           THEN CAST(0 AS BIGINT)
+         |         ELSE st.l END
+         |  FROM steps st JOIN seq q USING (user_id)
+         |  WHERE st.i < q.n)
+         |SELECT st.user_id, st.s AS start_us, ${ev("us")} AS end_us
+         |FROM steps st JOIN seq q USING (user_id)
+         |WHERE st.i < q.n AND st.stage = 2 AND ${ev("g")} = 3
+         |  AND ${ev("us")} > st.l
+         |ORDER BY user_id, start_us""".stripMargin
+    },
     "stream_join" ->
       s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
          |  epoch_us(${TsCast.replace("(ts", "(v.ts")}) AS view_us,
