@@ -884,6 +884,52 @@ object EventOps {
       .orderBy("user_id", "start_us")
   }
 
+  /** [[streamSessions]]' gap (aligned with the batch 10-minute session
+    * convention) and watermark delay, both mirrored in the oracle.
+    */
+  val StreamSessGapMin = 10
+  val StreamSessWmMin = 30
+
+  /** GAP SESSIONIZATION WITH EVENT-TIME TIMEOUTS executed under the
+    * value gate — the one state mechanism the gated set had not
+    * covered: [[graft.streaming.EventStream.sessionize]] closes a
+    * session either when a later event of the same user exceeds the
+    * gap (arrival close) or when the WATERMARK passes the session's
+    * idle deadline (`GroupStateTimeout.EventTimeTimeout` — the state
+    * store's timer machinery, not user code). This drill KEEPS no-data
+    * micro-batches: the final housekeeping batch is what fires the
+    * trailing timeouts. The oracle rebuilds every session from the
+    * global gap fold IN MILLISECONDS (the stream's `getTime` domain —
+    * sub-millisecond gap differences are real semantic differences,
+    * not noise) and emits exactly those the stream can close: sessions
+    * followed by a same-user event, plus final sessions whose idle
+    * deadline precedes the terminal watermark (max event ms −
+    * [[StreamSessWmMin]]); a user's final session inside the watermark
+    * horizon correctly stays unemitted in both engines.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_sessions_bronze", "stream_sessions_ckpt", "stream_sessions_sink")
+    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    import spark.implicits._
+    val typed = eventTail(
+        graft.streaming.StreamDrill.session(spark, noDataBatches = true), bronze)
+      .as[graft.streaming.EventStream.Ev]
+    runToSink(
+      graft.streaming.EventStream.sessionize(typed,
+        gapMinutes = StreamSessGapMin,
+        watermark = s"$StreamSessWmMin minutes").toDF(),
+      ckpt, sink)
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
+        "events BIGINT, batch_id BIGINT")
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("events"))
+      .orderBy("user_id", "start_ms")
+  }
+
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val Seq(bronze, ckpt, sink) = freshDirs(spark,
       "stream_join_bronze", "stream_join_ckpt", "stream_join_sink")
@@ -1103,6 +1149,7 @@ object EventOps {
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_sessions" -> (streamSessions _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -1541,6 +1588,36 @@ object EventOps {
     // Stage predicates mirror funnelStream exactly: stage 0 accepts a
     // view unconditionally, later stages require strictly increasing
     // event time.
+    // Gap sessionization with event-time timeouts, replayed in the
+    // stream's MILLISECOND domain (getTime): sessions from the global
+    // gap fold over ms timestamps; emitted iff arrival-closed (a later
+    // same-user event exists) or the idle deadline precedes the
+    // terminal watermark (strict <, matching the state store's
+    // timeout-fires-when-watermark-exceeds rule).
+    "stream_sessions" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, epoch_ms($TsCast) AS ms FROM events),
+         |g AS (
+         |  SELECT user_id, ms,
+         |    CASE WHEN lag(ms) OVER w IS NULL
+         |           OR ms - lag(ms) OVER w > ${StreamSessGapMin * 60000L}
+         |         THEN 1 ELSE 0 END AS gap_new
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sid AS (
+         |  SELECT user_id, ms,
+         |    sum(gap_new) OVER (PARTITION BY user_id ORDER BY ms
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+         |    CAST(count(*) AS BIGINT) AS events,
+         |    max(sid) OVER (PARTITION BY user_id) AS max_sid
+         |  FROM sid GROUP BY user_id, sid),
+         |wm AS (SELECT max(ms) - ${StreamSessWmMin * 60000L} AS wm_ms FROM t)
+         |SELECT user_id, start_ms, end_ms, events
+         |FROM sess, wm
+         |WHERE sid < max_sid OR end_ms + ${StreamSessGapMin * 60000L} < wm_ms
+         |ORDER BY user_id, start_ms""".stripMargin,
     "stream_funnel" -> {
       def ev(f: String) = s"q.evs[CAST(st.i+1 AS INT)].$f"
       s"""WITH RECURSIVE seq AS MATERIALIZED (

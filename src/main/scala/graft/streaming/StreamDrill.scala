@@ -34,9 +34,14 @@ object StreamDrill {
     * the sizing rule — which is a deployment conf, not code: nothing
     * in the drill bodies assumes the count.
     */
-  def session(spark: SparkSession): SparkSession = {
+  def session(spark: SparkSession, noDataBatches: Boolean = false): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Event-time-TIMEOUT drills (stream_sessions) must keep no-data
+    // batches: the final housekeeping batch is what fires timeouts for
+    // sessions whose gap closes after the last data arrives — without
+    // it the stream ends with those emissions still in state.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     s.conf.set("spark.sql.shuffle.partitions", "4")
     s
   }
