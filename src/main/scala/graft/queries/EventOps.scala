@@ -705,13 +705,24 @@ object EventOps {
     * contract. At least two buckets or the multi-batch coverage claim
     * fails loudly.
     */
+  /** Bucket epoch shared by the staging function and the oracles that
+    * reconstruct batch identity relationally (2024-01-01 UTC in
+    * micros).
+    */
+  val EventEpochUs = 1704067200000000L
+
+  /** Default bucket width (days) of [[stageEventBuckets]], mirrored in
+    * batch-tag oracles.
+    */
+  val EventBucketDays = 11L
+
   private def stageEventBuckets(spark: SparkSession, dir: String,
-      root: String, bucketDays: Long = 11L): Seq[Int] = {
+      root: String, bucketDays: Long = EventBucketDays): Seq[Int] = {
     val bucketUs = bucketDays * 86400L * 1000000L
     Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"),
-        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / bucketUs)
+        floor((unix_micros(col("ts")) - lit(EventEpochUs)) / bucketUs)
           .cast("int").as("b"))
       .repartition(col("b"))
       .write.partitionBy("b").parquet(s"$root/staging")
@@ -882,6 +893,86 @@ object EventOps {
       .select(col("user_id"), unix_micros(col("started")).as("start_us"),
         unix_micros(col("completed")).as("end_us"))
       .orderBy("user_id", "start_us")
+  }
+
+  /** RUNNING PER-USER COUNTS executed under the value gate —
+    * `mapGroupsWithState` (the exactly-one-output-per-group API, the
+    * one GroupState variant the gated set had not covered):
+    * each micro-batch folds its events into the user's persisted
+    * total and emits the cumulative count, so the sink holds one
+    * (batch, user, running total) row per user PER BATCH THE USER
+    * APPEARED IN. The oracle reconstructs batch identity from the
+    * staging bucket function (epoch + width constants shared with
+    * [[stageEventBuckets]]) and emits, per (batch, present user), the
+    * count of that user's events in all buckets ≤ batch — the
+    * cumulative state evolution, exactly.
+    */
+  def streamRunning(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt, sink) = freshDirs(spark,
+      "stream_running_bronze", "stream_running_ckpt", "stream_running_sink")
+    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    import spark.implicits._
+    val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
+      .as[graft.streaming.EventStream.Ev]
+    val q = graft.streaming.EventStream.runningUserCounts(typed)
+      .toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, events BIGINT, batch_id BIGINT")
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("user_id"), col("events").as("total"))
+      .orderBy("batch_id", "user_id")
+  }
+
+  /** [[streamEnriched]]'s dim-coverage residue: users whose key is ≡ 0
+    * (mod this) are EXCLUDED from the static dim, so the left join's
+    * 'unknown' arm binds real rows (every event user exists in
+    * customer, so an unfiltered dim would make the coalesce vacuous).
+    */
+  val StreamDimExcludeMod = 7L
+
+  /** STREAM-STATIC BROADCAST JOIN executed under the value gate —
+    * [[graft.streaming.EventStream.enrichedHourlyCounts]]: every
+    * micro-batch joins against a STATIC dimension (customer tiers, re-
+    * read per batch, broadcast — no state store involved, which is the
+    * point: the dim is not stream state) before the windowed
+    * aggregation. Complete-mode emission after the last batch must
+    * equal the one-shot batch join+aggregate, including the 'unknown'
+    * tier rows from users the dim excludes. The final collect is the
+    * bounded (hours × tiers) frame.
+    */
+  def streamEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(bronze, ckpt) = freshDirs(spark,
+      "stream_enriched_bronze", "stream_enriched_ckpt")
+    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val users = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % StreamDimExcludeMod =!= 0)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("tier"))
+    val src = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
+    val last = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](null)
+    val q = graft.streaming.EventStream.enrichedHourlyCounts(src, users)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          last.set((b.schema, b.collect())); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Option(last.get()).fold(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "hour_start BIGINT, tier STRING, cnt BIGINT"))) {
+      case (sch, rows) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+    }.orderBy("hour_start", "tier")
   }
 
   /** [[streamSessions]]' gap (aligned with the batch 10-minute session
@@ -1150,6 +1241,8 @@ object EventOps {
     "stream_join" -> (streamJoin _),
     "stream_funnel" -> (streamFunnel _),
     "stream_sessions" -> (streamSessions _),
+    "stream_running" -> (streamRunning _),
+    "stream_enriched" -> (streamEnriched _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
     "events_sessions" -> (sessions _),
@@ -1594,6 +1687,36 @@ object EventOps {
     // same-user event exists) or the idle deadline precedes the
     // terminal watermark (strict <, matching the state store's
     // timeout-fires-when-watermark-exceeds rule).
+    // mapGroupsWithState replayed relationally: batch identity from
+    // the shared staging-bucket constants; per (batch, user PRESENT in
+    // that batch), the running total is the count of the user's events
+    // in all buckets up to the batch.
+    "stream_running" ->
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |    CAST(floor((epoch_us($TsCast) - $EventEpochUs)
+         |      / ${EventBucketDays * 86400L * 1000000L}) AS BIGINT) AS b
+         |  FROM events),
+         |bc AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n
+         |       FROM t GROUP BY user_id, b)
+         |SELECT cur.b AS batch_id, cur.user_id AS user_id,
+         |  CAST(sum(prev.n) AS BIGINT) AS total
+         |FROM bc cur JOIN bc prev
+         |  ON cur.user_id = prev.user_id AND prev.b <= cur.b
+         |GROUP BY cur.b, cur.user_id
+         |ORDER BY batch_id, cur.user_id""".stripMargin,
+    // Stream-static join: the complete-mode final state equals the
+    // one-shot batch join+aggregate — including 'unknown' rows from
+    // users the filtered dim excludes.
+    "stream_enriched" ->
+      s"""SELECT
+         |  CAST(floor(epoch($TsCast) / 3600) * 3600 AS BIGINT) AS hour_start,
+         |  coalesce(CASE WHEN c_custkey % $StreamDimExcludeMod <> 0
+         |                THEN c_mktsegment END, 'unknown') AS tier,
+         |  count(*) AS cnt
+         |FROM events LEFT JOIN customer
+         |  ON user_id = c_custkey AND c_custkey % $StreamDimExcludeMod <> 0
+         |GROUP BY 1, 2 ORDER BY hour_start, tier""".stripMargin,
     "stream_sessions" ->
       s"""WITH t AS (
          |  SELECT user_id, event_id, epoch_ms($TsCast) AS ms FROM events),
