@@ -339,7 +339,12 @@ object DedupOps {
     // cap that bounds every shingle's fan-out (a hot shingle emits zero
     // pairs instead of df² of them). The old shape re-derived the df
     // table and joined it back: one extra corpus-keyed shuffle for the
-    // same candidate set.
+    // same candidate set. Trade (shared with pairCountsOf, the
+    // established build shape): a hot shingle's posting list DOES
+    // materialize transiently in the collect buffer before the size
+    // filter drops the group — O(df) per group, spill-backed; the old
+    // count-then-join shape avoided that buffer at the price of the
+    // extra shuffle.
     val pairs = full.groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("d"),
         col("n_sh").as("n"), col("hist").as("h")))).as("ds"))
@@ -1648,19 +1653,11 @@ object DedupOps {
   private def ingestTag: Column =
     pmod(SampleOps.bucketOf(col("doc_id")), lit(StreamIngestBatches + 1))
 
-  /** Fresh scratch dirs (leftovers deleted) — the stream gates rerun
-    * within one JVM (Verify then Bench), so every run needs a fresh
-    * checkpoint and sink lineage.
+  /** Fresh scratch dirs — delegates to the drill families' shared
+    * implementation.
     */
-  private def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    names.map { n =>
-      val p = graft.Scratch.dir(n)
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).delete(hp, true)
-      p
-    }
-  }
+  private def freshDirs(spark: SparkSession, names: String*): Seq[String] =
+    graft.streaming.StreamDrill.freshDirs(spark, names: _*)
 
   /** Stage the tag ≥ 1 documents as [[StreamIngestBatches]] snapshot
     * generations in batch-tag order. The tag is a pure function of the
@@ -1700,19 +1697,10 @@ object DedupOps {
       .as[graft.streaming.DocStream.Doc]
   }
 
-  /** Read a batch-partitioned stream sink back, or the given empty
-    * shape if no batch ever produced rows (zero-row partitioned writes
-    * leave no readable files).
-    */
+  /** Read a batch-partitioned stream sink back (shared impl). */
   private def readSinkOrEmpty(spark: SparkSession, sink: String,
       emptyDdl: String): DataFrame =
-    try spark.read.parquet(sink)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
-    }
+    graft.streaming.StreamDrill.readSinkOrEmpty(spark, sink, emptyDdl)
 
   /** [[graft.streaming.DocStream.neardupIngest]] EXECUTED under the
     * value gate: the band-bucket index seeds from the tag-0 quarter

@@ -685,15 +685,8 @@ object EventOps {
   val StreamJoinHorizonMin = 10
 
   /** Prepare a fresh set of scratch dirs (deleting leftovers). */
-  private def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    names.map { n =>
-      val p = graft.Scratch.dir(n)
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).delete(hp, true)
-      p
-    }
-  }
+  private def freshDirs(spark: SparkSession, names: String*): Seq[String] =
+    graft.streaming.StreamDrill.freshDirs(spark, names: _*)
 
   /** Stage the events into ~11-day time buckets under `root/staging`
     * (timestamps as epoch-micros BIGINT — the session's parquet writer
@@ -782,13 +775,7 @@ object EventOps {
     */
   private def readSinkOrEmpty(spark: SparkSession, sink: String,
       emptyDdl: String): DataFrame =
-    try spark.read.parquet(sink)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
-    }
+    graft.streaming.StreamDrill.readSinkOrEmpty(spark, sink, emptyDdl)
 
   /** Streaming EXACT DEDUP executed under the value gate — the fourth
     * gated streaming operator class (the built-in
@@ -1692,11 +1679,17 @@ object EventOps {
     // that batch), the running total is the count of the user's events
     // in all buckets up to the batch.
     "stream_running" ->
-      s"""WITH t AS (
+      s"""WITH t0 AS (
          |  SELECT user_id,
          |    CAST(floor((epoch_us($TsCast) - $EventEpochUs)
-         |      / ${EventBucketDays * 86400L * 1000000L}) AS BIGINT) AS b
+         |      / ${EventBucketDays * 86400L * 1000000L}) AS BIGINT) AS rawb
          |  FROM events),
+         |t AS (
+         |  -- micro-batch k is the k-th SORTED bucket (publishEventGens),
+         |  -- not the raw bucket value: dense_rank absorbs offsets and
+         |  -- holes a different event span would otherwise shift by.
+         |  SELECT user_id, dense_rank() OVER (ORDER BY rawb) - 1 AS b
+         |  FROM t0),
          |bc AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n
          |       FROM t GROUP BY user_id, b)
          |SELECT cur.b AS batch_id, cur.user_id AS user_id,
@@ -1721,14 +1714,14 @@ object EventOps {
       s"""WITH t AS (
          |  SELECT user_id, event_id, epoch_ms($TsCast) AS ms FROM events),
          |g AS (
-         |  SELECT user_id, ms,
+         |  SELECT user_id, ms, event_id,
          |    CASE WHEN lag(ms) OVER w IS NULL
          |           OR ms - lag(ms) OVER w > ${StreamSessGapMin * 60000L}
          |         THEN 1 ELSE 0 END AS gap_new
          |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
          |sid AS (
          |  SELECT user_id, ms,
-         |    sum(gap_new) OVER (PARTITION BY user_id ORDER BY ms
+         |    sum(gap_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |      ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM g),
          |sess AS (

@@ -161,12 +161,16 @@ object StarOps {
       .groupBy("s_nationkey")
       .agg(Parity.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy("s_nationkey")
-    res.collect()
+    val rows = res.collect()
     val plan = res.queryExecution.executedPlan.toString
     require(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
       "AQE did not take the skew-join path — the drill's planted skew or " +
         "its scoped thresholds no longer trigger OptimizeSkewedJoin:\n" + plan)
-    res
+    // Return the ALREADY-EXECUTED result (one row per nation): handing
+    // back the lazy frame would re-run the whole skewed join when the
+    // caller writes/collects it, double-paying the drill.
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      .orderBy("s_nationkey")
   }
 
   /** Pure theta join (no equi key): BroadcastNestedLoopJoin with the

@@ -1045,7 +1045,11 @@ object SnapshotTable {
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var cur = g
       var continue = true
+      var hops = 0
       while (continue) {
+        hops += 1
+        require(hops <= 100000, s"segment chain of $table gen $g exceeds " +
+          "100000 hops during expire protection — cyclic parent references?")
         val parent = readManifestRows(spark, manifestPath(table, cur))
           .find(_.kind.contains(ParentKind))
         parent.map(_.path) match {

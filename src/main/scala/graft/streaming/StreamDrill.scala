@@ -34,6 +34,34 @@ object StreamDrill {
     * the sizing rule — which is a deployment conf, not code: nothing
     * in the drill bodies assumes the count.
     */
+  /** Fresh scratch dirs (leftovers deleted) — the drills rerun within
+    * one JVM (Verify then Bench), so every run needs fresh checkpoint
+    * and sink lineage. The ONE implementation the drill families share.
+    */
+  def freshDirs(spark: SparkSession, names: String*): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.map { n =>
+      val p = graft.Scratch.dir(n)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+      p
+    }
+  }
+
+  /** Read a batch-partitioned drill sink back, or the given empty
+    * shape if no batch ever produced rows (zero-row partitioned writes
+    * leave no readable files).
+    */
+  def readSinkOrEmpty(spark: SparkSession, sink: String,
+      emptyDdl: String): org.apache.spark.sql.DataFrame =
+    try spark.read.parquet(sink)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+    }
+
   def session(spark: SparkSession, noDataBatches: Boolean = false): SparkSession = {
     val s = spark.newSession()
     // Event-time-TIMEOUT drills (stream_sessions) must keep no-data
