@@ -657,10 +657,26 @@ object EventOps {
     * execution ≡ batch execution ≡ DuckDB for the custom-state
     * operator too.
     */
+  /** Memoized per-(JVM, sfDir) READ-ONLY bronze: the five default-
+    * bucket drills (scd2, funnel, running, enriched, sessions) consume
+    * the IDENTICAL 3-generation staged table and only ever read it —
+    * staging it once per session is the same fixture-sharing move as
+    * the snapshot family's memoized 3-gen table (r11). Drills that
+    * need a DIFFERENT lineage (dedup's re-deliveries, join's 16-day
+    * buckets) keep staging privately; checkpoints and sinks stay
+    * per-query always.
+    */
+  private val eventBronzeArtifact = new graft.SessionArtifact("event_bronze")
+
+  private def eventBronze(spark: SparkSession, dir: String): String =
+    eventBronzeArtifact.ensure(dir) { p =>
+      publishEventGens(spark, p, stageEventBuckets(spark, dir, p))
+    }
+
   def streamScd2(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(bronze, ckpt, sink) = freshDirs(spark,
-      "stream_scd2_bronze", "stream_scd2_ckpt", "stream_scd2_sink")
-    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_scd2_ckpt", "stream_scd2_sink")
+    val bronze = eventBronze(spark, dir)
     import spark.implicits._
     val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
       .as[graft.streaming.EventStream.Ev]
@@ -868,9 +884,9 @@ object EventOps {
     * triggers.
     */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(bronze, ckpt, sink) = freshDirs(spark,
-      "stream_funnel_bronze", "stream_funnel_ckpt", "stream_funnel_sink")
-    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_funnel_ckpt", "stream_funnel_sink")
+    val bronze = eventBronze(spark, dir)
     import spark.implicits._
     val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
       .as[graft.streaming.EventStream.Ev]
@@ -895,9 +911,9 @@ object EventOps {
     * cumulative state evolution, exactly.
     */
   def streamRunning(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(bronze, ckpt, sink) = freshDirs(spark,
-      "stream_running_bronze", "stream_running_ckpt", "stream_running_sink")
-    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_running_ckpt", "stream_running_sink")
+    val bronze = eventBronze(spark, dir)
     import spark.implicits._
     val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
       .as[graft.streaming.EventStream.Ev]
@@ -934,9 +950,8 @@ object EventOps {
     * bounded (hours × tiers) frame.
     */
   def streamEnriched(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(bronze, ckpt) = freshDirs(spark,
-      "stream_enriched_bronze", "stream_enriched_ckpt")
-    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val Seq(ckpt) = freshDirs(spark, "stream_enriched_ckpt")
+    val bronze = eventBronze(spark, dir)
     val users = Tables.customer(spark, dir)
       .filter(col("c_custkey") % StreamDimExcludeMod =!= 0)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("tier"))
@@ -986,9 +1001,9 @@ object EventOps {
     * horizon correctly stays unemitted in both engines.
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(bronze, ckpt, sink) = freshDirs(spark,
-      "stream_sessions_bronze", "stream_sessions_ckpt", "stream_sessions_sink")
-    publishEventGens(spark, bronze, stageEventBuckets(spark, dir, bronze))
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_sessions_ckpt", "stream_sessions_sink")
+    val bronze = eventBronze(spark, dir)
     import spark.implicits._
     val typed = eventTail(
         graft.streaming.StreamDrill.session(spark, noDataBatches = true), bronze)
