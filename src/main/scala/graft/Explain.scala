@@ -63,11 +63,12 @@ object Explain {
     // scan. Their streaming plans are exercised (and their content
     // value-gated) by Verify.
     "q14_promo", "q13_custdist", "q15_top_supplier", "q18_big_orders",
-    "q17_small_qty", "q19_disjunct", "q22_idle_customers",
-    // join_skew_aqe executes internally (the skew markers are runtime
-    // facts), so the audit pays one small run; the printed plan is the
-    // one with AQEShuffleRead skewed.
-    "join_skew_aqe")
+    "q17_small_qty", "q19_disjunct", "q22_idle_customers")
+  // join_skew_aqe is deliberately NOT audited here: the skew markers
+  // are RUNTIME facts its own body require()s on every invocation (the
+  // strongest form of plan assertion), and the query returns its
+  // already-executed rows, so the printed plan would be a trivial
+  // local relation.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
