@@ -995,13 +995,22 @@ object SourceOps {
     * streaming execution ≡ batch execution ≡ DuckDB, the strongest
     * equivalence form the gate can express.
     */
+  /** Memoized per-(JVM, sfDir) READ-ONLY bronze change feed: the
+    * 3-generation committed feed the medallion drill tails is
+    * deterministic input staging, never mutated — built once per
+    * session (silver and checkpoint stay per-run).
+    */
+  private val medallionBronzeArtifact =
+    new graft.SessionArtifact("medallion_bronze")
+
   def streamMedallion(spark: SparkSession, dir: String): DataFrame = {
-    val bronze = freshTable(spark, "stream_medallion_bronze")
     val silver = freshTable(spark, "stream_medallion_silver")
     val ckpt = freshTable(spark, "stream_medallion_ckpt")
-    cdcFeedBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
-      SnapshotTable.commit(b, bronze, (i + 1).toLong,
-        carryFrom = if (i == 0) None else Some(i.toLong))
+    val bronze = medallionBronzeArtifact.ensure(dir) { p =>
+      cdcFeedBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
+        SnapshotTable.commit(b, p, (i + 1).toLong,
+          carryFrom = if (i == 0) None else Some(i.toLong))
+      }
     }
     val q = graft.streaming.SnapshotStream.cdcApply(
       graft.streaming.StreamDrill.session(spark).readStream
