@@ -114,12 +114,29 @@ object MultimodalOps {
       .toDF("media_id", "phash")
   }
 
-  def phashGroups(spark: SparkSession, dir: String): DataFrame =
-    phashSignatures(spark, dir)
+  /** [[phashGroups]]' grid precision. At the full [[PhashBits]] the
+    * exact-signature groups are VACUOUS on this corpus (no two media
+    * payloads are byte-identical, and 60 bits never collide at fixture
+    * scale — the gate would bind an empty frame on both engines, the
+    * q22 lesson), so the GROUPING query buckets at coarse precision:
+    * the perceptual candidate-group semantics (a dedup pipeline's
+    * bucketing pass), while full-precision pairing stays
+    * `multimodal_phash_near`'s job.
+    */
+  val PhashGroupBits = 12
+
+  def phashGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, Multimodal.aHashGrid(p, PhashGroupBits)) }
+      .toDF("media_id", "phash")
       .groupBy("phash")
       .agg(count(lit(1)).as("dup_cnt"), min(col("media_id")).as("rep_media"))
       .filter(col("dup_cnt") > 1)
       .orderBy(desc("dup_cnt"), asc("phash"))
+  }
 
   /** Banding layout and Hamming cut for [[phashNearPairs]]: 4 chunks of
     * 15 bits. By pigeonhole any pair within Hamming distance 3 shares
@@ -432,7 +449,12 @@ object MultimodalOps {
     * the dup-group and banded-pair oracles so the two stay one
     * signature definition.
     */
-  private val duckPhashCtes: String =
+  private val duckPhashCtes: String = duckPhashCtesAt(PhashBits)
+
+  /** The aHash CTE chain at an arbitrary grid precision — shared by the
+    * full-precision near-pair oracle and the coarse grouping oracle.
+    */
+  private def duckPhashCtesAt(bits: Int): String =
     s"""d AS (
        |  SELECT doc_id AS media_id, encode(text)::BIT bb,
        |         octet_length(encode(text)) n
@@ -446,10 +468,10 @@ object MultimodalOps {
        |  FROM d, LATERAL unnest(range(n)) t(i)),
        |tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM bytes GROUP BY media_id),
        |blk AS (
-       |  SELECT media_id, (i * $PhashBits) // n AS b, n,
+       |  SELECT media_id, (i * $bits) // n AS b, n,
        |         CAST(sum(v) AS BIGINT) AS s, count(*) AS blen
        |  FROM bytes
-       |  GROUP BY media_id, (i * $PhashBits) // n, n),
+       |  GROUP BY media_id, (i * $bits) // n, n),
        |sig AS (
        |  SELECT blk.media_id,
        |         CAST(sum(CASE WHEN s * n > total * blen
@@ -488,7 +510,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "multimodal_phash" ->
-      s"""WITH $duckPhashCtes
+      s"""WITH ${duckPhashCtesAt(PhashGroupBits)}
          |SELECT phash, count(*) AS dup_cnt, min(media_id) AS rep_media
          |FROM all_sig GROUP BY phash HAVING count(*) > 1
          |ORDER BY dup_cnt DESC, phash""".stripMargin,

@@ -176,9 +176,19 @@ object ScalarOps {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Set difference: nations with customers but no suppliers. */
+  /** [[setExcept]]'s right-side bound: suppliers span every customer
+    * nation in the fixture, so a bare nation EXCEPT returns the empty
+    * frame on both engines — vacuous. The threshold restricts the
+    * right side to rich suppliers' nations so the difference binds
+    * real rows (13 at sf0.01).
+    */
+  val ExceptMinAcctbal = 8000.0
+
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .except(Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") > ExceptMinAcctbal)
+        .select(col("s_nationkey").as("nk")))
       .orderBy("nk")
 
   /** HyperLogLog++ approximate distinct — sketch implementations differ
@@ -622,10 +632,10 @@ object ScalarOps {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "set_except" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT
-        |SELECT s_nationkey AS nk FROM supplier
-        |ORDER BY nk""".stripMargin,
+      s"""SELECT c_nationkey AS nk FROM customer
+         |EXCEPT
+         |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > $ExceptMinAcctbal
+         |ORDER BY nk""".stripMargin,
     // DuckDB runs the LATERAL form natively; Spark decorrelates it.
     "sql_lateral" ->
       """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice

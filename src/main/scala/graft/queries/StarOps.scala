@@ -67,9 +67,21 @@ object StarOps {
   }
 
   /** Left-anti join: customers with no orders at all. */
+  /** [[joinAnti]]'s excluded order class: the anti side is "customers
+    * with no order of THIS priority" — in the fixture every customer
+    * has SOME order, so a bare no-orders anti-join returns the empty
+    * frame on both engines and its exact oracle binds nothing (the
+    * q22 lesson). The priority filter pushes to the orders scan before
+    * the anti-join's key shuffle.
+    */
+  val AntiPriority = "1-URGENT"
+
   def joinAnti(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === AntiPriority)
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -1260,9 +1272,10 @@ object StarOps {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_orderpriority = '$AntiPriority')
+         |ORDER BY c_custkey""".stripMargin,
     "window_rank" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
