@@ -6,7 +6,7 @@ import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -16,6 +16,53 @@ import org.apache.spark.sql.SparkSession
   * heaviest queries instead of the sum over the whole registry.
   */
 object Verify {
+  /** Dump every query in `selected` to `outDir/<name>` parquet and
+    * return the failure list (name → reason). Two failure classes:
+    * the query THREW (the dump is missing — the driver's compare
+    * records its own err), or the query succeeded but returned an
+    * EMPTY frame at the gate scale — the vacuity class round 13's
+    * hand audit found three instances of (`join_anti`, `set_except`,
+    * `multimodal_phash` all returned empty frames the DuckDB twin
+    * trivially agreed on, gating nothing). An empty result makes any
+    * value oracle vacuously true, so it is structurally a FAILURE
+    * here: every registered query must bind ≥ 1 row at the scale the
+    * driver verifies, or pick a fixture/threshold that does.
+    */
+  private[graft] def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+      selected: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, String)] = {
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Per-query dump failures collect here and surface in the separate
+    // failed.json artifact (the Bench precedent), so the dump is
+    // self-describing: a query that threw writes no parquet — the
+    // driver's compare already records an err for it — but the
+    // artifact itself says which queries died and why.
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val dumps = selected.map { case (name, fn) =>
+      Future {
+        try {
+          val out = s"$outDir/$name"
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(out)
+          // The vacuity gate: read the dump back (one tiny file — the
+          // write above coalesced to 1) and require at least one row.
+          // Checking the FILES rather than the in-flight frame means a
+          // write that silently dropped rows would also trip it.
+          if (spark.read.parquet(out).isEmpty) {
+            System.err.println(s"[verify] $name VACUOUS: empty result at gate scale")
+            failed.add((name, "vacuous: empty result at gate scale"))
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add((name, String.valueOf(e.getMessage)))
+        }
+      }
+    }
+    Await.result(Future.sequence(dumps), Duration.Inf)
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    failed.asScala.toSeq.sortBy(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -43,26 +90,7 @@ object Verify {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    val pool = Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    // Per-query dump failures collect here and surface in the separate
-    // failed.json artifact (the Bench precedent), so the dump is
-    // self-describing: a query that threw writes no parquet — the
-    // driver's compare already records an err for it — but the
-    // artifact itself says which queries died and why.
-    val failed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
-    val dumps = selected.map { case (name, fn) =>
-      Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          failed.add((name, String.valueOf(e.getMessage)))
-        }
-      }
-    }
-    Await.result(Future.sequence(dumps), Duration.Inf)
-    pool.shutdown()
+    val failed = dumpAll(spark, sfDir, outDir, selected)
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -76,12 +104,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    import scala.jdk.CollectionConverters._
     // The failure list is a SEPARATE artifact: oracle_sql.json stays a
     // pure name → SQL map (every key a query name — no sentinel key a
     // consumer must special-case, no collision with a query that could
     // legitimately be named "failed").
-    val failedJson = failed.asScala.toSeq.sortBy(_._1)
+    val failedJson = failed
       .map { case (n, m) => s"{${q("query")}: ${q(n)}, ${q("error")}: ${q(m)}}" }
       .mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)

@@ -174,10 +174,37 @@ object StarOps {
       .agg(Parity.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy("s_nationkey")
     val rows = res.collect()
-    val plan = res.queryExecution.executedPlan.toString
-    require(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+    // Assert on the executed plan TREE, not its rendered string: the
+    // formatted markers ("skew=true", "AQEShuffleRead skewed") are
+    // display strings a Spark minor version may reword, while
+    // SortMergeJoinExec.isSkewJoin and the PartialReducerPartitionSpec
+    // splits inside AQEShuffleReadExec are the planner facts themselves.
+    // QueryStageExec/AdaptiveSparkPlanExec hold their materialized plans
+    // outside `children`, so the walk descends into them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty[SparkPlan]
+      })).flatMap(flatten)
+    val nodes = flatten(res.queryExecution.executedPlan)
+    val skewJoin = nodes.exists {
+      case s: SortMergeJoinExec => s.isSkewJoin
+      case _ => false
+    }
+    val skewRead = nodes.exists {
+      case r: AQEShuffleReadExec =>
+        r.partitionSpecs.exists(_.isInstanceOf[PartialReducerPartitionSpec])
+      case _ => false
+    }
+    require(skewJoin && skewRead,
       "AQE did not take the skew-join path — the drill's planted skew or " +
-        "its scoped thresholds no longer trigger OptimizeSkewedJoin:\n" + plan)
+        "its scoped thresholds no longer trigger OptimizeSkewedJoin:\n" +
+        res.queryExecution.executedPlan)
     // Return the ALREADY-EXECUTED result (one row per nation): handing
     // back the lazy frame would re-run the whole skewed join when the
     // caller writes/collects it, double-paying the drill.

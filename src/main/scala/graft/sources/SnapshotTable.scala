@@ -1040,9 +1040,25 @@ object SnapshotTable {
     // therefore PROTECTED — kept, not retired — exactly Iceberg's
     // referenced-snapshot rule; a full-carry CHECKPOINT commit is what
     // re-roots the chain and makes its ancestors expirable.
-    def chainGens(g: Long): Seq[Long] = {
-      val prefix = s"$table/manifests/gen="
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Parent references were recorded with whatever table-path spelling
+    // the WRITER used at commitSegment time; qualify BOTH sides through
+    // the filesystem (scheme, authority, trailing slash, relative vs
+    // absolute) before the prefix compare — a raw string compare
+    // silently disengages protection when expire is invoked with a
+    // differently-normalized path to the same table, and a manifest a
+    // live chain resolves through would retire.
+    def qualified(s: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p).toUri.toString
+    }
+    val prefix = qualified(s"$table/manifests") + "/gen="
+    // Chains share ancestors (every post-checkpoint segment walks to the
+    // same root), so a generation already protected has had its whole
+    // upstream walk run — each walk stops at the first already-visited
+    // generation, and every manifest is read at most once across ALL
+    // live generations instead of O(live × chain) times.
+    val protectedGens = scala.collection.mutable.Set.empty[Long]
+    live.foreach { g =>
       var cur = g
       var continue = true
       var hops = 0
@@ -1052,19 +1068,17 @@ object SnapshotTable {
           "100000 hops during expire protection — cyclic parent references?")
         val parent = readManifestRows(spark, manifestPath(table, cur))
           .find(_.kind.contains(ParentKind))
-        parent.map(_.path) match {
+        parent.map(r => qualified(r.path)) match {
           // A clone's parent may live in ANOTHER table — protection
           // cannot extend there (the source table's expire is its own
           // affair, the documented shallow-clone caveat).
           case Some(p) if p.startsWith(prefix) =>
             cur = p.stripPrefix(prefix).toLong
-            out += cur
+            continue = protectedGens.add(cur)
           case _ => continue = false
         }
       }
-      out.toSeq
     }
-    val protectedGens = live.flatMap(chainGens).toSet
     val retirable = dead.filterNot(protectedGens)
     // Tombstone files are manifest-referenced content too: a surviving
     // merge-on-read generation needs its delete files to serve the

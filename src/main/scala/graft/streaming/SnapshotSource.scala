@@ -476,7 +476,16 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       // all: its own manifest IS the added set (and segments are
       // append-only, so nothing is removed and no tombstone arrives).
       val (added, removed, freshDels) =
-        if (seg) (data, Seq.empty[String], dels)
+        if (seg) {
+          // Mirror resolvedFiles' append-only contract enforcement: a
+          // segment manifest carrying tombstone rows is malformed, not
+          // data to route into the generic delete-hop machinery below.
+          require(dels.isEmpty,
+            s"segment manifest of $table gen $g carries ${dels.size} " +
+              "tombstone row(s) — segmented lineages are APPEND-ONLY; " +
+              "deletes/upserts use the full-carry protocol")
+          (data, Seq.empty[String], dels)
+        }
         else if (committed.contains(g - 1)) {
           val (_, prevDels, _) = of(g - 1)
           val prevData = resolvedOf(g - 1)
