@@ -945,25 +945,42 @@ object StarOps {
     * formulation's heavy shuffle is keyed by (group, value) — well
     * distributed — and the window only sorts the distinct-value frame.
     *
-    * No rank is ever joined back to raw rows: l_quantity has ~50
-    * distinct values per group, so its rank map BROADCASTS onto the
-    * base scan, and the near-unique l_extendedprice side groups the
-    * dx-annotated rows ONCE by (group, value) into cells carrying
-    * (count, Σdx, Σdx²) — every power sum the closed form needs is a
-    * cell-level sum (`sxy = Σ dy·Σdx` because dy is constant within a
-    * cell), so the former 600k×600k join back on the price key is gone
-    * entirely. The price-side cumulative count is the
-    * [[graft.operators.PrefixSum]] two-pass shape fused with the
-    * grouping: range-partition by (group, value), one tiny
-    * per-(partition, group) totals frame broadcast back as the
-    * offsets, and a window bounded by one range split — so NO task
-    * ever windows a whole group (the quantity-side window touches
-    * only the ~150-row distinct-quantity frame). Cell
-    * sums stay DECIMAL end-to-end (integers — exact at any scale, the
-    * [[Parity]] route; a long-product variant measured only ~0.3s
-    * faster at sf0.1 and overflows per-cell at ~1.5e9 rows/group), and
-    * the final double closed form is the same IEEE tree as the
-    * oracle's.
+    * No rank is ever joined back: l_quantity has ~50 distinct values
+    * per group, so its rank map BROADCASTS onto the base scan, and the
+    * near-unique l_extendedprice side's tie-adjusted doubled rank
+    * comes from a RANGE-frame window (peers included) minus a
+    * peer-count window over the range-partitioned rows directly — no
+    * cell pre-aggregation, no checkpoint, ONE exchange total on the
+    * heavy side.
+    *
+    * The prefix-sum's second pass FUSES into the final aggregation
+    * instead of joining offsets back per row (the generic
+    * [[graft.operators.PrefixSum]] shape this replaces): with
+    * dy = A + 2·offset, where A = 2·local_cum − c + 1 is computable
+    * WITHIN a range partition (equal keys never split across range
+    * partitions, so every price cell is whole) and offset is the
+    * per-(partition, group) row-count prefix, every group-level power
+    * sum expands polynomially —
+    * `Σ dy    = ΣA    + 2·offset·n_p`,
+    * `Σ dy²   = ΣA²   + 4·offset·ΣA + 4·offset²·n_p`,
+    * `Σ dy·dx = ΣA·dx + 2·offset·Σdx` —
+    * so one pass over the range-partitioned rows (two windows sharing
+    * one sort, then a partial aggregation to ONE row per
+    * (partition, group)) followed by driver-scale arithmetic on that
+    * ≤ partitions × groups frame replaces the former cell hash-agg,
+    * its corpus-scale localCheckpoint, the broadcast offsets
+    * join-back, AND the corpus-scale final group exchange (measured
+    * 3.2s → 2.1s warm at sf0.1). No task ever windows a whole group
+    * (the quantity-side window touches only the ~150-row
+    * distinct-quantity frame; the price-side windows are bounded by
+    * one range split). Sums stay DECIMAL end-to-end (integers — exact
+    * at any scale, the [[Parity]] route; a long-product variant
+    * overflows at ~1.5e9 rows/group); the polynomial regrouping is
+    * exact integer arithmetic, so the final double closed form is the
+    * SAME IEEE tree as the oracle's — the oracle text is unchanged.
+    * Boundary invariance: WHERE the sampled range splits land moves
+    * rows between (A, offset) decompositions of the same dy, never
+    * changes a group sum.
     */
   def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -976,38 +993,48 @@ object StarOps {
       .agg(count(lit(1)).as("c"))
       .select(col("l_returnflag"), col("l_quantity"),
         (sum("c").over(wq) * 2 - col("c") + 1).cast("double").as("dx"))
-    val cells = base.join(broadcast(qRanks), Seq("l_returnflag", "l_quantity"))
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("c"),
-        sum(col("dx").cast(dec)).as("sdx"),
-        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sdxx"))
-    // WITHIN-GROUP running count via the grouped
-    // [[graft.operators.PrefixSum.withRunningTotal]]: range-partition
-    // by (group, value), ONE tiny per-(partition, group) totals frame
-    // broadcast back as the offsets (≤ partitions × groups rows,
-    // driver-scale), local window bounded by one range split — no task
-    // ever windows a whole group.
-    // Materialize the cell frame BEFORE the range exchange: the range
-    // partitioner's sampling pass would otherwise recompute the whole
-    // scan+join+agg lineage once for sampling and again for the
-    // exchange itself. The cell frame is corpus-REDUCED (one row per
-    // distinct (group, price)), so checkpointing it is cheap relative
-    // to recomputing its lineage.
-    graft.operators.PrefixSum.withRunningTotal(
-      cells.localCheckpoint(),
-      Seq(col("l_extendedprice")), col("c"), ParetoPartitions,
-      groupCols = Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("c"), col("sdx"), col("sdxx"),
-        (col("cum") * 2 - col("c") + 1)
-          .cast("double").cast(dec).as("dy"))
+    val ranged = base.join(broadcast(qRanks), Seq("l_returnflag", "l_quantity"))
+      .repartitionByRange(ParetoPartitions,
+        col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("__pid", spark_partition_id())
+    // Doubled tie-average rank, partition-locally: the RANGE frame
+    // includes the current row's price PEERS (2·cum counts through the
+    // whole tie cell), and the peer-count window supplies c.
+    val cumW = Window.partitionBy(col("__pid"), col("l_returnflag"))
+      .orderBy("l_extendedprice")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellW = Window.partitionBy(col("__pid"), col("l_returnflag"),
+      col("l_extendedprice"))
+    val aCol = (count(lit(1)).over(cumW) * 2 -
+      count(lit(1)).over(cellW) + 1).cast(dec)
+    val dxD = col("dx").cast(dec)
+    val per = ranged.withColumn("__a", aCol)
+      .groupBy(col("__pid"), col("l_returnflag"))
+      .agg(count(lit(1)).as("ptot"),
+        sum(dxD).as("sdx_t"),
+        sum(dxD * dxD).as("sdxx_t"),
+        sum(col("__a")).as("sac"),
+        sum(col("__a") * col("__a")).as("sa2c"),
+        sum(col("__a") * dxD).as("sasdx"))
+    // 2·offset per (partition, group): the row-count prefix over
+    // earlier partitions of the same group — a window over ≤
+    // ParetoPartitions rows per group on the tiny per-partition frame.
+    val offW = Window.partitionBy("l_returnflag").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("__off2",
+        (coalesce(sum("ptot").over(offW), lit(0L)) * 2).cast(dec))
       .groupBy("l_returnflag")
       .agg(
-        sum("c").as("n"),
-        sum("sdx").cast("double").as("sx"),
-        sum(col("dy") * col("c").cast(dec)).cast("double").as("sy"),
-        sum("sdxx").cast("double").as("sxx"),
-        sum(col("dy") * col("dy") * col("c").cast(dec)).cast("double").as("syy"),
-        sum(col("dy") * col("sdx")).cast("double").as("sxy"))
+        sum("ptot").as("n"),
+        sum("sdx_t").cast("double").as("sx"),
+        sum(col("sac") + col("__off2") * col("ptot").cast(dec))
+          .cast("double").as("sy"),
+        sum("sdxx_t").cast("double").as("sxx"),
+        sum(col("sa2c") + col("__off2") * col("sac") * 2 +
+            col("__off2") * col("__off2") * col("ptot").cast(dec))
+          .cast("double").as("syy"),
+        sum(col("sasdx") + col("__off2") * col("sdx_t"))
+          .cast("double").as("sxy"))
       .select(col("l_returnflag"), col("n"),
         floor(((col("sxy") - col("sx") * col("sy") / col("n")) /
           sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
