@@ -1641,9 +1641,17 @@ object DedupOps {
   /** Micro-batch count for the streaming ingest gates: documents with
     * ingest tag ≥ 1 split into this many generations; tag 0 is the
     * seed backfill (every tag populated at all fixture scales —
-    * enforced loudly at staging).
+    * enforced loudly at staging). TWO batches is the minimum that
+    * exercises the growing index (batch 0 probes the seed alone,
+    * batch 1 probes seed + batch 0's streamed contributions) — a third
+    * batch only repeated batch 1's coverage class at one more full
+    * micro-batch round per gate × three gates (the r12 stream_dedup
+    * three-bucket precedent); the cross-STREAM-batch arm stays
+    * non-trivially bound (measured at sf0.01: 6 batch→batch candidate
+    * hits in `stream_neardup`, 24 cross-stream-batch history chunk
+    * instances in `stream_chunks`).
     */
-  val StreamIngestBatches = 3
+  val StreamIngestBatches = 2
 
   /** The per-document ingest tag in [0, StreamIngestBatches]: 0 seeds
     * the index, tag k ≥ 1 streams as micro-batch k-1. A pure function
@@ -1759,8 +1767,8 @@ object DedupOps {
     * every chunk's FIRST-SEEN batch tag (min over seed = -1 and all
     * batch instances) and calls an instance fresh iff its own batch IS
     * the first sighting — exactly the stream's history semantics, so
-    * the hash gates the growing-index behavior (58 cross-stream-batch
-    * history hits at sf0.01, 211 seed hits), not just one probe.
+    * the hash gates the growing-index behavior (24 cross-stream-batch
+    * history chunk instances at sf0.01), not just one probe.
     */
   def streamChunks(spark: SparkSession, dir: String): DataFrame = {
     val Seq(idx, rpt, ckpt) = freshDirs(spark,
