@@ -1311,6 +1311,50 @@ object DedupOps {
     labels.toDF("doc_id", "rep").orderBy("doc_id")
   }
 
+  /** CANONICAL-DOC selection — the curation step that FOLLOWS
+    * clustering in a real dedup pipeline: within every verified
+    * near-dup component, keep exactly one document (most tokens, ties
+    * to the lowest doc_id — "keep the longest version" is the standard
+    * near-dup retention policy) and mark the rest dropped. One
+    * keep/drop decision row per component member, with the component
+    * representative and the chosen canonical alongside, is precisely
+    * the sidecar a corpus-curation job joins back onto the corpus.
+    *
+    * Scale shape: the component labels are a tiny frame (only docs in
+    * verified duplicate pairs) that BROADCASTS onto the documents scan
+    * — token counts are computed for component members only, never the
+    * corpus — and the canonical election is a window over components,
+    * whose size the candidate stoplist already bounds. Exact value
+    * oracle: the verified-pairs + recursive-components CTEs composed
+    * with the text_quality token-count expression, the same
+    * rank-1-elects-canonical window in SQL.
+    */
+  def canonicalSelect(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, candidates) = verifiedPairsWithHandle(spark, dir)
+    val labels = connectedGroups(pairs)
+    candidates.unpersist(blocking = false)
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tok_cnt"))
+    canonicalOf(labels.toDF("doc_id", "rep"), tc)
+  }
+
+  /** [[canonicalSelect]]'s election over arbitrary `(doc_id, rep)`
+    * labels and `(doc_id, tok_cnt)` counts (exposed for tests, which
+    * plant a component with a token-count tie).
+    */
+  private[queries] def canonicalOf(lab: DataFrame, tc: DataFrame): DataFrame = {
+    val members = tc.join(broadcast(lab), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy(desc("tok_cnt"), asc("doc_id"))
+    members
+      .withColumn("canonical", first("doc_id").over(w))
+      .select(col("doc_id"), col("rep"), col("canonical"), col("tok_cnt"),
+        when(col("doc_id") === col("canonical"), lit("keep"))
+          .otherwise(lit("drop")).as("action"))
+      .orderBy("rep", "doc_id")
+  }
+
   /** Prefix length compared by [[editDistance]]. */
   val EditPrefixLen = 80
 
@@ -1890,6 +1934,7 @@ object DedupOps {
     "neardup_pipeline" -> (neardupPipeline _),
     "neardup_edit" -> (editDistance _),
     "neardup_groups" -> (neardupGroups _),
+    "dedup_canonical" -> (canonicalSelect _),
     "dedup_exact" -> (exact _),
     "dedup_hash_count" -> (hashCount _),
     "dedup_weights" -> (softWeights _),
@@ -2163,6 +2208,35 @@ object DedupOps {
     // rows, so the incremental twin shares neardup_jaccard's oracle
     // string verbatim.
     ("neardup_index_incr" -> baseOracle("neardup_jaccard")) +
+    // The groups oracle's components joined with text_quality's
+    // token-count expression; rank 1 per component elects the
+    // canonical (most tokens, ties to lowest doc_id).
+    ("dedup_canonical" ->
+      s"""WITH RECURSIVE $duckVerifiedCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM ver
+         |        UNION ALL SELECT b, a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |, lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |tc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS BIGINT) AS tok_cnt
+         |  FROM documents),
+         |m AS (
+         |  SELECT l.doc_id, l.rep, tc.tok_cnt,
+         |    row_number() OVER (PARTITION BY l.rep
+         |                       ORDER BY tc.tok_cnt DESC, l.doc_id ASC) AS rn
+         |  FROM lab l JOIN tc USING (doc_id)),
+         |canon AS (SELECT rep, doc_id AS canonical FROM m WHERE rn = 1)
+         |SELECT m.doc_id, m.rep, c.canonical, m.tok_cnt,
+         |  CASE WHEN m.doc_id = c.canonical THEN 'keep' ELSE 'drop' END AS action
+         |FROM m JOIN canon c USING (rep)
+         |ORDER BY rep, doc_id""".stripMargin) +
     // Within-doc repetition: the same token-hash + windowed-fold
     // identities (SpanFold widths 2 and 3), counted per document.
     ("text_repetition_ngram" -> {

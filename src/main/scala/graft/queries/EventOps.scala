@@ -871,6 +871,50 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** The BUILT-IN `session_window` aggregation executed under the
+    * value gate — the declarative sessionizer's own streaming state
+    * store (session merge/split inside the engine), the operator class
+    * `stream_sessions`' custom flatMapGroupsWithState form deliberately
+    * does NOT cover. The shared time-bucketed bronze streams in one
+    * generation per trigger; sessions merge in state across
+    * micro-batches (buckets partition BY TIME, so an open tail session
+    * extends into the next batch whenever a user's events land within
+    * the gap of the boundary); append mode emits a session exactly once
+    * when the watermark passes its end. A ZERO watermark delay is
+    * sound here by construction — buckets are time-ordered, so no row
+    * is ever late — and any session a future event could still merge
+    * into has `end > watermark` (its last event is within the gap of
+    * the batch's max), so early finalization can never split a
+    * cross-batch session. The no-data housekeeping batch stays ON: it
+    * is what emits the last bucket's closed sessions. The oracle is
+    * the batch gaps-and-islands sessionization (the
+    * `events_sessions` identity, session-level projection) cut to the
+    * emitted set: sessions whose end (last event + gap) is at or
+    * before the final watermark (the global max event time). Both
+    * gate arms bind at sf0.01: one session genuinely spans a bucket
+    * boundary (the in-state cross-batch merge), and exactly one tail
+    * session is withheld by the emission cut (9857 of 9858 emitted).
+    */
+  def streamSessionWin(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_sessionwin_ckpt", "stream_sessionwin_sink")
+    val bronze = eventBronze(spark, dir)
+    runToSink(
+      graft.streaming.EventStream.sessionizeNative(
+        eventTail(graft.streaming.StreamDrill.session(spark,
+          noDataBatches = true), bronze),
+        gapMinutes = 10, watermark = "0 seconds"),
+      ckpt, sink)
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
+        "events BIGINT, batch_id INT")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** The STREAM-STREAM INTERVAL JOIN executed under the value gate —
     * the last stateful streaming operator class
     * ([[graft.streaming.EventStream.attributeClicks]]'s two-sided
@@ -1264,6 +1308,7 @@ object EventOps {
     "stream_hourly" -> (streamHourly _),
     "stream_scd2" -> (streamScd2 _),
     "stream_dedup" -> (streamDedup _),
+    "stream_sessionwin" -> (streamSessionWin _),
     "stream_join" -> (streamJoin _),
     "stream_funnel" -> (streamFunnel _),
     "stream_sessions" -> (streamSessions _),
@@ -1828,6 +1873,32 @@ object EventOps {
     "stream_dedup" ->
       s"""SELECT event_id, epoch_us($TsCast) AS us, user_id, event_type
          |FROM events ORDER BY event_id""".stripMargin,
+    // [[streamSessionWin]]'s twin: the events_sessions gaps-and-islands
+    // identity at SESSION level, cut to the append-emitted set —
+    // sessions whose end (last event + gap) is at or before the final
+    // watermark (zero delay ⇒ the global max event time).
+    "stream_sessionwin" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us($TsCast) AS us FROM events),
+         |mx AS (SELECT max(us) AS m FROM e),
+         |s AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+         |         THEN 1 ELSE 0 END AS gap_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |g AS (
+         |  SELECT user_id, us,
+         |    sum(gap_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM s),
+         |sess AS (
+         |  SELECT user_id, min(us) AS start_us,
+         |    max(us) + 600000000 AS end_us,
+         |    CAST(count(*) AS BIGINT) AS events
+         |  FROM g GROUP BY user_id, sid)
+         |SELECT user_id, start_us, end_us, events
+         |FROM sess, mx WHERE end_us <= mx.m
+         |ORDER BY user_id, start_us""".stripMargin,
     // [[streamScd2]]'s twin: the SAME change CTEs, projected to the
     // CLOSED intervals (the stream's append output — the open interval
     // is state, not a fact yet).

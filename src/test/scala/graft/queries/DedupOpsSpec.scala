@@ -504,4 +504,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b) => a == 3L || b == 3L },
       "unrelated docs pair with nothing")
   }
+
+  test("canonical election keeps most tokens, breaks ties to lowest id") {
+    import spark.implicits._
+    // One 3-member component (2 and 3 tie on tokens — 2 wins by id) and
+    // one 2-member component with a strict winner.
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "rep")
+    val tc = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 2L), (9L, 4L))
+      .toDF("doc_id", "tok_cnt")
+    val out = DedupOps.canonicalOf(lab, tc)
+      .select("doc_id", "canonical", "action")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, "drop"), (2L, 2L, "keep"), (3L, 2L, "drop"),
+      (7L, 9L, "drop"), (9L, 9L, "keep")))
+  }
 }

@@ -111,6 +111,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zero-delay session_window emits exactly the sessions ended by the last event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // The stream_sessionwin configuration: gap 10 min, ZERO watermark
+    // delay — the final watermark is the global max event time, so the
+    // emitted set is exactly "sessions whose end (last + gap) is at or
+    // before it" (the oracle's cut), and the tail session stays in
+    // state unemitted.
+    val q = EventStream.sessionizeNative(in.toDF(), gapMinutes = 10, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("zerodelay_sessions").outputMode("append")
+      .start()
+    try {
+      in.addData(Ev(1, ts("10:00"), 7, "click"), Ev(2, ts("10:05"), 7, "view"))
+      q.processAllAvailable()
+      // 12:00 advances the watermark past 10:15 (user 7's session end);
+      // user 8's own session (end 12:10) is the withheld tail.
+      in.addData(Ev(3, ts("12:00"), 8, "click"))
+      q.processAllAvailable()
+      val got = spark.table("zerodelay_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.toString, e.toString, n) }.toSet
+      assert(got === Set(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("golden: fixed event log yields exactly the expected closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
