@@ -55,7 +55,7 @@ object Explain {
     "src_connector_timetravel", "text_pack", "src_snapshot_upsert",
     "src_snapshot_evolve", "q6_forecast", "q10_returns",
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
-    "src_snapshot_segments", "dedup_canonical",
+    "src_snapshot_segments", "dedup_canonical", "governance_erasure",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read

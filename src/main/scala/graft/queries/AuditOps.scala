@@ -256,7 +256,81 @@ object AuditOps {
       .orderBy("digit")
   }
 
+  /** Erasure-request residue and derived-table bucket count, mirrored
+    * in the oracle. 16 buckets against the 17-residue request list
+    * keeps both gate arms non-vacuous at sf0.01 (9 of 16 buckets
+    * affected — selective refresh genuinely skips 7) and every
+    * affected bucket keeps surviving users (≈9 users per bucket, at
+    * most one erased).
+    */
+  val EraseMod = 17L
+  val EraseResidue = 3L
+  val EraseBuckets = 16
+
+  /** RIGHT-TO-BE-FORGOTTEN propagation into a DERIVED table with
+    * SELECTIVE partition refresh — the governance pattern GDPR/CCPA
+    * pipelines run at scale: a per-user profile table lives
+    * partitioned by a user-hash bucket; an erasure-request list
+    * arrives; only the buckets CONTAINING erased users recompute (from
+    * surviving rows) and swap in via dynamic partition overwrite — the
+    * untouched buckets' files are never rewritten, so erasure cost
+    * tracks the REQUEST LIST's bucket fan-out, not the table size.
+    * The value gate pins all three facts at once: no erased user
+    * survives anywhere, every surviving user's stats equal the full
+    * recompute (refreshed and untouched buckets alike — the oracle is
+    * one relational derivation over the surviving events), and the
+    * per-bucket `refreshed` flag marks exactly the buckets with an
+    * erased member. A bucket whose EVERY user is erased would need an
+    * explicit partition delete (dynamic overwrite writes nothing for
+    * an empty group and the stale partition would survive) — the drill
+    * guards that loudly rather than silently serving stale rows;
+    * production formats express it as a partition-level tombstone.
+    */
+  def erasurePropagation(spark: SparkSession, dir: String): DataFrame =
+    erasureOn(spark,
+      Tables.events(spark, dir).select(col("user_id"), col("value")),
+      graft.streaming.StreamDrill.freshDirs(spark, "erasure_profiles").head)
+
+  /** [[erasurePropagation]] over an arbitrary (user_id, value) frame
+    * (exposed for the spec, which plants a fully-erased bucket to pin
+    * the stale-partition guard).
+    */
+  private[queries] def erasureOn(spark: SparkSession, rows: DataFrame,
+      derived: String): DataFrame = {
+    val ev = rows
+      .select(col("user_id"), col("value"),
+        pmod(col("user_id"), lit(EraseBuckets)).as("bucket"))
+    def profiles(rows: DataFrame): DataFrame =
+      rows.groupBy("bucket", "user_id")
+        .agg(count(lit(1)).as("n_events"),
+          graft.operators.Parity.dsum(col("value")).as("value_sum"))
+    // v1: the standing profile table, bucket-partitioned.
+    profiles(ev).write.partitionBy("bucket").mode("overwrite").parquet(derived)
+    // The erasure request arrives: affected buckets are a pure
+    // function of the erased ids (tiny frame), and the refresh
+    // recomputes ONLY those buckets from surviving users' events.
+    val erased = col("user_id") % EraseMod === EraseResidue
+    val affected = ev.filter(erased).select("bucket").distinct()
+    val refresh = profiles(
+      ev.filter(!erased).join(broadcast(affected), "bucket"))
+    val refreshedBuckets = affected.count()
+    require(refresh.select("bucket").distinct().count() == refreshedBuckets,
+      "erasure refresh would EMPTY a bucket — dynamic overwrite cannot " +
+        "express a partition delete; this fixture/residue combination " +
+        "needs an explicit partition tombstone")
+    refresh.write.partitionBy("bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(derived)
+    spark.read.parquet(derived)
+      .join(broadcast(affected.withColumn("refreshed", lit(1L))),
+        Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("user_id"),
+        col("n_events"), col("value_sum"),
+        coalesce(col("refreshed"), lit(0L)).as("refreshed"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "governance_erasure" -> (erasurePropagation _),
     "audit_benford" -> (benford _),
     "audit_concentration" -> (sourceConcentration _),
     "audit_drift" -> (splitDrift _),
@@ -267,6 +341,24 @@ object AuditOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Selective refresh ≡ full recompute over surviving rows: untouched
+    // buckets hold no erased user, so their v1 rows already equal the
+    // surviving derivation — ONE relational pass serves every bucket.
+    "governance_erasure" ->
+      s"""WITH surv AS (
+         |  SELECT user_id % $EraseBuckets AS bucket, user_id,
+         |    count(*) AS n_events,
+         |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+         |  FROM events WHERE user_id % $EraseMod <> $EraseResidue
+         |  GROUP BY user_id),
+         |aff AS (
+         |  SELECT DISTINCT user_id % $EraseBuckets AS bucket
+         |  FROM events WHERE user_id % $EraseMod = $EraseResidue)
+         |SELECT s.bucket, s.user_id, s.n_events, s.value_sum,
+         |  CAST(CASE WHEN a.bucket IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS refreshed
+         |FROM surv s LEFT JOIN aff a USING (bucket)
+         |ORDER BY user_id""".stripMargin,
     // Digits from integer->string casts (portable); the expected table
     // is the same BenfordPpm constant rendered as VALUES.
     "audit_benford" ->
