@@ -957,31 +957,42 @@ object StarOps {
     * instead of joining offsets back per row (the generic
     * [[graft.operators.PrefixSum]] shape this replaces): with
     * dy = A + 2·offset, where A = 2·local_cum − c + 1 is computable
-    * WITHIN a range partition (equal keys never split across range
-    * partitions, so every price cell is whole) and offset is the
-    * per-(partition, group) row-count prefix, every group-level power
-    * sum expands polynomially —
+    * WITHIN an order-preserving price bucket (floor(price/W) is
+    * monotone, so ties never split and bucket order is price order)
+    * and offset is the per-(bucket, group) row-count prefix, every
+    * group-level power sum expands polynomially —
     * `Σ dy    = ΣA    + 2·offset·n_p`,
     * `Σ dy²   = ΣA²   + 4·offset·ΣA + 4·offset²·n_p`,
     * `Σ dy·dx = ΣA·dx + 2·offset·Σdx` —
-    * so one pass over the range-partitioned rows (two windows sharing
+    * so one pass over the bucket-clustered rows (two windows sharing
     * one sort, then a partial aggregation to ONE row per
-    * (partition, group)) followed by driver-scale arithmetic on that
-    * ≤ partitions × groups frame replaces the former cell hash-agg,
-    * its corpus-scale localCheckpoint, the broadcast offsets
-    * join-back, AND the corpus-scale final group exchange (measured
-    * 3.2s → 2.1s warm at sf0.1). No task ever windows a whole group
-    * (the quantity-side window touches only the ~150-row
-    * distinct-quantity frame; the price-side windows are bounded by
-    * one range split). Sums stay DECIMAL end-to-end (integers — exact
-    * at any scale, the [[Parity]] route; a long-product variant
+    * (bucket, group)) followed by driver-scale arithmetic on that
+    * ≤ buckets × groups frame replaces the former cell hash-agg, its
+    * corpus-scale localCheckpoint, the broadcast offsets join-back,
+    * AND the corpus-scale final group exchange — and because the
+    * bucket is a VALUE function, the whole heavy side rides ONE hash
+    * exchange (range partitioning cost a sampling pass, the range
+    * exchange, and a second exchange for the window, since
+    * spark_partition_id is opaque to Catalyst). No task ever windows
+    * a whole group (the quantity-side window touches only the
+    * ~150-row distinct-quantity frame; the price-side windows are
+    * bounded by one bucket). Sums stay DECIMAL end-to-end (integers —
+    * exact at any scale, the [[Parity]] route; a long-product variant
     * overflows at ~1.5e9 rows/group); the polynomial regrouping is
     * exact integer arithmetic, so the final double closed form is the
     * SAME IEEE tree as the oracle's — the oracle text is unchanged.
-    * Boundary invariance: WHERE the sampled range splits land moves
+    * Boundary invariance: WHERE the bucket boundaries land only moves
     * rows between (A, offset) decompositions of the same dy, never
     * changes a group sum.
     */
+  /** [[aggSpearman]]'s price-bucket width: prices span ~[900, 105000],
+    * so ~26 buckets per group at any scale factor — enough parallelism
+    * for the local windows at fixture scale, tiny offsets frame. At
+    * 100 TB the width is sized from column stats (min/max/ndv) so one
+    * (bucket, group) slice fits a task.
+    */
+  val SpearmanBucketWidth = 4096.0
+
   def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 4)
@@ -993,33 +1004,43 @@ object StarOps {
       .agg(count(lit(1)).as("c"))
       .select(col("l_returnflag"), col("l_quantity"),
         (sum("c").over(wq) * 2 - col("c") + 1).cast("double").as("dx"))
-    val ranged = base.join(broadcast(qRanks), Seq("l_returnflag", "l_quantity"))
-      .repartitionByRange(ParetoPartitions,
-        col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("__pid", spark_partition_id())
-    // Doubled tie-average rank, partition-locally: the RANGE frame
+    // ORDER-PRESERVING VALUE BUCKETS instead of a range exchange:
+    // floor(price / W) is monotone in price (bucket order = price
+    // order, ties never split), so the local window can partition by
+    // (bucket, group) directly — ONE hash exchange of the annotated
+    // rows total, where range partitioning cost a sampling pass, the
+    // range exchange, AND a second hash exchange for the window's
+    // required clustering (spark_partition_id is opaque to Catalyst).
+    // Bucket boundaries are a deterministic function of the VALUE, not
+    // of sampled split points. At 100 TB the width is chosen from
+    // column stats so a (bucket, group) slice fits a task — same
+    // sizing rule as every range split.
+    val bucketed = base.join(broadcast(qRanks), Seq("l_returnflag", "l_quantity"))
+      .withColumn("__b",
+        floor(col("l_extendedprice") / lit(SpearmanBucketWidth)).cast("long"))
+    // Doubled tie-average rank, bucket-locally: the RANGE frame
     // includes the current row's price PEERS (2·cum counts through the
     // whole tie cell), and the peer-count window supplies c.
-    val cumW = Window.partitionBy(col("__pid"), col("l_returnflag"))
+    val cumW = Window.partitionBy(col("__b"), col("l_returnflag"))
       .orderBy("l_extendedprice")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val cellW = Window.partitionBy(col("__pid"), col("l_returnflag"),
+    val cellW = Window.partitionBy(col("__b"), col("l_returnflag"),
       col("l_extendedprice"))
     val aCol = (count(lit(1)).over(cumW) * 2 -
       count(lit(1)).over(cellW) + 1).cast(dec)
     val dxD = col("dx").cast(dec)
-    val per = ranged.withColumn("__a", aCol)
-      .groupBy(col("__pid"), col("l_returnflag"))
+    val per = bucketed.withColumn("__a", aCol)
+      .groupBy(col("__b"), col("l_returnflag"))
       .agg(count(lit(1)).as("ptot"),
         sum(dxD).as("sdx_t"),
         sum(dxD * dxD).as("sdxx_t"),
         sum(col("__a")).as("sac"),
         sum(col("__a") * col("__a")).as("sa2c"),
         sum(col("__a") * dxD).as("sasdx"))
-    // 2·offset per (partition, group): the row-count prefix over
-    // earlier partitions of the same group — a window over ≤
-    // ParetoPartitions rows per group on the tiny per-partition frame.
-    val offW = Window.partitionBy("l_returnflag").orderBy("__pid")
+    // 2·offset per (bucket, group): the row-count prefix over earlier
+    // (lower-priced) buckets of the same group — a window over the
+    // tiny per-bucket frame.
+    val offW = Window.partitionBy("l_returnflag").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     per.withColumn("__off2",
         (coalesce(sum("ptot").over(offW), lit(0L)) * 2).cast(dec))
