@@ -995,6 +995,77 @@ object EventOps {
       .orderBy("batch_id", "user_id")
   }
 
+  /** EXACTLY-ONCE ACROSS A CHECKPOINT RESTART under the value gate —
+    * the production property the restart SPECS pin on goldens,
+    * escalated to the driver's DuckDB hash on real data: the
+    * running-totals stream (mapGroupsWithState — per-user counts in
+    * the state store) processes the first two generations, STOPS, a
+    * third generation commits while the query is down, and a NEW query
+    * instance resumes from the same checkpoint — recovering both the
+    * source offset (it must not re-deliver gens 1-2) and the user
+    * state (batch 2's totals must include the pre-restart counts).
+    * The result binds `stream_running`'s oracle text verbatim:
+    * restarted execution ≡ continuous execution ≡ DuckDB. A lost
+    * state store would zero the carried totals and hash-fail; a replay
+    * would double them; a stale offset would shift batch ids — every
+    * failure mode lands on the value gate.
+    *
+    * Fixture economics: the private table holds MANIFESTS ONLY — they
+    * reference the shared event bronze's staged parquet by path (the
+    * shallow-clone move), so per-run staging cost is three driver-side
+    * metadata writes, not a data copy.
+    */
+  def streamRestart(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(root, ckpt, sink) = freshDirs(spark,
+      "stream_restart_tbl", "stream_restart_ckpt", "stream_restart_sink")
+    val bronze = eventBronze(spark, dir)
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$bronze/staging")
+    val buckets = stagingPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(stagingPath)
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toInt).sorted.toSeq
+    require(buckets.length >= 3,
+      s"stream_restart needs >= 3 event buckets (two before the stop, " +
+        s"one after); the fixture staged ${buckets.length}")
+    def publish(i: Int): Unit = {
+      val files = spark.read.parquet(s"$bronze/staging/b=${buckets(i)}")
+        .inputFiles.toSeq
+      graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
+        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+    import spark.implicits._
+    def runOnce(): Unit = {
+      val typed = eventTail(graft.streaming.StreamDrill.session(spark), root)
+        .as[graft.streaming.EventStream.Ev]
+      val q = graft.streaming.EventStream.runningUserCounts(typed)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0 until buckets.length - 1).foreach(publish)
+    runOnce()
+    // Drill integrity, loudly: the first run must have really drained
+    // the pre-restart generations, or phase 2 would quietly test a
+    // cold start instead of a recovery.
+    val preMax = spark.read.parquet(sink)
+      .agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    require(preMax == buckets.length - 2,
+      s"stream_restart phase 1 drained through batch $preMax, expected " +
+        s"${buckets.length - 2} — the stop point is not where the drill thinks")
+    publish(buckets.length - 1)
+    runOnce()
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, events BIGINT, batch_id BIGINT")
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("user_id"), col("events").as("total"))
+      .orderBy("batch_id", "user_id")
+  }
+
   /** [[streamEnriched]]'s dim-coverage residue: users whose key is ≡ 0
     * (mod this) are EXCLUDED from the static dim, so the left join's
     * 'unknown' arm binds real rows (every event user exists in
@@ -1313,6 +1384,7 @@ object EventOps {
     "stream_funnel" -> (streamFunnel _),
     "stream_sessions" -> (streamSessions _),
     "stream_running" -> (streamRunning _),
+    "stream_restart" -> (streamRestart _),
     "stream_enriched" -> (streamEnriched _),
     "events_ohlc" -> (ohlc _),
     "events_latest" -> (latestPerUser _),
@@ -1412,6 +1484,30 @@ object EventOps {
        |  event_type, count(*) AS cnt,
        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by stream_running and stream_restart (the recovery drill's
+    * output must equal the continuous run's).
+    */
+  private lazy val StreamRunningOracle: String =
+    s"""WITH t0 AS (
+       |  SELECT user_id,
+       |    CAST(floor((epoch_us($TsCast) - $EventEpochUs)
+       |      / ${EventBucketDays * 86400L * 1000000L}) AS BIGINT) AS rawb
+       |  FROM events),
+       |t AS (
+       |  -- micro-batch k is the k-th SORTED bucket (publishEventGens),
+       |  -- not the raw bucket value: dense_rank absorbs offsets and
+       |  -- holes a different event span would otherwise shift by.
+       |  SELECT user_id, dense_rank() OVER (ORDER BY rawb) - 1 AS b
+       |  FROM t0),
+       |bc AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n
+       |       FROM t GROUP BY user_id, b)
+       |SELECT cur.b AS batch_id, cur.user_id AS user_id,
+       |  CAST(sum(prev.n) AS BIGINT) AS total
+       |FROM bc cur JOIN bc prev
+       |  ON cur.user_id = prev.user_id AND prev.b <= cur.b
+       |GROUP BY cur.b, cur.user_id
+       |ORDER BY batch_id, cur.user_id""".stripMargin
 
   private val SessionsOracleSql =
     s"""SELECT user_id,
@@ -1762,26 +1858,11 @@ object EventOps {
     // the shared staging-bucket constants; per (batch, user PRESENT in
     // that batch), the running total is the count of the user's events
     // in all buckets up to the batch.
-    "stream_running" ->
-      s"""WITH t0 AS (
-         |  SELECT user_id,
-         |    CAST(floor((epoch_us($TsCast) - $EventEpochUs)
-         |      / ${EventBucketDays * 86400L * 1000000L}) AS BIGINT) AS rawb
-         |  FROM events),
-         |t AS (
-         |  -- micro-batch k is the k-th SORTED bucket (publishEventGens),
-         |  -- not the raw bucket value: dense_rank absorbs offsets and
-         |  -- holes a different event span would otherwise shift by.
-         |  SELECT user_id, dense_rank() OVER (ORDER BY rawb) - 1 AS b
-         |  FROM t0),
-         |bc AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n
-         |       FROM t GROUP BY user_id, b)
-         |SELECT cur.b AS batch_id, cur.user_id AS user_id,
-         |  CAST(sum(prev.n) AS BIGINT) AS total
-         |FROM bc cur JOIN bc prev
-         |  ON cur.user_id = prev.user_id AND prev.b <= cur.b
-         |GROUP BY cur.b, cur.user_id
-         |ORDER BY batch_id, cur.user_id""".stripMargin,
+    "stream_running" -> StreamRunningOracle,
+    // Restarted execution ≡ continuous execution: the restart is
+    // invisible in the output by design, so the recovery drill binds
+    // the running-totals oracle verbatim.
+    "stream_restart" -> StreamRunningOracle,
     // Stream-static join: the complete-mode final state equals the
     // one-shot batch join+aggregate — including 'unknown' rows from
     // users the filtered dim excludes.
