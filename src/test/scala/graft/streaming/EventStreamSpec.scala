@@ -111,6 +111,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window merges one session ACROSS micro-batches in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionizeNative(in.toDF(), gapMinutes = 10, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("xbatch_sessions").outputMode("append")
+      .start()
+    try {
+      // Batch 1 leaves user 7's session OPEN in the session store;
+      // batch 2 extends it within the gap — the stream_sessionwin
+      // cross-batch arm, isolated: the two events must come back as ONE
+      // merged session (10:00 → 10:05 + gap), not two.
+      in.addData(Ev(1, ts("10:00"), 7, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("10:05"), 7, "view"))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("12:00"), 8, "click"))
+      q.processAllAvailable()
+      val got = spark.table("xbatch_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.toString, e.toString, n) }.toSet
+      assert(got === Set(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("zero-delay session_window emits exactly the sessions ended by the last event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
