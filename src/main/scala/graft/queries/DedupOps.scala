@@ -1983,7 +1983,7 @@ object DedupOps {
   // The SQL below is GENERATED from the same Scala constants the Spark
   // expressions use, so the two sides cannot drift.
 
-  private[queries] def duckPortable64(x: String): String =
+  private[graft] def duckPortable64(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
   private def duckBucket(cols: Seq[String]): String =

@@ -1320,6 +1320,116 @@ object SourceOps {
         col("n_rows"), col("key_sum"))
   }
 
+  /** [[snapshotBloomSkip]] geometry: per-file bloom size (bits, packed
+    * into 32-bit-used BIGINT words — DuckDB-checked-shift-safe),
+    * probe count, and the salt prefix of its hash family (distinct
+    * from dedup_bloom's so the two filters are independent families).
+    * All three mirrored in the oracle. 16384 bits ≈ 2 KB per file —
+    * sized for the gate scale's ~2k distinct keys per file (kn/m ≈
+    * 0.35 → ~2.6% false-positive rate); production sizes m per file
+    * from the writer's distinct-count stat, exactly like row-group
+    * bloom sizing in Parquet.
+    */
+  val FileBloomBits = 16384L
+  val FileBloomProbes = 3
+  val FileBloomSalt = "bfs"
+
+  private def fileBloomPositions(k: org.apache.spark.sql.Column) =
+    array((0 until FileBloomProbes).map { i =>
+      pmod(graft.queries.DedupOps.portable64(
+        concat(lit(s"$FileBloomSalt$i:"), k.cast("string"))),
+        lit(FileBloomBits))
+    }: _*)
+
+  /** FILE-LEVEL BLOOM skipping — the third pruning axis, for a column
+    * zone maps CANNOT prune: the slices are laid out by o_orderkey
+    * range, so every file spans nearly the full PRICE domain and a
+    * price zone map admits everything; a per-file bloom over the
+    * (near-unique) price cents admits only the files whose filter
+    * matches the point-lookup key (Parquet's column bloom filters /
+    * Delta bloom indexes, as a manifest-adjacent sidecar). The report
+    * pins the whole story in one row: total files, files a ZONE MAP on
+    * the same column would admit (the contrast — near-total), files
+    * the BLOOM admits, and the exact point-lookup content read from
+    * the admitted files alone (no false negatives by construction, and
+    * false POSITIVES only cost an open — the equality filter keeps
+    * content exact). Because the bloom rides the portable hash family,
+    * the oracle recomputes the per-file bit SETS relationally and
+    * value-gates the admitted-file COUNT itself, not just the
+    * content — a pruning index whose selectivity is under the exact
+    * value gate. Scale shape: sidecar build is one scan + a
+    * (file, word)-keyed aggregation (bit_or partial-combines); the
+    * probe consults a files × words/probe frame (KB-scale at any
+    * table size) and opens only admitted files.
+    */
+  def snapshotBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "snapshot_bloomskip")
+    // Price in exact integer CENTS (the dsumCents decimal route): the
+    // near-unique value a point lookup would really target, and the
+    // identity both engines hash from the same integer→string cast.
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 100)
+        .cast("long").as("cents"))
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
+    // Sidecar: (file, word, bits) — every cents value in the file sets
+    // its probe positions; 32 bits used per BIGINT word keeps every
+    // shift ≤ 31 (the dedup_bloom packing discipline).
+    val sidecarPath = s"$table/index/cents_bloom"
+    spark.read.parquet(gen1Dir)
+      .select(input_file_name().as("f"),
+        explode(fileBloomPositions(col("cents"))).as("p"))
+      .select(col("f"), expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .groupBy("f", "word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+      .write.mode("overwrite").parquet(sidecarPath)
+    // Deterministic point-lookup key, recomputable by the oracle.
+    val probe = src.filter(col("cents") % 10 === 3)
+      .agg(max("cents")).as[Long].head()
+    val probeBits = spark.range(1)
+      .select(explode(fileBloomPositions(lit(probe))).as("p"))
+      .select(expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .distinct()
+    // A file is admitted iff EVERY probe bit is set — a missing word
+    // row is a clear bit, so the probe frame LEFT-joins the sidecar
+    // (an inner join would silently skip absent words and over-admit).
+    val sidecar = spark.read.parquet(sidecarPath)
+    val admitted = sidecar.select("f").distinct()
+      .crossJoin(broadcast(probeBits))
+      .join(sidecar, Seq("f", "word"), "left")
+      .select(col("f"),
+        when(col("bits").isNotNull &&
+          expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"),
+          1L).otherwise(0L).as("hit"))
+      .groupBy("f").agg(min("hit").as("ok"))
+      .filter(col("ok") === 1L)
+      .select("f").as[String].collect().toSeq.sorted
+    // ≤ SkipSlices paths — bounded by construction, like every
+    // plan-assert read in the file.
+    val content =
+      if (admitted.isEmpty)
+        src.filter(lit(false)).select(col("o_orderkey"))
+      else spark.read.parquet(admitted: _*)
+        .filter(col("cents") === probe).select(col("o_orderkey"))
+    // The zone-map CONTRAST: per-file cents min/max (exactly the
+    // parquet footer statistics) admit nearly every file.
+    val centsStats = SnapshotTable.footerKeyStats(spark, paths, "cents")
+    val nZone = centsStats.count { case (_, lo, hi) => lo <= probe && probe <= hi }
+    content.agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+      .select(lit(paths.size.toLong).as("n_files_total"),
+        lit(nZone.toLong).as("n_files_zonemap"),
+        lit(admitted.size.toLong).as("n_files_bloom"),
+        col("n_rows"), col("key_sum"))
+  }
+
   /** [[snapshotSkip2]] geometry: both keys map onto a
     * [[ZGrid]]×[[ZGrid]] grid, the Morton interleave of the grid
     * coordinates is sliced by its top bits into [[ZSliceShift]]-shifted
@@ -1626,6 +1736,7 @@ object SourceOps {
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
+    "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
     "src_snapshot_rollback" -> (snapshotRollback _),
@@ -1714,6 +1825,60 @@ object SourceOps {
          |   WHERE o_orderkey BETWEEN lo AND hi) AS n_rows,
          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
          |   WHERE o_orderkey BETWEEN lo AND hi) AS key_sum""".stripMargin,
+    // File-bloom twin: the per-slice bloom bit SETS are recomputed
+    // relationally from the same salted portable hashes (packing into
+    // words is injective on positions, so subset-of-positions ≡
+    // all-bits-set), the zone-map contrast is per-slice custkey
+    // min/max (the footer statistics by construction), and the probe
+    // key is the same deterministic scalar. Both admitted-file counts
+    // are exact value compares alongside the point-lookup content.
+    "src_snapshot_bloomskip" -> {
+      def hashP(i: Int, key: String): String =
+        graft.queries.DedupOps.duckPortable64(
+          s"concat('$FileBloomSalt$i:', CAST($key AS VARCHAR))") +
+          s" % $FileBloomBits"
+      val pos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT s, ${hashP(i, "cents")} AS p FROM sl")
+        .mkString("\n  UNION\n  ")
+      val ppos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT ${hashP(i, "pk")} AS p FROM probe")
+        .mkString("\n  UNION\n  ")
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM base),
+         |sl AS (SELECT o_orderkey, cents,
+         |         o_orderkey // ((mk + $SkipSlices) // $SkipSlices) AS s
+         |       FROM base, mx),
+         |probe AS (SELECT CAST(max(cents) AS BIGINT) AS pk FROM base
+         |          WHERE cents % 10 = 3),
+         |pos AS (
+         |  $pos
+         |),
+         |ppos AS (
+         |  $ppos
+         |),
+         |need AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppos),
+         |hits AS (SELECT pos.s, CAST(count(*) AS BIGINT) AS h
+         |         FROM pos JOIN ppos USING (p) GROUP BY pos.s),
+         |adm AS (SELECT s FROM hits, need WHERE h = n),
+         |zone AS (SELECT CAST(count(*) AS BIGINT) AS nz FROM (
+         |    SELECT s, min(cents) AS lo, max(cents) AS hi
+         |    FROM sl GROUP BY s) z, probe
+         |  WHERE z.lo <= pk AND pk <= z.hi),
+         |content AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM sl, probe
+         |  WHERE cents = pk AND s IN (SELECT s FROM adm))
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT nz FROM zone) AS n_files_zonemap,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_bloom,
+         |  n_rows, key_sum
+         |FROM content""".stripMargin
+    },
     // Two-dimensional zone-map twin: the Morton slice assignment is
     // regenerated from the same grid/interleave constants, per-slice
     // min/max of BOTH columns are the footer statistics by
