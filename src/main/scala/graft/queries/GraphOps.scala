@@ -445,7 +445,78 @@ object GraphOps {
       .orderBy(desc("rank"), asc("id")).limit(TopK)
   }
 
+  /** [[kcore]]'s k and the oracle's unrolled round budget: Spark
+    * iterates the pruning to its FIXPOINT and `require`s convergence
+    * within [[KCoreRounds]] (loud if a fixture ever needs more), while
+    * the oracle unrolls exactly [[KCoreRounds]] rounds — sound because
+    * the alive set only shrinks, so rounds past convergence are
+    * no-ops and both engines land on the same fixpoint.
+    */
+  val KCoreK = 4
+  val KCoreRounds = 8
+
+  /** K-CORE decomposition — the density/subgraph-mining class next to
+    * the path (BFS/SSSP), centrality (PageRank), and motif (triangles/
+    * common-neighbors) families: repeatedly delete every node whose
+    * degree in the SURVIVING subgraph is below k until nothing
+    * changes; what remains is the maximal subgraph of minimum degree
+    * ≥ k (the classic community-core / nucleus peel). Per round the
+    * plan is two semi-joins of the undirected edge list against the
+    * alive set and one partial-aggregated degree count — O(edges) per
+    * round, never all-pairs — with the alive frame localCheckpoint'd
+    * per round (the CC-loop lineage discipline) and only a count
+    * scalar on the driver. Convergence detection is count equality:
+    * the next set is a subset by construction, so equal size ⇒ equal
+    * set. Output: core size, the [[TopK]] members by final in-core
+    * degree (ties to lowest id).
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    kcoreOf(docs.select(col("doc_id").as("id")), edges(docs), KCoreK, KCoreRounds)
+  }
+
+  /** The peel over arbitrary `nodes(id)` / `edges(src, dst)` frames
+    * (exposed for the spec, which plants a triangle with a pendant
+    * path). Edges to ids OUTSIDE `nodes` drop in the first round's
+    * semi-join, mirroring the oracle's a0 join.
+    */
+  def kcoreOf(nodes: DataFrame, e: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    def survivors(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    var alive = nodes.select("id").localCheckpoint()
+    var n = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = survivors(alive)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      alive = next
+      rounds += 1
+    }
+    require(converged || n == 0L,
+      s"k-core did not converge within $maxRounds rounds (still $n alive) — " +
+        "raise KCoreRounds (and the oracle's unrolled budget moves with it)")
+    val coreSize = n
+    survivors(alive)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(lit(coreSize).as("core_size"), col("src").as("id"),
+        col("deg").as("core_deg"))
+      .orderBy(desc("core_deg"), asc("id")).limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
     "graph_pagerank" -> (pagerank _),
     "graph_pagerank_conv" -> (pagerankConv _),
     "graph_triangles" -> (triangles _),
@@ -537,7 +608,46 @@ object GraphOps {
        |FROM r$BfsHops ORDER BY dist, id""".stripMargin
   }
 
+  /** [[kcore]]'s unrolled twin: the same planted edges symmetrized and
+    * deduped, then [[KCoreRounds]] peel rounds — each round's degree
+    * count joins the PREVIOUS alive set on both endpoints (exactly the
+    * two semi-joins) and keeps ids with deg ≥ [[KCoreK]]. Every alive
+    * CTE is MATERIALIZED (referenced twice per round — the exponential-
+    * inlining rule); rounds past the fixpoint are no-ops, so the fixed
+    * unroll equals Spark's converged loop.
+    */
+  private def duckKcore: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT u.src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und u
+         |  JOIN a${i - 1} x ON u.src = x.id
+         |  JOIN a${i - 1} y ON u.dst = y.id
+         |  GROUP BY u.src),
+         |a$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |$duckEdges),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) t
+       |  WHERE src <> dst),
+       |a0 AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |$rounds,
+       |degf AS (
+       |  SELECT u.src AS id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und u
+       |  JOIN a$KCoreRounds x ON u.src = x.id
+       |  JOIN a$KCoreRounds y ON u.dst = y.id
+       |  GROUP BY u.src)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a$KCoreRounds) AS core_size,
+       |  id, deg AS core_deg
+       |FROM degf
+       |ORDER BY core_deg DESC, id LIMIT $TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> duckKcore,
     "graph_bfs" -> duckBfs,
     "graph_sssp" -> duckSssp,
     // The SAME recursive statement both engines run — only the edge

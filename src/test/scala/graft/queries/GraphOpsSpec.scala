@@ -79,6 +79,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
 
+  test("k-core peels the pendant path and keeps the clique, cascading") {
+    // 4-clique {1,2,3,4} with a pendant path 4-5-6: at k = 2 the peel
+    // must CASCADE (6 falls first, then 5 — two rounds), and the
+    // surviving core is the clique plus nothing, every member at
+    // in-core degree 3. Edge 7→99 targets a non-node and must drop.
+    val nodes = (1L to 7L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (7L, 99L)).toDF("src", "dst")
+    val out = GraphOps.kcoreOf(nodes, e, k = 2, maxRounds = 6)
+      .select("core_size", "id", "core_deg")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((4L, 1L, 3L), (4L, 2L, 3L), (4L, 3L, 3L), (4L, 4L, 3L)))
+    // A k above the clique's degree empties the core entirely.
+    assert(GraphOps.kcoreOf(nodes, e, k = 4, maxRounds = 6).count() === 0L)
+  }
+
   test("common neighbors predicts unconnected pairs and respects the hub cap") {
     import spark.implicits._
     // Star 0-{1,2,3} plus edge 1-2: unconnected pairs sharing a
