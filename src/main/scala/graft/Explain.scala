@@ -55,7 +55,7 @@ object Explain {
     "src_connector_timetravel", "text_pack", "src_snapshot_upsert",
     "src_snapshot_evolve", "q6_forecast", "q10_returns",
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
-    "src_snapshot_segments", "dedup_canonical", "governance_erasure",
+    "src_snapshot_segments", "dedup_canonical",
     "src_snapshot_bloomskip", "graph_kcore",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
@@ -69,7 +69,45 @@ object Explain {
   // are RUNTIME facts its own body require()s on every invocation (the
   // strongest form of plan assertion), and the query returns its
   // already-executed rows, so the printed plan would be a trivial
-  // local relation.
+  // local relation. governance_erasure is excluded for the same
+  // reason: its registered function runs the full erasure drill
+  // eagerly (two partitioned writes + guard counts) and returns only
+  // the post-hoc parquet read — the audit would pay the drill's wall
+  // time to print a scan; its behavior is value-gated by Verify.
+
+  /** Rewrites the session-volatile tokens of a formatted plan into
+    * stable, deterministic forms so two regenerations of docs/PLANS.md
+    * on an unchanged tree diff empty: Catalyst expression IDs (`#76L`)
+    * and `plan_id=` counters are global per-session counters whose
+    * values depend on how many plans were built before this one, and
+    * scratch paths carry the JVM's pid. Each is renumbered in order of
+    * first appearance within ONE query's plan (so distinctness — which
+    * attribute feeds which operator — is preserved; only the arbitrary
+    * session offsets are erased).
+    */
+  private[graft] def normalize(plan: String): String = {
+    def renumber(s: String, pattern: String, prefix: String): String = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      pattern.r.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          prefix + seen.getOrElseUpdate(m.group(1), seen.size + 1)))
+    }
+    val exprs = renumber(plan, "#(\\d+)", "#")
+    val plans = renumber(exprs, "plan_id=(\\d+)", "plan_id=")
+    // The staged-commit layer embeds the pid in partition-dir values
+    // (`a=<pid>_<n>`), not just the scratch root; parquet part files
+    // carry a random task UUID; Aggregator instances and lambdas print
+    // identity hashes / class addresses. All session noise.
+    val pid = ProcessHandle.current().pid().toString
+    plans
+      .replaceAll("graft_scratch_\\d+", "graft_scratch_PID")
+      .replaceAll(s"=${java.util.regex.Pattern.quote(pid)}_", "=PID_")
+      .replaceAll(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "UUID")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N/0xADDR")
+      .replaceAll("@[0-9a-f]{4,16}\\b", "@IDHASH")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -85,7 +123,8 @@ object Explain {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           println(s"\n===================== $name =====================")
-          fn(spark, sfDir).explain("formatted")
+          println(normalize(fn(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)))
         case None =>
           println(s"unknown query: $name (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
       }

@@ -297,9 +297,13 @@ object AuditOps {
     */
   private[queries] def erasureOn(spark: SparkSession, rows: DataFrame,
       derived: String): DataFrame = {
+    // `%` (not pmod) so the bucket arithmetic matches both the DuckDB
+    // oracle and the erased-residue predicate below; fixture ids are
+    // nonnegative so the two agree today, but mixing mod semantics in
+    // one query invites a sign bug the day ids go negative.
     val ev = rows
       .select(col("user_id"), col("value"),
-        pmod(col("user_id"), lit(EraseBuckets)).as("bucket"))
+        (col("user_id") % EraseBuckets).as("bucket"))
     def profiles(rows: DataFrame): DataFrame =
       rows.groupBy("bucket", "user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -310,9 +314,16 @@ object AuditOps {
     // function of the erased ids (tiny frame), and the refresh
     // recomputes ONLY those buckets from surviving users' events.
     val erased = col("user_id") % EraseMod === EraseResidue
+    // Both tiny frames are referenced 2-3× below (guard count, write,
+    // final join) — localCheckpoint so the surviving-profiles
+    // aggregation lineage runs ONCE, not once per reference; the whole
+    // point of the drill is that the refresh cost is the touched
+    // buckets, so paying it twice would falsify the measurement.
     val affected = ev.filter(erased).select("bucket").distinct()
+      .localCheckpoint(true)
     val refresh = profiles(
       ev.filter(!erased).join(broadcast(affected), "bucket"))
+      .localCheckpoint(true)
     val refreshedBuckets = affected.count()
     require(refresh.select("bucket").distinct().count() == refreshedBuckets,
       "erasure refresh would EMPTY a bucket — dynamic overwrite cannot " +

@@ -1052,8 +1052,13 @@ object EventOps {
     // Drill integrity, loudly: the first run must have really drained
     // the pre-restart generations, or phase 2 would quietly test a
     // cold start instead of a recovery.
-    val preMax = spark.read.parquet(sink)
-      .agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    // readSinkOrEmpty (not a bare spark.read): an empty phase-1 sink
+    // must fail the require with the drill's own diagnostic, not a
+    // path-not-found AnalysisException from the probe itself.
+    val preRow = readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, events BIGINT, batch_id BIGINT")
+      .agg(max(col("batch_id").cast("long"))).head
+    val preMax = if (preRow.isNullAt(0)) -1L else preRow.getLong(0)
     require(preMax == buckets.length - 2,
       s"stream_restart phase 1 drained through batch $preMax, expected " +
         s"${buckets.length - 2} — the stop point is not where the drill thinks")
@@ -1957,7 +1962,13 @@ object EventOps {
     // [[streamSessionWin]]'s twin: the events_sessions gaps-and-islands
     // identity at SESSION level, cut to the append-emitted set —
     // sessions whose end (last event + gap) is at or before the final
-    // watermark (zero delay ⇒ the global max event time).
+    // watermark. Zero delay ⇒ the global max event time, but Spark's
+    // watermark is MILLISECOND-granular (EventTimeWatermarkExec tracks
+    // floor(us/1000); eviction compares end_us <= watermark_ms*1000),
+    // while fixture instants carry sub-ms micros — so the cut must be
+    // the ms-truncated max, or a session ending in the final <1 ms
+    // below the max would be counted by the oracle but withheld by
+    // Spark.
     "stream_sessionwin" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us($TsCast) AS us FROM events),
@@ -1978,7 +1989,7 @@ object EventOps {
          |    CAST(count(*) AS BIGINT) AS events
          |  FROM g GROUP BY user_id, sid)
          |SELECT user_id, start_us, end_us, events
-         |FROM sess, mx WHERE end_us <= mx.m
+         |FROM sess, mx WHERE end_us <= (mx.m // 1000) * 1000
          |ORDER BY user_id, start_us""".stripMargin,
     // [[streamScd2]]'s twin: the SAME change CTEs, projected to the
     // CLOSED intervals (the stream's append output — the open interval
