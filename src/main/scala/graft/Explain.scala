@@ -74,6 +74,9 @@ object Explain {
   // eagerly (two partitioned writes + guard counts) and returns only
   // the post-hoc parquet read — the audit would pay the drill's wall
   // time to print a scan; its behavior is value-gated by Verify.
+  // src_connector_bloomskip likewise: it executes its point lookup
+  // eagerly to read the planned-file count off the EXECUTED DSv2 plan
+  // and returns literal rows; the pruning it proves is value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md
@@ -106,7 +109,12 @@ object Explain {
         "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
         "UUID")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N/0xADDR")
-      .replaceAll("@[0-9a-f]{4,16}\\b", "@IDHASH")
+      // Identity hashes print as `<identifier>@<hex>`; anchoring on a
+      // preceding identifier character and requiring at least one
+      // [a-f] digit keeps purely-decimal tokens after a bare `@` in
+      // legitimate plan literals (e.g. "@2024") untouched.
+      .replaceAll("(?<=[A-Za-z0-9_$])@(?=[0-9a-f]{0,15}[a-f])[0-9a-f]{4,16}\\b",
+        "@IDHASH")
   }
 
   def main(args: Array[String]): Unit = {

@@ -948,6 +948,140 @@ object SnapshotTable {
     }
   }
 
+  /** File-level bloom-index geometry — per-file filter size in BITS,
+    * probe count, and the hash-family salt prefix, shared by every
+    * sidecar so the connector's planner, the SQL drills and their
+    * DuckDB oracles ride ONE hash family (the oracles recompute the
+    * bit sets relationally from these constants). Words pack 32 bits
+    * per BIGINT so every shift stays ≤ 31 — the DuckDB-checked-shift-
+    * safe packing. 16384 bits ≈ 2 KB/file suits the gate scale's ~2k
+    * distinct keys per file (kn/m ≈ 0.35 → ~2.6% false positives);
+    * production sizes bits from the writer's distinct-count stat,
+    * exactly like Parquet's own column bloom filters.
+    */
+  val BloomBits = 16384L
+  val BloomProbes = 3
+  val BloomSalt = "bfs"
+
+  /** The manifest-adjacent sidecar directory of `column`'s file-level
+    * bloom index: `(f, word, bits)` parquet rows, one per (file,
+    * non-empty 32-bit word) — O(files) metadata, never data-sized.
+    */
+  def bloomIndexPath(table: String, column: String): String =
+    s"$table/index/bloom_$column"
+
+  /** The [[BloomProbes]] bit positions of one key as a Column (the
+    * build side): salted portable md5-prefix hashes mod [[BloomBits]].
+    */
+  private def bloomPositionsCol(k: org.apache.spark.sql.Column) =
+    array((0 until BloomProbes).map { i =>
+      pmod(graft.functions.DigestPrefix64(
+        concat(lit(s"$BloomSalt$i:"), k.cast("string"))), lit(BloomBits))
+    }: _*)
+
+  /** The same positions computed DRIVER-SIDE for one probe value —
+    * [[graft.functions.DigestPrefix64.hash]] is the JVM body the
+    * column expression also calls, so the planner's probe and the
+    * builder's bits cannot drift. The hash is a 60-bit non-negative
+    * value, so `%` equals `pmod`.
+    */
+  private def bloomPositions(v: Long): Seq[Long] =
+    (0 until BloomProbes).map { i =>
+      graft.functions.DigestPrefix64.hash(
+        s"$BloomSalt$i:$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+        BloomBits
+    }
+
+  /** Build (or rebuild) the file-level bloom index of `column` over
+    * `files`: one distributed scan + a (file, word)-keyed `bit_or`
+    * aggregation (map-side partial combine), landing as the sidecar
+    * parquet at [[bloomIndexPath]]. The driver never sees data rows —
+    * only the O(files × words) index lands, and only on disk.
+    */
+  def writeBloomIndex(spark: SparkSession, table: String, column: String,
+      files: Seq[String]): String = {
+    val path = bloomIndexPath(table, column)
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("f"),
+        explode(bloomPositionsCol(col(column))).as("p"))
+      .select(col("f"), expr("p div 32").as("word"),
+        pmod(col("p"), lit(32L)).as("bit"))
+      .groupBy("f", "word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+        .as("bits"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Whether `column` has a committed bloom sidecar — what the
+    * connector's batch planning consults before probing it.
+    */
+  def hasBloomIndex(spark: SparkSession, table: String,
+      column: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bloomIndexPath(table, column))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Scheme-insensitive file identity: manifest paths and
+    * `input_file_name()` render the same file as `/x`, `file:/x` or
+    * `file:///x` depending on the producer — compare the URI path.
+    */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Driver-side sidecar read (parquet-hadoop Group API, no Spark
+    * job — the [[readManifestRows]] rationale: planning-time metadata
+    * must not pay a job-scheduling round). Returns file → set words.
+    */
+  private def readBloomIndex(spark: SparkSession,
+      dir: String): Map[String, Map[Long, Long]] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val parts = fs.listStatus(d).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .sortBy(_.toString)
+    val acc = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
+    parts.foreach { p =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), p)
+        .withConf(conf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).foreach { g =>
+        val f = normPath(g.getString("f", 0))
+        acc.updateWith(f) { prev =>
+          Some(prev.getOrElse(Map.empty) +
+            (g.getLong("word", 0) -> g.getLong("bits", 0)))
+        }
+      } finally reader.close()
+    }
+    acc.toMap
+  }
+
+  /** `candidates` filtered by `column`'s bloom sidecar against a
+    * DISJUNCTION of point probes (one value for a pushed `EqualTo`,
+    * several for an `IN`): a file survives iff SOME value has every
+    * probe bit set in that file's filter. No false negatives by
+    * construction; false positives only cost an open (the residual
+    * row filter keeps content exact). A candidate the sidecar never
+    * indexed — e.g. a file appended after the index build — admits
+    * CONSERVATIVELY, the same best-effort contract as an unrecorded
+    * zone-map column.
+    */
+  def bloomAdmittedFiles(spark: SparkSession, table: String, column: String,
+      values: Seq[Long], candidates: Seq[String]): Seq[String] = {
+    val idx = readBloomIndex(spark, bloomIndexPath(table, column))
+    val probePos = values.distinct.map(bloomPositions)
+    candidates.filter { c =>
+      idx.get(normPath(c)) match {
+        case None => true
+        case Some(words) => probePos.exists(_.forall { p =>
+          ((words.getOrElse(p / 32, 0L) >> (p % 32).toInt) & 1L) == 1L
+        })
+      }
+    }
+  }
+
   /** Read generation `gen` restricted to `column ∈ [lo, hi]`, pruning
     * FILES by the manifest's zone maps before any data file opens: a
     * file whose [min_key, max_key] misses the range is never handed to

@@ -1320,26 +1320,15 @@ object SourceOps {
         col("n_rows"), col("key_sum"))
   }
 
-  /** [[snapshotBloomSkip]] geometry: per-file bloom size (bits, packed
-    * into 32-bit-used BIGINT words — DuckDB-checked-shift-safe),
-    * probe count, and the salt prefix of its hash family (distinct
-    * from dedup_bloom's so the two filters are independent families).
-    * All three mirrored in the oracle. 16384 bits ≈ 2 KB per file —
-    * sized for the gate scale's ~2k distinct keys per file (kn/m ≈
-    * 0.35 → ~2.6% false-positive rate); production sizes m per file
-    * from the writer's distinct-count stat, exactly like row-group
-    * bloom sizing in Parquet.
+  /** [[snapshotBloomSkip]] geometry — the canonical file-level bloom
+    * constants now live on [[SnapshotTable]] (the connector's batch
+    * planner probes the same sidecars); aliased here because the
+    * oracles interpolate them. The salt is distinct from dedup_bloom's
+    * so the two filters are independent families.
     */
-  val FileBloomBits = 16384L
-  val FileBloomProbes = 3
-  val FileBloomSalt = "bfs"
-
-  private def fileBloomPositions(k: org.apache.spark.sql.Column) =
-    array((0 until FileBloomProbes).map { i =>
-      pmod(graft.queries.DedupOps.portable64(
-        concat(lit(s"$FileBloomSalt$i:"), k.cast("string"))),
-        lit(FileBloomBits))
-    }: _*)
+  val FileBloomBits = SnapshotTable.BloomBits
+  val FileBloomProbes = SnapshotTable.BloomProbes
+  val FileBloomSalt = SnapshotTable.BloomSalt
 
   /** FILE-LEVEL BLOOM skipping — the third pruning axis, for a column
     * zone maps CANNOT prune: the slices are laid out by o_orderkey
@@ -1380,38 +1369,17 @@ object SourceOps {
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
     val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
     SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
-    // Sidecar: (file, word, bits) — every cents value in the file sets
-    // its probe positions; 32 bits used per BIGINT word keeps every
-    // shift ≤ 31 (the dedup_bloom packing discipline).
-    val sidecarPath = s"$table/index/cents_bloom"
-    spark.read.parquet(gen1Dir)
-      .select(input_file_name().as("f"),
-        explode(fileBloomPositions(col("cents"))).as("p"))
-      .select(col("f"), expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
-      .groupBy("f", "word")
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
-      .write.mode("overwrite").parquet(sidecarPath)
+    // Sidecar build + probe through the shared SnapshotTable bloom
+    // API — the exact machinery the DSv2 connector's batch planning
+    // consults, so this gate's green row covers the planner's index
+    // too. The probe is DRIVER-SIDE (Group-API sidecar read, JVM
+    // hashes): planning-time metadata never pays a Spark job round.
+    SnapshotTable.writeBloomIndex(spark, table, "cents", paths)
     // Deterministic point-lookup key, recomputable by the oracle.
     val probe = src.filter(col("cents") % 10 === 3)
       .agg(max("cents")).as[Long].head()
-    val probeBits = spark.range(1)
-      .select(explode(fileBloomPositions(lit(probe))).as("p"))
-      .select(expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
-      .distinct()
-    // A file is admitted iff EVERY probe bit is set — a missing word
-    // row is a clear bit, so the probe frame LEFT-joins the sidecar
-    // (an inner join would silently skip absent words and over-admit).
-    val sidecar = spark.read.parquet(sidecarPath)
-    val admitted = sidecar.select("f").distinct()
-      .crossJoin(broadcast(probeBits))
-      .join(sidecar, Seq("f", "word"), "left")
-      .select(col("f"),
-        when(col("bits").isNotNull &&
-          expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"),
-          1L).otherwise(0L).as("hit"))
-      .groupBy("f").agg(min("hit").as("ok"))
-      .filter(col("ok") === 1L)
-      .select("f").as[String].collect().toSeq.sorted
+    val admitted = SnapshotTable
+      .bloomAdmittedFiles(spark, table, "cents", Seq(probe), paths).sorted
     // ≤ SkipSlices paths — bounded by construction, like every
     // plan-assert read in the file.
     val content =
@@ -1428,6 +1396,55 @@ object SourceOps {
         lit(nZone.toLong).as("n_files_zonemap"),
         lit(admitted.size.toLong).as("n_files_bloom"),
         col("n_rows"), col("key_sum"))
+  }
+
+  /** [[snapshotBloomSkip]]'s pruning THROUGH the DataSource V2
+    * connector — the path an external consumer of the table format
+    * actually hits: the same slice layout, manifest and `cents` bloom
+    * sidecar, but the point lookup arrives as a pushed `EqualTo`
+    * through `spark.read.format(connector).filter(...)`, and the
+    * admitted-file count is read back from the EXECUTED plan's
+    * `BatchScanExec` partitions — the number of files the connector's
+    * batch planning really planned, not a re-derivation. The oracle
+    * recomputes the bloom admission relationally (the
+    * `src_snapshot_bloomskip` technique), so a green row proves the
+    * planner consulted the sidecar (a zone-map-only planner would
+    * plan ~every file and fail the `n_files_planned` compare) AND
+    * that the planned subset still serves the exact content. Scale
+    * shape: planning cost is the O(files × words) sidecar read on the
+    * driver — the Iceberg/Delta coordinator-side index-probe
+    * posture — and the scan opens only admitted files.
+    */
+  def connectorBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_bloomskip")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 100)
+        .cast("long").as("cents"))
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, table, "cents", paths)
+    val probe = src.filter(col("cents") % 10 === 3)
+      .agg(max("cents")).as[Long].head()
+    val lookup = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("cents") === probe)
+      .select(col("o_orderkey"))
+    val planned = lookup.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    val keys = lookup.as[Long].collect()
+    Seq((paths.size.toLong, planned.toLong, keys.length.toLong, keys.sum))
+      .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
   }
 
   /** [[snapshotSkip2]] geometry: both keys map onto a
@@ -1737,6 +1754,7 @@ object SourceOps {
     "src_connector_write" -> (connectorWrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
+    "src_connector_bloomskip" -> (connectorBloomSkip _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
     "src_snapshot_rollback" -> (snapshotRollback _),
@@ -1876,6 +1894,53 @@ object SourceOps {
          |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
          |  (SELECT nz FROM zone) AS n_files_zonemap,
          |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_bloom,
+         |  n_rows, key_sum
+         |FROM content""".stripMargin
+    },
+    // Connector twin: the SAME relational bloom-admission recompute,
+    // but the Spark side's n_files_planned comes from the executed
+    // DSv2 plan's partition count — the manifest is plain (no zone
+    // stats), so a planner that ignored the sidecar would plan every
+    // file and hash-fail here.
+    "src_connector_bloomskip" -> {
+      def hashP(i: Int, key: String): String =
+        graft.queries.DedupOps.duckPortable64(
+          s"concat('$FileBloomSalt$i:', CAST($key AS VARCHAR))") +
+          s" % $FileBloomBits"
+      val pos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT s, ${hashP(i, "cents")} AS p FROM sl")
+        .mkString("\n  UNION\n  ")
+      val ppos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT ${hashP(i, "pk")} AS p FROM probe")
+        .mkString("\n  UNION\n  ")
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM base),
+         |sl AS (SELECT o_orderkey, cents,
+         |         o_orderkey // ((mk + $SkipSlices) // $SkipSlices) AS s
+         |       FROM base, mx),
+         |probe AS (SELECT CAST(max(cents) AS BIGINT) AS pk FROM base
+         |          WHERE cents % 10 = 3),
+         |pos AS (
+         |  $pos
+         |),
+         |ppos AS (
+         |  $ppos
+         |),
+         |need AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppos),
+         |hits AS (SELECT pos.s, CAST(count(*) AS BIGINT) AS h
+         |         FROM pos JOIN ppos USING (p) GROUP BY pos.s),
+         |adm AS (SELECT s FROM hits, need WHERE h = n),
+         |content AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM sl, probe
+         |  WHERE cents = pk AND s IN (SELECT s FROM adm))
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_planned,
          |  n_rows, key_sum
          |FROM content""".stripMargin
     },

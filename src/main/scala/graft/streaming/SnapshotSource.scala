@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -118,6 +118,12 @@ private[streaming] object SnapshotSource {
     case GreaterThanOrEqual(c, v: Long) => Some(c -> (v, Long.MaxValue))
     case LessThan(c, v: Long) => Some(c -> (Long.MinValue, v - 1))
     case LessThanOrEqual(c, v: Long) => Some(c -> (Long.MinValue, v))
+    // An IN list prunes zone maps by its envelope [min, max] —
+    // conservative (a file spanning the gap between two values still
+    // admits), but the bloom probe below handles the exact membership.
+    case In(c, vs) if probeValues(vs).isDefined =>
+      val ls = probeValues(vs).get
+      Some(c -> (ls.min, ls.max))
     case _ => None
   }
 
@@ -128,6 +134,36 @@ private[streaming] object SnapshotSource {
     filters.flatMap(boundOf).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
+
+  /** An IN list's values as longs, when every member is an integer
+    * literal (the types the bloom sidecar hashes portably).
+    */
+  private def probeValues(vs: Array[Any]): Option[Seq[Long]] =
+    if (vs.nonEmpty && vs.forall(v =>
+        v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]))
+      Some(vs.toSeq.map {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      })
+    else None
+
+  /** Pushed filters as exact POINT probes — the file-level bloom
+    * pruning hook: `EqualTo`/`In` on integer columns. Several probe
+    * filters on one column conjoin, so their value sets intersect; an
+    * empty intersection (`c = 1 AND c IN (2)`) is an unsatisfiable
+    * scan the planner may serve with zero files.
+    */
+  def probesOf(filters: Array[Filter]): Map[String, Seq[Long]] = {
+    def valuesOf(f: Filter): Option[(String, Seq[Long])] = f match {
+      case EqualTo(c, v: Long) => Some(c -> Seq(v))
+      case EqualTo(c, v: Int) => Some(c -> Seq(v.toLong))
+      case In(c, vs) => probeValues(vs).map(c -> _)
+      case _ => None
+    }
+    filters.flatMap(valuesOf).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+  }
 
   /** The parquet schema for the write path — the same primitive set
     * the readers decode, with the standard logical annotations so a
@@ -241,7 +277,7 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
             maxGensPerBatch, maxFilesPerBatch)
         override def toBatch: Batch =
           new SnapshotBatch(table, required, generation,
-            SnapshotSource.boundsOf(pushed))
+            SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
       }
     }
   }
@@ -255,7 +291,8 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
   */
 private[streaming] class SnapshotBatch(table: String, schema: StructType,
     generation: Option[Long],
-    bounds: Map[String, (Long, Long)] = Map.empty) extends Batch {
+    bounds: Map[String, (Long, Long)] = Map.empty,
+    probes: Map[String, Seq[Long]] = Map.empty) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -281,8 +318,23 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
         s"generation $gen of $table carries merge-on-read tombstones; a " +
           "file-level batch scan would return deleted rows - read it via " +
           "SnapshotTable.readMor, or materialize the generation first")
-    SnapshotTable.admittedFiles(spark, table, gen, bounds)
-      .map(SnapshotFilePartition(_)).toArray
+    // Two-level file skipping: zone-map bounds first, then the
+    // file-level BLOOM sidecars for equality/IN probes on indexed
+    // columns — the axis zone maps cannot prune when every file spans
+    // the column's domain. Both are best-effort (absent index or
+    // unindexed file admits conservatively) and every filter is also
+    // a residual, so correctness never rests on either index. An
+    // unsatisfiable probe conjunction (empty intersection) plans zero
+    // files outright.
+    val admitted = probes.foldLeft(
+        SnapshotTable.admittedFiles(spark, table, gen, bounds)) {
+      case (files, (c, vs)) =>
+        if (vs.isEmpty) Seq.empty
+        else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
+          SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
+        else files
+    }
+    admitted.map(SnapshotFilePartition(_)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -469,6 +469,64 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(df.select("doc_id").as[Long].collect().toSet === (12L to 25L).toSet)
   }
 
+  test("equality and IN probes prune files through the bloom sidecar in batch planning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapbloom").toString
+    val table = s"$root/table"
+    // Four slice files laid out by doc_id RANGE while the probe column
+    // `tag` is SCATTERED (tag = doc_id * 37 % 101): every file spans
+    // nearly the full tag domain, so a zone map on tag admits ~all
+    // files and only the bloom sidecar can prune a tag point lookup.
+    val slices = Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L)
+    val dataDir = s"$table/data/gen=1"
+    val paths = slices.zipWithIndex.map { case (r, i) =>
+      val p = s"$dataDir/slice_$i"
+      r.map(id => (id, id * 37L % 101L)).toDF("doc_id", "tag")
+        .coalesce(1).write.parquet(p)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    }
+    SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, table, "tag", paths)
+
+    def read() = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    def plannedFiles(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+
+    // tag 37 exists only in slice 0 (doc_id 1); with 40 keys against
+    // 16384 bits a false positive is possible but admitting all four
+    // files is not — the planner must have consulted the sidecar.
+    val eq = read().filter(col("tag") === 37L).select("doc_id")
+    assert(plannedFiles(eq) < paths.size,
+      "an equality probe on the bloom-indexed column must plan fewer files")
+    assert(eq.as[Long].collect().toSet === Set(1L))
+
+    // IN probes admit the UNION of per-value admissions (tag 37 lives
+    // in slice 0, tag 80 = 24*37%101 in slice 2) — still fewer than
+    // every file.
+    val in = read().filter(col("tag").isin(37L, 80L)).select("doc_id")
+    assert(plannedFiles(in) < paths.size)
+    assert(in.as[Long].collect().toSet === Set(1L, 24L))
+
+    // A probe on a column with NO sidecar keeps the conservative
+    // admit-everything posture (correctness never rests on the index).
+    val cold = read().filter(col("doc_id") === 5L).select("tag")
+    assert(plannedFiles(cold) === paths.size)
+    assert(cold.as[Long].collect().toSeq === Seq(5L * 37L % 101L))
+
+    // An unsatisfiable probe conjunction plans zero files outright.
+    val none = read().filter(col("tag") === 37L && col("tag").isin(52L))
+    assert(plannedFiles(none) === 0)
+    assert(none.count() === 0L)
+  }
+
   test("schema evolution degrades to nulls in the connector's by-name decode") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapevolve").toString
