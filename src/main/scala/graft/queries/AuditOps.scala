@@ -300,7 +300,11 @@ object AuditOps {
     // `%` (not pmod) so the bucket arithmetic matches both the DuckDB
     // oracle and the erased-residue predicate below; fixture ids are
     // nonnegative so the two agree today, but mixing mod semantics in
-    // one query invites a sign bug the day ids go negative.
+    // one query invites a sign bug the day ids go negative. Negative
+    // ids DO work end-to-end (truncated % on both engines, literal
+    // `bucket=-N` partition dirs) — ErasureSpec pins the round-trip;
+    // they can never be erased nor co-bucketed with an erased user,
+    // so negative buckets are always untouched partitions.
     val ev = rows
       .select(col("user_id"), col("value"),
         (col("user_id") % EraseBuckets).as("bucket"))

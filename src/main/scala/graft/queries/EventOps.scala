@@ -685,7 +685,12 @@ object EventOps {
     val typed = eventTail(graft.streaming.StreamDrill.session(spark), bronze)
       .as[graft.streaming.EventStream.Ev]
     runToSink(graft.streaming.EventStream.scd2Stream(typed).toDF(), ckpt, sink)
-    spark.read.parquet(sink)
+    // readSinkOrEmpty (not a bare spark.read): a drill where no state
+    // ever closed must fail the value gate on CONTENT (zero rows vs
+    // the oracle), not with a path-not-found AnalysisException.
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, state STRING, valid_from TIMESTAMP, " +
+        "valid_to TIMESTAMP, batch_id INT")
       .select(col("user_id"), col("state"),
         unix_micros(col("valid_from")).as("valid_from"),
         unix_micros(col("valid_to")).as("valid_to"))
@@ -865,7 +870,11 @@ object EventOps {
         .withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark("event_id"),
       ckpt, sink)
-    spark.read.parquet(sink)
+    // readSinkOrEmpty for the same reason as streamScd2: an empty sink
+    // must present as zero rows to the gate, not a read-path throw.
+    readSinkOrEmpty(spark, sink,
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, batch_id INT")
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"))
       .orderBy("event_id")
@@ -890,10 +899,15 @@ object EventOps {
     * the batch gaps-and-islands sessionization (the
     * `events_sessions` identity, session-level projection) cut to the
     * emitted set: sessions whose end (last event + gap) is at or
-    * before the final watermark (the global max event time). Both
-    * gate arms bind at sf0.01: one session genuinely spans a bucket
-    * boundary (the in-state cross-batch merge), and exactly one tail
-    * session is withheld by the emission cut (9857 of 9858 emitted).
+    * before the final watermark — the MILLISECOND-TRUNCATED global
+    * max event time, because Spark's EventTimeStats tracks watermarks
+    * at ms granularity, so a max event with a sub-ms micros remainder
+    * rounds DOWN before eviction compares against it (the oracle's
+    * `end_us <= (max_us // 1000) * 1000`). Both gate arms bind at
+    * sf0.01 (re-verified against the ms-truncated cut): one session
+    * genuinely spans a bucket boundary (the in-state cross-batch
+    * merge), and exactly one tail session is withheld by the emission
+    * cut (9857 of 9858 emitted).
     */
   def streamSessionWin(spark: SparkSession, dir: String): DataFrame = {
     val Seq(ckpt, sink) = freshDirs(spark,

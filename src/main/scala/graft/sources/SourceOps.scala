@@ -1146,7 +1146,11 @@ object SourceOps {
           graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
       .start()
     try q.processAllAvailable() finally q.stop()
-    val tail = spark.read.parquet(sink)
+    // readSinkOrEmpty: a drained-but-empty tail must reach the value
+    // gate as zero batch rows (the -1 plain-read row still compares),
+    // not as a path-not-found throw from a bare spark.read.
+    val tail = graft.streaming.StreamDrill.readSinkOrEmpty(spark, sink,
+        "o_orderkey BIGINT, batch_id INT")
       .groupBy(col("batch_id").cast("long").as("batch_id"))
       .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
     // The checkpoint restores PLAIN readability mid-lineage: readAs of

@@ -34,6 +34,30 @@ class ErasureSpec extends AnyFunSuite {
     assert(refreshed(1L) == 0L && refreshed(33L) == 0L)
   }
 
+  test("negative ids round-trip through bucket partition dirs under truncated %") {
+    // Spark's BIGINT % truncates toward zero exactly like DuckDB's
+    // (-21 % 16 = -5 on both engines), so negative users land in
+    // literal `bucket=-5` partition directories. A negative id can
+    // never be ERASED under the residue predicate (a negative u gives
+    // u % 17 ≤ 0, never 3) nor share a bucket with an erased user
+    // (u % 16 ≥ 0 requires u ≥ 0), so negative buckets are always
+    // untouched — the pin here is that the dynamic-overwrite refresh
+    // leaves those negative partition dirs intact and readable.
+    val rows = AuditOps.erasureOn(spark,
+        evFrame(Seq(-5L, -21L, 3L, 19L)),
+        graft.Scratch.dir("erasure_spec_neg"))
+      .select("user_id", "bucket", "n_events", "refreshed")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === Set(-5L, -21L, 19L),
+      "erased user 3 vanishes; negative users survive")
+    val byUser = rows.map(r => r._1 -> r).toMap
+    assert(byUser(-5L)._2 === -5L && byUser(-21L)._2 === -5L,
+      "negative buckets must round-trip through the partition dir")
+    assert(byUser(19L)._2 === 3L && byUser(19L)._4 === 1L)
+    assert(rows.filter(_._1 < 0).forall(r => r._3 == 2L && r._4 == 0L),
+      "negative-bucket users keep full stats, unrefreshed")
+  }
+
   test("a request that would empty a bucket fails loudly") {
     // User 37 (≡3 mod 17) is ALONE in bucket 5 (37 mod 16 = 5): the
     // refresh would write nothing for the bucket and the stale
