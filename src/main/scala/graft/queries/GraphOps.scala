@@ -515,7 +515,73 @@ object GraphOps {
       .orderBy(desc("core_deg"), asc("id")).limit(TopK)
   }
 
+  /** Synchronous label-propagation rounds. Four rounds settle the
+    * planted graph's dense cores; the oracle unrolls the same count,
+    * so raising it moves both sides together. LPA may oscillate on
+    * bipartite-ish structures — the BOUNDED synchronous form with
+    * deterministic ties is the well-defined computation both engines
+    * run, which is exactly what the value gate needs (production runs
+    * more rounds or switches to async sweeps; the per-round plan is
+    * unchanged).
+    */
+  val LpaRounds = 4
+
+  /** LABEL-PROPAGATION community detection — the modularity-style
+    * clustering lens the family lacked next to connected components
+    * (`neardup_groups`) and the k-core peel: every node starts as its
+    * own label; each synchronous round reassigns every node the most
+    * frequent label among its neighbors, ties to the SMALLEST label
+    * (the determinism that makes the iteration oracle-able), isolated
+    * nodes keeping their own. Per round the plan is one O(edges) join
+    * of the undirected edge list with the current labels, a partial-
+    * aggregated (node, label) count, and one argmax per node via a
+    * single struct-max aggregate — no window, no all-pairs — with the
+    * label frame localCheckpoint'd per round (the CC/k-core lineage
+    * discipline); the driver sees only the loop counter. Output: the
+    * [[TopK]] communities by size (ties to lowest label) plus the
+    * global community count as a broadcast scalar.
+    */
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    lpaOf(docs.select(col("doc_id").as("id")), edges(docs), LpaRounds)
+  }
+
+  /** The propagation over arbitrary `nodes(id)` / `edges(src, dst)`
+    * frames (exposed for the spec and the random-graph property, which
+    * pin it against a sequential fold of the same recurrence). Labels
+    * must be non-negative: the argmax rides one `max(struct(count,
+    * -label))` aggregate — lexicographic struct order gives max count
+    * then min label in a single map-side-combinable pass.
+    */
+  def lpaOf(nodes: DataFrame, e: DataFrame, rounds: Int): DataFrame = {
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val best = und
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("new_lbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val comms = labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
+    comms.crossJoin(
+        broadcast(comms.agg(count(lit(1)).as("n_communities"))))
+      .select(col("n_communities"), col("lbl").as("label"),
+        col("n_members"), col("min_id"))
+      .orderBy(desc("n_members"), asc("label")).limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_lpa" -> (lpa _),
     "graph_kcore" -> (kcore _),
     "graph_pagerank" -> (pagerank _),
     "graph_pagerank_conv" -> (pagerankConv _),
@@ -646,7 +712,48 @@ object GraphOps {
        |ORDER BY core_deg DESC, id LIMIT $TopK""".stripMargin
   }
 
+  /** Unrolled-round LPA twin: per round the same (node, label)
+    * neighbor count, the same argmax-by-(count, min-label) — expressed
+    * as a window max + min(label) filter, which is value-identical to
+    * the Spark side's struct-max — and a LEFT join keeping isolated
+    * nodes' labels. Every round CTE is MATERIALIZED (multi-referenced
+    * CTEs inline exponentially otherwise).
+    */
+  private def duckLpa: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT u.src AS id, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.dst = l.id
+         |  GROUP BY u.src, l.lbl),
+         |b$i AS MATERIALIZED (
+         |  SELECT id, min(lbl) AS lbl FROM (
+         |    SELECT id, lbl, c, max(c) OVER (PARTITION BY id) AS mc
+         |    FROM n$i) t
+         |  WHERE c = mc GROUP BY id),
+         |l$i AS MATERIALIZED (
+         |  SELECT a.id, coalesce(b.lbl, a.lbl) AS lbl
+         |  FROM l${i - 1} a LEFT JOIN b$i b ON a.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |$duckEdges),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) t
+       |  WHERE src <> dst),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$rounds,
+       |comms AS (
+       |  SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_members,
+       |    min(id) AS min_id
+       |  FROM l$LpaRounds GROUP BY lbl),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_communities FROM comms)
+       |SELECT nc.n_communities, comms.label, comms.n_members, comms.min_id
+       |FROM comms, nc
+       |ORDER BY n_members DESC, label LIMIT $TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_lpa" -> duckLpa,
     "graph_kcore" -> duckKcore,
     "graph_bfs" -> duckBfs,
     "graph_sssp" -> duckSssp,

@@ -95,6 +95,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kcoreOf(nodes, e, k = 4, maxRounds = 6).count() === 0L)
   }
 
+  test("label propagation separates disjoint triangles and keeps isolated labels") {
+    // Two disjoint triangles and an isolated node. In {0,1,2}: round 1
+    // gives (0→1, 1→0, 2→0) — each node takes its neighbors' min on
+    // the 1-vs-1 tie — and round 2 settles everyone on 0 (node 1's
+    // {1, 0} tie breaks to 0). {10,11,12} settles on 10 identically.
+    // Node 99 has no edges and must keep its own label through every
+    // round.
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val got = GraphOps.lpaOf(nodes, e, rounds = 4)
+      .select("n_communities", "label", "n_members", "min_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 0L, 3L, 0L), (3L, 10L, 3L, 10L),
+      (3L, 99L, 1L, 99L)))
+  }
+
   test("common neighbors predicts unconnected pairs and respects the hub cap") {
     import spark.implicits._
     // Star 0-{1,2,3} plus edge 1-2: unconnected pairs sharing a

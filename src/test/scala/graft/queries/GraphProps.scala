@@ -66,4 +66,47 @@ object GraphProps extends Properties("GraphOps.pagerankOf") {
           .as[(Long, Long)].collect().sortBy(_._1).toSeq == want
       }
     }
+
+  // Synchronous LPA against a sequential fold of the same recurrence:
+  // undirected-deduped neighbor multiset, most-frequent label with ties
+  // to the smallest, isolated nodes keeping their own — community
+  // sizes, representatives and the global count must agree exactly
+  // (on the same size-desc/label-asc head the production query emits).
+  property("lpaOf equals the sequential synchronous propagation") =
+    Prop.forAllNoShrink(genGraph) { case (n, targets) =>
+      import spark.implicits._
+      val rounds = 3
+      val edges = targets.zipWithIndex.map { case (dst, i) =>
+        ((i / GraphOps.OutDeg).toLong, dst.toLong)
+      }
+      val nodesDf = (0 until n).map(_.toLong).toDF("id")
+      val edgesDf = edges.toDF("src", "dst")
+      val got = GraphOps.lpaOf(nodesDf, edgesDf, rounds)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+
+      val und = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }
+        .filter(p => p._1 != p._2).toSet
+      var lbl = Array.tabulate(n)(_.toLong)
+      for (_ <- 1 to rounds) {
+        val next = Array.tabulate(n) { i =>
+          // toSeq BEFORE collect: neighbors are a set, but their labels
+          // are a MULTISET (two neighbors sharing a label count twice).
+          val nbr = und.toSeq.collect { case (s, d) if s == i.toLong => lbl(d.toInt) }
+          if (nbr.isEmpty) lbl(i)
+          else {
+            val counts = nbr.groupBy(identity).map { case (l, g) => (l, g.size) }
+            val mc = counts.values.max
+            counts.collect { case (l, c) if c == mc => l }.min
+          }
+        }
+        lbl = next
+      }
+      val comms = lbl.zipWithIndex.groupBy(_._1).map { case (l, g) =>
+        (l, g.length.toLong, g.map(_._2.toLong).min)
+      }.toSeq
+      val want = comms.sortBy { case (l, sz, _) => (-sz, l) }
+        .take(GraphOps.TopK)
+        .map { case (l, sz, mn) => (comms.size.toLong, l, sz, mn) }
+      got == want
+    }
 }
