@@ -29,6 +29,31 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out(3L) === Seq.empty)
   }
 
+  test("longest duplicated run: exact lengths across power boundaries, cross-doc only") {
+    val run10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val run35 = (1 to 35).map(i => s"s$i").mkString(" ")
+    val out = DedupOps.longestSpanOf(docs(
+        (1L, run10),                  // the full 10-token run
+        (2L, s"x $run10 y"),          // shares it mid-document
+        (3L, "p q p q p q"),          // repeats WITHIN itself only
+        (4L, "t3 t4"),                // a 2-token slice of the run
+        (5L, s"$run35 z5"),           // 35 = 32+2+1 spans three powers
+        (6L, s"q6 $run35"),
+        (7L, "u1 u2 e1 e2"),          // END-aligned shared suffix: the
+        (8L, "v1 e1 e2")))            // padded-rank cap must clamp to 2
+      .select("doc_id", "n_tokens", "longest_run", "dup_positions")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, 10L, 10L),  // every position starts a cross-doc run
+      (2L, 12L, 10L, 10L),  // x/y match nowhere
+      (3L, 6L, 0L, 0L),     // same-doc repetition must NOT count
+      (4L, 2L, 2L, 2L),
+      (5L, 36L, 35L, 35L),
+      (6L, 36L, 35L, 35L),
+      (7L, 4L, 2L, 2L),
+      (8L, 3L, 2L, 2L)))
+  }
+
   test("minhash LSH candidates find planted near-dups, not unrelated docs") {
     val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
     for (fam <- Seq(DedupOps.PortableFamily, DedupOps.FastFamily)) {
