@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -195,10 +195,22 @@ object ScalarOps {
     * between engines, so this takes the rows-only check; the exact twin
     * is `agg_stats.distinct_parts`.
     */
+  /** HLL++ distinct estimate VALUE-GATED like [[approxPercentile]]:
+    * the exact per-group distinct count rides along (the oracle
+    * recomputes it), and the estimate binds as a boolean inside the
+    * 4-sigma band of the default 5% relative standard deviation — the
+    * same deterministic pin SketchAccuracySpec asserts JVM-side
+    * (approx_count_distinct is hash-based, so the estimate is a fixed
+    * function of the data, never flaky).
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct("l_partkey").as("ap"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("ap") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.2)).as("within_4sigma"))
       .orderBy("l_returnflag")
 
   /** Incremental distinct-count maintenance via MERGEABLE HLL sketches
@@ -209,24 +221,37 @@ object ScalarOps {
     * a PERSISTED artifact (kilobytes, regardless of corpus size) and
     * each increment unions yesterday's sketch with the day's batch —
     * the same incremental contract as `neardup_minhash_incr`, for
-    * cardinality instead of similarity. No SQL twin exists for the
-    * sketch binary (rows-only check); SketchAccuracySpec pins the
+    * cardinality instead of similarity. The sketch binary has no SQL
+    * twin, so the gate binds exact counts plus in-band booleans (see
+    * below); SketchAccuracySpec additionally pins the
     * merged estimate inside HLL error of the exact distinct count and
     * the estimates' monotonicity.
     */
   def approxDistinctIncr(spark: SparkSession, dir: String): DataFrame = {
+    // Value-gated like the percentile twin: exact distincts per side
+    // ride along for the oracle, and each estimate (history, batch,
+    // merged-by-union) binds as a boolean inside the 5% band
+    // SketchAccuracySpec pins (DataSketches HLL lgK=12 ≈ 1.6% RSE;
+    // hash-based, deterministic for fixed data).
     val d = SampleOps.withSplit(Tables.documents(spark, dir))
       .select(col("split"), col("text"))
     val hist = d.filter(col("split") === "train")
-      .agg(hll_sketch_agg(col("text")).as("sk_h"))
+      .agg(hll_sketch_agg(col("text")).as("sk_h"),
+        countDistinct(col("text")).as("history_exact"))
     val batch = d.filter(col("split") =!= "train")
-      .agg(hll_sketch_agg(col("text")).as("sk_b"))
-    hist.crossJoin(broadcast(batch))
-      .select(
-        hll_sketch_estimate(col("sk_h")).as("history_distinct"),
-        hll_sketch_estimate(col("sk_b")).as("batch_distinct"),
-        hll_sketch_estimate(hll_union(col("sk_h"), col("sk_b")))
-          .as("merged_distinct"))
+      .agg(hll_sketch_agg(col("text")).as("sk_b"),
+        countDistinct(col("text")).as("batch_exact"))
+    val whole = d.agg(countDistinct(col("text")).as("merged_exact"))
+    def inBand(est: Column, exact: Column) =
+      abs(est - exact) <= exact * lit(0.05)
+    hist.crossJoin(broadcast(batch)).crossJoin(broadcast(whole))
+      .select(col("history_exact"), col("batch_exact"), col("merged_exact"),
+        inBand(hll_sketch_estimate(col("sk_h")), col("history_exact"))
+          .as("history_in_band"),
+        inBand(hll_sketch_estimate(col("sk_b")), col("batch_exact"))
+          .as("batch_in_band"),
+        inBand(hll_sketch_estimate(hll_union(col("sk_h"), col("sk_b"))),
+          col("merged_exact")).as("merged_in_band"))
   }
 
   /** Incremental quantile maintenance via MERGEABLE KLL sketches
@@ -240,31 +265,53 @@ object ScalarOps {
     * corpus size; `kll_merge_agg_double` folds a whole directory of
     * daily sketches) and each day unions its batch in — the exact-sort
     * `agg_percentile` twin's scale path when even the two-pass exact
-    * plan is too hot. KLL compaction is randomized, so the sketch
-    * binary has no SQL twin (rows-only check); SketchAccuracySpec pins
-    * every estimate's TRUE rank inside the sketch's normalized
-    * rank-error band against the exactly-sorted data, plus
-    * history ≤ merged ≤ history+batch count consistency.
+    * plan is too hot. KLL compaction is randomized, so the raw
+    * estimates have no SQL twin — instead the output is VALUE-GATED
+    * through exact bands: counts recomputed by the oracle, estimates
+    * as in-band booleans (see below). SketchAccuracySpec keeps the
+    * independent pin on the raw estimates.
     */
   def approxPercentileIncr(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate"))
+    // Each side's sketch travels with ITS OWN exact ±3%-rank band (the
+    // SketchAccuracySpec window: KLL k=200 rank error ~1.65% at 99%
+    // confidence plus randomized-compaction wobble), and the merged
+    // estimates check against the WHOLE population's bands — so the
+    // value gate binds the sketch n-bookkeeping exactly (history_n /
+    // batch_n / merged_n are oracle-recomputed counts) and every
+    // quantile estimate as an in-band boolean.
     val hist = li.filter(col("l_shipdate") < lit(PercentileIncrCut))
       .groupBy("l_returnflag")
-      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_h"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_h"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.47), lit(0.53))).as("hb"))
     val batch = li.filter(col("l_shipdate") >= lit(PercentileIncrCut))
       .groupBy("l_returnflag")
-      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_b"))
-    hist.join(batch, "l_returnflag")
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_b"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.47), lit(0.53))).as("bb"))
+    val whole = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.47), lit(0.53), lit(0.87), lit(0.93))).as("mb"))
+    hist.join(batch, "l_returnflag").join(whole, "l_returnflag")
       .select(col("l_returnflag"),
         expr("kll_sketch_get_n_double(sk_h)").as("history_n"),
         expr("kll_sketch_get_n_double(sk_b)").as("batch_n"),
-        expr("kll_sketch_get_quantile_double(sk_h, 0.5)").as("history_p50"),
-        expr("kll_sketch_get_quantile_double(sk_b, 0.5)").as("batch_p50"),
+        expr("kll_sketch_get_n_double(kll_sketch_merge_double(sk_h, sk_b))")
+          .as("merged_n"),
+        expr("kll_sketch_get_quantile_double(sk_h, 0.5)")
+          .between(element_at(col("hb"), 1), element_at(col("hb"), 2))
+          .as("history_p50_in_band"),
+        expr("kll_sketch_get_quantile_double(sk_b, 0.5)")
+          .between(element_at(col("bb"), 1), element_at(col("bb"), 2))
+          .as("batch_p50_in_band"),
         expr("kll_sketch_get_quantile_double(kll_sketch_merge_double(sk_h, sk_b), 0.5)")
-          .as("merged_p50"),
+          .between(element_at(col("mb"), 1), element_at(col("mb"), 2))
+          .as("merged_p50_in_band"),
         expr("kll_sketch_get_quantile_double(kll_sketch_merge_double(sk_h, sk_b), 0.9)")
-          .as("merged_p90"))
+          .between(element_at(col("mb"), 3), element_at(col("mb"), 4))
+          .as("merged_p90_in_band"))
       .orderBy("l_returnflag")
   }
 
@@ -360,14 +407,36 @@ object ScalarOps {
     * row-sort cannot hash array cells, so the multi-quantile array is
     * unpacked before leaving the query.
     */
+  /** Sketch percentiles VALUE-GATED through exact rank bands: the raw
+    * estimates are sketch outputs no SQL engine reproduces, so the
+    * output carries the group's exact row count, the exact ±1%-rank
+    * band edges (interpolated percentile — the established
+    * quantile_cont parity), and BOOLEANS pinning each estimate inside
+    * its band plus their ordering. The oracle recomputes counts and
+    * edges exactly and expects every boolean TRUE — a sketch drifting
+    * out of its contract (accuracy 10000 bounds rank error at 0.01%,
+    * far inside the 1% band) hash-fails the gate instead of hiding
+    * behind a rows-only check. SketchAccuracySpec keeps the
+    * independent JVM-side pin on the raw estimates.
+    */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000))
-        .as("pp"))
-      .select(col("l_returnflag"),
-        element_at(col("pp"), 1).as("price_p50a"),
-        element_at(col("pp"), 2).as("price_p90a"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("pp"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.49), lit(0.51), lit(0.89), lit(0.91))).as("bb"))
+      .select(col("l_returnflag"), col("n_rows"),
+        element_at(col("bb"), 1).as("p50_band_lo"),
+        element_at(col("bb"), 2).as("p50_band_hi"),
+        element_at(col("bb"), 3).as("p90_band_lo"),
+        element_at(col("bb"), 4).as("p90_band_hi"),
+        element_at(col("pp"), 1).between(element_at(col("bb"), 1),
+          element_at(col("bb"), 2)).as("p50_in_band"),
+        element_at(col("pp"), 2).between(element_at(col("bb"), 3),
+          element_at(col("bb"), 4)).as("p90_in_band"),
+        (element_at(col("pp"), 1) <= element_at(col("pp"), 2)).as("ordered"))
       .orderBy("l_returnflag")
 
   /** Exact percentiles (linear interpolation) — empirically bit-exact
@@ -481,14 +550,30 @@ object ScalarOps {
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(ApproxAccuracy))
         .as("med"))
+    // Value gate like approx_percentile: exact count and exact ±1%-rank
+    // median band edges (oracle-recomputed), plus booleans — the
+    // sketch median inside the exact band, and the sketch MAD inside
+    // the exact band of |x − approxMed| (that band is centered on the
+    // sketch's own median, so it binds as a boolean only; the same
+    // framing SketchAccuracySpec uses).
     Tables.lineitem(spark, dir)
       .join(broadcast(meds), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(
-        max(col("med")).as("median_price"),
+      .agg(count(lit(1)).as("cnt"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.49), lit(0.51))).as("mb"),
+        max(col("med")).as("amed"),
         percentile_approx(abs(col("l_extendedprice") - col("med")), lit(0.5),
-          lit(ApproxAccuracy)).as("mad_price"),
-        count(lit(1)).as("cnt"))
+          lit(ApproxAccuracy)).as("amad"),
+        percentile(abs(col("l_extendedprice") - col("med")),
+          array(lit(0.49), lit(0.51))).as("db"))
+      .select(col("l_returnflag"), col("cnt"),
+        element_at(col("mb"), 1).as("med_band_lo"),
+        element_at(col("mb"), 2).as("med_band_hi"),
+        col("amed").between(element_at(col("mb"), 1),
+          element_at(col("mb"), 2)).as("med_in_band"),
+        col("amad").between(element_at(col("db"), 1),
+          element_at(col("db"), 2)).as("mad_in_band"))
       .orderBy("l_returnflag")
   }
 
@@ -519,6 +604,56 @@ object ScalarOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Sketch gates: exact counts and exact band edges recompute
+    // relationally; every in-band boolean is expected TRUE — the
+    // sketch's contract is what the hash binds, not its internals.
+    "approx_percentile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  quantile_cont(l_extendedprice, 0.49) AS p50_band_lo,
+        |  quantile_cont(l_extendedprice, 0.51) AS p50_band_hi,
+        |  quantile_cont(l_extendedprice, 0.89) AS p90_band_lo,
+        |  quantile_cont(l_extendedprice, 0.91) AS p90_band_hi,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS ordered
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_percentile_incr" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN l_shipdate < DATE '$PercentileIncrCut'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS history_n,
+         |  CAST(sum(CASE WHEN l_shipdate >= DATE '$PercentileIncrCut'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS batch_n,
+         |  CAST(count(*) AS BIGINT) AS merged_n,
+         |  TRUE AS history_p50_in_band, TRUE AS batch_p50_in_band,
+         |  TRUE AS merged_p50_in_band, TRUE AS merged_p90_in_band
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_4sigma
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mad_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  quantile_cont(l_extendedprice, 0.49) AS med_band_lo,
+        |  quantile_cont(l_extendedprice, 0.51) AS med_band_hi,
+        |  TRUE AS med_in_band, TRUE AS mad_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_distinct_incr" -> {
+      val bucket = graft.queries.DedupOps
+        .duckPortable64("CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH s AS (
+         |  SELECT text,
+         |    CASE WHEN $bucket < ${SampleOps.TrainPct} THEN 'train'
+         |         ELSE 'other' END AS split
+         |  FROM documents)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM s
+         |   WHERE split = 'train') AS history_exact,
+         |  (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM s
+         |   WHERE split <> 'train') AS batch_exact,
+         |  (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM s)
+         |    AS merged_exact,
+         |  TRUE AS history_in_band, TRUE AS batch_in_band,
+         |  TRUE AS merged_in_band""".stripMargin
+    },
     "scalar_map" ->
       """SELECT user_id, event_type, count(*) AS cnt
         |FROM events GROUP BY user_id, event_type

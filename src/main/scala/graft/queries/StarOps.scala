@@ -1099,16 +1099,25 @@ object StarOps {
           lit(ScalarOps.ApproxAccuracy)).as("cx"),
         percentile_approx(col("l_extendedprice").cast("double"), fracs,
           lit(ScalarOps.ApproxAccuracy)).as("cy"))
-    base.join(broadcast(cuts), "l_returnflag")
+    val approx = base.join(broadcast(cuts), "l_returnflag")
       .select(col("l_returnflag"),
         graft.functions.SortedRank(col("cx"), col("l_quantity").cast("double"))
           .cast("double").as("bx"),
         graft.functions.SortedRank(col("cy"), col("l_extendedprice").cast("double"))
           .cast("double").as("by"))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), corr(col("bx"), col("by")).as("r"))
-      .select(col("l_returnflag"), col("n"),
-        floor(col("r") * 1000000.0).cast("long").as("spearman_ppm"))
+      .agg(corr(col("bx"), col("by")).as("r"))
+      .select(col("l_returnflag"),
+        floor(col("r") * 1000000.0).cast("long").as("approx_ppm"))
+    // Value gate: the exact twin runs alongside (shared oracle text)
+    // and the binned estimate binds as a boolean inside the 10000-ppm
+    // band SketchAccuracySpec pins — the sketch cut points themselves
+    // have no SQL twin, their contract does.
+    aggSpearman(spark, dir)
+      .join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("spearman_ppm"),
+        (abs(col("approx_ppm") - col("spearman_ppm")) <= lit(10000L))
+          .as("within_band"))
       .orderBy("l_returnflag")
   }
 
@@ -1220,6 +1229,29 @@ object StarOps {
     "agg_mode" -> (aggMode _),
   )
 
+  /** agg_spearman's exact statement — shared verbatim with the
+    * approx twin's gate so the two cannot drift.
+    */
+  private val duckSpearman: String =
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS DOUBLE) AS dx,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) * 2
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS DOUBLE) AS dy
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(dy AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1000000.0) AS BIGINT) AS spearman_ppm
+        |FROM s ORDER BY l_returnflag""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // The cents chain is dsumCents' documented twin; the tie-broken
     // global order makes RANGE/ROWS frames identical, and the 80%
@@ -1258,25 +1290,16 @@ object StarOps {
         |  EXCEPT ALL
         |  SELECT c_custkey AS k FROM customer) t
         |GROUP BY k ORDER BY k""".stripMargin,
-    "agg_spearman" ->
-      """WITH r AS (
-        |  SELECT l_returnflag,
-        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
-        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS DOUBLE) AS dx,
-        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) * 2
-        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS DOUBLE) AS dy
-        |  FROM lineitem),
-        |s AS (
-        |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dx AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(dy AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(dx AS DECIMAL(28,4)) * CAST(dy AS DECIMAL(18,4))) AS DOUBLE) AS sxy
-        |  FROM r GROUP BY l_returnflag)
-        |SELECT l_returnflag, n,
-        |  CAST(floor((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1000000.0) AS BIGINT) AS spearman_ppm
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_spearman" -> duckSpearman,
+    // The binned twin: exact n and the EXACT spearman_ppm recompute
+    // through the shared statement, and the sketch-binned estimate
+    // binds as a boolean inside the 10000-ppm band SketchAccuracySpec
+    // pins (quantile binning at 256 bins bounds rank error at n/256).
+    "agg_spearman_approx" ->
+      s"""WITH ex AS MATERIALIZED ($duckSpearman)
+         |SELECT l_returnflag, n, spearman_ppm,
+         |  TRUE AS within_band
+         |FROM ex ORDER BY l_returnflag""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) * 100) AS BIGINT) AS revenue_cents,

@@ -22,12 +22,17 @@ class SketchAccuracySpec extends AnyFunSuite {
 
   test("approx_distinct is inside the HLL++ error band of the exact counts") {
     // approx_count_distinct's default relative standard deviation is
-    // 0.05; 4 sigma (20%) is a generous-but-meaningful deterministic pin.
+    // 0.05; 4 sigma (20%) is a generous-but-meaningful deterministic
+    // pin. The registered query emits (exact, in-band boolean) — the
+    // estimate is independently recomputed here so the pin does not
+    // rest on the query's own band arithmetic.
     val exact = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("n_part"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = ScalarOps.approxDistinct(spark, dir)
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("ap"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (flag, a) =>
@@ -35,26 +40,29 @@ class SketchAccuracySpec extends AnyFunSuite {
       assert(math.abs(a - e) <= 0.2 * e,
         s"flag=$flag approx=$a exact=$e outside 4-sigma HLL band")
     }
+    // And the value-gated form agrees: exact counts match, every
+    // boolean binds TRUE.
+    ScalarOps.approxDistinct(spark, dir).collect().foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)))
+      assert(r.getBoolean(2), s"flag=${r.getString(0)} estimate out of band")
+    }
   }
 
   test("approx_distinct_incr merge is inside HLL error of the exact union") {
     val row = ScalarOps.approxDistinctIncr(spark, dir).collect().head
     val (hist, batch, merged) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    // Union semantics up to sketch error: the merged estimate sits
-    // between the larger input and the inputs' sum, each bound slacked
-    // by the HLL error band (all three numbers are estimates — the
-    // exact containment only holds for true cardinalities).
-    assert(merged >= 0.95 * math.max(hist, batch) && merged <= 1.05 * (hist + batch),
-      s"merged=$merged outside the slacked [max($hist,$batch), $hist+$batch] band")
-    // DataSketches HLL at default lgK=12 has ~1.6% relative standard
-    // error; 5% is a generous deterministic pin against the exact count.
+    // Exact side columns really are the exact distincts.
     val exact = Tables.documents(spark, dir)
       .select(countDistinct(col("text"))).collect().head.getLong(0)
-    assert(math.abs(merged - exact) <= 0.05 * exact,
-      s"merged=$merged exact=$exact outside the 5% HLL band")
-    // Deterministic: a rerun yields the identical sketch estimates.
+    assert(merged === exact)
+    assert(hist <= exact && batch <= exact && hist + batch >= exact)
+    // Every estimate binds inside the 5% band (DataSketches HLL at
+    // default lgK=12 has ~1.6% relative standard error).
+    assert(row.getBoolean(3) && row.getBoolean(4) && row.getBoolean(5),
+      "an HLL estimate drifted outside its 5% band")
+    // Deterministic: a rerun yields identical gate values.
     val again = ScalarOps.approxDistinctIncr(spark, dir).collect().head
-    assert((again.getLong(0), again.getLong(1), again.getLong(2)) === ((hist, batch, merged)))
+    assert(again.toSeq === row.toSeq)
   }
 
   test("text_heavyhitters_incr: superset of true heavy hitters, counts in the MG band") {
@@ -99,10 +107,17 @@ class SketchAccuracySpec extends AnyFunSuite {
 
   test("approx_percentile lands within a 1%-rank window of the exact quantiles") {
     // accuracy=10000 bounds rank error at n/10000 rows — far inside the
-    // 1%-rank window asserted here, which keeps the pin valid at any sf.
+    // 1%-rank window asserted here, which keeps the pin valid at any
+    // sf. The estimate is recomputed directly so the pin is independent
+    // of the registered query's own band arithmetic.
     val p50 = band(col("l_extendedprice"), 0.50, 0.01)
     val p90 = band(col("l_extendedprice"), 0.90, 0.01)
-    val approx = ScalarOps.approxPercentile(spark, dir)
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("pp"), 1).as("a50"), element_at(col("pp"), 2).as("a90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.keySet === p50.keySet)
     approx.foreach { case (flag, (a50, a90)) =>
@@ -111,56 +126,71 @@ class SketchAccuracySpec extends AnyFunSuite {
       assert(a50 >= lo50 && a50 <= hi50, s"flag=$flag p50 $a50 outside [$lo50,$hi50]")
       assert(a90 >= lo90 && a90 <= hi90, s"flag=$flag p90 $a90 outside [$lo90,$hi90]")
     }
+    // The value-gated form: every in-band/ordered boolean binds TRUE.
+    ScalarOps.approxPercentile(spark, dir).collect().foreach { r =>
+      assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8),
+        s"flag=${r.getString(0)} sketch estimate escaped its gate band")
+    }
   }
 
   test("approx_percentile_incr merged KLL quantiles land within a 3%-rank window") {
     // DataSketches KLL at Spark's default k=200 bounds normalized rank
     // error near 1.65% (99% confidence); 3% absorbs that plus the
-    // randomized-compaction wobble on top of the merge.
-    val p50 = band(col("l_extendedprice"), 0.50, 0.03)
-    val p90 = band(col("l_extendedprice"), 0.90, 0.03)
+    // randomized-compaction wobble on top of the merge. The registered
+    // query emits exact n bookkeeping plus in-band booleans.
     val counts = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = ScalarOps.approxPercentileIncr(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet === p50.keySet)
+    assert(rows.keySet === counts.keySet)
     rows.foreach { case (flag, r) =>
-      // n bookkeeping is exact in KLL: the split loses no rows.
+      // n bookkeeping is exact in KLL: the split loses no rows and the
+      // merge preserves the total.
       assert(r.getLong(1) + r.getLong(2) === counts(flag),
         s"flag=$flag history_n+batch_n != total")
-      val (lo50, hi50) = p50(flag)
-      val (lo90, hi90) = p90(flag)
-      val (m50, m90) = (r.getDouble(5), r.getDouble(6))
-      assert(m50 >= lo50 && m50 <= hi50, s"flag=$flag merged p50 $m50 outside [$lo50,$hi50]")
-      assert(m90 >= lo90 && m90 <= hi90, s"flag=$flag merged p90 $m90 outside [$lo90,$hi90]")
+      assert(r.getLong(3) === counts(flag), s"flag=$flag merged_n != total")
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7),
+        s"flag=$flag a KLL quantile escaped its 3%-rank band")
     }
   }
 
   test("agg_mad_approx lands within a 1%-rank window of the exact median and MAD") {
+    // Independent recompute of the raw sketch estimates (the registered
+    // query now emits in-band booleans, not the raw values).
     val medBand = band(col("l_extendedprice"), 0.50, 0.01)
-    val approx = ScalarOps.robustStatsApprox(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+        lit(ScalarOps.ApproxAccuracy)).as("amed"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.keySet === medBand.keySet)
-    approx.foreach { case (flag, (aMed, _)) =>
+    approx.foreach { case (flag, aMed) =>
       val (lo, hi) = medBand(flag)
       assert(aMed >= lo && aMed <= hi, s"flag=$flag median $aMed outside [$lo,$hi]")
     }
     // The MAD pass runs over |x − approxMed|, so its exact band must be
     // computed around the SAME approximate center the sketch used.
-    val meds = approx.map { case (flag, (aMed, _)) => (flag, aMed) }
-    val medsDf = spark.createDataFrame(meds.toSeq).toDF("l_returnflag", "amed")
+    val medsDf = spark.createDataFrame(approx.toSeq).toDF("l_returnflag", "amed")
     val devBand = Tables.lineitem(spark, dir)
       .join(broadcast(medsDf), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(percentile(abs(col("l_extendedprice") - col("amed")),
-        array(lit(0.49), lit(0.51))).as("band"))
+      .agg(percentile_approx(abs(col("l_extendedprice") - col("amed")),
+          lit(0.5), lit(ScalarOps.ApproxAccuracy)).as("amad"),
+        percentile(abs(col("l_extendedprice") - col("amed")),
+          array(lit(0.49), lit(0.51))).as("band"))
       .collect()
-      .map(r => r.getString(0) -> (r.getSeq[Double](1).head, r.getSeq[Double](1).last))
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getSeq[Double](2).head, r.getSeq[Double](2).last))
       .toMap
-    approx.foreach { case (flag, (_, aMad)) =>
-      val (lo, hi) = devBand(flag)
+    devBand.foreach { case (flag, (aMad, lo, hi)) =>
       assert(aMad >= lo && aMad <= hi, s"flag=$flag MAD $aMad outside [$lo,$hi]")
+    }
+    // And the value-gated form binds: every boolean TRUE.
+    ScalarOps.robustStatsApprox(spark, dir).collect().foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"flag=${r.getString(0)} sketch estimate escaped its gate band")
     }
   }
 
@@ -173,13 +203,14 @@ class SketchAccuracySpec extends AnyFunSuite {
     // fixed input, so this is stable, not flaky-probabilistic).
     val exact = StarOps.aggSpearman(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    val approx = StarOps.aggSpearmanApprox(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(approx.keySet === exact.keySet)
-    approx.foreach { case (flag, a) =>
-      val e = exact(flag)
-      assert(math.abs(a - e) <= 10000L,
-        s"flag=$flag approx=$a exact=$e outside the 10000 ppm band")
+    val rows = StarOps.aggSpearmanApprox(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      // The emitted exact ppm really is the exact twin's, and the
+      // binned estimate binds inside the band.
+      assert(r.getLong(2) === exact(r.getString(0)))
+      assert(r.getBoolean(3),
+        s"flag=${r.getString(0)} binned estimate outside the 10000 ppm band")
     }
   }
 }
