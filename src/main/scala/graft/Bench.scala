@@ -131,8 +131,19 @@ object Bench {
     // touched. The driver never sets it, so round benches are complete.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Variance-attribution knob: SPARK_GRAFT_BENCH_SEED=<long> times
+    // the registry in a seeded-shuffled order instead of alphabetical.
+    // Memoized session artifacts (shared indexes/fixtures) are built by
+    // whichever family member runs FIRST, so per-family wall time
+    // depends on order; comparing a shuffled run against the
+    // alphabetical one attributes run-to-run family drift to build
+    // placement vs a real regression (docs/SCALE.md records the
+    // measured envelope). Seeded runs never overwrite the tracked
+    // bench_full.json.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val names = seed.fold(names0)(s => new scala.util.Random(s).shuffle(names0))
     val results = names.map { name =>
       val cold = timed(name)
       val warm =
@@ -173,7 +184,8 @@ object Bench {
     // dev-subset run (SPARK_GRAFT_ONLY) must not overwrite it with a
     // partial line that would masquerade as a round's numbers.
     val artifacts = java.nio.file.Paths.get("target", "bench.json") ::
-      (if (only.isEmpty) List(java.nio.file.Paths.get("bench_full.json")) else Nil)
+      (if (only.isEmpty && seed.isEmpty)
+        List(java.nio.file.Paths.get("bench_full.json")) else Nil)
     for (path <- artifacts) {
       try {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
