@@ -110,12 +110,13 @@ object Explain {
         "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
         "UUID")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N/0xADDR")
-      // Identity hashes print as `<identifier>@<hex>`; anchoring on a
-      // preceding identifier character and requiring at least one
-      // [a-f] digit keeps purely-decimal tokens after a bare `@` in
-      // legitimate plan literals (e.g. "@2024") untouched.
-      .replaceAll("(?<=[A-Za-z0-9_$])@(?=[0-9a-f]{0,15}[a-f])[0-9a-f]{4,16}\\b",
-        "@IDHASH")
+      // Identity hashes print as `<ClassName>@<hex>` (and as
+      // `0xADDR@<hex>` after the lambda mask) — anchor on a preceding
+      // LETTER or `$`, which masks them even when the hash happens to
+      // be all-decimal (TopKAgg@45188301 churned a regeneration), while
+      // a bare `@2024` inside a plan literal — no identifier character
+      // before the `@` — stays verbatim.
+      .replaceAll("(?<=[A-Za-z$])@[0-9a-f]{4,16}\\b", "@IDHASH")
   }
 
   def main(args: Array[String]): Unit = {

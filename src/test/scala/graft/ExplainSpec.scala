@@ -38,15 +38,17 @@ class ExplainSpec extends AnyFunSuite {
       "part-00000-UUID.parquet Lambda$N/0xADDR")
   }
 
-  test("identity hashes mask only after an identifier char and with a hex letter") {
+  test("identity hashes mask only after a letter anchor") {
     assert(Explain.normalize("TopKAgg@3f2a9bc1 and $anon@deadbeef") ===
       "TopKAgg@IDHASH and $anon@IDHASH")
-    // Purely decimal after @ (a plan literal, not an identity hash)
-    // and a bare @ with no identifier before it both stay verbatim.
+    // All-decimal identity hashes mask too (a regeneration churned on
+    // TopKAgg@45188301), including the post-lambda-mask 0xADDR form.
+    assert(Explain.normalize("TopKAgg@45188301") === "TopKAgg@IDHASH")
+    assert(Explain.normalize("Lambda$7/0xdeadbeef@16810696") ===
+      "Lambda$N/0xADDR@IDHASH")
+    // A bare @ with no identifier character before it stays verbatim.
     assert(Explain.normalize("filter (note = 'seen @2024 window')") ===
       "filter (note = 'seen @2024 window')")
-    assert(Explain.normalize("cast(x@20240101 as int)") ===
-      "cast(x@20240101 as int)")
   }
 
   test("normalize is idempotent") {
