@@ -75,9 +75,10 @@ object Explain {
   // eagerly (two partitioned writes + guard counts) and returns only
   // the post-hoc parquet read — the audit would pay the drill's wall
   // time to print a scan; its behavior is value-gated by Verify.
-  // src_connector_bloomskip likewise: it executes its point lookup
-  // eagerly to read the planned-file count off the EXECUTED DSv2 plan
-  // and returns literal rows; the pruning it proves is value-gated.
+  // src_connector_bloomskip and src_snapshot_bloomskip_incr likewise:
+  // they execute their point lookups eagerly to read the planned-file
+  // count off the EXECUTED DSv2 plan and return literal rows; the
+  // pruning they prove is value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md

@@ -999,7 +999,7 @@ object SnapshotTable {
     * only the O(files × words) index lands, and only on disk.
     */
   def writeBloomIndex(spark: SparkSession, table: String, column: String,
-      files: Seq[String]): String = {
+      files: Seq[String], append: Boolean = false): String = {
     val path = bloomIndexPath(table, column)
     spark.read.parquet(files: _*)
       .select(input_file_name().as("f"),
@@ -1009,7 +1009,12 @@ object SnapshotTable {
       .groupBy("f", "word")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
         .as("bits"))
-      .write.mode("overwrite").parquet(path)
+      // append = INCREMENTAL maintenance: an ingest batch indexes only
+      // its own files and lands them as additional sidecar parts, so
+      // per-batch index cost tracks the batch, never the table (per-
+      // file rows are disjoint by construction — each file's bits land
+      // exactly once; a REBUILD after compaction uses overwrite).
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
     path
   }
 

@@ -1451,6 +1451,61 @@ object SourceOps {
       .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
   }
 
+  /** INCREMENTAL bloom-index maintenance through the connector — the
+    * daily-ingest completion of [[connectorBloomSkip]]: generation 1
+    * builds the sidecar, generation 2 appends new files and EXTENDS
+    * the sidecar by indexing ONLY the batch's files
+    * ([[SnapshotTable.writeBloomIndex]] append mode — per-file sidecar
+    * rows are disjoint, so the extension is a pure parquet append and
+    * per-batch index cost tracks the batch, never the table). The
+    * point lookup then rides the connector across BOTH generations:
+    * the planned-file count (read off the executed DSv2 plan) must
+    * equal the relational bloom admission over the union of old and
+    * new files — an appended-but-unindexed file would conservatively
+    * inflate it, a lost old sidecar row would break content. Scale
+    * shape: ingest cost = batch scan + batch-sized sidecar append;
+    * probe cost unchanged.
+    */
+  def connectorBloomSkipIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_bloomskip_incr")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 100)
+        .cast("long").as("cents"))
+    // w from the FULL key domain so both generations share the slicing.
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices
+    def stage(gen: Int, pred: org.apache.spark.sql.Column): Seq[String] = {
+      val d = s"$table/data/gen=$gen"
+      src.filter(pred).withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+        .repartition(col("s"))
+        .write.partitionBy("s").mode("overwrite").parquet(d)
+      spark.read.parquet(d).inputFiles.toSeq.sorted
+    }
+    val g1 = stage(1, col("o_orderkey") % 3 =!= 0)
+    SnapshotTable.publishAppend(spark, table, 1L, g1, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, table, "cents", g1)
+    val g2 = stage(2, col("o_orderkey") % 3 === 0)
+    SnapshotTable.publishAppend(spark, table, 2L, g2, carryFrom = Some(1L))
+    SnapshotTable.writeBloomIndex(spark, table, "cents", g2, append = true)
+    val probe = src.filter(col("cents") % 10 === 3)
+      .agg(max("cents")).as[Long].head()
+    val lookup = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("cents") === probe)
+      .select(col("o_orderkey"))
+    val planned = lookup.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    val keys = lookup.as[Long].collect()
+    Seq(((g1.size + g2.size).toLong, planned.toLong,
+        keys.length.toLong, keys.sum))
+      .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
+  }
+
   /** [[snapshotSkip2]] geometry: both keys map onto a
     * [[ZGrid]]×[[ZGrid]] grid, the Morton interleave of the grid
     * coordinates is sliced by its top bits into [[ZSliceShift]]-shifted
@@ -1759,6 +1814,7 @@ object SourceOps {
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
+    "src_snapshot_bloomskip_incr" -> (connectorBloomSkipIncr _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
     "src_snapshot_rollback" -> (snapshotRollback _),
@@ -1944,6 +2000,56 @@ object SourceOps {
          |  WHERE cents = pk AND s IN (SELECT s FROM adm))
          |SELECT
          |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_planned,
+         |  n_rows, key_sum
+         |FROM content""".stripMargin
+    },
+    // Incremental twin: file identity is the (generation split, slice)
+    // pair — gen 2's files hold the % 3 == 0 rows — and the SAME
+    // relational bloom recompute runs over the union, so the planner's
+    // planned-file count proves the APPENDED sidecar rows are consulted
+    // (an unindexed new file would admit conservatively and
+    // hash-fail the count).
+    "src_snapshot_bloomskip_incr" -> {
+      def hashP(i: Int, key: String): String =
+        graft.queries.DedupOps.duckPortable64(
+          s"concat('$FileBloomSalt$i:', CAST($key AS VARCHAR))") +
+          s" % $FileBloomBits"
+      val pos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT g, s, ${hashP(i, "cents")} AS p FROM sl")
+        .mkString("\n  UNION\n  ")
+      val ppos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT ${hashP(i, "pk")} AS p FROM probe")
+        .mkString("\n  UNION\n  ")
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM base),
+         |sl AS (SELECT o_orderkey, cents,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS g,
+         |         o_orderkey // ((mk + $SkipSlices) // $SkipSlices) AS s
+         |       FROM base, mx),
+         |probe AS (SELECT CAST(max(cents) AS BIGINT) AS pk FROM base
+         |          WHERE cents % 10 = 3),
+         |pos AS (
+         |  $pos
+         |),
+         |ppos AS (
+         |  $ppos
+         |),
+         |need AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppos),
+         |hits AS (SELECT pos.g, pos.s, CAST(count(*) AS BIGINT) AS h
+         |         FROM pos JOIN ppos USING (p) GROUP BY pos.g, pos.s),
+         |adm AS (SELECT g, s FROM hits, need WHERE h = n),
+         |content AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM sl JOIN adm USING (g, s), probe
+         |  WHERE cents = pk)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT DISTINCT g, s FROM sl) t) AS n_files_total,
          |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_planned,
          |  n_rows, key_sum
          |FROM content""".stripMargin

@@ -525,6 +525,30 @@ class SnapshotSourceSpec extends AnyFunSuite {
     val none = read().filter(col("tag") === 37L && col("tag").isin(52L))
     assert(plannedFiles(none) === 0)
     assert(none.count() === 0L)
+
+    // Incremental maintenance: a file appended WITHOUT indexing admits
+    // conservatively (pruning may only skip what the index proves
+    // absent); extending the sidecar in append mode — indexing ONLY
+    // the new file — restores pruning across old and new files.
+    val p5 = s"$dataDir/slice_4"
+    (40L until 50L).map(id => (id, id * 37L % 101L)).toDF("doc_id", "tag")
+      .coalesce(1).write.parquet(p5)
+    val fs5 = new org.apache.hadoop.fs.Path(p5)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFile = fs5.listStatus(new org.apache.hadoop.fs.Path(p5))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    SnapshotTable.publishAppend(spark, table, 2L, (paths :+ newFile).sorted,
+      carryFrom = None)
+    val cold5 = read().filter(col("tag") === 37L).select("doc_id")
+    assert(plannedFiles(cold5) === plannedFiles(eq) + 1,
+      "the unindexed appended file must admit conservatively")
+    SnapshotTable.writeBloomIndex(spark, table, "tag", Seq(newFile),
+      append = true)
+    // tag 37 does not occur among doc_ids 40..49 (37·d ≡ 37 mod 101 ⟺
+    // d ≡ 1), so the extended index prunes the new file again.
+    val warm5 = read().filter(col("tag") === 37L).select("doc_id")
+    assert(plannedFiles(warm5) === plannedFiles(eq))
+    assert(warm5.as[Long].collect().toSet === Set(1L))
   }
 
   test("schema evolution degrades to nulls in the connector's by-name decode") {
