@@ -42,7 +42,7 @@ object Explain {
     "text_langid_predict",
     "neardup_lsh_recall", "agg_pareto", "neardup_index", "src_snapshot",
     "dedup_spans", "dedup_spans_incr", "dedup_longest_span",
-    "neardup_index_incr",
+    "dedup_span_strip", "neardup_index_incr",
     "multimodal_gif_frames", "pipeline_retrieval", "src_snapshot_merge",
     "src_snapshot_expire", "src_snapshot_skip", "src_snapshot_skip2",
     "neardup_index_probe", "src_snapshot_optimize", "text_repetition_ngram",

@@ -771,7 +771,16 @@ object DedupOps {
     * shared duckSpanList identities, same pad and tie rules), so the
     * whole pipeline is value-gated end to end.
     */
-  def longestSpan(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per-(JVM, sfDir) PERSISTED per-position run table —
+    * `(doc_id, pos, run)`, the suffix pipeline's full output.
+    * `dedup_longest_span` is the designated measured rebuild;
+    * `dedup_span_strip` probes it, so the expensive suffix ordering
+    * runs once per session (the neardup_index pattern).
+    */
+  private val lcpRunsArtifact = new graft.SessionArtifact("lcp_runs")
+
+  private def lcpRunsTable(spark: SparkSession, dir: String,
+      rebuild: Boolean): String = {
     // ~9 eager materializations of a compact all-integer frame: the
     // pipeline is latency-bound at any fixture scale, so it runs in a
     // cloned session (the StreamDrill.session move — private SQLConf,
@@ -780,18 +789,100 @@ object DedupOps {
     // job count in an A/B), and whole-stage codegen off (every round
     // is a distinct plan whose janino compile exceeds its interpreted
     // cost). At corpus scale all three toggles flip back.
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    longestSpanOf(Tables.documents(s, dir))
+    def build(path: String): Unit = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      lcpRunsOf(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    if (rebuild) lcpRunsArtifact.rebuild(dir)(build)
+    else lcpRunsArtifact.ensure(dir)(build)
   }
 
-  /** The computation over an arbitrary `(doc_id, text)` frame (exposed
-    * for the spec, which plants shared runs straddling power
+  /** Per-doc aggregate of a per-position run frame — shared by the
+    * registered query (over the persisted artifact, so the gate also
+    * proves the parquet round-trip) and the spec's direct form.
+    */
+  private def longestSpanAgg(runs: DataFrame): DataFrame =
+    runs
+      .select(col("doc_id"), col("run"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        max("run").cast("long").as("longest_run"),
+        sum(when(col("run") > 0L, 1L).otherwise(0L)).as("dup_positions"))
+      .orderBy("doc_id")
+
+  def longestSpan(spark: SparkSession, dir: String): DataFrame =
+    longestSpanAgg(
+      spark.read.parquet(lcpRunsTable(spark, dir, rebuild = true)))
+
+  /** The per-doc aggregate over an arbitrary `(doc_id, text)` frame
+    * (exposed for the spec, which plants shared runs straddling power
     * boundaries and end-aligned shared suffixes).
     */
-  private[queries] def longestSpanOf(docs: DataFrame): DataFrame = {
+  private[queries] def longestSpanOf(docs: DataFrame): DataFrame =
+    longestSpanAgg(lcpRunsOf(docs))
+
+  /** [[spanStrip]] removes duplicated runs of at least this many
+    * tokens — mirrored in the oracle; the standard ~50-character
+    * substring-surgery threshold, same as [[SpanTokens]].
+    */
+  val StripRunK = 8
+
+  /** SUBSTRING SURGERY — acting on the [[longestSpan]] signal instead
+    * of only reporting it: every token covered by some cross-document
+    * duplicated run of ≥ [[StripRunK]] tokens is REMOVED and the
+    * surviving tokens rejoin in order (canonical single-space form,
+    * the text_boilerplate_strip convention) — the "deduplicating
+    * training data" transform at exact substring granularity, where
+    * chunk-level stripping misses copies straddling chunk boundaries.
+    * Coverage is one per-doc running max: token t is covered iff some
+    * earlier-or-equal position p has run(p) ≥ K and p + run(p) > t —
+    * interval union without an interval join. The cleaned text is
+    * value-gated BYTE-FOR-BYTE (the oracle replays the whole suffix
+    * pipeline from raw text plus the same coverage window), and the
+    * per-position runs come from the PERSISTED [[lcpRunsArtifact]] —
+    * probe cost is one artifact scan + one per-doc window, while the
+    * suffix ordering itself stays `dedup_longest_span`'s measured
+    * build.
+    */
+  def spanStrip(spark: SparkSession, dir: String): DataFrame =
+    stripWithRuns(Tables.documents(spark, dir),
+      spark.read.parquet(lcpRunsTable(spark, dir, rebuild = false)))
+
+  /** The surgery over an arbitrary `(doc_id, text)` frame, deriving
+    * runs directly (exposed for the spec's hand corpus).
+    */
+  private[queries] def spanStripOf(docs: DataFrame): DataFrame =
+    stripWithRuns(docs, lcpRunsOf(docs))
+
+  private def stripWithRuns(docs: DataFrame, runs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenized(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("tok"))
+    val covered = toks.join(runs, Seq("doc_id", "pos"))
+      .withColumn("cov", max(when(col("run") >= StripRunK,
+          col("pos") + col("run"))).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("keep", col("cov").isNull || col("cov") <= col("pos"))
+    covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(filter(
+            sort_array(collect_list(struct(col("pos"), col("keep"), col("tok")))),
+            x => x.getField("keep")),
+          x => x.getField("tok")), " ").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** The suffix pipeline itself: per-position longest cross-doc run,
+    * `(doc_id, pos, run)`.
+    */
+  private def lcpRunsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spanWidths = (0 until 6).map(1 << _) // 1, 2, 4, 8, 16, 32
     // 1. Every power-width span identity out of one digest pass.
@@ -911,12 +1002,8 @@ object DedupOps {
       .agg(max("l").as("l"))
     base.select("doc_id", "pos")
       .join(best, Seq("doc_id", "pos"), "left")
-      .select(col("doc_id"), coalesce(col("l"), lit(0L)).as("run"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        max("run").cast("long").as("longest_run"),
-        sum(when(col("run") > 0L, 1L).otherwise(0L)).as("dup_positions"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("l"), lit(0L)).as("run"))
   }
 
   /** Within-document repetition signals — the Gopher-class quality
@@ -2168,6 +2255,7 @@ object DedupOps {
     "dedup_spans" -> (spanDedup _),
     "dedup_spans_incr" -> (spanIncremental _),
     "dedup_longest_span" -> (longestSpan _),
+    "dedup_span_strip" -> (spanStrip _),
     "dedup_cdc_incr" -> (cdcIncremental _),
     "dedup_cdc_cross" -> (cdcCross _),
     "dedup_bloom" -> (bloomDedup _),
@@ -2561,6 +2649,84 @@ object DedupOps {
        |      % ${StreamIngestBatches + 1} - 1 AS BIGINT) AS bt
        |  FROM documents)""".stripMargin
 
+  /** The ENTIRE suffix-pipeline oracle chain, ending in
+    * `runs(doc_id, pos, run)` — shared verbatim by the
+    * `dedup_longest_span` report and the `dedup_span_strip` surgery so
+    * the signal and the transform acting on it cannot drift.
+    */
+  private lazy val duckLcpRunCtes: String = {
+    val inst = (0 until 6).map(1 << _).map { w =>
+      s"""s$w AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(th) - ${w - 1}, 0) + 1)) AS pos,
+         |    unnest(${duckSpanList(w)}) AS id
+         |  FROM tho)""".stripMargin
+    }.mkString(",\n")
+    val quads = Seq((1, 1), (2, 4), (3, 16)).map { case (q, o) =>
+      s"""q$q AS MATERIALIZED (
+         |  SELECT a.doc_id, a.pos,
+         |    CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b1.r, 0),
+         |      coalesce(b2.r, 0), coalesce(b3.r, 0)) AS BIGINT) AS r
+         |  FROM q${q - 1} a
+         |  LEFT JOIN q${q - 1} b1
+         |    ON b1.doc_id = a.doc_id AND b1.pos = a.pos + $o
+         |  LEFT JOIN q${q - 1} b2
+         |    ON b2.doc_id = a.doc_id AND b2.pos = a.pos + ${2 * o}
+         |  LEFT JOIN q${q - 1} b3
+         |    ON b3.doc_id = a.doc_id AND b3.pos = a.pos + ${3 * o})"""
+        .stripMargin
+    }.mkString(",\n")
+    val descent = Seq(32, 16, 8, 4, 2, 1).zipWithIndex.map {
+      case (w, r0) =>
+        val r = r0 + 1
+        s"""p$r AS MATERIALIZED (
+           |  SELECT p.xdoc, p.xpos, p.ydoc, p.ypos,
+           |    CASE WHEN a.id = b.id THEN p.l + $w ELSE p.l END AS l
+           |  FROM p${r - 1} p
+           |  LEFT JOIN s$w a ON a.doc_id = p.xdoc AND a.pos = p.xpos + p.l
+           |  LEFT JOIN s$w b ON b.doc_id = p.ydoc AND b.pos = p.ypos + p.l)"""
+          .stripMargin
+    }.mkString(",\n")
+    s"""$duckTokenHashCtes,
+       |$inst,
+       |q0 AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    CAST(dense_rank() OVER (ORDER BY id) AS BIGINT) AS r
+       |  FROM s1),
+       |$quads,
+       |ord AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT) AS rn
+       |  FROM q3),
+       |hd AS MATERIALIZED (
+       |  SELECT doc_id, pos, rn,
+       |    max(hm) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS head_rn,
+       |    min(hm) OVER (ORDER BY rn
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+       |  FROM (
+       |    SELECT doc_id, pos, rn,
+       |      CASE WHEN coalesce(lag(doc_id) OVER (ORDER BY rn), -1)
+       |        <> doc_id THEN rn END AS hm
+       |    FROM ord)),
+       |p0 AS MATERIALIZED (
+       |  SELECT x.doc_id AS xdoc, x.pos AS xpos,
+       |    y.doc_id AS ydoc, y.pos AS ypos, CAST(0 AS BIGINT) AS l
+       |  FROM hd x JOIN ord y ON y.rn = x.head_rn - 1
+       |  UNION ALL
+       |  SELECT x.doc_id, x.pos, y.doc_id, y.pos, CAST(0 AS BIGINT)
+       |  FROM hd x JOIN ord y ON y.rn = x.next_rn),
+       |$descent,
+       |best AS MATERIALIZED (
+       |  SELECT xdoc AS doc_id, xpos AS pos, max(l) AS l
+       |  FROM p6 GROUP BY xdoc, xpos),
+       |runs AS MATERIALIZED (
+       |  SELECT t.doc_id, t.pos, coalesce(b.l, 0) AS run
+       |  FROM s1 t
+       |  LEFT JOIN best b ON b.doc_id = t.doc_id AND b.pos = t.pos)"""
+      .stripMargin
+  }
+
   private val baseOracle: Map[String, String] = Map(
     "neardup_edit" ->
       s"""WITH $duckDistinctShingleCtes,
@@ -2812,89 +2978,41 @@ object DedupOps {
     // neighbor rule via lag + running head markers, the same 6-round
     // LCP descent, and the same remaining-length cap. Every
     // multi-referenced CTE is MATERIALIZED.
-    "dedup_longest_span" -> {
-      // Span-identity instance CTEs for the descent (the SAME shared
-      // duckSpanList generator every span oracle uses) — windows exist
-      // only fully in-range, so a shared run that ends at a document
-      // boundary stops exactly there on both engines.
-      val inst = (0 until 6).map(1 << _).map { w =>
-        s"""s$w AS MATERIALIZED (
-           |  SELECT doc_id,
-           |    unnest(range(1, greatest(len(th) - ${w - 1}, 0) + 1)) AS pos,
-           |    unnest(${duckSpanList(w)}) AS id
-           |  FROM tho)""".stripMargin
-      }.mkString(",\n")
-      // Quadrupled Manber-Myers chain for the suffix order (widths
-      // 1 -> 4 -> 16 -> 64), end padding as rank 0 — value-identical
-      // to the Spark side's bucket-packed ranks in order and equality.
-      val quads = Seq((1, 1), (2, 4), (3, 16)).map { case (q, o) =>
-        s"""q$q AS MATERIALIZED (
-           |  SELECT a.doc_id, a.pos,
-           |    CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b1.r, 0),
-           |      coalesce(b2.r, 0), coalesce(b3.r, 0)) AS BIGINT) AS r
-           |  FROM q${q - 1} a
-           |  LEFT JOIN q${q - 1} b1
-           |    ON b1.doc_id = a.doc_id AND b1.pos = a.pos + $o
-           |  LEFT JOIN q${q - 1} b2
-           |    ON b2.doc_id = a.doc_id AND b2.pos = a.pos + ${2 * o}
-           |  LEFT JOIN q${q - 1} b3
-           |    ON b3.doc_id = a.doc_id AND b3.pos = a.pos + ${3 * o})"""
-          .stripMargin
-      }.mkString(",\n")
-      val descent = Seq(32, 16, 8, 4, 2, 1).zipWithIndex.map {
-        case (w, r0) =>
-          val r = r0 + 1
-          s"""p$r AS MATERIALIZED (
-             |  SELECT p.xdoc, p.xpos, p.ydoc, p.ypos,
-             |    CASE WHEN a.id = b.id THEN p.l + $w ELSE p.l END AS l
-             |  FROM p${r - 1} p
-             |  LEFT JOIN s$w a ON a.doc_id = p.xdoc AND a.pos = p.xpos + p.l
-             |  LEFT JOIN s$w b ON b.doc_id = p.ydoc AND b.pos = p.ypos + p.l)"""
-            .stripMargin
-      }.mkString(",\n")
-      s"""WITH $duckTokenHashCtes,
-         |$inst,
-         |q0 AS MATERIALIZED (
-         |  SELECT doc_id, pos,
-         |    CAST(dense_rank() OVER (ORDER BY id) AS BIGINT) AS r
-         |  FROM s1),
-         |$quads,
-         |ord AS MATERIALIZED (
-         |  SELECT doc_id, pos,
-         |    CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT) AS rn
-         |  FROM q3),
-         |hd AS MATERIALIZED (
-         |  SELECT doc_id, pos, rn,
-         |    max(hm) OVER (ORDER BY rn
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS head_rn,
-         |    min(hm) OVER (ORDER BY rn
-         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
-         |  FROM (
-         |    SELECT doc_id, pos, rn,
-         |      CASE WHEN coalesce(lag(doc_id) OVER (ORDER BY rn), -1)
-         |        <> doc_id THEN rn END AS hm
-         |    FROM ord)),
-         |p0 AS MATERIALIZED (
-         |  SELECT x.doc_id AS xdoc, x.pos AS xpos,
-         |    y.doc_id AS ydoc, y.pos AS ypos, CAST(0 AS BIGINT) AS l
-         |  FROM hd x JOIN ord y ON y.rn = x.head_rn - 1
-         |  UNION ALL
-         |  SELECT x.doc_id, x.pos, y.doc_id, y.pos, CAST(0 AS BIGINT)
-         |  FROM hd x JOIN ord y ON y.rn = x.next_rn),
-         |$descent,
-         |best AS MATERIALIZED (
-         |  SELECT xdoc AS doc_id, xpos AS pos, max(l) AS l
-         |  FROM p6 GROUP BY xdoc, xpos),
-         |fin AS (
-         |  SELECT t.doc_id, coalesce(b.l, 0) AS run
-         |  FROM s1 t
-         |  LEFT JOIN best b ON b.doc_id = t.doc_id AND b.pos = t.pos)
+    "dedup_longest_span" ->
+      s"""WITH $duckLcpRunCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(max(run) AS BIGINT) AS longest_run,
          |  CAST(sum(CASE WHEN run > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS dup_positions
-         |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The surgery twin shares the WHOLE suffix chain verbatim, adds
+    // the same coverage window (running max of run ends over position
+    // order, runs >= StripRunK only), and rebuilds the kept tokens in
+    // order — coalesce('') because DuckDB's string_agg over zero kept
+    // tokens is NULL while Spark's array_join of an empty array is ''.
+    "dedup_span_strip" ->
+      s"""WITH $duckLcpRunCtes,
+         |tokpos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+         |    unnest(tk) AS tok
+         |  FROM toks),
+         |cov AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos, t.tok,
+         |    max(CASE WHEN r.run >= $StripRunK THEN r.pos + r.run END)
+         |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+         |  FROM tokpos t
+         |  JOIN runs r ON r.doc_id = t.doc_id AND r.pos = t.pos),
+         |kept AS (
+         |  SELECT doc_id, pos, tok,
+         |    (cv IS NULL OR cv <= pos) AS keep
+         |  FROM cov)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
+         |    ORDER BY pos), '') AS cleaned
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The persisted span index is result-transparent (distinct BIGINTs
     // round-trip parquet unchanged), so the twin recomputes both sides
     // from raw text with the same split CASE — index-persist + probe ≡

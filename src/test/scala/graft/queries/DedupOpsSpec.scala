@@ -54,6 +54,22 @@ class DedupOpsSpec extends AnyFunSuite {
       (8L, 3L, 2L, 2L)))
   }
 
+  test("span strip removes exactly the tokens covered by runs >= StripRunK") {
+    val run10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = DedupOps.spanStripOf(docs(
+        (1L, run10),                  // fully covered: pos 1's run is 10
+        (2L, s"x $run10 y"),          // interior covered, x/y survive
+        (3L, "p q p q p q"),          // same-doc repeats never strip
+        (4L, "t3 t4")))               // a 2-run is under the K=8 bar
+      .select("doc_id", "n_tokens", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, 10L, ""),
+      (2L, 12L, 10L, "x y"),
+      (3L, 6L, 0L, "p q p q p q"),
+      (4L, 2L, 0L, "t3 t4")))
+  }
+
   test("minhash LSH candidates find planted near-dups, not unrelated docs") {
     val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
     for (fam <- Seq(DedupOps.PortableFamily, DedupOps.FastFamily)) {
