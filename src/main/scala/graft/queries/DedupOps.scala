@@ -1656,9 +1656,17 @@ object DedupOps {
     * rank-1-elects-canonical window in SQL — so the green row gates
     * stored-labels + probe ≡ direct recomputation.
     */
-  def canonicalSelect(spark: SparkSession, dir: String): DataFrame = {
-    val labels = spark.read.parquet(
+  /** Ensure-probe of the persisted component-label artifact for OTHER
+    * families composing on the clustering outcome (SampleOps' grouped
+    * splits) — same discipline as [[canonicalSelect]]: the measured
+    * rebuild stays `neardup_groups`, consumers read the stored table.
+    */
+  private[queries] def groupLabels(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
       groupLabelArtifact.ensure(dir)(buildGroupLabels(spark, dir)))
+
+  def canonicalSelect(spark: SparkSession, dir: String): DataFrame = {
+    val labels = groupLabels(spark, dir)
     val tc = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("tok_cnt"))
@@ -2507,7 +2515,7 @@ object DedupOps {
   /** CTE chain ending in `ver` = the verified near-dup pairs, exactly
     * mirroring [[verifiedPairs]].
     */
-  private val duckVerifiedCtes: String =
+  private[queries] val duckVerifiedCtes: String =
     s"""$duckSignatureCtes,
        |sh_d AS (SELECT DISTINCT doc_id, sh FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY doc_id),

@@ -55,6 +55,46 @@ object SampleOps {
         sum(size(TextOps.tokens(col("text")))).cast("long").as("tokens"))
       .orderBy("lang", "split")
 
+  /** LEAKAGE-SAFE splits — group holdout over verified near-dup
+    * components. [[withSplit]] hashes each doc INDEPENDENTLY, so two
+    * near-identical documents can land on opposite sides of the
+    * train/test line and the held-out set silently overlaps the
+    * training set — the classic eval-contamination failure the plain
+    * split cannot see. Here the split key is the near-dup COMPONENT
+    * representative (the `neardup_groups` outcome; singletons key on
+    * themselves), so every verified duplicate cluster lands wholly in
+    * one split by construction. `plain_split` rides along per doc to
+    * expose exactly which docs the naive assignment would have leaked.
+    *
+    * Scale shape: the component labels come from the PERSISTED
+    * clustering artifact (`neardup_groups` is the measured rebuild —
+    * see [[DedupOps.groupLabels]]), a tiny frame (only docs in
+    * verified pairs) that BROADCASTS onto the documents scan; the
+    * split itself stays a map-side hash of the coalesced key, so at
+    * 100 TB this is one scan + one broadcast join, no shuffle. Exact
+    * value oracle: the recursive-components CTEs composed with the
+    * same md5 bucket + split CASE, both generated from the shared
+    * constants.
+    */
+  def groupedSplits(spark: SparkSession, dir: String): DataFrame =
+    groupedSplitsOf(Tables.documents(spark, dir),
+      DedupOps.groupLabels(spark, dir))
+
+  /** [[groupedSplits]]' assignment over arbitrary docs and `(doc_id,
+    * rep)` labels (exposed for tests, which plant a component whose
+    * members' plain splits disagree).
+    */
+  private[queries] def groupedSplitsOf(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(broadcast(labels.select(col("doc_id"), col("rep"))), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("split_key"),
+        splitOf(bucketOf(coalesce(col("rep"), col("doc_id")))).as("split"),
+        splitOf(bucketOf(col("doc_id"))).as("plain_split"),
+        col("rep").isNotNull.as("in_component"))
+      .orderBy("doc_id")
+
   /** Per-language keep-rate (percent) for corpus rebalancing: the
     * dominant language is downsampled hard, the rest lightly — the
     * standard mixture-shaping move before training. Literal rates here;
@@ -391,6 +431,7 @@ object SampleOps {
     "sample_stratified" -> (stratified _),
     "sample_weighted" -> (weighted _),
     "sample_splits" -> (splitCounts _),
+    "sample_splits_grouped" -> (groupedSplits _),
     "sample_rebalance" -> (rebalance _),
     "sample_mixture" -> (mixture _),
     "sample_temperature" -> (temperature _),
@@ -418,7 +459,10 @@ object SampleOps {
       s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }
 
-  val oracle: Map[String, String] = Map(
+  // lazy: the grouped-splits entry references DedupOps.duckVerifiedCtes
+  // while DedupOps' own init references SampleOps' split constants — an
+  // eager val here would splice a null mid-initialization-cycle.
+  lazy val oracle: Map[String, String] = Map(
     // Same salted portable hash; the doc_id tie-break keeps the top-k
     // fully order-determined on both engines.
     "sample_stratified" ->
@@ -496,6 +540,27 @@ object SampleOps {
          |  count(*) AS docs,
          |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS tokens
          |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // The neardup_groups recursive-components CTEs (DedupOps, shared
+    // text) composed with the SAME bucket/split CASE as sample_splits —
+    // the oracle recomputes components from raw text, so the green row
+    // gates stored-labels + broadcast probe ≡ direct recomputation.
+    "sample_splits_grouped" ->
+      s"""WITH RECURSIVE ${DedupOps.duckVerifiedCtes},
+         |sym AS (SELECT a AS src, b AS dst FROM ver
+         |        UNION ALL SELECT b, a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |        FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(l.rep, d.doc_id) AS split_key,
+         |  ${duckSplitCase(duckBucket("coalesce(l.rep, d.doc_id)"))} AS split,
+         |  ${duckSplitCase(duckBucket("d.doc_id"))} AS plain_split,
+         |  (l.rep IS NOT NULL) AS in_component
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "sample_rebalance" ->
       s"""SELECT lang, count(*) AS kept FROM documents
          |WHERE ${duckBucket("doc_id")} < ($duckRate)

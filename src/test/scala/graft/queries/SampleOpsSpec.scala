@@ -209,4 +209,52 @@ class SampleOpsSpec extends AnyFunSuite {
       if (actualShare < target) assert(weight >= 1000000L)
     }
   }
+
+  test("grouped splits keep a planted straddling component on one side") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // Find a pair the PLAIN per-doc hash puts on opposite sides of the
+    // train/test line, then plant them as one near-dup component.
+    val plain = SampleOps.withSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = plain.collectFirst { case (id, "train") => id }.get
+    val b = plain.collectFirst { case (id, "test") => id }.get
+    val rep = math.min(a, b)
+    val labels = Seq((a, rep), (b, rep)).toDF("doc_id", "rep")
+    val out = SampleOps.groupedSplitsOf(docs, labels)
+      .as[(Long, Long, String, String, Boolean)].collect()
+    assert(out.length === 200)
+    val byId = out.map(r => r._1 -> r).toMap
+    // The component's members share ONE split (keyed on the rep)...
+    assert(byId(a)._3 === byId(b)._3, "component members must share a split")
+    assert(byId(a)._2 === rep && byId(b)._2 === rep)
+    assert(byId(a)._5 && byId(b)._5)
+    // ...even though their plain per-doc splits disagree (the leak).
+    assert(byId(a)._4 === "train" && byId(b)._4 === "test")
+    // Singletons key on themselves: grouped ≡ plain, not in a component.
+    out.filter(r => r._1 != a && r._1 != b).foreach { r =>
+      assert(!r._5 && r._2 === r._1 && r._3 === r._4)
+    }
+  }
+
+  test("grouped splits on the fixture: exhaustive, component-constant") {
+    val out = SampleOps.groupedSplits(spark, dir)
+      .as[(Long, Long, String, String, Boolean)].collect()
+    assert(out.length.toLong === Tables.documents(spark, dir).count())
+    // Every verified component lands wholly in one split, and its
+    // members carry the component rep as their split key.
+    val comps = out.filter(_._5).groupBy(_._2)
+    assert(comps.nonEmpty, "fixture plants near-dup components")
+    comps.foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"component $rep straddles splits")
+      assert(members.map(_._2).forall(_ == rep))
+    }
+    // Members agree with the registered clustering outcome.
+    val labels = DedupOps.groupLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    out.foreach { r =>
+      assert(labels.get(r._1).fold(!r._5 && r._2 == r._1)(rep =>
+        r._5 && r._2 == rep))
+    }
+  }
 }
