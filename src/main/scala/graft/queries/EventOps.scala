@@ -1206,6 +1206,44 @@ object EventOps {
       .orderBy("view_id", "click_id")
   }
 
+  /** LEFT-OUTER stream-stream join under the value gate — the
+    * state-EVICTION emission class [[streamJoin]]'s inner join never
+    * exercises: a view with no click in its horizon is emitted
+    * null-padded only when the watermark proves no matching click can
+    * still arrive and its buffered state is dropped. The drill keeps
+    * no-data micro-batches so the trailing eviction fires after the
+    * last generation. The oracle is the inner pairs UNION the
+    * unmatched views whose horizon closed strictly before the terminal
+    * watermark (min of both legs' ms-truncated max event time minus
+    * the 1-hour delay — the engine's own two-input watermark rule);
+    * unmatched views still inside the horizon stay unemitted in both
+    * engines, so the gate pins the eviction boundary exactly.
+    */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(ckpt, sink) = freshDirs(spark,
+      "stream_join_outer_ckpt", "stream_join_outer_sink")
+    val bronze = joinBronzeArtifact.ensure(dir) { p =>
+      publishEventGens(spark, p,
+        stageEventBuckets(spark, dir, p, bucketDays = 16L))
+    }
+    val src = eventTail(
+      graft.streaming.StreamDrill.session(spark, noDataBatches = true), bronze)
+    runToSink(
+      graft.streaming.EventStream.attributeClicks(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"),
+        horizonMinutes = StreamJoinHorizonMin, watermark = "1 hour",
+        joinType = "left_outer"),
+      ckpt, sink)
+    readSinkOrEmpty(spark, sink,
+      "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
+        "view_ts TIMESTAMP, click_ts TIMESTAMP, batch_id BIGINT")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy("view_id", "click_id")
+  }
+
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
     * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
     * snapshot (latest state per user), the post-split stream to a delta
@@ -1400,6 +1438,7 @@ object EventOps {
     "stream_dedup" -> (streamDedup _),
     "stream_sessionwin" -> (streamSessionWin _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_funnel" -> (streamFunnel _),
     "stream_sessions" -> (streamSessions _),
     "stream_running" -> (streamRunning _),
@@ -1967,6 +2006,38 @@ object EventOps {
          | AND ${TsCast.replace("(ts", "(c.ts")}
          |     <= ${TsCast.replace("(ts", "(v.ts")} + INTERVAL $StreamJoinHorizonMin MINUTES
          |ORDER BY view_id, click_id""".stripMargin,
+    // [[streamJoinOuter]]'s twin: the inner pairs plus the unmatched
+    // views whose horizon closed STRICTLY before the terminal
+    // watermark — min of both legs' ms-truncated max event time minus
+    // the 1-hour delay (Spark's two-input min-watermark rule; the
+    // strict < is the engine's eviction boundary, pinned by the
+    // boundary spec: a view whose horizon ends exactly AT the
+    // watermark is still buffered, 1 ms past it is evicted+emitted).
+    "stream_join_outer" -> {
+      val hUs = StreamJoinHorizonMin * 60L * 1000000L
+      s"""WITH v AS (
+         |  SELECT user_id, event_id AS view_id, epoch_us($TsCast) AS view_us
+         |  FROM events WHERE event_type = 'view'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, epoch_us($TsCast) AS click_us
+         |  FROM events WHERE event_type = 'click'),
+         |pairs AS (
+         |  SELECT v.user_id, v.view_id, c.click_id, v.view_us, c.click_us
+         |  FROM v JOIN c ON v.user_id = c.user_id
+         |   AND c.click_us >= v.view_us AND c.click_us <= v.view_us + $hUs),
+         |wm AS (
+         |  SELECT least((SELECT (max(view_us) // 1000) * 1000 FROM v),
+         |               (SELECT (max(click_us) // 1000) * 1000 FROM c))
+         |         - ${3600L * 1000000L} AS wm_us),
+         |unmatched AS (
+         |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id,
+         |    v.view_us, CAST(NULL AS BIGINT) AS click_us
+         |  FROM v LEFT JOIN (SELECT DISTINCT view_id FROM pairs) m
+         |    ON v.view_id = m.view_id, wm
+         |  WHERE m.view_id IS NULL AND v.view_us + $hUs < wm.wm_us)
+         |SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+         |ORDER BY view_id, click_id""".stripMargin
+    },
     // [[streamDedup]]'s twin: the duplicates are EXTRA deliveries of
     // existing rows, so dedup must reproduce exactly the original
     // distinct events.

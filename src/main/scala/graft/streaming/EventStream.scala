@@ -303,8 +303,17 @@ object EventStream {
     * bounds are evaluated within matching key groups, never as a
     * cross-stream scan.
     */
+  /** `joinType` "left_outer" additionally emits every view that found
+    * NO click in its horizon, null-padded — but only once the
+    * watermark proves no matching click can still arrive (the view's
+    * buffered state is evicted); views still inside the horizon at
+    * end-of-stream stay correctly unemitted. That eviction-driven null
+    * emission is a distinct state-store semantics class from the inner
+    * join's match-time emission.
+    */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
-      horizonMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+      horizonMinutes: Int = 10, watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -314,7 +323,8 @@ object EventStream {
     v.join(c,
         col("v_user") === col("c_user") &&
           col("click_ts") >= col("view_ts") &&
-          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

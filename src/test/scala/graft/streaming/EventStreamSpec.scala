@@ -337,6 +337,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null emission exactly at the strict eviction boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = EventStream.attributeClicks(views.toDF(), clicks.toDF(),
+        horizonMinutes = 10, watermark = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("outer_join").outputMode("append")
+      .start()
+    def unmatched(): Set[Long] = spark.table("outer_join")
+      .filter("click_id IS NULL").select("view_id").as[Long].collect().toSet
+    try {
+      // view 100 never gets a click; its horizon closes at 10:10.
+      views.addData(Ev(100, ts("10:00"), 1, "view"))
+      clicks.addData(Ev(200, ts("10:00"), 99, "click"))
+      q.processAllAvailable()
+      assert(unmatched() === Set.empty, "watermark still below the horizon close")
+      // Advance BOTH legs so the min watermark is exactly 10:10 —
+      // equal to view 100's horizon close. Spark's eviction is
+      // STRICT (<): the view must still be buffered, not emitted.
+      views.addData(Ev(101, ts("10:40"), 9, "view"))
+      clicks.addData(Ev(201, ts("10:40"), 9, "click"))
+      q.processAllAvailable()
+      assert(unmatched() === Set.empty,
+        "a view whose horizon ends exactly AT the watermark is still buffered")
+      // One millisecond past the boundary: evicted and emitted null-padded.
+      val t = new Timestamp(ts("10:40").getTime + 1)
+      views.addData(Ev(102, t, 8, "view"))
+      clicks.addData(Ev(202, t, 8, "click"))
+      q.processAllAvailable()
+      assert(unmatched() === Set(100L),
+        "1 ms past the boundary the unmatched view must flush")
+      // In-horizon tails at end-of-stream stay correctly unemitted
+      // (views 101/102 matched; the new pair matches immediately too).
+      views.addData(Ev(103, ts("15:00"), 7, "view"))
+      clicks.addData(Ev(203, ts("15:00"), 7, "click"))
+      q.processAllAvailable()
+      assert(unmatched() === Set(100L))
+      val matchedIds = spark.table("outer_join")
+        .filter("click_id IS NOT NULL").select("view_id").as[Long].collect().toSet
+      assert(matchedIds === Set(101L, 102L, 103L))
+    } finally q.stop()
+  }
+
   test("golden: stream-static enrichment joins the dim and closes windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
