@@ -756,6 +756,76 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** SQL-FIRST access to the table format through the registered
+    * [[graft.streaming.SnapshotCatalog]] — the DataSource V2
+    * `TableCatalog` that makes every committed table under a warehouse
+    * directory addressable from PLAIN SQL, which is how an external
+    * consumer (a BI tool, a SQL notebook) actually reaches a table
+    * format. Five phases, all through `spark.sql` text:
+    *
+    *  - `VERSION AS OF 1` / `VERSION AS OF 2` over the shared
+    *    init/append/compact fixture — Spark routes the version to
+    *    `loadTable(ident, version)`, which pins the generation on the
+    *    returned table (time travel with no reader-side options);
+    *  - a version-less read of the same table — latest (the compacted
+    *    gen 3) must serve gen 2's exact content from different files;
+    *  - `INSERT INTO` a second, library-created table and a read-back:
+    *    the SQL write path resolves to the connector's
+    *    first-writer-wins append commit (`ins_gen1` travels to the
+    *    pre-insert snapshot — snapshot isolation makes the lazy read
+    *    immune to the interleaved eager INSERT — and `ins_after` must
+    *    see exactly the original full projection).
+    *
+    * The aggregate is [[connectorRead]]'s decode-sensitive shape
+    * (BIGINT / UTF8 / double-micros / timestamp-micros), so the gate
+    * holds catalog resolution + time travel + SQL insert + the
+    * connector's decode all at once against DuckDB recomputing from
+    * the split predicates. Catalog resolution is driver-side manifest
+    * metadata only — addressing a table never runs a Spark job.
+    */
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val shared = sharedThreeGens(spark, dir)
+    val sharedPath = new org.apache.hadoop.fs.Path(shared)
+    // Scratch dirs all live under one per-JVM root, so the warehouse is
+    // stable across sf dirs and the catalog's one-time initialize sees
+    // every table this session creates.
+    spark.conf.set("spark.sql.catalog.snap_cat",
+      classOf[graft.streaming.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snap_cat.warehouse",
+      sharedPath.getParent.toString)
+
+    val ins = freshTable(spark, "catalog_sql_insert")
+    val insName = new org.apache.hadoop.fs.Path(ins).getName
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(2), ins, 1L)
+
+    def phase(tag: String, from: String): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase,
+         |  count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  sum(length(o_orderstatus)) AS status_chars,
+         |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+         |  min(unix_micros(CAST(o_orderdate AS TIMESTAMP))) AS ts_min
+         |FROM $from""".stripMargin)
+
+    val sharedRef = s"snap_cat.`${sharedPath.getName}`"
+    val insRef = s"snap_cat.`$insName`"
+    // The pre-insert phase travels to generation 1, so executing it
+    // after the INSERT still reads the pre-insert snapshot.
+    val preIns = phase("ins_gen1", s"$insRef VERSION AS OF 1")
+    orders.filter(col("o_orderkey") % 3 =!= 0)
+      .createOrReplaceTempView("catalog_sql_rest")
+    spark.sql(s"INSERT INTO $insRef SELECT * FROM catalog_sql_rest")
+    phase("gen1", s"$sharedRef VERSION AS OF 1")
+      .unionByName(phase("gen2", s"$sharedRef VERSION AS OF 2"))
+      .unionByName(phase("latest", sharedRef))
+      .unionByName(preIns)
+      .unionByName(phase("ins_after", insRef))
+      .orderBy("phase")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -1811,6 +1881,7 @@ object SourceOps {
     "src_snapshot_evolve" -> (snapshotEvolve _),
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
+    "src_catalog_sql" -> (catalogSql _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2155,6 +2226,26 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Catalog twin: every phase re-derived from its split predicate —
+    // gen1 is the shared fixture's init split, gen2/latest the full
+    // table (latest ≡ gen2 through the compacted files), ins_gen1 the
+    // insert table's seed split, ins_after the full projection again.
+    "src_catalog_sql" -> {
+      def ph(tag: String, where: String): String =
+        s"""SELECT '$tag' AS phase,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(length(o_orderstatus)) AS BIGINT) AS status_chars,
+           |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS price_micro,
+           |  CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS ts_min
+           |FROM orders$where""".stripMargin
+      Seq(
+        ph("gen1", " WHERE o_orderkey % 4 <> 0"),
+        ph("gen2", ""),
+        ph("latest", ""),
+        ph("ins_gen1", " WHERE o_orderkey % 3 = 0"),
+        ph("ins_after", "")).mkString("", "\nUNION ALL\n", "\nORDER BY phase")
+    },
     // MoR twin: visibility re-derived from the delete predicate; file
     // shapes from the layout constants (base files carried verbatim +
     // one tombstone, then the materialized rewrite).

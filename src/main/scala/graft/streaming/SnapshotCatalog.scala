@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** DataSource V2 `TableCatalog` over a warehouse directory of snapshot
+  * tables — the SQL-first front door to the table format: register it
+  * once (`spark.sql.catalog.<name>` = this class,
+  * `spark.sql.catalog.<name>.warehouse` = a directory) and every
+  * committed table under the warehouse is addressable as
+  * `<name>.<table>` (namespaces map to subdirectories) from plain SQL:
+  * `SELECT`, `INSERT INTO` (the connector's first-writer-wins append
+  * write), and time travel via `VERSION AS OF <generation>` — Spark
+  * routes the version string to [[loadTable(ident, version)]], which
+  * pins the generation on the returned table so the scan resolves the
+  * snapshot's own schema and manifest (an explicit `generation` read
+  * option still wins). All resolution is DRIVER-side metadata I/O
+  * (manifest listings through the same Group-API readers the rest of
+  * the layer uses); no Spark job runs until the scan plans, so a
+  * 100 TB warehouse costs a directory listing to address.
+  *
+  * Deliberately a CATALOG OF EXTERNAL TABLES: tables are created and
+  * maintained by the library's commands (commit/append/compact/...),
+  * so `CREATE TABLE` / `ALTER` / `DROP` / `RENAME` through SQL are
+  * refused loudly rather than half-implemented — the DML surface
+  * (read, time travel, insert) is the part external consumers need.
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"snapshot catalog '$name' requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** A directory is a table iff it has at least one committed
+    * generation — crash debris and non-table dirs are invisible.
+    */
+  private def isTable(root: String): Boolean =
+    try SnapshotTable.generations(spark, root).nonEmpty
+    catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isTable((dir +: Seq(n)).mkString("/"))).sorted
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new SnapshotSourceTable(root, SnapshotSource.latestSchema(root))
+  }
+
+  /** `VERSION AS OF <generation>`: the returned table is pinned to the
+    * named generation — schema AND files resolve against that
+    * snapshot, so a probe after a schema evolution sees the columns
+    * the snapshot actually carried.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val gen =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"snapshot catalog versions are generation numbers; got '$version'")
+      }
+    val gens = SnapshotTable.generations(spark, root)
+    require(gens.contains(gen),
+      s"generation $gen does not exist at $root (have ${gens.mkString(", ")})")
+    new SnapshotSourceTable(root, SnapshotSource.schemaAt(root, gen), Some(gen))
+  }
+
+  /** `TIMESTAMP AS OF` is refused: manifests record generations and
+    * actions, not wall-clock commit times — mapping timestamps to file
+    * mtimes would make time travel depend on filesystem metadata that
+    * copies/restores do not preserve.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "snapshot catalog supports VERSION AS OF <generation>, not TIMESTAMP AS OF")
+
+  override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables are created by the library's commit command; " +
+        "the catalog serves reads, time travel, and INSERT INTO")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot schema evolves through committed generations, not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "refusing DROP through the catalog; use the library's expire/vacuum commands")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot tables are addressed by path; rename the directory out-of-band")
+}

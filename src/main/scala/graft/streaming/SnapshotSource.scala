@@ -92,9 +92,18 @@ private[streaming] object SnapshotSource {
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty,
       s"snapshot source needs at least one committed generation at $table")
-    val (own, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
+    schemaAt(table, gens.max)
+  }
+
+  /** Schema as of one generation (the time-travel variant of
+    * [[latestSchema]] — a `VERSION AS OF` read must resolve columns
+    * against the schema THAT snapshot carried, not today's).
+    */
+  def schemaAt(table: String, gen: Long): StructType = {
+    val spark = SparkSession.active
+    val (own, _, seg) = SnapshotTable.tailEntries(spark, table, gen)
     val files =
-      if (seg) SnapshotTable.resolvedFiles(spark, table, gens.max) else own
+      if (seg) SnapshotTable.resolvedFiles(spark, table, gen) else own
     spark.read.option("mergeSchema", true).parquet(files: _*).schema
   }
 
@@ -199,7 +208,8 @@ private[streaming] object SnapshotSource {
   }
 }
 
-private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructType)
+private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
+    pinnedGen: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"snapshot:$table"
@@ -233,8 +243,11 @@ private[streaming] class SnapshotSourceTable(table: String, tableSchema: StructT
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val skipRewrites = options.getBoolean("skipRewrites", false)
     // Batch reads default to the latest snapshot; `generation` is the
-    // connector's time-travel knob.
+    // connector's time-travel knob. A catalog-resolved `VERSION AS OF`
+    // table arrives with the generation pinned at load time instead
+    // ([[SnapshotCatalog.loadTable]]); an explicit option wins.
     val generation = Option(options.get("generation")).map(_.toLong)
+      .orElse(pinnedGen)
     // Admission control: cap how many generation hops one micro-batch
     // may cover (the maxFilesPerTrigger analogue) — a consumer starting
     // against a long history backfills in bounded batches instead of

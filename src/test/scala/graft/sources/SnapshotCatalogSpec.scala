@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The catalog mechanics the `src_catalog_sql` value gate cannot see:
+  * identifier resolution and listing, the refused DDL surface, version
+  * validation, and the pinned-generation SCHEMA contract (a
+  * `VERSION AS OF` read resolves the columns that snapshot carried,
+  * not today's).
+  */
+class SnapshotCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** One catalog over one warehouse for the whole suite (catalog
+    * instances are cached per name; tables land as subdirectories).
+    */
+  private lazy val (cat, warehouse): (TableCatalog, String) = {
+    val wh = graft.Scratch.dir("catalog_spec_wh")
+    spark.conf.set("spark.sql.catalog.spec_cat",
+      classOf[graft.streaming.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spec_cat.warehouse", wh)
+    (spark.sessionState.catalogManager.catalog("spec_cat")
+      .asInstanceOf[TableCatalog], wh)
+  }
+
+  private def ident(name: String) = Identifier.of(Array.empty[String], name)
+
+  test("resolution: committed dirs are tables, debris is invisible") {
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    SnapshotTable.commit(orders.repartition(2), s"$warehouse/t_real", 1L)
+    // A directory with no committed generation must not resolve.
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$warehouse/t_debris"))
+
+    assert(cat.tableExists(ident("t_real")))
+    assert(!cat.tableExists(ident("t_debris")))
+    assert(!cat.tableExists(ident("t_missing")))
+    val listed = cat.listTables(Array.empty).map(_.name()).toSet
+    assert(listed.contains("t_real") && !listed.contains("t_debris"))
+    intercept[NoSuchTableException](cat.loadTable(ident("t_missing")))
+    // SQL reaches the committed content through the catalog name.
+    assert(spark.sql("SELECT count(*) AS c FROM spec_cat.t_real")
+      .head().getLong(0) === orders.count())
+  }
+
+  test("VERSION AS OF pins the generation's schema across evolution") {
+    val t = s"$warehouse/t_evolve"
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    SnapshotTable.commit(base.filter(col("o_orderkey") % 2 === 0).repartition(1), t, 1L)
+    // gen 2 appends rows CARRYING AN ADDED COLUMN.
+    SnapshotTable.commit(
+      base.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_flag", lit(7L)).repartition(1),
+      t, 2L, carryFrom = Some(1L))
+
+    val v1 = cat.loadTable(ident("t_evolve"), "1")
+    val v2 = cat.loadTable(ident("t_evolve"), "2")
+    assert(!v1.schema().fieldNames.contains("o_flag"),
+      "gen 1 never carried the evolved column")
+    assert(v2.schema().fieldNames.contains("o_flag"))
+    // And through SQL: the travel read serves the old shape; the
+    // merged latest serves nulls for pre-evolution rows.
+    assert(spark.sql("SELECT * FROM spec_cat.t_evolve VERSION AS OF 1")
+      .columns.toSeq === Seq("o_orderkey", "o_orderstatus"))
+    val flags = spark.sql(
+      "SELECT count(o_flag) AS with_flag, count(*) AS total FROM spec_cat.t_evolve")
+      .head()
+    assert(flags.getLong(0) > 0 && flags.getLong(0) < flags.getLong(1),
+      "latest read merges: new rows carry the flag, old rows null it")
+  }
+
+  test("version validation and the refused surfaces fail loudly") {
+    val ex = intercept[IllegalArgumentException](
+      cat.loadTable(ident("t_real"), "99"))
+    assert(ex.getMessage.contains("generation 99"))
+    intercept[IllegalArgumentException](cat.loadTable(ident("t_real"), "v1.2"))
+    intercept[UnsupportedOperationException](cat.loadTable(ident("t_real"), 12345L))
+    intercept[UnsupportedOperationException](cat.dropTable(ident("t_real")))
+    intercept[UnsupportedOperationException](
+      cat.renameTable(ident("t_real"), ident("t_other")))
+    // CREATE TABLE through SQL routes to the refused createTable.
+    val sqlEx = intercept[Exception](
+      spark.sql("CREATE TABLE spec_cat.t_new (a BIGINT) USING parquet"))
+    assert(sqlEx.getMessage.contains("commit command")
+      || Option(sqlEx.getCause).exists(_.getMessage.contains("commit command")))
+  }
+}
