@@ -58,7 +58,7 @@ object Explain {
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
     "src_snapshot_segments", "dedup_canonical",
     "src_snapshot_bloomskip", "graph_kcore", "graph_lpa",
-    "sample_splits_grouped",
+    "sample_splits_grouped", "src_catalog_sql",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read
@@ -76,6 +76,9 @@ object Explain {
   // eagerly (two partitioned writes + guard counts) and returns only
   // the post-hoc parquet read — the audit would pay the drill's wall
   // time to print a scan; its behavior is value-gated by Verify.
+  // audit_leakage likewise: it localCheckpoints the verified pair
+  // list eagerly, so the printed plan would be aggregates over an
+  // ExistingRDD.
   // src_connector_bloomskip and src_snapshot_bloomskip_incr likewise:
   // they execute their point lookups eagerly to read the planned-file
   // count off the EXECUTED DSv2 plan and return literal rows; the

@@ -344,7 +344,53 @@ object AuditOps {
       .orderBy("user_id")
   }
 
+  /** SPLIT-LEAKAGE audit — the eval-integrity metric a training
+    * pipeline monitors: of the verified near-dup PAIRS (the direct
+    * duplicate relations the `neardup_*` family certifies), how many
+    * straddle the train/valid/test line under each split policy? The
+    * plain per-doc hash split leaks (cross_pairs > 0 on this corpus —
+    * near-identical docs land on opposite sides, contaminating the
+    * held-out set); the grouped policy (`sample_splits_grouped`'s
+    * component-representative key) yields cross_pairs = 0 BY
+    * CONSTRUCTION — and this query puts that guarantee under the value
+    * gate as a measured number instead of prose. One report row per
+    * policy.
+    *
+    * Scale shape: the pair list probes the persisted shingle index
+    * (never re-shingles), the component labels broadcast onto it, and
+    * the report is two conditional aggregates over the pair list — a
+    * tiny frame at any corpus size (only certified duplicate pairs).
+    * Exact oracle: the verified-pairs + recursive-components CTEs
+    * composed with the shared bucket/split CASE, both split policies
+    * re-derived from raw text.
+    */
+  def leakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs0, candidates) = DedupOps.verifiedPairsWithHandle(spark, dir)
+    // The pair list is the small two-phase output; checkpointing it
+    // releases the candidate cache before the report aggregates run.
+    val pairs = pairs0.select(col("a"), col("b")).localCheckpoint()
+    candidates.unpersist(blocking = false)
+    val labels = DedupOps.groupLabels(spark, dir)
+    val withReps = pairs
+      .join(broadcast(labels.toDF("a", "rep_a")), Seq("a"), "left")
+      .join(broadcast(labels.toDF("b", "rep_b")), Seq("b"), "left")
+    def splitCol(id: org.apache.spark.sql.Column) =
+      SampleOps.splitOf(SampleOps.bucketOf(id))
+    def report(policy: String, sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column): DataFrame =
+      withReps.agg(
+        sum(when(sa =!= sb, 1L).otherwise(0L)).as("cross_pairs"),
+        count(lit(1)).as("total_pairs"))
+        .select(lit(policy).as("policy"), col("cross_pairs"), col("total_pairs"))
+    report("grouped",
+        splitCol(coalesce(col("rep_a"), col("a"))),
+        splitCol(coalesce(col("rep_b"), col("b"))))
+      .unionByName(report("plain", splitCol(col("a")), splitCol(col("b"))))
+      .orderBy("policy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_leakage" -> (leakageAudit _),
     "governance_erasure" -> (erasurePropagation _),
     "audit_benford" -> (benford _),
     "audit_concentration" -> (sourceConcentration _),
@@ -355,7 +401,43 @@ object AuditOps {
     "audit_embeddings" -> (embeddingAudit _),
   )
 
-  val oracle: Map[String, String] = Map(
+  // lazy: audit_leakage composes DedupOps.duckVerifiedCtes and the
+  // SampleOps split CASE — the same cross-object-init posture as
+  // SampleOps.oracle (an eager val could splice a null mid-cycle).
+  lazy val oracle: Map[String, String] = Map(
+    // Verified pairs + recursive components, both split policies
+    // re-derived from raw text via the shared bucket/split CASE. The
+    // grouped policy's cross count must be zero — the by-construction
+    // guarantee as a gated value.
+    "audit_leakage" -> {
+      def sc(id: String): String =
+        SampleOps.duckSplitCase(SampleOps.duckBucket(id))
+      s"""WITH RECURSIVE ${DedupOps.duckVerifiedCtes},
+         |sym AS (SELECT a AS src, b AS dst FROM ver
+         |        UNION ALL SELECT b, a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |        FROM reach GROUP BY src),
+         |j AS (
+         |  SELECT ver.a, ver.b, la.rep AS rep_a, lb.rep AS rep_b
+         |  FROM ver
+         |  LEFT JOIN lab la ON ver.a = la.doc_id
+         |  LEFT JOIN lab lb ON ver.b = lb.doc_id)
+         |SELECT 'grouped' AS policy,
+         |  CAST(sum(CASE WHEN ${sc("coalesce(rep_a, a)")} <> ${sc("coalesce(rep_b, b)")}
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS cross_pairs,
+         |  CAST(count(*) AS BIGINT) AS total_pairs
+         |FROM j
+         |UNION ALL
+         |SELECT 'plain',
+         |  CAST(sum(CASE WHEN ${sc("a")} <> ${sc("b")} THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT)
+         |FROM j
+         |ORDER BY policy""".stripMargin
+    },
     // Selective refresh ≡ full recompute over surviving rows: untouched
     // buckets hold no erased user, so their v1 rows already equal the
     // surviving derivation — ONE relational pass serves every bucket.

@@ -86,4 +86,17 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out("en") === ((4L, 1L, 1000000L, 1000000L)))
     assert(out("de") === ((4L, 3L, 500000L, 375000L)))
   }
+
+  test("leakage audit: grouped policy crosses zero pairs, plain policy leaks") {
+    val rows = AuditOps.leakageAudit(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet === Set("grouped", "plain"))
+    val (gCross, gTotal) = rows("grouped")
+    val (pCross, pTotal) = rows("plain")
+    assert(gTotal === pTotal, "both policies audit the same pair list")
+    assert(gTotal > 0, "the fixture plants verified near-dup pairs")
+    assert(gCross === 0L, "component-keyed splits cannot cross a pair")
+    assert(pCross >= 0L && pCross <= pTotal)
+  }
 }

@@ -77,6 +77,23 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "latest read merges: new rows carry the flag, old rows null it")
   }
 
+  test("a catalog table streams: readStream.table tails the generations") {
+    val t = s"$warehouse/t_stream"
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    SnapshotTable.commit(orders.filter(col("o_orderkey") % 2 === 0).repartition(1), t, 1L)
+    SnapshotTable.commit(orders.filter(col("o_orderkey") % 2 =!= 0).repartition(1),
+      t, 2L, carryFrom = Some(1L))
+    val ckpt = graft.Scratch.dir("catalog_stream_ckpt")
+    val q = spark.readStream.table("spec_cat.t_stream")
+      .writeStream.format("memory").queryName("catalog_tail")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // The micro-batch tail through the catalog-resolved table serves
+    // the full committed content.
+    assert(spark.table("catalog_tail").count() === orders.count())
+  }
+
   test("version validation and the refused surfaces fail loudly") {
     val ex = intercept[IllegalArgumentException](
       cat.loadTable(ident("t_real"), "99"))
