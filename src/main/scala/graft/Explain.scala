@@ -78,7 +78,9 @@ object Explain {
   // time to print a scan; its behavior is value-gated by Verify.
   // audit_leakage likewise: it localCheckpoints the verified pair
   // list eagerly, so the printed plan would be aggregates over an
-  // ExistingRDD.
+  // ExistingRDD. embed_pca runs its one-pass aggregation and the
+  // driver-side eigensolve eagerly and returns a constant 4-row
+  // frame — nothing to audit in the printed plan.
   // src_connector_bloomskip and src_snapshot_bloomskip_incr likewise:
   // they execute their point lookups eagerly to read the planned-file
   // count off the EXECUTED DSv2 plan and return literal rows; the

@@ -776,6 +776,77 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** Components [[embedPca]] reports (mirrored in its oracle). */
+  val PcaTopK = 4
+
+  /** PCA over the embedding cloud — the dense-linear-algebra pass an
+    * embedding pipeline runs before whitening, dimensionality
+    * reduction, or index tuning (how much variance do the leading
+    * directions carry?). Two stages with very different scales, split
+    * accordingly:
+    *
+    *  1. '''Corpus-sized''': ONE scan accumulating the first/second
+    *     moment sums in floor-micro integer units via the typed
+    *     [[graft.functions.GramSums]] aggregator — d + d² longs of
+    *     state riding the aggregation buffer with map-side partial
+    *     merge, nothing row-proportional past the exchange, and
+    *     integer sums are order-insensitive so the numbers are
+    *     bit-identical to DuckDB's recompute.
+    *  2. '''KB-sized''': the d×d covariance assembled from those
+    *     integers (C = S2u/(1e6·n) − m·mᵀ, m = S1u/(1e6·n)) is
+    *     eigendecomposed on the DRIVER by deterministic cyclic Jacobi
+    *     ([[graft.operators.Jacobi]]) — the matrix never grows with
+    *     the corpus, so driver-side is the right side.
+    *
+    * Value gate (the r16 sketch-band technique): eigenvalues have no
+    * SQL twin, so the row binds (a) the EXACT integer aggregates the
+    * oracle recomputes — n, the Gram trace, the mean-magnitude sum —
+    * and (b) booleans holding the spectral CONTRACT: per-component
+    * eigen residual ‖C·v − λ·v‖∞ inside tolerance, orthonormality
+    * against all previous components, descending eigenvalue order, and
+    * top-k explained variance bounded by the trace with λ_k above the
+    * PSD noise floor. A wrong aggregation breaks the exact columns; a
+    * wrong decomposition breaks a boolean.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, dir).select(col("embedding"))
+    val d = raw.select(size(col("embedding"))).head().getInt(0)
+    val buf = raw.as[Seq[Float]]
+      .select(new graft.functions.GramSums(d).toColumn).head()
+    val n = buf.n
+    require(n > 0, "embed_pca needs a non-empty embeddings table")
+
+    val mean = Array.tabulate(d)(i => buf.s1(i).toDouble / (1e6 * n))
+    val cov = Array.tabulate(d, d)((i, j) =>
+      buf.s2(i * d + j).toDouble / (1e6 * n) - mean(i) * mean(j))
+    val (evals, evecs) = graft.operators.Jacobi.eigh(cov)
+
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val scale = math.max(1.0, cov.map(_.map(math.abs).max).max)
+    def residOf(c: Int): Double = {
+      val v = evecs(c); val l = evals(c)
+      (0 until d).map(i =>
+        math.abs((0 until d).map(j => cov(i)(j) * v(j)).sum - l * v(i))).max
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val gramTraceUnits = (0 until d).map(i => buf.s2(i * d + i)).sum
+    val meanAbsUnits = buf.s1.map(math.abs).sum
+    val explainedOk = evals.take(PcaTopK).sum <= trace + 1e-9 * scale &&
+      evals(PcaTopK - 1) >= -1e-9 * scale
+    val rows = (0 until PcaTopK).map { c =>
+      val orthoOk = math.abs(dot(evecs(c), evecs(c)) - 1.0) <= 1e-9 &&
+        (0 until c).forall(p => math.abs(dot(evecs(c), evecs(p))) <= 1e-9)
+      (c.toLong, n, gramTraceUnits, meanAbsUnits,
+        residOf(c) <= 1e-8 * scale, orthoOk,
+        c == PcaTopK - 1 || evals(c) >= evals(c + 1), explainedOk)
+    }
+    rows.toDF("component", "n_vecs", "gram_trace_units", "mean_abs_units",
+      "eigen_resid_ok", "ortho_ok", "order_ok", "explained_ok")
+      .orderBy("component")
+  }
+
   /** Label predicate for [[filteredSearch]]. */
   val FilterLabel = 1
 
@@ -1265,6 +1336,7 @@ object VectorQueries {
     "simsearch_recall" -> (recallAudit _),
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
+    "embed_pca" -> (embedPca _),
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
@@ -1691,6 +1763,24 @@ object VectorQueries {
     // and BIGINT sums are integer-exact — no engine can disagree. sum()
     // widens to HUGEINT in DuckDB; cast back to Spark's BIGINT.
     "embed_centroids" -> CentroidsSql,
+    // PCA twin: the exact integer moment aggregates recomputed over
+    // the same floor-micro quantization (dim-agnostic via len(v)), the
+    // spectral booleans as the contract the Spark side must hold.
+    "embed_pca" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e),
+         |s1 AS (SELECT i, CAST(sum(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |       FROM x GROUP BY i),
+         |tr AS (SELECT CAST(sum(CAST(floor(v[i] * v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS gtu
+         |       FROM x),
+         |ma AS (SELECT CAST(sum(abs(s)) AS BIGINT) AS mau FROM s1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM e)
+         |SELECT CAST(c.component AS BIGINT) AS component, n.nv AS n_vecs,
+         |  tr.gtu AS gram_trace_units, ma.mau AS mean_abs_units,
+         |  TRUE AS eigen_resid_ok, TRUE AS ortho_ok,
+         |  TRUE AS order_ok, TRUE AS explained_ok
+         |FROM (SELECT unnest(range(0, $PcaTopK)) AS component) c, n, tr, ma
+         |ORDER BY component""".stripMargin,
     // SAME SQL as embed_centroids: integer micro-sums are associative,
     // so persisted-history + batch-merge must equal the full rebuild
     // exactly — the equivalence IS the gate.
