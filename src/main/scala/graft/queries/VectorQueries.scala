@@ -847,6 +847,68 @@ object VectorQueries {
       .orderBy("component")
   }
 
+  /** STREAMING moment accumulation — [[embedPca]]'s corpus-sized stage
+    * executed as a real incremental streaming query, putting TWO
+    * so-far-ungated surfaces under the value gate at once:
+    *
+    *  1. the built-in FILE streaming source with `maxFilesPerTrigger`
+    *     admission control (every other stream drill tails the
+    *     snapshot connector) — the staged embedding files arrive one
+    *     per micro-batch;
+    *  2. a CUSTOM typed `Aggregator`'s buffer living in the streaming
+    *     state store across micro-batches (the gated streaming classes
+    *     so far are built-in operators and flatMapGroupsWithState; a
+    *     user aggregation's partial-merge contract in streaming is its
+    *     own class).
+    *
+    * The oracle is one exact row: n and the floor-micro Gram-trace /
+    * mean-magnitude sums recomputed by DuckDB over the raw table.
+    * Integer associativity is precisely what makes the incremental
+    * per-batch merges bit-identical to the one-shot batch fold — the
+    * same argument `stream_hourly` makes for decimal sums, here for
+    * d+d² longs of user-defined state.
+    */
+  def streamMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staging = graft.Scratch.dir("stream_moments_staging")
+    val ckpt = graft.Scratch.dir("stream_moments_ckpt")
+    val raw = Tables.embeddings(spark, dir).select(col("embedding"))
+    val d = raw.select(size(col("embedding"))).head().getInt(0)
+    raw.repartition(3).write.mode("overwrite").parquet(staging)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "embedding ARRAY<FLOAT>"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+      .as[Seq[Float]]
+    val agg = new graft.functions.GramSums(d)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val last = new java.util.concurrent.atomic.AtomicReference[
+      graft.functions.GramBuf](null)
+    val q = src.groupByKey(_ => 0).agg(agg.toColumn)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[(Int, graft.functions.GramBuf)],
+            _: Long) =>
+          val rows = b.collect()
+          if (rows.nonEmpty) { last.set(rows.head._2); batches.incrementAndGet() }
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(batches.get() >= 2L,
+      s"stream_moments must cover >= 2 micro-batches (saw ${batches.get()}) " +
+        "or the cross-batch state-merge claim is vacuous")
+    val buf = last.get()
+    require(buf != null && buf.n > 0, "stream_moments saw no data")
+    Seq((buf.n,
+      (0 until d).map(i => buf.s2(i * d + i)).sum,
+      buf.s1.map(math.abs).sum))
+      .toDF("n_vecs", "gram_trace_units", "mean_abs_units")
+  }
+
   /** Label predicate for [[filteredSearch]]. */
   val FilterLabel = 1
 
@@ -1337,6 +1399,7 @@ object VectorQueries {
     "embed_centroids" -> (centroids _),
     "embed_centroids_incr" -> (centroidsIncremental _),
     "embed_pca" -> (embedPca _),
+    "stream_moments" -> (streamMoments _),
     "simsearch_topk" -> (topK _),
     "simsearch_bucketed" -> (topKBucketed _),
     "simsearch_ivf" -> (topKIvf _),
@@ -1781,6 +1844,18 @@ object VectorQueries {
          |  TRUE AS order_ok, TRUE AS explained_ok
          |FROM (SELECT unnest(range(0, $PcaTopK)) AS component) c, n, tr, ma
          |ORDER BY component""".stripMargin,
+    // Streaming twin: ONE exact row — the same integer moment
+    // aggregates, so incremental state-merge ≡ one-shot fold ≡ DuckDB
+    // is a full value gate with no band booleans at all.
+    "stream_moments" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e),
+         |s1 AS (SELECT i, CAST(sum(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |       FROM x GROUP BY i)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vecs,
+         |  (SELECT CAST(sum(CAST(floor(v[i] * v[i] * 1000000.0) AS BIGINT)) AS BIGINT)
+         |   FROM x) AS gram_trace_units,
+         |  (SELECT CAST(sum(abs(s)) AS BIGINT) FROM s1) AS mean_abs_units""".stripMargin,
     // SAME SQL as embed_centroids: integer micro-sums are associative,
     // so persisted-history + batch-merge must equal the full rebuild
     // exactly — the equivalence IS the gate.
