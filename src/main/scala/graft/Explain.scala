@@ -58,7 +58,7 @@ object Explain {
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
     "src_snapshot_segments", "dedup_canonical",
     "src_snapshot_bloomskip", "graph_kcore", "graph_lpa",
-    "sample_splits_grouped", "src_catalog_sql",
+    "sample_splits_grouped", "src_catalog_sql", "src_provenance",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read
@@ -80,7 +80,9 @@ object Explain {
   // list eagerly, so the printed plan would be aggregates over an
   // ExistingRDD. embed_pca runs its one-pass aggregation and the
   // driver-side eigensolve eagerly and returns a constant 4-row
-  // frame — nothing to audit in the printed plan.
+  // frame — nothing to audit in the printed plan. meta_observe runs
+  // its observed pass through the noop sink eagerly and returns the
+  // listener's one-row delivery.
   // src_connector_bloomskip and src_snapshot_bloomskip_incr likewise:
   // they execute their point lookups eagerly to read the planned-file
   // count off the EXECUTED DSv2 plan and return literal rows; the

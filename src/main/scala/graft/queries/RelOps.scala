@@ -588,8 +588,37 @@ object RelOps {
       .orderBy("col")
   }
 
+  /** The `Dataset.observe` / CollectMetrics surface under the value
+    * gate — production pipelines hang data-quality counters on
+    * `observe` because the metrics ride the MAIN pass (one scan, no
+    * second monitoring job — the only monitoring shape that survives
+    * 100 TB). The query runs a full pass through a row-preserving noop
+    * sink with three observed aggregates and emits what the
+    * Observation listener delivered; the oracle recomputes the same
+    * aggregates directly, so a CollectMetrics node that dropped rows,
+    * double-counted a retried partition, or detached from the plan
+    * breaks the hash. All-integer metrics (floor-cents for the double)
+    * keep the comparison exact.
+    */
+  def observedStats(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.orders(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("key_sum").asInstanceOf[Long],
+      m("price_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "key_sum", "price_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_grouping_id" -> (groupingMarkers _),
+    "meta_observe" -> (observedStats _),
     "meta_stats" -> (metaStats _),
     "meta_checksum" -> (tableChecksums _),
     "meta_checksum_incr" -> (tableChecksumsIncremental _),
@@ -633,6 +662,13 @@ object RelOps {
       s"${duckCanon("o_orderpriority")})")
 
   val oracle: Map[String, String] = Map(
+    // The observed metrics recomputed directly: integer count/sum and
+    // the per-row floor-cents fold (deterministic on both engines).
+    "meta_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders""".stripMargin,
     // Same canonical forms (chr(1) separators, '\N' null sentinel,
     // floor-micro doubles, epoch-µs timestamps) and the same residue
     // ring; integer addition commutes, so row order cannot matter.

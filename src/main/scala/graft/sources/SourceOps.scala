@@ -756,6 +756,31 @@ object SourceOps {
     }.reduce(_ unionByName _).orderBy("gen")
   }
 
+  /** FILE PROVENANCE through the hidden `_metadata` columns — the
+    * "which crawl file did each doc come from" question every curation
+    * run answers when a bad shard must be traced and re-pulled. The
+    * documents stage into a bucket-partitioned layout, and the report
+    * keys on the bucket REGEXED OUT OF `_metadata.file_path` — never
+    * on the partition column — so the gate holds Spark's per-row file
+    * attribution: if the metadata column misattributed rows to files,
+    * the per-bucket counts and id-sums would diverge from the oracle's
+    * direct `doc_id % 4` derivation. Zero-cost at scale: `_metadata`
+    * is constant-per-file, populated from the scan's own file split,
+    * no extra I/O.
+    */
+  def provenance(spark: SparkSession, dir: String): DataFrame = {
+    val staged = freshTable(spark, "provenance_docs")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 4).as("bucket"))
+      .write.partitionBy("bucket").parquet(staged)
+    spark.read.parquet(staged)
+      .select(regexp_extract(col("_metadata.file_path"), "bucket=(\\d+)", 1)
+        .cast("long").as("bucket"), col("doc_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum("doc_id").as("id_sum"))
+      .orderBy("bucket")
+  }
+
   /** SQL-FIRST access to the table format through the registered
     * [[graft.streaming.SnapshotCatalog]] — the DataSource V2
     * `TableCatalog` that makes every committed table under a warehouse
@@ -1882,6 +1907,7 @@ object SourceOps {
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
     "src_catalog_sql" -> (catalogSql _),
+    "src_provenance" -> (provenance _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2226,6 +2252,14 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Provenance twin: per-bucket content re-derived directly from the
+    // partition predicate; the Spark side must reproduce it from the
+    // _metadata.file_path attribution alone.
+    "src_provenance" ->
+      """SELECT doc_id % 4 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // Catalog twin: every phase re-derived from its split predicate —
     // gen1 is the shared fixture's init split, gen2/latest the full
     // table (latest ≡ gen2 through the compacted files), ins_gen1 the
