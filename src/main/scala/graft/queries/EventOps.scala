@@ -1244,6 +1244,61 @@ object EventOps {
       .orderBy("view_id", "click_id")
   }
 
+  /** `Trigger.AvailableNow` BACKFILL under the value gate — the
+    * production trigger for "drain everything committed so far, then
+    * stop" (scheduled batch runs over a streaming checkpoint, the
+    * catch-up mode every lakehouse pipeline runs nightly). The
+    * connector implements `SupportsTriggerAvailableNow`: the target is
+    * pinned at query start and the run drains to it in the same
+    * rate-limited hops a continuous run would take, then terminates BY
+    * ITSELF — the drill never calls processAllAvailable; it requires
+    * `awaitTermination` to return true. Two runs over one checkpoint:
+    * run 1 drains the first staged generation and stops; a second
+    * generation lands BETWEEN runs; run 2 resumes from the checkpoint
+    * and drains exactly the delta. Per-run row counts and id-sums bind
+    * the relational bucket split, so a run that drained too much, too
+    * little, or re-delivered breaks the hash.
+    */
+  def streamAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(root, ckpt, sink) = freshDirs(spark,
+      "stream_an_root", "stream_an_ckpt", "stream_an_sink")
+    val buckets = stageEventBuckets(spark, dir, root, bucketDays = 16L)
+    require(buckets.length >= 2,
+      "the AvailableNow drill needs two publishable buckets")
+    def publish(i: Int): Unit = {
+      val files = spark.read.parquet(s"$root/staging/b=${buckets(i)}")
+        .inputFiles.toSeq
+      graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
+        files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
+    }
+    def run(): Unit = {
+      val src = eventTail(graft.streaming.StreamDrill.session(spark), root)
+      val q = src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.EventStream.writeBatch(b.toDF(), id, sink))
+        .start()
+      require(q.awaitTermination(180000L),
+        "AvailableNow run did not self-terminate at the pinned target")
+    }
+    def sinkStats(): (Long, Long) = {
+      val r = readSinkOrEmpty(spark, sink,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, batch_id BIGINT")
+        .agg(count(lit(1)), sum("event_id")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    publish(0); run()
+    val (n1, s1) = sinkStats()
+    publish(1); run()
+    val (nAll, sAll) = sinkStats()
+    import spark.implicits._
+    Seq((1L, n1, s1), (2L, nAll - n1, sAll - s1))
+      .toDF("run", "n_events", "id_sum").orderBy("run")
+  }
+
   /** CDC merge/upsert audit — MERGE INTO semantics without a table
     * format: the pre-[[MergeSplitDay]] stream collapses to a keyed
     * snapshot (latest state per user), the post-split stream to a delta
@@ -1439,6 +1494,7 @@ object EventOps {
     "stream_sessionwin" -> (streamSessionWin _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_availablenow" -> (streamAvailableNow _),
     "stream_funnel" -> (streamFunnel _),
     "stream_sessions" -> (streamSessions _),
     "stream_running" -> (streamRunning _),
@@ -2037,6 +2093,25 @@ object EventOps {
          |  WHERE m.view_id IS NULL AND v.view_us + $hUs < wm.wm_us)
          |SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
          |ORDER BY view_id, click_id""".stripMargin
+    },
+    // [[streamAvailableNow]]'s twin: the 16-day staging buckets
+    // re-derived relationally (same epoch + width constants); run 1 is
+    // the earliest bucket, run 2 everything after it.
+    "stream_availablenow" -> {
+      val bucketUs = 16L * 86400L * 1000000L
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    floor((epoch_us($TsCast) - $EventEpochUs) / $bucketUs) AS bk
+         |  FROM events),
+         |mn AS (SELECT min(bk) AS m FROM b)
+         |SELECT CAST(1 AS BIGINT) AS run,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM b, mn WHERE b.bk = mn.m
+         |UNION ALL
+         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+         |FROM b, mn WHERE b.bk <> mn.m
+         |ORDER BY run""".stripMargin
     },
     // [[streamDedup]]'s twin: the duplicates are EXTRA deliveries of
     // existing rows, so dedup must reproduce exactly the original

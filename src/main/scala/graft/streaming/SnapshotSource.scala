@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -380,9 +380,34 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     schema: StructType, skipRewrites: Boolean,
     maxGensPerBatch: Long = Long.MaxValue,
     maxFilesPerBatch: Long = Long.MaxValue)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** `Trigger.AvailableNow` backfill target, pinned ONCE at query
+    * start: the run drains history up to here in the same rate-limited
+    * hops a continuous run would take, then stops on its own;
+    * generations committed after the pin belong to the NEXT run (the
+    * next run's checkpoint restart picks them up incrementally). Null
+    * when the query runs under a normal trigger.
+    */
+  @volatile private var availableNowTarget: GenOffset = null
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = latestOffset().asInstanceOf[GenOffset]
+  }
+
+  /** Clamp an offset candidate to the pinned AvailableNow target (a
+    * no-op under normal triggers). A mid-initial-load position within
+    * the target generation is inside the target by definition.
+    */
+  private def clampToTarget(o: GenOffset): GenOffset = {
+    val t = availableNowTarget
+    if (t == null || o.gen < t.gen || (o.gen == t.gen && o.pos > 0L)) o
+    else if (o.gen > t.gen) t
+    else o
+  }
 
   override def initialOffset(): Offset = GenOffset(0L)
 
@@ -423,8 +448,10 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       if (seg) (SnapshotTable.resolvedFiles(spark, table, g), t) else (d, t)
     })
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GenOffset]
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    clampToTarget(nextOffset(start.asInstanceOf[GenOffset]))
+
+  private def nextOffset(s: GenOffset): GenOffset = {
     val gens = SnapshotTable.generations(spark, table)
     if (gens.isEmpty) return GenOffset(0L)
     val latest = gens.max

@@ -698,4 +698,38 @@ class SnapshotSourceSpec extends AnyFunSuite {
       } finally out.stop()
     } finally ingest.stop()
   }
+
+  test("AvailableNow pins its target: a commit after prepare waits for the next run") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("snapavailnow").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+
+    val stream = new SnapshotMicroBatchStream(table,
+      docsDf(1L).schema, skipRewrites = false, maxGensPerBatch = 1L)
+    stream.prepareForTriggerAvailableNow() // target pinned at gen 2
+    // A generation committed AFTER the pin must not be drained by THIS
+    // run, even though a continuous trigger would take it.
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+
+    val hop1 = stream.latestOffset(GenOffset(0L), ReadLimit.allAvailable())
+      .asInstanceOf[GenOffset]
+    assert(hop1 === GenOffset(1L), "rate limiting still applies inside the run")
+    val hop2 = stream.latestOffset(hop1, ReadLimit.allAvailable())
+      .asInstanceOf[GenOffset]
+    assert(hop2 === GenOffset(2L), "the run drains exactly to the pinned target")
+    val hop3 = stream.latestOffset(hop2, ReadLimit.allAvailable())
+      .asInstanceOf[GenOffset]
+    assert(hop3 === GenOffset(2L),
+      "gen 3 landed after the pin - it belongs to the next run")
+
+    // A fresh stream instance (the next scheduled run) sees gen 3.
+    val next = new SnapshotMicroBatchStream(table,
+      docsDf(1L).schema, skipRewrites = false, maxGensPerBatch = 1L)
+    next.prepareForTriggerAvailableNow()
+    val resume = next.latestOffset(GenOffset(2L), ReadLimit.allAvailable())
+      .asInstanceOf[GenOffset]
+    assert(resume === GenOffset(3L))
+  }
 }
