@@ -808,16 +808,24 @@ object SourceOps {
     * the split predicates. Catalog resolution is driver-side manifest
     * metadata only — addressing a table never runs a Spark job.
     */
-  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
-    val shared = sharedThreeGens(spark, dir)
-    val sharedPath = new org.apache.hadoop.fs.Path(shared)
-    // Scratch dirs all live under one per-JVM root, so the warehouse is
-    // stable across sf dirs and the catalog's one-time initialize sees
-    // every table this session creates.
+  /** Register the session's snapshot catalog over the per-JVM scratch
+    * root (every scratch table lives directly under it, so the
+    * catalog's one-time initialize sees all of them) and return the
+    * catalog name. Idempotent — conf keys are stable per session.
+    */
+  private def ensureCatalog(spark: SparkSession): String = {
     spark.conf.set("spark.sql.catalog.snap_cat",
       classOf[graft.streaming.SnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.snap_cat.warehouse",
-      sharedPath.getParent.toString)
+      new org.apache.hadoop.fs.Path(graft.Scratch.dir("wh_probe"))
+        .getParent.toString)
+    "snap_cat"
+  }
+
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val shared = sharedThreeGens(spark, dir)
+    val sharedPath = new org.apache.hadoop.fs.Path(shared)
+    ensureCatalog(spark)
 
     val ins = freshTable(spark, "catalog_sql_insert")
     val insName = new org.apache.hadoop.fs.Path(ins).getName
@@ -848,6 +856,40 @@ object SourceOps {
       .unionByName(phase("latest", sharedRef))
       .unionByName(preIns)
       .unionByName(phase("ins_after", insRef))
+      .orderBy("phase")
+  }
+
+  /** SQL `DELETE FROM` through the catalog — the table implements
+    * `SupportsDeleteV2`, so the statement resolves to the connector's
+    * COPY-ON-WRITE delete: survivors rewrite into the next generation
+    * under the first-writer-wins commit with recorded action "delete",
+    * while HISTORY keeps serving the pre-delete rows (phase `before`
+    * time-travels to generation 1 AFTER the delete ran — snapshot
+    * isolation is what makes its lazy read immune). The oracle
+    * re-derives both phases from the delete predicate; the drill also
+    * requires the recorded action, so a delete that committed as a
+    * content-neutral-looking "append"/"compact" (which the streaming
+    * skipRewrites guard would then wrongly skip) fails loudly.
+    */
+  def catalogDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_delete")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    SnapshotTable.commit(
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(2),
+      t, 1L)
+    spark.sql(s"DELETE FROM $cat.`$name` WHERE o_orderkey % 3 = 0")
+    require(SnapshotTable.commitAction(spark, t, 2L).contains("delete"),
+      "the SQL DELETE must commit with the recorded action 'delete'")
+    def phase(tag: String, from: String): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM $from""".stripMargin)
+    phase("before", s"$cat.`$name` VERSION AS OF 1")
+      .unionByName(phase("after", s"$cat.`$name`"))
       .orderBy("phase")
   }
 
@@ -1908,6 +1950,7 @@ object SourceOps {
     "src_connector_write" -> (connectorWrite _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
+    "src_catalog_delete" -> (catalogDelete _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2252,6 +2295,19 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Delete twin: both phases re-derived from the predicate — before
+    // is the full projection, after excludes the deleted residue.
+    "src_catalog_delete" ->
+      """SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |ORDER BY phase""".stripMargin,
     // Provenance twin: per-bucket content re-derived directly from the
     // partition predicate; the Spark side must reproduce it from the
     // _metadata.file_path attribution alone.

@@ -210,9 +210,57 @@ private[streaming] object SnapshotSource {
 
 private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     pinnedGen: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def name(): String = s"snapshot:$table"
+
+  /** The pushed DELETE predicates as one SQL conjunction, via the
+    * public V2-expression SQL builder — `None` when any predicate has
+    * no SQL rendering (Spark then refuses the DELETE up front through
+    * [[canDeleteWhere]] instead of failing mid-commit).
+    */
+  private def deletePredicateSql(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[String] =
+    try {
+      val b = new org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder
+      val parts = predicates.map(b.build)
+      Some(if (parts.isEmpty) "TRUE" else parts.map(p => s"($p)").mkString(" AND "))
+    } catch { case _: Exception => None }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = deletePredicateSql(predicates).isDefined
+
+  /** SQL `DELETE FROM <catalog>.<table> WHERE ...` — a COPY-ON-WRITE
+    * delete: the survivors of the latest snapshot rewrite into the
+    * NEXT generation under the standard first-writer-wins commit with
+    * the recorded action "delete" (so the streaming `skipRewrites`
+    * guard correctly refuses to skip the hop — a delete is NOT
+    * content-neutral), history keeps serving the pre-delete rows
+    * through time travel, and a racing writer loses the manifest
+    * publish, never half-deletes. The library's key-scoped MoR delete
+    * (`commitUpsert`/tombstones) remains the low-rate path; SQL DELETE
+    * is the predicate-shaped COW path, and `readAs`'s own guards
+    * refuse to COW over a tombstoned lineage rather than resurrecting
+    * rows.
+    */
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val sql = deletePredicateSql(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot render DELETE predicates ${predicates.mkString(", ")} as SQL"))
+    val spark = SparkSession.active
+    val gens = SnapshotTable.generations(spark, table)
+    require(gens.nonEmpty, s"DELETE on an empty snapshot table $table")
+    val latest = gens.max
+    val survivors = SnapshotTable.readAs(spark, table, latest)
+      .filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.expr(sql)))
+    SnapshotTable.commit(survivors, table, latest + 1L, action = "delete")
+  }
 
   override def schema(): StructType = tableSchema
 

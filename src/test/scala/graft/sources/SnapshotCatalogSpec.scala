@@ -94,6 +94,23 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.table("catalog_tail").count() === orders.count())
   }
 
+  test("SQL DELETE is a copy-on-write commit; history still time-travels") {
+    val t = s"$warehouse/t_del"
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    SnapshotTable.commit(orders.repartition(1), t, 1L)
+    val total = orders.count()
+    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    spark.sql("DELETE FROM spec_cat.t_del WHERE o_orderkey % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM spec_cat.t_del").head().getLong(0)
+      === total - evens)
+    // The pre-delete snapshot is untouched and still serves via travel.
+    assert(spark.sql("SELECT count(*) FROM spec_cat.t_del VERSION AS OF 1")
+      .head().getLong(0) === total)
+    // The hop records its action, so the streaming skipRewrites guard
+    // can never mistake the delete for a content-neutral rewrite.
+    assert(SnapshotTable.commitAction(spark, t, 2L).contains("delete"))
+  }
+
   test("version validation and the refused surfaces fail loudly") {
     val ex = intercept[IllegalArgumentException](
       cat.loadTable(ident("t_real"), "99"))
