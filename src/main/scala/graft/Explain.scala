@@ -58,7 +58,8 @@ object Explain {
     "src_snapshot_schema_evo", "src_snapshot_cdc_apply", "sample_mixture",
     "src_snapshot_segments", "dedup_canonical",
     "src_snapshot_bloomskip", "graph_kcore", "graph_lpa",
-    "sample_splits_grouped", "src_catalog_sql", "src_provenance",
+    "sample_splits_grouped", "src_catalog_sql", "src_catalog_delete",
+    "src_provenance",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read

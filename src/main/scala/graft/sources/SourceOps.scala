@@ -893,6 +893,58 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** SQL `UPDATE` and `MERGE INTO` through the catalog — the
+    * row-level-operation half of the DML surface ([[catalogDelete]]
+    * covers DELETE): both statements resolve to the connector's
+    * group-based COPY-ON-WRITE rewrite, publishing the full
+    * post-operation content as the next generation with the command
+    * recorded as the action. Three gated phases, each a time-travel or
+    * latest read executed AFTER both mutations ran (snapshot isolation
+    * under the hash): the pristine gen 1, the post-UPDATE gen 2, and
+    * the post-MERGE latest — with MERGE exercising both WHEN MATCHED
+    * UPDATE and WHEN NOT MATCHED INSERT arms. The oracle re-derives
+    * every phase from the mutation predicates over the raw table, and
+    * the double arithmetic (`p + 1000`, literal prices) is written
+    * identically on both engines so the floor-cents sums compare
+    * exactly.
+    */
+  def catalogDml(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_dml")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(orders.repartition(2), t, 1L)
+
+    spark.sql(s"UPDATE $cat.`$name` SET o_totalprice = o_totalprice + 1000 " +
+      "WHERE o_orderkey % 5 = 0")
+    require(SnapshotTable.commitAction(spark, t, 2L).contains("update"),
+      "UPDATE must commit with the recorded action 'update'")
+
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(123.5).as("o_totalprice"))
+      .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+          lit(7.25).as("o_totalprice")))
+      .createOrReplaceTempView("catalog_dml_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$name` tgt USING catalog_dml_src src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(SnapshotTable.commitAction(spark, t, 3L).contains("merge"),
+      "MERGE must commit with the recorded action 'merge'")
+
+    def phase(tag: String, from: String): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM $from""".stripMargin)
+    phase("a_before", s"$cat.`$name` VERSION AS OF 1")
+      .unionByName(phase("b_update", s"$cat.`$name` VERSION AS OF 2"))
+      .unionByName(phase("c_merge", s"$cat.`$name`"))
+      .orderBy("phase")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -1951,6 +2003,7 @@ object SourceOps {
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
+    "src_catalog_dml" -> (catalogDml _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2295,6 +2348,33 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // DML twin: each phase re-derived from the mutation predicates —
+    // the MERGE arm's CASE gives %7 (matched update) precedence over
+    // the earlier %5 UPDATE, exactly the statement order; double
+    // arithmetic is spelled identically on both engines.
+    "src_catalog_dml" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS p
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN 123.5 ELSE p END AS p FROM upd
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, 7.25 FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT 'a_before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 'b_update', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+        |FROM upd
+        |UNION ALL
+        |SELECT 'c_merge', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+        |FROM merged
+        |ORDER BY phase""".stripMargin,
     // Delete twin: both phases re-derived from the predicate — before
     // is the full projection, after excludes the deleted residue.
     "src_catalog_delete" ->

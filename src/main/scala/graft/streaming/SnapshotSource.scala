@@ -211,7 +211,8 @@ private[streaming] object SnapshotSource {
 private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     pinnedGen: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"snapshot:$table"
 
@@ -261,6 +262,51 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         org.apache.spark.sql.functions.expr(sql)))
     SnapshotTable.commit(survivors, table, latest + 1L, action = "delete")
   }
+
+  /** SQL `UPDATE` / `MERGE INTO` via the group-based row-level
+    * operation protocol: the operation's scan is the table's OWN batch
+    * scan with no runtime group filtering, so Spark's rewrite plan
+    * computes the FULL post-operation content and the write publishes
+    * it as the next generation (carrying nothing) under the
+    * first-writer-wins commit with the command recorded as the action
+    * — whole-snapshot copy-on-write, the simple-and-correct posture
+    * for low-rate UPDATE/MERGE (the library's `commitUpsert` stays the
+    * O(batch) keyed path; predicate DELETEs keep taking the faster
+    * [[deleteWhere]] route). History serves pre-operation rows via
+    * time travel, and a racing writer loses the manifest publish.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new org.apache.spark.sql.connector.write.RowLevelOperation {
+          override def command()
+              : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+            info.command()
+          override def newScanBuilder(
+              options: CaseInsensitiveStringMap): ScanBuilder =
+            SnapshotSourceTable.this.newScanBuilder(options)
+          override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                override def toBatch: BatchWrite =
+                  new SnapshotReplaceWrite(table, lw.schema(),
+                    info.command().toString.toLowerCase(java.util.Locale.ROOT))
+              }
+            }
+        }
+    }
+
+  /** `TRUNCATE TABLE` is refused: the interface default would route it
+    * through [[deleteWhere]] with an always-true predicate and commit
+    * an EMPTY generation — a manifest shape no reader contract covers
+    * (schema inference and initial loads both require files). Use the
+    * library's expire/vacuum retention commands instead.
+    */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      "snapshot tables do not support TRUNCATE; expire/vacuum manage retention")
 
   override def schema(): StructType = tableSchema
 
@@ -760,6 +806,78 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
       SparkSession.active.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     ()
+  }
+}
+
+/** The row-level operations' REPLACE-content write: same staging and
+  * task writers as the append path, but commit publishes the staged
+  * files as the next generation's FULL content (no carry) with the
+  * operation's command recorded as the action — so DESCRIBE HISTORY
+  * shows update/merge hops and the streaming `skipRewrites` guard
+  * refuses to skip them (they are never content-neutral).
+  */
+private[streaming] class SnapshotReplaceWrite(table: String,
+    schema: StructType, action: String) extends BatchWrite {
+
+  private val stageDir =
+    s"$table/data/staged/a=${SnapshotTable.attemptName()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ReplaceRowWriterFactory(
+      new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf()),
+      schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val gens = SnapshotTable.generations(spark, table)
+    require(gens.nonEmpty, s"row-level $action on an empty snapshot table $table")
+    try SnapshotTable.publishAppend(spark, table, gens.max + 1, files,
+      carryFrom = None, action = action)
+    catch { case e: Throwable => sweep(); throw e }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
+
+  private def sweep(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}
+
+/** Group-based row-level rewrite rows arrive with Spark's LEADING
+  * `__row_operation` marker column (the rewrite plans project
+  * `[__row_operation, <table columns>]`, and for a plain `DataWriter`
+  * this Spark version hands the rows through un-projected — verified
+  * empirically: writing positionally shifts every column by one). This
+  * factory wraps the standard file writers with a view that skips the
+  * marker when present: exactly one extra leading field is tolerated
+  * and projected away via the public `ProjectingInternalRow`; any
+  * other width mismatch fails loudly rather than writing shifted
+  * columns.
+  */
+private[streaming] class ReplaceRowWriterFactory(
+    inner: SnapshotWriterFactory, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val delegate = inner.createWriter(partitionId, taskId)
+    val width = schema.length
+    new DataWriter[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to width).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == width) delegate.write(row)
+        else if (row.numFields == width + 1) {
+          proj.project(row); delegate.write(proj)
+        } else throw new IllegalStateException(
+          s"row-level rewrite row has ${row.numFields} fields; " +
+            s"expected $width or ${width + 1} (with the operation marker)")
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
   }
 }
 

@@ -111,6 +111,32 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(SnapshotTable.commitAction(spark, t, 2L).contains("delete"))
   }
 
+  test("SQL UPDATE and MERGE rewrite copy-on-write with actions recorded") {
+    import spark.implicits._
+    val t = s"$warehouse/t_dml"
+    SnapshotTable.commit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), t, 1L)
+    spark.sql("UPDATE spec_cat.t_dml SET v = v + 100 WHERE k >= 2")
+    assert(spark.sql("SELECT v FROM spec_cat.t_dml ORDER BY k")
+      .as[Long].collect().toSeq === Seq(10L, 120L, 130L))
+    assert(SnapshotTable.commitAction(spark, t, 2L).contains("update"))
+    Seq((2L, 999L), (4L, 40L)).toDF("k", "v")
+      .createOrReplaceTempView("spec_dml_src")
+    spark.sql(
+      """MERGE INTO spec_cat.t_dml tgt USING spec_dml_src src ON tgt.k = src.k
+        |WHEN MATCHED THEN UPDATE SET v = src.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM spec_cat.t_dml ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 999L), (3L, 130L), (4L, 40L)))
+    assert(SnapshotTable.commitAction(spark, t, 3L).contains("merge"))
+    // Every pre-mutation snapshot still serves verbatim.
+    assert(spark.sql("SELECT sum(v) FROM spec_cat.t_dml VERSION AS OF 1")
+      .head().getLong(0) === 60L)
+    assert(spark.sql("SELECT sum(v) FROM spec_cat.t_dml VERSION AS OF 2")
+      .head().getLong(0) === 260L)
+  }
+
   test("version validation and the refused surfaces fail loudly") {
     val ex = intercept[IllegalArgumentException](
       cat.loadTable(ident("t_real"), "99"))
@@ -125,5 +151,10 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE spec_cat.t_new (a BIGINT) USING parquet"))
     assert(sqlEx.getMessage.contains("commit command")
       || Option(sqlEx.getCause).exists(_.getMessage.contains("commit command")))
+    // TRUNCATE would commit an empty, reader-breaking generation.
+    val trEx = intercept[Exception](
+      spark.sql("TRUNCATE TABLE spec_cat.t_real"))
+    assert((trEx.getMessage + Option(trEx.getCause).fold("")(_.getMessage))
+      .contains("expire/vacuum"))
   }
 }
