@@ -59,7 +59,7 @@ object Explain {
     "src_snapshot_segments", "dedup_canonical",
     "src_snapshot_bloomskip", "graph_kcore", "graph_lpa",
     "sample_splits_grouped", "src_catalog_sql", "src_catalog_delete",
-    "src_provenance",
+    "src_catalog_dml", "src_provenance",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read
