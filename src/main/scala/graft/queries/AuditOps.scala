@@ -376,16 +376,21 @@ object AuditOps {
       .join(broadcast(labels.toDF("b", "rep_b")), Seq("b"), "left")
     def splitCol(id: org.apache.spark.sql.Column) =
       SampleOps.splitOf(SampleOps.bucketOf(id))
-    def report(policy: String, sa: org.apache.spark.sql.Column,
-        sb: org.apache.spark.sql.Column): DataFrame =
-      withReps.agg(
-        sum(when(sa =!= sb, 1L).otherwise(0L)).as("cross_pairs"),
+    def crossCount(sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column) =
+      sum(when(sa =!= sb, 1L).otherwise(0L))
+    // ONE aggregation pass emits both policies' counts (two report
+    // sub-frames would re-run the broadcast joins per policy); the
+    // two-row reshape is a constant-size stack.
+    withReps.agg(
+        crossCount(splitCol(coalesce(col("rep_a"), col("a"))),
+          splitCol(coalesce(col("rep_b"), col("b")))).as("grouped_cross"),
+        crossCount(splitCol(col("a")), splitCol(col("b"))).as("plain_cross"),
         count(lit(1)).as("total_pairs"))
-        .select(lit(policy).as("policy"), col("cross_pairs"), col("total_pairs"))
-    report("grouped",
-        splitCol(coalesce(col("rep_a"), col("a"))),
-        splitCol(coalesce(col("rep_b"), col("b"))))
-      .unionByName(report("plain", splitCol(col("a")), splitCol(col("b"))))
+      .selectExpr(
+        "stack(2, 'grouped', grouped_cross, 'plain', plain_cross) " +
+          "AS (policy, cross_pairs)",
+        "total_pairs")
       .orderBy("policy")
   }
 

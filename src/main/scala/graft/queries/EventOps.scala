@@ -1263,8 +1263,12 @@ object EventOps {
     val Seq(root, ckpt, sink) = freshDirs(spark,
       "stream_an_root", "stream_an_ckpt", "stream_an_sink")
     val buckets = stageEventBuckets(spark, dir, root, bucketDays = 16L)
-    require(buckets.length >= 2,
-      "the AvailableNow drill needs two publishable buckets")
+    // EXACTLY two: the oracle splits min-bucket vs everything-after,
+    // and the drill publishes two generations — a wider fixture span
+    // must fail HERE, not as an opaque value-gate hash mismatch.
+    require(buckets.length == 2,
+      s"the AvailableNow drill publishes exactly two buckets; the " +
+        s"fixture staged ${buckets.length} - retune bucketDays")
     def publish(i: Int): Unit = {
       val files = spark.read.parquet(s"$root/staging/b=${buckets(i)}")
         .inputFiles.toSeq

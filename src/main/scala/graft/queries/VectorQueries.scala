@@ -811,7 +811,11 @@ object VectorQueries {
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val raw = Tables.embeddings(spark, dir).select(col("embedding"))
-    val d = raw.select(size(col("embedding"))).head().getInt(0)
+    // Emptiness-safe dim probe: a bare head() on an empty table would
+    // throw NoSuchElementException before the diagnostic require below.
+    val firstDim = raw.select(size(col("embedding"))).limit(1).collect()
+    require(firstDim.nonEmpty, "embed_pca needs a non-empty embeddings table")
+    val d = firstDim.head.getInt(0)
     val buf = raw.as[Seq[Float]]
       .select(new graft.functions.GramSums(d).toColumn).head()
     val n = buf.n
@@ -870,10 +874,16 @@ object VectorQueries {
     */
   def streamMoments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val staging = graft.Scratch.dir("stream_moments_staging")
-    val ckpt = graft.Scratch.dir("stream_moments_ckpt")
+    // freshDirs, not bare Scratch.dir: a same-JVM rerun (the bench
+    // times every query at least twice) would otherwise resume run
+    // 1's complete-mode state from the stale checkpoint and silently
+    // DOUBLE the sums against newly-staged (uuid-named) files.
+    val Seq(staging, ckpt) = graft.streaming.StreamDrill.freshDirs(spark,
+      "stream_moments_staging", "stream_moments_ckpt")
     val raw = Tables.embeddings(spark, dir).select(col("embedding"))
-    val d = raw.select(size(col("embedding"))).head().getInt(0)
+    val firstDim = raw.select(size(col("embedding"))).limit(1).collect()
+    require(firstDim.nonEmpty, "stream_moments needs a non-empty embeddings table")
+    val d = firstDim.head.getInt(0)
     raw.repartition(3).write.mode("overwrite").parquet(staging)
 
     val src = spark.readStream

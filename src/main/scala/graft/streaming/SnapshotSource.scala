@@ -257,9 +257,13 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty, s"DELETE on an empty snapshot table $table")
     val latest = gens.max
+    // SQL DELETE semantics: a row is deleted iff the predicate is TRUE.
+    // A bare not(pred) would also drop NULL-result rows (not(NULL) is
+    // NULL, which filter treats as false) — silently deleting rows the
+    // predicate did NOT match. coalesce pins the three-valued logic.
+    val f = org.apache.spark.sql.functions
     val survivors = SnapshotTable.readAs(spark, table, latest)
-      .filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.expr(sql)))
+      .filter(f.not(f.coalesce(f.expr(sql), f.lit(false))))
     SnapshotTable.commit(survivors, table, latest + 1L, action = "delete")
   }
 

@@ -111,6 +111,19 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(SnapshotTable.commitAction(spark, t, 2L).contains("delete"))
   }
 
+  test("SQL DELETE keeps rows where the predicate is NULL (three-valued logic)") {
+    import spark.implicits._
+    val t = s"$warehouse/t_nulldel"
+    SnapshotTable.commit(
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+        .toDF("k", "s"), t, 1L)
+    spark.sql("DELETE FROM spec_cat.t_nulldel WHERE s = 'a'")
+    // Only the TRUE-matching row goes; the NULL-predicate row survives
+    // (not(NULL) is NULL — a bare negation filter would drop it too).
+    assert(spark.sql("SELECT k FROM spec_cat.t_nulldel ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+  }
+
   test("SQL UPDATE and MERGE rewrite copy-on-write with actions recorded") {
     import spark.implicits._
     val t = s"$warehouse/t_dml"
