@@ -200,6 +200,29 @@ object SnapshotTable {
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
+  /** Publish `gen` as a FILE-PRUNED copy-on-write rewrite: every
+    * manifest row of generation `gen - 1` whose path is NOT in
+    * `rewritten` carries forward VERBATIM — including its zone-map
+    * stats rows, so later pruning keeps working on the untouched
+    * files — and `fresh` (the rewritten survivors) lands as plain data
+    * rows. Refuses non-plain lineages (tombstones / segment chains):
+    * a subset rewrite over merge-on-read state would need tombstone
+    * reconciliation this commit deliberately does not attempt — the
+    * caller falls back to the whole-snapshot path whose readAs guards
+    * own those semantics.
+    */
+  def publishSubsetRewrite(spark: SparkSession, table: String, gen: Long,
+      rewritten: Set[String], fresh: Seq[String], action: String): Unit = {
+    val prev = readManifestRows(spark, manifestPath(table, gen - 1))
+    require(prev.forall(r => r.kind.forall(_ == "data")),
+      s"subset rewrite of $table needs a plain data lineage " +
+        "(tombstones require the whole-snapshot path)")
+    val carried = prev.filterNot(r => rewritten.contains(r.path))
+    writeManifest(spark, table, gen, replace = false,
+      (carried ++ fresh.sorted.map(p => ManifestRow(p)))
+        .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
+  }
+
   /** The ACTION generation `gen` was committed with ("append",
     * "compact", "optimize", "upsert", "delete", "merge", "rollback",
     * "clone") — `None` for manifests written before actions were

@@ -144,6 +144,62 @@ private[streaming] object SnapshotSource {
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
 
+  /** [[boundOf]] over V2 predicates (the DELETE pushdown form):
+    * per-column zone bounds from the integer comparisons in the
+    * conjunction, every unrecognized conjunct conservatively ignored —
+    * SOUND for pruning because a file that cannot satisfy one conjunct
+    * cannot satisfy the AND of all of them.
+    */
+  private def v2Col(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  private def v2Long(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case v: java.lang.Long => Some(v.longValue)
+          case v: java.lang.Integer => Some(v.longValue)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  def v2BoundsOf(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Map[String, (Long, Long)] = {
+    def one(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Seq[(String, (Long, Long))] = p.name() match {
+      case "AND" => p.children().toSeq.collect {
+        case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
+      }.flatMap(one)
+      case op @ ("=" | ">" | ">=" | "<" | "<=") => p.children() match {
+        case Array(a, b) => (v2Col(a), v2Long(b)) match {
+          case (Some(c), Some(v)) => op match {
+            case "=" => Seq(c -> ((v, v)))
+            case ">" if v < Long.MaxValue => Seq(c -> ((v + 1, Long.MaxValue)))
+            case ">=" => Seq(c -> ((v, Long.MaxValue)))
+            case "<" if v > Long.MinValue => Seq(c -> ((Long.MinValue, v - 1)))
+            case "<=" => Seq(c -> ((Long.MinValue, v)))
+            case _ => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    predicates.flatMap(one).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    }
+  }
+
   /** An IN list's values as longs, when every member is an integer
     * literal (the types the bloom sidecar hashes portably).
     */
@@ -262,8 +318,40 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // NULL, which filter treats as false) — silently deleting rows the
     // predicate did NOT match. coalesce pins the three-valued logic.
     val f = org.apache.spark.sql.functions
-    val survivors = SnapshotTable.readAs(spark, table, latest)
-      .filter(f.not(f.coalesce(f.expr(sql), f.lit(false))))
+    val keep = f.not(f.coalesce(f.expr(sql), f.lit(false)))
+
+    // FILE-PRUNED copy-on-write: on a plain data lineage whose manifest
+    // carries multi-column zone maps, files whose recorded ranges
+    // cannot intersect the predicate's bounds provably hold no matching
+    // row and CARRY VERBATIM (stats rows included) — the delete
+    // rewrites only the admitted files, so its cost is O(affected), not
+    // O(table). The footer-derived stats are load-bearing here, the
+    // same trust the layer's compaction and skip drills place in them.
+    // Tombstoned or segmented lineages fall through to the
+    // whole-snapshot path, whose readAs guards own those semantics.
+    val (dataFiles, tombstones, segmented) =
+      SnapshotTable.tailEntries(spark, table, latest)
+    val bounds = SnapshotSource.v2BoundsOf(predicates)
+    if (!segmented && tombstones.isEmpty && bounds.nonEmpty) {
+      val affected = SnapshotTable.admittedFiles(spark, table, latest, bounds)
+      val untouched = dataFiles.distinct.toSet -- affected
+      if (untouched.nonEmpty) {
+        val gen = latest + 1
+        val fresh =
+          if (affected.isEmpty) Seq.empty[String]
+          else {
+            val dataDir = s"$table/data/gen=$gen/a=${SnapshotTable.attemptName()}"
+            spark.read.option("mergeSchema", true).parquet(affected: _*)
+              .filter(keep)
+              .write.mode("overwrite").parquet(dataDir)
+            spark.read.parquet(dataDir).inputFiles.toSeq
+          }
+        SnapshotTable.publishSubsetRewrite(spark, table, gen,
+          affected.toSet, fresh, "delete")
+        return
+      }
+    }
+    val survivors = SnapshotTable.readAs(spark, table, latest).filter(keep)
     SnapshotTable.commit(survivors, table, latest + 1L, action = "delete")
   }
 

@@ -124,6 +124,44 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(2L, 3L))
   }
 
+  test("SQL DELETE prunes files by zone maps: untouched files carry verbatim") {
+    import spark.implicits._
+    val t = s"$warehouse/t_pruned_del"
+    def writeOne(range: Range, name: String): String = {
+      val dir = s"$t/data/gen=1/$name"
+      range.map(_.toLong).toDF("k").repartition(1).write.parquet(dir)
+      spark.read.parquet(dir).inputFiles.head
+    }
+    val fa = writeOne(0 until 100, "a")
+    val fb = writeOne(100 until 200, "b")
+    SnapshotTable.publishStats(spark, t, 1L,
+      Seq((fa, "k", 0L, 99L), (fb, "k", 100L, 199L)))
+
+    spark.sql("DELETE FROM spec_cat.t_pruned_del WHERE k >= 150")
+
+    // Content is exact: rows 150..199 gone.
+    val r = spark.sql(
+      "SELECT count(*), sum(k) FROM spec_cat.t_pruned_del").head()
+    assert(r.getLong(0) === 150L && r.getLong(1) === (0L until 150L).sum)
+    // The zone-disjoint file carried VERBATIM (same path); the admitted
+    // file was rewritten into a fresh one.
+    val files2 = SnapshotTable.listFiles(spark, t, 2L).toSet
+    assert(files2.contains(fa), "untouched file must carry by path")
+    assert(!files2.contains(fb), "affected file must be rewritten")
+    // Its stats row survived the carry: gen 2 still prunes the carried
+    // file on k (the fresh file has no stats row and is admitted
+    // conservatively, as the zone-map contract documents).
+    val admitted = SnapshotTable.admittedFiles(spark, t, 2L,
+      Map("k" -> ((150L, 199L))))
+    assert(!admitted.contains(fa),
+      "the carried stats row must still exclude the untouched file")
+    assert(SnapshotTable.commitAction(spark, t, 2L).contains("delete"))
+    // History is untouched.
+    assert(spark.sql(
+      "SELECT count(*) FROM spec_cat.t_pruned_del VERSION AS OF 1")
+      .head().getLong(0) === 200L)
+  }
+
   test("SQL UPDATE and MERGE rewrite copy-on-write with actions recorded") {
     import spark.implicits._
     val t = s"$warehouse/t_dml"
