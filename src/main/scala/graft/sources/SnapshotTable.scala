@@ -237,6 +237,24 @@ object SnapshotTable {
         n.stripPrefix(".action=") }
   }
 
+  /** The COMMIT WALL-CLOCK (epoch millis) generation `gen` was
+    * published with — the `.ts=` marker staged next to `.action=`, so
+    * it publishes atomically with the file list and survives
+    * copies/restores that do not preserve file mtimes (the property
+    * `TIMESTAMP AS OF` resolution rests on). `None` for manifests
+    * written before commit times were recorded. Driver-side directory
+    * listing, O(1).
+    */
+  def commitTimestamp(spark: SparkSession, table: String,
+      gen: Long): Option[Long] = {
+    val d = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith(".ts=") =>
+        n.stripPrefix(".ts=").toLong }
+  }
+
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** A WRITER-UNIQUE attempt name — (pid, per-JVM counter), never
@@ -272,17 +290,29 @@ object SnapshotTable {
       paths.sorted.map(ManifestRow(_)), Some(action))
 
   /** Shared staged-rename manifest writer for [[publish]] and
-    * [[publishWithStats]].
+    * [[publishWithStats]]. Every generation manifest is stamped with
+    * its commit wall-clock, MONOTONICIZED against the lineage's
+    * youngest earlier stamp (`max(now, prev + 1)` — Delta's
+    * in-commit-timestamp posture): two commits landing within one
+    * clock tick, or a clock stepping backwards, must never publish
+    * out-of-order times, because `TIMESTAMP AS OF` resolves "latest
+    * generation committed ≤ ts" and an order inversion would make a
+    * recorded timestamp resolve to the WRONG snapshot.
     */
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
       replace: Boolean, rows: Seq[ManifestRow],
-      action: Option[String] = None): Unit =
+      action: Option[String] = None): Unit = {
+    val prevTs = generations(spark, table).filter(_ < gen)
+      .flatMap(g => commitTimestamp(spark, table, g)).maxOption
+    val ts = math.max(System.currentTimeMillis(), prevTs.map(_ + 1L).getOrElse(0L))
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",
       replace, rows,
       what = s"generation $gen of $table",
-      action = action)
+      action = action,
+      commitTs = Some(ts))
+  }
 
   /** The staged-rename commit core, shared by the generation manifests
     * and the WAP branch manifests ([[stage]]): write rows to a
@@ -291,7 +321,8 @@ object SnapshotTable {
     */
   private def writeManifestAt(spark: SparkSession, targetPath: String,
       stagingPath: String, replace: Boolean, rows: Seq[ManifestRow],
-      what: String, action: Option[String] = None): Unit = {
+      what: String, action: Option[String] = None,
+      commitTs: Option[Long] = None): Unit = {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     // The staging path is WRITER-UNIQUE: a shared path would let racer
     // B's overwrite replace racer A's staged file list before A's
@@ -311,6 +342,11 @@ object SnapshotTable {
     // are invisible to Spark and to [[readManifestRows]] alike.
     action.foreach { a =>
       fs.create(new org.apache.hadoop.fs.Path(tmp, s".action=$a")).close()
+    }
+    // The commit wall-clock rides the same staged-marker mechanism, so
+    // it publishes atomically with the file list and the action.
+    commitTs.foreach { ts =>
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s".ts=$ts")).close()
     }
     // The rename target's PARENT must pre-exist: on HDFS-semantics
     // stores a rename into a missing directory fails (a spurious

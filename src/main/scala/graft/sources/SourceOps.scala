@@ -851,11 +851,23 @@ object SourceOps {
     orders.filter(col("o_orderkey") % 3 =!= 0)
       .createOrReplaceTempView("catalog_sql_rest")
     spark.sql(s"INSERT INTO $insRef SELECT * FROM catalog_sql_rest")
+    // TIMESTAMP AS OF phases: the query timestamps come FROM the
+    // manifests' own commit markers (never file mtimes) — gen 1's
+    // exact stamp must resolve to gen 1 (monotonic stamping puts gen 2
+    // strictly later), and gen 3's to the compacted latest.
+    def tsOf(g: Long): Long =
+      SnapshotTable.commitTimestamp(spark, shared, g).getOrElse(
+        throw new IllegalStateException(
+          s"shared fixture gen $g must carry a commit-time marker")) * 1000L
     phase("gen1", s"$sharedRef VERSION AS OF 1")
       .unionByName(phase("gen2", s"$sharedRef VERSION AS OF 2"))
       .unionByName(phase("latest", sharedRef))
       .unionByName(preIns)
       .unionByName(phase("ins_after", insRef))
+      .unionByName(phase("ts_gen1",
+        s"$sharedRef TIMESTAMP AS OF timestamp_micros(${tsOf(1L)})"))
+      .unionByName(phase("ts_latest",
+        s"$sharedRef TIMESTAMP AS OF timestamp_micros(${tsOf(3L)})"))
       .orderBy("phase")
   }
 
@@ -893,44 +905,90 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** Key-range slices of [[catalogDml]]'s gen-1 layout — few enough
+    * that every slice is non-empty at the gate scales, and mirrored in
+    * the drill's carried-verbatim require.
+    */
+  val DmlSlices = 4
+
   /** SQL `UPDATE` and `MERGE INTO` through the catalog — the
     * row-level-operation half of the DML surface ([[catalogDelete]]
     * covers DELETE): both statements resolve to the connector's
-    * group-based COPY-ON-WRITE rewrite, publishing the full
-    * post-operation content as the next generation with the command
-    * recorded as the action. Three gated phases, each a time-travel or
-    * latest read executed AFTER both mutations ran (snapshot isolation
-    * under the hash): the pristine gen 1, the post-UPDATE gen 2, and
-    * the post-MERGE latest — with MERGE exercising both WHEN MATCHED
-    * UPDATE and WHEN NOT MATCHED INSERT arms. The oracle re-derives
-    * every phase from the mutation predicates over the raw table, and
-    * the double arithmetic (`p + 1000`, literal prices) is written
-    * identically on both engines so the floor-cents sums compare
-    * exactly.
+    * group-based FILE-PRUNED copy-on-write rewrite
+    * ([[graft.streaming.SnapshotRowLevelOperation]]). Generation 1
+    * lands as deterministic key-range slices with per-file zone maps,
+    * so the UPDATE's pushed range predicate (`o_orderkey <= max/4`,
+    * inside slice 0's bounds) admits exactly ONE file — the drill
+    * REQUIRES the other [[DmlSlices]]−1 files carried verbatim into
+    * generation 2, pinning that a selective UPDATE is O(affected
+    * files), never a table rewrite (and, dually, that the pruned scan
+    * did NOT silently drop the unscanned files' rows: the gated
+    * b_update phase re-reads the whole post-UPDATE snapshot). The
+    * MERGE exercises the FULL arm grammar — WHEN MATCHED DELETE,
+    * WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, and WHEN NOT
+    * MATCHED BY SOURCE UPDATE — with disjoint source classes (%11
+    * deletes exclude the %7 updates, inserted keys are shifted out of
+    * the target's domain) so the row-level cardinality contract holds.
+    * Three gated phases, each a time-travel or latest read executed
+    * AFTER both mutations ran (snapshot isolation under the hash):
+    * the pristine gen 1, the post-UPDATE gen 2, the post-MERGE
+    * latest. The oracle re-derives every phase from the mutation
+    * predicates over the raw table, and the double arithmetic
+    * (`p + 1000`, `p + 0.5`, literal prices) is written identically
+    * on both engines so the floor-cents sums compare exactly.
     */
   def catalogDml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val cat = ensureCatalog(spark)
     val t = freshTable(spark, "catalog_dml")
     val name = new org.apache.hadoop.fs.Path(t).getName
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
-    SnapshotTable.commit(orders.repartition(2), t, 1L)
+    // Gen 1: deterministic key-range slices (one file each) + zone maps
+    // — the layout that makes the UPDATE's file pruning observable.
+    val maxKey = orders.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + DmlSlices) / DmlSlices
+    val gen1Dir = s"$t/data/gen=1"
+    orders.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val files1 = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishStats(spark, t, 1L,
+      SnapshotTable.footerStats(spark, files1, Seq("o_orderkey")))
+    require(files1.size == DmlSlices,
+      s"gen 1 must land $DmlSlices slice files; got ${files1.size}")
 
+    // The predicate's bound sits inside slice 0 (max/4 < w), so zone
+    // maps admit exactly that file; the rest must carry verbatim.
     spark.sql(s"UPDATE $cat.`$name` SET o_totalprice = o_totalprice + 1000 " +
-      "WHERE o_orderkey % 5 = 0")
+      s"WHERE o_orderkey <= ${maxKey / 4}")
     require(SnapshotTable.commitAction(spark, t, 2L).contains("update"),
       "UPDATE must commit with the recorded action 'update'")
+    val carried = files1.toSet
+      .intersect(SnapshotTable.listFiles(spark, t, 2L).toSet)
+    require(carried.size == DmlSlices - 1,
+      s"a pruned UPDATE must carry ${DmlSlices - 1} untouched files " +
+        s"verbatim; carried ${carried.size} of ${files1.size}")
 
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select(col("o_orderkey"), lit(123.5).as("o_totalprice"))
-      .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit(123.5).as("o_totalprice"),
+        lit("upd").as("act"))
+      .unionByName(
+        orders.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), lit(0.0).as("o_totalprice"),
+            lit("del").as("act")))
+      .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
         .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
-          lit(7.25).as("o_totalprice")))
+          lit(7.25).as("o_totalprice"), lit("ins").as("act")))
       .createOrReplaceTempView("catalog_dml_src")
     spark.sql(
       s"""MERGE INTO $cat.`$name` tgt USING catalog_dml_src src
          |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED AND src.act = 'del' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_totalprice) VALUES (src.o_orderkey, src.o_totalprice)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 17 = 3 THEN
+         |  UPDATE SET o_totalprice = tgt.o_totalprice + 0.5""".stripMargin)
     require(SnapshotTable.commitAction(spark, t, 3L).contains("merge"),
       "MERGE must commit with the recorded action 'merge'")
 
@@ -2348,20 +2406,30 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
-    // DML twin: each phase re-derived from the mutation predicates —
-    // the MERGE arm's CASE gives %7 (matched update) precedence over
-    // the earlier %5 UPDATE, exactly the statement order; double
-    // arithmetic is spelled identically on both engines.
+    // DML twin: each phase re-derived from the mutation predicates.
+    // The UPDATE's range bound (max/4, the pruned slice) recomputes
+    // relationally; the MERGE CTE mirrors the four arms in statement
+    // order — %11-not-%7 deletes filter out, %7 matched-updates take
+    // the CASE's first branch, NOT MATCHED BY SOURCE %17 rows the
+    // second (rows reaching it are k%7<>0 and, by the delete filter,
+    // k%11<>0 — exactly the unmatched-target class), shifted %13 keys
+    // insert. Double arithmetic is spelled identically on both engines.
     "src_catalog_dml" ->
       """WITH upd AS (
         |  SELECT o_orderkey AS k,
-        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+        |    CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |         THEN o_totalprice + 1000
         |         ELSE o_totalprice END AS p
         |  FROM orders),
         |merged AS (
-        |  SELECT k, CASE WHEN k % 7 = 0 THEN 123.5 ELSE p END AS p FROM upd
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 0 THEN 123.5
+        |         WHEN k % 17 = 3 THEN p + 0.5
+        |         ELSE p END AS p
+        |  FROM upd
+        |  WHERE NOT (k % 11 = 0 AND k % 7 <> 0)
         |  UNION ALL
-        |  SELECT o_orderkey + 50000000, 7.25 FROM orders WHERE o_orderkey % 11 = 0)
+        |  SELECT o_orderkey + 50000000, 7.25 FROM orders WHERE o_orderkey % 13 = 0)
         |SELECT 'a_before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
@@ -2414,7 +2482,11 @@ object SourceOps {
         ph("gen2", ""),
         ph("latest", ""),
         ph("ins_gen1", " WHERE o_orderkey % 3 = 0"),
-        ph("ins_after", "")).mkString("", "\nUNION ALL\n", "\nORDER BY phase")
+        ph("ins_after", ""),
+        // TIMESTAMP AS OF twins: gen 1's own commit stamp serves gen 1,
+        // the compacted gen 3's serves the full (latest) content.
+        ph("ts_gen1", " WHERE o_orderkey % 4 <> 0"),
+        ph("ts_latest", "")).mkString("", "\nUNION ALL\n", "\nORDER BY phase")
     },
     // MoR twin: visibility re-derived from the delete predicate; file
     // shapes from the layout constants (base files carried verbatim +

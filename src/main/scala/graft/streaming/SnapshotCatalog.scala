@@ -55,10 +55,15 @@ class SnapshotCatalog extends TableCatalog {
 
   /** A directory is a table iff it has at least one committed
     * generation — crash debris and non-table dirs are invisible.
+    * ONLY the expected not-a-table shape is swallowed (a `manifests`
+    * entry whose `gen=` names do not parse, i.e. foreign directory
+    * layout); a genuine IO/permission failure while listing PROPAGATES
+    * — masking it as `NoSuchTableException` would turn a transient
+    * filesystem outage into "table does not exist".
     */
   private def isTable(root: String): Boolean =
     try SnapshotTable.generations(spark, root).nonEmpty
-    catch { case _: Exception => false }
+    catch { case _: NumberFormatException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
@@ -96,14 +101,37 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotSourceTable(root, SnapshotSource.schemaAt(root, gen), Some(gen))
   }
 
-  /** `TIMESTAMP AS OF` is refused: manifests record generations and
-    * actions, not wall-clock commit times — mapping timestamps to file
-    * mtimes would make time travel depend on filesystem metadata that
-    * copies/restores do not preserve.
+  /** `TIMESTAMP AS OF <ts>` (Spark hands `ts` in MICROSECONDS):
+    * resolves to the LATEST generation whose recorded commit
+    * wall-clock — the `.ts=` marker published atomically inside the
+    * manifest ([[SnapshotTable.commitTimestamp]]), never a file mtime,
+    * which copies/restores do not preserve — is ≤ `ts`, then pins that
+    * generation exactly like `VERSION AS OF`. Monotonic stamping at
+    * commit ([[SnapshotTable]]'s writeManifest) is what makes "latest
+    * committed ≤ ts" well-defined. A timestamp before the table's
+    * first commit is refused (there is no snapshot to serve), and a
+    * lineage with any pre-recording manifest is refused rather than
+    * part-resolved — `VERSION AS OF` still serves those.
     */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "snapshot catalog supports VERSION AS OF <generation>, not TIMESTAMP AS OF")
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val stamped = SnapshotTable.generations(spark, root)
+      .map(g => g -> SnapshotTable.commitTimestamp(spark, root, g))
+    val missing = stamped.collect { case (g, None) => g }
+    require(missing.isEmpty,
+      s"TIMESTAMP AS OF needs a recorded commit time in every manifest; " +
+        s"generation(s) ${missing.mkString(", ")} of $root predate " +
+        "commit-time recording - address this lineage with VERSION AS OF")
+    val admitted = stamped.collect {
+      case (g, Some(ms)) if ms * 1000L <= timestamp => g
+    }
+    require(admitted.nonEmpty,
+      s"timestamp ${timestamp} us precedes the first commit of $root " +
+        s"(earliest: ${stamped.head._2.get} ms); there is no snapshot to serve")
+    val gen = admitted.max
+    new SnapshotSourceTable(root, SnapshotSource.schemaAt(root, gen), Some(gen))
+  }
 
   override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
 

@@ -124,9 +124,13 @@ private[streaming] object SnapshotSource {
     case EqualTo(c, v: Long) => Some(c -> (v, v))
     case EqualTo(c, v: Int) => Some(c -> (v.toLong, v.toLong))
     case GreaterThan(c, v: Long) => Some(c -> (v + 1, Long.MaxValue))
+    case GreaterThan(c, v: Int) => Some(c -> (v.toLong + 1, Long.MaxValue))
     case GreaterThanOrEqual(c, v: Long) => Some(c -> (v, Long.MaxValue))
+    case GreaterThanOrEqual(c, v: Int) => Some(c -> (v.toLong, Long.MaxValue))
     case LessThan(c, v: Long) => Some(c -> (Long.MinValue, v - 1))
+    case LessThan(c, v: Int) => Some(c -> (Long.MinValue, v.toLong - 1))
     case LessThanOrEqual(c, v: Long) => Some(c -> (Long.MinValue, v))
+    case LessThanOrEqual(c, v: Int) => Some(c -> (Long.MinValue, v.toLong))
     // An IN list prunes zone maps by its envelope [min, max] —
     // conservative (a file spanning the gap between two values still
     // admits), but the bloom probe below handles the exact membership.
@@ -356,38 +360,35 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
   }
 
   /** SQL `UPDATE` / `MERGE INTO` via the group-based row-level
-    * operation protocol: the operation's scan is the table's OWN batch
-    * scan with no runtime group filtering, so Spark's rewrite plan
-    * computes the FULL post-operation content and the write publishes
-    * it as the next generation (carrying nothing) under the
-    * first-writer-wins commit with the command recorded as the action
-    * — whole-snapshot copy-on-write, the simple-and-correct posture
-    * for low-rate UPDATE/MERGE (the library's `commitUpsert` stays the
-    * O(batch) keyed path; predicate DELETEs keep taking the faster
-    * [[deleteWhere]] route). History serves pre-operation rows via
-    * time travel, and a racing writer loses the manifest publish.
+    * operation protocol, as FILE-PRUNED copy-on-write: Spark's
+    * `GroupBasedRowLevelOperationScanPlanning` pushes the command's
+    * condition into the operation's scan builder, the scan's batch
+    * planning prunes FILES through the manifest zone maps and bloom
+    * sidecars (a file whose recorded bounds cannot hold a matching row
+    * provably needs no rewrite), and the rewrite plan computes the
+    * post-operation content of exactly the scanned files. The commit
+    * then publishes a SUBSET rewrite: unscanned files — and their
+    * stats rows — carry VERBATIM into the next generation, so one
+    * selective UPDATE costs O(affected files), not a table rewrite.
+    * The scan RECORDS the generation it resolved and the exact file
+    * set it planned ([[SnapshotRowLevelOperation]]); the write commits
+    * against that pinned base, so a concurrent commit landing
+    * mid-statement makes the manifest publish fail loudly
+    * (first-writer-wins) instead of being silently erased. History
+    * serves pre-operation rows via time travel. The library's
+    * `commitUpsert` stays the O(batch) keyed merge-on-read path;
+    * predicate DELETEs keep taking the [[deleteWhere]] route.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new org.apache.spark.sql.connector.write.RowLevelOperation {
-          override def command()
-              : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
-            info.command()
-          override def newScanBuilder(
-              options: CaseInsensitiveStringMap): ScanBuilder =
-            SnapshotSourceTable.this.newScanBuilder(options)
-          override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder =
-            new WriteBuilder {
-              override def build(): Write = new Write {
-                override def toBatch: BatchWrite =
-                  new SnapshotReplaceWrite(table, lw.schema(),
-                    info.command().toString.toLowerCase(java.util.Locale.ROOT))
-              }
-            }
-        }
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        require(pinnedGen.isEmpty,
+          s"cannot ${info.command()} a time-travel-pinned snapshot of $table; " +
+            "row-level operations apply to the latest generation only")
+        new SnapshotRowLevelOperation(table, tableSchema, info)
+      }
     }
 
   /** `TRUNCATE TABLE` is refused: the interface default would route it
@@ -493,7 +494,15 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     bounds: Map[String, (Long, Long)] = Map.empty,
     probes: Map[String, Seq[Long]] = Map.empty) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The planning core, shared with [[planInputPartitions]] and the
+    * row-level operations' RECORDING scan: `(resolved generation,
+    * planned file list, segmented)`. Split out so a caller that must
+    * know EXACTLY which snapshot and files the scan served (the
+    * UPDATE/MERGE subset-rewrite commit) reads the same resolution the
+    * partitions came from, never a re-resolution that a concurrent
+    * commit could have moved.
+    */
+  def resolvePlan(): (Long, Seq[String], Boolean) = {
     val spark = SparkSession.active
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty, s"no committed generation at $table")
@@ -506,8 +515,7 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     // correctness exactly as with an unrecorded column).
     val (_, _, segmented) = SnapshotTable.tailEntries(spark, table, gen)
     if (segmented)
-      return SnapshotTable.resolvedFiles(spark, table, gen)
-        .map(SnapshotFilePartition(_)).toArray
+      return (gen, SnapshotTable.resolvedFiles(spark, table, gen), true)
     // A merge-on-read generation's visibility is data MINUS tombstone
     // keys; a file-level scan cannot apply that and serving the raw
     // data files would silently resurrect deleted rows — fail loudly
@@ -533,8 +541,11 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
           SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
         else files
     }
-    admitted.map(SnapshotFilePartition(_)).toArray
+    (gen, admitted, false)
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    resolvePlan()._2.map(SnapshotFilePartition(_)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
@@ -901,15 +912,117 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
   }
 }
 
-/** The row-level operations' REPLACE-content write: same staging and
-  * task writers as the append path, but commit publishes the staged
-  * files as the next generation's FULL content (no carry) with the
-  * operation's command recorded as the action — so DESCRIBE HISTORY
-  * shows update/merge hops and the streaming `skipRewrites` guard
-  * refuses to skip them (they are never content-neutral).
+/** What the row-level operation's scan RESOLVED and PLANNED — the
+  * contract between the statement's read and write halves: `gen` is
+  * the base generation the rewrite content derives from (the commit
+  * publishes to `gen + 1`, so a concurrent commit loses loudly instead
+  * of being erased by a re-resolved `max + 1`), `files` the EXACT file
+  * set the scan planned (everything else carries verbatim — publishing
+  * more than the scanned set would silently delete every row of a
+  * pruned-but-unrewritten file), `segmented` whether the base manifest
+  * is a segment chain (whose resolved content the scan served in full,
+  * and whose next generation must be a full-carry checkpoint because a
+  * subset rewrite cannot be expressed against a parent-linked
+  * manifest).
+  */
+private[streaming] final case class RowLevelScanState(gen: Long,
+    files: Set[String], segmented: Boolean)
+
+/** One SQL UPDATE / MERGE / fallback-DELETE statement's row-level
+  * operation: the scan builder accepts the pushed command condition
+  * for FILE pruning (zone maps + bloom sidecars, exactly the table's
+  * own batch-scan skipping; every filter stays a residual, so row
+  * semantics never rest on the stats) and records the resolved plan
+  * in [[RowLevelScanState]]; the write's commit reads it back and
+  * publishes the subset rewrite. Group-based planning creates ONE
+  * scan per statement — if several plans ever record conflicting
+  * states, the commit refuses rather than guess which file set the
+  * written rows actually cover.
+  */
+private[streaming] class SnapshotRowLevelOperation(table: String,
+    tableSchema: StructType,
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private val recorded =
+    new java.util.concurrent.atomic.AtomicReference[RowLevelScanState](null)
+  @volatile private var conflicting = false
+
+  private[streaming] def record(st: RowLevelScanState): Unit =
+    if (!recorded.compareAndSet(null, st) && recorded.get() != st)
+      conflicting = true
+
+  private[streaming] def scanState: RowLevelScanState = {
+    val st = recorded.get()
+    if (st == null) throw new IllegalStateException(
+      s"row-level ${command()} write on $table committed before its scan " +
+        "planned - the rewrite content's base snapshot is unknown")
+    if (conflicting) throw new IllegalStateException(
+      s"row-level ${command()} on $table planned CONFLICTING scans; " +
+        "refusing to commit a rewrite whose covered file set is ambiguous")
+    st
+  }
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    info.command()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => SnapshotSource.boundOf(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = s"SnapshotRowLevelScan($table)"
+        override def toBatch: Batch =
+          new SnapshotBatch(table, required, None,
+              SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed)) {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val (gen, files, segmented) = resolvePlan()
+              record(RowLevelScanState(gen, files.toSet, segmented))
+              files.map(SnapshotFilePartition(_)).toArray
+            }
+          }
+      }
+    }
+
+  override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SnapshotReplaceWrite(table, lw.schema(),
+            info.command().toString.toLowerCase(java.util.Locale.ROOT),
+            SnapshotRowLevelOperation.this)
+      }
+    }
+}
+
+/** The row-level operations' rewrite write: same staging and task
+  * writers as the append path, but commit publishes the staged files
+  * as the REWRITE of exactly the file set the statement's scan planned
+  * ([[RowLevelScanState]]) — unscanned files, stats rows included,
+  * carry verbatim via [[SnapshotTable.publishSubsetRewrite]], so a
+  * selective UPDATE's cost is O(affected files). A segmented base
+  * (whose scan served the full resolved chain) checkpoints into a
+  * full-content generation instead — a subset carry cannot be
+  * expressed against a parent-linked manifest. Either way the commit
+  * targets the scan's pinned base + 1 with the command recorded as
+  * the action, so DESCRIBE HISTORY shows update/merge hops, the
+  * streaming `skipRewrites` guard refuses to skip them (they are
+  * never content-neutral), and a concurrent commit makes this publish
+  * fail loudly instead of being silently overwritten.
   */
 private[streaming] class SnapshotReplaceWrite(table: String,
-    schema: StructType, action: String) extends BatchWrite {
+    schema: StructType, action: String, op: SnapshotRowLevelOperation)
+    extends BatchWrite {
 
   private val stageDir =
     s"$table/data/staged/a=${SnapshotTable.attemptName()}"
@@ -921,12 +1034,32 @@ private[streaming] class SnapshotReplaceWrite(table: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
-    val gens = SnapshotTable.generations(spark, table)
-    require(gens.nonEmpty, s"row-level $action on an empty snapshot table $table")
-    try SnapshotTable.publishAppend(spark, table, gens.max + 1, files,
-      carryFrom = None, action = action)
-    catch { case e: Throwable => sweep(); throw e }
+    val staged = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val st =
+      try op.scanState
+      catch { case e: Throwable => sweep(); throw e }
+    try {
+      // Empty writer tasks (a join's vacant shuffle partitions, a
+      // fully-pruned scan's lone task) stage ZERO-ROW parquet files;
+      // publishing them would bloat the manifest with contentless
+      // entries forever — and make a no-op rewrite's manifest differ
+      // from its parent. Footer row counts are driver-side metadata,
+      // O(staged files). The dropped husks are deleted (they would
+      // otherwise linger unreferenced in the staging dir).
+      val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
+        .partition(_._2 > 0L)
+      empty.foreach { case (p, _) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, false)
+      }
+      if (st.segmented)
+        SnapshotTable.publishAppend(spark, table, st.gen + 1, files.map(_._1),
+          carryFrom = None, action = action)
+      else
+        SnapshotTable.publishSubsetRewrite(spark, table, st.gen + 1,
+          st.files, files.map(_._1), action)
+    } catch { case e: Throwable => sweep(); throw e }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()

@@ -193,7 +193,10 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       cat.loadTable(ident("t_real"), "99"))
     assert(ex.getMessage.contains("generation 99"))
     intercept[IllegalArgumentException](cat.loadTable(ident("t_real"), "v1.2"))
-    intercept[UnsupportedOperationException](cat.loadTable(ident("t_real"), 12345L))
+    // TIMESTAMP AS OF before the first commit: nothing to serve.
+    val tsEx = intercept[IllegalArgumentException](
+      cat.loadTable(ident("t_real"), 12345L))
+    assert(tsEx.getMessage.contains("precedes the first commit"))
     intercept[UnsupportedOperationException](cat.dropTable(ident("t_real")))
     intercept[UnsupportedOperationException](
       cat.renameTable(ident("t_real"), ident("t_other")))
@@ -207,5 +210,53 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       spark.sql("TRUNCATE TABLE spec_cat.t_real"))
     assert((trEx.getMessage + Option(trEx.getCause).fold("")(_.getMessage))
       .contains("expire/vacuum"))
+  }
+
+  test("TIMESTAMP AS OF resolves the latest generation committed <= ts") {
+    import spark.implicits._
+    val t = s"$warehouse/t_ts"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    SnapshotTable.commit(Seq((2L, 20L)).toDF("k", "v"), t, 2L,
+      carryFrom = Some(1L))
+    val ts1 = SnapshotTable.commitTimestamp(spark, t, 1L).get
+    val ts2 = SnapshotTable.commitTimestamp(spark, t, 2L).get
+    // Monotonic stamping: back-to-back commits never share a stamp.
+    assert(ts2 > ts1)
+    // Gen 1's exact stamp serves gen 1; gen 2's (and anything later)
+    // serves gen 2 — through the SQL surface, micros from the marker.
+    def countAt(micros: Long): Long = spark.sql(
+      s"SELECT count(*) FROM spec_cat.t_ts TIMESTAMP AS OF timestamp_micros($micros)")
+      .head().getLong(0)
+    assert(countAt(ts1 * 1000L) === 1L)
+    assert(countAt(ts2 * 1000L) === 2L)
+    assert(countAt(ts2 * 1000L + 60L * 1000000L) === 2L)
+    // Between the stamps: still gen 1 (latest committed <= ts).
+    if (ts2 > ts1 + 1) assert(countAt((ts1 + 1) * 1000L) === 1L)
+  }
+
+  test("an IO failure while listing a table surfaces, not NoSuchTable") {
+    // A warehouse on an unregistered scheme: generations() cannot list
+    // it — the failure must PROPAGATE as the filesystem error instead
+    // of masquerading as "table does not exist" (the catch-all that
+    // used to turn transient IO outages into silent invisibility).
+    spark.conf.set("spark.sql.catalog.badfs_cat",
+      classOf[graft.streaming.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.badfs_cat.warehouse", "nofs://wh")
+    val bad = spark.sessionState.catalogManager.catalog("badfs_cat")
+      .asInstanceOf[TableCatalog]
+    val e = intercept[Exception](bad.tableExists(ident("t_any")))
+    assert(!e.isInstanceOf[NoSuchTableException])
+    assert(e.getMessage.toLowerCase.contains("nofs"))
+  }
+
+  test("a foreign manifests layout is invisible, not an error") {
+    // A directory that LOOKS like a table but whose gen= names do not
+    // parse is the expected not-a-table shape — swallowed, invisible.
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$warehouse/t_foreign/manifests/gen=abc"))
+    assert(!cat.tableExists(ident("t_foreign")))
+    assert(!cat.listTables(Array.empty).map(_.name()).contains("t_foreign"))
   }
 }
