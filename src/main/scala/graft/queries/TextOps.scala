@@ -296,40 +296,62 @@ object TextOps {
       .orderBy("w")
   }
 
+  /** Summary size for [[heavyHittersIncr]] — deliberately SMALLER than
+    * the fixture vocabulary so both the per-split prunes and the merge
+    * prune genuinely subtract at the gate scale (with
+    * [[MgSummarySize]], nothing would prune and the drill would
+    * degenerate to a wordcount).
+    */
+  private[queries] val MgIncrK = 16
+
   /** Incremental heavy-hitter maintenance via mergeable Misra-Gries
     * summaries — the [[ScalarOps.approxDistinctIncr]] (HLL) /
     * `approx_percentile_incr` (KLL) contract for FREQUENT ITEMS,
     * completing the incremental-sketch trio: history (train split) and
     * the incoming batch each collapse to an O(k) summary, and the
-    * corpus-wide candidate set comes from
-    * [[graft.functions.MisraGries.mergeBufs]] of the two — never from
-    * re-scanning history. In production the history summary is a
-    * PERSISTED artifact (≤ k (token, count) pairs regardless of corpus
-    * size) and each batch merges in. Reported counts are the merged
-    * summary's — under-estimates within N_total/(k+1) of truth, and
-    * the candidate set provably contains every φ-heavy hitter of the
-    * combined corpus for k ≥ 1/φ − 1 (the [[heavyHitters]] guarantee,
-    * surviving the merge by the mergeable-summaries theorem).
-    * Summary layout is implementation-defined → rows-only in the
-    * harness; SketchAccuracySpec pins the superset guarantee and the
-    * error band against exact counts.
+    * corpus-wide candidates come from merging the TWO SUMMARIES —
+    * never from re-scanning history. In production the history summary
+    * is a PERSISTED artifact (≤ k (token, count) pairs regardless of
+    * corpus size) and each batch merges in.
+    *
+    * Each summary is the DETERMINISTIC mergeable-summaries
+    * construction (Agarwal et al., "Mergeable Summaries"): exact
+    * per-part counts pruned to ≤ k survivors by subtracting the
+    * (k+1)-th largest count — a value defined by the count MULTISET
+    * alone, so arrival and aggregation order cannot perturb it (unlike
+    * the one-pass streaming fold, whose summary content is
+    * order-dependent; `stream_trending` exercises exactly this
+    * count-prune-merge cycle as LIVE stream state). The merge is
+    * combine + the same prune ([[graft.functions.MisraGries.mergeMaps]]'
+    * semantics, unrolled relationally), which keeps the merged error
+    * ≤ N_total/(k+1) by the mergeable-summaries theorem. That
+    * determinism is what buys the FULL VALUE ORACLE: the DuckDB twin
+    * unrolls both prunes and the merge from the same [[MgIncrK]].
+    * Estimates are under-counts within the band; SketchAccuracySpec
+    * pins the band and the φ-heavy-hitter superset guarantee.
     */
   def heavyHittersIncr(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.types._
-    val mg = udaf(new graft.functions.MisraGries(MgSummarySize),
-      org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("w", StringType)))))
+    val k = MgIncrK
+    // Prune exact (w, c) counts to an MG summary: subtract the
+    // (k+1)-th largest count (0 when ≤ k entries). TakeOrdered keeps
+    // the cut computation distributed; ties at the boundary do not
+    // matter because only the VALUE of the (k+1)-th count is used.
+    def prune(counts: DataFrame): DataFrame = {
+      val cut = counts.orderBy(desc("c")).limit(k + 1)
+        .agg(coalesce(when(count(lit(1)) === (k + 1).toLong, min("c")), lit(0L))
+          .as("cut"))
+      counts.crossJoin(broadcast(cut))
+        .filter(col("c") > col("cut"))
+        .select(col("w"), (col("c") - col("cut")).as("c"))
+    }
+    def summarize(toks: DataFrame): DataFrame =
+      prune(toks.groupBy("w").agg(count(lit(1)).as("c")))
     val words = SampleOps.withSplit(Tables.documents(spark, dir))
       .select(col("split"), explode(tokens(lower(col("text")))).as("w"))
-    val hist = words.filter(col("split") === "train").agg(mg(col("w")).as("_1"))
-    val batch = words.filter(col("split") =!= "train").agg(mg(col("w")).as("_2"))
-    hist.crossJoin(broadcast(batch))
-      .as[(graft.functions.MGBuf, graft.functions.MGBuf)]
-      .map { case (h, b) =>
-        graft.functions.MisraGries.mergeBufs(h, b, MgSummarySize) }
-      .select(explode(arrays_zip(col("words"), col("counts"))).as("e"))
-      .select(col("e.words").as("w"), col("e.counts").as("est_cnt"))
+    val hist = summarize(words.filter(col("split") === "train"))
+    val batch = summarize(words.filter(col("split") =!= "train"))
+    prune(hist.unionByName(batch).groupBy("w").agg(sum("c").as("c")))
+      .select(col("w"), col("c").as("est_cnt"))
       .orderBy(desc("est_cnt"), asc("w"))
   }
 
@@ -1817,6 +1839,36 @@ object TextOps {
         |SELECT w, cnt FROM c, t
         |WHERE cnt * 1000 >= total * 1
         |ORDER BY w""".stripMargin,
+    // Incremental twin: both per-split prunes and the merge prune
+    // unrolled from the same MgIncrK — each cut is the (k+1)-th
+    // largest count of its stage (0 when <= k survive), a multiset
+    // property no tie order can perturb, so the merged summary
+    // hash-matches the Spark side exactly.
+    "text_heavyhitters_incr" -> {
+      val k = MgIncrK
+      def pruneCtes(src: String, out: String): String =
+        s"""${out}_cut AS (
+           |  SELECT CASE WHEN count(*) = ${k + 1} THEN min(c) ELSE 0 END AS cut
+           |  FROM (SELECT c FROM $src ORDER BY c DESC LIMIT ${k + 1})),
+           |$out AS MATERIALIZED (
+           |  SELECT w, c - cut AS c FROM $src, ${out}_cut WHERE c > cut)""".stripMargin
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT ${SampleOps.duckSplitCase(SampleOps.duckBucket("doc_id"))} AS split, w
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |hc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wf
+         |       WHERE split = 'train' GROUP BY w),
+         |${pruneCtes("hc", "hs")},
+         |bc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wf
+         |       WHERE split <> 'train' GROUP BY w),
+         |${pruneCtes("bc", "bs")},
+         |u AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM (
+         |        SELECT * FROM hs UNION ALL SELECT * FROM bs) z GROUP BY w),
+         |${pruneCtes("u", "us")}
+         |SELECT w, CAST(c AS BIGINT) AS est_cnt FROM us
+         |ORDER BY est_cnt DESC, w""".stripMargin
+    },
     // Same planted PII, same ASCII-only patterns; DuckDB needs the 'g'
     // flag to match Spark's replace-all regexp_replace.
     "text_redact" ->

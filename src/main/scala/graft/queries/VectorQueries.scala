@@ -259,28 +259,62 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** K-means-trained centroids (the real IVF index build): MLlib KMeans
-    * over the corpus with a pinned seed, centers shipped back as a
-    * small broadcastable frame. At scale this runs offline — the model
-    * artifact is tiny (k × dim doubles) regardless of corpus size, and
-    * the per-query path is identical to the fixed-centroid variant.
+  /** Lloyd update rounds in [[trainedCents]] — fixed so the oracle can
+    * unroll exactly this many assignment/update CTE pairs.
+    */
+  val IvfLloydRounds = 3
+
+  /** K-means-trained centroids (the real IVF index build) as
+    * DETERMINISTIC Lloyd iterations the DuckDB oracle unrolls exactly
+    * — the same conversion `graph_lpa`/`graph_sssp` made for their
+    * loops, applied to the one training step that was a black box:
+    * init is the fixed-centroid recipe (vectors 1..k), each of
+    * [[IvfLloydRounds]] rounds assigns every vector to its nearest
+    * centroid (the shared [[cellsOf]] argmax, ties to the lowest cid)
+    * and recomputes each cell's mean in FIXED-POINT: components floor
+    * to micros once up front, per-(cell, dim) sums run over BIGINTs —
+    * order-independent, so shuffle/aggregation order cannot perturb
+    * the result — and the mean decodes through the identical IEEE
+    * (sum / n / 1e6) double tree on both engines. An emptied cell
+    * keeps its previous centroid, so k is stable. At scale this runs
+    * offline exactly like the MLlib variant it replaces: the artifact
+    * is k × dim doubles regardless of corpus size, each round is one
+    * broadcast-crossJoin assignment plus one (cell, dim)-keyed partial
+    * aggregation, and the tiny centroid frame localCheckpoints per
+    * round so the lineage stays flat.
     */
   private[queries] def trainedCents(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val feats = emb(spark, dir)
-      .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(IvfCentroids).setSeed(7L).setMaxIter(5)
-      .fit(feats)
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i.toLong + 1, c.toArray.toSeq) }
-      .toDF("cid", "cv")
+    val e = emb(spark, dir)
+    val eq = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("xi"))
+    def update(prev: DataFrame): DataFrame = {
+      val refreshed = eq
+        .join(cellsOf(ivfSims(e, prev)), "vec_id")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum("xi").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"),
+          struct(col("pos"),
+            (col("s").cast("double") / col("n").cast("double") /
+              lit(1000000.0)).as("cx")).as("pc"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(col("pc"))),
+          s => s.getField("cx")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+      refreshed.unionByName(
+        prev.join(refreshed.select("cid"), Seq("cid"), "left_anti"))
+    }
+    var cents = fixedCents(e)
+    for (_ <- 1 to IvfLloydRounds)
+      cents = update(cents).localCheckpoint()
+    cents
   }
 
-  /** Trained-IVF ANN. Registered rows-only (k-means centers are float
-    * artifacts with no closed-form SQL twin); exactness is pinned by the
-    * spec's probe-all-cells ≡ brute-force property, which holds for ANY
-    * centroid set because cells partition the corpus.
+  /** Trained-IVF ANN: [[trainedCents]]' deterministic Lloyd centers
+    * feeding the shared two-level probe/score path — value-gated
+    * end-to-end (the oracle re-derives the training loop itself); the
+    * spec's probe-all-cells ≡ brute-force property additionally pins
+    * that the path is exact for ANY centroid set, trained or not.
     */
   def topKIvfTrained(spark: SparkSession, dir: String): DataFrame =
     topKIvfWith(emb(spark, dir), trainedCents(spark, dir), IvfProbe)
@@ -1462,6 +1496,64 @@ object VectorQueries {
        |WHERE x.vec_id <> $QueryVecId
        |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
 
+  /** The trained-IVF oracle: [[trainedCents]]' Lloyd loop UNROLLED as
+    * [[IvfLloydRounds]] materialized CTE pairs (assign `a{r}` from
+    * sims `s{r}`, update `c{r+1}`), exactly the `graph_lpa` recipe.
+    * Fixed-point micros (floored BIGINTs) make the per-cell sums
+    * order-independent, and the mean decodes through the identical
+    * IEEE `sum / n / 1e6` tree, so the centers — and therefore the
+    * final probe/score head — hash-match exactly. Emptied cells carry
+    * their previous centroid, mirroring the Spark union.
+    */
+  private lazy val duckIvfTrainedSql: String = {
+    def simsCte(c: String): String =
+      s"""SELECT e.vec_id, c.cid,
+         |    coalesce(${VectorOps.cosineSql("e.v", "c.cv")}, -2.0) AS sim
+         |  FROM e CROSS JOIN $c c""".stripMargin
+    def assignCte(s: String): String =
+      s"""SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |  FROM $s) t WHERE rn = 1""".stripMargin
+    val rounds = (0 until IvfLloydRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  ${simsCte(s"c$r")}),
+         |a$r AS MATERIALIZED (
+         |  ${assignCte(s"s$r")}),
+         |u$r AS MATERIALIZED (
+         |  SELECT cell AS cid, list(cx ORDER BY pos) AS cv FROM (
+         |    SELECT a.cell, q.pos,
+         |      CAST(sum(q.xi) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS cx
+         |    FROM eq q JOIN a$r a ON q.vec_id = a.vec_id
+         |    GROUP BY a.cell, q.pos) GROUP BY cell),
+         |c${r + 1} AS MATERIALIZED (
+         |  SELECT * FROM u$r
+         |  UNION ALL
+         |  SELECT cid, cv FROM c$r WHERE cid NOT IN (SELECT cid FROM u$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($CastEmb),
+       |eq AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+       |    CAST(floor(unnest(v) * 1000000.0) AS BIGINT) AS xi FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+       |$rounds,
+       |fs AS MATERIALIZED (
+       |  ${simsCte(s"c$IvfLloydRounds")}),
+       |fcells AS (
+       |  ${assignCte("fs")}),
+       |probe AS (SELECT cid AS cell FROM fs WHERE vec_id = $QueryVecId
+       |          ORDER BY sim DESC, cid LIMIT $IvfProbe),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+       |SELECT x.vec_id, fcells.cell, ${VectorOps.cosineSql("x.v", "qv")} AS sim
+       |FROM e x
+       |JOIN fcells ON x.vec_id = fcells.vec_id
+       |JOIN probe ON fcells.cell = probe.cell
+       |CROSS JOIN q
+       |WHERE x.vec_id <> $QueryVecId
+       |ORDER BY sim DESC, x.vec_id LIMIT 10""".stripMargin
+  }
+
   /** The IVF oracle with the MoR delete slice excluded relationally —
     * tombstoned vectors must never be candidates.
     */
@@ -1922,6 +2014,9 @@ object VectorQueries {
     // exists to gate.
     "simsearch_ivf_incr" -> duckIvfSql,
     "simsearch_ivf_mor" -> duckIvfMorSql,
+    // Mirrors topKIvfTrained: the deterministic Lloyd loop unrolled,
+    // then the standard probe/score head over the trained centers.
+    "simsearch_ivf_trained" -> duckIvfTrainedSql,
     // Same codebook (per-dim min/max), same encode/decode expression
     // trees, same two-stage ranking as topKSq8.
     "simsearch_sq8" ->

@@ -76,12 +76,18 @@ class SketchAccuracySpec extends AnyFunSuite {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)].collect().toMap
     val total = exact.values.sum
-    val k = TextOps.MgSummarySize.toLong
-    // Superset guarantee survives the merge: every >= 0.1%-of-corpus
-    // token must be among the merged candidates.
+    val k = TextOps.MgIncrK.toLong
+    // Pruning is REAL at this k: the summary is bounded by k and the
+    // survivors' counts were actually decremented (the drill must not
+    // degenerate to a wordcount the way an over-sized k would).
+    assert(got.length <= k)
+    assert(got.exists { case (w, est) => est < exact(w) },
+      "no estimate was decremented - the prunes never fired")
+    // Superset guarantee survives the merge: every token heavier than
+    // the MG threshold N/(k+1) must be among the merged candidates.
     val cands = got.map(_._1).toSet
     exact.foreach { case (w, c) =>
-      if (c * 1000L >= total) assert(cands.contains(w),
+      if (c > total / (k + 1)) assert(cands.contains(w),
         s"true heavy hitter $w (cnt=$c, total=$total) missing from merged summary")
     }
     // Merged counts are under-estimates within N_total/(k+1) of truth.
