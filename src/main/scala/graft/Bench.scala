@@ -121,6 +121,22 @@ object Bench {
       !org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark) ||
         spark.sparkContext.getPersistentRDDs.nonEmpty
 
+    // MACHINE-STATE markers for the artifact: the variance envelope
+    // (docs/SCALE.md) attributes ±10% uniform drift to ambient machine
+    // state (a just-finished JVM-heavy harness), but a bench artifact
+    // without load/uptime forces every reader to re-derive that from
+    // context. Load average (1-min) at start AND end, the count of
+    // live JVMs sharing the box, this JVM's uptime at exit, and the
+    // order seed make the drift attributable from the JSON alone.
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    def jvmCount(): Long =
+      ProcessHandle.allProcesses().filter(p =>
+        p.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .count()
+    val loadStart = load1()
+
     // Session warmup (scheduler + codegen framework), then per query:
     // cold run (fast path may end here, after a clean re-run if a
     // predecessor left cached state) → clean state → timed run →
@@ -168,8 +184,14 @@ object Bench {
     val failedArr = failures.keys.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val machine =
+      s"""{"load1_start":$loadStart,"load1_end":${load1()},""" +
+        s""""jvms":${jvmCount()},""" +
+        s""""jvm_uptime_sec":${java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getUptime / 1000.0},""" +
+        s""""order_seed":${seed.map(_.toString).getOrElse("null")}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"machine":$machine,"sf":"$sfDir"}"""
     // The driver captures only the tail of the build output; with 120+
     // per-query entries the full line alone can push its own
     // "metric":"total" prefix out of that window (round 5 lost the
@@ -201,7 +223,7 @@ object Bench {
       }
     }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedArr,"machine":$machine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

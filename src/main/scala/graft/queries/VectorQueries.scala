@@ -820,12 +820,14 @@ object VectorQueries {
     * accordingly:
     *
     *  1. '''Corpus-sized''': ONE scan accumulating the first/second
-    *     moment sums in floor-micro integer units via the typed
-    *     [[graft.functions.GramSums]] aggregator — d + d² longs of
-    *     state riding the aggregation buffer with map-side partial
-    *     merge, nothing row-proportional past the exchange, and
-    *     integer sums are order-insensitive so the numbers are
-    *     bit-identical to DuckDB's recompute.
+    *     moment sums in floor-micro integer units via the native
+    *     [[graft.functions.GramSumsAgg]] `TypedImperativeAggregate` —
+    *     d + d² longs mutated IN PLACE in one flat buffer (zero
+    *     per-row allocation) with map-side partial merge, nothing
+    *     row-proportional past the exchange, and integer sums are
+    *     order-insensitive so the numbers are bit-identical to
+    *     DuckDB's recompute (and to the typed [[graft.functions
+    *     .GramSums]] streaming twin — GramSumsSpec pins it).
     *  2. '''KB-sized''': the d×d covariance assembled from those
     *     integers (C = S2u/(1e6·n) − m·mᵀ, m = S1u/(1e6·n)) is
     *     eigendecomposed on the DRIVER by deterministic cyclic Jacobi
@@ -850,14 +852,20 @@ object VectorQueries {
     val firstDim = raw.select(size(col("embedding"))).limit(1).collect()
     require(firstDim.nonEmpty, "embed_pca needs a non-empty embeddings table")
     val d = firstDim.head.getInt(0)
-    val buf = raw.as[Seq[Float]]
-      .select(new graft.functions.GramSums(d).toColumn).head()
-    val n = buf.n
+    require(d >= PcaTopK,
+      s"embed_pca reports $PcaTopK components but the embeddings carry " +
+        s"only dim $d - reduce PcaTopK or use a wider embedding column")
+    val g = raw
+      .select(graft.functions.GramSumsAgg(col("embedding"), d).as("g"))
+      .head().getStruct(0)
+    val n = g.getLong(0)
+    val s1 = g.getSeq[Long](1)
+    val s2 = g.getSeq[Long](2)
     require(n > 0, "embed_pca needs a non-empty embeddings table")
 
-    val mean = Array.tabulate(d)(i => buf.s1(i).toDouble / (1e6 * n))
+    val mean = Array.tabulate(d)(i => s1(i).toDouble / (1e6 * n))
     val cov = Array.tabulate(d, d)((i, j) =>
-      buf.s2(i * d + j).toDouble / (1e6 * n) - mean(i) * mean(j))
+      s2(i * d + j).toDouble / (1e6 * n) - mean(i) * mean(j))
     val (evals, evecs) = graft.operators.Jacobi.eigh(cov)
 
     val trace = (0 until d).map(i => cov(i)(i)).sum
@@ -869,8 +877,8 @@ object VectorQueries {
     }
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.lazyZip(b).map(_ * _).sum
-    val gramTraceUnits = (0 until d).map(i => buf.s2(i * d + i)).sum
-    val meanAbsUnits = buf.s1.map(math.abs).sum
+    val gramTraceUnits = (0 until d).map(i => s2(i * d + i)).sum
+    val meanAbsUnits = s1.map(math.abs).sum
     val explainedOk = evals.take(PcaTopK).sum <= trace + 1e-9 * scale &&
       evals(PcaTopK - 1) >= -1e-9 * scale
     val rows = (0 until PcaTopK).map { c =>

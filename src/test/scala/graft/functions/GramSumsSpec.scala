@@ -62,4 +62,36 @@ class GramSumsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       agg.reduce(agg.zero, Seq(1.0f, 2.0f)))
   }
+
+  test("the imperative form emits sums identical to the typed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Same data, both forms, several partitions so partial merges fire.
+    val ds = vecs.toDS().repartition(3)
+    val typed = ds.select(new GramSums(d).toColumn).head()
+    val row = ds.toDF("v")
+      .select(GramSumsAgg(col("v"), d).as("g")).head().getStruct(0)
+    assert(row.getLong(0) === typed.n)
+    assert(row.getSeq[Long](1) === typed.s1)
+    assert(row.getSeq[Long](2) === typed.s2)
+    assert(typed === reference(vecs),
+      "both forms must carry the sequential reference sums")
+  }
+
+  test("the imperative buffer round-trips serialization and merges in place") {
+    val agg = GramSumsAgg(
+      org.apache.spark.sql.GraftBridge.expression(
+        org.apache.spark.sql.functions.col("v")), d)
+    val b = agg.createAggregationBuffer()
+    assert(b.length === 1 + d + d * d)
+    val restored = agg.deserialize(agg.serialize(
+      Array.tabulate(1 + d + d * d)(_.toLong)))
+    assert(restored.toSeq === (0 until 1 + d + d * d).map(_.toLong))
+    // merge mutates the left buffer in place (the zero-allocation path).
+    val x = Array.fill(1 + d + d * d)(2L)
+    val y = Array.fill(1 + d + d * d)(3L)
+    val merged = agg.merge(x, y)
+    assert(merged eq x)
+    assert(x.forall(_ == 5L))
+  }
 }

@@ -28,7 +28,16 @@ def main(paths):
     runs = []
     for p in paths:
         with open(p) as f:
-            runs.append(json.load(f)["queries"])
+            doc = json.load(f)
+        runs.append(doc["queries"])
+        # Machine-state markers (emitted by graft.Bench since r17) make
+        # ambient-load drift attributable from the artifact alone.
+        m = doc.get("machine")
+        if m:
+            print(f"-- {p}: load1 {m.get('load1_start')} -> "
+                  f"{m.get('load1_end')}, jvms {m.get('jvms')}, "
+                  f"uptime {m.get('jvm_uptime_sec')}s, "
+                  f"seed {m.get('order_seed')}")
     common = set(runs[0])
     for r in runs[1:]:
         common &= set(r)
