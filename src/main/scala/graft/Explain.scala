@@ -88,6 +88,15 @@ object Explain {
   // they execute their point lookups eagerly to read the planned-file
   // count off the EXECUTED DSv2 plan and return literal rows; the
   // pruning they prove is value-gated.
+  // simsearch_ivf_trained runs its Lloyd rounds eagerly (each round's
+  // tiny centroid frame localCheckpoints to keep the lineage flat),
+  // so the printed plan would be the probe/score head over an
+  // ExistingRDD — the per-round assignment/update plans are
+  // simsearch_ivf's audited shapes, and the training loop's values
+  // are oracle-gated.
+  // src_catalog_proc drives the CALL statements eagerly (stored
+  // procedures execute at spark.sql time) and returns a literal
+  // summary frame; the procedures' effects are value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md

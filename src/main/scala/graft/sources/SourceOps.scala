@@ -1003,6 +1003,66 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** SQL `CALL` — the stored-procedure MAINTENANCE surface
+    * ([[graft.streaming.SnapshotProcedures]]), completing the catalog
+    * front door: DML mutates rows, `CALL <cat>.system.*` runs the
+    * table lifecycle. The drill drives the full cycle against one
+    * table and gates every procedure's RESULT relation plus its
+    * observable effect: `compact(1 → 2 files‑wise 4 → 2)`,
+    * `rollback(1)` restoring the pre-compaction manifest as
+    * generation 3, `history()` (the DESCRIBE HISTORY analogue:
+    * per-generation action + data-file counts straight off the
+    * manifests — commit timestamps are wall-clock, so the gate binds
+    * their strict MONOTONICITY as a boolean instead of their values),
+    * and `expire(keep_from = 2)`, which retires generation 1's
+    * manifest while deleting ZERO data files — the rollback manifest
+    * still references them, the reference-counting the expire
+    * contract exists for — after which the time-travel read of the
+    * expired generation must fail loudly and the latest content must
+    * still serve byte-for-byte (phase `e_content`).
+    */
+  def catalogProc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_proc")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(orders.repartition(4), t, 1L)
+
+    val cRow = spark.sql(s"CALL $cat.system.compact('$name', 1, 2)").head()
+    val rRow = spark.sql(s"CALL $cat.system.rollback('$name', 1)").head()
+    val hRows = spark.sql(s"CALL $cat.system.history('$name')").collect()
+    // Wall-clock values cannot be oracle-matched; their ORDER can: the
+    // monotonic stamping contract says strictly increasing, non-null.
+    val ts = hRows.map(r =>
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val tsOk = ts.forall(_.isDefined) &&
+      ts.flatten.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+    val eRow = spark.sql(s"CALL $cat.system.expire('$name', 2)").head()
+    // The expired generation must no longer time-travel...
+    require(scala.util.Try(
+      spark.sql(s"SELECT count(*) FROM $cat.`$name` VERSION AS OF 1")
+        .collect()).isFailure,
+      "generation 1 was expired; VERSION AS OF 1 must fail loudly")
+    // ...and the procedure namespace must enumerate its surface.
+    require(spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
+      .length >= 4, "system namespace must list the maintenance procedures")
+
+    val meta = Seq(
+      ("a_compact", cRow.getLong(1), cRow.getLong(2), "", true),
+      ("b_rollback", rRow.getLong(1), rRow.getLong(2), "", true)) ++
+      hRows.map(r =>
+        ("c_hist", r.getLong(0), r.getLong(3), r.getString(1), tsOk)) ++
+      Seq(("d_expire", eRow.getLong(1), eRow.getLong(2), "", true))
+    meta.toDF("phase", "x", "y", "tag", "ok")
+      .unionByName(
+        spark.sql(s"""SELECT 'e_content' AS phase, count(*) AS x,
+                     |  sum(o_orderkey) AS y FROM $cat.`$name`""".stripMargin)
+          .select(col("phase"), col("x"), col("y"),
+            lit("").as("tag"), lit(true).as("ok")))
+      .orderBy("phase", "x")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -2062,6 +2122,7 @@ object SourceOps {
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
     "src_catalog_dml" -> (catalogDml _),
+    "src_catalog_proc" -> (catalogProc _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2443,6 +2504,24 @@ object SourceOps {
         |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
         |FROM merged
         |ORDER BY phase""".stripMargin,
+    // Procedure twin: every result relation re-derived from the drill's
+    // constants (4 init files, compact to 2, rollback restores 4, expire
+    // retires 1 manifest and 0 data files — the rollback still
+    // references them); e_content is the full projection (the rollback
+    // restored the pre-compaction content, which equals it). The
+    // wall-clock history stamps are gated as the monotonicity boolean.
+    "src_catalog_proc" ->
+      """SELECT 'a_compact' AS phase, CAST(1 AS BIGINT) AS x,
+        |  CAST(2 AS BIGINT) AS y, '' AS tag, TRUE AS ok
+        |UNION ALL SELECT 'b_rollback', 1, 3, '', TRUE
+        |UNION ALL SELECT 'c_hist', 1, 4, 'append', TRUE
+        |UNION ALL SELECT 'c_hist', 2, 2, 'compact', TRUE
+        |UNION ALL SELECT 'c_hist', 3, 4, 'rollback', TRUE
+        |UNION ALL SELECT 'd_expire', 1, 0, '', TRUE
+        |UNION ALL SELECT 'e_content',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders), '', TRUE
+        |ORDER BY phase, x""".stripMargin,
     // Delete twin: both phases re-derived from the predicate — before
     // is the full projection, after excludes the deleted residue.
     "src_catalog_delete" ->

@@ -33,8 +33,14 @@ import graft.sources.SnapshotTable
   * so `CREATE TABLE` / `ALTER` / `DROP` / `RENAME` through SQL are
   * refused loudly rather than half-implemented — the DML surface
   * (read, time travel, insert) is the part external consumers need.
+  * The MAINTENANCE commands ARE reachable from SQL, as stored
+  * procedures rather than DDL: `CALL <name>.system.compact/expire/
+  * rollback/history(...)` ([[SnapshotProcedures]]) wrap the library
+  * commands verbatim, so the SQL front door covers the whole table
+  * lifecycle without a second implementation of any of it.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -152,4 +158,22 @@ class SnapshotCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "snapshot tables are addressed by path; rename the directory out-of-band")
+
+  /** `CALL <catalog>.system.<proc>(...)` — the maintenance surface
+    * ([[SnapshotProcedures]]). Only the `system` namespace exists.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array(SnapshotProcedures.Namespace)),
+      s"snapshot procedures live under the '${SnapshotProcedures.Namespace}' " +
+        s"namespace: CALL $catalogName.system.<proc>(...); " +
+        s"got ${ident.namespace().mkString(".")}")
+    SnapshotProcedures.load(warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(SnapshotProcedures.Namespace)))
+      SnapshotProcedures.names
+        .map(Identifier.of(Array(SnapshotProcedures.Namespace), _)).toArray
+    else Array.empty
 }

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+
+/** SQL-callable MAINTENANCE procedures for the snapshot catalog — the
+  * Iceberg `CALL catalog.system.<proc>(...)` surface on Spark's
+  * DataSource V2 stored-procedure API ([[SnapshotCatalog]] implements
+  * `ProcedureCatalog`): the lifecycle commands an external SQL user
+  * needs but DML statements cannot express. Each wraps the
+  * library's existing command verbatim — same guards, same
+  * first-writer-wins commits — and returns a small summary relation
+  * (a `LocalScan`; all side effects run DRIVER-side on metadata, no
+  * job is scheduled for the call itself except compact's rewrite):
+  *
+  *  - `compact(tbl, from_gen, files)` — bin-pack `from_gen` into
+  *    `from_gen + 1` ([[SnapshotTable.compact]]); time travel to the
+  *    pre-compaction generation keeps serving.
+  *  - `expire(tbl, keep_from)` — retire generations `< keep_from`
+  *    ([[SnapshotTable.expire]]: manifests first, then
+  *    no-longer-referenced data files; live segment chains protected).
+  *  - `rollback(tbl, to_gen)` — restore `to_gen`'s manifest as a NEW
+  *    latest generation ([[SnapshotTable.rollback]]; history is
+  *    never rewritten).
+  *  - `history(tbl)` — one row per generation: recorded action,
+  *    commit wall-clock, data/tombstone file counts (the DESCRIBE
+  *    HISTORY analogue, straight off the manifests).
+  *
+  * `tbl` is the table's catalog name (warehouse-relative,
+  * `ns.name` dots for namespaces), resolved through the SAME path
+  * logic as table lookups so `CALL` and `SELECT` can never disagree
+  * about which directory a name means.
+  */
+private[streaming] object SnapshotProcedures {
+
+  val Namespace = "system"
+
+  private def spark: SparkSession = SparkSession.active
+
+  val names: Seq[String] = Seq("compact", "expire", "history", "rollback")
+
+  def load(warehouse: String, name: String): UnboundProcedure = {
+    def rootOf(tbl: String): String = {
+      val root = (warehouse +: tbl.split('.').toSeq).mkString("/")
+      require(SnapshotTable.generations(spark, root).nonEmpty,
+        s"procedure target '$tbl' is not a committed snapshot table " +
+          s"under $warehouse")
+      root
+    }
+    name match {
+      case "compact" => proc("compact",
+        "bin-pack a generation into the next one; history keeps serving",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("from_gen", LongType).build(),
+          ProcedureParameter.in("files", IntegerType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("compacted_gen", LongType),
+          StructField("new_gen", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val fromGen = in.getLong(1)
+        val files = in.getInt(2)
+        SnapshotTable.compact(spark, rootOf(tbl), fromGen, files)
+        Array(row(UTF8String.fromString(tbl), fromGen, fromGen + 1L))
+      }
+      case "expire" => proc("expire",
+        "retire generations below keep_from (manifests first, then orphaned files)",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("keep_from", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("manifests_removed", LongType),
+          StructField("data_files_removed", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val (manifests, dataFiles) =
+          SnapshotTable.expire(spark, rootOf(tbl), in.getLong(1))
+        Array(row(UTF8String.fromString(tbl), manifests, dataFiles))
+      }
+      case "rollback" => proc("rollback",
+        "restore an existing generation's manifest as a NEW latest generation",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("to_gen", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("restored_gen", LongType),
+          StructField("as_gen", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val root = rootOf(tbl)
+        val toGen = in.getLong(1)
+        val asGen = SnapshotTable.generations(spark, root).max + 1L
+        SnapshotTable.rollback(spark, root, toGen, asGen)
+        Array(row(UTF8String.fromString(tbl), toGen, asGen))
+      }
+      case "history" => proc("history",
+        "one row per generation: action, commit time, file counts",
+        Array(ProcedureParameter.in("tbl", StringType).build()),
+        StructType(Seq(
+          StructField("generation", LongType),
+          StructField("action", StringType),
+          StructField("commit_ts_ms", LongType),
+          StructField("n_data_files", LongType),
+          StructField("n_delete_files", LongType))),
+        deterministic = true) { in =>
+        val root = rootOf(in.getUTF8String(0).toString)
+        SnapshotTable.generations(spark, root).map { g =>
+          val (data, dels, _) = SnapshotTable.tailEntries(spark, root, g)
+          row(g,
+            SnapshotTable.commitAction(spark, root, g)
+              .map(UTF8String.fromString).orNull,
+            SnapshotTable.commitTimestamp(spark, root, g)
+              .map(java.lang.Long.valueOf).orNull,
+            data.size.toLong, dels.size.toLong)
+        }.toArray
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown snapshot procedure '$other' " +
+          s"(have: ${names.mkString(", ")})")
+    }
+  }
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  /** One procedure: `bind` ignores the argument shape (Spark coerces
+    * to the declared parameters) and `call` runs `body`, returning its
+    * rows as a single driver-local scan.
+    */
+  private def proc(procName: String, desc: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      deterministic: Boolean)(
+      body: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = deterministic
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            java.util.List.of[Scan](
+              SnapshotProcedureResult(outSchema, body(input))).iterator()
+        }
+    }
+}
+
+/** Driver-local result relation of one procedure call. */
+private[streaming] case class SnapshotProcedureResult(
+    schema: StructType, out: Array[InternalRow]) extends LocalScan {
+  override def rows(): Array[InternalRow] = out
+  override def readSchema(): StructType = schema
+}

@@ -249,6 +249,42 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("nofs"))
   }
 
+  test("stored procedures: listing, unknown names, and wrong namespaces") {
+    import spark.implicits._
+    // Force the suite's catalog registration (lazy) before SQL names it.
+    val _ = warehouse
+    // Listing through SQL enumerates exactly the maintenance surface.
+    val listed = spark.sql("SHOW PROCEDURES IN spec_cat.system")
+      .collect().map(r => r.getString(r.fieldIndex("procedure_name"))).toSet
+    assert(Set("compact", "expire", "history", "rollback").subsetOf(listed))
+    // Unknown procedure and wrong namespace fail loudly.
+    val unknown = intercept[Exception](
+      spark.sql("CALL spec_cat.system.no_such_proc('x')"))
+    assert((unknown.getMessage +
+      Option(unknown.getCause).fold("")(_.getMessage))
+      .contains("unknown snapshot procedure"))
+    val badNs = intercept[Exception](
+      spark.sql("CALL spec_cat.compact('x', 1, 2)"))
+    assert(badNs != null)
+    // A procedure against a non-table target refuses with a diagnostic.
+    val noTable = intercept[Exception](
+      spark.sql("CALL spec_cat.system.history('no_such_table')"))
+    assert((noTable.getMessage +
+      Option(noTable.getCause).fold("")(_.getMessage))
+      .contains("not a committed snapshot table"))
+    // history returns the real lineage through SQL.
+    val t = s"$warehouse/t_proc_hist"
+    SnapshotTable.commit(Seq((1L, 2L)).toDF("k", "v"), t, 1L)
+    SnapshotTable.commit(Seq((2L, 3L)).toDF("k", "v"), t, 2L,
+      carryFrom = Some(1L))
+    val h = spark.sql("CALL spec_cat.system.history('t_proc_hist')")
+      .orderBy("generation").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h.forall(_.getString(1) == "append"))
+    assert(h.map(_.getLong(2)).sliding(2).forall(p => p(0) < p(1)),
+      "history commit stamps must be strictly increasing")
+  }
+
   test("a foreign manifests layout is invisible, not an error") {
     // A directory that LOOKS like a table but whose gen= names do not
     // parse is the expected not-a-table shape — swallowed, invisible.
