@@ -1063,6 +1063,58 @@ object SourceOps {
       .orderBy("phase", "x")
   }
 
+  /** SQL `INSERT OVERWRITE` through the catalog — the whole-table
+    * replace half of the write surface (`INSERT INTO` appends): the
+    * statement resolves through the connector's `SupportsOverwriteV2`
+    * (whole-table predicate only — a `replaceWhere` is refused as
+    * DELETE + INSERT), publishing the query's result as the next
+    * generation's FULL content with recorded action "overwrite", the
+    * base generation pinned before any task runs. Both gated phases
+    * execute AFTER the overwrite: `a_before` time-travels to the
+    * pre-overwrite snapshot (history is never rewritten), `b_after`
+    * reads the replaced content. The drill then plants a STRAY file
+    * under the table's data root and `CALL`s the `vacuum` procedure
+    * in its quiesced window (min_age_ms = 0): exactly the orphan
+    * deletes, every referenced file — including the pre-overwrite
+    * generation's, still reachable via time travel — survives, and
+    * phase `c_vacuumed` re-reads the content byte-identically.
+    */
+  def catalogOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_overwrite")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(orders.repartition(2), t, 1L)
+    orders.createOrReplaceTempView("catalog_overwrite_src")
+
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.`$name`
+         |SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+         |FROM catalog_overwrite_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    require(SnapshotTable.commitAction(spark, t, 2L).contains("overwrite"),
+      "INSERT OVERWRITE must commit with the recorded action 'overwrite'")
+
+    // Orphan-reclamation through SQL: a stray unreferenced file must be
+    // the ONLY thing vacuum touches.
+    val stray = new org.apache.hadoop.fs.Path(s"$t/data/stray.parquet")
+    val fs = stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(stray).close()
+    val v = spark.sql(s"CALL $cat.system.vacuum('$name', 0)").head()
+    require(v.getLong(2) == 1L,
+      s"vacuum must remove exactly the planted stray; removed ${v.getLong(2)}")
+    require(!fs.exists(stray), "the stray file must be gone")
+
+    def phase(tag: String, from: String): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM $from""".stripMargin)
+    phase("a_before", s"$cat.`$name` VERSION AS OF 1")
+      .unionByName(phase("b_after", s"$cat.`$name`"))
+      .unionByName(phase("c_vacuumed", s"$cat.`$name`"))
+      .orderBy("phase")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -2123,6 +2175,7 @@ object SourceOps {
     "src_catalog_delete" -> (catalogDelete _),
     "src_catalog_dml" -> (catalogDml _),
     "src_catalog_proc" -> (catalogProc _),
+    "src_catalog_overwrite" -> (catalogOverwrite _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2522,6 +2575,22 @@ object SourceOps {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders), '', TRUE
         |ORDER BY phase, x""".stripMargin,
+    // Overwrite twin: a_before is the full projection, b_after/c_vacuumed
+    // the replaced content re-derived from the overwrite query's own
+    // predicate and arithmetic (spelled identically on both engines);
+    // the vacuum between b and c must change nothing the gate can see.
+    "src_catalog_overwrite" -> {
+      def ph(tag: String, priceExpr: String, where: String): String =
+        s"""SELECT '$tag' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(CAST(floor(($priceExpr) * 100) AS BIGINT)) AS BIGINT) AS price_cents
+           |FROM orders$where""".stripMargin
+      Seq(
+        ph("a_before", "o_totalprice", ""),
+        ph("b_after", "o_totalprice + 10", " WHERE o_orderkey % 2 = 0"),
+        ph("c_vacuumed", "o_totalprice + 10", " WHERE o_orderkey % 2 = 0"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY phase")
+    },
     // Delete twin: both phases re-derived from the predicate — before
     // is the full projection, after excludes the deleted residue.
     "src_catalog_delete" ->

@@ -32,6 +32,10 @@ import graft.sources.SnapshotTable
   *  - `history(tbl)` — one row per generation: recorded action,
   *    commit wall-clock, data/tombstone file counts (the DESCRIBE
   *    HISTORY analogue, straight off the manifests).
+  *  - `vacuum(tbl, min_age_ms)` — delete files no surviving manifest
+  *    or WAP branch references ([[SnapshotTable.vacuum]]; the age
+  *    guard protects in-flight writers' staged files — pass 0 only
+  *    in a quiesced maintenance window).
   *
   * `tbl` is the table's catalog name (warehouse-relative,
   * `ns.name` dots for namespaces), resolved through the SAME path
@@ -44,7 +48,7 @@ private[streaming] object SnapshotProcedures {
 
   private def spark: SparkSession = SparkSession.active
 
-  val names: Seq[String] = Seq("compact", "expire", "history", "rollback")
+  val names: Seq[String] = Seq("compact", "expire", "history", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -103,6 +107,21 @@ private[streaming] object SnapshotProcedures {
         val asGen = SnapshotTable.generations(spark, root).max + 1L
         SnapshotTable.rollback(spark, root, toGen, asGen)
         Array(row(UTF8String.fromString(tbl), toGen, asGen))
+      }
+      case "vacuum" => proc("vacuum",
+        "delete unreferenced data files older than min_age_ms (retention guard)",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("min_age_ms", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("files_seen", LongType),
+          StructField("orphans_removed", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val (seen, removed) =
+          SnapshotTable.vacuum(spark, rootOf(tbl), in.getLong(1))
+        Array(row(UTF8String.fromString(tbl), seen, removed))
       }
       case "history" => proc("history",
         "one row per generation: action, commit time, file counts",

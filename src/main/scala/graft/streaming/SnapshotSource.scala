@@ -403,27 +403,73 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  // TRUNCATE here advertises the whole-table INSERT OVERWRITE route
+  // (Spark models it as truncate-then-append through the write
+  // builder's SupportsOverwriteV2); the SQL TRUNCATE TABLE statement
+  // itself still routes to truncateTable(), which refuses.
+  // OVERWRITE_BY_FILTER is deliberately absent: predicate-scoped
+  // replaces are DELETE + INSERT on this connector.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
-  /** The WRITE path: `df.write.format(...).mode("append").save()`
-    * stages one parquet file per task under a writer-unique attempt
-    * directory (encoded through the same public Group API the readers
-    * decode with), and the driver-side commit publishes them as the
-    * NEXT generation carrying the previous one's files verbatim — the
-    * same append-without-rewrite, first-writer-wins, manifest-as-
-    * commit-point protocol every other writer uses. Two racing
-    * appends cannot both land on one generation: the loser's publish
-    * throws and its staged files are swept.
+  /** The WRITE path: `df.write.format(...).mode("append").save()` /
+    * SQL `INSERT INTO` stages one parquet file per task under a
+    * writer-unique attempt directory (encoded through the same public
+    * Group API the readers decode with), and the driver-side commit
+    * publishes them as the NEXT generation carrying the previous one's
+    * files verbatim — the same append-without-rewrite,
+    * first-writer-wins, manifest-as-commit-point protocol every other
+    * writer uses. Two racing appends cannot both land on one
+    * generation: the loser's publish throws and its staged files are
+    * swept.
+    *
+    * `INSERT OVERWRITE` (and `mode("overwrite")`) resolves through
+    * [[org.apache.spark.sql.connector.write.SupportsOverwriteV2]] for
+    * the WHOLE-TABLE case only (the single always-true predicate):
+    * the staged files publish as the next generation's FULL content
+    * with the recorded action "overwrite" — history still serves the
+    * pre-overwrite snapshots, the streaming `skipRewrites` guard
+    * refuses to skip the hop (an overwrite is never content-neutral),
+    * and the base generation pins at build time so a concurrent
+    * commit loses loudly. Filtered overwrites (`replaceWhere`,
+    * partition overwrite) are refused up front — a predicate-scoped
+    * replace is [[deleteWhere]] + append semantics this connector
+    * keeps as two explicit statements.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+      private var overwriteAll = false
+      private def isAll(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : Boolean =
+        predicates.isEmpty || (predicates.length == 1 &&
+          predicates.head
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.filter.AlwaysTrue])
+      override def canOverwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : Boolean = isAll(predicates)
+      override def overwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : WriteBuilder = {
+        if (!isAll(predicates)) throw new UnsupportedOperationException(
+          s"snapshot tables overwrite whole-table only; a predicate-scoped " +
+            s"replace (${predicates.mkString(", ")}) is DELETE + INSERT")
+        overwriteAll = true
+        this
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new SnapshotBatchWrite(table, info.schema())
-        override def toStreaming: StreamingWrite =
+          if (overwriteAll) new SnapshotOverwriteWrite(table, info.schema())
+          else new SnapshotBatchWrite(table, info.schema())
+        override def toStreaming: StreamingWrite = {
+          if (overwriteAll) throw new UnsupportedOperationException(
+            "streaming overwrite is not supported; the streaming sink's " +
+              "epoch-aligned replace protocol owns replays")
           new SnapshotStreamingWrite(table, info.schema())
+        }
       }
     }
 
@@ -899,6 +945,63 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
     try SnapshotTable.publishAppend(spark, table, gen, files,
       carryFrom = gens.maxOption)
     catch { case e: Throwable => sweep(); throw e }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
+
+  private def sweep(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}
+
+/** `INSERT OVERWRITE` / `mode("overwrite")`'s whole-table replace
+  * write: staged files publish as the next generation's FULL content
+  * (carrying nothing) with the recorded action "overwrite". The base
+  * generation pins at WRITE CONSTRUCTION (scan-free statements have
+  * no earlier resolution point), so a commit landing mid-statement
+  * makes this publish lose the first-writer-wins race loudly. An
+  * overwrite whose query produced ZERO rows is refused — it would
+  * commit the empty, reader-breaking generation `TRUNCATE` refuses.
+  */
+private[streaming] class SnapshotOverwriteWrite(table: String,
+    schema: StructType) extends BatchWrite {
+
+  private val stageDir =
+    s"$table/data/staged/a=${SnapshotTable.attemptName()}"
+
+  // Pinned at construction, before any task runs.
+  private val baseGen: Long = {
+    val gens = SnapshotTable.generations(SparkSession.active, table)
+    require(gens.nonEmpty, s"INSERT OVERWRITE on an empty snapshot table $table")
+    gens.max
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    try {
+      val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
+        .partition(_._2 > 0L)
+      empty.foreach { case (p, _) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, false)
+      }
+      if (files.isEmpty) throw new IllegalStateException(
+        s"INSERT OVERWRITE of $table produced no rows; an empty " +
+          "generation breaks the reader contract (schema inference, " +
+          "initial loads) - if the intent is emptying the table, use the " +
+          "library's expire/vacuum retention commands")
+      SnapshotTable.publishAppend(spark, table, baseGen + 1, files.map(_._1),
+        carryFrom = None, action = "overwrite")
+    } catch { case e: Throwable => sweep(); throw e }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()

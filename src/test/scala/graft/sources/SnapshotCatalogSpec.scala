@@ -256,7 +256,8 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // Listing through SQL enumerates exactly the maintenance surface.
     val listed = spark.sql("SHOW PROCEDURES IN spec_cat.system")
       .collect().map(r => r.getString(r.fieldIndex("procedure_name"))).toSet
-    assert(Set("compact", "expire", "history", "rollback").subsetOf(listed))
+    assert(Set("compact", "expire", "history", "rollback", "vacuum")
+      .subsetOf(listed))
     // Unknown procedure and wrong namespace fail loudly.
     val unknown = intercept[Exception](
       spark.sql("CALL spec_cat.system.no_such_proc('x')"))
@@ -283,6 +284,31 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(h.forall(_.getString(1) == "append"))
     assert(h.map(_.getLong(2)).sliding(2).forall(p => p(0) < p(1)),
       "history commit stamps must be strictly increasing")
+  }
+
+  test("INSERT OVERWRITE replaces the whole table; empty results refuse") {
+    import spark.implicits._
+    val t = s"$warehouse/t_overwrite"
+    SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, 1L)
+    Seq((7L, 70L), (8L, 80L), (9L, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("ow_src")
+    spark.sql("INSERT OVERWRITE spec_cat.t_overwrite SELECT * FROM ow_src")
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite")
+      .head().getLong(0) === 24L)
+    // History is intact, and the hop records its non-neutral action.
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite VERSION AS OF 1")
+      .head().getLong(0) === 3L)
+    assert(SnapshotTable.commitAction(spark, t, 2L).contains("overwrite"))
+    // An overwrite whose query yields no rows would commit the empty,
+    // reader-breaking generation TRUNCATE refuses - same refusal here.
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE spec_cat.t_overwrite SELECT * FROM ow_src WHERE k > 100"))
+    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .contains("produced no rows"))
+    // The refused overwrite published nothing.
+    assert(SnapshotTable.generations(spark, t) === Seq(1L, 2L))
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite")
+      .head().getLong(0) === 24L)
   }
 
   test("a foreign manifests layout is invisible, not an error") {
