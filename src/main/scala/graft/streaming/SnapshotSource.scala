@@ -515,15 +515,40 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
             maxGensPerBatch, maxFilesPerBatch)
-        override def toBatch: Batch =
-          new SnapshotBatch(table, required, generation,
-            SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
+        private val batch = new SnapshotBatch(table, required, generation,
+          SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
+        override def toBatch: Batch = batch
+        // POST-PRUNING size estimate from driver-side file metadata
+        // (one getFileStatus per planned file, no footer opens): what
+        // lets Catalyst AUTO-BROADCAST a small snapshot table in a
+        // SQL join — without it DSv2 defaults to "unknown = huge" and
+        // every join against a catalog table sort-merges. Advisory
+        // only: any resolution failure degrades to unknown and the
+        // real error surfaces at planInputPartitions, where it
+        // belongs.
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics =
+          new org.apache.spark.sql.connector.read.Statistics {
+            private lazy val bytes: java.util.OptionalLong =
+              try {
+                val files = batch.resolvePlan()._2
+                val conf = SparkSession.active.sparkContext.hadoopConfiguration
+                java.util.OptionalLong.of(files.map { f =>
+                  val p = new org.apache.hadoop.fs.Path(f)
+                  p.getFileSystem(conf).getFileStatus(p).getLen
+                }.sum)
+              } catch { case _: Exception => java.util.OptionalLong.empty() }
+            override def sizeInBytes(): java.util.OptionalLong = bytes
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.empty()
+          }
       }
     }
   }

@@ -234,6 +234,32 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     if (ts2 > ts1 + 1) assert(countAt((ts1 + 1) * 1000L) === 1L)
   }
 
+  test("TIMESTAMP AS OF refuses a lineage with unstamped manifests") {
+    import spark.implicits._
+    val t = s"$warehouse/t_ts_legacy"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    SnapshotTable.commit(Seq((2L, 20L)).toDF("k", "v"), t, 2L,
+      carryFrom = Some(1L))
+    // Simulate a pre-recording manifest: strip gen 1's stamp marker.
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = new org.apache.hadoop.fs.Path(s"$t/manifests/gen=1")
+    val marker = fs.listStatus(m1).map(_.getPath)
+      .find(_.getName.startsWith(".ts=")).get
+    fs.delete(marker, false)
+    val ts2 = SnapshotTable.commitTimestamp(spark, t, 2L).get
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM spec_cat.t_ts_legacy TIMESTAMP AS OF timestamp_micros(${ts2 * 1000L})")
+      .collect())
+    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .contains("predate commit-time recording"),
+      s"part-resolving a part-stamped lineage must refuse; got $e")
+    // VERSION AS OF still serves the same lineage.
+    assert(spark.sql(
+      "SELECT count(*) FROM spec_cat.t_ts_legacy VERSION AS OF 1")
+      .head().getLong(0) === 1L)
+  }
+
   test("an IO failure while listing a table surfaces, not NoSuchTable") {
     // A warehouse on an unregistered scheme: generations() cannot list
     // it — the failure must PROPAGATE as the filesystem error instead
@@ -309,6 +335,23 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(SnapshotTable.generations(spark, t) === Seq(1L, 2L))
     assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite")
       .head().getLong(0) === 24L)
+  }
+
+  test("scan statistics let Catalyst auto-broadcast a small catalog table") {
+    import spark.implicits._
+    val t = s"$warehouse/t_small_dim"
+    SnapshotTable.commit(
+      (1L to 50L).map(k => (k, s"d$k")).toDF("k", "name"), t, 1L)
+    spark.range(3000000L).selectExpr("id % 50 + 1 AS k")
+      .createOrReplaceTempView("stats_facts")
+    // No hint anywhere: the connector's post-pruning size estimate is
+    // what makes the dimension side broadcastable.
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM stats_facts f JOIN spec_cat.t_small_dim d ON f.k = d.k")
+    assert(df.head().getLong(0) === 3000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 50-row catalog table must auto-broadcast; got:\n$plan")
   }
 
   test("a foreign manifests layout is invisible, not an error") {
