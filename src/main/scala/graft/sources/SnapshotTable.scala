@@ -1086,6 +1086,26 @@ object SnapshotTable {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** All columns with committed bloom sidecars — what the connector
+    * advertises as runtime-filterable. One directory listing.
+    */
+  def bloomColumns(spark: SparkSession, table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
+      .sorted
+  }
+
+  /** Columns with long-form zone-map rows ([[publishStats]]) in
+    * generation `gen`'s manifest — the dimensions [[admittedFiles]]
+    * can prune on. One manifest read.
+    */
+  def statColumns(spark: SparkSession, table: String, gen: Long): Seq[String] =
+    readManifestRows(spark, manifestPath(table, gen))
+      .flatMap(_.keyCol).distinct.sorted
+
   /** Scheme-insensitive file identity: manifest paths and
     * `input_file_name()` render the same file as `/x`, `file:/x` or
     * `file:///x` depending on the producer — compare the URI path.

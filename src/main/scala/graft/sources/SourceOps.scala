@@ -1810,6 +1810,102 @@ object SourceOps {
       .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
   }
 
+  /** Dynamic file pruning through the connector — the RUNTIME
+    * counterpart of [[connectorBloomSkip]]'s compile-time pushdown:
+    * the fact side is a snapshot table whose pruning keys are only
+    * known after the DIM side's selective filter executes, so no
+    * static predicate can skip anything. The scan advertises its
+    * zone-map/bloom columns via `SupportsRuntimeV2Filtering`, Spark's
+    * dynamic-partition-pruning rule injects the dim-derived IN filter
+    * into the `BatchScanExec` (reusing the join's broadcast — the
+    * classic star-schema DPP, here at FILE granularity on a table
+    * format), and batch planning re-prunes: the drill REQUIRES the
+    * runtime filter's presence on the executed scan and gates the
+    * planned-file count — every dim key lives in slice 0 by
+    * construction, so exactly ONE of the [[SkipSlices]] files may
+    * plan — plus the joined content against the relational recompute.
+    * Scale shape: this is how a 100 TB fact scan joins a filtered
+    * dimension without reading the fact table — the dim's keys prune
+    * fact files at runtime through the same manifest machinery every
+    * static probe uses.
+    */
+  def connectorDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Conf-isolated clone (the joinSkewAqe pattern): pin the DPP knobs
+    // the drill's claim depends on, leave the shared session alone.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    s.conf.set("spark.sql.exchange.reuse", "true")
+    val table = freshTable(s, "connector_dpp")
+    val src = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("sl", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("sl"))
+      .write.partitionBy("sl").mode("overwrite").parquet(gen1Dir)
+    val paths = s.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishStats(s, table, 1L,
+      SnapshotTable.footerStats(s, paths, Seq("o_orderkey")))
+
+    // Parquet-backed dim (a folded local relation would not count as a
+    // selective build side): the 'x' keys all land in slice 0.
+    val dimDir = freshTable(s, "connector_dpp_dim")
+    src.filter(col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") < w, "x").otherwise("y").as("tag"))
+      .write.mode("overwrite").parquet(dimDir)
+
+    val joined = s.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .join(s.read.parquet(dimDir).filter(col("tag") === "x"), "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+        expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+          .as("price_cents"))
+    val row = joined.head()
+
+    // Read the EXECUTED plan: the snapshot scan must carry an injected
+    // runtime filter, and its re-planned partitions are the gate.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // Walk ONLY the materialized final plan: an AQE node's `children`
+    // lead to pre-execution copies whose runtime filters never ran
+    // (touching their lazy input throws "no subquery result").
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val scans = flatten(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("SnapshotSource") => b
+    }
+    require(scans.nonEmpty, "the snapshot scan must appear in the executed plan")
+    require(scans.exists(_.runtimeFilters.nonEmpty),
+      "Spark must inject a dim-derived runtime filter into the snapshot " +
+        "scan; none present - dynamic file pruning never engaged")
+    // Planned files come from the connector's own planning telemetry:
+    // AQE may re-create (and discard) Scan copies, so plan-node
+    // introspection can land on an unfiltered cosmetic instance — the
+    // LAST planning the connector performed is the ground truth, and
+    // the drill additionally requires that it was runtime-filtered.
+    // The gate reads the planning that CARRIED the runtime filter (AQE
+    // may organically re-plan cosmetic unfiltered copies around it;
+    // only the filtered planning built the executed RDD).
+    val runtimePlans = graft.streaming.SnapshotSource.planHistory(table)
+      .collect { case (n, true) => n }
+    require(runtimePlans.nonEmpty,
+      "no runtime-filtered planning recorded - dynamic file pruning " +
+        "never reached the connector")
+    val planned = runtimePlans.last
+
+    Seq((paths.size.toLong, planned.toLong)).toDF("n_files_total", "n_files_planned")
+      .select(col("n_files_total"), col("n_files_planned"),
+        lit(row.getLong(0)).as("n_rows"), lit(row.getLong(1)).as("key_sum"),
+        lit(row.getLong(2)).as("price_cents"))
+  }
+
   /** INCREMENTAL bloom-index maintenance through the connector — the
     * daily-ingest completion of [[connectorBloomSkip]]: generation 1
     * builds the sidecar, generation 2 appends new files and EXTENDS
@@ -2176,6 +2272,7 @@ object SourceOps {
     "src_catalog_dml" -> (catalogDml _),
     "src_catalog_proc" -> (catalogProc _),
     "src_catalog_overwrite" -> (catalogOverwrite _),
+    "src_connector_dpp" -> (connectorDpp _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2575,6 +2672,23 @@ object SourceOps {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders), '', TRUE
         |ORDER BY phase, x""".stripMargin,
+    // DPP twin: the planned-file count is the structural gate (all 'x'
+    // dim keys sit below the slice width, so runtime pruning must plan
+    // exactly one of the SkipSlices files); content re-derives the
+    // join relationally from the dim predicate, slice width recomputed
+    // from the same integer arithmetic.
+    "src_connector_dpp" ->
+      s"""WITH wv AS (SELECT (max(o_orderkey) + $SkipSlices) // $SkipSlices AS w
+         |            FROM orders),
+         |x AS (SELECT o_orderkey, o_totalprice FROM orders
+         |      WHERE o_orderkey % 31 = 0
+         |        AND o_orderkey < (SELECT w FROM wv))
+         |SELECT CAST($SkipSlices AS BIGINT) AS n_files_total,
+         |  CAST(1 AS BIGINT) AS n_files_planned,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM x""".stripMargin,
     // Overwrite twin: a_before is the full projection, b_after/c_vacuumed
     // the replaced content re-derived from the overwrite query's own
     // predicate and arithmetic (spelled identically on both engines);

@@ -78,7 +78,33 @@ class SnapshotSourceProvider extends TableProvider {
       SnapshotSource.tableRoot(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-private[streaming] object SnapshotSource {
+private[graft] object SnapshotSource {
+
+  /** Last batch-planning outcome per table — DRIVER-side planning
+    * telemetry: `(planned file count, whether runtime filters had been
+    * applied to that planning)`. Execution planning runs on Scan
+    * instances AQE may re-create and discard (a post-hoc walk of the
+    * final plan can land on an unfiltered cosmetic copy), so the
+    * drills/specs that gate pruning decisions read the LAST planning
+    * the connector actually performed instead of introspecting plan
+    * nodes. Keyed by table root; per-drill tables are unique paths.
+    */
+  private val planLog =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Int, Boolean)]]()
+
+  private[streaming] def recordPlan(table: String, files: Int,
+      runtimeApplied: Boolean): Unit = {
+    planLog.merge(table, List((files, runtimeApplied)),
+      (old, one) => old ++ one)
+    ()
+  }
+
+  /** Every batch planning of `table` this session, in order. */
+  private[graft] def planHistory(table: String): Seq[(Int, Boolean)] =
+    Option(planLog.get(table)).getOrElse(Nil)
+
+  private[graft] def lastPlan(table: String): Option[(Int, Boolean)] =
+    planHistory(table).lastOption
 
   def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -197,10 +223,65 @@ private[streaming] object SnapshotSource {
         }
         case _ => Seq.empty
       }
+      // An IN list prunes zone maps by its [min, max] envelope — the
+      // V1 boundOf rule, and the shape every RUNTIME filter arrives in
+      // (translateRuntimeFilterV2 renders the build side's keys as one
+      // IN over literals); the bloom probes handle exact membership.
+      case "IN" => p.children() match {
+        case Array(a, rest @ _*) =>
+          val vs = rest.map(v2Long)
+          (v2Col(a), vs) match {
+            case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
+              val l = ls.flatten
+              Seq(c -> ((l.min, l.max)))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
       case _ => Seq.empty
     }
     predicates.flatMap(one).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    }
+  }
+
+  /** [[probesOf]] over V2 predicates — the DELETE pushdown's
+    * file-level BLOOM hook, mirroring the batch scan's: exact point
+    * probes from `=` / `IN` conjuncts on integer columns (several
+    * probes on one column intersect). Unrecognized conjuncts are
+    * ignored, which is SOUND for pruning (a file admitted by the
+    * recognized conjuncts is a superset of files satisfying the AND).
+    */
+  def v2ProbesOf(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Map[String, Seq[Long]] = {
+    def one(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Seq[(String, Seq[Long])] = p.name() match {
+      case "AND" => p.children().toSeq.collect {
+        case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
+      }.flatMap(one)
+      case "=" => p.children() match {
+        case Array(a, b) => (v2Col(a), v2Long(b)) match {
+          case (Some(c), Some(v)) => Seq(c -> Seq(v))
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      case "IN" => p.children() match {
+        case Array(a, rest @ _*) =>
+          val vs = rest.map(v2Long)
+          (v2Col(a), vs) match {
+            case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
+              Seq(c -> ls.flatten.toSeq)
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    predicates.flatMap(one).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
     }
   }
 
@@ -336,8 +417,19 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     val (dataFiles, tombstones, segmented) =
       SnapshotTable.tailEntries(spark, table, latest)
     val bounds = SnapshotSource.v2BoundsOf(predicates)
-    if (!segmented && tombstones.isEmpty && bounds.nonEmpty) {
-      val affected = SnapshotTable.admittedFiles(spark, table, latest, bounds)
+    val probes = SnapshotSource.v2ProbesOf(predicates)
+    if (!segmented && tombstones.isEmpty && (bounds.nonEmpty || probes.nonEmpty)) {
+      // Two-level skipping, exactly the batch scan's: zone-map bounds
+      // first, then the bloom sidecars for the point probes (the case
+      // zone maps cannot prune when every file spans the domain).
+      val affected = probes.foldLeft(
+          SnapshotTable.admittedFiles(spark, table, latest, bounds)) {
+        case (files, (c, vs)) =>
+          if (vs.isEmpty) Seq.empty
+          else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
+            SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
+          else files
+      }
       val untouched = dataFiles.distinct.toSet -- affected
       if (untouched.nonEmpty) {
         val gen = latest + 1
@@ -515,10 +607,32 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
+      // SupportsRuntimeV2Filtering rides the PLAIN table scan only —
+      // a join's build-side keys prune files through the same
+      // zone-map/bloom machinery as compile-time pushdown, after the
+      // build side executes (DPP for a file-granular table format).
+      // The row-level operation scan deliberately does NOT advertise
+      // it: group-based rewrites must write back EVERY row of every
+      // group the statement can touch, and a runtime filter derived
+      // from a MERGE source would wrongly prune files whose rows only
+      // the NOT-MATCHED-BY-SOURCE arms touch — the static pushdown
+      // (whose conjuncts cover all arms or nothing) stays its pruner.
       override def build(): Scan = new Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          batch.indexedColumns()
+            .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+            .toArray
+        override def filter(
+            predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+            : Unit =
+          batch.applyRuntimeFilters(
+            SnapshotSource.v2BoundsOf(predicates),
+            SnapshotSource.v2ProbesOf(predicates))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
             maxGensPerBatch, maxFilesPerBatch)
@@ -538,7 +652,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           new org.apache.spark.sql.connector.read.Statistics {
             private lazy val bytes: java.util.OptionalLong =
               try {
-                val files = batch.resolvePlan()._2
+                val files = batch.resolvePlan(record = false)._2
                 val conf = SparkSession.active.sparkContext.hadoopConfiguration
                 java.util.OptionalLong.of(files.map { f =>
                   val p = new org.apache.hadoop.fs.Path(f)
@@ -565,6 +679,46 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     bounds: Map[String, (Long, Long)] = Map.empty,
     probes: Map[String, Seq[Long]] = Map.empty) extends Batch {
 
+  // RUNTIME filters (SupportsRuntimeV2Filtering): bounds/probes derived
+  // from a join's build side AFTER it executes, intersected with the
+  // compile-time pushdown before planning. Sound for the same reason
+  // the static filters are: both only SKIP files their conjunct proves
+  // row-free, and Spark still evaluates the join itself row-level.
+  @volatile private var rtBounds: Map[String, (Long, Long)] = Map.empty
+  @volatile private var rtProbes: Map[String, Seq[Long]] = Map.empty
+
+  private[streaming] def applyRuntimeFilters(b: Map[String, (Long, Long)],
+      p: Map[String, Seq[Long]]): Unit = {
+    rtBounds = b
+    rtProbes = p
+  }
+
+  private def mergedBounds: Map[String, (Long, Long)] =
+    (bounds.toSeq ++ rtBounds.toSeq).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    }
+
+  private def mergedProbes: Map[String, Seq[Long]] =
+    (probes.toSeq ++ rtProbes.toSeq).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+
+  /** Columns the manifest's zone maps or bloom sidecars can prune on
+    * at the CURRENTLY-resolved generation — what the scan advertises
+    * as runtime-filterable. Advisory: failures degrade to none.
+    */
+  private[streaming] def indexedColumns(): Seq[String] =
+    try {
+      val spark = SparkSession.active
+      val gens = SnapshotTable.generations(spark, table)
+      if (gens.isEmpty) return Seq.empty
+      val statCols = SnapshotTable.statColumns(spark, table,
+        generation.getOrElse(gens.max))
+      val bloomCols = SnapshotTable.bloomColumns(spark, table)
+      (statCols ++ bloomCols).distinct.filter(c =>
+        schema.fieldNames.contains(c))
+    } catch { case _: Exception => Seq.empty }
+
   /** The planning core, shared with [[planInputPartitions]] and the
     * row-level operations' RECORDING scan: `(resolved generation,
     * planned file list, segmented)`. Split out so a caller that must
@@ -573,7 +727,13 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     * partitions came from, never a re-resolution that a concurrent
     * commit could have moved.
     */
-  def resolvePlan(): (Long, Seq[String], Boolean) = {
+  def resolvePlan(): (Long, Seq[String], Boolean) = resolvePlan(record = true)
+
+  /** `record = false` for ADVISORY callers (statistics estimation):
+    * their resolutions are not executions and must not pollute the
+    * planning telemetry the pruning gates read.
+    */
+  def resolvePlan(record: Boolean): (Long, Seq[String], Boolean) = {
     val spark = SparkSession.active
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty, s"no committed generation at $table")
@@ -604,14 +764,17 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     // a residual, so correctness never rests on either index. An
     // unsatisfiable probe conjunction (empty intersection) plans zero
     // files outright.
-    val admitted = probes.foldLeft(
-        SnapshotTable.admittedFiles(spark, table, gen, bounds)) {
+    val admitted = mergedProbes.foldLeft(
+        SnapshotTable.admittedFiles(spark, table, gen, mergedBounds)) {
       case (files, (c, vs)) =>
         if (vs.isEmpty) Seq.empty
         else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
           SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
         else files
     }
+    if (record)
+      SnapshotSource.recordPlan(table, admitted.size,
+        rtBounds.nonEmpty || rtProbes.nonEmpty)
     (gen, admitted, false)
   }
 

@@ -162,6 +162,32 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 200L)
   }
 
+  test("SQL DELETE prunes files by bloom sidecars when zone maps cannot") {
+    import spark.implicits._
+    val t = s"$warehouse/t_bloom_del"
+    // Interleaved keys: BOTH files span [0, 199], so zone maps admit
+    // everything and only the bloom point probe can skip.
+    def writeOne(ks: Seq[Long], name: String): String = {
+      val dir = s"$t/data/gen=1/$name"
+      ks.map(k => (k, k * 2)).toDF("k", "v").repartition(1).write.parquet(dir)
+      spark.read.parquet(dir).inputFiles.head
+    }
+    val fa = writeOne(0L until 200L by 2, "a")
+    val fb = writeOne(1L until 200L by 2, "b")
+    SnapshotTable.publish(spark, t, 1L, Seq(fa, fb))
+    SnapshotTable.writeBloomIndex(spark, t, "k", Seq(fa, fb))
+
+    spark.sql("DELETE FROM spec_cat.t_bloom_del WHERE k = 42")
+
+    val files2 = SnapshotTable.listFiles(spark, t, 2L).toSet
+    assert(files2.contains(fb), "the probe-negative file must carry by path")
+    assert(!files2.contains(fa), "the probe-positive file must be rewritten")
+    val r = spark.sql(
+      "SELECT count(*), sum(k) FROM spec_cat.t_bloom_del").head()
+    assert(r.getLong(0) === 199L)
+    assert(r.getLong(1) === (0L until 200L).sum - 42L)
+  }
+
   test("SQL UPDATE and MERGE rewrite copy-on-write with actions recorded") {
     import spark.implicits._
     val t = s"$warehouse/t_dml"

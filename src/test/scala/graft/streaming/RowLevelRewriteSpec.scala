@@ -139,6 +139,33 @@ class RowLevelRewriteSpec extends AnyFunSuite {
     assert(SnapshotTable.generations(spark, t) === Seq(1L))
   }
 
+  test("runtime V2 filters prune the planned file set through zone maps") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val (t, _) = statsTable("t_runtime")
+    val table = new SnapshotSourceTable(t, SnapshotSource.latestSchema(t))
+    val scan = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val rt = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    // The stats column is advertised as filterable.
+    assert(rt.filterAttributes().map(_.fieldNames().mkString(".")).toSeq
+      === Seq("k"))
+    val batch = scan.toBatch
+    assert(batch.planInputPartitions().length === 4)
+    // A build-side-derived point filter arrives AFTER compile-time
+    // planning; the re-planned partitions cover only the matching slice.
+    rt.filter(Array(new Predicate("=",
+      Array(Expressions.column("k"), Expressions.literal(250L)))))
+    assert(batch.planInputPartitions().length === 1)
+    // An unsatisfiable runtime conjunction plans zero files.
+    rt.filter(Array(new Predicate("AND", Array(
+      new Predicate("=",
+        Array(Expressions.column("k"), Expressions.literal(250L))),
+      new Predicate("=",
+        Array(Expressions.column("k"), Expressions.literal(50L)))))))
+    assert(batch.planInputPartitions().length === 0)
+  }
+
   test("DML on a time-travel-pinned table is refused") {
     statsTable("t_pinned")
     val e = intercept[Exception] {
