@@ -97,6 +97,11 @@ object Explain {
   // src_catalog_proc drives the CALL statements eagerly (stored
   // procedures execute at spark.sql time) and returns a literal
   // summary frame; the procedures' effects are value-gated.
+  // src_catalog_overwrite and src_connector_dpp likewise: both execute
+  // their statements eagerly (the INSERT OVERWRITE + vacuum cycle; the
+  // DPP join whose planned-file evidence must come from the EXECUTED
+  // run) and return literal/aggregate frames; their pruning and
+  // content claims are value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md
