@@ -111,13 +111,19 @@ case class GramSumsAgg(child: Expression, d: Int,
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](1 + d + d * d)
 
+  // Writer-side scratch for one row's widened components — update()
+  // runs single-threaded per task instance, so reuse keeps the
+  // per-row cost allocation-free (the zero-allocation contract the
+  // imperative form exists for). Transient: never serialized.
+  @transient private lazy val scratch = new Array[Double](d)
+
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       require(arr.numElements() == d,
         s"expected dim $d, got ${arr.numElements()}")
-      val a = new Array[Double](d)
+      val a = scratch
       var i = 0
       while (i < d) {
         a(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)

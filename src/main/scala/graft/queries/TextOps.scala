@@ -344,13 +344,19 @@ object TextOps {
         .filter(col("c") > col("cut"))
         .select(col("w"), (col("c") - col("cut")).as("c"))
     }
+    // Each stage's exact counts localCheckpoint before pruning: prune
+    // references its input TWICE (cut + filter), so without the pin
+    // the corpus-sized tokenize+count subtree would re-execute per
+    // reference — the Spark analog of the oracle's AS MATERIALIZED
+    // CTEs. The pinned frames are vocabulary-sized.
     def summarize(toks: DataFrame): DataFrame =
-      prune(toks.groupBy("w").agg(count(lit(1)).as("c")))
+      prune(toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint())
     val words = SampleOps.withSplit(Tables.documents(spark, dir))
       .select(col("split"), explode(tokens(lower(col("text")))).as("w"))
     val hist = summarize(words.filter(col("split") === "train"))
     val batch = summarize(words.filter(col("split") =!= "train"))
-    prune(hist.unionByName(batch).groupBy("w").agg(sum("c").as("c")))
+    prune(hist.unionByName(batch).groupBy("w").agg(sum("c").as("c"))
+        .localCheckpoint())
       .select(col("w"), col("c").as("est_cnt"))
       .orderBy(desc("est_cnt"), asc("w"))
   }

@@ -302,8 +302,15 @@ object SnapshotTable {
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
       replace: Boolean, rows: Seq[ManifestRow],
       action: Option[String] = None): Unit = {
+    // Youngest earlier stamp, walking DESCENDING and stopping at the
+    // first stamped manifest: stamps are monotonic by construction, so
+    // the immediate predecessor normally answers in ONE listing — a
+    // full-history scan would make every commit O(lineage length)
+    // (O(N²) cumulative for a generation-per-micro-batch stream).
     val prevTs = generations(spark, table).filter(_ < gen)
-      .flatMap(g => commitTimestamp(spark, table, g)).maxOption
+      .sorted(Ordering[Long].reverse).iterator
+      .map(g => commitTimestamp(spark, table, g))
+      .collectFirst { case Some(ts) => ts }
     val ts = math.max(System.currentTimeMillis(), prevTs.map(_ + 1L).getOrElse(0L))
     writeManifestAt(spark,
       manifestPath(table, gen),

@@ -77,7 +77,14 @@ class SnapshotCatalog extends TableCatalog
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => isTable((dir +: Seq(n)).mkString("/"))).sorted
+      // ENUMERATION posture: one unreadable sibling entry must not
+      // abort the whole namespace listing and hide every healthy
+      // table — skip it here; a DIRECT lookup of that entry
+      // (loadTable/tableExists) still propagates its IO failure.
+      .filter { n =>
+        try isTable((dir +: Seq(n)).mkString("/"))
+        catch { case _: Exception => false }
+      }.sorted
       .map(n => Identifier.of(namespace, n))
   }
 

@@ -132,7 +132,10 @@ private[streaming] object SnapshotProcedures {
           StructField("commit_ts_ms", LongType),
           StructField("n_data_files", LongType),
           StructField("n_delete_files", LongType))),
-        deterministic = true) { in =>
+        // Reads only, but the RESULT depends on mutable table state (a
+        // concurrent commit changes it) — not deterministic in the
+        // invoke-me-anywhere sense the flag promises.
+        deterministic = false) { in =>
         val root = rootOf(in.getUTF8String(0).toString)
         SnapshotTable.generations(spark, root).map { g =>
           val (data, dels, _) = SnapshotTable.tailEntries(spark, root, g)

@@ -92,10 +92,16 @@ private[graft] object SnapshotSource {
   private val planLog =
     new java.util.concurrent.ConcurrentHashMap[String, List[(Int, Boolean)]]()
 
+  /** Per-table history cap: the gates read the recent tail; without a
+    * bound a long-lived session re-planning one table forever would
+    * grow the log (and pay an O(n) list copy per append).
+    */
+  private val PlanLogKeep = 16
+
   private[streaming] def recordPlan(table: String, files: Int,
       runtimeApplied: Boolean): Unit = {
     planLog.merge(table, List((files, runtimeApplied)),
-      (old, one) => old ++ one)
+      (old, one) => (old ++ one).takeRight(PlanLogKeep))
     ()
   }
 

@@ -294,11 +294,18 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.badfs_cat",
       classOf[graft.streaming.SnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.badfs_cat.warehouse", "nofs://wh")
-    val bad = spark.sessionState.catalogManager.catalog("badfs_cat")
-      .asInstanceOf[TableCatalog]
-    val e = intercept[Exception](bad.tableExists(ident("t_any")))
-    assert(!e.isInstanceOf[NoSuchTableException])
-    assert(e.getMessage.toLowerCase.contains("nofs"))
+    try {
+      val bad = spark.sessionState.catalogManager.catalog("badfs_cat")
+        .asInstanceOf[TableCatalog]
+      val e = intercept[Exception](bad.tableExists(ident("t_any")))
+      assert(!e.isInstanceOf[NoSuchTableException])
+      assert(e.getMessage.toLowerCase.contains("nofs"))
+    } finally {
+      // The broken catalog must not outlive this test in the SHARED
+      // session (a later catalog enumeration would trip over it).
+      spark.conf.unset("spark.sql.catalog.badfs_cat")
+      spark.conf.unset("spark.sql.catalog.badfs_cat.warehouse")
+    }
   }
 
   test("stored procedures: listing, unknown names, and wrong namespaces") {
