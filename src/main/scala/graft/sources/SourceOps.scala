@@ -1115,6 +1115,47 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** METADATA TABLES through the catalog — the Iceberg `t.files` /
+    * `t.history` inspection idiom as plain SQL relations
+    * ([[graft.streaming.SnapshotMetaTable]]): `<cat>.<table>.files`
+    * serves the LATEST snapshot's file inventory (path, footer row
+    * count, bytes — all driver-side metadata, no data pages) and
+    * `<cat>.<table>.history` the per-generation lineage. The drill
+    * commits a 3-file generation, compacts to 2, and gates: the files
+    * relation must show exactly the post-compaction inventory whose
+    * row counts SUM to the table's cardinality (phase `a_files`; byte
+    * sizes are compression-dependent, bound as a positivity boolean),
+    * and the history relation must carry both generations' actions
+    * and file counts with strictly-increasing commit stamps (phase
+    * `b_hist`, the stamps as the monotonicity boolean).
+    */
+  def catalogMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_meta")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(orders.repartition(3), t, 1L)
+    SnapshotTable.compact(spark, t, 1L, files = 2)
+
+    val files = spark.sql(
+      s"""SELECT count(*) AS n_files, sum(n_rows) AS total_rows,
+         |  min(bytes) > 0 AS bytes_ok
+         |FROM $cat.`$name`.files""".stripMargin).head()
+    val hist = spark.sql(
+      s"SELECT * FROM $cat.`$name`.history ORDER BY generation").collect()
+    val ts = hist.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val tsOk = ts.forall(_.isDefined) &&
+      ts.flatten.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+
+    (Seq(("a_files", files.getLong(0), files.getLong(1), "",
+        files.getBoolean(2))) ++
+      hist.map(r =>
+        ("b_hist", r.getLong(0), r.getLong(3), r.getString(1), tsOk)))
+      .toDF("phase", "x", "y", "tag", "ok")
+      .orderBy("phase", "x")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -2273,6 +2314,7 @@ object SourceOps {
     "src_catalog_proc" -> (catalogProc _),
     "src_catalog_overwrite" -> (catalogOverwrite _),
     "src_connector_dpp" -> (connectorDpp _),
+    "src_catalog_meta" -> (catalogMeta _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2689,6 +2731,17 @@ object SourceOps {
          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
          |FROM x""".stripMargin,
+    // Metadata-tables twin: file inventory from the drill's layout
+    // constants (3-file commit compacted to 2, row counts summing to
+    // the full projection); history from the recorded actions.
+    // Wall-clock stamps and byte sizes bind as booleans.
+    "src_catalog_meta" ->
+      """SELECT 'a_files' AS phase, CAST(2 AS BIGINT) AS x,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS y,
+        |  '' AS tag, TRUE AS ok
+        |UNION ALL SELECT 'b_hist', 1, 3, 'append', TRUE
+        |UNION ALL SELECT 'b_hist', 2, 2, 'compact', TRUE
+        |ORDER BY phase, x""".stripMargin,
     // Overwrite twin: a_before is the full projection, b_after/c_vacuumed
     // the replaced content re-derived from the overwrite query's own
     // predicate and arithmetic (spelled identically on both engines);

@@ -90,8 +90,21 @@ class SnapshotCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new SnapshotSourceTable(root, SnapshotSource.latestSchema(root))
+    if (isTable(root)) return new SnapshotSourceTable(root,
+      SnapshotSource.latestSchema(root))
+    // METADATA tables (the Iceberg `t.files` / `t.history` idiom): a
+    // name that is not itself a committed table but whose PARENT path
+    // is one serves that table's metadata relation — `SELECT * FROM
+    // <cat>.<table>.files` inspects the current snapshot's file
+    // inventory from SQL. Real tables win by construction (checked
+    // first), matching the reference idiom's precedence.
+    if (ident.namespace().nonEmpty &&
+        SnapshotMetaTable.Kinds.contains(ident.name())) {
+      val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
+      if (isTable(parent))
+        return new SnapshotMetaTable(parent, ident.name())
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <generation>`: the returned table is pinned to the

@@ -126,26 +126,15 @@ private[streaming] object SnapshotProcedures {
       case "history" => proc("history",
         "one row per generation: action, commit time, file counts",
         Array(ProcedureParameter.in("tbl", StringType).build()),
-        StructType(Seq(
-          StructField("generation", LongType),
-          StructField("action", StringType),
-          StructField("commit_ts_ms", LongType),
-          StructField("n_data_files", LongType),
-          StructField("n_delete_files", LongType))),
+        SnapshotMetaTable.schemaOf("history"),
         // Reads only, but the RESULT depends on mutable table state (a
         // concurrent commit changes it) — not deterministic in the
-        // invoke-me-anywhere sense the flag promises.
+        // invoke-me-anywhere sense the flag promises. Rows are the
+        // `<table>.history` metadata relation's, shared so the CALL
+        // and SELECT surfaces cannot drift.
         deterministic = false) { in =>
-        val root = rootOf(in.getUTF8String(0).toString)
-        SnapshotTable.generations(spark, root).map { g =>
-          val (data, dels, _) = SnapshotTable.tailEntries(spark, root, g)
-          row(g,
-            SnapshotTable.commitAction(spark, root, g)
-              .map(UTF8String.fromString).orNull,
-            SnapshotTable.commitTimestamp(spark, root, g)
-              .map(java.lang.Long.valueOf).orNull,
-            data.size.toLong, dels.size.toLong)
-        }.toArray
+        SnapshotMetaTable.rowsOf(spark,
+          rootOf(in.getUTF8String(0).toString), "history")
       }
       case other => throw new UnsupportedOperationException(
         s"unknown snapshot procedure '$other' " +
@@ -185,4 +174,91 @@ private[streaming] case class SnapshotProcedureResult(
     schema: StructType, out: Array[InternalRow]) extends LocalScan {
   override def rows(): Array[InternalRow] = out
   override def readSchema(): StructType = schema
+}
+
+/** READ-ONLY metadata relations of one snapshot table, addressed as
+  * `<catalog>.<table>.<kind>` ([[SnapshotCatalog.loadTable]]'s
+  * fallback). Everything is DRIVER-side manifest/footer metadata —
+  * O(files), no data pages — served as a local scan, resolved fresh
+  * at scan-build time so a reader always sees the current lineage:
+  *
+  *  - `files`: the LATEST generation's data-file inventory — path,
+  *    footer row count, on-disk bytes (what `DESCRIBE DETAIL` /
+  *    Iceberg's files table answer: how many files, how big, how
+  *    balanced).
+  *  - `history`: one row per generation — recorded action, commit
+  *    wall-clock, data/tombstone file counts (the procedure's
+  *    relation as a plain SELECT-able table).
+  */
+private[streaming] class SnapshotMetaTable(table: String, kind: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"snapshot:$table.$kind"
+
+  override def schema(): StructType = SnapshotMetaTable.schemaOf(kind)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        SnapshotProcedureResult(schema(), SnapshotMetaTable.rowsOf(
+          spark, table, kind))
+    }
+}
+
+private[streaming] object SnapshotMetaTable {
+
+  val Kinds: Set[String] = Set("files", "history")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType)))
+    case "history" => StructType(Seq(
+      StructField("generation", LongType),
+      StructField("action", StringType),
+      StructField("commit_ts_ms", LongType),
+      StructField("n_data_files", LongType),
+      StructField("n_delete_files", LongType)))
+  }
+
+  def rowsOf(spark: SparkSession, table: String,
+      kind: String): Array[InternalRow] = kind match {
+    case "files" =>
+      val gens = SnapshotTable.generations(spark, table)
+      require(gens.nonEmpty, s"$table has no committed generation")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = {
+        val (d, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
+        if (seg) SnapshotTable.resolvedFiles(spark, table, gens.max) else d
+      }
+      val counts = SnapshotTable.footerRowCounts(spark, files).toMap
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f), counts(f),
+          p.getFileSystem(conf).getFileStatus(p).getLen))
+      }.toArray
+    case "history" =>
+      SnapshotTable.generations(spark, table).map { g =>
+        val (data, dels, _) = SnapshotTable.tailEntries(spark, table, g)
+        new GenericInternalRow(Array[Any](
+          g,
+          SnapshotTable.commitAction(spark, table, g)
+            .map(UTF8String.fromString).orNull,
+          SnapshotTable.commitTimestamp(spark, table, g)
+            .map(java.lang.Long.valueOf).orNull,
+          data.size.toLong, dels.size.toLong))
+      }.toArray
+  }
 }

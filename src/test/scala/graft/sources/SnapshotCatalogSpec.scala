@@ -387,6 +387,29 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       s"a 50-row catalog table must auto-broadcast; got:\n$plan")
   }
 
+  test("metadata tables resolve behind real tables and refuse orphans") {
+    import spark.implicits._
+    val t = s"$warehouse/t_meta"
+    SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, 1L)
+    // The inspection relations serve through plain SQL.
+    assert(spark.sql("SELECT sum(n_rows) FROM spec_cat.t_meta.files")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT action FROM spec_cat.t_meta.history")
+      .head().getString(0) === "append")
+    // A REAL committed table named like a metadata kind wins.
+    SnapshotTable.commit(Seq((7L, 70L)).toDF("k", "v"),
+      s"$warehouse/t_meta_ns/files", 1L)
+    assert(spark.sql("SELECT k FROM spec_cat.t_meta_ns.files")
+      .head().getLong(0) === 7L,
+      "a committed table must shadow the metadata relation")
+    // No parent table -> no metadata relation.
+    intercept[Exception](
+      spark.sql("SELECT * FROM spec_cat.no_such_parent.files").collect())
+    // Unknown kind under a real parent stays NoSuchTable.
+    intercept[Exception](
+      spark.sql("SELECT * FROM spec_cat.t_meta.partitions").collect())
+  }
+
   test("a foreign manifests layout is invisible, not an error") {
     // A directory that LOOKS like a table but whose gen= names do not
     // parse is the expected not-a-table shape — swallowed, invisible.
