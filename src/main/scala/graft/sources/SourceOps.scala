@@ -1140,7 +1140,9 @@ object SourceOps {
 
     val files = spark.sql(
       s"""SELECT count(*) AS n_files, sum(n_rows) AS total_rows,
-         |  min(bytes) > 0 AS bytes_ok
+         |  min(bytes) > 0 AS bytes_ok,
+         |  CASE WHEN count_if(kind = 'data') = count(*) THEN 'data'
+         |       ELSE 'mixed' END AS kinds
          |FROM $cat.`$name`.files""".stripMargin).head()
     val hist = spark.sql(
       s"SELECT * FROM $cat.`$name`.history ORDER BY generation").collect()
@@ -1148,7 +1150,7 @@ object SourceOps {
     val tsOk = ts.forall(_.isDefined) &&
       ts.flatten.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
 
-    (Seq(("a_files", files.getLong(0), files.getLong(1), "",
+    (Seq(("a_files", files.getLong(0), files.getLong(1), files.getString(3),
         files.getBoolean(2))) ++
       hist.map(r =>
         ("b_hist", r.getLong(0), r.getLong(3), r.getString(1), tsOk)))
@@ -2738,7 +2740,7 @@ object SourceOps {
     "src_catalog_meta" ->
       """SELECT 'a_files' AS phase, CAST(2 AS BIGINT) AS x,
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS y,
-        |  '' AS tag, TRUE AS ok
+        |  'data' AS tag, TRUE AS ok
         |UNION ALL SELECT 'b_hist', 1, 3, 'append', TRUE
         |UNION ALL SELECT 'b_hist', 2, 2, 'compact', TRUE
         |ORDER BY phase, x""".stripMargin,

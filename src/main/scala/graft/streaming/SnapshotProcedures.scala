@@ -182,10 +182,12 @@ private[streaming] case class SnapshotProcedureResult(
   * O(files), no data pages — served as a local scan, resolved fresh
   * at scan-build time so a reader always sees the current lineage:
   *
-  *  - `files`: the LATEST generation's data-file inventory — path,
-  *    footer row count, on-disk bytes (what `DESCRIBE DETAIL` /
-  *    Iceberg's files table answer: how many files, how big, how
-  *    balanced).
+  *  - `files`: the LATEST generation's file inventory — path, KIND
+  *    (`data` or `delete`: a merge-on-read generation's tombstone
+  *    files list too, so the inventory can never read as "visible
+  *    rows" on a MoR lineage), footer row count, on-disk bytes (what
+  *    `DESCRIBE DETAIL` / Iceberg's files table answer: how many
+  *    files, how big, how balanced).
   *  - `history`: one row per generation — recorded action, commit
   *    wall-clock, data/tombstone file counts (the procedure's
   *    relation as a plain SELECT-able table).
@@ -222,6 +224,7 @@ private[streaming] object SnapshotMetaTable {
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
       StructField("path", StringType),
+      StructField("kind", StringType),
       StructField("n_rows", LongType),
       StructField("bytes", LongType)))
     case "history" => StructType(Seq(
@@ -238,15 +241,17 @@ private[streaming] object SnapshotMetaTable {
       val gens = SnapshotTable.generations(spark, table)
       require(gens.nonEmpty, s"$table has no committed generation")
       val conf = spark.sparkContext.hadoopConfiguration
-      val files = {
-        val (d, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
-        if (seg) SnapshotTable.resolvedFiles(spark, table, gens.max) else d
+      val (data, dels) = {
+        val (d, t, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
+        if (seg) (SnapshotTable.resolvedFiles(spark, table, gens.max), t)
+        else (d, t)
       }
-      val counts = SnapshotTable.footerRowCounts(spark, files).toMap
-      files.sorted.map { f =>
+      val entries = data.sorted.map(_ -> "data") ++ dels.sorted.map(_ -> "delete")
+      val counts = SnapshotTable.footerRowCounts(spark, entries.map(_._1)).toMap
+      entries.map { case (f, k) =>
         val p = new org.apache.hadoop.fs.Path(f)
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString(f), counts(f),
+          UTF8String.fromString(f), UTF8String.fromString(k), counts(f),
           p.getFileSystem(conf).getFileStatus(p).getLen))
       }.toArray
     case "history" =>

@@ -402,6 +402,15 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k FROM spec_cat.t_meta_ns.files")
       .head().getLong(0) === 7L,
       "a committed table must shadow the metadata relation")
+    // A merge-on-read lineage's tombstones list with kind='delete', so
+    // the inventory cannot read as visible rows.
+    val mor = s"$warehouse/t_meta_mor"
+    SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), mor, 1L)
+    SnapshotTable.commitDeletes(Seq(1L).toDF("k"), mor, 2L, carryFrom = 1L)
+    val kinds = spark.sql(
+      "SELECT kind, count(*) FROM spec_cat.t_meta_mor.files GROUP BY kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.get("delete").contains(1L) && kinds.contains("data"))
     // No parent table -> no metadata relation.
     intercept[Exception](
       spark.sql("SELECT * FROM spec_cat.no_such_parent.files").collect())
