@@ -228,13 +228,26 @@ object SnapshotTable {
     * "clone") — `None` for manifests written before actions were
     * recorded. Driver-side directory listing, O(1).
     */
-  def commitAction(spark: SparkSession, table: String, gen: Long): Option[String] = {
+  def commitAction(spark: SparkSession, table: String, gen: Long): Option[String] =
+    commitMarkers(spark, table, gen)._1
+
+  /** BOTH staged markers of generation `gen` — `(action, commit
+    * wall-clock ms)` — in ONE directory listing: a per-generation
+    * consumer (the history relation) would otherwise pay two
+    * listStatus round trips against the same manifest directory.
+    */
+  def commitMarkers(spark: SparkSession, table: String,
+      gen: Long): (Option[String], Option[Long]) = {
     val d = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith(".action=") =>
-        n.stripPrefix(".action=") }
+    if (!fs.exists(d)) (None, None)
+    else {
+      val names = fs.listStatus(d).map(_.getPath.getName)
+      (names.collectFirst { case n if n.startsWith(".action=") =>
+          n.stripPrefix(".action=") },
+        names.collectFirst { case n if n.startsWith(".ts=") =>
+          n.stripPrefix(".ts=").toLong })
+    }
   }
 
   /** The COMMIT WALL-CLOCK (epoch millis) generation `gen` was
@@ -246,14 +259,8 @@ object SnapshotTable {
     * listing, O(1).
     */
   def commitTimestamp(spark: SparkSession, table: String,
-      gen: Long): Option[Long] = {
-    val d = new org.apache.hadoop.fs.Path(manifestPath(table, gen))
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith(".ts=") =>
-        n.stripPrefix(".ts=").toLong }
-  }
+      gen: Long): Option[Long] =
+    commitMarkers(spark, table, gen)._2
 
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
 

@@ -98,11 +98,13 @@ class SnapshotCatalog extends TableCatalog
     // <cat>.<table>.files` inspects the current snapshot's file
     // inventory from SQL. Real tables win by construction (checked
     // first), matching the reference idiom's precedence.
-    if (ident.namespace().nonEmpty &&
-        SnapshotMetaTable.Kinds.contains(ident.name())) {
+    // Kind matching is CASE-INSENSITIVE, like Spark's default
+    // identifier resolution (and Iceberg's metadata-table names).
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace().nonEmpty && SnapshotMetaTable.Kinds.contains(kind)) {
       val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
       if (isTable(parent))
-        return new SnapshotMetaTable(parent, ident.name())
+        return new SnapshotMetaTable(parent, kind)
     }
     throw new NoSuchTableException(ident)
   }

@@ -197,7 +197,7 @@ private[streaming] class SnapshotMetaTable(table: String, kind: String)
     with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   import org.apache.spark.sql.connector.catalog.TableCapability
-  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
   import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
   private def spark: SparkSession = SparkSession.active
@@ -211,9 +211,15 @@ private[streaming] class SnapshotMetaTable(table: String, kind: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan =
-        SnapshotProcedureResult(schema(), SnapshotMetaTable.rowsOf(
-          spark, table, kind))
+      // Row production DEFERS to the first rows() call (cached after):
+      // planning a query over a 10k-file table must not pay the
+      // O(files) footer/status I/O for an EXPLAIN that never executes.
+      override def build(): Scan = new LocalScan {
+        private lazy val out =
+          SnapshotMetaTable.rowsOf(spark, table, kind)
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = schema()
+      }
     }
 }
 
@@ -257,12 +263,12 @@ private[streaming] object SnapshotMetaTable {
     case "history" =>
       SnapshotTable.generations(spark, table).map { g =>
         val (data, dels, _) = SnapshotTable.tailEntries(spark, table, g)
+        // Both markers off ONE listing — a deep lineage would
+        // otherwise pay 3 sequential FS round trips per generation.
+        val (action, ts) = SnapshotTable.commitMarkers(spark, table, g)
         new GenericInternalRow(Array[Any](
-          g,
-          SnapshotTable.commitAction(spark, table, g)
-            .map(UTF8String.fromString).orNull,
-          SnapshotTable.commitTimestamp(spark, table, g)
-            .map(java.lang.Long.valueOf).orNull,
+          g, action.map(UTF8String.fromString).orNull,
+          ts.map(java.lang.Long.valueOf).orNull,
           data.size.toLong, dels.size.toLong))
       }.toArray
   }
