@@ -1115,6 +1115,53 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** STREAMING STARTING OFFSETS — the Delta `startingVersion` /
+    * `startingTimestamp` idiom on the snapshot source, under the value
+    * gate: a new consumer of a 100 TB table begins DELIVERY at the
+    * named generation (its first hop is the manifest diff against the
+    * predecessor — history before it is never read), or at the
+    * earliest generation committed at-or-after a timestamp resolved
+    * through the manifest `.ts=` markers. Three committed key-residue
+    * slices, two fresh consumers: `a_gen2` starts at generation 2
+    * (slices 2+3 arrive, slice 1 skipped), `b_ts3` starts at
+    * generation 3's own commit stamp (slice 3 alone). Each phase's
+    * aggregates re-derive from the residue predicates in the oracle,
+    * so the gate pins both that LATER content arrives exactly and
+    * that SKIPPED history stays skipped.
+    */
+  def streamStartAt(spark: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(spark, "stream_startat")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    def slice(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+    SnapshotTable.commit(slice(1), t, 1L)
+    SnapshotTable.commit(slice(2), t, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(slice(0), t, 3L, carryFrom = Some(2L))
+
+    def tailFrom(tag: String, opts: (String, String)*): DataFrame = {
+      val name = s"startat_${tag}_${SnapshotTable.attemptName()}"
+      val r = spark.readStream
+        .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", t)
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", graft.Scratch.dir(s"${name}_ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).agg(
+        count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+        expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+          .as("price_cents"))
+        .select(lit(tag).as("phase"), col("n_rows"), col("key_sum"),
+          col("price_cents"))
+    }
+    val ts3 = SnapshotTable.commitTimestamp(spark, t, 3L).getOrElse(
+      throw new IllegalStateException("gen 3 must carry a commit stamp"))
+    tailFrom("a_gen2", "startingGeneration" -> "2")
+      .unionByName(tailFrom("b_ts3", "startingTimestamp" -> ts3.toString))
+      .orderBy("phase")
+  }
+
   /** METADATA TABLES through the catalog — the Iceberg `t.files` /
     * `t.history` inspection idiom as plain SQL relations
     * ([[graft.streaming.SnapshotMetaTable]]): `<cat>.<table>.files`
@@ -2317,6 +2364,7 @@ object SourceOps {
     "src_catalog_overwrite" -> (catalogOverwrite _),
     "src_connector_dpp" -> (connectorDpp _),
     "src_catalog_meta" -> (catalogMeta _),
+    "stream_startat" -> (streamStartAt _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -2733,6 +2781,20 @@ object SourceOps {
          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
          |FROM x""".stripMargin,
+    // Starting-offset twin: each consumer's delivered content
+    // re-derived from the residue predicates of the generations at or
+    // after its start (gen1=%3==1, gen2=%3==2, gen3=%3==0).
+    "stream_startat" ->
+      """SELECT 'a_gen2' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 3 IN (2, 0)
+        |UNION ALL
+        |SELECT 'b_ts3', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY phase""".stripMargin,
     // Metadata-tables twin: file inventory from the drill's layout
     // constants (3-file commit compacted to 2, row counts summing to
     // the full projection); history from the recorded actions.

@@ -590,6 +590,23 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // against a 100 TB table that is the one batch no cluster wants.
     val maxFilesPerBatch = options.getLong("maxFilesPerBatch", Long.MaxValue)
     require(maxFilesPerBatch > 0, "maxFilesPerBatch must be positive")
+    // STARTING OFFSET (the Delta startingVersion/startingTimestamp
+    // idiom): a new consumer of a 100 TB table almost never wants the
+    // genesis backfill — `startingGeneration` begins DELIVERY at that
+    // generation (its hop is the manifest diff against gen−1, so
+    // history before it is never read); `startingTimestamp` (epoch ms)
+    // resolves to the earliest generation committed AT OR AFTER it
+    // through the manifest `.ts=` markers — never file mtimes. The
+    // two are mutually exclusive; resolution happens at stream START
+    // (the offset checkpoint owns the position afterwards).
+    val startingGeneration = Option(options.get("startingGeneration"))
+      .map(_.toLong)
+    val startingTimestamp = Option(options.get("startingTimestamp"))
+      .map(_.toLong)
+    require(startingGeneration.isEmpty || startingTimestamp.isEmpty,
+      "startingGeneration and startingTimestamp are mutually exclusive")
+    require(startingGeneration.forall(_ >= 1L),
+      "startingGeneration must be >= 1")
     // Column pruning reaches the row decoder: readers resolve and
     // convert ONLY the pruned schema's fields, so a 2-column
     // projection over a wide table skips the other columns' value
@@ -641,7 +658,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
             SnapshotSource.v2ProbesOf(predicates))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
-            maxGensPerBatch, maxFilesPerBatch)
+            maxGensPerBatch, maxFilesPerBatch,
+            startingGeneration, startingTimestamp)
         private val batch = new SnapshotBatch(table, required, generation,
           SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
         override def toBatch: Batch = batch
@@ -816,11 +834,48 @@ private[streaming] object GenOffset {
 private[streaming] class SnapshotMicroBatchStream(table: String,
     schema: StructType, skipRewrites: Boolean,
     maxGensPerBatch: Long = Long.MaxValue,
-    maxFilesPerBatch: Long = Long.MaxValue)
+    maxFilesPerBatch: Long = Long.MaxValue,
+    startingGeneration: Option[Long] = None,
+    startingTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** The offset a FRESH consumer starts from (a checkpointed query
+    * never asks — its offset log owns the position). Delivery begins
+    * at the resolved generation: the initial offset is resolved − 1,
+    * whose first hop is the manifest diff gen−1 → gen. Starting at or
+    * below the earliest surviving generation degrades to the normal
+    * full initial load (offset 0); a timestamp after every commit (or
+    * a generation just past the latest) starts with only FUTURE
+    * commits. Pre-recording (unstamped) lineages refuse timestamp
+    * resolution exactly like the catalog's TIMESTAMP AS OF.
+    */
+  override def initialOffset(): Offset = {
+    val gens = SnapshotTable.generations(spark, table)
+    val resolved: Option[Long] = startingGeneration.map { g =>
+      require(gens.isEmpty || g <= gens.max + 1,
+        s"startingGeneration $g of $table is beyond the next commit " +
+          s"(latest: ${gens.maxOption.getOrElse(0L)})")
+      g
+    }.orElse(startingTimestamp.map { ts =>
+      val stamped = gens.map(g =>
+        g -> SnapshotTable.commitTimestamp(spark, table, g))
+      val missing = stamped.collect { case (g, None) => g }
+      require(missing.isEmpty,
+        s"startingTimestamp needs a recorded commit time in every " +
+          s"manifest; generation(s) ${missing.mkString(", ")} of $table " +
+          "predate commit-time recording - use startingGeneration")
+      stamped.collectFirst { case (g, Some(ms)) if ms >= ts => g }
+        .getOrElse(gens.maxOption.getOrElse(0L) + 1L)
+    })
+    resolved match {
+      case Some(g) if gens.nonEmpty && g <= gens.min => GenOffset(0L)
+      case Some(g) => GenOffset(g - 1L)
+      case None => GenOffset(0L)
+    }
+  }
 
   /** `Trigger.AvailableNow` backfill target, pinned ONCE at query
     * start: the run drains history up to here in the same rate-limited
@@ -845,8 +900,6 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     else if (o.gen > t.gen) t
     else o
   }
-
-  override def initialOffset(): Offset = GenOffset(0L)
 
   override def latestOffset(): Offset = {
     val gens = SnapshotTable.generations(spark, table)

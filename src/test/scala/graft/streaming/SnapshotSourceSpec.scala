@@ -732,4 +732,49 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .asInstanceOf[GenOffset]
     assert(resume === GenOffset(3L))
   }
+
+  test("startingGeneration skips history; startingTimestamp resolves via markers") {
+    val root = Files.createTempDirectory("snapstart").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+
+    def startFrom(name: String, opts: (String, String)*): Unit = {
+      val r = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table)
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$root/ckpt_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // Delivery begins AT the named generation: gens 1-2 never read.
+    startFrom("start_gen", "startingGeneration" -> "3")
+    assert(seen("start_gen") === Set(3L))
+    // At-or-below the earliest generation degrades to the full load.
+    startFrom("start_gen1", "startingGeneration" -> "1")
+    assert(seen("start_gen1") === Set(1L, 2L, 3L))
+    // A timestamp resolves to the earliest commit AT OR AFTER it.
+    val ts2 = SnapshotTable.commitTimestamp(spark, table, 2L).get
+    startFrom("start_ts", "startingTimestamp" -> ts2.toString)
+    assert(seen("start_ts") === Set(2L, 3L))
+    // A timestamp after every commit starts with only FUTURE commits.
+    val ts3 = SnapshotTable.commitTimestamp(spark, table, 3L).get
+    startFrom("start_future", "startingTimestamp" -> (ts3 + 1L).toString)
+    assert(seen("start_future") === Set.empty[Long])
+    SnapshotTable.commit(docsDf(4L), table, 4L, carryFrom = Some(3L))
+    startFrom("start_future2", "startingTimestamp" -> (ts3 + 1L).toString)
+    assert(seen("start_future2") === Set(4L))
+    // Beyond next-commit generations refuse loudly.
+    val e = intercept[Exception] {
+      startFrom("start_bad", "startingGeneration" -> "99")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("beyond the next commit"))
+  }
 }
