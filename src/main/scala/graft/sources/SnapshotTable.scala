@@ -262,6 +262,26 @@ object SnapshotTable {
       gen: Long): Option[Long] =
     commitMarkers(spark, table, gen)._2
 
+  /** Every generation paired with its recorded commit stamp (ms),
+    * ascending — REFUSING a lineage with any pre-recording manifest:
+    * the ONE timestamp-resolution policy, shared by the catalog's
+    * `TIMESTAMP AS OF` and the streaming source's `startingTimestamp`
+    * so the two surfaces cannot diverge on what a part-stamped
+    * lineage means.
+    */
+  def stampedGenerations(spark: SparkSession,
+      table: String): Seq[(Long, Long)] = {
+    val stamped = generations(spark, table)
+      .map(g => g -> commitTimestamp(spark, table, g))
+    val missing = stamped.collect { case (g, None) => g }
+    require(missing.isEmpty,
+      s"timestamp resolution needs a recorded commit time in every " +
+        s"manifest; generation(s) ${missing.mkString(", ")} of $table " +
+        "predate commit-time recording - address this lineage by " +
+        "generation instead")
+    stamped.collect { case (g, Some(ts)) => g -> ts }
+  }
+
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** A WRITER-UNIQUE attempt name — (pid, per-JVM counter), never

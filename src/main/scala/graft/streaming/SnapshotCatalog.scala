@@ -144,19 +144,15 @@ class SnapshotCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val stamped = SnapshotTable.generations(spark, root)
-      .map(g => g -> SnapshotTable.commitTimestamp(spark, root, g))
-    val missing = stamped.collect { case (g, None) => g }
-    require(missing.isEmpty,
-      s"TIMESTAMP AS OF needs a recorded commit time in every manifest; " +
-        s"generation(s) ${missing.mkString(", ")} of $root predate " +
-        "commit-time recording - address this lineage with VERSION AS OF")
+    // Shared resolution policy (SnapshotTable.stampedGenerations):
+    // a part-stamped legacy lineage refuses rather than part-resolves.
+    val stamped = SnapshotTable.stampedGenerations(spark, root)
     val admitted = stamped.collect {
-      case (g, Some(ms)) if ms * 1000L <= timestamp => g
+      case (g, ms) if ms * 1000L <= timestamp => g
     }
     require(admitted.nonEmpty,
       s"timestamp ${timestamp} us precedes the first commit of $root " +
-        s"(earliest: ${stamped.head._2.get} ms); there is no snapshot to serve")
+        s"(earliest: ${stamped.head._2} ms); there is no snapshot to serve")
     val gen = admitted.max
     new SnapshotSourceTable(root, SnapshotSource.schemaAt(root, gen), Some(gen))
   }

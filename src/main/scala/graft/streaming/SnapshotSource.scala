@@ -855,19 +855,20 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   override def initialOffset(): Offset = {
     val gens = SnapshotTable.generations(spark, table)
     val resolved: Option[Long] = startingGeneration.map { g =>
-      require(gens.isEmpty || g <= gens.max + 1,
+      // The bound holds on an EMPTY lineage too (only g == 1 is
+      // admissible then): an offset resolved above the next commit
+      // would later regress through nextOffset's floor and silently
+      // deliver the history the start was supposed to skip.
+      require(g <= gens.maxOption.getOrElse(0L) + 1L,
         s"startingGeneration $g of $table is beyond the next commit " +
           s"(latest: ${gens.maxOption.getOrElse(0L)})")
       g
     }.orElse(startingTimestamp.map { ts =>
-      val stamped = gens.map(g =>
-        g -> SnapshotTable.commitTimestamp(spark, table, g))
-      val missing = stamped.collect { case (g, None) => g }
-      require(missing.isEmpty,
-        s"startingTimestamp needs a recorded commit time in every " +
-          s"manifest; generation(s) ${missing.mkString(", ")} of $table " +
-          "predate commit-time recording - use startingGeneration")
-      stamped.collectFirst { case (g, Some(ms)) if ms >= ts => g }
+      // Shared resolution policy (SnapshotTable.stampedGenerations):
+      // a part-stamped legacy lineage refuses rather than
+      // part-resolves — use startingGeneration there instead.
+      SnapshotTable.stampedGenerations(spark, table)
+        .collectFirst { case (g, ms) if ms >= ts => g }
         .getOrElse(gens.maxOption.getOrElse(0L) + 1L)
     })
     resolved match {
@@ -943,7 +944,11 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
 
   private def nextOffset(s: GenOffset): GenOffset = {
     val gens = SnapshotTable.generations(spark, table)
-    if (gens.isEmpty) return GenOffset(0L)
+    // No committed generation: HOLD position, never regress — an
+    // offset moving backwards would re-deliver (or newly deliver)
+    // history a starting offset or an expire already put behind the
+    // consumer.
+    if (gens.isEmpty) return GenOffset(math.max(0L, s.gen))
     val latest = gens.max
     if (s.pos > 0L) {
       // Mid-initial-load of EXACTLY s.gen: advance within its file
