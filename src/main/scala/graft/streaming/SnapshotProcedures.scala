@@ -26,6 +26,9 @@ import graft.sources.SnapshotTable
   *  - `expire(tbl, keep_from)` — retire generations `< keep_from`
   *    ([[SnapshotTable.expire]]: manifests first, then
   *    no-longer-referenced data files; live segment chains protected).
+  *  - `expire_before(tbl, ts_ms)` — the TIME-based retention form
+  *    ("keep 7 days"): resolves the cutoff generation through the
+  *    shared commit-stamp policy, then runs the same expire.
   *  - `rollback(tbl, to_gen)` — restore `to_gen`'s manifest as a NEW
   *    latest generation ([[SnapshotTable.rollback]]; history is
   *    never rewritten).
@@ -48,7 +51,8 @@ private[streaming] object SnapshotProcedures {
 
   private def spark: SparkSession = SparkSession.active
 
-  val names: Seq[String] = Seq("compact", "expire", "history", "rollback", "vacuum")
+  val names: Seq[String] =
+    Seq("compact", "expire", "expire_before", "history", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -107,6 +111,34 @@ private[streaming] object SnapshotProcedures {
         val asGen = SnapshotTable.generations(spark, root).max + 1L
         SnapshotTable.rollback(spark, root, toGen, asGen)
         Array(row(UTF8String.fromString(tbl), toGen, asGen))
+      }
+      case "expire_before" => proc("expire_before",
+        "retire generations committed strictly before a wall-clock time",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("ts_ms", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("keep_from", LongType),
+          StructField("manifests_removed", LongType),
+          StructField("data_files_removed", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val root = rootOf(tbl)
+        val ts = in.getLong(1)
+        // TIME-based retention (the policy users actually configure:
+        // "keep 7 days"): the cutoff generation is the earliest one
+        // committed AT OR AFTER ts — everything strictly before it
+        // retires through the same reference-counted expire. Resolved
+        // via the shared stamp policy; a lineage wholly before ts
+        // keeps its latest generation (expire's own contract: the
+        // newest snapshot always survives).
+        val keepFrom = SnapshotTable.stampedGenerations(spark, root)
+          .collectFirst { case (g, ms) if ms >= ts => g }
+          .getOrElse(SnapshotTable.generations(spark, root).max)
+        val (manifests, dataFiles) =
+          SnapshotTable.expire(spark, root, keepFrom)
+        Array(row(UTF8String.fromString(tbl), keepFrom, manifests, dataFiles))
       }
       case "vacuum" => proc("vacuum",
         "delete unreferenced data files older than min_age_ms (retention guard)",

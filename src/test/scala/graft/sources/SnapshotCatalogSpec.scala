@@ -315,8 +315,8 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // Listing through SQL enumerates exactly the maintenance surface.
     val listed = spark.sql("SHOW PROCEDURES IN spec_cat.system")
       .collect().map(r => r.getString(r.fieldIndex("procedure_name"))).toSet
-    assert(Set("compact", "expire", "history", "rollback", "vacuum")
-      .subsetOf(listed))
+    assert(Set("compact", "expire", "expire_before", "history", "rollback",
+      "vacuum").subsetOf(listed))
     // Unknown procedure and wrong namespace fail loudly.
     val unknown = intercept[Exception](
       spark.sql("CALL spec_cat.system.no_such_proc('x')"))
@@ -385,6 +385,31 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"a 50-row catalog table must auto-broadcast; got:\n$plan")
+  }
+
+  test("expire_before retires by wall-clock through the shared stamp policy") {
+    import spark.implicits._
+    val t = s"$warehouse/t_expire_ts"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    SnapshotTable.commit(Seq((2L, 20L)).toDF("k", "v"), t, 2L,
+      carryFrom = Some(1L))
+    SnapshotTable.commit(Seq((3L, 30L)).toDF("k", "v"), t, 3L,
+      carryFrom = Some(2L))
+    val ts2 = SnapshotTable.commitTimestamp(spark, t, 2L).get
+    // Cutoff at gen 2's own stamp: gen 1 retires, gens 2-3 survive.
+    val r = spark.sql(
+      s"CALL spec_cat.system.expire_before('t_expire_ts', $ts2)").head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(SnapshotTable.generations(spark, t) === Seq(2L, 3L))
+    // A cutoff after every commit keeps the LATEST generation.
+    val ts3 = SnapshotTable.commitTimestamp(spark, t, 3L).get
+    val r2 = spark.sql(
+      s"CALL spec_cat.system.expire_before('t_expire_ts', ${ts3 + 1000L})")
+      .head()
+    assert(r2.getLong(1) === 3L)
+    assert(SnapshotTable.generations(spark, t) === Seq(3L))
+    assert(spark.sql("SELECT sum(v) FROM spec_cat.t_expire_ts")
+      .head().getLong(0) === 60L)
   }
 
   test("metadata tables resolve behind real tables and refuse orphans") {
