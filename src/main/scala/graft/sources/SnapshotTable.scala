@@ -282,6 +282,12 @@ object SnapshotTable {
     stamped.collect { case (g, Some(ts)) => g -> ts }
   }
 
+  /** Commit wall-clock source — swappable ONLY so the spec can pin a
+    * frozen (same-millisecond) clock and prove the monotonicized
+    * stamping below; production never touches it.
+    */
+  private[graft] var commitClock: () => Long = () => System.currentTimeMillis()
+
   private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** A WRITER-UNIQUE attempt name — (pid, per-JVM counter), never
@@ -338,7 +344,7 @@ object SnapshotTable {
       .sorted(Ordering[Long].reverse).iterator
       .map(g => commitTimestamp(spark, table, g))
       .collectFirst { case Some(ts) => ts }
-    val ts = math.max(System.currentTimeMillis(), prevTs.map(_ + 1L).getOrElse(0L))
+    val ts = math.max(commitClock(), prevTs.map(_ + 1L).getOrElse(0L))
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",

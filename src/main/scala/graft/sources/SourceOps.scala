@@ -1193,9 +1193,16 @@ object SourceOps {
          |FROM $cat.`$name`.files""".stripMargin).head()
     val hist = spark.sql(
       s"SELECT * FROM $cat.`$name`.history ORDER BY generation").collect()
+    // (ts, generation) lexicographic: the writer monotonicizes stamps
+    // (max(now, prev+1)), so strict ts increase is expected — but the
+    // gate's boolean tolerates the theoretical same-ms pair by
+    // tie-breaking on the generation, pinned separately by
+    // SnapshotTableSpec's frozen-clock commit pair.
     val ts = hist.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
     val tsOk = ts.forall(_.isDefined) &&
-      ts.flatten.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+      hist.map(r => (r.getLong(2), r.getLong(0))).sliding(2).forall(p =>
+        p.length < 2 || (p(0)._1 < p(1)._1 ||
+          (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
 
     (Seq(("a_files", files.getLong(0), files.getLong(1), files.getString(3),
         files.getBoolean(2))) ++

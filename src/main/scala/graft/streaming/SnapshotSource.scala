@@ -90,7 +90,12 @@ private[graft] object SnapshotSource {
     * nodes. Keyed by table root; per-drill tables are unique paths.
     */
   private val planLog =
-    new java.util.concurrent.ConcurrentHashMap[String, List[(Int, Boolean)]]()
+    new java.util.LinkedHashMap[String, List[(Int, Boolean)]](64, 0.75f,
+        /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, List[(Int, Boolean)]]): Boolean =
+        size() > PlanLogMaxTables
+    }
 
   /** Per-table history cap: the gates read the recent tail; without a
     * bound a long-lived session re-planning one table forever would
@@ -98,16 +103,25 @@ private[graft] object SnapshotSource {
     */
   private val PlanLogKeep = 16
 
+  /** TABLE-key cap: the map itself is LRU-bounded, because a long-lived
+    * session creating many ephemeral tables (the bench/drill pattern)
+    * would otherwise grow the driver-side telemetry without bound. 256
+    * tables × 16 entries is a few KB; a gate always reads its table
+    * immediately after planning it, so eviction can never race a
+    * consumer that matters.
+    */
+  private val PlanLogMaxTables = 256
+
   private[streaming] def recordPlan(table: String, files: Int,
-      runtimeApplied: Boolean): Unit = {
-    planLog.merge(table, List((files, runtimeApplied)),
-      (old, one) => (old ++ one).takeRight(PlanLogKeep))
+      runtimeApplied: Boolean): Unit = planLog.synchronized {
+    val old = Option(planLog.get(table)).getOrElse(Nil)
+    planLog.put(table, (old :+ ((files, runtimeApplied))).takeRight(PlanLogKeep))
     ()
   }
 
   /** Every batch planning of `table` this session, in order. */
   private[graft] def planHistory(table: String): Seq[(Int, Boolean)] =
-    Option(planLog.get(table)).getOrElse(Nil)
+    planLog.synchronized { Option(planLog.get(table)).getOrElse(Nil) }
 
   private[graft] def lastPlan(table: String): Option[(Int, Boolean)] =
     planHistory(table).lastOption
@@ -872,7 +886,24 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
         .getOrElse(gens.maxOption.getOrElse(0L) + 1L)
     })
     resolved match {
-      case Some(g) if gens.nonEmpty && g <= gens.min => GenOffset(0L)
+      // Degrade to the normal full initial load ONLY when it delivers
+      // exactly what was asked: g == gens.min (the load IS that
+      // generation's snapshot) or g == 1 (start at genesis — the full
+      // load is the closest surviving answer by definition). A start
+      // STRICTLY BETWEEN genesis and the earliest surviving generation
+      // names expired history this consumer wanted to skip FROM — the
+      // full load would silently over-deliver the expired prefix's
+      // content, so it fails loudly instead (Delta's unreplayable
+      // startingVersion posture).
+      case Some(g) if gens.nonEmpty && (g == gens.min || g == 1L) =>
+        GenOffset(0L)
+      case Some(g) if gens.nonEmpty && g < gens.min =>
+        throw new IllegalStateException(
+          s"startingGeneration $g of $table is no longer replayable: the " +
+            s"earliest surviving generation is ${gens.min} (retention " +
+            "outran the requested start); start at the surviving history " +
+            s"explicitly (startingGeneration ${gens.min} or 1 for a full " +
+            "initial load)")
       case Some(g) => GenOffset(g - 1L)
       case None => GenOffset(0L)
     }

@@ -653,4 +653,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     val g1 = SnapshotTable.readAs(spark, table, 1L)
     assert(g1.filter(col("o_orderstatus").isin("U", "I")).count() === 0L)
   }
+  test("commit stamps stay strictly increasing under a frozen (same-ms) clock") {
+    val table = graft.Scratch.dir("snapshot_spec_clock")
+    val orders = Tables.orders(spark, dir).limit(10)
+    val frozen = System.currentTimeMillis()
+    val saved = SnapshotTable.commitClock
+    SnapshotTable.commitClock = () => frozen
+    try {
+      SnapshotTable.commit(orders, table, 1L)
+      SnapshotTable.commit(orders, table, 2L, carryFrom = Some(1L))
+      SnapshotTable.commit(orders, table, 3L, carryFrom = Some(2L))
+    } finally SnapshotTable.commitClock = saved
+    // The writer monotonicizes (max(now, prev + 1)): three commits in
+    // ONE clock millisecond must still publish strictly increasing
+    // stamps, or TIMESTAMP AS OF's "latest committed <= ts" resolves
+    // to the wrong snapshot.
+    val stamps = SnapshotTable.stampedGenerations(spark, table)
+    assert(stamps.map(_._1) === Seq(1L, 2L, 3L))
+    assert(stamps.map(_._2) === Seq(frozen, frozen + 1L, frozen + 2L))
+  }
 }

@@ -777,4 +777,37 @@ class SnapshotSourceSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + msgs(t.getCause)
     assert(msgs(e).contains("beyond the next commit"))
   }
+
+  test("startingGeneration inside an expired prefix refuses instead of over-delivering") {
+    val root = Files.createTempDirectory("snapstartexp").toString
+    val table = s"$root/table"
+    SnapshotTable.commit(docsDf(1L), table, 1L)
+    SnapshotTable.commit(docsDf(2L), table, 2L, carryFrom = Some(1L))
+    SnapshotTable.commit(docsDf(3L), table, 3L, carryFrom = Some(2L))
+    SnapshotTable.expire(spark, table, keepFrom = 3L) // gens = {3}
+
+    def startFrom(name: String, g: String): Unit = {
+      val q = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", table).option("startingGeneration", g)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$root/ckpt_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+
+    // Strictly between genesis and the earliest survivor: the start
+    // names expired history; a full initial load would deliver the
+    // prefix the start was meant to put behind the consumer.
+    val e = intercept[Exception] { startFrom("start_exp2", "2") }
+    assert(msgs(e).contains("no longer replayable"))
+    // The two documented degrade points still serve the full load.
+    startFrom("start_exp3", "3")
+    assert(seen("start_exp3") === Set(1L, 2L, 3L))
+    startFrom("start_exp1", "1")
+    assert(seen("start_exp1") === Set(1L, 2L, 3L))
+  }
 }
