@@ -47,11 +47,21 @@ object SnapshotTable {
     * unstamped tombstone applies to the whole snapshot
     * ([[commitDeletes]]' documented semantic). Absent columns are
     * `None`; an absent data seq reads as 0.
+    *
+    * `nRows`/`bytes` are the file's FOOTER ROW COUNT and on-disk size,
+    * recorded at COMMIT time (the writer already has the footers open)
+    * so that scan-planning statistics, the `files` metadata table and
+    * DESCRIBE-HISTORY-style consumers answer from ONE manifest read —
+    * never one sequential driver FS/footer round trip per file, the
+    * O(files) planning bottleneck a 100k-file table cannot afford.
+    * Absent on legacy manifests; every consumer falls back to the
+    * per-file reads there.
     */
   private[sources] final case class ManifestRow(path: String,
       kind: Option[String] = None, keyCol: Option[String] = None,
       minKey: Option[Long] = None, maxKey: Option[Long] = None,
-      seq: Option[Long] = None)
+      seq: Option[Long] = None, nRows: Option[Long] = None,
+      bytes: Option[Long] = None)
 
   /** Driver-side manifest read (parquet-hadoop Group API, no Spark
     * job). A manifest is a kilobyte file — routing it through
@@ -83,7 +93,8 @@ object SnapshotTable {
           if (t.containsField(f) && g.getFieldRepetitionCount(f) > 0)
             Some(g.getLong(f, 0)) else None
         ManifestRow(g.getString("path", 0), str("kind"), str("key_col"),
-          lng("min_key"), lng("max_key"), lng("seq"))
+          lng("min_key"), lng("max_key"), lng("seq"),
+          lng("n_rows"), lng("bytes"))
       }.toVector
       finally reader.close()
     }.toSeq
@@ -113,10 +124,12 @@ object SnapshotTable {
     val hasKeyCol = rows.exists(_.keyCol.isDefined)
     val hasStats = rows.exists(_.minKey.isDefined)
     val hasSeq = rows.exists(_.seq.isDefined)
+    val hasMeta = rows.exists(r => r.nRows.isDefined || r.bytes.isDefined)
     if (hasKind) strField("kind")
     if (hasKeyCol) strField("key_col")
     if (hasStats) { lngField("min_key"); lngField("max_key") }
     if (hasSeq) lngField("seq")
+    if (hasMeta) { lngField("n_rows"); lngField("bytes") }
     val msgType = b.named("spark_schema")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -133,6 +146,8 @@ object SnapshotTable {
       r.minKey.foreach(g.add("min_key", _))
       r.maxKey.foreach(g.add("max_key", _))
       r.seq.foreach(g.add("seq", _))
+      r.nRows.foreach(g.add("n_rows", _))
+      r.bytes.foreach(g.add("bytes", _))
       writer.write(g)
     } finally writer.close()
   }
@@ -195,8 +210,7 @@ object SnapshotTable {
     val freshSeq = if (carried.exists(_.seq.isDefined)) Some(gen) else None
     val freshKind = if (carried.exists(_.kind.isDefined)) Some("data") else None
     writeManifest(spark, table, gen, replace,
-      (carried ++ fresh.sorted.map(p =>
-        ManifestRow(p, kind = freshKind, seq = freshSeq)))
+      (carried ++ metaRows(spark, fresh, kind = freshKind, seq = freshSeq))
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
@@ -219,7 +233,7 @@ object SnapshotTable {
         "(tombstones require the whole-snapshot path)")
     val carried = prev.filterNot(r => rewritten.contains(r.path))
     writeManifest(spark, table, gen, replace = false,
-      (carried ++ fresh.sorted.map(p => ManifestRow(p)))
+      (carried ++ metaRows(spark, fresh))
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
@@ -320,7 +334,7 @@ object SnapshotTable {
       paths: Seq[String], replace: Boolean = false,
       action: String = "append"): Unit =
     writeManifest(spark, table, gen, replace,
-      paths.sorted.map(ManifestRow(_)), Some(action))
+      metaRows(spark, paths), Some(action))
 
   /** Shared staged-rename manifest writer for [[publish]] and
     * [[publishWithStats]]. Every generation manifest is stamped with
@@ -506,7 +520,7 @@ object SnapshotTable {
     df.write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
     writeManifest(spark, table, gen, replace = false,
-      fresh.sorted.map(p => ManifestRow(p)) ++
+      metaRows(spark, fresh) ++
         parent.map(pg => ManifestRow(manifestPath(table, pg),
           kind = Some(ParentKind), seq = Some(pg))),
       Some(action))
@@ -627,7 +641,7 @@ object SnapshotTable {
     val carried = readManifestRows(spark, manifestPath(table, carryFrom))
       .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
     writeManifest(spark, table, gen, replace = false,
-      (carried ++ fresh.sorted.map(p => ManifestRow(p, kind = Some("delete"))))
+      (carried ++ metaRows(spark, fresh, kind = Some("delete")))
         .sortBy(r => (r.kind.get, r.path)), Some("delete"))
   }
 
@@ -663,8 +677,12 @@ object SnapshotTable {
     // batch would both survive forever. Refuse before publishing —
     // footer row counts are driver-side metadata (no Spark job): batch
     // rows == distinct keys iff the batch is key-unique.
-    val batchRows = footerRowCounts(spark, freshData).map(_._2).sum
-    val keyRows = footerRowCounts(spark, freshDels).map(_._2).sum
+    val dataMeta = metaRows(spark, freshData, kind = Some("data"),
+      seq = Some(gen))
+    val delMeta = metaRows(spark, freshDels, kind = Some("delete"),
+      seq = Some(gen))
+    val batchRows = dataMeta.flatMap(_.nRows).sum
+    val keyRows = delMeta.flatMap(_.nRows).sum
     require(batchRows == keyRows,
       s"commitUpsert batch for $table gen=$gen has duplicate keys " +
         s"($batchRows row(s) over $keyRows distinct '$keyCol'): same-key " +
@@ -675,11 +693,7 @@ object SnapshotTable {
     val carried = readManifestRows(spark, manifestPath(table, carryFrom))
       .map(r => r.copy(kind = r.kind.orElse(Some("data"))))
     writeManifest(spark, table, gen, replace,
-      (carried ++
-        freshData.sorted.map(p =>
-          ManifestRow(p, kind = Some("data"), seq = Some(gen))) ++
-        freshDels.sorted.map(p =>
-          ManifestRow(p, kind = Some("delete"), seq = Some(gen))))
+      (carried ++ dataMeta ++ delMeta)
         .sortBy(r => (r.kind.get, r.path)), Some("upsert"))
     // Same-id replay (the streaming CDC-apply sink): earlier attempts
     // of THIS generation are unreferenced once the manifest republish
@@ -864,7 +878,7 @@ object SnapshotTable {
     writeManifestAt(spark,
       branchManifestPath(table, branch),
       s"$table/branches/.${branch}.staging.${attemptName()}",
-      replace = false, fresh.sorted.map(ManifestRow(_)),
+      replace = false, metaRows(spark, fresh),
       what = s"branch '$branch' of $table")
   }
 
@@ -988,6 +1002,73 @@ object SnapshotTable {
     }
   }
 
+  /** Per-file `(footer row count, on-disk bytes)` — ONE footer open per
+    * file (the input-file handle already carries the size from its
+    * status lookup). This is what every COMMIT stamps into its fresh
+    * manifest rows, so read-side consumers (scan statistics, the
+    * `files` metadata table) answer from the manifest alone at any
+    * file count.
+    */
+  def fileMeta(spark: SparkSession,
+      paths: Seq[String]): Seq[(String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (f, r.getRecordCount, in.getLength) finally r.close()
+    }
+  }
+
+  /** Best-effort [[fileMeta]] for the explicit-row publish forms:
+    * callers hand zone-map rows whose paths the layer never wrote (a
+    * spec's synthetic layout, a foreign file registered by stats), so
+    * an unopenable path records NO meta rather than failing the
+    * publish — the consumers all fall back per file.
+    */
+  private def fileMetaOpt(spark: SparkSession,
+      paths: Seq[String]): Map[String, (Long, Long)] =
+    paths.flatMap { f =>
+      try fileMeta(spark, Seq(f)).map(m => m._1 -> ((m._2, m._3)))
+      catch { case _: Exception => Seq.empty }
+    }.toMap
+
+  /** [[fileMeta]] as ready-to-publish manifest rows (sorted by path). */
+  private def metaRows(spark: SparkSession, paths: Seq[String],
+      kind: Option[String] = None, seq: Option[Long] = None): Seq[ManifestRow] =
+    fileMeta(spark, paths.sorted).map { case (p, n, b) =>
+      ManifestRow(p, kind = kind, seq = seq,
+        nRows = Some(n), bytes = Some(b))
+    }
+
+  /** The recorded `(n_rows, bytes)` of generation `gen`'s manifest
+    * rows, keyed by path — `(None, None)` entries for legacy rows, so
+    * a consumer can decide per file whether the manifest alone
+    * answers. DATA rows only (tombstones are not scan content).
+    */
+  private[graft] def recordedFileStats(spark: SparkSession, table: String,
+      gen: Long): Map[String, (Option[Long], Option[Long])] =
+    fileInventory(spark, table, gen)
+      .collect { case (p, "data", n, b) => p -> ((n, b)) }.toMap
+
+  /** Generation `gen`'s full file inventory straight off ONE manifest
+    * read: `(path, kind, recorded rows, recorded bytes)` — what the
+    * `files` metadata table serves without per-file I/O on a
+    * stats-recording lineage. Parent references excluded (they are
+    * manifests, not content); the long zone-map form's repeated paths
+    * collapse to one row each.
+    */
+  private[graft] def fileInventory(spark: SparkSession, table: String,
+      gen: Long): Seq[(String, String, Option[Long], Option[Long])] =
+    readManifestRows(spark, manifestPath(table, gen))
+      .filterNot(_.kind.contains(ParentKind))
+      .groupBy(r => (r.path, r.kind.getOrElse("data")))
+      .map { case ((p, k), rs) =>
+        // The long zone-map form repeats a path once per recorded
+        // column; any row carrying the meta serves it.
+        (p, k, rs.flatMap(_.nRows).headOption, rs.flatMap(_.bytes).headOption)
+      }.toSeq.sortBy(r => (r._2, r._1))
+
   /** Publish generation `gen` with per-file zone-map stats:
     * manifest rows are (path, min_key, max_key). [[listFiles]] /
     * [[readAs]] keep working (they project `path` only);
@@ -995,10 +1076,14 @@ object SnapshotTable {
     */
   def publishWithStats(spark: SparkSession, table: String, gen: Long,
       rows: Seq[(String, Long, Long)],
-      action: String = "append"): Unit =
+      action: String = "append"): Unit = {
+    val meta = fileMetaOpt(spark, rows.map(_._1).distinct.sorted)
     writeManifest(spark, table, gen, replace = false,
       rows.sortBy(_._1).map { case (p, mn, mx) =>
-        ManifestRow(p, minKey = Some(mn), maxKey = Some(mx)) }, Some(action))
+        ManifestRow(p, minKey = Some(mn), maxKey = Some(mx),
+          nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2)) },
+      Some(action))
+  }
 
   /** Publish generation `gen` with MULTI-COLUMN zone maps: manifest
     * rows are (path, key_col, min_key, max_key) — one row per (file,
@@ -1012,11 +1097,14 @@ object SnapshotTable {
     */
   def publishStats(spark: SparkSession, table: String, gen: Long,
       rows: Seq[(String, String, Long, Long)],
-      action: String = "append"): Unit =
+      action: String = "append"): Unit = {
+    val meta = fileMetaOpt(spark, rows.map(_._1).distinct.sorted)
     writeManifest(spark, table, gen, replace = false,
       rows.sortBy(r => (r._1, r._2)).map { case (p, c, mn, mx) =>
-        ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx)) },
+        ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx),
+          nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2)) },
       Some(action))
+  }
 
   /** Files of generation `gen` admitted by CONJUNCTIVE per-column
     * bounds against the manifest's zone maps — the [[readWhere]]
@@ -1036,7 +1124,7 @@ object SnapshotTable {
         .distinct.sorted
     else {
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _)
             if bounds.get(c).exists { case (lo, hi) => mn > hi || mx < lo } => p
       }.toSet
       // Data rows only: a stats lineage that later gains equality-delete
@@ -1227,7 +1315,7 @@ object SnapshotTable {
         s"manifest of $table gen $gen records no zone map for $column " +
           s"(has: ${rows.flatMap(_.keyCol).distinct.sorted.mkString(", ")})")
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _)
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _)
             if c == column && (mn > hi || mx < lo) => p
       }.toSet
       rows.collect { case r if r.kind.forall(_ == "data") => r.path }

@@ -279,18 +279,25 @@ private[streaming] object SnapshotMetaTable {
       val gens = SnapshotTable.generations(spark, table)
       require(gens.nonEmpty, s"$table has no committed generation")
       val conf = spark.sparkContext.hadoopConfiguration
-      val (data, dels) = {
-        val (d, t, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
-        if (seg) (SnapshotTable.resolvedFiles(spark, table, gens.max), t)
-        else (d, t)
-      }
-      val entries = data.sorted.map(_ -> "data") ++ dels.sorted.map(_ -> "delete")
-      val counts = SnapshotTable.footerRowCounts(spark, entries.map(_._1)).toMap
-      entries.map { case (f, k) =>
-        val p = new org.apache.hadoop.fs.Path(f)
+      val (_, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
+      // Stats-recording lineages answer from ONE manifest read — the
+      // per-file footer/status round trips below are the LEGACY path
+      // (pre-recording manifests, segmented chains whose content spans
+      // several manifests).
+      val entries: Seq[(String, String, Option[Long], Option[Long])] =
+        if (seg)
+          SnapshotTable.resolvedFiles(spark, table, gens.max)
+            .map(f => (f, "data", None, None))
+        else SnapshotTable.fileInventory(spark, table, gens.max)
+      entries.map { case (f, k, nRec, bRec) =>
+        val n = nRec.getOrElse(
+          SnapshotTable.footerRowCounts(spark, Seq(f)).head._2)
+        val b = bRec.getOrElse {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString(f), UTF8String.fromString(k), counts(f),
-          p.getFileSystem(conf).getFileStatus(p).getLen))
+          UTF8String.fromString(f), UTF8String.fromString(k), n, b))
       }.toArray
     case "history" =>
       SnapshotTable.generations(spark, table).map { g =>

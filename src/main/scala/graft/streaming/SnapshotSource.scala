@@ -123,6 +123,27 @@ private[graft] object SnapshotSource {
   private[graft] def planHistory(table: String): Seq[(Int, Boolean)] =
     planLog.synchronized { Option(planLog.get(table)).getOrElse(Nil) }
 
+  /** Whether the LAST scan-statistics estimation of `table` was served
+    * from manifest-recorded file stats alone (`true`) or had to fall
+    * back to per-file driver FS lookups (`false`, legacy lineages) —
+    * the telemetry the zero-per-file-planning-I/O spec gates on, kept
+    * driver-side for the same AQE-copy reason as [[planLog]]. Same
+    * LRU bound.
+    */
+  private val statsLog = new java.util.LinkedHashMap[String, Boolean](64,
+      0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Boolean]): Boolean =
+      size() > PlanLogMaxTables
+  }
+
+  private[streaming] def recordStatsSource(table: String,
+      fromManifest: Boolean): Unit =
+    statsLog.synchronized { statsLog.put(table, fromManifest); () }
+
+  private[graft] def lastStatsFromManifest(table: String): Option[Boolean] =
+    statsLog.synchronized { Option(statsLog.get(table)) }
+
   private[graft] def lastPlan(table: String): Option[(Int, Boolean)] =
     planHistory(table).lastOption
 
@@ -677,29 +698,49 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         private val batch = new SnapshotBatch(table, required, generation,
           SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
         override def toBatch: Batch = batch
-        // POST-PRUNING size estimate from driver-side file metadata
-        // (one getFileStatus per planned file, no footer opens): what
-        // lets Catalyst AUTO-BROADCAST a small snapshot table in a
-        // SQL join — without it DSv2 defaults to "unknown = huge" and
-        // every join against a catalog table sort-merges. Advisory
-        // only: any resolution failure degrades to unknown and the
-        // real error surfaces at planInputPartitions, where it
-        // belongs.
+        // POST-PRUNING size estimate, served from the MANIFEST's
+        // recorded per-file stats (one manifest read covers every
+        // planned file — zero per-file driver I/O at scan planning,
+        // the property that keeps a 100k-file table's planning flat):
+        // what lets Catalyst AUTO-BROADCAST a small snapshot table in
+        // a SQL join — without it DSv2 defaults to "unknown = huge"
+        // and every join against a catalog table sort-merges. Legacy
+        // lineages (pre-recording manifests, segmented chains) fall
+        // back to one getFileStatus per planned file. Advisory only:
+        // any resolution failure degrades to unknown and the real
+        // error surfaces at planInputPartitions, where it belongs.
         override def estimateStatistics()
             : org.apache.spark.sql.connector.read.Statistics =
           new org.apache.spark.sql.connector.read.Statistics {
-            private lazy val bytes: java.util.OptionalLong =
+            private lazy val est: (java.util.OptionalLong, java.util.OptionalLong) =
               try {
-                val files = batch.resolvePlan(record = false)._2
-                val conf = SparkSession.active.sparkContext.hadoopConfiguration
-                java.util.OptionalLong.of(files.map { f =>
-                  val p = new org.apache.hadoop.fs.Path(f)
-                  p.getFileSystem(conf).getFileStatus(p).getLen
-                }.sum)
-              } catch { case _: Exception => java.util.OptionalLong.empty() }
-            override def sizeInBytes(): java.util.OptionalLong = bytes
-            override def numRows(): java.util.OptionalLong =
-              java.util.OptionalLong.empty()
+                val spark = SparkSession.active
+                val (gen, files, segmented) = batch.resolvePlan(record = false)
+                val recorded =
+                  if (segmented)
+                    Map.empty[String, (Option[Long], Option[Long])]
+                  else SnapshotTable.recordedFileStats(spark, table, gen)
+                val sizes = files.map(f => recorded.get(f).flatMap(_._2))
+                if (sizes.forall(_.isDefined)) {
+                  SnapshotSource.recordStatsSource(table, fromManifest = true)
+                  val rows = files.map(f => recorded.get(f).flatMap(_._1))
+                  (java.util.OptionalLong.of(sizes.flatten.sum),
+                    if (rows.forall(_.isDefined))
+                      java.util.OptionalLong.of(rows.flatten.sum)
+                    else java.util.OptionalLong.empty())
+                } else {
+                  SnapshotSource.recordStatsSource(table, fromManifest = false)
+                  val conf = spark.sparkContext.hadoopConfiguration
+                  (java.util.OptionalLong.of(files.map { f =>
+                    val p = new org.apache.hadoop.fs.Path(f)
+                    p.getFileSystem(conf).getFileStatus(p).getLen
+                  }.sum), java.util.OptionalLong.empty())
+                }
+              } catch { case _: Exception =>
+                (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+              }
+            override def sizeInBytes(): java.util.OptionalLong = est._1
+            override def numRows(): java.util.OptionalLong = est._2
           }
       }
     }
@@ -1247,8 +1288,14 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
   * generation pins at WRITE CONSTRUCTION (scan-free statements have
   * no earlier resolution point), so a commit landing mid-statement
   * makes this publish lose the first-writer-wins race loudly. An
-  * overwrite whose query produced ZERO rows is refused — it would
-  * commit the empty, reader-breaking generation `TRUNCATE` refuses.
+  * overwrite whose query produced ZERO rows EMPTIES the table (the
+  * standard SQL / Delta / Iceberg overwrite semantic — a pipeline's
+  * occasional empty replacement batch must not hard-fail): the
+  * generation publishes with ONE zero-row schema-carrying parquet
+  * husk, kept from the staged files (or written driver-side from the
+  * statement's schema when no task staged anything), so every reader
+  * contract that requires files — schema inference, initial streaming
+  * loads — keeps holding while the snapshot serves zero rows.
   */
 private[streaming] class SnapshotOverwriteWrite(table: String,
     schema: StructType) extends BatchWrite {
@@ -1272,17 +1319,26 @@ private[streaming] class SnapshotOverwriteWrite(table: String,
     try {
       val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
         .partition(_._2 > 0L)
-      empty.foreach { case (p, _) =>
+      // Zero-row husks are dropped from a NON-empty overwrite (they
+      // would bloat the manifest forever); an all-empty result keeps
+      // exactly ONE as the schema carrier — or writes one driver-side
+      // when no task staged any file at all.
+      val (publish, drop) =
+        if (files.nonEmpty) (files.map(_._1), empty.map(_._1))
+        else if (empty.nonEmpty) (empty.take(1).map(_._1), empty.drop(1).map(_._1))
+        else {
+          val husk = s"$stageDir/empty-00000.parquet"
+          val w = new SnapshotFileWriter(husk, schema,
+            SnapshotSource.sessionConf().value)
+          w.commit()
+          (Seq(husk), Seq.empty[String])
+        }
+      drop.foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(hp, false)
       }
-      if (files.isEmpty) throw new IllegalStateException(
-        s"INSERT OVERWRITE of $table produced no rows; an empty " +
-          "generation breaks the reader contract (schema inference, " +
-          "initial loads) - if the intent is emptying the table, use the " +
-          "library's expire/vacuum retention commands")
-      SnapshotTable.publishAppend(spark, table, baseGen + 1, files.map(_._1),
+      SnapshotTable.publishAppend(spark, table, baseGen + 1, publish,
         carryFrom = None, action = "overwrite")
     } catch { case e: Throwable => sweep(); throw e }
   }

@@ -345,7 +345,7 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "history commit stamps must be strictly increasing")
   }
 
-  test("INSERT OVERWRITE replaces the whole table; empty results refuse") {
+  test("INSERT OVERWRITE replaces the whole table; empty results empty it") {
     import spark.implicits._
     val t = s"$warehouse/t_overwrite"
     SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, 1L)
@@ -358,15 +358,21 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite VERSION AS OF 1")
       .head().getLong(0) === 3L)
     assert(SnapshotTable.commitAction(spark, t, 2L).contains("overwrite"))
-    // An overwrite whose query yields no rows would commit the empty,
-    // reader-breaking generation TRUNCATE refuses - same refusal here.
-    val e = intercept[Exception](spark.sql(
-      "INSERT OVERWRITE spec_cat.t_overwrite SELECT * FROM ow_src WHERE k > 100"))
-    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
-      .contains("produced no rows"))
-    // The refused overwrite published nothing.
-    assert(SnapshotTable.generations(spark, t) === Seq(1L, 2L))
-    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite")
+    // An overwrite whose query yields no rows EMPTIES the table — the
+    // standard SQL/Delta/Iceberg overwrite semantic — while the reader
+    // contracts that require files keep holding through one zero-row
+    // schema-carrying husk.
+    spark.sql(
+      "INSERT OVERWRITE spec_cat.t_overwrite SELECT * FROM ow_src WHERE k > 100")
+    assert(SnapshotTable.generations(spark, t) === Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT count(*) AS n FROM spec_cat.t_overwrite")
+      .head().getLong(0) === 0L)
+    // Schema inference still serves (the husk's footer carries it).
+    assert(spark.table("spec_cat.t_overwrite").schema.fieldNames.toSeq
+      === Seq("k", "v"))
+    assert(SnapshotTable.listFiles(spark, t, 3L).size === 1)
+    // History still serves the pre-overwrite snapshots.
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_overwrite VERSION AS OF 2")
       .head().getLong(0) === 24L)
   }
 
@@ -385,6 +391,58 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"a 50-row catalog table must auto-broadcast; got:\n$plan")
+    // The estimate came from the MANIFEST's recorded per-file stats —
+    // zero per-file FS/footer round trips at scan planning, the
+    // property that keeps a 100k-file table's planning flat.
+    assert(graft.streaming.SnapshotSource.lastStatsFromManifest(t)
+      === Some(true))
+  }
+
+  test("manifest stats match footer truth; legacy manifests fall back per file") {
+    import spark.implicits._
+    val t = s"$warehouse/t_stats_legacy"
+    SnapshotTable.commit(
+      (1L to 60L).map(k => (k, s"v$k")).toDF("k", "v").repartition(3), t, 1L)
+    // Recorded rows/bytes equal the footers they were taken from.
+    val rec = SnapshotTable.recordedFileStats(spark, t, 1L)
+    val truth = SnapshotTable.fileMeta(spark,
+      SnapshotTable.listFiles(spark, t, 1L))
+    assert(truth.nonEmpty)
+    truth.foreach { case (p, n, b) =>
+      assert(rec(p) === ((Some(n), Some(b))), s"recorded stats of $p")
+    }
+    // The files metadata relation is served from the same manifest.
+    val inv = spark.sql(s"SELECT sum(n_rows) AS n, sum(bytes) AS b " +
+      s"FROM spec_cat.t_stats_legacy.files").head()
+    assert(inv.getLong(0) === 60L)
+    assert(inv.getLong(1) === truth.map(_._3).sum)
+
+    // LEGACY lineage: strip the manifest back to the bare (path) form —
+    // planning statistics must still serve (per-file fallback), and the
+    // telemetry must say so.
+    val mdir = new org.apache.hadoop.fs.Path(s"$t/manifests/gen=1")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = graft.Scratch.dir("legacy_manifest_rewrite")
+    spark.read.parquet(mdir.toString).select("path")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.listStatus(mdir).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .foreach(p => fs.delete(p, false))
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(mdir, p.getName)))
+
+    spark.range(100000L).selectExpr("id % 60 + 1 AS k")
+      .createOrReplaceTempView("legacy_facts")
+    val df = spark.sql("SELECT count(*) AS n FROM legacy_facts f " +
+      "JOIN spec_cat.t_stats_legacy d ON f.k = d.k")
+    assert(df.head().getLong(0) === 100000L)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the legacy fallback estimate must still enable the broadcast")
+    assert(graft.streaming.SnapshotSource.lastStatsFromManifest(t)
+      === Some(false))
   }
 
   test("expire_before retires by wall-clock through the shared stamp policy") {

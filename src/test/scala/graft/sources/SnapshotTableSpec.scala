@@ -401,6 +401,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     // Manifest zone maps equal the true per-file key extremes.
     val manifest = spark.read
       .parquet(s"$table/manifests/gen=1")
+      .select("path", "min_key", "max_key")
       .as[(String, Long, Long)].collect()
     manifest.foreach { case (p, mn, mx) =>
       val Array(actual) = spark.read.parquet(p)
@@ -520,6 +521,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     // The same manifest serves both dimensions: each probe's planned
     // file set is exactly the paths its OWN column's zone map admits.
     val manifest = spark.read.parquet(s"$table/manifests/gen=1")
+      .select("path", "key_col", "min_key", "max_key")
       .as[(String, String, Long, Long)].collect()
     assert(manifest.map(_._2).distinct.sorted === Seq("o_custkey", "o_orderkey"))
     val src = Tables.orders(spark, dir)
