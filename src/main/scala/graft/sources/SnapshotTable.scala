@@ -348,24 +348,36 @@ object SnapshotTable {
     */
   private def writeManifest(spark: SparkSession, table: String, gen: Long,
       replace: Boolean, rows: Seq[ManifestRow],
-      action: Option[String] = None): Unit = {
+      action: Option[String] = None,
+      schemaJson: Option[String] = None): Unit = {
     // Youngest earlier stamp, walking DESCENDING and stopping at the
     // first stamped manifest: stamps are monotonic by construction, so
     // the immediate predecessor normally answers in ONE listing — a
     // full-history scan would make every commit O(lineage length)
     // (O(N²) cumulative for a generation-per-micro-batch stream).
-    val prevTs = generations(spark, table).filter(_ < gen)
-      .sorted(Ordering[Long].reverse).iterator
+    val earlier = generations(spark, table).filter(_ < gen)
+      .sorted(Ordering[Long].reverse)
+    val prevTs = earlier.iterator
       .map(g => commitTimestamp(spark, table, g))
       .collectFirst { case Some(ts) => ts }
     val ts = math.max(commitClock(), prevTs.map(_ + 1L).getOrElse(0L))
+    // A RECORDED SCHEMA (ALTER TABLE's sidecar) propagates to every
+    // later manifest: each commit carries its predecessor's sidecar
+    // forward unless it records a fresh one, so a snapshot's schema
+    // resolves from ITS OWN manifest (expire can never lose the alter
+    // by retiring the generation that recorded it). One tiny
+    // read per commit, immediate predecessor only — propagation makes
+    // deeper walks unnecessary.
+    val schema = schemaJson.orElse(
+      earlier.headOption.flatMap(g => recordedSchemaJson(spark, table, g)))
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",
       replace, rows,
       what = s"generation $gen of $table",
       action = action,
-      commitTs = Some(ts))
+      commitTs = Some(ts),
+      schemaJson = schema)
   }
 
   /** The staged-rename commit core, shared by the generation manifests
@@ -376,7 +388,8 @@ object SnapshotTable {
   private def writeManifestAt(spark: SparkSession, targetPath: String,
       stagingPath: String, replace: Boolean, rows: Seq[ManifestRow],
       what: String, action: Option[String] = None,
-      commitTs: Option[Long] = None): Unit = {
+      commitTs: Option[Long] = None,
+      schemaJson: Option[String] = None): Unit = {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     // The staging path is WRITER-UNIQUE: a shared path would let racer
     // B's overwrite replace racer A's staged file list before A's
@@ -401,6 +414,15 @@ object SnapshotTable {
     // it publishes atomically with the file list and the action.
     commitTs.foreach { ts =>
       fs.create(new org.apache.hadoop.fs.Path(tmp, s".ts=$ts")).close()
+    }
+    // The RECORDED SCHEMA sidecar (ALTER TABLE evolution) is a dot-
+    // prefixed JSON file INSIDE the staged directory — content, not a
+    // name payload — publishing atomically with everything else and
+    // invisible to parquet readers like the other markers.
+    schemaJson.foreach { js =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, SchemaSidecar))
+      try out.write(js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     // The rename target's PARENT must pre-exist: on HDFS-semantics
     // stores a rename into a missing directory fails (a spurious
@@ -439,6 +461,59 @@ object SnapshotTable {
           "(rename nested into the winner's manifest); this writer's " +
           "attempt is discarded")
     }
+  }
+
+  /** The recorded-schema sidecar's file name inside a manifest
+    * directory.
+    */
+  private val SchemaSidecar = ".schema.json"
+
+  /** The RECORDED schema of generation `gen`, if its manifest carries
+    * the ALTER TABLE sidecar — raw JSON (for propagation) to avoid a
+    * parse-reserialize round per commit.
+    */
+  private def recordedSchemaJson(spark: SparkSession, table: String,
+      gen: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(table, gen), SchemaSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** [[recordedSchemaJson]] parsed — what schema resolution consults
+    * before falling back to the footer union: a column added by ALTER
+    * TABLE exists in the RECORDED schema even while no data file
+    * carries it yet (old rows serve NULL for it by the readers'
+    * resolve-by-name contract).
+    */
+  def recordedSchema(spark: SparkSession, table: String,
+      gen: Long): Option[org.apache.spark.sql.types.StructType] =
+    recordedSchemaJson(spark, table, gen).map(js =>
+      org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** `ALTER TABLE ADD COLUMN`'s commit: publish `newSchema` as the
+    * RECORDED schema of a new generation whose manifest carries the
+    * latest generation's rows VERBATIM — a pure metadata re-point
+    * (zero data files written at any table size, like [[rollback]]),
+    * recorded action "alter". Later commits propagate the sidecar
+    * forward automatically; history before the alter keeps resolving
+    * its own (narrower) schema through time travel.
+    */
+  def alterSchema(spark: SparkSession, table: String,
+      newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val gens = generations(spark, table)
+    require(gens.nonEmpty, s"cannot ALTER $table: no committed generation")
+    val gen = gens.max + 1
+    writeManifest(spark, table, gen, replace = false,
+      readManifestRows(spark, manifestPath(table, gens.max)),
+      Some("alter"), Some(newSchema.json))
+    gen
   }
 
   /** The DATA file list of generation `gen` — one driver-side collect

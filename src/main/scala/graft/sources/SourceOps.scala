@@ -1212,6 +1212,144 @@ object SourceOps {
       .orderBy("phase", "x")
   }
 
+  /** `CREATE TABLE AS SELECT` through the catalog — the statement
+    * that DEFINES a table from SQL ([[graft.streaming.SnapshotCatalog]]
+    * implements `StagingTableCatalog`, so Spark takes the ATOMIC
+    * staged path: the query's output is invisible until
+    * `commitStagedChanges` publishes generation 1 through the same
+    * first-writer-wins manifest commit as every writer — a racing
+    * CTAS or library commit loses loudly, never half-defines). The
+    * drill creates from the odd-key projection, requires the recorded
+    * "create" action, then INSERTs the even half and gates BOTH the
+    * pinned creation snapshot (`a_created` time-travels to gen 1,
+    * executed after the insert — snapshot isolation) and the merged
+    * latest against the split predicates.
+    */
+  def catalogCtas(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_ctas")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.`$name` AS " +
+      "SELECT o_orderkey, o_totalprice FROM ctas_src WHERE o_orderkey % 2 = 1")
+    require(SnapshotTable.commitAction(spark, t, 1L).contains("create"),
+      "CTAS must commit generation 1 with the recorded action 'create'")
+    def phase(tag: String, from: String): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM $from""".stripMargin)
+    val created = phase("a_created", s"$cat.`$name` VERSION AS OF 1")
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey, o_totalprice FROM ctas_src WHERE o_orderkey % 2 = 0")
+    created.unionByName(phase("b_inserted", s"$cat.`$name`"))
+      .orderBy("phase")
+  }
+
+  /** `ALTER TABLE ADD COLUMN` through the catalog — METADATA-ONLY
+    * schema evolution: the evolved schema lands as a recorded-schema
+    * sidecar on a fresh generation carrying the data files VERBATIM
+    * (the drill REQUIRES the zero-rewrite), existing rows serve NULL
+    * for the new column through the readers' resolve-by-name
+    * contract, and a post-alter INSERT carries real values. Phases
+    * gate the merged latest (NULL-counting aggregates re-derived by
+    * the oracle from the split predicates), the narrow pre-alter
+    * snapshot via time travel, and each phase's COLUMN COUNT — the
+    * schema half the value hash alone cannot see.
+    */
+  def catalogAlter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_alter")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    orders.createOrReplaceTempView("ctas_alter_src")
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(2), t, 1L)
+    val beforeFiles = SnapshotTable.listFiles(spark, t, 1L)
+    spark.sql(s"ALTER TABLE $cat.`$name` ADD COLUMN o_priority BIGINT")
+    require(SnapshotTable.commitAction(spark, t, 2L).contains("alter"),
+      "ALTER must commit with the recorded action 'alter'")
+    require(SnapshotTable.listFiles(spark, t, 2L) == beforeFiles,
+      "ALTER ADD COLUMN must be metadata-only: files carry verbatim")
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey, o_totalprice, o_orderkey % 5 FROM ctas_alter_src " +
+      "WHERE o_orderkey % 2 = 0")
+    def phase(tag: String, from: String, widened: Boolean): DataFrame = {
+      val nCols = spark.sql(s"SELECT * FROM $from LIMIT 0").columns.length.toLong
+      if (widened) spark.sql(
+        s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+           |  sum(o_orderkey) AS key_sum,
+           |  count(o_priority) AS with_col,
+           |  CAST(sum(coalesce(o_priority, 0)) AS BIGINT) AS pri_sum,
+           |  CAST($nCols AS BIGINT) AS n_cols
+           |FROM $from""".stripMargin)
+      else spark.sql(
+        s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+           |  sum(o_orderkey) AS key_sum,
+           |  CAST(0 AS BIGINT) AS with_col, CAST(0 AS BIGINT) AS pri_sum,
+           |  CAST($nCols AS BIGINT) AS n_cols
+           |FROM $from""".stripMargin)
+    }
+    phase("a_latest", s"$cat.`$name`", widened = true)
+      .unionByName(phase("b_narrow", s"$cat.`$name` VERSION AS OF 1",
+        widened = false))
+      .orderBy("phase")
+  }
+
+  /** WAP BRANCH READS from SQL — the audit half of
+    * write-audit-publish as a plain relation
+    * (`<cat>.<table>.branch_<name>`,
+    * [[graft.streaming.SnapshotBranchTable]]): the staged batch is
+    * SELECT-able for auditing while remaining INVISIBLE to every
+    * lineage reader (the drill REQUIRES staging committed no
+    * generation), then publishes BY REFERENCE after the green audit
+    * and the branch relation retires. Phases gate the staged content,
+    * the isolated main table, and the published union against the
+    * split predicates; the retire phase binds the gone-ness booleans.
+    */
+  def catalogBranch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_branch")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(2), t, 1L)
+    SnapshotTable.stage(
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2), t, "audit")
+    // Staging is INVISIBLE to the lineage: no generation was committed,
+    // and the branch is addressable for the audit.
+    require(SnapshotTable.generations(spark, t) == Seq(1L),
+      "staging a branch must not commit a generation")
+    require(SnapshotTable.branches(spark, t) == Seq("audit"),
+      "the staged branch must be listed")
+    def phase(tag: String, from: String, ok: Boolean): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+         |  $ok AS ok
+         |FROM $from""".stripMargin)
+    // The audit reads the STAGED snapshot through plain SQL; the main
+    // table still serves generation 1 (travel-pinned so the lazy read
+    // survives the publish below).
+    val staged = phase("a_staged", s"$cat.`$name`.branch_audit", ok = true)
+      .localCheckpoint()
+    val isolated = phase("b_isolated", s"$cat.`$name` VERSION AS OF 1",
+      ok = true)
+    SnapshotTable.publishStaged(spark, t, "audit", 2L, Some(1L))
+    val branchGone = SnapshotTable.branches(spark, t).isEmpty && {
+      try { spark.sql(s"SELECT * FROM $cat.`$name`.branch_audit"); false }
+      catch { case _: Exception => true }
+    }
+    staged.unionByName(isolated)
+      .unionByName(phase("c_published", s"$cat.`$name`", ok = true))
+      .unionByName(Seq(("d_retired", 0L, 0L, 0L, branchGone))
+        .toDF("phase", "n_rows", "key_sum", "price_cents", "ok"))
+      .orderBy("phase")
+  }
+
   /** SCHEMA EVOLUTION at the snapshot layer — [[schemaEvolution]]'s
     * claim lifted from loose parquet directories onto versioned
     * lineage: generation 1 commits a 2-column shape, generation 2
@@ -2369,6 +2507,9 @@ object SourceOps {
     "src_catalog_dml" -> (catalogDml _),
     "src_catalog_proc" -> (catalogProc _),
     "src_catalog_overwrite" -> (catalogOverwrite _),
+    "src_catalog_ctas" -> (catalogCtas _),
+    "src_catalog_alter" -> (catalogAlter _),
+    "src_catalog_branch" -> (catalogBranch _),
     "src_connector_dpp" -> (connectorDpp _),
     "src_catalog_meta" -> (catalogMeta _),
     "stream_startat" -> (streamStartAt _),
@@ -2827,6 +2968,52 @@ object SourceOps {
         ph("a_before", "o_totalprice", ""),
         ph("b_after", "o_totalprice + 10", " WHERE o_orderkey % 2 = 0"),
         ph("c_vacuumed", "o_totalprice + 10", " WHERE o_orderkey % 2 = 0"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY phase")
+    },
+    // CTAS twin: the creation snapshot re-derived from the odd-key
+    // predicate, the post-insert latest as the full projection.
+    "src_catalog_ctas" ->
+      """SELECT 'a_created' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 'b_inserted', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders
+        |ORDER BY phase""".stripMargin,
+    // ALTER twin: the widened latest re-derived from the split
+    // predicates (only the even-key insert carries o_priority =
+    // key % 5), the narrow travel phase from the odd-key init; column
+    // counts are layout constants (2 wide before, 3 after).
+    "src_catalog_alter" ->
+      """SELECT 'a_latest' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(count_if(o_orderkey % 2 = 0) AS BIGINT) AS with_col,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5
+        |                ELSE 0 END) AS BIGINT) AS pri_sum,
+        |  CAST(3 AS BIGINT) AS n_cols
+        |FROM orders
+        |UNION ALL
+        |SELECT 'b_narrow', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), 0, 0, 2
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY phase""".stripMargin,
+    // Branch twin: staged = evens, isolated = odds, published = full;
+    // the retire phase is all-constant with the gone-ness boolean.
+    "src_catalog_branch" -> {
+      def ph(tag: String, where: String): String =
+        s"""SELECT '$tag' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           |  TRUE AS ok
+           |FROM orders$where""".stripMargin
+      Seq(
+        ph("a_staged", " WHERE o_orderkey % 2 = 0"),
+        ph("b_isolated", " WHERE o_orderkey % 2 = 1"),
+        ph("c_published", ""),
+        "SELECT 'd_retired', 0, 0, 0, TRUE")
         .mkString("", "\nUNION ALL\n", "\nORDER BY phase")
     },
     // Delete twin: both phases re-derived from the predicate — before

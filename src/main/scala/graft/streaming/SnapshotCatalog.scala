@@ -40,7 +40,8 @@ import graft.sources.SnapshotTable
   * lifecycle without a second implementation of any of it.
   */
 class SnapshotCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -106,6 +107,19 @@ class SnapshotCatalog extends TableCatalog
       if (isTable(parent))
         return new SnapshotMetaTable(parent, kind)
     }
+    // WAP branch reads (`<cat>.<table>.branch_<name>`): the AUDIT half
+    // of write-audit-publish as a plain SQL relation — a staged branch
+    // reads through its branch manifest exactly like a generation,
+    // over data no lineage reader can see yet. The branch name match
+    // is case-sensitive (branches are user-named paths); the idiom
+    // prefix is not.
+    if (ident.namespace().nonEmpty && kind.startsWith(SnapshotBranchTable.Prefix)) {
+      val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
+      val branch = ident.name().drop(SnapshotBranchTable.Prefix.length)
+      if (isTable(parent) &&
+          SnapshotTable.branches(spark, parent).contains(branch))
+        return new SnapshotBranchTable(parent, branch)
+    }
     throw new NoSuchTableException(ident)
   }
 
@@ -159,15 +173,92 @@ class SnapshotCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
 
+  /** Plain `CREATE TABLE` (no AS SELECT) stays refused: a snapshot
+    * table IS its committed generations — an empty shell with no
+    * manifest would be unaddressable by every reader contract. The
+    * statement that creates tables from SQL is CTAS ([[stageCreate]]),
+    * whose first commit is the defining generation.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "snapshot tables are created by the library's commit command; " +
-        "the catalog serves reads, time travel, and INSERT INTO")
+      "snapshot tables need a defining first generation: use CREATE TABLE " +
+        "... AS SELECT (or the library's commit command); plain CREATE " +
+        "TABLE would leave an unaddressable empty shell")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+  /** `CREATE TABLE AS SELECT` — the atomic staged form: the query's
+    * output stages under the table's layout, INVISIBLE until
+    * [[SnapshotStagedCreate.commitStagedChanges]] publishes it as
+    * generation 1 through the same first-writer-wins manifest commit
+    * every writer uses (two racing CTAS cannot both define the table).
+    * This is the sink overload of the `stageCreate` default chain
+    * (Column[]/TableInfo variants delegate here).
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    if (isTable(root))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    require(partitions.isEmpty,
+      "snapshot tables are unpartitioned at the directory level " +
+        "(file pruning rides manifest zone maps); drop PARTITIONED BY")
+    new SnapshotStagedCreate(root, schema)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
     throw new UnsupportedOperationException(
-      "snapshot schema evolves through committed generations, not ALTER TABLE")
+      "REPLACE TABLE would rewrite committed lineage; use INSERT OVERWRITE " +
+        "(content replace with history intact) or the library's retention commands")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (isTable(rootOf(ident))) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  /** `ALTER TABLE ADD COLUMN(S)` — metadata-only schema evolution: the
+    * evolved schema lands as a RECORDED-SCHEMA sidecar on a fresh
+    * generation carrying the files verbatim
+    * ([[graft.sources.SnapshotTable.alterSchema]]); existing rows
+    * serve NULL for the new column through the readers'
+    * resolve-by-name contract, and time travel before the alter keeps
+    * the narrow schema. Everything else (drops, renames, type changes)
+    * stays refused — those rewrite data or break the by-name contract.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val current = SnapshotSource.latestSchema(root)
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"nested column adds are not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames().head
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists in $root")
+        require(add.isNullable,
+          s"added column $name must be nullable: existing rows serve NULL for it")
+        require(add.position() == null,
+          "positioned ADD COLUMN is not supported; new columns append")
+        require(add.defaultValue() == null,
+          "column DEFAULT values are not supported")
+        // Refuse up front the types the snapshot writers cannot encode,
+        // instead of failing the user's NEXT insert.
+        SnapshotSource.messageTypeOf(StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, add.dataType(), true))))
+        schema.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"snapshot tables support ALTER TABLE ADD COLUMN only; got $other " +
+          "(drops/renames/type changes rewrite data or break by-name resolution)")
+    }
+    SnapshotTable.alterSchema(spark, root, evolved)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -194,4 +285,135 @@ class SnapshotCatalog extends TableCatalog
       SnapshotProcedures.names
         .map(Identifier.of(Array(SnapshotProcedures.Namespace), _)).toArray
     else Array.empty
+}
+
+/** The staged table behind `CREATE TABLE AS SELECT`: the query's
+  * output stages under the new table's layout through the standard
+  * task writers, the batch commit only RECORDS the staged file list,
+  * and [[commitStagedChanges]] is the visibility point — it publishes
+  * generation 1 via the first-writer-wins manifest commit, so a racing
+  * CTAS (or a library commit racing the statement) loses loudly and
+  * the staged files sweep. A zero-row CTAS defines the table with one
+  * schema-carrying husk, exactly the empty INSERT OVERWRITE contract.
+  */
+private[streaming] class SnapshotStagedCreate(table: String,
+    tableSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write._
+
+  private val stageDir =
+    s"$table/data/staged/a=${SnapshotTable.attemptName()}"
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+
+  override def name(): String = s"snapshot:$table (staged create)"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new SnapshotWriterFactory(stageDir, info.schema(),
+              SnapshotSource.sessionConf())
+          // NOT the visibility point: the staged-table contract defers
+          // that to commitStagedChanges; this only records what landed.
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged.set(messages.collect {
+              case SnapshotWriteMessage(p) => p
+            }.toSeq.sorted)
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            sweep()
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    try {
+      val (publish, drop) = SnapshotSource.contentOrHusk(spark,
+        staged.get(), stageDir, tableSchema)
+      drop.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, false)
+      }
+      SnapshotTable.publishAppend(spark, table, 1L, publish,
+        carryFrom = None, action = "create")
+    } catch { case e: Throwable => sweep(); throw e }
+  }
+
+  override def abortStagedChanges(): Unit = sweep()
+
+  private def sweep(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+}
+
+private[streaming] object SnapshotBranchTable {
+  /** The metadata-table-style idiom prefix: `<table>.branch_<name>`. */
+  val Prefix = "branch_"
+}
+
+/** READ-ONLY relation over one staged WAP branch — the audit surface
+  * of write-audit-publish from plain SQL: the scan's files are exactly
+  * the branch manifest's list (resolved fresh at scan build, so a
+  * re-staged branch serves its current content), read through the same
+  * per-file readers as a generation, with column pruning honored. The
+  * branch disappears from SQL the moment it publishes or abandons
+  * (the catalog checks liveness at resolution).
+  */
+private[streaming] class SnapshotBranchTable(table: String, branch: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def files(): Seq[String] = {
+    val fs = SnapshotTable.stagedFiles(spark, table, branch)
+    require(fs.nonEmpty,
+      s"branch '$branch' of $table staged no files; nothing to audit")
+    fs
+  }
+
+  override def name(): String = s"snapshot:$table@$branch"
+
+  override def schema(): StructType =
+    spark.read.option("mergeSchema", true).parquet(files(): _*).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"SnapshotBranch($table@$branch)"
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            files().map(SnapshotFilePartition(_)).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new SnapshotReaderFactory(required, SnapshotSource.sessionConf())
+        }
+      }
+    }
 }

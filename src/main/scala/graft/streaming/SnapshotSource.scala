@@ -164,14 +164,26 @@ private[graft] object SnapshotSource {
 
   /** Schema as of one generation (the time-travel variant of
     * [[latestSchema]] — a `VERSION AS OF` read must resolve columns
-    * against the schema THAT snapshot carried, not today's).
+    * against the schema THAT snapshot carried, not today's). The
+    * generation's RECORDED schema (the ALTER TABLE sidecar, propagated
+    * into every post-alter manifest) takes precedence: a column added
+    * by ALTER exists before any data file carries it, old rows serving
+    * NULL through the readers' resolve-by-name contract. Columns only
+    * the footers know (evolution-by-append) still union in behind it.
     */
   def schemaAt(table: String, gen: Long): StructType = {
     val spark = SparkSession.active
     val (own, _, seg) = SnapshotTable.tailEntries(spark, table, gen)
     val files =
       if (seg) SnapshotTable.resolvedFiles(spark, table, gen) else own
-    spark.read.option("mergeSchema", true).parquet(files: _*).schema
+    val footer =
+      spark.read.option("mergeSchema", true).parquet(files: _*).schema
+    SnapshotTable.recordedSchema(spark, table, gen) match {
+      case None => footer
+      case Some(rec) =>
+        StructType(rec.fields ++
+          footer.fields.filterNot(f => rec.fieldNames.contains(f.name)))
+    }
   }
 
   /** The session's Hadoop configuration, captured DRIVER-SIDE in a
@@ -353,6 +365,29 @@ private[graft] object SnapshotSource {
     }
     filters.flatMap(valuesOf).groupBy(_._1).map { case (c, gs) =>
       c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+  }
+
+  /** Full-content commits (INSERT OVERWRITE, CTAS) reduce their staged
+    * files to `(files to publish, husks to delete)`: zero-row husks
+    * drop from a non-empty result (they would bloat the manifest
+    * forever), while an all-empty result keeps exactly ONE zero-row
+    * file as the SCHEMA CARRIER — or writes one driver-side when no
+    * task staged anything — so the reader contracts that require files
+    * (schema inference, initial streaming loads) hold on an empty but
+    * valid generation.
+    */
+  def contentOrHusk(spark: SparkSession, staged: Seq[String],
+      stageDir: String, schema: StructType): (Seq[String], Seq[String]) = {
+    val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
+      .partition(_._2 > 0L)
+    if (files.nonEmpty) (files.map(_._1), empty.map(_._1))
+    else if (empty.nonEmpty) (empty.take(1).map(_._1), empty.drop(1).map(_._1))
+    else {
+      val husk = s"$stageDir/empty-00000.parquet"
+      val w = new SnapshotFileWriter(husk, schema, sessionConf().value)
+      w.commit()
+      (Seq(husk), Seq.empty[String])
     }
   }
 
@@ -1317,22 +1352,8 @@ private[streaming] class SnapshotOverwriteWrite(table: String,
     val spark = SparkSession.active
     val staged = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
     try {
-      val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
-        .partition(_._2 > 0L)
-      // Zero-row husks are dropped from a NON-empty overwrite (they
-      // would bloat the manifest forever); an all-empty result keeps
-      // exactly ONE as the schema carrier — or writes one driver-side
-      // when no task staged any file at all.
       val (publish, drop) =
-        if (files.nonEmpty) (files.map(_._1), empty.map(_._1))
-        else if (empty.nonEmpty) (empty.take(1).map(_._1), empty.drop(1).map(_._1))
-        else {
-          val husk = s"$stageDir/empty-00000.parquet"
-          val w = new SnapshotFileWriter(husk, schema,
-            SnapshotSource.sessionConf().value)
-          w.commit()
-          (Seq(husk), Seq.empty[String])
-        }
+        SnapshotSource.contentOrHusk(spark, staged, stageDir, schema)
       drop.foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
