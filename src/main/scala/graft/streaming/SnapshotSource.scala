@@ -700,16 +700,17 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
-      // SupportsRuntimeV2Filtering rides the PLAIN table scan only —
-      // a join's build-side keys prune files through the same
-      // zone-map/bloom machinery as compile-time pushdown, after the
-      // build side executes (DPP for a file-granular table format).
-      // The row-level operation scan deliberately does NOT advertise
-      // it: group-based rewrites must write back EVERY row of every
-      // group the statement can touch, and a runtime filter derived
-      // from a MERGE source would wrongly prune files whose rows only
-      // the NOT-MATCHED-BY-SOURCE arms touch — the static pushdown
-      // (whose conjuncts cover all arms or nothing) stays its pruner.
+      // SupportsRuntimeV2Filtering: a join's build-side keys prune
+      // files through the same zone-map/bloom machinery as
+      // compile-time pushdown, after the build side executes (DPP for
+      // a file-granular table format). The row-level operation scan
+      // advertises it too ([[SnapshotRowLevelOperation]]) — soundly,
+      // because Spark's RowLevelOperationRuntimeGroupFiltering rule
+      // only injects the dynamic group filter when the command's
+      // group-filter condition is non-trivial, and RewriteMergeIntoTable
+      // degrades that condition to TRUE exactly when NOT-MATCHED-BY-
+      // SOURCE arms exist (every group is touched then, so no filter
+      // fires); the drills pin both directions.
       override def build(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics
           with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1407,23 +1408,38 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
     info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
+  /** EVERY planning this statement's scan performed. More than one is
+    * legitimate: runtime group filtering executes the matching-rows
+    * SUBQUERY through the same Scan instance (Spark's rule clones the
+    * relation, not the scan), and that planning sees the UNFILTERED
+    * file set before `filter()` lands on the main scan — so the states
+    * form a ⊆-chain over one base generation, and the rewrite's
+    * content derives from the MINIMAL set (the filtered planning that
+    * actually fed ReplaceData). Anything not totally ordered by ⊆, or
+    * spanning two generations, is a genuine ambiguity and refuses.
+    */
   private val recorded =
-    new java.util.concurrent.atomic.AtomicReference[RowLevelScanState](null)
-  @volatile private var conflicting = false
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[RowLevelScanState]())
 
-  private[streaming] def record(st: RowLevelScanState): Unit =
-    if (!recorded.compareAndSet(null, st) && recorded.get() != st)
-      conflicting = true
+  private[streaming] def record(st: RowLevelScanState): Unit = {
+    recorded.add(st)
+    ()
+  }
 
   private[streaming] def scanState: RowLevelScanState = {
-    val st = recorded.get()
-    if (st == null) throw new IllegalStateException(
+    import scala.jdk.CollectionConverters._
+    val states = recorded.synchronized { recorded.asScala.toList.distinct }
+    if (states.isEmpty) throw new IllegalStateException(
       s"row-level ${command()} write on $table committed before its scan " +
         "planned - the rewrite content's base snapshot is unknown")
-    if (conflicting) throw new IllegalStateException(
+    val chained = states.forall(a => states.forall(b =>
+      a.gen == b.gen && a.segmented == b.segmented &&
+        (a.files.subsetOf(b.files) || b.files.subsetOf(a.files))))
+    if (!chained) throw new IllegalStateException(
       s"row-level ${command()} on $table planned CONFLICTING scans; " +
         "refusing to commit a rewrite whose covered file set is ambiguous")
-    st
+    states.minBy(_.files.size)
   }
 
   override def command()
@@ -1442,10 +1458,22 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = required
-        override def description(): String = s"SnapshotRowLevelScan($table)"
-        override def toBatch: Batch =
+      // RUNTIME group filtering (the MATCHED-only MERGE / keyed UPDATE
+      // fast path): Spark's RowLevelOperationRuntimeGroupFiltering
+      // plans the command's matching rows as a dynamic subquery and
+      // hands their keys here as a V2 IN — the scan then plans only
+      // files whose zone maps / bloom sidecars admit a matching key,
+      // and the commit carries every unplanned file verbatim. SOUND
+      // because Spark injects the filter only when the command's
+      // group-filter condition is non-trivial: RewriteMergeIntoTable
+      // degrades it to TRUE when NOT-MATCHED-BY-SOURCE arms exist
+      // (those touch groups the source never names), so no
+      // source-derived filter can ever prune a file those arms would
+      // rewrite. The recorded scan state is post-filter by
+      // construction (planInputPartitions runs after filter()).
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        private val batch =
           new SnapshotBatch(table, required, None,
               SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed)) {
             override def planInputPartitions(): Array[InputPartition] = {
@@ -1454,6 +1482,20 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
               files.map(SnapshotFilePartition(_)).toArray
             }
           }
+        override def readSchema(): StructType = required
+        override def description(): String = s"SnapshotRowLevelScan($table)"
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          batch.indexedColumns()
+            .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+            .toArray
+        override def filter(
+            predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+            : Unit =
+          batch.applyRuntimeFilters(
+            SnapshotSource.v2BoundsOf(predicates),
+            SnapshotSource.v2ProbesOf(predicates))
+        override def toBatch: Batch = batch
       }
     }
 

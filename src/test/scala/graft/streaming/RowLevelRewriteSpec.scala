@@ -175,4 +175,54 @@ class RowLevelRewriteSpec extends AnyFunSuite {
     // table's own builder guard fires; both are loud.
     assert(e != null)
   }
+
+  test("MATCHED-only MERGE prunes files by the source's runtime keys") {
+    import spark.implicits._
+    val (t, files1) = statsTable("t_merge_rt")
+    // The ON condition is a pure equijoin — NOTHING is statically
+    // pushable, so only the RUNTIME group filter (the matching rows'
+    // keys, planned as a dynamic subquery) can prune files here.
+    (250L to 260L).map(k => (k, k + 1000000L)).toDF("k", "nv")
+      .createOrReplaceTempView("merge_rt_src")
+    spark.sql(
+      """MERGE INTO rl_cat.t_merge_rt t USING merge_rt_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(SnapshotTable.commitAction(spark, t, 2L).contains("merge"))
+    // Source keys live in ONE 100-wide slice: three files carry
+    // verbatim, only the [200, 300) slice rewrites.
+    val files2 = SnapshotTable.listFiles(spark, t, 2L)
+    val carried = files1.toSet.intersect(files2.toSet)
+    assert(carried.size == 3,
+      s"runtime keys must prune to one slice; carried: ${carried.size}")
+    // Content exact: matched rows updated, everything else untouched.
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM rl_cat.t_merge_rt").head()
+    val expected = (0L until 400L).map(_ * 10).sum +
+      (250L to 260L).map(k => k + 1000000L - k * 10).sum
+    assert(got.getLong(0) === 400L)
+    assert(got.getLong(1) === expected)
+  }
+
+  test("MERGE with a NOT-MATCHED-BY-SOURCE arm never runtime-prunes") {
+    import spark.implicits._
+    val (t, files1) = statsTable("t_merge_bysrc")
+    Seq((250L, 0L)).toDF("k", "nv").createOrReplaceTempView("merge_bysrc_src")
+    // The BY-SOURCE arm touches every group the source never names —
+    // Spark degrades the group filter to TRUE, so no runtime filter
+    // reaches the scan and every file rewrites.
+    spark.sql(
+      """MERGE INTO rl_cat.t_merge_bysrc t USING merge_bysrc_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1""".stripMargin)
+    val files2 = SnapshotTable.listFiles(spark, t, 2L)
+    assert(files1.toSet.intersect(files2.toSet).isEmpty,
+      "every file is touched by the BY-SOURCE arm and must rewrite")
+    // Content exact: the one matched key zeroed, all 399 others set
+    // to 1 — the rows a wrongly-injected runtime filter would have
+    // left untouched in carried files.
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM rl_cat.t_merge_bysrc").head()
+    assert(got.getLong(0) === 400L)
+    assert(got.getLong(1) === 399L)
+  }
 }
