@@ -1204,10 +1204,12 @@ object DedupOps {
       .orderBy("band", "bucket")
 
   /** [[minhashBuckets]] on [[FastFamily]] — the production (xxhash64)
-    * hash path, registered rows-only since xxhash64 has no DuckDB twin.
-    * It exists so the bench reports the scale path's throughput next to
-    * the oracle-checked portable path; LSH recall of both families is
-    * pinned by DedupOpsSpec's planted near-dups.
+    * hash path. It exists so the bench reports the scale path's
+    * throughput next to the portable path; LSH recall of both families
+    * is pinned by DedupOpsSpec's planted near-dups. Value-gated like
+    * everything else: [[XxhashOracle]] unrolls xxHash64 into DuckDB
+    * hugeint arithmetic, so the twin recomputes the exact band-bucket
+    * counts from raw text.
     */
   def minhashBucketsFast(spark: SparkSession, dir: String): DataFrame =
     minhashBands(Tables.documents(spark, dir), nBands = 4, rowsPerBand = 4,
@@ -2544,6 +2546,10 @@ object DedupOps {
     // rows, so the incremental twin shares neardup_jaccard's oracle
     // string verbatim.
     ("neardup_index_incr" -> baseOracle("neardup_jaccard")) +
+    // The production-hash twin: xxHash64 unrolled into DuckDB hugeint
+    // arithmetic (generated — see XxhashOracle), closing the one query
+    // that was rows-only-checked since r10.
+    ("neardup_minhash_fast" -> XxhashOracle.minhashFastSql) +
     // The groups oracle's components joined with text_quality's
     // token-count expression; rank 1 per component elects the
     // canonical (most tokens, ties to lowest doc_id).
