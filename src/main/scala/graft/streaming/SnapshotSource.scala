@@ -20,6 +20,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
@@ -184,6 +185,20 @@ private[graft] object SnapshotSource {
         StructType(rec.fields ++
           footer.fields.filterNot(f => rec.fieldNames.contains(f.name)))
     }
+  }
+
+  /** Parquet INT96 timestamp (the type Spark's own writer emits by
+    * default) as epoch MICROS: 8 little-endian bytes of
+    * nanos-of-day + 4 little-endian bytes of Julian day. Modern
+    * timestamps only (no pre-Gregorian rebase — the 1582 calendar
+    * switch is out of every fixture's range and documented as such).
+    */
+  def int96ToMicros(b: Array[Byte]): Long = {
+    require(b.length == 12, s"INT96 timestamp must be 12 bytes; got ${b.length}")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
 
   /** The session's Hadoop configuration, captured DRIVER-SIDE in a
@@ -1275,6 +1290,21 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
     val path = partition.asInstanceOf[SnapshotFilePartition].path
     new SnapshotFileReader(path, schema, conf.value)
   }
+
+  // VECTORIZED decode ([[SnapshotColumnarReader]]): projected row-group
+  // reads skip unrequested columns' PAGES, and values land in columnar
+  // batches. The row decoder stays as the fallback for any type the
+  // vector path doesn't cover (none today — the writers share the set);
+  // `-Dgraft.snapshot.rowDecode=true` forces it for A/B debugging.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !java.lang.Boolean.getBoolean("graft.snapshot.rowDecode") &&
+      SnapshotColumnarReader.supports(schema)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val path = partition.asInstanceOf[SnapshotFilePartition].path
+    new SnapshotColumnarReader(path, schema, conf.value)
+  }
 }
 
 private[streaming] case class SnapshotWriteMessage(path: String)
@@ -1754,6 +1784,12 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
         val idx = fileType.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) null
         else f.dataType match {
+          // Spark's own writer stores timestamps as INT96 by default;
+          // the file footer decides which decode applies.
+          case TimestampType | TimestampNTZType
+              if fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+            SnapshotSource.int96ToMicros(g.getInt96(idx, 0).getBytes)
           case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
           case IntegerType => g.getInteger(idx, 0)
           case DateType => g.getInteger(idx, 0)
