@@ -1241,8 +1241,18 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
         // which catches net inserts/deletes but NOT count-preserving
         // value rewrites; that residual trust is what the consumer's
         // explicit skipRewrites opt-in accepts for legacy lineages.
-        def rowsOf(ps: Seq[String]): Long =
-          SnapshotTable.footerRowCounts(spark, ps).map(_._2).sum
+        // The added side's counts sit in g's manifest and the removed
+        // side's in the parent's (stats-recording lineages) — one map
+        // lookup per file; only legacy rows pay a footer open.
+        lazy val recorded: Map[String, (Option[Long], Option[Long])] =
+          SnapshotTable.recordedFileStats(spark, table, g) ++
+            (if (committed.contains(g - 1))
+              SnapshotTable.recordedFileStats(spark, table, g - 1)
+            else Map.empty)
+        def rowsOf(ps: Seq[String]): Long = ps.map { p =>
+          recorded.get(p).flatMap(_._1).getOrElse(
+            SnapshotTable.footerRowCounts(spark, Seq(p)).head._2)
+        }.sum
         SnapshotTable.commitAction(spark, table, g) match {
           case Some(a) if a == "compact" || a == "optimize" =>
             val (addedRows, removedRows) = (rowsOf(added), rowsOf(removed))
