@@ -950,12 +950,21 @@ object SnapshotTable {
     // throw on the empty directory — an empty staged batch is legal
     // (it audits as empty and abandons).
     val fresh = spark.read.schema(df.schema).parquet(dataDir).inputFiles.toSeq
+    stageFiles(spark, table, branch, fresh)
+  }
+
+  /** The MANIFEST half of [[stage]], shared with writers that staged
+    * their own files (the SQL `INSERT INTO <table>.branch_<name>`
+    * path): publish `files` as the branch's staged snapshot under the
+    * same first-writer-wins commit.
+    */
+  def stageFiles(spark: SparkSession, table: String, branch: String,
+      files: Seq[String]): Unit =
     writeManifestAt(spark,
       branchManifestPath(table, branch),
       s"$table/branches/.${branch}.staging.${attemptName()}",
-      replace = false, metaRows(spark, fresh),
+      replace = false, metaRows(spark, files),
       what = s"branch '$branch' of $table")
-  }
 
   /** The staged branch's file list (audit planning, [[publishStaged]]). */
   def stagedFiles(spark: SparkSession, table: String, branch: String): Seq[String] =

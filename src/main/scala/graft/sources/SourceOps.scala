@@ -1298,16 +1298,20 @@ object SourceOps {
       .orderBy("phase")
   }
 
-  /** WAP BRANCH READS from SQL — the audit half of
-    * write-audit-publish as a plain relation
-    * (`<cat>.<table>.branch_<name>`,
-    * [[graft.streaming.SnapshotBranchTable]]): the staged batch is
-    * SELECT-able for auditing while remaining INVISIBLE to every
-    * lineage reader (the drill REQUIRES staging committed no
-    * generation), then publishes BY REFERENCE after the green audit
-    * and the branch relation retires. Phases gate the staged content,
-    * the isolated main table, and the published union against the
-    * split predicates; the retire phase binds the gone-ness booleans.
+  /** WRITE-AUDIT-PUBLISH as a pure SQL loop
+    * (`<cat>.<table>.branch_<name>` +
+    * `CALL system.publish_branch/abandon_branch` —
+    * [[graft.streaming.SnapshotBranchTable]],
+    * [[graft.streaming.SnapshotProcedures]]): `INSERT INTO` the branch
+    * relation STAGES the batch (invisible to every lineage reader —
+    * the drill REQUIRES staging committed no generation), the audit is
+    * a plain SELECT over the staged snapshot, a green audit publishes
+    * BY REFERENCE through the CALL, and a red one abandons — the drill
+    * runs BOTH legs (the `audit` branch publishes; a second `reject`
+    * branch abandons and its rows must never reach the lineage).
+    * Phases gate the staged content, the isolated main table, and the
+    * published union against the split predicates; the retire phase
+    * binds the procedure results and gone-ness booleans.
     */
   def catalogBranch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1315,10 +1319,12 @@ object SourceOps {
     val t = freshTable(spark, "catalog_branch")
     val name = new org.apache.hadoop.fs.Path(t).getName
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    orders.createOrReplaceTempView("branch_src")
     SnapshotTable.commit(
       orders.filter(col("o_orderkey") % 2 === 1).repartition(2), t, 1L)
-    SnapshotTable.stage(
-      orders.filter(col("o_orderkey") % 2 === 0).repartition(2), t, "audit")
+    // WRITE: stage the even half from SQL.
+    spark.sql(s"INSERT INTO $cat.`$name`.branch_audit " +
+      "SELECT o_orderkey, o_totalprice FROM branch_src WHERE o_orderkey % 2 = 0")
     // Staging is INVISIBLE to the lineage: no generation was committed,
     // and the branch is addressable for the audit.
     require(SnapshotTable.generations(spark, t) == Seq(1L),
@@ -1331,21 +1337,33 @@ object SourceOps {
          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
          |  $ok AS ok
          |FROM $from""".stripMargin)
-    // The audit reads the STAGED snapshot through plain SQL; the main
-    // table still serves generation 1 (travel-pinned so the lazy read
+    // AUDIT: the staged snapshot through plain SQL; the main table
+    // still serves generation 1 (travel-pinned so the lazy read
     // survives the publish below).
     val staged = phase("a_staged", s"$cat.`$name`.branch_audit", ok = true)
       .localCheckpoint()
     val isolated = phase("b_isolated", s"$cat.`$name` VERSION AS OF 1",
       ok = true)
-    SnapshotTable.publishStaged(spark, t, "audit", 2L, Some(1L))
-    val branchGone = SnapshotTable.branches(spark, t).isEmpty && {
-      try { spark.sql(s"SELECT * FROM $cat.`$name`.branch_audit"); false }
-      catch { case _: Exception => true }
-    }
+    // PUBLISH the green audit by reference.
+    val pub = spark.sql(
+      s"CALL $cat.system.publish_branch('$name', 'audit')").head()
+    val pubOk = pub.getLong(2) == 2L &&
+      SnapshotTable.generations(spark, t) == Seq(1L, 2L)
+    // REJECT leg: a second branch stages, audits red, abandons — its
+    // rows must never reach the lineage.
+    spark.sql(s"INSERT INTO $cat.`$name`.branch_reject " +
+      "SELECT o_orderkey, -1.0 FROM branch_src WHERE o_orderkey % 10 = 3")
+    spark.sql(s"CALL $cat.system.abandon_branch('$name', 'reject')")
+    val retired = SnapshotTable.branches(spark, t).isEmpty &&
+      SnapshotTable.generations(spark, t) == Seq(1L, 2L) && {
+        try { spark.sql(s"SELECT * FROM $cat.`$name`.branch_audit").collect(); false }
+        catch { case _: Exception => true }
+      } &&
+      spark.sql(s"SELECT count(*) FROM $cat.`$name` WHERE o_totalprice < 0")
+        .head().getLong(0) == 0L
     staged.unionByName(isolated)
-      .unionByName(phase("c_published", s"$cat.`$name`", ok = true))
-      .unionByName(Seq(("d_retired", 0L, 0L, 0L, branchGone))
+      .unionByName(phase("c_published", s"$cat.`$name`", ok = pubOk))
+      .unionByName(Seq(("d_retired", 0L, 0L, 0L, retired))
         .toDF("phase", "n_rows", "key_sum", "price_cents", "ok"))
       .orderBy("phase")
   }

@@ -107,17 +107,21 @@ class SnapshotCatalog extends TableCatalog
       if (isTable(parent))
         return new SnapshotMetaTable(parent, kind)
     }
-    // WAP branch reads (`<cat>.<table>.branch_<name>`): the AUDIT half
-    // of write-audit-publish as a plain SQL relation — a staged branch
-    // reads through its branch manifest exactly like a generation,
-    // over data no lineage reader can see yet. The branch name match
-    // is case-sensitive (branches are user-named paths); the idiom
-    // prefix is not.
+    // WAP branches (`<cat>.<table>.branch_<name>`): the write and
+    // audit halves of write-audit-publish as a plain SQL relation — a
+    // staged branch reads through its branch manifest exactly like a
+    // generation, over data no lineage reader can see yet, and an
+    // INSERT INTO an un-staged branch name STAGES the batch (so the
+    // whole WAP loop is SQL-native: INSERT -> SELECT audit -> CALL
+    // system.publish_branch/abandon_branch). The name resolves
+    // whenever the parent is a table — a read of an un-staged branch
+    // fails at scan build with the not-staged message, which is what
+    // lets the INSERT create it. Branch names are case-sensitive
+    // (user-named paths); the idiom prefix is not.
     if (ident.namespace().nonEmpty && kind.startsWith(SnapshotBranchTable.Prefix)) {
       val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
       val branch = ident.name().drop(SnapshotBranchTable.Prefix.length)
-      if (isTable(parent) &&
-          SnapshotTable.branches(spark, parent).contains(branch))
+      if (isTable(parent) && branch.nonEmpty)
         return new SnapshotBranchTable(parent, branch)
     }
     throw new NoSuchTableException(ident)
@@ -376,15 +380,23 @@ private[streaming] object SnapshotBranchTable {
   */
 private[streaming] class SnapshotBranchTable(table: String, branch: String)
     extends org.apache.spark.sql.connector.catalog.Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
   import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
   private def spark: SparkSession = SparkSession.active
 
+  private def staged(): Boolean =
+    SnapshotTable.branches(spark, table).contains(branch)
+
   private def files(): Seq[String] = {
+    require(staged(),
+      s"branch '$branch' of $table is not staged; stage it first " +
+        s"(INSERT INTO ...branch_$branch, or the library's stage command)")
     val fs = SnapshotTable.stagedFiles(spark, table, branch)
     require(fs.nonEmpty,
       s"branch '$branch' of $table staged no files; nothing to audit")
@@ -393,11 +405,54 @@ private[streaming] class SnapshotBranchTable(table: String, branch: String)
 
   override def name(): String = s"snapshot:$table@$branch"
 
+  /** A staged branch serves its OWN merged footer schema; an un-staged
+    * one serves the PARENT's latest (the shape an INSERT must produce
+    * to stage it).
+    */
   override def schema(): StructType =
-    spark.read.option("mergeSchema", true).parquet(files(): _*).schema
+    if (staged())
+      spark.read.option("mergeSchema", true).parquet(files(): _*).schema
+    else SnapshotSource.latestSchema(table)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** The WRITE half of SQL-native WAP: `INSERT INTO ...branch_<name>`
+    * stages the batch under the branch manifest — a one-shot stage
+    * (re-staging an already-staged branch refuses; publish or abandon
+    * it first), first-writer-wins under the same staged-rename commit
+    * as every manifest.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val stageDir =
+            s"$table/data/branch=$branch/a=${SnapshotTable.attemptName()}"
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new SnapshotWriterFactory(stageDir, info.schema(),
+              SnapshotSource.sessionConf())
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val fresh = messages.collect {
+              case SnapshotWriteMessage(p) => p
+            }.toSeq.sorted
+            try {
+              if (staged()) throw new IllegalStateException(
+                s"branch '$branch' of $table is already staged; publish or " +
+                  "abandon it before staging again (branches are one-shot)")
+              SnapshotTable.stageFiles(spark, table, branch, fresh)
+            } catch { case e: Throwable => abort(messages); throw e }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = {
+            val p = new org.apache.hadoop.fs.Path(stageDir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {

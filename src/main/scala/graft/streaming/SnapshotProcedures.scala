@@ -52,7 +52,8 @@ private[streaming] object SnapshotProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("compact", "expire", "expire_before", "history", "rollback", "vacuum")
+    Seq("abandon_branch", "compact", "expire", "expire_before", "history",
+      "publish_branch", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -154,6 +155,51 @@ private[streaming] object SnapshotProcedures {
         val (seen, removed) =
           SnapshotTable.vacuum(spark, rootOf(tbl), in.getLong(1))
         Array(row(UTF8String.fromString(tbl), seen, removed))
+      }
+      case "publish_branch" => proc("publish_branch",
+        "fast-forward an audited WAP branch into the lineage by reference",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("branch", StringType),
+          StructField("published_gen", LongType),
+          StructField("n_files", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val branch = in.getUTF8String(1).toString
+        val root = rootOf(tbl)
+        require(SnapshotTable.branches(spark, root).contains(branch),
+          s"branch '$branch' of '$tbl' is not staged; nothing to publish")
+        val nFiles = SnapshotTable.stagedFiles(spark, root, branch).size.toLong
+        val base = SnapshotTable.generations(spark, root).max
+        // PUBLISH half of write-audit-publish: the staged files enter
+        // the lineage BY REFERENCE (no data moves) and the branch
+        // pointer retires — same first-writer-wins commit as any append.
+        SnapshotTable.publishStaged(spark, root, branch, base + 1L, Some(base))
+        Array(row(UTF8String.fromString(tbl), UTF8String.fromString(branch),
+          base + 1L, nFiles))
+      }
+      case "abandon_branch" => proc("abandon_branch",
+        "reject a staged WAP branch: retire the pointer, delete unshared files",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("branch", StringType),
+          StructField("n_files_staged", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val branch = in.getUTF8String(1).toString
+        val root = rootOf(tbl)
+        require(SnapshotTable.branches(spark, root).contains(branch),
+          s"branch '$branch' of '$tbl' is not staged; nothing to abandon")
+        val nFiles = SnapshotTable.stagedFiles(spark, root, branch).size.toLong
+        SnapshotTable.abandonStaged(spark, root, branch)
+        Array(row(UTF8String.fromString(tbl), UTF8String.fromString(branch),
+          nFiles))
       }
       case "history" => proc("history",
         "one row per generation: action, commit time, file counts",

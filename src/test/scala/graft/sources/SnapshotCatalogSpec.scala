@@ -611,4 +611,44 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "SELECT * FROM spec_cat.t_wap_sql.branch_audit1").collect())
   }
+
+  test("SQL-native WAP: INSERT stages once, procedures guard, abandon cleans") {
+    import spark.implicits._
+    val t = s"$warehouse/t_wap_native"
+    SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, 1L)
+    // INSERT INTO the branch relation stages; a second INSERT refuses
+    // (branches are one-shot: publish or abandon first).
+    spark.sql("INSERT INTO spec_cat.t_wap_native.branch_b1 VALUES (3, 30)")
+    assert(SnapshotTable.branches(spark, t) === Seq("b1"))
+    assert(SnapshotTable.generations(spark, t) === Seq(1L))
+    val again = intercept[Exception](spark.sql(
+      "INSERT INTO spec_cat.t_wap_native.branch_b1 VALUES (4, 40)"))
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + msgs(e.getCause)
+    assert(msgs(again).contains("already staged"))
+    // A read of an UN-staged branch fails with the not-staged message.
+    val unstaged = intercept[Exception](spark.sql(
+      "SELECT * FROM spec_cat.t_wap_native.branch_nope").collect())
+    assert(msgs(unstaged).contains("not staged"))
+    // Procedures refuse branches that do not exist.
+    val noPub = intercept[Exception](spark.sql(
+      "CALL spec_cat.system.publish_branch('t_wap_native', 'nope')"))
+    assert(msgs(noPub).contains("not staged"))
+    // Abandon retires the pointer and the staged file.
+    val ab = spark.sql(
+      "CALL spec_cat.system.abandon_branch('t_wap_native', 'b1')").head()
+    assert(ab.getLong(2) === 1L)
+    assert(SnapshotTable.branches(spark, t).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM spec_cat.t_wap_native")
+      .head().getLong(0) === 2L)
+    // Publish leg through SQL: stage again (legal after abandon), then
+    // CALL publish_branch fast-forwards the lineage by reference.
+    spark.sql("INSERT INTO spec_cat.t_wap_native.branch_b1 VALUES (5, 50)")
+    val pub = spark.sql(
+      "CALL spec_cat.system.publish_branch('t_wap_native', 'b1')").head()
+    assert(pub.getLong(2) === 2L)
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_wap_native")
+      .head().getLong(0) === 8L)
+    assert(SnapshotTable.branches(spark, t).isEmpty)
+  }
 }
