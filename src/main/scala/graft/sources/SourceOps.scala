@@ -1030,6 +1030,14 @@ object SourceOps {
     SnapshotTable.commit(orders.repartition(4), t, 1L)
 
     val cRow = spark.sql(s"CALL $cat.system.compact('$name', 1, 2)").head()
+    // The incremental-scan diff across the compaction hop: 4 init
+    // files removed, 2 compacted files added, and the recorded row
+    // counts must prove the rewrite content-neutral FROM THE
+    // PROCEDURE'S OWN OUTPUT.
+    val dRows = spark.sql(s"CALL $cat.system.changes('$name', 1, 2)").collect()
+    val (dAdd, dRem) = dRows.partition(_.getString(1) == "added")
+    val diffNeutral = dRows.forall(!_.isNullAt(2)) &&
+      dAdd.map(_.getLong(2)).sum == dRem.map(_.getLong(2)).sum
     val rRow = spark.sql(s"CALL $cat.system.rollback('$name', 1)").head()
     val hRows = spark.sql(s"CALL $cat.system.history('$name')").collect()
     // Wall-clock values cannot be oracle-matched; their ORDER can: the
@@ -1050,6 +1058,8 @@ object SourceOps {
 
     val meta = Seq(
       ("a_compact", cRow.getLong(1), cRow.getLong(2), "", true),
+      ("a_diff", dAdd.length.toLong, dRem.length.toLong, "changes",
+        diffNeutral),
       ("b_rollback", rRow.getLong(1), rRow.getLong(2), "", true)) ++
       hRows.map(r =>
         ("c_hist", r.getLong(0), r.getLong(3), r.getString(1), tsOk)) ++
@@ -2921,6 +2931,7 @@ object SourceOps {
     "src_catalog_proc" ->
       """SELECT 'a_compact' AS phase, CAST(1 AS BIGINT) AS x,
         |  CAST(2 AS BIGINT) AS y, '' AS tag, TRUE AS ok
+        |UNION ALL SELECT 'a_diff', 2, 4, 'changes', TRUE
         |UNION ALL SELECT 'b_rollback', 1, 3, '', TRUE
         |UNION ALL SELECT 'c_hist', 1, 4, 'append', TRUE
         |UNION ALL SELECT 'c_hist', 2, 2, 'compact', TRUE

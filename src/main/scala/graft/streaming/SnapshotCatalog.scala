@@ -208,6 +208,24 @@ class SnapshotCatalog extends TableCatalog
     require(partitions.isEmpty,
       "snapshot tables are unpartitioned at the directory level " +
         "(file pruning rides manifest zone maps); drop PARTITIONED BY")
+    // A USING clause naming another format would be silently mis-sold
+    // (the staged write always lands snapshot-layout parquet), and an
+    // explicit LOCATION would escape the warehouse the catalog owns —
+    // refuse both instead of ignoring them. Spark-internal bookkeeping
+    // props (owner, comment) pass through harmlessly.
+    val provider = Option(properties.get(
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER))
+    require(provider.forall(p =>
+        p.equalsIgnoreCase("parquet") || p.equalsIgnoreCase("snapshot")),
+      s"snapshot tables store snapshot-layout parquet; USING ${provider.get} " +
+        "would be ignored silently - drop the clause (or write parquet)")
+    require(!properties.containsKey(
+        org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION) ||
+      java.lang.Boolean.parseBoolean(properties.getOrDefault(
+        org.apache.spark.sql.connector.catalog.TableCatalog.PROP_IS_MANAGED_LOCATION,
+        "false")),
+      "snapshot tables live under the catalog's warehouse; " +
+        "an explicit LOCATION is not supported")
     new SnapshotStagedCreate(root, schema)
   }
 

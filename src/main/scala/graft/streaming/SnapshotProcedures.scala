@@ -52,8 +52,8 @@ private[streaming] object SnapshotProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("abandon_branch", "compact", "expire", "expire_before", "history",
-      "publish_branch", "rollback", "vacuum")
+    Seq("abandon_branch", "changes", "compact", "expire", "expire_before",
+      "history", "publish_branch", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -155,6 +155,38 @@ private[streaming] object SnapshotProcedures {
         val (seen, removed) =
           SnapshotTable.vacuum(spark, rootOf(tbl), in.getLong(1))
         Array(row(UTF8String.fromString(tbl), seen, removed))
+      }
+      case "changes" => proc("changes",
+        "the manifest file diff between two generations (incremental-scan view)",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("from_gen", LongType).build(),
+          ProcedureParameter.in("to_gen", LongType).build()),
+        StructType(Seq(
+          StructField("path", StringType),
+          StructField("change", StringType),
+          StructField("n_rows", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val root = rootOf(tbl)
+        val (fromGen, toGen) = (in.getLong(1), in.getLong(2))
+        // The Delta CDF / Iceberg incremental-scan view at file
+        // granularity: an append hop's added set is exactly the batch
+        // (history carries verbatim), a rewrite hop reports both sides
+        // honestly. Row counts come from the manifests' recorded stats
+        // (one read per side), null on legacy rows — same fallback
+        // posture as every stats consumer, without paying footer opens
+        // inside a CALL.
+        val (added, removed) =
+          SnapshotTable.changedFiles(spark, root, fromGen, toGen)
+        val statsFrom = SnapshotTable.recordedFileStats(spark, root, fromGen)
+        val statsTo = SnapshotTable.recordedFileStats(spark, root, toGen)
+        def rows(ps: Seq[String], tag: String,
+            stats: Map[String, (Option[Long], Option[Long])]) =
+          ps.map(p => row(UTF8String.fromString(p), UTF8String.fromString(tag),
+            stats.get(p).flatMap(_._1).map(java.lang.Long.valueOf).orNull))
+        (rows(added, "added", statsTo) ++
+          rows(removed, "removed", statsFrom)).toArray
       }
       case "publish_branch" => proc("publish_branch",
         "fast-forward an audited WAP branch into the lineage by reference",

@@ -548,6 +548,21 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 5L)
   }
 
+  test("CTAS refuses a mis-sold USING format and explicit LOCATION") {
+    val using = intercept[Exception](spark.sql(
+      "CREATE TABLE spec_cat.t_ctas_csv USING csv AS SELECT 1L AS k"))
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + msgs(e.getCause)
+    assert(msgs(using).contains("USING csv"))
+    // parquet (the truth) passes.
+    spark.sql("CREATE TABLE spec_cat.t_ctas_pq USING parquet AS SELECT 1L AS k")
+    assert(spark.sql("SELECT k FROM spec_cat.t_ctas_pq").head().getLong(0) === 1L)
+    val loc = intercept[Exception](spark.sql(
+      "CREATE TABLE spec_cat.t_ctas_loc LOCATION '/tmp/elsewhere' " +
+        "AS SELECT 1L AS k"))
+    assert(msgs(loc).contains("LOCATION"))
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only, old rows NULL, narrow time travel") {
     import spark.implicits._
     val t = s"$warehouse/t_alter"
