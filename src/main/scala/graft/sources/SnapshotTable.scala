@@ -195,7 +195,20 @@ object SnapshotTable {
     */
   def publishAppend(spark: SparkSession, table: String, gen: Long,
       fresh: Seq[String], carryFrom: Option[Long],
-      replace: Boolean = false, action: String = "append"): Unit = {
+      replace: Boolean = false, action: String = "append"): Unit =
+    publishAppendRows(spark, table, gen,
+      fresh.sorted.map(p => ManifestRow(p)), carryFrom, replace, action,
+      statFresh = true)
+
+  /** [[publishAppend]]'s core over PRE-BUILT fresh rows — the path for
+    * writers whose files already carry recorded stats (a published WAP
+    * branch reuses its branch manifest's rows instead of paying a
+    * second O(files) footer pass).
+    */
+  private def publishAppendRows(spark: SparkSession, table: String, gen: Long,
+      freshRows: Seq[ManifestRow], carryFrom: Option[Long],
+      replace: Boolean = false, action: String = "append",
+      statFresh: Boolean = false): Unit = {
     // FULL-ROW carry: tombstone kinds AND sequence numbers survive an
     // append verbatim — a path-only carry would strip [[commitUpsert]]'s
     // seq stamps and silently widen its scoped tombstones back to
@@ -209,8 +222,12 @@ object SnapshotTable {
     // legacy unstamped manifest form byte-for-byte.
     val freshSeq = if (carried.exists(_.seq.isDefined)) Some(gen) else None
     val freshKind = if (carried.exists(_.kind.isDefined)) Some("data") else None
+    val statted =
+      if (statFresh) metaRows(spark, freshRows.map(_.path),
+        kind = freshKind, seq = freshSeq)
+      else freshRows.map(_.copy(kind = freshKind, seq = freshSeq))
     writeManifest(spark, table, gen, replace,
-      (carried ++ metaRows(spark, fresh, kind = freshKind, seq = freshSeq))
+      (carried ++ statted)
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
@@ -365,11 +382,18 @@ object SnapshotTable {
     // later manifest: each commit carries its predecessor's sidecar
     // forward unless it records a fresh one, so a snapshot's schema
     // resolves from ITS OWN manifest (expire can never lose the alter
-    // by retiring the generation that recorded it). One tiny
-    // read per commit, immediate predecessor only — propagation makes
-    // deeper walks unnecessary.
+    // by retiring the generation that recorded it). Propagation makes
+    // a one-step walk sufficient; the walk still looks a BOUNDED
+    // window deeper so a short run of commits from a pre-sidecar
+    // writer version cannot silently drop the alter — while the
+    // common never-altered lineage stays O(window), not O(history),
+    // per commit. A gap longer than the window is the documented
+    // mixed-writer-version residual (such a writer drops recorded
+    // stats the same way).
     val schema = schemaJson.orElse(
-      earlier.headOption.flatMap(g => recordedSchemaJson(spark, table, g)))
+      earlier.take(SchemaPropagationWindow).iterator
+        .map(g => recordedSchemaJson(spark, table, g))
+        .collectFirst { case Some(js) => js })
     writeManifestAt(spark,
       manifestPath(table, gen),
       s"$table/manifests/.gen=$gen.staging.${attemptName()}",
@@ -468,6 +492,12 @@ object SnapshotTable {
     */
   private val SchemaSidecar = ".schema.json"
 
+  /** How many predecessors a commit checks for a sidecar to propagate
+    * (see writeManifest) — 1 suffices under propagation; the rest of
+    * the window covers short pre-sidecar-writer gaps.
+    */
+  private val SchemaPropagationWindow = 16
+
   /** The RECORDED schema of generation `gen`, if its manifest carries
     * the ALTER TABLE sidecar — raw JSON (for propagation) to avoid a
     * parse-reserialize round per commit.
@@ -510,8 +540,21 @@ object SnapshotTable {
     val gens = generations(spark, table)
     require(gens.nonEmpty, s"cannot ALTER $table: no committed generation")
     val gen = gens.max + 1
-    writeManifest(spark, table, gen, replace = false,
-      readManifestRows(spark, manifestPath(table, gens.max)),
+    val prev = readManifestRows(spark, manifestPath(table, gens.max))
+    // A SEGMENTED base must NOT be copied verbatim: the copy would be a
+    // segment whose OWN rows are the base's batch, and the streaming
+    // hop planner treats a segmented hop's own rows as the ADDED set —
+    // every consumer would be re-delivered that batch as duplicates.
+    // The alter instead publishes a ZERO-DATA segment whose only row is
+    // the parent reference: chain resolution serves the identical file
+    // set, the hop adds nothing, and the sidecar rides the fresh
+    // manifest.
+    val rows =
+      if (prev.exists(_.kind.contains(ParentKind)))
+        Seq(ManifestRow(manifestPath(table, gens.max),
+          kind = Some(ParentKind), seq = Some(gens.max)))
+      else prev
+    writeManifest(spark, table, gen, replace = false, rows,
       Some("alter"), Some(newSchema.json))
     gen
   }
@@ -918,8 +961,13 @@ object SnapshotTable {
     require(generations(spark, destTable).isEmpty,
       s"shallow clone target $destTable already has committed " +
         "generations; clone only creates NEW tables")
+    // The source snapshot's RECORDED SCHEMA travels with the clone:
+    // sidecar propagation walks the DEST lineage (empty here), so
+    // without the explicit pass a clone of a post-ALTER generation
+    // would silently lose every column no data file carries yet.
     writeManifest(spark, destTable, 1L, replace = false,
-      readManifestRows(spark, manifestPath(srcTable, srcGen)), Some("clone"))
+      readManifestRows(spark, manifestPath(srcTable, srcGen)), Some("clone"),
+      recordedSchemaJson(spark, srcTable, srcGen))
   }
 
   // ----- Write-audit-publish branch staging ------------------------------
@@ -986,8 +1034,11 @@ object SnapshotTable {
     */
   def publishStaged(spark: SparkSession, table: String, branch: String,
       gen: Long, carryFrom: Option[Long]): Unit = {
-    val fresh = stagedFiles(spark, table, branch)
-    publishAppend(spark, table, gen, fresh, carryFrom)
+    // The branch manifest's rows enter the lineage VERBATIM (recorded
+    // stats included) — a path-only publish would pay a second
+    // O(files) footer pass for stats the staging commit already wrote.
+    val freshRows = readManifestRows(spark, branchManifestPath(table, branch))
+    publishAppendRows(spark, table, gen, freshRows, carryFrom)
     // The lineage owns the files now; only the branch POINTER retires.
     val m = new org.apache.hadoop.fs.Path(branchManifestPath(table, branch))
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, true)
@@ -1076,15 +1127,8 @@ object SnapshotTable {
     * per snapshot is O(files) metadata reads, never a data scan
     * (what DESCRIBE HISTORY / a `files` metadata table serves).
     */
-  def footerRowCounts(spark: SparkSession, paths: Seq[String]): Seq[(String, Long)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    paths.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try (f, r.getRecordCount) finally r.close()
-    }
-  }
+  def footerRowCounts(spark: SparkSession, paths: Seq[String]): Seq[(String, Long)] =
+    fileMeta(spark, paths).map(m => (m._1, m._2))
 
   /** Per-file `(footer row count, on-disk bytes)` — ONE footer open per
     * file (the input-file handle already carries the size from its

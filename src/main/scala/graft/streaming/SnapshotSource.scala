@@ -182,8 +182,12 @@ private[graft] object SnapshotSource {
     SnapshotTable.recordedSchema(spark, table, gen) match {
       case None => footer
       case Some(rec) =>
-        StructType(rec.fields ++
-          footer.fields.filterNot(f => rec.fieldNames.contains(f.name)))
+        // Case-INSENSITIVE dedup (Spark's default resolution): a
+        // library commit can land a differently-cased duplicate the
+        // catalog's ALTER guard never saw, and serving both spellings
+        // would make every reference to the column ambiguous.
+        StructType(rec.fields ++ footer.fields.filterNot(f =>
+          rec.fieldNames.exists(_.equalsIgnoreCase(f.name))))
     }
   }
 

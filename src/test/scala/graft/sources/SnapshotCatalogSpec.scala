@@ -666,4 +666,59 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 8L)
     assert(SnapshotTable.branches(spark, t).isEmpty)
   }
+
+  test("ALTER on a segmented lineage publishes a zero-data segment, not a duplicate batch") {
+    import spark.implicits._
+    val t = s"$warehouse/t_alter_seg"
+    SnapshotTable.commitSegment(Seq((1L, 10L)).toDF("k", "v"), t, 1L, None)
+    SnapshotTable.commitSegment(Seq((2L, 20L)).toDF("k", "v"), t, 2L, Some(1L))
+    val before = SnapshotTable.resolvedFiles(spark, t, 2L)
+    spark.sql("ALTER TABLE spec_cat.t_alter_seg ADD COLUMN note STRING")
+    // The alter generation resolves the SAME file set through its
+    // parent chain, and its OWN manifest adds no data rows — the
+    // streaming hop planner treats a segment's own rows as the added
+    // set, so a verbatim copy would re-deliver gen 2's batch.
+    val (own, _, seg) = SnapshotTable.tailEntries(spark, t, 3L)
+    assert(seg, "the alter over a segmented base must stay a segment")
+    assert(own.isEmpty, "the alter segment must carry ZERO own data rows")
+    assert(SnapshotTable.resolvedFiles(spark, t, 3L) === before)
+    assert(spark.table("spec_cat.t_alter_seg").schema.fieldNames.toSeq
+      === Seq("k", "v", "note"))
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_alter_seg")
+      .head().getLong(0) === 3L)
+  }
+
+  test("shallow clone of a post-ALTER snapshot keeps the recorded schema") {
+    import spark.implicits._
+    val t = s"$warehouse/t_alter_src"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    spark.sql("ALTER TABLE spec_cat.t_alter_src ADD COLUMN note STRING")
+    SnapshotTable.cloneShallow(spark, t, 2L, s"$warehouse/t_alter_clone")
+    // The clone's gen-1 manifest carries the source's sidecar: the
+    // ALTER-added column exists even though no data file carries it.
+    assert(spark.table("spec_cat.t_alter_clone").schema.fieldNames.toSeq
+      === Seq("k", "v", "note"))
+  }
+
+  test("sidecar propagation survives a short pre-sidecar-writer gap") {
+    import spark.implicits._
+    val t = s"$warehouse/t_alter_gap"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    spark.sql("ALTER TABLE spec_cat.t_alter_gap ADD COLUMN note STRING")
+    SnapshotTable.commit(Seq((2L, 20L)).toDF("k", "v"), t, 3L,
+      carryFrom = Some(2L))
+    // Simulate an OLD-VERSION writer: strip gen 3's sidecar.
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$t/manifests/gen=3/.schema.json"), false)
+    // A new-writer commit after the gap still finds the alter's
+    // sidecar through the bounded predecessor window and re-propagates.
+    SnapshotTable.commit(Seq((3L, 30L)).toDF("k", "v"), t, 4L,
+      carryFrom = Some(3L))
+    assert(SnapshotTable.recordedSchema(spark, t, 4L).isDefined,
+      "the gap commit must re-propagate the sidecar")
+    assert(spark.table("spec_cat.t_alter_gap").schema.fieldNames.toSeq
+      === Seq("k", "v", "note"))
+  }
 }
