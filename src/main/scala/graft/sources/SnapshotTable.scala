@@ -1019,6 +1019,15 @@ object SnapshotTable {
     readManifestRows(spark, branchManifestPath(table, branch))
       .map(_.path).sorted
 
+  /** The staged branch's per-file `(path, recorded rows, recorded
+    * bytes)` — the `branches` metadata relation's source, one manifest
+    * read.
+    */
+  private[graft] def stagedFileStats(spark: SparkSession, table: String,
+      branch: String): Seq[(String, Option[Long], Option[Long])] =
+    readManifestRows(spark, branchManifestPath(table, branch))
+      .map(r => (r.path, r.nRows, r.bytes)).sortBy(_._1)
+
   /** AUDIT half: read the staged snapshot through its branch manifest —
     * exactly like a generation read, but over data no lineage reader
     * can see yet.

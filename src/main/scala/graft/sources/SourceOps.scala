@@ -1347,10 +1347,18 @@ object SourceOps {
          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
          |  $ok AS ok
          |FROM $from""".stripMargin)
+    // DISCOVERY: the branches metadata relation lists the staged batch
+    // with its recorded footprint — how an auditor finds work from SQL.
+    val bRow = spark.sql(
+      s"SELECT branch, n_files, n_rows FROM $cat.`$name`.branches").collect()
+    val discovered = bRow.length == 1 && bRow.head.getString(0) == "audit" &&
+      bRow.head.getLong(1) >= 1L &&
+      bRow.head.getLong(2) == spark.sql(
+        s"SELECT count(*) FROM $cat.`$name`.branch_audit").head().getLong(0)
     // AUDIT: the staged snapshot through plain SQL; the main table
     // still serves generation 1 (travel-pinned so the lazy read
     // survives the publish below).
-    val staged = phase("a_staged", s"$cat.`$name`.branch_audit", ok = true)
+    val staged = phase("a_staged", s"$cat.`$name`.branch_audit", ok = discovered)
       .localCheckpoint()
     val isolated = phase("b_isolated", s"$cat.`$name` VERSION AS OF 1",
       ok = true)

@@ -335,7 +335,7 @@ private[streaming] class SnapshotMetaTable(table: String, kind: String)
 
 private[streaming] object SnapshotMetaTable {
 
-  val Kinds: Set[String] = Set("files", "history")
+  val Kinds: Set[String] = Set("files", "history", "branches")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -349,6 +349,11 @@ private[streaming] object SnapshotMetaTable {
       StructField("commit_ts_ms", LongType),
       StructField("n_data_files", LongType),
       StructField("n_delete_files", LongType)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType),
+      StructField("n_files", LongType),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType)))
   }
 
   def rowsOf(spark: SparkSession, table: String,
@@ -376,6 +381,20 @@ private[streaming] object SnapshotMetaTable {
         }
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f), UTF8String.fromString(k), n, b))
+      }.toArray
+    case "branches" =>
+      // Branch DISCOVERY for the WAP auditor: one row per live staged
+      // branch with its recorded footprint — the answer to "what is
+      // waiting for an audit?" as plain SQL. Stats come off each
+      // branch's own manifest (recorded at staging); zero per-file I/O.
+      SnapshotTable.branches(spark, table).map { b =>
+        val stats = SnapshotTable.stagedFileStats(spark, table, b)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(b), stats.size.toLong,
+          if (stats.forall(_._2.isDefined))
+            java.lang.Long.valueOf(stats.flatMap(_._2).sum) else null,
+          if (stats.forall(_._3.isDefined))
+            java.lang.Long.valueOf(stats.flatMap(_._3).sum) else null))
       }.toArray
     case "history" =>
       SnapshotTable.generations(spark, table).map { g =>
