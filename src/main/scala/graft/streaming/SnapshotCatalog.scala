@@ -361,13 +361,8 @@ private[streaming] class SnapshotStagedCreate(table: String,
   override def commitStagedChanges(): Unit = {
     val spark = SparkSession.active
     try {
-      val (publish, drop) = SnapshotSource.contentOrHusk(spark,
+      val publish = SnapshotSource.contentOrHusk(spark,
         staged.get(), stageDir, tableSchema)
-      drop.foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(hp, false)
-      }
       SnapshotTable.publishAppend(spark, table, 1L, publish,
         carryFrom = None, action = "create")
     } catch { case e: Throwable => sweep(); throw e }
@@ -375,12 +370,7 @@ private[streaming] class SnapshotStagedCreate(table: String,
 
   override def abortStagedChanges(): Unit = sweep()
 
-  private def sweep(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stageDir)
-    p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
+  private def sweep(): Unit = SnapshotSource.deleteDir(stageDir)
 }
 
 private[streaming] object SnapshotBranchTable {
@@ -462,12 +452,8 @@ private[streaming] class SnapshotBranchTable(table: String, branch: String)
               SnapshotTable.stageFiles(spark, table, branch, fresh)
             } catch { case e: Throwable => abort(messages); throw e }
           }
-          override def abort(messages: Array[WriterCommitMessage]): Unit = {
-            val p = new org.apache.hadoop.fs.Path(stageDir)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-            ()
-          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            SnapshotSource.deleteDir(stageDir)
         }
       }
     }

@@ -301,6 +301,8 @@ private[streaming] case class SnapshotProcedureResult(
   *  - `history`: one row per generation — recorded action, commit
   *    wall-clock, data/tombstone file counts (the procedure's
   *    relation as a plain SELECT-able table).
+  *  - `branches`: one row per live staged WAP branch — name, file
+  *    count, recorded row/byte footprint (audit discovery).
   */
 private[streaming] class SnapshotMetaTable(table: String, kind: String)
     extends org.apache.spark.sql.connector.catalog.Table

@@ -397,17 +397,35 @@ private[graft] object SnapshotSource {
     * valid generation.
     */
   def contentOrHusk(spark: SparkSession, staged: Seq[String],
-      stageDir: String, schema: StructType): (Seq[String], Seq[String]) = {
+      stageDir: String, schema: StructType): Seq[String] = {
     val (files, empty) = SnapshotTable.footerRowCounts(spark, staged)
       .partition(_._2 > 0L)
-    if (files.nonEmpty) (files.map(_._1), empty.map(_._1))
-    else if (empty.nonEmpty) (empty.take(1).map(_._1), empty.drop(1).map(_._1))
-    else {
-      val husk = s"$stageDir/empty-00000.parquet"
-      val w = new SnapshotFileWriter(husk, schema, sessionConf().value)
-      w.commit()
-      (Seq(husk), Seq.empty[String])
+    val (publish, drop) =
+      if (files.nonEmpty) (files.map(_._1), empty.map(_._1))
+      else if (empty.nonEmpty)
+        (empty.take(1).map(_._1), empty.drop(1).map(_._1))
+      else {
+        val husk = s"$stageDir/empty-00000.parquet"
+        val w = new SnapshotFileWriter(husk, schema, sessionConf().value)
+        w.commit()
+        (Seq(husk), Seq.empty[String])
+      }
+    drop.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, false)
     }
+    publish
+  }
+
+  /** Recursive delete of one staging directory — the shared abort/
+    * lost-race sweep every batch writer uses.
+    */
+  private[streaming] def deleteDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** The parquet schema for the write path — the same primitive set
@@ -1353,13 +1371,7 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
 
-  private def sweep(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stageDir)
-    val fs = p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    ()
-  }
+  private def sweep(): Unit = SnapshotSource.deleteDir(stageDir)
 }
 
 /** `INSERT OVERWRITE` / `mode("overwrite")`'s whole-table replace
@@ -1397,13 +1409,8 @@ private[streaming] class SnapshotOverwriteWrite(table: String,
     val spark = SparkSession.active
     val staged = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
     try {
-      val (publish, drop) =
+      val publish =
         SnapshotSource.contentOrHusk(spark, staged, stageDir, schema)
-      drop.foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(hp, false)
-      }
       SnapshotTable.publishAppend(spark, table, baseGen + 1, publish,
         carryFrom = None, action = "overwrite")
     } catch { case e: Throwable => sweep(); throw e }
@@ -1411,13 +1418,7 @@ private[streaming] class SnapshotOverwriteWrite(table: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
 
-  private def sweep(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stageDir)
-    val fs = p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    ()
-  }
+  private def sweep(): Unit = SnapshotSource.deleteDir(stageDir)
 }
 
 /** What the row-level operation's scan RESOLVED and PLANNED — the
@@ -1613,13 +1614,7 @@ private[streaming] class SnapshotReplaceWrite(table: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = sweep()
 
-  private def sweep(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stageDir)
-    val fs = p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    ()
-  }
+  private def sweep(): Unit = SnapshotSource.deleteDir(stageDir)
 }
 
 /** Group-based row-level rewrite rows arrive with Spark's LEADING
@@ -1789,35 +1784,53 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
     current != null
   }
 
+  // Per-FILE field resolution, computed once off the first row's group
+  // type (constant for the whole file): scan-field -> file index (-1
+  // when absent) plus whether the file stores the field as INT96 — the
+  // per-row name lookups and footer-type checks would otherwise run
+  // once per field per row.
+  private var fieldIdx: Array[Int] = _
+  private var fieldInt96: Array[Boolean] = _
+
+  private def resolveFields(
+      fileType: org.apache.parquet.schema.GroupType): Unit = {
+    fieldIdx = schema.fields.map(f =>
+      if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name)
+      else -1)
+    fieldInt96 = fieldIdx.map(i =>
+      i >= 0 && fileType.getType(i).isPrimitive &&
+        fileType.getType(i).asPrimitiveType().getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+  }
+
   override def get(): InternalRow = {
     val g = current
-    val fileType = g.getType
-    val values = schema.fields.map { f =>
-      if (!fileType.containsField(f.name)) null
-      else {
-        val idx = fileType.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
+    if (fieldIdx == null) resolveFields(g.getType)
+    val values = new Array[Any](schema.fields.length)
+    var i = 0
+    while (i < schema.fields.length) {
+      val idx = fieldIdx(i)
+      values(i) =
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        else schema.fields(i).dataType match {
           // Spark's own writer stores timestamps as INT96 by default;
           // the file footer decides which decode applies.
-          case TimestampType | TimestampNTZType
-              if fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+          case TimestampType | TimestampNTZType if fieldInt96(i) =>
             SnapshotSource.int96ToMicros(g.getInt96(idx, 0).getBytes)
           case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
-          case IntegerType => g.getInteger(idx, 0)
-          case DateType => g.getInteger(idx, 0)
+          case IntegerType | DateType => g.getInteger(idx, 0)
           case DoubleType => g.getDouble(idx, 0)
           case FloatType => g.getFloat(idx, 0)
           case BooleanType => g.getBoolean(idx, 0)
           case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
           case BinaryType => g.getBinary(idx, 0).getBytes
           case dt => throw new UnsupportedOperationException(
-            s"snapshot source supports primitive columns; got $dt for ${f.name}")
+            "snapshot source supports primitive columns; " +
+              s"got $dt for ${schema.fields(i).name}")
         }
-      }
+      i += 1
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    new GenericInternalRow(values)
   }
 
   override def close(): Unit = reader.close()
