@@ -653,8 +653,22 @@ object SnapshotTable {
     * connector's expired-prefix rule — and any tombstone row in a
     * segment is a contract violation, not data to misread.
     */
-  def resolvedFiles(spark: SparkSession, table: String, gen: Long): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+  def resolvedFiles(spark: SparkSession, table: String, gen: Long): Seq[String] =
+    resolvedDataRows(spark, table, gen).map(_._1)
+
+  /** The chain-resolved DATA rows of segmented generation `gen` — one
+    * `(path, recorded rows, recorded bytes)` per distinct path,
+    * sorted. Every commit in a segmented lineage records stats for its
+    * OWN batch, so folding them during the same chain walk that
+    * resolves the file set is what lets scan-planning statistics and
+    * the `files` metadata relation serve segmented lineages
+    * MANIFEST-ONLY — the O(files) per-file driver I/O the layout's
+    * O(batch) commits were built to avoid would otherwise reappear at
+    * planning time.
+    */
+  private[graft] def resolvedDataRows(spark: SparkSession, table: String,
+      gen: Long): Seq[(String, Option[Long], Option[Long])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
     var cur = manifestPath(table, gen)
     var hops = 0
     while (cur != null) {
@@ -673,7 +687,7 @@ object SnapshotTable {
           .filterNot(_ == ParentKind).mkString(", ")}) — segmented " +
           "lineages are APPEND-ONLY; tombstones/upserts use the " +
           "full-carry protocol")
-      out ++= rows.collect { case r if r.kind.forall(_ == "data") => r.path }
+      out ++= rows.filter(_.kind.forall(_ == "data"))
       val parents = rows.filter(_.kind.contains(ParentKind))
       require(parents.size <= 1,
         s"manifest $cur carries ${parents.size} parent references")
@@ -682,8 +696,21 @@ object SnapshotTable {
       require(hops <= 100000, s"segment chain of $table gen $gen exceeds " +
         "100000 hops — cyclic parent references?")
     }
-    out.toSeq.distinct.sorted
+    // Distinct by path (the long zone-map form repeats paths, and a
+    // checkpointed chain can re-list an ancestor's file): any row
+    // carrying the recorded meta serves it.
+    out.groupBy(_.path).map { case (p, rs) =>
+      (p, rs.flatMap(_.nRows).headOption, rs.flatMap(_.bytes).headOption)
+    }.toSeq.sortBy(_._1)
   }
+
+  /** [[recordedFileStats]] for a SEGMENTED generation: the chain walk
+    * above, as the path → `(n_rows, bytes)` map scan planning reads.
+    */
+  private[graft] def resolvedFileStats(spark: SparkSession, table: String,
+      gen: Long): Map[String, (Option[Long], Option[Long])] =
+    resolvedDataRows(spark, table, gen)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
 
   /** Read segmented generation `gen` AS OF its chain-resolved file
     * set — time travel and snapshot isolation exactly as [[readAs]],

@@ -713,6 +713,73 @@ object SourceOps {
     statsOf(1L).unionByName(statsOf(2L)).orderBy("gen")
   }
 
+  /** DECIMAL money columns end-to-end through the connector — the
+    * encode/decode pair [[connectorWrite]]/[[connectorRead]] runs for
+    * primitives, at BOTH physical decimal widths: `price` is
+    * `DECIMAL(18,4)` (INT64-unscaled parquet, the TPC-H money type)
+    * and `wide` is `DECIMAL(38,6)` (FIXED_LEN_BYTE_ARRAY — the
+    * big-decimal form aggregates widen into). Two appends land odd
+    * then even keys, and each generation reads back through the
+    * connector's vectorized decode with integral scale-shifted sums —
+    * exact decimal math end to end, no floating rounding anywhere; a
+    * decode bug in either physical branch (or a lost unscaled byte)
+    * breaks the hash. `wide` derives from the scale-4 decimal, never
+    * a second double cast, so both engines construct bit-identical
+    * values by exact decimal widening.
+    */
+  def connectorDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val table = freshTable(spark, "connector_decimal")
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"),
+      (col("o_totalprice").cast(DecimalType(18, 4)) +
+        col("o_orderkey") % 1000).cast(DecimalType(38, 6)).as("wide"))
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", table).mode("append").save()
+    append(src.filter(col("o_orderkey") % 2 === 1))
+    append(src.filter(col("o_orderkey") % 2 === 0))
+    def statsOf(g: Long): DataFrame = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).option("generation", g).load()
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").as("key_sum"),
+        sum((col("price") * 10000).cast("long")).as("price_e4"),
+        sum((col("wide") * 1000000).cast("long")).as("wide_e6"))
+      .select(lit(g).as("gen"), col("n_rows"), col("key_sum"),
+        col("price_e4"), col("wide_e6"))
+    statsOf(1L).unionByName(statsOf(2L)).orderBy("gen")
+  }
+
+  /** ARRAY columns through the connector — what lets EMBEDDING tables
+    * live in the snapshot catalog: the full embeddings table commits
+    * through the connector's write path (the three-level parquet list
+    * encode) and reads back through its row decoder, and the
+    * per-element quantized checksum (`floor(x * 1000)` over every
+    * float, summed) must match DuckDB reading the ORIGINAL parquet —
+    * an element lost, reordered, or misdecoded anywhere in the
+    * repetition handling breaks the hash. Scale shape: arrays are
+    * task-local encode/decode like every other column; nothing
+    * collects.
+    */
+  def connectorArray(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "connector_array")
+    Tables.embeddings(spark, dir)
+      .write.format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).mode("append").save()
+    spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .agg(count(lit(1)).as("n_rows"),
+        sum("vec_id").as("id_sum"),
+        sum(size(col("embedding"))).as("n_elems"),
+        sum(expr("aggregate(embedding, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as("q_sum"),
+        sum(col("label").cast("long")).as("label_sum"))
+  }
+
   /** TIME TRAVEL through the connector across a REWRITE hop — the
     * batch value gate for the streaming source's hop-classification
     * metadata ([[graft.streaming.SnapshotSource]]'s skipRewrites
@@ -1233,7 +1300,11 @@ object SourceOps {
     * "create" action, then INSERTs the even half and gates BOTH the
     * pinned creation snapshot (`a_created` time-travels to gen 1,
     * executed after the insert — snapshot isolation) and the merged
-    * latest against the split predicates.
+    * latest against the split predicates. The stored money column is
+    * `DECIMAL(18,4)` — the type TPC-H money math actually uses — so
+    * the connector's decimal encode (INT64-unscaled parquet) and
+    * decode sit under the exact value gate: `price_e4` is the
+    * decimal's integral scale-4 sum, no floating rounding anywhere.
     */
   def catalogCtas(spark: SparkSession, dir: String): DataFrame = {
     val cat = ensureCatalog(spark)
@@ -1242,17 +1313,22 @@ object SourceOps {
     Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
       .createOrReplaceTempView("ctas_src")
     spark.sql(s"CREATE TABLE $cat.`$name` AS " +
-      "SELECT o_orderkey, o_totalprice FROM ctas_src WHERE o_orderkey % 2 = 1")
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS o_price " +
+      "FROM ctas_src WHERE o_orderkey % 2 = 1")
     require(SnapshotTable.commitAction(spark, t, 1L).contains("create"),
       "CTAS must commit generation 1 with the recorded action 'create'")
+    require(spark.table(s"$cat.`$name`").schema("o_price").dataType ==
+        org.apache.spark.sql.types.DecimalType(18, 4),
+      "CTAS must persist the DECIMAL(18,4) money column exactly")
     def phase(tag: String, from: String): DataFrame = spark.sql(
       s"""SELECT '$tag' AS phase, count(*) AS n_rows,
          |  sum(o_orderkey) AS key_sum,
-         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |  CAST(sum(o_price * 10000) AS BIGINT) AS price_e4
          |FROM $from""".stripMargin)
     val created = phase("a_created", s"$cat.`$name` VERSION AS OF 1")
     spark.sql(s"INSERT INTO $cat.`$name` " +
-      "SELECT o_orderkey, o_totalprice FROM ctas_src WHERE o_orderkey % 2 = 0")
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) " +
+      "FROM ctas_src WHERE o_orderkey % 2 = 0")
     created.unionByName(phase("b_inserted", s"$cat.`$name`"))
       .orderBy("phase")
   }
@@ -2537,6 +2613,8 @@ object SourceOps {
     "src_snapshot_evolve" -> (snapshotEvolve _),
     "src_snapshot_schema_evo" -> (snapshotSchemaEvolution _),
     "src_connector_write" -> (connectorWrite _),
+    "src_connector_decimal" -> (connectorDecimal _),
+    "src_connector_array" -> (connectorArray _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -2893,6 +2971,38 @@ object SourceOps {
          |UNION ALL
          |SELECT 2, * FROM g2
          |ORDER BY gen""".stripMargin,
+    // Decimal twin: both generations re-derived with the SAME exact
+    // decimal construction — the scale-4 cast, then exact widening to
+    // (38,6) — and integral scale-shifted sums; no double math after
+    // the shared initial cast.
+    "src_connector_decimal" ->
+      s"""WITH src AS MATERIALIZED (
+         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + (o_orderkey % 1000)
+         |      AS DECIMAL(38,6)) AS wide
+         |  FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS gen, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(price * 10000 AS BIGINT)) AS BIGINT) AS price_e4,
+         |  CAST(sum(CAST(wide * 1000000 AS BIGINT)) AS BIGINT) AS wide_e6
+         |FROM src WHERE o_orderkey % 2 = 1
+         |UNION ALL
+         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(price * 10000 AS BIGINT)) AS BIGINT),
+         |  CAST(sum(CAST(wide * 1000000 AS BIGINT)) AS BIGINT)
+         |FROM src
+         |ORDER BY gen""".stripMargin,
+    // Array twin: the quantized per-element checksum over the ORIGINAL
+    // embeddings parquet — float→double cast then floor(x*1000) is
+    // spelled identically on both engines (IEEE math, no ties).
+    "src_connector_array" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+        |  CAST(sum(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS q_sum,
+        |  CAST(sum(label) AS BIGINT) AS label_sum
+        |FROM embeddings""".stripMargin,
     // DML twin: each phase re-derived from the mutation predicates.
     // The UPDATE's range bound (max/4, the pruned slice) recomputes
     // relationally; the MERGE CTE mirrors the four arms in statement
@@ -3008,16 +3118,18 @@ object SourceOps {
         .mkString("", "\nUNION ALL\n", "\nORDER BY phase")
     },
     // CTAS twin: the creation snapshot re-derived from the odd-key
-    // predicate, the post-insert latest as the full projection.
+    // predicate, the post-insert latest as the full projection. The
+    // money column is DECIMAL(18,4) in BOTH engines, so price_e4 is
+    // exact integral decimal math end to end.
     "src_catalog_ctas" ->
       """SELECT 'a_created' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT) AS price_e4
         |FROM orders WHERE o_orderkey % 2 = 1
         |UNION ALL
         |SELECT 'b_inserted', CAST(count(*) AS BIGINT),
         |  CAST(sum(o_orderkey) AS BIGINT),
-        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT)
         |FROM orders
         |ORDER BY phase""".stripMargin,
     // ALTER twin: the widened latest re-derived from the split

@@ -226,6 +226,9 @@ class SnapshotCatalog extends TableCatalog
         "false")),
       "snapshot tables live under the catalog's warehouse; " +
         "an explicit LOCATION is not supported")
+    // Fail the statement up front on a column type the snapshot
+    // writers cannot encode, not the user's first task mid-job.
+    SnapshotSource.messageTypeOf(schema)
     new SnapshotStagedCreate(root, schema)
   }
 

@@ -114,11 +114,19 @@ private[streaming] class SnapshotColumnarReader(path: String,
   private def fill(vec: OnHeapColumnVector,
       cr: org.apache.parquet.column.ColumnReader,
       dt: DataType, n: Int): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val maxDef = cr.getDescriptor.getMaxDefinitionLevel
     // Spark's own writer stores timestamps as INT96 by default; the
-    // file's primitive type decides which decode applies.
-    val int96 = cr.getDescriptor.getPrimitiveType.getPrimitiveTypeName ==
-      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+    // file's primitive type decides which decode applies. Decimals'
+    // physical form likewise rides the footer (INT32/INT64 unscaled
+    // vs FIXED/BINARY big-endian bytes).
+    val phys = cr.getDescriptor.getPrimitiveType.getPrimitiveTypeName
+    val int96 = phys == PrimitiveTypeName.INT96
+    def unscaledLong: Long = phys match {
+      case PrimitiveTypeName.INT32 => cr.getInteger.toLong
+      case PrimitiveTypeName.INT64 => cr.getLong
+      case _ => new java.math.BigInteger(cr.getBinary.getBytes).longValue
+    }
     var r = 0
     while (r < n) {
       if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(r)
@@ -134,8 +142,24 @@ private[streaming] class SnapshotColumnarReader(path: String,
         case StringType | BinaryType =>
           val b = cr.getBinary.getBytes
           vec.putByteArray(r, b, 0, b.length)
+        // The vector's backing width follows the SCAN precision (int /
+        // long / byte-array — Spark's ColumnVector decimal contract);
+        // the value decodes by the file's physical form above.
+        case d: DecimalType
+            if d.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS =>
+          vec.putInt(r, unscaledLong.toInt)
+        case d: DecimalType
+            if d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS =>
+          vec.putLong(r, unscaledLong)
+        case _: DecimalType =>
+          val b = phys match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              java.math.BigInteger.valueOf(unscaledLong).toByteArray
+            case _ => cr.getBinary.getBytes
+          }
+          vec.putByteArray(r, b, 0, b.length)
         case other => throw new UnsupportedOperationException(
-          s"snapshot columnar reader supports primitive columns; got $other")
+          s"snapshot columnar reader supports primitive/decimal columns; got $other")
       }
       cr.consume()
       r += 1
@@ -157,6 +181,9 @@ private[streaming] object SnapshotColumnarReader {
   def supports(schema: StructType): Boolean = schema.fields.forall(_.dataType match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
          DoubleType | FloatType | BooleanType | StringType | BinaryType => true
+    case _: DecimalType => true
+    // ARRAY columns fall back to the row decoder (nested repetition
+    // levels are outside this flat-column fast path).
     case _ => false
   })
 }

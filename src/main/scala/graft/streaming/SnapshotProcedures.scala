@@ -365,14 +365,16 @@ private[streaming] object SnapshotMetaTable {
       require(gens.nonEmpty, s"$table has no committed generation")
       val conf = spark.sparkContext.hadoopConfiguration
       val (_, _, seg) = SnapshotTable.tailEntries(spark, table, gens.max)
-      // Stats-recording lineages answer from ONE manifest read — the
-      // per-file footer/status round trips below are the LEGACY path
-      // (pre-recording manifests, segmented chains whose content spans
-      // several manifests).
+      // Stats-recording lineages answer from manifest reads alone —
+      // full-carry from ONE, segmented from the chain walk that also
+      // folds each segment's recorded rows (resolvedDataRows refuses
+      // tombstone rows loudly; segments are append-only by contract).
+      // The per-file footer/status round trips below are the LEGACY
+      // fallback for pre-recording manifests only.
       val entries: Seq[(String, String, Option[Long], Option[Long])] =
         if (seg)
-          SnapshotTable.resolvedFiles(spark, table, gens.max)
-            .map(f => (f, "data", None, None))
+          SnapshotTable.resolvedDataRows(spark, table, gens.max)
+            .map { case (p, n, b) => (p, "data", n, b) }
         else SnapshotTable.fileInventory(spark, table, gens.max)
       entries.map { case (f, k, nRec, bRec) =>
         val n = nRec.getOrElse(

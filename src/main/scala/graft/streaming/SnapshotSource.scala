@@ -428,37 +428,89 @@ private[graft] object SnapshotSource {
     ()
   }
 
-  /** The parquet schema for the write path — the same primitive set
-    * the readers decode, with the standard logical annotations so a
-    * plain `spark.read.parquet` round-trips the types.
+  /** Minimum two's-complement byte width holding any unscaled decimal
+    * of `precision` digits — the FIXED_LEN_BYTE_ARRAY length the
+    * parquet format spec mandates for wide decimals (precision 38 →
+    * 16 bytes, the INT128 width every engine uses).
+    */
+  def decimalBytes(precision: Int): Int =
+    math.ceil((precision * math.log(10) / math.log(2) + 1) / 8).toInt
+
+  /** The parquet schema for the write path — the readers' type set,
+    * with the standard logical annotations so a plain
+    * `spark.read.parquet` round-trips the types. DECIMAL follows the
+    * format spec's physical mapping (INT64 for precision ≤ 18,
+    * FIXED_LEN_BYTE_ARRAY above — the layout Spark's own writer emits
+    * with legacy format off), and ARRAY is the standard THREE-LEVEL
+    * list (`optional group (LIST) { repeated group list { optional
+    * element } }`) over a primitive element, so money and embedding
+    * columns commit through the connector/catalog like any other.
     */
   def messageTypeOf(schema: StructType): org.apache.parquet.schema.MessageType = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    def prim(dt: DataType, name: String,
+        owner: String): org.apache.parquet.schema.Type = dt match {
+      case LongType => Types.optional(INT64).named(name)
+      case TimestampType => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        .named(name)
+      case TimestampNTZType => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        .named(name)
+      case IntegerType => Types.optional(INT32).named(name)
+      case DateType => Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case DoubleType => Types.optional(DOUBLE).named(name)
+      case FloatType => Types.optional(FLOAT).named(name)
+      case BooleanType => Types.optional(BOOLEAN).named(name)
+      case StringType => Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => Types.optional(BINARY).named(name)
+      case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+      case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+        .length(decimalBytes(d.precision))
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot writer supports primitive/decimal/array-of-primitive " +
+          s"columns; got $other for $owner")
+    }
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
-        case IntegerType => Types.optional(INT32)
-        case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case BinaryType => Types.optional(BINARY)
-        case dt => throw new UnsupportedOperationException(
-          s"snapshot writer supports primitive columns; got $dt for ${f.name}")
+      val t: org.apache.parquet.schema.Type = f.dataType match {
+        case ArrayType(et, _) => Types.optionalList()
+          .element(prim(et, "element", s"${f.name} (array element)"))
+          .named(f.name)
+        case dt => prim(dt, f.name, f.name)
       }
-      b.addField(t.named(f.name))
+      b.addField(t)
     }
     b.named("spark_schema")
+  }
+
+  /** One decimal's unscaled value as the fixed-width two's-complement
+    * big-endian byte array FIXED_LEN_BYTE_ARRAY decimals store —
+    * sign-extended to exactly [[decimalBytes]] of the precision.
+    */
+  def decimalToFixedBytes(d: org.apache.spark.sql.types.Decimal,
+      precision: Int): Array[Byte] = {
+    val width = decimalBytes(precision)
+    val raw = d.toJavaBigDecimal.unscaledValue.toByteArray
+    require(raw.length <= width,
+      s"unscaled decimal ${d} needs ${raw.length} bytes; precision " +
+        s"$precision allows $width")
+    if (raw.length == width) raw
+    else {
+      val out = new Array[Byte](width)
+      val pad: Byte = if (raw(0) < 0) -1 else 0
+      java.util.Arrays.fill(out, 0, width - raw.length, pad)
+      System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+      out
+    }
   }
 }
 
@@ -789,9 +841,14 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
               try {
                 val spark = SparkSession.active
                 val (gen, files, segmented) = batch.resolvePlan(record = false)
+                // Segmented chains fold each segment's recorded rows
+                // during the SAME walk that resolved the file set, so
+                // the O(batch)-commit layout keeps O(1)-per-file-free
+                // planning too (the r18 gap: they used to fall through
+                // to one driver getFileStatus per planned file).
                 val recorded =
                   if (segmented)
-                    Map.empty[String, (Option[Long], Option[Long])]
+                    SnapshotTable.resolvedFileStats(spark, table, gen)
                   else SnapshotTable.recordedFileStats(spark, table, gen)
                 val sizes = files.map(f => recorded.get(f).flatMap(_._2))
                 if (sizes.forall(_.isDefined)) {
@@ -1742,8 +1799,47 @@ private[streaming] class SnapshotFileWriter(path: String, schema: StructType,
         case StringType => g.add(f.name, row.getUTF8String(i).toString)
         case BinaryType => g.add(f.name,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+        case d: DecimalType if d.precision <= 18 =>
+          g.add(f.name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType => g.add(f.name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            SnapshotSource.decimalToFixedBytes(
+              row.getDecimal(i, d.precision, d.scale), d.precision)))
+        case ArrayType(et, _) =>
+          // THREE-LEVEL list encode (the messageTypeOf shape): one
+          // `list` repetition per element, the optional `element`
+          // field absent for a null element.
+          val arr = row.getArray(i)
+          val lg = g.addGroup(f.name)
+          var j = 0
+          while (j < arr.numElements()) {
+            val eg = lg.addGroup("list")
+            if (!arr.isNullAt(j)) et match {
+              case LongType | TimestampType | TimestampNTZType =>
+                eg.add("element", arr.getLong(j))
+              case IntegerType | DateType => eg.add("element", arr.getInt(j))
+              case DoubleType => eg.add("element", arr.getDouble(j))
+              case FloatType => eg.add("element", arr.getFloat(j))
+              case BooleanType => eg.add("element", arr.getBoolean(j))
+              case StringType =>
+                eg.add("element", arr.getUTF8String(j).toString)
+              case BinaryType => eg.add("element",
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                  arr.getBinary(j)))
+              case d: DecimalType if d.precision <= 18 => eg.add("element",
+                arr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
+              case d: DecimalType => eg.add("element",
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                  SnapshotSource.decimalToFixedBytes(
+                    arr.getDecimal(j, d.precision, d.scale), d.precision)))
+              case other => throw new UnsupportedOperationException(
+                s"snapshot writer: unsupported array element $other for ${f.name}")
+            }
+            j += 1
+          }
         case dt => throw new UnsupportedOperationException(
-          s"snapshot writer supports primitive columns; got $dt for ${f.name}")
+          s"snapshot writer supports primitive/decimal/array-of-primitive " +
+            s"columns; got $dt for ${f.name}")
       }
       i += 1
     }
@@ -1786,21 +1882,70 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
 
   // Per-FILE field resolution, computed once off the first row's group
   // type (constant for the whole file): scan-field -> file index (-1
-  // when absent) plus whether the file stores the field as INT96 — the
-  // per-row name lookups and footer-type checks would otherwise run
-  // once per field per row.
+  // when absent) plus the file's PHYSICAL storage choices (INT96
+  // timestamps from Spark's own writer; INT64-vs-FIXED decimals per
+  // the precision split) — the per-row name lookups and footer-type
+  // checks would otherwise run once per field per row. For ARRAY
+  // fields the flags describe the list's ELEMENT type.
   private var fieldIdx: Array[Int] = _
   private var fieldInt96: Array[Boolean] = _
+  private var fieldLeaf:
+    Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
 
   private def resolveFields(
       fileType: org.apache.parquet.schema.GroupType): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     fieldIdx = schema.fields.map(f =>
       if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name)
       else -1)
-    fieldInt96 = fieldIdx.map(i =>
-      i >= 0 && fileType.getType(i).isPrimitive &&
-        fileType.getType(i).asPrimitiveType().getPrimitiveTypeName ==
-          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+    // The type whose physical encoding matters: the field itself, or
+    // the 3-level list's element for an array field.
+    def leafOf(i: Int): Option[org.apache.parquet.schema.PrimitiveType] = {
+      if (i < 0) return None
+      val t = fileType.getType(i)
+      if (t.isPrimitive) Some(t.asPrimitiveType())
+      else {
+        val g = t.asGroupType()
+        if (g.getFieldCount != 1) None
+        else {
+          val rep = g.getType(0)
+          if (rep.isPrimitive) Some(rep.asPrimitiveType()) // 2-level legacy
+          else {
+            val inner = rep.asGroupType()
+            if (inner.getFieldCount == 1 && inner.getType(0).isPrimitive)
+              Some(inner.getType(0).asPrimitiveType())
+            else None
+          }
+        }
+      }
+    }
+    fieldInt96 = fieldIdx.map(i => leafOf(i).exists(
+      _.getPrimitiveTypeName == PrimitiveTypeName.INT96))
+    fieldLeaf = fieldIdx.map(i =>
+      leafOf(i).map(_.getPrimitiveTypeName).orNull)
+  }
+
+  /** One decimal value off a Group field, by the file's PHYSICAL
+    * encoding (resolved once per file): INT32/INT64 carry the unscaled
+    * value directly; FIXED_LEN_BYTE_ARRAY / BINARY carry its
+    * big-endian two's-complement bytes.
+    */
+  private def decimalOf(g: Group, idx: Int, rep: Int,
+      leaf: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      d: DecimalType): org.apache.spark.sql.types.Decimal = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    leaf match {
+      case PrimitiveTypeName.INT32 =>
+        org.apache.spark.sql.types.Decimal(
+          g.getInteger(idx, rep).toLong, d.precision, d.scale)
+      case PrimitiveTypeName.INT64 =>
+        org.apache.spark.sql.types.Decimal(
+          g.getLong(idx, rep), d.precision, d.scale)
+      case _ =>
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(idx, rep).getBytes), d.scale),
+          d.precision, d.scale)
+    }
   }
 
   override def get(): InternalRow = {
@@ -1824,8 +1969,40 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
           case BooleanType => g.getBoolean(idx, 0)
           case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
           case BinaryType => g.getBinary(idx, 0).getBytes
+          case d: DecimalType => decimalOf(g, idx, 0, fieldLeaf(i), d)
+          case ArrayType(et, _) =>
+            // THREE-LEVEL list decode (both writers' shape): the LIST
+            // group's single repeated `list` child, one repetition per
+            // element; the optional `element` absent = null element.
+            val lg = g.getGroup(idx, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var k = 0
+            while (k < n) {
+              val eg = lg.getGroup(0, k)
+              out(k) =
+                if (eg.getFieldRepetitionCount(0) == 0) null
+                else et match {
+                  case LongType | TimestampType | TimestampNTZType =>
+                    eg.getLong(0, 0)
+                  case IntegerType | DateType => eg.getInteger(0, 0)
+                  case DoubleType => eg.getDouble(0, 0)
+                  case FloatType => eg.getFloat(0, 0)
+                  case BooleanType => eg.getBoolean(0, 0)
+                  case StringType =>
+                    UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
+                  case BinaryType => eg.getBinary(0, 0).getBytes
+                  case d: DecimalType =>
+                    decimalOf(eg, 0, 0, fieldLeaf(i), d)
+                  case other => throw new UnsupportedOperationException(
+                    s"snapshot source: unsupported array element $other " +
+                      s"for ${schema.fields(i).name}")
+                }
+              k += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
           case dt => throw new UnsupportedOperationException(
-            "snapshot source supports primitive columns; " +
+            "snapshot source supports primitive/decimal/array columns; " +
               s"got $dt for ${schema.fields(i).name}")
         }
       i += 1

@@ -445,6 +445,45 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       === Some(false))
   }
 
+  test("segmented lineages serve planning stats from the chain's recorded rows") {
+    import spark.implicits._
+    val t = s"$warehouse/t_stats_seg"
+    // Three-segment chain: each commit records stats for its OWN batch
+    // only; planning must fold them across the walk, never fall back
+    // to per-file FS lookups.
+    SnapshotTable.commitSegment(
+      (1L to 20L).map(k => (k, s"a$k")).toDF("k", "v"), t, 1L, None)
+    SnapshotTable.commitSegment(
+      (21L to 40L).map(k => (k, s"b$k")).toDF("k", "v"), t, 2L, Some(1L))
+    SnapshotTable.commitSegment(
+      (41L to 60L).map(k => (k, s"c$k")).toDF("k", "v"), t, 3L, Some(2L))
+    // The folded stats equal the per-segment footer truth.
+    val rec = SnapshotTable.resolvedFileStats(spark, t, 3L)
+    val truth = SnapshotTable.fileMeta(spark,
+      SnapshotTable.resolvedFiles(spark, t, 3L))
+    assert(truth.nonEmpty)
+    truth.foreach { case (p, n, b) =>
+      assert(rec(p) === ((Some(n), Some(b))), s"resolved stats of $p")
+    }
+    // And the estimate itself comes from the manifest chain: the
+    // 60-row table auto-broadcasts, with the telemetry naming the
+    // manifest as the source (r18 fell back to one getFileStatus per
+    // planned file here).
+    spark.range(200000L).selectExpr("id % 60 + 1 AS k")
+      .createOrReplaceTempView("seg_facts")
+    val df = spark.sql("SELECT count(*) AS n FROM seg_facts f " +
+      "JOIN spec_cat.t_stats_seg d ON f.k = d.k")
+    assert(df.head().getLong(0) === 200000L)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "a 60-row segmented catalog table must auto-broadcast")
+    assert(graft.streaming.SnapshotSource.lastStatsFromManifest(t)
+      === Some(true))
+    // The files metadata relation serves the same chain-resolved stats.
+    val inv = spark.sql(
+      s"SELECT sum(n_rows) AS n FROM spec_cat.t_stats_seg.files").head()
+    assert(inv.getLong(0) === 60L)
+  }
+
   test("expire_before retires by wall-clock through the shared stamp policy") {
     import spark.implicits._
     val t = s"$warehouse/t_expire_ts"

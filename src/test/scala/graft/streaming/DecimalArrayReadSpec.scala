@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.SnapshotTable
+
+/** DECIMAL and ARRAY columns through the snapshot connector — the
+  * round-trip the money/embedding tables need to live in the catalog:
+  * both physical decimal forms (INT64 for precision ≤ 18, FIXED_LEN
+  * bytes above), the three-level list encode, null arrays and null
+  * elements, parity between the connector's decoders and Spark's own
+  * parquet reader over the SAME committed files, and decode of files
+  * Spark's native writer produced (INT32-backed small decimals,
+  * required list elements).
+  */
+class DecimalArrayReadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val provider = classOf[SnapshotSourceProvider].getName
+
+  private def sourceFrame = {
+    spark.range(5000L).select(
+      col("id").as("k"),
+      // Exact money values at both physical widths; nulls mixed in.
+      when(col("id") % 11 === 0, null)
+        .otherwise(((col("id") * 7 + 3).cast(DecimalType(18, 4)) / 100)
+          .cast(DecimalType(18, 4)))
+        .as("m18"),
+      (col("id").cast(DecimalType(38, 6)) * col("id") + 1).as("m38"),
+      col("id").cast(DecimalType(9, 2)).as("m9"),
+      // Arrays: floats (the embedding shape), with a null element and
+      // whole-null arrays.
+      when(col("id") % 13 === 0, null).otherwise(array(
+        (col("id") % 97).cast("float"),
+        when(col("id") % 7 === 0, null)
+          .otherwise((col("id") % 31).cast("float")),
+        lit(1.5f))).as("emb"),
+      array(concat(lit("w_"), col("id")), lit("x")).as("words"),
+      array((col("id") % 5).cast(DecimalType(18, 2)),
+        col("id").cast(DecimalType(38, 4))).cast(
+          ArrayType(DecimalType(38, 4))).as("decs"))
+  }
+
+  private def canon(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(_.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case s: collection.Seq[_] => s.toVector
+      case v => v
+    }).toSeq
+
+  test("connector write+read round-trips decimals and arrays, both decoders") {
+    val t = graft.Scratch.dir("decarr_roundtrip")
+    val df = sourceFrame
+    df.repartition(3).write.format(provider).option("path", t)
+      .mode("append").save()
+
+    def readAll(rowDecode: Boolean) = {
+      val saved = System.getProperty("graft.snapshot.rowDecode")
+      try {
+        if (rowDecode) System.setProperty("graft.snapshot.rowDecode", "true")
+        else System.clearProperty("graft.snapshot.rowDecode")
+        canon(spark.read.format(provider).load(t).orderBy("k").collect())
+      } finally {
+        if (saved == null) System.clearProperty("graft.snapshot.rowDecode")
+        else System.setProperty("graft.snapshot.rowDecode", saved)
+      }
+    }
+    // Ground truth: Spark's own parquet reader over the committed files.
+    val truth = canon(spark.read
+      .parquet(SnapshotTable.listFiles(spark, t, 1L): _*)
+      .orderBy("k").collect())
+    assert(truth.length === 5000)
+    assert(readAll(rowDecode = true) === truth)
+    assert(readAll(rowDecode = false) === truth)
+  }
+
+  test("connector decodes Spark-native-written decimal and array files") {
+    val t = graft.Scratch.dir("decarr_native")
+    // Spark's writer: INT32-backed DECIMAL(9,2), FIXED DECIMAL(38,6),
+    // required float elements (containsNull = false).
+    val df = spark.range(2000L).select(
+      col("id").as("k"),
+      col("id").cast(DecimalType(9, 2)).as("m9"),
+      (col("id").cast(DecimalType(18, 4)) / 7).as("m18"),
+      (col("id").cast(DecimalType(38, 6)) * 1000001).as("m38"),
+      array((col("id") % 3).cast("float"), lit(0.25f)).as("emb"))
+    SnapshotTable.commit(df.repartition(2), t, 1L)
+    val truth = canon(df.orderBy("k").collect())
+    val got = canon(spark.read.format(provider).load(t)
+      .orderBy("k").collect())
+    assert(got === truth)
+  }
+
+  test("CTAS and INSERT carry decimal and embedding columns through the catalog") {
+    val wh = graft.Scratch.dir("decarr_cat_wh")
+    spark.conf.set("spark.sql.catalog.decarr_cat",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.decarr_cat.warehouse", wh)
+    sourceFrame.createOrReplaceTempView("decarr_src")
+    spark.sql("CREATE TABLE decarr_cat.t_money AS " +
+      "SELECT k, m18, m38, emb FROM decarr_src WHERE k % 2 = 1")
+    spark.sql("INSERT INTO decarr_cat.t_money " +
+      "SELECT k, m18, m38, emb FROM decarr_src WHERE k % 2 = 0")
+    val got = spark.sql(
+      """SELECT count(*) AS n,
+        |  CAST(sum(m18 * 10000) AS BIGINT) AS c18,
+        |  CAST(sum(m38 % 1000000) AS DECIMAL(38,6)) AS c38,
+        |  sum(size(emb)) AS n_elems
+        |FROM decarr_cat.t_money""".stripMargin).head()
+    val want = spark.sql(
+      """SELECT count(*) AS n,
+        |  CAST(sum(m18 * 10000) AS BIGINT) AS c18,
+        |  CAST(sum(m38 % 1000000) AS DECIMAL(38,6)) AS c38,
+        |  sum(size(emb)) AS n_elems
+        |FROM decarr_src""".stripMargin).head()
+    assert(got === want)
+    // The schema survives the catalog round trip exactly.
+    val sch = spark.table("decarr_cat.t_money").schema
+    assert(sch("m18").dataType === DecimalType(18, 4))
+    assert(sch("m38").dataType === DecimalType(38, 6))
+    assert(sch("emb").dataType === ArrayType(FloatType))
+  }
+}
