@@ -248,6 +248,25 @@ object SnapshotTable {
     require(prev.forall(r => r.kind.forall(_ == "data")),
       s"subset rewrite of $table needs a plain data lineage " +
         "(tombstones require the whole-snapshot path)")
+    // BLOOM SIDECAR MAINTENANCE, before the commit point: replacement
+    // files index like any ingest batch (the append-mode extension the
+    // incremental-ingest path uses), so point-lookup pruning keeps its
+    // selectivity as UPDATE/DELETE/MERGE churn the table instead of
+    // degrading to admit-everything on every rewritten file. Ordered
+    // BEFORE the manifest publish so a lost first-writer-wins race
+    // leaves only sidecar rows for never-published paths, which no
+    // planner consults (candidates always come from a manifest); the
+    // rewritten files' stale rows are equally unreachable. Columns the
+    // replacement schema lacks skip — their unindexed files admit
+    // conservatively, the standard best-effort contract.
+    if (fresh.nonEmpty) {
+      val cols = bloomColumns(spark, table)
+      if (cols.nonEmpty) {
+        val schema = spark.read.parquet(fresh: _*).schema.fieldNames.toSet
+        cols.filter(schema.contains)
+          .foreach(c => writeBloomIndex(spark, table, c, fresh, append = true))
+      }
+    }
     val carried = prev.filterNot(r => rewritten.contains(r.path))
     writeManifest(spark, table, gen, replace = false,
       (carried ++ metaRows(spark, fresh))
@@ -826,6 +845,13 @@ object SnapshotTable {
       seq = Some(gen))
     val delMeta = metaRows(spark, freshDels, kind = Some("delete"),
       seq = Some(gen))
+    // metaRows is best-effort for foreign paths, but THESE files were
+    // written by this very commit: a missing footer count here is
+    // corruption, and letting it slip would silently void the
+    // key-uniqueness guard below (sums over None-dropped rows).
+    require((dataMeta ++ delMeta).forall(_.nRows.isDefined),
+      s"commitUpsert for $table gen=$gen staged a file with an unreadable " +
+        "footer; refusing to publish")
     val batchRows = dataMeta.flatMap(_.nRows).sum
     val keyRows = delMeta.flatMap(_.nRows).sum
     require(batchRows == keyRows,
@@ -1197,13 +1223,22 @@ object SnapshotTable {
       catch { case _: Exception => Seq.empty }
     }.toMap
 
-  /** [[fileMeta]] as ready-to-publish manifest rows (sorted by path). */
+  /** [[fileMeta]] as ready-to-publish manifest rows (sorted by path) —
+    * BEST-EFFORT like [[fileMetaOpt]]: the explicit-path publish forms
+    * ([[publish]], [[stageFiles]], [[commitDeletes]]) accept paths this
+    * layer never wrote (a spec's synthetic layout, a foreign file
+    * registered by stats), so an unopenable footer records NO stats
+    * instead of failing the commit — every stats consumer already
+    * falls back per file on `None`.
+    */
   private def metaRows(spark: SparkSession, paths: Seq[String],
-      kind: Option[String] = None, seq: Option[Long] = None): Seq[ManifestRow] =
-    fileMeta(spark, paths.sorted).map { case (p, n, b) =>
+      kind: Option[String] = None, seq: Option[Long] = None): Seq[ManifestRow] = {
+    val meta = fileMetaOpt(spark, paths)
+    paths.sorted.map { p =>
       ManifestRow(p, kind = kind, seq = seq,
-        nRows = Some(n), bytes = Some(b))
+        nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2))
     }
+  }
 
   /** The recorded `(n_rows, bytes)` of generation `gen`'s manifest
     * rows, keyed by path — `(None, None)` entries for legacy rows, so
@@ -1704,6 +1739,53 @@ object SnapshotTable {
       .filter(b => fs.exists(
         new org.apache.hadoop.fs.Path(branchManifestPath(table, b))))
       .sorted
+  }
+
+  /** DROP the whole table — the lifecycle terminator next to
+    * [[expire]]/[[vacuum]]: every manifest, branch pointer, data,
+    * tombstone and index file under the table root deletes, and the
+    * root itself retires, so `tableExists` turns false and the name is
+    * free for a fresh CTAS. GUARDED by default: a staged WAP branch
+    * (an audit in flight) or surviving HISTORY (generations below the
+    * latest still serving time travel) refuses without `force` —
+    * dropping either silently would destroy work another surface still
+    * addresses; `expire` history down to the latest generation first,
+    * or pass `force` in a deliberate teardown. Sweep order is
+    * MANIFESTS FIRST (the [[expire]] argument: once the manifests are
+    * gone no reader can resolve a snapshot, so a crash mid-sweep
+    * leaves only unreferenced files, never a live manifest over
+    * deleted data). The shallow-clone caveat applies exactly as for
+    * expire: a clone referencing this table's files loses them — the
+    * clone references, it does not own. Returns
+    * `(generations removed, referenced files removed)`.
+    */
+  def drop(spark: SparkSession, table: String,
+      force: Boolean = false): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gens = generations(spark, table)
+    require(gens.nonEmpty, s"$table has no committed generation; nothing to drop")
+    val staged = branches(spark, table)
+    require(force || staged.isEmpty,
+      s"refusing to drop $table: branch(es) ${staged.mkString(", ")} are " +
+        "staged for audit - publish or abandon them first, or pass force")
+    require(force || gens.size == 1,
+      s"refusing to drop $table: ${gens.size} generations survive and time " +
+        "travel still serves them - expire history down to the latest " +
+        "generation first, or pass force")
+    val files = gens.flatMap { g =>
+      val (d, t) = rawEntries(spark, table, g)
+      d ++ t
+    }.distinct
+    def sweep(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).delete(p, true)
+      ()
+    }
+    sweep(s"$table/manifests")
+    sweep(s"$table/branches")
+    Seq("data", "deletes", "index").foreach(d => sweep(s"$table/$d"))
+    sweep(table)
+    (gens.size.toLong, files.size.toLong)
   }
 
   /** Compact generation `fromGen` into `fromGen + 1`: read the old

@@ -1239,6 +1239,95 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** The [[streamByteCap]] synthetic single-row file keys — literals so
+    * the oracle recomputes every phase without touching the layout.
+    */
+  val ByteCapSmallKeys: Seq[Long] = (1L to 6L).map(10000000L + _)
+  val ByteCapHopKeys: Seq[Long] = Seq(20000001L, 20000002L)
+
+  /** BYTE-capped streaming admission (`maxBytesPerBatch`) under size
+    * skew — the case a file-count cap is blind to: generation 1 holds
+    * ONE large file (the whole orders table) next to six tiny
+    * single-row files, and the cap is set to the large file's RECORDED
+    * bytes (read off the manifest, the same source the offset math
+    * uses — zero per-file I/O at runtime). The tail runs in two legs,
+    * RESTARTED MID-LOAD from its checkpoint: a `Trigger.Once` leg
+    * delivers exactly the first chunk — the large file ALONE, because
+    * admitting any neighbor would breach the cap — then the resumed
+    * leg delivers the six smalls as one grouped chunk (their sum is
+    * far under the cap) followed by a post-load append hop. Phase
+    * `a_first` gates the first chunk's content against the orders
+    * table; `b_rest` gates the remainder against the key literals; the
+    * `ok` booleans bind the BATCH STRUCTURE (1 chunk, then exactly 2
+    * batches with the smalls grouped and the hop separate) — the
+    * byte-cap mechanics themselves, not just the union. Exactly-once
+    * across the restart is structural: a lost or duplicated chunk
+    * breaks a phase's row count.
+    */
+  def streamByteCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = freshTable(spark, "stream_bytecap")
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    // One LARGE file (sorts first: "large" < "small_*") + six tiny
+    // single-row files, published as one generation.
+    val large = s"$t/data/gen=1/large"
+    orders.coalesce(1).write.parquet(large)
+    val smalls = ByteCapSmallKeys.map { k =>
+      val p = s"$t/data/gen=1/small_${k % 100}"
+      Seq(k).toDF("k").coalesce(1).write.parquet(p)
+      spark.read.parquet(p).inputFiles.head
+    }
+    val largeFile = spark.read.parquet(large).inputFiles.head
+    SnapshotTable.publishAppend(spark, t, 1L, (largeFile +: smalls).sorted,
+      carryFrom = None)
+    // The cap: exactly the large file's recorded bytes — it ships
+    // alone; the smalls sum to a few KB and group into one chunk.
+    val cap = SnapshotTable.fileMeta(spark, Seq(largeFile)).head._3
+
+    val perBatch =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def tail(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream
+        .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("path", t).option("maxBytesPerBatch", cap.toString).load()
+        .writeStream
+        .option("checkpointLocation", s"$t/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // One aggregate row per batch — driver state is O(batches).
+            val r = b.agg(count(lit(1)), coalesce(sum("k"), lit(0L)),
+              count(when(col("k") >= 10000000L && col("k") < 20000000L, 1)),
+              count(when(col("k") >= 20000000L, 1))).head()
+            if (r.getLong(0) > 0L)
+              perBatch.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            ()
+        }
+      trigger.fold(w)(w.trigger).start()
+    }
+    // Leg 1: exactly ONE chunk, then the query stops mid-load.
+    val q1 = tail(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    try q1.awaitTermination() finally q1.stop()
+    val first = perBatch.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+    // A post-load hop committed between the legs: the restart must
+    // finish the chunked load, then take the append hop as its own
+    // batch.
+    SnapshotTable.commit(ByteCapHopKeys.toDF("k"), t, 2L, carryFrom = Some(1L))
+    val q2 = tail(None)
+    try q2.processAllAvailable() finally q2.stop()
+    val rest = perBatch.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+      .drop(first.size)
+
+    val firstOk = first.size == 1 &&
+      first.head._3 == 0L && first.head._4 == 0L // the large file ALONE
+    val restOk = rest.size == 2 &&
+      rest.exists(b => b._3 == 6L && b._1 == 6L) && // smalls grouped
+      rest.exists(b => b._4 == 2L && b._1 == 2L) // the hop separate
+    Seq(
+      ("a_first", first.map(_._1).sum, first.map(_._2).sum, firstOk),
+      ("b_rest", rest.map(_._1).sum, rest.map(_._2).sum, restOk))
+      .toDF("phase", "n_rows", "key_sum", "ok").orderBy("phase")
+  }
+
   /** METADATA TABLES through the catalog — the Iceberg `t.files` /
     * `t.history` inspection idiom as plain SQL relations
     * ([[graft.streaming.SnapshotMetaTable]]): `<cat>.<table>.files`
@@ -1459,6 +1548,64 @@ object SourceOps {
       .unionByName(phase("c_published", s"$cat.`$name`", ok = pubOk))
       .unionByName(Seq(("d_retired", 0L, 0L, 0L, retired))
         .toDF("phase", "n_rows", "key_sum", "price_cents", "ok"))
+      .orderBy("phase")
+  }
+
+  /** The SQL lifecycle TERMINATOR — `CALL system.drop` completing the
+    * create→use→retire loop ([[graft.sources.SnapshotTable.drop]]):
+    * the drill CTAS-creates, appends (two generations), then walks the
+    * GUARDS — a staged WAP branch refuses the drop (an audit in
+    * flight), surviving history refuses it (time travel still serves),
+    * and only after abandon + expire does the un-forced drop retire
+    * the table, manifests first. `tableExists` must flip false and the
+    * NAME must be reusable: a fresh CTAS redefines the table from the
+    * odd-key half, value-gated like any create. Guard outcomes bind as
+    * the `ok` booleans; content phases re-derive from the split
+    * predicates.
+    */
+  def catalogDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_drop")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    orders.createOrReplaceTempView("drop_src")
+    spark.sql(s"CREATE TABLE $cat.`$name` AS " +
+      "SELECT o_orderkey, o_totalprice FROM drop_src WHERE o_orderkey % 2 = 1")
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey, o_totalprice FROM drop_src WHERE o_orderkey % 2 = 0")
+    def phase(tag: String, from: String, ok: Boolean): DataFrame = spark.sql(
+      s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+         |  sum(o_orderkey) AS key_sum, $ok AS ok
+         |FROM $from""".stripMargin)
+    val created = phase("a_created", s"$cat.`$name`", ok = true)
+      .localCheckpoint()
+    def refuses(substr: String): Boolean =
+      try {
+        spark.sql(s"CALL $cat.system.drop('$name', false)").collect()
+        false
+      } catch { case e: Exception =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .exists(c => Option(c.getMessage).exists(_.contains(substr)))
+      }
+    // Guard 1: an audit in flight refuses.
+    SnapshotTable.stage(
+      orders.filter(col("o_orderkey") % 100 === 7), t, "audit")
+    val branchGuard = refuses("staged for audit")
+    spark.sql(s"CALL $cat.system.abandon_branch('$name', 'audit')")
+    // Guard 2: unexpired history refuses (gen 1 still time-travels).
+    val histGuard = refuses("expire history")
+    spark.sql(s"CALL $cat.system.expire('$name', 2)")
+    // The un-forced drop now retires the table; the name frees.
+    val dropped = spark.sql(s"CALL $cat.system.drop('$name', false)").head()
+    val gone = dropped.getLong(1) == 1L &&
+      SnapshotTable.generations(spark, t).isEmpty
+    spark.sql(s"CREATE TABLE $cat.`$name` AS " +
+      "SELECT o_orderkey, o_totalprice FROM drop_src WHERE o_orderkey % 2 = 1")
+    created
+      .unionByName(Seq(("b_guards", 0L, 0L,
+        branchGuard && histGuard && gone)).toDF("phase", "n_rows", "key_sum", "ok"))
+      .unionByName(phase("c_recreated", s"$cat.`$name`", ok = true))
       .orderBy("phase")
   }
 
@@ -2624,9 +2771,11 @@ object SourceOps {
     "src_catalog_ctas" -> (catalogCtas _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
+    "src_catalog_drop" -> (catalogDrop _),
     "src_connector_dpp" -> (connectorDpp _),
     "src_catalog_meta" -> (catalogMeta _),
     "stream_startat" -> (streamStartAt _),
+    "stream_bytecap" -> (streamByteCap _),
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
@@ -3090,6 +3239,18 @@ object SourceOps {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY phase""".stripMargin,
+    // Byte-cap twin: the first chunk IS the large file (the whole
+    // orders projection); the rest is the six small-file literals plus
+    // the two-hop keys. Batch structure binds as booleans.
+    "stream_bytecap" ->
+      s"""SELECT 'a_first' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS ok
+         |FROM orders
+         |UNION ALL
+         |SELECT 'b_rest',
+         |  CAST(${(ByteCapSmallKeys ++ ByteCapHopKeys).size} AS BIGINT),
+         |  CAST(${(ByteCapSmallKeys ++ ByteCapHopKeys).sum} AS BIGINT), TRUE
+         |ORDER BY phase""".stripMargin,
     // Metadata-tables twin: file inventory from the drill's layout
     // constants (3-file commit compacted to 2, row counts summing to
     // the full projection); history from the recorded actions.
@@ -3165,6 +3326,19 @@ object SourceOps {
         "SELECT 'd_retired', 0, 0, 0, TRUE")
         .mkString("", "\nUNION ALL\n", "\nORDER BY phase")
     },
+    // Drop twin: a_created is the full projection, c_recreated the
+    // odd-key re-creation; the guard walk binds as one boolean row.
+    "src_catalog_drop" ->
+      """SELECT 'a_created' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS ok
+        |FROM orders
+        |UNION ALL
+        |SELECT 'b_guards', 0, 0, TRUE
+        |UNION ALL
+        |SELECT 'c_recreated', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), TRUE
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY phase""".stripMargin,
     // Delete twin: both phases re-derived from the predicate — before
     // is the full projection, after excludes the deleted residue.
     "src_catalog_delete" ->

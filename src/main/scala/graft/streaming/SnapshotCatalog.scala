@@ -287,7 +287,9 @@ class SnapshotCatalog extends TableCatalog
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "refusing DROP through the catalog; use the library's expire/vacuum commands")
+      "refusing bare DROP TABLE (it would silently destroy time-travel " +
+        s"history); use CALL $catalogName.system.drop(tbl, force) — guarded " +
+        "against staged branches and unexpired history")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -408,22 +410,24 @@ private[streaming] class SnapshotBranchTable(table: String, branch: String)
     require(staged(),
       s"branch '$branch' of $table is not staged; stage it first " +
         s"(INSERT INTO ...branch_$branch, or the library's stage command)")
-    val fs = SnapshotTable.stagedFiles(spark, table, branch)
-    require(fs.nonEmpty,
-      s"branch '$branch' of $table staged no files; nothing to audit")
-    fs
+    SnapshotTable.stagedFiles(spark, table, branch)
   }
 
   override def name(): String = s"snapshot:$table@$branch"
 
   /** A staged branch serves its OWN merged footer schema; an un-staged
     * one serves the PARENT's latest (the shape an INSERT must produce
-    * to stage it).
+    * to stage it). An EMPTY staged batch is legal by the staging
+    * contract ("it audits as empty and abandons"), so it too serves
+    * the parent's schema — the audit SELECT then plans zero partitions
+    * and returns 0 rows instead of erroring at resolution.
     */
-  override def schema(): StructType =
-    if (staged())
-      spark.read.option("mergeSchema", true).parquet(files(): _*).schema
+  override def schema(): StructType = {
+    val fs = if (staged()) files() else Seq.empty
+    if (fs.nonEmpty)
+      spark.read.option("mergeSchema", true).parquet(fs: _*).schema
     else SnapshotSource.latestSchema(table)
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)

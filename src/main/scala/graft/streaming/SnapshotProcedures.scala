@@ -52,8 +52,8 @@ private[streaming] object SnapshotProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("abandon_branch", "changes", "compact", "expire", "expire_before",
-      "history", "publish_branch", "rollback", "vacuum")
+    Seq("abandon_branch", "changes", "compact", "drop", "expire",
+      "expire_before", "history", "publish_branch", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -232,6 +232,25 @@ private[streaming] object SnapshotProcedures {
         SnapshotTable.abandonStaged(spark, root, branch)
         Array(row(UTF8String.fromString(tbl), UTF8String.fromString(branch),
           nFiles))
+      }
+      case "drop" => proc("drop",
+        "retire the whole table: manifests first, then data/branches/indexes",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("force", BooleanType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("generations_removed", LongType),
+          StructField("files_removed", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        // The SQL-reachable lifecycle terminator ([[SnapshotTable.drop]]):
+        // staged branches or surviving history refuse without force,
+        // so a CALL cannot silently destroy an audit in flight or
+        // time-travel-addressable snapshots.
+        val (gens, files) =
+          SnapshotTable.drop(spark, rootOf(tbl), in.getBoolean(1))
+        Array(row(UTF8String.fromString(tbl), gens, files))
       }
       case "history" => proc("history",
         "one row per generation: action, commit time, file counts",

@@ -749,6 +749,14 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // against a 100 TB table that is the one batch no cluster wants.
     val maxFilesPerBatch = options.getLong("maxFilesPerBatch", Long.MaxValue)
     require(maxFilesPerBatch > 0, "maxFilesPerBatch must be positive")
+    // BYTE-level admission: a file-count cap is blind to size skew
+    // (one post-compaction file can be most of the table), so the
+    // initial load can also cap each chunk by the manifest's RECORDED
+    // per-file bytes — the maxBytesPerTrigger analogue, with no extra
+    // I/O at offset time. A single file over the cap still ships
+    // alone (progress over strictness); the two caps compose.
+    val maxBytesPerBatch = options.getLong("maxBytesPerBatch", Long.MaxValue)
+    require(maxBytesPerBatch > 0, "maxBytesPerBatch must be positive")
     // STARTING OFFSET (the Delta startingVersion/startingTimestamp
     // idiom): a new consumer of a 100 TB table almost never wants the
     // genesis backfill — `startingGeneration` begins DELIVERY at that
@@ -818,7 +826,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
             SnapshotSource.v2ProbesOf(predicates))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
-            maxGensPerBatch, maxFilesPerBatch,
+            maxGensPerBatch, maxFilesPerBatch, maxBytesPerBatch,
             startingGeneration, startingTimestamp)
         private val batch = new SnapshotBatch(table, required, generation,
           SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
@@ -990,8 +998,12 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     resolvePlan()._2.map(SnapshotFilePartition(_)).toArray
 
+  // The factory carries the MERGED (compile-time + runtime) bounds and
+  // probes so the task-side readers can extend the same pruning one
+  // level deeper: row groups inside admitted files.
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
+    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf(),
+      mergedBounds, mergedProbes)
 }
 
 /** Offset state. `pos == 0`: the consumer holds the full content of
@@ -1020,6 +1032,7 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     schema: StructType, skipRewrites: Boolean,
     maxGensPerBatch: Long = Long.MaxValue,
     maxFilesPerBatch: Long = Long.MaxValue,
+    maxBytesPerBatch: Long = Long.MaxValue,
     startingGeneration: Option[Long] = None,
     startingTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -1141,6 +1154,58 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       if (seg) (SnapshotTable.resolvedFiles(spark, table, g), t) else (d, t)
     })
 
+  /** Per-file bytes of the initial-load generation, aligned with
+    * [[initEntriesOf]]'s sorted list — from the manifest's RECORDED
+    * stats (chain-folded for segments), so byte-capped offset math
+    * costs no per-file I/O; only legacy pre-recording rows fall back
+    * to one `getFileStatus` each, computed once per stream instance.
+    */
+  private val initBytes =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+  private def initBytesOf(g: Long): Array[Long] =
+    initBytes.computeIfAbsent(g, g => {
+      val files = initEntriesOf(g)._1
+      val (_, _, seg) = SnapshotTable.tailEntries(spark, table, g)
+      val rec =
+        if (seg) SnapshotTable.resolvedFileStats(spark, table, g)
+        else SnapshotTable.recordedFileStats(spark, table, g)
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { f =>
+        rec.get(f).flatMap(_._2).getOrElse {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+      }.toArray
+    })
+
+  /** The offset ending one initial-load chunk that starts at `from` of
+    * generation `g`'s sorted immutable list: bounded by the FILE cap
+    * and, when set, the BYTE cap over the recorded per-file bytes —
+    * always admitting at least one file, so a single over-cap file
+    * (the post-compaction giant) ships alone instead of wedging the
+    * stream. Returns the complete-load offset `(g, 0)` when the chunk
+    * reaches the end of the list.
+    */
+  private def chunkOffset(g: Long, from: Long): GenOffset = {
+    val total = initEntriesOf(g)._1.size.toLong
+    var hi = math.min(total,
+      if (Long.MaxValue - from < maxFilesPerBatch) Long.MaxValue
+      else from + maxFilesPerBatch)
+    if (maxBytesPerBatch < Long.MaxValue) {
+      val bytes = initBytesOf(g)
+      var i = from
+      var acc = 0L
+      var stop = false
+      while (i < hi && !stop) {
+        val b = bytes(i.toInt)
+        if (i == from || acc + b <= maxBytesPerBatch) { acc += b; i += 1 }
+        else stop = true
+      }
+      hi = i
+    }
+    if (hi >= total) GenOffset(g) else GenOffset(g, hi)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     clampToTarget(nextOffset(start.asInstanceOf[GenOffset]))
 
@@ -1160,18 +1225,13 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
         throw new IllegalStateException(
           s"initial-load generation ${s.gen} of $table was expired " +
             "mid-load - retention outran the stream's replayable window")
-      val total = initEntriesOf(s.gen)._1.size.toLong
-      return if (total - s.pos > maxFilesPerBatch)
-        GenOffset(s.gen, s.pos + maxFilesPerBatch)
-      else GenOffset(s.gen)
+      return chunkOffset(s.gen, s.pos)
     }
-    if (s.gen == 0L && maxFilesPerBatch < Long.MaxValue) {
-      // Fresh consumer under a file cap: open the chunked load of the
-      // earliest surviving generation, pinning it in the offset.
-      val m = gens.min
-      val total = initEntriesOf(m)._1.size.toLong
-      return if (total > maxFilesPerBatch) GenOffset(m, maxFilesPerBatch)
-      else GenOffset(m)
+    if (s.gen == 0L &&
+        (maxFilesPerBatch < Long.MaxValue || maxBytesPerBatch < Long.MaxValue)) {
+      // Fresh consumer under a file or byte cap: open the chunked load
+      // of the earliest surviving generation, pinning it in the offset.
+      return chunkOffset(gens.min, 0L)
     }
     val from = s.gen
     // Saturating add: the unlimited default is Long.MaxValue.
@@ -1373,7 +1433,9 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
 private[streaming] case class SnapshotFilePartition(path: String) extends InputPartition
 
 private[streaming] class SnapshotReaderFactory(schema: StructType,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    bounds: Map[String, (Long, Long)] = Map.empty,
+    probes: Map[String, Seq[Long]] = Map.empty) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
@@ -1381,10 +1443,12 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
   }
 
   // VECTORIZED decode ([[SnapshotColumnarReader]]): projected row-group
-  // reads skip unrequested columns' PAGES, and values land in columnar
-  // batches. The row decoder stays as the fallback for any type the
-  // vector path doesn't cover (none today — the writers share the set);
-  // `-Dgraft.snapshot.rowDecode=true` forces it for A/B debugging.
+  // reads skip unrequested columns' PAGES, values land in columnar
+  // batches, and the scan's pushed bounds/probes skip whole ROW GROUPS
+  // off the footer statistics before any page I/O. The row decoder
+  // stays as the fallback for types outside the flat fast path (array
+  // columns); `-Dgraft.snapshot.rowDecode=true` forces it for A/B
+  // debugging.
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !java.lang.Boolean.getBoolean("graft.snapshot.rowDecode") &&
       SnapshotColumnarReader.supports(schema)
@@ -1392,7 +1456,8 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
-    new SnapshotColumnarReader(path, schema, conf.value)
+    new SnapshotColumnarReader(path, schema, conf.value,
+      bounds = bounds, probes = probes)
   }
 }
 
@@ -1583,6 +1648,17 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
               record(RowLevelScanState(gen, files.toSet, segmented))
               files.map(SnapshotFilePartition(_)).toArray
             }
+            // NO row-group skipping here, unlike the plain batch scan:
+            // a group-based rewrite reads the FULL content of every
+            // admitted file (unmatched rows carry through the rewrite
+            // plan, and no residual filter is re-applied above this
+            // scan), so dropping a row group whose stats fail the
+            // pushed condition would silently DELETE its unmatched
+            // rows. File-level pruning stays sound because pruned
+            // files carry verbatim at commit; sub-file pruning has no
+            // such carry.
+            override def createReaderFactory(): PartitionReaderFactory =
+              new SnapshotReaderFactory(required, SnapshotSource.sessionConf())
           }
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotRowLevelScan($table)"

@@ -484,6 +484,97 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(inv.getLong(0) === 60L)
   }
 
+  test("an EMPTY staged branch audits as zero rows instead of erroring") {
+    import spark.implicits._
+    val t = s"$warehouse/t_empty_branch"
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("k", "v"), t, 1L)
+    // An EMPTY staged batch is legal ("it audits as empty and
+    // abandons") — the extreme form lists NO file at all in the branch
+    // manifest (a writer whose every task staged nothing).
+    SnapshotTable.stageFiles(spark, t, "empty", Seq.empty)
+    assert(SnapshotTable.branches(spark, t) === Seq("empty"))
+    // Resolution serves the PARENT's schema; the audit SELECT plans
+    // zero partitions and returns 0 rows.
+    val audit = spark.sql(
+      "SELECT count(*) AS n FROM spec_cat.t_empty_branch.branch_empty").head()
+    assert(audit.getLong(0) === 0L)
+    assert(spark.table("spec_cat.t_empty_branch.branch_empty")
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    // The discovery relation lists it with a zero footprint.
+    val b = spark.sql(
+      "SELECT branch, n_files, n_rows FROM spec_cat.t_empty_branch.branches")
+      .head()
+    assert(b.getString(0) === "empty" && b.getLong(1) === 0L
+      && b.getLong(2) === 0L)
+    SnapshotTable.abandonStaged(spark, t, "empty")
+    assert(SnapshotTable.branches(spark, t).isEmpty)
+  }
+
+  test("publish accepts foreign paths: unopenable footers record no stats") {
+    import spark.implicits._
+    val t = s"$warehouse/t_foreign_pub"
+    val dir = s"$t/data/gen=1"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val real = spark.read.parquet(dir).inputFiles.head
+    // A path the layer never wrote (and cannot open) publishes fine —
+    // the explicit-path contract; its manifest row just carries no
+    // recorded stats, and stats consumers fall back per file.
+    val ghost = s"$t/data/gen=1/ghost.parquet"
+    SnapshotTable.publish(spark, t, 1L, Seq(real, ghost))
+    val rec = SnapshotTable.recordedFileStats(spark, t, 1L)
+    assert(rec(real)._1 === Some(2L))
+    assert(rec(ghost) === ((None, None)))
+  }
+
+  test("CALL system.drop completes the lifecycle: guarded teardown, name reusable") {
+    import spark.implicits._
+    val t = s"$warehouse/t_drop"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("drop_src")
+    spark.sql("CREATE TABLE spec_cat.t_drop AS SELECT * FROM drop_src")
+    spark.sql("INSERT INTO spec_cat.t_drop VALUES (3, 30)")
+    assert(SnapshotTable.generations(spark, t) === Seq(1L, 2L))
+
+    // A staged audit branch refuses the drop (work in flight).
+    SnapshotTable.stage(Seq((9L, 90L)).toDF("k", "v"), t, "wap")
+    val exBranch = intercept[Exception] {
+      spark.sql("CALL spec_cat.system.drop('t_drop', false)").collect()
+    }
+    assert(exBranch.getMessage.contains("staged for audit"))
+    SnapshotTable.abandonStaged(spark, t, "wap")
+
+    // Unexpired history refuses without force (time travel still
+    // serves generation 1).
+    val exHist = intercept[Exception] {
+      spark.sql("CALL spec_cat.system.drop('t_drop', false)").collect()
+    }
+    assert(exHist.getMessage.contains("expire history"))
+
+    // Expired down to the latest generation, the un-forced drop goes.
+    spark.sql("CALL spec_cat.system.expire('t_drop', 2)").collect()
+    val r = spark.sql("CALL spec_cat.system.drop('t_drop', false)").head()
+    assert(r.getLong(1) === 1L)
+    assert(!cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t_drop")))
+    assert(!new org.apache.hadoop.fs.Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(t)))
+
+    // The name is free: a fresh CTAS redefines the table from scratch.
+    spark.sql(
+      "CREATE TABLE spec_cat.t_drop AS SELECT k * 100 AS k, v FROM drop_src")
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.t_drop").head().getLong(0)
+      === 300L)
+
+    // Forced drop tears down history and branches in one call.
+    spark.sql("INSERT INTO spec_cat.t_drop VALUES (7, 70)")
+    SnapshotTable.stage(Seq((8L, 80L)).toDF("k", "v"), t, "wap2")
+    val rf = spark.sql("CALL spec_cat.system.drop('t_drop', true)").head()
+    assert(rf.getLong(1) === 2L)
+    assert(SnapshotTable.generations(spark, t).isEmpty)
+  }
+
   test("expire_before retires by wall-clock through the shared stamp policy") {
     import spark.implicits._
     val t = s"$warehouse/t_expire_ts"

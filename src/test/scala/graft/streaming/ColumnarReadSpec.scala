@@ -65,6 +65,58 @@ class ColumnarReadSpec extends AnyFunSuite {
       s"the connector read must take the vectorized path; got:\n$plan")
   }
 
+  test("pushed range probes skip row groups inside admitted files") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val t = graft.Scratch.dir("rowgroup_skip")
+    val file = s"$t/data/gen=1/part-00000.parquet"
+    // One sorted multi-row-group file (tiny row groups force many
+    // groups — production's many-groups-per-GB-file shape in
+    // miniature); publish it as a plain path-only manifest so FILE
+    // pruning cannot help and any skipping must happen at the row
+    // group level.
+    val msg = SnapshotSource.messageTypeOf(StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withConf(conf).withRowGroupSize(4096L).build()
+    val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    (0L until 20000L).foreach { k =>
+      val g = fac.newGroup()
+      g.add("k", k)
+      g.add("v", k * 2)
+      w.write(g)
+    }
+    w.close()
+    SnapshotTable.publish(spark, t, 1L, Seq(file))
+    val nGroups = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), conf))
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(nGroups >= 4, s"fixture must span several row groups; got $nGroups")
+    val d0 = SnapshotColumnarReader.groupsDecoded.get()
+    val s0 = SnapshotColumnarReader.groupsSkipped.get()
+    val got = spark.read.format(provider).load(t)
+      .filter(col("k") >= 100L && col("k") <= 200L)
+      .agg(sum("v")).head().getLong(0)
+    assert(got === (100L to 200L).map(_ * 2).sum)
+    val decoded = SnapshotColumnarReader.groupsDecoded.get() - d0
+    val skipped = SnapshotColumnarReader.groupsSkipped.get() - s0
+    assert(decoded + skipped === nGroups.toLong,
+      s"every group must be decided: $decoded decoded + $skipped skipped != $nGroups")
+    assert(skipped > 0, "a narrow range over a sorted file must skip groups")
+    assert(decoded <= 2L,
+      s"the [100, 200] probe spans at most 2 of $nGroups sorted groups; decoded $decoded")
+    // An unfiltered scan still decodes everything (no false skips).
+    val d1 = SnapshotColumnarReader.groupsDecoded.get()
+    assert(spark.read.format(provider).load(t).count() === 20000L)
+    assert(SnapshotColumnarReader.groupsDecoded.get() - d1 === nGroups.toLong)
+  }
+
   test("schema evolution serves null vectors for columns the file never carried") {
     import spark.implicits._
     val t = graft.Scratch.dir("columnar_evo")

@@ -203,6 +203,51 @@ class RowLevelRewriteSpec extends AnyFunSuite {
     assert(got.getLong(1) === expected)
   }
 
+  test("UPDATE maintains the bloom sidecar: point probes still prune after DML") {
+    import spark.implicits._
+    val t = s"$warehouse/t_upd_bloom"
+    // Bucket-by-residue layout: every file spans the whole k domain,
+    // so zone maps can never help and pruning rests on the bloom
+    // sidecar alone.
+    val gen1Dir = s"$t/data/gen=1"
+    (0L until 400L).map(k => (k, k * 10)).toDF("k", "v")
+      .withColumn("b", pmod(col("k"), lit(4L)).cast("int"))
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(gen1Dir)
+    val files1 = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    assert(files1.size == 4)
+    SnapshotTable.publishAppend(spark, t, 1L, files1.sorted, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, t, "k", files1)
+
+    // The DML rewrite: the matching keys cover every residue bucket
+    // (1, 6, 11, 12 mod 16 hit b = 1, 2, 3, 0), so even the runtime
+    // group filter admits all four files and every file rewrites — the
+    // worst case for index decay.
+    spark.sql(
+      "UPDATE rl_cat.t_upd_bloom SET v = v + 1 WHERE k % 16 IN (1, 6, 11, 12)")
+    val files2 = SnapshotTable.listFiles(spark, t, 2L)
+    assert(files2.toSet.intersect(files1.toSet).isEmpty,
+      "the all-bucket UPDATE must have replaced every file")
+    assert(files2.size >= 2, s"need >1 replacement file; got ${files2.size}")
+
+    // A point probe through the connector must plan FEWER files than
+    // the manifest admits — the replacement files were indexed at the
+    // rewrite commit (pre-fix they were unindexed and every probe
+    // degraded to admit-everything).
+    val lookup = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", t).load()
+      .filter(col("k") === 37L).select(col("v"))
+    val planned = lookup.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    assert(lookup.as[Long].collect().toSeq === Seq(370L))
+    assert(planned < files2.size,
+      s"bloom must prune the probe below the manifest's ${files2.size} files; " +
+        s"planned $planned")
+  }
+
   test("MERGE with a NOT-MATCHED-BY-SOURCE arm never runtime-prunes") {
     import spark.implicits._
     val (t, files1) = statsTable("t_merge_bysrc")
