@@ -1175,9 +1175,20 @@ object SnapshotTable {
           }
           require(stats.forall(s => s.hasNonNullValue),
             s"footer of $f carries no $column statistics")
+          // INT64 and INT32 physical columns both record: BIGINT stats
+          // arrive as Long, INT/DATE (and narrow-decimal) as Integer —
+          // the zone-map domain is the physical long either way.
+          def asLong(x: Any): Long = x match {
+            case l: java.lang.Long => l.longValue
+            case i: java.lang.Integer => i.longValue
+            case other => sys.error(
+              s"column $column of $f has non-integer statistics " +
+                s"(${other.getClass.getSimpleName}); zone maps record " +
+                "integer-physical columns only")
+          }
           (f, column,
-            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+            stats.map(s => asLong(s.genericGetMin)).min,
+            stats.map(s => asLong(s.genericGetMax)).max)
         }
       } finally r.close()
     }

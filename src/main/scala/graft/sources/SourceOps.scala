@@ -780,6 +780,110 @@ object SourceOps {
         sum(col("label").cast("long")).as("label_sum"))
   }
 
+  /** ROW-GROUP skipping through the connector — the THIRD pruning
+    * level under manifest zone maps and bloom sidecars, value-gated:
+    * one SORTED file with many small row groups (`parquet.block.size`
+    * forced low — the production many-groups-per-GB-file shape in
+    * miniature) publishes behind a path-only manifest, so FILE pruning
+    * cannot help and a pushed range probe's cost rests entirely on the
+    * reader skipping row groups off the footer statistics. The content
+    * is the exact value gate; the `ok` boolean reproduces THE skip
+    * decision ([[graft.streaming.SnapshotColumnarReader.groupAdmits]],
+    * the same function the reader's advance loop calls) over the real
+    * footer driver-side and requires a strict-subset admission —
+    * group boundaries are compression-dependent, so the raw counts
+    * bind as the boolean, not as oracle columns.
+    */
+  def connectorRowGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_rowgroup")
+    val src = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val gen1Dir = s"$table/data/gen=1"
+    src.sort("o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(gen1Dir)
+    val file = spark.read.parquet(gen1Dir).inputFiles.head
+    SnapshotTable.publishAppend(spark, table, 1L, Seq(file), carryFrom = None)
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val conf = spark.sessionState.newHadoopConf()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    val (total, admitted) =
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala
+        (blocks.size.toLong, blocks.count(b =>
+          graft.streaming.SnapshotColumnarReader.groupAdmits(
+            Map("o_orderkey" -> ((lo, hi))), Map.empty, b)).toLong)
+      } finally r.close()
+    require(total >= 4,
+      s"row-group fixture must span several groups; got $total " +
+        "(parquet.block.size not honored?)")
+    val probe = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+      .head()
+    val ok = admitted >= 1 && admitted < total
+    Seq((probe.getLong(0), probe.getLong(1), ok))
+      .toDF("n_rows", "key_sum", "ok")
+  }
+
+  /** [[connectorDateSkip]] slice count, mirrored in its oracle. */
+  val DateSlices = 8
+
+  /** DATE-range file skipping through the connector — the typed
+    * pushdown surface beyond integers: production tables cluster by
+    * ingest DATE, and "last month's data" must prune files without
+    * anyone spelling epoch arithmetic. The layout is one file per
+    * date-range slice with multi-column zone maps recorded from the
+    * footers' INT32 date statistics; the probe arrives as a plain
+    * `BETWEEN DATE ... AND DATE ...` pushed through the connector,
+    * translated to the physical epoch-day domain
+    * ([[graft.streaming.SnapshotSource.physicalLong]]). The
+    * planned-file count is read off the EXECUTED DSv2 plan and
+    * value-gated against the oracle's relational recompute of the
+    * slice admission — a planner that failed to translate the date
+    * bounds would plan every file and break the compare, not just run
+    * slower. DECIMAL bounds ride the same translation (spec-pinned).
+    */
+  def connectorDateSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_dateskip")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderdate").cast("date").as("dt"))
+    val Array((mn, mx)) = src
+      .agg(min(unix_date(col("dt"))), max(unix_date(col("dt"))))
+      .as[(Int, Int)].collect()
+    val w = (mx - mn + DateSlices) / DateSlices
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"(unix_date(dt) - $mn) div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishStats(spark, table, 1L,
+      SnapshotTable.footerStats(spark, paths, Seq("dt")))
+    val (loD, hiD) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val lo = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(loD.toLong))
+    val hi = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(hiD.toLong))
+    val probe = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("dt") >= lit(lo) && col("dt") <= lit(hi))
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+    val row = probe.head()
+    // Planned files from the connector's own planning telemetry (the
+    // connectorDpp rationale: the scan node hides inside AQE query
+    // stages, and plan-walks can land on discarded cosmetic copies).
+    val planned = graft.streaming.SnapshotSource.lastPlan(table)
+      .map(_._1).getOrElse(-1)
+    Seq((paths.size.toLong, planned.toLong, row.getLong(0), row.getLong(1)))
+      .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
+  }
+
   /** TIME TRAVEL through the connector across a REWRITE hop — the
     * batch value gate for the streaming source's hop-classification
     * metadata ([[graft.streaming.SnapshotSource]]'s skipRewrites
@@ -2762,6 +2866,8 @@ object SourceOps {
     "src_connector_write" -> (connectorWrite _),
     "src_connector_decimal" -> (connectorDecimal _),
     "src_connector_array" -> (connectorArray _),
+    "src_connector_rowgroup" -> (connectorRowGroup _),
+    "src_connector_dateskip" -> (connectorDateSkip _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3141,6 +3247,41 @@ object SourceOps {
          |  CAST(sum(CAST(wide * 1000000 AS BIGINT)) AS BIGINT)
          |FROM src
          |ORDER BY gen""".stripMargin,
+    // Date-skip twin: slice assignment and per-slice day min/max
+    // recomputed relationally (identical to the footer statistics by
+    // construction), so the planned-file count is an exact value gate
+    // next to the probe's content.
+    "src_connector_dateskip" ->
+      s"""WITH src AS MATERIALIZED (
+         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+         |  FROM orders),
+         |d AS (SELECT min(day) AS mn, max(day) AS mx FROM src),
+         |w AS (SELECT mn, mx, (mx - mn + $DateSlices) // $DateSlices AS w FROM d),
+         |sl AS (SELECT (day - w.mn) // w.w AS s,
+         |         min(day) AS smn, max(day) AS smx
+         |       FROM src, w GROUP BY 1),
+         |b AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi FROM d)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+         |   WHERE smn <= hi AND smx >= lo) AS n_files_planned,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM src, b
+         |   WHERE day BETWEEN lo AND hi) AS n_rows,
+         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM src, b
+         |   WHERE day BETWEEN lo AND hi) AS key_sum""".stripMargin,
+    // Row-group twin: the probe's content over the same range bounds;
+    // the strict-subset group admission binds as the boolean (group
+    // boundaries are compression-dependent, not SQL-recomputable).
+    "src_connector_rowgroup" ->
+      """WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM orders),
+        |b AS (SELECT mk // 4 AS lo, mk // 2 AS hi FROM mx)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+        |   WHERE o_orderkey BETWEEN lo AND hi) AS n_rows,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
+        |   WHERE o_orderkey BETWEEN lo AND hi) AS key_sum,
+        |  TRUE AS ok""".stripMargin,
     // Array twin: the quantized per-element checksum over the ORIGINAL
     // embeddings parquet — float→double cast then floor(x*1000) is
     // spelled identically on both engines (IEEE math, no ties).

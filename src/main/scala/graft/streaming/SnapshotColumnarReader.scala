@@ -91,34 +91,9 @@ private[streaming] class SnapshotColumnarReader(path: String,
   private val blocks = reader.getFooter.getBlocks
   private var blockIdx = 0
 
-  private def groupAdmits(
-      b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
-    if (bounds.isEmpty && probes.isEmpty) return true
-    import scala.jdk.CollectionConverters._
-    val cols = b.getColumns.asScala
-    // A column absent from the file (pre-evolution), with no recorded
-    // stats, or of a non-integer physical type admits conservatively.
-    def statsOf(c: String): Option[(Long, Long)] =
-      cols.find(_.getPath.toDotString == c).flatMap { cc =>
-        val s = cc.getStatistics
-        if (s == null || !s.hasNonNullValue) None
-        else (s.genericGetMin, s.genericGetMax) match {
-          case (mn: java.lang.Long, mx: java.lang.Long) =>
-            Some((mn.longValue, mx.longValue))
-          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-            Some((mn.longValue, mx.longValue))
-          case _ => None
-        }
-      }
-    bounds.forall { case (c, (lo, hi)) =>
-      statsOf(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    } && probes.forall { case (c, vs) =>
-      statsOf(c).forall { case (mn, mx) =>
-        vs.exists(v => v >= mn && v <= mx) }
-    }
-  }
-
   private def advanceRowGroup(): Boolean = {
+    def groupAdmits(b: org.apache.parquet.hadoop.metadata.BlockMetaData) =
+      SnapshotColumnarReader.groupAdmits(bounds, probes, b)
     while (blockIdx < blocks.size() && !groupAdmits(blocks.get(blockIdx))) {
       reader.skipNextRowGroup()
       blockIdx += 1
@@ -225,7 +200,7 @@ private[streaming] class SnapshotColumnarReader(path: String,
   }
 }
 
-private[streaming] object SnapshotColumnarReader {
+private[graft] object SnapshotColumnarReader {
 
   /** Row-group decode/skip counters — SPEC TELEMETRY (exact under
     * `local[*]`, per-executor on a real cluster): the pruning gates
@@ -234,6 +209,40 @@ private[streaming] object SnapshotColumnarReader {
     */
   val groupsDecoded = new java.util.concurrent.atomic.AtomicLong()
   val groupsSkipped = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Whether a row group's footer column statistics can hold a row
+    * satisfying the scan's bounds/probes — THE skip decision, shared
+    * by the reader's advance loop and driver-side audits (a registered
+    * gate reproduces the decision over the same footer it cannot read
+    * through global counters, which concurrent queries pollute). A
+    * column absent from the file (pre-evolution), with no recorded
+    * stats, or of a non-integer physical type admits conservatively.
+    */
+  private[graft] def groupAdmits(bounds: Map[String, (Long, Long)],
+      probes: Map[String, Seq[Long]],
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+    if (bounds.isEmpty && probes.isEmpty) return true
+    import scala.jdk.CollectionConverters._
+    val cols = b.getColumns.asScala
+    def statsOf(c: String): Option[(Long, Long)] =
+      cols.find(_.getPath.toDotString == c).flatMap { cc =>
+        val s = cc.getStatistics
+        if (s == null || !s.hasNonNullValue) None
+        else (s.genericGetMin, s.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some((mn.longValue, mx.longValue))
+          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+            Some((mn.longValue, mx.longValue))
+          case _ => None
+        }
+      }
+    bounds.forall { case (c, (lo, hi)) =>
+      statsOf(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    } && probes.forall { case (c, vs) =>
+      statsOf(c).forall { case (mn, mx) =>
+        vs.exists(v => v >= mn && v <= mx) }
+    }
+  }
 
   /** The type set both decoders share — what the factory's
     * `supportColumnarReads` advertises.

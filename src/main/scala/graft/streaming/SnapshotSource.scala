@@ -215,36 +215,88 @@ private[graft] object SnapshotSource {
     new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
 
-  /** A pushed filter as a zone-map bound: `Some(column -> (lo, hi))`
-    * for integer comparisons the manifest stats can prune on.
+  /** A pushed comparison LITERAL as the column's PHYSICAL long — the
+    * domain every stats layer here lives in (manifest zone maps,
+    * row-group footer statistics): integers directly; DATE as epoch
+    * days (INT32 physical); TIMESTAMP as epoch micros (the connector
+    * writer's INT64 form — files storing INT96 carry no usable stats
+    * and admit conservatively anyway); DECIMAL as the unscaled value
+    * at the COLUMN's scale, EXACT-OR-REFUSE: a literal that would need
+    * rescaling/rounding yields None and pruning degrades to
+    * admit-everything, because a wrong unscaled bound would skip files
+    * holding matching rows — the one failure pruning must never have.
     */
-  def boundOf(f: Filter): Option[(String, (Long, Long))] = f match {
-    case EqualTo(c, v: Long) => Some(c -> (v, v))
-    case EqualTo(c, v: Int) => Some(c -> (v.toLong, v.toLong))
-    case GreaterThan(c, v: Long) => Some(c -> (v + 1, Long.MaxValue))
-    case GreaterThan(c, v: Int) => Some(c -> (v.toLong + 1, Long.MaxValue))
-    case GreaterThanOrEqual(c, v: Long) => Some(c -> (v, Long.MaxValue))
-    case GreaterThanOrEqual(c, v: Int) => Some(c -> (v.toLong, Long.MaxValue))
-    case LessThan(c, v: Long) => Some(c -> (Long.MinValue, v - 1))
-    case LessThan(c, v: Int) => Some(c -> (Long.MinValue, v.toLong - 1))
-    case LessThanOrEqual(c, v: Long) => Some(c -> (Long.MinValue, v))
-    case LessThanOrEqual(c, v: Int) => Some(c -> (Long.MinValue, v.toLong))
-    // An IN list prunes zone maps by its envelope [min, max] —
-    // conservative (a file spanning the gap between two values still
-    // admits), but the bloom probe below handles the exact membership.
-    case In(c, vs) if probeValues(vs).isDefined =>
-      val ls = probeValues(vs).get
-      Some(c -> (ls.min, ls.max))
+  def physicalLong(dt: Option[DataType], v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(Math.addExact(
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+        (t.getNanos / 1000).toLong))
+    case t: java.time.Instant =>
+      Some(Math.addExact(
+        Math.multiplyExact(t.getEpochSecond, 1000000L),
+        (t.getNano / 1000).toLong))
+    case b: java.math.BigDecimal => dt match {
+      case Some(d: DecimalType) =>
+        try Some(b.setScale(d.scale).unscaledValue.longValueExact)
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+    case d: org.apache.spark.sql.types.Decimal => dt match {
+      // The V2-literal form (Catalyst-internal value): rescale to the
+      // column's scale exactly or refuse.
+      case Some(t: DecimalType) =>
+        try Some(d.toJavaBigDecimal.setScale(t.scale)
+          .unscaledValue.longValueExact)
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
     case _ => None
+  }
+
+  /** A pushed filter as a zone-map bound: `Some(column -> (lo, hi))`
+    * for comparisons [[physicalLong]] can translate into the column's
+    * physical domain — integer, date, timestamp and exact-scale
+    * decimal literals all prune.
+    */
+  def boundOf(f: Filter,
+      typeOf: String => Option[DataType] = _ => None): Option[(String, (Long, Long))] = {
+    def p(c: String, v: Any): Option[Long] = physicalLong(typeOf(c), v)
+    f match {
+      case EqualTo(c, v) => p(c, v).map(l => c -> ((l, l)))
+      case GreaterThan(c, v) =>
+        p(c, v).filter(_ < Long.MaxValue).map(l => c -> ((l + 1, Long.MaxValue)))
+      case GreaterThanOrEqual(c, v) => p(c, v).map(l => c -> ((l, Long.MaxValue)))
+      case LessThan(c, v) =>
+        p(c, v).filter(_ > Long.MinValue).map(l => c -> ((Long.MinValue, l - 1)))
+      case LessThanOrEqual(c, v) => p(c, v).map(l => c -> ((Long.MinValue, l)))
+      // An IN list prunes zone maps by its envelope [min, max] —
+      // conservative (a file spanning the gap between two values still
+      // admits), but the bloom probe below handles the exact membership.
+      case In(c, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(v => p(c, v))
+        if (ls.forall(_.isDefined)) {
+          val l = ls.flatten
+          Some(c -> ((l.min, l.max)))
+        } else None
+      case _ => None
+    }
   }
 
   /** Conjunctive fold of the pushed filters into per-column bounds
     * (interval intersection per column).
     */
-  def boundsOf(filters: Array[Filter]): Map[String, (Long, Long)] =
-    filters.flatMap(boundOf).groupBy(_._1).map { case (c, bs) =>
+  def boundsOf(filters: Array[Filter],
+      schema: StructType = new StructType()): Map[String, (Long, Long)] = {
+    val typeOf: String => Option[DataType] =
+      c => schema.fields.find(_.name == c).map(_.dataType)
+    filters.flatMap(boundOf(_, typeOf)).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
+  }
 
   /** [[boundOf]] over V2 predicates (the DELETE pushdown form):
     * per-column zone bounds from the integer comparisons in the
@@ -272,9 +324,26 @@ private[graft] object SnapshotSource {
       case _ => None
     }
 
+  /** [[v2Long]] widened through [[physicalLong]]: V2 literals carry
+    * Catalyst-INTERNAL values (dates already Int days, timestamps Long
+    * micros — covered by the integer cases — and decimals as
+    * `Decimal`, rescaled to the column's scale exactly or refused).
+    */
+  private def v2PhysLong(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      dt: Option[DataType]): Option[Long] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        physicalLong(dt, l.value())
+      case _ => None
+    }
+
   def v2BoundsOf(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      schema: StructType = new StructType())
       : Map[String, (Long, Long)] = {
+    val typeOf: String => Option[DataType] =
+      c => schema.fields.find(_.name == c).map(_.dataType)
     def one(
         p: org.apache.spark.sql.connector.expressions.filter.Predicate)
         : Seq[(String, (Long, Long))] = p.name() match {
@@ -282,7 +351,8 @@ private[graft] object SnapshotSource {
         case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
       }.flatMap(one)
       case op @ ("=" | ">" | ">=" | "<" | "<=") => p.children() match {
-        case Array(a, b) => (v2Col(a), v2Long(b)) match {
+        case Array(a, b) => (v2Col(a), v2Col(a).flatMap(c =>
+            v2PhysLong(b, typeOf(c)))) match {
           case (Some(c), Some(v)) => op match {
             case "=" => Seq(c -> ((v, v)))
             case ">" if v < Long.MaxValue => Seq(c -> ((v + 1, Long.MaxValue)))
@@ -301,12 +371,14 @@ private[graft] object SnapshotSource {
       // IN over literals); the bloom probes handle exact membership.
       case "IN" => p.children() match {
         case Array(a, rest @ _*) =>
-          val vs = rest.map(v2Long)
-          (v2Col(a), vs) match {
-            case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
-              val l = ls.flatten
-              Seq(c -> ((l.min, l.max)))
-            case _ => Seq.empty
+          v2Col(a) match {
+            case Some(c) =>
+              val ls = rest.map(v2PhysLong(_, typeOf(c)))
+              if (ls.nonEmpty && ls.forall(_.isDefined)) {
+                val l = ls.flatten
+                Seq(c -> ((l.min, l.max)))
+              } else Seq.empty
+            case None => Seq.empty
           }
         case _ => Seq.empty
       }
@@ -581,7 +653,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // whole-snapshot path, whose readAs guards own those semantics.
     val (dataFiles, tombstones, segmented) =
       SnapshotTable.tailEntries(spark, table, latest)
-    val bounds = SnapshotSource.v2BoundsOf(predicates)
+    val bounds = SnapshotSource.v2BoundsOf(predicates, tableSchema)
     val probes = SnapshotSource.v2ProbesOf(predicates)
     if (!segmented && tombstones.isEmpty && (bounds.nonEmpty || probes.nonEmpty)) {
       // Two-level skipping, exactly the batch scan's: zone-map bounds
@@ -793,7 +865,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters.filter(f => SnapshotSource.boundOf(f).isDefined)
+        pushed = filters.filter(f => SnapshotSource.boundOf(f,
+          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined)
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
@@ -822,14 +895,15 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
             predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
             : Unit =
           batch.applyRuntimeFilters(
-            SnapshotSource.v2BoundsOf(predicates),
+            SnapshotSource.v2BoundsOf(predicates, tableSchema),
             SnapshotSource.v2ProbesOf(predicates))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
             maxGensPerBatch, maxFilesPerBatch, maxBytesPerBatch,
             startingGeneration, startingTimestamp)
         private val batch = new SnapshotBatch(table, required, generation,
-          SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed))
+          SnapshotSource.boundsOf(pushed, tableSchema),
+          SnapshotSource.probesOf(pushed))
         override def toBatch: Batch = batch
         // POST-PRUNING size estimate, served from the MANIFEST's
         // recorded per-file stats (one manifest read covers every
@@ -1621,7 +1695,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters.filter(f => SnapshotSource.boundOf(f).isDefined)
+        pushed = filters.filter(f => SnapshotSource.boundOf(f,
+          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined)
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
@@ -1642,7 +1717,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
           with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
         private val batch =
           new SnapshotBatch(table, required, None,
-              SnapshotSource.boundsOf(pushed), SnapshotSource.probesOf(pushed)) {
+              SnapshotSource.boundsOf(pushed, tableSchema),
+              SnapshotSource.probesOf(pushed)) {
             override def planInputPartitions(): Array[InputPartition] = {
               val (gen, files, segmented) = resolvePlan()
               record(RowLevelScanState(gen, files.toSet, segmented))
@@ -1671,7 +1747,7 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
             predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
             : Unit =
           batch.applyRuntimeFilters(
-            SnapshotSource.v2BoundsOf(predicates),
+            SnapshotSource.v2BoundsOf(predicates, tableSchema),
             SnapshotSource.v2ProbesOf(predicates))
         override def toBatch: Batch = batch
       }

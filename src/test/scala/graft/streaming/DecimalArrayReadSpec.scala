@@ -94,6 +94,36 @@ class DecimalArrayReadSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("pushed DECIMAL range bounds prune files through zone maps") {
+    val t = graft.Scratch.dir("decimal_skip")
+    val gen1 = s"$t/data/gen=1"
+    // Four price-range slices; prices are exact scale-4 decimals
+    // ((25k+7)/100), INT64-unscaled in the footers.
+    spark.range(4000L).select(col("id").as("k"),
+        ((col("id") * 25 + 7).cast(DecimalType(18, 4)) / 100)
+          .cast(DecimalType(18, 4)).as("price"),
+        expr("id div 1000").cast("int").as("s"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1)
+    val paths = spark.read.parquet(gen1).inputFiles.toSeq
+    assert(paths.size === 4)
+    graft.sources.SnapshotTable.publishStats(spark, t, 1L,
+      graft.sources.SnapshotTable.footerStats(spark, paths, Seq("price")))
+    // price ∈ [250, 400] ⇔ k ∈ [1000, 1599] — entirely slice s=1.
+    val probe = spark.read.format(provider).load(t)
+      .filter(col("price") >= lit(new java.math.BigDecimal("250.0000")) &&
+        col("price") <= lit(new java.math.BigDecimal("400.0000")))
+      .agg(count(lit(1)).as("n"), sum("k").as("ks"))
+    val r = probe.head()
+    assert(r.getLong(0) === 600L)
+    assert(r.getLong(1) === (1000L to 1599L).sum)
+    // Planning telemetry, not a plan walk: the scan hides inside AQE
+    // query stages on an aggregate plan.
+    val planned = SnapshotSource.lastPlan(t).map(_._1).getOrElse(-1)
+    assert(planned === 1,
+      s"the decimal range covers exactly one of 4 price slices; planned $planned")
+  }
+
   test("CTAS and INSERT carry decimal and embedding columns through the catalog") {
     val wh = graft.Scratch.dir("decarr_cat_wh")
     spark.conf.set("spark.sql.catalog.decarr_cat",
