@@ -60,6 +60,7 @@ object Explain {
     "src_snapshot_bloomskip", "graph_kcore", "graph_lpa",
     "sample_splits_grouped", "src_catalog_sql", "src_catalog_delete",
     "src_catalog_dml", "src_provenance",
+    "src_connector_decimal", "src_connector_array",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read
@@ -102,6 +103,11 @@ object Explain {
   // DPP join whose planned-file evidence must come from the EXECUTED
   // run) and return literal/aggregate frames; their pruning and
   // content claims are value-gated.
+  // src_connector_rowgroup and src_connector_dateskip likewise (r19):
+  // both execute their probes eagerly — the row-group admission audit
+  // and the planned-file telemetry must come from the EXECUTED run —
+  // and return literal frames; src_catalog_drop is an eager lifecycle
+  // drill. All three are value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md
