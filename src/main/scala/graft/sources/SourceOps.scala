@@ -832,6 +832,57 @@ object SourceOps {
       .toDF("n_rows", "key_sum", "ok")
   }
 
+  /** STRUCT columns through the connector — the TYPED-METADATA shape
+    * the multimodal story mandates (binary payload + typed metadata):
+    * the documents table commits with its descriptive columns folded
+    * into one `meta` struct (nested parquet group through the
+    * connector's recursive encode), reads back through the recursive
+    * by-name decode, and the per-language aggregate over the struct
+    * MEMBERS must match DuckDB reading the original FLAT columns — a
+    * member lost, reordered or null-shifted anywhere in the nesting
+    * breaks the hash.
+    */
+  def connectorStruct(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "connector_struct")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+      .write.format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).mode("append").save()
+    spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum("meta.n_chars").as("chars_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** MAP columns through the connector — the last nested shape of the
+    * type surface: per-document attribute maps (the flexible-metadata
+    * idiom next to [[connectorStruct]]'s fixed shape) commit as
+    * standard key_value groups and read back through the recursive
+    * decode; sums over two looked-up keys must match DuckDB over the
+    * original flat columns — an entry dropped or a key/value pairing
+    * shifted anywhere breaks the hash.
+    */
+  def connectorMap(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "connector_map")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        map(lit("chars"), col("n_chars"),
+          lit("id2"), col("doc_id") * 2).as("m"))
+      .write.format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).mode("append").save()
+    spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(element_at(col("m"), "chars")).as("chars_sum"),
+        sum(element_at(col("m"), "id2")).as("id2_sum"))
+  }
+
   /** [[connectorDateSkip]] slice count, mirrored in its oracle. */
   val DateSlices = 8
 
@@ -2868,6 +2919,8 @@ object SourceOps {
     "src_connector_array" -> (connectorArray _),
     "src_connector_rowgroup" -> (connectorRowGroup _),
     "src_connector_dateskip" -> (connectorDateSkip _),
+    "src_connector_struct" -> (connectorStruct _),
+    "src_connector_map" -> (connectorMap _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3247,6 +3300,20 @@ object SourceOps {
          |  CAST(sum(CAST(wide * 1000000 AS BIGINT)) AS BIGINT)
          |FROM src
          |ORDER BY gen""".stripMargin,
+    // Struct twin: the per-language aggregate over the ORIGINAL flat
+    // columns — the struct fold/unfold must be content-neutral.
+    "src_connector_struct" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Map twin: the two looked-up keys' sums over the original flat
+    // columns — the map fold/unfold must be content-neutral.
+    "src_connector_map" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(sum(doc_id * 2) AS BIGINT) AS id2_sum
+        |FROM documents""".stripMargin,
     // Date-skip twin: slice assignment and per-slice day min/max
     // recomputed relationally (identical to the footer statistics by
     // construction), so the planned-file count is an exact value gate

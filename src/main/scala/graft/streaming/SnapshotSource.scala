@@ -522,45 +522,65 @@ private[graft] object SnapshotSource {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    def prim(dt: DataType, name: String,
+    def prim(dt: DataType, name: String, owner: String,
+        req: Boolean = false): org.apache.parquet.schema.Type = {
+      val rep =
+        if (req) org.apache.parquet.schema.Type.Repetition.REQUIRED
+        else org.apache.parquet.schema.Type.Repetition.OPTIONAL
+      dt match {
+        case LongType => Types.primitive(INT64, rep).named(name)
+        case TimestampType => Types.primitive(INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+          .named(name)
+        case TimestampNTZType => Types.primitive(INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+          .named(name)
+        case IntegerType => Types.primitive(INT32, rep).named(name)
+        case DateType => Types.primitive(INT32, rep)
+          .as(LogicalTypeAnnotation.dateType()).named(name)
+        case DoubleType => Types.primitive(DOUBLE, rep).named(name)
+        case FloatType => Types.primitive(FLOAT, rep).named(name)
+        case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+        case StringType => Types.primitive(BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType()).named(name)
+        case BinaryType => Types.primitive(BINARY, rep).named(name)
+        case d: DecimalType if d.precision <= 18 => Types.primitive(INT64, rep)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+        case d: DecimalType => Types.primitive(FIXED_LEN_BYTE_ARRAY, rep)
+          .length(decimalBytes(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+        case other => throw new UnsupportedOperationException(
+          s"snapshot writer supports primitive/decimal/nested columns; " +
+            s"got $other for $owner")
+      }
+    }
+    def typ(dt: DataType, name: String,
         owner: String): org.apache.parquet.schema.Type = dt match {
-      case LongType => Types.optional(INT64).named(name)
-      case TimestampType => Types.optional(INT64)
-        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+      case ArrayType(et, _) => Types.optionalList()
+        .element(typ(et, "element", s"$owner (array element)"))
         .named(name)
-      case TimestampNTZType => Types.optional(INT64)
-        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
-        .named(name)
-      case IntegerType => Types.optional(INT32).named(name)
-      case DateType => Types.optional(INT32)
-        .as(LogicalTypeAnnotation.dateType()).named(name)
-      case DoubleType => Types.optional(DOUBLE).named(name)
-      case FloatType => Types.optional(FLOAT).named(name)
-      case BooleanType => Types.optional(BOOLEAN).named(name)
-      case StringType => Types.optional(BINARY)
-        .as(LogicalTypeAnnotation.stringType()).named(name)
-      case BinaryType => Types.optional(BINARY).named(name)
-      case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
-        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        .named(name)
-      case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
-        .length(decimalBytes(d.precision))
-        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        .named(name)
-      case other => throw new UnsupportedOperationException(
-        s"snapshot writer supports primitive/decimal/array-of-primitive " +
-          s"columns; got $other for $owner")
+      case st: StructType =>
+        // Typed metadata (the multimodal story): STRUCT as an optional
+        // nested group, members recursively — struct-of-struct,
+        // array-of-struct and struct-of-array all compose.
+        val gb = Types.optionalGroup()
+        st.fields.foreach(f =>
+          gb.addField(typ(f.dataType, f.name, s"$owner.${f.name}")))
+        gb.named(name)
+      case MapType(kt, vt, _) =>
+        // Standard MAP shape: repeated key_value group, REQUIRED
+        // primitive key (the format's contract), optional value of any
+        // supported shape.
+        Types.optionalMap()
+          .key(prim(kt, "key", s"$owner (map key)", req = true))
+          .value(typ(vt, "value", s"$owner (map value)"))
+          .named(name)
+      case other => prim(other, name, owner)
     }
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val t: org.apache.parquet.schema.Type = f.dataType match {
-        case ArrayType(et, _) => Types.optionalList()
-          .element(prim(et, "element", s"${f.name} (array element)"))
-          .named(f.name)
-        case dt => prim(dt, f.name, f.name)
-      }
-      b.addField(t)
-    }
+    schema.fields.foreach(f => b.addField(typ(f.dataType, f.name, f.name)))
     b.named("spark_schema")
   }
 
@@ -1936,63 +1956,70 @@ private[streaming] class SnapshotFileWriter(path: String, schema: StructType,
   }
   private val factory = new SimpleGroupFactory(msgType)
 
+  /** One NON-NULL value encoded into `g` under `name` — recursive over
+    * arrays (three-level list: one `list` repetition per element, the
+    * optional `element` absent for a null element) and structs (nested
+    * group, null members absent). `v` abstracts InternalRow/ArrayData
+    * through the shared getter interface.
+    */
+  private def add(g: Group, name: String, dt: org.apache.spark.sql.types.DataType,
+      v: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType => g.add(name, v.getLong(i))
+    case IntegerType | DateType => g.add(name, v.getInt(i))
+    case DoubleType => g.add(name, v.getDouble(i))
+    case FloatType => g.add(name, v.getFloat(i))
+    case BooleanType => g.add(name, v.getBoolean(i))
+    case StringType => g.add(name, v.getUTF8String(i).toString)
+    case BinaryType => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(v.getBinary(i)))
+    case d: DecimalType if d.precision <= 18 =>
+      g.add(name, v.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        SnapshotSource.decimalToFixedBytes(
+          v.getDecimal(i, d.precision, d.scale), d.precision)))
+    case ArrayType(et, _) =>
+      val arr = v.getArray(i)
+      val lg = g.addGroup(name)
+      var j = 0
+      while (j < arr.numElements()) {
+        val eg = lg.addGroup("list")
+        if (!arr.isNullAt(j)) add(eg, "element", et, arr, j)
+        j += 1
+      }
+    case st: StructType =>
+      val sr = v.getStruct(i, st.length)
+      val sg = g.addGroup(name)
+      var j = 0
+      while (j < st.length) {
+        if (!sr.isNullAt(j)) add(sg, st.fields(j).name, st.fields(j).dataType, sr, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      // Standard MAP encode: one key_value repetition per entry, key
+      // required, null values absent.
+      val m = v.getMap(i)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      val mg = g.addGroup(name)
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = mg.addGroup("key_value")
+        add(kv, "key", kt, keys, j)
+        if (!vals.isNullAt(j)) add(kv, "value", vt, vals, j)
+        j += 1
+      }
+    case other => throw new UnsupportedOperationException(
+      s"snapshot writer: unsupported type $other for $name")
+  }
+
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.fields.length) {
       val f = schema.fields(i)
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType | TimestampType | TimestampNTZType =>
-          g.add(f.name, row.getLong(i))
-        case IntegerType | DateType => g.add(f.name, row.getInt(i))
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType => g.add(f.name, row.getUTF8String(i).toString)
-        case BinaryType => g.add(f.name,
-          org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
-        case d: DecimalType if d.precision <= 18 =>
-          g.add(f.name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-        case d: DecimalType => g.add(f.name,
-          org.apache.parquet.io.api.Binary.fromConstantByteArray(
-            SnapshotSource.decimalToFixedBytes(
-              row.getDecimal(i, d.precision, d.scale), d.precision)))
-        case ArrayType(et, _) =>
-          // THREE-LEVEL list encode (the messageTypeOf shape): one
-          // `list` repetition per element, the optional `element`
-          // field absent for a null element.
-          val arr = row.getArray(i)
-          val lg = g.addGroup(f.name)
-          var j = 0
-          while (j < arr.numElements()) {
-            val eg = lg.addGroup("list")
-            if (!arr.isNullAt(j)) et match {
-              case LongType | TimestampType | TimestampNTZType =>
-                eg.add("element", arr.getLong(j))
-              case IntegerType | DateType => eg.add("element", arr.getInt(j))
-              case DoubleType => eg.add("element", arr.getDouble(j))
-              case FloatType => eg.add("element", arr.getFloat(j))
-              case BooleanType => eg.add("element", arr.getBoolean(j))
-              case StringType =>
-                eg.add("element", arr.getUTF8String(j).toString)
-              case BinaryType => eg.add("element",
-                org.apache.parquet.io.api.Binary.fromConstantByteArray(
-                  arr.getBinary(j)))
-              case d: DecimalType if d.precision <= 18 => eg.add("element",
-                arr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
-              case d: DecimalType => eg.add("element",
-                org.apache.parquet.io.api.Binary.fromConstantByteArray(
-                  SnapshotSource.decimalToFixedBytes(
-                    arr.getDecimal(j, d.precision, d.scale), d.precision)))
-              case other => throw new UnsupportedOperationException(
-                s"snapshot writer: unsupported array element $other for ${f.name}")
-            }
-            j += 1
-          }
-        case dt => throw new UnsupportedOperationException(
-          s"snapshot writer supports primitive/decimal/array-of-primitive " +
-            s"columns; got $dt for ${f.name}")
-      }
+      if (!row.isNullAt(i)) add(g, f.name, f.dataType, row, i)
       i += 1
     }
     writer.write(g)
@@ -2122,44 +2149,100 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
           case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
           case BinaryType => g.getBinary(idx, 0).getBytes
           case d: DecimalType => decimalOf(g, idx, 0, fieldLeaf(i), d)
-          case ArrayType(et, _) =>
-            // THREE-LEVEL list decode (both writers' shape): the LIST
-            // group's single repeated `list` child, one repetition per
-            // element; the optional `element` absent = null element.
-            val lg = g.getGroup(idx, 0)
-            val n = lg.getFieldRepetitionCount(0)
-            val out = new Array[Any](n)
-            var k = 0
-            while (k < n) {
-              val eg = lg.getGroup(0, k)
-              out(k) =
-                if (eg.getFieldRepetitionCount(0) == 0) null
-                else et match {
-                  case LongType | TimestampType | TimestampNTZType =>
-                    eg.getLong(0, 0)
-                  case IntegerType | DateType => eg.getInteger(0, 0)
-                  case DoubleType => eg.getDouble(0, 0)
-                  case FloatType => eg.getFloat(0, 0)
-                  case BooleanType => eg.getBoolean(0, 0)
-                  case StringType =>
-                    UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
-                  case BinaryType => eg.getBinary(0, 0).getBytes
-                  case d: DecimalType =>
-                    decimalOf(eg, 0, 0, fieldLeaf(i), d)
-                  case other => throw new UnsupportedOperationException(
-                    s"snapshot source: unsupported array element $other " +
-                      s"for ${schema.fields(i).name}")
-                }
-              k += 1
-            }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          // Nested shapes recurse with inline footer-type resolution
+          // (the hoisted per-file arrays cover the hot flat columns;
+          // nested members were always per-element dispatch).
+          case dt @ (_: ArrayType | _: StructType | _: MapType) =>
+            value(g, idx, 0, dt)
           case dt => throw new UnsupportedOperationException(
-            "snapshot source supports primitive/decimal/array columns; " +
-              s"got $dt for ${schema.fields(i).name}")
+            "snapshot source: unsupported column type " +
+              s"$dt for ${schema.fields(i).name}")
         }
       i += 1
     }
     new GenericInternalRow(values)
+  }
+
+  /** One NON-NULL value off field `idx`, repetition `rep` of `g` —
+    * the recursive decode for nested shapes (arrays as three-level
+    * lists, structs as nested groups with BY-NAME member resolution so
+    * evolution inside a struct degrades to null members). Physical
+    * forms (INT96 timestamps, INT32/INT64/FIXED decimals) resolve off
+    * the group's own footer type per value.
+    */
+  private def value(g: Group, idx: Int, rep: Int,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def leaf: PrimitiveTypeName = {
+      val t = g.getType.getType(idx)
+      if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName else null
+    }
+    dt match {
+      case TimestampType | TimestampNTZType if leaf == PrimitiveTypeName.INT96 =>
+        SnapshotSource.int96ToMicros(g.getInt96(idx, rep).getBytes)
+      case LongType | TimestampType | TimestampNTZType => g.getLong(idx, rep)
+      case IntegerType | DateType => g.getInteger(idx, rep)
+      case DoubleType => g.getDouble(idx, rep)
+      case FloatType => g.getFloat(idx, rep)
+      case BooleanType => g.getBoolean(idx, rep)
+      case StringType => UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+      case BinaryType => g.getBinary(idx, rep).getBytes
+      case d: DecimalType => decimalOf(g, idx, rep, leaf, d)
+      case ArrayType(et, _) =>
+        // THREE-LEVEL list decode (both writers' shape): the LIST
+        // group's single repeated `list` child, one repetition per
+        // element; the optional `element` absent = null element.
+        val lg = g.getGroup(idx, rep)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val eg = lg.getGroup(0, k)
+          out(k) =
+            if (eg.getFieldRepetitionCount(0) == 0) null
+            else value(eg, 0, 0, et)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case st: StructType =>
+        val sg = g.getGroup(idx, rep)
+        val t = sg.getType
+        val out = new Array[Any](st.length)
+        var k = 0
+        while (k < st.length) {
+          val f = st.fields(k)
+          val j = if (t.containsField(f.name)) t.getFieldIndex(f.name) else -1
+          out(k) =
+            if (j < 0 || sg.getFieldRepetitionCount(j) == 0) null
+            else value(sg, j, 0, f.dataType)
+          k += 1
+        }
+        new GenericInternalRow(out)
+      case MapType(kt, vt, _) =>
+        // Standard MAP decode: the map group's single repeated
+        // key_value child, key/value resolved BY NAME.
+        val mg = g.getGroup(idx, rep)
+        val n = mg.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n)
+        val vals = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val kv = mg.getGroup(0, k)
+          val t = kv.getType
+          val ki = t.getFieldIndex("key")
+          val vi = if (t.containsField("value")) t.getFieldIndex("value") else -1
+          keys(k) = value(kv, ki, 0, kt)
+          vals(k) =
+            if (vi < 0 || kv.getFieldRepetitionCount(vi) == 0) null
+            else value(kv, vi, 0, vt)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+      case other => throw new UnsupportedOperationException(
+        s"snapshot source: unsupported nested type $other")
+    }
   }
 
   override def close(): Unit = reader.close()

@@ -124,6 +124,93 @@ class DecimalArrayReadSpec extends AnyFunSuite {
       s"the decimal range covers exactly one of 4 price slices; planned $planned")
   }
 
+  test("STRUCT columns round-trip: nested groups, null members, array-of-struct") {
+    val t = graft.Scratch.dir("struct_roundtrip")
+    val df = spark.range(3000L).select(
+      col("id").as("k"),
+      when(col("id") % 11 === 0, null).otherwise(struct(
+        concat(lit("l_"), col("id") % 5).as("lang"),
+        when(col("id") % 7 === 0, null).otherwise(col("id") * 3).as("chars"),
+        (col("id").cast(DecimalType(18, 2)) / 4).cast(DecimalType(18, 2))
+          .as("score"),
+        struct((col("id") % 3).cast("int").as("inner")).as("nested")))
+        .as("meta"),
+      array(struct(col("id").as("a"), lit("x").as("b")),
+        struct((col("id") + 1).as("a"), lit("y").as("b"))).as("tags"))
+    df.repartition(2).write.format(provider).option("path", t)
+      .mode("append").save()
+    val truth = canon(spark.read
+      .parquet(SnapshotTable.listFiles(spark, t, 1L): _*)
+      .selectExpr("k", "meta.lang", "meta.chars", "meta.score",
+        "meta.nested.inner", "tags[0].a", "tags[1].b")
+      .orderBy("k").collect())
+    val got = canon(spark.read.format(provider).load(t)
+      .selectExpr("k", "meta.lang", "meta.chars", "meta.score",
+        "meta.nested.inner", "tags[0].a", "tags[1].b")
+      .orderBy("k").collect())
+    assert(truth.length === 3000)
+    assert(got === truth)
+    // And the connector decodes Spark-native-written structs too.
+    val t2 = graft.Scratch.dir("struct_native")
+    SnapshotTable.commit(df.repartition(2), t2, 1L)
+    val got2 = canon(spark.read.format(provider).load(t2)
+      .selectExpr("k", "meta.lang", "meta.chars", "meta.score",
+        "meta.nested.inner", "tags[0].a", "tags[1].b")
+      .orderBy("k").collect())
+    assert(got2 === truth)
+  }
+
+  test("MAP columns round-trip: key_value groups, null values, null maps") {
+    val t = graft.Scratch.dir("map_roundtrip")
+    val df = spark.range(2000L).select(
+      col("id").as("k"),
+      when(col("id") % 13 === 0, null).otherwise(map(
+        lit("chars"), col("id") * 7,
+        lit("maybe"), when(col("id") % 5 === 0, null).otherwise(col("id"))))
+        .as("m"))
+    df.repartition(2).write.format(provider).option("path", t)
+      .mode("append").save()
+    def proj(d: org.apache.spark.sql.DataFrame) = canon(d
+      .selectExpr("k", "m['chars']", "m['maybe']", "map_keys(m)")
+      .orderBy("k").collect())
+    val truth = proj(spark.read
+      .parquet(SnapshotTable.listFiles(spark, t, 1L): _*))
+    val got = proj(spark.read.format(provider).load(t))
+    assert(truth.length === 2000)
+    assert(got === truth)
+    // Spark-native-written maps decode through the same path.
+    val t2 = graft.Scratch.dir("map_native")
+    SnapshotTable.commit(df.repartition(2), t2, 1L)
+    assert(proj(spark.read.format(provider).load(t2)) === truth)
+  }
+
+  test("pushed TIMESTAMP range bounds prune files over connector-written micros") {
+    val t = graft.Scratch.dir("timestamp_skip")
+    // Connector-written files store timestamps as INT64 micros (with
+    // footer stats — unlike Spark's INT96 default), so zone maps on a
+    // time column record and pushed Timestamp literals prune.
+    spark.range(4000L).select(col("id").as("k"),
+        timestamp_micros(col("id") * 1000000L + 1500000000000000L).as("ts"))
+      .repartitionByRange(4, col("ts"))
+      .write.format(provider).option("path", t).mode("append").save()
+    val files = SnapshotTable.listFiles(spark, t, 1L)
+    assert(files.size === 4)
+    SnapshotTable.publishStats(spark, t, 2L,
+      SnapshotTable.footerStats(spark, files, Seq("ts")))
+    // ids 1000..1599 — inside one range slice of the sorted layout.
+    def tsOf(id: Long) = new java.sql.Timestamp(
+      (id * 1000000L + 1500000000000000L) / 1000L)
+    val probe = spark.read.format(provider).load(t)
+      .filter(col("ts") >= lit(tsOf(1000L)) && col("ts") <= lit(tsOf(1599L)))
+      .agg(count(lit(1)).as("n"), sum("k").as("ks"))
+    val r = probe.head()
+    assert(r.getLong(0) === 600L)
+    assert(r.getLong(1) === (1000L to 1599L).sum)
+    val planned = SnapshotSource.lastPlan(t).map(_._1).getOrElse(-1)
+    assert(planned < files.size && planned >= 1,
+      s"timestamp bounds must prune below ${files.size} files; planned $planned")
+  }
+
   test("CTAS and INSERT carry decimal and embedding columns through the catalog") {
     val wh = graft.Scratch.dir("decarr_cat_wh")
     spark.conf.set("spark.sql.catalog.decarr_cat",
