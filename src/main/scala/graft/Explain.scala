@@ -61,6 +61,7 @@ object Explain {
     "sample_splits_grouped", "src_catalog_sql", "src_catalog_delete",
     "src_catalog_dml", "src_provenance",
     "src_connector_decimal", "src_connector_array",
+    "src_connector_struct", "src_connector_map",
     // The stream_* queries are deliberately NOT in the plan audit:
     // their registered function executes a full streaming query and
     // the DataFrame it returns is only the trivial post-hoc sink read

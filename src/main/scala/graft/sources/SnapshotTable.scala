@@ -1767,8 +1767,12 @@ object SnapshotTable {
     * leaves only unreferenced files, never a live manifest over
     * deleted data). The shallow-clone caveat applies exactly as for
     * expire: a clone referencing this table's files loses them — the
-    * clone references, it does not own. Returns
-    * `(generations removed, referenced files removed)`.
+    * clone references, it does not own. Returns `(generations removed,
+    * referenced files removed)` — the file count covers only paths
+    * UNDER the table root, the ones the sweep actually deletes: a
+    * foreign path registered by an explicit-path publish (or a
+    * clone-referenced parent file living in another table) is
+    * referenced but never owned, so it is neither deleted nor counted.
     */
   def drop(spark: SparkSession, table: String,
       force: Boolean = false): (Long, Long) = {
@@ -1783,10 +1787,18 @@ object SnapshotTable {
       s"refusing to drop $table: ${gens.size} generations survive and time " +
         "travel still serves them - expire history down to the latest " +
         "generation first, or pass force")
+    // Qualified-prefix ownership test (the expire protection's
+    // normalization: scheme/authority/relative spellings must compare
+    // equal).
+    def qualified(s: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p).toUri.toString
+    }
+    val rootPrefix = qualified(table) + "/"
     val files = gens.flatMap { g =>
       val (d, t) = rawEntries(spark, table, g)
       d ++ t
-    }.distinct
+    }.distinct.filter(f => qualified(f).startsWith(rootPrefix))
     def sweep(path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(conf).delete(p, true)

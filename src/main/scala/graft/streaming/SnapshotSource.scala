@@ -1238,6 +1238,12 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     */
   private val initEntries =
     new java.util.concurrent.ConcurrentHashMap[Long, (Seq[String], Seq[String])]()
+  // A segmented load's recorded stats, captured DURING the same chain
+  // walk that resolved its file list — initBytesOf must never pay a
+  // second O(chain) manifest walk for the stats the first walk
+  // already carried.
+  private val initStats = new java.util.concurrent.ConcurrentHashMap[
+    Long, Map[String, (Option[Long], Option[Long])]]()
   private def initEntriesOf(g: Long): (Seq[String], Seq[String]) =
     initEntries.computeIfAbsent(g, g => {
       // An initial load serves the generation's FULL content: a
@@ -1245,12 +1251,18 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       // chunked replay stays byte-identical); resolution's own guards
       // refuse tombstoned segments.
       val (d, t, seg) = SnapshotTable.tailEntries(spark, table, g)
-      if (seg) (SnapshotTable.resolvedFiles(spark, table, g), t) else (d, t)
+      if (seg) {
+        val rows = SnapshotTable.resolvedDataRows(spark, table, g)
+        initStats.put(g, rows.map(r => r._1 -> ((r._2, r._3))).toMap)
+        (rows.map(_._1), t)
+      } else (d, t)
     })
 
   /** Per-file bytes of the initial-load generation, aligned with
     * [[initEntriesOf]]'s sorted list — from the manifest's RECORDED
-    * stats (chain-folded for segments), so byte-capped offset math
+    * stats (a segmented chain's were folded during the resolution walk
+    * above; a full-carry generation pays ONE manifest read, and only
+    * when a byte cap is actually set), so byte-capped offset math
     * costs no per-file I/O; only legacy pre-recording rows fall back
     * to one `getFileStatus` each, computed once per stream instance.
     */
@@ -1259,10 +1271,8 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   private def initBytesOf(g: Long): Array[Long] =
     initBytes.computeIfAbsent(g, g => {
       val files = initEntriesOf(g)._1
-      val (_, _, seg) = SnapshotTable.tailEntries(spark, table, g)
-      val rec =
-        if (seg) SnapshotTable.resolvedFileStats(spark, table, g)
-        else SnapshotTable.recordedFileStats(spark, table, g)
+      val rec = Option(initStats.get(g)).getOrElse(
+        SnapshotTable.recordedFileStats(spark, table, g))
       val conf = spark.sparkContext.hadoopConfiguration
       files.map { f =>
         rec.get(f).flatMap(_._2).getOrElse {
