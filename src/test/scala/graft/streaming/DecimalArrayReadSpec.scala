@@ -160,6 +160,25 @@ class DecimalArrayReadSpec extends AnyFunSuite {
     assert(got2 === truth)
   }
 
+  test("nested schema pruning reaches the decoder: a struct-member read decodes the subset") {
+    val t = graft.Scratch.dir("nested_prune")
+    spark.range(500L).select(col("id").as("k"),
+        struct(col("id").as("a"), concat(lit("s"), col("id")).as("b"),
+          (col("id") * 2).as("c")).as("meta"))
+      .write.format(provider).option("path", t).mode("append").save()
+    val df = spark.read.format(provider).load(t).select(col("k"), col("meta.a"))
+    assert(df.orderBy("k").collect().map(_.getLong(1)).toSeq
+      === (0L until 500L))
+    // Catalyst's nested-schema pruning hands the scan a SUBSET struct;
+    // the recursive by-name decode must serve it (members b and c are
+    // never materialized).
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().catalogString
+      === "struct<k:bigint,meta:struct<a:bigint>>")
+  }
+
   test("MAP columns round-trip: key_value groups, null values, null maps") {
     val t = graft.Scratch.dir("map_roundtrip")
     val df = spark.range(2000L).select(
