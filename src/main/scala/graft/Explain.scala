@@ -108,7 +108,8 @@ object Explain {
   // both execute their probes eagerly — the row-group admission audit
   // and the planned-file telemetry must come from the EXECUTED run —
   // and return literal frames; src_catalog_drop is an eager lifecycle
-  // drill. All three are value-gated.
+  // drill, and src_connector_count reads its plan shapes off three
+  // executed statements. All four are value-gated.
 
   /** Rewrites the session-volatile tokens of a formatted plan into
     * stable, deterministic forms so two regenerations of docs/PLANS.md

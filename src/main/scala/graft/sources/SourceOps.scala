@@ -859,6 +859,51 @@ object SourceOps {
       .orderBy("lang")
   }
 
+  /** COUNT(*) PUSHDOWN from manifest stats — the metadata-answered
+    * aggregate every table format serves: `SELECT count(*) FROM t` on
+    * a 100 TB snapshot table is ONE driver-side manifest read (the
+    * recorded per-file row counts summed; chain-folded for segments),
+    * no data file opened, no task beyond the one-row local relation.
+    * Phase `a_pushed` gates the full count with the plan REQUIRED to
+    * be the local relation (no BatchScan, no HashAggregate — the
+    * telemetry agreeing); `b_travel` counts a PINNED generation from
+    * its own manifest; `c_filtered` proves the guard — a residual
+    * filter refuses the shortcut and the real scan still counts
+    * exactly. Tombstone/missing-stat refusals are spec-pinned.
+    */
+  def connectorCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_count")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(3), table, 1L)
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2), table, 2L,
+      carryFrom = Some(1L))
+    def read() = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    val full = read().selectExpr("count(*)")
+    val nFull = full.head().getLong(0)
+    val planFull = full.queryExecution.executedPlan.toString
+    val aOk = planFull.contains("LocalTableScan") &&
+      !planFull.contains("BatchScan") && !planFull.contains("HashAggregate") &&
+      graft.streaming.SnapshotSource.lastCountPushdown(table).contains(true)
+    val travel = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).option("generation", "1").load()
+      .selectExpr("count(*)")
+    val nTravel = travel.head().getLong(0)
+    val bOk = !travel.queryExecution.executedPlan.toString.contains("BatchScan")
+    val filtered = read().where(col("o_orderkey") % 3 === 0)
+      .selectExpr("count(*)")
+    val nFiltered = filtered.head().getLong(0)
+    val cOk = filtered.queryExecution.executedPlan.toString.contains("BatchScan")
+    Seq(("a_pushed", nFull, aOk), ("b_travel", nTravel, bOk),
+      ("c_filtered", nFiltered, cOk))
+      .toDF("phase", "n_rows", "ok").orderBy("phase")
+  }
+
   /** MAP columns through the connector — the last nested shape of the
     * type surface: per-document attribute maps (the flexible-metadata
     * idiom next to [[connectorStruct]]'s fixed shape) commit as
@@ -2921,6 +2966,7 @@ object SourceOps {
     "src_connector_dateskip" -> (connectorDateSkip _),
     "src_connector_struct" -> (connectorStruct _),
     "src_connector_map" -> (connectorMap _),
+    "src_connector_count" -> (connectorCount _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3307,6 +3353,18 @@ object SourceOps {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Count-pushdown twin: counts re-derived from the split
+    // predicates; plan shape binds as the booleans.
+    "src_connector_count" ->
+      """SELECT 'a_pushed' AS phase,
+        |  CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ok FROM orders
+        |UNION ALL
+        |SELECT 'b_travel', CAST(count(*) AS BIGINT), TRUE
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 'c_filtered', CAST(count(*) AS BIGINT), TRUE
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY phase""".stripMargin,
     // Map twin: the two looked-up keys' sums over the original flat
     // columns — the map fold/unfold must be content-neutral.
     "src_connector_map" ->

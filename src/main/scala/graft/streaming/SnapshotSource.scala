@@ -145,6 +145,26 @@ private[graft] object SnapshotSource {
   private[graft] def lastStatsFromManifest(table: String): Option[Boolean] =
     statsLog.synchronized { Option(statsLog.get(table)) }
 
+  /** Whether the LAST batch scan of `table` served a PUSHED-DOWN
+    * COUNT(*) from manifest stats (no data file opened) — the gate
+    * telemetry for aggregate pushdown, same LRU bound and AQE-copy
+    * rationale as [[planLog]]. `false` records an explicit refusal
+    * (filters present, tombstones, missing stats).
+    */
+  private val countLog = new java.util.LinkedHashMap[String, Boolean](64,
+      0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Boolean]): Boolean =
+      size() > PlanLogMaxTables
+  }
+
+  private[streaming] def recordCountPushdown(table: String,
+      served: Boolean): Unit =
+    countLog.synchronized { countLog.put(table, served); () }
+
+  private[graft] def lastCountPushdown(table: String): Option[Boolean] =
+    countLog.synchronized { Option(countLog.get(table)) }
+
   private[graft] def lastPlan(table: String): Option[(Int, Boolean)] =
     planHistory(table).lastOption
 
@@ -879,7 +899,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // filter is ALSO returned as a residual, so Spark re-applies the
     // row-level predicate and correctness never rests on the stats.
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -890,6 +911,56 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
+
+      // COUNT(*) PUSHDOWN, served from the manifest's recorded per-file
+      // row counts: `SELECT count(*) FROM t` on a 100 TB table is one
+      // driver-side manifest read (chain-folded for segments), no data
+      // file opened, no task scheduled beyond the one-row local scan.
+      // STRICTLY guarded — any of these refuses and the normal scan
+      // counts rows the honest way: a pushed residual filter (rows
+      // must be tested), ANY filter Spark pushed at all (even
+      // untranslated ones arrive in pushFilters), merge-on-read
+      // tombstones (recorded counts include rows the anti-join hides),
+      // or any file without a recorded count. The count pins at PUSH
+      // time — the same statement-level snapshot resolution every scan
+      // performs.
+      private var pushedCount: Option[Long] = None
+      private def statsCount(): Option[Long] =
+        try {
+          val spark = SparkSession.active
+          val gens = SnapshotTable.generations(spark, table)
+          if (gens.isEmpty) return None
+          val gen = generation.getOrElse(gens.max)
+          if (!gens.contains(gen)) return None
+          val (_, dels, seg) = SnapshotTable.tailEntries(spark, table, gen)
+          if (dels.nonEmpty) return None
+          val rec =
+            if (seg) SnapshotTable.resolvedFileStats(spark, table, gen)
+            else SnapshotTable.recordedFileStats(spark, table, gen)
+          if (rec.nonEmpty && rec.values.forall(_._1.isDefined))
+            Some(rec.values.map(_._1.get).sum)
+          else None
+        } catch { case _: Exception => None }
+      private def countOf(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[Long] =
+        if (pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+            agg.aggregateExpressions().length == 1 &&
+            agg.aggregateExpressions().head
+              .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+          statsCount()
+        else None
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = countOf(agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = {
+        pushedCount = countOf(agg)
+        SnapshotSource.recordCountPushdown(table, pushedCount.isDefined)
+        pushedCount.isDefined
+      }
+
       // SupportsRuntimeV2Filtering: a join's build-side keys prune
       // files through the same zone-map/bloom machinery as
       // compile-time pushdown, after the build side executes (DPP for
@@ -901,7 +972,22 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       // degrades that condition to TRUE exactly when NOT-MATCHED-BY-
       // SOURCE arms exist (every group is touched then, so no filter
       // fires); the drills pin both directions.
-      override def build(): Scan = new Scan
+      override def build(): Scan = pushedCount match {
+        case Some(n) =>
+          // The pushed COUNT(*): a one-row driver-local relation — the
+          // whole statement's data path.
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[InternalRow] =
+              Array(new GenericInternalRow(Array[Any](n)))
+            override def readSchema(): StructType =
+              new StructType().add("count(*)", LongType, nullable = false)
+            override def description(): String =
+              s"SnapshotCountFromStats($table)"
+          }
+        case None => buildScan()
+      }
+
+      private def buildScan(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics
           with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
         override def readSchema(): StructType = required

@@ -160,6 +160,51 @@ class DecimalArrayReadSpec extends AnyFunSuite {
     assert(got2 === truth)
   }
 
+  test("COUNT(*) pushes down to manifest stats; filters and tombstones refuse") {
+    import spark.implicits._
+    val t = graft.Scratch.dir("count_pushdown")
+    SnapshotTable.commit(
+      (1L to 500L).map(k => (k, k * 2)).toDF("k", "v").repartition(3), t, 1L)
+    SnapshotTable.commit(
+      (501L to 700L).map(k => (k, k * 2)).toDF("k", "v").repartition(2), t, 2L,
+      carryFrom = Some(1L))
+    // Plain COUNT(*): answered from the manifest, no data file opened.
+    assert(spark.read.format(provider).load(t)
+      .selectExpr("count(*)").head().getLong(0) === 700L)
+    assert(SnapshotSource.lastCountPushdown(t) === Some(true))
+    // The executed plan's scan IS the one-row local relation (Spark
+    // converts the LocalScan to a LocalTableScanExec) — no file scan,
+    // no aggregate, anywhere.
+    val df = spark.read.format(provider).load(t).selectExpr("count(*)")
+    assert(df.head().getLong(0) === 700L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+      !plan.contains("HashAggregate"),
+      s"count must serve from stats as a local relation; got:\n$plan")
+    // A filter refuses the pushdown (rows must be tested; with a
+    // residual filter Spark never even offers the aggregate) but the
+    // count stays right through the normal scan — plan-asserted, since
+    // the telemetry only records OFFERED pushdowns.
+    val fdf = spark.read.format(provider).load(t)
+      .where(expr("k <= 500")).selectExpr("count(*)")
+    assert(fdf.head().getLong(0) === 500L)
+    assert(fdf.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a filtered count must run the real scan")
+    // Time travel counts the PINNED snapshot from its own manifest.
+    val travel = spark.read.format(provider).option("generation", "1")
+      .load(t).selectExpr("count(*)")
+    assert(travel.head().getLong(0) === 500L)
+    assert(SnapshotSource.lastCountPushdown(t) === Some(true))
+    // Merge-on-read tombstones refuse: recorded counts include rows
+    // the anti-join hides (the plain scan then fails loudly by the
+    // MoR guard — counting a tombstoned lineage is readMor's job).
+    SnapshotTable.commitDeletes(Seq(1L).toDF("k"), t, 3L, carryFrom = 2L)
+    intercept[Exception] {
+      spark.read.format(provider).load(t).selectExpr("count(*)").head()
+    }
+    assert(SnapshotSource.lastCountPushdown(t) === Some(false))
+  }
+
   test("nested schema pruning reaches the decoder: a struct-member read decodes the subset") {
     val t = graft.Scratch.dir("nested_prune")
     spark.range(500L).select(col("id").as("k"),
