@@ -731,6 +731,17 @@ object SnapshotTable {
     resolvedDataRows(spark, table, gen)
       .map(r => r._1 -> ((r._2, r._3))).toMap
 
+  /** THE recorded-stats resolution policy, shared by scan statistics
+    * and the COUNT(*) pushdown so the two can never diverge: a
+    * full-carry generation serves from ONE manifest read, a segmented
+    * one from the chain-folding walk. `(None, None)` entries mark
+    * legacy rows; every consumer decides its own fallback.
+    */
+  private[graft] def statsFor(spark: SparkSession, table: String, gen: Long,
+      segmented: Boolean): Map[String, (Option[Long], Option[Long])] =
+    if (segmented) resolvedFileStats(spark, table, gen)
+    else recordedFileStats(spark, table, gen)
+
   /** Read segmented generation `gen` AS OF its chain-resolved file
     * set — time travel and snapshot isolation exactly as [[readAs]],
     * at O(new files) commit cost.

@@ -903,9 +903,16 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
+      // Whether Spark pushed ANY filter at all — including classes
+      // boundOf cannot translate: the count pushdown must refuse on
+      // this flag, not on the boundable subset, or a future change
+      // that CONSUMES an untranslatable filter would silently serve
+      // the unfiltered table count.
+      private var sawFilters = false
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        sawFilters = filters.nonEmpty
         pushed = filters.filter(f => SnapshotSource.boundOf(f,
           c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined)
         filters
@@ -914,42 +921,49 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
 
       // COUNT(*) PUSHDOWN, served from the manifest's recorded per-file
       // row counts: `SELECT count(*) FROM t` on a 100 TB table is one
-      // driver-side manifest read (chain-folded for segments), no data
-      // file opened, no task scheduled beyond the one-row local scan.
-      // STRICTLY guarded — any of these refuses and the normal scan
-      // counts rows the honest way: a pushed residual filter (rows
-      // must be tested), ANY filter Spark pushed at all (even
-      // untranslated ones arrive in pushFilters), merge-on-read
-      // tombstones (recorded counts include rows the anti-join hides),
-      // or any file without a recorded count. The count pins at PUSH
-      // time — the same statement-level snapshot resolution every scan
-      // performs.
+      // driver-side manifest resolution (chain-folded for segments), no
+      // data file opened, no task scheduled beyond the one-row local
+      // scan. STRICTLY guarded — any of these refuses and the normal
+      // scan counts rows the honest way: ANY filter Spark pushed at
+      // all (rows must be tested), merge-on-read tombstones (recorded
+      // counts include rows the anti-join hides), or any file without
+      // a recorded count. MEMOIZED per statement: the lazy val pins
+      // the snapshot ONCE at the first offer, so the
+      // supportCompletePushDown → pushAggregation pair can never
+      // resolve two different generations (and pays one resolution,
+      // not two).
       private var pushedCount: Option[Long] = None
-      private def statsCount(): Option[Long] =
+      private lazy val statsCount: Option[Long] =
         try {
           val spark = SparkSession.active
           val gens = SnapshotTable.generations(spark, table)
-          if (gens.isEmpty) return None
-          val gen = generation.getOrElse(gens.max)
-          if (!gens.contains(gen)) return None
-          val (_, dels, seg) = SnapshotTable.tailEntries(spark, table, gen)
-          if (dels.nonEmpty) return None
-          val rec =
-            if (seg) SnapshotTable.resolvedFileStats(spark, table, gen)
-            else SnapshotTable.recordedFileStats(spark, table, gen)
-          if (rec.nonEmpty && rec.values.forall(_._1.isDefined))
-            Some(rec.values.map(_._1.get).sum)
-          else None
+          if (gens.isEmpty) None
+          else {
+            val gen = generation.getOrElse(gens.max)
+            if (!gens.contains(gen)) None
+            else {
+              val (_, dels, seg) = SnapshotTable.tailEntries(spark, table, gen)
+              if (dels.nonEmpty) None
+              else {
+                val rec = SnapshotTable.statsFor(spark, table, gen, seg)
+                if (rec.nonEmpty && rec.values.forall(_._1.isDefined))
+                  Some(rec.values.map(_._1.get).sum)
+                else None
+              }
+            }
+          }
         } catch { case _: Exception => None }
+      private def isBareCount(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean =
+        agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().length == 1 &&
+          agg.aggregateExpressions().head
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
       private def countOf(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Option[Long] =
-        if (pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-            agg.aggregateExpressions().length == 1 &&
-            agg.aggregateExpressions().head
-              .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-          statsCount()
-        else None
+        if (!sawFilters && isBareCount(agg)) statsCount else None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Boolean = countOf(agg).isDefined
@@ -957,7 +971,11 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Boolean = {
         pushedCount = countOf(agg)
-        SnapshotSource.recordCountPushdown(table, pushedCount.isDefined)
+        // Telemetry records COUNT offers only: an unrelated pushable
+        // aggregate (a bare sum) must not overwrite a prior count
+        // verdict with a spurious refusal.
+        if (isBareCount(agg))
+          SnapshotSource.recordCountPushdown(table, pushedCount.isDefined)
         pushedCount.isDefined
       }
 
@@ -1033,11 +1051,10 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
                 // during the SAME walk that resolved the file set, so
                 // the O(batch)-commit layout keeps O(1)-per-file-free
                 // planning too (the r18 gap: they used to fall through
-                // to one driver getFileStatus per planned file).
+                // to one driver getFileStatus per planned file). ONE
+                // resolution policy, shared with the count pushdown.
                 val recorded =
-                  if (segmented)
-                    SnapshotTable.resolvedFileStats(spark, table, gen)
-                  else SnapshotTable.recordedFileStats(spark, table, gen)
+                  SnapshotTable.statsFor(spark, table, gen, segmented)
                 val sizes = files.map(f => recorded.get(f).flatMap(_._2))
                 if (sizes.forall(_.isDefined)) {
                   SnapshotSource.recordStatsSource(table, fromManifest = true)

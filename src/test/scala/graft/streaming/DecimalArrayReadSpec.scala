@@ -181,6 +181,11 @@ class DecimalArrayReadSpec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
       !plan.contains("HashAggregate"),
       s"count must serve from stats as a local relation; got:\n$plan")
+    // An UNRELATED pushable aggregate (a bare sum Spark also offers)
+    // must not overwrite the count verdict with a spurious refusal.
+    assert(spark.read.format(provider).load(t).agg(sum("v")).head().getLong(0)
+      === (1L to 700L).map(_ * 2).sum)
+    assert(SnapshotSource.lastCountPushdown(t) === Some(true))
     // A filter refuses the pushdown (rows must be tested; with a
     // residual filter Spark never even offers the aggregate) but the
     // count stays right through the normal scan — plan-asserted, since
