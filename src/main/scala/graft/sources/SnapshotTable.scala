@@ -222,9 +222,15 @@ object SnapshotTable {
     // legacy unstamped manifest form byte-for-byte.
     val freshSeq = if (carried.exists(_.seq.isDefined)) Some(gen) else None
     val freshKind = if (carried.exists(_.kind.isDefined)) Some("data") else None
+    // statFresh callers hand files THIS layer (or this statement's
+    // tasks) just wrote — their footers are readable by construction,
+    // so the stats are REQUIRED (selfWritten): silently publishing
+    // stat-less rows would disable count pushdown and manifest-served
+    // planning stats for the generation. Pre-built rows (statFresh =
+    // false) carry whatever their producer recorded.
     val statted =
       if (statFresh) metaRows(spark, freshRows.map(_.path),
-        kind = freshKind, seq = freshSeq)
+        kind = freshKind, seq = freshSeq, selfWritten = true)
       else freshRows.map(_.copy(kind = freshKind, seq = freshSeq))
     writeManifest(spark, table, gen, replace,
       (carried ++ statted)
@@ -259,17 +265,30 @@ object SnapshotTable {
     // rewritten files' stale rows are equally unreachable. Columns the
     // replacement schema lacks skip — their unindexed files admit
     // conservatively, the standard best-effort contract.
+    // BEST-EFFORT, matching the read side's contract: readers treat a
+    // missing/partial sidecar as admit-conservatively, so an index
+    // maintenance failure must degrade pruning, never abort the DML
+    // commit itself (the advisory index would otherwise be a hard
+    // dependency of every UPDATE/DELETE/MERGE, with failure and
+    // latency scaling by indexed-column count).
     if (fresh.nonEmpty) {
-      val cols = bloomColumns(spark, table)
-      if (cols.nonEmpty) {
-        val schema = spark.read.parquet(fresh: _*).schema.fieldNames.toSet
-        cols.filter(schema.contains)
-          .foreach(c => writeBloomIndex(spark, table, c, fresh, append = true))
+      try {
+        val cols = bloomColumns(spark, table)
+        if (cols.nonEmpty) {
+          val schema = spark.read.parquet(fresh: _*).schema.fieldNames.toSet
+          cols.filter(schema.contains)
+            .foreach(c => writeBloomIndex(spark, table, c, fresh, append = true))
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"snapshot: bloom sidecar maintenance failed for $table " +
+              s"(rewrite proceeds; affected files admit conservatively): $e")
       }
     }
     val carried = prev.filterNot(r => rewritten.contains(r.path))
     writeManifest(spark, table, gen, replace = false,
-      (carried ++ metaRows(spark, fresh))
+      (carried ++ metaRows(spark, fresh, selfWritten = true))
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
@@ -1254,8 +1273,22 @@ object SnapshotTable {
     * falls back per file on `None`.
     */
   private def metaRows(spark: SparkSession, paths: Seq[String],
-      kind: Option[String] = None, seq: Option[Long] = None): Seq[ManifestRow] = {
+      kind: Option[String] = None, seq: Option[Long] = None,
+      selfWritten: Boolean = false): Seq[ManifestRow] = {
     val meta = fileMetaOpt(spark, paths)
+    // SELF-WRITTEN publishes (the connector's own commit/append/rewrite
+    // paths — this layer just closed those footers) REQUIRE the stats:
+    // a transient footer-read failure silently publishing stat-less
+    // rows would quietly disable count pushdown and manifest-served
+    // planning statistics for the generation. Foreign/explicit-path
+    // publishes keep the best-effort contract.
+    if (selfWritten) {
+      val missing = paths.filterNot(meta.contains)
+      require(missing.isEmpty,
+        s"self-written publish could not read footer stats of " +
+          s"${missing.take(3).mkString(", ")}${if (missing.size > 3) ", ..." else ""} - " +
+          "refusing to commit a stat-less generation (retry the commit)")
+    }
     paths.sorted.map { p =>
       ManifestRow(p, kind = kind, seq = seq,
         nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2))
@@ -1392,13 +1425,25 @@ object SnapshotTable {
     * column expression also calls, so the planner's probe and the
     * builder's bits cannot drift. The hash is a 60-bit non-negative
     * value, so `%` equals `pmod`.
+    *
+    * `rendered` is the value in the BUILD side's key domain — the
+    * output of `k.cast("string")` ([[bloomPositionsCol]]): integers
+    * render as their decimal digits (`Long.toString` is byte-for-byte
+    * Spark's integer-to-string cast), and STRING columns render as
+    * themselves (the cast is the identity), so string point probes —
+    * `WHERE doc_id = '...'`, the single most common lookup shape in an
+    * LLM data pipeline — ride the same sidecars the build already
+    * indexes. Non-ASCII is exact: both sides hash the UTF-8 bytes.
     */
-  private def bloomPositions(v: Long): Seq[Long] =
+  private def bloomPositionsRendered(rendered: String): Seq[Long] =
     (0 until BloomProbes).map { i =>
       graft.functions.DigestPrefix64.hash(
-        s"$BloomSalt$i:$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
-        BloomBits
+        s"$BloomSalt$i:$rendered".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)) % BloomBits
     }
+
+  private def bloomPositions(v: Long): Seq[Long] =
+    bloomPositionsRendered(v.toString)
 
   /** Build (or rebuild) the file-level bloom index of `column` over
     * `files`: one distributed scan + a (file, word)-keyed `bit_or`
@@ -1502,9 +1547,20 @@ object SnapshotTable {
     * zone-map column.
     */
   def bloomAdmittedFiles(spark: SparkSession, table: String, column: String,
-      values: Seq[Long], candidates: Seq[String]): Seq[String] = {
+      values: Seq[Long], candidates: Seq[String]): Seq[String] =
+    bloomAdmittedFilesRendered(spark, table, column,
+      values.map(_.toString), candidates)
+
+  /** [[bloomAdmittedFiles]] over probe values already RENDERED in the
+    * build side's key domain (`k.cast("string")`): the string-key
+    * point-lookup path — a separate name because `Seq[Long]` and
+    * `Seq[String]` erase to the same overload signature.
+    */
+  def bloomAdmittedFilesRendered(spark: SparkSession, table: String,
+      column: String, values: Seq[String],
+      candidates: Seq[String]): Seq[String] = {
     val idx = readBloomIndex(spark, bloomIndexPath(table, column))
-    val probePos = values.distinct.map(bloomPositions)
+    val probePos = values.distinct.map(bloomPositionsRendered)
     candidates.filter { c =>
       idx.get(normPath(c)) match {
         case None => true
@@ -1779,11 +1835,17 @@ object SnapshotTable {
     * deleted data). The shallow-clone caveat applies exactly as for
     * expire: a clone referencing this table's files loses them — the
     * clone references, it does not own. Returns `(generations removed,
-    * referenced files removed)` — the file count covers only paths
-    * UNDER the table root, the ones the sweep actually deletes: a
-    * foreign path registered by an explicit-path publish (or a
-    * clone-referenced parent file living in another table) is
-    * referenced but never owned, so it is neither deleted nor counted.
+    * referenced files removed)` — the file count covers only
+    * MANIFEST-REFERENCED paths UNDER the table root, the ones a reader
+    * could still resolve: a foreign path registered by an explicit-path
+    * publish (or a clone-referenced parent file living in another
+    * table) is referenced but never owned, so it is neither deleted nor
+    * counted; and because the sweep deletes whole DIRECTORIES, local
+    * debris no manifest references (staged-branch data files, legacy
+    * unreferenced parts, `_SUCCESS` markers, index sidecars) is removed
+    * but deliberately NOT counted — the count answers "how many live
+    * data/tombstone files did this destroy", not "how many inodes went
+    * away".
     */
   def drop(spark: SparkSession, table: String,
       force: Boolean = false): (Long, Long) = {

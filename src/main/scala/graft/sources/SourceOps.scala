@@ -2504,6 +2504,54 @@ object SourceOps {
       .toDF("n_files_total", "n_files_planned", "n_rows", "key_sum")
   }
 
+  /** STRING-KEY file pruning through the connector — the single most
+    * common point-lookup shape in an LLM data pipeline, where keys are
+    * doc ids / URLs, not integers: the documents table lays out in
+    * [[SkipSlices]] files keyed by a STRING id (`doc-<n>`), the bloom
+    * sidecar indexes the string column (the build side always hashed
+    * `k.cast("string")`, so the on-disk index needs nothing new), and
+    * the probe arrives as a pushed `sid = '...'` whose literal IS the
+    * rendered key ([[graft.streaming.SnapshotSource.strProbesOf]]).
+    * Without this translation the same statement scans EVERY file of a
+    * 100 TB table — zone maps are integer-domain and can never help a
+    * string key. The planned-file count comes from the connector's own
+    * planning telemetry and is value-gated against the oracle's
+    * relational recompute of the string-hash admission (same portable
+    * md5-prefix family, VARCHAR identity cast), next to the probe's
+    * exact content.
+    */
+  def connectorStrSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_strskip")
+    val src = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("doc-"), col("doc_id")).as("sid"), col("n_chars"))
+    val maxKey = src.agg(max("doc_id")).as[Long].head()
+    val w = (maxKey + SkipSlices) / SkipSlices
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"doc_id div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, table, "sid", paths)
+    // Deterministic string probe key, recomputable by the oracle.
+    val probeId = src.filter(col("doc_id") % 7 === 3)
+      .agg(max("doc_id")).as[Long].head()
+    val probe = s"doc-$probeId"
+    val lookup = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("sid") === probe)
+      .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"))
+    val row = lookup.head()
+    val planned = graft.streaming.SnapshotSource.lastPlan(table)
+      .map(_._1).getOrElse(-1)
+    Seq((paths.size.toLong, planned.toLong, row.getLong(0), row.getLong(1),
+      row.getLong(2)))
+      .toDF("n_files_total", "n_files_planned", "n_rows", "id_sum", "chars_sum")
+  }
+
   /** Dynamic file pruning through the connector — the RUNTIME
     * counterpart of [[connectorBloomSkip]]'s compile-time pushdown:
     * the fact side is a snapshot table whose pruning keys are only
@@ -2984,6 +3032,7 @@ object SourceOps {
     "src_snapshot_skip" -> (snapshotSkip _),
     "src_snapshot_bloomskip" -> (snapshotBloomSkip _),
     "src_connector_bloomskip" -> (connectorBloomSkip _),
+    "src_connector_strskip" -> (connectorStrSkip _),
     "src_snapshot_bloomskip_incr" -> (connectorBloomSkipIncr _),
     "src_snapshot_skip2" -> (snapshotSkip2 _),
     "src_snapshot_optimize" -> (snapshotOptimize _),
@@ -3172,6 +3221,55 @@ object SourceOps {
          |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
          |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_planned,
          |  n_rows, key_sum
+         |FROM content""".stripMargin
+    },
+    // String-key twin: identical bloom recompute, but the hashed key is
+    // the VARCHAR doc id itself (the CAST is the identity) — a planner
+    // that failed to translate the pushed string literal into probe
+    // positions would plan every file and break the planned-file
+    // compare, not just run slower.
+    "src_connector_strskip" -> {
+      def hashP(i: Int, key: String): String =
+        graft.queries.DedupOps.duckPortable64(
+          s"concat('$FileBloomSalt$i:', CAST($key AS VARCHAR))") +
+          s" % $FileBloomBits"
+      val pos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT s, ${hashP(i, "sid")} AS p FROM sl")
+        .mkString("\n  UNION\n  ")
+      val ppos = (0 until FileBloomProbes)
+        .map(i => s"SELECT DISTINCT ${hashP(i, "pk")} AS p FROM probe")
+        .mkString("\n  UNION\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, concat('doc-', CAST(doc_id AS VARCHAR)) AS sid,
+         |    n_chars
+         |  FROM documents),
+         |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mk FROM base),
+         |sl AS (SELECT doc_id, sid, n_chars,
+         |         doc_id // ((mk + $SkipSlices) // $SkipSlices) AS s
+         |       FROM base, mx),
+         |probe AS (
+         |  SELECT concat('doc-', CAST(max(doc_id) AS VARCHAR)) AS pk
+         |  FROM base WHERE doc_id % 7 = 3),
+         |pos AS (
+         |  $pos
+         |),
+         |ppos AS (
+         |  $ppos
+         |),
+         |need AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppos),
+         |hits AS (SELECT pos.s, CAST(count(*) AS BIGINT) AS h
+         |         FROM pos JOIN ppos USING (p) GROUP BY pos.s),
+         |adm AS (SELECT s FROM hits, need WHERE h = n),
+         |content AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |         CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |  FROM sl, probe
+         |  WHERE sid = pk AND s IN (SELECT s FROM adm))
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sl) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_files_planned,
+         |  n_rows, id_sum, chars_sum
          |FROM content""".stripMargin
     },
     // Incremental twin: file identity is the (generation split, slice)

@@ -479,6 +479,80 @@ private[graft] object SnapshotSource {
     }
   }
 
+  /** Pushed filters as STRING point probes — the bloom hook for string
+    * key columns (`WHERE doc_id = '...'`, the dominant point-lookup
+    * shape in an LLM data pipeline, where keys are URLs/doc ids): the
+    * build side hashes `k.cast("string")`, which is the IDENTITY on a
+    * string column, so the pushed literal IS the rendered probe key.
+    * Equality/IN only; several probe filters on one column intersect.
+    * Strings never participate in zone-map or row-group range pruning
+    * (byte-wise truncated binary stats are not worth the soundness
+    * risk) — bloom membership is the string pruning axis.
+    */
+  def strProbesOf(filters: Array[Filter]): Map[String, Seq[String]] = {
+    def valuesOf(f: Filter): Option[(String, Seq[String])] = f match {
+      case EqualTo(c, v: String) => Some(c -> Seq(v))
+      case EqualTo(c, v: UTF8String) => Some(c -> Seq(v.toString))
+      case In(c, vs) if vs.nonEmpty && vs.forall(v =>
+          v.isInstanceOf[String] || v.isInstanceOf[UTF8String]) =>
+        Some(c -> vs.toSeq.map(_.toString))
+      case _ => None
+    }
+    filters.flatMap(valuesOf).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+  }
+
+  /** [[strProbesOf]] over V2 predicates (the DELETE pushdown and
+    * runtime-filter form): string literals arrive as Catalyst-internal
+    * `UTF8String`s. Same conjunction/intersection rules as
+    * [[v2ProbesOf]]; unrecognized conjuncts are ignored (sound — the
+    * admitted set is a superset of the AND's matches).
+    */
+  def v2StrProbesOf(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Map[String, Seq[String]] = {
+    def v2Str(
+        e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case v: UTF8String => Some(v.toString)
+            case v: String => Some(v)
+            case _ => None
+          }
+        case _ => None
+      }
+    def one(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Seq[(String, Seq[String])] = p.name() match {
+      case "AND" => p.children().toSeq.collect {
+        case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
+      }.flatMap(one)
+      case "=" => p.children() match {
+        case Array(a, b) => (v2Col(a), v2Str(b)) match {
+          case (Some(c), Some(v)) => Seq(c -> Seq(v))
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      case "IN" => p.children() match {
+        case Array(a, rest @ _*) =>
+          val vs = rest.map(v2Str)
+          (v2Col(a), vs) match {
+            case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
+              Seq(c -> ls.flatten.toSeq)
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    predicates.flatMap(one).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+  }
+
   /** Full-content commits (INSERT OVERWRITE, CTAS) reduce their staged
     * files to `(files to publish, husks to delete)`: zero-row husks
     * drop from a non-empty result (they would bloat the manifest
@@ -695,16 +769,26 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       SnapshotTable.tailEntries(spark, table, latest)
     val bounds = SnapshotSource.v2BoundsOf(predicates, tableSchema)
     val probes = SnapshotSource.v2ProbesOf(predicates)
-    if (!segmented && tombstones.isEmpty && (bounds.nonEmpty || probes.nonEmpty)) {
+    val strProbes = SnapshotSource.v2StrProbesOf(predicates)
+    if (!segmented && tombstones.isEmpty &&
+        (bounds.nonEmpty || probes.nonEmpty || strProbes.nonEmpty)) {
       // Two-level skipping, exactly the batch scan's: zone-map bounds
       // first, then the bloom sidecars for the point probes (the case
-      // zone maps cannot prune when every file spans the domain).
-      val affected = probes.foldLeft(
+      // zone maps cannot prune when every file spans the domain) —
+      // integer and string keys alike.
+      val longAdmitted = probes.foldLeft(
           SnapshotTable.admittedFiles(spark, table, latest, bounds)) {
         case (files, (c, vs)) =>
           if (vs.isEmpty) Seq.empty
           else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
             SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
+          else files
+      }
+      val affected = strProbes.foldLeft(longAdmitted) {
+        case (files, (c, vs)) =>
+          if (vs.isEmpty) Seq.empty
+          else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
+            SnapshotTable.bloomAdmittedFilesRendered(spark, table, c, vs, files)
           else files
       }
       val untouched = dataFiles.distinct.toSet -- affected
@@ -913,8 +997,16 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         sawFilters = filters.nonEmpty
+        // Telemetry freshness: a filtered statement never reaches
+        // pushAggregation (Spark blocks aggregate pushdown under
+        // residual filters), so the per-table log would otherwise
+        // retain a stale 'true' from an earlier unfiltered count —
+        // record the refusal HERE so the entry always reflects the
+        // most recent statement that planned this table.
+        if (sawFilters) SnapshotSource.recordCountPushdown(table, served = false)
         pushed = filters.filter(f => SnapshotSource.boundOf(f,
-          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined)
+          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined ||
+          SnapshotSource.strProbesOf(Array(f)).nonEmpty)
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
@@ -1020,14 +1112,16 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
             : Unit =
           batch.applyRuntimeFilters(
             SnapshotSource.v2BoundsOf(predicates, tableSchema),
-            SnapshotSource.v2ProbesOf(predicates))
+            SnapshotSource.v2ProbesOf(predicates),
+            SnapshotSource.v2StrProbesOf(predicates))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
             maxGensPerBatch, maxFilesPerBatch, maxBytesPerBatch,
             startingGeneration, startingTimestamp)
         private val batch = new SnapshotBatch(table, required, generation,
           SnapshotSource.boundsOf(pushed, tableSchema),
-          SnapshotSource.probesOf(pushed))
+          SnapshotSource.probesOf(pushed),
+          SnapshotSource.strProbesOf(pushed))
         override def toBatch: Batch = batch
         // POST-PRUNING size estimate, served from the MANIFEST's
         // recorded per-file stats (one manifest read covers every
@@ -1091,7 +1185,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
 private[streaming] class SnapshotBatch(table: String, schema: StructType,
     generation: Option[Long],
     bounds: Map[String, (Long, Long)] = Map.empty,
-    probes: Map[String, Seq[Long]] = Map.empty) extends Batch {
+    probes: Map[String, Seq[Long]] = Map.empty,
+    strProbes: Map[String, Seq[String]] = Map.empty) extends Batch {
 
   // RUNTIME filters (SupportsRuntimeV2Filtering): bounds/probes derived
   // from a join's build side AFTER it executes, intersected with the
@@ -1100,11 +1195,14 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
   // row-free, and Spark still evaluates the join itself row-level.
   @volatile private var rtBounds: Map[String, (Long, Long)] = Map.empty
   @volatile private var rtProbes: Map[String, Seq[Long]] = Map.empty
+  @volatile private var rtStrProbes: Map[String, Seq[String]] = Map.empty
 
   private[streaming] def applyRuntimeFilters(b: Map[String, (Long, Long)],
-      p: Map[String, Seq[Long]]): Unit = {
+      p: Map[String, Seq[Long]],
+      s: Map[String, Seq[String]] = Map.empty): Unit = {
     rtBounds = b
     rtProbes = p
+    rtStrProbes = s
   }
 
   private def mergedBounds: Map[String, (Long, Long)] =
@@ -1114,6 +1212,11 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
 
   private def mergedProbes: Map[String, Seq[Long]] =
     (probes.toSeq ++ rtProbes.toSeq).groupBy(_._1).map { case (c, gs) =>
+      c -> gs.map(_._2.distinct).reduce(_ intersect _)
+    }
+
+  private def mergedStrProbes: Map[String, Seq[String]] =
+    (strProbes.toSeq ++ rtStrProbes.toSeq).groupBy(_._1).map { case (c, gs) =>
       c -> gs.map(_._2.distinct).reduce(_ intersect _)
     }
 
@@ -1178,7 +1281,7 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     // a residual, so correctness never rests on either index. An
     // unsatisfiable probe conjunction (empty intersection) plans zero
     // files outright.
-    val admitted = mergedProbes.foldLeft(
+    val longAdmitted = mergedProbes.foldLeft(
         SnapshotTable.admittedFiles(spark, table, gen, mergedBounds)) {
       case (files, (c, vs)) =>
         if (vs.isEmpty) Seq.empty
@@ -1186,9 +1289,19 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
           SnapshotTable.bloomAdmittedFiles(spark, table, c, vs, files)
         else files
     }
+    // STRING point probes ride the same sidecars (the build hashes
+    // k.cast("string"), identity on string columns) — membership-only:
+    // strings never range-prune, so their only admission test is here.
+    val admitted = mergedStrProbes.foldLeft(longAdmitted) {
+      case (files, (c, vs)) =>
+        if (vs.isEmpty) Seq.empty
+        else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
+          SnapshotTable.bloomAdmittedFilesRendered(spark, table, c, vs, files)
+        else files
+    }
     if (record)
       SnapshotSource.recordPlan(table, admitted.size,
-        rtBounds.nonEmpty || rtProbes.nonEmpty)
+        rtBounds.nonEmpty || rtProbes.nonEmpty || rtStrProbes.nonEmpty)
     (gen, admitted, false)
   }
 
@@ -1380,7 +1493,16 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
       files.map { f =>
         rec.get(f).flatMap(_._2).getOrElse {
           val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).getFileStatus(p).getLen
+          // A file expired mid-load surfaces the stream's OWN
+          // diagnostic (the nextOffset guard's wording), not a raw
+          // FileNotFoundException from the legacy per-file fallback.
+          try p.getFileSystem(conf).getFileStatus(p).getLen
+          catch { case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"initial-load generation $g of $table was expired " +
+                "mid-load - retention outran the stream's replayable " +
+                s"window (missing data file: $f)")
+          }
         }
       }.toArray
     })
@@ -1829,7 +1951,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(f => SnapshotSource.boundOf(f,
-          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined)
+          c => tableSchema.fields.find(_.name == c).map(_.dataType)).isDefined ||
+          SnapshotSource.strProbesOf(Array(f)).nonEmpty)
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
@@ -1851,7 +1974,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
         private val batch =
           new SnapshotBatch(table, required, None,
               SnapshotSource.boundsOf(pushed, tableSchema),
-              SnapshotSource.probesOf(pushed)) {
+              SnapshotSource.probesOf(pushed),
+              SnapshotSource.strProbesOf(pushed)) {
             override def planInputPartitions(): Array[InputPartition] = {
               val (gen, files, segmented) = resolvePlan()
               record(RowLevelScanState(gen, files.toSet, segmented))
@@ -1881,7 +2005,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
             : Unit =
           batch.applyRuntimeFilters(
             SnapshotSource.v2BoundsOf(predicates, tableSchema),
-            SnapshotSource.v2ProbesOf(predicates))
+            SnapshotSource.v2ProbesOf(predicates),
+            SnapshotSource.v2StrProbesOf(predicates))
         override def toBatch: Batch = batch
       }
     }

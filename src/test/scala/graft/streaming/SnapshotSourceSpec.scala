@@ -551,6 +551,72 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(warm5.as[Long].collect().toSet === Set(1L))
   }
 
+  test("STRING point probes prune files through the bloom sidecar (incl. non-ASCII)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapstrbloom").toString
+    val table = s"$root/table"
+    // Four files, each holding ten string ids — including keys with
+    // multi-byte UTF-8 — so a probe admitting more than one file means
+    // the build side's `cast("string")` rendering and the driver-side
+    // probe hashing disagreed byte-for-byte.
+    def sid(id: Long): String = id match {
+      case 7L => "café-7"       // Latin-1 supplement (2-byte UTF-8)
+      case 23L => "δοκ-23" // Greek (2-byte)
+      case 31L => "文書-31"  // CJK (3-byte)
+      case _ => s"doc-$id"
+    }
+    val dataDir = s"$table/data/gen=1"
+    val paths = Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L)
+      .zipWithIndex.map { case (r, i) =>
+        val p = s"$dataDir/slice_$i"
+        r.map(id => (id, sid(id))).toDF("doc_id", "sid")
+          .coalesce(1).write.parquet(p)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+      }
+    SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
+    SnapshotTable.writeBloomIndex(spark, table, "sid", paths)
+
+    def read() = spark.read
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    def plannedFiles(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+
+    // ASCII point probe: lives only in slice 1.
+    val eq = read().filter(col("sid") === "doc-15").select("doc_id")
+    assert(plannedFiles(eq) < paths.size,
+      "a string equality probe on the bloom-indexed column must plan fewer files")
+    assert(eq.as[Long].collect().toSet === Set(15L))
+
+    // Non-ASCII probes: each admits (at least) its own file and serves
+    // exactly its row — a rendering mismatch anywhere (UTF-8 bytes,
+    // salt concatenation) would hash to different positions and either
+    // plan all files or, worse, none.
+    Seq(7L, 23L, 31L).foreach { id =>
+      val probe = read().filter(col("sid") === sid(id)).select("doc_id")
+      assert(plannedFiles(probe) < paths.size,
+        s"non-ASCII probe ${sid(id)} must prune")
+      assert(probe.as[Long].collect().toSet === Set(id))
+    }
+
+    // IN over string keys from two different slices: union admission,
+    // still fewer than all files.
+    val in = read().filter(col("sid").isin("doc-3", "doc-36")).select("doc_id")
+    assert(plannedFiles(in) < paths.size)
+    assert(in.as[Long].collect().toSet === Set(3L, 36L))
+
+    // A probe value present nowhere plans at most the false-positive
+    // files and returns nothing.
+    val miss = read().filter(col("sid") === "doc-999").select("doc_id")
+    assert(miss.count() === 0L)
+  }
+
   test("schema evolution degrades to nulls in the connector's by-name decode") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapevolve").toString
