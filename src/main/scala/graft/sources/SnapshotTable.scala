@@ -1492,6 +1492,34 @@ object SnapshotTable {
       .sorted
   }
 
+  /** Table-wide `[lo, hi]` of `column`'s physical-long domain, folded
+    * from generation `gen`'s per-file zone maps in ONE manifest read —
+    * what serves a pushed bare `MIN(col)` / `MAX(col)` without opening
+    * a data file. `Some` ONLY under FULL COVERAGE: every data row that
+    * could hold rows (recorded `n_rows` > 0, or unrecorded — unprovably
+    * empty admits to the requirement, never past it) must carry a zone
+    * row for the column, because a single uncovered file could hold the
+    * true extremum. Parquet footer min/max exclude nulls on the build
+    * side exactly as SQL MIN/MAX do on the query side, so the fold is
+    * value-exact, not approximate — zone maps here are exact integer
+    * bounds, never truncated.
+    */
+  private[graft] def columnMinMax(spark: SparkSession, table: String,
+      gen: Long, column: String): Option[(Long, Long)] = {
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    val need = rows.collect {
+      case r if r.kind.forall(_ == "data") && r.nRows.forall(_ > 0L) => r.path
+    }.distinct
+    val recs = rows.collect {
+      case ManifestRow(p, k, Some(c), Some(mn), Some(mx), _, _, _)
+          if c == column && k.forall(_ == "data") => (p, mn, mx)
+    }
+    val covered = recs.map(_._1).toSet
+    if (need.nonEmpty && need.forall(covered.contains))
+      Some((recs.map(_._2).min, recs.map(_._3).max))
+    else None
+  }
+
   /** Columns with long-form zone-map rows ([[publishStats]]) in
     * generation `gen`'s manifest — the dimensions [[admittedFiles]]
     * can prune on. One manifest read.

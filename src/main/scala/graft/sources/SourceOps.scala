@@ -904,6 +904,57 @@ object SourceOps {
       .toDF("phase", "n_rows", "ok").orderBy("phase")
   }
 
+  /** MIN/MAX PUSHDOWN from manifest zone maps — [[connectorCount]]'s
+    * sibling for the other metadata-answered aggregates: bare
+    * `MIN(col)` / `MAX(col)` on a stats-covered column fold the
+    * per-file [lo, hi] the manifest already records, under the
+    * identical refuse-on-filter/tombstone/missing-stats guards, so
+    * `SELECT min(k), max(k), count(*) FROM t` on a 100 TB table is one
+    * driver-side manifest read serving a one-row local relation.
+    * `a_ok` requires the combined statement's plan to BE that local
+    * relation (no BatchScan, no HashAggregate); `b_ok` the same for a
+    * DATE column (the physical-long fold translated back to the
+    * column's domain); `c_ok` proves the guard — a filtered MIN still
+    * scans honestly. Every value is value-gated against DuckDB.
+    */
+  def connectorMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_minmax")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderdate").cast("date").as("dt"))
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", pmod(col("o_orderkey"), lit(4)).cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    SnapshotTable.publishStats(spark, table, 1L,
+      SnapshotTable.footerStats(spark, paths, Seq("o_orderkey", "dt")))
+    def read() = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("LocalTableScan") && !p.contains("BatchScan") &&
+        !p.contains("HashAggregate")
+    }
+    val a = read().selectExpr("min(o_orderkey) AS key_min",
+      "max(o_orderkey) AS key_max", "count(*) AS n_rows")
+    val ra = a.head()
+    val aOk = isLocal(a)
+    val b = read().selectExpr("min(dt) AS dt_min", "max(dt) AS dt_max")
+    val rb = b.head()
+    val bOk = isLocal(b)
+    val c = read().where(col("o_orderkey") % 3 === 0)
+      .selectExpr("min(o_orderkey) AS f_min")
+    val rc = c.head()
+    val cOk = c.queryExecution.executedPlan.toString.contains("BatchScan")
+    Seq((ra.getLong(0), ra.getLong(1), ra.getLong(2),
+      rb.getDate(0).toLocalDate.toEpochDay, rb.getDate(1).toLocalDate.toEpochDay,
+      rc.getLong(0), aOk, bOk, cOk))
+      .toDF("key_min", "key_max", "n_rows", "day_min", "day_max", "f_min",
+        "a_ok", "b_ok", "c_ok")
+  }
+
   /** MAP columns through the connector — the last nested shape of the
     * type surface: per-document attribute maps (the flexible-metadata
     * idiom next to [[connectorStruct]]'s fixed shape) commit as
@@ -3015,6 +3066,7 @@ object SourceOps {
     "src_connector_struct" -> (connectorStruct _),
     "src_connector_map" -> (connectorMap _),
     "src_connector_count" -> (connectorCount _),
+    "src_connector_minmax" -> (connectorMinMax _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3463,6 +3515,21 @@ object SourceOps {
         |SELECT 'c_filtered', CAST(count(*) AS BIGINT), TRUE
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY phase""".stripMargin,
+    // Min/max-pushdown twin: the folded extrema, the date fold
+    // translated back to epoch days, and the filtered refusal's honest
+    // value; plan shapes bind as the booleans.
+    "src_connector_minmax" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |SELECT CAST(min(o_orderkey) AS BIGINT) AS key_min,
+        |  CAST(max(o_orderkey) AS BIGINT) AS key_max,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(date_diff('day', DATE '1970-01-01', min(dt)) AS BIGINT) AS day_min,
+        |  CAST(date_diff('day', DATE '1970-01-01', max(dt)) AS BIGINT) AS day_max,
+        |  (SELECT CAST(min(o_orderkey) AS BIGINT) FROM src
+        |   WHERE o_orderkey % 3 = 0) AS f_min,
+        |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS c_ok
+        |FROM src""".stripMargin,
     // Map twin: the two looked-up keys' sums over the original flat
     // columns — the map fold/unfold must be content-neutral.
     "src_connector_map" ->

@@ -324,7 +324,7 @@ private[graft] object SnapshotSource {
     * SOUND for pruning because a file that cannot satisfy one conjunct
     * cannot satisfy the AND of all of them.
     */
-  private def v2Col(
+  private[streaming] def v2Col(
       e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1011,21 +1011,28 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       }
       override def pushedFilters(): Array[Filter] = pushed
 
-      // COUNT(*) PUSHDOWN, served from the manifest's recorded per-file
-      // row counts: `SELECT count(*) FROM t` on a 100 TB table is one
-      // driver-side manifest resolution (chain-folded for segments), no
-      // data file opened, no task scheduled beyond the one-row local
-      // scan. STRICTLY guarded — any of these refuses and the normal
-      // scan counts rows the honest way: ANY filter Spark pushed at
+      // METADATA-ANSWERED AGGREGATES, served from the manifest:
+      // `SELECT count(*) FROM t` sums the recorded per-file row counts
+      // (chain-folded for segments), and bare `MIN(col)` / `MAX(col)`
+      // on a zone-map-covered column fold the per-file [lo, hi] —
+      // either way one driver-side manifest resolution, no data file
+      // opened, no task scheduled beyond the one-row local scan; any
+      // combination of the three shapes in one statement
+      // (`SELECT min(k), max(k), count(*)`) serves together. STRICTLY
+      // guarded — any of these refuses the WHOLE statement and the
+      // normal scan answers the honest way: ANY filter Spark pushed at
       // all (rows must be tested), merge-on-read tombstones (recorded
-      // counts include rows the anti-join hides), or any file without
-      // a recorded count. MEMOIZED per statement: the lazy val pins
-      // the snapshot ONCE at the first offer, so the
-      // supportCompletePushDown → pushAggregation pair can never
-      // resolve two different generations (and pays one resolution,
-      // not two).
-      private var pushedCount: Option[Long] = None
-      private lazy val statsCount: Option[Long] =
+      // stats include rows the anti-join hides), a grouped aggregate,
+      // any file without a recorded count (COUNT), any possibly
+      // non-empty file without a zone row for the column (MIN/MAX —
+      // one uncovered file could hold the true extremum), or a column
+      // type outside the exact physical-long domain. MEMOIZED per
+      // statement: the lazy val pins the snapshot ONCE at the first
+      // offer, so the supportCompletePushDown → pushAggregation pair
+      // can never straddle a concurrent commit (and pays one
+      // resolution, not two).
+      private var pushedAgg: Option[(StructType, Array[Any])] = None
+      private lazy val aggBase: Option[(Long, Boolean)] =
         try {
           val spark = SparkSession.active
           val gens = SnapshotTable.generations(spark, table)
@@ -1035,16 +1042,42 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
             if (!gens.contains(gen)) None
             else {
               val (_, dels, seg) = SnapshotTable.tailEntries(spark, table, gen)
-              if (dels.nonEmpty) None
-              else {
-                val rec = SnapshotTable.statsFor(spark, table, gen, seg)
-                if (rec.nonEmpty && rec.values.forall(_._1.isDefined))
-                  Some(rec.values.map(_._1.get).sum)
-                else None
-              }
+              if (dels.nonEmpty) None else Some((gen, seg))
             }
           }
         } catch { case _: Exception => None }
+      private lazy val statsCount: Option[Long] =
+        aggBase.flatMap { case (gen, seg) =>
+          try {
+            val rec =
+              SnapshotTable.statsFor(SparkSession.active, table, gen, seg)
+            if (rec.nonEmpty && rec.values.forall(_._1.isDefined))
+              Some(rec.values.map(_._1.get).sum)
+            else None
+          } catch { case _: Exception => None }
+        }
+      // Per-column zone fold, memoized against the SAME pinned
+      // snapshot (segments record no zone maps — refuse there).
+      private val zoneCache =
+        scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
+      private def zoneOf(c: String): Option[(Long, Long)] =
+        zoneCache.getOrElseUpdate(c, aggBase.flatMap { case (gen, seg) =>
+          if (seg) None
+          else try SnapshotTable.columnMinMax(SparkSession.active, table, gen, c)
+          catch { case _: Exception => None }
+        })
+      /** A folded physical long back as the column's Catalyst-internal
+        * value — [[SnapshotSource.physicalLong]]'s exact inverse for
+        * the types zone maps record; anything else refuses.
+        */
+      private def internalOf(dt: DataType, v: Long): Option[Any] = dt match {
+        case LongType | TimestampType | TimestampNTZType => Some(v)
+        case IntegerType | DateType
+            if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+        case d: DecimalType if d.precision <= 18 =>
+          Some(org.apache.spark.sql.types.Decimal(v, d.precision, d.scale))
+        case _ => None
+      }
       private def isBareCount(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Boolean =
@@ -1052,23 +1085,46 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           agg.aggregateExpressions().length == 1 &&
           agg.aggregateExpressions().head
             .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-      private def countOf(
+      private def serveAgg(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Option[Long] =
-        if (!sawFilters && isBareCount(agg)) statsCount else None
+          : Option[(StructType, Array[Any])] = {
+        import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+        if (sawFilters || agg.groupByExpressions().nonEmpty) return None
+        val exprs = agg.aggregateExpressions()
+        if (exprs.isEmpty) return None
+        def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+            hi: Boolean, label: String): Option[(StructField, Any)] =
+          for {
+            c <- SnapshotSource.v2Col(col)
+            dt <- tableSchema.fields.find(_.name == c).map(_.dataType)
+            zm <- zoneOf(c)
+            v <- internalOf(dt, if (hi) zm._2 else zm._1)
+          } yield (StructField(s"$label($c)", dt, nullable = true), v)
+        val served = exprs.toSeq.map {
+          case _: CountStar => statsCount.map(n =>
+            (StructField("count(*)", LongType, nullable = false), n: Any))
+          case m: Min => minMax(m.column, hi = false, "min")
+          case m: Max => minMax(m.column, hi = true, "max")
+          case _ => None
+        }
+        if (served.forall(_.isDefined)) {
+          val rows = served.flatten
+          Some((StructType(rows.map(_._1)), rows.map(_._2).toArray))
+        } else None
+      }
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Boolean = countOf(agg).isDefined
+          : Boolean = serveAgg(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Boolean = {
-        pushedCount = countOf(agg)
-        // Telemetry records COUNT offers only: an unrelated pushable
-        // aggregate (a bare sum) must not overwrite a prior count
-        // verdict with a spurious refusal.
+        pushedAgg = serveAgg(agg)
+        // Telemetry records bare-COUNT offers only: an unrelated
+        // pushable aggregate must not overwrite a prior count verdict
+        // with a spurious refusal.
         if (isBareCount(agg))
-          SnapshotSource.recordCountPushdown(table, pushedCount.isDefined)
-        pushedCount.isDefined
+          SnapshotSource.recordCountPushdown(table, pushedAgg.isDefined)
+        pushedAgg.isDefined
       }
 
       // SupportsRuntimeV2Filtering: a join's build-side keys prune
@@ -1082,17 +1138,16 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       // degrades that condition to TRUE exactly when NOT-MATCHED-BY-
       // SOURCE arms exist (every group is touched then, so no filter
       // fires); the drills pin both directions.
-      override def build(): Scan = pushedCount match {
-        case Some(n) =>
-          // The pushed COUNT(*): a one-row driver-local relation — the
-          // whole statement's data path.
+      override def build(): Scan = pushedAgg match {
+        case Some((aggSchema, values)) =>
+          // The pushed COUNT/MIN/MAX row: a one-row driver-local
+          // relation — the whole statement's data path.
           new org.apache.spark.sql.connector.read.LocalScan {
             override def rows(): Array[InternalRow] =
-              Array(new GenericInternalRow(Array[Any](n)))
-            override def readSchema(): StructType =
-              new StructType().add("count(*)", LongType, nullable = false)
+              Array(new GenericInternalRow(values))
+            override def readSchema(): StructType = aggSchema
             override def description(): String =
-              s"SnapshotCountFromStats($table)"
+              s"SnapshotAggFromStats($table)"
           }
         case None => buildScan()
       }

@@ -210,6 +210,58 @@ class DecimalArrayReadSpec extends AnyFunSuite {
     assert(SnapshotSource.lastCountPushdown(t) === Some(false))
   }
 
+  test("MIN/MAX push down to zone maps; coverage gaps and filters refuse") {
+    val t = graft.Scratch.dir("minmax_pushdown")
+    val gen1 = s"$t/data/gen=1"
+    spark.range(1L, 4001L).select(col("id").as("k"),
+        ((col("id") * 25 + 7).cast(DecimalType(18, 4)) / 100)
+          .cast(DecimalType(18, 4)).as("price"),
+        expr("id div 1000").cast("int").as("s"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1)
+    val paths = spark.read.parquet(gen1).inputFiles.toSeq.sorted
+    SnapshotTable.publishStats(spark, t, 1L,
+      SnapshotTable.footerStats(spark, paths, Seq("k", "price")))
+    def read() = spark.read.format(provider).load(t)
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // Long + decimal min/max and count together: one local relation,
+    // no scan, values exact (the decimal fold rescales the unscaled
+    // long back at the column's scale).
+    val a = read().selectExpr("min(k)", "max(k)", "count(*)",
+      "min(price)", "max(price)")
+    val ra = a.head()
+    assert(plan(a).contains("LocalTableScan") && !plan(a).contains("BatchScan"))
+    assert(ra.getLong(0) === 1L && ra.getLong(1) === 4000L &&
+      ra.getLong(2) === 4000L)
+    assert(ra.getDecimal(3) === new java.math.BigDecimal("0.3200"))
+    assert(ra.getDecimal(4) === new java.math.BigDecimal("1000.0700"))
+    // A filter refuses (the guard): the honest scan still answers.
+    val f = read().where(col("k") % 7 === 0).selectExpr("min(k)")
+    assert(f.head().getLong(0) === 7L)
+    assert(plan(f).contains("BatchScan"))
+    // COVERAGE GAP: a generation whose new file carries no zone row
+    // must refuse min/max (the uncovered file could hold the true
+    // extremum) while count — covered by recorded n_rows — still
+    // serves. The honest scan finds the new true minimum.
+    val extraDir = s"$t/data/gen=2"
+    spark.range(1).select(lit(-5L).as("k"),
+        lit(new java.math.BigDecimal("0.0100")).cast(DecimalType(18, 4))
+          .as("price"))
+      .coalesce(1).write.parquet(extraDir)
+    val extra = spark.read.parquet(extraDir).inputFiles.head
+    SnapshotTable.publishAppend(spark, t, 2L, Seq(extra), carryFrom = Some(1L))
+    val g = read().selectExpr("min(k)")
+    assert(g.head().getLong(0) === -5L,
+      "the uncovered file's row must be found by the honest scan")
+    assert(plan(g).contains("BatchScan"),
+      "min over a partially-covered generation must refuse the pushdown")
+    val c = read().selectExpr("count(*)")
+    assert(c.head().getLong(0) === 4001L)
+    assert(plan(c).contains("LocalTableScan") && !plan(c).contains("BatchScan"),
+      "count stays manifest-served: every file has a recorded row count")
+  }
+
   test("nested schema pruning reaches the decoder: a struct-member read decodes the subset") {
     val t = graft.Scratch.dir("nested_prune")
     spark.range(500L).select(col("id").as("k"),
