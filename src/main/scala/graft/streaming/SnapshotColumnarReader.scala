@@ -58,13 +58,19 @@ private[streaming] class SnapshotColumnarReader(path: String,
   reader.setRequestedSchema(projected)
 
   /** ColumnReadStoreImpl wants a record converter; value access goes
-    * through the typed getters, so a structural no-op suffices.
+    * through the typed getters, so a structural no-op suffices. The
+    * store WALKS the column's full path through the converter tree
+    * (one asGroupConverter per intermediate level — an array column's
+    * path is field/list/element, depth 3 — then asPrimitiveConverter
+    * at the leaf), so the dummy is SELF-SIMILAR: a group at every
+    * level that also serves the leaf primitive.
     */
-  private val dummyConverter: GroupConverter = new GroupConverter {
+  private val dummyConverter: GroupConverter = new GroupConverter { self =>
     private val prim = new PrimitiveConverter {}
-    override def getConverter(fieldIndex: Int): Converter = prim
+    override def getConverter(fieldIndex: Int): Converter = self
     override def start(): Unit = ()
     override def end(): Unit = ()
+    override def asPrimitiveConverter(): PrimitiveConverter = prim
   }
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -72,8 +78,13 @@ private[streaming] class SnapshotColumnarReader(path: String,
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
 
-  // Current row group state.
+  // Current row group state. `consumed` counts triplets taken from
+  // each column reader — array columns consume a VARIABLE number per
+  // record, and reading past getTotalValueCount is illegal, so the
+  // repetition-level record walk needs the running position (persists
+  // across batches within one row group).
   private var readers: Array[org.apache.parquet.column.ColumnReader] = _
+  private var consumed: Array[Long] = _
   private var rowsLeftInGroup: Long = 0L
 
   // ROW-GROUP skipping — the third pruning level under the manifest
@@ -107,6 +118,7 @@ private[streaming] class SnapshotColumnarReader(path: String,
     val store = new ColumnReadStoreImpl(pages, dummyConverter, projected, createdBy)
     val descs = projected.getColumns
     readers = new Array(schema.fields.length)
+    consumed = new Array(schema.fields.length)
     var pi = 0
     var i = 0
     while (i < schema.fields.length) {
@@ -129,7 +141,10 @@ private[streaming] class SnapshotColumnarReader(path: String,
       val vec = vectors(i)
       vec.reset()
       if (!present(i)) vec.putNulls(0, n)
-      else fill(vec, readers(i), schema.fields(i).dataType, n)
+      else schema.fields(i).dataType match {
+        case ArrayType(et, _) => fillArray(vec, i, et, n)
+        case dt => fill(vec, readers(i), dt, n)
+      }
       i += 1
     }
     rowsLeftInGroup -= n
@@ -192,6 +207,75 @@ private[streaming] class SnapshotColumnarReader(path: String,
     }
   }
 
+  /** VECTORIZED decode of an ARRAY-of-primitive column — the embedding
+    * fast path: repetition levels drive the record walk (a triplet with
+    * rep > 0 continues the current row's list; rep 0 starts the next
+    * row), definition levels distinguish null array / empty array /
+    * null element / value, and elements land in the vector's CHILD
+    * array via the append contract (`putArray(row, start, len)` over
+    * the child's element index — Spark's own vectorized parquet
+    * shape). Handles the standard three-level list from both writers,
+    * required (`containsNull = false`) elements, and the legacy
+    * two-level `repeated <prim>` form, all through the same
+    * definition-level thresholds:
+    * value ⟺ def == maxDef; null element ⟺ element-optional ∧
+    * def == maxDef−1; empty ⟺ def == emptyDef (the level the path
+    * contributes with the field present but no element); null array ⟺
+    * def < emptyDef.
+    */
+  private def fillArray(vec: OnHeapColumnVector, i: Int,
+      et: DataType, n: Int): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val cr = readers(i)
+    val desc = cr.getDescriptor
+    val maxDef = desc.getMaxDefinitionLevel
+    val elemOpt = desc.getPrimitiveType.getRepetition ==
+      org.apache.parquet.schema.Type.Repetition.OPTIONAL
+    val emptyDef = maxDef - 1 - (if (elemOpt) 1 else 0)
+    val phys = desc.getPrimitiveType.getPrimitiveTypeName
+    val total = cr.getTotalValueCount
+    val child = vec.getChild(0)
+      .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+    def appendValue(): Unit = et match {
+      case TimestampType | TimestampNTZType if phys == PrimitiveTypeName.INT96 =>
+        child.appendLong(SnapshotSource.int96ToMicros(cr.getBinary.getBytes))
+      case LongType | TimestampType | TimestampNTZType =>
+        child.appendLong(cr.getLong)
+      case IntegerType | DateType => child.appendInt(cr.getInteger)
+      case DoubleType => child.appendDouble(cr.getDouble)
+      case FloatType => child.appendFloat(cr.getFloat)
+      case BooleanType => child.appendBoolean(cr.getBoolean)
+      case StringType | BinaryType =>
+        val b = cr.getBinary.getBytes
+        child.appendByteArray(b, 0, b.length)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot columnar reader: unsupported array element type $other")
+    }
+    var done = consumed(i)
+    var r = 0
+    while (r < n) {
+      // Positioned at the first triplet of this record.
+      val firstDef = cr.getCurrentDefinitionLevel
+      val start = child.getElementsAppended
+      var count = 0
+      var more = true
+      while (more) {
+        val d = cr.getCurrentDefinitionLevel
+        if (d == maxDef) { appendValue(); count += 1 }
+        else if (elemOpt && d == maxDef - 1) { child.appendNull(); count += 1 }
+        // d <= emptyDef: the record's null/empty marker triplet — no
+        // element contributed.
+        cr.consume()
+        done += 1
+        more = done < total && cr.getCurrentRepetitionLevel > 0
+      }
+      if (firstDef < emptyDef) vec.putNull(r)
+      else vec.putArray(r, start, count)
+      r += 1
+    }
+    consumed(i) = done
+  }
+
   override def get(): ColumnarBatch = batch
 
   override def close(): Unit = {
@@ -245,14 +329,21 @@ private[graft] object SnapshotColumnarReader {
   }
 
   /** The type set both decoders share — what the factory's
-    * `supportColumnarReads` advertises.
+    * `supportColumnarReads` advertises. ARRAY-of-primitive (the
+    * embedding shape — exactly one leaf column per field, which the
+    * reader's descriptor walk relies on) decodes vectorized via the
+    * repetition-level record walk; arrays of decimals/structs/maps and
+    * the other nested shapes fall back to the row decoder.
     */
   def supports(schema: StructType): Boolean = schema.fields.forall(_.dataType match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
          DoubleType | FloatType | BooleanType | StringType | BinaryType => true
     case _: DecimalType => true
-    // ARRAY columns fall back to the row decoder (nested repetition
-    // levels are outside this flat-column fast path).
+    case ArrayType(et, _) => et match {
+      case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
+           DoubleType | FloatType | BooleanType | StringType | BinaryType => true
+      case _ => false
+    }
     case _ => false
   })
 }
