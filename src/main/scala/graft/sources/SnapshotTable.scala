@@ -292,6 +292,71 @@ object SnapshotTable {
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
+  /** Record `column` as the table's IDENTITY PARTITION column — a
+    * marker file under `meta/` (the `.action=`/`.ts=` idiom: the name
+    * carries the value, creation is atomic, reads are one directory
+    * listing). The marker is METADATA for the write path and SHOW
+    * surfaces only: readers never need it, because partition pruning
+    * rides the per-file `min = max = value` zone rows every
+    * partition-routed commit records in the manifest — the standard
+    * two-birds trick of identity partitioning on an integer-physical
+    * column (directory-granular layout AND zone-map-exact pruning from
+    * the same rows). Written AFTER the defining generation publishes,
+    * so a CTAS losing the first-writer-wins race never plants its spec
+    * over the winner's.
+    */
+  def recordPartitionColumn(spark: SparkSession, table: String,
+      column: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(s"$table/meta")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"partition=$column"),
+      false).close()
+  }
+
+  /** The recorded identity-partition column, if any — one directory
+    * listing; `None` for unpartitioned tables (and on any listing
+    * failure: the marker is advisory for writes, never load-bearing
+    * for reads).
+    */
+  def partitionColumn(spark: SparkSession, table: String): Option[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$table/meta")
+    try {
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(d)) None
+      else fs.listStatus(d).map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("partition=") =>
+          n.stripPrefix("partition=") }
+    } catch { case _: Exception => None }
+  }
+
+  /** Publish partition-routed staged files as generation `gen`: each
+    * file whose writer knew its partition value lands with a
+    * `min = max = value` zone row on the partition column (recorded
+    * from the WRITER's routing — zero footer I/O buys exact pruning),
+    * a null-partition file lands as a plain row (admitted
+    * conservatively, the standard contract); footer row counts/bytes
+    * are stamped like every self-written commit. Carried rows — and
+    * their zone stats — survive verbatim via the shared append core.
+    */
+  def publishPartitionedFiles(spark: SparkSession, table: String, gen: Long,
+      partCol: String, files: Seq[(String, Option[Long])],
+      carryFrom: Option[Long], action: String = "append"): Unit = {
+    val metaMap = fileMeta(spark, files.map(_._1).sorted)
+      .map(m => m._1 -> ((m._2, m._3))).toMap
+    val rows = files.sortBy(_._1).map { case (p, v) =>
+      val (n, b) = metaMap(p)
+      v match {
+        case Some(x) => ManifestRow(p, keyCol = Some(partCol),
+          minKey = Some(x), maxKey = Some(x),
+          nRows = Some(n), bytes = Some(b))
+        case None => ManifestRow(p, nRows = Some(n), bytes = Some(b))
+      }
+    }
+    publishAppendRows(spark, table, gen, rows, carryFrom,
+      action = action, statFresh = false)
+  }
+
   /** The ACTION generation `gen` was committed with ("append",
     * "compact", "optimize", "upsert", "delete", "merge", "rollback",
     * "clone") — `None` for manifests written before actions were

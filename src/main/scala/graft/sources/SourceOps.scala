@@ -1673,6 +1673,99 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** `ALTER TABLE RENAME COLUMN` / `DROP COLUMN` — the rest of the
+    * DDL lifecycle, still METADATA-ONLY: a rename rewrites ZERO data
+    * (the drill requires verbatim files) and serves old files through
+    * the recorded alias chain, so a read spanning pre-rename and
+    * post-rename files sees ONE column; a drop tombstones the field
+    * (never served, never resurrected by the footer union) while time
+    * travel before each alter keeps that snapshot's own names. Phases
+    * gate the mixed-file content under the new name, the old name via
+    * `VERSION AS OF`, and the post-drop narrow schema — with column
+    * counts, the half a value hash cannot see.
+    */
+  def catalogEvolve2(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_evolve2")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    orders.createOrReplaceTempView("evolve2_src")
+    SnapshotTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(2), t, 1L)
+    val beforeFiles = SnapshotTable.listFiles(spark, t, 1L)
+    spark.sql(s"ALTER TABLE $cat.`$name` RENAME COLUMN o_custkey TO cust")
+    require(SnapshotTable.listFiles(spark, t, 2L) == beforeFiles,
+      "RENAME COLUMN must be metadata-only: files carry verbatim")
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey, o_custkey FROM evolve2_src WHERE o_orderkey % 2 = 0")
+    def phase(tag: String, from: String, custExpr: String): DataFrame = {
+      val nCols = spark.sql(s"SELECT * FROM $from LIMIT 0").columns.length.toLong
+      spark.sql(
+        s"""SELECT '$tag' AS phase, count(*) AS n_rows,
+           |  sum(o_orderkey) AS key_sum, $custExpr AS cust_sum,
+           |  CAST($nCols AS BIGINT) AS n_cols
+           |FROM $from""".stripMargin)
+    }
+    val a = phase("a_renamed", s"$cat.`$name`", "sum(cust)")
+    val b = phase("b_narrow", s"$cat.`$name` VERSION AS OF 1", "sum(o_custkey)")
+    spark.sql(s"ALTER TABLE $cat.`$name` DROP COLUMN cust")
+    val c = phase("c_dropped", s"$cat.`$name`", "CAST(0 AS BIGINT)")
+    a.unionByName(b).unionByName(c).orderBy("phase")
+  }
+
+  /** PARTITIONED catalog tables — `CREATE TABLE ... PARTITIONED BY
+    * (bkt) AS SELECT ...`: writes route rows into per-value files
+    * (one identity partition per directory) and record
+    * `min = max = value` zone rows from the WRITER's own routing, so
+    * a partition predicate prunes files through the ordinary manifest
+    * admission — the first, directory-granular prune a 100 TB table
+    * applies before any finer index loads. Value-gated: the planned
+    * file count under `bkt = 3` must be EXACTLY the partition's file
+    * count (1 after CTAS, 2 after an INSERT INTO lands a second file
+    * in the partition — proving appends stay partition-routed), and a
+    * row-level UPDATE over one partition keeps the whole table exact
+    * (DML on a partitioned lineage). `DISTRIBUTE BY` pins file counts
+    * (one file per (task, value) pair, each value in one task).
+    */
+  def catalogPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_part")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .createOrReplaceTempView("part_src")
+    spark.sql(s"CREATE TABLE $cat.`$name` PARTITIONED BY (bkt) AS " +
+      "SELECT o_orderkey, o_custkey, CAST(o_orderkey % 8 AS INT) AS bkt " +
+      "FROM part_src DISTRIBUTE BY o_orderkey % 8")
+    require(SnapshotTable.partitionColumn(spark, t).contains("bkt"),
+      "CTAS must record the identity partition column")
+    require(SnapshotTable.commitAction(spark, t, 1L).contains("create"),
+      "partitioned CTAS must commit generation 1 as 'create'")
+    val nFilesG1 = SnapshotTable.listFiles(spark, t, 1L).size.toLong
+    def point(): org.apache.spark.sql.Row = spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS ks
+         |FROM $cat.`$name` WHERE bkt = 3""".stripMargin).head()
+    val a = point()
+    val plannedA = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1).toLong
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey + 1000000000, o_custkey, CAST(3 AS INT) " +
+      "FROM part_src WHERE o_orderkey % 8 = 3 DISTRIBUTE BY o_orderkey % 8")
+    val b = point()
+    val plannedB = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1).toLong
+    spark.sql(s"UPDATE $cat.`$name` SET o_custkey = o_custkey + 777 " +
+      "WHERE bkt = 5")
+    val c = spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS ks, sum(o_custkey) AS cs
+         |FROM $cat.`$name`""".stripMargin).head()
+    Seq((nFilesG1, plannedA, a.getLong(0), a.getLong(1),
+      plannedB, b.getLong(0), b.getLong(1),
+      c.getLong(0), c.getLong(1), c.getLong(2)))
+      .toDF("n_files_g1", "planned_a", "n_a", "ks_a",
+        "planned_b", "n_b", "ks_b", "n_c", "ks_c", "cs_c")
+  }
+
   /** `ALTER TABLE ADD COLUMN` through the catalog — METADATA-ONLY
     * schema evolution: the evolved schema lands as a recorded-schema
     * sidecar on a fresh generation carrying the data files VERBATIM
@@ -3074,6 +3167,8 @@ object SourceOps {
     "src_catalog_proc" -> (catalogProc _),
     "src_catalog_overwrite" -> (catalogOverwrite _),
     "src_catalog_ctas" -> (catalogCtas _),
+    "src_catalog_partitioned" -> (catalogPartitioned _),
+    "src_catalog_evolve2" -> (catalogEvolve2 _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
     "src_catalog_drop" -> (catalogDrop _),
@@ -3724,6 +3819,51 @@ object SourceOps {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT)
         |FROM orders
         |ORDER BY phase""".stripMargin,
+    // Rename/drop twin: renames are content-neutral (same sums under
+    // the new name; the narrow travel phase under the old), the drop
+    // zeroes the column's phase value; column counts are layout
+    // constants (2, 2, then 1 after the drop).
+    "src_catalog_evolve2" ->
+      """SELECT 'a_renamed' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(2 AS BIGINT) AS n_cols
+        |FROM orders
+        |UNION ALL
+        |SELECT 'b_narrow', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT),
+        |  CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 'c_dropped', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM orders
+        |ORDER BY phase""".stripMargin,
+    // Partitioned-CTAS twin: partition file counts are layout
+    // constants (one file per bkt value per statement — DISTRIBUTE BY
+    // pins each value to one task), the planned counts the zone-row
+    // admission recompute (1 after CTAS, 2 after the insert lands a
+    // second bkt=3 file), content from the split predicates with the
+    // UPDATE's +777 applied to the original bkt=5 rows only.
+    "src_catalog_partitioned" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderkey % 8 AS bkt FROM orders),
+        |ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |          3 AS bkt FROM src WHERE bkt = 3),
+        |allr AS (SELECT * FROM src UNION ALL SELECT * FROM ins)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT bkt) AS BIGINT) FROM src) AS n_files_g1,
+        |  CAST(1 AS BIGINT) AS planned_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM src WHERE bkt = 3) AS n_a,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM src WHERE bkt = 3) AS ks_a,
+        |  CAST(2 AS BIGINT) AS planned_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM allr WHERE bkt = 3) AS n_b,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM allr WHERE bkt = 3) AS ks_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM allr) AS n_c,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM allr) AS ks_c,
+        |  (SELECT CAST(sum(o_custkey +
+        |     CASE WHEN bkt = 5 THEN 777 ELSE 0 END) AS BIGINT) FROM allr) AS cs_c""".stripMargin,
     // ALTER twin: the widened latest re-derived from the split
     // predicates (only the even-key insert carries o_priority =
     // key % 5), the narrow travel phase from the odd-key init; column

@@ -205,9 +205,32 @@ class SnapshotCatalog extends TableCatalog
     if (isTable(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
-    require(partitions.isEmpty,
-      "snapshot tables are unpartitioned at the directory level " +
-        "(file pruning rides manifest zone maps); drop PARTITIONED BY")
+    // `PARTITIONED BY (<col>)` — ONE identity transform over an
+    // integer-physical column: writes route rows into per-value files
+    // (directory-granular layout) and record `min = max = value` zone
+    // rows, so partition pruning is the ordinary manifest admission —
+    // the first prune a 100 TB table wants, before any zone-map load
+    // gets subtle. Bucket/truncate/date-part transforms and multi-
+    // column specs stay refused: identity over a precomputed column
+    // expresses them all without a second pruning mechanism.
+    val partCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
+          t.references().head.fieldNames().length == 1 =>
+        val c = t.references().head.fieldNames().head
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $c is not in the table schema"))
+        require(Seq("int", "bigint", "date").contains(f.dataType.simpleString),
+          s"identity partition column $c must be INT, BIGINT or DATE " +
+            s"(got ${f.dataType.simpleString}); partition on a precomputed " +
+            "integer column")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        "snapshot tables support PARTITIONED BY (<one identity column>) " +
+          s"only; got ${other.mkString(", ")} - express bucket/truncate/" +
+          "date-part transforms as a precomputed column")
+    }
     // A USING clause naming another format would be silently mis-sold
     // (the staged write always lands snapshot-layout parquet), and an
     // explicit LOCATION would escape the warehouse the catalog owns —
@@ -229,7 +252,7 @@ class SnapshotCatalog extends TableCatalog
     // Fail the statement up front on a column type the snapshot
     // writers cannot encode, not the user's first task mid-job.
     SnapshotSource.messageTypeOf(schema)
-    new SnapshotStagedCreate(root, schema)
+    new SnapshotStagedCreate(root, schema, partCol)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -245,18 +268,42 @@ class SnapshotCatalog extends TableCatalog
     if (isTable(rootOf(ident))) stageReplace(ident, schema, partitions, properties)
     else stageCreate(ident, schema, partitions, properties)
 
-  /** `ALTER TABLE ADD COLUMN(S)` — metadata-only schema evolution: the
-    * evolved schema lands as a RECORDED-SCHEMA sidecar on a fresh
-    * generation carrying the files verbatim
-    * ([[graft.sources.SnapshotTable.alterSchema]]); existing rows
-    * serve NULL for the new column through the readers'
-    * resolve-by-name contract, and time travel before the alter keeps
-    * the narrow schema. Everything else (drops, renames, type changes)
-    * stays refused — those rewrite data or break the by-name contract.
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN` — all METADATA-ONLY
+    * schema evolution: the evolved schema lands as a RECORDED-SCHEMA
+    * sidecar on a fresh generation carrying the files verbatim
+    * ([[graft.sources.SnapshotTable.alterSchema]]); time travel before
+    * the alter keeps that snapshot's own schema.
+    *
+    *  - ADD: existing rows serve NULL through resolve-by-name.
+    *  - RENAME: zero data rewritten — the old name rides the field's
+    *    alias-chain metadata and readers resolve pre-rename files
+    *    through it; renaming TO any name the lineage ever claimed
+    *    (live, tombstoned, or pre-rename) is refused, because by-name
+    *    resolution would resurrect that name's old values.
+    *  - DROP: the field stays in the sidecar as a TOMBSTONE that never
+    *    serves but keeps the footer union (and a later re-ADD) from
+    *    resurrecting the column — the one semantic this format's
+    *    deliberate no-field-ids design cannot offer is recycling a
+    *    retired name.
+    *
+    * Type changes stay refused (they rewrite data), and the identity
+    * PARTITION column can be neither renamed nor dropped (the write
+    * path routes by it).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    val latestGen = SnapshotTable.generations(spark, root).max
+    val recorded = SnapshotTable.recordedSchema(spark, root, latestGen)
+    // Serving schema (rename metadata included) + the sidecar's
+    // tombstones, which every alter must CARRY — losing one would let
+    // the footer union resurrect its column on the next read.
+    var tombstones: Seq[org.apache.spark.sql.types.StructField] =
+      recorded.map(_.fields.filter(SnapshotSource.isDropped).toSeq)
+        .getOrElse(Seq.empty)
+    val partitionCol = SnapshotTable.partitionColumn(spark, root)
+    def retired: Seq[String] =
+      tombstones.flatMap(f => f.name +: SnapshotSource.priorsOf(f))
     val current = SnapshotSource.latestSchema(root)
     val evolved = changes.foldLeft(current) {
       case (schema, add: TableChange.AddColumn) =>
@@ -265,6 +312,12 @@ class SnapshotCatalog extends TableCatalog
         val name = add.fieldNames().head
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists in $root")
+        require(!retired.exists(_.equalsIgnoreCase(name)) &&
+            !schema.fields.flatMap(SnapshotSource.priorsOf)
+              .exists(_.equalsIgnoreCase(name)),
+          s"column name $name is RETIRED in $root (dropped or pre-rename): " +
+            "re-adding it would resurrect old files' values through " +
+            "by-name resolution - use a fresh name")
         require(add.isNullable,
           s"added column $name must be nullable: existing rows serve NULL for it")
         require(add.position() == null,
@@ -277,11 +330,58 @@ class SnapshotCatalog extends TableCatalog
           org.apache.spark.sql.types.StructField(name, add.dataType(), true))))
         schema.add(org.apache.spark.sql.types.StructField(
           name, add.dataType(), nullable = true))
+      case (schema, ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames().length == 1,
+          s"nested column renames are not supported: ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames().head
+        val to = ren.newName()
+        val idx = schema.fieldNames.indexOf(from)
+        require(idx >= 0, s"column $from does not exist in $root")
+        require(!partitionCol.contains(from),
+          s"cannot rename partition column $from: the write path routes by it")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column $to already exists in $root")
+        require(!retired.exists(_.equalsIgnoreCase(to)) &&
+            !schema.fields.flatMap(SnapshotSource.priorsOf)
+              .exists(_.equalsIgnoreCase(to)),
+          s"column name $to is RETIRED in $root (dropped or pre-rename): " +
+            "renaming onto it would resurrect old files' values through " +
+            "by-name resolution - use a fresh name")
+        val f = schema.fields(idx)
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(SnapshotSource.PriorKey,
+            (from +: SnapshotSource.priorsOf(f)).toArray)
+          .build()
+        StructType(schema.fields.updated(idx,
+          org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, meta)))
+      case (schema, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"nested column drops are not supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames().head
+        val idx = schema.fieldNames.indexOf(name)
+        if (idx < 0) {
+          require(del.ifExists(), s"column $name does not exist in $root")
+          schema
+        } else {
+          require(schema.length > 1,
+            s"cannot drop the last column of $root")
+          require(!partitionCol.contains(name),
+            s"cannot drop partition column $name: the write path routes by it")
+          val f = schema.fields(idx)
+          tombstones :+= org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putBoolean(SnapshotSource.DroppedKey, true).build())
+          StructType(schema.fields.patch(idx, Nil, 1))
+        }
       case (_, other) => throw new UnsupportedOperationException(
-        s"snapshot tables support ALTER TABLE ADD COLUMN only; got $other " +
-          "(drops/renames/type changes rewrite data or break by-name resolution)")
+        s"snapshot tables support ALTER TABLE ADD/RENAME/DROP COLUMN; got " +
+          s"$other (type changes rewrite data)")
     }
-    SnapshotTable.alterSchema(spark, root, evolved)
+    SnapshotTable.alterSchema(spark, root,
+      StructType(evolved.fields ++ tombstones))
     loadTable(ident)
   }
 
@@ -324,7 +424,7 @@ class SnapshotCatalog extends TableCatalog
   * schema-carrying husk, exactly the empty INSERT OVERWRITE contract.
   */
 private[streaming] class SnapshotStagedCreate(table: String,
-    tableSchema: StructType)
+    tableSchema: StructType, partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -334,11 +434,18 @@ private[streaming] class SnapshotStagedCreate(table: String,
   private val stageDir =
     s"$table/data/staged/a=${SnapshotTable.attemptName()}"
   private val staged =
-    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Option[Long])]](
+      Seq.empty)
 
   override def name(): String = s"snapshot:$table (staged create)"
 
   override def schema(): StructType = tableSchema
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE)
@@ -348,15 +455,16 @@ private[streaming] class SnapshotStagedCreate(table: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
-              pinfo: PhysicalWriteInfo): DataWriterFactory =
-            new SnapshotWriterFactory(stageDir, info.schema(),
+              pinfo: PhysicalWriteInfo): DataWriterFactory = partCol match {
+            case Some(c) => new PartitionedWriterFactory(stageDir,
+              info.schema(), SnapshotSource.sessionConf(), c)
+            case None => new SnapshotWriterFactory(stageDir, info.schema(),
               SnapshotSource.sessionConf())
+          }
           // NOT the visibility point: the staged-table contract defers
           // that to commitStagedChanges; this only records what landed.
           override def commit(messages: Array[WriterCommitMessage]): Unit =
-            staged.set(messages.collect {
-              case SnapshotWriteMessage(p) => p
-            }.toSeq.sorted)
+            staged.set(SnapshotSource.stagedOf(messages))
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             sweep()
         }
@@ -366,10 +474,23 @@ private[streaming] class SnapshotStagedCreate(table: String,
   override def commitStagedChanges(): Unit = {
     val spark = SparkSession.active
     try {
-      val publish = SnapshotSource.contentOrHusk(spark,
-        staged.get(), stageDir, tableSchema)
-      SnapshotTable.publishAppend(spark, table, 1L, publish,
-        carryFrom = None, action = "create")
+      partCol match {
+        // Partition-routed content publishes with its per-file
+        // min = max = value zone rows; a zero-row CTAS still defines
+        // the table with one schema husk (no zone row — conservative).
+        case Some(c) if staged.get().nonEmpty =>
+          SnapshotTable.publishPartitionedFiles(spark, table, 1L, c,
+            staged.get(), carryFrom = None, action = "create")
+        case _ =>
+          val publish = SnapshotSource.contentOrHusk(spark,
+            staged.get().map(_._1), stageDir, tableSchema)
+          SnapshotTable.publishAppend(spark, table, 1L, publish,
+            carryFrom = None, action = "create")
+      }
+      // The partition MARKER lands only after the defining generation
+      // wins first-writer-wins — a losing CTAS never plants its spec.
+      partCol.foreach(c =>
+        SnapshotTable.recordPartitionColumn(spark, table, c))
     } catch { case e: Throwable => sweep(); throw e }
   }
 

@@ -29,7 +29,8 @@ private[streaming] class SnapshotColumnarReader(path: String,
     schema: StructType, conf: Configuration,
     batchSize: Int = 4096,
     bounds: Map[String, (Long, Long)] = Map.empty,
-    probes: Map[String, Seq[Long]] = Map.empty)
+    probes: Map[String, Seq[Long]] = Map.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
   import org.apache.parquet.column.impl.ColumnReadStoreImpl
@@ -44,14 +45,21 @@ private[streaming] class SnapshotColumnarReader(path: String,
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
 
-  /** The scan columns PRESENT in this file, projected in scan order;
-    * absent columns (pre-evolution files) serve null vectors.
+  /** The scan columns PRESENT in this file — each resolved to the
+    * FILE's field name (its own, or the first hit of the rename alias
+    * chain), projected in scan order; absent columns (pre-evolution
+    * files) serve null vectors.
     */
-  private val present: Array[Boolean] =
-    schema.fields.map(f => fileSchema.containsField(f.name))
+  private val resolved: Array[String] = schema.fields.map { f =>
+    if (fileSchema.containsField(f.name)) f.name
+    else aliases.getOrElse(f.name, Seq.empty)
+      .find(fileSchema.containsField).orNull
+  }
+  private val present: Array[Boolean] = resolved.map(_ != null)
   private val projected = new MessageType(fileSchema.getName,
-    schema.fields.zip(present).collect {
-      case (f, true) => fileSchema.getType(fileSchema.getFieldIndex(f.name))
+    resolved.collect {
+      case n if n != null =>
+        fileSchema.getType(fileSchema.getFieldIndex(n))
     }.toList: _*)
   // THE pruning hook: only the projected columns' chunks are read from
   // the row groups — unrequested pages never leave the file.

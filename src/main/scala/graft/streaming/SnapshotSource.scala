@@ -183,14 +183,60 @@ private[graft] object SnapshotSource {
     schemaAt(table, gens.max)
   }
 
+  // ---- Schema-evolution metadata (RENAME / DROP COLUMN) -------------
+  // The recorded-schema sidecar is the single source of truth for
+  // metadata-only evolution; renames and drops ride STRUCTFIELD
+  // METADATA inside it (the JSON round-trips both), so no second
+  // sidecar format exists:
+  //  - a RENAMED field keeps its data under the old name in old files;
+  //    the field carries its prior names (newest first) and readers
+  //    resolve through the alias chain;
+  //  - a DROPPED field stays in the sidecar as a TOMBSTONE (marker
+  //    metadata): it never serves, but its presence keeps the footer
+  //    union from resurrecting the column, and re-adding the name is
+  //    refused (by-name resolution would resurrect old values — the
+  //    field-id machinery this format deliberately does not have).
+
+  /** Tombstone marker on a dropped field. */
+  val DroppedKey = "graft.dropped"
+
+  /** Prior names of a renamed field, newest first. */
+  val PriorKey = "graft.prior"
+
+  def isDropped(f: StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  def priorsOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(PriorKey))
+      f.metadata.getStringArray(PriorKey).toSeq
+    else Seq.empty
+
+  /** Current name → prior names, for every renamed field of `schema` —
+    * what the readers resolve through when a scan field is absent from
+    * a pre-rename file's footer.
+    */
+  def aliasMapOf(schema: StructType): Map[String, Seq[String]] =
+    schema.fields.iterator.map(f => f.name -> priorsOf(f))
+      .filter(_._2.nonEmpty).toMap
+
+  /** Every name the recorded schema CLAIMS (serving names, tombstoned
+    * names, and all prior names of renamed fields) — the set the
+    * footer union must suppress, and re-ADD must refuse.
+    */
+  def claimedNames(rec: StructType): Seq[String] =
+    rec.fields.toSeq.flatMap(f => f.name +: priorsOf(f))
+
   /** Schema as of one generation (the time-travel variant of
     * [[latestSchema]] — a `VERSION AS OF` read must resolve columns
     * against the schema THAT snapshot carried, not today's). The
     * generation's RECORDED schema (the ALTER TABLE sidecar, propagated
     * into every post-alter manifest) takes precedence: a column added
     * by ALTER exists before any data file carries it, old rows serving
-    * NULL through the readers' resolve-by-name contract. Columns only
-    * the footers know (evolution-by-append) still union in behind it.
+    * NULL through the readers' resolve-by-name contract; a DROPPED
+    * column's tombstone suppresses both serving and the footer union;
+    * a RENAMED column serves under its new name with the alias chain
+    * riding its metadata. Columns only the footers know
+    * (evolution-by-append) still union in behind it.
     */
   def schemaAt(table: String, gen: Long): StructType = {
     val spark = SparkSession.active
@@ -205,9 +251,12 @@ private[graft] object SnapshotSource {
         // Case-INSENSITIVE dedup (Spark's default resolution): a
         // library commit can land a differently-cased duplicate the
         // catalog's ALTER guard never saw, and serving both spellings
-        // would make every reference to the column ambiguous.
-        StructType(rec.fields ++ footer.fields.filterNot(f =>
-          rec.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+        // would make every reference to the column ambiguous. The
+        // suppression set covers tombstoned and pre-rename names too.
+        val claimed = claimedNames(rec)
+        StructType(rec.fields.filterNot(isDropped) ++
+          footer.fields.filterNot(f =>
+            claimed.exists(_.equalsIgnoreCase(f.name))))
     }
   }
 
@@ -584,6 +633,18 @@ private[graft] object SnapshotSource {
     publish
   }
 
+  /** Commit messages flattened to `(path, partition value)` — both
+    * writer families produce the same shape (`None` for files whose
+    * writer did no routing), so every commit path collects once.
+    */
+  private[streaming] def stagedOf(
+      messages: Array[WriterCommitMessage]): Seq[(String, Option[Long])] =
+    messages.toSeq.flatMap {
+      case SnapshotWriteMessage(p) => Seq((p, Option.empty[Long]))
+      case SnapshotPartsWriteMessage(fs) => fs
+      case _ => Seq.empty
+    }.sortBy(_._1)
+
   /** Recursive delete of one staging directory — the shared abort/
     * lost-race sweep every batch writer uses.
     */
@@ -726,6 +787,32 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean = deletePredicateSql(predicates).isDefined
 
+  /** A RAW parquet frame (file-footer column names) projected to the
+    * SERVING schema — the bridge the COW rewrite paths need on a
+    * lineage with rename/drop history: each serving field coalesces
+    * its own column with its alias chain (old and new names are
+    * file-disjoint, so coalesce is exact), tombstoned columns drop,
+    * and a column no file carries yet serves typed NULL. Identity on
+    * an unevolved lineage, so the plain path is byte-unchanged.
+    */
+  private def shapedToServing(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aliases = SnapshotSource.aliasMapOf(tableSchema)
+    val raw = df.schema.fieldNames.toSet
+    val serving = tableSchema.fieldNames.toSet
+    if (aliases.isEmpty && raw.subsetOf(serving)) df
+    else {
+      val f = org.apache.spark.sql.functions
+      df.select(tableSchema.fields.toSeq.map { fd =>
+        val cands = (fd.name +: aliases.getOrElse(fd.name, Seq.empty))
+          .filter(raw.contains)
+        if (cands.isEmpty) f.lit(null).cast(fd.dataType).as(fd.name)
+        else if (cands.size == 1) f.col(cands.head).as(fd.name)
+        else f.coalesce(cands.map(f.col): _*).as(fd.name)
+      }: _*)
+    }
+  }
+
   /** SQL `DELETE FROM <catalog>.<table> WHERE ...` — a COPY-ON-WRITE
     * delete: the survivors of the latest snapshot rewrite into the
     * NEXT generation under the standard first-writer-wins commit with
@@ -798,7 +885,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           if (affected.isEmpty) Seq.empty[String]
           else {
             val dataDir = s"$table/data/gen=$gen/a=${SnapshotTable.attemptName()}"
-            spark.read.option("mergeSchema", true).parquet(affected: _*)
+            shapedToServing(
+                spark.read.option("mergeSchema", true).parquet(affected: _*))
               .filter(keep)
               .write.mode("overwrite").parquet(dataDir)
             spark.read.parquet(dataDir).inputFiles.toSeq
@@ -808,7 +896,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         return
       }
     }
-    val survivors = SnapshotTable.readAs(spark, table, latest).filter(keep)
+    val survivors =
+      shapedToServing(SnapshotTable.readAs(spark, table, latest)).filter(keep)
     SnapshotTable.commit(survivors, table, latest + 1L, action = "delete")
   }
 
@@ -855,6 +944,22 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       "snapshot tables do not support TRUNCATE; expire/vacuum manage retention")
 
   override def schema(): StructType = tableSchema
+
+  /** The table's recorded identity-partition column (the CTAS
+    * `PARTITIONED BY` marker), read lazily per table handle: WRITES
+    * route rows per value and record `min = max = value` zone rows;
+    * READS never consult it — partition pruning is the ordinary
+    * zone-map admission over those rows, so a pre-marker reader loses
+    * nothing.
+    */
+  private lazy val partCol: Option[String] =
+    try SnapshotTable.partitionColumn(SparkSession.active, table)
+    catch { case _: Exception => None }
+
+  override def partitioning(): Array[Transform] =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   // TRUNCATE here advertises the whole-table INSERT OVERWRITE route
   // (Spark models it as truncate-then-append through the write
@@ -915,8 +1020,9 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
       }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          if (overwriteAll) new SnapshotOverwriteWrite(table, info.schema())
-          else new SnapshotBatchWrite(table, info.schema())
+          if (overwriteAll)
+            new SnapshotOverwriteWrite(table, info.schema(), partCol)
+          else new SnapshotBatchWrite(table, info.schema(), partCol)
         override def toStreaming: StreamingWrite = {
           if (overwriteAll) throw new UnsupportedOperationException(
             "streaming overwrite is not supported; the streaming sink's " +
@@ -1172,11 +1278,13 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(table, required, skipRewrites,
             maxGensPerBatch, maxFilesPerBatch, maxBytesPerBatch,
-            startingGeneration, startingTimestamp)
+            startingGeneration, startingTimestamp,
+            SnapshotSource.aliasMapOf(tableSchema))
         private val batch = new SnapshotBatch(table, required, generation,
           SnapshotSource.boundsOf(pushed, tableSchema),
           SnapshotSource.probesOf(pushed),
-          SnapshotSource.strProbesOf(pushed))
+          SnapshotSource.strProbesOf(pushed),
+          SnapshotSource.aliasMapOf(tableSchema))
         override def toBatch: Batch = batch
         // POST-PRUNING size estimate, served from the MANIFEST's
         // recorded per-file stats (one manifest read covers every
@@ -1241,7 +1349,8 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     generation: Option[Long],
     bounds: Map[String, (Long, Long)] = Map.empty,
     probes: Map[String, Seq[Long]] = Map.empty,
-    strProbes: Map[String, Seq[String]] = Map.empty) extends Batch {
+    strProbes: Map[String, Seq[String]] = Map.empty,
+    aliases: Map[String, Seq[String]] = Map.empty) extends Batch {
 
   // RUNTIME filters (SupportsRuntimeV2Filtering): bounds/probes derived
   // from a join's build side AFTER it executes, intersected with the
@@ -1368,7 +1477,7 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
   // level deeper: row groups inside admitted files.
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(schema, SnapshotSource.sessionConf(),
-      mergedBounds, mergedProbes)
+      mergedBounds, mergedProbes, aliases)
 }
 
 /** Offset state. `pos == 0`: the consumer holds the full content of
@@ -1399,7 +1508,8 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
     maxFilesPerBatch: Long = Long.MaxValue,
     maxBytesPerBatch: Long = Long.MaxValue,
     startingGeneration: Option[Long] = None,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -1807,7 +1917,8 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf())
+    new SnapshotReaderFactory(schema, SnapshotSource.sessionConf(),
+      aliases = aliases)
 
   override def commit(end: Offset): Unit = ()
 
@@ -1819,11 +1930,13 @@ private[streaming] case class SnapshotFilePartition(path: String) extends InputP
 private[streaming] class SnapshotReaderFactory(schema: StructType,
     conf: SerializableConfiguration,
     bounds: Map[String, (Long, Long)] = Map.empty,
-    probes: Map[String, Seq[Long]] = Map.empty) extends PartitionReaderFactory {
+    probes: Map[String, Seq[Long]] = Map.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
-    new SnapshotFileReader(path, schema, conf.value)
+    new SnapshotFileReader(path, schema, conf.value, aliases)
   }
 
   // VECTORIZED decode ([[SnapshotColumnarReader]]): projected row-group
@@ -1841,7 +1954,7 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
     new SnapshotColumnarReader(path, schema, conf.value,
-      bounds = bounds, probes = probes)
+      bounds = bounds, probes = probes, aliases = aliases)
   }
 }
 
@@ -1856,22 +1969,32 @@ private[streaming] case class SnapshotWriteMessage(path: String)
   * writer. A lost race (or an abort) sweeps the staged files; nothing
   * is visible to readers until the manifest rename.
   */
-private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
+private[streaming] class SnapshotBatchWrite(table: String, schema: StructType,
+    partCol: Option[String] = None)
     extends BatchWrite {
 
   private val stageDir =
     s"$table/data/staged/a=${SnapshotTable.attemptName()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+    partCol match {
+      case Some(c) => new PartitionedWriterFactory(stageDir, schema,
+        SnapshotSource.sessionConf(), c)
+      case None =>
+        new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val files = SnapshotSource.stagedOf(messages)
     val gens = SnapshotTable.generations(spark, table)
     val gen = if (gens.isEmpty) 1L else gens.max + 1
-    try SnapshotTable.publishAppend(spark, table, gen, files,
-      carryFrom = gens.maxOption)
+    try partCol match {
+      case Some(c) => SnapshotTable.publishPartitionedFiles(spark, table, gen,
+        c, files, carryFrom = gens.maxOption)
+      case None => SnapshotTable.publishAppend(spark, table, gen,
+        files.map(_._1), carryFrom = gens.maxOption)
+    }
     catch { case e: Throwable => sweep(); throw e }
   }
 
@@ -1896,7 +2019,7 @@ private[streaming] class SnapshotBatchWrite(table: String, schema: StructType)
   * loads — keeps holding while the snapshot serves zero rows.
   */
 private[streaming] class SnapshotOverwriteWrite(table: String,
-    schema: StructType) extends BatchWrite {
+    schema: StructType, partCol: Option[String] = None) extends BatchWrite {
 
   private val stageDir =
     s"$table/data/staged/a=${SnapshotTable.attemptName()}"
@@ -1909,16 +2032,28 @@ private[streaming] class SnapshotOverwriteWrite(table: String,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+    partCol match {
+      case Some(c) => new PartitionedWriterFactory(stageDir, schema,
+        SnapshotSource.sessionConf(), c)
+      case None =>
+        new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val staged = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
-    try {
-      val publish =
-        SnapshotSource.contentOrHusk(spark, staged, stageDir, schema)
-      SnapshotTable.publishAppend(spark, table, baseGen + 1, publish,
-        carryFrom = None, action = "overwrite")
+    val files = SnapshotSource.stagedOf(messages)
+    try partCol match {
+      // A partition-routed overwrite with content keeps its zone rows;
+      // the empty replacement degrades to the shared husk path (a husk
+      // carries no partition value and admits conservatively).
+      case Some(c) if files.nonEmpty =>
+        SnapshotTable.publishPartitionedFiles(spark, table, baseGen + 1, c,
+          files, carryFrom = None, action = "overwrite")
+      case _ =>
+        val publish = SnapshotSource.contentOrHusk(spark, files.map(_._1),
+          stageDir, schema)
+        SnapshotTable.publishAppend(spark, table, baseGen + 1, publish,
+          carryFrom = None, action = "overwrite")
     } catch { case e: Throwable => sweep(); throw e }
   }
 
@@ -2030,7 +2165,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
           new SnapshotBatch(table, required, None,
               SnapshotSource.boundsOf(pushed, tableSchema),
               SnapshotSource.probesOf(pushed),
-              SnapshotSource.strProbesOf(pushed)) {
+              SnapshotSource.strProbesOf(pushed),
+              SnapshotSource.aliasMapOf(tableSchema)) {
             override def planInputPartitions(): Array[InputPartition] = {
               val (gen, files, segmented) = resolvePlan()
               record(RowLevelScanState(gen, files.toSet, segmented))
@@ -2046,7 +2182,8 @@ private[streaming] class SnapshotRowLevelOperation(table: String,
             // files carry verbatim at commit; sub-file pruning has no
             // such carry.
             override def createReaderFactory(): PartitionReaderFactory =
-              new SnapshotReaderFactory(required, SnapshotSource.sessionConf())
+              new SnapshotReaderFactory(required, SnapshotSource.sessionConf(),
+                aliases = SnapshotSource.aliasMapOf(tableSchema))
           }
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotRowLevelScan($table)"
@@ -2169,6 +2306,64 @@ private[streaming] class ReplaceRowWriterFactory(
       override def abort(): Unit = delegate.abort()
       override def close(): Unit = delegate.close()
     }
+  }
+}
+
+/** One task's files after PARTITION ROUTING: `(path, partition value)`
+  * per file — the value rides the commit message so the driver records
+  * `min = max = value` zone rows with ZERO footer I/O (`None` = null
+  * partition, published as a plain conservatively-admitted row).
+  */
+private[streaming] case class SnapshotPartsWriteMessage(
+    files: Seq[(String, Option[Long])]) extends WriterCommitMessage
+
+/** Task-side IDENTITY-PARTITION routing — the write half of
+  * partitioned catalog tables: each row lands in the file of its
+  * partition VALUE (`.../p=<v>/part-<pid>-<tid>.parquet` under the
+  * attempt-private staging dir — directory-granular layout at rest),
+  * one [[SnapshotFileWriter]] per distinct value per task. Integer-
+  * physical columns only (INT/BIGINT/DATE — the catalog refuses
+  * anything else at CREATE), so the value IS the zone-map domain.
+  * Callers that want bounded files per partition repartition by the
+  * column first (`DISTRIBUTE BY`), the same contract as every
+  * dynamic-partition writer.
+  */
+private[streaming] class PartitionedWriterFactory(stageDir: String,
+    schema: StructType, conf: SerializableConfiguration, partCol: String)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val idx = schema.fieldIndex(partCol)
+    private val dt = schema.fields(idx).dataType
+    private val writers =
+      scala.collection.mutable.LinkedHashMap.empty[Option[Long], SnapshotFileWriter]
+
+    private def valueOf(row: InternalRow): Option[Long] =
+      if (row.isNullAt(idx)) None
+      else dt match {
+        case LongType => Some(row.getLong(idx))
+        case IntegerType | DateType => Some(row.getInt(idx).toLong)
+        case other => throw new UnsupportedOperationException(
+          s"identity partition column $partCol must be integer-physical; got $other")
+      }
+
+    override def write(row: InternalRow): Unit = {
+      val v = valueOf(row)
+      writers.getOrElseUpdate(v, new SnapshotFileWriter(
+        s"$stageDir/p=${v.map(_.toString).getOrElse("null")}/" +
+          s"part-$partitionId-$taskId.parquet", schema, conf.value))
+        .write(row)
+    }
+
+    override def commit(): WriterCommitMessage =
+      SnapshotPartsWriteMessage(writers.toSeq.map { case (v, w) =>
+        w.commit() match { case SnapshotWriteMessage(p) => (p, v) }
+      }.sortBy(_._1))
+
+    override def abort(): Unit = writers.values.foreach(_.abort())
+
+    override def close(): Unit = writers.values.foreach(_.close())
   }
 }
 
@@ -2338,7 +2533,9 @@ private[streaming] class SnapshotFileWriter(path: String, schema: StructType,
   * schema evolution degrades to nulls instead of misaligned columns.
   */
 private[streaming] class SnapshotFileReader(path: String, schema: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
@@ -2367,9 +2564,15 @@ private[streaming] class SnapshotFileReader(path: String, schema: StructType,
   private def resolveFields(
       fileType: org.apache.parquet.schema.GroupType): Unit = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    fieldIdx = schema.fields.map(f =>
+    // Resolution order per scan field: its own name, then the RENAME
+    // alias chain (newest first) — a pre-rename file serves the
+    // renamed column's data under the old footer name.
+    fieldIdx = schema.fields.map { f =>
       if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name)
-      else -1)
+      else aliases.getOrElse(f.name, Seq.empty).iterator
+        .filter(fileType.containsField)
+        .map(fileType.getFieldIndex).nextOption().getOrElse(-1)
+    }
     // The type whose physical encoding matters: the field itself, or
     // the 3-level list's element for an array field.
     def leafOf(i: Int): Option[org.apache.parquet.schema.PrimitiveType] = {

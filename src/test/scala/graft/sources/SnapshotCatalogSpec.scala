@@ -725,11 +725,10 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       === Seq("k", "v", "note", "score"))
     assert(spark.sql("SELECT * FROM spec_cat.t_alter_tt VERSION AS OF 1")
       .schema.fieldNames.toSeq === Seq("k", "v"))
-    // Refusals: drops, renames, non-nullable adds.
+    // Refusals: type changes and non-nullable adds (drops/renames are
+    // metadata-only evolution now — pinned by their own test).
     intercept[Exception](spark.sql(
-      "ALTER TABLE spec_cat.t_alter_tt DROP COLUMN note"))
-    intercept[Exception](spark.sql(
-      "ALTER TABLE spec_cat.t_alter_tt RENAME COLUMN note TO memo"))
+      "ALTER TABLE spec_cat.t_alter_tt ALTER COLUMN v TYPE STRING"))
     val nn = intercept[Exception](spark.sql(
       "ALTER TABLE spec_cat.t_alter_tt ADD COLUMN must NOT NULL"))
     assert((nn.getMessage + Option(nn.getCause).fold("")(_.getMessage))
@@ -850,5 +849,118 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "the gap commit must re-propagate the sidecar")
     assert(spark.table("spec_cat.t_alter_gap").schema.fieldNames.toSeq
       === Seq("k", "v", "note"))
+  }
+
+  test("PARTITIONED BY: identity-only acceptance, null routing, overwrite keeps zone rows") {
+    import spark.implicits._
+    val wh = warehouse // force the lazy catalog registration
+    // Refusals: non-integer column, multi-column specs, transforms.
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE spec_cat.t_part_bad PARTITIONED BY (tag) AS " +
+        "SELECT 1L AS k, 'x' AS tag"))
+    assert(e1.getMessage.contains("must be INT, BIGINT or DATE"))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE spec_cat.t_part_bad2 PARTITIONED BY (bucket(4, k)) AS " +
+        "SELECT 1L AS k"))
+    assert(e2.getMessage.toLowerCase.contains("identity"))
+    // A partitioned CTAS with a NULL partition value: the null routes
+    // to its own file with a PLAIN manifest row (no zone row), so a
+    // partition predicate still prunes the valued files while the null
+    // file admits conservatively — and IS NOT NULL content stays exact.
+    Seq((1L, Some(10)), (2L, Some(10)), (3L, Some(20)), (4L, None))
+      .toDF("k", "b").createOrReplaceTempView("part_null_src")
+    spark.sql("CREATE TABLE spec_cat.t_part_null PARTITIONED BY (b) AS " +
+      "SELECT k, b FROM part_null_src DISTRIBUTE BY b")
+    assert(SnapshotTable.partitionColumn(spark, s"$wh/t_part_null")
+      === Some("b"))
+    assert(spark.sql(
+      "SELECT k FROM spec_cat.t_part_null WHERE b = 20")
+      .as[Long].collect().toSeq === Seq(3L))
+    assert(spark.sql(
+      "SELECT count(*) FROM spec_cat.t_part_null WHERE b IS NULL")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM spec_cat.t_part_null")
+      .head().getLong(0) === 4L)
+    // INSERT OVERWRITE stays partition-routed: fresh zone rows prune.
+    spark.sql("INSERT OVERWRITE spec_cat.t_part_null " +
+      "SELECT k * 10, b FROM part_null_src WHERE b IS NOT NULL DISTRIBUTE BY b")
+    val t = s"$wh/t_part_null"
+    val probe = spark.sql("SELECT sum(k) FROM spec_cat.t_part_null WHERE b = 10")
+    assert(probe.head().getLong(0) === 30L)
+    val planned = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1)
+    assert(planned === 1,
+      s"overwrite must re-record zone rows; b=10 lives in 1 of 2 files, planned $planned")
+    // SHOW surface: the table advertises the identity transform.
+    assert(cat.loadTable(ident("t_part_null")).partitioning()
+      .map(_.toString).toSeq === Seq("identity(b)"))
+  }
+
+  test("RENAME/DROP COLUMN: metadata-only, alias-resolved reads, retired names refused") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/t_evolve2"
+    SnapshotTable.commit(
+      (1L to 100L).map(k => (k, k * 2, s"n$k")).toDF("k", "v", "note")
+        .repartition(2), t, 1L)
+    val beforeFiles = SnapshotTable.listFiles(spark, t, 1L)
+
+    // RENAME v -> score: zero data rewritten, reads resolve old files
+    // through the alias chain, time travel keeps the old name.
+    spark.sql("ALTER TABLE spec_cat.t_evolve2 RENAME COLUMN v TO score")
+    assert(SnapshotTable.listFiles(spark, t, 2L) === beforeFiles,
+      "RENAME must be metadata-only: files carry verbatim")
+    assert(spark.table("spec_cat.t_evolve2").schema.fieldNames.toSeq
+      === Seq("k", "score", "note"))
+    assert(spark.sql(
+      "SELECT sum(score) FROM spec_cat.t_evolve2").head().getLong(0)
+      === (1L to 100L).map(_ * 2).sum)
+    assert(spark.sql(
+      "SELECT sum(v) FROM spec_cat.t_evolve2 VERSION AS OF 1")
+      .head().getLong(0) === (1L to 100L).map(_ * 2).sum)
+
+    // INSERT after the rename: new files carry the NEW name; a read
+    // spanning old and new files serves one column.
+    spark.sql("INSERT INTO spec_cat.t_evolve2 " +
+      "SELECT k + 100, k * 2, concat('m', k) FROM " +
+      "(SELECT explode(sequence(1, 50)) AS k)")
+    assert(spark.sql(
+      "SELECT count(*) AS n, sum(score) AS s FROM spec_cat.t_evolve2")
+      .head().toSeq === Seq(150L,
+        (1L to 100L).map(_ * 2).sum + (1L to 50L).map(_ * 2).sum))
+
+    // UPDATE with a predicate on the renamed column: the rewrite reads
+    // old files through the alias chain and writes the serving name.
+    spark.sql("UPDATE spec_cat.t_evolve2 SET score = score + 1 WHERE k <= 10")
+    assert(spark.sql(
+      "SELECT sum(score) FROM spec_cat.t_evolve2").head().getLong(0)
+      === (1L to 100L).map(_ * 2).sum + (1L to 50L).map(_ * 2).sum + 10L)
+
+    // DROP note: tombstoned, not served, not resurrected by the footer
+    // union; the pre-drop snapshot still serves it via time travel.
+    spark.sql("ALTER TABLE spec_cat.t_evolve2 DROP COLUMN note")
+    assert(spark.table("spec_cat.t_evolve2").schema.fieldNames.toSeq
+      === Seq("k", "score"))
+    assert(spark.sql("SELECT count(note) FROM spec_cat.t_evolve2 VERSION AS OF 2")
+      .head().getLong(0) === 100L)
+
+    // Retired names stay retired: re-ADD of a dropped column, and
+    // RENAME onto a dropped or pre-rename name, all refuse.
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.t_evolve2 ADD COLUMN note STRING"))
+      .getMessage.contains("RETIRED"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.t_evolve2 RENAME COLUMN score TO note"))
+      .getMessage.contains("RETIRED"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.t_evolve2 RENAME COLUMN score TO v"))
+      .getMessage.contains("RETIRED"))
+
+    // SQL DELETE on the evolved lineage: the COW rewrite shapes old
+    // files to the serving schema (alias coalesce, tombstones gone).
+    spark.sql("DELETE FROM spec_cat.t_evolve2 WHERE k > 100")
+    assert(spark.sql(
+      "SELECT count(*) AS n, sum(score) AS s FROM spec_cat.t_evolve2")
+      .head().toSeq === Seq(100L, (1L to 100L).map(_ * 2).sum + 10L))
   }
 }
