@@ -341,7 +341,8 @@ object SnapshotTable {
     */
   def publishPartitionedFiles(spark: SparkSession, table: String, gen: Long,
       partCol: String, files: Seq[(String, Option[Long])],
-      carryFrom: Option[Long], action: String = "append"): Unit = {
+      carryFrom: Option[Long], action: String = "append",
+      replace: Boolean = false): Unit = {
     val metaMap = fileMeta(spark, files.map(_._1).sorted)
       .map(m => m._1 -> ((m._2, m._3))).toMap
     val rows = files.sortBy(_._1).map { case (p, v) =>
@@ -353,7 +354,7 @@ object SnapshotTable {
         case None => ManifestRow(p, nRows = Some(n), bytes = Some(b))
       }
     }
-    publishAppendRows(spark, table, gen, rows, carryFrom,
+    publishAppendRows(spark, table, gen, rows, carryFrom, replace,
       action = action, statFresh = false)
   }
 

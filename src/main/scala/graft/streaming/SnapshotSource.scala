@@ -1027,7 +1027,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           if (overwriteAll) throw new UnsupportedOperationException(
             "streaming overwrite is not supported; the streaming sink's " +
               "epoch-aligned replace protocol owns replays")
-          new SnapshotStreamingWrite(table, info.schema())
+          new SnapshotStreamingWrite(table, info.schema(), partCol)
         }
       }
     }
@@ -2330,9 +2330,18 @@ private[streaming] case class SnapshotPartsWriteMessage(
   */
 private[streaming] class PartitionedWriterFactory(stageDir: String,
     schema: StructType, conf: SerializableConfiguration, partCol: String)
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = writer(stageDir, partitionId, taskId)
+
+  // Streaming epochs stage under epoch-scoped directories (the
+  // SnapshotWriterFactory contract), partition routing below them.
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    writer(s"$stageDir/e=$epochId", partitionId, taskId)
+
+  private def writer(dir: String, partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val idx = schema.fieldIndex(partCol)
     private val dt = schema.fields(idx).dataType
@@ -2351,7 +2360,7 @@ private[streaming] class PartitionedWriterFactory(stageDir: String,
     override def write(row: InternalRow): Unit = {
       val v = valueOf(row)
       writers.getOrElseUpdate(v, new SnapshotFileWriter(
-        s"$stageDir/p=${v.map(_.toString).getOrElse("null")}/" +
+        s"$dir/p=${v.map(_.toString).getOrElse("null")}/" +
           s"part-$partitionId-$taskId.parquet", schema, conf.value))
         .write(row)
     }
@@ -2390,19 +2399,28 @@ private[streaming] class SnapshotWriterFactory(stageDir: String,
   * generation, and `replace = true` republishes a replayed epoch over
   * itself while every older generation's manifest stays untouched.
   */
-private[streaming] class SnapshotStreamingWrite(table: String, schema: StructType)
+private[streaming] class SnapshotStreamingWrite(table: String,
+    schema: StructType, partCol: Option[String] = None)
     extends StreamingWrite {
 
   private val stageDir =
     s"$table/data/streamed/a=${SnapshotTable.attemptName()}"
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = partCol match {
+    // Streaming ingest into a PARTITIONED table keeps the routing:
+    // each epoch's files land per partition value and commit with
+    // min=max=value zone rows, so a tailed-and-ingested table prunes
+    // exactly like its batch-written twin.
+    case Some(c) => new PartitionedWriterFactory(stageDir, schema,
+      SnapshotSource.sessionConf(), c)
+    case None =>
+      new SnapshotWriterFactory(stageDir, schema, SnapshotSource.sessionConf())
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case SnapshotWriteMessage(p) => p }.toSeq.sorted
+    val files = SnapshotSource.stagedOf(messages)
     val gen = epochId + 1
     // Epoch-aligned or refuse: a NEW checkpoint pointed at a table
     // with existing history would otherwise overwrite generation 1
@@ -2411,8 +2429,14 @@ private[streaming] class SnapshotStreamingWrite(table: String, schema: StructTyp
     // next one (a fresh batch) are legal.
     SnapshotTable.requireEpochAligned(spark, table, gen)
     val isReplay = SnapshotTable.generations(spark, table).contains(gen)
-    SnapshotTable.publishAppend(spark, table, gen, files,
-      carryFrom = if (gen > 1) Some(gen - 1) else None, replace = isReplay)
+    partCol match {
+      case Some(c) => SnapshotTable.publishPartitionedFiles(spark, table, gen,
+        c, files, carryFrom = if (gen > 1) Some(gen - 1) else None,
+        replace = isReplay)
+      case None => SnapshotTable.publishAppend(spark, table, gen,
+        files.map(_._1),
+        carryFrom = if (gen > 1) Some(gen - 1) else None, replace = isReplay)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

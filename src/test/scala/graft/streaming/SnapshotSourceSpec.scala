@@ -710,6 +710,47 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(ids(1L) === Set(1L, 2L), "history stays byte-stable")
   }
 
+  test("streaming ingest into a PARTITIONED table keeps routing and zone-row pruning") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("snappartsink").toString
+    val (table, ckpt) = (s"$root/table", s"$root/ckpt")
+    // Partition spec recorded up front (the CTAS path's marker); the
+    // streaming sink must route each epoch's rows per value and commit
+    // min=max=value zone rows exactly like the batch writers.
+    SnapshotTable.recordPartitionColumn(spark, table, "b")
+
+    val in = MemoryStream[(Long, Int)]
+    val q = in.toDS().toDF("k", "b").writeStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, 10), (2L, 20), (3L, 10))
+      q.processAllAvailable()
+      in.addData((4L, 20), (5L, 30))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(SnapshotTable.generations(spark, table) === Seq(1L, 2L))
+    // Partition predicate prunes: b=10 lives in exactly one gen-1 file
+    // (both epochs routed; gen 2 adds b=20 and b=30 files only).
+    val probe = spark.read.format(classOf[SnapshotSourceProvider].getName)
+      .option("path", table).load()
+      .filter(col("b") === 10).select("k")
+    assert(probe.as[Long].collect().toSet === Set(1L, 3L))
+    val planned = SnapshotSource.lastPlan(table).map(_._1).getOrElse(-1)
+    val all = SnapshotTable.listFiles(spark, table, 2L)
+    // Exactly the b=10-routed files plan (task counts vary with the
+    // memory stream's partitioning, so compare against the routed
+    // directories, not a constant).
+    val b10 = all.count(_.contains("/p=10/"))
+    assert(b10 >= 1 && b10 < all.size)
+    assert(planned === b10,
+      s"b=10 lives in $b10 of ${all.size} partition-routed files; planned $planned")
+  }
+
   test("batch read refuses a tombstoned generation; misaligned sinks refuse too") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapguards").toString
