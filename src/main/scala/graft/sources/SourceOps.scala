@@ -955,6 +955,49 @@ object SourceOps {
         "a_ok", "b_ok", "c_ok")
   }
 
+  /** LIMIT pushdown as a FILE-COUNT prune — the preview-query shape:
+    * `SELECT ... LIMIT n` on a 100k-file table must plan ONE file,
+    * not the table. The pushdown is PARTIAL (Spark's own Limit stays
+    * on top, so the scan only owes AT LEAST n rows), which makes the
+    * sound plan a prefix of the sorted immutable manifest list
+    * covering ≥ n recorded rows — zero data I/O decides the prefix.
+    * Phases gate the planned-file count from the connector's planning
+    * telemetry against the slice layout's relational recompute: a
+    * small limit plans 1-of-4, a limit one past the first file's
+    * count plans 2, and an over-table limit plans all 4 with the full
+    * count — so a planner that stopped truncating (or truncated
+    * wrongly) breaks the value compare either way.
+    */
+  def connectorLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_limit")
+    val src = Tables.orders(spark, dir).select("o_orderkey")
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + 4) / 4
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    SnapshotTable.publishAppend(spark, table, 1L, paths, carryFrom = None)
+    val firstCount = SnapshotTable.footerRowCounts(spark, Seq(paths.head))
+      .head._2
+    def read() = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    def phase(tag: String, n: Long): (String, Long, Long) = {
+      val got = read().limit(if (n > Int.MaxValue) Int.MaxValue else n.toInt)
+        .count()
+      val planned = graft.streaming.SnapshotSource.lastPlan(table)
+        .map(_._1).getOrElse(-1).toLong
+      (tag, got, planned)
+    }
+    val total = src.count()
+    Seq(phase("a_one", 5L), phase("b_two", firstCount + 1L),
+      phase("c_all", total + 100L))
+      .toDF("phase", "n_rows", "n_files").orderBy("phase")
+  }
+
   /** MAP columns through the connector — the last nested shape of the
     * type surface: per-document attribute maps (the flexible-metadata
     * idiom next to [[connectorStruct]]'s fixed shape) commit as
@@ -3160,6 +3203,7 @@ object SourceOps {
     "src_connector_map" -> (connectorMap _),
     "src_connector_count" -> (connectorCount _),
     "src_connector_minmax" -> (connectorMinMax _),
+    "src_connector_limit" -> (connectorLimit _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3625,6 +3669,23 @@ object SourceOps {
         |   WHERE o_orderkey % 3 = 0) AS f_min,
         |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS c_ok
         |FROM src""".stripMargin,
+    // Limit-pushdown twin: per-slice counts recomputed relationally
+    // (slice 0 is the lexicographically first file), planned-file
+    // counts as exact values.
+    "src_connector_limit" ->
+      """WITH src AS (SELECT o_orderkey FROM orders),
+        |mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM src),
+        |sl AS (SELECT o_orderkey,
+        |         o_orderkey // ((mk + 4) // 4) AS s FROM src, mx),
+        |c0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM sl WHERE s = 0)
+        |SELECT 'a_one' AS phase, CAST(5 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files
+        |UNION ALL
+        |SELECT 'b_two', (SELECT c + 1 FROM c0), CAST(2 AS BIGINT)
+        |UNION ALL
+        |SELECT 'c_all', (SELECT CAST(count(*) AS BIGINT) FROM sl),
+        |  CAST(4 AS BIGINT)
+        |ORDER BY phase""".stripMargin,
     // Map twin: the two looked-up keys' sums over the original flat
     // columns — the map fold/unfold must be content-neutral.
     "src_connector_map" ->

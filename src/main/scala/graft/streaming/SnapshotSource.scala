@@ -1090,7 +1090,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     // row-level predicate and correctness never rests on the stats.
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
       // Whether Spark pushed ANY filter at all — including classes
@@ -1116,6 +1117,27 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
+
+      // LIMIT pushdown as a FILE-COUNT prune: `SELECT ... LIMIT n`
+      // with no filters plans only enough files (by the manifest's
+      // recorded row counts) to cover n rows — on a 100k-file table a
+      // preview query plans one file, not the table. PARTIAL by
+      // contract (Spark keeps its own Limit on top; the scan must only
+      // deliver AT LEAST n rows when the table has them), which is
+      // what makes the truncation trivially sound. Refused under any
+      // pushed filter (rows must be tested before they count toward
+      // the limit — and Spark does not offer the pushdown past
+      // residual filters anyway; the flag is defense-in-depth, the
+      // count-pushdown posture).
+      private var limitFiles: Option[Int] = None
+      override def pushLimit(limit: Int): Boolean = {
+        if (sawFilters || limit <= 0) false
+        else {
+          limitFiles = Some(limit)
+          true
+        }
+      }
+      override def isPartiallyPushed(): Boolean = true
 
       // METADATA-ANSWERED AGGREGATES, served from the manifest:
       // `SELECT count(*) FROM t` sums the recorded per-file row counts
@@ -1284,7 +1306,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           SnapshotSource.boundsOf(pushed, tableSchema),
           SnapshotSource.probesOf(pushed),
           SnapshotSource.strProbesOf(pushed),
-          SnapshotSource.aliasMapOf(tableSchema))
+          SnapshotSource.aliasMapOf(tableSchema),
+          limitFiles)
         override def toBatch: Batch = batch
         // POST-PRUNING size estimate, served from the MANIFEST's
         // recorded per-file stats (one manifest read covers every
@@ -1350,7 +1373,8 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     bounds: Map[String, (Long, Long)] = Map.empty,
     probes: Map[String, Seq[Long]] = Map.empty,
     strProbes: Map[String, Seq[String]] = Map.empty,
-    aliases: Map[String, Seq[String]] = Map.empty) extends Batch {
+    aliases: Map[String, Seq[String]] = Map.empty,
+    limit: Option[Int] = None) extends Batch {
 
   // RUNTIME filters (SupportsRuntimeV2Filtering): bounds/probes derived
   // from a join's build side AFTER it executes, intersected with the
@@ -1456,12 +1480,36 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     // STRING point probes ride the same sidecars (the build hashes
     // k.cast("string"), identity on string columns) — membership-only:
     // strings never range-prune, so their only admission test is here.
-    val admitted = mergedStrProbes.foldLeft(longAdmitted) {
+    val strAdmitted = mergedStrProbes.foldLeft(longAdmitted) {
       case (files, (c, vs)) =>
         if (vs.isEmpty) Seq.empty
         else if (files.nonEmpty && SnapshotTable.hasBloomIndex(spark, table, c))
           SnapshotTable.bloomAdmittedFilesRendered(spark, table, c, vs, files)
         else files
+    }
+    // PUSHED-LIMIT truncation: plan only enough files (by recorded row
+    // counts) to cover the limit. Sound because the pushdown is
+    // PARTIAL — Spark's own Limit still runs on top, so the scan only
+    // has to deliver AT LEAST n rows when the snapshot has them, and a
+    // prefix of the sorted immutable list covering ≥ n recorded rows
+    // does exactly that. Skipped whenever a runtime filter landed (a
+    // limit adjacent to the scan has no join to inject one — if both
+    // somehow appear, planning everything is the safe direction) or
+    // any admitted file lacks a recorded count.
+    val admitted = limit match {
+      case Some(n) if rtBounds.isEmpty && rtProbes.isEmpty &&
+          rtStrProbes.isEmpty && strAdmitted.nonEmpty =>
+        val rec = SnapshotTable.recordedFileStats(spark, table, gen)
+        val counts = strAdmitted.map(f => rec.get(f).flatMap(_._1))
+        if (counts.forall(_.isDefined)) {
+          val cum = counts.map(_.get).scanLeft(0L)(_ + _).tail
+          val keep = cum.indexWhere(_ >= n.toLong) match {
+            case -1 => strAdmitted.size
+            case i => i + 1
+          }
+          strAdmitted.take(keep)
+        } else strAdmitted
+      case _ => strAdmitted
     }
     if (record)
       SnapshotSource.recordPlan(table, admitted.size,
