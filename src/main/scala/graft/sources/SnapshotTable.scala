@@ -61,7 +61,7 @@ object SnapshotTable {
       kind: Option[String] = None, keyCol: Option[String] = None,
       minKey: Option[Long] = None, maxKey: Option[Long] = None,
       seq: Option[Long] = None, nRows: Option[Long] = None,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None, nNulls: Option[Long] = None)
 
   /** Driver-side manifest read (parquet-hadoop Group API, no Spark
     * job). A manifest is a kilobyte file — routing it through
@@ -94,7 +94,7 @@ object SnapshotTable {
             Some(g.getLong(f, 0)) else None
         ManifestRow(g.getString("path", 0), str("kind"), str("key_col"),
           lng("min_key"), lng("max_key"), lng("seq"),
-          lng("n_rows"), lng("bytes"))
+          lng("n_rows"), lng("bytes"), lng("n_nulls"))
       }.toVector
       finally reader.close()
     }.toSeq
@@ -125,11 +125,13 @@ object SnapshotTable {
     val hasStats = rows.exists(_.minKey.isDefined)
     val hasSeq = rows.exists(_.seq.isDefined)
     val hasMeta = rows.exists(r => r.nRows.isDefined || r.bytes.isDefined)
+    val hasNulls = rows.exists(_.nNulls.isDefined)
     if (hasKind) strField("kind")
     if (hasKeyCol) strField("key_col")
     if (hasStats) { lngField("min_key"); lngField("max_key") }
     if (hasSeq) lngField("seq")
     if (hasMeta) { lngField("n_rows"); lngField("bytes") }
+    if (hasNulls) lngField("n_nulls")
     val msgType = b.named("spark_schema")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -148,6 +150,7 @@ object SnapshotTable {
       r.seq.foreach(g.add("seq", _))
       r.nRows.foreach(g.add("n_rows", _))
       r.bytes.foreach(g.add("bytes", _))
+      r.nNulls.foreach(g.add("n_nulls", _))
       writer.write(g)
     } finally writer.close()
   }
@@ -350,7 +353,9 @@ object SnapshotTable {
       v match {
         case Some(x) => ManifestRow(p, keyCol = Some(partCol),
           minKey = Some(x), maxKey = Some(x),
-          nRows = Some(n), bytes = Some(b))
+          // Routing guarantees the partition column non-null in this
+          // file (null partitions land as plain rows).
+          nRows = Some(n), bytes = Some(b), nNulls = Some(0L))
         case None => ManifestRow(p, nRows = Some(n), bytes = Some(b))
       }
     }
@@ -1419,11 +1424,52 @@ object SnapshotTable {
       rows: Seq[(String, String, Long, Long)],
       action: String = "append"): Unit = {
     val meta = fileMetaOpt(spark, rows.map(_._1).distinct.sorted)
+    // Per-(file, column) NULL counts off the same footers — what makes
+    // a zone row's non-null row count derivable (nRows − nNulls): the
+    // sound "rows provably sorting before this file" proof the TopN
+    // pushdown needs under NULLS LAST orderings. Best-effort like the
+    // meta pass (an unreadable footer or unset statistic records None
+    // and the file neither proves nor excludes).
+    val nulls = footerNullCounts(spark, rows.map(r => (r._1, r._2)).distinct)
     writeManifest(spark, table, gen, replace = false,
       rows.sortBy(r => (r._1, r._2)).map { case (p, c, mn, mx) =>
         ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx),
-          nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2)) },
+          nRows = meta.get(p).map(_._1), bytes = meta.get(p).map(_._2),
+          nNulls = nulls.getOrElse((p, c), None)) },
       Some(action))
+  }
+
+  /** NULL counts per `(file, column)` from the parquet footers — one
+    * footer open per file, summed across row groups; `None` when any
+    * block leaves the statistic unset (legacy writers) or the footer
+    * is unreadable.
+    */
+  private def footerNullCounts(spark: SparkSession,
+      pairs: Seq[(String, String)]): Map[(String, String), Option[Long]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    pairs.groupBy(_._1).toSeq.flatMap { case (f, ps) =>
+      val cols = ps.map(_._2).distinct
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala
+          cols.map { c =>
+            val per = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.isNumNullsSet)
+              .map(_.getNumNulls))
+            (f, c) -> (if (per.nonEmpty && per.forall(_.isDefined))
+              Some(per.flatten.sum) else None)
+          }
+        } finally r.close()
+      } catch {
+        case _: Exception => cols.map(c => (f, c) -> Option.empty[Long])
+      }
+    }.toMap
   }
 
   /** Files of generation `gen` admitted by CONJUNCTIVE per-column
@@ -1444,7 +1490,7 @@ object SnapshotTable {
         .distinct.sorted
     else {
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _)
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _, _)
             if bounds.get(c).exists { case (lo, hi) => mn > hi || mx < lo } => p
       }.toSet
       // Data rows only: a stats lineage that later gains equality-delete
@@ -1577,13 +1623,53 @@ object SnapshotTable {
       case r if r.kind.forall(_ == "data") && r.nRows.forall(_ > 0L) => r.path
     }.distinct
     val recs = rows.collect {
-      case ManifestRow(p, k, Some(c), Some(mn), Some(mx), _, _, _)
+      case ManifestRow(p, k, Some(c), Some(mn), Some(mx), _, _, _, _)
           if c == column && k.forall(_ == "data") => (p, mn, mx)
     }
     val covered = recs.map(_._1).toSet
     if (need.nonEmpty && need.forall(covered.contains))
       Some((recs.map(_._2).min, recs.map(_._3).max))
     else None
+  }
+
+  /** `candidates` pruned for a pushed `ORDER BY column [ASC|DESC]
+    * NULLS LAST LIMIT n` — the TopN exclusion rule over zone rows:
+    * file F drops iff OTHER files' zone rows PROVE at least `n` rows
+    * sort strictly before every row of F, i.e. (ascending)
+    * Σ nonNull(G) over files G with `maxKey(G) < minKey(F)` ≥ n, where
+    * nonNull(G) = recorded rows − recorded column nulls. NULLS LAST
+    * is what makes counting whole files sound: F's own null rows sort
+    * after everything, and a proof file's nulls are SUBTRACTED (they
+    * sort last, not before F). Descending mirrors with min/max
+    * swapped. Per-file coverage gates each ROLE independently — a
+    * file without full stats can neither prove nor be excluded
+    * (conservative both ways), so no global coverage requirement
+    * exists. The pushdown stays PARTIAL (Spark's TakeOrderedAndProject
+    * still runs), so this only ever shrinks I/O, never decides order.
+    */
+  def topNAdmitted(spark: SparkSession, table: String, gen: Long,
+      column: String, desc: Boolean, n: Int,
+      candidates: Seq[String]): Seq[String] = {
+    val rows = readManifestRows(spark, manifestPath(table, gen))
+    // (minKey, maxKey, nonNullRows) per candidate with FULL stats.
+    val recs: Map[String, (Long, Long, Long)] = rows.collect {
+      case ManifestRow(p, k, Some(c), Some(mn), Some(mx), _, Some(nr),
+          _, Some(nn)) if c == column && k.forall(_ == "data") =>
+        p -> ((mn, mx, math.max(0L, nr - nn)))
+    }.toMap
+    candidates.filter { f =>
+      recs.get(f) match {
+        case None => true // unstatted: never excluded
+        case Some((mn, mx, _)) =>
+          val proof = candidates.iterator.filter(_ != f)
+            .flatMap(recs.get)
+            .filter { case (gmn, gmx, _) =>
+              if (desc) gmn > mx else gmx < mn
+            }
+            .map(_._3).sum
+          proof < n.toLong
+      }
+    }
   }
 
   /** Columns with long-form zone-map rows ([[publishStats]]) in
@@ -1686,7 +1772,7 @@ object SnapshotTable {
         s"manifest of $table gen $gen records no zone map for $column " +
           s"(has: ${rows.flatMap(_.keyCol).distinct.sorted.mkString(", ")})")
       val excluded = rows.collect {
-        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _)
+        case ManifestRow(p, _, Some(c), Some(mn), Some(mx), _, _, _, _)
             if c == column && (mn > hi || mx < lo) => p
       }.toSet
       rows.collect { case r if r.kind.forall(_ == "data") => r.path }

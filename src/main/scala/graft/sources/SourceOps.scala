@@ -998,6 +998,50 @@ object SourceOps {
       .toDF("phase", "n_rows", "n_files").orderBy("phase")
   }
 
+  /** TopN pushdown as a FILE prune — "the latest n by key", the other
+    * preview shape: `ORDER BY col DESC LIMIT n` (NULLS LAST by
+    * default, which is what makes whole-file proof counting sound)
+    * drops every file whose rows provably all sort after the n-th —
+    * on a time-clustered 100 TB table that is ONE tail file planned,
+    * not the table. The exclusion rule works off zone rows extended
+    * with per-column NULL counts (proof rows = recorded rows − nulls),
+    * and the pushdown stays PARTIAL, so Spark's TakeOrderedAndProject
+    * owns the order and pruning only shrinks I/O. Phases gate desc
+    * (1-of-4 planned), explicit ASC NULLS LAST (1-of-4 from the other
+    * end), and the default-ASC refusal (NULLS FIRST would sort
+    * unknowable null rows ahead of every proof — all 4 files must
+    * plan), each with the exact top-k content.
+    */
+  def connectorTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "connector_topn")
+    val src = Tables.orders(spark, dir).select("o_orderkey")
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + 4) / 4
+    val gen1Dir = s"$table/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    SnapshotTable.publishStats(spark, table, 1L,
+      SnapshotTable.footerStats(spark, paths, Seq("o_orderkey")))
+    def read() = spark.read
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", table).load()
+    def phase(tag: String,
+        df: org.apache.spark.sql.DataFrame): (String, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks")).head()
+      val planned = graft.streaming.SnapshotSource.lastPlan(table)
+        .map(_._1).getOrElse(-1).toLong
+      (tag, r.getLong(0), r.getLong(1), planned)
+    }
+    Seq(
+      phase("a_desc", read().orderBy(col("o_orderkey").desc).limit(5)),
+      phase("b_asc", read().orderBy(col("o_orderkey").asc_nulls_last).limit(7)),
+      phase("c_first", read().orderBy(col("o_orderkey")).limit(5)))
+      .toDF("phase", "n_rows", "key_sum", "n_files").orderBy("phase")
+  }
+
   /** MAP columns through the connector — the last nested shape of the
     * type surface: per-document attribute maps (the flexible-metadata
     * idiom next to [[connectorStruct]]'s fixed shape) commit as
@@ -3204,6 +3248,7 @@ object SourceOps {
     "src_connector_count" -> (connectorCount _),
     "src_connector_minmax" -> (connectorMinMax _),
     "src_connector_limit" -> (connectorLimit _),
+    "src_connector_topn" -> (connectorTopN _),
     "src_catalog_sql" -> (catalogSql _),
     "src_provenance" -> (provenance _),
     "src_catalog_delete" -> (catalogDelete _),
@@ -3685,6 +3730,24 @@ object SourceOps {
         |UNION ALL
         |SELECT 'c_all', (SELECT CAST(count(*) AS BIGINT) FROM sl),
         |  CAST(4 AS BIGINT)
+        |ORDER BY phase""".stripMargin,
+    // TopN-pushdown twin: exact top-k sums from the total order on the
+    // unique key; planned-file counts as layout constants (one range
+    // slice holds each extreme, the NULLS FIRST refusal plans all 4).
+    "src_connector_topn" ->
+      """WITH src AS (SELECT o_orderkey FROM orders),
+        |t5 AS (SELECT o_orderkey FROM src ORDER BY o_orderkey DESC LIMIT 5),
+        |l7 AS (SELECT o_orderkey FROM src ORDER BY o_orderkey ASC LIMIT 7),
+        |l5 AS (SELECT o_orderkey FROM src ORDER BY o_orderkey ASC LIMIT 5)
+        |SELECT 'a_desc' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS n_files FROM t5
+        |UNION ALL
+        |SELECT 'b_asc', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), CAST(1 AS BIGINT) FROM l7
+        |UNION ALL
+        |SELECT 'c_first', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT), CAST(4 AS BIGINT) FROM l5
         |ORDER BY phase""".stripMargin,
     // Map twin: the two looked-up keys' sums over the original flat
     // columns — the map fold/unfold must be content-neutral.

@@ -1091,7 +1091,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+        with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
       // Whether Spark pushed ANY filter at all — including classes
@@ -1138,6 +1139,33 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
         }
       }
       override def isPartiallyPushed(): Boolean = true
+
+      // TopN pushdown as a FILE prune: `ORDER BY col [ASC|DESC] NULLS
+      // LAST LIMIT n` drops files whose every row PROVABLY sorts after
+      // the n-th (the zone-row exclusion rule in
+      // [[SnapshotTable.topNAdmitted]] — "latest n events by time" is
+      // the production shape, `ORDER BY ts DESC` being NULLS LAST by
+      // default). PARTIAL: Spark's TakeOrderedAndProject still owns
+      // the order, so pruning only shrinks I/O. NULLS FIRST orderings
+      // refuse — nulls would sort ahead of every proof row, and zone
+      // rows cannot bound which files hold them.
+      private var topNSpec: Option[(String, Boolean, Int)] = None
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          limit: Int): Boolean = {
+        import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+        if (sawFilters || limit <= 0 || orders.length != 1) false
+        else {
+          val o = orders.head
+          SnapshotSource.v2Col(o.expression()) match {
+            case Some(c) if o.nullOrdering() == NullOrdering.NULLS_LAST =>
+              topNSpec =
+                Some((c, o.direction() == SortDirection.DESCENDING, limit))
+              true
+            case _ => false
+          }
+        }
+      }
 
       // METADATA-ANSWERED AGGREGATES, served from the manifest:
       // `SELECT count(*) FROM t` sums the recorded per-file row counts
@@ -1307,7 +1335,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           SnapshotSource.probesOf(pushed),
           SnapshotSource.strProbesOf(pushed),
           SnapshotSource.aliasMapOf(tableSchema),
-          limitFiles)
+          limitFiles, topNSpec)
         override def toBatch: Batch = batch
         // POST-PRUNING size estimate, served from the MANIFEST's
         // recorded per-file stats (one manifest read covers every
@@ -1374,7 +1402,8 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     probes: Map[String, Seq[Long]] = Map.empty,
     strProbes: Map[String, Seq[String]] = Map.empty,
     aliases: Map[String, Seq[String]] = Map.empty,
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None) extends Batch {
 
   // RUNTIME filters (SupportsRuntimeV2Filtering): bounds/probes derived
   // from a join's build side AFTER it executes, intersected with the
@@ -1487,6 +1516,16 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
           SnapshotTable.bloomAdmittedFilesRendered(spark, table, c, vs, files)
         else files
     }
+    // PUSHED-TOPN file exclusion (mutually exclusive with a pushed
+    // bare limit — Spark offers one or the other): drop files whose
+    // every row provably sorts after the n-th. Same runtime-filter
+    // guard as the limit truncation below.
+    val topAdmitted = topN match {
+      case Some((c, desc, n)) if rtBounds.isEmpty && rtProbes.isEmpty &&
+          rtStrProbes.isEmpty =>
+        SnapshotTable.topNAdmitted(spark, table, gen, c, desc, n, strAdmitted)
+      case _ => strAdmitted
+    }
     // PUSHED-LIMIT truncation: plan only enough files (by recorded row
     // counts) to cover the limit. Sound because the pushdown is
     // PARTIAL — Spark's own Limit still runs on top, so the scan only
@@ -1498,18 +1537,18 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     // any admitted file lacks a recorded count.
     val admitted = limit match {
       case Some(n) if rtBounds.isEmpty && rtProbes.isEmpty &&
-          rtStrProbes.isEmpty && strAdmitted.nonEmpty =>
+          rtStrProbes.isEmpty && topAdmitted.nonEmpty =>
         val rec = SnapshotTable.recordedFileStats(spark, table, gen)
-        val counts = strAdmitted.map(f => rec.get(f).flatMap(_._1))
+        val counts = topAdmitted.map(f => rec.get(f).flatMap(_._1))
         if (counts.forall(_.isDefined)) {
           val cum = counts.map(_.get).scanLeft(0L)(_ + _).tail
           val keep = cum.indexWhere(_ >= n.toLong) match {
-            case -1 => strAdmitted.size
+            case -1 => topAdmitted.size
             case i => i + 1
           }
-          strAdmitted.take(keep)
-        } else strAdmitted
-      case _ => strAdmitted
+          topAdmitted.take(keep)
+        } else topAdmitted
+      case _ => topAdmitted
     }
     if (record)
       SnapshotSource.recordPlan(table, admitted.size,

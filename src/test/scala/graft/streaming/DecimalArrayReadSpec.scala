@@ -322,6 +322,57 @@ class DecimalArrayReadSpec extends AnyFunSuite {
       "count stays manifest-served: every file has a recorded row count")
   }
 
+  test("TopN pushdown: NULLS LAST prunes by NON-NULL proof rows; NULLS FIRST refuses") {
+    import org.apache.spark.sql.functions.{asc_nulls_last, desc}
+    val t = graft.Scratch.dir("topn_nulls")
+    val gen1 = s"$t/data/gen=1"
+    // Three files: A = keys 1..5 plus TEN null keys (nonNull = 5),
+    // B = 6..20, C = 21..30 — the null mix is exactly what makes naive
+    // whole-file proof counting unsound.
+    def write(dir: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(dir)
+      spark.read.parquet(dir).inputFiles.head
+    }
+    val a = write(s"$gen1/a", spark.range(15).selectExpr(
+      "CASE WHEN id < 5 THEN id + 1 END AS k"))
+    val b = write(s"$gen1/b", spark.range(6, 21).selectExpr("id AS k"))
+    val c = write(s"$gen1/c", spark.range(21, 31).selectExpr("id AS k"))
+    SnapshotTable.publishStats(spark, t, 1L,
+      SnapshotTable.footerStats(spark, Seq(a, b, c), Seq("k")))
+    def read() = spark.read.format(provider).load(t)
+    def plannedAfter[T](body: => T): (T, Int) = {
+      val r = body
+      (r, SnapshotSource.lastPlan(t).map(_._1).getOrElse(-1))
+    }
+    // ASC NULLS LAST LIMIT 5: A's five non-null rows prove B and C
+    // away — one file planned, content exact.
+    val (r5, p5) = plannedAfter(
+      read().orderBy(asc_nulls_last("k")).limit(5)
+        .collect().map(_.getLong(0)).toSeq)
+    assert(r5 === (1L to 5L) && p5 === 1)
+    // LIMIT 6: A's proof is only 5 NON-NULL rows (15 raw rows — a
+    // count not subtracting nulls would wrongly exclude B), so B must
+    // stay planned; C still drops (proof 20 >= 6).
+    val (r6, p6) = plannedAfter(
+      read().orderBy(asc_nulls_last("k")).limit(6)
+        .collect().map(_.getLong(0)).toSeq)
+    assert(r6 === (1L to 6L) && p6 === 2,
+      s"A's 10 null rows must not count as proof; planned $p6")
+    // DESC (NULLS LAST by default) LIMIT 3: only C plans.
+    val (rd, pd) = plannedAfter(
+      read().orderBy(desc("k")).limit(3)
+        .collect().map(_.getLong(0)).toSeq)
+    assert(rd === Seq(30L, 29L, 28L) && pd === 1)
+    // Default ASC = NULLS FIRST: the nulls sort AHEAD of every proof
+    // row, so the pushdown refuses (all files plan) and the nulls
+    // actually arrive first — the rows unsound pruning would lose.
+    val (rf, pf) = plannedAfter(
+      read().orderBy("k").limit(2).collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq)
+    assert(rf === Seq(-1L, -1L) && pf === 3,
+      s"NULLS FIRST must refuse the prune; planned $pf")
+  }
+
   test("nested schema pruning reaches the decoder: a struct-member read decodes the subset") {
     val t = graft.Scratch.dir("nested_prune")
     spark.range(500L).select(col("id").as("k"),
