@@ -1632,6 +1632,20 @@ object SnapshotTable {
     else None
   }
 
+  /** Per-file IDENTITY partition values of generation `gen` — paths
+    * whose zone row on `column` is a point (`min == max`, the shape
+    * every partition-routed commit records). What the connector's
+    * storage-partitioned-join reporting groups by; files without a
+    * point row (null partitions, DML-rewritten files) are simply
+    * absent and the caller refuses the grouping.
+    */
+  private[graft] def partitionValues(spark: SparkSession, table: String,
+      gen: Long, column: String): Map[String, Long] =
+    readManifestRows(spark, manifestPath(table, gen)).collect {
+      case ManifestRow(p, k, Some(c), Some(mn), Some(mx), _, _, _, _)
+          if c == column && mn == mx && k.forall(_ == "data") => p -> mn
+    }.toMap
+
   /** `candidates` pruned for a pushed `ORDER BY column [ASC|DESC]
     * NULLS LAST LIMIT n` — the TopN exclusion rule over zone rows:
     * file F drops iff OTHER files' zone rows PROVE at least `n` rows

@@ -1760,6 +1760,62 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** STORAGE-PARTITIONED JOIN — the shuffle-free fact⋈fact shape
+    * partitioned tables exist for: both sides report key-grouped
+    * partitioning over their identity partition column (one input
+    * partition per value, built from the same manifest zone rows that
+    * drive partition pruning), and Spark's key-grouped execution
+    * co-locates matching partitions WITHOUT exchanging either side —
+    * at 100 TB that is the difference between joining in place and
+    * shuffling two tables over the wire. The drill joins two
+    * partitioned CTAS tables on (partition key + row key) under a
+    * conf-isolated session (v2 bucketing on, broadcast off so a
+    * silent degrade would reintroduce the exchange), REQUIRES a
+    * sort-merge/shuffled-hash join with ZERO shuffles beneath it, and
+    * value-gates the joined content against the split predicates.
+    */
+  def connectorSpj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cat = ensureCatalog(s)
+    val (t1, t2) = (freshTable(s, "spj_a"), freshTable(s, "spj_b"))
+    val (n1, n2) = (new org.apache.hadoop.fs.Path(t1).getName,
+      new org.apache.hadoop.fs.Path(t2).getName)
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .createOrReplaceTempView("spj_src")
+    s.sql(s"CREATE TABLE $cat.`$n1` PARTITIONED BY (bkt) AS " +
+      "SELECT o_orderkey, o_custkey, CAST(o_orderkey % 8 AS INT) AS bkt " +
+      "FROM spj_src WHERE o_orderkey % 2 = 1 DISTRIBUTE BY o_orderkey % 8")
+    s.sql(s"CREATE TABLE $cat.`$n2` PARTITIONED BY (bkt) AS " +
+      "SELECT o_orderkey, o_custkey, CAST(o_orderkey % 8 AS INT) AS bkt " +
+      "FROM spj_src WHERE o_orderkey % 3 = 0 DISTRIBUTE BY o_orderkey % 8")
+    val q = s.sql(
+      s"""SELECT count(*) AS n, sum(a.o_orderkey) AS key_sum,
+         |  sum(a.o_custkey + b.o_custkey) AS cust2_sum
+         |FROM $cat.`$n1` a JOIN $cat.`$n2` b
+         |  ON a.bkt = b.bkt AND a.o_orderkey = b.o_orderkey""".stripMargin)
+    val row = q.head()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case qs: QueryStageExec => qs +: flatten(qs.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(q.queryExecution.executedPlan)
+    val joins = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    val ok = joins.nonEmpty && joins.flatMap(j => flatten(j).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]))
+      .isEmpty
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), ok))
+      .toDF("n", "key_sum", "cust2_sum", "shuffle_free")
+  }
+
   /** `ALTER TABLE RENAME COLUMN` / `DROP COLUMN` — the rest of the
     * DDL lifecycle, still METADATA-ONLY: a rename rewrites ZERO data
     * (the drill requires verbatim files) and serves old files through
@@ -3258,6 +3314,7 @@ object SourceOps {
     "src_catalog_ctas" -> (catalogCtas _),
     "src_catalog_partitioned" -> (catalogPartitioned _),
     "src_catalog_evolve2" -> (catalogEvolve2 _),
+    "src_connector_spj" -> (connectorSpj _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
     "src_catalog_drop" -> (catalogDrop _),
@@ -3964,6 +4021,14 @@ object SourceOps {
         |  CAST(1 AS BIGINT)
         |FROM orders
         |ORDER BY phase""".stripMargin,
+    // Storage-partitioned-join twin: the matched keys are exactly
+    // k ≡ 3 (mod 6); the shuffle-free plan shape binds as the boolean.
+    "src_connector_spj" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(o_custkey * 2) AS BIGINT) AS cust2_sum,
+        |  TRUE AS shuffle_free
+        |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0""".stripMargin,
     // Partitioned-CTAS twin: partition file counts are layout
     // constants (one file per bkt value per statement — DISTRIBUTE BY
     // pins each value to one task), the planned counts the zone-row

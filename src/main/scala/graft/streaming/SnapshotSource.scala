@@ -1310,9 +1310,16 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
 
       private def buildScan(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics
-          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
         override def readSchema(): StructType = required
         override def description(): String = s"SnapshotSource($table)"
+        // Storage-partitioned joins: key-grouped over the identity
+        // partition column when the whole scan can serve one partition
+        // per value ([[SnapshotBatch.outputPartitioning]]).
+        override def outputPartitioning()
+            : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+          batch.outputPartitioning()
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           batch.indexedColumns()
@@ -1437,6 +1444,69 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
       c -> gs.map(_._2.distinct).reduce(_ intersect _)
     }
 
+  /** STORAGE-PARTITIONED-JOIN grouping: `(column, int-width, value →
+    * files)` when this scan can be served as one input partition per
+    * identity-partition VALUE — the shape that lets Spark's
+    * key-grouped execution join two tables partitioned on the same
+    * column with ZERO shuffle on either side. Advertised only for the
+    * pristine full-table scan (no pushdown truncations — the common
+    * fact-join shape) on a generation where EVERY planned file carries
+    * a point zone row on the partition column (a null-partition or
+    * DML-rewritten file without one refuses the grouping, never
+    * mis-keys it). Resolution is advisory (None on any failure) and
+    * NON-recording — planInputPartitions records the real planning.
+    */
+  private lazy val spjPlan: Option[(String, Boolean, Seq[(Long, Seq[String])])] =
+    try {
+      val spark = SparkSession.active
+      // Gated on the session's SPJ opt-in: without it Spark ignores
+      // the reported partitioning anyway, and a pristine scan should
+      // keep one partition PER FILE — collapsing to one-per-value
+      // would cap parallelism at the value count for no benefit.
+      if (bounds.nonEmpty || probes.nonEmpty || strProbes.nonEmpty ||
+          limit.isDefined || topN.isDefined ||
+          !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+            .toBoolean) None
+      else {
+        SnapshotTable.partitionColumn(spark, table) match {
+          case Some(c) if schema.fieldNames.contains(c) =>
+            val intWidth: Option[Boolean] =
+              schema.fields(schema.fieldIndex(c)).dataType match {
+                case IntegerType | DateType => Some(true)
+                case LongType => Some(false)
+                case _ => None
+              }
+            intWidth.flatMap { isInt =>
+              val (gen, files, seg) = resolvePlan(record = false)
+              if (seg || files.isEmpty) None
+              else {
+                val vals = SnapshotTable.partitionValues(spark, table, gen, c)
+                if (files.forall(vals.contains))
+                  Some((c, isInt, files.groupBy(vals).toSeq.sortBy(_._1)
+                    .map { case (v, fs) => (v, fs.sorted) }))
+                else None
+              }
+            }
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** What the Scan reports: key-grouped over the identity transform
+    * when [[spjPlan]] holds, unknown otherwise (Spark ignores the
+    * unknown case and derives its own).
+    */
+  private[streaming] def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjPlan match {
+      case Some((c, _, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Columns the manifest's zone maps or bloom sidecars can prune on
     * at the CURRENTLY-resolved generation — what the scan advertises
     * as runtime-filterable. Advisory: failures degrade to none.
@@ -1556,8 +1626,19 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     (gen, admitted, false)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    resolvePlan()._2.map(SnapshotFilePartition(_)).toArray
+  override def planInputPartitions(): Array[InputPartition] = spjPlan match {
+    case Some((_, isInt, groups)) =>
+      // Key-grouped serving: one partition per identity value, every
+      // group kept (a runtime-filtered-empty group still ships, with
+      // zero files — reader yields nothing) so the reported
+      // KeyGroupedPartitioning's partition count stays exact.
+      val admitted = resolvePlan()._2.toSet
+      groups.map { case (v, fs) =>
+        SnapshotKeyedPartition(fs.filter(admitted), v, isInt): InputPartition
+      }.toArray
+    case None =>
+      resolvePlan()._2.map(SnapshotFilePartition(_)).toArray
+  }
 
   // The factory carries the MERGED (compile-time + runtime) bounds and
   // probes so the task-side readers can extend the same pruning one
@@ -2014,6 +2095,44 @@ private[streaming] class SnapshotMicroBatchStream(table: String,
 
 private[streaming] case class SnapshotFilePartition(path: String) extends InputPartition
 
+/** One IDENTITY-PARTITION group as a single input partition — the
+  * storage-partitioned-join unit: all of one partition value's files,
+  * exposing the value as the partition KEY so Spark's key-grouped
+  * execution can co-locate two tables' matching partitions without a
+  * shuffle. `isInt` mirrors the column's physical width (INT/DATE
+  * vs BIGINT) so the key row's type matches the reported transform.
+  */
+private[streaming] case class SnapshotKeyedPartition(paths: Seq[String],
+    value: Long, isInt: Boolean) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      if (isInt) value.toInt else value))
+}
+
+/** Sequential concatenation of per-file readers — the multi-file
+  * reader a keyed partition needs. */
+private[streaming] class SnapshotConcatReader[T](paths: Seq[String],
+    mk: String => PartitionReader[T]) extends PartitionReader[T] {
+  private var idx = 0
+  private var cur: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= paths.size) return false
+        cur = mk(paths(idx))
+        idx += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
 private[streaming] class SnapshotReaderFactory(schema: StructType,
     conf: SerializableConfiguration,
     bounds: Map[String, (Long, Long)] = Map.empty,
@@ -2021,10 +2140,14 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
     aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[SnapshotFilePartition].path
-    new SnapshotFileReader(path, schema, conf.value, aliases)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SnapshotFilePartition(path) =>
+        new SnapshotFileReader(path, schema, conf.value, aliases)
+      case SnapshotKeyedPartition(paths, _, _) =>
+        new SnapshotConcatReader(paths,
+          p => new SnapshotFileReader(p, schema, conf.value, aliases))
+    }
 
   // VECTORIZED decode ([[SnapshotColumnarReader]]): projected row-group
   // reads skip unrequested columns' PAGES, values land in columnar
@@ -2038,11 +2161,16 @@ private[streaming] class SnapshotReaderFactory(schema: StructType,
       SnapshotColumnarReader.supports(schema)
 
   override def createColumnarReader(
-      partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val path = partition.asInstanceOf[SnapshotFilePartition].path
-    new SnapshotColumnarReader(path, schema, conf.value,
-      bounds = bounds, probes = probes, aliases = aliases)
-  }
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case SnapshotFilePartition(path) =>
+        new SnapshotColumnarReader(path, schema, conf.value,
+          bounds = bounds, probes = probes, aliases = aliases)
+      case SnapshotKeyedPartition(paths, _, _) =>
+        new SnapshotConcatReader(paths,
+          p => new SnapshotColumnarReader(p, schema, conf.value,
+            bounds = bounds, probes = probes, aliases = aliases))
+    }
 }
 
 private[streaming] case class SnapshotWriteMessage(path: String)

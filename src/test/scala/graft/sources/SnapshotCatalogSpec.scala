@@ -896,6 +896,55 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .map(_.toString).toSeq === Seq("identity(b)"))
   }
 
+  test("storage-partitioned join: same-column partitioned tables join with no shuffle") {
+    val wh0 = warehouse // force shared catalog registration (and reuse its warehouse)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // The join carries an extra equi-key (k) beyond the partition key;
+    // co-partition on the bkt subset is exactly what SPJ exploits.
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.catalog.spj_cat",
+      classOf[graft.streaming.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.spj_cat.warehouse", wh0)
+    s.range(0, 4000).selectExpr("id AS k", "CAST(id % 8 AS INT) AS bkt")
+      .createOrReplaceTempView("spj_src")
+    s.sql("CREATE TABLE spj_cat.t_spj1 PARTITIONED BY (bkt) AS " +
+      "SELECT k, bkt FROM spj_src WHERE k % 2 = 1 DISTRIBUTE BY bkt")
+    s.sql("CREATE TABLE spj_cat.t_spj2 PARTITIONED BY (bkt) AS " +
+      "SELECT k, bkt FROM spj_src WHERE k % 3 = 1 DISTRIBUTE BY bkt")
+    val q = s.sql(
+      """SELECT count(*) AS n, sum(a.k) AS ks
+        |FROM spj_cat.t_spj1 a JOIN spj_cat.t_spj2 b
+        |  ON a.bkt = b.bkt AND a.k = b.k""".stripMargin)
+    val row = q.head()
+    // Ground truth: keys ≡ 1 (mod 6).
+    val expect = (0L until 4000L).filter(k => k % 2 == 1 && k % 3 == 1)
+    assert(row.getLong(0) === expect.size.toLong)
+    assert(row.getLong(1) === expect.sum)
+    // THE claim: no shuffle anywhere under the join — both sides serve
+    // key-grouped partitions, so the only exchange in the whole plan
+    // is the final 1-row aggregate collapse.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case qs: QueryStageExec => qs +: flatten(qs.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val all = flatten(q.queryExecution.executedPlan)
+    val joins = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(joins.nonEmpty, "the join must not degrade to broadcast/NLJ\n" +
+      q.queryExecution.executedPlan.toString)
+    val shufflesUnderJoin = joins.flatMap(j => flatten(j).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]))
+    assert(shufflesUnderJoin.isEmpty,
+      "storage-partitioned join must serve both sides shuffle-free; got:\n" +
+        q.queryExecution.executedPlan.toString)
+  }
+
   test("RENAME/DROP COLUMN: metadata-only, alias-resolved reads, retired names refused") {
     import spark.implicits._
     val wh = warehouse
