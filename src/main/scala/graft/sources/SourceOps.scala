@@ -1760,6 +1760,33 @@ object SourceOps {
       .orderBy("phase")
   }
 
+  /** The `partitions` METADATA relation — "how is this table laid
+    * out, and is it skewed?" as plain SQL: one row per identity-
+    * partition value of the latest snapshot, counts summed from the
+    * manifest's recorded rows (zero data I/O at any table size). The
+    * drill creates a partitioned CTAS with DETERMINISTIC per-value
+    * file counts, INSERTs a second routed batch into one partition,
+    * and the relation must report the post-insert layout exactly —
+    * per-value file counts included, so a maintenance job can spot
+    * the compaction-needing partition from SQL alone.
+    */
+  def catalogPartMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_partmeta")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    Tables.orders(spark, dir).select("o_orderkey")
+      .createOrReplaceTempView("partmeta_src")
+    spark.sql(s"CREATE TABLE $cat.`$name` PARTITIONED BY (bkt) AS " +
+      "SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS bkt " +
+      "FROM partmeta_src DISTRIBUTE BY o_orderkey % 4")
+    spark.sql(s"INSERT INTO $cat.`$name` " +
+      "SELECT o_orderkey + 1000000000, CAST(2 AS INT) " +
+      "FROM partmeta_src WHERE o_orderkey % 4 = 2 DISTRIBUTE BY o_orderkey % 4")
+    spark.sql(
+      s"""SELECT value, n_files, n_rows FROM $cat.`$name`.partitions
+         |ORDER BY value""".stripMargin)
+  }
+
   /** STORAGE-PARTITIONED JOIN — the shuffle-free fact⋈fact shape
     * partitioned tables exist for: both sides report key-grouped
     * partitioning over their identity partition column (one input
@@ -3315,6 +3342,7 @@ object SourceOps {
     "src_catalog_partitioned" -> (catalogPartitioned _),
     "src_catalog_evolve2" -> (catalogEvolve2 _),
     "src_connector_spj" -> (connectorSpj _),
+    "src_catalog_partmeta" -> (catalogPartMeta _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
     "src_catalog_drop" -> (catalogDrop _),
@@ -4021,6 +4049,16 @@ object SourceOps {
         |  CAST(1 AS BIGINT)
         |FROM orders
         |ORDER BY phase""".stripMargin,
+    // Partitions-relation twin: per-value rows from the residue split;
+    // file counts are layout constants (1 per value; the routed insert
+    // lands a 2nd file in value 2 and doubles its rows).
+    "src_catalog_partmeta" ->
+      """SELECT CAST(bkt AS BIGINT) AS value,
+        |  CAST(CASE WHEN bkt = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_files,
+        |  CAST(count(*) * CASE WHEN bkt = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_rows
+        |FROM (SELECT o_orderkey % 4 AS bkt FROM orders)
+        |GROUP BY bkt ORDER BY value""".stripMargin,
     // Storage-partitioned-join twin: the matched keys are exactly
     // k ≡ 3 (mod 6); the shuffle-free plan shape binds as the boolean.
     "src_connector_spj" ->

@@ -356,7 +356,7 @@ private[streaming] class SnapshotMetaTable(table: String, kind: String)
 
 private[streaming] object SnapshotMetaTable {
 
-  val Kinds: Set[String] = Set("files", "history", "branches")
+  val Kinds: Set[String] = Set("files", "history", "branches", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -372,6 +372,17 @@ private[streaming] object SnapshotMetaTable {
       StructField("n_delete_files", LongType)))
     case "branches" => StructType(Seq(
       StructField("branch", StringType),
+      StructField("n_files", LongType),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType)))
+    // One row per identity-partition VALUE of the latest snapshot (a
+    // NULL value covers files outside the routing: null partitions,
+    // DML-rewritten files) — the answer to "how is this table laid
+    // out, and is it skewed?" as plain SQL, from manifest rows alone.
+    // DATE partition values surface as epoch days (the physical
+    // domain every zone map lives in).
+    case "partitions" => StructType(Seq(
+      StructField("value", LongType),
       StructField("n_files", LongType),
       StructField("n_rows", LongType),
       StructField("bytes", LongType)))
@@ -419,6 +430,28 @@ private[streaming] object SnapshotMetaTable {
           if (stats.forall(_._3.isDefined))
             java.lang.Long.valueOf(stats.flatMap(_._3).sum) else null))
       }.toArray
+    case "partitions" =>
+      val gens = SnapshotTable.generations(spark, table)
+      require(gens.nonEmpty, s"$table has no committed generation")
+      val col = SnapshotTable.partitionColumn(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table records no identity partition column; the partitions " +
+            "relation applies to PARTITIONED tables"))
+      val gen = gens.max
+      val vals = SnapshotTable.partitionValues(spark, table, gen, col)
+      val inv = SnapshotTable.fileInventory(spark, table, gen)
+        .filter(_._2 == "data")
+      inv.groupBy(e => vals.get(e._1)).toSeq
+        .sortBy { case (v, _) => (v.isEmpty, v.getOrElse(0L)) }
+        .map { case (v, es) =>
+          new GenericInternalRow(Array[Any](
+            v.map(java.lang.Long.valueOf).orNull,
+            es.size.toLong,
+            if (es.forall(_._3.isDefined))
+              java.lang.Long.valueOf(es.flatMap(_._3).sum) else null,
+            if (es.forall(_._4.isDefined))
+              java.lang.Long.valueOf(es.flatMap(_._4).sum) else null))
+        }.toArray
     case "history" =>
       SnapshotTable.generations(spark, table).map { g =>
         val (data, dels, _) = SnapshotTable.tailEntries(spark, table, g)

@@ -945,6 +945,38 @@ class SnapshotCatalogSpec extends AnyFunSuite {
         q.queryExecution.executedPlan.toString)
   }
 
+  test("storage-partitioned join degrades gracefully when DML breaks point-row coverage") {
+    val wh0 = warehouse
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.catalog.spjd_cat",
+      classOf[graft.streaming.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.spjd_cat.warehouse", wh0)
+    s.range(0, 800).selectExpr("id AS k", "CAST(id % 4 AS INT) AS bkt")
+      .createOrReplaceTempView("spjd_src")
+    s.sql("CREATE TABLE spjd_cat.t_spjd1 PARTITIONED BY (bkt) AS " +
+      "SELECT k, bkt FROM spjd_src DISTRIBUTE BY bkt")
+    s.sql("CREATE TABLE spjd_cat.t_spjd2 PARTITIONED BY (bkt) AS " +
+      "SELECT k, bkt FROM spjd_src WHERE k % 2 = 0 DISTRIBUTE BY bkt")
+    // A row-level UPDATE rewrites one partition's file WITHOUT a point
+    // zone row — the key-grouped serving must REFUSE the grouping (a
+    // mis-keyed partition would silently drop join matches), and the
+    // join still answers exactly through the ordinary shuffled path.
+    s.sql("UPDATE spjd_cat.t_spjd1 SET k = k + 10000 WHERE bkt = 2")
+    val q = s.sql(
+      """SELECT count(*) AS n, sum(a.k) AS ks
+        |FROM spjd_cat.t_spjd1 a JOIN spjd_cat.t_spjd2 b
+        |  ON a.bkt = b.bkt AND a.k = b.k""".stripMargin)
+    val row = q.head()
+    // Post-update matches: even keys NOT in bkt 2 (those moved +10000
+    // on the left and no longer equal the right side's keys).
+    val expect = (0L until 800L).filter(k => k % 2 == 0 && k % 4 != 2)
+    assert(row.getLong(0) === expect.size.toLong)
+    assert(row.getLong(1) === expect.sum)
+  }
+
   test("RENAME/DROP COLUMN: metadata-only, alias-resolved reads, retired names refused") {
     import spark.implicits._
     val wh = warehouse
