@@ -252,7 +252,8 @@ object SnapshotTable {
     * own those semantics.
     */
   def publishSubsetRewrite(spark: SparkSession, table: String, gen: Long,
-      rewritten: Set[String], fresh: Seq[String], action: String): Unit = {
+      rewritten: Set[String], fresh: Seq[String], action: String,
+      freshPartition: Option[(String, Long)] = None): Unit = {
     val prev = readManifestRows(spark, manifestPath(table, gen - 1))
     require(prev.forall(r => r.kind.forall(_ == "data")),
       s"subset rewrite of $table needs a plain data lineage " +
@@ -290,8 +291,22 @@ object SnapshotTable {
       }
     }
     val carried = prev.filterNot(r => rewritten.contains(r.path))
+    // A PARTITION-SCOPED rewrite (compact_partition) re-stamps its
+    // fresh files with the point zone row the routing guarantees, so
+    // pruning and key-grouped joins keep working across maintenance.
+    val freshRows = freshPartition match {
+      case Some((c, v)) =>
+        val metaMap = fileMeta(spark, fresh.sorted)
+          .map(m => m._1 -> ((m._2, m._3))).toMap
+        fresh.sorted.map { p =>
+          val (n, b) = metaMap(p)
+          ManifestRow(p, keyCol = Some(c), minKey = Some(v), maxKey = Some(v),
+            nRows = Some(n), bytes = Some(b), nNulls = Some(0L))
+        }
+      case None => metaRows(spark, fresh, selfWritten = true)
+    }
     writeManifest(spark, table, gen, replace = false,
-      (carried ++ metaRows(spark, fresh, selfWritten = true))
+      (carried ++ freshRows)
         .sortBy(r => (r.kind.getOrElse("data"), r.path)), Some(action))
   }
 
@@ -2076,6 +2091,45 @@ object SnapshotTable {
     Seq("data", "deletes", "index").foreach(d => sweep(s"$table/$d"))
     sweep(table)
     (gens.size.toLong, files.size.toLong)
+  }
+
+  /** Compact ONE partition of the latest snapshot — the maintenance
+    * op the `partitions` relation points at ("value 7 has 400 small
+    * files"): the value's routed files bin-pack into `files` outputs
+    * committed as a SUBSET rewrite (every other file, zone rows
+    * included, carries verbatim), the fresh files re-stamped with the
+    * partition's point zone row so pruning and storage-partitioned
+    * joins keep working across maintenance. Cost is O(the partition),
+    * never O(table) — the property whole-snapshot [[compact]] cannot
+    * offer at 100 TB. Recorded action "compact", so the streaming
+    * skip guard's row-count neutrality check applies. Returns
+    * `(files before, new generation)`.
+    */
+  def compactPartition(spark: SparkSession, table: String, value: Long,
+      files: Int = 1): (Long, Long) = {
+    val gens = generations(spark, table)
+    require(gens.nonEmpty, s"$table has no committed generation")
+    val gen = gens.max
+    val col = partitionColumn(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table records no identity partition column; " +
+          "compact_partition applies to PARTITIONED tables"))
+    val (_, dels, seg) = tailEntries(spark, table, gen)
+    require(dels.isEmpty && !seg,
+      s"compact_partition needs a plain full-carry lineage at $table")
+    val vals = partitionValues(spark, table, gen, col)
+    val touched = listFiles(spark, table, gen)
+      .filter(p => vals.get(p).contains(value))
+    require(touched.nonEmpty,
+      s"partition $col=$value of $table has no routed files")
+    val dataDir = s"$table/data/gen=${gen + 1}/a=${attemptName()}/p=$value"
+    spark.read.option("mergeSchema", true).parquet(touched: _*)
+      .repartition(files)
+      .write.mode("overwrite").parquet(dataDir)
+    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    publishSubsetRewrite(spark, table, gen + 1, touched.toSet, fresh,
+      "compact", freshPartition = Some((col, value)))
+    (touched.size.toLong, gen + 1)
   }
 
   /** Compact generation `fromGen` into `fromGen + 1`: read the old

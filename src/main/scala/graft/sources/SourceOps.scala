@@ -1787,6 +1787,55 @@ object SourceOps {
          |ORDER BY value""".stripMargin)
   }
 
+  /** `CALL system.compact_partition` — the maintenance op the
+    * `partitions` relation points at: one identity partition's
+    * accumulated small files bin-pack into a fresh file committed as
+    * a SUBSET rewrite (every other file carries verbatim — O(the
+    * partition), never O(table), the property whole-snapshot compact
+    * cannot offer at 100 TB), re-stamped with the partition's point
+    * zone row so pruning keeps working across maintenance. Phases
+    * gate the procedure's own output (3 files in, new generation),
+    * the post-compact layout through the partitions relation, the
+    * planned-file count of a partition probe (still 1 — the fresh
+    * zone row is load-bearing), and content-neutrality through time
+    * travel to the pre-compact snapshot.
+    */
+  def catalogCompactPartition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_compactpart")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    Tables.orders(spark, dir).select("o_orderkey")
+      .createOrReplaceTempView("compactpart_src")
+    spark.sql(s"CREATE TABLE $cat.`$name` PARTITIONED BY (bkt) AS " +
+      "SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS bkt " +
+      "FROM compactpart_src DISTRIBUTE BY o_orderkey % 4")
+    Seq(1000000000L, 2000000000L).foreach { off =>
+      spark.sql(s"INSERT INTO $cat.`$name` " +
+        s"SELECT o_orderkey + $off, CAST(2 AS INT) " +
+        "FROM compactpart_src WHERE o_orderkey % 4 = 2 " +
+        "DISTRIBUTE BY o_orderkey % 4")
+    }
+    val call = spark.sql(
+      s"CALL $cat.system.compact_partition('$name', 2, 1)").head()
+    val (before, newGen) = (call.getLong(2), call.getLong(3))
+    val pm = spark.sql(
+      s"SELECT n_files, n_rows FROM $cat.`$name`.partitions WHERE value = 2")
+      .head()
+    val probe = spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS ks
+         |FROM $cat.`$name` WHERE bkt = 2""".stripMargin).head()
+    val planned = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1).toLong
+    val travel = spark.sql(
+      s"""SELECT count(*) FROM $cat.`$name` VERSION AS OF ${newGen - 1}
+         |WHERE bkt = 2""".stripMargin).head().getLong(0)
+    Seq((before, newGen, pm.getLong(0), pm.getLong(1),
+      planned, probe.getLong(0), probe.getLong(1), travel))
+      .toDF("files_before", "new_gen", "pm_files", "pm_rows",
+        "planned", "n_probe", "key_sum", "n_travel")
+  }
+
   /** STORAGE-PARTITIONED JOIN — the shuffle-free fact⋈fact shape
     * partitioned tables exist for: both sides report key-grouped
     * partitioning over their identity partition column (one input
@@ -3343,6 +3392,7 @@ object SourceOps {
     "src_catalog_evolve2" -> (catalogEvolve2 _),
     "src_connector_spj" -> (connectorSpj _),
     "src_catalog_partmeta" -> (catalogPartMeta _),
+    "src_catalog_compactpart" -> (catalogCompactPartition _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
     "src_catalog_drop" -> (catalogDrop _),
@@ -4059,6 +4109,21 @@ object SourceOps {
         |    AS n_rows
         |FROM (SELECT o_orderkey % 4 AS bkt FROM orders)
         |GROUP BY bkt ORDER BY value""".stripMargin,
+    // Compact-partition twin: bkt-2 content triples through the two
+    // routed inserts (key offsets 1e9/2e9), file/generation numbers
+    // are layout constants (4 CTAS files, gens 1..3, compact = 4),
+    // and the compaction is content-neutral (travel == latest count).
+    "src_catalog_compactpart" ->
+      """WITH c2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT CAST(3 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS new_gen,
+        |  CAST(1 AS BIGINT) AS pm_files, n * 3 AS pm_rows,
+        |  CAST(1 AS BIGINT) AS planned, n * 3 AS n_probe,
+        |  ks * 3 + (CAST(1000000000 AS BIGINT) + 2000000000) * n AS key_sum,
+        |  n * 3 AS n_travel
+        |FROM c2""".stripMargin,
     // Storage-partitioned-join twin: the matched keys are exactly
     // k ≡ 3 (mod 6); the shuffle-free plan shape binds as the boolean.
     "src_connector_spj" ->

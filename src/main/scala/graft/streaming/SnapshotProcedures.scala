@@ -52,8 +52,9 @@ private[streaming] object SnapshotProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("abandon_branch", "changes", "compact", "drop", "expire",
-      "expire_before", "history", "publish_branch", "rollback", "vacuum")
+    Seq("abandon_branch", "changes", "compact", "compact_partition",
+      "drop", "expire", "expire_before", "history", "publish_branch",
+      "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -80,6 +81,24 @@ private[streaming] object SnapshotProcedures {
         val files = in.getInt(2)
         SnapshotTable.compact(spark, rootOf(tbl), fromGen, files)
         Array(row(UTF8String.fromString(tbl), fromGen, fromGen + 1L))
+      }
+      case "compact_partition" => proc("compact_partition",
+        "bin-pack ONE identity partition's files; everything else carries verbatim",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("value", LongType).build(),
+          ProcedureParameter.in("files", IntegerType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("value", LongType),
+          StructField("files_before", LongType),
+          StructField("new_gen", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val value = in.getLong(1)
+        val (before, newGen) = SnapshotTable.compactPartition(
+          spark, rootOf(tbl), value, in.getInt(2))
+        Array(row(UTF8String.fromString(tbl), value, before, newGen))
       }
       case "expire" => proc("expire",
         "retire generations below keep_from (manifests first, then orphaned files)",
