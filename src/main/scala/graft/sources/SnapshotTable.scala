@@ -2093,6 +2093,47 @@ object SnapshotTable {
     (gens.size.toLong, files.size.toLong)
   }
 
+  /** ANALYZE: record multi-column zone maps (with per-column null
+    * counts) for the LATEST snapshot's files from their parquet
+    * FOOTERS — the command that turns a plain lineage (a CTAS'd
+    * table, a streamed ingest) into a pruning/minmax/topn-capable one
+    * without rewriting a byte: the new generation carries every
+    * manifest row verbatim (same-column zone rows REFRESHED — a
+    * re-analyze after appends replaces stale coverage), plus one
+    * long-form row per (file, column). O(files) footer metadata reads,
+    * zero data pages; the hop is file-neutral (the streaming tail sees
+    * an empty diff), recorded action "analyze". Strict on coverage:
+    * a named column missing from any footer (or statless) refuses —
+    * half-analyzed pruning would be indistinguishable from full.
+    */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "analyze needs at least one column")
+    val gens = generations(spark, table)
+    require(gens.nonEmpty, s"$table has no committed generation")
+    val gen = gens.max
+    val (data, dels, seg) = tailEntries(spark, table, gen)
+    require(dels.isEmpty && !seg,
+      s"analyze needs a plain full-carry lineage at $table")
+    val stats = footerStats(spark, data, columns)
+    val nulls = footerNullCounts(spark,
+      stats.map(r => (r._1, r._2)).distinct)
+    val prev = readManifestRows(spark, manifestPath(table, gen))
+    val metaOf: Map[String, (Option[Long], Option[Long])] =
+      recordedFileStats(spark, table, gen)
+    val fresh = stats.map { case (p, c, mn, mx) =>
+      ManifestRow(p, keyCol = Some(c), minKey = Some(mn), maxKey = Some(mx),
+        nRows = metaOf.get(p).flatMap(_._1),
+        bytes = metaOf.get(p).flatMap(_._2),
+        nNulls = nulls.getOrElse((p, c), None))
+    }
+    val kept = prev.filterNot(_.keyCol.exists(columns.contains))
+    writeManifest(spark, table, gen + 1, replace = false,
+      (kept ++ fresh).sortBy(r => (r.kind.getOrElse("data"), r.path)),
+      Some("analyze"))
+    gen + 1
+  }
+
   /** Compact ONE partition of the latest snapshot — the maintenance
     * op the `partitions` relation points at ("value 7 has 400 small
     * files"): the value's routed files bin-pack into `files` outputs

@@ -1836,6 +1836,58 @@ object SourceOps {
         "planned", "n_probe", "key_sum", "n_travel")
   }
 
+  /** `CALL system.analyze` — the ANALYZE command that turns a PLAIN
+    * lineage into a pruning-capable one without rewriting a byte:
+    * zone maps (+ per-column null counts) land in a fresh file-neutral
+    * generation from O(files) parquet-footer reads. The drill's table
+    * starts with a stats-less manifest (a range probe plans ALL
+    * files), runs `CALL system.analyze(tbl, 'o_orderkey')` from SQL,
+    * and the SAME probe must then plan exactly the one intersecting
+    * slice — value-gated relationally — while bare MIN/MAX/COUNT
+    * begin serving as a one-row local relation (the aggregate
+    * pushdown's coverage requirement met by the analyze alone).
+    */
+  def catalogAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark)
+    val t = freshTable(spark, "catalog_analyze")
+    val name = new org.apache.hadoop.fs.Path(t).getName
+    val src = Tables.orders(spark, dir).select("o_orderkey")
+    val maxKey = src.agg(max("o_orderkey")).as[Long].head()
+    val w = (maxKey + 4) / 4
+    val gen1Dir = s"$t/data/gen=1"
+    src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
+      .repartition(col("s"))
+      .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
+    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    SnapshotTable.publishAppend(spark, t, 1L, paths, carryFrom = None)
+    def probe(): org.apache.spark.sql.Row = spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS ks FROM $cat.`$name`
+         |WHERE o_orderkey BETWEEN $w AND ${2 * w - 1}""".stripMargin).head()
+    val pre = probe()
+    val prePlanned = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1).toLong
+    val call = spark.sql(
+      s"CALL $cat.system.analyze('$name', 'o_orderkey')").head()
+    val newGen = call.getLong(1)
+    val post = probe()
+    val postPlanned = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1).toLong
+    require(post.getLong(0) == pre.getLong(0) &&
+      post.getLong(1) == pre.getLong(1),
+      "analyze must be content-neutral")
+    val mm = spark.sql(s"SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+      s"count(*) AS n FROM $cat.`$name`")
+    val mmRow = mm.head()
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    val mmOk = mmPlan.contains("LocalTableScan") && !mmPlan.contains("BatchScan")
+    Seq((paths.size.toLong, prePlanned, newGen, postPlanned,
+      post.getLong(0), post.getLong(1),
+      mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2), mmOk))
+      .toDF("n_files", "pre_planned", "new_gen", "post_planned",
+        "n", "ks", "key_min", "key_max", "n_total", "mm_ok")
+  }
+
   /** STORAGE-PARTITIONED JOIN — the shuffle-free fact⋈fact shape
     * partitioned tables exist for: both sides report key-grouped
     * partitioning over their identity partition column (one input
@@ -3393,6 +3445,7 @@ object SourceOps {
     "src_connector_spj" -> (connectorSpj _),
     "src_catalog_partmeta" -> (catalogPartMeta _),
     "src_catalog_compactpart" -> (catalogCompactPartition _),
+    "src_catalog_analyze" -> (catalogAnalyze _),
     "src_catalog_alter" -> (catalogAlter _),
     "src_catalog_branch" -> (catalogBranch _),
     "src_catalog_drop" -> (catalogDrop _),
@@ -4109,6 +4162,23 @@ object SourceOps {
         |    AS n_rows
         |FROM (SELECT o_orderkey % 4 AS bkt FROM orders)
         |GROUP BY bkt ORDER BY value""".stripMargin,
+    // Analyze twin: slice width recomputed from the key max, probe
+    // content over [w, 2w-1] (exactly slice 1), planned-file counts
+    // all-4 before / 1 after; min/max/count and the local-plan
+    // boolean close the aggregate-pushdown loop.
+    "src_catalog_analyze" ->
+      """WITH src AS (SELECT o_orderkey FROM orders),
+        |d AS (SELECT (CAST(max(o_orderkey) AS BIGINT) + 4) // 4 AS w FROM src)
+        |SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS pre_planned,
+        |  CAST(2 AS BIGINT) AS new_gen, CAST(1 AS BIGINT) AS post_planned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM src, d
+        |   WHERE o_orderkey BETWEEN w AND 2 * w - 1) AS n,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM src, d
+        |   WHERE o_orderkey BETWEEN w AND 2 * w - 1) AS ks,
+        |  (SELECT CAST(min(o_orderkey) AS BIGINT) FROM src) AS key_min,
+        |  (SELECT CAST(max(o_orderkey) AS BIGINT) FROM src) AS key_max,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_total,
+        |  TRUE AS mm_ok""".stripMargin,
     // Compact-partition twin: bkt-2 content triples through the two
     // routed inserts (key offsets 1e9/2e9), file/generation numbers
     // are layout constants (4 CTAS files, gens 1..3, compact = 4),

@@ -52,9 +52,9 @@ private[streaming] object SnapshotProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("abandon_branch", "changes", "compact", "compact_partition",
-      "drop", "expire", "expire_before", "history", "publish_branch",
-      "rollback", "vacuum")
+    Seq("abandon_branch", "analyze", "changes", "compact",
+      "compact_partition", "drop", "expire", "expire_before", "history",
+      "index_bloom", "publish_branch", "rollback", "vacuum")
 
   def load(warehouse: String, name: String): UnboundProcedure = {
     def rootOf(tbl: String): String = {
@@ -81,6 +81,41 @@ private[streaming] object SnapshotProcedures {
         val files = in.getInt(2)
         SnapshotTable.compact(spark, rootOf(tbl), fromGen, files)
         Array(row(UTF8String.fromString(tbl), fromGen, fromGen + 1L))
+      }
+      case "analyze" => proc("analyze",
+        "record zone maps (+null counts) for the latest snapshot from parquet footers",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("new_gen", LongType),
+          StructField("n_columns", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val cols = in.getUTF8String(1).toString.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val newGen = SnapshotTable.analyze(spark, rootOf(tbl), cols)
+        Array(row(UTF8String.fromString(tbl), newGen, cols.size.toLong))
+      }
+      case "index_bloom" => proc("index_bloom",
+        "build (or rebuild) the file-level bloom sidecar of one column",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("column", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("column", StringType),
+          StructField("n_files", LongType))),
+        deterministic = false) { in =>
+        val tbl = in.getUTF8String(0).toString
+        val col = in.getUTF8String(1).toString
+        val root = rootOf(tbl)
+        val files = SnapshotTable.listFiles(spark, root,
+          SnapshotTable.generations(spark, root).max)
+        SnapshotTable.writeBloomIndex(spark, root, col, files)
+        Array(row(UTF8String.fromString(tbl), UTF8String.fromString(col),
+          files.size.toLong))
       }
       case "compact_partition" => proc("compact_partition",
         "bin-pack ONE identity partition's files; everything else carries verbatim",

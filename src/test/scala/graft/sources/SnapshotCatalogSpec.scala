@@ -977,6 +977,41 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(row.getLong(1) === expect.sum)
   }
 
+  test("CALL system.index_bloom builds the sidecar the planner consults") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/t_callbloom"
+    // Scattered tag over range-sliced files (the bloom fixture shape:
+    // zone maps can never prune a tag point lookup).
+    val dataDir = s"$t/data/gen=1"
+    val paths = Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L)
+      .zipWithIndex.map { case (r, i) =>
+        val p = s"$dataDir/slice_$i"
+        r.map(id => (id, id * 37L % 101L)).toDF("doc_id", "tag")
+          .coalesce(1).write.parquet(p)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+      }
+    SnapshotTable.publishAppend(spark, t, 1L, paths.sorted, carryFrom = None)
+    val call = spark.sql(
+      "CALL spec_cat.system.index_bloom('t_callbloom', 'tag')").head()
+    assert(call.getString(1) === "tag" && call.getLong(2) === 4L)
+    // The planner's admission must EQUAL the library's own sidecar
+    // probe — the CALL built the same index writeBloomIndex would.
+    val expect = SnapshotTable
+      .bloomAdmittedFiles(spark, t, "tag", Seq(37L), paths.sorted).size
+    val probe = spark.sql(
+      "SELECT doc_id FROM spec_cat.t_callbloom WHERE tag = 37")
+    assert(probe.as[Long].collect().toSet === Set(1L))
+    val planned = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    assert(planned === expect && planned < paths.size)
+  }
+
   test("RENAME/DROP COLUMN: metadata-only, alias-resolved reads, retired names refused") {
     import spark.implicits._
     val wh = warehouse
