@@ -1012,6 +1012,72 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(planned === expect && planned < paths.size)
   }
 
+  test("analyze COMPOSES with partitioning: both dimensions prune after the CALL") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/t_part_analyze"
+    spark.range(0, 4000)
+      .selectExpr("id AS k", "CAST(id % 4 AS INT) AS bkt")
+      .createOrReplaceTempView("pa_src")
+    // Partitioned CTAS (bkt point rows); analyze then records k zone
+    // maps ON TOP of the partition rows — the residue layout makes
+    // every file span k fully, so the k dimension records without
+    // pruning here and the point is the COMPOSITION: neither
+    // dimension's rows may clobber the other's.
+    spark.sql("CREATE TABLE spec_cat.t_part_analyze PARTITIONED BY (bkt) AS " +
+      "SELECT k, bkt FROM pa_src DISTRIBUTE BY bkt")
+    val preRows = spark.sql(
+      "SELECT value, n_files FROM spec_cat.t_part_analyze.partitions " +
+        "ORDER BY value").collect()
+    assert(preRows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    spark.sql("CALL spec_cat.system.analyze('t_part_analyze', 'k')")
+    // Partition dimension still prunes (the analyze carried the point
+    // rows verbatim)...
+    val p1 = spark.sql("SELECT sum(k) FROM spec_cat.t_part_analyze WHERE bkt = 2")
+    assert(p1.head().getLong(0) === (0L until 4000L).filter(_ % 4 == 2).sum)
+    val planned1 = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1)
+    assert(planned1 === 1, s"partition rows must survive analyze; planned $planned1")
+    // ...and a k+partition CONJUNCTION still plans 1 (bkt prunes; the
+    // recorded-but-wide k rows must not re-admit anything).
+    val p2 = spark.sql(
+      "SELECT count(*) FROM spec_cat.t_part_analyze WHERE bkt = 1 AND k < 100")
+    assert(p2.head().getLong(0) === 25L)
+    val planned2 = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1)
+    assert(planned2 === 1)
+    // MIN/MAX pushdown now serves from the analyzed zone rows.
+    val mm = spark.sql("SELECT min(k), max(k) FROM spec_cat.t_part_analyze")
+    assert(mm.head().toSeq === Seq(0L, 3999L))
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("LIMIT pushdown honors a pinned time-travel generation") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/t_limit_travel"
+    SnapshotTable.commit(
+      (1L to 100L).toDF("k").repartition(2), t, 1L)
+    SnapshotTable.commit(
+      (101L to 300L).toDF("k").repartition(3), t, 2L, carryFrom = Some(1L))
+    // A limited preview of the PINNED generation truncates against
+    // THAT manifest: gen 1 holds 100 rows over 2 files, so LIMIT 60
+    // plans ≤ 2 files and counts exactly 60 — never gen 2's content.
+    val travel = spark.sql(
+      "SELECT count(*) FROM (SELECT * FROM spec_cat.t_limit_travel " +
+        "VERSION AS OF 1 LIMIT 60)")
+    assert(travel.head().getLong(0) === 60L)
+    val planned = graft.streaming.SnapshotSource.lastPlan(t)
+      .map(_._1).getOrElse(-1)
+    assert(planned >= 1 && planned <= 2,
+      s"the pinned generation has 2 files; planned $planned")
+    // And a limit over the table's full row count plans everything
+    // and returns the pinned snapshot's exact total.
+    assert(spark.sql(
+      "SELECT count(*) FROM (SELECT * FROM spec_cat.t_limit_travel " +
+        "VERSION AS OF 1 LIMIT 1000)").head().getLong(0) === 100L)
+  }
+
   test("RENAME/DROP COLUMN: metadata-only, alias-resolved reads, retired names refused") {
     import spark.implicits._
     val wh = warehouse
