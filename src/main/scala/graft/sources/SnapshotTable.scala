@@ -1686,16 +1686,36 @@ object SnapshotTable {
           _, Some(nn)) if c == column && k.forall(_ == "data") =>
         p -> ((mn, mx, math.max(0L, nr - nn)))
     }.toMap
+    // Prefix sums over the proof bound, not a per-candidate rescan
+    // (the naive form is O(candidates²) — ~10¹⁰ driver operations at
+    // the 100k-file planning scale this path advertises): ascending
+    // sorts statted candidates by maxKey and proof(F) is the prefix
+    // sum of nonNull over maxKey < minKey(F); descending mirrors on
+    // minKey with a strictly-greater suffix sum. A candidate never
+    // proves against itself by construction (its own maxKey ≥ its
+    // minKey), so no self-exclusion term is needed.
+    val statted = candidates.flatMap(recs.get)
+    val sorted = statted
+      .map(t => (if (desc) t._1 else t._2, t._3)).sortBy(_._1)
+    val keys = sorted.map(_._1).toArray
+    val pref = sorted.map(_._2).scanLeft(0L)(_ + _).toArray
+    // First index with keys(i) >= x (strict variant: > x).
+    def lowerBound(x: Long, strict: Boolean): Int = {
+      var lo = 0; var hi = keys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (if (strict) keys(mid) <= x else keys(mid) < x) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
     candidates.filter { f =>
       recs.get(f) match {
         case None => true // unstatted: never excluded
         case Some((mn, mx, _)) =>
-          val proof = candidates.iterator.filter(_ != f)
-            .flatMap(recs.get)
-            .filter { case (gmn, gmx, _) =>
-              if (desc) gmn > mx else gmx < mn
-            }
-            .map(_._3).sum
+          val proof =
+            if (desc) pref(keys.length) - pref(lowerBound(mx, strict = true))
+            else pref(lowerBound(mn, strict = false))
           proof < n.toLong
       }
     }
@@ -2134,6 +2154,33 @@ object SnapshotTable {
     gen + 1
   }
 
+  /** Compaction rewrite input on an EVOLVED lineage: when the
+    * generation's recorded schema carries rename aliases or drop
+    * tombstones, the raw mergeSchema union holds the old AND new
+    * names with complementary nulls — writing that verbatim would
+    * make serving-name-first readers serve NULL for every pre-rename
+    * row (the old name is suppressed by claimedNames, so the values
+    * become unreachable). Project through the serving schema with
+    * alias coalesce (the DELETE COW path's shapedToServing contract)
+    * before the rewrite. Identity — the exact input frame — on a
+    * lineage without rename/drop history.
+    */
+  private def shapedForRewrite(spark: SparkSession, table: String,
+      gen: Long, raw: DataFrame): DataFrame = {
+    import graft.streaming.SnapshotSource
+    recordedSchema(spark, table, gen) match {
+      case Some(rec) if SnapshotSource.aliasMapOf(rec).nonEmpty ||
+          rec.fields.exists(SnapshotSource.isDropped) =>
+        val claimed = SnapshotSource.claimedNames(rec)
+        val serving = org.apache.spark.sql.types.StructType(
+          rec.fields.filterNot(SnapshotSource.isDropped) ++
+            raw.schema.fields.filterNot(f =>
+              claimed.exists(_.equalsIgnoreCase(f.name))))
+        SnapshotSource.shapeRawTo(raw, serving)
+      case _ => raw
+    }
+  }
+
   /** Compact ONE partition of the latest snapshot — the maintenance
     * op the `partitions` relation points at ("value 7 has 400 small
     * files"): the value's routed files bin-pack into `files` outputs
@@ -2164,7 +2211,8 @@ object SnapshotTable {
     require(touched.nonEmpty,
       s"partition $col=$value of $table has no routed files")
     val dataDir = s"$table/data/gen=${gen + 1}/a=${attemptName()}/p=$value"
-    spark.read.option("mergeSchema", true).parquet(touched: _*)
+    shapedForRewrite(spark, table, gen,
+        spark.read.option("mergeSchema", true).parquet(touched: _*))
       .repartition(files)
       .write.mode("overwrite").parquet(dataDir)
     val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
@@ -2188,7 +2236,17 @@ object SnapshotTable {
       s"generation $fromGen of $table carries merge-on-read tombstones; " +
         "compact would resurrect deleted rows - materialize via " +
         "commit(readMor(...)) instead")
-    commit(readAs(spark, table, fromGen).repartition(files),
-      table, fromGen + 1, action = "compact")
+    // Rename/drop history needs the footer union (pre- and post-rename
+    // files disagree on names) projected to serving shape; plain
+    // lineages keep the cheaper single-footer read, byte-unchanged.
+    val src = recordedSchema(spark, table, fromGen) match {
+      case Some(rec)
+          if graft.streaming.SnapshotSource.aliasMapOf(rec).nonEmpty ||
+            rec.fields.exists(graft.streaming.SnapshotSource.isDropped) =>
+        shapedForRewrite(spark, table, fromGen,
+          readAsMerged(spark, table, fromGen))
+      case _ => readAs(spark, table, fromGen)
+    }
+    commit(src.repartition(files), table, fromGen + 1, action = "compact")
   }
 }

@@ -487,11 +487,22 @@ private[streaming] class SnapshotStagedCreate(table: String,
           SnapshotTable.publishAppend(spark, table, 1L, publish,
             carryFrom = None, action = "create")
       }
-      // The partition MARKER lands only after the defining generation
-      // wins first-writer-wins — a losing CTAS never plants its spec.
-      partCol.foreach(c =>
-        SnapshotTable.recordPartitionColumn(spark, table, c))
     } catch { case e: Throwable => sweep(); throw e }
+    // The partition MARKER lands only after the defining generation
+    // wins first-writer-wins — a losing CTAS never plants its spec.
+    // OUTSIDE the sweep-protected block: generation 1 is committed and
+    // references the staged files IN PLACE, so from here the stage dir
+    // is live table data and must never be swept (and a throw here
+    // would make Spark's CTAS exec call abortStagedChanges → sweep).
+    // A failing marker write degrades the table to unpartitioned —
+    // pruning and compact_partition lose their spec, data survives.
+    try partCol.foreach(c =>
+      SnapshotTable.recordPartitionColumn(spark, table, c))
+    catch {
+      case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"partition marker write failed for $table; " +
+          s"table degrades to unpartitioned: $e")
+    }
   }
 
   override def abortStagedChanges(): Unit = sweep()

@@ -226,6 +226,37 @@ private[graft] object SnapshotSource {
   def claimedNames(rec: StructType): Seq[String] =
     rec.fields.toSeq.flatMap(f => f.name +: priorsOf(f))
 
+  /** A RAW parquet frame (file-footer column names) projected to a
+    * SERVING schema on a lineage with rename/drop history: each
+    * serving field coalesces its own column with its alias chain (old
+    * and new names are file-disjoint, so coalesce is exact), names
+    * absent from `serving` (tombstoned columns) drop, and a serving
+    * column no file carries yet serves typed NULL. Identity on an
+    * unevolved lineage. Shared by the COW rewrite paths (DELETE) and
+    * the compaction rewrites — a compaction that wrote raw footer
+    * names on a renamed lineage would emit a file holding BOTH the
+    * old- and new-name columns with complementary nulls, and
+    * serving-name-first readers would silently serve NULL for every
+    * pre-rename row.
+    */
+  def shapeRawTo(df: org.apache.spark.sql.DataFrame,
+      serving: StructType): org.apache.spark.sql.DataFrame = {
+    val aliases = aliasMapOf(serving)
+    val raw = df.schema.fieldNames.toSet
+    val names = serving.fieldNames.toSet
+    if (aliases.isEmpty && raw.subsetOf(names)) df
+    else {
+      val f = org.apache.spark.sql.functions
+      df.select(serving.fields.toSeq.map { fd =>
+        val cands = (fd.name +: aliases.getOrElse(fd.name, Seq.empty))
+          .filter(raw.contains)
+        if (cands.isEmpty) f.lit(null).cast(fd.dataType).as(fd.name)
+        else if (cands.size == 1) f.col(cands.head).as(fd.name)
+        else f.coalesce(cands.map(f.col): _*).as(fd.name)
+      }: _*)
+    }
+  }
+
   /** Schema as of one generation (the time-travel variant of
     * [[latestSchema]] — a `VERSION AS OF` read must resolve columns
     * against the schema THAT snapshot carried, not today's). The
@@ -796,22 +827,8 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
     * an unevolved lineage, so the plain path is byte-unchanged.
     */
   private def shapedToServing(
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val aliases = SnapshotSource.aliasMapOf(tableSchema)
-    val raw = df.schema.fieldNames.toSet
-    val serving = tableSchema.fieldNames.toSet
-    if (aliases.isEmpty && raw.subsetOf(serving)) df
-    else {
-      val f = org.apache.spark.sql.functions
-      df.select(tableSchema.fields.toSeq.map { fd =>
-        val cands = (fd.name +: aliases.getOrElse(fd.name, Seq.empty))
-          .filter(raw.contains)
-        if (cands.isEmpty) f.lit(null).cast(fd.dataType).as(fd.name)
-        else if (cands.size == 1) f.col(cands.head).as(fd.name)
-        else f.coalesce(cands.map(f.col): _*).as(fd.name)
-      }: _*)
-    }
-  }
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    SnapshotSource.shapeRawTo(df, tableSchema)
 
   /** SQL `DELETE FROM <catalog>.<table> WHERE ...` — a COPY-ON-WRITE
     * delete: the survivors of the latest snapshot rewrite into the
@@ -1537,12 +1554,26 @@ private[streaming] class SnapshotBatch(table: String, schema: StructType,
     * their resolutions are not executions and must not pollute the
     * planning telemetry the pruning gates read.
     */
-  def resolvePlan(record: Boolean): (Long, Seq[String], Boolean) = {
+  /** The snapshot this Scan serves, resolved ONCE per Scan: the SPJ
+    * path resolves at outputPartitioning time (the group map) and
+    * again at planInputPartitions (runtime filters applied) — a
+    * commit landing between the two must not move `gens.max`, or the
+    * newer generation's files would belong to no group and silently
+    * drop from the scan (the aggregate path's aggBase memoization,
+    * applied to the file path).
+    */
+  private lazy val pinnedGen: Long = {
     val spark = SparkSession.active
     val gens = SnapshotTable.generations(spark, table)
     require(gens.nonEmpty, s"no committed generation at $table")
     val gen = generation.getOrElse(gens.max)
     require(gens.contains(gen), s"generation $gen of $table does not exist")
+    gen
+  }
+
+  def resolvePlan(record: Boolean): (Long, Seq[String], Boolean) = {
+    val spark = SparkSession.active
+    val gen = pinnedGen
     // A SEGMENTED generation serves its chain-resolved file set:
     // resolution's own guards refuse tombstoned or otherwise non-data
     // segments, and zone-map pruning is best-effort by contract

@@ -1145,4 +1145,45 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "SELECT count(*) AS n, sum(score) AS s FROM spec_cat.t_evolve2")
       .head().toSeq === Seq(100L, (1L to 100L).map(_ * 2).sum + 10L))
   }
+
+  test("compaction after RENAME projects old files to the serving name") {
+    import spark.implicits._
+    val wh = warehouse
+    // Whole-snapshot compact on a renamed lineage: pre-rename files
+    // carry the old footer name, post-rename files the new one — the
+    // rewrite must coalesce both into ONE serving column, or every
+    // pre-rename row silently serves NULL behind a footer that holds
+    // old+new columns with complementary nulls.
+    val t = s"$wh/t_evrw"
+    SnapshotTable.commit(
+      (1L to 50L).map(k => (k, k * 3)).toDF("k", "v").repartition(2), t, 1L)
+    spark.sql("ALTER TABLE spec_cat.t_evrw RENAME COLUMN v TO score")
+    spark.sql("INSERT INTO spec_cat.t_evrw SELECT k + 50, k * 3 FROM " +
+      "(SELECT explode(sequence(1, 10)) AS k)")
+    val gen = SnapshotTable.generations(spark, t).max
+    SnapshotTable.compact(spark, t, gen, 1)
+    val expect = (1L to 50L).map(_ * 3).sum + (1L to 10L).map(_ * 3).sum
+    assert(spark.sql(
+      "SELECT sum(score) AS s, count(*) AS n, count(score) AS ns " +
+        "FROM spec_cat.t_evrw").head().toSeq === Seq(expect, 60L, 60L))
+    val fields = spark.read.option("mergeSchema", true)
+      .parquet(SnapshotTable.listFiles(spark, t, gen + 1): _*)
+      .schema.fieldNames.toSeq
+    assert(fields.contains("score") && !fields.contains("v"),
+      "compacted footers must carry only the serving name")
+
+    // Partition-scoped compact on a renamed lineage: same contract
+    // through CALL system.compact_partition.
+    spark.sql("CREATE TABLE spec_cat.t_evrw_p PARTITIONED BY (b) AS " +
+      "SELECT k, k * 5 AS v, k % 2 AS b FROM " +
+      "(SELECT explode(sequence(1, 40)) AS k)")
+    spark.sql("ALTER TABLE spec_cat.t_evrw_p RENAME COLUMN v TO score")
+    spark.sql("INSERT INTO spec_cat.t_evrw_p SELECT k + 40, k * 5, k % 2 " +
+      "FROM (SELECT explode(sequence(1, 10)) AS k)")
+    spark.sql("CALL spec_cat.system.compact_partition('t_evrw_p', 0, 1)")
+    val expP = (1L to 40L).map(_ * 5).sum + (1L to 10L).map(_ * 5).sum
+    assert(spark.sql(
+      "SELECT sum(score) AS s, count(*) AS n, count(score) AS ns " +
+        "FROM spec_cat.t_evrw_p").head().toSeq === Seq(expP, 50L, 50L))
+  }
 }

@@ -674,4 +674,61 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(stamps.map(_._1) === Seq(1L, 2L, 3L))
     assert(stamps.map(_._2) === Seq(frozen, frozen + 1L, frozen + 2L))
   }
+
+  test("topNAdmitted prefix-sum matches the definitional per-candidate rescan") {
+    import spark.implicits._
+    // 14 single-file commits with random overlapping key ranges and
+    // random null shares, then a zone-row generation over all files:
+    // the O(n log n) prefix-sum form must reproduce the definitional
+    // quadratic proof sum exactly — both directions, ties on the
+    // proof bound included (strict gmx < mn / gmn > mx), plus an
+    // unstatted candidate that can never be excluded.
+    val table = graft.Scratch.dir("topn_equiv_spec")
+    val rnd = new scala.util.Random(7)
+    var gen = 0L
+    val slices = (0 until 14).map { i =>
+      val lo = rnd.nextInt(12)
+      val width = rnd.nextInt(20)
+      val n = 2 + rnd.nextInt(5)
+      val vals = (0 until n).map(_ => (lo + rnd.nextInt(width + 1)).toLong)
+      val nulls = rnd.nextInt(3)
+      gen += 1
+      SnapshotTable.commit(
+        (vals.map(Option(_)) ++ Seq.fill(nulls)(Option.empty[Long]))
+          .toDF("k").coalesce(1),
+        table, gen, carryFrom = if (gen == 1L) None else Some(gen - 1))
+      val path = (SnapshotTable.listFiles(spark, table, gen).toSet --
+        (if (gen == 1L) Set.empty[String]
+         else SnapshotTable.listFiles(spark, table, gen - 1).toSet)).head
+      (path, "k", vals.min, vals.max)
+    }
+    SnapshotTable.publishStats(spark, table, gen + 1, slices)
+    val statsGen = gen + 1
+
+    // Reference recs exactly as topNAdmitted derives them (nonNull =
+    // footer rows − footer nulls), read back from the manifest.
+    val recs: Map[String, (Long, Long, Long)] = spark.read
+      .parquet(s"$table/manifests/gen=$statsGen")
+      .select("path", "min_key", "max_key", "n_rows", "n_nulls")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (p, mn, mx, nr, nn) => p -> ((mn, mx, nr - nn)) }.toMap
+    def naive(desc: Boolean, n: Int, cands: Seq[String]): Seq[String] =
+      cands.filter { f =>
+        recs.get(f) match {
+          case None => true
+          case Some((mn, mx, _)) =>
+            cands.filter(_ != f).flatMap(recs.get)
+              .filter { case (gmn, gmx, _) => if (desc) gmn > mx else gmx < mn }
+              .map(_._3).sum < n.toLong
+        }
+      }
+    val cands = slices.map(_._1) :+ s"$table/data/unstatted-ghost.parquet"
+    for (desc <- Seq(false, true); n <- Seq(1, 2, 3, 5, 10, 25, 1000)) {
+      val got = SnapshotTable.topNAdmitted(
+        spark, table, statsGen, "k", desc, n, cands)
+      assert(got === naive(desc, n, cands),
+        s"desc=$desc n=$n: prefix-sum and definitional prune disagree")
+      assert(got.contains(cands.last), "unstatted candidates never drop")
+    }
+  }
 }
