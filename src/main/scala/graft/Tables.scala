@@ -16,8 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Memoized per-(path, nanos-conf) parquet schemas: the fixture
+    * tables are immutable, and `spark.read.parquet` re-infers the
+    * schema (a footer read + file listing) on EVERY call — ~80 ms of
+    * driver latency per read on the bench fixture, paid 2-4× per
+    * query across the whole registry. Production keeps table schemas
+    * in a catalog for exactly this reason; the cache is the same
+    * metadata move (schemas only — every query still scans the
+    * parquet data). Keyed on the nanosAsLong conf because it changes
+    * what schema inference returns for nanosecond timestamp columns
+    * ([[events]] may flip it mid-session).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = path + "#" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // Inference failures (the events nanos probe) propagate uncached.
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -2075,7 +2075,7 @@ object DedupOps {
       require(hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp),
         s"stream ingest gates need every batch tag populated; tag $i of " +
           s"$StreamIngestBatches is empty at $dir — shrink StreamIngestBatches")
-      val files = spark.read.parquet(part).inputFiles.toSeq
+      val files = graft.sources.SnapshotTable.freshFiles(spark, part)
       graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
         files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
     }

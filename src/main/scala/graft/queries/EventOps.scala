@@ -764,7 +764,7 @@ object EventOps {
   private def publishEventGens(spark: SparkSession, root: String,
       buckets: Seq[Int]): Unit =
     buckets.zipWithIndex.foreach { case (b, i) =>
-      val files = spark.read.parquet(s"$root/staging/b=$b").inputFiles.toSeq
+      val files = graft.sources.SnapshotTable.freshFiles(spark, s"$root/staging/b=$b")
       graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
         files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
     }
@@ -846,13 +846,13 @@ object EventOps {
         "with a collision the kept row is arbitrary and the value gate " +
         "cannot bind the plain events projection")
     buckets.zipWithIndex.foreach { case (b, i) =>
-      val own = spark.read.parquet(s"$bronze/staging/b=$b").inputFiles.toSeq
+      val own = graft.sources.SnapshotTable.freshFiles(spark, s"$bronze/staging/b=$b")
       val dupFiles = if (i == 0) Seq.empty[String] else {
         val dupDir = s"$bronze/dups/b=$b"
         spark.read.parquet(s"$bronze/staging/b=${buckets(i - 1)}")
           .filter(col("event_id") % StreamDupMod === 1)
           .coalesce(1).write.parquet(dupDir)
-        spark.read.parquet(dupDir).inputFiles.toSeq
+        graft.sources.SnapshotTable.freshFiles(spark, dupDir)
       }
       graft.sources.SnapshotTable.publishAppend(spark, bronze,
         (i + 1).toLong, (own ++ dupFiles).sorted,
@@ -1043,8 +1043,8 @@ object EventOps {
       s"stream_restart needs >= 3 event buckets (two before the stop, " +
         s"one after); the fixture staged ${buckets.length}")
     def publish(i: Int): Unit = {
-      val files = spark.read.parquet(s"$bronze/staging/b=${buckets(i)}")
-        .inputFiles.toSeq
+      val files = graft.sources.SnapshotTable.freshFiles(spark,
+        s"$bronze/staging/b=${buckets(i)}")
       graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
         files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
     }
@@ -1270,8 +1270,8 @@ object EventOps {
       s"the AvailableNow drill publishes exactly two buckets; the " +
         s"fixture staged ${buckets.length} - retune bucketDays")
     def publish(i: Int): Unit = {
-      val files = spark.read.parquet(s"$root/staging/b=${buckets(i)}")
-        .inputFiles.toSeq
+      val files = graft.sources.SnapshotTable.freshFiles(spark,
+        s"$root/staging/b=${buckets(i)}")
       graft.sources.SnapshotTable.publishAppend(spark, root, (i + 1).toLong,
         files.sorted, carryFrom = if (i == 0) None else Some(i.toLong))
     }

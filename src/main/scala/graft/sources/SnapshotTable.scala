@@ -37,6 +37,43 @@ object SnapshotTable {
   private def manifestPath(table: String, gen: Long): String =
     s"$table/manifests/gen=$gen"
 
+  /** Data files of a freshly-written output directory, listed straight
+    * off the FileSystem and rendered exactly as Spark's
+    * `DataFrame.inputFiles` renders them (URI with explicit empty
+    * authority — `file:///...` — so manifest paths stay
+    * byte-comparable to scan-side file identities). One directory
+    * status call where the old `spark.read.parquet(dir).inputFiles`
+    * idiom paid a full schema inference + InMemoryFileIndex build
+    * (~70 ms on the fixture) — per COMMIT, which the multi-commit
+    * drills and streaming sinks multiply. Hidden files (`_`/`.`
+    * prefixes) are excluded like Spark's own listing filter; order is
+    * the sorted path order the planner uses.
+    */
+  def freshFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    try {
+      // Recursive: `partitionBy` layouts nest one value-directory
+      // level; every path segment below the root obeys the hidden
+      // filter, like Spark's own recursive listing.
+      val rootDepth = root.toUri.getPath.split("/").length
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val segs = s.getPath.toUri.getPath.split("/").drop(rootDepth)
+        if (s.isFile &&
+            !segs.exists(n => n.startsWith("_") || n.startsWith("."))) {
+          val u = s.getPath.toUri
+          out += new java.net.URI(u.getScheme,
+            Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+            .toString
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => }
+    out.result().sorted
+  }
+
   /** One manifest row in any of the manifest forms: plain `(path)`,
     * merge-on-read `(path, kind)`, single-column zone map
     * `(path, min_key, max_key)`, multi-column zone map
@@ -175,7 +212,7 @@ object SnapshotTable {
     val attempt = attemptName()
     val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
-    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    val fresh = freshFiles(spark, dataDir)
     publishAppend(spark, table, gen, fresh, carryFrom, replace, action)
     // Post-switch cleanup: earlier attempts of THIS generation are now
     // unreferenced by any manifest (older generations list their own
@@ -760,7 +797,7 @@ object SnapshotTable {
     val genDir = s"$table/data/gen=$gen"
     val dataDir = s"$genDir/a=${attemptName()}"
     df.write.mode("overwrite").parquet(dataDir)
-    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    val fresh = freshFiles(spark, dataDir)
     writeManifest(spark, table, gen, replace = false,
       metaRows(spark, fresh) ++
         parent.map(pg => ManifestRow(manifestPath(table, pg),
@@ -914,7 +951,7 @@ object SnapshotTable {
     val spark = keys.sparkSession
     val delDir = s"$table/deletes/gen=$gen/a=${attemptName()}"
     keys.write.mode("overwrite").parquet(delDir)
-    val fresh = spark.read.parquet(delDir).inputFiles.toSeq
+    val fresh = freshFiles(spark, delDir)
     // Full-row carry; the fresh tombstones stay UNSTAMPED — the legacy
     // whole-snapshot delete scope (vs [[commitUpsert]]'s seq-scoped
     // ones).
@@ -946,11 +983,11 @@ object SnapshotTable {
     val attempt = attemptName()
     val dataDir = s"$genDir/a=$attempt"
     df.write.mode("overwrite").parquet(dataDir)
-    val freshData = spark.read.parquet(dataDir).inputFiles.toSeq
+    val freshData = freshFiles(spark, dataDir)
     val delDir = s"$delGenDir/a=$attempt"
     df.select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(delDir)
-    val freshDels = spark.read.parquet(delDir).inputFiles.toSeq
+    val freshDels = freshFiles(spark, delDir)
     // Latest-row-per-key only holds if the batch itself is one row per
     // key: every batch row lands stamped seq=gen and the tombstone
     // hides only STRICTLY SMALLER seqs, so two same-key rows in one
@@ -1162,11 +1199,10 @@ object SnapshotTable {
     import spark.implicits._
     val dataDir = s"$table/data/branch=$branch/a=${attemptName()}"
     df.write.mode("overwrite").parquet(dataDir)
-    // Read back WITH the writer's schema: an all-empty-partition write
-    // leaves no part files, and schemaless parquet inference would
-    // throw on the empty directory — an empty staged batch is legal
-    // (it audits as empty and abandons).
-    val fresh = spark.read.schema(df.schema).parquet(dataDir).inputFiles.toSeq
+    // An all-empty-partition write leaves no part files; the listing
+    // returns empty — an empty staged batch is legal (it audits as
+    // empty and abandons).
+    val fresh = freshFiles(spark, dataDir)
     stageFiles(spark, table, branch, fresh)
   }
 
@@ -2215,7 +2251,7 @@ object SnapshotTable {
         spark.read.option("mergeSchema", true).parquet(touched: _*))
       .repartition(files)
       .write.mode("overwrite").parquet(dataDir)
-    val fresh = spark.read.parquet(dataDir).inputFiles.toSeq
+    val fresh = freshFiles(spark, dataDir)
     publishSubsetRewrite(spark, table, gen + 1, touched.toSet, fresh,
       "compact", freshPartition = Some((col, value)))
     (touched.size.toLong, gen + 1)

@@ -803,7 +803,7 @@ object SourceOps {
     src.sort("o_orderkey").coalesce(1)
       .write.option("parquet.block.size", (64 * 1024).toString)
       .mode("overwrite").parquet(gen1Dir)
-    val file = spark.read.parquet(gen1Dir).inputFiles.head
+    val file = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir).head
     SnapshotTable.publishAppend(spark, table, 1L, Seq(file), carryFrom = None)
     val (lo, hi) = (maxKey / 4, maxKey / 2)
     val conf = spark.sessionState.newHadoopConf()
@@ -926,7 +926,7 @@ object SourceOps {
     src.withColumn("s", pmod(col("o_orderkey"), lit(4)).cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishStats(spark, table, 1L,
       SnapshotTable.footerStats(spark, paths, Seq("o_orderkey", "dt")))
     def read() = spark.read
@@ -978,7 +978,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishAppend(spark, table, 1L, paths, carryFrom = None)
     val firstCount = SnapshotTable.footerRowCounts(spark, Seq(paths.head))
       .head._2
@@ -1022,7 +1022,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishStats(spark, table, 1L,
       SnapshotTable.footerStats(spark, paths, Seq("o_orderkey")))
     def read() = spark.read
@@ -1097,7 +1097,7 @@ object SourceOps {
     src.withColumn("s", expr(s"(unix_date(dt) - $mn) div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishStats(spark, table, 1L,
       SnapshotTable.footerStats(spark, paths, Seq("dt")))
     val (loD, hiD) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
@@ -1356,7 +1356,7 @@ object SourceOps {
     orders.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val files1 = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val files1 = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishStats(spark, t, 1L,
       SnapshotTable.footerStats(spark, files1, Seq("o_orderkey")))
     require(files1.size == DmlSlices,
@@ -1613,9 +1613,9 @@ object SourceOps {
     val smalls = ByteCapSmallKeys.map { k =>
       val p = s"$t/data/gen=1/small_${k % 100}"
       Seq(k).toDF("k").coalesce(1).write.parquet(p)
-      spark.read.parquet(p).inputFiles.head
+      graft.sources.SnapshotTable.freshFiles(spark, p).head
     }
-    val largeFile = spark.read.parquet(large).inputFiles.head
+    val largeFile = graft.sources.SnapshotTable.freshFiles(spark, large).head
     SnapshotTable.publishAppend(spark, t, 1L, (largeFile +: smalls).sorted,
       carryFrom = None)
     // The cap: exactly the large file's recorded bytes — it ships
@@ -1859,7 +1859,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq.sorted
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishAppend(spark, t, 1L, paths, carryFrom = None)
     def probe(): org.apache.spark.sql.Row = spark.sql(
       s"""SELECT count(*) AS n, sum(o_orderkey) AS ks FROM $cat.`$name`
@@ -2303,7 +2303,7 @@ object SourceOps {
         .repartition(col("s"))
         .write.partitionBy("s").mode("overwrite").parquet(genDir)
       SnapshotTable.footerStats(spark,
-        spark.read.parquet(genDir).inputFiles.toSeq,
+        graft.sources.SnapshotTable.freshFiles(spark, genDir),
         Seq("o_orderkey", "o_custkey"))
     }
     val stats1 = epoch(s"$table/data/gen=1",
@@ -2777,7 +2777,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     // Empty slices (possible for skewed key domains at other sf dirs)
     // drop out of the stats — the manifest lists only files that can
     // ever match, which keeps n_files_total equal to the oracle's
@@ -2839,7 +2839,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
     // Sidecar build + probe through the shared SnapshotTable bloom
     // API — the exact machinery the DSv2 connector's batch planning
@@ -2900,7 +2900,7 @@ object SourceOps {
     src.withColumn("s", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
     SnapshotTable.writeBloomIndex(spark, table, "cents", paths)
     val probe = src.filter(col("cents") % 10 === 3)
@@ -2946,7 +2946,7 @@ object SourceOps {
     src.withColumn("s", expr(s"doc_id div $w").cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishAppend(spark, table, 1L, paths.sorted, carryFrom = None)
     SnapshotTable.writeBloomIndex(spark, table, "sid", paths)
     // Deterministic string probe key, recomputable by the oracle.
@@ -3001,7 +3001,7 @@ object SourceOps {
     src.withColumn("sl", expr(s"o_orderkey div $w").cast("int"))
       .repartition(col("sl"))
       .write.partitionBy("sl").mode("overwrite").parquet(gen1Dir)
-    val paths = s.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(s, gen1Dir)
     SnapshotTable.publishStats(s, table, 1L,
       SnapshotTable.footerStats(s, paths, Seq("o_orderkey")))
 
@@ -3093,7 +3093,7 @@ object SourceOps {
       src.filter(pred).withColumn("s", expr(s"o_orderkey div $w").cast("int"))
         .repartition(col("s"))
         .write.partitionBy("s").mode("overwrite").parquet(d)
-      spark.read.parquet(d).inputFiles.toSeq.sorted
+      graft.sources.SnapshotTable.freshFiles(spark, d)
     }
     val g1 = stage(1, col("o_orderkey") % 3 =!= 0)
     SnapshotTable.publishAppend(spark, table, 1L, g1, carryFrom = None)
@@ -3162,7 +3162,7 @@ object SourceOps {
     src.withColumn("s", shiftright(z, ZSliceShift).cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     val stats = SnapshotTable.footerStats(spark, paths,
       Seq("o_orderkey", "o_custkey"))
     SnapshotTable.publishStats(spark, table, 1L, stats)
@@ -3218,7 +3218,7 @@ object SourceOps {
     src.withColumn("s", pmod(col("o_orderkey"), lit(OptScatterFiles.toLong)).cast("int"))
       .repartition(col("s"))
       .write.partitionBy("s").mode("overwrite").parquet(gen1Dir)
-    val paths1 = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val paths1 = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publishWithStats(spark, table, 1L,
       SnapshotTable.footerKeyStats(spark, paths1, "o_orderkey"))
     // OPTIMIZE: rewrite into sorted key-range slices (deterministic
@@ -3232,7 +3232,7 @@ object SourceOps {
       .repartition(col("s"))
       .sortWithinPartitions("o_orderkey")
       .write.partitionBy("s").mode("overwrite").parquet(gen2Dir)
-    val paths2 = spark.read.parquet(gen2Dir).inputFiles.toSeq
+    val paths2 = graft.sources.SnapshotTable.freshFiles(spark, gen2Dir)
     SnapshotTable.publishWithStats(spark, table, 2L,
       SnapshotTable.footerKeyStats(spark, paths2, "o_orderkey"),
       action = "optimize")
@@ -3293,7 +3293,7 @@ object SourceOps {
     src.withColumn("b", bucket(col("o_orderkey")))
       .repartition(col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(gen1Dir)
-    val gen1Paths = spark.read.parquet(gen1Dir).inputFiles.toSeq
+    val gen1Paths = graft.sources.SnapshotTable.freshFiles(spark, gen1Dir)
     SnapshotTable.publish(spark, table, 1L, gen1Paths)
     val updates = src.filter(pmod(col("o_orderkey"), lit(MergeMod.toLong)) === 1)
       .select(col("o_orderkey").as("k"))
@@ -3319,7 +3319,7 @@ object SourceOps {
       .repartition(col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(outDir)
     SnapshotTable.publish(spark, table, 2L,
-      carry ++ spark.read.parquet(outDir).inputFiles.toSeq,
+      carry ++ graft.sources.SnapshotTable.freshFiles(spark, outDir),
       action = "merge")
     Seq(1L, 2L).map { g =>
       SnapshotTable.readAs(spark, table, g)

@@ -906,7 +906,7 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
                 spark.read.option("mergeSchema", true).parquet(affected: _*))
               .filter(keep)
               .write.mode("overwrite").parquet(dataDir)
-            spark.read.parquet(dataDir).inputFiles.toSeq
+            SnapshotTable.freshFiles(spark, dataDir)
           }
         SnapshotTable.publishSubsetRewrite(spark, table, gen,
           affected.toSet, fresh, "delete")
