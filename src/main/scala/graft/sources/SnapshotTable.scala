@@ -1072,8 +1072,10 @@ object SnapshotTable {
           // one class nor the classes themselves are guaranteed to
           // share a schema — absent columns read back as NULL, the
           // same contract as [[readAsMerged]] and the connector.
-          val data = spark.read.option("mergeSchema", "true")
-            .parquet(rs.map(_.path).distinct.sorted: _*)
+          val clsFiles = rs.map(_.path).distinct.sorted
+          val data = spark.read
+            .schema(mergedFooterSchema(spark, clsFiles))
+            .parquet(clsFiles: _*)
           if (applicable.isEmpty) data
           else data.join(
             spark.read.parquet(applicable: _*)
@@ -1099,9 +1101,10 @@ object SnapshotTable {
     * the per-file footer pass; production tracks the merged schema in
     * the catalog and hands it to the scan directly.
     */
-  def readAsMerged(spark: SparkSession, table: String, gen: Long): DataFrame =
-    spark.read.option("mergeSchema", true)
-      .parquet(listFiles(spark, table, gen): _*)
+  def readAsMerged(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    val files = listFiles(spark, table, gen)
+    spark.read.schema(mergedFooterSchema(spark, files)).parquet(files: _*)
+  }
 
   /** The manifest diff between two generations: `(added, removed)`
     * file lists, each sorted. Because an append commit carries the
@@ -1884,13 +1887,34 @@ object SnapshotTable {
       // whose single-file schema could miss columns other files carry.
       val all = listFiles(spark, table, gen)
       require(all.nonEmpty, s"generation $gen of $table has no data files")
-      val schema =
-        spark.read.option("mergeSchema", true).parquet(all: _*).schema
+      val schema = mergedFooterSchema(spark, all)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
       spark.read.parquet(paths: _*)
         .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** The schema `spark.read.option("mergeSchema", true)` would infer
+    * over `files`, computed on the DRIVER: per-file footer schemas
+    * memoized JVM-wide (data files here are immutable — attempt-
+    * private directories, never rewritten in place), folded in file
+    * order with Spark's own `StructType.merge` (same fold
+    * `SchemaMergeUtils.mergeSchemasInParallel` runs). The distributed
+    * footer job the mergeSchema option launches costs ~60-150 ms per
+    * call and schema resolution runs per SQL-statement table load —
+    * at 100 TB the catalog serves this from table metadata anyway.
+    */
+  private val fileSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def mergedFooterSchema(spark: SparkSession,
+      files: Seq[String]): org.apache.spark.sql.types.StructType = {
+    require(files.nonEmpty, "mergedFooterSchema needs at least one file")
+    files.iterator
+      .map(f => fileSchemaCache.computeIfAbsent(f,
+        p => spark.read.parquet(p).schema))
+      .reduceLeft(org.apache.spark.sql.GraftBridge.mergeSchemas)
   }
 
   /** All committed generation numbers of `table`, ascending (one
@@ -2248,7 +2272,8 @@ object SnapshotTable {
       s"partition $col=$value of $table has no routed files")
     val dataDir = s"$table/data/gen=${gen + 1}/a=${attemptName()}/p=$value"
     shapedForRewrite(spark, table, gen,
-        spark.read.option("mergeSchema", true).parquet(touched: _*))
+        spark.read.schema(mergedFooterSchema(spark, touched))
+          .parquet(touched: _*))
       .repartition(files)
       .write.mode("overwrite").parquet(dataDir)
     val fresh = freshFiles(spark, dataDir)

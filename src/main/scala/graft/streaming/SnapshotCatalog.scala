@@ -557,7 +557,7 @@ private[streaming] class SnapshotBranchTable(table: String, branch: String)
   override def schema(): StructType = {
     val fs = if (staged()) files() else Seq.empty
     if (fs.nonEmpty)
-      spark.read.option("mergeSchema", true).parquet(fs: _*).schema
+      graft.sources.SnapshotTable.mergedFooterSchema(spark, fs)
     else SnapshotSource.latestSchema(table)
   }
 

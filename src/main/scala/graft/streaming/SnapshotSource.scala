@@ -274,8 +274,7 @@ private[graft] object SnapshotSource {
     val (own, _, seg) = SnapshotTable.tailEntries(spark, table, gen)
     val files =
       if (seg) SnapshotTable.resolvedFiles(spark, table, gen) else own
-    val footer =
-      spark.read.option("mergeSchema", true).parquet(files: _*).schema
+    val footer = SnapshotTable.mergedFooterSchema(spark, files)
     SnapshotTable.recordedSchema(spark, table, gen) match {
       case None => footer
       case Some(rec) =>
@@ -903,7 +902,9 @@ private[graft] class SnapshotSourceTable(table: String, tableSchema: StructType,
           else {
             val dataDir = s"$table/data/gen=$gen/a=${SnapshotTable.attemptName()}"
             shapedToServing(
-                spark.read.option("mergeSchema", true).parquet(affected: _*))
+                spark.read
+                  .schema(SnapshotTable.mergedFooterSchema(spark, affected))
+                  .parquet(affected: _*))
               .filter(keep)
               .write.mode("overwrite").parquet(dataDir)
             SnapshotTable.freshFiles(spark, dataDir)

@@ -25,4 +25,11 @@ object GraftBridge {
     */
   def cacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Spark's own mergeSchema fold step (`StructType.merge` is
+    * `private[sql]`): exactly what `SchemaMergeUtils.mergeSchemasInParallel`
+    * applies per footer, with the session's case sensitivity.
+    */
+  def mergeSchemas(a: types.StructType, b: types.StructType): types.StructType =
+    a.merge(b, internal.SQLConf.get.caseSensitiveAnalysis)
 }
