@@ -791,7 +791,12 @@ object DedupOps {
     // cost). At corpus scale all three toggles flip back.
     def build(path: String): Unit = {
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // 8, not 4: the r21 sweep (3× runs at 4/8/12/16 partitions,
+      // codegen off) measured medians 6.6/5.9/5.7/6.1 s — the
+      // latency-bound materializations want a few more parallel
+      // tasks than the original A/B picked, and 8 sits on the flat
+      // part of the curve without tripling the per-round task count.
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.codegen.wholeStage", "false")
       lcpRunsOf(Tables.documents(s, dir))

@@ -1090,8 +1090,15 @@ object SnapshotTable {
     * time travel hold by construction — later generations' files are
     * invisible because they were never handed to the reader.
     */
-  def readAs(spark: SparkSession, table: String, gen: Long): DataFrame =
-    spark.read.parquet(listFiles(spark, table, gen): _*)
+  def readAs(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    val files = listFiles(spark, table, gen)
+    // Schema from the first file's cached footer (the plain-read
+    // contract: homogeneous lineages; evolved ones use readAsMerged)
+    // instead of re-inferring per call.
+    if (files.isEmpty) spark.read.parquet(files: _*)
+    else spark.read.schema(mergedFooterSchema(spark, files.take(1)))
+      .parquet(files: _*)
+  }
 
   /** [[readAs]] for a generation whose files carry EVOLVED schemas:
     * `mergeSchema` unions every file footer's fields (metadata reads,
