@@ -50,6 +50,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local relations (literal fixture frames, dimension seeds) are
+      // control-plane data: the default leaf parallelism (= all cores)
+      // splits a 1000-row frame into `cpus` tasks, so every tiny write
+      // job pays `cpus` parquet-writer inits and commits and every
+      // commit stamps `cpus` footer reads — the small-files anti-
+      // pattern (guide §6) created by the engine itself. A fixed small
+      // value keeps literal-frame layouts identical at any core count
+      // (the driver benches several `SPARK_GRAFT_CPUS` values).
+      // Parquet-scanned tables are unaffected.
+      .config("spark.sql.leafNodeDefaultParallelism", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

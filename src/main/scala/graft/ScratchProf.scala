@@ -14,50 +14,71 @@ object ScratchProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.sources.SnapshotTable
 
-    // flat layout
-    val tiny = (1L to 1000L).map(k => (k, k * 2, k % 7)).toDF("k", "v", "s")
-    val d1 = graft.Scratch.dir("prof_flat")
-    tiny.repartition(3).write.mode("overwrite").parquet(d1)
-    val a1 = spark.read.parquet(d1).inputFiles.toSeq.sorted
-    val b1 = SnapshotTable.freshFiles(spark, d1)
-    println(s"[prof] flat identical: ${a1 == b1} (${a1.size} vs ${b1.size})")
-
-    // partitionBy layout
-    val d2 = graft.Scratch.dir("prof_part")
-    tiny.repartition(org.apache.spark.sql.functions.col("s"))
-      .write.partitionBy("s").mode("overwrite").parquet(d2)
-    val a2 = spark.read.parquet(d2).inputFiles.toSeq.sorted
-    val b2 = SnapshotTable.freshFiles(spark, d2)
-    println(s"[prof] partitioned identical: ${a2 == b2} (${a2.size} vs ${b2.size})")
-    if (a2 != b2) {
-      println(s"[prof] a2.head=${a2.headOption}")
-      println(s"[prof] b2.head=${b2.headOption}")
-    }
-
-    // empty dir
-    val d3 = graft.Scratch.dir("prof_empty")
-    new java.io.File(d3).mkdirs()
-    println(s"[prof] empty ok: ${SnapshotTable.freshFiles(spark, d3)}")
-    println(s"[prof] missing ok: ${SnapshotTable.freshFiles(spark, d3 + "/nope")}")
-
-    // schema cache: timing + events branch
     def t(label: String, n: Int)(f: => Unit): Unit = {
       f
       val t0 = System.nanoTime()
       (1 to n).foreach(_ => f)
-      println(f"[prof] $label%-42s ${(System.nanoTime() - t0) / 1e6 / n}%8.1f ms/op")
+      println(f"[prof] $label%-52s ${(System.nanoTime() - t0) / 1e6 / n}%8.1f ms/op")
     }
-    t("Tables.lineitem [plan only, cached schema]", 20) {
-      Tables.lineitem(spark, dir)
+
+    val tiny = (1L to 1000L).map(k => (k, k * 2, k % 7)).toDF("k", "v", "s")
+    println(s"[prof] tiny partitions: ${tiny.rdd.getNumPartitions}")
+
+    // How many partitions does a local relation write with?
+    t("write tiny (as-is)", 10) {
+      tiny.write.mode("overwrite").parquet(Scratch.dir("pw_asis"))
     }
-    t("Tables.lineitem count", 10) {
-      Tables.lineitem(spark, dir).count()
+    t("write tiny coalesce(1)", 10) {
+      tiny.coalesce(1).write.mode("overwrite").parquet(Scratch.dir("pw_c1"))
     }
-    val ev = Tables.events(spark, dir)
-    println(s"[prof] events ts type: ${ev.schema("ts").dataType}")
-    println(s"[prof] events count: ${ev.count()}")
+    t("write tiny repartition(2)", 10) {
+      tiny.repartition(2).write.mode("overwrite").parquet(Scratch.dir("pw_r2"))
+    }
+    t("write tiny repartition(32)", 10) {
+      tiny.repartition(32).write.mode("overwrite").parquet(Scratch.dir("pw_r32"))
+    }
+    // noop as floor: job scheduling only
+    t("noop tiny (as-is)", 10) {
+      tiny.write.format("noop").mode("overwrite").save()
+    }
+    // committer v2?
+    spark.conf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    t("write tiny (as-is) committer v2", 10) {
+      tiny.write.mode("overwrite").parquet(Scratch.dir("pw_v2"))
+    }
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    t("write tiny (as-is) no _SUCCESS", 10) {
+      tiny.write.mode("overwrite").parquet(Scratch.dir("pw_ns"))
+    }
+    // streaming-ish: partitionBy overwrite dynamic
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    t("write tiny partitionBy dyn-overwrite", 10) {
+      tiny.withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(Scratch.dir("pw_dyn"))
+    }
+    t("commit tiny via SnapshotTable", 5) {
+      graft.sources.SnapshotTable.commit(tiny,
+        Scratch.dir("pw_snap") + "/t" + System.nanoTime(), 1L)
+    }
+    // small real frame through an exchange
+    val li = Tables.lineitem(spark, dir)
+    t("lineitem groupBy count collect", 5) {
+      li.groupBy("l_returnflag").count().collect()
+    }
+    t("lineitem noop scan (all cols)", 5) {
+      li.write.format("noop").mode("overwrite").save()
+    }
+    t("empty job (range(1).collect)", 20) {
+      spark.range(1).collect()
+    }
+    t("localCheckpoint tiny", 10) {
+      tiny.localCheckpoint().count()
+    }
     spark.stop()
   }
 }

@@ -70,6 +70,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Mirror Bench: fixed small leaf parallelism so literal-frame
+      // file layouts (and thus any layout-sensitive drill) match the
+      // benched configuration exactly.
+      .config("spark.sql.leafNodeDefaultParallelism", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1313,10 +1313,26 @@ object SnapshotTable {
     * manifest a zone map per dimension (a Z-ORDERed layout makes every
     * recorded dimension's per-file bounds tight at once).
     */
+  /** Order-preserving parallel map for the per-file footer reads the
+    * commit/analyze paths run on the driver: each read is a short
+    * blocking metadata I/O (~5-15 ms open + footer parse), and the
+    * sequential loop made every commit O(files) × that latency — the
+    * exact driver bottleneck guide §5 warns about. Common-pool
+    * parallelism keeps wall time ~files/threads while the work stays
+    * metadata-plane (footers only, never data pages).
+    */
+  private def parFiles[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      import scala.jdk.CollectionConverters._
+      xs.asJava.parallelStream().map[B](a => f(a))
+        .collect(java.util.stream.Collectors.toList[B]).asScala.toSeq
+    }
+
   def footerStats(spark: SparkSession, paths: Seq[String],
       columns: Seq[String]): Seq[(String, String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    paths.flatMap { f =>
+    parFiles(paths) { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1353,7 +1369,7 @@ object SnapshotTable {
             stats.map(s => asLong(s.genericGetMax)).max)
         }
       } finally r.close()
-    }
+    }.flatten
   }
 
   /** Per-file ROW COUNTS from the parquet footers — the third
@@ -1375,7 +1391,7 @@ object SnapshotTable {
   def fileMeta(spark: SparkSession,
       paths: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    paths.map { f =>
+    parFiles(paths) { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1391,10 +1407,10 @@ object SnapshotTable {
     */
   private def fileMetaOpt(spark: SparkSession,
       paths: Seq[String]): Map[String, (Long, Long)] =
-    paths.flatMap { f =>
+    parFiles(paths) { f =>
       try fileMeta(spark, Seq(f)).map(m => m._1 -> ((m._2, m._3)))
       catch { case _: Exception => Seq.empty }
-    }.toMap
+    }.flatten.toMap
 
   /** [[fileMeta]] as ready-to-publish manifest rows (sorted by path) —
     * BEST-EFFORT like [[fileMetaOpt]]: the explicit-path publish forms
@@ -1508,7 +1524,7 @@ object SnapshotTable {
   private def footerNullCounts(spark: SparkSession,
       pairs: Seq[(String, String)]): Map[(String, String), Option[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    pairs.groupBy(_._1).toSeq.flatMap { case (f, ps) =>
+    parFiles(pairs.groupBy(_._1).toSeq) { case (f, ps) =>
       val cols = ps.map(_._2).distinct
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1530,7 +1546,7 @@ object SnapshotTable {
       } catch {
         case _: Exception => cols.map(c => (f, c) -> Option.empty[Long])
       }
-    }.toMap
+    }.flatten.toMap
   }
 
   /** Files of generation `gen` admitted by CONJUNCTIVE per-column
