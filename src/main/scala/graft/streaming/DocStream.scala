@@ -72,15 +72,20 @@ object DocStream {
     * table (the batch incremental query's artifact) seeds from it
     * directly instead of re-hashing the corpus text.
     */
-  def seedIndexFromBands(bands: DataFrame, indexDir: String): Unit =
-    bands.select("doc_id", "band", "bucket")
-      .withColumn("batch_id", lit(SeedBatchId))
-      .write.mode("overwrite")
-      // Explicitly static: a session-wide dynamic default would quietly
-      // turn the full reset back into a partial one.
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("batch_id")
-      .parquet(indexDir)
+  def seedIndexFromBands(bands: DataFrame, indexDir: String): Unit = {
+    // Explicit whole-directory delete first: the seed is a FULL reset
+    // (stale batch partitions from a previous run must go), which the
+    // per-batch-directory write below deliberately does not do.
+    deleteDir(bands.sparkSession, indexDir)
+    EventStream.writeBatch(bands.select("doc_id", "band", "bucket"),
+      SeedBatchId, indexDir)
+  }
+
+  private def deleteDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** One micro-batch step: probe history, emit candidates, append the
     * batch's buckets. Public so the spec (and a batch backfill) can
@@ -99,17 +104,10 @@ object DocStream {
       val history = spark.read.parquet(indexDir)
         .filter(col("batch_id") < batchId)
         .select("doc_id", "band", "bucket")
-      DedupOps.probeIndex(history, bands)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(candDir)
-      bands.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(indexDir)
+      EventStream.writeBatch(DedupOps.probeIndex(history, bands),
+        batchId, candDir)
+      EventStream.writeBatch(bands.select("doc_id", "band", "bucket"),
+        batchId, indexDir)
     } finally bands.unpersist(blocking = false)
   }
 
@@ -176,13 +174,12 @@ object DocStream {
     // watermark is stale — forget it, or the seed partition (below the
     // old watermark) would escape the next contract check.
     fmtValidated.remove(indexDir)
-    inst.select("doc_id", "h")
-      .withColumn("fmt", lit(ChunkIndexFormat))
-      .withColumn("batch_id", lit(SeedBatchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("batch_id")
-      .parquet(indexDir)
+    // Full reset (see seedIndexFromBands): delete, then write the seed
+    // as its own batch partition directory.
+    deleteDir(inst.sparkSession, indexDir)
+    EventStream.writeBatch(
+      inst.select("doc_id", "h").withColumn("fmt", lit(ChunkIndexFormat)),
+      SeedBatchId, indexDir)
   }
 
   /** One chunk-level micro-batch step — the streaming form of
@@ -245,23 +242,16 @@ object DocStream {
       val history = idx
         .filter(col("batch_id") < batchId)
         .select("h").distinct()
-      inst.join(history.withColumn("seen", lit(1)), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("fresh_chunks"))
-        .select(col("doc_id"), col("n_chunks"), col("fresh_chunks"),
-          expr("(fresh_chunks * 1000000) div n_chunks").as("fresh_ppm"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(reportDir)
-      inst.withColumn("fmt", lit(ChunkIndexFormat))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(indexDir)
+      EventStream.writeBatch(
+        inst.join(history.withColumn("seen", lit(1)), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("fresh_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("fresh_chunks"),
+            expr("(fresh_chunks * 1000000) div n_chunks").as("fresh_ppm")),
+        batchId, reportDir)
+      EventStream.writeBatch(inst.withColumn("fmt", lit(ChunkIndexFormat)),
+        batchId, indexDir)
     } finally inst.unpersist(blocking = false)
   }
 

@@ -254,6 +254,15 @@ object EventStream {
     * Idempotent effects + at-least-once delivery = exactly-once results,
     * the standard Structured Streaming sink recipe for stores without
     * transactions.
+    *
+    * An r21 A/B measured the direct per-directory form
+    * (`write.parquet(s"$outDir/batch_id=$id")`, with and without
+    * coalesce(1)) against this one INSIDE a warm stream: equal within
+    * noise (1.9-2.2 s per 3-batch drill for all three). Dynamic
+    * overwrite's partition writers are also LAZY (an empty reduce task
+    * writes no file where the direct form's eager single-directory
+    * writer emits an empty part file per task), so the canonical
+    * recipe stays.
     */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
     batch.withColumn("batch_id", lit(batchId))
