@@ -284,16 +284,16 @@ object ScalarOps {
     val hist = li.filter(col("l_shipdate") < lit(PercentileIncrCut))
       .groupBy("l_returnflag")
       .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_h"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.47), lit(0.53))).as("hb"))
+        graft.functions.PercentileFast(col("l_extendedprice"),
+          Seq(0.47, 0.53)).as("hb"))
     val batch = li.filter(col("l_shipdate") >= lit(PercentileIncrCut))
       .groupBy("l_returnflag")
       .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk_b"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.47), lit(0.53))).as("bb"))
+        graft.functions.PercentileFast(col("l_extendedprice"),
+          Seq(0.47, 0.53)).as("bb"))
     val whole = li.groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(0.47), lit(0.53), lit(0.87), lit(0.93))).as("mb"))
+      .agg(graft.functions.PercentileFast(col("l_extendedprice"),
+        Seq(0.47, 0.53, 0.87, 0.93)).as("mb"))
     hist.join(batch, "l_returnflag").join(whole, "l_returnflag")
       .select(col("l_returnflag"),
         expr("kll_sketch_get_n_double(sk_h)").as("history_n"),
@@ -425,8 +425,8 @@ object ScalarOps {
       .agg(count(lit(1)).as("n_rows"),
         percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
           lit(10000)).as("pp"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.49), lit(0.51), lit(0.89), lit(0.91))).as("bb"))
+        graft.functions.PercentileFast(col("l_extendedprice"),
+          Seq(0.49, 0.51, 0.89, 0.91)).as("bb"))
       .select(col("l_returnflag"), col("n_rows"),
         element_at(col("bb"), 1).as("p50_band_lo"),
         element_at(col("bb"), 2).as("p50_band_hi"),
@@ -448,7 +448,8 @@ object ScalarOps {
       .groupBy("l_returnflag")
       // One agg with both quantiles: a single value->count state per
       // group instead of two, sorted once (~25% faster at sf0.1).
-      .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("pp"))
+      .agg(graft.functions.PercentileFast(col("l_extendedprice"),
+        Seq(0.5, 0.9)).as("pp"))
       .select(col("l_returnflag"),
         element_at(col("pp"), 1).as("price_p50"),
         element_at(col("pp"), 2).as("price_p90"))
@@ -474,8 +475,8 @@ object ScalarOps {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val cuts = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(WinsorLo), lit(WinsorHi))).as("pp"))
+      .agg(graft.functions.PercentileFast(col("l_extendedprice"),
+        Seq(WinsorLo, WinsorHi)).as("pp"))
       .select(col("l_returnflag"),
         element_at(col("pp"), 1).as("lo"), element_at(col("pp"), 2).as("hi"))
     Tables.lineitem(spark, dir)
@@ -519,13 +520,14 @@ object ScalarOps {
   def robustStats(spark: SparkSession, dir: String): DataFrame = {
     val meds = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+      .agg(graft.functions.PercentileFast(col("l_extendedprice"), 0.5).as("med"))
     Tables.lineitem(spark, dir)
       .join(broadcast(meds), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
         max(col("med")).as("median_price"),
-        percentile(abs(col("l_extendedprice") - col("med")), lit(0.5)).as("mad_price"),
+        graft.functions.PercentileFast(
+          abs(col("l_extendedprice") - col("med")), 0.5).as("mad_price"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
   }
@@ -560,13 +562,14 @@ object ScalarOps {
       .join(broadcast(meds), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("cnt"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.49), lit(0.51))).as("mb"),
+        graft.functions.PercentileFast(col("l_extendedprice"),
+          Seq(0.49, 0.51)).as("mb"),
         max(col("med")).as("amed"),
         percentile_approx(abs(col("l_extendedprice") - col("med")), lit(0.5),
           lit(ApproxAccuracy)).as("amad"),
-        percentile(abs(col("l_extendedprice") - col("med")),
-          array(lit(0.49), lit(0.51))).as("db"))
+        graft.functions.PercentileFast(
+          abs(col("l_extendedprice") - col("med")),
+          Seq(0.49, 0.51)).as("db"))
       .select(col("l_returnflag"), col("cnt"),
         element_at(col("mb"), 1).as("med_band_lo"),
         element_at(col("mb"), 2).as("med_band_hi"),
