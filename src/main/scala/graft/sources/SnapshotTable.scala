@@ -985,7 +985,16 @@ object SnapshotTable {
     df.write.mode("overwrite").parquet(dataDir)
     val freshData = freshFiles(spark, dataDir)
     val delDir = s"$delGenDir/a=$attempt"
-    df.select(col(keyCol)).distinct().coalesce(1)
+    // The tombstone keys project from the data files JUST WRITTEN, not
+    // from `df` again: `df`'s lineage embeds the batch's whole upstream
+    // (source scan + dedupe shuffle in the CDC-apply sink), which a
+    // second action would re-run per commit. Parquet round-trips the
+    // key column exactly, so the written rows ARE the batch — same key
+    // set, and the distinct() keeps the key-uniqueness guard below
+    // honest (keyRows counts DISTINCT keys, not batch rows).
+    spark.read.schema(mergedFooterSchema(spark, freshData))
+      .parquet(freshData: _*)
+      .select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(delDir)
     val freshDels = freshFiles(spark, delDir)
     // Latest-row-per-key only holds if the batch itself is one row per
