@@ -799,8 +799,20 @@ object DedupOps {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.codegen.wholeStage", "false")
-      lcpRunsOf(Tables.documents(s, dir))
-        .write.mode("overwrite").parquet(path)
+      val runs = lcpRunsOf(Tables.documents(s, dir))
+      // The DESCENT is one plan compiled once and it is pure
+      // joins/union/aggregate over checkpointed inputs (every window
+      // lives behind a checkpoint above) — the one statement in this
+      // pipeline where a single janino compile amortizes over 6 rounds
+      // of probe evaluation. The per-round rank plans above stay
+      // interpreted (each is a distinct plan; compile > eval there).
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
+      s.sparkContext.setJobDescription("lcp: descent+write")
+      try runs.write.mode("overwrite").parquet(path)
+      finally {
+        s.sparkContext.setJobDescription(null)
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+      }
     }
     if (rebuild) lcpRunsArtifact.rebuild(dir)(build)
     else lcpRunsArtifact.ensure(dir)(build)
@@ -889,9 +901,16 @@ object DedupOps {
     */
   private def lcpRunsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Guide §1.5 job labels: the pipeline is ~9 eager materializations
+    // and unlabeled job rows are unattributable in any profile/UI.
+    val sc = docs.sparkSession.sparkContext
+    def ph[T](label: String)(f: => T): T = {
+      sc.setJobDescription(s"lcp: $label")
+      try f finally sc.setJobDescription(null)
+    }
     val spanWidths = (0 until 6).map(1 << _) // 1, 2, 4, 8, 16, 32
     // 1. Every power-width span identity out of one digest pass.
-    val sIds = hashedTokens(docs)
+    val sIds = ph("span-ids") { hashedTokens(docs)
       .select(col("doc_id"), explode(concat(spanWidths.map { w =>
         transform(spanHashesOf(col("th"), w),
           (x, i) => struct(lit(w).as("w"), (i + 1).as("pos"), x.as("id")))
@@ -899,28 +918,47 @@ object DedupOps {
       .select(col("doc_id"), col("g.w").as("w"), col("g.pos").as("pos"),
         col("g.id").as("id"))
       .localCheckpoint()
-    val base = sIds.filter(col("w") === 1).select("doc_id", "pos", "id")
+    }
+    // Per-width probe frames, split ONCE: the descent consumes each
+    // width twice (x-side and y-side), and probing the 6-width union
+    // with a filter would scan all 6n rows per probe — 12 full scans.
+    // Splitting pays 6 scans at split time and each probe then reads
+    // only its own width's rows (§2.3 project/filter before the
+    // exchange).
+    val byW = spanWidths.map(w => w -> ph(s"split-w$w") {
+      sIds.filter(col("w") === w).select("doc_id", "pos", "id")
+        .localCheckpoint()
+    }).toMap
+    val base = byW(1)
     // One bounded scalar on the driver: sizes the rank packing.
-    val pack = math.max(base.count(), 1L) + 1L
+    val pack = ph("size-pack")(math.max(base.count(), 1L) + 1L)
     // 2. Quadrupled rank chain for the suffix order. Level 0 buckets
     // the uniform 62-bit identity by its top 8 bits; packed ranks
     // embed their bucket (r div pack recovers it), so later levels
     // re-bucket by the same stable assignment — one exchange each.
-    val r1 = bucketRank(base, Seq(col("id")), shiftright(col("id"), 54), pack)
-      .select("doc_id", "pos", "r").localCheckpoint()
-    def quad(prev: DataFrame, o: Int): DataFrame = {
-      def shifted(j: Int) = prev.select(col("doc_id"),
-        (col("pos") - j * o).as("pos"), col("r").as(s"s$j"))
-      val keyed = prev.join(shifted(1), Seq("doc_id", "pos"), "left")
-        .join(shifted(2), Seq("doc_id", "pos"), "left")
-        .join(shifted(3), Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r").as("k0"),
-          coalesce(col("s1"), lit(0L)).as("k1"),
-          coalesce(col("s2"), lit(0L)).as("k2"),
-          coalesce(col("s3"), lit(0L)).as("k3"))
-      bucketRank(keyed, Seq(col("k0"), col("k1"), col("k2"), col("k3")),
-          expr(s"k0 div $pack"), pack)
+    val r1 = ph("rank-w1") {
+      bucketRank(base, Seq(col("id")), shiftright(col("id"), 54), pack)
         .select("doc_id", "pos", "r").localCheckpoint()
+    }
+    def quad(prev: DataFrame, o: Int): DataFrame = {
+      // Positions are DENSE 1..n per document (width-1 spans), and every
+      // level keeps all of them — so the rank at pos + j·o is exactly
+      // lead(r, j·o) over the per-doc position order: one window (one
+      // doc-keyed exchange, skew-bounded by the longest document)
+      // replaces the previous THREE self-joins per level (guide §2.4 —
+      // each join re-shuffled the whole rank frame on (doc_id, pos)).
+      // lead() past the end is null → 0, byte-identical to the old
+      // left-join + coalesce end padding.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val keyed = prev.select(col("doc_id"), col("pos"), col("r").as("k0"),
+        coalesce(lead("r", o).over(w), lit(0L)).as("k1"),
+        coalesce(lead("r", 2 * o).over(w), lit(0L)).as("k2"),
+        coalesce(lead("r", 3 * o).over(w), lit(0L)).as("k3"))
+      ph(s"rank-quad-x$o") {
+        bucketRank(keyed, Seq(col("k0"), col("k1"), col("k2"), col("k3")),
+            expr(s"k0 div $pack"), pack)
+          .select("doc_id", "pos", "r").localCheckpoint()
+      }
     }
     val r64 = quad(quad(quad(r1, 1), 4), 16)
     // Globally DENSE row numbers over (r, doc_id, pos) — rn - 1 must
@@ -933,9 +971,11 @@ object DedupOps {
     val rnOffs = withRowNum.groupBy("bk").agg(count(lit(1)).as("cnt"))
       .select(col("bk"), coalesce(sum("cnt").over(Window.orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
-    val ord = withRowNum.join(broadcast(rnOffs), "bk")
-      .select(col("doc_id"), col("pos"), (col("off") + col("wrn")).as("rn"))
-      .localCheckpoint()
+    val ord = ph("global-rownum") {
+      withRowNum.join(broadcast(rnOffs), "bk")
+        .select(col("doc_id"), col("pos"), (col("off") + col("wrn")).as("rn"))
+        .localCheckpoint()
+    }
     // 3. Run-head detection in rn-blocks: lag within the block, block
     // boundaries patched from the tiny per-block last-doc frame —
     // never a global-order window, never an O(n) self-join. Both scans
@@ -946,7 +986,7 @@ object DedupOps {
     val blkLast = ord.groupBy(blk.as("blk"))
       .agg(max_by(col("doc_id"), col("rn")).as("last_doc"))
       .select((col("blk") + 1).as("blk"), col("last_doc"))
-    val marked = ord.withColumn("blk", blk)
+    val marked = ph("mark-heads") { ord.withColumn("blk", blk)
       .join(broadcast(blkLast), Seq("blk"), "left")
       .withColumn("prev_doc", coalesce(
         lag("doc_id", 1).over(Window.partitionBy("blk").orderBy("rn")),
@@ -956,6 +996,7 @@ object DedupOps {
           col("rn")))
       .select("doc_id", "pos", "rn", "blk", "head_mark")
       .localCheckpoint()
+    }
     val inBlk = marked
       .withColumn("in_head", max("head_mark").over(
         Window.partitionBy("blk").orderBy("rn")
@@ -971,10 +1012,16 @@ object DedupOps {
           .rowsBetween(Window.unboundedPreceding, -1)).as("carry_head"),
         min("bh").over(Window.orderBy(col("blk").desc)
           .rowsBetween(Window.unboundedPreceding, -1)).as("carry_next"))
-    val hd = inBlk.join(broadcast(carry), Seq("blk"))
+    // Materialized: pairs0 below consumes hd TWICE (head-side and
+    // next-side projections of the same frame) — without the checkpoint
+    // the in-block window sorts and the carry join execute twice inside
+    // the one descent plan (§2.4 duplicated subtree).
+    val hd = ph("run-heads") { inBlk.join(broadcast(carry), Seq("blk"))
       .select(col("doc_id"), col("pos"), col("rn"),
         coalesce(col("in_head"), col("carry_head")).as("head_rn"),
         coalesce(col("in_next"), col("carry_next")).as("next_rn"))
+      .localCheckpoint()
+    }
     // 4. LCP descent per (position, nearest-diff-doc partner) pair —
     // all six rounds plus the final aggregate in ONE plan (computed-
     // key equi-joins; nothing here needs a barrier).
@@ -990,9 +1037,9 @@ object DedupOps {
       .select(col("xdoc"), col("xpos"), col("ydoc"), col("ypos"),
         lit(0L).as("l"))
     val descended = spanWidths.reverse.foldLeft(pairs0) { (p, w) =>
-      val a = sIds.filter(col("w") === w).select(col("doc_id").as("adoc"),
+      val a = byW(w).select(col("doc_id").as("adoc"),
         col("pos").as("ap"), col("id").as("ia"))
-      val b = sIds.filter(col("w") === w).select(col("doc_id").as("bdoc"),
+      val b = byW(w).select(col("doc_id").as("bdoc"),
         col("pos").as("bp"), col("id").as("ib"))
       p.join(a, p("xdoc") === a("adoc") &&
           a("ap") === p("xpos") + p("l"), "left")
