@@ -94,6 +94,20 @@ case class PercentileFast(child: Expression, percentages: Seq[Double],
     percentages.forall(p => p >= 0.0 && p <= 1.0),
     s"percentages must be in [0, 1]; got $percentages")
 
+  // The documented scope is DOUBLE input only; update() casts the
+  // evaluated value, so a non-double column must fail at ANALYSIS
+  // (naming the offending type), never as an executor-side
+  // ClassCastException mid-job.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PercentileFast requires a DOUBLE input column; " +
+          s"got ${child.dataType.catalogString} (cast explicitly or use " +
+          "the built-in percentile)")
+
   override def createAggregationBuffer(): PctBuf = new PctBuf()
 
   override def update(b: PctBuf, input: InternalRow): PctBuf = {
@@ -167,7 +181,15 @@ case class PercentileFast(child: Expression, percentages: Seq[Double],
   }
 
   override def serialize(b: PctBuf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + b.size * 16)
+    // Long arithmetic: with ~134M+ distinct values per group the Int
+    // product would overflow NEGATIVE and allocate() would throw a
+    // bare IllegalArgumentException; fail with a diagnosis instead.
+    val bytes = 4L + b.size.toLong * 16L
+    require(bytes <= Int.MaxValue,
+      s"PercentileFast partial state with ${b.size} distinct values " +
+        s"exceeds the 2 GiB serialization limit; use approx_percentile " +
+        "for groups with this many distinct doubles")
+    val bb = java.nio.ByteBuffer.allocate(bytes.toInt)
     bb.putInt(b.size)
     var i = 0
     while (i < b.keys.length) {

@@ -1330,12 +1330,36 @@ object SnapshotTable {
     * parallelism keeps wall time ~files/threads while the work stays
     * metadata-plane (footers only, never data pages).
     */
+  /** Dedicated bounded pool for [[parFiles]]: blocking footer I/O on
+    * the JVM COMMON ForkJoinPool would starve every other common-pool
+    * user in the driver behind a slow filesystem. Daemon threads, so
+    * an exiting JVM never waits on it.
+    */
+  private lazy val footerPool = {
+    val n = math.min(16, Runtime.getRuntime.availableProcessors())
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r, "graft-footer-io")
+      t.setDaemon(true)
+      t
+    })
+  }
+
   private def parFiles[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.lengthCompare(2) < 0) xs.map(f)
     else {
       import scala.jdk.CollectionConverters._
-      xs.asJava.parallelStream().map[B](a => f(a))
-        .collect(java.util.stream.Collectors.toList[B]).asScala.toSeq
+      // Order-preserving: futures submit in xs order and join in order.
+      // Exceptions from f rethrow as the ORIGINAL exception type (the
+      // ExecutionException unwraps), preserving the sequential loop's
+      // error contract for callers that match on exception class.
+      val futures = xs.map(a => footerPool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      try futures.map(_.get()).toSeq
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          futures.foreach(_.cancel(false))
+          throw e.getCause
+      }
     }
 
   def footerStats(spark: SparkSession, paths: Seq[String],
