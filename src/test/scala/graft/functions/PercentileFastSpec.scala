@@ -93,4 +93,14 @@ class PercentileFastSpec extends AnyFunSuite {
       .head().getSeq[Double](0)
     assert(wide === narrow)
   }
+
+  test("non-DOUBLE input fails at analysis, not at execution") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (1L, 3L)).toDF("g", "v") // v is BIGINT
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(PercentileFast(col("v"), 0.5).as("p")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double"),
+      s"analysis error should name the DOUBLE contract: ${e.getMessage}")
+  }
 }
